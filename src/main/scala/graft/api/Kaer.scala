@@ -1,0 +1,228 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core.{CollectionMeta, Meta, Schema}
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.filter.MqlFilter
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Errors mirroring the reference's sentinel errors. */
+final case class CollectionNotFound(name: String)
+  extends RuntimeException(s"collection not found: $name") // db/kaer.go:14
+final class FieldLengthMismatch
+  extends RuntimeException("documents/metadatas length mismatch") // db/db.go:12
+
+/** Insert-batch builder — API parity with the reference's fluent `Data`
+  * builder of parallel arrays (/root/reference/db/db.go:30-47). */
+final class Data private (
+    val documents: Seq[String],
+    val metadatas: Seq[String]) {
+  def withDocuments(docs: Seq[String]): Data = new Data(docs, metadatas)
+  def withMetadatas(metas: Seq[Map[String, Any]]): Data =
+    new Data(documents, metas.map(Data.toJson))
+  def withMetadataJson(metas: Seq[String]): Data = new Data(documents, metas)
+}
+object Data {
+  def apply(): Data = new Data(Nil, Nil)
+  private val mapper = new ObjectMapper()
+  private[api] def toJson(m: Map[String, Any]): String = {
+    val node = mapper.createObjectNode()
+    m.foreach {
+      case (k, v: Int) => node.put(k, v)
+      case (k, v: Long) => node.put(k, v)
+      case (k, v: Double) => node.put(k, v)
+      case (k, v: Float) => node.put(k, v.toDouble)
+      case (k, v: Boolean) => node.put(k, v)
+      case (k, v: String) => node.put(k, v)
+      case (k, null) => node.putNull(k)
+      case (k, v: Seq[_]) =>
+        val arr = node.putArray(k)
+        v.foreach {
+          case e: Int => arr.add(e)
+          case e: Long => arr.add(e)
+          case e: Double => arr.add(e)
+          case e: String => arr.add(e)
+          case e: Boolean => arr.add(e)
+          case e => arr.add(String.valueOf(e))
+        }
+      case (k, v) => node.put(k, String.valueOf(v))
+    }
+    mapper.writeValueAsString(node)
+  }
+}
+
+/** Engine handle — the Spark-native `Kaer` (/root/reference/db/kaer.go:17-26).
+  *
+  * Where the reference boots an embedded Postgres process plus a FerretDB
+  * goroutine and talks mongo wire protocol to itself (db/kaer.go:84-145),
+  * this wraps an existing SparkSession: storage is a parquet directory per
+  * collection under `rootDir`, metadata/catalog is a JSON sidecar, and all
+  * query semantics are Catalyst plans. No subprocesses, no sockets.
+  */
+final class KaerSession(
+    val spark: SparkSession,
+    rootDir: String,
+    embedder: Embedder = HashingEmbedder(64)) {
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Collection]
+  private def dir(name: String) = new Path(rootDir, name).toString
+  private def fs: FileSystem =
+    new Path(rootDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** db/kaer.go:28-40. Creates (or reopens) the collection directory. */
+  def createCollection(name: String): Collection = {
+    val d = dir(name)
+    if (Meta.read(spark, d).isEmpty) {
+      fs.mkdirs(new Path(d, "data"))
+      Meta.write(spark, d,
+        CollectionMeta(name, lastId = 0L, embedder.dim, embedder.id, 0L))
+    }
+    getCollection(name)
+  }
+
+  /** db/kaer.go:42-63 — cache hit, else existence check (CollectionNotFound
+    * when absent), then reopen with recovery. */
+  def getCollection(name: String): Collection =
+    cache.getOrElseUpdate(name, {
+      val d = dir(name)
+      Meta.read(spark, d) match {
+        case None => throw CollectionNotFound(name)
+        case Some(_) => new Collection(spark, name, d, embedder)
+      }
+    })
+
+  /** db/kaer.go:65-76. */
+  def dropCollection(name: String): Unit = {
+    cache.remove(name)
+    val p = new Path(dir(name))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def listCollections(): Seq[String] = {
+    val root = new Path(rootDir)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => Meta.read(spark, dir(n)).isDefined)
+  }
+
+  /** db/kaer.go:78-82 — nothing to stop: the SparkSession is shared and
+    * parquet is the only durability point. */
+  def close(): Unit = cache.clear()
+}
+
+/** A named collection: parquet data + JSON sidecar + embedder
+  * (/root/reference/db/db.go:49-58).
+  *
+  * Recovery semantics (db/db.go:209-226): the id watermark is
+  * max(sidecar.lastId, max(_m_id) in data) — the *intent* of the
+  * reference's getNextID, not its min-id bug (db/db.go:145-174; SURVEY.md
+  * §2.4). Data replay (updateIndexFromLastId) is unnecessary: parquet is
+  * simultaneously the document store and the "index".
+  */
+final class Collection(
+    val spark: SparkSession,
+    val name: String,
+    val dir: String,
+    val embedder: Embedder) {
+
+  private val dataDir = new Path(dir, "data").toString
+  // recovered watermark — see class doc
+  private var lastId: Long = {
+    val sidecar = Meta.read(spark, dir).map(_.lastId).getOrElse(0L)
+    math.max(sidecar, maxIdInData())
+  }
+
+  private def hasData: Boolean = {
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def maxIdInData(): Long =
+    if (!hasData) 0L
+    else df.agg(max(col(Schema.IdCol))).head() match {
+      case Row(null) => 0L
+      case Row(v: Long) => v
+    }
+
+  /** The collection as a DataFrame (canonical schema, SURVEY.md §1.2). */
+  def df: DataFrame =
+    if (hasData) spark.read.schema(Schema.collectionSchema(embedder.dim))
+      .parquet(dataDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      Schema.collectionSchema(embedder.dim))
+
+  def count(): Long = if (hasData) df.count() else 0L
+
+  /** Insert path (db/db.go:60-100): validate lengths → embed → assign
+    * dense monotone ids above the watermark → append parquet → sidecar
+    * update. Id assignment uses zipWithIndex (per-partition offsets, no
+    * global sort, no driver materialization) so the same code scales out.
+    */
+  def insert(data: Data): Unit = {
+    if (data.metadatas.nonEmpty &&
+      data.documents.length != data.metadatas.length)
+      throw new FieldLengthMismatch // db/db.go:61-63
+    val rows = if (data.metadatas.isEmpty)
+      data.documents.map(d => (d, null: String))
+    else data.documents.zip(data.metadatas)
+    val base = spark.createDataFrame(rows)
+      .toDF(Schema.DocCol, Schema.MetaCol)
+    insertDF(base)
+  }
+
+  /** Bulk path: any DataFrame with (_m_doc STRING, _m_meta STRING). */
+  def insertDF(base: DataFrame): Unit = {
+    val start = lastId
+    val indexed = zipWithId(base, start)
+      .withColumn(Schema.EmbeddingCol, embedder.embed(col(Schema.DocCol)))
+      .select(col(Schema.IdCol), col(Schema.DocCol),
+        col(Schema.EmbeddingCol), col(Schema.MetaCol))
+    indexed.write.mode("append").parquet(dataDir)
+    val n = spark.read.parquet(dataDir)
+      .agg(max(col(Schema.IdCol)), count(lit(1))).head()
+    lastId = n.getLong(0)
+    Meta.write(spark, dir,
+      CollectionMeta(name, lastId, embedder.dim, embedder.id, n.getLong(1)))
+  }
+
+  /** Dense monotone ids starting at start+1 (db/db.go:75-76) without a
+    * global sort: zipWithIndex computes per-partition offsets with one
+    * lightweight count job — safe at any scale. */
+  private def zipWithId(base: DataFrame, start: Long): DataFrame = {
+    val schema = base.schema
+    val withId = base.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((start + i + 1) +: r.toSeq)
+    }
+    spark.createDataFrame(withId,
+      StructType(StructField(Schema.IdCol, LongType, false) +: schema.fields))
+  }
+
+  /** The flagship composite operator (db/db.go:111-143): metadata
+    * pre-filter ∧ top-k nearest neighbors to the embedded query string.
+    *
+    * One Catalyst plan: Scan(parquet) → Filter(translated MQL) →
+    * Project(+_distance) → TakeOrderedAndProject(k). The filter is a real
+    * Column (pushdown survives); top-k is per-partition heaps + driver
+    * merge, never a full sort. Distance is L2, ascending, ties broken by
+    * _m_id — a strict superset of the reference output, which emits
+    * queue-pop order and drops distances (SURVEY.md §2.3).
+    */
+  def query(document: String, k: Int, filterJson: String = null): DataFrame = {
+    val qv = embedder.embedOne(document)
+    val qlit = array(qv.map(v => lit(v)): _*)
+    val base = if (filterJson == null || filterJson.trim.isEmpty) df
+    else df.filter(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))))
+    base
+      .withColumn(Schema.DistanceCol,
+        graft.functions.VectorFunctions.l2(col(Schema.EmbeddingCol), qlit))
+      .orderBy(col(Schema.DistanceCol).asc, col(Schema.IdCol).asc)
+      .limit(k)
+  }
+}

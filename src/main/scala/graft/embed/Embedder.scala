@@ -1,0 +1,88 @@
+package graft.embed
+
+import graft.core.Schema
+import graft.functions.TextFunctions
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text → vector embedding backend.
+  *
+  * The reference delegates this to the hosted Cohere `/embed` API with
+  * batches of ≤96 texts (/root/reference/db/cohere.go:10,20-33) and a
+  * declared-but-unenforced 512-char cap (db/cohere.go:11). This trait keeps
+  * that contract pluggable; the default implementation is fully offline and
+  * deterministic so tests and oracles are reproducible (SURVEY.md §7.2-3).
+  *
+  * `embed` is a Column→Column transform (runs inside WholeStageCodegen on
+  * executors — the moral equivalent of the reference's batched external
+  * UDF, minus the network). `embedOne` is the driver-side single-string
+  * path used for query embedding (db/db.go:131-134) and MUST be bit-equal
+  * to `embed` on the same input.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  /** Stable identifier persisted in the collection meta sidecar. */
+  def id: String
+  def embed(text: Column): Column
+  def embedOne(text: String): Array[Float]
+}
+
+/** Feature-hashing embedder ("hashing trick"): lowercase alnum tokens →
+  * md5-derived bucket + sign → signed counts → L2-normalize → float32.
+  *
+  * md5 (not murmur/hashCode) so the embedding is reproducible in ANY
+  * engine, including the DuckDB oracle. Enforces the 512-char truncation
+  * the reference declares but forgets (db/cohere.go:11) — an intentional,
+  * documented divergence (SURVEY.md §5.4).
+  */
+final case class HashingEmbedder(dim: Int = 64) extends Embedder {
+  require(dim > 0)
+  val id = s"hashing-md5-v1-d$dim"
+
+  def embed(text: Column): Column = {
+    val toks = TextFunctions.tokens(
+      substring(text, 1, Schema.EmbedTextMaxLen))
+    // per-token (bucket, sign); sign from an independent hash bit
+    val pairs = transform(toks, t => struct(
+      pmod(TextFunctions.md5Hash60(concat(lit("idx:"), t)), lit(dim))
+        .cast("int").as("i"),
+      when(TextFunctions.md5Hash60(concat(lit("sgn:"), t))
+        .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)).as("s")))
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => aggregate(pairs, lit(0L),
+        (acc, p) => acc + when(p.getField("i") === i, p.getField("s"))
+          .otherwise(lit(0L))))
+    val nrm = sqrt(aggregate(raw, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(nrm > 0,
+      transform(raw, v => (v.cast("double") / nrm).cast("float")))
+      .otherwise(transform(raw, _ => lit(0.0f)))
+  }
+
+  def embedOne(text: String): Array[Float] = {
+    val truncated = text.substring(0, math.min(text.length,
+      Schema.EmbedTextMaxLen))
+    val toks = "[a-z0-9]+".r.findAllIn(truncated.toLowerCase).toSeq
+    val raw = new Array[Long](dim)
+    toks.foreach { t =>
+      val i = java.lang.Math.floorMod(md5Hash60(s"idx:$t"), dim.toLong).toInt
+      val s = if ((md5Hash60(s"sgn:$t") & 1L) == 1L) 1L else -1L
+      raw(i) += s
+    }
+    // identical reduction order to the column version: index order
+    var sq = 0.0
+    raw.foreach(v => sq += v.toDouble * v.toDouble)
+    val nrm = math.sqrt(sq)
+    if (nrm > 0) raw.map(v => (v.toDouble / nrm).toFloat)
+    else new Array[Float](dim)
+  }
+
+  /** First 15 hex chars of md5 as a non-negative long — mirrors
+    * [[TextFunctions.md5Hash60]] exactly. */
+  private def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.filter
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Mongo-style (MQL) filter → Catalyst `Column` translator.
+  *
+  * The reference passes the user's filter verbatim to FerretDB
+  * (/root/reference/db/db.go:111-113; example at main.go:47), so its
+  * predicate language is MQL. Here the filter becomes a real Catalyst
+  * boolean expression — NOT an opaque UDF — so predicate pushdown, column
+  * pruning and row-group skipping all keep working (SURVEY.md §4).
+  *
+  * Supported operators (SURVEY.md §2.5): implicit equality, $eq $ne $gt
+  * $gte $lt $lte, $in $nin, $and $or $not $nor, $exists $type, $regex,
+  * $all $size $elemMatch.
+  *
+  * MQL type bracketing: numbers compare across int/long/double; strings
+  * only compare with strings; a missing field fails every positive
+  * predicate but matches $ne/$nin/$exists:false. The [[JsonResolver]]
+  * enforces this with Spark 4 VARIANT type introspection.
+  */
+object MqlFilter {
+
+  private val mapper = new ObjectMapper()
+
+  /** How a metadata field name becomes typed Columns. */
+  trait FieldResolver {
+    /** Numeric view of the field (null when absent or non-numeric). */
+    def num(field: String): Column
+    /** String view (null when absent or non-string). */
+    def str(field: String): Column
+    /** Boolean view (null when absent or non-boolean). */
+    def bool(field: String): Column
+    /** Array-of-string view for $all/$size/$elemMatch (null if not array). */
+    def arr(field: String): Column
+    /** Field present (including explicit JSON null). */
+    def exists(field: String): Column
+    /** MQL $type name: "double"|"long"|"string"|"bool"|"array"|"null". */
+    def typeName(field: String): Column
+  }
+
+  /** Resolver over a schemaless JSON metadata column (`_m_meta` /
+    * `events.props`). Uses VARIANT so that `{"a": "5"}` does NOT match a
+    * numeric filter on `a` — same bracketing as MQL. */
+  final case class JsonResolver(metaCol: Column) extends FieldResolver {
+    private def path(f: String) = s"$$.$f"
+    private def v(f: String) = variant_get(try_parse_json(metaCol), path(f))
+    private def schema(f: String) = schema_of_variant(v(f))
+
+    private def numericType(f: String): Column =
+      schema(f).isin("BIGINT", "DOUBLE", "DECIMAL(38,0)", "INT", "SMALLINT",
+        "TINYINT", "FLOAT")
+
+    def num(f: String): Column =
+      when(numericType(f),
+        try_variant_get(try_parse_json(metaCol), path(f), "double"))
+    def str(f: String): Column =
+      when(schema(f) === "STRING",
+        try_variant_get(try_parse_json(metaCol), path(f), "string"))
+    def bool(f: String): Column =
+      when(schema(f) === "BOOLEAN",
+        try_variant_get(try_parse_json(metaCol), path(f), "boolean"))
+    def arr(f: String): Column =
+      when(schema(f).startsWith("ARRAY"),
+        from_json(get_json_object(metaCol, path(f)), "array<string>"))
+    def exists(f: String): Column = v(f).isNotNull || is_variant_null(v(f))
+    def typeName(f: String): Column = {
+      val s = schema(f)
+      when(s === "STRING", "string")
+        .when(s === "BOOLEAN", "bool")
+        .when(s === "DOUBLE" || s === "FLOAT", "double")
+        .when(s.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), "long")
+        .when(s.startsWith("ARRAY"), "array")
+        .when(is_variant_null(v(f)), "null")
+        .otherwise(lit(null).cast("string"))
+    }
+  }
+
+  /** Resolver over real typed columns (materialized metadata). Type
+    * bracketing is static: the column's Spark type decides which views are
+    * non-null. */
+  final case class TypedResolver(cols: Map[String, Column],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      extends FieldResolver {
+    import org.apache.spark.sql.types._
+    private def get(f: String): Option[(Column, DataType)] =
+      cols.get(f).map(c => (c, types(f)))
+    def num(f: String): Column = get(f) match {
+      case Some((c, t)) if t.isInstanceOf[NumericType] => c.cast("double")
+      case _ => lit(null).cast("double")
+    }
+    def str(f: String): Column = get(f) match {
+      case Some((c, StringType)) => c
+      case _ => lit(null).cast("string")
+    }
+    def bool(f: String): Column = get(f) match {
+      case Some((c, BooleanType)) => c
+      case _ => lit(null).cast("boolean")
+    }
+    def arr(f: String): Column = get(f) match {
+      case Some((c, ArrayType(_, _))) => c.cast("array<string>")
+      case _ => lit(null).cast("array<string>")
+    }
+    def exists(f: String): Column = get(f) match {
+      case Some((c, _)) => c.isNotNull
+      case None => lit(false)
+    }
+    def typeName(f: String): Column = get(f) match {
+      case Some((_, StringType)) => lit("string")
+      case Some((_, BooleanType)) => lit("bool")
+      case Some((_, DoubleType | FloatType)) => lit("double")
+      case Some((_, _: IntegralType)) => lit("long")
+      case Some((_, ArrayType(_, _))) => lit("array")
+      case _ => lit(null).cast("string")
+    }
+  }
+
+  /** Translate an MQL filter given as JSON text. */
+  def toColumn(filterJson: String, r: FieldResolver): Column =
+    translate(mapper.readTree(filterJson), r)
+
+  /** Missing/null-typed comparisons must not poison AND/OR trees: MQL is
+    * two-valued, SQL is three-valued. Collapse NULL → false. */
+  private def tv(c: Column): Column = coalesce(c, lit(false))
+
+  private def translate(node: JsonNode, r: FieldResolver): Column = {
+    require(node.isObject, s"MQL filter must be an object, got: $node")
+    val clauses = node.properties().asScala.toSeq.map { e =>
+      (e.getKey, e.getValue) match {
+        case ("$and", v) => v.elements().asScala.map(translate(_, r))
+          .reduceLeft(_ && _)
+        case ("$or", v) => v.elements().asScala.map(translate(_, r))
+          .reduceLeft(_ || _)
+        case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
+          .reduceLeft(_ || _)
+        case ("$not", v) => !translate(v, r)
+        case (field, v) if v.isObject && isOpObject(v) =>
+          v.properties().asScala.toSeq
+            .map { op => fieldOp(field, op.getKey, op.getValue, r) }
+            .reduceLeft(_ && _)
+        case (field, v) => fieldOp(field, "$eq", v, r)
+      }
+    }
+    clauses.reduceLeft(_ && _)
+  }
+
+  private def isOpObject(v: JsonNode): Boolean =
+    v.properties().asScala.nonEmpty &&
+      v.properties().asScala.forall(_.getKey.startsWith("$"))
+
+  private def cmp(field: String, lit0: JsonNode, r: FieldResolver)(
+      op: (Column, Column) => Column): Column = {
+    if (lit0.isNumber) tv(op(r.num(field), lit(lit0.asDouble())))
+    else if (lit0.isTextual) tv(op(r.str(field), lit(lit0.asText())))
+    else if (lit0.isBoolean) tv(op(r.bool(field), lit(lit0.asBoolean())))
+    else if (lit0.isNull) !r.exists(field) || r.typeName(field) === "null"
+    else throw new IllegalArgumentException(
+      s"unsupported literal for $field: $lit0")
+  }
+
+  private def fieldOp(field: String, op: String, v: JsonNode,
+      r: FieldResolver): Column = op match {
+    case "$eq"  => cmp(field, v, r)(_ === _)
+    case "$ne"  => !cmp(field, v, r)(_ === _)
+    case "$gt"  => cmp(field, v, r)(_ > _)
+    case "$gte" => cmp(field, v, r)(_ >= _)
+    case "$lt"  => cmp(field, v, r)(_ < _)
+    case "$lte" => cmp(field, v, r)(_ <= _)
+    case "$in" =>
+      v.elements().asScala.map(e => cmp(field, e, r)(_ === _))
+        .reduceLeftOption(_ || _).getOrElse(lit(false))
+    case "$nin" =>
+      !v.elements().asScala.map(e => cmp(field, e, r)(_ === _))
+        .reduceLeftOption(_ || _).getOrElse(lit(false))
+    case "$exists" =>
+      if (v.asBoolean()) r.exists(field) else !r.exists(field)
+    case "$type" => tv(r.typeName(field) === v.asText())
+    case "$regex" => tv(r.str(field).rlike(v.asText()))
+    case "$size" => tv(size(r.arr(field)) === v.asInt())
+    case "$all" =>
+      val elems = v.elements().asScala.map(_.asText()).toSeq
+      elems.map(e => tv(array_contains(r.arr(field), e)))
+        .reduceLeftOption(_ && _).getOrElse(lit(true))
+    case "$elemMatch" =>
+      // operator-object form: {"tags": {"$elemMatch": {"$gt": 3}}}
+      val conds = v.properties().asScala.toSeq
+      val pred: Column => Column = e => conds.map { c =>
+        val litNode = c.getValue
+        val cast: Column =
+          if (litNode.isNumber) e.cast("double") else e
+        val l: Column =
+          if (litNode.isNumber) lit(litNode.asDouble())
+          else lit(litNode.asText())
+        c.getKey match {
+          case "$eq"  => cast === l
+          case "$ne"  => cast =!= l
+          case "$gt"  => cast > l
+          case "$gte" => cast >= l
+          case "$lt"  => cast < l
+          case "$lte" => cast <= l
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$elemMatch op: $other")
+        }
+      }.reduceLeft(_ && _)
+      tv(exists(r.arr(field), pred))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported MQL operator: $other")
+  }
+}

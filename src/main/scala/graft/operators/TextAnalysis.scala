@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, document fingerprinting. All per-row
+  * (embarrassingly parallel, whole-stage-codegen'd, zero shuffles except
+  * the final presentation sort) — at 100 TB these run at scan speed.
+  *
+  * Cross-engine determinism: integer counts and md5-derived hashes only;
+  * the single double division in the quality score is one IEEE op with
+  * both operands exact integers, identical in any engine.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens vs extracted word tokens. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_word_tokens"))
+      .orderBy("doc_id")
+
+  private val enStop =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Quality signals as exact integer counts + a derived score. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => array_position(array(enStop.map(lit): _*), t) > 0)).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      nTok.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("long").as("n_digits"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_punct"),
+      when(nTok > 0, floor(nStop * lit(1000.0) / nTok))
+        .otherwise(0L).cast("long").as("stop_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID via marker stopwords; emitted next to the labeled lang. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      langId(toks).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint (min 8-gram hash). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fingerprint(col("text"), 8).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- DuckDB twins -------------------------------------------------
+
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private def sqlLangCnt(lang: String): String = {
+    val lst = langMarkers(lang).map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter($lst, m -> list_contains($sqlToks, m)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($sqlToks, t -> list_contains(
+         |    ['the','a','and','of','to','in','is','on','for','with'], t)))
+         |    AS BIGINT) AS n_stopwords,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_punct,
+         |  CASE WHEN len($sqlToks) > 0 THEN CAST(floor(
+         |      len(list_filter($sqlToks, t -> list_contains(
+         |        ['the','a','and','of','to','in','is','on','for','with'], t)))
+         |      * 1000.0 / len($sqlToks)) AS BIGINT)
+         |    ELSE 0 END AS stop_permille
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val langs = langMarkers.keys.toSeq.sorted
+      val cnts = langs.map(l => s"${sqlLangCnt(l)} AS c_$l").mkString(",\n  ")
+      val m = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString(" ")
+      val colList = langs.map(l => s"c_$l").mkString(", ")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN m = 0 THEN 'und' $cases END AS lang_pred
+         |FROM (SELECT doc_id, lang, $colList, $m AS m FROM (
+         |  SELECT doc_id, lang,
+         |  $cnts
+         |  FROM documents)) ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min([('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
+        |    for i in generate_series(1, length(lower(text)) - 7)]) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+}
