@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers BOTH a `queries` entry (the Spark
+  * plan) and an `oracleSql` entry (the DuckDB twin) — the driver's
+  * correctness gate compares the two per round.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * This is the reference's composite Query operator (metadata pre-filter
+    * ∧ top-k nearest neighbors, /root/reference/db/db.go:111-143) run
+    * end-to-end through the collection API. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.operators.KaerQuery.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Multimodal.queries ++
+      graft.operators.KaerQuery.queries ++
+      graft.streaming.StreamingOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++
+      Similarity.oracle ++
+      TextAnalysis.oracle ++
+      graft.operators.Dedup.oracle ++
+      graft.operators.Multimodal.oracle ++
+      graft.operators.KaerQuery.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

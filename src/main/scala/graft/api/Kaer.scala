@@ -176,19 +176,28 @@ final class Collection(
     insertDF(base)
   }
 
-  /** Bulk path: any DataFrame with (_m_doc STRING, _m_meta STRING). */
+  /** Bulk path: any DataFrame with (_m_doc STRING, _m_meta STRING).
+    *
+    * Sidecar bookkeeping is pure arithmetic on the batch size — NO
+    * post-write rescan of the table (at 100 TB a per-batch full scan would
+    * dominate ingest; the reference never rescans either, it counts ids in
+    * memory, db/db.go:75-76). The batch is counted once up front; ids are
+    * then `start+1 .. start+n` by construction.
+    */
   def insertDF(base: DataFrame): Unit = {
     val start = lastId
-    val indexed = zipWithId(base, start)
-      .withColumn(Schema.EmbeddingCol, embedder.embed(col(Schema.DocCol)))
-      .select(col(Schema.IdCol), col(Schema.DocCol),
-        col(Schema.EmbeddingCol), col(Schema.MetaCol))
-    indexed.write.mode("append").parquet(dataDir)
-    val n = spark.read.parquet(dataDir)
-      .agg(max(col(Schema.IdCol)), count(lit(1))).head()
-    lastId = n.getLong(0)
-    Meta.write(spark, dir,
-      CollectionMeta(name, lastId, embedder.dim, embedder.id, n.getLong(1)))
+    val prevRows = Meta.read(spark, dir).map(_.rows).getOrElse(0L)
+    val n = base.count()
+    if (n > 0) {
+      val indexed = zipWithId(base, start)
+        .withColumn(Schema.EmbeddingCol, embedder.embed(col(Schema.DocCol)))
+        .select(col(Schema.IdCol), col(Schema.DocCol),
+          col(Schema.EmbeddingCol), col(Schema.MetaCol))
+      indexed.write.mode("append").parquet(dataDir)
+      lastId = start + n
+      Meta.write(spark, dir,
+        CollectionMeta(name, lastId, embedder.dim, embedder.id, prevRows + n))
+    }
   }
 
   /** Dense monotone ids starting at start+1 (db/db.go:75-76) without a

@@ -1,7 +1,6 @@
 package graft.embed
 
 import graft.core.Schema
-import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -13,11 +12,11 @@ import org.apache.spark.sql.functions._
   * that contract pluggable; the default implementation is fully offline and
   * deterministic so tests and oracles are reproducible (SURVEY.md §7.2-3).
   *
-  * `embed` is a Column→Column transform (runs inside WholeStageCodegen on
-  * executors — the moral equivalent of the reference's batched external
-  * UDF, minus the network). `embedOne` is the driver-side single-string
-  * path used for query embedding (db/db.go:131-134) and MUST be bit-equal
-  * to `embed` on the same input.
+  * `embed` is a Column→Column transform running on executors — the moral
+  * equivalent of the reference's batched external UDF, minus the network.
+  * `embedOne` is the driver-side single-string path used for query
+  * embedding (db/db.go:131-134) and MUST be bit-equal to `embed` on the
+  * same input.
   */
 trait Embedder extends Serializable {
   def dim: Int
@@ -34,35 +33,36 @@ trait Embedder extends Serializable {
   * engine, including the DuckDB oracle. Enforces the 512-char truncation
   * the reference declares but forgets (db/cohere.go:11) — an intentional,
   * documented divergence (SURVEY.md §5.4).
+  *
+  * `embed` wraps [[embedOne]] as a Scala UDF: ONE code path guarantees
+  * the column↔driver bit-equality contract, and the per-token MessageDigest
+  * loop is ~100× cheaper than the equivalent dim-wide Catalyst expression
+  * tree (which blows past codegen limits and falls back to interpretation).
+  * A UDF is the right tool here: embedding is an ingestion-side transform
+  * (the reference's is an external HTTP call, db/cohere.go:20-33), never a
+  * pushdown-bearing predicate.
   */
 final case class HashingEmbedder(dim: Int = 64) extends Embedder {
   require(dim > 0)
   val id = s"hashing-md5-v1-d$dim"
 
   def embed(text: Column): Column = {
-    val toks = TextFunctions.tokens(
-      substring(text, 1, Schema.EmbedTextMaxLen))
-    // per-token (bucket, sign); sign from an independent hash bit
-    val pairs = transform(toks, t => struct(
-      pmod(TextFunctions.md5Hash60(concat(lit("idx:"), t)), lit(dim))
-        .cast("int").as("i"),
-      when(TextFunctions.md5Hash60(concat(lit("sgn:"), t))
-        .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)).as("s")))
-    val raw = transform(sequence(lit(0), lit(dim - 1)),
-      i => aggregate(pairs, lit(0L),
-        (acc, p) => acc + when(p.getField("i") === i, p.getField("s"))
-          .otherwise(lit(0L))))
-    val nrm = sqrt(aggregate(raw, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    when(nrm > 0,
-      transform(raw, v => (v.cast("double") / nrm).cast("float")))
-      .otherwise(transform(raw, _ => lit(0.0f)))
+    val f = udf((t: String) => if (t == null) null else embedOne(t))
+    f(text)
   }
 
   def embedOne(text: String): Array[Float] = {
-    val truncated = text.substring(0, math.min(text.length,
-      Schema.EmbedTextMaxLen))
-    val toks = "[a-z0-9]+".r.findAllIn(truncated.toLowerCase).toSeq
+    // Mirror Spark's substring/lower EXACTLY: code-point truncation (not
+    // UTF-16 units) and locale-independent lowercasing — otherwise stored
+    // vs query embeddings diverge on non-ASCII input and break the
+    // MUST-be-bit-equal contract above.
+    val cpEnd =
+      if (text.codePointCount(0, text.length) <= Schema.EmbedTextMaxLen)
+        text.length
+      else text.offsetByCodePoints(0, Schema.EmbedTextMaxLen)
+    val truncated = text.substring(0, cpEnd)
+    val toks = "[a-z0-9]+".r
+      .findAllIn(truncated.toLowerCase(java.util.Locale.ROOT)).toSeq
     val raw = new Array[Long](dim)
     toks.foreach { t =>
       val i = java.lang.Math.floorMod(md5Hash60(s"idx:$t"), dim.toLong).toInt

@@ -47,7 +47,8 @@ object MqlFilter {
     * numeric filter on `a` — same bracketing as MQL. */
   final case class JsonResolver(metaCol: Column) extends FieldResolver {
     private def path(f: String) = s"$$.$f"
-    private def v(f: String) = variant_get(try_parse_json(metaCol), path(f))
+    private def v(f: String) =
+      variant_get(try_parse_json(metaCol), path(f), "variant")
     private def schema(f: String) = schema_of_variant(v(f))
 
     private def numericType(f: String): Column =
@@ -65,7 +66,9 @@ object MqlFilter {
         try_variant_get(try_parse_json(metaCol), path(f), "boolean"))
     def arr(f: String): Column =
       when(schema(f).startsWith("ARRAY"),
-        from_json(get_json_object(metaCol, path(f)), "array<string>"))
+        from_json(get_json_object(metaCol, path(f)),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
     def exists(f: String): Column = v(f).isNotNull || is_variant_null(v(f))
     def typeName(f: String): Column = {
       val s = schema(f)
@@ -112,7 +115,8 @@ object MqlFilter {
       case Some((_, StringType)) => lit("string")
       case Some((_, BooleanType)) => lit("bool")
       case Some((_, DoubleType | FloatType)) => lit("double")
-      case Some((_, _: IntegralType)) => lit("long")
+      case Some((_, ByteType | ShortType | IntegerType | LongType)) =>
+        lit("long")
       case Some((_, ArrayType(_, _))) => lit("array")
       case _ => lit(null).cast("string")
     }
@@ -136,7 +140,6 @@ object MqlFilter {
           .reduceLeft(_ || _)
         case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
           .reduceLeft(_ || _)
-        case ("$not", v) => !translate(v, r)
         case (field, v) if v.isObject && isOpObject(v) =>
           v.properties().asScala.toSeq
             .map { op => fieldOp(field, op.getKey, op.getValue, r) }
@@ -144,7 +147,8 @@ object MqlFilter {
         case (field, v) => fieldOp(field, "$eq", v, r)
       }
     }
-    clauses.reduceLeft(_ && _)
+    // MQL: the empty filter {} matches everything.
+    clauses.reduceLeftOption(_ && _).getOrElse(lit(true))
   }
 
   private def isOpObject(v: JsonNode): Boolean =
@@ -175,6 +179,15 @@ object MqlFilter {
     case "$nin" =>
       !v.elements().asScala.map(e => cmp(field, e, r)(_ === _))
         .reduceLeftOption(_ || _).getOrElse(lit(false))
+    case "$not" =>
+      // MQL's $not is a FIELD-level wrapper around an operator object:
+      // {field: {$not: {$gt: 3}}}. Top-level {$not: ...} is invalid MQL
+      // and is rejected by translate (no such case there).
+      require(v.isObject && isOpObject(v),
+        s"$$not operand must be an operator object, got: $v")
+      !v.properties().asScala.toSeq
+        .map(op => fieldOp(field, op.getKey, op.getValue, r))
+        .reduceLeft(_ && _)
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)
     case "$type" => tv(r.typeName(field) === v.asText())

@@ -38,7 +38,7 @@ object TextFunctions {
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, n))))
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array())
 
   /** One MinHash value: lexicographic min of seeded md5 hex over shingles.
@@ -54,14 +54,14 @@ object TextFunctions {
     * majority of token hashes have bit j set (ties → 0, deterministic). */
   def simhash60(toks: Column): Column = {
     val hashes = transform(array_distinct(toks), t => md5Hash60(t))
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, j) => {
-        val bitSum = aggregate(hashes, lit(0L),
-          (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-        acc + when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      })
+    // Unrolled Scala-level bit loop: each shift amount is a literal Int, so
+    // the whole expression constant-folds into 60 codegen'd aggregates —
+    // no Column-typed shift (shiftright needs an Int) and no lambda nesting.
+    (0 until 60).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Hamming distance between two simhash LONGs. */

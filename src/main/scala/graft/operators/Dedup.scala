@@ -1,0 +1,334 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for LLM training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH (shingle → signature → band → bucket join),
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup via
+  * random-hyperplane LSH.
+  *
+  * Scale design — the non-negotiable rule at 100 TB is NEVER all-pairs:
+  * every pair-producing operator here shuffles on a small bucketing key
+  * (content hash, LSH band hash, signature band) so candidate generation is
+  * a co-partitioned equi-join; the quadratic blow-up is confined to within
+  * a bucket. Verification (exact Jaccard / exact cosine) runs only on
+  * candidates. At higher scale you raise band selectivity (more bits per
+  * band); the plan shape is unchanged.
+  *
+  * Determinism: every hash is md5-derived (TextFunctions), every score that
+  * feeds the output is integer or a single correctly-rounded double op —
+  * the DuckDB oracles replicate each operator bit-for-bit.
+  *
+  * The testdata has no natural duplicates (checked), so each operator runs
+  * over a corpus derived from the testdata by deterministic augmentation
+  * (exact / truncated copies of every Nth row, id-offset by 100000) —
+  * expressed identically on the Spark and oracle sides.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ exact copies of every 10th doc (id + 100000). */
+  private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("id"), col("text")))
+  }
+
+  private val exactCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS id, text FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin
+
+  /** documents ∪ tail-truncated copies of every 5th doc — near-dups with
+    * high (but not 1.0) shingle overlap. */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("id"),
+          col("text").substr(lit(1), length(col("text")) - 15).as("text")))
+  }
+
+  private val nearCorpusSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS id, substr(text, 1, length(text) - 15) AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  // ------------------------------------------------------------------
+  // 1. Exact dedup: equi-join on content hash. One shuffle on md5(text);
+  //    within-bucket pairs only (a bucket = one distinct text).
+  // ------------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val c = exactCorpus(s, dir).withColumn("h", md5(col("text")))
+    val a = c.select(col("h"), col("id").as("id_a"))
+    val b = c.select(col("h").as("h2"), col("id").as("id_b"))
+    a.join(b, col("h") === col("h2") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 2. MinHash + LSH banding: shingle (word 3-grams) → 12 minhashes →
+  //    4 bands of 3 → explode → equi-join on (band, band_hash) →
+  //    distinct candidates → exact-Jaccard verify (integer compare).
+  // ------------------------------------------------------------------
+  private val MinhashK = 12
+  private val Bands = 4
+  private val RowsPerBand = MinhashK / Bands
+
+  private def shingled(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("sh", array_distinct(wordNgrams(tokens(col("text")), 3)))
+      .filter(size(col("sh")) > 0)
+
+  private def banded(withSh: DataFrame): DataFrame = {
+    val sig = minhashSignature(col("sh"), MinhashK)
+    val bands = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until RowsPerBand).map(i =>
+          element_at(sig, b * RowsPerBand + i + 1)): _*)).as("bh"))
+    }: _*)
+    withSh.withColumn("b", explode(bands))
+      .select(col("id"), col("sh"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(nearCorpus(s, dir))
+    val x = banded(sh)
+    val y = x.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band").as("band_b"), col("bh").as("bh_b"))
+    val cand = x.join(y,
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        col("sh").as("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand.filter(inter * 2 >= union) // Jaccard >= 0.5, integer-exact
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twins of shingle/signature/banding, over a corpus CTE named
+    * `corpus(id, text)`. */
+  private def lshOracleCtes: String = {
+    val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    val sigElems = (0 until MinhashK).map(seed =>
+      s"list_min([md5('$seed:' || x) for x in sh])").mkString(", ")
+    val bandRows = (0 until Bands).map { b =>
+      val cc = (1 to RowsPerBand)
+        .map(i => s"sig[${b * RowsPerBand + i}]")
+        .mkString(" || '|' || ")
+      s"SELECT id, sh, $b AS band, md5($cc) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""shing AS (
+       |  SELECT id, list_distinct([array_to_string(t[i:i+2], ' ')
+       |    for i in generate_series(1, len(t) - 2)]) AS sh
+       |  FROM (SELECT id, $toks AS t FROM corpus) WHERE len(t) >= 3
+       |),
+       |sh0 AS (SELECT id, sh FROM shing WHERE len(sh) > 0),
+       |sig AS (SELECT id, sh, [$sigElems] AS sig FROM sh0),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+       |)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // 3. n-gram Jaccard scores for LSH candidate pairs (permille, exact).
+  // ------------------------------------------------------------------
+  def dedupJaccardNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(nearCorpus(s, dir))
+    val x = banded(sh)
+    val y = x.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("band").as("band_b"), col("bh").as("bh_b"))
+    val cand = x.join(y,
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        col("sh").as("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    val union = size(col("sh_a")).cast("long") +
+      size(col("sh_b")).cast("long") - inter
+    cand
+      .select(col("id_a"), col("id_b"),
+        floor(inter * lit(1000.0) / union).cast("long").as("jacc_permille"))
+      .filter(col("jacc_permille") >= 200)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // 4. SimHash: 60-bit per-doc signature (near-dup blocking key family).
+  // ------------------------------------------------------------------
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), simhash60(tokens(col("text"))).as("sim"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // 5. Embedding-cosine near-dup via random-hyperplane LSH: 16 md5-seeded
+  //    hyperplane sign-vectors → 16-bit signature → 4 bands of 4 bits →
+  //    equi-join on (band, value) → exact-cosine verify.
+  // ------------------------------------------------------------------
+  private val Dim = 64
+  private val NBits = 16
+  private val BitsPerBand = 4
+  private val NBands = NBits / BitsPerBand
+
+  /** Hyperplane sign matrix (±1.0), md5-derived so the oracle can inline
+    * the identical literals. */
+  private[operators] lazy val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(NBits, Dim) { (j, i) =>
+      if ((mdLong(s"hp:$j:$i") & 1L) == 1L) 1.0 else -1.0
+    }
+
+  private def mdLong(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.select(col("vec_id").as("id"), col("embedding"))
+      .unionAll(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("id"), col("embedding")))
+  }
+
+  private val embCorpusSql =
+    """SELECT vec_id AS id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS id, embedding FROM embeddings
+      |WHERE vec_id % 10 = 0""".stripMargin
+
+  /** Signed projection of the embedding onto hyperplane j (double,
+    * index-order fold — identical in the oracle). */
+  private def proj(j: Int): Column = {
+    val signs = array(hyperplanes(j).map(lit(_)): _*)
+    aggregate(
+      zip_with(col("embedding"), signs, (x, sg) => x.cast("double") * sg),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val c = embCorpus(s, dir)
+    // band value = 4 sign bits packed little-endian
+    val bands = array((0 until NBands).map { b =>
+      val v = (0 until BitsPerBand).map { k =>
+        when(proj(b * BitsPerBand + k) > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), v.as("bv"))
+    }: _*)
+    val sigd = c.withColumn("b", explode(bands))
+      .select(col("id"), col("embedding"), col("b.band").as("band"),
+        col("b.bv").as("bv"))
+    val other = sigd.select(col("id").as("id_b"),
+      col("embedding").as("emb_b"), col("band").as("band_b"),
+      col("bv").as("bv_b"))
+    val cand = sigd.join(other,
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        col("embedding").as("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.filter(cosineSim(col("emb_a"), col("emb_b")) >= 0.9)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  private def embOracle: String = {
+    def signsLit(j: Int): String =
+      hyperplanes(j).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    def projSql(j: Int, e: String): String =
+      s"list_sum([$e[i]::DOUBLE * (${signsLit(j)})[i] " +
+        s"for i in generate_series(1,$Dim)])"
+    val bandRows = (0 until NBands).map { b =>
+      val v = (0 until BitsPerBand).map { k =>
+        s"(CASE WHEN ${projSql(b * BitsPerBand + k, "embedding")} > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT id, embedding, $b AS band, $v AS bv FROM corpus"
+    }.mkString(" UNION ALL ")
+    def dot(a: String, bq: String): String =
+      s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,$Dim)])"
+    s"""WITH corpus AS ($embCorpusSql),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |    x.embedding AS ea, y.embedding AS eb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.id < y.id
+       |)
+       |SELECT id_a, id_b FROM cand
+       |WHERE ${dot("ea", "eb")} /
+       |  (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")})) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH corpus AS ($exactCorpusSql)
+         |SELECT a.id AS id_a, b.id AS id_b
+         |FROM corpus a JOIN corpus b
+         |  ON md5(a.text) = md5(b.text) AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |$lshOracleCtes
+         |SELECT id_a, id_b
+         |FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |  JOIN sh0 b ON b.id = cand.id_b
+         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >=
+         |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_jaccard_ngram" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |$lshOracleCtes,
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+         |      AS BIGINT) AS jacc_permille
+         |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |    JOIN sh0 b ON b.id = cand.id_b)
+         |SELECT id_a, id_b, jacc_permille FROM scored
+         |WHERE jacc_permille >= 200 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, ${(0 until 60).map(j =>
+        s"(CASE WHEN list_sum([CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")} AS sim
+         |FROM (SELECT doc_id,
+         |  [('0x' || substr(md5(t), 1, 15))::BIGINT
+         |   for t in list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))] AS hs
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_embed_cosine" -> embOracle
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _)
+  )
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.api.{Data, KaerSession}
+import graft.core.Schema
+import graft.embed.HashingEmbedder
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end verification of the reference's flagship composite operator
+  * — the `/root/reference/main.go:35-52` scenario generalized: build a
+  * collection from `documents.parquet` through the full insert path
+  * (validate → embed → id-assign → append → sidecar), then run
+  * `Collection.query(text, k, mqlFilter)` — metadata pre-filter ∧ top-k
+  * nearest neighbors (db/db.go:111-143).
+  *
+  * The DuckDB oracle replicates the ENTIRE pipeline in SQL, including the
+  * feature-hashing embedder (md5 bucket+sign → signed counts →
+  * L2-normalize → float32) — possible because every step is md5-derived
+  * integer math plus correctly-rounded double ops (SURVEY.md §7.4
+  * determinism requirement).
+  */
+object KaerQuery {
+
+  private val Dim = 64
+  private val K = 5
+  private val QueryText = "fast hash join order merge"
+  private val FilterJson = """{"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gt": 120}}"""
+
+  /** Stable per-sfDir scratch root (re-created on every call so repeated
+    * runs are deterministic). */
+  private def scratch(dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft-kaer-$key"
+  }
+
+  /** Build (drop + re-create) the collection for `dir` and run the
+    * flagship query. Insert order is doc_id order in a single partition so
+    * `_m_id` is monotone in `doc_id` — makes the (distance, _m_id)
+    * tie-break equal to the oracle's (distance, doc_id). */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, scratch(dir), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    coll.insertDF(
+      d.select(
+        col("text").as(Schema.DocCol),
+        to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as(Schema.MetaCol))
+        .orderBy("doc_id").coalesce(1))
+    coll.query(QueryText, K, FilterJson)
+      .select(
+        get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
+          .as("doc_id"),
+        get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+  }
+
+  /** The API-parity smoke of the literal main.go:35-52 flow (2 docs,
+    * metadata, k=1, {"attr1": {"$eq": 1}}) — exercised in KaerSpec; this
+    * module's registered query is the generalized, oracle-checked form. */
+  def mainGoScenario(s: SparkSession, root: String): DataFrame = {
+    val k = new KaerSession(s, root, HashingEmbedder(Dim))
+    val coll = k.createCollection("test")
+    coll.insert(Data()
+      .withDocuments(Seq("hello, world", "nihao, shijie"))
+      .withMetadatas(Seq(
+        Map("attr1" -> 1, "attr2" -> "str1"),
+        Map("attr1" -> 200, "attr2" -> "str2"))))
+    coll.query("h, world", 1, """{"attr1": {"$eq": 1}}""")
+  }
+
+  // ---- DuckDB twin of the full pipeline ------------------------------
+
+  /** SQL for the hashing embedder over a text expression: returns the
+    * normalized FLOAT[] as produced by HashingEmbedder.embed. */
+  private def embedSqlCtes: String = {
+    val toks = "regexp_extract_all(lower(substr(text, 1, 512)), '[a-z0-9]+')"
+    s"""r AS (
+       |  SELECT doc_id,
+       |    [COALESCE(list_sum([CASE
+       |        WHEN ('0x' || substr(md5('idx:' || t), 1, 15))::BIGINT % $Dim = i
+       |        THEN (CASE WHEN ('0x' || substr(md5('sgn:' || t), 1, 15))::BIGINT % 2 = 1
+       |              THEN 1 ELSE -1 END)::BIGINT
+       |        ELSE 0 END for t in toks]), 0)
+       |     for i in generate_series(0, ${Dim - 1})] AS raw
+       |  FROM (SELECT doc_id, $toks AS toks FROM filtered)
+       |),
+       |n AS (
+       |  SELECT doc_id, raw,
+       |    sqrt(list_sum([(v::DOUBLE) * (v::DOUBLE) for v in raw])) AS nrm
+       |  FROM r
+       |),
+       |v AS (
+       |  SELECT doc_id,
+       |    [CASE WHEN nrm > 0 THEN (raw[i]::DOUBLE / nrm)::FLOAT
+       |          ELSE 0.0::FLOAT END
+       |     for i in generate_series(1, $Dim)] AS emb
+       |  FROM n
+       |)""".stripMargin
+  }
+
+  /** Query vector as a SQL FLOAT[] literal — computed by the driver-side
+    * embedOne (bit-equal to the column path by contract). */
+  private def qvLit: String =
+    HashingEmbedder(Dim).embedOne(QueryText)
+      .map(f => s"${f}::FLOAT").mkString("[", ",", "]")
+
+  val oracle: Map[String, String] = Map(
+    "kaer_query" ->
+      s"""WITH filtered AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE lang IN ('en', 'fr') AND n_chars > 120
+         |),
+         |$embedSqlCtes,
+         |q AS (SELECT $qvLit AS qv)
+         |SELECT v.doc_id, f.lang
+         |FROM v JOIN filtered f ON f.doc_id = v.doc_id, q
+         |ORDER BY list_sum([(emb[i]::DOUBLE - qv[i]::DOUBLE)
+         |    * (emb[i]::DOUBLE - qv[i]::DOUBLE)
+         |    for i in generate_series(1, $Dim)]) ASC, v.doc_id ASC
+         |LIMIT $K""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kaer_query" -> (flagship _)
+  )
+}

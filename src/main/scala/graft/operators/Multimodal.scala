@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video treated as opaque
+  * `binary` payloads with typed metadata, processed by batch-shaped
+  * per-partition functions — the Scala/Dataset analogue of `mapInPandas`
+  * (typed `Dataset[T]` + `mapPartitions` over fixed-size batches, which is
+  * how an Arrow-batched UDF presents per batch).
+  *
+  * The container has no image/audio codecs, so DECODE IS A STUB — a
+  * clearly-marked deterministic fake ([[FakeCodec]]) that derives
+  * dimensions/frames from md5 of the payload. Everything AROUND the stub
+  * is real and tested: binary schema, typed metadata, batch iteration
+  * shape, partition-parallel execution, and an md5-derived feature
+  * pipeline the DuckDB oracle replicates bit-for-bit.
+  *
+  * Scale shape: strictly per-row map work — no shuffle anywhere except
+  * the presentation sort; at 100 TB this runs at scan speed and the batch
+  * size bounds peak memory per task exactly like an Arrow batch would.
+  *
+  * The media corpus derives from `documents.parquet` (payload = UTF-8
+  * bytes of `text`, modality = doc_id mod 3) — deterministic and
+  * expressible on the oracle side (the corpus is ASCII, checked, so
+  * char-substr == byte-substr in both engines).
+  */
+object Multimodal {
+
+  /** Input row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, modality: String,
+      payload: Array[Byte])
+
+  /** Decoded/feature output — integers only (hash-stable). */
+  final case class MediaFeatures(media_id: Long, modality: String,
+      n_bytes: Long, width: Long, height: Long, n_frames: Long, fp: Long)
+
+  /** Sampled "frame": byte-range slice of the payload + its fingerprint. */
+  final case class FrameSample(media_id: Long, frame_idx: Long, fp: Long)
+
+  /** Arrow-batch-shaped chunk size for the per-partition loop. */
+  val BatchSize = 64
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** First 15 md5 hex chars as a non-negative 60-bit long — the same
+    * convention as TextFunctions.md5Hash60 / the oracle's
+    * ('0x' || substr(md5(x),1,15))::BIGINT. */
+  private def h60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).take(15), 16)
+
+  /** THE DECODE STUB: a deterministic fake standing in for a real codec
+    * (libjpeg/ffmpeg are not in this container). Derives plausible
+    * dimensions and frame counts from the payload fingerprint. Swap this
+    * object for a real codec and nothing else changes. */
+  object FakeCodec {
+    def decode(modality: String, payload: Array[Byte]): (Long, Long, Long) = {
+      val fp = md5Hex(payload)
+      val w = 16 + java.lang.Long.parseLong(fp.take(15), 16) % 2048
+      val h = 16 + java.lang.Long.parseLong(fp.slice(15, 30), 16) % 2048
+      modality match {
+        case "image" => (w, h, 1L)
+        case "audio" => (0L, 0L, 0L)
+        case _       => (w, h, 1 + java.lang.Long.parseLong(
+          fp.slice(15, 30), 16) % 240) // video
+      }
+    }
+  }
+
+  /** The media corpus as a typed Dataset. */
+  def corpus(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Decode (stubbed) + feature-extract, batch-at-a-time per partition. */
+  def decodeFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, frames) = FakeCodec.decode(r.modality, r.payload)
+          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong,
+            w, h, frames,
+            java.lang.Long.parseLong(md5Hex(r.payload).take(15), 16))
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: up to 4 evenly-strided byte-range "frames" per media
+    * item (for video; 1 for image; none for audio), each fingerprinted. */
+  def sampleFrames(rows: Dataset[MediaRow]): Dataset[FrameSample] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val nFrames = r.modality match {
+            case "video" => 4L; case "image" => 1L; case _ => 0L
+          }
+          val n = r.payload.length
+          (0L until math.min(nFrames, n.toLong)).map { i =>
+            val from = (i * n / math.max(nFrames, 1L)).toInt
+            val until = ((i + 1) * n / math.max(nFrames, 1L)).toInt
+            FrameSample(r.media_id, i,
+              java.lang.Long.parseLong(
+                md5Hex(r.payload.slice(from, until)).take(15), 16))
+          }
+        }
+      }
+    }
+  }
+
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(corpus(s, dir)).toDF().orderBy("media_id")
+
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(corpus(s, dir)).toDF()
+      .orderBy("media_id", "frame_idx")
+
+  private val corpusSql =
+    """SELECT doc_id AS media_id,
+      |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] AS modality,
+      |  text AS payload, length(text) AS n
+      |FROM documents""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode" ->
+      s"""WITH corpus AS ($corpusSql)
+         |SELECT media_id, modality,
+         |  CAST(n AS BIGINT) AS n_bytes,
+         |  CASE WHEN modality = 'audio' THEN 0
+         |    ELSE 16 + ('0x' || substr(md5(payload), 1, 15))::BIGINT % 2048
+         |    END AS width,
+         |  CASE WHEN modality = 'audio' THEN 0
+         |    ELSE 16 + ('0x' || substr(md5(payload), 16, 15))::BIGINT % 2048
+         |    END AS height,
+         |  CASE modality WHEN 'audio' THEN 0 WHEN 'image' THEN 1
+         |    ELSE 1 + ('0x' || substr(md5(payload), 16, 15))::BIGINT % 240
+         |    END AS n_frames,
+         |  ('0x' || substr(md5(payload), 1, 15))::BIGINT AS fp
+         |FROM corpus ORDER BY media_id""".stripMargin,
+    "mm_frames" ->
+      s"""WITH corpus AS ($corpusSql),
+         |f AS (
+         |  SELECT media_id, payload, n,
+         |    CASE modality WHEN 'video' THEN 4 WHEN 'image' THEN 1
+         |      ELSE 0 END AS nf
+         |  FROM corpus)
+         |SELECT media_id, i AS frame_idx,
+         |  ('0x' || substr(md5(substr(payload,
+         |      (i * n // greatest(nf, 1))::INT + 1,
+         |      ((i + 1) * n // greatest(nf, 1))::INT
+         |        - (i * n // greatest(nf, 1))::INT)), 1, 15))::BIGINT AS fp
+         |FROM f, generate_series(0, 3) t(i)
+         |WHERE i < least(nf, n)
+         |ORDER BY media_id, frame_idx""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode" -> (mmDecode _),
+    "mm_frames" -> (mmFrames _)
+  )
+}

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.filter.MqlFilter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -18,6 +19,17 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) — a parquet type Spark's
+    * vectorized reader rejects outright. Read nanos as LONG (legacy conf)
+    * and rebuild a microsecond timestamp with exact integer division
+    * (ns values ~1.7e18 exceed double's 2^53 mantissa — float division
+    * would corrupt them). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
@@ -53,7 +65,7 @@ object Relational {
   }
 
   /** Filter + projection; predicate and column pruning reach the parquet
-    * scan (verified in RelationalSpec via the explain plan). */
+    * scan (PushedFilters/ReadSchema asserted in PlanSpec). */
   def filterRange(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
@@ -82,7 +94,8 @@ object Relational {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     t(s, dir, "customer")
-      .withColumn("rn", row_number().over(w))
+      // cast: Spark's row_number is INT, DuckDB's BIGINT — align schemas
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("c_nationkey"), col("rn"), col("c_custkey"),
         cents(col("c_acctbal")).as("acctbal_cents"))
@@ -111,29 +124,64 @@ object Relational {
       .orderBy(col("o_custkey"))
 
   /** Batch windowed aggregation over the events stream table — tumbling
-    * 1-hour windows. The Structured Streaming twin lives in
-    * graft.streaming (same plan, incremental execution). */
+    * 1-hour windows. The Structured Streaming twin is
+    * [[graft.streaming.StreamingOps.eventsHourlyStreaming]] (same logical
+    * plan, incremental execution with a watermark). */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour"),
-        col("event_type"))
+    events(s, dir)
+      // epoch seconds (BIGINT) so the hour column hashes identically in
+      // both engines (no tz/precision ambiguity in the compare)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+        .as("hour_epoch_s"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .orderBy("hour", "event_type")
+      .orderBy("hour_epoch_s", "event_type")
 
   /** Correlated-style semi/anti join coverage: suppliers in nations that
     * have at least one customer with negative balance. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val negNations = t(s, dir, "customer")
       .filter(col("c_acctbal") < 0).select(col("c_nationkey"))
-    t(s, dir, "supplier")
-      .join(negNations, t(s, dir, "supplier")("s_nationkey") ===
-        negNations("c_nationkey"), "left_semi")
+    val sup = t(s, dir, "supplier")
+    sup.join(negNations, sup("s_nationkey") === negNations("c_nationkey"),
+        "left_semi")
       .select(col("s_suppkey"), col("s_nationkey"))
       .orderBy("s_suppkey")
   }
 
+  /** MQL predicate over the schemaless events.props JSON column — the
+    * reference's user-facing filter language (db/db.go:111-113) evaluated
+    * through the VARIANT-based JsonResolver: operator conjunction on one
+    * field + $exists on a missing field. */
+  def mqlEventsRange(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"k": {"$gte": 20, "$lt": 60}, "missing": {"$exists": false}}""",
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** MQL logical tree: $nor of two comparisons + field-level $not. */
+  def mqlEventsNor(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"$nor": [{"k": {"$lt": 30}}, {"k": {"$gte": 70}}],
+          | "k": {"$not": {"$eq": 42}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
   val oracle: Map[String, String] = Map(
+    "mql_events_range" ->
+      """SELECT event_id FROM events
+        |WHERE (props->>'k')::DOUBLE >= 20.0 AND (props->>'k')::DOUBLE < 60.0
+        |  AND json_extract(props, '$.missing') IS NULL
+        |ORDER BY event_id""".stripMargin,
+    "mql_events_nor" ->
+      """SELECT event_id FROM events
+        |WHERE NOT ((props->>'k')::DOUBLE < 30.0 OR (props->>'k')::DOUBLE >= 70.0)
+        |  AND NOT ((props->>'k')::DOUBLE = 42.0)
+        |ORDER BY event_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -180,7 +228,8 @@ object Relational {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 HAVING count(*) >= 8 ORDER BY o_custkey""".stripMargin,
     "events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
+        |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "semi_join" ->
@@ -199,6 +248,8 @@ object Relational {
     "set_ops" -> (setOps _),
     "agg_having" -> (aggHaving _),
     "events_hourly" -> (eventsHourly _),
-    "semi_join" -> (semiJoin _)
+    "semi_join" -> (semiJoin _),
+    "mql_events_range" -> (mqlEventsRange _),
+    "mql_events_nor" -> (mqlEventsNor _)
   )
 }

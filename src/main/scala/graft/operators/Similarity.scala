@@ -59,31 +59,52 @@ object Similarity {
   /** IVF-style ANN: fixed deterministic centroids (vec_id < 16 — in
     * production these come from seeded KMeans; fixed ids keep the oracle
     * replicable), nearest-centroid assignment, probe the 4 centroids
-    * closest to the query, exact top-10 within probed buckets. */
+    * closest to the query, exact top-10 within probed buckets.
+    *
+    * Scale shape: the 16 centroids + 1 query vector are collected to the
+    * driver (a few KB — the moral equivalent of a broadcast) and inlined
+    * as literals, so per-row centroid assignment is a pure codegen'd
+    * fold — ZERO shuffle, no window, no join. The plan is
+    * Scan → Project(argmin) → Filter(probed cids) → TakeOrderedAndProject.
+    * The persisted variant ([[IvfIndex]]) writes the assigned table
+    * partitioned by cid so probes prune at the file level. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val q = qv(s, dir, 77)
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val q: Array[Float] = e.filter(col("vec_id") === 77)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
 
-    val probes = cents.crossJoin(broadcast(q))
-      .withColumn("dq", l2Sq(col("cv"), col("qv")))
-      .orderBy(col("dq").asc, col("cid").asc)
-      .limit(4)
-      .select("cid")
+    // driver-side probe selection: same double math + index fold order as
+    // the oracle's list_sum, ties by cid ascending
+    def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val probes = cents.map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
+      .sortBy { case (cid, dq) => (dq, cid) }.take(4).map(_._1)
 
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dc").asc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dc", l2Sq(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cid"))
+    // per-row argmin over a literal centroid array; strict < keeps the
+    // lowest cid on distance ties (== oracle's ORDER BY dc ASC, cid ASC)
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val assignedCid = aggregate(centArr,
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val dc = l2Sq(col("embedding"), c.getField("cv"))
+        when(dc < acc.getField("d"),
+          struct(dc.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
 
-    assigned.join(broadcast(probes), "cid")
-      .filter(col("vec_id") =!= 77)
-      .crossJoin(broadcast(q))
-      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+    val qlit = array(q.map(lit(_)): _*)
+    e.withColumn("cid", assignedCid)
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(10)
       .select("vec_id", "label")

@@ -109,9 +109,13 @@ object TextAnalysis {
          |  FROM documents)) ORDER BY doc_id""".stripMargin
     },
     "text_fingerprint" ->
+      // COALESCE fallback mirrors fingerprint()'s short-text branch
+      // (texts < 8 chars have no 8-grams → hash the whole lowered text).
       """SELECT doc_id,
-        |  list_min([('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
-        |    for i in generate_series(1, length(lower(text)) - 7)]) AS fp
+        |  COALESCE(
+        |    list_min([('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
+        |      for i in generate_series(1, length(lower(text)) - 7)]),
+        |    ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
