@@ -51,9 +51,11 @@ object MqlFilter {
       variant_get(try_parse_json(metaCol), path(f), "variant")
     private def schema(f: String) = schema_of_variant(v(f))
 
+    // JSON numbers parse to BIGINT (integral) or DECIMAL(p,s) (with a
+    // point); DOUBLE/FLOAT appear via scientific notation
     private def numericType(f: String): Column =
-      schema(f).isin("BIGINT", "DOUBLE", "DECIMAL(38,0)", "INT", "SMALLINT",
-        "TINYINT", "FLOAT")
+      schema(f).isin("BIGINT", "DOUBLE", "INT", "SMALLINT",
+        "TINYINT", "FLOAT") || schema(f).startsWith("DECIMAL")
 
     def num(f: String): Column =
       when(numericType(f),
@@ -74,10 +76,14 @@ object MqlFilter {
       val s = schema(f)
       when(s === "STRING", "string")
         .when(s === "BOOLEAN", "bool")
-        .when(s === "DOUBLE" || s === "FLOAT", "double")
-        .when(s.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), "long")
+        // DECIMAL(p,0) is an integral JSON number; any scale > 0 is MQL
+        // "double" (JSON has no long/double distinction beyond the point)
+        .when(s === "DOUBLE" || s === "FLOAT" ||
+          (s.startsWith("DECIMAL") && !s.endsWith(",0)")), "double")
+        .when(s.isin("BIGINT", "INT", "SMALLINT", "TINYINT") ||
+          s.startsWith("DECIMAL"), "long")
         .when(s.startsWith("ARRAY"), "array")
-        .when(is_variant_null(v(f)), "null")
+        .when(is_variant_null(v(f)) || s === "VOID", "null")
         .otherwise(lit(null).cast("string"))
     }
   }

@@ -104,23 +104,33 @@ object Dedup {
         col("b.bh").as("bh"))
   }
 
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(nearCorpus(s, dir))
-    val x = banded(sh)
+  /** LSH candidate pairs with shingle sets attached, over any
+    * `(id, text)` corpus — the reusable core of the MinHash operators. */
+  private[graft] def lshCandidates(corpus: DataFrame): DataFrame = {
+    val x = banded(shingled(corpus))
     val y = x.select(col("id").as("id_b"), col("sh").as("sh_b"),
       col("band").as("band_b"), col("bh").as("bh_b"))
-    val cand = x.join(y,
+    x.join(y,
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
           col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         col("sh").as("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified at Jaccard >= 0.5
+    * (integer-exact compare). */
+  private[graft] def minhashPairs(corpus: DataFrame): DataFrame = {
+    val cand = lshCandidates(corpus)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand.filter(inter * 2 >= union) // Jaccard >= 0.5, integer-exact
+    cand.filter(inter * 2 >= union)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(nearCorpus(s, dir))
 
   /** DuckDB twins of shingle/signature/banding, over a corpus CTE named
     * `corpus(id, text)`. */
@@ -153,16 +163,7 @@ object Dedup {
   // 3. n-gram Jaccard scores for LSH candidate pairs (permille, exact).
   // ------------------------------------------------------------------
   def dedupJaccardNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(nearCorpus(s, dir))
-    val x = banded(sh)
-    val y = x.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band").as("band_b"), col("bh").as("bh_b"))
-    val cand = x.join(y,
-        col("band") === col("band_b") && col("bh") === col("bh_b") &&
-          col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        col("sh").as("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = lshCandidates(nearCorpus(s, dir))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     val union = size(col("sh_a")).cast("long") +
       size(col("sh_b")).cast("long") - inter

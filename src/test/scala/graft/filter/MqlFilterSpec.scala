@@ -1,0 +1,99 @@
+package graft.filter
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** Operator-by-operator spec of the MQL → Catalyst translator over the
+  * VARIANT JsonResolver, including MQL type bracketing (numbers never
+  * match strings), missing-field semantics, and the field-level $not. */
+class MqlFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // id → metadata JSON
+  private val rows = Seq(
+    (1L, """{"a": 1, "s": "x", "b": true, "arr": ["p", "q"], "n": null}"""),
+    (2L, """{"a": 2.5, "s": "y", "arr": ["q", "r", "s"]}"""),
+    (3L, """{"a": "5"}"""),
+    (4L, """{}"""),
+    (5L, """{"a": 5}""")
+  )
+  private lazy val df = rows.toDF("id", "meta")
+
+  private def ids(filterJson: String): Seq[Long] =
+    df.filter(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("implicit equality") { assert(ids("""{"a": 1}""") == Seq(1L)) }
+  test("$eq") { assert(ids("""{"a": {"$eq": 1}}""") == Seq(1L)) }
+
+  test("type bracketing: number literal never matches string value") {
+    assert(ids("""{"a": {"$eq": 5}}""") == Seq(5L)) // not row 3 ("5")
+    assert(ids("""{"a": {"$eq": "5"}}""") == Seq(3L))
+  }
+
+  test("numbers compare across int/double (MQL bracketing)") {
+    assert(ids("""{"a": {"$gt": 1}}""") == Seq(2L, 5L))
+    assert(ids("""{"a": {"$lte": 2.5}}""") == Seq(1L, 2L))
+    assert(ids("""{"a": {"$gte": 1, "$lt": 5}}""") == Seq(1L, 2L))
+  }
+
+  test("$ne matches missing and differently-typed fields") {
+    assert(ids("""{"a": {"$ne": 1}}""") == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("$in / $nin") {
+    assert(ids("""{"s": {"$in": ["x", "z"]}}""") == Seq(1L))
+    assert(ids("""{"s": {"$nin": ["x"]}}""") == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("$and / $or / $nor") {
+    assert(ids("""{"$or": [{"a": 1}, {"s": "y"}]}""") == Seq(1L, 2L))
+    assert(ids("""{"$and": [{"a": {"$gte": 1}}, {"a": {"$lt": 3}}]}""")
+      == Seq(1L, 2L))
+    assert(ids("""{"$nor": [{"a": {"$gte": 1}}, {"s": "y"}]}""")
+      == Seq(3L, 4L))
+  }
+
+  test("field-level $not (MQL form)") {
+    assert(ids("""{"a": {"$not": {"$gt": 1}}}""") == Seq(1L, 3L, 4L))
+  }
+
+  test("top-level $not is invalid MQL and rejected") {
+    intercept[IllegalArgumentException] { ids("""{"$not": {"a": 1}}""") }
+  }
+
+  test("$exists") {
+    assert(ids("""{"a": {"$exists": true}}""") == Seq(1L, 2L, 3L, 5L))
+    assert(ids("""{"a": {"$exists": false}}""") == Seq(4L))
+  }
+
+  test("$type") {
+    assert(ids("""{"a": {"$type": "string"}}""") == Seq(3L))
+    assert(ids("""{"a": {"$type": "long"}}""") == Seq(1L, 5L))
+    assert(ids("""{"a": {"$type": "double"}}""") == Seq(2L))
+    assert(ids("""{"b": {"$type": "bool"}}""") == Seq(1L))
+    assert(ids("""{"arr": {"$type": "array"}}""") == Seq(1L, 2L))
+  }
+
+  test("$regex") { assert(ids("""{"s": {"$regex": "^x"}}""") == Seq(1L)) }
+
+  test("array ops: $all / $size / $elemMatch") {
+    assert(ids("""{"arr": {"$all": ["q"]}}""") == Seq(1L, 2L))
+    assert(ids("""{"arr": {"$all": ["p", "r"]}}""") == Seq.empty)
+    assert(ids("""{"arr": {"$size": 2}}""") == Seq(1L))
+    assert(ids("""{"arr": {"$elemMatch": {"$eq": "r"}}}""") == Seq(2L))
+  }
+
+  test("null literal matches explicit null AND missing (MQL semantics)") {
+    assert(ids("""{"n": null}""") == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("empty filter {} matches everything") {
+    assert(ids("{}") == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("unsupported operator raises") {
+    intercept[IllegalArgumentException] { ids("""{"a": {"$mod": [2, 0]}}""") }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lower}
+
+/** Text primitives vs plain-Scala reference implementations — the same
+  * determinism contract the DuckDB oracles rely on. */
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval1[T](text: String, c: Column => Column): T =
+    Seq(text).toDF("t").select(c(col("t"))).head().getAs[T](0)
+
+  // collections come back as mutable ArraySeq — normalize to List
+  private def evalSeq(text: String, c: Column => Column): List[String] =
+    Seq(text).toDF("t").select(c(col("t"))).head()
+      .getSeq[String](0).toList
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def refHash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).take(15), 16)
+
+  test("tokens: lowercased alnum runs") {
+    assert(evalSeq("Hello, World-42 X!", tokens)
+      == Seq("hello", "world", "42", "x"))
+    assert(evalSeq("...", tokens) == Seq.empty)
+  }
+
+  test("md5Hash60 equals the scala reference (first 15 md5 hex chars)") {
+    for (s <- Seq("a", "hello", "", "Zürich"))
+      assert(eval1[Long](s, md5Hash60(_)) == refHash60(s), s)
+  }
+
+  test("charNgrams: count and short-text edge") {
+    assert(evalSeq("abcd", charNgrams(_, 2))
+      == Seq("ab", "bc", "cd"))
+    assert(evalSeq("ab", charNgrams(_, 3)) == Seq.empty)
+  }
+
+  test("wordNgrams over tokens") {
+    assert(evalSeq("a b c d", t => wordNgrams(tokens(t), 3))
+      == Seq("a b c", "b c d"))
+    assert(evalSeq("a b", t => wordNgrams(tokens(t), 3))
+      == Seq.empty)
+  }
+
+  test("minhash signature: length k, deterministic, order-insensitive") {
+    def sig(t: String) = evalSeq(t,
+      c => minhashSignature(charNgrams(lower(c), 3), 12))
+    assert(sig("abcdef").length == 12)
+    assert(sig("abcdef") == sig("abcdef"))
+    // same shingle SET (reversed text shares no 3-grams; use permuted docs)
+    assert(sig("xy abcdef") != sig("abcdef"))
+  }
+
+  test("simhash60: deterministic, 60-bit, sensitive to token change") {
+    def sh(t: String) = eval1[Long](t, c => simhash60(tokens(c)))
+    val a = sh("the quick brown fox jumps over the lazy dog")
+    assert(a == sh("the quick brown fox jumps over the lazy dog"))
+    assert(a >= 0 && a < (1L << 60))
+    assert(a != sh("completely different words entirely"))
+  }
+
+  test("hamming distance") {
+    val d = Seq((3L, 1L)).toDF("a", "b")
+      .select(hamming(col("a"), col("b"))).head().getLong(0)
+    assert(d == 1L)
+  }
+
+  test("fingerprint: min 8-gram hash; short text falls back to whole-text") {
+    // short branch == md5Hash60(lower(text))
+    assert(eval1[Long]("AbC", fingerprint(_)) == refHash60("abc"))
+    // long branch == scala-side min over all 8-grams
+    val text = "the quick brown fox"
+    val grams = text.toLowerCase.sliding(8).toSeq
+    assert(eval1[Long](text, fingerprint(_)) == grams.map(refHash60).min)
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    def lid(t: String) = eval1[String](t, c => langId(tokens(c)))
+    assert(lid("the cat and the dog of the house is in a tree") == "en")
+    assert(lid("le chat et la vache de la ferme un une les") == "fr")
+    assert(lid("zzz qqq www") == "und")
+  }
+}

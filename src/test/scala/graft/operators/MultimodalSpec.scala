@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.operators.Multimodal._
+
+/** Multimodal plumbing: binary payloads flow through the batch-shaped
+  * mapPartitions pipeline with per-modality decode (stub) and frame
+  * sampling semantics. */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mk(id: Long, mod: String, payload: String) =
+    MediaRow(id, mod, payload.getBytes("UTF-8"))
+
+  test("decodeFeatures: per-modality shapes; deterministic across runs") {
+    val ds = Seq(
+      mk(1, "image", "image-bytes-payload"),
+      mk(2, "audio", "audio-bytes-payload"),
+      mk(3, "video", "video-bytes-payload")
+    ).toDS()
+    val out = decodeFeatures(ds).collect().sortBy(_.media_id)
+    val Array(img, aud, vid) = out
+    assert(img.n_frames == 1 && img.width >= 16 && img.height >= 16)
+    assert(aud.width == 0 && aud.height == 0 && aud.n_frames == 0)
+    assert(vid.n_frames >= 1 && vid.n_frames <= 240)
+    assert(out.forall(_.n_bytes > 0))
+    // determinism: same inputs, same features
+    val again = decodeFeatures(ds).collect().sortBy(_.media_id)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("sampleFrames: 4 evenly-strided frames for video, 1 image, 0 audio") {
+    val ds = Seq(
+      mk(1, "video", "0123456789abcdef"),
+      mk(2, "image", "xyz"),
+      mk(3, "audio", "pcm")
+    ).toDS()
+    val frames = sampleFrames(ds).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(1L).map(_.frame_idx).sameElements(Array(0L, 1L, 2L, 3L)))
+    assert(frames(2L).map(_.frame_idx).sameElements(Array(0L)))
+    assert(!frames.contains(3L))
+    // frame fingerprints differ (different byte ranges)
+    assert(frames(1L).map(_.fp).distinct.length == 4)
+  }
+
+  test("payload fingerprint matches the md5-hex convention") {
+    val payload = "known-payload"
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(payload.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val out = decodeFeatures(Seq(mk(9, "image", payload)).toDS()).head()
+    assert(out.fp == expected)
+  }
+}

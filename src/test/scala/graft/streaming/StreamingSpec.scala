@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.api.{Data, KaerSession}
+import graft.core.Schema
+import graft.embed.HashingEmbedder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming behaviors: watermarked windowed aggregation with
+  * late-data handling, and exactly-once foreachBatch ingestion into a
+  * collection (the reference's append+checkpoint loop, db/db.go:91-97). */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked hourly aggregation finalizes windows; drops too-late data") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = StreamingOps.eventsHourlyWatermarked(
+      in.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    try {
+      // hour-1 data, then advance event time far past the 2h watermark
+      in.addData((ts(1, 10), "click", 1.0), (ts(1, 20), "click", 2.5))
+      q.processAllAvailable()
+      in.addData((ts(6, 0), "view", 1.0))
+      q.processAllAvailable()
+      // hour-1 window is now final and emitted
+      val done = spark.table("wm_test").collect()
+      assert(done.length == 1)
+      val r = done(0)
+      assert(r.getAs[Timestamp]("hour") == ts(1))
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getAs[Long]("value_cents") == 350L)
+      // an event older than the watermark horizon is dropped silently
+      in.addData((ts(0, 30), "late", 9.9))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 1)
+    } finally q.stop()
+  }
+
+  test("foreachBatch ingestion: exactly-once over files, ids stay dense") {
+    val inDir = tmpDir("stream-in")
+    val ckpt = tmpDir("stream-ckpt")
+    val root = tmpDir("stream-coll")
+    val k = new KaerSession(spark, root, HashingEmbedder(64))
+    val coll = k.createCollection("s")
+
+    def writeBatch(part: Int, docs: Seq[String]): Unit =
+      docs.toDF(Schema.DocCol)
+        .withColumn(Schema.MetaCol, lit(null).cast("string"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+
+    writeBatch(0, Seq("one", "two"))
+    val src = spark.readStream
+      .schema(s"${Schema.DocCol} STRING, ${Schema.MetaCol} STRING")
+      .parquet(inDir)
+    StreamingOps.ingest(coll, src, ckpt).awaitTermination()
+    assert(coll.count() == 2)
+
+    // second run with the SAME checkpoint: only new files are processed
+    writeBatch(1, Seq("three"))
+    val src2 = spark.readStream
+      .schema(s"${Schema.DocCol} STRING, ${Schema.MetaCol} STRING")
+      .parquet(inDir)
+    StreamingOps.ingest(coll, src2, ckpt).awaitTermination()
+    assert(coll.count() == 3)
+    val ids = coll.df.select(Schema.IdCol).collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(1L to 3L), ids.mkString(","))
+
+    // queries over streamed-in data work like batch inserts
+    assert(coll.query("one", 1, null).head().getAs[String](Schema.DocCol)
+      == "one")
+  }
+
+  test("streaming hourly agg equals the batch plan on sf0.001") {
+    val stream = StreamingOps.eventsHourlyStreaming(spark, sf0001).collect()
+    val batch = graft.operators.Relational.eventsHourly(spark, sf0001).collect()
+    assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+}
