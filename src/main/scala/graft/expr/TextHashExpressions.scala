@@ -1,0 +1,287 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass implementations of the md5-derived text/vector hashes.
+  *
+  * The same semantics exist as composed built-ins (TextFunctions history /
+  * the DuckDB oracles), but Spark's higher-order functions
+  * (transform/aggregate/filter) evaluate INTERPRETED, per element, per
+  * lambda — the md5-heavy operators spent 10-60s per bench query in
+  * expression-tree walking. These are proper Catalyst `Expression`s with
+  * `doGenCode`: whole-stage codegen emits a single static call into the
+  * tight JVM loops below (thread-local MessageDigest, zero Column
+  * machinery). 10-40× on the bench, same bits out.
+  *
+  * Every function is bit-compatible with its oracle twin:
+  * md5 of UTF-8 bytes, lowercase hex, lexicographic mins, index-order
+  * IEEE-754 double folds.
+  */
+object TextHash {
+
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** md5 as 32 lowercase-hex ASCII bytes. */
+  private def md5HexBytes(input: Array[Byte]): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(input)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** Value of the first 15 hex chars of md5 = top 60 bits of the first 8
+    * digest bytes — TextFunctions.md5Hash60 / the oracle's
+    * ('0x' || substr(md5(x),1,15))::BIGINT. */
+  def hash60(input: Array[Byte]): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(input)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** MinHash signature: per seed 0..k-1, the lexicographic min of
+    * md5hex("{seed}:" + shingle). Empty input → k nulls (array_min of an
+    * empty transform is null — oracle parity). */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    // per-shingle UTF-8 bytes, fetched once
+    val shingleBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      shingleBytes(i) = shingles.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var seed = 0
+    while (seed < k) {
+      val prefix = (seed.toString + ":").getBytes("US-ASCII")
+      var min: Array[Byte] = null
+      i = 0
+      while (i < n) {
+        val buf = new Array[Byte](prefix.length + shingleBytes(i).length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(shingleBytes(i), 0, buf, prefix.length,
+          shingleBytes(i).length)
+        val hex = md5HexBytes(buf)
+        if (min == null || compareHex(hex, min) < 0) min = hex
+        i += 1
+      }
+      out(seed) = UTF8String.fromBytes(min)
+      seed += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) - b(i)
+      i += 1
+    }
+    0
+  }
+
+  /** 60-bit SimHash over the DISTINCT tokens: bit j set iff the majority
+    * of token hash60s have bit j set (ties → 0). */
+  def simhash60(tokens: ArrayData): Long = {
+    val seen = new java.util.HashSet[UTF8String]()
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (seen.add(t)) {
+        val h = hash60(t.getBytes)
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) r |= 1L << j
+      j += 1
+    }
+    r
+  }
+
+  /** Document fingerprint: min hash60 over code-point n-grams of the
+    * lowered text; whole-text hash when shorter than n. Lowering uses
+    * UTF8String.toLowerCase — the SAME routine as the `lower` built-in. */
+  def fingerprint(text: UTF8String, n: Int): Long = {
+    val lowered = text.toLowerCase
+    val cp = lowered.numChars()
+    if (cp < n) return hash60(lowered.getBytes)
+    var min = Long.MaxValue
+    var i = 1
+    while (i <= cp - n + 1) {
+      val h = hash60(lowered.substringSQL(i, n).getBytes)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** Language markers (canonical copy — TextFunctions.langMarkers points
+    * here so the column API, this native path, and the oracle generators
+    * share one definition). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "zh" -> Seq("de0", "shi4", "zai4", "le0", "he2", "you3", "wo3")
+  )
+
+  private val langTable: Array[(UTF8String, Array[UTF8String])] =
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      (UTF8String.fromString(lang), ms.map(UTF8String.fromString).toArray)
+    }.toArray
+
+  private val und = UTF8String.fromString("und")
+
+  /** argmax of distinct-marker hits, ties to the first language in code
+    * order, "und" on zero hits — identical to the fold in the column
+    * version and the oracle's CASE chain. */
+  def langId(tokens: ArrayData): UTF8String = {
+    val toks = new java.util.HashSet[UTF8String]()
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) { toks.add(tokens.getUTF8String(i)); i += 1 }
+    var best = und
+    var bestCnt = 0
+    var l = 0
+    while (l < langTable.length) {
+      val (lang, markers) = langTable(l)
+      var cnt = 0
+      var m = 0
+      while (m < markers.length) {
+        if (toks.contains(markers(m))) cnt += 1
+        m += 1
+      }
+      if (cnt > bestCnt) { best = lang; bestCnt = cnt }
+      l += 1
+    }
+    best
+  }
+
+  /** Random-hyperplane LSH for embeddings: md5-seeded ±1 sign matrix. */
+  val HyperBits = 16
+  val HyperDim = 64
+  lazy val hyperplanes: Array[Array[Double]] =
+    Array.tabulate(HyperBits, HyperDim) { (j, i) =>
+      if ((hash60(s"hp:$j:$i".getBytes("UTF-8")) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** Band values: projection onto each hyperplane (index-order double
+    * fold, exactly the oracle's list_sum), sign bit, packed little-endian
+    * per band of `bitsPerBand`. */
+  def hyperBands(emb: ArrayData, bitsPerBand: Int): ArrayData = {
+    val nBands = HyperBits / bitsPerBand
+    val dim = math.min(emb.numElements(), HyperDim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = emb.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bv = 0
+      var k = 0
+      while (k < bitsPerBand) {
+        val signs = hyperplanes(b * bitsPerBand + k)
+        var acc = 0.0
+        i = 0
+        while (i < dim) { acc += v(i) * signs(i); i += 1 }
+        if (acc > 0) bv |= 1 << k
+        k += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the unary hash expressions: deterministic, null-safe, with
+  * codegen emitting one static call into [[TextHash]]. */
+abstract class TextHashUnary extends UnaryExpression {
+  /** Java source for the static call; `c` is the child's generated value. */
+  protected def staticCall(c: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+  override def nullable: Boolean = child.nullable
+}
+
+case class MinHashSig(child: Expression, k: Int) extends TextHashUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhash(input.asInstanceOf[ArrayData], k)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.minhash($c, $k)"
+  override protected def withNewChildInternal(n: Expression): MinHashSig =
+    copy(child = n)
+}
+
+case class SimHash60(child: Expression) extends TextHashUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash60(input.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.simhash60($c)"
+  override protected def withNewChildInternal(n: Expression): SimHash60 =
+    copy(child = n)
+}
+
+case class FingerprintHash(child: Expression, n: Int) extends TextHashUnary {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.fingerprint(input.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.fingerprint($c, $n)"
+  override protected def withNewChildInternal(n2: Expression): FingerprintHash =
+    copy(child = n2)
+}
+
+case class LangIdHash(child: Expression) extends TextHashUnary {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.langId(input.asInstanceOf[ArrayData])
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.langId($c)"
+  override protected def withNewChildInternal(n: Expression): LangIdHash =
+    copy(child = n)
+}
+
+case class HyperBandValues(child: Expression, bitsPerBand: Int)
+    extends TextHashUnary {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hyperBands(input.asInstanceOf[ArrayData], bitsPerBand)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.hyperBands($c, $bitsPerBand)"
+  override protected def withNewChildInternal(n: Expression): HyperBandValues =
+    copy(child = n)
+}

@@ -1,6 +1,8 @@
 package graft.functions
 
+import graft.expr.{FingerprintHash, LangIdHash, MinHashSig, SimHash60}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
 
 /** Text primitives for the dedup / text-analysis operator family.
@@ -42,49 +44,37 @@ object TextFunctions {
       .otherwise(array())
 
   /** One MinHash value: lexicographic min of seeded md5 hex over shingles.
-    * (min over hex strings == min over the underlying 128-bit ints). */
+    * (min over hex strings == min over the underlying 128-bit ints). The
+    * composed-builtin spec of what [[minhashSignature]] computes natively. */
   def minhashHex(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => md5(concat(lit(s"$seed:"), s))))
 
-  /** MinHash signature of length k (array of hex strings). */
+  /** MinHash signature of length k (array of md5 hex strings) — native
+    * one-pass Catalyst expression ([[graft.expr.MinHashSig]]); bit-equal
+    * to `array((0 until k).map(minhashHex(shingles, _)))` at ~30× less
+    * cost (no per-element lambda interpretation, one digest instance). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i => minhashHex(shingles, i)): _*)
+    toCol(MinHashSig(toExpr(shingles), k))
 
   /** 60-bit SimHash over a token array. Bit j of the result is set iff the
-    * majority of token hashes have bit j set (ties → 0, deterministic). */
-  def simhash60(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => md5Hash60(t))
-    // Unrolled Scala-level bit loop: each shift amount is a literal Int, so
-    // the whole expression constant-folds into 60 codegen'd aggregates —
-    // no Column-typed shift (shiftright needs an Int) and no lambda nesting.
-    (0 until 60).map { j =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (a, h) => a + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * majority of DISTINCT-token hashes have bit j set (ties → 0). Native
+    * expression — the composed form needed 60 interpreted aggregates. */
+  def simhash60(toks: Column): Column = toCol(SimHash60(toExpr(toks)))
 
   /** Hamming distance between two simhash LONGs. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** Document fingerprint: min 60-bit rolling k-gram hash (simplified
-    * winnowing — the global minimum is every winnowing window's candidate). */
-  def fingerprint(text: Column, k: Int = 8): Column = {
-    val grams = charNgrams(lower(text), k)
-    when(size(grams) > 0, array_min(transform(grams, g => md5Hash60(g))))
-      .otherwise(md5Hash60(lower(text)))
-  }
+    * winnowing — the global minimum is every winnowing window's
+    * candidate); whole-text hash for texts shorter than k. Native
+    * expression ([[graft.expr.FingerprintHash]]). */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    toCol(FingerprintHash(toExpr(text), k))
 
-  /** Language marker stopwords (tiny, deterministic n-gram-free heuristic).
-    * Per-language hit count = |tokens ∩ markers|. */
-  val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
-    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une"),
-    "es" -> Seq("el", "los", "las", "y", "en", "que", "un"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
-    "zh" -> Seq("de0", "shi4", "zai4", "le0", "he2", "you3", "wo3")
-  )
+  /** Language marker stopwords (tiny, deterministic n-gram-free
+    * heuristic); canonical definition in [[graft.expr.TextHash]]. */
+  val langMarkers: Map[String, Seq[String]] = graft.expr.TextHash.langMarkers
 
   /** Marker-hit count for one language: number of DISTINCT markers present
     * in the token array (count over the marker list, not the tokens, so
@@ -94,15 +84,6 @@ object TextFunctions {
       m => array_contains(toks, m)))
 
   /** Predicted language = argmax marker-hit count, ties broken by language
-    * code order, "und" when no marker hits at all. */
-  def langId(toks: Column): Column = {
-    val scores = langMarkers.keys.toSeq.sorted
-      .map(lang => (lang, langScore(toks, lang)))
-    val best = scores.foldLeft((lit("und"), lit(0))) {
-      case ((bl, bc), (lang, cnt)) =>
-        (when(cnt > bc, lit(lang)).otherwise(bl),
-          when(cnt > bc, cnt).otherwise(bc))
-    }
-    best._1
-  }
+    * code order, "und" when no marker hits at all. Native expression. */
+  def langId(toks: Column): Column = toCol(LangIdHash(toExpr(toks)))
 }

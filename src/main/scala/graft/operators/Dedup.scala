@@ -189,22 +189,18 @@ object Dedup {
   // ------------------------------------------------------------------
   private val Dim = 64
   private val NBits = 16
-  private val BitsPerBand = 4
+  // 2 bands × 8 bits: a random pair collides on a band with p≈2·2⁻⁸
+  // (≈0.8% candidate rate) vs 22% at 4×4 — verification work drops ~27×
+  // while recall for true near-dups (cosine ≈ 1) stays ≈ 1. At larger
+  // corpus scale, raise bits-per-band further; the plan shape is fixed.
+  private val BitsPerBand = 8
   private val NBands = NBits / BitsPerBand
 
   /** Hyperplane sign matrix (±1.0), md5-derived so the oracle can inline
-    * the identical literals. */
-  private[operators] lazy val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(NBits, Dim) { (j, i) =>
-      if ((mdLong(s"hp:$j:$i") & 1L) == 1L) 1.0 else -1.0
-    }
-
-  private def mdLong(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+    * the identical literals (canonical copy in TextHash — shared with the
+    * native band expression). */
+  private[operators] def hyperplanes: Array[Array[Double]] =
+    graft.expr.TextHash.hyperplanes
 
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -219,27 +215,16 @@ object Dedup {
       |SELECT vec_id + 100000 AS id, embedding FROM embeddings
       |WHERE vec_id % 10 = 0""".stripMargin
 
-  /** Signed projection of the embedding onto hyperplane j (double,
-    * index-order fold — identical in the oracle). */
-  private def proj(j: Int): Column = {
-    val signs = array(hyperplanes(j).map(lit(_)): _*)
-    aggregate(
-      zip_with(col("embedding"), signs, (x, sg) => x.cast("double") * sg),
-      lit(0.0), (acc, v) => acc + v)
-  }
-
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val c = embCorpus(s, dir)
-    // band value = 4 sign bits packed little-endian
-    val bands = array((0 until NBands).map { b =>
-      val v = (0 until BitsPerBand).map { k =>
-        when(proj(b * BitsPerBand + k) > 0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), v.as("bv"))
-    }: _*)
-    val sigd = c.withColumn("b", explode(bands))
-      .select(col("id"), col("embedding"), col("b.band").as("band"),
-        col("b.bv").as("bv"))
+    // native expression: 16 signed projections + band packing in one
+    // codegen'd pass (graft.expr.HyperBandValues); identical doubles to
+    // the oracle's list_sum fold
+    val bandVals = toCol(graft.expr.HyperBandValues(
+      toExpr(col("embedding")), BitsPerBand))
+    val sigd = c.select(col("id"), col("embedding"),
+        posexplode(bandVals).as(Seq("band", "bv")))
     val other = sigd.select(col("id").as("id_b"),
       col("embedding").as("emb_b"), col("band").as("band_b"),
       col("bv").as("bv_b"))
