@@ -1,5 +1,6 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -188,6 +189,64 @@ object TextHash {
     best
   }
 
+  private val space = UTF8String.fromString(" ")
+
+  /** One-pass MinHash over word n-grams: tokens → distinct space-joined
+    * n-gram shingles → (k-element md5-hex signature, 60-bit shingle-hash
+    * set). Fuses what the composed form spent three interpreted HOF
+    * passes on (transform+slice shingling, array_distinct, per-seed
+    * minhash) and lets downstream joins carry 8-byte longs instead of
+    * shingle strings. Oracle twin: list_distinct of the gram STRINGS,
+    * hash60 applied per gram in list order — hash collisions (2^-60)
+    * merge identically in both engines.
+    *
+    * Returns struct(sig: array<string>, sh: array<long>); sh is empty
+    * (sig all-null) when there are fewer than n tokens.
+    */
+  def minhashShingles(toks: ArrayData, n: Int, k: Int): InternalRow = {
+    val nt = toks.numElements()
+    val grams = new java.util.LinkedHashSet[UTF8String]()
+    if (nt >= n) {
+      var i = 0
+      while (i <= nt - n) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        grams.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    val m = grams.size()
+    val gramBytes = new Array[Array[Byte]](m)
+    val shOut = new Array[Any](m)
+    val it = grams.iterator()
+    var g = 0
+    while (it.hasNext) {
+      gramBytes(g) = it.next().getBytes
+      shOut(g) = hash60(gramBytes(g))
+      g += 1
+    }
+    val sigOut = new Array[Any](k)
+    var seed = 0
+    while (seed < k) {
+      val prefix = (seed.toString + ":").getBytes("US-ASCII")
+      var min: Array[Byte] = null
+      var i = 0
+      while (i < m) {
+        val buf = new Array[Byte](prefix.length + gramBytes(i).length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(gramBytes(i), 0, buf, prefix.length,
+          gramBytes(i).length)
+        val hex = md5HexBytes(buf)
+        if (min == null || compareHex(hex, min) < 0) min = hex
+        i += 1
+      }
+      sigOut(seed) = if (min == null) null else UTF8String.fromBytes(min)
+      seed += 1
+    }
+    InternalRow(new GenericArrayData(sigOut), new GenericArrayData(shOut))
+  }
+
   /** Random-hyperplane LSH for embeddings: md5-seeded ±1 sign matrix. */
   val HyperBits = 16
   val HyperDim = 64
@@ -273,6 +332,19 @@ case class LangIdHash(child: Expression) extends TextHashUnary {
     s"graft.expr.TextHash.langId($c)"
   override protected def withNewChildInternal(n: Expression): LangIdHash =
     copy(child = n)
+}
+
+case class MinHashShingleSig(child: Expression, n: Int, k: Int)
+    extends TextHashUnary {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(StringType, containsNull = true)),
+    StructField("sh", ArrayType(LongType, containsNull = false))))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashShingles(input.asInstanceOf[ArrayData], n, k)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.minhashShingles($c, $n, $k)"
+  override protected def withNewChildInternal(c: Expression): MinHashShingleSig =
+    copy(child = c)
 }
 
 case class HyperBandValues(child: Expression, bitsPerBand: Int)

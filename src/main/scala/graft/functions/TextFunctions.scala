@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{FingerprintHash, LangIdHash, MinHashSig, SimHash60}
+import graft.expr.{FingerprintHash, LangIdHash, MinHashShingleSig, MinHashSig, SimHash60}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
@@ -55,6 +55,17 @@ object TextFunctions {
     * cost (no per-element lambda interpretation, one digest instance). */
   def minhashSignature(shingles: Column, k: Int): Column =
     toCol(MinHashSig(toExpr(shingles), k))
+
+  /** Fused shingle+MinHash: token array → struct(sig: array<string>,
+    * sh: array<long>) where `sig` is the k-element MinHash signature over
+    * distinct word n-gram shingles and `sh` is the 60-bit hash of each
+    * distinct shingle (set arithmetic on longs downstream instead of
+    * shingle strings). One codegen'd pass
+    * ([[graft.expr.MinHashShingleSig]]); bit-equal to
+    * `minhashSignature(array_distinct(wordNgrams(toks, n)), k)` plus
+    * per-shingle [[md5Hash60]]. */
+  def minhashShingles(toks: Column, n: Int, k: Int): Column =
+    toCol(MinHashShingleSig(toExpr(toks), n, k))
 
   /** 60-bit SimHash over a token array. Bit j of the result is set iff the
     * majority of DISTINCT-token hashes have bit j set (ties → 0). Native

@@ -87,34 +87,42 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = MinhashK / Bands
 
-  private def shingled(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("sh", array_distinct(wordNgrams(tokens(col("text")), 3)))
-      .filter(size(col("sh")) > 0)
-
-  private def banded(withSh: DataFrame): DataFrame = {
-    val sig = minhashSignature(col("sh"), MinhashK)
-    val bands = array((0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until RowsPerBand).map(i =>
-          element_at(sig, b * RowsPerBand + i + 1)): _*)).as("bh"))
-    }: _*)
-    withSh.withColumn("b", explode(bands))
-      .select(col("id"), col("sh"), col("b.band").as("band"),
-        col("b.bh").as("bh"))
-  }
-
-  /** LSH candidate pairs with shingle sets attached, over any
-    * `(id, text)` corpus — the reusable core of the MinHash operators. */
+  /** LSH candidate pairs with hashed shingle sets attached, over any
+    * `(id, text)` corpus — the reusable core of the MinHash operators.
+    *
+    * Single-pass shape (the self-join alternative recomputes the whole
+    * shingle+minhash pipeline for both sides): fused native
+    * shingle/signature expression → explode one row per band →
+    * ONE shuffle on the (band, band-hash) bucket key → within-bucket
+    * pair expansion over the collected members → dedup pairs that
+    * collided in several bands. The quadratic step is confined to a
+    * bucket; at larger scale you add signature rows per band (higher
+    * selectivity) rather than change the plan. Shingle sets travel as
+    * 60-bit longs, not strings, so the bucket shuffle stays narrow.
+    */
   private[graft] def lshCandidates(corpus: DataFrame): DataFrame = {
-    val x = banded(shingled(corpus))
-    val y = x.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band").as("band_b"), col("bh").as("bh_b"))
-    x.join(y,
-        col("band") === col("band_b") && col("bh") === col("bh_b") &&
-          col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        col("sh").as("sh_a"), col("sh_b"))
+    val sigsh = corpus
+      .select(col("id"),
+        minhashShingles(tokens(col("text")), 3, MinhashK).as("ss"))
+      .select(col("id"), col("ss.sig").as("sig"), col("ss.sh").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bandHashes = array((0 until Bands).map { b =>
+      md5(concat_ws("|", (0 until RowsPerBand).map(i =>
+        element_at(col("sig"), b * RowsPerBand + i + 1)): _*))
+    }: _*)
+    val banded = sigsh
+      .select(col("id"), col("sh"),
+        posexplode(bandHashes).as(Seq("band", "bh")))
+    banded
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("id_a"), b("id").as("id_b"),
+            a("sh").as("sh_a"), b("sh").as("sh_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -149,7 +157,9 @@ object Dedup {
        |    for i in generate_series(1, len(t) - 2)]) AS sh
        |  FROM (SELECT id, $toks AS t FROM corpus) WHERE len(t) >= 3
        |),
-       |sh0 AS (SELECT id, sh FROM shing WHERE len(sh) > 0),
+       |sh0 AS (SELECT id, sh,
+       |  [('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh] AS shh
+       |  FROM shing WHERE len(sh) > 0),
        |sig AS (SELECT id, sh, [$sigElems] AS sig FROM sh0),
        |bands AS ($bandRows),
        |cand AS (
@@ -283,16 +293,16 @@ object Dedup {
          |SELECT id_a, id_b
          |FROM cand JOIN sh0 a ON a.id = cand.id_a
          |  JOIN sh0 b ON b.id = cand.id_b
-         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >=
-         |  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+         |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard_ngram" ->
       s"""WITH corpus AS ($nearCorpusSql),
          |$lshOracleCtes,
          |scored AS (
          |  SELECT id_a, id_b,
-         |    CAST(floor(len(list_intersect(a.sh, b.sh)) * 1000.0 /
-         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+         |    CAST(floor(len(list_intersect(a.shh, b.shh)) * 1000.0 /
+         |      (len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))))
          |      AS BIGINT) AS jacc_permille
          |  FROM cand JOIN sh0 a ON a.id = cand.id_a
          |    JOIN sh0 b ON b.id = cand.id_b)
