@@ -21,6 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: pay one-off JVM/codegen/scan-infra startup here so
+    // the first measured query isn't charged for it
+    spark.range(1 << 20).selectExpr("sum(id) s")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -233,18 +233,22 @@ object Dedup {
     // the oracle's list_sum fold
     val bandVals = toCol(graft.expr.HyperBandValues(
       toExpr(col("embedding")), BitsPerBand))
-    val sigd = c.select(col("id"), col("embedding"),
+    // same single-pass bucket shape as lshCandidates: one shuffle on the
+    // (band, value) key, within-bucket pair expansion — the self-join
+    // alternative reads + projects the corpus twice
+    c.select(col("id"), col("embedding"),
         posexplode(bandVals).as(Seq("band", "bv")))
-    val other = sigd.select(col("id").as("id_b"),
-      col("embedding").as("emb_b"), col("band").as("band_b"),
-      col("bv").as("bv_b"))
-    val cand = sigd.join(other,
-        col("band") === col("band_b") && col("bv") === col("bv_b") &&
-          col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        col("embedding").as("emb_a"), col("emb_b"))
+      .groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("id"), col("embedding"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("id_a"), b("id").as("id_b"),
+            a("embedding").as("emb_a"), b("embedding").as("emb_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.filter(cosineSim(col("emb_a"), col("emb_b")) >= 0.9)
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= 0.9)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }

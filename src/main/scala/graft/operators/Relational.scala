@@ -171,7 +171,50 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** AS-OF join — each event matched to the user's most recent order at
+    * or before the event timestamp. Spark has no native as-of operator;
+    * the idiomatic scale shape is the union trick: tag both streams,
+    * ONE shuffle on the join key, and a running `last(ignoreNulls)`
+    * window ordered by time — i.e. exactly the merge phase of a
+    * sort-merge as-of join, with no range explosion and no per-event
+    * subquery. Order rows sort before event rows at equal timestamps so
+    * a same-instant order matches.
+    *
+    * The right side is first reduced to one row per (custkey, date) —
+    * max orderkey, in both engines — because "the" most recent order is
+    * otherwise ambiguous. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ded = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = events(s, dir).select(
+      col("user_id").as("k"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("r_orderkey"), lit(0).as("side"))
+    val ord = ded.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("r_orderkey"), lit(1).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_orderkey",
+        last(col("r_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("last_orderkey"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ded AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN ded o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "mql_events_range" ->
       """SELECT event_id FROM events
         |WHERE (props->>'k')::DOUBLE >= 20.0 AND (props->>'k')::DOUBLE < 60.0
@@ -250,6 +293,7 @@ object Relational {
     "events_hourly" -> (eventsHourly _),
     "semi_join" -> (semiJoin _),
     "mql_events_range" -> (mqlEventsRange _),
-    "mql_events_nor" -> (mqlEventsNor _)
+    "mql_events_nor" -> (mqlEventsNor _),
+    "asof_join" -> (asofJoin _)
   )
 }

@@ -110,6 +110,31 @@ object Similarity {
       .select("vec_id", "label")
   }
 
+  /** Similarity JOIN (the §7 north-star extension): top-3 L2 neighbors
+    * for EVERY query vector (vec_id ≡ 7 mod 100) against the rest of the
+    * corpus — a kNN join, not a single-probe kNN.
+    *
+    * Scale shape: the query side is broadcast (small by construction —
+    * it's the per-batch probe set), the corpus side is never shuffled in
+    * full: `row_number ≤ k` after a window on the query id triggers
+    * Spark's WindowGroupLimit rewrite, which keeps only k rows per query
+    * PER PARTITION before the exchange, so the shuffle carries
+    * O(k · queries · partitions), not O(corpus · queries). */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    e.filter(col("vec_id") % 100 =!= 7)
+      .crossJoin(broadcast(q))
+      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"))
+      .orderBy("qid", "rank")
+  }
+
   /** DuckDB-side squared L2 between two FLOAT[] lists, double math,
     * index order — mirrors VectorFunctions.l2Sq. */
   private def sqlL2(a: String, b: String): String =
@@ -134,6 +159,15 @@ object Similarity {
          |ORDER BY ${sqlDot("embedding", "qv")} /
          |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot("qv", "qv")}))
          |  DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 100 = 7)
+         |SELECT qid, rank, vec_id, label FROM (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings e, q WHERE e.vec_id % 100 <> 7)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
@@ -155,6 +189,7 @@ object Similarity {
     "knn_l2" -> (knnL2 _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
+    "knn_join" -> (knnJoin _),
     "ann_ivf" -> (annIvf _)
   )
 }
