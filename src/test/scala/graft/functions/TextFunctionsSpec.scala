@@ -25,6 +25,31 @@ class TextFunctionsSpec extends SparkTestBase {
   private def refHash60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).take(15), 16)
 
+  test("minhashShingles fused pass == composed built-in form on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(50).select(col("doc_id"), col("text"))
+    val fused = docs.select(col("doc_id"),
+        minhashShingles(tokens(col("text")), 3, 12).as("ss"))
+      .select(col("doc_id"), col("ss.sig").as("sig"), col("ss.sh").as("sh"))
+    val composedSh = array_distinct(wordNgrams(tokens(col("text")), 3))
+    val composed = docs.select(col("doc_id"),
+      minhashSignature(composedSh, 12).as("sig"),
+      transform(composedSh, s => md5Hash60(s)).as("sh"))
+    val joined = fused.as("f").join(composed.as("c"), "doc_id")
+    val bad = joined.filter(col("f.sig") =!= col("c.sig") ||
+      col("f.sh") =!= col("c.sh"))
+    assert(bad.count() == 0, bad.collect().take(2).mkString(";"))
+  }
+
+  test("minhashShingles: fewer tokens than n gives empty sh, null sig") {
+    val r = Seq("one two").toDF("t")
+      .select(minhashShingles(tokens(col("t")), 3, 4).as("ss"))
+      .select(col("ss.sig"), col("ss.sh")).head()
+    assert(r.getSeq[String](0) == Seq(null, null, null, null))
+    assert(r.getSeq[Long](1).isEmpty)
+  }
+
   test("tokens: lowercased alnum runs") {
     assert(evalSeq("Hello, World-42 X!", tokens)
       == Seq("hello", "world", "42", "x"))
