@@ -26,6 +26,7 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.KaerQuery.queries ++
+      graft.operators.Pipeline.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.operators.Dedup.oracle ++
       graft.operators.Multimodal.oracle ++
       graft.operators.KaerQuery.oracle ++
+      graft.operators.Pipeline.oracle ++
       graft.streaming.StreamingOps.oracle
 }

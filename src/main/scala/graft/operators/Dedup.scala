@@ -140,6 +140,41 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(nearCorpus(s, dir))
 
+  /** Duplicate-cluster assignment — the step that turns near-dup PAIRS
+    * into a dedup DECISION (keep one doc per cluster): connected
+    * components over the verified pair graph, labels = min id in the
+    * component. Iterative min-label propagation (the standard distributed
+    * CC loop — each round is one shuffle-join + min-aggregate, converging
+    * in O(component diameter) rounds; near-dup clusters are
+    * star/chain-shaped so 2-4 rounds in practice). Each round is
+    * localCheckpoint'ed so lineage doesn't nest; at cluster scale the
+    * same loop checkpoints to durable storage. Oracle: DuckDB recursive
+    * CTE transitive closure. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(s, dir)
+    val pairs = minhashPairs(corpus)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = corpus.select(col("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val prop = edges.join(labels.select(col("id").as("dst"),
+          col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster")).orderBy("id")
+  }
+
   /** DuckDB twins of shingle/signature/banding, over a corpus CTE named
     * `corpus(id, text)`. */
   private def lshOracleCtes: String = {
@@ -312,6 +347,24 @@ object Dedup {
          |    JOIN sh0 b ON b.id = cand.id_b)
          |SELECT id_a, id_b, jacc_permille FROM scored
          |WHERE jacc_permille >= 200 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+         |$lshOracleCtes,
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |    JOIN sh0 b ON b.id = cand.id_b
+         |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+         |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT id, id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, ${(0 until 60).map(j =>
         s"(CASE WHEN list_sum([CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
@@ -327,6 +380,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _)

