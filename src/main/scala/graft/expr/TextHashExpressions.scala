@@ -191,6 +191,26 @@ object TextHash {
 
   private val space = UTF8String.fromString(" ")
 
+  /** Word n-grams of a token array, space-joined, in order, with
+    * duplicates kept — the native twin of
+    * `transform(sequence(...), i => concat_ws(" ", slice(toks, i, n)))`,
+    * which Spark evaluates interpreted per element. Shorter-than-n input
+    * → empty array. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val nt = toks.numElements()
+    if (nt < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nt - n + 1)
+    var i = 0
+    while (i <= nt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass MinHash over word n-grams: tokens → distinct space-joined
     * n-gram shingles → (k-element md5-hex signature, 60-bit shingle-hash
     * set). Fuses what the composed form spent three interpreted HOF
@@ -332,6 +352,17 @@ case class LangIdHash(child: Expression) extends TextHashUnary {
     s"graft.expr.TextHash.langId($c)"
   override protected def withNewChildInternal(n: Expression): LangIdHash =
     copy(child = n)
+}
+
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends TextHashUnary {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordNgrams(input.asInstanceOf[ArrayData], n)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.wordNgrams($c, $n)"
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
 }
 
 case class MinHashShingleSig(child: Expression, n: Int, k: Int)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{FingerprintHash, LangIdHash, MinHashShingleSig, MinHashSig, SimHash60}
+import graft.expr.{FingerprintHash, LangIdHash, MinHashShingleSig, MinHashSig, SimHash60, WordNgramsExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
@@ -36,12 +36,12 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
       .otherwise(array())
 
-  /** Word n-grams over a token array, space-joined. */
+  /** Word n-grams over a token array, space-joined. Native expression
+    * ([[graft.expr.WordNgramsExpr]]); bit-equal to the composed
+    * `transform(sequence(1, size-n+1), i => concat_ws(" ", slice(toks, i,
+    * n)))` form, which evaluates interpreted per element. */
   def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array())
+    toCol(WordNgramsExpr(toExpr(toks), n))
 
   /** One MinHash value: lexicographic min of seeded md5 hex over shingles.
     * (min over hex strings == min over the underlying 128-bit ints). The

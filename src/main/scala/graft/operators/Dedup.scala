@@ -152,24 +152,31 @@ object Dedup {
     * CTE transitive closure. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearCorpus(s, dir)
-    val pairs = minhashPairs(corpus)
+    // checkpoint pairs BEFORE mirroring: the union below reads it twice,
+    // and without the checkpoint the whole LSH subtree would run twice
+    val pairs = minhashPairs(corpus).localCheckpoint(true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
     var labels = corpus.select(col("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
+    // labels only ever decrease, so sum(lbl) strictly drops on any change
+    // — a scalar aggregate over the (checkpointed) labels is a far
+    // cheaper convergence probe than a changed-rows join
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum("lbl")).head().getLong(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
       val prop = edges.join(labels.select(col("id").as("dst"),
           col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
+      labels = labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+      val s2 = lblSum(labels)
+      converged = s2 == prevSum
+      prevSum = s2
       rounds += 1
     }
     labels.select(col("id"), col("lbl").as("cluster")).orderBy("id")

@@ -32,7 +32,12 @@ class TextFunctionsSpec extends SparkTestBase {
     val fused = docs.select(col("doc_id"),
         minhashShingles(tokens(col("text")), 3, 12).as("ss"))
       .select(col("doc_id"), col("ss.sig").as("sig"), col("ss.sh").as("sh"))
-    val composedSh = array_distinct(wordNgrams(tokens(col("text")), 3))
+    // fully composed built-in form (NOT the native WordNgramsExpr) so
+    // the fused expression is checked against an independent code path
+    val t3 = tokens(col("text"))
+    val composedSh = array_distinct(when(size(t3) >= 3,
+      transform(sequence(lit(1), size(t3) - 2),
+        i => concat_ws(" ", slice(t3, i, lit(3))))).otherwise(array()))
     val composed = docs.select(col("doc_id"),
       minhashSignature(composedSh, 12).as("sig"),
       transform(composedSh, s => md5Hash60(s)).as("sh"))
