@@ -27,6 +27,7 @@ object SparkEntry {
       graft.operators.Multimodal.queries ++
       graft.operators.KaerQuery.queries ++
       graft.operators.Pipeline.queries ++
+      graft.operators.Sessions.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.operators.Multimodal.oracle ++
       graft.operators.KaerQuery.oracle ++
       graft.operators.Pipeline.oracle ++
+      graft.operators.Sessions.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sessionization — split each user's event stream into sessions at
+  * 30-minute inactivity gaps. The canonical stateful operator over the
+  * `events` table, in its batch form: one shuffle on `user_id`, a lag +
+  * running-sum window to assign session ordinals, then the per-session
+  * rollup. The streaming twin
+  * ([[graft.streaming.StreamingOps.sessionizeStateful]]) keeps one open
+  * session per user in `flatMapGroupsWithState` state and must produce
+  * exactly this output once the watermark closes every session
+  * (asserted in StreamingSpec).
+  *
+  * Timestamps are compared and emitted as epoch MICROSECOND longs:
+  * exact integer math in both engines, no tz/precision ambiguity.
+  */
+object Sessions {
+
+  /** Session gap: 30 minutes, in microseconds. */
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** Core plan over any `(user_id: long, us: long, event_id: long)`
+    * frame — shared by the registered query and the streaming spec. */
+  def sessionizeDF(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prev = lag(col("us"), 1).over(w)
+    val isNew = when(prev.isNull || col("us") - prev > GapUs, 1)
+      .otherwise(0)
+    ev.withColumn("ns", isNew)
+      .withColumn("sid", sum(col("ns"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .orderBy("user_id", "sid")
+  }
+
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeDF(Relational.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")))
+
+  val oracle: Map[String, String] = Map(
+    "sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l)
+         |SELECT user_id, sid, count(*) AS n_events,
+         |  min(us) AS start_us, max(us) AS end_us
+         |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> (sessionize _)
+  )
+}

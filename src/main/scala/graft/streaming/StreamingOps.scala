@@ -61,6 +61,77 @@ object StreamingOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("value_cents"))
 
+  /** One open session per user held in state. */
+  final case class OpenSession(sid: Long, startUs: Long, endUs: Long,
+      n: Long)
+
+  /** Typed event row — keeps the watermarked `ts` attribute alive through
+    * groupByKey (a .map/.select that drops it would detach the watermark
+    * and EventTimeTimeout could not resolve). */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+      us: Long, event_id: Long)
+
+  /** A closed session — matches the batch `Sessions.sessionizeDF` row
+    * shape exactly. */
+  final case class ClosedSession(user_id: Long, sid: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Stateful streaming sessionization — the flatMapGroupsWithState twin
+    * of [[graft.operators.Sessions.sessionizeDF]]. Holds ONE open session
+    * per user (bounded state: O(users), not O(events)); emits a session
+    * when a new event arrives past the 30-minute gap, and closes the
+    * trailing session via event-time timeout once the watermark passes
+    * gap-after-last-event. Late events inside the watermark extend or
+    * reopen correctly because each micro-batch's events are sorted before
+    * merging; events later than the watermark are dropped by the runtime.
+    *
+    * Input: a streaming frame with (ts TIMESTAMP watermarkable, user_id
+    * LONG, event_id LONG). Output: append-mode closed sessions.
+    */
+  def sessionizeStateful(events: DataFrame): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = graft.operators.Sessions.GapUs
+    events.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessEvent],
+            state: GroupState[OpenSession]) =>
+          if (!state.hasTimedOut) {
+            val evs = it.map(_.us).toArray.sorted
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            for (us <- evs) {
+              cur match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, us),
+                    n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.sid, s.n, s.startUs,
+                    s.endUs)
+                  cur = Some(OpenSession(s.sid + 1, us, us, 1))
+                case None =>
+                  cur = Some(OpenSession(1, us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close once the watermark passes end-of-gap
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          } else {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.sid, s.n, s.startUs, s.endUs))
+          }
+      }
+  }
+
   /** Streaming ingestion into a collection — the foreachBatch twin of the
     * reference's append+checkpoint insert loop (db/db.go:91-97). Each
     * micro-batch runs the full insert path (embed → id-assign → append →

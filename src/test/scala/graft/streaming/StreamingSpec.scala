@@ -77,6 +77,38 @@ class StreamingSpec extends SparkTestBase {
       == "one")
   }
 
+  test("stateful sessionization equals the batch window plan") {
+    val in = MemoryStream[(Timestamp, Long, Long)](spark)
+    val out = StreamingOps.sessionizeStateful(
+      in.toDF().toDF("ts", "user_id", "event_id"))
+    val q = out.writeStream.format("memory")
+      .queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two sessions split by a 40-min gap; user 2: one session
+      in.addData(
+        (ts(1, 0), 1L, 1L), (ts(1, 10), 1L, 2L), (ts(1, 50), 1L, 3L),
+        (ts(1, 5), 2L, 4L))
+      q.processAllAvailable()
+      // advance the watermark far past every session's gap horizon
+      in.addData((ts(9, 0), 99L, 5L))
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Sessions.sessionizeDF(
+        Seq((1L, ts(1, 0), 1L), (1L, ts(1, 10), 2L), (1L, ts(1, 50), 3L),
+          (2L, ts(1, 5), 4L))
+          .toDF("user_id", "tss", "event_id")
+          .select(col("user_id"), unix_micros(col("tss")).as("us"),
+            col("event_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch, s"streaming=$got batch=$batch")
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals the batch plan on sf0.001") {
     val stream = StreamingOps.eventsHourlyStreaming(spark, sf0001).collect()
     val batch = graft.operators.Relational.eventsHourly(spark, sf0001).collect()
