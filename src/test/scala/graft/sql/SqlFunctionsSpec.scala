@@ -1,0 +1,80 @@
+package graft.sql
+
+import graft.SparkTestBase
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** The SQL surface must be the SAME expressions as the Column API:
+  * register, then compare SQL results bit-for-bit against Column calls. */
+class SqlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("text family: SQL == Column API on real documents") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(30).createOrReplaceTempView("sqlspec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_simhash(graft_tokens(text)) AS sh,
+        |  graft_fingerprint(text, 8) AS fp,
+        |  graft_langid(graft_tokens(text)) AS lang_pred,
+        |  graft_minhash(graft_word_ngrams(graft_tokens(text), 3), 4) AS mh
+        |FROM sqlspec_docs""".stripMargin)
+    val t = col("text")
+    val viaCol = spark.table("sqlspec_docs").select(col("doc_id"),
+      TextFunctions.simhash60(TextFunctions.tokens(t)).as("sh"),
+      TextFunctions.fingerprint(t, 8).as("fp"),
+      TextFunctions.langId(TextFunctions.tokens(t)).as("lang_pred"),
+      TextFunctions.minhashSignature(
+        TextFunctions.wordNgrams(TextFunctions.tokens(t), 3), 4).as("mh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("vector family: SQL == Column API on embeddings") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(30).createOrReplaceTempView("sqlspec_emb")
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_l2sq(embedding, embedding) AS zero,
+        |  graft_norm(embedding) AS nrm,
+        |  graft_cosine_sim(embedding, embedding) AS one
+        |FROM sqlspec_emb""".stripMargin)
+    val e = col("embedding")
+    val viaCol = spark.table("sqlspec_emb").select(col("vec_id"),
+      VectorFunctions.l2Sq(e, e).as("zero"),
+      VectorFunctions.norm(e).as("nrm"),
+      VectorFunctions.cosineSim(e, e).as("one"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    assert(viaSql.filter(col("zero") =!= 0.0).isEmpty)
+  }
+
+  test("a full SQL kNN query runs on the registered functions") {
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("sqlspec_knn")
+    val top = spark.sql(
+      """SELECT e.vec_id
+        |FROM sqlspec_knn e, (SELECT embedding qv FROM sqlspec_knn
+        |                     WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY graft_l2sq(e.embedding, q.qv) ASC, e.vec_id ASC
+        |LIMIT 5""".stripMargin).collect().map(_.getLong(0))
+    val viaOp = graft.operators.Similarity.knnL2(spark, sf0001)
+      .limit(5).collect().map(_.getLong(0))
+    assert(top.sameElements(viaOp), top.mkString(","))
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), vec_id) FROM sqlspec_emb")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("GraftExtensions injects the same builders (builder-path smoke)") {
+    // full session-build injection is exercised implicitly: the class
+    // only delegates to GraftFunctions.all, which the tests above cover
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
