@@ -28,6 +28,7 @@ object SparkEntry {
       graft.operators.KaerQuery.queries ++
       graft.operators.Pipeline.queries ++
       graft.operators.Sessions.queries ++
+      graft.operators.IvfIndex.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.operators.KaerQuery.oracle ++
       graft.operators.Pipeline.oracle ++
       graft.operators.Sessions.oracle ++
+      graft.operators.IvfIndex.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the storage-layout half of the ANN story that
+  * [[Similarity.annIvf]]'s in-plan variant only simulates.
+  *
+  * `build` assigns every vector to its nearest centroid and writes the
+  * table `partitionBy("cid")`: each inverted list is its own parquet
+  * directory. `probe` then filters on the probed cids, which Catalyst
+  * turns into PARTITION pruning — unprobed lists are never read, not
+  * even their footers (PlanSpec asserts PartitionFilters). At 100 TB
+  * with nlist=4096 and nprobe=64, a probe touches ~1.6% of storage; the
+  * plan shape is identical to this test-scale build.
+  *
+  * Centroids: callers either pass fixed seed vectors (oracle-replicable,
+  * what the registered query uses) or fit real ones with [[kmeansFit]] —
+  * deterministic Lloyd iterations (fixed init = lowest-id vectors,
+  * index-order double folds), each round one broadcast-assignment +
+  * one groupBy(cid) mean — no per-row shuffle beyond the k-sized
+  * aggregate.
+  */
+object IvfIndex {
+
+  /** Per-row nearest-centroid id over a literal centroid array — pure
+    * codegen'd fold, zero shuffle (same shape as Similarity.annIvf). */
+  private[operators] def assignCid(
+      cents: Seq[(Long, Array[Float])], emb: Column): Column =
+    aggregate(
+      array(cents.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val dc = l2Sq(emb, c.getField("cv"))
+        when(dc < acc.getField("d"),
+          struct(dc.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** Deterministic Lloyd's KMeans: init = the k lowest-vec_id vectors,
+    * `iters` rounds of broadcast assignment + per-cid mean. Every step is
+    * index-order double math — same seed, same data ⇒ same centroids. */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int)
+      : Seq[(Long, Array[Float])] = {
+    var cents: Seq[(Long, Array[Float])] = vectors
+      .orderBy("vec_id").limit(k)
+      .select(col("embedding")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0).toArray) }
+      .toSeq
+    for (_ <- 1 to iters) {
+      val dim = cents.head._2.length
+      val meanCols = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
+      val means = vectors
+        .withColumn("cid", assignCid(cents, col("embedding")))
+        .groupBy("cid")
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getLong(0),
+          (0 until dim).map(i => r.getDouble(i + 1).toFloat).toArray))
+        .toMap
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    cents
+  }
+
+  /** Assign + write the inverted lists (partitioned by cid) and the
+    * centroid table. Returns the index directory. */
+  def build(s: SparkSession, vectors: DataFrame, outDir: String,
+      cents: Seq[(Long, Array[Float])]): String = {
+    import s.implicits._
+    vectors
+      .withColumn("cid", assignCid(cents, col("embedding")))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$outDir/lists")
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    outDir
+  }
+
+  /** Probe: nearest `nprobe` centroids to the query, then exact top-k
+    * within those lists only. The cid filter is a PARTITION filter —
+    * unprobed lists are pruned at file level. */
+  def probe(s: SparkSession, indexDir: String, q: Array[Float], k: Int,
+      nprobe: Int, excludeId: Long = -1L): DataFrame = {
+    def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val probes = s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val qlit = array(q.map(lit(_)): _*)
+    s.read.parquet(s"$indexDir/lists")
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "label")
+  }
+
+  /** Registered end-to-end query: build the persisted index for `dir`
+    * (fixed oracle-replicable centroids: vec_id < 16), probe with vector
+    * 77 — same semantics as `ann_ivf`, but through real partitioned
+    * storage. */
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val q = e.filter(col("vec_id") === 77)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val idx = build(s, e,
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key", cents)
+    probe(s, idx, q, k = 10, nprobe = 4, excludeId = 77L)
+  }
+
+  /** Same answer contract as ann_ivf: the index is storage layout, not
+    * different math. */
+  val oracle: Map[String, String] = Map(
+    "ann_ivf_indexed" -> Similarity.oracle("ann_ivf")
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_indexed" -> (annIvfIndexed _)
+  )
+}

@@ -66,8 +66,9 @@ object Similarity {
     * as literals, so per-row centroid assignment is a pure codegen'd
     * fold — ZERO shuffle, no window, no join. The plan is
     * Scan → Project(argmin) → Filter(probed cids) → TakeOrderedAndProject.
-    * The persisted variant ([[IvfIndex]]) writes the assigned table
-    * partitioned by cid so probes prune at the file level. */
+    * The persisted variant ([[IvfIndex.annIvfIndexed]]) writes the
+    * assigned table partitioned by cid so probes prune at the file
+    * level. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)

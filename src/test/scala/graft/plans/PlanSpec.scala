@@ -41,6 +41,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ann_ivf_indexed: probe prunes unprobed inverted lists at partition level") {
+    import graft.operators.IvfIndex
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = e.filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") === 77)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val idx = IvfIndex.build(spark, e, tmpDir("ivf-plan"), cents)
+    val p = plan(IvfIndex.probe(spark, idx, q, 10, 4, 77L))
+    assert(p.contains("PartitionFilters"), p)
+    // the cid predicate must be in the partition filters, not a data filter
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("cid"), p)
+  }
+
+  test("kmeansFit is deterministic and assigns every vector") {
+    import graft.operators.IvfIndex
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c1 = IvfIndex.kmeansFit(e, 4, 3)
+    val c2 = IvfIndex.kmeansFit(e, 4, 3)
+    assert(c1.map(_._2.toSeq) == c2.map(_._2.toSeq))
+    assert(c1.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // centroids moved away from their raw seed vectors
+    val seeds = e.orderBy("vec_id").limit(4).select("embedding")
+      .collect().map(_.getSeq[Float](0).toSeq)
+    assert(c1.map(_._2.toSeq) != seeds.toSeq)
+  }
+
   test("q1_agg: two-phase aggregation (map-side partial before shuffle)") {
     val p = plan(Relational.q1Agg(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
