@@ -48,15 +48,16 @@ object Relational {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** 3-way join + agg + top-N. orders/customer side is small relative to
-    * lineitem → Catalyst broadcasts below the AQE threshold; at 100 TB the
-    * same plan becomes a shuffle join on the key — no code change. */
+  /** 3-way join + agg + top-N. The filtered customer dimension is
+    * explicitly broadcast (intent, not just an AQE size guess); the
+    * orders side is left to the planner — at 100 TB it becomes a shuffle
+    * join on the key with no code change. */
   def q3JoinTopN(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .as("revenue_cents"))
@@ -171,6 +172,22 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** MQL operator breadth through the JSON resolver in one registered
+    * query: $in (string set), $regex (anchored), numeric $gte on a JSON
+    * number — over a metadata document synthesized from `documents`
+    * columns, exactly how collection metadata flows through the engine. */
+  def mqlDocsMixed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("source"),
+        col("n_chars"))))
+      .filter(MqlFilter.toColumn(
+        """{"lang": {"$in": ["en", "fr"]},
+          | "source": {"$regex": "^src1"},
+          | "n_chars": {"$gte": 500}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** AS-OF join — each event matched to the user's most recent order at
     * or before the event timestamp. Spark has no native as-of operator;
     * the idiomatic scale shape is the union trick: tag both streams,
@@ -207,6 +224,12 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "mql_docs_mixed" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |  AND regexp_matches(source, '^src1')
+        |  AND n_chars >= 500
+        |ORDER BY doc_id""".stripMargin,
     "asof_join" ->
       """WITH ded AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -294,6 +317,7 @@ object Relational {
     "semi_join" -> (semiJoin _),
     "mql_events_range" -> (mqlEventsRange _),
     "mql_events_nor" -> (mqlEventsNor _),
-    "asof_join" -> (asofJoin _)
+    "asof_join" -> (asofJoin _),
+    "mql_docs_mixed" -> (mqlDocsMixed _)
   )
 }
