@@ -1,0 +1,99 @@
+package graft.filter
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests: random MQL predicates evaluated by the Catalyst
+  * translation must agree with a direct in-memory evaluation over a
+  * fixed corpus of JSON metadata rows — the SURVEY §5 fuzz contract.
+  * One generator covers the comparison/membership/logical operator core
+  * over int-valued fields (the type-bracketing hot zone).
+  */
+class MqlFilterPropSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 40 docs: k in 0..19, some with a second field, some missing k
+  private val corpus: Seq[(Long, String)] = (0L until 40L).map { i =>
+    val json =
+      if (i % 10 == 9) """{"other": "x"}"""
+      else if (i % 3 == 0) s"""{"k": ${i % 20}, "tag": "t${i % 4}"}"""
+      else s"""{"k": ${i % 20}}"""
+    (i, json)
+  }
+
+  private lazy val df = corpus.toDF("id", "meta").cache()
+
+  /** In-memory model of the corpus: id → Option[k]. */
+  private val model: Map[Long, Option[Long]] = corpus.map { case (i, j) =>
+    val m = "\"k\": (\\d+)".r.findFirstMatchIn(j).map(_.group(1).toLong)
+    (i, m)
+  }.toMap
+
+  sealed trait P { def json: String; def eval(k: Option[Long]): Boolean }
+  case class Cmp(op: String, v: Long) extends P {
+    def json = s"""{"k": {"$$$op": $v}}"""
+    def eval(k: Option[Long]) = k.exists { kk =>
+      op match {
+        case "eq" => kk == v; case "ne" => kk != v
+        case "gt" => kk > v; case "gte" => kk >= v
+        case "lt" => kk < v; case "lte" => kk <= v
+      }
+    } || (op == "ne" && k.isEmpty) // MQL: $ne matches missing fields
+  }
+  case class In(vs: Seq[Long], neg: Boolean) extends P {
+    def json =
+      s"""{"k": {"${if (neg) "$nin" else "$in"}": [${vs.mkString(",")}]}}"""
+    def eval(k: Option[Long]) =
+      if (neg) !k.exists(vs.contains) // $nin matches missing too
+      else k.exists(vs.contains)
+  }
+  case class Logic(op: String, cs: Seq[P]) extends P {
+    def json = s"""{"$$$op": [${cs.map(_.json).mkString(",")}]}"""
+    def eval(k: Option[Long]) = op match {
+      case "and" => cs.forall(_.eval(k))
+      case "or"  => cs.exists(_.eval(k))
+      case "nor" => !cs.exists(_.eval(k))
+    }
+  }
+  case class Exists(want: Boolean) extends P {
+    def json = s"""{"k": {"$$exists": $want}}"""
+    def eval(k: Option[Long]) = k.isDefined == want
+  }
+
+  private val genCmp: Gen[P] = for {
+    op <- Gen.oneOf("eq", "ne", "gt", "gte", "lt", "lte")
+    v <- Gen.choose(-2L, 21L)
+  } yield Cmp(op, v)
+
+  private val genIn: Gen[P] = for {
+    vs <- Gen.nonEmptyListOf(Gen.choose(0L, 20L)).map(_.distinct.take(5))
+    neg <- Gen.oneOf(true, false)
+  } yield In(vs, neg)
+
+  private val genLeaf: Gen[P] =
+    Gen.oneOf(genCmp, genIn, Gen.oneOf(true, false).map(Exists))
+
+  private val genPred: Gen[P] = for {
+    op <- Gen.oneOf("and", "or", "nor")
+    n <- Gen.choose(1, 3)
+    cs <- Gen.listOfN(n, genLeaf)
+  } yield Logic(op, cs)
+
+  test("random MQL predicates: Catalyst translation == in-memory model") {
+    val prop = Prop.forAll(Gen.oneOf(genPred, genLeaf)) { p =>
+      val got = df.filter(MqlFilter.toColumn(p.json,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = model.collect {
+        case (id, k) if p.eval(k) => id
+      }.toSet
+      if (got != want)
+        println(s"MISMATCH ${p.json}: got=$got want=$want")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -65,6 +65,25 @@ class DedupSpec extends SparkTestBase {
     labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("property: planted exact duplicates are always recalled (LSH recall=1 at J=1)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'z').map(c => c.toString * 3)
+    for (trial <- 1 to 8) {
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(12 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val dupOf = (0 until 6).map(_ => rnd.nextInt(30).toLong).distinct
+      val corpus = (docs ++ dupOf.map(i =>
+        (i + 1000L, docs(i.toInt)._2))).toDF("id", "text")
+      val pairs = Dedup.minhashPairs(corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (i <- dupOf)
+        assert(pairs.contains((i, i + 1000L)),
+          s"trial $trial: planted dup ($i,${i + 1000L}) missed; got $pairs")
+    }
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))
