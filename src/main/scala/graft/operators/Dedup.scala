@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // resplit on the TEXT corpus only: the md5-family per-row work there
+  // dominates a narrow shuffle (see Inputs.resplit); the embedding
+  // operators' per-row work (16 dot products) is too light to buy back
+  // a repartition
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")

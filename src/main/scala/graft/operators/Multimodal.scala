@@ -72,7 +72,8 @@ object Multimodal {
   /** The media corpus as a typed Dataset. */
   def corpus(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    // resplit: decode/fingerprint per-row work; see Inputs.resplit
+    Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("modality"),

@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  // resplit: regex-tokenization per row in the filters/stats; see
+  // Inputs.resplit
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
 
   /** Deterministic per-row sampling key in [0, 1000). */
   private def sampleKey: Column =

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // resplit: regex/hash per-row work; see Inputs.resplit
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
 
   /** Whitespace tokens vs extracted word tokens. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
