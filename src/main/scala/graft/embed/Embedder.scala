@@ -77,12 +77,9 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
     else new Array[Float](dim)
   }
 
-  /** First 15 hex chars of md5 as a non-negative long — mirrors
-    * [[TextFunctions.md5Hash60]] exactly. */
-  private def md5Hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  /** First 15 hex chars of md5 as a non-negative long — the same value
+    * as [[TextFunctions.md5Hash60]], via the shared native routine
+    * (thread-local digest, no hex-string round trip). */
+  private def md5Hash60(s: String): Long =
+    graft.expr.TextHash.hash60(s.getBytes("UTF-8"))
 }

@@ -172,6 +172,29 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** Grouped top-k through the typed-Aggregator (UDAF) surface — the
+    * same logical result as `window_top_customers`, by a different
+    * physical strategy: bounded k-element buffers reduce per partition
+    * and merge associatively, so only k rows per (group, partition)
+    * reach the shuffle. The oracle is the independent window-SQL
+    * formulation, proving the Aggregator's reduce/merge algebra. */
+  def topkPerNationAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topk = new graft.functions.TopKByScore(3).toColumn
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("top"))
+      .toDF("c_nationkey", "top")
+      .select(col("c_nationkey"),
+        posexplode(col("top")).as(Seq("pos", "c_custkey")))
+      .select(col("c_nationkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("c_custkey"))
+      .orderBy("c_nationkey", "rank")
+  }
+
   /** MQL operator breadth through the JSON resolver in one registered
     * query: $in (string set), $regex (anchored), numeric $gte on a JSON
     * number — over a metadata document synthesized from `documents`
@@ -224,6 +247,14 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "topk_per_nation_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(rn AS BIGINT) AS rank, c_custkey FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_nationkey, rank""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -318,6 +349,7 @@ object Relational {
     "mql_events_range" -> (mqlEventsRange _),
     "mql_events_nor" -> (mqlEventsNor _),
     "asof_join" -> (asofJoin _),
-    "mql_docs_mixed" -> (mqlDocsMixed _)
+    "mql_docs_mixed" -> (mqlDocsMixed _),
+    "topk_per_nation_agg" -> (topkPerNationAgg _)
   )
 }
