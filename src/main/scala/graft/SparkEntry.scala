@@ -29,6 +29,8 @@ object SparkEntry {
       graft.operators.Pipeline.queries ++
       graft.operators.Sessions.queries ++
       graft.operators.IvfIndex.queries ++
+      graft.sources.Formats.queries ++
+      graft.operators.Skew.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.operators.Pipeline.oracle ++
       graft.operators.Sessions.oracle ++
       graft.operators.IvfIndex.oracle ++
+      graft.sources.Formats.oracle ++
+      graft.operators.Skew.oracle ++
       graft.streaming.StreamingOps.oracle
 }

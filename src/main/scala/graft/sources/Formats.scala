@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage beyond parquet: CSV and JSON lines, each
+  * exercised as a full write → read → query round trip so both the sink
+  * and the source sides are under the oracle gate (the read back must
+  * reproduce the parquet-sourced answer exactly).
+  *
+  * Schemas are always EXPLICIT on read: schema inference is a sample scan
+  * plus a guess — at 100 TB it is a full extra pass that can still guess
+  * wrong. Timestamps cross the text formats as epoch integers (lossless,
+  * tz-free); money crosses as exact integer cents.
+  */
+object Formats {
+
+  private def scratch(dir: String, fmt: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft-fmt-$fmt-$key"
+  }
+
+  /** supplier → CSV (header) → read with explicit schema → per-nation
+    * rollup. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "csv")
+    s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", IntegerType),
+      StructField("acctbal_cents", LongType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("acctbal_cents")).as("total_cents"))
+      .orderBy("s_nationkey")
+  }
+
+  /** events → JSON lines (ts as epoch micros) → read with explicit
+    * schema → per-type rollup. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "json")
+    graft.operators.Relational.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts_us", LongType),
+      StructField("value_cents", LongType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(col("value_cents")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_roundtrip" -> (csvRoundtrip _),
+    "json_roundtrip" -> (jsonRoundtrip _)
+  )
+}
