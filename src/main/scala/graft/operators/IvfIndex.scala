@@ -26,7 +26,7 @@ object IvfIndex {
 
   /** Per-row nearest-centroid id over a literal centroid array — pure
     * codegen'd fold, zero shuffle (same shape as Similarity.annIvf). */
-  private[operators] def assignCid(
+  private[graft] def assignCid(
       cents: Seq[(Long, Array[Float])], emb: Column): Column =
     aggregate(
       array(cents.map { case (cid, cv) =>
@@ -66,6 +66,30 @@ object IvfIndex {
       cents = cents.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
     }
     cents
+  }
+
+  /** MLlib-backed centroid fit — the production path for large corpora
+    * (BASELINE.json's declared approach: "batch vector index build via
+    * MLlib"): `org.apache.spark.ml.clustering.KMeans` with a fixed seed
+    * and k-means|| init. Deterministic for a given seed+data+partitioning
+    * but NOT oracle-replicable in SQL, so the registered gate query uses
+    * fixed centroids and this path is spec-verified instead
+    * (PlanSpec: assignments complete, SSE no worse than seed-vector
+    * centroids). */
+  def kmeansFitMl(vectors: DataFrame, k: Int, iters: Int, seed: Long = 42L)
+      : Seq[(Long, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = vectors.select(
+      array_to_vector(col("embedding").cast("array<double>"))
+        .as("features"))
+    val model = new KMeans()
+      .setK(k).setMaxIter(iters).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray.map(_.toFloat))
+    }.toSeq
   }
 
   /** Assign + write the inverted lists (partitioned by cid) and the

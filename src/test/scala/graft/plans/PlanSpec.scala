@@ -71,6 +71,28 @@ class PlanSpec extends SparkTestBase {
     assert(c1.map(_._2.toSeq) != seeds.toSeq)
   }
 
+  test("kmeansFitMl (MLlib path): deterministic, and SSE beats raw seed vectors") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val ml1 = IvfIndex.kmeansFitMl(e, 4, 5)
+    val ml2 = IvfIndex.kmeansFitMl(e, 4, 5)
+    assert(ml1.map(_._2.toSeq) == ml2.map(_._2.toSeq))
+    def sse(cents: Seq[(Long, Array[Float])]): Double = {
+      import org.apache.spark.sql.functions.{array, least, lit, sum}
+      val dists = cents.map { case (_, cv) =>
+        graft.functions.VectorFunctions.l2Sq(col("embedding"),
+          array(cv.map(lit(_)): _*))
+      }
+      e.select(sum(least(dists: _*))).head().getDouble(0)
+    }
+    val seedCents = e.orderBy("vec_id").limit(4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(sse(ml1) < sse(seedCents),
+      s"ml=${sse(ml1)} seeds=${sse(seedCents)}")
+  }
+
   test("q1_agg: two-phase aggregation (map-side partial before shuffle)") {
     val p = plan(Relational.q1Agg(spark, sf0001))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
