@@ -220,6 +220,7 @@ object MqlFilter {
           case "$gte" => cast >= l
           case "$lt"  => cast < l
           case "$lte" => cast <= l
+          case "$regex" => e.rlike(litNode.asText())
           case other => throw new IllegalArgumentException(
             s"unsupported $$elemMatch op: $other")
         }

@@ -211,6 +211,24 @@ object Relational {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** The MQL ARRAY operator family ($all, $size, $elemMatch) plus $type
+    * under the oracle gate: metadata carries a real JSON array (the two
+    * tag strings), and the filter requires all of {the doc's lang}, a
+    * 2-element tag array, an element matching ^src, and n_chars typed as
+    * an integral number. */
+  def mqlDocsArray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(
+        array(col("lang"), col("source")).as("tags"),
+        col("lang"), col("n_chars"))))
+      .filter(MqlFilter.toColumn(
+        """{"tags": {"$all": ["en"], "$size": 2,
+          |          "$elemMatch": {"$regex": "^src"}},
+          | "n_chars": {"$type": "long"}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** AS-OF join — each event matched to the user's most recent order at
     * or before the event timestamp. Spark has no native as-of operator;
     * the idiomatic scale shape is the union trick: tag both streams,
@@ -255,6 +273,13 @@ object Relational {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) WHERE rn <= 3
         |ORDER BY c_nationkey, rank""".stripMargin,
+    "mql_docs_array" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains([lang, source], 'en')
+        |  AND len([lang, source]) = 2
+        |  AND len(list_filter([lang, source],
+        |        t -> regexp_matches(t, '^src'))) > 0
+        |ORDER BY doc_id""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -350,6 +375,7 @@ object Relational {
     "mql_events_nor" -> (mqlEventsNor _),
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
+    "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _)
   )
 }
