@@ -31,6 +31,7 @@ object SparkEntry {
       graft.operators.IvfIndex.queries ++
       graft.sources.Formats.queries ++
       graft.operators.Skew.queries ++
+      graft.operators.Quantize.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.operators.IvfIndex.oracle ++
       graft.sources.Formats.oracle ++
       graft.operators.Skew.oracle ++
+      graft.operators.Quantize.oracle ++
       graft.streaming.StreamingOps.oracle
 }
