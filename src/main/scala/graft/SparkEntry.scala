@@ -32,6 +32,7 @@ object SparkEntry {
       graft.sources.Formats.queries ++
       graft.operators.Skew.queries ++
       graft.operators.Quantize.queries ++
+      graft.operators.Bucketing.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.sources.Formats.oracle ++
       graft.operators.Skew.oracle ++
       graft.operators.Quantize.oracle ++
+      graft.operators.Bucketing.oracle ++
       graft.streaming.StreamingOps.oracle
 }

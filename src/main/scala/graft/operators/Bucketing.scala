@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located joins — the storage-layout answer to the biggest
+  * shuffle in a warehouse: write both fact tables bucketed (and sorted)
+  * by the join key, and every subsequent equi-join on that key runs with
+  * ZERO exchange on either side — each task sort-merges bucket i of A
+  * with bucket i of B straight off storage. At 100 TB you pay the
+  * bucketing shuffle once at ingest and never again across the join's
+  * whole query lifetime; PlanSpec asserts the exchange-free plan.
+  *
+  * Tables are managed (bucketBy requires saveAsTable); the session's
+  * warehouse dir holds them and names are per-sf-dir so scale factors
+  * don't collide.
+  */
+object Bucketing {
+
+  private val Buckets = 8
+
+  private def suffix(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Write orders + lineitem bucketed by the join key (idempotent per
+    * sf dir). Returns the table names. */
+  /** The in-memory catalog dies with the JVM but the warehouse files
+    * don't; a table that is absent from the catalog yet present on disk
+    * is a stale leftover — remove it so saveAsTable can recreate. */
+  private def dropStale(s: SparkSession, table: String): Unit = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val (ot, lt) = (s"orders_b_${suffix(dir)}", s"lineitem_b_${suffix(dir)}")
+    if (!s.catalog.tableExists(ot)) {
+      dropStale(s, ot)
+      s.read.parquet(s"$dir/orders.parquet")
+        .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(ot)
+    }
+    if (!s.catalog.tableExists(lt)) {
+      dropStale(s, lt)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(lt)
+    }
+    (ot, lt)
+  }
+
+  /** The co-located join: revenue by order status, joining the two
+    * bucketed tables on the bucket key — no exchange on either side. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = ensureBucketed(s, dir)
+    val o = s.table(ot)
+    val l = s.table(lt)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> (bucketedJoin _)
+  )
+}

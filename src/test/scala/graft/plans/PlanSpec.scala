@@ -71,6 +71,31 @@ class PlanSpec extends SparkTestBase {
     assert(c1.map(_._2.toSeq) != seeds.toSeq)
   }
 
+  test("bucketed_join: zero exchange before the sort-merge join") {
+    import graft.operators.Bucketing
+    // at sf0.001 the planner prefers broadcasting the tiny orders side
+    // (also exchange-free); disable broadcast to surface the layout the
+    // bucketing exists for — SMJ with co-located bucket reads
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan(Bucketing.bucketedJoin(spark, sf0001))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, p)
+    // no Exchange anywhere below the join (the only exchanges allowed
+    // are the aggregation/sort ABOVE it)
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"), below)
+    val df = Bucketing.bucketedJoin(spark, sf0001)
+    // and the answer matches the unbucketed formulation
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .count()
+    assert(df.selectExpr("sum(n_items)").head().getLong(0) == direct)
+  }
+
   test("kmeansFitMl (MLlib path): deterministic, and SSE beats raw seed vectors") {
     import graft.operators.IvfIndex
     import org.apache.spark.sql.functions.col
