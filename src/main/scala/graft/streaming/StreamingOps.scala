@@ -132,6 +132,17 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of `dedup_exact`:
+    * drop re-deliveries of the same content hash, with state bounded by
+    * the watermark horizon (duplicates farther apart than the horizon
+    * are not deduped — the documented, bounded-state contract;
+    * unbounded exact streaming dedup would hold every hash forever). */
+  def dedupExactStreaming(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+
   /** Streaming ingestion into a collection — the foreachBatch twin of the
     * reference's append+checkpoint insert loop (db/db.go:91-97). Each
     * micro-batch runs the full insert path (embed → id-assign → append →

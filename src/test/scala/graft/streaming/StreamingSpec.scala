@@ -77,6 +77,25 @@ class StreamingSpec extends SparkTestBase {
       == "one")
   }
 
+  test("streaming dedup drops re-delivered content within the watermark") {
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = StreamingOps.dedupExactStreaming(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      in.addData((ts(1, 0), 1L, "alpha"), (ts(1, 1), 2L, "beta"))
+      q.processAllAvailable()
+      // re-delivery of "alpha" (same content, new id) within the horizon
+      in.addData((ts(1, 30), 3L, "alpha"), (ts(1, 31), 4L, "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream")
+        .collect().map(_.getAs[String]("text")).sorted
+      assert(texts.sameElements(Array("alpha", "beta", "gamma")),
+        texts.mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful sessionization equals the batch window plan") {
     val in = MemoryStream[(Timestamp, Long, Long)](spark)
     val out = StreamingOps.sessionizeStateful(
