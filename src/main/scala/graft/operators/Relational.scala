@@ -195,6 +195,27 @@ object Relational {
       .orderBy("c_nationkey", "rank")
   }
 
+  /** ROLLUP (grouping sets): per (flag, status), per flag, and grand
+    * total in one pass — Expand + single aggregation shuffle. */
+  def rollupSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** PIVOT: order counts by status as columns, one row per priority.
+    * (Pivot is syntactic over groupBy+conditional aggregation; the
+    * oracle spells out the CASE form.) */
+  def pivotOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
   /** MQL operator breadth through the JSON resolver in one registered
     * query: $in (string set), $regex (anchored), numeric $gte on a JSON
     * number — over a metadata document synthesized from `documents`
@@ -265,6 +286,20 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "topk_per_nation_agg" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  CAST(rn AS BIGINT) AS rank, c_custkey FROM (
@@ -376,6 +411,8 @@ object Relational {
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_array" -> (mqlDocsArray _),
-    "topk_per_nation_agg" -> (topkPerNationAgg _)
+    "topk_per_nation_agg" -> (topkPerNationAgg _),
+    "rollup_sales" -> (rollupSales _),
+    "pivot_orders" -> (pivotOrders _)
   )
 }

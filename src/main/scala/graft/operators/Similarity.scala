@@ -136,6 +136,68 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** LSH-accelerated kNN JOIN — the approximate scale path of
+    * [[knnJoin]]: both sides band their hyperplane signatures (16
+    * md5-seeded hyperplanes, 4 bands × 4 bits), candidates come from ONE
+    * equi-join on the (band, value) key instead of a cross product, and
+    * only candidates pay the exact-cosine verify + per-query top-k. A
+    * query returns fewer than k rows when fewer than k corpus vectors
+    * collide — the documented recall trade; raise bands (or probe
+    * neighboring band values) for more recall, bits per band for less
+    * work, without changing the plan. */
+  def annJoinLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(toCol(graft.expr.HyperBandValues(
+          toExpr(col("embedding")), 4))).as(Seq("band", "bv")))
+    val e = emb(s, dir)
+    val q = banded(e.filter(col("vec_id") % 100 === 7), "qid", "qv")
+    val c = banded(e.filter(col("vec_id") % 100 =!= 7), "vec_id", "cv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    c.join(broadcast(q), Seq("band", "bv"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("cv"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("sim", cosineSim(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy("qid", "rank")
+  }
+
+  private def lshJoinOracle: String = {
+    def signsLit(j: Int): String =
+      graft.expr.TextHash.hyperplanes(j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def projSql(j: Int): String =
+      s"list_sum([embedding[i]::DOUBLE * (${signsLit(j)})[i] " +
+        s"for i in generate_series(1,64)])"
+    val bandRows = (0 until 4).map { b =>
+      val v = (0 until 4).map { k =>
+        s"(CASE WHEN ${projSql(b * 4 + k)} > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, embedding, $b AS band, $v AS bv FROM embeddings"
+    }.mkString(" UNION ALL ")
+    def dot(a: String, bq: String): String =
+      s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,64)])"
+    s"""WITH bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id,
+       |    q.embedding AS qv, c.embedding AS cv
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+       |  WHERE q.vec_id % 100 = 7 AND c.vec_id % 100 <> 7),
+       |ranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      ${dot("cv", "qv")} /
+       |        (sqrt(${dot("cv", "cv")}) * sqrt(${dot("qv", "qv")})) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, rank, vec_id FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB-side squared L2 between two FLOAT[] lists, double math,
     * index order — mirrors VectorFunctions.l2Sq. */
   private def sqlL2(a: String, b: String): String =
@@ -169,6 +231,7 @@ object Similarity {
          |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
          |  FROM embeddings e, q WHERE e.vec_id % 100 <> 7)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "ann_join_lsh" -> lshJoinOracle,
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
@@ -191,6 +254,7 @@ object Similarity {
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
+    "ann_join_lsh" -> (annJoinLsh _),
     "ann_ivf" -> (annIvf _)
   )
 }
