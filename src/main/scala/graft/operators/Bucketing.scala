@@ -25,29 +25,35 @@ object Bucketing {
   /** Write orders + lineitem bucketed by the join key (idempotent per
     * sf dir). Returns the table names. */
   /** The in-memory catalog dies with the JVM but the warehouse files
-    * don't; a table that is absent from the catalog yet present on disk
-    * is a stale leftover — remove it so saveAsTable can recreate. */
-  private def dropStale(s: SparkSession, table: String): Unit = {
+    * don't. When the files are already there from a previous session,
+    * re-register them as an EXTERNAL bucketed table (bucket-to-file
+    * mapping is encoded in the file names Spark wrote) instead of paying
+    * the bucketing shuffle again — that is the whole point of the
+    * layout: bucket once, reuse forever. */
+  private def ensureTable(s: SparkSession, table: String, src: String,
+      key: String): Unit = {
+    if (s.catalog.tableExists(table)) return
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.endsWith(".parquet"))) {
+      val schema = s.read.parquet(p.toString).schema.toDDL
+      s.sql(s"""CREATE TABLE $table ($schema) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+               |LOCATION '${p.toString}'""".stripMargin)
+    } else {
+      if (fs.exists(p)) fs.delete(p, true) // partial leftover
+      s.read.parquet(src)
+        .write.bucketBy(Buckets, key).sortBy(key)
+        .mode("overwrite").format("parquet").saveAsTable(table)
+    }
   }
 
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     val (ot, lt) = (s"orders_b_${suffix(dir)}", s"lineitem_b_${suffix(dir)}")
-    if (!s.catalog.tableExists(ot)) {
-      dropStale(s, ot)
-      s.read.parquet(s"$dir/orders.parquet")
-        .write.bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable(ot)
-    }
-    if (!s.catalog.tableExists(lt)) {
-      dropStale(s, lt)
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").format("parquet").saveAsTable(lt)
-    }
+    ensureTable(s, ot, s"$dir/orders.parquet", "o_orderkey")
+    ensureTable(s, lt, s"$dir/lineitem.parquet", "l_orderkey")
     (ot, lt)
   }
 
