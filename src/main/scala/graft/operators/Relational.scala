@@ -216,6 +216,49 @@ object Relational {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
+  /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
+    * run verbatim through spark.sql over temp views — six-table join,
+    * the planner free to pick broadcast vs shuffle per side. */
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
+        "supplier"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+  }
+
+  /** Exact quantiles (no approx sketch — bit-comparable): quartiles of
+    * order value via `percentile`, which matches DuckDB's
+    * quantile_cont linear interpolation on exact integer cents. */
+  def quantilesOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("pc"))
+      .agg(
+        expr("percentile(pc, 0.25)").as("q25"),
+        expr("percentile(pc, 0.5)").as("q50"),
+        expr("percentile(pc, 0.75)").as("q75"))
+
+  /** Sliding windows: 2-hour windows sliding by 1 hour over events —
+    * each event lands in two windows (Spark's window() is epoch-aligned;
+    * the oracle unnests the two containing window starts per event). */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start_s"),
+        col("event_type"), col("n"))
+      .orderBy("win_start_s", "event_type")
+
   /** MQL operator breadth through the JSON resolver in one registered
     * query: $in (string set), $regex (anchored), numeric $gte on a JSON
     * number — over a metadata document synthesized from `documents`
@@ -286,6 +329,31 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "quantiles_orders" ->
+      """SELECT
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS q50,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS q75
+        |FROM orders""".stripMargin,
+    "events_sliding" ->
+      """SELECT win_start_s, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600,
+        |            CAST(epoch(date_trunc('hour', ts)) AS BIGINT)])
+        |      AS win_start_s
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     "rollup_sales" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
@@ -413,6 +481,9 @@ object Relational {
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),
-    "pivot_orders" -> (pivotOrders _)
+    "pivot_orders" -> (pivotOrders _),
+    "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "quantiles_orders" -> (quantilesOrders _),
+    "events_sliding" -> (eventsSliding _)
   )
 }
