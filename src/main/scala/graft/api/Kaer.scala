@@ -130,10 +130,21 @@ final class Collection(
     val embedder: Embedder) {
 
   private val dataDir = new Path(dir, "data").toString
-  // recovered watermark — see class doc
-  private var lastId: Long = {
-    val sidecar = Meta.read(spark, dir).map(_.lastId).getOrElse(0L)
-    math.max(sidecar, maxIdInData())
+  // recovered watermark + row count — see class doc. When the sidecar is
+  // stale (data holds ids past its watermark: crash between append and
+  // sidecar write, or a rebuilt sidecar), the row count is re-synced from
+  // data ONCE here — the recovery path pays one scan so the steady-state
+  // insert path never has to (single-writer contract, as the reference).
+  private var lastId: Long = 0L
+  private var rowsCount: Long = 0L
+  locally {
+    val meta = Meta.read(spark, dir)
+    val sidecarLast = meta.map(_.lastId).getOrElse(0L)
+    val dataMax = maxIdInData()
+    lastId = math.max(sidecarLast, dataMax)
+    rowsCount =
+      if (sidecarLast >= dataMax) meta.map(_.rows).getOrElse(0L)
+      else count()
   }
 
   private def hasData: Boolean = {
@@ -186,7 +197,6 @@ final class Collection(
     */
   def insertDF(base: DataFrame): Unit = {
     val start = lastId
-    val prevRows = Meta.read(spark, dir).map(_.rows).getOrElse(0L)
     val n = base.count()
     if (n > 0) {
       val indexed = zipWithId(base, start)
@@ -195,8 +205,9 @@ final class Collection(
           col(Schema.EmbeddingCol), col(Schema.MetaCol))
       indexed.write.mode("append").parquet(dataDir)
       lastId = start + n
+      rowsCount += n
       Meta.write(spark, dir,
-        CollectionMeta(name, lastId, embedder.dim, embedder.id, prevRows + n))
+        CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
     }
   }
 

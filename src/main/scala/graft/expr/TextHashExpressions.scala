@@ -45,6 +45,11 @@ object TextHash {
     out
   }
 
+  /** md5 as a 32-char lowercase hex String (thread-local digest) — for
+    * callers needing hex slices rather than [[hash60]]'s long. */
+  def md5HexString(input: Array[Byte]): String =
+    new String(md5HexBytes(input), "US-ASCII")
+
   /** Value of the first 15 hex chars of md5 = top 60 bits of the first 8
     * digest bytes — TextFunctions.md5Hash60 / the oracle's
     * ('0x' || substr(md5(x),1,15))::BIGINT. */
@@ -63,26 +68,30 @@ object TextHash {
     * empty transform is null — oracle parity). */
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](k))
-    // per-shingle UTF-8 bytes, fetched once
-    val shingleBytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) {
-      shingleBytes(i) = shingles.getUTF8String(i).getBytes
-      i += 1
+    // null shingles are skipped — the composed form hashes them to null
+    // and array_min ignores nulls
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var j0 = 0
+    while (j0 < n) {
+      if (!shingles.isNullAt(j0))
+        buf += shingles.getUTF8String(j0).getBytes
+      j0 += 1
     }
+    if (buf.isEmpty) return new GenericArrayData(new Array[Any](k))
+    val shingleBytes = buf.toArray
+    val m = shingleBytes.length
     val out = new Array[Any](k)
     var seed = 0
     while (seed < k) {
       val prefix = (seed.toString + ":").getBytes("US-ASCII")
       var min: Array[Byte] = null
-      i = 0
-      while (i < n) {
-        val buf = new Array[Byte](prefix.length + shingleBytes(i).length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(shingleBytes(i), 0, buf, prefix.length,
+      var i = 0
+      while (i < m) {
+        val cat = new Array[Byte](prefix.length + shingleBytes(i).length)
+        System.arraycopy(prefix, 0, cat, 0, prefix.length)
+        System.arraycopy(shingleBytes(i), 0, cat, prefix.length,
           shingleBytes(i).length)
-        val hex = md5HexBytes(buf)
+        val hex = md5HexBytes(cat)
         if (min == null || compareHex(hex, min) < 0) min = hex
         i += 1
       }
@@ -109,8 +118,8 @@ object TextHash {
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      val t = tokens.getUTF8String(i)
-      if (seen.add(t)) {
+      val t = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      if (t != null && seen.add(t)) {
         val h = hash60(t.getBytes)
         var j = 0
         while (j < 60) {
@@ -171,7 +180,10 @@ object TextHash {
     val toks = new java.util.HashSet[UTF8String]()
     var i = 0
     val n = tokens.numElements()
-    while (i < n) { toks.add(tokens.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      if (!tokens.isNullAt(i)) toks.add(tokens.getUTF8String(i))
+      i += 1
+    }
     var best = und
     var bestCnt = 0
     var l = 0
@@ -202,10 +214,17 @@ object TextHash {
     val out = new Array[Any](nt - n + 1)
     var i = 0
     while (i <= nt - n) {
+      // concat_ws semantics: null tokens are skipped, not empty-joined
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-      out(i) = UTF8String.concatWs(space, parts: _*)
+      var kept = 0
+      while (j < n) {
+        if (!toks.isNullAt(i + j)) {
+          parts(kept) = toks.getUTF8String(i + j); kept += 1
+        }
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(space, parts.take(kept): _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -231,8 +250,14 @@ object TextHash {
       while (i <= nt - n) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        grams.add(UTF8String.concatWs(space, parts: _*))
+        var kept = 0
+        while (j < n) {
+          if (!toks.isNullAt(i + j)) {
+            parts(kept) = toks.getUTF8String(i + j); kept += 1
+          }
+          j += 1
+        }
+        grams.add(UTF8String.concatWs(space, parts.take(kept): _*))
         i += 1
       }
     }

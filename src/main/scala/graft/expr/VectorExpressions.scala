@@ -27,6 +27,8 @@ object VectorMath {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element poisons the fold, as in the composed zip_with form
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
@@ -39,15 +41,22 @@ object VectorMath {
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
-  def normSq(a: ArrayData): Double = {
+  def normSq(a: ArrayData): Any = {
     var acc = 0.0
     var i = 0
     val n = a.numElements()
-    while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = a.getDouble(i); acc += v * v; i += 1
+    }
     acc
   }
 }
@@ -90,11 +99,15 @@ case class DotExpr(left: Expression, right: Expression)
 
 case class NormSqExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
     VectorMath.normSq(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.VectorMath.normSq($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.expr.VectorMath.normSq($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+    """)
   override protected def withNewChildInternal(c: Expression): NormSqExpr =
     copy(child = c)
 }

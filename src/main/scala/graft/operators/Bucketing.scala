@@ -20,10 +20,8 @@ object Bucketing {
   private val Buckets = 8
 
   private def suffix(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
+    graft.core.Scratch.key(dir)
 
-  /** Write orders + lineitem bucketed by the join key (idempotent per
-    * sf dir). Returns the table names. */
   /** The in-memory catalog dies with the JVM but the warehouse files
     * don't. When the files are already there from a previous session,
     * re-register them as an EXTERNAL bucketed table (bucket-to-file

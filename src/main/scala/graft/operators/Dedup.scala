@@ -171,7 +171,8 @@ object Dedup {
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val MaxRounds = 50 // >= any plausible near-dup component diameter
+    while (!converged && rounds < MaxRounds) {
       val prop = edges.join(labels.select(col("id").as("dst"),
           col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
@@ -183,6 +184,10 @@ object Dedup {
       prevSum = s2
       rounds += 1
     }
+    // wrong labels are worse than no labels: a component with diameter
+    // beyond the cap must fail loudly, not ship a split cluster
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $MaxRounds rounds")
     labels.select(col("id"), col("lbl").as("cluster")).orderBy("id")
   }
 

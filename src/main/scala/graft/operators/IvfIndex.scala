@@ -107,18 +107,22 @@ object IvfIndex {
     outDir
   }
 
+  /** Driver-side squared L2 — same double math + index fold order as the
+    * column/oracle paths (shared by probe selection here and in
+    * Similarity.annIvf). */
+  private[graft] def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+    }
+    acc
+  }
+
   /** Probe: nearest `nprobe` centroids to the query, then exact top-k
     * within those lists only. The cid filter is a PARTITION filter —
     * unprobed lists are pruned at file level. */
   def probe(s: SparkSession, indexDir: String, q: Array[Float], k: Int,
       nprobe: Int, excludeId: Long = -1L): DataFrame = {
-    def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) {
-        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
-      }
-      acc
-    }
     val probes = s.read.parquet(s"$indexDir/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
@@ -144,9 +148,7 @@ object IvfIndex {
       .sortBy(_._1).toSeq
     val q = e.filter(col("vec_id") === 77)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = build(s, e,
-      s"${System.getProperty("java.io.tmpdir")}/graft-ivf-$key", cents)
+    val idx = build(s, e, graft.core.Scratch.dir("ivf", dir), cents)
     probe(s, idx, q, k = 10, nprobe = 4, excludeId = 77L)
   }
 

@@ -28,10 +28,8 @@ object KaerQuery {
 
   /** Stable per-sfDir scratch root (re-created on every call so repeated
     * runs are deterministic). */
-  private def scratch(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft-kaer-$key"
-  }
+  private def scratch(dir: String): String =
+    graft.core.Scratch.dir("kaer", dir)
 
   /** Build (drop + re-create) the collection for `dir` and run the
     * flagship query. Insert order is doc_id order — zipWithIndex preserves

@@ -41,15 +41,12 @@ object Multimodal {
   /** Arrow-batch-shaped chunk size for the per-partition loop. */
   val BatchSize = 64
 
+  /** Shared hashing convention (graft.expr.TextHash): thread-local
+    * digest, no per-row MessageDigest allocation — this family is
+    * documented as running at scan speed, so the per-row constant
+    * matters. */
   private def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"$b%02x").mkString
-
-  /** First 15 md5 hex chars as a non-negative 60-bit long — the same
-    * convention as TextFunctions.md5Hash60 / the oracle's
-    * ('0x' || substr(md5(x),1,15))::BIGINT. */
-  private def h60(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s.getBytes("UTF-8")).take(15), 16)
+    graft.expr.TextHash.md5HexString(bytes)
 
   /** THE DECODE STUB: a deterministic fake standing in for a real codec
     * (libjpeg/ffmpeg are not in this container). Derives plausible

@@ -40,10 +40,8 @@ object Quantize {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale / 127.0)
 
-  private def scratch(dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft-quant-$key"
-  }
+  private def scratch(dir: String): String =
+    graft.core.Scratch.dir("quant", dir)
 
   /** Round trip + search: top-10 by cosine on the DEQUANTIZED vectors
     * against query vector 5 (itself excluded). */

@@ -77,33 +77,14 @@ object Similarity {
     val q: Array[Float] = e.filter(col("vec_id") === 77)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
-    // driver-side probe selection: same double math + index fold order as
-    // the oracle's list_sum, ties by cid ascending
-    def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) {
-        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
-      }
-      acc
-    }
-    val probes = cents.map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
+    // driver-side probe selection + per-row broadcast argmin are the
+    // shared IvfIndex helpers (one copy of the tie-break semantics)
+    val probes = cents
+      .map { case (cid, cv) => (cid, IvfIndex.l2sqLocal(cv, q)) }
       .sortBy { case (cid, dq) => (dq, cid) }.take(4).map(_._1)
 
-    // per-row argmin over a literal centroid array; strict < keeps the
-    // lowest cid on distance ties (== oracle's ORDER BY dc ASC, cid ASC)
-    val centArr = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
-    }: _*)
-    val assignedCid = aggregate(centArr,
-      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val dc = l2Sq(col("embedding"), c.getField("cv"))
-        when(dc < acc.getField("d"),
-          struct(dc.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-      }).getField("cid")
-
     val qlit = array(q.map(lit(_)): _*)
-    e.withColumn("cid", assignedCid)
+    e.withColumn("cid", IvfIndex.assignCid(cents.toSeq, col("embedding")))
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
       .withColumn("d", l2Sq(col("embedding"), qlit))
       .orderBy(col("d").asc, col("vec_id").asc)

@@ -16,10 +16,8 @@ import org.apache.spark.sql.types._
   */
 object Formats {
 
-  private def scratch(dir: String, fmt: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    s"${System.getProperty("java.io.tmpdir")}/graft-fmt-$fmt-$key"
-  }
+  private def scratch(dir: String, fmt: String): String =
+    graft.core.Scratch.dir(s"fmt-$fmt", dir)
 
   /** supplier → CSV (header) → read with explicit schema → per-nation
     * rollup. */

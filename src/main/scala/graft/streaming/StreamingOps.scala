@@ -81,9 +81,14 @@ object StreamingOps {
     * per user (bounded state: O(users), not O(events)); emits a session
     * when a new event arrives past the 30-minute gap, and closes the
     * trailing session via event-time timeout once the watermark passes
-    * gap-after-last-event. Late events inside the watermark extend or
-    * reopen correctly because each micro-batch's events are sorted before
-    * merging; events later than the watermark are dropped by the runtime.
+    * gap-after-last-event. Late events inside the watermark extend the
+    * open session at EITHER end (including pulling start_us backward —
+    * batch parity); an in-window event more than a gap before the open
+    * session closes immediately as its own past session. Already-emitted
+    * sessions are never retracted (append mode), so ordinals emitted
+    * before such an outlier arrived keep their numbering — the inherent
+    * append-stream approximation. Events later than the watermark are
+    * dropped by the runtime.
     *
     * Input: a streaming frame with (ts TIMESTAMP watermarkable, user_id
     * LONG, event_id LONG). Output: append-mode closed sessions.
@@ -107,13 +112,24 @@ object StreamingOps {
             val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
             for (us <- evs) {
               cur match {
-                case Some(s) if us - s.endUs <= gapUs =>
-                  cur = Some(s.copy(endUs = math.max(s.endUs, us),
-                    n = s.n + 1))
-                case Some(s) =>
+                // within-gap of the session INTERVAL: extend both ends —
+                // a late-but-inside-watermark event earlier than the
+                // current start must pull start_us back (batch parity)
+                case Some(s) if us >= s.startUs - gapUs &&
+                    us <= s.endUs + gapUs =>
+                  cur = Some(s.copy(startUs = math.min(s.startUs, us),
+                    endUs = math.max(s.endUs, us), n = s.n + 1))
+                case Some(s) if us > s.endUs =>
                   closed += ClosedSession(user, s.sid, s.n, s.startUs,
                     s.endUs)
                   cur = Some(OpenSession(s.sid + 1, us, us, 1))
+                case Some(s) =>
+                  // entirely before the open session by more than the
+                  // gap: a separate PAST session, already final (its
+                  // whole gap horizon precedes data we've accepted);
+                  // emit it and shift the open session's ordinal
+                  closed += ClosedSession(user, s.sid, 1, us, us)
+                  cur = Some(s.copy(sid = s.sid + 1))
                 case None =>
                   cur = Some(OpenSession(1, us, us, 1))
               }

@@ -62,6 +62,11 @@ class KaerSpec extends SparkTestBase {
     c2.insert(Data().withDocuments(Seq("cc")))
     val ids = c2.df.select("_m_id").collect().map(_.getLong(0)).sorted
     assert(ids.sameElements(1L to 3L), s"got ${ids.mkString(",")}")
+    // the stale sidecar's row count must be re-synced from data on the
+    // recovery path, not carried forward as 0
+    val meta = Meta.read(spark, s"$root/c").get
+    assert(meta.rows == 3L, s"sidecar rows=${meta.rows}")
+    assert(meta.lastId == 3L)
   }
 
   test("query respects filter, k, distance order, and emits _distance") {

@@ -63,6 +63,22 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(top.sameElements(viaOp), top.mkString(","))
   }
 
+  test("null elements: vector funcs return NULL; hash funcs skip, not crash") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_l2sq(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS l2n,
+        |  graft_norm(array(CAST(NULL AS DOUBLE))) AS nn,
+        |  graft_minhash(array('a', CAST(NULL AS STRING)), 2) AS mh,
+        |  graft_simhash(array('a', CAST(NULL AS STRING))) AS sh,
+        |  graft_minhash(array('a'), 2) AS mh_ref,
+        |  graft_simhash(array('a')) AS sh_ref""".stripMargin).head()
+    assert(r.isNullAt(0), "l2sq with null element must be NULL")
+    assert(r.isNullAt(1), "norm with null element must be NULL")
+    // null elements are skipped: same answer as without them
+    assert(r.getSeq[String](2) == r.getSeq[String](4))
+    assert(r.getLong(3) == r.getLong(5))
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash(array('a'), vec_id) FROM sqlspec_emb")

@@ -128,6 +128,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionization: a late in-watermark event pulls the session start back") {
+    val in = MemoryStream[(Timestamp, Long, Long)](spark)
+    val out = StreamingOps.sessionizeStateful(
+      in.toDF().toDF("ts", "user_id", "event_id"))
+    val q = out.writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      // watermark stays at 1:20-30m = 0:50 after batch 1
+      in.addData((ts(1, 20), 7L, 1L))
+      q.processAllAvailable()
+      // late event at 1:00 — inside the watermark, 20min before start
+      in.addData((ts(1, 0), 7L, 2L))
+      q.processAllAvailable()
+      in.addData((ts(9, 0), 99L, 3L)) // close everything
+      q.processAllAvailable()
+      val r = spark.table("sess_late").filter(col("user_id") === 7L)
+        .collect().map(x => (x.getLong(2), x.getLong(3), x.getLong(4)))
+      assert(r.length == 1, r.mkString(";"))
+      val (n, start, end) = r.head
+      assert(n == 2 && start == ts(1, 0).getTime * 1000 &&
+        end == ts(1, 20).getTime * 1000, r.head.toString)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals the batch plan on sf0.001") {
     val stream = StreamingOps.eventsHourlyStreaming(spark, sf0001).collect()
     val batch = graft.operators.Relational.eventsHourly(spark, sf0001).collect()
