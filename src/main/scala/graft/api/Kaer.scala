@@ -223,6 +223,70 @@ final class Collection(
       StructType(StructField(Schema.IdCol, LongType, false) +: schema.fields))
   }
 
+  /** Build (or rebuild) the collection's persisted IVF index — the
+    * Spark-native analogue of the reference's HNSW side-index
+    * (db/hnsw.go): inverted lists partitioned by centroid id under
+    * `dir/index`. Centroids come from the deterministic KMeans fitter;
+    * at production scale swap in the MLlib path
+    * ([[graft.operators.IvfIndex.kmeansFitMl]]). No-op on an empty
+    * collection. */
+  def buildIndex(nlist: Int = 16, iters: Int = 3): Unit = {
+    val vecs = df.select(col(Schema.IdCol).as("vec_id"),
+      col(Schema.EmbeddingCol).as("embedding"))
+    if (!vecs.isEmpty) {
+      val cents = graft.operators.IvfIndex.kmeansFit(vecs, nlist, iters)
+      graft.operators.IvfIndex.build(spark,
+        vecs.withColumn("label", lit(0)),
+        new Path(dir, "index").toString, cents)
+    }
+  }
+
+  /** Approximate flagship query through the persisted IVF index: probe
+    * the nearest `nprobe` lists, apply the MQL filter to the probed
+    * subset (the reference's pre-filter ∧ ANN composite with the same
+    * candidate-restriction semantics — its HNSW also only filters what
+    * the index visits), then exact top-k among survivors. Join back to
+    * the collection row by id. Requires [[buildIndex]]. */
+  def queryApprox(document: String, k: Int, nprobe: Int = 4,
+      filterJson: String = null): DataFrame = {
+    val qv = embedder.embedOne(document)
+    val probed = graft.operators.IvfIndex.probe(spark,
+        new Path(dir, "index").toString, qv, k = Int.MaxValue,
+        nprobe = nprobe)
+      .select(col("vec_id").as(Schema.IdCol))
+    val base = df.join(broadcast(probed), Schema.IdCol)
+    val filtered = if (filterJson == null || filterJson.trim.isEmpty) base
+    else base.filter(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))))
+    val qlit = array(qv.map(v => lit(v)): _*)
+    filtered
+      .withColumn(Schema.DistanceCol,
+        graft.functions.VectorFunctions.l2(col(Schema.EmbeddingCol), qlit))
+      .orderBy(col(Schema.DistanceCol).asc, col(Schema.IdCol).asc)
+      .limit(k)
+  }
+
+  /** Maintenance: compact the append-per-batch small files into
+    * `targetFiles` id-ranged files (read → range-repartition on _m_id →
+    * atomic-ish swap via rename). The insert path appends one file set
+    * per batch; at high batch counts scan planning degrades — the
+    * standard cure is periodic compaction, exactly as a LSM/lakehouse
+    * would. Ids, rows, and sidecar are unchanged. */
+  def compact(targetFiles: Int = 4): Unit = {
+    if (!hasData) return
+    val fs = new Path(dataDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "data_compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.repartitionByRange(targetFiles, col(Schema.IdCol))
+      .write.parquet(tmp.toString)
+    val old = new Path(dir, "data_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(new Path(dataDir), old)
+    fs.rename(tmp, new Path(dataDir))
+    fs.delete(old, true)
+  }
+
   /** The flagship composite operator (db/db.go:111-143): metadata
     * pre-filter ∧ top-k nearest neighbors to the embedded query string.
     *

@@ -83,6 +83,64 @@ class KaerSpec extends SparkTestBase {
     assert(d0 <= d1 && d0 < 1e-6)
   }
 
+  test("IVF-indexed queryApprox: top-1 matches exact when all lists probed") {
+    val root = tmpDir("kaer-ivf")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data().withDocuments(
+      (0 until 40).map(i => s"document number $i about topic ${i % 5}")))
+    c.buildIndex(nlist = 4, iters = 2)
+    // probing EVERY list makes the index exact — results must agree
+    val exact = c.query("document about topic 3", 3)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    val approx = c.queryApprox("document about topic 3", 3, nprobe = 4)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(approx == exact, s"approx=$approx exact=$exact")
+    // restricted probing returns a subset of corpus ids, ranked, <= k
+    val narrow = c.queryApprox("document about topic 3", 3, nprobe = 1)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(narrow.size <= 3 && narrow.toSet.subsetOf((1L to 40L).toSet))
+  }
+
+  test("queryApprox applies the MQL pre-filter on probed candidates") {
+    val root = tmpDir("kaer-ivf-f")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data()
+      .withDocuments((0 until 20).map(i => s"text $i"))
+      .withMetadatas((0 until 20).map(i =>
+        Map[String, Any]("even" -> (i % 2)))))
+    c.buildIndex(nlist = 2, iters = 1)
+    val got = c.queryApprox("text 7", 5, nprobe = 2,
+      """{"even": {"$eq": 1}}""")
+    // docs are 1-indexed by insertion order: doc i has _m_id i+1 and
+    // even=(i%2); all results must satisfy the filter
+    val ids = got.select("_m_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(id => (id - 1) % 2 == 1),
+      ids.mkString(","))
+  }
+
+  test("compact rewrites many small files into few; ids and rows unchanged") {
+    val root = tmpDir("kaer-compact")
+    val k = newSession(root)
+    val c = k.createCollection("cc")
+    for (b <- 0 until 5)
+      c.insert(Data().withDocuments(Seq(s"a$b", s"b$b")))
+    val before = c.df.select("_m_id").collect().map(_.getLong(0)).sorted
+    def nFiles = {
+      val p = new java.io.File(s"$root/cc/data")
+      p.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(nFiles >= 5, s"expected >=5 files before, got $nFiles")
+    c.compact(targetFiles = 2)
+    assert(nFiles <= 2, s"expected <=2 files after, got $nFiles")
+    val after = c.df.select("_m_id").collect().map(_.getLong(0)).sorted
+    assert(after.sameElements(before))
+    // inserts keep working after compaction (watermark intact)
+    c.insert(Data().withDocuments(Seq("post")))
+    assert(c.count() == 11)
+  }
+
   test("drop removes data and getCollection then raises CollectionNotFound") {
     val root = tmpDir("kaer-drop")
     val k = newSession(root)
