@@ -55,6 +55,32 @@ object KaerQuery {
         get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
   }
 
+  /** The flagship through the PERSISTED IVF INDEX path with every list
+    * probed: buildIndex → queryApprox(nprobe = nlist). Full probing
+    * makes the index exact, so this shares kaer_query's oracle — what
+    * it adds to the gate is the index build + probe machinery end to
+    * end (KMeans fit, partitioned lists, pruned probe scan, id
+    * join-back). */
+  def flagshipIndexed(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, scratch(dir + "#idx"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    coll.insertDF(
+      d.select(
+        col("text").as(Schema.DocCol),
+        to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))).as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    val NList = 8
+    coll.buildIndex(nlist = NList, iters = 2)
+    coll.queryApprox(QueryText, K, nprobe = NList, FilterJson)
+      .select(
+        get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
+          .as("doc_id"),
+        get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+  }
+
   /** The API-parity smoke of the literal main.go:35-52 flow (2 docs,
     * metadata, k=1, {"attr1": {"$eq": 1}}) — exercised in KaerSpec; this
     * module's registered query is the generalized, oracle-checked form. */
@@ -105,8 +131,7 @@ object KaerQuery {
     HashingEmbedder(Dim).embedOne(QueryText)
       .map(f => s"${f}::FLOAT").mkString("[", ",", "]")
 
-  val oracle: Map[String, String] = Map(
-    "kaer_query" ->
+  private lazy val flagshipOracleSql: String =
       s"""WITH filtered AS (
          |  SELECT doc_id, text, lang FROM documents
          |  WHERE lang IN ('en', 'fr') AND n_chars > 120
@@ -119,9 +144,15 @@ object KaerQuery {
          |    * (emb[i]::DOUBLE - qv[i]::DOUBLE)
          |    for i in generate_series(1, $Dim)]) ASC, v.doc_id ASC
          |LIMIT $K""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "kaer_query" -> flagshipOracleSql,
+    // full probing ⇒ identical answer contract to the exact path
+    "kaer_query_indexed" -> flagshipOracleSql
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kaer_query" -> (flagship _)
+    "kaer_query" -> (flagship _),
+    "kaer_query_indexed" -> (flagshipIndexed _)
   )
 }
