@@ -138,6 +138,14 @@ final class Collection(
   private var lastId: Long = 0L
   private var rowsCount: Long = 0L
   locally {
+    // crash-window repair for compact(): if the data dir vanished mid-swap,
+    // the previous generation is intact in data_old — restore it before
+    // reading anything
+    val fsr = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataP = new Path(dataDir)
+    val oldP = new Path(dir, "data_old")
+    if (!fsr.exists(dataP) && fsr.exists(oldP)) fsr.rename(oldP, dataP)
     val meta = Meta.read(spark, dir)
     val sidecarLast = meta.map(_.lastId).getOrElse(0L)
     val dataMax = maxIdInData()
@@ -235,8 +243,7 @@ final class Collection(
       col(Schema.EmbeddingCol).as("embedding"))
     if (!vecs.isEmpty) {
       val cents = graft.operators.IvfIndex.kmeansFit(vecs, nlist, iters)
-      graft.operators.IvfIndex.build(spark,
-        vecs.withColumn("label", lit(0)),
+      graft.operators.IvfIndex.build(spark, vecs,
         new Path(dir, "index").toString, cents)
     }
   }
@@ -250,9 +257,8 @@ final class Collection(
   def queryApprox(document: String, k: Int, nprobe: Int = 4,
       filterJson: String = null): DataFrame = {
     val qv = embedder.embedOne(document)
-    val probed = graft.operators.IvfIndex.probe(spark,
-        new Path(dir, "index").toString, qv, k = Int.MaxValue,
-        nprobe = nprobe)
+    val probed = graft.operators.IvfIndex.probeCandidates(spark,
+        new Path(dir, "index").toString, qv, nprobe)
       .select(col("vec_id").as(Schema.IdCol))
     val base = df.join(broadcast(probed), Schema.IdCol)
     val filtered = if (filterJson == null || filterJson.trim.isEmpty) base
@@ -282,8 +288,14 @@ final class Collection(
       .write.parquet(tmp.toString)
     val old = new Path(dir, "data_old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(new Path(dataDir), old)
-    fs.rename(tmp, new Path(dataDir))
+    // two renames, each checked; a crash between them is repaired by the
+    // open-time recovery below (data_old is restored)
+    if (!fs.rename(new Path(dataDir), old))
+      throw new java.io.IOException(s"compact: rename data->data_old failed")
+    if (!fs.rename(tmp, new Path(dataDir))) {
+      fs.rename(old, new Path(dataDir)) // roll back
+      throw new java.io.IOException(s"compact: rename compact->data failed")
+    }
     fs.delete(old, true)
   }
 

@@ -34,7 +34,11 @@ object Bucketing {
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, table)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p)
+    // trust the leftover ONLY if the committer's _SUCCESS marker is
+    // there — a crashed write can leave a plausible-looking subset of
+    // bucket files, and an incomplete bucketed table joins silently wrong
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+        fs.listStatus(p)
         .exists(_.getPath.getName.endsWith(".parquet"))) {
       val schema = s.read.parquet(p.toString).schema.toDDL
       s.sql(s"""CREATE TABLE $table ($schema) USING parquet

@@ -118,18 +118,28 @@ object IvfIndex {
     acc
   }
 
-  /** Probe: nearest `nprobe` centroids to the query, then exact top-k
-    * within those lists only. The cid filter is a PARTITION filter —
-    * unprobed lists are pruned at file level. */
-  def probe(s: SparkSession, indexDir: String, q: Array[Float], k: Int,
-      nprobe: Int, excludeId: Long = -1L): DataFrame = {
+  /** Candidate rows of the `nprobe` nearest lists — no ordering, no
+    * limit: callers that re-filter/re-rank (Collection.queryApprox)
+    * take this and avoid a pointless global sort of every probed row.
+    * The cid filter is a PARTITION filter — unprobed lists are pruned
+    * at file level. */
+  def probeCandidates(s: SparkSession, indexDir: String, q: Array[Float],
+      nprobe: Int): DataFrame = {
     val probes = s.read.parquet(s"$indexDir/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
       .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
-    val qlit = array(q.map(lit(_)): _*)
     s.read.parquet(s"$indexDir/lists")
-      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .filter(col("cid").isin(probes: _*))
+  }
+
+  /** Probe + exact top-k within the probed lists (TakeOrderedAndProject
+    * over the pruned scan). Projects every non-index column through. */
+  def probe(s: SparkSession, indexDir: String, q: Array[Float], k: Int,
+      nprobe: Int, excludeId: Long = -1L): DataFrame = {
+    val qlit = array(q.map(lit(_)): _*)
+    probeCandidates(s, indexDir, q, nprobe)
+      .filter(col("vec_id") =!= excludeId)
       .withColumn("d", l2Sq(col("embedding"), qlit))
       .orderBy(col("d").asc, col("vec_id").asc)
       .limit(k)

@@ -216,15 +216,9 @@ object Relational {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
-  /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
-    * run verbatim through spark.sql over temp views — six-table join,
-    * the planner free to pick broadcast vs shuffle per side. */
-  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
-        "supplier"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(
-      """SELECT n_name,
+  /** One copy of the Q5 text: the "run verbatim" contract requires the
+    * executed SQL and the oracle to be byte-identical. */
+  private val q5Sql = """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
         |    AS BIGINT) AS revenue_cents
         |FROM customer, orders, lineitem, supplier, nation, region
@@ -233,7 +227,16 @@ object Relational {
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name
-        |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
+    * run verbatim through spark.sql over temp views — six-table join,
+    * the planner free to pick broadcast vs shuffle per side. */
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
+        "supplier"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q5Sql)
   }
 
   /** Exact quantiles (no approx sketch — bit-comparable): quartiles of
@@ -329,17 +332,7 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
-    "sql_tpch_q5" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
-        |    AS BIGINT) AS revenue_cents
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "sql_tpch_q5" -> q5Sql,
     "quantiles_orders" ->
       """SELECT
         |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,

@@ -124,12 +124,17 @@ object StreamingOps {
                     s.endUs)
                   cur = Some(OpenSession(s.sid + 1, us, us, 1))
                 case Some(s) =>
-                  // entirely before the open session by more than the
-                  // gap: a separate PAST session, already final (its
-                  // whole gap horizon precedes data we've accepted);
-                  // emit it and shift the open session's ordinal
-                  closed += ClosedSession(user, s.sid, 1, us, us)
-                  cur = Some(s.copy(sid = s.sid + 1))
+                  // us < startUs - gap is unreachable while the
+                  // watermark delay equals the gap: the runtime drops
+                  // rows below the watermark, and watermark >=
+                  // maxSeenTs - gap >= startUs - gap (same-batch
+                  // earlier events sort first, so they hit the merge
+                  // branch before the session exists). Fail loudly if
+                  // the delay/gap relationship is ever changed without
+                  // revisiting this merge.
+                  throw new IllegalStateException(
+                    s"event $us predates session ${s.startUs} by more " +
+                      "than the gap — watermark delay must equal the gap")
                 case None =>
                   cur = Some(OpenSession(1, us, us, 1))
               }
