@@ -141,6 +141,22 @@ class KaerSpec extends SparkTestBase {
     assert(c.count() == 11)
   }
 
+  test("compact crash window: data_old left mid-swap is restored on reopen") {
+    val root = tmpDir("kaer-crash")
+    val k = newSession(root)
+    val c = k.createCollection("cw")
+    c.insert(Data().withDocuments(Seq("x", "y", "z")))
+    // simulate dying between the two renames: data moved to data_old,
+    // replacement never arrived
+    val d = new java.io.File(s"$root/cw/data")
+    val old = new java.io.File(s"$root/cw/data_old")
+    assert(d.renameTo(old))
+    val c2 = newSession(root).getCollection("cw")
+    assert(c2.count() == 3, "reopen must restore data_old")
+    assert(c2.df.select("_m_id").collect().map(_.getLong(0)).sorted
+      .sameElements(1L to 3L))
+  }
+
   test("drop removes data and getCollection then raises CollectionNotFound") {
     val root = tmpDir("kaer-drop")
     val k = newSession(root)

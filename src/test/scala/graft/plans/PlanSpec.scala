@@ -96,6 +96,24 @@ class PlanSpec extends SparkTestBase {
     assert(df.selectExpr("sum(n_items)").head().getLong(0) == direct)
   }
 
+  test("bucketing: leftover files without _SUCCESS are rebuilt, not trusted") {
+    import graft.operators.Bucketing
+    val (ot, _) = Bucketing.ensureBucketed(spark, sf0001)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val tableDir = new java.io.File(
+      new java.net.URI(wh).getPath, ot)
+    val marker = new java.io.File(tableDir, "_SUCCESS")
+    // simulate a crashed writer: drop the marker (and the catalog entry,
+    // as a fresh session would have)
+    spark.sql(s"DROP TABLE $ot")
+    assert(marker.delete())
+    Bucketing.ensureBucketed(spark, sf0001)
+    assert(spark.catalog.tableExists(ot))
+    assert(marker.exists(), "rebuild must rewrite the table with a marker")
+    assert(spark.table(ot).count() ==
+      spark.read.parquet(s"$sf0001/orders.parquet").count())
+  }
+
   test("kmeansFitMl (MLlib path): deterministic, and SSE beats raw seed vectors") {
     import graft.operators.IvfIndex
     import org.apache.spark.sql.functions.col
