@@ -161,7 +161,10 @@ object Dedup {
     val pairs = minhashPairs(corpus).localCheckpoint(true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = corpus.select(col("id")).distinct()
+    // iterate only over nodes that appear in some pair — singletons are
+    // their own cluster by definition and join back at the end, so every
+    // propagation round touches the (much smaller) pair graph
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     // labels only ever decrease, so sum(lbl) strictly drops on any change
     // — a scalar aggregate over the (checkpointed) labels is a far
@@ -188,7 +191,11 @@ object Dedup {
     // beyond the cap must fail loudly, not ship a split cluster
     if (!converged) throw new IllegalStateException(
       s"label propagation did not converge in $MaxRounds rounds")
-    labels.select(col("id"), col("lbl").as("cluster")).orderBy("id")
+    val singletons = corpus.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    labels.unionByName(singletons)
+      .select(col("id"), col("lbl").as("cluster")).orderBy("id")
   }
 
   /** DuckDB twins of shingle/signature/banding, over a corpus CTE named

@@ -205,6 +205,14 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** CUBE: all four grouping sets of (flag, status) in one pass. */
+  def cubeSales(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** PIVOT: order counts by status as columns, one row per priority.
     * (Pivot is syntactic over groupBy+conditional aggregation; the
     * oracle spells out the CASE form.) */
@@ -355,6 +363,11 @@ object Relational {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "pivot_orders" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
@@ -474,6 +487,7 @@ object Relational {
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),
+    "cube_sales" -> (cubeSales _),
     "pivot_orders" -> (pivotOrders _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "quantiles_orders" -> (quantilesOrders _),
