@@ -103,10 +103,15 @@ class PlanSpec extends SparkTestBase {
     val tableDir = new java.io.File(
       new java.net.URI(wh).getPath, ot)
     val marker = new java.io.File(tableDir, "_SUCCESS")
-    // simulate a crashed writer: drop the marker (and the catalog entry,
-    // as a fresh session would have)
+    // simulate a crashed writer: drop the catalog entry (managed DROP
+    // also deletes the files), then recreate the dir with plausible
+    // parquet files but NO _SUCCESS marker
     spark.sql(s"DROP TABLE $ot")
-    assert(marker.delete())
+    tableDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/orders.parquet"),
+      tableDir.toPath.resolve("part-00000.parquet"))
+    assert(!marker.exists())
     Bucketing.ensureBucketed(spark, sf0001)
     assert(spark.catalog.tableExists(ot))
     assert(marker.exists(), "rebuild must rewrite the table with a marker")
@@ -147,6 +152,25 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Relational.mqlEventsRange(spark, sf0001))
     assert(!p.toLowerCase.contains("batchevalpython"), p)
     assert(!p.contains("UDF"), p)
+  }
+
+  test("asof_join: one hash exchange on the join key, no range explosion") {
+    val p = plan(Relational.asofJoin(spark, sf0001))
+    // the union-merge shape: exactly one exchange on k for the window
+    // (plus the orders-dedup agg exchange and the presentation sort);
+    // crucially NO join node at all — no nested-loop range join
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val kExchanges = "hashpartitioning\\(k#".r.findAllIn(p).size
+    assert(kExchanges == 1, s"want 1 exchange on k, got $kExchanges\n$p")
+  }
+
+  test("salted_agg: two aggregation phases — (key,salt) then key") {
+    import graft.operators.Skew
+    val p = plan(Skew.saltedAgg(spark, sf0001))
+    // partial+final on the salted key, then partial+final on the key
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size >= 2, p)
   }
 
   test("dedup LSH pairs shuffle on the band-bucket key, never all-pairs") {
