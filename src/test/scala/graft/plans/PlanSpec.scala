@@ -107,10 +107,14 @@ class PlanSpec extends SparkTestBase {
     // also deletes the files), then recreate the dir with plausible
     // parquet files but NO _SUCCESS marker
     spark.sql(s"DROP TABLE $ot")
+    // idempotent scenario setup: wipe whatever DROP left (external keeps
+    // files, managed deletes them) and stage exactly one orphan file
+    org.apache.commons.io.FileUtils.deleteDirectory(tableDir)
     tableDir.mkdirs()
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/orders.parquet"),
-      tableDir.toPath.resolve("part-00000.parquet"))
+      tableDir.toPath.resolve("part-00000.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     assert(!marker.exists())
     Bucketing.ensureBucketed(spark, sf0001)
     assert(spark.catalog.tableExists(ot))
