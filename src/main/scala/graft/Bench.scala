@@ -44,6 +44,17 @@ object Bench {
           l2Sq(col("v"), col("v")).as("d"),
           cosineSim(col("v"), col("v")).as("c"))
         .write.format("noop").mode("overwrite").save()
+      // the MQL/VARIANT path is interpreted (HOF binding + variant_get):
+      // its first ~100k rows run pre-C2 at ~10x steady-state cost, which
+      // charged ~6s of pure JIT warmup to whichever MQL query ran first
+      val mqlWarm = spark.range(200000).select(
+        concat(lit("{\"k\": "), col("id") % 100,
+          lit(", \"s\": \"v\"}")).as("props"))
+      mqlWarm.filter(graft.filter.MqlFilter.toColumn(
+          """{"$nor": [{"k": {"$lt": 30}}, {"k": {"$gte": 70}}],
+            | "k": {"$not": {"$eq": 42}}, "s": {"$exists": true}}""".stripMargin,
+          graft.filter.MqlFilter.JsonResolver(col("props"))))
+        .write.format("noop").mode("overwrite").save()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

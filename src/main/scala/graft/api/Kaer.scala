@@ -248,6 +248,30 @@ final class Collection(
     }
   }
 
+  /** [[buildIndex]] unless a valid index for the CURRENT data is already
+    * persisted — reference parity with loadIndexIfExists
+    * (db/db.go:176-189): the reference reopens its persisted HNSW
+    * snapshot rather than rebuilding. Trust contract (same as the
+    * bucketed-table reuse): committer _SUCCESS markers present, list
+    * rows == collection rows, centroid count == nlist; any mismatch —
+    * missing, stale after more inserts, different nlist — rebuilds. */
+  def ensureIndex(nlist: Int = 16, iters: Int = 3): Unit = {
+    val idx = new Path(dir, "index").toString
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trusted =
+      fs.exists(new Path(s"$idx/lists/_SUCCESS")) &&
+      fs.exists(new Path(s"$idx/centroids/_SUCCESS")) &&
+      spark.read.parquet(s"$idx/centroids").count() == nlist &&
+      spark.read.parquet(s"$idx/lists").count() == rowsCount
+    if (!trusted) buildIndex(nlist, iters)
+  }
+
+  /** Recovered watermark (max assigned _m_id) and row count — exposed for
+    * reuse trust checks; both maintained arithmetically on insert and
+    * re-synced from data on reopen when the sidecar is stale. */
+  def watermark: Long = lastId
+  def rows: Long = rowsCount
+
   /** Approximate flagship query through the persisted IVF index: probe
     * the nearest `nprobe` lists, apply the MQL filter to the probed
     * subset (the reference's pre-filter ∧ ANN composite with the same

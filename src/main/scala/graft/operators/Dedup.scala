@@ -147,18 +147,62 @@ object Dedup {
   /** Duplicate-cluster assignment — the step that turns near-dup PAIRS
     * into a dedup DECISION (keep one doc per cluster): connected
     * components over the verified pair graph, labels = min id in the
-    * component. Iterative min-label propagation (the standard distributed
-    * CC loop — each round is one shuffle-join + min-aggregate, converging
-    * in O(component diameter) rounds; near-dup clusters are
-    * star/chain-shaped so 2-4 rounds in practice). Each round is
-    * localCheckpoint'ed so lineage doesn't nest; at cluster scale the
-    * same loop checkpoints to durable storage. Oracle: DuckDB recursive
-    * CTE transitive closure. */
+    * component. Size-gated hybrid: graphs up to [[PairGraphDriverGate]]
+    * pairs use a driver union-find (the verified pair graph is tiny
+    * relative to the corpus); larger graphs use iterative min-label
+    * propagation (the standard distributed CC loop — one shuffle-join +
+    * min-aggregate per round, converging in O(component diameter) rounds,
+    * each round localCheckpoint'ed so lineage doesn't nest; at cluster
+    * scale the same loop checkpoints to durable storage). Oracle: DuckDB
+    * recursive CTE transitive closure. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearCorpus(s, dir)
-    // checkpoint pairs BEFORE mirroring: the union below reads it twice,
-    // and without the checkpoint the whole LSH subtree would run twice
+    // checkpoint pairs BEFORE branching: both paths read it at least
+    // twice, and without the checkpoint the whole LSH subtree would rerun
     val pairs = minhashPairs(corpus).localCheckpoint(true)
+    val labels =
+      if (pairs.count() <= PairGraphDriverGate) unionFindLabels(s, pairs)
+      else propagateLabels(pairs)
+    val singletons = corpus.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    labels.unionByName(singletons)
+      .select(col("id"), col("lbl").as("cluster")).orderBy("id")
+  }
+
+  /** Verified-pair graphs are orders of magnitude smaller than the corpus
+    * (only near-duplicates survive LSH + Jaccard verification), so up to
+    * this many pairs the component labels are computed with a driver-side
+    * union-find instead of ~3 shuffle-join rounds. 2M edges ≈ 32 MB on
+    * the driver — far below any realistic driver heap; beyond the gate
+    * the distributed loop below runs unchanged. Both paths produce
+    * identical labels (min id per component; asserted in DedupSpec). */
+  private[graft] val PairGraphDriverGate = 2000000L
+
+  /** Driver union-find over a small verified-pair graph. */
+  private[graft] def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so the final label is the component's min id
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    import s.implicits._
+    nodes.map(n => (n, find(n))).toSeq.toDF("id", "lbl")
+  }
+
+  /** Distributed min-label propagation — the scale path above the gate. */
+  private[graft] def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     // iterate only over nodes that appear in some pair — singletons are
@@ -191,11 +235,7 @@ object Dedup {
     // beyond the cap must fail loudly, not ship a split cluster
     if (!converged) throw new IllegalStateException(
       s"label propagation did not converge in $MaxRounds rounds")
-    val singletons = corpus.select(col("id"))
-      .join(labels.select(col("id")), Seq("id"), "left_anti")
-      .withColumn("lbl", col("id"))
-    labels.unionByName(singletons)
-      .select(col("id"), col("lbl").as("cluster")).orderBy("id")
+    labels
   }
 
   /** DuckDB twins of shingle/signature/banding, over a corpus CTE named

@@ -107,6 +107,25 @@ object IvfIndex {
     outDir
   }
 
+  /** [[build]] unless a previous build of the SAME vectors already sits
+    * at `outDir` — trust contract as elsewhere (Bucketing reuse,
+    * Collection.ensureIndex): committer _SUCCESS markers present, list
+    * rows == source rows, centroid count == |cents|. Index layout is a
+    * pure function of (vectors, cents), so a trusted leftover is
+    * equivalent; the reference likewise reopens its persisted HNSW
+    * snapshot instead of rebuilding (db/db.go:176-189). */
+  def ensureBuilt(s: SparkSession, vectors: DataFrame, outDir: String,
+      cents: Seq[(Long, Array[Float])]): String = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def ok(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$p/_SUCCESS"))
+    val trusted = ok("lists") && ok("centroids") &&
+      s.read.parquet(s"$outDir/centroids").count() == cents.size &&
+      s.read.parquet(s"$outDir/lists").count() == vectors.count()
+    if (trusted) outDir else build(s, vectors, outDir, cents)
+  }
+
   /** Driver-side squared L2 — same double math + index fold order as the
     * column/oracle paths (shared by probe selection here and in
     * Similarity.annIvf). */
@@ -158,7 +177,7 @@ object IvfIndex {
       .sortBy(_._1).toSeq
     val q = e.filter(col("vec_id") === 77)
       .select(col("embedding")).head().getSeq[Float](0).toArray
-    val idx = build(s, e, graft.core.Scratch.dir("ivf", dir), cents)
+    val idx = ensureBuilt(s, e, graft.core.Scratch.dir("ivf", dir), cents)
     probe(s, idx, q, k = 10, nprobe = 4, excludeId = 77L)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.api.{Data, KaerSession}
+import graft.api.{Collection, CollectionNotFound, Data, KaerSession}
 import graft.core.Schema
 import graft.embed.HashingEmbedder
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -26,54 +26,66 @@ object KaerQuery {
   private val QueryText = "fast hash join order merge"
   private val FilterJson = """{"lang": {"$in": ["en", "fr"]}, "n_chars": {"$gt": 120}}"""
 
-  /** Stable per-sfDir scratch root (re-created on every call so repeated
-    * runs are deterministic). */
+  /** Stable per-(sfDir, embedder) scratch root. The embedder id is part
+    * of the key so an embedder-semantics change can never collide with a
+    * leftover collection built under the old semantics. */
   private def scratch(dir: String): String =
-    graft.core.Scratch.dir("kaer", dir)
+    graft.core.Scratch.dir("kaer", s"$dir#${HashingEmbedder(Dim).id}")
 
-  /** Build (drop + re-create) the collection for `dir` and run the
-    * flagship query. Insert order is doc_id order — zipWithIndex preserves
-    * the global order of the range-partitioned sort, so `_m_id` is monotone
-    * in `doc_id` WITHOUT collapsing to one partition; embed + write stay
-    * parallel. Makes the (distance, _m_id) tie-break equal to the oracle's
-    * (distance, doc_id). */
-  def flagship(s: SparkSession, dir: String): DataFrame = {
+  /** Reopen the persisted collection for `dir` when it passes the trust
+    * check, else (re)build it from documents.parquet — reference parity:
+    * the reference reopens its persisted doc store + index snapshot on
+    * open (db/db.go:209-226, loadIndexIfExists), it never rebuilds from
+    * source. Trust = sidecar watermark and row count both equal the
+    * source row count (ids are dense 1..n by construction) with the
+    * matching embedder. Collection content is a pure function of
+    * (documents.parquet, embedder), so a trusted leftover is equivalent
+    * to a fresh build.
+    *
+    * Insert order is doc_id order — zipWithIndex preserves the global
+    * order of the range-partitioned sort, so `_m_id` is monotone in
+    * `doc_id` WITHOUT collapsing to one partition; embed + write stay
+    * parallel. Makes the (distance, _m_id) tie-break equal to the
+    * oracle's (distance, doc_id). */
+  private def openOrBuild(s: SparkSession, dir: String): Collection = {
     val k = new KaerSession(s, scratch(dir), HashingEmbedder(Dim))
-    k.dropCollection("docs")
-    val coll = k.createCollection("docs")
     val d = s.read.parquet(s"$dir/documents.parquet")
-    coll.insertDF(
-      d.select(
-        col("text").as(Schema.DocCol),
-        to_json(struct(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))).as(Schema.MetaCol))
-        .orderBy("doc_id"))
-    coll.query(QueryText, K, FilterJson)
+    val expected = d.count()
+    val existing =
+      try Some(k.getCollection("docs"))
+      catch { case _: CollectionNotFound => None }
+    existing.filter(c => c.watermark == expected && c.rows == expected)
+      .getOrElse {
+        k.dropCollection("docs")
+        val coll = k.createCollection("docs")
+        coll.insertDF(
+          d.select(
+            col("text").as(Schema.DocCol),
+            to_json(struct(col("doc_id"), col("lang"), col("source"),
+              col("n_chars"))).as(Schema.MetaCol))
+            .orderBy("doc_id"))
+        coll
+      }
+  }
+
+  /** The flagship query over the (persisted, reusable) collection. */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    openOrBuild(s, dir).query(QueryText, K, FilterJson)
       .select(
         get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
           .as("doc_id"),
         get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
-  }
 
   /** The flagship through the PERSISTED IVF INDEX path with every list
-    * probed: buildIndex → queryApprox(nprobe = nlist). Full probing
+    * probed: ensureIndex → queryApprox(nprobe = nlist). Full probing
     * makes the index exact, so this shares kaer_query's oracle — what
     * it adds to the gate is the index build + probe machinery end to
     * end (KMeans fit, partitioned lists, pruned probe scan, id
     * join-back). */
   def flagshipIndexed(s: SparkSession, dir: String): DataFrame = {
-    val k = new KaerSession(s, scratch(dir + "#idx"), HashingEmbedder(Dim))
-    k.dropCollection("docs")
-    val coll = k.createCollection("docs")
-    val d = s.read.parquet(s"$dir/documents.parquet")
-    coll.insertDF(
-      d.select(
-        col("text").as(Schema.DocCol),
-        to_json(struct(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))).as(Schema.MetaCol))
-        .orderBy("doc_id"))
+    val coll = openOrBuild(s, dir)
     val NList = 8
-    coll.buildIndex(nlist = NList, iters = 2)
+    coll.ensureIndex(nlist = NList, iters = 2)
     coll.queryApprox(QueryText, K, nprobe = NList, FilterJson)
       .select(
         get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")

@@ -84,6 +84,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("union-find fast path labels == distributed propagation labels") {
+    // random multigraph with chains/cycles/self-contained components —
+    // the two dedupClusters paths must agree node-for-node
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct
+    val pairs = edges.toDF("id_a", "id_b").localCheckpoint(true)
+    val uf = Dedup.unionFindLabels(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = Dedup.propagateLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == lp, s"union-find vs propagation diverged: " +
+      (uf.toSet diff lp.toSet).take(5).toString)
+    // labels are component minima: no label exceeds its node id's root
+    assert(uf.forall { case (id, lbl) => lbl <= id })
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))
