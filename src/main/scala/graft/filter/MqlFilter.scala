@@ -15,7 +15,7 @@ import scala.jdk.CollectionConverters._
   *
   * Supported operators (SURVEY.md §2.5): implicit equality, $eq $ne $gt
   * $gte $lt $lte, $in $nin, $and $or $not $nor, $exists $type, $regex,
-  * $all $size $elemMatch.
+  * $mod, $all $size $elemMatch.
   *
   * MQL type bracketing: numbers compare across int/long/double; strings
   * only compare with strings; a missing field fails every positive
@@ -214,6 +214,14 @@ object MqlFilter {
       !v.properties().asScala.toSeq
         .map(op => fieldOp(field, op.getKey, op.getValue, r))
         .reduceLeft(_ && _)
+    case "$mod" =>
+      // {field: {$mod: [divisor, remainder]}} — numeric only, remainder
+      // carries the dividend's sign (Java/SQL % semantics, which is also
+      // Mongo's for integral dividends)
+      val args = v.elements().asScala.toSeq
+      require(args.length == 2 && args.forall(_.isNumber),
+        s"$$mod operand must be [divisor, remainder], got: $v")
+      tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)
     case "$type" => tv(r.typeName(field) === v.asText())

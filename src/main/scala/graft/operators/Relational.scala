@@ -172,6 +172,81 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** MQL $mod — Mongo's divisor/remainder predicate, over the same
+    * schemaless props field as the other MQL gates. */
+  def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"k": {"$mod": [7, 3]}}""",
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** Bounded range join done the scale-safe way: per event, count the
+    * same user's events in the preceding hour. The naive plan — equi-join
+    * on user_id with the time predicate as a post-filter — is quadratic
+    * in per-user event count. Blocking on (user_id, hour-bucket) bounds
+    * every join group: the left side explodes to its two candidate
+    * buckets (the 1h window spans at most two), the join is a pure
+    * equi-join on (user, bucket) that hashes and shuffles like any
+    * other, and the range predicate only refines within-bucket pairs.
+    * At larger window/denser data the bucket width tunes candidate-set
+    * size; the plan shape is unchanged at any scale. */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    // integer division (DIV), not floor(double /): us ~1.7e15 keeps full
+    // precision in a long but a double quotient can land a hair under
+    // the true bucket and floor to the wrong one
+    val right = e.select(col("user_id").as("r_user"),
+      col("us").as("r_us"), expr(s"us DIV $HourUs").as("r_b"))
+    val left = e
+      .withColumn("b", expr(s"us DIV $HourUs"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        explode(array(col("b") - 1, col("b"))).as("cb"))
+    left.join(right,
+        col("user_id") === col("r_user") && col("cb") === col("r_b") &&
+          col("r_us") >= col("us") - HourUs && col("r_us") < col("us"),
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("r_us")).as("n_prev_1h"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE-frame window: per customer, running 30-day order total — a
+    * value-based frame (every order within 30 days), the one windowing
+    * mode rowsBetween cannot express. One shuffle on o_custkey; frames
+    * are evaluated by a sliding aggregate within each sorted partition. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val w = Window.partitionBy("o_custkey").orderBy("od_us")
+      .rangeBetween(-30L * DayUs, 0L)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
+        // cast is the identity instant
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        cents(col("o_totalprice")).as("pc"))
+      .withColumn("run_cents_30d", sum(col("pc")).over(w))
+      .select(col("o_orderkey"), col("run_cents_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Anti join — the complement of [[semiJoin]]: suppliers whose nation
+    * has NO negative-balance customer. Same broadcastable build side,
+    * BroadcastHashJoin(LeftAnti) physical shape. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val negNations = t(s, dir, "customer")
+      .filter(col("c_acctbal") < 0).select(col("c_nationkey"))
+    val sup = t(s, dir, "supplier")
+    sup.join(negNations, sup("s_nationkey") === negNations("c_nationkey"),
+        "left_anti")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .orderBy("s_suppkey")
+  }
+
   /** Grouped top-k through the typed-Aggregator (UDAF) surface — the
     * same logical result as `window_top_customers`, by a different
     * physical strategy: bounded k-element buffers reduce per partition
@@ -413,6 +488,29 @@ object Relational {
         |WHERE NOT ((props->>'k')::DOUBLE < 30.0 OR (props->>'k')::DOUBLE >= 70.0)
         |  AND NOT ((props->>'k')::DOUBLE = 42.0)
         |ORDER BY event_id""".stripMargin,
+    "mql_events_mod" ->
+      """SELECT event_id FROM events
+        |WHERE (props->>'k')::DOUBLE % 7 = 3
+        |ORDER BY event_id""".stripMargin,
+    "range_join_bucketed" ->
+      """SELECT e.event_id, count(o.ts) AS n_prev_1h
+        |FROM events e LEFT JOIN events o
+        |  ON o.user_id = e.user_id
+        |  AND o.ts >= e.ts - INTERVAL 1 HOUR AND o.ts < e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, CAST(sum(pc) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS run_cents_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "anti_join" ->
+      """SELECT s_suppkey, s_nationkey FROM supplier s
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_acctbal < 0 AND c.c_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -482,6 +580,10 @@ object Relational {
     "semi_join" -> (semiJoin _),
     "mql_events_range" -> (mqlEventsRange _),
     "mql_events_nor" -> (mqlEventsNor _),
+    "mql_events_mod" -> (mqlEventsMod _),
+    "range_join_bucketed" -> (rangeJoinBucketed _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_array" -> (mqlDocsArray _),

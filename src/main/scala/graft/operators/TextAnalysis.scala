@@ -67,6 +67,44 @@ object TextAnalysis {
       fingerprint(col("text"), 8).as("fp"))
       .orderBy("doc_id")
 
+  /** Unicode/whitespace normalization — the canonicalization pass every
+    * training corpus gets before dedup/tokenization. The testdata is
+    * already clean, so noise is planted deterministically (case-mangled
+    * every 3rd doc, padding on all) and identically on the oracle side;
+    * the operator lowercases, collapses every non-alphanumeric run to
+    * one space, and trims. Pure per-row codegen'd regex — scan speed. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val noisy = concat(
+      lit("  "),
+      when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")),
+      lit(" !!  END  "))
+    docs(s, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(lower(noisy), "[^a-z0-9]+", " ")).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — mask emails and phone-like digit groups before a
+    * corpus ships to training. PII is planted deterministically from
+    * doc_id (the synthetic text has none), redaction is two anchored
+    * regex passes. Per-row, no shuffle; the regexes are the contract —
+    * the oracle runs the same two patterns. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]{4}"
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(withPii, lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -117,13 +155,33 @@ object TextAnalysis {
         |    list_min([('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
         |      for i in generate_series(1, length(lower(text)) - 7)]),
         |    ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(
+        |    '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+        |    || ' !!  END  '), '[^a-z0-9]+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id ||
+        |    '@mail.example.com or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_normalize" -> (textNormalize _),
+    "pii_redact" -> (piiRedact _)
   )
 }

@@ -120,6 +120,41 @@ class KaerSpec extends SparkTestBase {
       ids.mkString(","))
   }
 
+  test("ensureIndex reuses a valid persisted index, rebuilds a stale one") {
+    val root = tmpDir("kaer-ensure")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data().withDocuments(
+      (0 until 20).map(i => s"doc number $i topic ${i % 3}")))
+    c.ensureIndex(nlist = 2, iters = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFiles: Set[String] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/v/index/lists"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) { val f = it.next(); b += f.getPath.toString + ":" + f.getModificationTime }
+      b.result()
+    }
+    val first = listFiles
+    // trusted (same rows, same nlist): second call must not rewrite
+    c.ensureIndex(nlist = 2, iters = 1)
+    assert(listFiles == first, "trusted index was rebuilt")
+    // different nlist: centroid-count check fails -> rebuild
+    c.ensureIndex(nlist = 4, iters = 1)
+    assert(spark.read.parquet(s"$root/v/index/centroids").count() == 4)
+    // stale after more inserts: rowcount check fails -> rebuild
+    c.insert(Data().withDocuments(Seq("late doc")))
+    c.ensureIndex(nlist = 4, iters = 1)
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == 21)
+    // the rebuilt index still answers exactly at full probe
+    val exact = c.query("doc number 7", 2)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    val approx = c.queryApprox("doc number 7", 2, nprobe = 4)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(approx == exact)
+  }
+
   test("compact rewrites many small files into few; ids and rows unchanged") {
     val root = tmpDir("kaer-compact")
     val k = newSession(root)

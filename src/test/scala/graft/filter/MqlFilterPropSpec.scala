@@ -60,6 +60,10 @@ class MqlFilterPropSpec extends SparkTestBase {
     def json = s"""{"k": {"$$exists": $want}}"""
     def eval(k: Option[Long]) = k.isDefined == want
   }
+  case class Mod(d: Long, r: Long) extends P {
+    def json = s"""{"k": {"$$mod": [$d, $r]}}"""
+    def eval(k: Option[Long]) = k.exists(_ % d == r)
+  }
 
   private val genCmp: Gen[P] = for {
     op <- Gen.oneOf("eq", "ne", "gt", "gte", "lt", "lte")
@@ -71,8 +75,14 @@ class MqlFilterPropSpec extends SparkTestBase {
     neg <- Gen.oneOf(true, false)
   } yield In(vs, neg)
 
+  private val genMod: Gen[P] = for {
+    d <- Gen.choose(1L, 9L)
+    r <- Gen.choose(0L, d - 1)
+  } yield Mod(d, r)
+
   private val genLeaf: Gen[P] =
-    Gen.oneOf(genCmp, genIn, Gen.oneOf(true, false).map(Exists))
+    Gen.oneOf(genCmp, genIn, genMod,
+      Gen.oneOf(true, false).map(Exists))
 
   private val genPred: Gen[P] = for {
     op <- Gen.oneOf("and", "or", "nor")

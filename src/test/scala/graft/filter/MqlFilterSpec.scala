@@ -59,6 +59,15 @@ class MqlFilterSpec extends SparkTestBase {
     assert(ids("""{"a": {"$not": {"$gt": 1}}}""") == Seq(1L, 3L, 4L))
   }
 
+  test("$mod: divisor/remainder, numeric bracketing, missing excluded") {
+    assert(ids("""{"a": {"$mod": [2, 1]}}""") == Seq(1L, 5L)) // 1%2=1, 5%2=1
+    assert(ids("""{"a": {"$mod": [2, 0]}}""") == Seq()) // 2.5%2=0.5; "5"/{} not numeric
+    assert(ids("""{"a": {"$mod": [2.5, 0]}}""") == Seq(2L, 5L)) // 2.5%2.5=0, 5%2.5=0
+    intercept[IllegalArgumentException] {
+      ids("""{"a": {"$mod": [2]}}""")
+    }
+  }
+
   test("top-level $not is invalid MQL and rejected") {
     intercept[IllegalArgumentException] { ids("""{"$not": {"a": 1}}""") }
   }
@@ -94,6 +103,6 @@ class MqlFilterSpec extends SparkTestBase {
   }
 
   test("unsupported operator raises") {
-    intercept[IllegalArgumentException] { ids("""{"a": {"$mod": [2, 0]}}""") }
+    intercept[IllegalArgumentException] { ids("""{"a": {"$where": "x"}}""") }
   }
 }
