@@ -304,23 +304,83 @@ final class Collection(
     * would. Ids, rows, and sidecar are unchanged. */
   def compact(targetFiles: Int = 4): Unit = {
     if (!hasData) return
+    rewriteData(df.repartitionByRange(targetFiles, col(Schema.IdCol)))
+  }
+
+  /** Copy-on-write rewrite of the data directory with an atomic-ish
+    * rename swap — the shared machinery of [[compact]], [[delete]] and
+    * [[update]] (parquet is immutable; every lakehouse DELETE/UPDATE is
+    * this under the hood). A crash between the two renames is repaired
+    * by the open-time recovery above (data_old restored). */
+  private def rewriteData(next: DataFrame): Unit = {
     val fs = new Path(dataDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir, "data_compact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.repartitionByRange(targetFiles, col(Schema.IdCol))
-      .write.parquet(tmp.toString)
+    next.write.parquet(tmp.toString)
     val old = new Path(dir, "data_old")
     if (fs.exists(old)) fs.delete(old, true)
-    // two renames, each checked; a crash between them is repaired by the
-    // open-time recovery below (data_old is restored)
     if (!fs.rename(new Path(dataDir), old))
-      throw new java.io.IOException(s"compact: rename data->data_old failed")
+      throw new java.io.IOException(s"rewrite: rename data->data_old failed")
     if (!fs.rename(tmp, new Path(dataDir))) {
       fs.rename(old, new Path(dataDir)) // roll back
-      throw new java.io.IOException(s"compact: rename compact->data failed")
+      throw new java.io.IOException(s"rewrite: rename rewrite->data failed")
     }
     fs.delete(old, true)
+  }
+
+  /** Delete documents matching an MQL filter — copy-on-write rewrite.
+    * Surviving ids are unchanged and deleted ids are NOT reused (the
+    * watermark stays): id density is an insert-order property, not an
+    * invariant after deletes — same as any document store. Returns the
+    * number of rows removed. Goes beyond the reference surface (its
+    * FerretDB layer supports deletes; kaer never exposed them) — the
+    * capability a real user of a document+vector store expects. */
+  def delete(filterJson: String): Long = {
+    if (!hasData) return 0L
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val keep = df.filter(!pred)
+    val kept = keep.count()
+    val removed = rowsCount - kept
+    if (removed > 0L) {
+      rewriteData(keep)
+      rowsCount = kept
+      Meta.write(spark, dir,
+        CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
+    }
+    removed
+  }
+
+  /** Mongo-style $set on metadata for documents matching an MQL filter —
+    * copy-on-write rewrite; returns the number of rows updated. Document
+    * text and embeddings are untouched (metadata-only update, the common
+    * document-DB case). The merge is a driver-built JSON transform
+    * evaluated per row off the hot query path — maintenance ops trade
+    * codegen for exact JSON semantics. */
+  def update(filterJson: String, set: Map[String, Any]): Long = {
+    if (!hasData || set.isEmpty) return 0L
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val setJson = Data.toJson(set)
+    val mergeUdf = udf { meta: String =>
+      val m = new ObjectMapper()
+      val base = if (meta == null || meta.trim.isEmpty) m.createObjectNode()
+      else m.readTree(meta) match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ => m.createObjectNode()
+      }
+      base.setAll[com.fasterxml.jackson.databind.JsonNode](
+        m.readTree(setJson).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      m.writeValueAsString(base)
+    }
+    val updated = df.filter(pred).count()
+    if (updated > 0L) {
+      rewriteData(df.withColumn(Schema.MetaCol,
+        when(pred, mergeUdf(col(Schema.MetaCol)))
+          .otherwise(col(Schema.MetaCol))))
+    }
+    updated
   }
 
   /** The flagship composite operator (db/db.go:111-143): metadata

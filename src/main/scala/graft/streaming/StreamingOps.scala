@@ -153,6 +153,43 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream inner join — purchase attribution: each
+    * view joined to the same user's purchases within the following hour.
+    * Both sides carry watermarks and the join condition is time-bounded,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the bound — state is O(events in the horizon), not
+    * O(stream). Inner-join rows emit as matches arrive (append mode
+    * holds back nothing), so a single AvailableNow pass over the file
+    * source must equal the batch join — which is exactly what the DuckDB
+    * oracle checks. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val name = s"graft_ss_join_${runId.incrementAndGet()}"
+    val q = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("view_id", "purchase_id")
+  }
+
   /** Streaming exact dedup — the streaming twin of `dedup_exact`:
     * drop re-deliveries of the same content hash, with state bounded by
     * the watermark horizon (duplicates farther apart than the horizon
@@ -183,10 +220,18 @@ object StreamingOps {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hourly_stream" -> (eventsHourlyStreaming _)
+    "events_hourly_stream" -> (eventsHourlyStreaming _),
+    "stream_stream_join" -> (streamStreamJoin _)
   )
 }

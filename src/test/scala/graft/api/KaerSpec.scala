@@ -192,6 +192,51 @@ class KaerSpec extends SparkTestBase {
       .sameElements(1L to 3L))
   }
 
+  test("delete(filter): survivors keep ids, watermark unchanged, reopen-safe") {
+    val root = tmpDir("kaer-del")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments((0 until 10).map(i => s"doc $i"))
+      .withMetadatas((0 until 10).map(i => Map[String, Any]("grp" -> (i % 2)))))
+    assert(c.delete("""{"grp": {"$eq": 0}}""") == 5L)
+    assert(c.count() == 5 && c.rows == 5 && c.watermark == 10)
+    val ids = c.df.select("_m_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Seq(2L, 4L, 6L, 8L, 10L))) // doc i -> id i+1
+    assert(c.delete("""{"grp": {"$eq": 0}}""") == 0L) // idempotent
+    // new inserts continue above the watermark — deleted ids not reused
+    c.insert(Data().withDocuments(Seq("late")))
+    assert(c.df.agg(org.apache.spark.sql.functions.max("_m_id"))
+      .head().getLong(0) == 11L)
+    // reopen sees the same state
+    val re = newSession(root).getCollection("c")
+    assert(re.count() == 6 && re.watermark == 11)
+  }
+
+  test("update(filter, $set): merges metadata, visible to later queries") {
+    val root = tmpDir("kaer-upd")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("a", "b", "c"))
+      .withMetadatas(Seq(
+        Map[String, Any]("grp" -> 0, "keep" -> "x"),
+        Map[String, Any]("grp" -> 1, "keep" -> "y"),
+        Map[String, Any]("grp" -> 0))))
+    assert(c.update("""{"grp": {"$eq": 0}}""",
+      Map("grp" -> 7, "tagged" -> true)) == 2L)
+    // merged fields are queryable through the same MQL path; untouched
+    // keys survive the merge
+    val hit = c.query("a", 10, """{"tagged": {"$eq": true}}""")
+    assert(hit.count() == 2)
+    val keepVals = c.query("a", 10, """{"grp": {"$eq": 7}}""")
+      .select("_m_meta").collect().map(_.getString(0)).mkString
+    assert(keepVals.contains("\"keep\":\"x\""))
+    assert(c.query("a", 10, """{"grp": {"$eq": 0}}""").count() == 0)
+    // rows/ids untouched
+    assert(c.count() == 3 && c.watermark == 3)
+  }
+
   test("drop removes data and getCollection then raises CollectionNotFound") {
     val root = tmpDir("kaer-drop")
     val k = newSession(root)
