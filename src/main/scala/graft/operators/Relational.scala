@@ -322,6 +322,53 @@ object Relational {
     s.sql(q5Sql)
   }
 
+  /** Subquery battery, one SQL string shared verbatim by Spark and the
+    * DuckDB oracle: correlated EXISTS, uncorrelated IN, and a correlated
+    * scalar aggregate subquery. Catalyst decorrelates all three into
+    * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery)
+    * — there is no per-row re-execution at any scale. */
+  private val subqueriesSql =
+    """SELECT c_custkey,
+      |  CAST((SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 400000)
+      |  AND c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlSubqueries(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(subqueriesSql)
+  }
+
+  /** Window-function battery over one named WINDOW clause — ranking
+    * (row_number, ntile, percent_rank), offsets (lag, lead), frames
+    * (first_value, partition-wide sum). Ordering is unique per
+    * partition, so every function is deterministic cross-engine. One
+    * shuffle + one sort per window spec. */
+  private val windowBatterySql =
+    """SELECT o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  lag(pc) OVER w AS prev_pc,
+      |  lead(pc) OVER w AS next_pc,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(pc) OVER w AS first_pc,
+      |  percent_rank() OVER w AS pr,
+      |  CAST(sum(pc) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total
+      |FROM (SELECT o_orderkey, o_custkey,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def sqlWindowBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(windowBatterySql)
+  }
+
   /** Exact quantiles (no approx sketch — bit-comparable): quartiles of
     * order value via `percentile`, which matches DuckDB's
     * quantile_cont linear interpolation on exact integer cents. */
@@ -416,6 +463,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
+    "sql_subqueries" -> subqueriesSql,
+    "sql_window_battery" -> windowBatterySql,
     "quantiles_orders" ->
       """SELECT
         |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
@@ -592,6 +641,8 @@ object Relational {
     "cube_sales" -> (cubeSales _),
     "pivot_orders" -> (pivotOrders _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "sql_subqueries" -> (sqlSubqueries _),
+    "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
     "events_sliding" -> (eventsSliding _)
   )

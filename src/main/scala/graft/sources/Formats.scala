@@ -61,7 +61,32 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** orders → ORC (columnar, predicate-pushdown-capable — the other
+    * first-class columnar format a lakehouse ingests) → read back →
+    * per-status rollup. ORC keeps native types, so no epoch/cents
+    * transport encoding is needed on the write side; the rollup still
+    * aggregates integer cents for oracle parity. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orc")
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        min(unix_micros(col("o_orderdate").cast("timestamp"))).as("first_us"))
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  min(epoch_us(o_orderdate)) AS first_us
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "csv_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         |  CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)
@@ -77,6 +102,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> (csvRoundtrip _),
-    "json_roundtrip" -> (jsonRoundtrip _)
+    "json_roundtrip" -> (jsonRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _)
   )
 }
