@@ -33,6 +33,7 @@ object SparkEntry {
       graft.operators.Skew.queries ++
       graft.operators.Quantize.queries ++
       graft.operators.Bucketing.queries ++
+      graft.operators.Layout.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.operators.Skew.oracle ++
       graft.operators.Quantize.oracle ++
       graft.operators.Bucketing.oracle ++
+      graft.operators.Layout.oracle ++
       graft.streaming.StreamingOps.oracle
 }

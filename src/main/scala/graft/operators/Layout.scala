@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-dimension
+  * file skipping.
+  *
+  * A table range-sorted on one key prunes files only for predicates on
+  * that key; a box query on a second dimension reads every file. Writing
+  * files in Z-order of (a, b) bounds BOTH dimensions' min/max span per
+  * file, so parquet footer stats prune files (and row groups) for
+  * predicates on either dimension — the standard lakehouse layout cure
+  * (Delta/Iceberg OPTIMIZE ZORDER). At 100 TB this is the difference
+  * between a box query scanning ~everything and scanning the few files
+  * whose Z-range intersects the box.
+  *
+  * The interleave is a pure Column expression (32 constant-folded
+  * shift/mask terms — whole-stage codegen, no UDF), so the sort key
+  * computation runs at scan speed and any engine can replicate it.
+  */
+object Layout {
+
+  /** Morton interleave of the low 16 bits of two non-negative columns:
+    * bit j of `a` lands at position 2j, bit j of `b` at 2j+1. Inputs are
+    * clamped to [0, 2^16) — callers bucket/normalize dimensions first. */
+  def zorder16(a: Column, b: Column): Column = {
+    val mask = lit((1L << 16) - 1)
+    val aa = a.cast("long").bitwiseAND(mask)
+    val bb = b.cast("long").bitwiseAND(mask)
+    (0 until 16).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(aa, j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(bb, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite `df` into `files` parquet files clustered by the Z-value of
+    * (a, b): range-partition on Z (equal-size files via range exchange),
+    * sort within each partition, drop the helper column before the
+    * write. Content is unchanged — only file boundaries move. */
+  def zorderWrite(df: DataFrame, out: String, a: Column, b: Column,
+      files: Int): Unit =
+    df.withColumn("_z", zorder16(a, b))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(out)
+
+  // ---- registered gate query -----------------------------------------
+
+  private def scratchFor(dir: String): String =
+    graft.core.Scratch.dir("zorder", dir)
+
+  /** The events projection that gets Z-ordered: (event_id, user_id, ts)
+    * plus the hour index used as the second Z dimension. The absolute
+    * epoch-hour is masked to 16 bits inside zorder16 — the 30-day event
+    * window spans ~720 consecutive hours, far from a 2^16 wrap. */
+  private def eventsProj(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr(s"unix_micros(ts) DIV ${3600L * 1000000L}").as("h"))
+
+  /** Build the Z-ordered copy unless a trusted one exists (same contract
+    * as the other persisted-layout reuses: _SUCCESS + row count). */
+  private def ensureZordered(s: SparkSession, dir: String): String = {
+    val out = scratchFor(dir)
+    val e = eventsProj(s, dir)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val trusted =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")) &&
+        s.read.parquet(out).count() == e.count()
+    if (!trusted) zorderWrite(e, out, col("user_id"), col("h"), 16)
+    out
+  }
+
+  /** Two-dimension box query over the Z-ordered copy. The answer must
+    * equal the same box on the raw table — layout moves bytes, not rows
+    * (that is the oracle check); LayoutSpec asserts the actual
+    * file-skipping property (bounded per-file min/max span on BOTH
+    * dimensions, which parquet footer pruning exploits). */
+  def zorderScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensureZordered(s, dir))
+      .filter(col("user_id").between(40, 80) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("first_id"), max("event_id").as("last_id"))
+      .orderBy("user_id")
+
+  val oracle: Map[String, String] = Map(
+    "zorder_scan" ->
+      """SELECT user_id, count(*) AS n,
+        |  min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 80
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_scan" -> (zorderScan _)
+  )
+}
