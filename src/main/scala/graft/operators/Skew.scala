@@ -41,7 +41,49 @@ object Skew {
         col("total").as("total_cents"))
       .orderBy("o_custkey")
 
+  /** Salted shuffle JOIN — the aggregation trick's join twin, for when a
+    * skewed key would make one join task the straggler and the build
+    * side is too big to broadcast outright. The fact side gets a
+    * deterministic salt in [0, salts); the dim side is replicated once
+    * per salt value (explode of a literal range — dim × salts rows);
+    * the join is then an equi-join on (key, salt) whose hot key spreads
+    * over `salts` reducers. AQE's skew-join split handles this
+    * adaptively when stats surface it; the salted form is the explicit,
+    * planner-independent cure. Salt invisibility is the oracle check. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+      dimKey: Column, saltOn: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", salt(saltOn, salts))
+    val repDim = dim
+      .withColumn("_salt", explode(array((0 until salts).map(i =>
+        lit(i.toLong)): _*)))
+    // shuffle_hash hint: at test scale the dim would be auto-broadcast,
+    // which hides the very shuffle the salt exists to balance — at real
+    // scale a broadcastable dim means you broadcast and skip salting
+    saltedFact.join(repDim.hint("shuffle_hash"),
+      factKey === dimKey && saltedFact("_salt") === repDim("_salt"))
+  }
+
+  /** Revenue per market segment through the salted join — orders (fact)
+    * × customer (dim, replicated ×8). */
+  def saltedJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, cust, col("o_custkey"), col("c_custkey"),
+        col("o_orderkey"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val oracle: Map[String, String] = Map(
+    "salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "salted_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -51,6 +93,7 @@ object Skew {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "salted_agg" -> (saltedAgg _)
+    "salted_agg" -> (saltedAgg _),
+    "salted_join" -> (saltedJoinQuery _)
   )
 }

@@ -105,6 +105,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition ratio — the Gopher-style quality signal: what fraction
+    * of a document's word 3-grams are repeats. High repetition flags
+    * boilerplate/spam for corpus filtering. Exact integer counts + one
+    * floor division, per-row, zero shuffle. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val g = wordNgrams(tokens(col("text")), 3)
+    val nG = size(g).cast("long")
+    val nD = size(array_distinct(g)).cast("long")
+    docs(s, dir).select(
+      col("doc_id"),
+      nG.as("n_3grams"),
+      nD.as("n_distinct"),
+      when(nG > 0, floor((nG - nD) * lit(1000.0) / nG))
+        .otherwise(0L).cast("long").as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -162,6 +179,19 @@ object TextAnalysis {
         |    '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
         |    || ' !!  END  '), '[^a-z0-9]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(g) AS BIGINT) AS n_3grams,
+        |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(g) > 0 THEN CAST(floor(
+        |      (len(g) - len(list_distinct(g))) * 1000.0 / len(g)) AS BIGINT)
+        |    ELSE 0 END AS dup_permille
+        |FROM (
+        |  SELECT doc_id, [array_to_string(t[i:i+2], ' ')
+        |    for i in generate_series(1, len(t) - 2)] AS g
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "pii_redact" ->
       """WITH w AS (SELECT doc_id,
         |  text || ' contact user' || doc_id ||
@@ -182,6 +212,7 @@ object TextAnalysis {
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
-    "pii_redact" -> (piiRedact _)
+    "pii_redact" -> (piiRedact _),
+    "text_repetition" -> (textRepetition _)
   )
 }

@@ -187,4 +187,35 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("range_join_bucketed: equi-join on (user, bucket), no nested loop") {
+    val p = plan(Relational.rangeJoinBucketed(spark, sf0001))
+    // the blocking turns the time-range join into a hash-able equi-join;
+    // the range predicate must NOT surface as a nested-loop/cartesian
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anti_join: broadcast anti join, no shuffle of the big side") {
+    val p = plan(Relational.antiJoin(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("salted_join: shuffle join on (key, salt) — dim replicated, not broadcast") {
+    import graft.operators.Skew
+    val p = plan(Skew.saltedJoinQuery(spark, sf0001))
+    // the whole point: the join key includes the salt and the physical
+    // join is a shuffle (hash) join, not a broadcast of the dim
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("zorder_scan: box predicates are pushed to the clustered scan") {
+    import graft.operators.Layout
+    val p = plan(Layout.zorderScan(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(user_id"), p)
+  }
 }
