@@ -24,6 +24,22 @@ object StreamingOps {
 
   private val runId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Run `f` with stateful-shuffle parallelism pinned to `n`.
+    *
+    * Stateful streaming parallelism is a first-class knob, not ambient
+    * config: every shuffle partition owns state-store instances (a
+    * stream-stream join holds FOUR per partition) whose init/commit cost
+    * is paid per micro-batch regardless of data volume — measured here,
+    * 32 partitions ran the attribution join 2.3x slower than 8 on 100k
+    * events. Real deployments size it to key cardinality and it freezes
+    * into the checkpoint at first start; these single-process gates size
+    * for the test corpus, a cluster raises it. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1-hour windowed aggregation over `events` executed as a
     * stream (file source → incremental agg → memory sink, AvailableNow).
     * Complete output mode so the memory table equals the batch answer. */
@@ -33,20 +49,22 @@ object StreamingOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(path).schema
     val name = s"graft_events_hourly_${runId.incrementAndGet()}"
-    // the file stream source requires a DIRECTORY: stream the parent dir
-    // with a glob filter selecting just the events file
-    val q = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
-        .as("hour_epoch_s"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      // the file stream source requires a DIRECTORY: stream the parent dir
+      // with a glob filter selecting just the events file
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+          .as("hour_epoch_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("hour_epoch_s", "event_type")
   }
 
@@ -178,15 +196,17 @@ object StreamingOps {
         col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val name = s"graft_ss_join_${runId.incrementAndGet()}"
-    val q = views.join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") > col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("view_id"), col("purchase_id"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, 8) {
+      val q = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") > col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("view_id"), col("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name).orderBy("view_id", "purchase_id")
   }
 
