@@ -167,9 +167,7 @@ object MqlFilter {
         case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
           .reduceLeft(_ || _)
         case (field, v) if v.isObject && isOpObject(v) =>
-          v.properties().asScala.toSeq
-            .map { op => fieldOp(field, op.getKey, op.getValue, r) }
-            .reduceLeft(_ && _)
+          opObjectPred(field, v, r)
         case (field, v) => fieldOp(field, "$eq", v, r)
       }
     }
@@ -189,6 +187,38 @@ object MqlFilter {
     else if (lit0.isNull) !r.exists(field) || r.typeName(field) === "null"
     else throw new IllegalArgumentException(
       s"unsupported literal for $field: $lit0")
+  }
+
+  /** Conjunction over a field's operator object, with $options paired to
+    * its sibling $regex ({f: {$regex: "pat", $options: "i"}} — the
+    * FerretDB/Mongo form; $options alone is rejected). Shared by the
+    * translate branch and field-level $not. */
+  private def opObjectPred(field: String, v: JsonNode,
+      r: FieldResolver): Column = {
+    val ops = v.properties().asScala.toSeq
+    val regexOpts = ops.find(_.getKey == "$options").map(_.getValue.asText())
+    regexOpts.foreach { _ =>
+      require(ops.exists(_.getKey == "$regex"),
+        "$options requires a sibling $regex") }
+    ops.filterNot(_.getKey == "$options")
+      .map { op =>
+        if (op.getKey == "$regex")
+          regexPred(field, op.getValue.asText(), regexOpts.getOrElse(""), r)
+        else fieldOp(field, op.getKey, op.getValue, r)
+      }
+      .reduceLeft(_ && _)
+  }
+
+  /** $regex with Mongo $options mapped to inline regex flags — `i m s x`
+    * are exactly Java's (?i)(?m)(?s)(?x), so the flags travel inside the
+    * pattern and any regex-capable engine evaluates them identically. */
+  private def regexPred(field: String, pattern: String, options: String,
+      r: FieldResolver): Column = {
+    val known = options.filter("imsx".contains(_))
+    require(known.length == options.length,
+      s"unsupported $$options flags: $options")
+    val pat = if (known.isEmpty) pattern else s"(?$known)$pattern"
+    tv(r.str(field).rlike(pat))
   }
 
   private def fieldOp(field: String, op: String, v: JsonNode,
@@ -211,9 +241,7 @@ object MqlFilter {
       // and is rejected by translate (no such case there).
       require(v.isObject && isOpObject(v),
         s"$$not operand must be an operator object, got: $v")
-      !v.properties().asScala.toSeq
-        .map(op => fieldOp(field, op.getKey, op.getValue, r))
-        .reduceLeft(_ && _)
+      !opObjectPred(field, v, r)
     case "$mod" =>
       // {field: {$mod: [divisor, remainder]}} — numeric only, remainder
       // carries the dividend's sign (Java/SQL % semantics, which is also
@@ -225,7 +253,7 @@ object MqlFilter {
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)
     case "$type" => tv(r.typeName(field) === v.asText())
-    case "$regex" => tv(r.str(field).rlike(v.asText()))
+    case "$regex" => regexPred(field, v.asText(), "", r)
     case "$size" => tv(size(r.arr(field)) === v.asInt())
     case "$all" =>
       val elems = v.elements().asScala.map(_.asText()).toSeq

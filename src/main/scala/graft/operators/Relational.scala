@@ -408,6 +408,19 @@ object Relational {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** $regex with Mongo $options (inline (?i) flags) + $not composition,
+    * under the oracle gate — the flags travel inside the pattern so any
+    * regex engine (Java here, RE2 in the oracle) evaluates identically. */
+  def mqlDocsRegexCi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("source"))))
+      .filter(MqlFilter.toColumn(
+        """{"source": {"$regex": "^SRC1$", "$options": "i"},
+          | "lang": {"$not": {"$regex": "^E", "$options": "i"}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** The MQL ARRAY operator family ($all, $size, $elemMatch) plus $type
     * under the oracle gate: metadata carries a real JSON array (the two
     * tag strings), and the filter requires all of {the doc's lang}, a
@@ -512,6 +525,11 @@ object Relational {
         |  AND len([lang, source]) = 2
         |  AND len(list_filter([lang, source],
         |        t -> regexp_matches(t, '^src'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "mql_docs_regex_ci" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(source, '(?i)^SRC1$')
+        |  AND NOT regexp_matches(lang, '(?i)^E')
         |ORDER BY doc_id""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
@@ -635,6 +653,7 @@ object Relational {
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
+    "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),

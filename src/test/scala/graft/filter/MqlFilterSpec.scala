@@ -102,6 +102,19 @@ class MqlFilterSpec extends SparkTestBase {
     assert(ids("{}") == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("$regex with $options flags (case-insensitive, and under $not)") {
+    assert(ids("""{"s": {"$regex": "^X$", "$options": "i"}}""") == Seq(1L))
+    assert(ids("""{"s": {"$regex": "^X$"}}""") == Seq()) // flagless: no match
+    assert(ids("""{"s": {"$not": {"$regex": "^x", "$options": "i"}}}""")
+      == Seq(2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] { // $options without $regex
+      ids("""{"s": {"$options": "i"}}""")
+    }
+    intercept[IllegalArgumentException] { // unknown flag
+      ids("""{"s": {"$regex": "x", "$options": "z"}}""")
+    }
+  }
+
   test("unsupported operator raises") {
     intercept[IllegalArgumentException] { ids("""{"a": {"$where": "x"}}""") }
   }
