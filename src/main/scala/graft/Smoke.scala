@@ -52,6 +52,19 @@ object Smoke {
       catch { case _: api.CollectionNotFound => true }
     check(missing, "getCollection(missing) -> CollectionNotFound")
 
+    // 6. maintenance surface: $set update then filtered delete
+    check(c2.update("""{"attr1": {"$eq": 7}}""",
+        Map("tagged" -> true)) == 1L, "update($set) -> 1 row")
+    check(c2.query("doc", 10, """{"tagged": {"$eq": true}}""").count() == 1,
+      "updated metadata queryable")
+    check(c2.delete("""{"tagged": {"$eq": true}}""") == 1L &&
+      c2.count() == 2, "delete(filter) -> survivors intact")
+
+    // 7. $regex with $options through the query path
+    check(c2.query("hello", 10,
+        """{"attr2": {"$regex": "^STR1$", "$options": "i"}}""").count() == 1,
+      "$regex+$options case-insensitive match")
+
     println("SMOKE PASS")
     s.stop()
   }

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** IVF recall sweep: recall@10 and scanned-candidate fraction as nprobe
+  * grows, on the real embeddings table with the same deterministic
+  * KMeans fitter and centroid-assignment math the engine uses
+  * (IvfIndex.kmeansFit / l2sqLocal). Run:
+  *
+  *   sbt "Test/runMain graft.tools.RecallProbe [sfDir]"
+  *
+  * The probe math is driver-side on the collected table (small at test
+  * scale) — the Spark probe path itself is oracle-gated elsewhere
+  * (ann_ivf_indexed, kaer_query_indexed); this tool only quantifies the
+  * recall/cost trade-off to record in BASELINE.md.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val df = s.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val nlist = 16
+    val cents = graft.operators.IvfIndex.kmeansFit(df, nlist, iters = 3)
+    import graft.operators.IvfIndex.l2sqLocal
+    def nearestCid(v: Array[Float]): Long =
+      cents.minBy { case (cid, cv) => (l2sqLocal(cv, v), cid) }._1
+    val cid = vecs.map { case (id, v) => id -> nearestCid(v) }.toMap
+    val listSize = vecs.groupBy(v => cid(v._1)).map { case (c, g) => c -> g.length }
+    val queries = vecs.filter(_._1 % 20 == 7)
+    val k = 10
+    println(s"[recall] n=${vecs.length} nlist=$nlist queries=${queries.length} k=$k")
+    for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+      var rec = 0.0; var frac = 0.0
+      for ((qid, qv) <- queries) {
+        val exact = vecs.filter(_._1 != qid)
+          .sortBy { case (id, v) => (l2sqLocal(v, qv), id) }
+          .take(k).map(_._1).toSet
+        val probed = cents.map { case (c, cv) => (c, l2sqLocal(cv, qv)) }
+          .sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1).toSet
+        val cand = vecs.filter { case (id, _) => id != qid && probed(cid(id)) }
+        val approx = cand
+          .sortBy { case (id, v) => (l2sqLocal(v, qv), id) }
+          .take(k).map(_._1).toSet
+        rec += (exact intersect approx).size.toDouble / k
+        frac += probed.toSeq.map(c => listSize.getOrElse(c, 0)).sum.toDouble / vecs.length
+      }
+      println(f"[recall] nprobe=$nprobe%2d recall@10=${rec / queries.length}%.3f scanned=${frac / queries.length * 100}%.1f%%")
+    }
+    s.stop()
+  }
+}
