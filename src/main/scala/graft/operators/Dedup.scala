@@ -157,12 +157,17 @@ object Dedup {
     * recursive CTE transitive closure. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearCorpus(s, dir)
-    // checkpoint pairs BEFORE branching: both paths read it at least
-    // twice, and without the checkpoint the whole LSH subtree would rerun
-    val pairs = minhashPairs(corpus).localCheckpoint(true)
+    val pairsDf = minhashPairs(corpus)
+    // ONE bounded execution decides the path AND feeds the fast path:
+    // collecting up to gate+1 pairs replaces a separate count() job, and
+    // the LSH subtree materializes exactly once either way (the slow
+    // path re-executes it into a checkpoint — paid only above the gate)
+    val collected = pairsDf.limit(PairGraphDriverGate.toInt + 1)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val labels =
-      if (pairs.count() <= PairGraphDriverGate) unionFindLabels(s, pairs)
-      else propagateLabels(pairs)
+      if (collected.length <= PairGraphDriverGate) unionFindLabels(s, collected)
+      else propagateLabels(pairsDf.localCheckpoint(true))
     val singletons = corpus.select(col("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .withColumn("lbl", col("id"))
@@ -180,9 +185,8 @@ object Dedup {
   private[graft] val PairGraphDriverGate = 2000000L
 
   /** Driver union-find over a small verified-pair graph. */
-  private[graft] def unionFindLabels(s: SparkSession, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  private[graft] def unionFindLabels(s: SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

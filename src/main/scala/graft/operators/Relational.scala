@@ -322,6 +322,31 @@ object Relational {
     s.sql(q5Sql)
   }
 
+  /** Deliberate CROSS JOIN: the (priority × status) grid densified with
+    * order counts — the one legitimate cross-product shape (two tiny
+    * distinct sets), followed by a left join so empty cells survive. */
+  def crossGrid(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val grid = o.select(col("o_orderpriority")).distinct()
+      .crossJoin(o.select(col("o_orderstatus")).distinct())
+    val cnt = o.groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    grid.join(cnt, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** Generator (UDTF-surface) coverage: posexplode of a constructed
+    * array — one input row fans out to (pos, element) rows inline, no
+    * shuffle. */
+  def lateralExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(array(col("lang"), col("source"))).as(Seq("pos", "tag")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tag"))
+      .orderBy("doc_id", "pos")
+
   /** Subquery battery, one SQL string shared verbatim by Spark and the
     * DuckDB oracle: correlated EXISTS, uncorrelated IN, and a correlated
     * scalar aggregate subquery. Catalyst decorrelates all three into
@@ -477,6 +502,22 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
     "sql_subqueries" -> subqueriesSql,
+    "cross_grid" ->
+      """SELECT p.o_orderpriority, s.o_orderstatus, COALESCE(c.n, 0) AS n
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+        |LEFT JOIN (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |           FROM orders GROUP BY 1, 2) c
+        |  ON c.o_orderpriority = p.o_orderpriority
+        |  AND c.o_orderstatus = s.o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
+    "lateral_explode" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos, lang AS tag
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), source
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin,
     "sql_window_battery" -> windowBatterySql,
     "quantiles_orders" ->
       """SELECT
@@ -661,6 +702,8 @@ object Relational {
     "pivot_orders" -> (pivotOrders _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_subqueries" -> (sqlSubqueries _),
+    "cross_grid" -> (crossGrid _),
+    "lateral_explode" -> (lateralExplode _),
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
     "events_sliding" -> (eventsSliding _)

@@ -94,7 +94,7 @@ class DedupSpec extends SparkTestBase {
       .map { case (a, b) => if (a < b) (a, b) else (b, a) }
       .distinct
     val pairs = edges.toDF("id_a", "id_b").localCheckpoint(true)
-    val uf = Dedup.unionFindLabels(spark, pairs).collect()
+    val uf = Dedup.unionFindLabels(spark, edges.toArray).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lp = Dedup.propagateLabels(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
