@@ -322,6 +322,25 @@ object Relational {
     s.sql(q5Sql)
   }
 
+  /** Time-series resample with gap fill: the dense (hour × event_type)
+    * grid over the observed range, zero-filled where no events landed.
+    * The hour axis is generated IN-PLAN (sequence + explode over the
+    * min/max aggregate row — no driver collect, no driver loop), so the
+    * same plan scales to any range length. */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
+    val cnt = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val types = e.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(cnt, Seq("h", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy("h", "event_type")
+  }
+
   /** Deliberate CROSS JOIN: the (priority × status) grid densified with
     * order counts — the one legitimate cross-product shape (two tiny
     * distinct sets), followed by a left join so empty cells survive. */
@@ -502,6 +521,17 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
     "sql_subqueries" -> subqueriesSql,
+    "resample_fill" ->
+      """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    event_type FROM events),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |cnt AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT hours.h, types.event_type, COALESCE(cnt.n, 0) AS n
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN cnt ON cnt.h = hours.h AND cnt.event_type = types.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "cross_grid" ->
       """SELECT p.o_orderpriority, s.o_orderstatus, COALESCE(c.n, 0) AS n
         |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
@@ -703,6 +733,7 @@ object Relational {
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
+    "resample_fill" -> (resampleFill _),
     "lateral_explode" -> (lateralExplode _),
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),

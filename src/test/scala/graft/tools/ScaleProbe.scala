@@ -23,6 +23,36 @@ object ScaleProbe {
       val el = (System.nanoTime() - t0) / 1e9
       println(f"[scale] mult=$mult%2d rows=${5000 * mult}%6d pairs=$n%5d time=$el%6.2fs per-1k-rows=${el / (5 * mult)}%5.3fs")
     }
+
+    // bucketed range join: replicas get disjoint user ranges, so matches
+    // (and the per-bucket group sizes) grow linearly with rows — the
+    // (user, hour-bucket) blocking must keep total cost linear too
+    val ev = graft.operators.Relational.events(s, "/root/testdata/sf0.1")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.Relational.rangeJoinBucketed(s, "/root/testdata/sf0.1").count()
+    for (mult <- Seq(1, 4, 16)) {
+      val rep = (0 until mult).map(i =>
+        ev.select((col("event_id") + i * 10000000L).as("event_id"),
+          (col("user_id") + i * 100000L).as("user_id"), col("ts")))
+        .reduce(_ unionAll _).repartition(32)
+      // same plan as the registered query, over the replicated frame
+      val HourUs = 3600L * 1000000L
+      val e2 = rep.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val right = e2.select(col("user_id").as("r_user"),
+        col("us").as("r_us"), expr(s"us DIV $HourUs").as("r_b"))
+      val left = e2.withColumn("b", expr(s"us DIV $HourUs"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          explode(array(col("b") - 1, col("b"))).as("cb"))
+      val t0 = System.nanoTime()
+      val n = left.join(right,
+          col("user_id") === col("r_user") && col("cb") === col("r_b") &&
+            col("r_us") >= col("us") - HourUs && col("r_us") < col("us"),
+          "left")
+        .groupBy("event_id").agg(count(col("r_us")).as("n")).count()
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-rj] mult=$mult%2d rows=${100000 * mult}%7d out=$n%8d time=$el%6.2fs per-100k-rows=${el / mult}%5.3fs")
+    }
     s.stop()
   }
 }
