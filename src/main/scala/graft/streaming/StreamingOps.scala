@@ -233,7 +233,47 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** foreachBatch ingestion under the oracle gate: stream
+    * documents.parquet into a persisted collection exactly once
+    * (checkpointed file source — the reference's append+checkpoint loop,
+    * db/db.go:91-97), then aggregate the collection's metadata. Counts
+    * per lang must equal the source table no matter how ingestion was
+    * batched. Re-runs are no-ops: the checkpoint remembers processed
+    * files, so the collection builds once and later runs only re-read;
+    * a stale leftover (row count ≠ source) is dropped and re-ingested. */
+  def streamIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.api.KaerSession
+    import graft.core.Schema
+    val root = graft.core.Scratch.dir("ingest", dir)
+    val k = new KaerSession(s, root, graft.embed.HashingEmbedder(64))
+    val expected = s.read.parquet(s"$dir/documents.parquet").count()
+    var coll = k.createCollection("docs")
+    if (coll.rows != 0L && coll.rows != expected) {
+      k.dropCollection("docs")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/ckpt"), true)
+      coll = k.createCollection("docs")
+    }
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("text").as(Schema.DocCol),
+        to_json(struct(col("lang"))).as(Schema.MetaCol))
+    withStatePartitions(s, 8) {
+      ingest(coll, src, s"$root/ckpt").awaitTermination()
+    }
+    coll.df
+      .select(get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_ingest" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // identical to the batch events_hourly oracle — that IS the check:
     // incremental execution must converge to the batch answer.
     "events_hourly_stream" ->
@@ -252,6 +292,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> (eventsHourlyStreaming _),
-    "stream_stream_join" -> (streamStreamJoin _)
+    "stream_stream_join" -> (streamStreamJoin _),
+    "stream_ingest" -> (streamIngest _)
   )
 }

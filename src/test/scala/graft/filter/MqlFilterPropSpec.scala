@@ -24,45 +24,65 @@ class MqlFilterPropSpec extends SparkTestBase {
 
   private lazy val df = corpus.toDF("id", "meta").cache()
 
-  /** In-memory model of the corpus: id → Option[k]. */
-  private val model: Map[Long, Option[Long]] = corpus.map { case (i, j) =>
-    val m = "\"k\": (\\d+)".r.findFirstMatchIn(j).map(_.group(1).toLong)
-    (i, m)
-  }.toMap
+  /** In-memory model of the corpus: id → (Option[k], Option[tag]). */
+  private val model: Map[Long, (Option[Long], Option[String])] =
+    corpus.map { case (i, j) =>
+      val mk = "\"k\": (\\d+)".r.findFirstMatchIn(j).map(_.group(1).toLong)
+      val mt = "\"tag\": \"(t\\d)\"".r.findFirstMatchIn(j).map(_.group(1))
+      (i, (mk, mt))
+    }.toMap
 
-  sealed trait P { def json: String; def eval(k: Option[Long]): Boolean }
+  sealed trait P {
+    def json: String
+    def eval(d: (Option[Long], Option[String])): Boolean
+  }
   case class Cmp(op: String, v: Long) extends P {
     def json = s"""{"k": {"$$$op": $v}}"""
-    def eval(k: Option[Long]) = k.exists { kk =>
+    def eval(d: (Option[Long], Option[String])) = { val k = d._1; k.exists { kk =>
       op match {
         case "eq" => kk == v; case "ne" => kk != v
         case "gt" => kk > v; case "gte" => kk >= v
         case "lt" => kk < v; case "lte" => kk <= v
       }
-    } || (op == "ne" && k.isEmpty) // MQL: $ne matches missing fields
+    } || (op == "ne" && k.isEmpty) } // MQL: $ne matches missing fields
   }
   case class In(vs: Seq[Long], neg: Boolean) extends P {
     def json =
       s"""{"k": {"${if (neg) "$nin" else "$in"}": [${vs.mkString(",")}]}}"""
-    def eval(k: Option[Long]) =
-      if (neg) !k.exists(vs.contains) // $nin matches missing too
-      else k.exists(vs.contains)
+    def eval(d: (Option[Long], Option[String])) =
+      if (neg) !d._1.exists(vs.contains) // $nin matches missing too
+      else d._1.exists(vs.contains)
   }
   case class Logic(op: String, cs: Seq[P]) extends P {
     def json = s"""{"$$$op": [${cs.map(_.json).mkString(",")}]}"""
-    def eval(k: Option[Long]) = op match {
-      case "and" => cs.forall(_.eval(k))
-      case "or"  => cs.exists(_.eval(k))
-      case "nor" => !cs.exists(_.eval(k))
+    def eval(d: (Option[Long], Option[String])) = op match {
+      case "and" => cs.forall(_.eval(d))
+      case "or"  => cs.exists(_.eval(d))
+      case "nor" => !cs.exists(_.eval(d))
     }
   }
   case class Exists(want: Boolean) extends P {
     def json = s"""{"k": {"$$exists": $want}}"""
-    def eval(k: Option[Long]) = k.isDefined == want
+    def eval(d: (Option[Long], Option[String])) = d._1.isDefined == want
   }
-  case class Mod(d: Long, r: Long) extends P {
-    def json = s"""{"k": {"$$mod": [$d, $r]}}"""
-    def eval(k: Option[Long]) = k.exists(_ % d == r)
+  case class TagEq(v: String) extends P {
+    def json = s"""{"tag": "$v"}"""
+    def eval(d: (Option[Long], Option[String])) = d._2.contains(v)
+  }
+  case class TagRegex(prefixDigit: Int, ci: Boolean) extends P {
+    def json =
+      if (ci) s"""{"tag": {"$$regex": "^T$prefixDigit", "$$options": "i"}}"""
+      else s"""{"tag": {"$$regex": "^t$prefixDigit"}}"""
+    def eval(d: (Option[Long], Option[String])) =
+      d._2.exists(_.startsWith(s"t$prefixDigit"))
+  }
+  case class TagExists(want: Boolean) extends P {
+    def json = s"""{"tag": {"$$exists": $want}}"""
+    def eval(d: (Option[Long], Option[String])) = d._2.isDefined == want
+  }
+  case class Mod(m: Long, r: Long) extends P {
+    def json = s"""{"k": {"$$mod": [$m, $r]}}"""
+    def eval(d: (Option[Long], Option[String])) = d._1.exists(_ % m == r)
   }
 
   private val genCmp: Gen[P] = for {
@@ -80,8 +100,14 @@ class MqlFilterPropSpec extends SparkTestBase {
     r <- Gen.choose(0L, d - 1)
   } yield Mod(d, r)
 
+  private val genTag: Gen[P] = Gen.oneOf(
+    Gen.choose(0, 4).map(i => TagEq(s"t$i")),
+    for { i <- Gen.choose(0, 4); ci <- Gen.oneOf(true, false) }
+      yield TagRegex(i, ci),
+    Gen.oneOf(true, false).map(TagExists))
+
   private val genLeaf: Gen[P] =
-    Gen.oneOf(genCmp, genIn, genMod,
+    Gen.oneOf(genCmp, genIn, genMod, genTag,
       Gen.oneOf(true, false).map(Exists))
 
   private val genPred: Gen[P] = for {
@@ -96,7 +122,7 @@ class MqlFilterPropSpec extends SparkTestBase {
           MqlFilter.JsonResolver(col("meta"))))
         .select("id").collect().map(_.getLong(0)).toSet
       val want = model.collect {
-        case (id, k) if p.eval(k) => id
+        case (id, doc) if p.eval(doc) => id
       }.toSet
       if (got != want)
         println(s"MISMATCH ${p.json}: got=$got want=$want")
