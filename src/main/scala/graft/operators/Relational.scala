@@ -322,6 +322,31 @@ object Relational {
     s.sql(q5Sql)
   }
 
+  /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
+    * counts — either side may be absent, both sides' keys survive. */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** INTERSECT (the set-op [[setOps]] does not cover): customers holding
+    * BOTH an open and a finished order. */
+  def intersectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      .intersect(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
+      .withColumnRenamed("o_custkey", "custkey")
+      .orderBy("custkey")
+  }
+
   /** Time-series resample with gap fill: the dense (hour × event_type)
     * grid over the observed range, zero-filled where no events landed.
     * The hour axis is generated IN-PLAN (sequence + explode over the
@@ -521,6 +546,20 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
     "sql_subqueries" -> subqueriesSql,
+    "full_outer_join" ->
+      """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
+        |  COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nk = s.nk2
+        |ORDER BY nationkey""".stripMargin,
+    "intersect_customers" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
     "resample_fill" ->
       """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
         |    event_type FROM events),
@@ -734,6 +773,8 @@ object Relational {
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),
+    "full_outer_join" -> (fullOuterJoin _),
+    "intersect_customers" -> (intersectCustomers _),
     "lateral_explode" -> (lateralExplode _),
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
