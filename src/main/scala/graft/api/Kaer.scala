@@ -178,6 +178,14 @@ final class Collection(
 
   def count(): Long = if (hasData) df.count() else 0L
 
+  /** countDocuments twin: rows matching an MQL filter (the whole-table
+    * count when null/empty) — one filtered scan, no materialization. */
+  def count(filterJson: String): Long =
+    if (!hasData) 0L
+    else if (filterJson == null || filterJson.trim.isEmpty) count()
+    else df.filter(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol)))).count()
+
   /** Insert path (db/db.go:60-100): validate lengths → embed → assign
     * dense monotone ids above the watermark → append parquet → sidecar
     * update. Id assignment uses zipWithIndex (per-partition offsets, no
@@ -404,5 +412,19 @@ final class Collection(
         graft.functions.VectorFunctions.l2(col(Schema.EmbeddingCol), qlit))
       .orderBy(col(Schema.DistanceCol).asc, col(Schema.IdCol).asc)
       .limit(k)
+  }
+
+  /** [[query]] with a Mongo-style metadata projection: each requested
+    * field surfaces as its own column (string view of the JSON value),
+    * alongside id, document and distance. Column pruning then drops the
+    * raw metadata blob from what the caller ships around — the document
+    * store's `find(..., projection)` shape. */
+  def query(document: String, k: Int, filterJson: String,
+      project: Seq[String]): DataFrame = {
+    val base = query(document, k, filterJson)
+    val metaCols = project.map(f =>
+      get_json_object(col(Schema.MetaCol), s"$$.$f").as(f))
+    base.select(col(Schema.IdCol) +: col(Schema.DocCol) +:
+      metaCols :+ col(Schema.DistanceCol): _*)
   }
 }

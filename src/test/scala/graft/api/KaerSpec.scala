@@ -237,6 +237,27 @@ class KaerSpec extends SparkTestBase {
     assert(c.count() == 3 && c.watermark == 3)
   }
 
+  test("count(filter) and query projection (document-store find shape)") {
+    val root = tmpDir("kaer-proj")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("alpha", "beta", "gamma"))
+      .withMetadatas(Seq(
+        Map[String, Any]("grp" -> 0, "name" -> "a"),
+        Map[String, Any]("grp" -> 1, "name" -> "b"),
+        Map[String, Any]("grp" -> 0, "name" -> "c"))))
+    assert(c.count("""{"grp": {"$eq": 0}}""") == 2L)
+    assert(c.count("") == 3L && c.count(null: String) == 3L)
+    val got = c.query("alpha", 2, """{"grp": {"$eq": 0}}""",
+      project = Seq("name"))
+    assert(got.columns.toSeq ==
+      Seq("_m_id", "_m_doc", "name", "_distance"))
+    val rows = got.collect()
+    assert(rows.length == 2 && rows.map(_.getAs[String]("name")).toSet
+      == Set("a", "c"))
+  }
+
   test("drop removes data and getCollection then raises CollectionNotFound") {
     val root = tmpDir("kaer-drop")
     val k = newSession(root)
