@@ -38,6 +38,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // fail LOUDLY on a null/empty oracle (a Scala object-initialization
+    // ordering bug once produced "name" -> null, which silently shrank
+    // the gate by one query instead of failing the round)
+    val bad = SparkEntry.oracleSql.collect {
+      case (k, v) if v == null || v.trim.isEmpty => k }
+    require(bad.isEmpty, s"null/empty oracle SQL for: ${bad.mkString(", ")}")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    if (noOracle.nonEmpty) System.err.println(
+      s"[verify] WARNING queries without oracle (weaker rows-only check): " +
+        noOracle.toSeq.sorted.mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -119,6 +119,39 @@ object Multimodal {
   def mmDecode(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(corpus(s, dir)).toDF().orderBy("media_id")
 
+  /** Media-embedding similarity: a STUBBED media encoder (md5-derived
+    * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
+    * as [[FakeCodec]]) feeding the engine's standard brute-force top-k.
+    * Closes the multimodal loop decode → embed → similarity-search with
+    * every Spark-side piece real (schema, broadcastable query vector,
+    * TakeOrderedAndProject) and only the encoder faked, deterministically
+    * enough for the oracle to replicate bit-for-bit. */
+  private val EmbedDim = 16
+
+  /** payload → float vector: component i = (hash60(text ":i") mod 2001
+    * − 1000) / 1000 as float — both engines round the same double. */
+  private def mediaVec(payloadText: org.apache.spark.sql.Column) = {
+    import graft.functions.TextFunctions.md5Hash60
+    transform(sequence(lit(0), lit(EmbedDim - 1)), i =>
+      ((md5Hash60(concat(payloadText, lit(":"), i)) % 2001 - 1000) / 1000.0)
+        .cast("float"))
+  }
+
+  def mmEmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    val m = corpus(s, dir).toDF()
+      .select(col("media_id"), col("modality"),
+        mediaVec(decode(col("payload"), "UTF-8")).as("v"))
+    val q = m.filter(col("media_id") === 42).select(col("v")).head()
+      .getSeq[Float](0)
+    val qlit = array(q.map(lit(_)): _*)
+    m.filter(col("media_id") =!= 42)
+      .withColumn("d", l2Sq(col("v"), qlit))
+      .orderBy(col("d").asc, col("media_id").asc)
+      .limit(10)
+      .select(col("media_id"), col("modality"))
+  }
+
   def mmFrames(s: SparkSession, dir: String): DataFrame =
     sampleFrames(corpus(s, dir)).toDF()
       .orderBy("media_id", "frame_idx")
@@ -129,7 +162,25 @@ object Multimodal {
       |  text AS payload, length(text) AS n
       |FROM documents""".stripMargin
 
+  private val embedKnnOracle: String = {
+    def comp(expr: String) =
+      s"(((('0x' || substr(md5($expr), 1, 15))::BIGINT % 2001) - 1000) / 1000.0)::FLOAT"
+    s"""WITH corpus AS ($corpusSql),
+       |v AS (SELECT media_id, modality,
+       |  [${comp("payload || ':' || (i - 1)")}
+       |   for i in generate_series(1, $EmbedDim)] AS v
+       |  FROM corpus),
+       |q AS (SELECT v AS qv FROM v WHERE media_id = 42)
+       |SELECT media_id, modality FROM v, q
+       |WHERE media_id != 42
+       |ORDER BY list_sum([(v[i]::DOUBLE - qv[i]::DOUBLE)
+       |    * (v[i]::DOUBLE - qv[i]::DOUBLE)
+       |    for i in generate_series(1, $EmbedDim)]) ASC, media_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "mm_embed_knn" -> embedKnnOracle,
     "mm_decode" ->
       s"""WITH corpus AS ($corpusSql)
          |SELECT media_id, modality,
@@ -164,6 +215,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
-    "mm_frames" -> (mmFrames _)
+    "mm_frames" -> (mmFrames _),
+    "mm_embed_knn" -> (mmEmbedKnn _)
   )
 }
