@@ -178,6 +178,13 @@ final class Collection(
 
   def count(): Long = if (hasData) df.count() else 0L
 
+  /** Mongo aggregation pipeline over the collection — the FerretDB
+    * surface the reference delegates to (and uses itself:
+    * `[{$sort: {_m_id: 1}}, {$limit: 1}]`, db/db.go:146-148). Stages
+    * fold into ONE Catalyst plan; see [[graft.filter.MqlPipeline]]. */
+  def aggregate(pipelineJson: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(df, col(Schema.MetaCol), pipelineJson)
+
   /** countDocuments twin: rows matching an MQL filter (the whole-table
     * count when null/empty) — one filtered scan, no materialization. */
   def count(filterJson: String): Long =

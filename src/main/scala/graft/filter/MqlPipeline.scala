@@ -1,0 +1,137 @@
+package graft.filter
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Mongo aggregation-pipeline → Catalyst translator — the second half of
+  * the reference stack's delegated query surface. The reference itself
+  * issues a pipeline internally (`[{$sort: {_m_id: 1}}, {$limit: 1}]`,
+  * /root/reference/db/db.go:146-148), and FerretDB exposes the pipeline
+  * to users; here each stage folds into the DataFrame plan, so the whole
+  * pipeline is ONE Catalyst plan (pushdown/pruning/partial-agg all apply;
+  * nothing is evaluated document-at-a-time).
+  *
+  * Supported stages: $match (pre-group via [[MqlFilter]] on metadata,
+  * post-group on the real output columns — the HAVING shape), $group
+  * (accumulators $sum/$avg/$min/$max, `$sum: 1` counting), $sort (real
+  * columns first — covers the reference's `_m_id` sort — else the
+  * numeric metadata view), $limit, $skip, $project (inclusion), $count.
+  *
+  * Value expressions: `"$field"` is the STRING view of a metadata field;
+  * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
+  * cross-numeric bracketing, explicit output type for engine parity).
+  */
+object MqlPipeline {
+
+  private val mapper = new ObjectMapper()
+
+  /** Run `pipelineJson` (a JSON array of stages) over `df`, resolving
+    * metadata field paths through `metaCol` (a JSON document column). */
+  def aggregate(df: DataFrame, metaCol: Column, pipelineJson: String): DataFrame = {
+    val stages = mapper.readTree(pipelineJson)
+    require(stages.isArray, s"pipeline must be a JSON array: $pipelineJson")
+    var cur = df
+    var grouped = false
+    for (stage <- stages.elements().asScala) {
+      val fields = stage.properties().asScala.toSeq
+      require(fields.length == 1, s"one operator per stage, got: $stage")
+      val (op, spec) = (fields.head.getKey, fields.head.getValue)
+      op match {
+        case "$match" =>
+          val r =
+            if (!grouped) MqlFilter.JsonResolver(metaCol)
+            else MqlFilter.TypedResolver(
+              cur.schema.fields.map(f => f.name -> col(f.name)).toMap,
+              cur.schema.fields.map(f => f.name -> f.dataType).toMap)
+          cur = cur.filter(MqlFilter.toColumn(spec.toString, r))
+
+        case "$group" =>
+          require(!grouped, "nested $group unsupported")
+          val idNode = spec.get("_id")
+          require(idNode != null, "$group requires _id")
+          val aggEntries = spec.properties().asScala.toSeq
+            .filterNot(_.getKey == "_id")
+          val aggs = aggEntries.map { e =>
+            accumulator(e.getValue, metaCol).as(e.getKey) }
+          require(aggs.nonEmpty, "$group needs at least one accumulator")
+          cur =
+            if (idNode.isNull)
+              cur.groupBy().agg(aggs.head, aggs.tail: _*)
+                .select(lit(null).cast("string").as("_id") +:
+                  aggEntries.map(e => col(e.getKey)): _*)
+            else cur.groupBy(valueExpr(idNode, metaCol).as("_id"))
+              .agg(aggs.head, aggs.tail: _*)
+          grouped = true
+
+        case "$sort" =>
+          val keys = spec.properties().asScala.toSeq.map { e =>
+            val base =
+              if (cur.columns.contains(e.getKey)) col(e.getKey)
+              else MqlFilter.JsonResolver(metaCol).num(e.getKey)
+            if (e.getValue.asInt() < 0) base.desc else base.asc
+          }
+          cur = cur.orderBy(keys: _*)
+
+        case "$limit" => cur = cur.limit(spec.asInt())
+        case "$skip" => cur = cur.offset(spec.asInt())
+
+        case "$project" =>
+          val keep = spec.properties().asScala.toSeq
+            .filter(_.getValue.asInt(1) != 0).map(_.getKey)
+          val cols = keep.map { f =>
+            if (cur.columns.contains(f)) col(f)
+            else MqlFilter.JsonResolver(metaCol).str(f).as(f)
+          }
+          cur = cur.select(cols: _*)
+
+        case "$count" =>
+          cur = cur.agg(count(lit(1)).as(spec.asText()))
+          grouped = true
+
+        case other =>
+          throw new IllegalArgumentException(s"unsupported stage: $other")
+      }
+    }
+    cur
+  }
+
+  /** `"$f"` → string view; {"$toLong"/"$toDouble": "$f"} → numeric view;
+    * literals pass through. */
+  private def valueExpr(node: JsonNode, metaCol: Column): Column = {
+    if (node.isTextual && node.asText().startsWith("$"))
+      MqlFilter.JsonResolver(metaCol).str(node.asText().drop(1))
+    else if (node.isObject) {
+      val e = node.properties().asScala.head
+      val f = e.getValue.asText().stripPrefix("$")
+      e.getKey match {
+        case "$toLong" =>
+          MqlFilter.JsonResolver(metaCol).num(f).cast("long")
+        case "$toDouble" => MqlFilter.JsonResolver(metaCol).num(f)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported operator: $other")
+      }
+    } else if (node.isNumber) lit(node.asDouble())
+    else throw new IllegalArgumentException(s"unsupported expression: $node")
+  }
+
+  /** {$sum|$avg|$min|$max: expr}; `$sum: 1` counts (sum of the int
+    * literal is a LONG — same type as the oracle's count). */
+  private def accumulator(node: JsonNode, metaCol: Column): Column = {
+    require(node.isObject, s"accumulator must be an object: $node")
+    val e = node.properties().asScala.head
+    val operand: Column =
+      if (e.getValue.isNumber && e.getKey == "$sum")
+        lit(e.getValue.asLong())
+      else valueExpr(e.getValue, metaCol)
+    e.getKey match {
+      case "$sum" => sum(operand)
+      case "$avg" => avg(operand)
+      case "$min" => min(operand)
+      case "$max" => max(operand)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported accumulator: $other")
+    }
+  }
+}

@@ -477,6 +477,27 @@ object Relational {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** Mongo aggregation PIPELINE under the gate: $match → $group
+    * (count/sum/max accumulators over the numeric view) → post-group
+    * $match (the HAVING shape) → $sort — four stages folding into one
+    * Catalyst plan with partial aggregation, over the same synthesized
+    * metadata document as the other MQL gates. */
+  def mqlPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$group": {"_id": "$lang",
+        |   "n": {"$sum": 1},
+        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}},
+        |   "max_chars": {"$max": {"$toLong": "$n_chars"}}}},
+        | {"$match": {"n": {"$gte": 5}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** $regex with Mongo $options (inline (?i) flags) + $not composition,
     * under the oracle gate — the flags travel inside the pattern so any
     * regex engine (Java here, RE2 in the oracle) evaluates identically. */
@@ -636,6 +657,13 @@ object Relational {
         |  AND len(list_filter([lang, source],
         |        t -> regexp_matches(t, '^src'))) > 0
         |ORDER BY doc_id""".stripMargin,
+    "mql_pipeline" ->
+      """SELECT lang AS _id, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents WHERE n_chars >= 120
+        |GROUP BY lang HAVING count(*) >= 5
+        |ORDER BY _id""".stripMargin,
     "mql_docs_regex_ci" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(source, '(?i)^SRC1$')
@@ -764,6 +792,7 @@ object Relational {
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
+    "mql_pipeline" -> (mqlPipeline _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),

@@ -1,0 +1,86 @@
+package graft.filter
+
+import graft.SparkTestBase
+import graft.api.{Data, KaerSession}
+import graft.embed.HashingEmbedder
+import org.apache.spark.sql.functions._
+
+/** Mongo aggregation-pipeline translator: stage semantics on a small
+  * metadata corpus, plus the reference's own internal pipeline shape
+  * (`[{$sort: {_m_id: 1}}, {$limit: 1}]`, db/db.go:146-148) through the
+  * public Collection.aggregate surface. */
+class MqlPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, """{"grp": "a", "v": 10}"""),
+    (2L, """{"grp": "a", "v": 20}"""),
+    (3L, """{"grp": "b", "v": 5}"""),
+    (4L, """{"grp": "b", "v": 7}"""),
+    (5L, """{"grp": "c", "v": 100}""")
+  ).toDF("id", "meta")
+
+  private def run(pipeline: String) =
+    MqlPipeline.aggregate(df, col("meta"), pipeline)
+
+  test("$match -> $group -> post-group $match -> $sort") {
+    val got = run(
+      """[
+        | {"$match": {"v": {"$lt": 100}}},
+        | {"$group": {"_id": "$grp",
+        |   "n": {"$sum": 1}, "total": {"$sum": {"$toLong": "$v"}},
+        |   "top": {"$max": {"$toLong": "$v"}}}},
+        | {"$match": {"n": {"$gte": 2}}},
+        | {"$sort": {"total": -1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("a", 2L, 30L, 20L), ("b", 2L, 12L, 7L)))
+  }
+
+  test("$group with _id null aggregates the whole input") {
+    val got = run(
+      """[{"$group": {"_id": null, "n": {"$sum": 1},
+        |  "avg_v": {"$avg": {"$toLong": "$v"}}}}]""".stripMargin)
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(0) &&
+      got(0).getLong(1) == 5L && got(0).getDouble(2) == 28.4)
+  }
+
+  test("$sort on real columns, $skip, $limit, $project, $count") {
+    val ids = run(
+      """[{"$sort": {"id": -1}}, {"$skip": 1}, {"$limit": 2},
+        |  {"$project": {"id": 1, "grp": 1}}]""".stripMargin)
+    assert(ids.columns.toSeq == Seq("id", "grp"))
+    assert(ids.collect().map(_.getLong(0)).toSeq == Seq(4L, 3L))
+    val cnt = run("""[{"$match": {"grp": "b"}}, {"$count": "n_b"}]""")
+    assert(cnt.columns.toSeq == Seq("n_b") &&
+      cnt.head().getLong(0) == 2L)
+  }
+
+  test("unsupported stage and accumulator raise") {
+    intercept[IllegalArgumentException] { run("""[{"$unwind": "$v"}]""") }
+    intercept[IllegalArgumentException] {
+      run("""[{"$group": {"_id": null, "x": {"$stdDevPop": "$v"}}}]""")
+    }
+  }
+
+  test("the reference's internal pipeline through Collection.aggregate") {
+    val root = tmpDir("kaer-pipe")
+    val c = new KaerSession(spark, root, HashingEmbedder(64))
+      .createCollection("c")
+    c.insert(Data().withDocuments(Seq("x", "y", "z")))
+    // db/db.go:146-148: ascending _m_id sort + limit 1 (its min-id form;
+    // our recovery uses max, but the PIPELINE itself must express both)
+    val minId = c.aggregate(
+      """[{"$sort": {"_m_id": 1}}, {"$limit": 1},
+        |  {"$project": {"_m_id": 1}}]""".stripMargin)
+      .head().getLong(0)
+    assert(minId == 1L)
+    val maxId = c.aggregate(
+      """[{"$sort": {"_m_id": -1}}, {"$limit": 1},
+        |  {"$project": {"_m_id": 1}}]""".stripMargin)
+      .head().getLong(0)
+    assert(maxId == 3L)
+  }
+}
