@@ -54,14 +54,14 @@ object MqlPipeline {
           val aggEntries = spec.properties().asScala.toSeq
             .filterNot(_.getKey == "_id")
           val aggs = aggEntries.map { e =>
-            accumulator(e.getValue, metaCol).as(e.getKey) }
+            accumulator(e.getValue, metaCol, cur).as(e.getKey) }
           require(aggs.nonEmpty, "$group needs at least one accumulator")
           cur =
             if (idNode.isNull)
               cur.groupBy().agg(aggs.head, aggs.tail: _*)
                 .select(lit(null).cast("string").as("_id") +:
                   aggEntries.map(e => col(e.getKey)): _*)
-            else cur.groupBy(valueExpr(idNode, metaCol).as("_id"))
+            else cur.groupBy(valueExpr(idNode, metaCol, cur).as("_id"))
               .agg(aggs.head, aggs.tail: _*)
           grouped = true
 
@@ -76,6 +76,16 @@ object MqlPipeline {
 
         case "$limit" => cur = cur.limit(spec.asInt())
         case "$skip" => cur = cur.offset(spec.asInt())
+
+        case "$unwind" =>
+          // array fan-out: one row per element, surfaced as a REAL column
+          // named after the field — later $group/$sort/$project on
+          // "$field" resolve that column (Mongo's post-unwind document
+          // shape, for the common unwind → group roll-up)
+          require(!grouped, "$unwind after $group unsupported")
+          val f = spec.asText().stripPrefix("$")
+          cur = cur.withColumn(f,
+            explode(MqlFilter.JsonResolver(metaCol).arr(f)))
 
         case "$project" =>
           val keep = spec.properties().asScala.toSeq
@@ -97,18 +107,25 @@ object MqlPipeline {
     cur
   }
 
-  /** `"$f"` → string view; {"$toLong"/"$toDouble": "$f"} → numeric view;
-    * literals pass through. */
-  private def valueExpr(node: JsonNode, metaCol: Column): Column = {
+  /** `"$f"` → the real column `f` when one exists (post-$unwind shape),
+    * else the STRING view of metadata field f;
+    * {"$toLong"/"$toDouble": "$f"} → numeric view; literals pass. */
+  private def valueExpr(node: JsonNode, metaCol: Column,
+      cur: DataFrame): Column = {
+    def ref(f: String): Column =
+      if (cur.columns.contains(f)) col(f)
+      else MqlFilter.JsonResolver(metaCol).str(f)
+    def num(f: String): Column =
+      if (cur.columns.contains(f)) col(f).cast("double")
+      else MqlFilter.JsonResolver(metaCol).num(f)
     if (node.isTextual && node.asText().startsWith("$"))
-      MqlFilter.JsonResolver(metaCol).str(node.asText().drop(1))
+      ref(node.asText().drop(1))
     else if (node.isObject) {
       val e = node.properties().asScala.head
       val f = e.getValue.asText().stripPrefix("$")
       e.getKey match {
-        case "$toLong" =>
-          MqlFilter.JsonResolver(metaCol).num(f).cast("long")
-        case "$toDouble" => MqlFilter.JsonResolver(metaCol).num(f)
+        case "$toLong" => num(f).cast("long")
+        case "$toDouble" => num(f)
         case other =>
           throw new IllegalArgumentException(s"unsupported operator: $other")
       }
@@ -118,13 +135,14 @@ object MqlPipeline {
 
   /** {$sum|$avg|$min|$max: expr}; `$sum: 1` counts (sum of the int
     * literal is a LONG — same type as the oracle's count). */
-  private def accumulator(node: JsonNode, metaCol: Column): Column = {
+  private def accumulator(node: JsonNode, metaCol: Column,
+      cur: DataFrame): Column = {
     require(node.isObject, s"accumulator must be an object: $node")
     val e = node.properties().asScala.head
     val operand: Column =
       if (e.getValue.isNumber && e.getKey == "$sum")
         lit(e.getValue.asLong())
-      else valueExpr(e.getValue, metaCol)
+      else valueExpr(e.getValue, metaCol, cur)
     e.getKey match {
       case "$sum" => sum(operand)
       case "$avg" => avg(operand)

@@ -498,6 +498,22 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** Pipeline $unwind: array fan-out then per-element roll-up — the
+    * Mongo unwind → group idiom over the same tags-array metadata as
+    * mql_docs_array. */
+  def mqlUnwind(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          array(col("lang"), col("source")).as("tags"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$unwind": "$tags"},
+        | {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** $regex with Mongo $options (inline (?i) flags) + $not composition,
     * under the oracle gate — the flags travel inside the pattern so any
     * regex engine (Java here, RE2 in the oracle) evaluates identically. */
@@ -657,6 +673,11 @@ object Relational {
         |  AND len(list_filter([lang, source],
         |        t -> regexp_matches(t, '^src'))) > 0
         |ORDER BY doc_id""".stripMargin,
+    "mql_unwind" ->
+      """SELECT tag AS _id, count(*) AS n
+        |FROM (SELECT unnest([lang, source]) AS tag
+        |      FROM documents WHERE n_chars >= 120)
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
     "mql_pipeline" ->
       """SELECT lang AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -793,6 +814,7 @@ object Relational {
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
+    "mql_unwind" -> (mqlUnwind _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),

@@ -58,8 +58,24 @@ class MqlPipelineSpec extends SparkTestBase {
       cnt.head().getLong(0) == 2L)
   }
 
+  test("$unwind fans out array elements; later stages see the real column") {
+    val arr = Seq(
+      (1L, """{"tags": ["x", "y"], "v": 1}"""),
+      (2L, """{"tags": ["y"], "v": 2}"""),
+      (3L, """{"v": 3}""") // no array -> dropped by explode (Mongo parity)
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(arr, col("meta"),
+      """[{"$unwind": "$tags"},
+        |  {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
+        |  {"$sort": {"_id": 1}}]""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("x", 1L), ("y", 2L)))
+  }
+
   test("unsupported stage and accumulator raise") {
-    intercept[IllegalArgumentException] { run("""[{"$unwind": "$v"}]""") }
+    intercept[IllegalArgumentException] {
+      run("""[{"$lookup": {"from": "other"}}]""")
+    }
     intercept[IllegalArgumentException] {
       run("""[{"$group": {"_id": null, "x": {"$stdDevPop": "$v"}}}]""")
     }
