@@ -123,6 +123,12 @@ final class KaerSession(
   * §2.4). Data replay (updateIndexFromLastId) is unnecessary: parquet is
   * simultaneously the document store and the "index".
   */
+object Collection {
+  /** Executor-static Jackson mapper for the update-merge UDF (one per
+    * JVM, not per row — ObjectMapper construction is expensive). */
+  private[api] lazy val udfMapper = new ObjectMapper()
+}
+
 final class Collection(
     val spark: SparkSession,
     val name: String,
@@ -272,12 +278,9 @@ final class Collection(
     * missing, stale after more inserts, different nlist — rebuilds. */
   def ensureIndex(nlist: Int = 16, iters: Int = 3): Unit = {
     val idx = new Path(dir, "index").toString
-    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trusted =
-      fs.exists(new Path(s"$idx/lists/_SUCCESS")) &&
-      fs.exists(new Path(s"$idx/centroids/_SUCCESS")) &&
-      spark.read.parquet(s"$idx/centroids").count() == nlist &&
-      spark.read.parquet(s"$idx/lists").count() == rowsCount
+      graft.core.Trust.parquetDir(spark, s"$idx/centroids", nlist.toLong) &&
+      graft.core.Trust.parquetDir(spark, s"$idx/lists", rowsCount)
     if (!trusted) buildIndex(nlist, iters)
   }
 
@@ -379,7 +382,9 @@ final class Collection(
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
     val setJson = Data.toJson(set)
     val mergeUdf = udf { meta: String =>
-      val m = new ObjectMapper()
+      // per-executor static mapper (Collection.udfMapper) — constructing
+      // an ObjectMapper per row would dominate a large rewrite
+      val m = Collection.udfMapper
       val base = if (meta == null || meta.trim.isEmpty) m.createObjectNode()
       else m.readTree(meta) match {
         case o: com.fasterxml.jackson.databind.node.ObjectNode => o

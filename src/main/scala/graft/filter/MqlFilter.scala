@@ -249,6 +249,9 @@ object MqlFilter {
       val args = v.elements().asScala.toSeq
       require(args.length == 2 && args.forall(_.isNumber),
         s"$$mod operand must be [divisor, remainder], got: $v")
+      // Mongo rejects a zero divisor; silently-matching-nothing (the NaN
+      // % result collapsed by tv) would hide the caller's bug
+      require(args(0).asDouble() != 0.0, "$mod divisor cannot be 0")
       tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)

@@ -40,11 +40,15 @@ object MqlPipeline {
       val (op, spec) = (fields.head.getKey, fields.head.getValue)
       op match {
         case "$match" =>
+          // real columns win (post-$group output, post-$unwind element);
+          // everything else resolves through the metadata document
+          val typed = MqlFilter.TypedResolver(
+            cur.schema.fields.map(f => f.name -> col(f.name)).toMap,
+            cur.schema.fields.map(f => f.name -> f.dataType).toMap)
           val r =
-            if (!grouped) MqlFilter.JsonResolver(metaCol)
-            else MqlFilter.TypedResolver(
-              cur.schema.fields.map(f => f.name -> col(f.name)).toMap,
-              cur.schema.fields.map(f => f.name -> f.dataType).toMap)
+            if (grouped) typed
+            else new HybridResolver(cur.columns.toSet, typed,
+              MqlFilter.JsonResolver(metaCol))
           cur = cur.filter(MqlFilter.toColumn(spec.toString, r))
 
         case "$group" =>
@@ -58,7 +62,11 @@ object MqlPipeline {
           require(aggs.nonEmpty, "$group needs at least one accumulator")
           cur =
             if (idNode.isNull)
-              cur.groupBy().agg(aggs.head, aggs.tail: _*)
+              // hidden row count + filter: Mongo's $group over an empty
+              // stream emits NO document, Spark's global agg emits one
+              cur.groupBy().agg(aggs.head,
+                  aggs.tail :+ count(lit(1)).as("_nrows"): _*)
+                .filter(col("_nrows") > 0)
                 .select(lit(null).cast("string").as("_id") +:
                   aggEntries.map(e => col(e.getKey)): _*)
             else cur.groupBy(valueExpr(idNode, metaCol, cur).as("_id"))
@@ -66,11 +74,22 @@ object MqlPipeline {
           grouped = true
 
         case "$sort" =>
-          val keys = spec.properties().asScala.toSeq.map { e =>
-            val base =
-              if (cur.columns.contains(e.getKey)) col(e.getKey)
-              else MqlFilter.JsonResolver(metaCol).num(e.getKey)
-            if (e.getValue.asInt() < 0) base.desc else base.asc
+          val keys = spec.properties().asScala.toSeq.flatMap { e =>
+            val desc = e.getValue.asInt() < 0
+            val bases: Seq[Column] =
+              if (cur.columns.contains(e.getKey)) Seq(col(e.getKey))
+              else {
+                // Mongo/BSON sort order across types: missing/null <
+                // numbers < strings; inside a class, by value
+                val r = MqlFilter.JsonResolver(metaCol)
+                val rank = when(!r.exists(e.getKey) ||
+                    r.typeName(e.getKey) === "null", 0)
+                  .when(r.typeName(e.getKey).isin("long", "double"), 1)
+                  .when(r.typeName(e.getKey) === "string", 2)
+                  .otherwise(3)
+                Seq(rank, r.num(e.getKey), r.str(e.getKey))
+              }
+            bases.map(b => if (desc) b.desc else b.asc)
           }
           cur = cur.orderBy(keys: _*)
 
@@ -83,21 +102,38 @@ object MqlPipeline {
           // "$field" resolve that column (Mongo's post-unwind document
           // shape, for the common unwind → group roll-up)
           require(!grouped, "$unwind after $group unsupported")
+          require(spec.isTextual && spec.asText().startsWith("$"),
+            s"$$unwind operand must be a \"$$field\" path, got: $spec")
           val f = spec.asText().stripPrefix("$")
           cur = cur.withColumn(f,
             explode(MqlFilter.JsonResolver(metaCol).arr(f)))
 
         case "$project" =>
-          val keep = spec.properties().asScala.toSeq
-            .filter(_.getValue.asInt(1) != 0).map(_.getKey)
-          val cols = keep.map { f =>
-            if (cur.columns.contains(f)) col(f)
-            else MqlFilter.JsonResolver(metaCol).str(f).as(f)
-          }
-          cur = cur.select(cols: _*)
+          val entries = spec.properties().asScala.toSeq
+          val (inc, exc) = entries.partition(_.getValue.asInt(1) != 0)
+          require(inc.isEmpty || exc.isEmpty,
+            s"$$project cannot mix inclusion and exclusion: $spec")
+          cur =
+            if (exc.nonEmpty) {
+              // exclusion form: drop the named REAL columns ({f: 0} on a
+              // metadata field would have to rewrite the JSON document)
+              val missing = exc.map(_.getKey)
+                .filterNot(cur.columns.contains)
+              require(missing.isEmpty,
+                s"$$project exclusion of non-column fields unsupported: " +
+                  missing.mkString(", "))
+              cur.drop(exc.map(_.getKey): _*)
+            } else {
+              val cols = inc.map(_.getKey).map { f =>
+                if (cur.columns.contains(f)) col(f)
+                else MqlFilter.JsonResolver(metaCol).str(f).as(f)
+              }
+              cur.select(cols: _*)
+            }
 
         case "$count" =>
           cur = cur.agg(count(lit(1)).as(spec.asText()))
+            .filter(col(spec.asText()) > 0) // empty input -> no document
           grouped = true
 
         case other =>
@@ -140,9 +176,10 @@ object MqlPipeline {
     require(node.isObject, s"accumulator must be an object: $node")
     val e = node.properties().asScala.head
     val operand: Column =
-      if (e.getValue.isNumber && e.getKey == "$sum")
-        lit(e.getValue.asLong())
-      else valueExpr(e.getValue, metaCol, cur)
+      if (e.getValue.isNumber && e.getKey == "$sum") {
+        val v = e.getValue
+        if (v.isIntegralNumber) lit(v.asLong()) else lit(v.asDouble())
+      } else valueExpr(e.getValue, metaCol, cur)
     e.getKey match {
       case "$sum" => sum(operand)
       case "$avg" => avg(operand)
@@ -151,5 +188,22 @@ object MqlPipeline {
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
+  }
+
+  /** Field resolver delegating to the typed view for real columns (the
+    * post-$unwind element, post-$group outputs) and to the JSON metadata
+    * view for everything else. */
+  private final class HybridResolver(
+      real: Set[String],
+      typed: MqlFilter.TypedResolver,
+      json: MqlFilter.JsonResolver) extends MqlFilter.FieldResolver {
+    private def pick(f: String): MqlFilter.FieldResolver =
+      if (real(f)) typed else json
+    def num(f: String): Column = pick(f).num(f)
+    def str(f: String): Column = pick(f).str(f)
+    def bool(f: String): Column = pick(f).bool(f)
+    def arr(f: String): Column = pick(f).arr(f)
+    def exists(f: String): Column = pick(f).exists(f)
+    def typeName(f: String): Column = pick(f).typeName(f)
   }
 }

@@ -116,13 +116,9 @@ object IvfIndex {
     * snapshot instead of rebuilding (db/db.go:176-189). */
   def ensureBuilt(s: SparkSession, vectors: DataFrame, outDir: String,
       cents: Seq[(Long, Array[Float])]): String = {
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def ok(p: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/$p/_SUCCESS"))
-    val trusted = ok("lists") && ok("centroids") &&
-      s.read.parquet(s"$outDir/centroids").count() == cents.size &&
-      s.read.parquet(s"$outDir/lists").count() == vectors.count()
+    val trusted =
+      graft.core.Trust.parquetDir(s, s"$outDir/centroids", cents.size.toLong) &&
+      graft.core.Trust.parquetDir(s, s"$outDir/lists", vectors.count())
     if (trusted) outDir else build(s, vectors, outDir, cents)
   }
 

@@ -66,12 +66,8 @@ object Layout {
   private def ensureZordered(s: SparkSession, dir: String): String = {
     val out = scratchFor(dir)
     val e = eventsProj(s, dir)
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val trusted =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")) &&
-        s.read.parquet(out).count() == e.count()
-    if (!trusted) zorderWrite(e, out, col("user_id"), col("h"), 16)
+    if (!graft.core.Trust.parquetDir(s, out, e.count()))
+      zorderWrite(e, out, col("user_id"), col("h"), 16)
     out
   }
 

@@ -224,7 +224,13 @@ object StreamingOps {
   /** Streaming ingestion into a collection — the foreachBatch twin of the
     * reference's append+checkpoint insert loop (db/db.go:91-97). Each
     * micro-batch runs the full insert path (embed → id-assign → append →
-    * sidecar); the checkpoint dir gives exactly-once over source files. */
+    * sidecar). The checkpoint tracks processed source files, so normal
+    * stop/restart never re-reads a file; like the reference's own
+    * crash window (docs appended, index not yet checkpointed,
+    * db/db.go:81-97), foreachBatch is at-LEAST-once across a crash that
+    * lands between the sink append and the streaming commit — a replayed
+    * batch re-appends. Production hardening is a batch-id column +
+    * dedup-on-read or a transactional table sink. */
   def ingest(coll: Collection, source: DataFrame,
       checkpointDir: String): StreamingQuery =
     source.writeStream
@@ -234,9 +240,10 @@ object StreamingOps {
       .start()
 
   /** foreachBatch ingestion under the oracle gate: stream
-    * documents.parquet into a persisted collection exactly once
-    * (checkpointed file source — the reference's append+checkpoint loop,
-    * db/db.go:91-97), then aggregate the collection's metadata. Counts
+    * documents.parquet into a persisted collection through the
+    * checkpointed file source (the reference's append+checkpoint loop,
+    * db/db.go:91-97; see [[ingest]] for the crash-replay caveat), then
+    * aggregate the collection's metadata. Counts
     * per lang must equal the source table no matter how ingestion was
     * batched. Re-runs are no-ops: the checkpoint remembers processed
     * files, so the collection builds once and later runs only re-read;

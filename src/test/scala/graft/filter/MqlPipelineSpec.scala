@@ -72,6 +72,54 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq(("x", 1L), ("y", 2L)))
   }
 
+  test("$match after $unwind sees the unwound element, not the array") {
+    val arr = Seq(
+      (1L, """{"tags": ["x", "y"]}"""),
+      (2L, """{"tags": ["y"]}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(arr, col("meta"),
+      """[{"$unwind": "$tags"}, {"$match": {"tags": "y"}},
+        |  {"$group": {"_id": "$tags", "n": {"$sum": 1}}}]""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("y", 2L)))
+  }
+
+  test("empty input: $group(_id null) and $count emit NO document (Mongo parity)") {
+    assert(run(
+      """[{"$match": {"v": {"$gt": 100000}}},
+        |  {"$group": {"_id": null, "n": {"$sum": 1}}}]""".stripMargin)
+      .count() == 0)
+    assert(run(
+      """[{"$match": {"v": {"$gt": 100000}}}, {"$count": "n"}]""")
+      .count() == 0)
+  }
+
+  test("exclusion $project drops columns; mixing include/exclude raises") {
+    val got = run(
+      """[{"$group": {"_id": "$grp", "n": {"$sum": 1},
+        |   "t": {"$sum": {"$toLong": "$v"}}}},
+        |  {"$project": {"t": 0}}, {"$sort": {"_id": 1}}]""".stripMargin)
+    assert(got.columns.toSeq == Seq("_id", "n"))
+    intercept[IllegalArgumentException] {
+      run("""[{"$project": {"grp": 1, "v": 0}}]""")
+    }
+  }
+
+  test("fractional $sum literal is not truncated") {
+    val got = run(
+      """[{"$group": {"_id": null, "t": {"$sum": 2.5}}}]""")
+      .head().getDouble(1)
+    assert(got == 12.5) // 5 docs x 2.5
+  }
+
+  test("$sort on a string metadata field orders lexicographically") {
+    val ids = run(
+      """[{"$sort": {"grp": -1, "id": 1}}, {"$limit": 2},
+        |  {"$project": {"id": 1}}]""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(5L, 3L)) // grp c first desc, then b (lowest id)
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] {
       run("""[{"$lookup": {"from": "other"}}]""")
