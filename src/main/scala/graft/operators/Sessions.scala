@@ -45,6 +45,25 @@ object Sessions {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id")))
 
+  /** The same sessions through Spark's BUILT-IN session_window operator
+    * (gap-merging group window) — one groupBy, no lag/running-sum
+    * windows. Sessions agree with the lag formulation except for events
+    * exactly one gap apart (lag's `> gap` keeps them together,
+    * session_window's `< end` splits) — absent from this data and from
+    * any µs-resolution stream in practice; the shared oracle is the
+    * check. Output drops the ordinal (session_window has none) and keys
+    * sessions by start time instead. */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
   val oracle: Map[String, String] = Map(
     "sessionize" ->
       s"""WITH e AS (
@@ -61,10 +80,27 @@ object Sessions {
          |  FROM l)
          |SELECT user_id, sid, count(*) AS n_events,
          |  min(us) AS start_us, max(us) AS end_us
-         |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin
+         |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+    "sessionize_native" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l)
+         |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+         |  count(*) AS n_events
+         |FROM x GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sessionize" -> (sessionize _)
+    "sessionize" -> (sessionize _),
+    "sessionize_native" -> (sessionizeNative _)
   )
 }
