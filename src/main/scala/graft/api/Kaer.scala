@@ -109,6 +109,17 @@ final class KaerSession(
       .filter(n => Meta.read(spark, dir(n)).isDefined)
   }
 
+  /** Mongo aggregation pipeline over a named collection, with $lookup
+    * resolving sibling collections of this session — the cross-collection
+    * join surface FerretDB exposes. */
+  def aggregate(collection: String, pipelineJson: String): DataFrame = {
+    val c = getCollection(collection)
+    graft.filter.MqlPipeline.aggregate(c.df,
+      org.apache.spark.sql.functions.col(Schema.MetaCol), pipelineJson,
+      name => (getCollection(name).df,
+        org.apache.spark.sql.functions.col(Schema.MetaCol)))
+  }
+
   /** db/kaer.go:78-82 — nothing to stop: the SparkSession is shared and
     * parquet is the only durability point. */
   def close(): Unit = cache.clear()

@@ -28,8 +28,13 @@ object MqlPipeline {
   private val mapper = new ObjectMapper()
 
   /** Run `pipelineJson` (a JSON array of stages) over `df`, resolving
-    * metadata field paths through `metaCol` (a JSON document column). */
-  def aggregate(df: DataFrame, metaCol: Column, pipelineJson: String): DataFrame = {
+    * metadata field paths through `metaCol` (a JSON document column).
+    * `lookup` resolves a $lookup stage's `from` name to (frame, its
+    * metadata column); the default rejects $lookup. */
+  def aggregate(df: DataFrame, metaCol: Column, pipelineJson: String,
+      lookup: String => (DataFrame, Column) = name =>
+        throw new IllegalArgumentException(
+          s"$$lookup unsupported here (no collection resolver): $name")): DataFrame = {
     val stages = mapper.readTree(pipelineJson)
     require(stages.isArray, s"pipeline must be a JSON array: $pipelineJson")
     var cur = df
@@ -105,8 +110,10 @@ object MqlPipeline {
           require(spec.isTextual && spec.asText().startsWith("$"),
             s"$$unwind operand must be a \"$$field\" path, got: $spec")
           val f = spec.asText().stripPrefix("$")
-          cur = cur.withColumn(f,
-            explode(MqlFilter.JsonResolver(metaCol).arr(f)))
+          val arrCol =
+            if (cur.columns.contains(f)) col(f)
+            else MqlFilter.JsonResolver(metaCol).arr(f)
+          cur = cur.withColumn(f, explode(arrCol))
 
         case "$project" =>
           val entries = spec.properties().asScala.toSeq
@@ -130,6 +137,33 @@ object MqlPipeline {
               }
               cur.select(cols: _*)
             }
+
+        case "$lookup" =>
+          // {from, localField, foreignField, as}: left outer equi-match,
+          // matches re-nested as an ARRAY of the foreign documents'
+          // metadata (Mongo's embedded-docs shape; [] when none). The
+          // equality respects MQL bracketing: numeric OR string view.
+          // Re-nesting groups by ALL current columns — callers need a
+          // unique key column in the frame (collections carry _m_id).
+          require(!grouped, "$lookup after $group unsupported")
+          val req = Seq("from", "localField", "foreignField", "as")
+          require(req.forall(spec.has),
+            s"$$lookup needs {${req.mkString(", ")}}: $spec")
+          val from = spec.get("from").asText()
+          val lf = spec.get("localField").asText()
+          val ff = spec.get("foreignField").asText()
+          val as = spec.get("as").asText()
+          val (fdf, fmeta) = lookup(from)
+          val fres = MqlFilter.JsonResolver(fmeta)
+          val f2 = fdf.select(fmeta.as("__f_meta"),
+            fres.num(ff).as("__f_num"), fres.str(ff).as("__f_str"))
+          val lres = MqlFilter.JsonResolver(metaCol)
+          val cond = (lres.num(lf) === col("__f_num")) ||
+            (lres.str(lf) === col("__f_str"))
+          val leftCols = cur.columns.map(col)
+          cur = cur.join(f2, cond, "left")
+            .groupBy(leftCols: _*)
+            .agg(collect_list(col("__f_meta")).as(as))
 
         case "$count" =>
           cur = cur.agg(count(lit(1)).as(spec.asText()))

@@ -121,12 +121,52 @@ class MqlPipelineSpec extends SparkTestBase {
   }
 
   test("unsupported stage and accumulator raise") {
-    intercept[IllegalArgumentException] {
+    intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
+    }
+    intercept[IllegalArgumentException] { // no collection resolver here
+      run("""[{"$lookup": {"from": "other", "localField": "a",
+        |  "foreignField": "b", "as": "c"}}]""".stripMargin)
     }
     intercept[IllegalArgumentException] {
       run("""[{"$group": {"_id": null, "x": {"$stdDevPop": "$v"}}}]""")
     }
+  }
+
+  test("$lookup joins a sibling collection; $unwind flattens the matches") {
+    val root = tmpDir("kaer-lookup")
+    val k = new KaerSession(spark, root, HashingEmbedder(64))
+    val users = k.createCollection("users")
+    users.insert(Data()
+      .withDocuments(Seq("u1", "u2", "u3"))
+      .withMetadatas(Seq(
+        Map[String, Any]("uid" -> 1, "name" -> "ann"),
+        Map[String, Any]("uid" -> 2, "name" -> "bob"),
+        Map[String, Any]("uid" -> 3, "name" -> "cee"))))
+    val orders = k.createCollection("orders")
+    orders.insert(Data()
+      .withDocuments(Seq("o1", "o2", "o3"))
+      .withMetadatas(Seq(
+        Map[String, Any]("uid" -> 1, "item" -> "x"),
+        Map[String, Any]("uid" -> 1, "item" -> "y"),
+        Map[String, Any]("uid" -> 3, "item" -> "z"))))
+    val joined = k.aggregate("users",
+      """[{"$lookup": {"from": "orders", "localField": "uid",
+        |    "foreignField": "uid", "as": "user_orders"}},
+        |  {"$sort": {"_m_id": 1}}]""".stripMargin)
+    val sizes = joined.select(org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.col("user_orders")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(2, 0, 1)) // ann 2 orders, bob none, cee 1
+    // unwind the embedded docs and roll up per user
+    val perUser = k.aggregate("users",
+      """[{"$lookup": {"from": "orders", "localField": "uid",
+        |    "foreignField": "uid", "as": "user_orders"}},
+        |  {"$unwind": "$user_orders"},
+        |  {"$group": {"_id": "$name", "n": {"$sum": 1}}},
+        |  {"$sort": {"_id": 1}}]""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(perUser == Seq(("ann", 2L), ("cee", 1L)))
   }
 
   test("the reference's internal pipeline through Collection.aggregate") {

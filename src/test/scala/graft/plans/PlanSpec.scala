@@ -212,6 +212,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("mql_pipeline: one plan with two-phase aggregation, no re-execution") {
+    val p = plan(Relational.mqlPipeline(spark, sf0001))
+    // $match + $group + having-$match + $sort fold into ONE plan whose
+    // aggregation is partial+final (map-side combine before the shuffle)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("zorder_scan: box predicates are pushed to the clustered scan") {
     import graft.operators.Layout
     val p = plan(Layout.zorderScan(spark, sf0001))
