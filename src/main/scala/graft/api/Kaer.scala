@@ -202,6 +202,20 @@ final class Collection(
   def aggregate(pipelineJson: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(df, col(Schema.MetaCol), pipelineJson)
 
+  /** Mongo `distinct` command twin: the distinct values of a metadata
+    * field (string view), optionally under an MQL filter. One filtered
+    * scan + a distinct aggregate; missing fields contribute nothing. */
+  def distinctValues(field: String, filterJson: String = null): Seq[String] = {
+    if (!hasData) return Nil
+    val base = if (filterJson == null || filterJson.trim.isEmpty) df
+    else df.filter(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))))
+    base.select(MqlFilter.JsonResolver(col(Schema.MetaCol))
+        .str(field).as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .orderBy("v").collect().map(_.getString(0)).toSeq
+  }
+
   /** countDocuments twin: rows matching an MQL filter (the whole-table
     * count when null/empty) — one filtered scan, no materialization. */
   def count(filterJson: String): Long =

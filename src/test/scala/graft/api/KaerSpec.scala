@@ -237,6 +237,23 @@ class KaerSpec extends SparkTestBase {
     assert(c.count() == 3 && c.watermark == 3)
   }
 
+  test("distinctValues: Mongo distinct-command twin, with/without filter") {
+    val root = tmpDir("kaer-distinct")
+    val c = newSession(root).createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("a", "b", "c", "d"))
+      .withMetadatas(Seq(
+        Map[String, Any]("lang" -> "en", "n" -> 1),
+        Map[String, Any]("lang" -> "fr", "n" -> 2),
+        Map[String, Any]("lang" -> "en", "n" -> 3),
+        Map[String, Any]("n" -> 4)))) // no lang
+    assert(c.distinctValues("lang") == Seq("en", "fr"))
+    assert(c.distinctValues("lang", """{"n": {"$gte": 2}}""")
+      == Seq("en", "fr"))
+    assert(c.distinctValues("lang", """{"n": {"$gte": 3}}""") == Seq("en"))
+    assert(c.distinctValues("nope") == Nil)
+  }
+
   test("count(filter) and query projection (document-store find shape)") {
     val root = tmpDir("kaer-proj")
     val k = newSession(root)
