@@ -89,8 +89,24 @@ final class KaerSession(
     cache.getOrElseUpdate(name, {
       val d = dir(name)
       Meta.read(spark, d) match {
+        case None if fs.exists(new Path(d, "data")) =>
+          // sidecar lost or corrupt but data intact: rebuild a zero
+          // sidecar and let open-time recovery re-derive the watermark
+          // and row count from max(_m_id) — the healing the reference's
+          // broken meta module could never do (db/meta.go:12-15)
+          Meta.write(spark, d,
+            CollectionMeta(name, 0L, embedder.dim, embedder.id, 0L))
+          new Collection(spark, name, d, embedder)
         case None => throw CollectionNotFound(name)
-        case Some(_) => new Collection(spark, name, d, embedder)
+        case Some(m) =>
+          // the sidecar records the embedder that produced the stored
+          // vectors; a mismatched session embedder would silently compare
+          // incompatible vectors (null distances) — fail fast instead
+          require(m.dim == embedder.dim && m.embedderId == embedder.id,
+            s"collection '$name' was built with embedder ${m.embedderId} " +
+              s"(dim ${m.dim}); session embedder is ${embedder.id} " +
+              s"(dim ${embedder.dim})")
+          new Collection(spark, name, d, embedder)
       }
     })
 
@@ -335,7 +351,10 @@ final class Collection(
     filtered
       .withColumn(Schema.DistanceCol,
         graft.functions.VectorFunctions.l2(col(Schema.EmbeddingCol), qlit))
-      .orderBy(col(Schema.DistanceCol).asc, col(Schema.IdCol).asc)
+      // nulls LAST: a null/dim-mismatched embedding has null distance and
+      // must never outrank real matches (Spark asc defaults NULLS FIRST)
+      .orderBy(col(Schema.DistanceCol).asc_nulls_last,
+        col(Schema.IdCol).asc)
       .limit(k)
   }
 
@@ -447,7 +466,8 @@ final class Collection(
     base
       .withColumn(Schema.DistanceCol,
         graft.functions.VectorFunctions.l2(col(Schema.EmbeddingCol), qlit))
-      .orderBy(col(Schema.DistanceCol).asc, col(Schema.IdCol).asc)
+      .orderBy(col(Schema.DistanceCol).asc_nulls_last,
+        col(Schema.IdCol).asc)
       .limit(k)
   }
 

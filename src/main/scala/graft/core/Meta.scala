@@ -35,9 +35,17 @@ object Meta {
     node.put("dim", m.dim)
     node.put("embedderId", m.embedderId)
     node.put("rows", m.rows)
+    // write-temp + rename, NOT truncate-in-place: a crash between
+    // create() and close() would leave an empty/partial sidecar, and the
+    // sidecar is the recovery anchor this module exists to protect
     val p = new Path(dir, FileName)
-    val out = fs(spark, p).create(p, true)
+    val tmp = new Path(dir, FileName + ".tmp")
+    val f = fs(spark, p)
+    val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"meta rename failed: $tmp -> $p")
   }
 
   def read(spark: SparkSession, dir: String): Option[CollectionMeta] = {
@@ -45,22 +53,38 @@ object Meta {
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
       val bytes =
         try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](4096)
-          var n = in.read(tmp)
-          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          buf.toByteArray
-        } finally in.close()
-      val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
-      Some(CollectionMeta(
-        node.get("name").asText(),
-        node.get("lastId").asLong(),
-        node.get("dim").asInt(),
-        node.get("embedderId").asText(),
-        node.get("rows").asLong()))
+          val in = f.open(p)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            var n = in.read(tmp)
+            while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+        } catch {
+          // bytes-level corruption (torn write): checksum mismatch or
+          // truncation — same treatment as unparseable JSON below
+          case _: org.apache.hadoop.fs.ChecksumException |
+              _: java.io.EOFException => return None
+        }
+      // a corrupt/truncated sidecar must read as ABSENT, not throw:
+      // the data directory is intact and the open-time recovery path
+      // (max(_m_id) fallback) re-derives the watermark — throwing here
+      // would brick the collection the recovery exists to heal
+      try {
+        val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+        if (node == null || !node.isObject || node.get("name") == null) None
+        else Some(CollectionMeta(
+          node.get("name").asText(),
+          node.get("lastId").asLong(),
+          node.get("dim").asInt(),
+          node.get("embedderId").asText(),
+          node.get("rows").asLong()))
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => None
+      }
     }
   }
 

@@ -61,7 +61,7 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
         text.length
       else text.offsetByCodePoints(0, Schema.EmbedTextMaxLen)
     val truncated = text.substring(0, cpEnd)
-    val toks = "[a-z0-9]+".r
+    val toks = HashingEmbedder.TokenRe
       .findAllIn(truncated.toLowerCase(java.util.Locale.ROOT)).toSeq
     val raw = new Array[Long](dim)
     toks.foreach { t =>
@@ -82,4 +82,9 @@ final case class HashingEmbedder(dim: Int = 64) extends Embedder {
     * (thread-local digest, no hex-string round trip). */
   private def md5Hash60(s: String): Long =
     graft.expr.TextHash.hash60(s.getBytes("UTF-8"))
+}
+
+object HashingEmbedder {
+  /** Compiled once — embedOne runs per row on the ingest path. */
+  private[embed] val TokenRe = "[a-z0-9]+".r
 }

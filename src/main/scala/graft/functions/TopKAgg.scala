@@ -17,8 +17,16 @@ final class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
 
   private def insert(b: Seq[(Double, Long)],
-      e: (Double, Long)): Seq[(Double, Long)] =
+      e: (Double, Long)): Seq[(Double, Long)] = {
+    // O(1) fast path: a full buffer is kept sorted, so a row that does
+    // not beat the current worst never pays the re-sort (the common case
+    // once the buffer warms up — reduce is per input row)
+    if (b.length >= k) {
+      val (ws, wid) = b.last
+      if (e._1 < ws || (e._1 == ws && e._2 > wid)) return b
+    }
     ((e +: b).sortBy { case (s, id) => (-s, id) }).take(k)
+  }
 
   override def zero: Seq[(Double, Long)] = Nil
   override def reduce(b: Seq[(Double, Long)],

@@ -28,18 +28,22 @@ object Bucketing {
     * mapping is encoded in the file names Spark wrote) instead of paying
     * the bucketing shuffle again — that is the whole point of the
     * layout: bucket once, reuse forever. */
-  private def ensureTable(s: SparkSession, table: String, src: String,
+  private def ensureTable(s: SparkSession, table0: String, src: String,
       key: String): Unit = {
+    // explicit database qualification: the <warehouse>/<table> location
+    // below only holds for the default database, so pin it rather than
+    // depending on the session's current database
+    val table = s"default.`$table0`"
     if (s.catalog.tableExists(table)) return
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table)
+    val p = new org.apache.hadoop.fs.Path(wh, table0)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // trust the leftover ONLY if the committer's _SUCCESS marker is
-    // there — a crashed write can leave a plausible-looking subset of
-    // bucket files, and an incomplete bucketed table joins silently wrong
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
-        fs.listStatus(p)
-        .exists(_.getPath.getName.endsWith(".parquet"))) {
+    // trust the leftover ONLY through the shared contract (_SUCCESS AND
+    // row count == source): a crashed write can leave a plausible subset
+    // of bucket files, and a table bucketed from an outdated source
+    // would join silently wrong
+    if (graft.core.Trust.parquetDir(s, p.toString,
+        s.read.parquet(src).count())) {
       val schema = s.read.parquet(p.toString).schema.toDDL
       s.sql(s"""CREATE TABLE $table ($schema) USING parquet
                |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
@@ -56,7 +60,7 @@ object Bucketing {
     val (ot, lt) = (s"orders_b_${suffix(dir)}", s"lineitem_b_${suffix(dir)}")
     ensureTable(s, ot, s"$dir/orders.parquet", "o_orderkey")
     ensureTable(s, lt, s"$dir/lineitem.parquet", "l_orderkey")
-    (ot, lt)
+    (s"default.`$ot`", s"default.`$lt`")
   }
 
   /** The co-located join: revenue by order status, joining the two

@@ -165,14 +165,24 @@ object IvfIndex {
     * (fixed oracle-replicable centroids: vec_id < 16), probe with vector
     * 77 — same semantics as `ann_ivf`, but through real partitioned
     * storage. */
-  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
+  /** The shared oracle fixture of BOTH ann_ivf paths — deterministic
+    * centroids (vec_id < 16) and query vector 77. ONE definition so the
+    * in-plan variant (Similarity.annIvf) and this persisted one can
+    * never drift from the oracle they share. */
+  private[operators] def fixedCentroidsAndQuery(e: DataFrame)
+      : (Seq[(Long, Array[Float])], Array[Float]) = {
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
     val q = e.filter(col("vec_id") === 77)
       .select(col("embedding")).head().getSeq[Float](0).toArray
+    (cents, q)
+  }
+
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (cents, q) = fixedCentroidsAndQuery(e)
     val idx = ensureBuilt(s, e, graft.core.Scratch.dir("ivf", dir), cents)
     probe(s, idx, q, k = 10, nprobe = 4, excludeId = 77L)
   }

@@ -48,9 +48,13 @@ object Quantize {
   def quantizeTopk(s: SparkSession, dir: String): DataFrame = {
     val e = s.read.parquet(s"$dir/embeddings.parquet")
     val out = scratch(dir)
-    e.select(col("vec_id"), col("label"),
-        scaleOf(col("embedding")).as("scale"),
-        quantizeI8(col("embedding"), scaleOf(col("embedding"))).as("q"))
+    // two-step projection so the interpreted HOF scale pass (abs
+    // transform + array_max over the 64-wide array) runs ONCE per row,
+    // not once for the scale column and again inside quantizeI8
+    e.select(col("vec_id"), col("label"), col("embedding"),
+        scaleOf(col("embedding")).as("scale"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        quantizeI8(col("embedding"), col("scale")).as("q"))
       .write.mode("overwrite").parquet(out)
     val stored = s.read.parquet(out)
       .withColumn("deq", dequantize(col("q"), col("scale")))
@@ -86,7 +90,8 @@ object Quantize {
          |q AS (SELECT deq AS qv FROM d WHERE vec_id = 5)
          |SELECT vec_id, label FROM d, q WHERE vec_id <> 5
          |ORDER BY ${dot("deq", "qv")} /
-         |  (sqrt(${dot("deq", "deq")}) * sqrt(${dot("qv", "qv")})) DESC,
+         |  nullif(sqrt(${dot("deq", "deq")}) * sqrt(${dot("qv", "qv")}), 0)
+         |  DESC,
          |  vec_id ASC
          |LIMIT 10""".stripMargin
     }

@@ -71,11 +71,9 @@ object Similarity {
     * level. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val q: Array[Float] = e.filter(col("vec_id") === 77)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // shared fixture with the persisted variant (one definition, one
+    // oracle — IvfIndex.fixedCentroidsAndQuery)
+    val (cents, q) = IvfIndex.fixedCentroidsAndQuery(e)
 
     // driver-side probe selection + per-row broadcast argmin are the
     // shared IvfIndex helpers (one copy of the tie-break semantics)
@@ -172,7 +170,8 @@ object Similarity {
        |  SELECT qid, vec_id,
        |    row_number() OVER (PARTITION BY qid ORDER BY
        |      ${dot("cv", "qv")} /
-       |        (sqrt(${dot("cv", "cv")}) * sqrt(${dot("qv", "qv")})) DESC,
+       |        nullif(sqrt(${dot("cv", "cv")})
+       |          * sqrt(${dot("qv", "qv")}), 0) DESC,
        |      vec_id ASC) AS rank
        |  FROM cand)
        |SELECT qid, rank, vec_id FROM ranked WHERE rank <= 3
@@ -201,7 +200,8 @@ object Similarity {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
          |SELECT vec_id, label FROM embeddings, q WHERE vec_id <> 1
          |ORDER BY ${sqlDot("embedding", "qv")} /
-         |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot("qv", "qv")}))
+         |  nullif(sqrt(${sqlDot("embedding", "embedding")})
+         |    * sqrt(${sqlDot("qv", "qv")}), 0)
          |  DESC, vec_id ASC LIMIT 10""".stripMargin,
     "knn_join" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -237,6 +237,37 @@ class KaerSpec extends SparkTestBase {
     assert(c.count() == 3 && c.watermark == 3)
   }
 
+  test("corrupt sidecar heals from data; truncated file reads as absent") {
+    val root = tmpDir("kaer-corrupt")
+    val k1 = newSession(root)
+    k1.createCollection("c").insert(Data().withDocuments(Seq("a", "b")))
+    // simulate a torn truncate-in-place write: garbage sidecar bytes
+    val metaPath = java.nio.file.Paths.get(s"$root/c/_meta.json")
+    java.nio.file.Files.write(metaPath, "{\"nam".getBytes)
+    assert(Meta.read(spark, s"$root/c").isEmpty) // corrupt == absent
+    val c2 = newSession(root).getCollection("c") // heals, not NotFound
+    assert(c2.count() == 2 && c2.watermark == 2)
+    c2.insert(Data().withDocuments(Seq("late")))
+    assert(c2.df.select("_m_id").collect().map(_.getLong(0)).sorted
+      .sameElements(1L to 3L))
+  }
+
+  test("embedder mismatch on reopen fails fast instead of null distances") {
+    val root = tmpDir("kaer-dimcheck")
+    newSession(root).createCollection("c")
+      .insert(Data().withDocuments(Seq("x")))
+    val wrongDim = new KaerSession(spark, root, HashingEmbedder(128))
+    intercept[IllegalArgumentException] { wrongDim.getCollection("c") }
+  }
+
+  test("null-embedding rows never outrank real matches in query()") {
+    val root = tmpDir("kaer-nulldoc")
+    val c = newSession(root).createCollection("c")
+    c.insert(Data().withDocuments(Seq("real text", null)))
+    val top = c.query("real text", 1).select("_m_doc").collect()
+    assert(top.length == 1 && top(0).getString(0) == "real text")
+  }
+
   test("distinctValues: Mongo distinct-command twin, with/without filter") {
     val root = tmpDir("kaer-distinct")
     val c = newSession(root).createCollection("c")

@@ -100,8 +100,11 @@ class PlanSpec extends SparkTestBase {
     import graft.operators.Bucketing
     val (ot, _) = Bucketing.ensureBucketed(spark, sf0001)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // the returned name is default.`<dir>`-qualified; the managed files
+    // live under <warehouse>/<dir>
+    val dirName = ot.stripPrefix("default.").stripPrefix("`").stripSuffix("`")
     val tableDir = new java.io.File(
-      new java.net.URI(wh).getPath, ot)
+      new java.net.URI(wh).getPath, dirName)
     val marker = new java.io.File(tableDir, "_SUCCESS")
     // simulate a crashed writer: drop the catalog entry (managed DROP
     // also deletes the files), then recreate the dir with plausible
