@@ -1,7 +1,7 @@
 package graft.api
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import graft.core.{CollectionMeta, Meta, Schema}
+import graft.core.{CollectionMeta, IndexMeta, Meta, Schema}
 import graft.embed.{Embedder, HashingEmbedder}
 import graft.filter.MqlFilter
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -269,8 +269,12 @@ final class Collection(
     val start = lastId
     val n = base.count()
     if (n > 0) {
-      val indexed = zipWithId(base, start)
-        .withColumn(Schema.EmbeddingCol, embedder.embed(col(Schema.DocCol)))
+      // embedDF, not a per-row column transform: remote-backed embedders
+      // batch ≤96 texts per request through it (BatchedEmbedder); the
+      // default embedder's override-free path is the same withColumn as
+      // before
+      val indexed = embedder.embedDF(
+          zipWithId(base, start), Schema.DocCol, Schema.EmbeddingCol)
         .select(col(Schema.IdCol), col(Schema.DocCol),
           col(Schema.EmbeddingCol), col(Schema.MetaCol))
       indexed.write.mode("append").parquet(dataDir)
@@ -293,36 +297,81 @@ final class Collection(
       StructType(StructField(Schema.IdCol, LongType, false) +: schema.fields))
   }
 
+  // maintenance observability: how many times ensureIndex chose each
+  // path since this handle opened — the spec's proof that inserts take
+  // the O(tail) append, not the O(collection) rebuild
+  private var rebuildCount = 0L
+  private var appendCount = 0L
+  def indexRebuilds: Long = rebuildCount
+  def indexAppends: Long = appendCount
+  private def indexDir: String = new Path(dir, "index").toString
+
   /** Build (or rebuild) the collection's persisted IVF index — the
     * Spark-native analogue of the reference's HNSW side-index
     * (db/hnsw.go): inverted lists partitioned by centroid id under
     * `dir/index`. Centroids come from the deterministic KMeans fitter;
     * at production scale swap in the MLlib path
-    * ([[graft.operators.IvfIndex.kmeansFitMl]]). No-op on an empty
+    * ([[graft.operators.IvfIndex.kmeansFitMl]]). Records the covered
+    * (watermark, rows, nlist) in an index sidecar so later inserts can
+    * append incrementally instead of rebuilding. No-op on an empty
     * collection. */
   def buildIndex(nlist: Int = 16, iters: Int = 3): Unit = {
     val vecs = df.select(col(Schema.IdCol).as("vec_id"),
       col(Schema.EmbeddingCol).as("embedding"))
     if (!vecs.isEmpty) {
       val cents = graft.operators.IvfIndex.kmeansFit(vecs, nlist, iters)
-      graft.operators.IvfIndex.build(spark, vecs,
-        new Path(dir, "index").toString, cents)
+      graft.operators.IvfIndex.build(spark, vecs, indexDir, cents)
+      Meta.writeIndex(spark, indexDir, IndexMeta(lastId, rowsCount, nlist))
+      rebuildCount += 1
     }
   }
 
-  /** [[buildIndex]] unless a valid index for the CURRENT data is already
-    * persisted — reference parity with loadIndexIfExists
-    * (db/db.go:176-189): the reference reopens its persisted HNSW
-    * snapshot rather than rebuilding. Trust contract (same as the
-    * bucketed-table reuse): committer _SUCCESS markers present, list
-    * rows == collection rows, centroid count == nlist; any mismatch —
-    * missing, stale after more inserts, different nlist — rebuilds. */
+  /** Make the persisted index cover the CURRENT data, doing the least
+    * work that restores coverage — reference parity with
+    * loadIndexIfExists + updateIndexFromLastId (db/db.go:176-207): the
+    * reference reopens its persisted HNSW snapshot and replays only the
+    * id tail into it; it never rebuilds on insert.
+    *
+    * Decision ladder, cheapest first:
+    *  1. sidecar says coverage is current (+ storage trust-check:
+    *     _SUCCESS markers, list rows == collection rows, centroids ==
+    *     nlist) → no-op;
+    *  2. sidecar shows a pure id-tail gap — rows grew by exactly the id
+    *     range, i.e. inserts only, no deletes (both counters are
+    *     arithmetic, so this costs zero scans) and the indexed prefix
+    *     passes the trust check → assign ONLY the tail against the
+    *     persisted centroids and append to the lists (O(tail));
+    *  3. anything else — different nlist, deletes, missing/corrupt
+    *     storage — → full rebuild (O(collection), the correct fallback:
+    *     deletes invalidate arbitrary list rows). */
   def ensureIndex(nlist: Int = 16, iters: Int = 3): Unit = {
-    val idx = new Path(dir, "index").toString
-    val trusted =
+    val idx = indexDir
+    def storageTrusted(listRows: Long): Boolean =
       graft.core.Trust.parquetDir(spark, s"$idx/centroids", nlist.toLong) &&
-      graft.core.Trust.parquetDir(spark, s"$idx/lists", rowsCount)
-    if (!trusted) buildIndex(nlist, iters)
+      graft.core.Trust.parquetDir(spark, s"$idx/lists", listRows)
+    Meta.readIndex(spark, idx) match {
+      case Some(m) if m.nlist == nlist && m.indexedLastId == lastId &&
+          m.indexedRows == rowsCount && storageTrusted(rowsCount) =>
+        () // current — nothing to do
+      case Some(m) if m.nlist == nlist && m.indexedLastId < lastId &&
+          rowsCount - m.indexedRows == lastId - m.indexedLastId &&
+          storageTrusted(m.indexedRows) =>
+        // pure append gap: ids are dense by construction, so rows can
+        // only have grown by exactly (lastId - indexedLastId) when no
+        // delete intervened — a delete would break the equality and
+        // fall through to rebuild
+        val tail = df.filter(col(Schema.IdCol) > m.indexedLastId)
+          .select(col(Schema.IdCol).as("vec_id"),
+            col(Schema.EmbeddingCol).as("embedding"))
+        graft.operators.IvfIndex.appendTail(spark, tail, idx)
+        Meta.writeIndex(spark, idx, IndexMeta(lastId, rowsCount, nlist))
+        appendCount += 1
+      case None if storageTrusted(rowsCount) =>
+        // pre-sidecar index that happens to be fully current (legacy
+        // scratch layout): adopt it instead of rebuilding
+        Meta.writeIndex(spark, idx, IndexMeta(lastId, rowsCount, nlist))
+      case _ => buildIndex(nlist, iters)
+    }
   }
 
   /** Recovered watermark (max assigned _m_id) and row count — exposed for

@@ -21,9 +21,19 @@ final case class CollectionMeta(
     embedderId: String,
     rows: Long)
 
+/** Index-coverage sidecar for a persisted IVF index: the id watermark and
+  * row count the index covers, plus its nlist. The incremental-maintenance
+  * analogue of the reference's hnswId/hnswSize bookkeeping
+  * (/root/reference/db/meta.go:11-16, db/db.go:191-207): on reopen-or-
+  * insert the engine appends only ids past `indexedLastId` instead of
+  * rebuilding — the reference replays the tail into its HNSW the same way.
+  */
+final case class IndexMeta(indexedLastId: Long, indexedRows: Long, nlist: Int)
+
 object Meta {
   private val mapper = new ObjectMapper()
   val FileName = "_meta.json"
+  val IndexFileName = "_index_meta.json"
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -35,17 +45,61 @@ object Meta {
     node.put("dim", m.dim)
     node.put("embedderId", m.embedderId)
     node.put("rows", m.rows)
-    // write-temp + rename, NOT truncate-in-place: a crash between
-    // create() and close() would leave an empty/partial sidecar, and the
-    // sidecar is the recovery anchor this module exists to protect
-    val p = new Path(dir, FileName)
-    val tmp = new Path(dir, FileName + ".tmp")
+    writeAtomic(spark, dir, FileName, mapper.writeValueAsBytes(node))
+  }
+
+  /** write-temp + rename, NOT truncate-in-place: a crash between
+    * create() and close() would leave an empty/partial sidecar, and the
+    * sidecar is the recovery anchor this module exists to protect. */
+  private def writeAtomic(spark: SparkSession, dir: String, name: String,
+      bytes: Array[Byte]): Unit = {
+    val p = new Path(dir, name)
+    val tmp = new Path(dir, name + ".tmp")
     val f = fs(spark, p)
     val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    try out.write(bytes) finally out.close()
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"meta rename failed: $tmp -> $p")
+  }
+
+  def writeIndex(spark: SparkSession, indexDir: String, m: IndexMeta): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("indexedLastId", m.indexedLastId)
+    node.put("indexedRows", m.indexedRows)
+    node.put("nlist", m.nlist)
+    writeAtomic(spark, indexDir, IndexFileName, mapper.writeValueAsBytes(node))
+  }
+
+  /** Same corrupt-reads-as-absent contract as [[read]]: an unreadable
+    * index sidecar means "coverage unknown" and the caller falls back to
+    * the trust-check-then-rebuild path — never throws. */
+  def readIndex(spark: SparkSession, indexDir: String): Option[IndexMeta] = {
+    val p = new Path(indexDir, IndexFileName)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toByteArray
+        } finally in.close()
+      val node = mapper.readTree(new String(bytes, StandardCharsets.UTF_8))
+      if (node == null || !node.isObject || node.get("indexedLastId") == null)
+        None
+      else Some(IndexMeta(
+        node.get("indexedLastId").asLong(),
+        node.get("indexedRows").asLong(),
+        node.get("nlist").asInt()))
+    } catch {
+      case _: org.apache.hadoop.fs.ChecksumException |
+          _: java.io.EOFException => None
+      case _: com.fasterxml.jackson.core.JacksonException => None
+    }
   }
 
   def read(spark: SparkSession, dir: String): Option[CollectionMeta] = {

@@ -1,7 +1,7 @@
 package graft.embed
 
 import graft.core.Schema
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text → vector embedding backend.
@@ -24,6 +24,15 @@ trait Embedder extends Serializable {
   def id: String
   def embed(text: Column): Column
   def embedOne(text: String): Array[Float]
+
+  /** Whole-DataFrame embedding — the INSERT-path entry point. The default
+    * is the per-row column transform; embedders that talk to a remote
+    * service override this with a mapPartitions batcher
+    * ([[BatchedEmbedder]]) so request count scales with batches, not
+    * rows. Must append `outCol` (ARRAY<FLOAT> dim) leaving all other
+    * columns and row order untouched. */
+  def embedDF(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, embed(col(textCol)))
 }
 
 /** Feature-hashing embedder ("hashing trick"): lowercase alnum tokens →

@@ -107,6 +107,32 @@ object IvfIndex {
     outDir
   }
 
+  /** Persisted centroids of an existing index, in cid order — the k-sized
+    * driver-side read shared by [[appendTail]] and probe selection. */
+  def readCentroids(s: SparkSession, indexDir: String)
+      : Seq[(Long, Array[Float])] =
+    s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Incremental maintenance: assign `tail` (vec_id, embedding — rows NOT
+    * yet covered by the index) against the index's OWN persisted centroids
+    * and append the new rows into the partitioned lists. Pre-existing list
+    * files are untouched — parquet append adds files inside the cid=
+    * directories — so the cost is O(tail), not O(collection): the
+    * reference's per-insert `Add` / tail-replay semantics
+    * (/root/reference/db/hnsw.go:16-23, db/db.go:191-207) rather than a
+    * rebuild. Centroids intentionally do NOT move (same as the reference:
+    * its HNSW graph never re-fits earlier structure on insert); callers
+    * that want re-fit centroids rebuild explicitly. */
+  def appendTail(s: SparkSession, tail: DataFrame, indexDir: String): Unit = {
+    val cents = readCentroids(s, indexDir)
+    tail
+      .withColumn("cid", assignCid(cents, col("embedding")))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexDir/lists")
+  }
+
   /** [[build]] unless a previous build of the SAME vectors already sits
     * at `outDir` — trust contract as elsewhere (Bucketing reuse,
     * Collection.ensureIndex): committer _SUCCESS markers present, list
@@ -140,8 +166,7 @@ object IvfIndex {
     * at file level. */
   def probeCandidates(s: SparkSession, indexDir: String, q: Array[Float],
       nprobe: Int): DataFrame = {
-    val probes = s.read.parquet(s"$indexDir/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = readCentroids(s, indexDir)
       .map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
       .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
     s.read.parquet(s"$indexDir/lists")

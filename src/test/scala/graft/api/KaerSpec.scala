@@ -155,6 +155,78 @@ class KaerSpec extends SparkTestBase {
     assert(approx == exact)
   }
 
+  test("ensureIndex after insert appends only the tail (no rebuild)") {
+    val root = tmpDir("kaer-incr")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data().withDocuments(
+      (0 until 30).map(i => s"first batch doc $i topic ${i % 4}")))
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFiles: Map[String, (Long, Long)] = {
+      val it = fs.listFiles(
+        new org.apache.hadoop.fs.Path(s"$root/v/index/lists"), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          b += f.getPath.toString -> (f.getLen, f.getModificationTime)
+      }
+      b.result()
+    }
+    val before = listFiles
+    val centsBefore = spark.read.parquet(s"$root/v/index/centroids")
+      .collect().map(_.toString).sorted.toSeq
+
+    c.insert(Data().withDocuments(
+      (0 until 7).map(i => s"second batch doc $i topic ${i % 4}")))
+    c.ensureIndex(nlist = 4, iters = 2)
+    // the insert took the O(tail) append path, not the O(collection)
+    // rebuild — and every pre-existing list file is byte-identical
+    assert(c.indexRebuilds == 1 && c.indexAppends == 1,
+      s"rebuilds=${c.indexRebuilds} appends=${c.indexAppends}")
+    val after = listFiles
+    before.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig), s"pre-existing file changed: $path")
+    }
+    assert(after.size > before.size, "append must add new list files")
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == 37)
+    // centroids intentionally did not move
+    assert(spark.read.parquet(s"$root/v/index/centroids")
+      .collect().map(_.toString).sorted.toSeq == centsBefore)
+    // the appended index still answers exactly at full probe, including
+    // tail docs (doc "second batch doc 3" is id 34)
+    val exact = c.query("second batch doc 3 topic 3", 3)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    val approx = c.queryApprox("second batch doc 3 topic 3", 3, nprobe = 4)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(approx == exact, s"approx=$approx exact=$exact")
+    // second ensureIndex with nothing new: pure no-op
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 1)
+    assert(listFiles == after)
+  }
+
+  test("ensureIndex rebuilds after delete (append arithmetic broken)") {
+    val root = tmpDir("kaer-incr-del")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data()
+      .withDocuments((0 until 20).map(i => s"doc $i"))
+      .withMetadatas((0 until 20).map(i => Map[String, Any]("g" -> (i % 2)))))
+    c.ensureIndex(nlist = 2, iters = 1)
+    assert(c.indexRebuilds == 1)
+    assert(c.delete("""{"g": {"$eq": 0}}""") == 10L)
+    c.insert(Data().withDocuments(Seq("replacement")))
+    c.ensureIndex(nlist = 2, iters = 1)
+    // delete+insert must NOT look like a pure tail: full rebuild required
+    assert(c.indexRebuilds == 2 && c.indexAppends == 0,
+      s"rebuilds=${c.indexRebuilds} appends=${c.indexAppends}")
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == 11)
+  }
+
   test("compact rewrites many small files into few; ids and rows unchanged") {
     val root = tmpDir("kaer-compact")
     val k = newSession(root)
