@@ -76,10 +76,16 @@ object Bench {
       System.err.println(f"[bench] $name $sec%.2fs")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // stdout contract: the per-query detail line (~4 KB at 78 queries)
+    // goes FIRST; the LAST line is short so a tail-capture that truncates
+    // long lines still parses it (r2/r3 driver records had parsed:null
+    // from truncating the single long line). Both lines are complete,
+    // self-sufficient JSON.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

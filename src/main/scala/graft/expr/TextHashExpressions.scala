@@ -292,6 +292,27 @@ object TextHash {
     InternalRow(new GenericArrayData(sigOut), new GenericArrayData(shOut))
   }
 
+  /** Stubbed media encoder (Multimodal.mediaVec's native twin): component
+    * i = (hash60(text ++ ":" ++ i) mod 2001 − 1000)/1000 as float — one
+    * digest loop instead of a 16-element interpreted `transform` HOF
+    * (16 md5s/row through expression-tree walking was mm_embed_knn's
+    * whole cost). Bit-equal: same md5 bytes, same Long→Double→Float
+    * rounding order as the composed form and the DuckDB oracle. */
+  def mediaVec(text: UTF8String, dim: Int): ArrayData = {
+    val base = text.getBytes
+    val out = new Array[Any](dim)
+    var i = 0
+    while (i < dim) {
+      val suffix = (":" + i).getBytes("US-ASCII")
+      val buf = new Array[Byte](base.length + suffix.length)
+      System.arraycopy(base, 0, buf, 0, base.length)
+      System.arraycopy(suffix, 0, buf, base.length, suffix.length)
+      out(i) = ((hash60(buf) % 2001 - 1000) / 1000.0).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH for embeddings: md5-seeded ±1 sign matrix. */
   val HyperBits = 16
   val HyperDim = 64
@@ -401,6 +422,16 @@ case class MinHashShingleSig(child: Expression, n: Int, k: Int)
     s"graft.expr.TextHash.minhashShingles($c, $n, $k)"
   override protected def withNewChildInternal(c: Expression): MinHashShingleSig =
     copy(child = c)
+}
+
+case class MediaVecHash(child: Expression, dim: Int) extends TextHashUnary {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.mediaVec(input.asInstanceOf[UTF8String], dim)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.mediaVec($c, $dim)"
+  override protected def withNewChildInternal(n: Expression): MediaVecHash =
+    copy(child = n)
 }
 
 case class HyperBandValues(child: Expression, bitsPerBand: Int)

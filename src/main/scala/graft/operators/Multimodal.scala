@@ -129,12 +129,14 @@ object Multimodal {
   private val EmbedDim = 16
 
   /** payload → float vector: component i = (hash60(text ":i") mod 2001
-    * − 1000) / 1000 as float — both engines round the same double. */
+    * − 1000) / 1000 as float — both engines round the same double.
+    * Native codegen'd expression ([[graft.expr.MediaVecHash]]): the
+    * composed `transform` HOF ran 16 md5s/row interpreted, the exact
+    * pattern the text family already replaced (TextHashExpressions
+    * header). */
   private def mediaVec(payloadText: org.apache.spark.sql.Column) = {
-    import graft.functions.TextFunctions.md5Hash60
-    transform(sequence(lit(0), lit(EmbedDim - 1)), i =>
-      ((md5Hash60(concat(payloadText, lit(":"), i)) % 2001 - 1000) / 1000.0)
-        .cast("float"))
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(graft.expr.MediaVecHash(expression(payloadText), EmbedDim))
   }
 
   def mmEmbedKnn(s: SparkSession, dir: String): DataFrame = {

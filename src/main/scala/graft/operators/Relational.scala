@@ -449,6 +449,47 @@ object Relational {
         expr("percentile(pc, 0.5)").as("q50"),
         expr("percentile(pc, 0.75)").as("q75"))
 
+  /** Scale-safe EXACT quantiles — the distributed twin of
+    * [[quantilesOrders]]. `percentile` buffers every value in the ONE
+    * final aggregate task (O(N) driver-adjacent memory — the r3 verdict's
+    * scale-margin flag); this variant computes the identical answer with
+    * bounded memory everywhere: one count job, one distributed
+    * range-partitioned sort, per-partition offsets via zipWithIndex, then
+    * ONLY the ≤6 rank-boundary rows return to the driver for the
+    * interpolation arithmetic. Interpolation is lo + frac·(hi−lo) on
+    * exact integer cents with dyadic fracs (0/.25/.5/.75) — bit-equal to
+    * DuckDB's quantile_cont and to the single-task `percentile`. */
+  def quantilesOrdersDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val n = pc.count()
+    val hs = qs.map(q => (n - 1) * q)
+    val needed = hs.flatMap(h =>
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+    val bc = s.sparkContext.broadcast(needed)
+    val picked = pc.orderBy("pc").select("pc").rdd
+      .zipWithIndex()
+      .filter { case (_, i) => bc.value.contains(i) }
+      .map { case (r, i) => (i, r.getLong(0)) }
+      .collect().toMap
+    val v = hs.map { h =>
+      val lo = picked(math.floor(h).toLong).toDouble
+      val hi = picked(math.ceil(h).toLong).toDouble
+      lo + (h - math.floor(h)) * (hi - lo)
+    }
+    Seq((v(0), v(1), v(2))).toDF("q25", "q50", "q75")
+  }
+
+  /** Shared by both quantiles gates (declared ABOVE the oracle map —
+    * object-init order). */
+  private val quantilesOracleSql =
+    """SELECT
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS q50,
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS q75
+      |FROM orders""".stripMargin
+
   /** Sliding windows: 2-hour windows sliding by 1 hour over events —
     * each event lands in two windows (Spark's window() is epoch-aligned;
     * the oracle unnests the two containing window starts per event). */
@@ -625,12 +666,10 @@ object Relational {
         |FROM documents WHERE doc_id < 50
         |ORDER BY doc_id, pos""".stripMargin,
     "sql_window_battery" -> windowBatterySql,
-    "quantiles_orders" ->
-      """SELECT
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS q50,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS q75
-        |FROM orders""".stripMargin,
+    "quantiles_orders" -> quantilesOracleSql,
+    // identical answer contract: the dist variant is storage/execution
+    // strategy, not different math
+    "quantiles_orders_dist" -> quantilesOracleSql,
     "events_sliding" ->
       """SELECT win_start_s, event_type, count(*) AS n FROM (
         |  SELECT event_type,
@@ -829,6 +868,7 @@ object Relational {
     "lateral_explode" -> (lateralExplode _),
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
+    "quantiles_orders_dist" -> (quantilesOrdersDist _),
     "events_sliding" -> (eventsSliding _)
   )
 }

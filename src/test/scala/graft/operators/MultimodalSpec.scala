@@ -53,4 +53,21 @@ class MultimodalSpec extends SparkTestBase {
     val out = decodeFeatures(Seq(mk(9, "image", payload)).toDS()).head()
     assert(out.fp == expected)
   }
+
+  test("native MediaVecHash bit-equals the composed transform form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import graft.functions.TextFunctions.md5Hash60
+    val texts = Seq("hello media", "", "émoji 🚀 bytes", "x" * 300)
+    val df = texts.toDF("t")
+    val composed = transform(sequence(lit(0), lit(15)), i =>
+      ((md5Hash60(concat(col("t"), lit(":"), i)) % 2001 - 1000) / 1000.0)
+        .cast("float"))
+    val native = column(graft.expr.MediaVecHash(expression(col("t")), 16))
+    val rows = df.select(composed.as("c"), native.as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Float](0) == r.getSeq[Float](1),
+        s"composed=${r.getSeq[Float](0)} native=${r.getSeq[Float](1)}")
+    }
+  }
 }
