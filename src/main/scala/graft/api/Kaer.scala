@@ -62,6 +62,23 @@ object Data {
   * collection under `rootDir`, metadata/catalog is a JSON sidecar, and all
   * query semantics are Catalyst plans. No subprocesses, no sockets.
   */
+object KaerSession {
+  /** Open a session from a [[graft.core.GraftConfig]] — the reference's
+    * config-driven NewKaer boot (db/kaer.go:84-145 reads the parsed TOML
+    * for its dirs/models), minus the subprocess plumbing. The embedder is
+    * resolved from the config's model: the offline hashing embedder for
+    * the default model, with the dimension from the model→dim map. */
+  def apply(spark: SparkSession,
+      cfg: graft.core.GraftConfig): KaerSession = {
+    require(cfg.embedDim == graft.core.GraftConfig.Model2Dim
+        .getOrElse(cfg.embedderModel, cfg.embedDim),
+      s"embed_dim ${cfg.embedDim} contradicts model " +
+        s"'${cfg.embedderModel}' " +
+        s"(${graft.core.GraftConfig.Model2Dim.get(cfg.embedderModel)})")
+    new KaerSession(spark, cfg.persistDir, HashingEmbedder(cfg.embedDim))
+  }
+}
+
 final class KaerSession(
     val spark: SparkSession,
     rootDir: String,

@@ -15,7 +15,8 @@ import scala.jdk.CollectionConverters._
   *
   * Supported operators (SURVEY.md §2.5): implicit equality, $eq $ne $gt
   * $gte $lt $lte, $in $nin, $and $or $not $nor, $exists $type, $regex,
-  * $mod, $all $size $elemMatch.
+  * $mod, $all $size, $elemMatch (both the operator-object form over
+  * scalar arrays and the embedded-document form over arrays of objects).
   *
   * MQL type bracketing: numbers compare across int/long/double; strings
   * only compare with strings; a missing field fails every positive
@@ -36,49 +37,47 @@ object MqlFilter {
     def bool(field: String): Column
     /** Array-of-string view for $all/$size/$elemMatch (null if not array). */
     def arr(field: String): Column
+    /** Array-of-VARIANT view — embedded-document $elemMatch iterates the
+      * raw elements so each can be matched as a sub-document. */
+    def varr(field: String): Column
     /** Field present (including explicit JSON null). */
     def exists(field: String): Column
     /** MQL $type name: "double"|"long"|"string"|"bool"|"array"|"null". */
     def typeName(field: String): Column
   }
 
-  /** Resolver over a schemaless JSON metadata column (`_m_meta` /
-    * `events.props`). Uses VARIANT so that `{"a": "5"}` does NOT match a
-    * numeric filter on `a` — same bracketing as MQL.
-    *
-    * `parsed` is the VARIANT value of the whole metadata document. When a
-    * filter is built through [[toColumn]], it is a lambda-bound variable
-    * holding ONE `try_parse_json(metaCol)` per row — Catalyst has no
-    * global common-subexpression elimination, so without the binding
-    * every predicate leaf would re-parse the JSON document (measured 6
-    * parses/row on a 3-clause filter, ~2x the whole filter's runtime). */
-  final case class JsonResolver(metaCol: Column) extends FieldResolver {
-    private[MqlFilter] var parsed: Column = try_parse_json(metaCol)
-    private def path(f: String) = s"$$.$f"
-    private def v(f: String) = variant_get(parsed, path(f), "variant")
-    private def schema(f: String) = schema_of_variant(v(f))
+  /** The VARIANT-rooted field views shared by [[JsonResolver]] (rooted at
+    * the whole metadata document) and [[ElementResolver]] (rooted at one
+    * array element inside an embedded-document $elemMatch). Uses VARIANT
+    * so that `{"a": "5"}` does NOT match a numeric filter on `a` — same
+    * bracketing as MQL. */
+  sealed trait VariantViews extends FieldResolver {
+    /** The VARIANT value fields resolve against (re-read per call so
+      * [[toColumn]]'s lambda re-binding takes effect). */
+    private[MqlFilter] def parsedV: Column
+    protected def path(f: String) = s"$$.$f"
+    protected def v(f: String) = variant_get(parsedV, path(f), "variant")
+    protected def schemaOf(f: String) = schema_of_variant(v(f))
 
     // JSON numbers parse to BIGINT (integral) or DECIMAL(p,s) (with a
     // point); DOUBLE/FLOAT appear via scientific notation
     private def numericType(f: String): Column =
-      schema(f).isin("BIGINT", "DOUBLE", "INT", "SMALLINT",
-        "TINYINT", "FLOAT") || schema(f).startsWith("DECIMAL")
+      schemaOf(f).isin("BIGINT", "DOUBLE", "INT", "SMALLINT",
+        "TINYINT", "FLOAT") || schemaOf(f).startsWith("DECIMAL")
 
     def num(f: String): Column =
-      when(numericType(f), try_variant_get(parsed, path(f), "double"))
+      when(numericType(f), try_variant_get(parsedV, path(f), "double"))
     def str(f: String): Column =
-      when(schema(f) === "STRING", try_variant_get(parsed, path(f), "string"))
+      when(schemaOf(f) === "STRING",
+        try_variant_get(parsedV, path(f), "string"))
     def bool(f: String): Column =
-      when(schema(f) === "BOOLEAN",
-        try_variant_get(parsed, path(f), "boolean"))
-    def arr(f: String): Column =
-      when(schema(f).startsWith("ARRAY"),
-        from_json(get_json_object(metaCol, path(f)),
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType)))
+      when(schemaOf(f) === "BOOLEAN",
+        try_variant_get(parsedV, path(f), "boolean"))
+    def varr(f: String): Column =
+      try_variant_get(parsedV, path(f), "array<variant>")
     def exists(f: String): Column = v(f).isNotNull || is_variant_null(v(f))
     def typeName(f: String): Column = {
-      val s = schema(f)
+      val s = schemaOf(f)
       when(s === "STRING", "string")
         .when(s === "BOOLEAN", "bool")
         // DECIMAL(p,0) is an integral JSON number; any scale > 0 is MQL
@@ -91,6 +90,36 @@ object MqlFilter {
         .when(is_variant_null(v(f)) || s === "VOID", "null")
         .otherwise(lit(null).cast("string"))
     }
+  }
+
+  /** Resolver over a schemaless JSON metadata column (`_m_meta` /
+    * `events.props`).
+    *
+    * `parsed` is the VARIANT value of the whole metadata document. When a
+    * filter is built through [[toColumn]], it is a lambda-bound variable
+    * holding ONE `try_parse_json(metaCol)` per row — Catalyst has no
+    * global common-subexpression elimination, so without the binding
+    * every predicate leaf would re-parse the JSON document (measured 6
+    * parses/row on a 3-clause filter, ~2x the whole filter's runtime). */
+  final case class JsonResolver(metaCol: Column) extends VariantViews {
+    private[MqlFilter] var parsed: Column = try_parse_json(metaCol)
+    private[MqlFilter] def parsedV: Column = parsed
+    def arr(f: String): Column =
+      when(schemaOf(f).startsWith("ARRAY"),
+        from_json(get_json_object(metaCol, path(f)),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+  }
+
+  /** Resolver rooted at ONE array element (a VARIANT sub-document) —
+    * what an embedded-document $elemMatch predicate evaluates against.
+    * Nested scalar arrays resolve through the variant cast (strings
+    * only); deeper embedded arrays nest further ElementResolvers. */
+  final case class ElementResolver(elem: Column) extends VariantViews {
+    private[MqlFilter] def parsedV: Column = elem
+    def arr(f: String): Column =
+      when(schemaOf(f).startsWith("ARRAY"),
+        try_variant_get(elem, path(f), "array<string>"))
   }
 
   /** Resolver over real typed columns (materialized metadata). Type
@@ -118,6 +147,10 @@ object MqlFilter {
       case Some((c, ArrayType(_, _))) => c.cast("array<string>")
       case _ => lit(null).cast("array<string>")
     }
+    def varr(f: String): Column =
+      throw new IllegalArgumentException(
+        "embedded-document $elemMatch requires a JSON metadata field, " +
+          s"not typed column: $f")
     def exists(f: String): Column = get(f) match {
       case Some((c, _)) => c.isNotNull
       case None => lit(false)
@@ -262,6 +295,14 @@ object MqlFilter {
       val elems = v.elements().asScala.map(_.asText()).toSeq
       elems.map(e => tv(array_contains(r.arr(field), e)))
         .reduceLeftOption(_ && _).getOrElse(lit(true))
+    case "$elemMatch" if !isOpObject(v) =>
+      // embedded-document form: {"items": {"$elemMatch": {"k": "a",
+      // "n": {"$gt": 3}}}} — ONE element must satisfy the whole
+      // sub-filter. The operand is a full MQL query evaluated against
+      // each element as its own document (ElementResolver), so nested
+      // $and/$or/$in/$regex/field-$not all work unchanged. Non-array /
+      // missing fields give a null element array -> false under tv.
+      tv(exists(r.varr(field), e => translate(v, ElementResolver(e))))
     case "$elemMatch" =>
       // operator-object form: {"tags": {"$elemMatch": {"$gt": 3}}}
       val conds = v.properties().asScala.toSeq

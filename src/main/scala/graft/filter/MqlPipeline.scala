@@ -17,7 +17,8 @@ import scala.jdk.CollectionConverters._
   * post-group on the real output columns — the HAVING shape), $group
   * (accumulators $sum/$avg/$min/$max, `$sum: 1` counting), $sort (real
   * columns first — covers the reference's `_m_id` sort — else the
-  * numeric metadata view), $limit, $skip, $project (inclusion), $count.
+  * numeric metadata view), $limit, $skip, $project (inclusion /
+  * exclusion / computed fields), $addFields, $count.
   *
   * Value expressions: `"$field"` is the STRING view of a metadata field;
   * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
@@ -117,8 +118,12 @@ object MqlPipeline {
 
         case "$project" =>
           val entries = spec.properties().asScala.toSeq
-          val (inc, exc) = entries.partition(_.getValue.asInt(1) != 0)
-          require(inc.isEmpty || exc.isEmpty,
+          def isFlag(n: JsonNode) = n.isInt || n.isBoolean
+          val exc = entries.filter(e =>
+            isFlag(e.getValue) && e.getValue.asInt(1) == 0)
+          // Mongo allows mixing inclusion with COMPUTED fields; only
+          // inclusion+exclusion is invalid
+          require(exc.isEmpty || exc.size == entries.size,
             s"$$project cannot mix inclusion and exclusion: $spec")
           cur =
             if (exc.nonEmpty) {
@@ -131,12 +136,26 @@ object MqlPipeline {
                   missing.mkString(", "))
               cur.drop(exc.map(_.getKey): _*)
             } else {
-              val cols = inc.map(_.getKey).map { f =>
-                if (cur.columns.contains(f)) col(f)
-                else MqlFilter.JsonResolver(metaCol).str(f).as(f)
+              // entry order preserved: {f: 1} includes, anything else is
+              // a computed expression aliased to the key
+              val cols = entries.map { e =>
+                val f = e.getKey
+                if (isFlag(e.getValue)) {
+                  if (cur.columns.contains(f)) col(f)
+                  else MqlFilter.JsonResolver(metaCol).str(f).as(f)
+                } else computeExpr(e.getValue, metaCol, cur).as(f)
               }
               cur.select(cols: _*)
             }
+
+        case "$addFields" =>
+          // each entry becomes (or replaces) a REAL column computed from
+          // the expression language below — later $match/$sort/$group
+          // stages then resolve it through the typed path, which is
+          // Mongo's post-$addFields document shape
+          for (e <- spec.properties().asScala)
+            cur = cur.withColumn(e.getKey,
+              computeExpr(e.getValue, metaCol, cur))
 
         case "$lookup" =>
           // {from, localField, foreignField, as}: left outer equi-match,
@@ -203,6 +222,66 @@ object MqlPipeline {
     else throw new IllegalArgumentException(s"unsupported expression: $node")
   }
 
+  /** The computed-field expression language of $project/$addFields —
+    * a superset of [[valueExpr]]: `"$f"` references (real column first,
+    * else string metadata view), literals, arithmetic
+    * {$add/$subtract/$multiply/$divide: [...]} (double math — MQL's
+    * cross-numeric bracketing), type coercion {$toLong/$toDouble: e},
+    * and string ops {$concat: [...]}, {$toUpper/$toLower: e}. Numeric
+    * positions resolve "$f" through the NUMERIC view (a JSON number's
+    * string view is null by bracketing). */
+  private def computeExpr(node: JsonNode, metaCol: Column,
+      cur: DataFrame): Column = {
+    def ref(f: String): Column =
+      if (cur.columns.contains(f)) col(f)
+      else MqlFilter.JsonResolver(metaCol).str(f)
+    def numRef(f: String): Column =
+      if (cur.columns.contains(f)) col(f).cast("double")
+      else MqlFilter.JsonResolver(metaCol).num(f)
+    def numOf(n: JsonNode): Column =
+      if (n.isNumber) lit(n.asDouble())
+      else if (n.isTextual && n.asText().startsWith("$"))
+        numRef(n.asText().drop(1))
+      else if (n.isObject) computeExpr(n, metaCol, cur).cast("double")
+      else throw new IllegalArgumentException(s"not numeric: $n")
+    def strOf(n: JsonNode): Column =
+      if (n.isTextual && n.asText().startsWith("$")) ref(n.asText().drop(1))
+      else if (n.isTextual) lit(n.asText())
+      else if (n.isObject) computeExpr(n, metaCol, cur).cast("string")
+      else throw new IllegalArgumentException(s"not a string: $n")
+    def args(v: JsonNode): Seq[JsonNode] = {
+      require(v.isArray, s"operand must be an array: $v")
+      v.elements().asScala.toSeq
+    }
+    if (node.isTextual && node.asText().startsWith("$"))
+      ref(node.asText().drop(1))
+    else if (node.isTextual) lit(node.asText())
+    else if (node.isNumber) lit(node.asDouble())
+    else if (node.isBoolean) lit(node.asBoolean())
+    else if (node.isObject) {
+      require(node.properties().size() == 1,
+        s"computed expression must have one operator: $node")
+      val e = node.properties().asScala.head
+      (e.getKey, e.getValue) match {
+        case ("$add", v) => args(v).map(numOf).reduceLeft(_ + _)
+        case ("$multiply", v) => args(v).map(numOf).reduceLeft(_ * _)
+        case ("$subtract", v) =>
+          val Seq(a, b) = args(v); numOf(a) - numOf(b)
+        case ("$divide", v) =>
+          val Seq(a, b) = args(v); numOf(a) / numOf(b)
+        case ("$concat", v) => concat(args(v).map(strOf): _*)
+        case ("$toUpper", v) => upper(strOf(v))
+        case ("$toLower", v) => lower(strOf(v))
+        case ("$toLong", v) => numOf(v).cast("long")
+        case ("$toDouble", v) => numOf(v)
+        case (other, _) =>
+          throw new IllegalArgumentException(
+            s"unsupported computed operator: $other")
+      }
+    } else throw new IllegalArgumentException(
+      s"unsupported expression: $node")
+  }
+
   /** {$sum|$avg|$min|$max: expr}; `$sum: 1` counts (sum of the int
     * literal is a LONG — same type as the oracle's count). */
   private def accumulator(node: JsonNode, metaCol: Column,
@@ -237,6 +316,7 @@ object MqlPipeline {
     def str(f: String): Column = pick(f).str(f)
     def bool(f: String): Column = pick(f).bool(f)
     def arr(f: String): Column = pick(f).arr(f)
+    def varr(f: String): Column = pick(f).varr(f)
     def exists(f: String): Column = pick(f).exists(f)
     def typeName(f: String): Column = pick(f).typeName(f)
   }

@@ -322,6 +322,84 @@ object Relational {
     s.sql(q5Sql)
   }
 
+  /** TPC-H Q7 flavor (volume shipping): bidirectional nation-pair trade
+    * by ship year — a six-relation join with a self-joined dimension
+    * (nation n1/n2) and a disjunctive pair predicate the planner must
+    * keep above the joins. Shared-verbatim SQL: the adaptation to this
+    * corpus is only the nation names (synthetic NATION_i). */
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |      AS vol_cents
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def sqlTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q7Sql)
+  }
+
+  /** TPC-H Q9 flavor (product-type profit): profit per supplier nation
+    * per order year over parts matching a name pattern. This corpus has
+    * no partsupp table, so supply cost is approximated as
+    * p_retailprice*l_quantity — the JOIN GRAPH (5 relations, LIKE
+    * pushdown on part, two independent date/name filters) is the Q9
+    * planning shape; only the cost term differs. */
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT)
+      |    AS profit_cents
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round((l_extendedprice*(1.0-l_discount)
+      |      - p_retailprice*l_quantity)*100) AS BIGINT) AS amount_cents
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def sqlTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "supplier", "lineitem", "orders", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q9Sql)
+  }
+
+  /** TPC-H Q22 flavor: above-average-balance customers with no
+    * processing-status order — an uncorrelated scalar subquery (the
+    * average) plus a correlated NOT EXISTS Catalyst must decorrelate to
+    * a null-safe anti join. Money as integer cents so the average is
+    * exact-integer summed before ONE double division (identical across
+    * engines regardless of partition-sum order). */
+  private val q22Sql =
+    """SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      |FROM customer c
+      |WHERE CAST(round(c_acctbal*100) AS BIGINT) >
+      |    (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q22Sql)
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -481,6 +559,49 @@ object Relational {
     Seq((v(0), v(1), v(2))).toDF("q25", "q50", "q75")
   }
 
+  /** Embedded-document $elemMatch under the gate: metadata carries an
+    * array of sub-documents ({k, n} items synthesized from `documents`
+    * columns) and ONE element must satisfy the whole sub-filter — the
+    * FerretDB/Mongo form the scalar-array $elemMatch can't express. The
+    * oracle evaluates the same per-element conjunction directly on the
+    * source columns. */
+  def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(array(
+        struct(col("lang").as("k"),
+          (col("n_chars") % 10).cast("long").as("n")),
+        struct(col("source").as("k"),
+          (col("n_chars") % 7).cast("long").as("n"))).as("items"))))
+      .filter(MqlFilter.toColumn(
+        """{"items": {"$elemMatch":
+          |  {"k": {"$in": ["en", "src2"]}, "n": {"$gte": 5}}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Computed pipeline fields under the gate: $addFields derives real
+    * columns from the metadata document ($divide/$concat), $match filters
+    * on one, and a computed $project emits arithmetic over them — the
+    * post-$addFields document shape flowing through typed resolution. */
+  def mqlPipelineCompute(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")))),
+      col("meta"),
+      """[
+        |  {"$addFields": {
+        |    "kc": {"$divide": [{"$toLong": "$n_chars"}, 100]},
+        |    "label": {"$concat": [{"$toUpper": "$lang"}, ":", "$source"]}}},
+        |  {"$match": {"kc": {"$gt": 9}}},
+        |  {"$project": {
+        |    "did": {"$toLong": "$doc_id"},
+        |    "label": 1,
+        |    "kc": 1,
+        |    "score": {"$subtract": [{"$multiply": ["$kc", 2]}, 1.5]}}},
+        |  {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
   /** Shared by both quantiles gates (declared ABOVE the oracle map —
     * object-init order). */
   private val quantilesOracleSql =
@@ -623,6 +744,9 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q7" -> q7Sql,
+    "sql_tpch_q9" -> q9Sql,
+    "sql_tpch_q22" -> q22Sql,
     "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
@@ -670,6 +794,21 @@ object Relational {
     // identical answer contract: the dist variant is storage/execution
     // strategy, not different math
     "quantiles_orders_dist" -> quantilesOracleSql,
+    // the oracle evaluates the per-element conjunction directly on the
+    // source columns the items array was synthesized from
+    "mql_elem_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE (lang IN ('en','src2') AND n_chars % 10 >= 5)
+        |   OR (source IN ('en','src2') AND n_chars % 7 >= 5)
+        |ORDER BY doc_id""".stripMargin,
+    "mql_pipeline_compute" ->
+      """SELECT CAST(doc_id AS BIGINT) AS did,
+        |  upper(lang) || ':' || source AS label,
+        |  n_chars / 100.0 AS kc,
+        |  (n_chars / 100.0) * 2 - 1.5 AS score
+        |FROM documents
+        |WHERE n_chars / 100.0 > 9
+        |ORDER BY did""".stripMargin,
     "events_sliding" ->
       """SELECT win_start_s, event_type, count(*) AS n FROM (
         |  SELECT event_type,
@@ -860,6 +999,9 @@ object Relational {
     "cube_sales" -> (cubeSales _),
     "pivot_orders" -> (pivotOrders _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "sql_tpch_q7" -> (sqlTpchQ7 _),
+    "sql_tpch_q9" -> (sqlTpchQ9 _),
+    "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),
@@ -869,6 +1011,8 @@ object Relational {
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
     "quantiles_orders_dist" -> (quantilesOrdersDist _),
+    "mql_elem_match" -> (mqlElemMatch _),
+    "mql_pipeline_compute" -> (mqlPipelineCompute _),
     "events_sliding" -> (eventsSliding _)
   )
 }

@@ -1,0 +1,63 @@
+package graft.core
+
+import graft.SparkTestBase
+
+/** Config surface parity: defaults, file-over-defaults layering, the
+  * model→dim map, and the config-driven session boot. */
+class ConfigSpec extends SparkTestBase {
+
+  test("defaults mirror the reference's defaultCfg shape") {
+    val d = GraftConfig.default
+    assert(d.persistDir.nonEmpty)
+    assert(d.embedderModel == "hashing-md5-v1")
+    assert(d.embedDim == 64 && d.ivfNlist == 16 && d.ivfNprobe == 4)
+  }
+
+  test("parseFrom layers file values over defaults; missing file = defaults") {
+    val dir = tmpDir("config")
+    val f = new java.io.File(dir, "graft.properties")
+    java.nio.file.Files.write(f.toPath,
+      """persist_dir = /tmp/custom-root
+        |ivf_nlist = 32
+        |""".stripMargin.getBytes)
+    val cfg = GraftConfig.parseFrom(f.getPath)
+    assert(cfg.persistDir == "/tmp/custom-root")
+    assert(cfg.ivfNlist == 32)
+    assert(cfg.ivfNprobe == GraftConfig.default.ivfNprobe) // kept default
+    val absent = GraftConfig.parseFrom(s"$dir/nope.properties")
+    assert(absent == GraftConfig.default)
+  }
+
+  test("embedder model resolves its dimension; unknown model fails loudly") {
+    assert(GraftConfig.dimFor("multilingual-22-12") == 768)
+    assert(GraftConfig.dimFor("large") == 4096)
+    intercept[IllegalArgumentException] { GraftConfig.dimFor("gpt-999") }
+    // a model name in the file pulls its dim from the map
+    val dir = tmpDir("config-model")
+    val f = new java.io.File(dir, "m.properties")
+    java.nio.file.Files.write(f.toPath,
+      "embedder_model = small\n".getBytes)
+    assert(GraftConfig.parseFrom(f.getPath).embedDim == 1024)
+  }
+
+  test("config-driven KaerSession boot uses persist_dir and model dim") {
+    import graft.api.{Data, KaerSession}
+    val root = tmpDir("config-boot")
+    val k = KaerSession(spark,
+      GraftConfig.default.copy(persistDir = root))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("hello config")))
+    assert(c.count() == 1)
+    // the collection sidecar carries the model-derived dim
+    assert(Meta.read(spark, s"$root/c").get.dim == 64)
+    // contradictory (model, dim) pair is rejected at boot
+    intercept[IllegalArgumentException] {
+      KaerSession(spark, GraftConfig.default.copy(embedDim = 128))
+    }
+  }
+
+  test("invalid numeric values are rejected") {
+    intercept[IllegalArgumentException] { GraftConfig(ivfNlist = 0) }
+    intercept[IllegalArgumentException] { GraftConfig(embedDim = -1) }
+  }
+}

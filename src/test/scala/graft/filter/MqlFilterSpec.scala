@@ -118,4 +118,42 @@ class MqlFilterSpec extends SparkTestBase {
   test("unsupported operator raises") {
     intercept[IllegalArgumentException] { ids("""{"a": {"$where": "x"}}""") }
   }
+
+  // embedded-document $elemMatch: array-of-objects metadata
+  private val docRows = Seq(
+    (1L, """{"items": [{"k": "a", "n": 1}, {"k": "b", "n": 9}]}"""),
+    (2L, """{"items": [{"k": "a", "n": 8}]}"""),
+    (3L, """{"items": [{"k": "b", "n": 1}, {"k": "c"}]}"""),
+    (4L, """{"items": []}"""),
+    (5L, """{"items": "not-an-array"}"""),
+    (6L, """{}""")
+  )
+  private lazy val docDf = docRows.toDF("id", "meta")
+  private def docIds(filterJson: String): Seq[Long] =
+    docDf.filter(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("embedded $elemMatch: one element must satisfy the WHOLE sub-filter") {
+    // k=a AND n>5 must hold on the SAME element: row 1 has k=a(n=1) and
+    // n=9(k=b) but never together — only row 2 matches
+    assert(docIds("""{"items": {"$elemMatch":
+      {"k": "a", "n": {"$gt": 5}}}}""") == Seq(2L))
+    assert(docIds("""{"items": {"$elemMatch": {"k": "b"}}}""")
+      == Seq(1L, 3L))
+    assert(docIds("""{"items": {"$elemMatch": {"n": {"$gte": 9}}}}""")
+      == Seq(1L))
+  }
+
+  test("embedded $elemMatch: nested operators, missing fields, non-arrays") {
+    // $in + range on the same element
+    assert(docIds("""{"items": {"$elemMatch":
+      {"k": {"$in": ["b", "c"]}, "n": {"$lt": 5}}}}""") == Seq(3L))
+    // element-level $exists: row 3's second element has no n
+    assert(docIds("""{"items": {"$elemMatch":
+      {"n": {"$exists": false}}}}""") == Seq(3L))
+    // empty arrays, non-arrays and missing fields never match
+    assert(docIds("""{"items": {"$elemMatch": {"k": {"$exists": true}}}}""")
+      == Seq(1L, 2L, 3L))
+  }
 }

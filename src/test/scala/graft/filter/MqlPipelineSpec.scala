@@ -120,6 +120,43 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(ids == Seq(5L, 3L)) // grp c first desc, then b (lowest id)
   }
 
+  test("$addFields computes real columns; later stages resolve them typed") {
+    val got = run(
+      """[
+        | {"$addFields": {
+        |   "v2": {"$multiply": [{"$toLong": "$v"}, 2]},
+        |   "tag": {"$concat": [{"$toUpper": "$grp"}, "-", "$grp"]}}},
+        | {"$match": {"v2": {"$gte": 20}}},
+        | {"$sort": {"v2": 1}},
+        | {"$project": {"tag": 1, "v2": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // v=10,20 in grp a -> v2=20,40; b's 10,14 filtered; c's 100 -> 200
+    assert(got == Seq(("A-a", 20.0), ("A-a", 40.0), ("C-c", 200.0)))
+  }
+
+  test("computed $project mixes inclusion with expressions in entry order") {
+    val got = run(
+      """[
+        | {"$project": {
+        |   "id": 1,
+        |   "half": {"$divide": [{"$toLong": "$v"}, 2]},
+        |   "lbl": {"$toLower": {"$concat": ["G", "$grp"]}}}},
+        | {"$sort": {"id": 1}}, {"$limit": 2}
+        |]""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 5.0, "ga"), (2L, 10.0, "ga")))
+  }
+
+  test("$subtract/$add arity and unsupported computed operators raise") {
+    intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$ifNull": ["$v", 0]}}}]""")
+    }
+    intercept[Exception] { // $subtract needs exactly two operands
+      run("""[{"$addFields": {"x": {"$subtract": [1, 2, 3]}}}]""").collect()
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
