@@ -91,6 +91,26 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = MinhashK / Bands
 
+  /** Loud ceiling on LSH bucket membership. The in-bucket pair expansion
+    * is quadratic in the bucket size, so a mega-bucket (degenerate
+    * corpus of near-identical docs, or a saturated band space — the
+    * ScaleProbe measured the 16-bit hyperplane buckets growing linearly
+    * once the 512 possible buckets fill) means the job should FAIL with
+    * instructions, not silently OOM one task. 10k members ≈ 50M in-bucket
+    * pairs — past any sane selectivity. Remedies in the message. */
+  private[graft] val MaxBucketMembers = 10000
+
+  /** `ms` unchanged when under the cap; raises with a remediation
+    * message otherwise (raise_error's NullType coerces to ms's type in
+    * the otherwise branch, so the guard lives in the data path and
+    * cannot be pruned away). */
+  private def guardBucket(ms: Column, what: String): Column =
+    when(size(ms) <= MaxBucketMembers, ms)
+      .otherwise(raise_error(concat(
+        lit(s"$what LSH bucket overflow: "), size(ms).cast("string"),
+        lit(s" members > cap $MaxBucketMembers — raise bands/bits-per-band " +
+          "selectivity or run exact dedup first"))))
+
   /** LSH candidate pairs with hashed shingle sets attached, over any
     * `(id, text)` corpus — the reusable core of the MinHash operators.
     *
@@ -104,7 +124,10 @@ object Dedup {
     * selectivity) rather than change the plan. Shingle sets travel as
     * 60-bit longs, not strings, so the bucket shuffle stays narrow.
     */
-  private[graft] def lshCandidates(corpus: DataFrame): DataFrame = {
+  /** (id, sh, band, bh): one row per (doc, band) with the band's bucket
+    * hash — the shared prefix of [[lshCandidates]] and the skew probe's
+    * [[lshBucketSizes]]. */
+  private def bandedSignatures(corpus: DataFrame): DataFrame = {
     val sigsh = corpus
       .select(col("id"),
         minhashShingles(tokens(col("text")), 3, MinhashK).as("ss"))
@@ -114,13 +137,34 @@ object Dedup {
       md5(concat_ws("|", (0 until RowsPerBand).map(i =>
         element_at(col("sig"), b * RowsPerBand + i + 1)): _*))
     }: _*)
-    val banded = sigsh
-      .select(col("id"), col("sh"),
-        posexplode(bandHashes).as(Seq("band", "bh")))
-    banded
+    sigsh.select(col("id"), col("sh"),
+      posexplode(bandHashes).as(Seq("band", "bh")))
+  }
+
+  /** Per-bucket member counts of the text-LSH band buckets — what bounds
+    * the in-bucket quadratic expansion (the ScaleProbe skew guard for
+    * the collect_list below). */
+  private[graft] def lshBucketSizes(corpus: DataFrame): DataFrame =
+    bandedSignatures(corpus)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+
+  /** Per-bucket member counts of the embedding hyperplane-LSH buckets
+    * (the [[dedupEmbedCosine]] candidate generator's expansion guard). */
+  private[graft] def embedBucketSizes(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val bandVals = toCol(graft.expr.HyperBandValues(
+      toExpr(col("embedding")), BitsPerBand))
+    corpus.select(col("id"),
+        posexplode(bandVals).as(Seq("band", "bv")))
+      .groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+  }
+
+  private[graft] def lshCandidates(corpus: DataFrame): DataFrame = {
+    bandedSignatures(corpus)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
+      .withColumn("ms", guardBucket(col("ms"), "text"))
       .select(explode(flatten(transform(col("ms"), a =>
         transform(filter(col("ms"), b => b("id") > a("id")), b =>
           struct(a("id").as("id_a"), b("id").as("id_b"),
@@ -343,6 +387,7 @@ object Dedup {
       .groupBy(col("band"), col("bv"))
       .agg(collect_list(struct(col("id"), col("embedding"))).as("ms"))
       .filter(size(col("ms")) > 1)
+      .withColumn("ms", guardBucket(col("ms"), "embedding"))
       .select(explode(flatten(transform(col("ms"), a =>
         transform(filter(col("ms"), b => b("id") > a("id")), b =>
           struct(a("id").as("id_a"), b("id").as("id_b"),

@@ -104,6 +104,26 @@ class DedupSpec extends SparkTestBase {
     assert(uf.forall { case (id, lbl) => lbl <= id })
   }
 
+  test("LSH mega-bucket fails loudly instead of quadratic expansion") {
+    import org.apache.spark.sql.functions._
+    // a degenerate corpus (every doc identical) collapses ALL docs into
+    // one band bucket — past the cap that must be a job failure with
+    // remediation text, never a silent 50M-pair expansion in one task
+    val degenerate = spark.range(Dedup.MaxBucketMembers + 1L)
+      .select(col("id"),
+        lit("identical text body repeated for every document").as("text"))
+    val ex = intercept[Throwable] {
+      Dedup.minhashPairs(degenerate).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(ex).contains("bucket overflow"), chain(ex).take(500))
+    // under the cap: same corpus shape passes (pairs are real)
+    val small = spark.range(50)
+      .select(col("id"), lit("identical text body").as("text"))
+    assert(Dedup.minhashPairs(small).count() == 49L * 50 / 2)
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))

@@ -10,7 +10,7 @@ object ScaleProbe {
     // warm JIT
     graft.operators.Dedup.minhashPairs(
       d.select(col("doc_id").as("id"), col("text"))).count()
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16, 64)) {
       val corpus = (0 until mult).map(i =>
         d.select((col("doc_id") + i * 1000000L).as("id"),
           // remap the vocabulary per replica (prefix every word) so
@@ -21,7 +21,34 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = graft.operators.Dedup.minhashPairs(corpus).count()
       val el = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] mult=$mult%2d rows=${5000 * mult}%6d pairs=$n%5d time=$el%6.2fs per-1k-rows=${el / (5 * mult)}%5.3fs")
+      // per-bucket skew of the band buckets: the in-bucket pair expansion
+      // is quadratic in THIS number — it must stay bounded as rows grow
+      val st = graft.operators.Dedup.lshBucketSizes(corpus)
+        .agg(count(lit(1)).as("buckets"), max(col("n")).as("mx"),
+          avg(col("n")).as("mean"),
+          sum(col("n") * (col("n") - 1) / 2).as("candPairs"))
+        .head()
+      println(f"[scale] mult=$mult%2d rows=${5000 * mult}%6d pairs=$n%5d time=$el%6.2fs per-1k-rows=${el / (5 * mult)}%5.3fs " +
+        f"buckets=${st.getLong(0)}%7d maxBucket=${st.getLong(1)}%4d meanBucket=${st.getDouble(2)}%5.2f candPairs=${st.getDouble(3)}%,.0f")
+    }
+
+    // embedding hyperplane-LSH bucket skew: replicas rotate the vector
+    // components so replica vectors project differently (cloned vectors
+    // would pile into the same bucket and overstate skew)
+    val emb = s.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    for (mult <- Seq(1, 4, 16)) {
+      val rep = (0 until mult).map(i =>
+        emb.select((col("vec_id") + i * 1000000L).as("id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            element_at(col("embedding"), ((j + i) % 64) + 1))
+            .as("embedding")))
+        .reduce(_ unionAll _).repartition(32)
+      val st = graft.operators.Dedup.embedBucketSizes(rep)
+        .agg(count(lit(1)).as("buckets"), max(col("n")).as("mx"),
+          sum(col("n") * (col("n") - 1) / 2).as("candPairs"),
+          sum(col("n")).as("rows"))
+        .head()
+      println(f"[skew-emb] mult=$mult%2d rows=${st.getLong(3) / 2}%7d buckets=${st.getLong(0)}%5d maxBucket=${st.getLong(1)}%6d candPairs=${st.getDouble(2)}%,.0f candRate=${st.getDouble(2) / (st.getLong(3) / 2.0 * (st.getLong(3) / 2.0 - 1) / 2)}%8.5f")
     }
 
     // bucketed range join: replicas get disjoint user ranges, so matches
