@@ -338,6 +338,40 @@ object Dedup {
       .select(col("doc_id"), simhash60(tokens(col("text"))).as("sim"))
       .orderBy("doc_id")
 
+  /** Near-duplicate PAIRS from SimHash: hamming(sim_a, sim_b) ≤ 3 over
+    * the near-dup corpus. Candidates come from PIGEONHOLE band blocking:
+    * the 60-bit signature splits into 4 bands of 15 bits, and any pair
+    * within hamming 3 must agree EXACTLY on ≥ 1 band (4 bands can't all
+    * absorb a bit from only 3 differing bits) — so recall is 1.0 by
+    * construction, not probabilistic like MinHash banding. One shuffle
+    * on (band, 15-bit value), in-bucket pair expansion, exact hamming
+    * verify on candidates only — the same never-all-pairs shape as the
+    * other generators. */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val c = nearCorpus(s, dir)
+      .select(col("id"), simhash60(tokens(col("text"))).as("sim"))
+    val bandVals = array((0 until 4).map(b =>
+      shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
+    val ham = graft.functions.TextFunctions.hamming(
+      col("sim_a"), col("sim_b"))
+    c.select(col("id"), col("sim"),
+        posexplode(bandVals).as(Seq("band", "bv")))
+      .groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", guardBucket(col("ms"), "simhash"))
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("id_a"), b("id").as("id_b"),
+            a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim_a").as("sim_a"), col("p.sim_b").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(ham <= 3)
+      .select(col("id_a"), col("id_b"), ham.as("ham"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------------------
   // 5. Embedding-cosine near-dup via random-hyperplane LSH: 16 md5-seeded
   //    hyperplane sign-vectors → 16-bit signature → 4 bands of 4 bits →
@@ -486,7 +520,25 @@ object Dedup {
          |   for t in list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))] AS hs
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
-    "dedup_embed_cosine" -> embOracle
+    "dedup_embed_cosine" -> embOracle,
+    // exact-hamming self-join over the reconstructed signatures: the
+    // oracle may go all-pairs (gate corpus is small); the Spark side's
+    // band blocking must reproduce it exactly (pigeonhole recall = 1)
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |sims AS (
+         |  SELECT id, ${(0 until 60).map(j =>
+        s"(CASE WHEN list_sum([CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")} AS sim
+         |  FROM (SELECT id,
+         |    [('0x' || substr(md5(t), 1, 15))::BIGINT
+         |     for t in list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))] AS hs
+         |    FROM corpus))
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS ham
+         |FROM sims a JOIN sims b ON a.id < b.id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -495,6 +547,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _)
   )
 }

@@ -277,7 +277,37 @@ object StreamingOps {
       .orderBy("lang")
   }
 
+  /** Streaming exact dedup under the gate: the distinct
+    * (user_id, event_type) key set from a file stream via
+    * `dropDuplicates` state. Only the KEY columns are emitted — which
+    * physical row survives per key depends on arrival order, the key set
+    * does not, and that is what makes a streaming dedup oracle-checkable.
+    * (The watermarked, state-bounded variant is spec-verified in
+    * StreamingSpec via dropDuplicatesWithinWatermark; this gate runs the
+    * unbounded-state form over a finite source with AvailableNow.) */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("user_id", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_ingest" ->
       """SELECT lang, count(*) AS n FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -300,6 +330,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> (eventsHourlyStreaming _),
     "stream_stream_join" -> (streamStreamJoin _),
-    "stream_ingest" -> (streamIngest _)
+    "stream_ingest" -> (streamIngest _),
+    "stream_dedup" -> (streamDedup _)
   )
 }
