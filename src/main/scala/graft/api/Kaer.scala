@@ -481,27 +481,66 @@ final class Collection(
   }
 
   /** Mongo-style $set on metadata for documents matching an MQL filter —
-    * copy-on-write rewrite; returns the number of rows updated. Document
-    * text and embeddings are untouched (metadata-only update, the common
-    * document-DB case). The merge is a driver-built JSON transform
-    * evaluated per row off the hot query path — maintenance ops trade
-    * codegen for exact JSON semantics. */
-  def update(filterJson: String, set: Map[String, Any]): Long = {
-    if (!hasData || set.isEmpty) return 0L
+    * sugar over [[updateDoc]]; returns the number of rows updated. */
+  def update(filterJson: String, set: Map[String, Any]): Long =
+    if (set.isEmpty) 0L
+    else updateDoc(filterJson, s"""{"$$set": ${Data.toJson(set)}}""")
+
+  /** Mongo update document over metadata: `{"$set": {...}, "$inc":
+    * {...}, "$unset": {...}}` applied to every document matching the MQL
+    * filter — the FerretDB update-operator surface. $inc adds to a
+    * numeric field (missing field starts at 0, integral+integral stays
+    * integral — Mongo's long-vs-double behavior); $inc on a non-numeric
+    * value fails the job loudly (Mongo errors too); $unset removes keys.
+    * Copy-on-write rewrite; document text and embeddings untouched. The
+    * merge is a per-row JSON transform off the hot query path —
+    * maintenance ops trade codegen for exact JSON semantics. */
+  def updateDoc(filterJson: String, updateJson: String): Long = {
+    if (!hasData) return 0L
+    // driver-side validation: unknown operators must fail fast, not in
+    // a task half-way through a rewrite
+    val opsNode = Collection.udfMapper.readTree(updateJson)
+    require(opsNode.isObject && opsNode.properties().size() > 0,
+      s"update document must be a non-empty object: $updateJson")
+    opsNode.properties().forEach { e =>
+      require(Seq("$set", "$inc", "$unset").contains(e.getKey),
+        s"unsupported update operator: ${e.getKey}")
+      require(e.getValue.isObject,
+        s"${e.getKey} operand must be an object: ${e.getValue}")
+    }
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
-    val setJson = Data.toJson(set)
     val mergeUdf = udf { meta: String =>
       // per-executor static mapper (Collection.udfMapper) — constructing
       // an ObjectMapper per row would dominate a large rewrite
+      import com.fasterxml.jackson.databind.node.ObjectNode
       val m = Collection.udfMapper
       val base = if (meta == null || meta.trim.isEmpty) m.createObjectNode()
       else m.readTree(meta) match {
-        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case o: ObjectNode => o
         case _ => m.createObjectNode()
       }
-      base.setAll[com.fasterxml.jackson.databind.JsonNode](
-        m.readTree(setJson).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      val ops = m.readTree(updateJson).asInstanceOf[ObjectNode]
+      Option(ops.get("$set")).foreach { s =>
+        base.setAll[com.fasterxml.jackson.databind.JsonNode](
+          s.asInstanceOf[ObjectNode])
+      }
+      Option(ops.get("$inc")).foreach { inc =>
+        inc.properties().forEach { e =>
+          val cur = base.get(e.getKey)
+          val d = e.getValue
+          if (cur == null || cur.isNull) base.set(e.getKey, d)
+          else if (!cur.isNumber)
+            throw new IllegalArgumentException(
+              s"$$inc on non-numeric field '${e.getKey}': $cur")
+          else if (cur.isIntegralNumber && d.isIntegralNumber)
+            base.put(e.getKey, cur.asLong() + d.asLong())
+          else base.put(e.getKey, cur.asDouble() + d.asDouble())
+        }
+      }
+      Option(ops.get("$unset")).foreach { u =>
+        u.properties().forEach(e => base.remove(e.getKey))
+      }
       m.writeValueAsString(base)
     }
     val updated = df.filter(pred).count()

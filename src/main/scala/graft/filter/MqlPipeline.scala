@@ -18,7 +18,7 @@ import scala.jdk.CollectionConverters._
   * (accumulators $sum/$avg/$min/$max, `$sum: 1` counting), $sort (real
   * columns first — covers the reference's `_m_id` sort — else the
   * numeric metadata view), $limit, $skip, $project (inclusion /
-  * exclusion / computed fields), $addFields, $count.
+  * exclusion / computed fields), $addFields, $replaceRoot, $count.
   *
   * Value expressions: `"$field"` is the STRING view of a metadata field;
   * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
@@ -39,6 +39,9 @@ object MqlPipeline {
     val stages = mapper.readTree(pipelineJson)
     require(stages.isArray, s"pipeline must be a JSON array: $pipelineJson")
     var cur = df
+    // the metadata ROOT is rebindable: $replaceRoot points it at an
+    // embedded sub-document for all later stages
+    var meta = metaCol
     var grouped = false
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
@@ -54,7 +57,7 @@ object MqlPipeline {
           val r =
             if (grouped) typed
             else new HybridResolver(cur.columns.toSet, typed,
-              MqlFilter.JsonResolver(metaCol))
+              MqlFilter.JsonResolver(meta))
           cur = cur.filter(MqlFilter.toColumn(spec.toString, r))
 
         case "$group" =>
@@ -64,7 +67,7 @@ object MqlPipeline {
           val aggEntries = spec.properties().asScala.toSeq
             .filterNot(_.getKey == "_id")
           val aggs = aggEntries.map { e =>
-            accumulator(e.getValue, metaCol, cur).as(e.getKey) }
+            accumulator(e.getValue, meta, cur).as(e.getKey) }
           require(aggs.nonEmpty, "$group needs at least one accumulator")
           cur =
             if (idNode.isNull)
@@ -75,7 +78,7 @@ object MqlPipeline {
                 .filter(col("_nrows") > 0)
                 .select(lit(null).cast("string").as("_id") +:
                   aggEntries.map(e => col(e.getKey)): _*)
-            else cur.groupBy(valueExpr(idNode, metaCol, cur).as("_id"))
+            else cur.groupBy(valueExpr(idNode, meta, cur).as("_id"))
               .agg(aggs.head, aggs.tail: _*)
           grouped = true
 
@@ -87,7 +90,7 @@ object MqlPipeline {
               else {
                 // Mongo/BSON sort order across types: missing/null <
                 // numbers < strings; inside a class, by value
-                val r = MqlFilter.JsonResolver(metaCol)
+                val r = MqlFilter.JsonResolver(meta)
                 val rank = when(!r.exists(e.getKey) ||
                     r.typeName(e.getKey) === "null", 0)
                   .when(r.typeName(e.getKey).isin("long", "double"), 1)
@@ -113,7 +116,7 @@ object MqlPipeline {
           val f = spec.asText().stripPrefix("$")
           val arrCol =
             if (cur.columns.contains(f)) col(f)
-            else MqlFilter.JsonResolver(metaCol).arr(f)
+            else MqlFilter.JsonResolver(meta).arr(f)
           cur = cur.withColumn(f, explode(arrCol))
 
         case "$project" =>
@@ -142,8 +145,8 @@ object MqlPipeline {
                 val f = e.getKey
                 if (isFlag(e.getValue)) {
                   if (cur.columns.contains(f)) col(f)
-                  else MqlFilter.JsonResolver(metaCol).str(f).as(f)
-                } else computeExpr(e.getValue, metaCol, cur).as(f)
+                  else MqlFilter.JsonResolver(meta).str(f).as(f)
+                } else computeExpr(e.getValue, meta, cur).as(f)
               }
               cur.select(cols: _*)
             }
@@ -155,7 +158,22 @@ object MqlPipeline {
           // Mongo's post-$addFields document shape
           for (e <- spec.properties().asScala)
             cur = cur.withColumn(e.getKey,
-              computeExpr(e.getValue, metaCol, cur))
+              computeExpr(e.getValue, meta, cur))
+
+        case "$replaceRoot" =>
+          // {newRoot: "$f"}: promote an embedded sub-document to the
+          // metadata root — later stages resolve fields inside it. The
+          // JSON-text extraction keeps the root a plain JSON column, so
+          // every resolver path (VARIANT views, arr, $lookup) works
+          // unchanged. Documents without the field get a null root:
+          // positive predicates go false, Mongo errors instead — the
+          // lenient choice is documented, not accidental.
+          require(spec.isObject && spec.get("newRoot") != null &&
+              spec.get("newRoot").isTextual &&
+              spec.get("newRoot").asText().startsWith("$"),
+            s"$$replaceRoot needs {newRoot: \"$$field\"}, got: $spec")
+          val root = spec.get("newRoot").asText().drop(1)
+          meta = get_json_object(meta, s"$$.$root")
 
         case "$lookup" =>
           // {from, localField, foreignField, as}: left outer equi-match,
@@ -176,7 +194,7 @@ object MqlPipeline {
           val fres = MqlFilter.JsonResolver(fmeta)
           val f2 = fdf.select(fmeta.as("__f_meta"),
             fres.num(ff).as("__f_num"), fres.str(ff).as("__f_str"))
-          val lres = MqlFilter.JsonResolver(metaCol)
+          val lres = MqlFilter.JsonResolver(meta)
           val cond = (lres.num(lf) === col("__f_num")) ||
             (lres.str(lf) === col("__f_str"))
           val leftCols = cur.columns.map(col)
@@ -253,6 +271,30 @@ object MqlPipeline {
       require(v.isArray, s"operand must be an array: $v")
       v.elements().asScala.toSeq
     }
+    // $cond's if-expression: aggregation-style comparisons over numeric
+    // views ({$gt: [a, b]} — note ARRAY operands, unlike the $match
+    // form), or a bare boolean metadata/real-column ref
+    def boolOf(n: JsonNode): Column =
+      if (n.isBoolean) lit(n.asBoolean())
+      else if (n.isTextual && n.asText().startsWith("$")) {
+        val f = n.asText().drop(1)
+        if (cur.columns.contains(f)) col(f).cast("boolean")
+        else MqlFilter.JsonResolver(metaCol).bool(f)
+      } else if (n.isObject && n.properties().size() == 1) {
+        val e = n.properties().asScala.head
+        val cmp: (Column, Column) => Column = e.getKey match {
+          case "$gt" => _ > _
+          case "$gte" => _ >= _
+          case "$lt" => _ < _
+          case "$lte" => _ <= _
+          case "$eq" => _ === _
+          case "$ne" => _ =!= _
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$cond comparison: $other")
+        }
+        val Seq(a, b) = args(e.getValue)
+        cmp(numOf(a), numOf(b))
+      } else throw new IllegalArgumentException(s"not a condition: $n")
     if (node.isTextual && node.asText().startsWith("$"))
       ref(node.asText().drop(1))
     else if (node.isTextual) lit(node.asText())
@@ -274,6 +316,15 @@ object MqlPipeline {
         case ("$toLower", v) => lower(strOf(v))
         case ("$toLong", v) => numOf(v).cast("long")
         case ("$toDouble", v) => numOf(v)
+        case ("$ifNull", v) =>
+          val Seq(a, b) = args(v)
+          coalesce(computeExpr(a, metaCol, cur), computeExpr(b, metaCol, cur))
+        case ("$cond", v) =>
+          // [if, then, else] — the if is a comparison expression
+          // ({$gt: [a, b]} family, numeric) or a boolean "$field" ref
+          val Seq(i, t, f) = args(v)
+          when(boolOf(i), computeExpr(t, metaCol, cur))
+            .otherwise(computeExpr(f, metaCol, cur))
         case (other, _) =>
           throw new IllegalArgumentException(
             s"unsupported computed operator: $other")

@@ -602,6 +602,47 @@ object Relational {
         |  {"$sort": {"did": 1}}
         |]""".stripMargin)
 
+  /** Grouped exact quantiles: median + p90 of order value per order
+    * status. Per-group `percentile` buffers are bounded by GROUP size,
+    * and groups hash-partition across executors — the single-task buffer
+    * concern of the global variant ([[quantilesOrdersDist]] covers that
+    * one) does not apply at the same severity; a skewed mega-group would
+    * use the same rank-extraction treatment per group. */
+  def quantilesByStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)")
+          .as("p50"),
+        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9)")
+          .as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** $replaceRoot + $ifNull/$cond under the gate: metadata nests the
+    * interesting fields one level down ({"info": {...}}); the pipeline
+    * promotes `info` to the root, computes a $cond bucket label and an
+    * $ifNull fallback, filters and sorts on the promoted fields. */
+  def mqlReplaceRoot(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      // ONLY the JSON column travels — every field must resolve through
+      // the promoted root, not shadow real source columns
+      t(s, dir, "documents")
+        .select(to_json(struct(struct(col("doc_id"),
+          col("lang"), col("n_chars")).as("info"))).as("meta")),
+      col("meta"),
+      """[
+        |  {"$replaceRoot": {"newRoot": "$info"}},
+        |  {"$match": {"lang": {"$in": ["en", "de"]}}},
+        |  {"$project": {
+        |    "did": {"$toLong": "$doc_id"},
+        |    "lang": 1,
+        |    "size_bucket": {"$cond": [
+        |      {"$gte": [{"$toLong": "$n_chars"}, 800]}, "long", "short"]},
+        |    "fallback": {"$ifNull": ["$missing_field", "none"]}}},
+        |  {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
   /** Shared by both quantiles gates (declared ABOVE the oracle map —
     * object-init order). */
   private val quantilesOracleSql =
@@ -794,6 +835,13 @@ object Relational {
     // identical answer contract: the dist variant is storage/execution
     // strategy, not different math
     "quantiles_orders_dist" -> quantilesOracleSql,
+    "quantiles_by_status" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the oracle evaluates the per-element conjunction directly on the
     // source columns the items array was synthesized from
     "mql_elem_match" ->
@@ -801,6 +849,14 @@ object Relational {
         |WHERE (lang IN ('en','src2') AND n_chars % 10 >= 5)
         |   OR (source IN ('en','src2') AND n_chars % 7 >= 5)
         |ORDER BY doc_id""".stripMargin,
+    "mql_replace_root" ->
+      """SELECT CAST(doc_id AS BIGINT) AS did, lang,
+        |  CASE WHEN n_chars >= 800 THEN 'long' ELSE 'short' END
+        |    AS size_bucket,
+        |  'none' AS fallback
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |ORDER BY did""".stripMargin,
     "mql_pipeline_compute" ->
       """SELECT CAST(doc_id AS BIGINT) AS did,
         |  upper(lang) || ':' || source AS label,
@@ -1011,8 +1067,10 @@ object Relational {
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
     "quantiles_orders_dist" -> (quantilesOrdersDist _),
+    "quantiles_by_status" -> (quantilesByStatus _),
     "mql_elem_match" -> (mqlElemMatch _),
     "mql_pipeline_compute" -> (mqlPipelineCompute _),
+    "mql_replace_root" -> (mqlReplaceRoot _),
     "events_sliding" -> (eventsSliding _)
   )
 }

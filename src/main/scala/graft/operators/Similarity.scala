@@ -90,6 +90,29 @@ object Similarity {
       .select("vec_id", "label")
   }
 
+  /** Two-stage ANN: a COARSE distance over the first 16 dims prunes the
+    * corpus to 50 candidates, then the exact 64-dim distance re-ranks to
+    * the final top-10 — the truncated-dimension ("matryoshka"-style)
+    * re-rank pattern. Scale shape: the coarse pass reads 1/4 of the
+    * vector bytes (on real deployments, a separate short-vector column
+    * that column pruning isolates), the exact pass touches only the 50
+    * survivors; both stages are TakeOrderedAndProject per-partition
+    * heaps, no full sort anywhere. Recall is a dial: widening stage-1 k'
+    * trades bytes for recall, exactly like IVF's nprobe. */
+  def annTwoStage(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).crossJoin(broadcast(qv(s, dir, 77)))
+      .filter(col("vec_id") =!= 77)
+    base
+      .withColumn("d16", l2Sq(slice(col("embedding"), 1, 16),
+        slice(col("qv"), 1, 16)))
+      .orderBy(col("d16").asc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label")
+  }
+
   /** Similarity JOIN (the §7 north-star extension): top-3 L2 neighbors
     * for EVERY query vector (vec_id ≡ 7 mod 100) against the rest of the
     * corpus — a kNN join, not a single-probe kNN.
@@ -180,8 +203,8 @@ object Similarity {
 
   /** DuckDB-side squared L2 between two FLOAT[] lists, double math,
     * index order — mirrors VectorFunctions.l2Sq. */
-  private def sqlL2(a: String, b: String): String =
-    s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)*($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1,64)])"
+  private def sqlL2(a: String, b: String, dim: Int = 64): String =
+    s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)*($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1,$dim)])"
 
   private def sqlDot(a: String, b: String): String =
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1,64)])"
@@ -227,6 +250,15 @@ object Similarity {
          |    FROM embeddings e, cents c) WHERE rn = 1)
          |SELECT vec_id, label FROM assigned, q
          |WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77
+         |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_two_stage" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+         |coarse AS (
+         |  SELECT vec_id, label, embedding FROM embeddings, q
+         |  WHERE vec_id <> 77
+         |  ORDER BY ${sqlL2("embedding", "qv", 16)} ASC, vec_id ASC
+         |  LIMIT 50)
+         |SELECT vec_id, label FROM coarse, q
          |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin
   )
 
@@ -236,6 +268,7 @@ object Similarity {
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
     "ann_join_lsh" -> (annJoinLsh _),
-    "ann_ivf" -> (annIvf _)
+    "ann_ivf" -> (annIvf _),
+    "ann_two_stage" -> (annTwoStage _)
   )
 }

@@ -28,6 +28,32 @@ object TextAnalysis {
       size(tokens(col("text"))).cast("long").as("n_word_tokens"))
       .orderBy("doc_id")
 
+  /** Keyword retrieval over an inverted tf/df decomposition: score(doc) =
+    * Σ over query terms of tf(term, doc) · (N DIV df(term)) — the integer
+    * skeleton of tf-idf (floor-division instead of a log so the ranking
+    * is exact-integer and engine-independent; the log changes weights,
+    * not the plan). Scale shape = a real inverted index build: tokenize →
+    * explode → filter to query terms (pushdown-friendly: the filter runs
+    * before any shuffle) → (doc, term) partial counts → tiny df/N frames
+    * BROADCAST back — the corpus never shuffles, only the (doc, term)
+    * count rows for matching terms do. */
+  def searchKeyword(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "merge")
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * expr("n_docs DIV df")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
   private val enStop =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
@@ -131,6 +157,19 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "search_keyword" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('hash', 'join', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(sum(tf * (n_docs // df)) AS BIGINT) AS score
+        |FROM tf JOIN df USING (tok), n
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
@@ -207,6 +246,7 @@ object TextAnalysis {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_keyword" -> (searchKeyword _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
