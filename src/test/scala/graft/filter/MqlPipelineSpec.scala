@@ -148,9 +148,19 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, 5.0, "ga"), (2L, 10.0, "ga")))
   }
 
-  test("$subtract/$add arity and unsupported computed operators raise") {
-    intercept[IllegalArgumentException] {
-      run("""[{"$addFields": {"x": {"$ifNull": ["$v", 0]}}}]""")
+  test("$ifNull falls back on missing fields; arity violations raise") {
+    val got = run(
+      """[
+        | {"$addFields": {
+        |   "x": {"$ifNull": [{"$toLong": "$v"}, -1]},
+        |   "y": {"$ifNull": [{"$toLong": "$absent"}, -1]}}},
+        | {"$sort": {"id": 1}}, {"$limit": 1},
+        | {"$project": {"x": 1, "y": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(got == Seq((10.0, -1.0))) // present field kept, absent -> fallback
+    intercept[IllegalArgumentException] { // $switch remains unsupported
+      run("""[{"$addFields": {"x": {"$switch": {"branches": []}}}}]""")
     }
     intercept[Exception] { // $subtract needs exactly two operands
       run("""[{"$addFields": {"x": {"$subtract": [1, 2, 3]}}}]""").collect()
