@@ -22,9 +22,17 @@ final case class GraftConfig(
     embedDim: Int = 64,
     ivfNlist: Int = 16,
     ivfNprobe: Int = 4,
-    kmeansIters: Int = 3) {
-  require(embedDim > 0 && ivfNlist > 0 && ivfNprobe > 0 && kmeansIters > 0,
+    kmeansIters: Int = 3,
+    // embedding-LSH dedup selectivity dials: each of `dedupBands` band
+    // spaces holds 2^bits buckets, so expected bucket size ≈ N / 2^bits —
+    // the dial that keeps the in-bucket quadratic expansion bounded as
+    // the corpus grows (see GraftConfig.autoBitsPerBand)
+    dedupBitsPerBand: Int = 8,
+    dedupBands: Int = 2) {
+  require(embedDim > 0 && ivfNlist > 0 && ivfNprobe > 0 && kmeansIters > 0 &&
+    dedupBitsPerBand > 0 && dedupBands > 0,
     "config values must be positive")
+  require(dedupBitsPerBand <= 30, "dedup_bits_per_band must fit an int bucket")
 }
 
 object GraftConfig {
@@ -48,11 +56,26 @@ object GraftConfig {
   /** Defaults — the analogue of the reference's `defaultCfg`. */
   def default: GraftConfig = GraftConfig()
 
+  /** Bits-per-band sized to the corpus: with bucket count 2^bits per
+    * band, expected bucket membership ≈ N / 2^bits, so holding buckets
+    * near `targetBucket` needs bits ≥ log2(N / targetBucket). Floored at
+    * the default 8 (the measured sweet spot for ≤100k corpora) — the
+    * remedy for the measured failure mode where a fixed band space
+    * saturates and bucket size grows linearly with the corpus. */
+  def autoBitsPerBand(corpusRows: Long, targetBucket: Long = 1000L): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    math.min(30, math.max(default.dedupBitsPerBand, needed))
+  }
+
   /** Layer a properties file over the defaults (reference ParseFrom
     * semantics: absent keys keep defaults; a missing file IS the
     * defaults). Recognized keys: persist_dir, embedder_model, embed_dim,
-    * ivf_nlist, ivf_nprobe, kmeans_iters. `embed_dim` defaults to the
-    * model's map entry when a model is given without a dimension. */
+    * ivf_nlist, ivf_nprobe, kmeans_iters, dedup_bits_per_band,
+    * dedup_bands. `embed_dim` defaults to the model's map entry when a
+    * model is given without a dimension. */
   def parseFrom(path: String): GraftConfig = {
     val p = new java.util.Properties()
     val f = new java.io.File(path)
@@ -72,6 +95,8 @@ object GraftConfig {
         Model2Dim.getOrElse(model, d.embedDim)),
       ivfNlist = int("ivf_nlist", d.ivfNlist),
       ivfNprobe = int("ivf_nprobe", d.ivfNprobe),
-      kmeansIters = int("kmeans_iters", d.kmeansIters))
+      kmeansIters = int("kmeans_iters", d.kmeansIters),
+      dedupBitsPerBand = int("dedup_bits_per_band", d.dedupBitsPerBand),
+      dedupBands = int("dedup_bands", d.dedupBands))
   }
 }

@@ -313,19 +313,27 @@ object TextHash {
     new GenericArrayData(out)
   }
 
-  /** Random-hyperplane LSH for embeddings: md5-seeded ±1 sign matrix. */
+  /** Random-hyperplane LSH for embeddings: md5-seeded ±1 sign matrix.
+    * Rows are generated on demand for ANY index (the seed is the index),
+    * so bits-per-band × bands is a runtime dial, not a compile-time cap —
+    * at larger corpus scale the dedup config raises selectivity without a
+    * code change. */
   val HyperBits = 16
   val HyperDim = 64
+  private val hpCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  def hyperplane(j: Int): Array[Double] =
+    hpCache.computeIfAbsent(j, j2 => Array.tabulate(HyperDim) { i =>
+      if ((hash60(s"hp:$j2:$i".getBytes("UTF-8")) & 1L) == 1L) 1.0 else -1.0
+    })
+  /** The default 16-row matrix — what the DuckDB oracle inlines. */
   lazy val hyperplanes: Array[Array[Double]] =
-    Array.tabulate(HyperBits, HyperDim) { (j, i) =>
-      if ((hash60(s"hp:$j:$i".getBytes("UTF-8")) & 1L) == 1L) 1.0 else -1.0
-    }
+    Array.tabulate(HyperBits)(hyperplane)
 
   /** Band values: projection onto each hyperplane (index-order double
     * fold, exactly the oracle's list_sum), sign bit, packed little-endian
-    * per band of `bitsPerBand`. */
-  def hyperBands(emb: ArrayData, bitsPerBand: Int): ArrayData = {
-    val nBands = HyperBits / bitsPerBand
+    * per band of `bitsPerBand`, `nBands` bands. */
+  def hyperBands(emb: ArrayData, bitsPerBand: Int, nBands: Int): ArrayData = {
     val dim = math.min(emb.numElements(), HyperDim)
     val v = new Array[Double](dim)
     var i = 0
@@ -336,7 +344,7 @@ object TextHash {
       var bv = 0
       var k = 0
       while (k < bitsPerBand) {
-        val signs = hyperplanes(b * bitsPerBand + k)
+        val signs = hyperplane(b * bitsPerBand + k)
         var acc = 0.0
         i = 0
         while (i < dim) { acc += v(i) * signs(i); i += 1 }
@@ -434,13 +442,13 @@ case class MediaVecHash(child: Expression, dim: Int) extends TextHashUnary {
     copy(child = n)
 }
 
-case class HyperBandValues(child: Expression, bitsPerBand: Int)
+case class HyperBandValues(child: Expression, bitsPerBand: Int, nBands: Int)
     extends TextHashUnary {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.hyperBands(input.asInstanceOf[ArrayData], bitsPerBand)
+    TextHash.hyperBands(input.asInstanceOf[ArrayData], bitsPerBand, nBands)
   override protected def staticCall(c: String): String =
-    s"graft.expr.TextHash.hyperBands($c, $bitsPerBand)"
+    s"graft.expr.TextHash.hyperBands($c, $bitsPerBand, $nBands)"
   override protected def withNewChildInternal(n: Expression): HyperBandValues =
     copy(child = n)
 }

@@ -152,7 +152,7 @@ object Similarity {
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(toCol(graft.expr.HyperBandValues(
-          toExpr(col("embedding")), 4))).as(Seq("band", "bv")))
+          toExpr(col("embedding")), 4, 4))).as(Seq("band", "bv")))
     val e = emb(s, dir)
     val q = banded(e.filter(col("vec_id") % 100 === 7), "qid", "qv")
     val c = banded(e.filter(col("vec_id") % 100 =!= 7), "vec_id", "cv")

@@ -59,5 +59,36 @@ class ConfigSpec extends SparkTestBase {
   test("invalid numeric values are rejected") {
     intercept[IllegalArgumentException] { GraftConfig(ivfNlist = 0) }
     intercept[IllegalArgumentException] { GraftConfig(embedDim = -1) }
+    intercept[IllegalArgumentException] { GraftConfig(dedupBitsPerBand = 0) }
+    intercept[IllegalArgumentException] { GraftConfig(dedupBands = -2) }
+    intercept[IllegalArgumentException] { GraftConfig(dedupBitsPerBand = 31) }
+  }
+
+  test("dedup LSH dials parse from file and layer over defaults") {
+    assert(GraftConfig.default.dedupBitsPerBand == 8 &&
+      GraftConfig.default.dedupBands == 2)
+    val dir = tmpDir("config-dedup")
+    val f = new java.io.File(dir, "d.properties")
+    java.nio.file.Files.write(f.toPath,
+      "dedup_bits_per_band = 12\ndedup_bands = 3\n".getBytes)
+    val cfg = GraftConfig.parseFrom(f.getPath)
+    assert(cfg.dedupBitsPerBand == 12 && cfg.dedupBands == 3)
+  }
+
+  test("autoBitsPerBand holds expected bucket size near the target") {
+    // small corpora keep the default floor
+    assert(GraftConfig.autoBitsPerBand(0L) == 8)
+    assert(GraftConfig.autoBitsPerBand(100000L) == 8)
+    // past the floor: bits = ceil(log2(N / 1000)) — expected bucket
+    // membership N / 2^bits stays <= the 1000 target as N grows
+    assert(GraftConfig.autoBitsPerBand(320000L) == 9)
+    assert(GraftConfig.autoBitsPerBand(1000000L) == 10)
+    assert(GraftConfig.autoBitsPerBand(1000000000L) == 20)
+    for (n <- Seq(500000L, 4000000L, 123456789L)) {
+      val bits = GraftConfig.autoBitsPerBand(n)
+      assert(n.toDouble / (1L << bits) <= 1000.0)
+    }
+    // capped so band values fit an int bucket
+    assert(GraftConfig.autoBitsPerBand(Long.MaxValue / 2) == 30)
   }
 }

@@ -131,5 +131,49 @@ class DedupSpec extends SparkTestBase {
     // spot-stability: regenerating gives the same values (lazy val, but
     // the generator itself is md5-pure — same seed strings, same signs)
     assert(h(0).take(8).sameElements(Dedup.hyperplanes(0).take(8)))
+    // on-demand rows beyond the default 16 exist and are stable — what
+    // lets the config raise bits-per-band past the old compile-time cap
+    val r40 = graft.expr.TextHash.hyperplane(40)
+    assert(r40.length == 64 && r40.forall(v => v == 1.0 || v == -1.0))
+    assert(r40.sameElements(graft.expr.TextHash.hyperplane(40)))
+  }
+
+  test("embed-LSH dials: session conf raises selectivity, dup recall holds") {
+    import org.apache.spark.sql.functions._
+    // corpus: 200 distinct vectors + exact copies of every 4th — exact
+    // copies share every band value at ANY dial, so the verified pairs
+    // must contain all planted pairs at both selectivities
+    val base = spark.range(200).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(col("id") * 37 + j * 11, lit(997)).cast("double") / 997 - 0.5)
+          .cast("float")).as("embedding"))
+    val corpus = base.unionAll(
+      base.filter(col("id") % 4 === 0)
+        .select((col("id") + 100000).as("id"), col("embedding")))
+    val planted = (0 until 200 by 4).map(i => (i.toLong, i + 100000L)).toSet
+    def pairs(): Set[(Long, Long)] =
+      Dedup.dedupEmbedCosine(corpus, Dedup.embedDials(spark)._1,
+          Dedup.embedDials(spark)._2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atDefault = pairs()
+    assert(Dedup.embedDials(spark) == (8, 2))
+    assert(planted.subsetOf(atDefault))
+    try {
+      spark.conf.set("graft.dedup.bits_per_band", "12")
+      spark.conf.set("graft.dedup.bands", "3")
+      assert(Dedup.embedDials(spark) == (12, 3))
+      val atHigh = pairs()
+      // the verified output (cosine >= 0.9 on candidates) keeps every
+      // planted exact copy at both dials; different dials may differ on
+      // borderline candidates, which is the documented recall trade
+      assert(planted.subsetOf(atHigh))
+      // bucket census responds to the dial: 3 bands of 12 bits
+      val bands = Dedup.embedBucketSizes(
+        corpus.select(col("id"), col("embedding")))
+      assert(bands.agg(countDistinct(col("band"))).head().getLong(0) == 3L)
+    } finally {
+      spark.conf.unset("graft.dedup.bits_per_band")
+      spark.conf.unset("graft.dedup.bands")
+    }
   }
 }

@@ -36,19 +36,33 @@ object ScaleProbe {
     // components so replica vectors project differently (cloned vectors
     // would pile into the same bucket and overstate skew)
     val emb = s.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    for (mult <- Seq(1, 4, 16)) {
+    for (mult <- Seq(1, 4, 16, 64, 160)) {
+      // rotation alone has only 64 distinct variants; the per-replica
+      // additive term keeps replicas distinct at any mult so the probe
+      // measures band-space saturation, not planted duplicates
       val rep = (0 until mult).map(i =>
         emb.select((col("vec_id") + i * 1000000L).as("id"),
           transform(sequence(lit(0), lit(63)), j =>
-            element_at(col("embedding"), ((j + i) % 64) + 1))
+            (element_at(col("embedding"), ((j + i) % 64) + 1) +
+              lit((i / 64 + 1) * 7.0e-3) * ((j + i) % 7 - 3))
+              .cast("float"))
             .as("embedding")))
         .reduce(_ unionAll _).repartition(32)
-      val st = graft.operators.Dedup.embedBucketSizes(rep)
-        .agg(count(lit(1)).as("buckets"), max(col("n")).as("mx"),
-          sum(col("n") * (col("n") - 1) / 2).as("candPairs"),
-          sum(col("n")).as("rows"))
-        .head()
-      println(f"[skew-emb] mult=$mult%2d rows=${st.getLong(3) / 2}%7d buckets=${st.getLong(0)}%5d maxBucket=${st.getLong(1)}%6d candPairs=${st.getDouble(2)}%,.0f candRate=${st.getDouble(2) / (st.getLong(3) / 2.0 * (st.getLong(3) / 2.0 - 1) / 2)}%8.5f")
+      // fixed default dial vs the corpus-count auto dial: the fixed band
+      // space saturates (maxBucket grows linearly); the auto dial adds
+      // bits as N grows, holding expected bucket size near the target
+      // tight target (100) so the dial's response is visible inside this
+      // probe's row range; production default target is 1000
+      val rows = rep.count()
+      val autoBits = graft.core.GraftConfig.autoBitsPerBand(rows, 100L)
+      for ((tag, bits) <- Seq("fixed" -> 8, "auto" -> autoBits)) {
+        val st = graft.operators.Dedup.embedBucketSizes(rep, bits, 2)
+          .agg(count(lit(1)).as("buckets"), max(col("n")).as("mx"),
+            sum(col("n") * (col("n") - 1) / 2).as("candPairs"),
+            sum(col("n")).as("rows"))
+          .head()
+        println(f"[skew-emb] mult=$mult%2d dial=$tag%5s bits=$bits%2d rows=${st.getLong(3) / 2}%7d buckets=${st.getLong(0)}%5d maxBucket=${st.getLong(1)}%6d candPairs=${st.getDouble(2)}%,.0f candRate=${st.getDouble(2) / (st.getLong(3) / 2.0 * (st.getLong(3) / 2.0 - 1) / 2)}%8.5f")
+      }
     }
 
     // bucketed range join: replicas get disjoint user ranges, so matches
