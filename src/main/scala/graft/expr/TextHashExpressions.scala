@@ -138,6 +138,21 @@ object TextHash {
     r
   }
 
+  /** Fused SimHash signature + banding: one md5 pass over the distinct
+    * tokens emits the 60-bit signature AND its `nBands` `bandBits`-bit
+    * band values together — the banding-in-Column-space form evaluates
+    * [[simhash60]] once per consumer projection, which doubles the md5
+    * work in the pair query's explode. */
+  def simhashBands(tokens: ArrayData, bandBits: Int,
+      nBands: Int): InternalRow = {
+    val sig = simhash60(tokens)
+    val mask = (1L << bandBits) - 1
+    val bands = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) { bands(b) = (sig >>> (b * bandBits)) & mask; b += 1 }
+    InternalRow(sig, new GenericArrayData(bands))
+  }
+
   /** Document fingerprint: min hash60 over code-point n-grams of the
     * lowered text; whole-text hash when shorter than n. Lowering uses
     * UTF8String.toLowerCase — the SAME routine as the `lower` built-in. */
@@ -385,6 +400,19 @@ case class SimHash60(child: Expression) extends TextHashUnary {
   override protected def staticCall(c: String): String =
     s"graft.expr.TextHash.simhash60($c)"
   override protected def withNewChildInternal(n: Expression): SimHash60 =
+    copy(child = n)
+}
+
+case class SimHashBands(child: Expression, bandBits: Int, nBands: Int)
+    extends TextHashUnary {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", LongType),
+    StructField("bands", ArrayType(LongType, containsNull = false))))
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhashBands(input.asInstanceOf[ArrayData], bandBits, nBands)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.TextHash.simhashBands($c, $bandBits, $nBands)"
+  override protected def withNewChildInternal(n: Expression): SimHashBands =
     copy(child = n)
 }
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expr.{FingerprintHash, LangIdHash, MinHashShingleSig, MinHashSig, SimHash60, WordNgramsExpr}
+import graft.expr.{FingerprintHash, LangIdHash, MinHashShingleSig, MinHashSig, SimHash60, SimHashBands, WordNgramsExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 import org.apache.spark.sql.functions._
@@ -71,6 +71,12 @@ object TextFunctions {
     * majority of DISTINCT-token hashes have bit j set (ties → 0). Native
     * expression — the composed form needed 60 interpreted aggregates. */
   def simhash60(toks: Column): Column = toCol(SimHash60(toExpr(toks)))
+
+  /** Fused simhash signature + band values (struct(sig, bands)) — one
+    * md5 pass where sig-then-band-in-Column-space evaluates the
+    * signature once per consuming projection. */
+  def simhashBands(toks: Column, bandBits: Int, nBands: Int): Column =
+    toCol(SimHashBands(toExpr(toks), bandBits, nBands))
 
   /** Hamming distance between two simhash LONGs. */
   def hamming(a: Column, b: Column): Column =

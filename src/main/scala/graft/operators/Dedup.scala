@@ -355,27 +355,30 @@ object Dedup {
     * verify on candidates only — the same never-all-pairs shape as the
     * other generators. */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hamming = graft.functions.TextFunctions.hamming _
+    // fused sig+bands: one md5 pass per row (the Column-space banding
+    // form re-evaluated simhash60 once per consuming projection)
     val c = nearCorpus(s, dir)
-      .select(col("id"), simhash60(tokens(col("text"))).as("sim"))
-    val bandVals = array((0 until 4).map(b =>
-      shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*)
-    val ham = graft.functions.TextFunctions.hamming(
-      col("sim_a"), col("sim_b"))
-    c.select(col("id"), col("sim"),
-        posexplode(bandVals).as(Seq("band", "bv")))
+      .select(col("id"), simhashBands(tokens(col("text")), 15, 4).as("sb"))
+    c.select(col("id"), col("sb.sig").as("sim"),
+        posexplode(col("sb.bands")).as(Seq("band", "bv")))
       .groupBy(col("band"), col("bv"))
       .agg(collect_list(struct(col("id"), col("sim"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", guardBucket(col("ms"), "simhash"))
+      // hamming-verify INSIDE the in-bucket expansion: candidates that
+      // fail the <=3 verify never leave the map side, so the
+      // dedup-across-bands shuffle carries only true pairs (measured at
+      // sf0.1: 4.0M candidates -> 352k verified rows shuffled)
       .select(explode(flatten(transform(col("ms"), a =>
-        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+        transform(
+          filter(col("ms"), b => b("id") > a("id") &&
+            hamming(a("sim"), b("sim")) <= 3), b =>
           struct(a("id").as("id_a"), b("id").as("id_b"),
-            a("sim").as("sim_a"), b("sim").as("sim_b")))))).as("p"))
+            hamming(a("sim"), b("sim")).as("ham")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sim_a").as("sim_a"), col("p.sim_b").as("sim_b"))
+        col("p.ham").as("ham"))
       .dropDuplicates("id_a", "id_b")
-      .filter(ham <= 3)
-      .select(col("id_a"), col("id_b"), ham.as("ham"))
       .orderBy("id_a", "id_b")
   }
 

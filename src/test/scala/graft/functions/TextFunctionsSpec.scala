@@ -96,6 +96,24 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(a != sh("completely different words entirely"))
   }
 
+  test("simhashBands: fused sig+bands == simhash60 + shiftright banding") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "completely different words entirely", "a b c", "")
+    for (t <- texts) {
+      val row = Seq(t).toDF("t")
+        .select(simhashBands(tokens(col("t")), 15, 4).as("sb"),
+          simhash60(tokens(col("t"))).as("sim"))
+        .select(col("sb.sig"), col("sb.bands"), col("sim"))
+        .head()
+      val sig = row.getLong(0)
+      val bands = row.getSeq[Long](1)
+      assert(sig == row.getLong(2)) // fused sig == standalone sig
+      assert(bands.length == 4)
+      for (b <- 0 until 4)
+        assert(bands(b) == ((sig >>> (b * 15)) & 0x7fffL))
+    }
+  }
+
   test("hamming distance") {
     val d = Seq((3L, 1L)).toDF("a", "b")
       .select(hamming(col("a"), col("b"))).head().getLong(0)
