@@ -15,7 +15,9 @@ import scala.jdk.CollectionConverters._
   *
   * Supported stages: $match (pre-group via [[MqlFilter]] on metadata,
   * post-group on the real output columns — the HAVING shape), $group
-  * (accumulators $sum/$avg/$min/$max, `$sum: 1` counting), $sort (real
+  * (accumulators $sum/$avg/$min/$max/$count/$push/$addToSet/$first/
+  * $last, `$sum: 1` counting; $first/$last require a prior $sort — see
+  * [[accumulator]]), $sort (real
   * columns first — covers the reference's `_m_id` sort — else the
   * numeric metadata view), $limit, $skip, $project (inclusion /
   * exclusion / computed fields), $addFields, $replaceRoot, $count.
@@ -43,6 +45,11 @@ object MqlPipeline {
     // embedded sub-document for all later stages
     var meta = metaCol
     var grouped = false
+    // the last pre-group $sort, as (key column, desc?) pairs — the
+    // defined order that $first/$last/$push accumulators translate to
+    // (a pre-group orderBy does not survive the aggregation exchange,
+    // so order-sensitive accumulators re-derive it per group)
+    var sortKeys: Seq[(Column, Boolean)] = Nil
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
@@ -67,7 +74,7 @@ object MqlPipeline {
           val aggEntries = spec.properties().asScala.toSeq
             .filterNot(_.getKey == "_id")
           val aggs = aggEntries.map { e =>
-            accumulator(e.getValue, meta, cur).as(e.getKey) }
+            accumulator(e.getValue, meta, cur, sortKeys).as(e.getKey) }
           require(aggs.nonEmpty, "$group needs at least one accumulator")
           cur =
             if (idNode.isNull)
@@ -83,7 +90,7 @@ object MqlPipeline {
           grouped = true
 
         case "$sort" =>
-          val keys = spec.properties().asScala.toSeq.flatMap { e =>
+          val keyPairs = spec.properties().asScala.toSeq.flatMap { e =>
             val desc = e.getValue.asInt() < 0
             val bases: Seq[Column] =
               if (cur.columns.contains(e.getKey)) Seq(col(e.getKey))
@@ -98,9 +105,11 @@ object MqlPipeline {
                   .otherwise(3)
                 Seq(rank, r.num(e.getKey), r.str(e.getKey))
               }
-            bases.map(b => if (desc) b.desc else b.asc)
+            bases.map(b => (b, desc))
           }
-          cur = cur.orderBy(keys: _*)
+          if (!grouped) sortKeys = keyPairs
+          cur = cur.orderBy(keyPairs.map { case (b, desc) =>
+            if (desc) b.desc else b.asc }: _*)
 
         case "$limit" => cur = cur.limit(spec.asInt())
         case "$skip" => cur = cur.offset(spec.asInt())
@@ -333,22 +342,71 @@ object MqlPipeline {
       s"unsupported expression: $node")
   }
 
-  /** {$sum|$avg|$min|$max: expr}; `$sum: 1` counts (sum of the int
-    * literal is a LONG — same type as the oracle's count). */
+  /** {$sum|$avg|$min|$max|$count|$push|$addToSet|$first|$last: expr};
+    * `$sum: 1` counts (sum of the int literal is a LONG — same type as
+    * the oracle's count), `{$count: {}}` is Mongo 5's count accumulator.
+    *
+    * Order-sensitive accumulators translate shuffle-safely, never by
+    * relying on input order (a pre-group orderBy does not survive the
+    * aggregation exchange):
+    *  - $first/$last REQUIRE a prior $sort with a uniform direction and
+    *    become min_by/max_by over the (struct-composite) sort key — the
+    *    per-group top-1 runs inside partial aggregation, no window, no
+    *    extra shuffle. Rejected loudly without a $sort: FerretDB-style
+    *    "positional first" is undefined under parallel scan.
+    *  - $push with a prior $sort collects (key, value) pairs and
+    *    sort_array's them per group (deterministic); without one it is
+    *    plain collect_list — Mongo itself leaves the order unspecified
+    *    once a collection is sharded, and so do we.
+    *  - $addToSet is array_sort(collect_set(...)): Mongo specifies NO
+    *    set order, so the engine picks the canonical (sorted) one —
+    *    deterministic across runs and partitionings.
+    */
   private def accumulator(node: JsonNode, metaCol: Column,
-      cur: DataFrame): Column = {
+      cur: DataFrame, sortKeys: Seq[(Column, Boolean)]): Column = {
     require(node.isObject, s"accumulator must be an object: $node")
     val e = node.properties().asScala.head
-    val operand: Column =
+    lazy val operand: Column =
       if (e.getValue.isNumber && e.getKey == "$sum") {
         val v = e.getValue
         if (v.isIntegralNumber) lit(v.asLong()) else lit(v.asDouble())
       } else valueExpr(e.getValue, metaCol, cur)
+    // composite sort key for the order-sensitive accumulators
+    lazy val (orderKey, orderDesc) = {
+      require(sortKeys.nonEmpty,
+        s"${e.getKey} requires a prior $$sort stage to define document " +
+          "order (input order is undefined under parallel scan)")
+      val dirs = sortKeys.map(_._2).distinct
+      require(dirs.size == 1,
+        s"${e.getKey} requires a uniform-direction $$sort (all ascending " +
+          "or all descending) — mixed directions have no single " +
+          "min_by/sort_array key")
+      val k = if (sortKeys.size == 1) sortKeys.head._1
+        else struct(sortKeys.map(_._1): _*)
+      (k, dirs.head)
+    }
     e.getKey match {
       case "$sum" => sum(operand)
       case "$avg" => avg(operand)
       case "$min" => min(operand)
       case "$max" => max(operand)
+      case "$count" =>
+        require(e.getValue.isObject && e.getValue.isEmpty,
+          s"$$count accumulator takes an empty document, got: ${e.getValue}")
+        count(lit(1))
+      case "$first" =>
+        if (orderDesc) max_by(operand, orderKey)
+        else min_by(operand, orderKey)
+      case "$last" =>
+        if (orderDesc) min_by(operand, orderKey)
+        else max_by(operand, orderKey)
+      case "$push" =>
+        if (sortKeys.isEmpty) collect_list(operand)
+        else transform(
+          sort_array(collect_list(struct(orderKey.as("k"),
+            operand.as("v"))), asc = !orderDesc),
+          x => x.getField("v"))
+      case "$addToSet" => array_sort(collect_set(operand))
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }

@@ -701,6 +701,35 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** The $group accumulator breadth gate — $count (Mongo 5 form),
+    * $first/$last (min_by/max_by over the prior $sort key: the per-group
+    * top-1 runs inside partial aggregation, no window, no extra
+    * shuffle), $push (deterministic: per-group sort_array over the
+    * $sort key), $addToSet (canonical sorted set). Arrays are joined to
+    * strings ONLY for the oracle compare (pandas can't hash list
+    * cells); the pipeline itself returns real ARRAY columns. */
+  def mqlPipelineAccum(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$group": {"_id": "$lang",
+        |   "n": {"$count": {}},
+        |   "first_src": {"$first": "$source"},
+        |   "last_src": {"$last": "$source"},
+        |   "srcs": {"$addToSet": "$source"},
+        |   "docs": {"$push": "$doc_id"}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .select(col("_id"), col("n"), col("first_src"), col("last_src"),
+        array_join(col("srcs"), ",").as("srcs"),
+        array_join(transform(col("docs"), _.cast("string")), ",")
+          .as("docs"))
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -912,6 +941,15 @@ object Relational {
         |FROM (SELECT unnest([lang, source]) AS tag
         |      FROM documents WHERE n_chars >= 120)
         |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_pipeline_accum" ->
+      """SELECT lang AS _id,
+        |  count(*) AS n,
+        |  arg_min(source, doc_id) AS first_src,
+        |  arg_max(source, doc_id) AS last_src,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
+        |FROM documents WHERE n_chars >= 120
+        |GROUP BY lang ORDER BY _id""".stripMargin,
     "mql_pipeline" ->
       """SELECT lang AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1048,6 +1086,7 @@ object Relational {
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
+    "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_unwind" -> (mqlUnwind _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),

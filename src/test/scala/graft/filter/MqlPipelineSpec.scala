@@ -167,6 +167,60 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$first/$last/$push/$addToSet/$count accumulators after $sort") {
+    val dup = Seq(
+      (1L, """{"grp": "a", "v": 10}"""),
+      (2L, """{"grp": "a", "v": 20}"""),
+      (3L, """{"grp": "a", "v": 10}"""), // dup v: $push keeps, $addToSet drops
+      (4L, """{"grp": "b", "v": 7}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(dup, col("meta"),
+      """[
+        | {"$sort": {"id": 1}},
+        | {"$group": {"_id": "$grp",
+        |   "n": {"$count": {}},
+        |   "first_v": {"$first": {"$toLong": "$v"}},
+        |   "last_v": {"$last": {"$toLong": "$v"}},
+        |   "vs": {"$push": {"$toLong": "$v"}},
+        |   "set_v": {"$addToSet": {"$toLong": "$v"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), r.getSeq[Long](5))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 10L, 10L, Seq(10L, 20L, 10L), Seq(10L, 20L)),
+      ("b", 1L, 7L, 7L, Seq(7L), Seq(7L))))
+  }
+
+  test("$first/$last honor a DESCENDING $sort (max_by/min_by swap)") {
+    val got = run(
+      """[
+        | {"$sort": {"id": -1}},
+        | {"$group": {"_id": "$grp",
+        |   "first_id": {"$first": "$id"}, "last_id": {"$last": "$id"}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((("a"), 2L, 1L), ("b", 4L, 3L), ("c", 5L, 5L)))
+  }
+
+  test("$push without $sort collects (order unspecified); $first raises") {
+    val arr = run(
+      """[{"$group": {"_id": null, "grps": {"$push": "$grp"}}}]""")
+      .head().getSeq[String](1)
+    assert(arr.sorted == Seq("a", "a", "b", "b", "c"))
+    intercept[IllegalArgumentException] { // no defined document order
+      run("""[{"$group": {"_id": null, "f": {"$first": "$grp"}}}]""")
+    }
+    intercept[IllegalArgumentException] { // mixed-direction sort key
+      run("""[{"$sort": {"grp": 1, "id": -1}},
+        |  {"$group": {"_id": null, "f": {"$first": "$grp"}}}]""".stripMargin)
+    }
+    intercept[IllegalArgumentException] { // $count takes an empty doc
+      run("""[{"$group": {"_id": null, "n": {"$count": "$v"}}}]""")
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
