@@ -20,7 +20,9 @@ import scala.jdk.CollectionConverters._
   * [[accumulator]]), $sort (real
   * columns first — covers the reference's `_m_id` sort — else the
   * numeric metadata view), $limit, $skip, $project (inclusion /
-  * exclusion / computed fields), $addFields, $replaceRoot, $count.
+  * exclusion — real columns AND metadata fields, incl. dotted paths /
+  * computed fields, "$$ROOT" for the whole document), $addFields,
+  * $replaceRoot (path and document forms), $count.
   *
   * Value expressions: `"$field"` is the STRING view of a metadata field;
   * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
@@ -139,14 +141,16 @@ object MqlPipeline {
             s"$$project cannot mix inclusion and exclusion: $spec")
           cur =
             if (exc.nonEmpty) {
-              // exclusion form: drop the named REAL columns ({f: 0} on a
-              // metadata field would have to rewrite the JSON document)
-              val missing = exc.map(_.getKey)
-                .filterNot(cur.columns.contains)
-              require(missing.isEmpty,
-                s"$$project exclusion of non-column fields unsupported: " +
-                  missing.mkString(", "))
-              cur.drop(exc.map(_.getKey): _*)
+              // exclusion form: REAL columns drop from the frame;
+              // metadata fields (incl. dotted paths into sub-documents)
+              // rewrite the JSON root via [[JsonRewrite.removeFields]],
+              // so later stages — and a "$$ROOT" projection — see the
+              // document without them
+              val (realExc, metaExc) = exc.map(_.getKey)
+                .partition(cur.columns.contains)
+              if (metaExc.nonEmpty)
+                meta = JsonRewrite.removeFields(meta, metaExc)
+              if (realExc.nonEmpty) cur.drop(realExc: _*) else cur
             } else {
               // entry order preserved: {f: 1} includes, anything else is
               // a computed expression aliased to the key
@@ -177,12 +181,23 @@ object MqlPipeline {
           // unchanged. Documents without the field get a null root:
           // positive predicates go false, Mongo errors instead — the
           // lenient choice is documented, not accidental.
-          require(spec.isObject && spec.get("newRoot") != null &&
-              spec.get("newRoot").isTextual &&
-              spec.get("newRoot").asText().startsWith("$"),
-            s"$$replaceRoot needs {newRoot: \"$$field\"}, got: $spec")
-          val root = spec.get("newRoot").asText().drop(1)
-          meta = get_json_object(meta, s"$$.$root")
+          //
+          // {newRoot: {k: expr, ...}} (the document form): COMPOSE a new
+          // root from computed-expression entries — to_json(struct(...))
+          // keeps it a plain JSON column like the path form. Null entry
+          // values are omitted from the document (Spark's to_json
+          // default), which is exactly Mongo's missing-field shape.
+          require(spec.isObject && spec.get("newRoot") != null,
+            s"$$replaceRoot needs a newRoot, got: $spec")
+          val nr = spec.get("newRoot")
+          if (nr.isTextual && nr.asText().startsWith("$"))
+            meta = get_json_object(meta, s"$$.${nr.asText().drop(1)}")
+          else if (nr.isObject && nr.properties().size() > 0)
+            meta = to_json(struct(nr.properties().asScala.toSeq.map(e =>
+              computeExpr(e.getValue, meta, cur).as(e.getKey)): _*))
+          else throw new IllegalArgumentException(
+            s"$$replaceRoot needs {newRoot: \"$$field\"} or a non-empty " +
+              s"document, got: $spec")
 
         case "$lookup" =>
           // {from, localField, foreignField, as}: left outer equi-match,
@@ -260,7 +275,8 @@ object MqlPipeline {
   private def computeExpr(node: JsonNode, metaCol: Column,
       cur: DataFrame): Column = {
     def ref(f: String): Column =
-      if (cur.columns.contains(f)) col(f)
+      if (f == "$ROOT") metaCol // "$$ROOT": the whole current document
+      else if (cur.columns.contains(f)) col(f)
       else MqlFilter.JsonResolver(metaCol).str(f)
     def numRef(f: String): Column =
       if (cur.columns.contains(f)) col(f).cast("double")

@@ -701,6 +701,51 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** $project METADATA exclusion under the gate: the frame carries only
+    * (doc_id, meta) so "info.source" exists solely inside the JSON
+    * document; {"info.source": 0} rewrites the root via JsonRewrite
+    * (the dotted path descends into the sub-document), observable both
+    * through "$$ROOT" (the rewritten text) and through the now-null
+    * "$info.source" resolution ($ifNull fallback fires). */
+  def mqlProjectExclude(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          struct(col("source"), col("n_chars")).as("info"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$match": {"lang": {"$in": ["en", "de"]}}},
+        | {"$project": {"info.source": 0}},
+        | {"$addFields": {
+        |   "doc": "$$ROOT",
+        |   "src_after": {"$ifNull": ["$info.source", "gone"]}}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+      .select(col("doc_id").as("did"), col("doc"), col("src_after"))
+
+  /** $replaceRoot DOCUMENT form under the gate: the new root is composed
+    * from computed expressions ({newRoot: {k: expr}}), then later stages
+    * resolve fields inside it — including a numeric $match that
+    * round-trips a computed double through the JSON text (Jackson emits
+    * shortest round-trippable reprs, so the re-parse is exact). */
+  def mqlReplaceRootDoc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$replaceRoot": {"newRoot": {
+        |   "label": {"$concat": [{"$toUpper": "$lang"}, "/", "$source"]},
+        |   "kchars": {"$divide": [{"$toLong": "$n_chars"}, 1000]}}}},
+        | {"$match": {"kchars": {"$gte": 0.5}}},
+        | {"$project": {"doc_id": 1, "label": 1,
+        |   "kchars": {"$toDouble": "$kchars"}}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+
   /** The $group accumulator breadth gate — $count (Mongo 5 form),
     * $first/$last (min_by/max_by over the prior $sort key: the per-group
     * top-1 runs inside partial aggregation, no window, no extra
@@ -941,6 +986,18 @@ object Relational {
         |FROM (SELECT unnest([lang, source]) AS tag
         |      FROM documents WHERE n_chars >= 120)
         |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_project_exclude" ->
+      """SELECT doc_id AS did,
+        |  '{"lang":"' || lang || '","info":{"n_chars":' || n_chars || '}}'
+        |    AS doc,
+        |  'gone' AS src_after
+        |FROM documents WHERE lang IN ('en', 'de')
+        |ORDER BY did""".stripMargin,
+    "mql_replace_root_doc" ->
+      """SELECT doc_id, upper(lang) || '/' || source AS label,
+        |  n_chars / 1000.0 AS kchars
+        |FROM documents WHERE n_chars / 1000.0 >= 0.5
+        |ORDER BY doc_id""".stripMargin,
     "mql_pipeline_accum" ->
       """SELECT lang AS _id,
         |  count(*) AS n,
@@ -1087,6 +1144,8 @@ object Relational {
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
+    "mql_project_exclude" -> (mqlProjectExclude _),
+    "mql_replace_root_doc" -> (mqlReplaceRootDoc _),
     "mql_unwind" -> (mqlUnwind _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),

@@ -105,6 +105,50 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$project excludes METADATA fields (dotted paths) via JSON rewrite") {
+    val nested = Seq(
+      (1L, """{"keep": "a", "info": {"x": 1, "y": 2}, "drop_me": true}"""),
+      (2L, """{"keep": "b", "info": {"y": 5}}"""),
+      (3L, """{"keep": "c"}""") // no info sub-doc: dotted removal no-ops
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(nested, col("meta"),
+      """[{"$project": {"drop_me": 0, "info.x": 0}},
+        |  {"$addFields": {"doc": "$$ROOT",
+        |    "x_after": {"$ifNull": [{"$toLong": "$info.x"}, -1]}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "doc": 1, "x_after": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, """{"keep":"a","info":{"y":2}}""", -1.0),
+      (2L, """{"keep":"b","info":{"y":5}}""", -1.0),
+      (3L, """{"keep":"c"}""", -1.0)))
+    // mixed real-column + metadata exclusion in one stage
+    val mixed = MqlPipeline.aggregate(nested, col("meta"),
+      """[{"$project": {"id": 0, "drop_me": 0}},
+        |  {"$addFields": {"doc": "$$ROOT"}}]""".stripMargin)
+    assert(!mixed.columns.contains("id"))
+    assert(mixed.orderBy("doc").head().getString(1)
+      == """{"keep":"a","info":{"x":1,"y":2}}""")
+  }
+
+  test("$replaceRoot document form composes a new root from expressions") {
+    val got = run(
+      """[
+        | {"$replaceRoot": {"newRoot": {
+        |   "g": {"$toUpper": "$grp"},
+        |   "v10": {"$multiply": [{"$toLong": "$v"}, 10]}}}},
+        | {"$match": {"v10": {"$gte": 100}}},
+        | {"$sort": {"v10": 1}},
+        | {"$project": {"g": 1, "v10": {"$toLong": "$v10"}}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A", 100L), ("A", 200L), ("C", 1000L)))
+    intercept[IllegalArgumentException] { // empty document root
+      run("""[{"$replaceRoot": {"newRoot": {}}}]""")
+    }
+  }
+
   test("fractional $sum literal is not truncated") {
     val got = run(
       """[{"$group": {"_id": null, "t": {"$sum": 2.5}}}]""")
