@@ -64,9 +64,13 @@ object GraftConfig {
     * saturates and bucket size grows linearly with the corpus. */
   def autoBitsPerBand(corpusRows: Long, targetBucket: Long = 1000L): Int = {
     require(targetBucket > 0, "targetBucket must be positive")
-    val needed = math.ceil(
-      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) /
-        math.log(2.0)).toInt
+    // integer derivation of ceil(log2(N / target)): smallest b with
+    // 2^b * target >= N. Exact at power-of-two boundaries, where the
+    // floating-point log-ratio form could overshoot by one bit
+    // (log returning 10.0000000000000002 for a true 10).
+    val m = (math.max(corpusRows, 1L) + targetBucket - 1) / targetBucket
+    val needed =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(30, math.max(default.dedupBitsPerBand, needed))
   }
 

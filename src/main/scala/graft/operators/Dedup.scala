@@ -369,13 +369,16 @@ object Dedup {
       // hamming-verify INSIDE the in-bucket expansion: candidates that
       // fail the <=3 verify never leave the map side, so the
       // dedup-across-bands shuffle carries only true pairs (measured at
-      // sf0.1: 4.0M candidates -> 352k verified rows shuffled)
+      // sf0.1: 4.0M candidates -> 352k verified rows shuffled). The
+      // distance is bound ONCE per candidate (computed into the struct,
+      // filtered on the field), not re-evaluated per surviving pair.
       .select(explode(flatten(transform(col("ms"), a =>
-        transform(
-          filter(col("ms"), b => b("id") > a("id") &&
-            hamming(a("sim"), b("sim")) <= 3), b =>
-          struct(a("id").as("id_a"), b("id").as("id_b"),
-            hamming(a("sim"), b("sim")).as("ham")))))).as("p"))
+        filter(
+          transform(
+            filter(col("ms"), b => b("id") > a("id")), b =>
+            struct(a("id").as("id_a"), b("id").as("id_b"),
+              hamming(a("sim"), b("sim")).as("ham"))),
+          p => p("ham") <= 3)))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.ham").as("ham"))
       .dropDuplicates("id_a", "id_b")
@@ -398,14 +401,24 @@ object Dedup {
   private val BitsPerBand = graft.core.GraftConfig.default.dedupBitsPerBand
   private val NBands = graft.core.GraftConfig.default.dedupBands
 
+  /** Session-conf integer with the conf key named in the failure — a
+    * malformed value ('8x') must fail as actionably as an out-of-range
+    * one, not with a bare NumberFormatException. */
+  private def confInt(s: SparkSession, key: String): Option[Int] =
+    s.conf.getOption(key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an integer, got: '$v'")
+      }
+    }
+
   /** Runtime embed-LSH dials: session conf overrides layered over the
     * GraftConfig defaults — how a deployment raises selectivity without
     * editing source (the round-4 verdict's scale-margin item). */
   private[graft] def embedDials(s: SparkSession): (Int, Int) = {
-    val bits = s.conf.getOption("graft.dedup.bits_per_band")
-      .map(_.trim.toInt).getOrElse(BitsPerBand)
-    val bands = s.conf.getOption("graft.dedup.bands")
-      .map(_.trim.toInt).getOrElse(NBands)
+    val bits = confInt(s, "graft.dedup.bits_per_band").getOrElse(BitsPerBand)
+    val bands = confInt(s, "graft.dedup.bands").getOrElse(NBands)
     require(bits > 0 && bits <= 30 && bands > 0,
       s"bad embed-LSH dials: bits_per_band=$bits bands=$bands")
     (bits, bands)
@@ -435,14 +448,43 @@ object Dedup {
     dedupEmbedCosine(embCorpus(s, dir), bits, bands)
   }
 
-  /** Auto-dialed variant for unbounded corpora: one metadata-cheap count
-    * sizes bits-per-band so expected bucket membership stays near the
-    * target regardless of corpus growth (bits ≥ log2(N/1000)) — the
-    * scale path where a fixed band space would saturate and the 10k
-    * guard would kill the job. */
+  /** The conf-override path under its own gate: forces a NON-default
+    * dial (4 bits × 3 bands) through the session conf — the exact
+    * mechanism a deployment uses — runs the ordinary [[dedupEmbedCosine]]
+    * entry, and restores the previous conf. The paired oracle's band
+    * literals are generated for the SAME dial by [[embOracle]], so a
+    * regression anywhere in the conf plumbing (parse, layering,
+    * propagation into HyperBandValues) breaks the hash match. */
+  def dedupEmbedCosineDial(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("graft.dedup.bits_per_band" -> DialBits.toString,
+      "graft.dedup.bands" -> DialBands.toString)
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try dedupEmbedCosine(s, dir) // dials read eagerly at plan build
+    finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** The non-default dial the override gate forces (and its oracle
+    * encodes) — deliberately coarser than the 8×2 default so the two
+    * gates cannot accidentally produce the same candidate sets. */
+  private val DialBits = 4
+  private val DialBands = 3
+
+  /** Auto-dialed variant for unbounded corpora: one up-front corpus
+    * count (a scan job over id+embedding — cheap relative to the LSH
+    * pass that follows, but a scan, not metadata) sizes bits-per-band so
+    * expected bucket membership stays near the target regardless of
+    * corpus growth (bits ≥ log2(N/1000)) — the scale path where a fixed
+    * band space would saturate and the 10k guard would kill the job.
+    * An EXPLICIT graft.dedup.bits_per_band session conf wins over the
+    * auto derivation (both dials honored, same precedence as the fixed
+    * path); absent conf → auto. */
   def dedupEmbedCosineAuto(s: SparkSession, dir: String): DataFrame = {
     val c = embCorpus(s, dir)
-    val bits = graft.core.GraftConfig.autoBitsPerBand(c.count())
+    val bits = confInt(s, "graft.dedup.bits_per_band")
+      .getOrElse(graft.core.GraftConfig.autoBitsPerBand(c.count()))
+    require(bits > 0 && bits <= 30, s"bad bits_per_band: $bits")
     dedupEmbedCosine(c, bits, embedDials(s)._2)
   }
 
@@ -475,16 +517,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def embOracle: String = {
+  /** DuckDB twin of the LSH candidate generation + cosine verify for ONE
+    * dial — band literals are generated from the (bits, bands) the gated
+    * query actually runs with, so the oracle can never silently encode a
+    * different dial than the Spark side (the round-5 advice item). */
+  private def embOracle(bitsPerBand: Int, nBands: Int): String = {
     def signsLit(j: Int): String =
       hyperplanes(j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
     def projSql(j: Int, e: String): String =
       s"list_sum([$e[i]::DOUBLE * (${signsLit(j)})[i] " +
         s"for i in generate_series(1,$Dim)])"
-    val bandRows = (0 until NBands).map { b =>
-      val v = (0 until BitsPerBand).map { k =>
-        s"(CASE WHEN ${projSql(b * BitsPerBand + k, "embedding")} > 0 THEN ${1 << k} ELSE 0 END)"
+    val bandRows = (0 until nBands).map { b =>
+      val v = (0 until bitsPerBand).map { k =>
+        s"(CASE WHEN ${projSql(b * bitsPerBand + k, "embedding")} > 0 THEN ${1 << k} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT id, embedding, $b AS band, $v AS bv FROM corpus"
     }.mkString(" UNION ALL ")
@@ -561,7 +607,8 @@ object Dedup {
          |   for t in list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))] AS hs
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
-    "dedup_embed_cosine" -> embOracle,
+    "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands),
+    "dedup_embed_dial" -> embOracle(DialBits, DialBands),
     // exact-hamming self-join over the reconstructed signatures: the
     // oracle may go all-pairs (gate corpus is small); the Spark side's
     // band blocking must reproduce it exactly (pigeonhole recall = 1)
@@ -589,6 +636,16 @@ object Dedup {
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_embed_cosine" -> (dedupEmbedCosine _)
+    // the gated oracle encodes the COMPILE-TIME dial: warn loudly if a
+    // session override would silently break bit-for-bit parity
+    "dedup_embed_cosine" -> ((s: SparkSession, dir: String) => {
+      val (bits, bands) = embedDials(s)
+      if ((bits, bands) != (BitsPerBand, NBands)) System.err.println(
+        s"[graft] WARNING dedup_embed_cosine oracle encodes " +
+          s"bits=$BitsPerBand bands=$NBands but session dials are " +
+          s"bits=$bits bands=$bands — oracle parity will break")
+      dedupEmbedCosine(s, dir)
+    }),
+    "dedup_embed_dial" -> (dedupEmbedCosineDial _)
   )
 }

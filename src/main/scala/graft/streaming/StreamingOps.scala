@@ -283,8 +283,9 @@ object StreamingOps {
     * physical row survives per key depends on arrival order, the key set
     * does not, and that is what makes a streaming dedup oracle-checkable.
     * (The watermarked, state-bounded variant is spec-verified in
-    * StreamingSpec via dropDuplicatesWithinWatermark; this gate runs the
-    * unbounded-state form over a finite source with AvailableNow.) */
+    * StreamingSpec via dropDuplicatesWithinWatermark AND oracle-gated in
+    * [[streamDedupBounded]]; this gate runs the unbounded-state form
+    * over a finite source with AvailableNow.) */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -304,10 +305,59 @@ object StreamingOps {
     s.table(name).orderBy("user_id", "event_type")
   }
 
+  /** BOUNDED streaming dedup under the gate — the state-evicting
+    * `dropDuplicatesWithinWatermark` form, not unbounded `dropDuplicates`
+    * state. The stream is a planted re-delivery scenario: a 48-hour
+    * slice of events is written twice (the copy's timestamps shifted
+    * +10 minutes — a late duplicate delivery), and `maxFilesPerTrigger=1`
+    * forces the copies into SEPARATE micro-batches, so the dedup state
+    * must survive a real cross-batch watermark advance. The 50-hour
+    * delay strictly exceeds slice-span/2 + shift, so every re-delivered
+    * key is still within the horizon whatever order the two files
+    * process in — which makes the answer deterministic and equal to
+    * batch DISTINCT over the slice (the oracle). At 100 TB the same
+    * query holds state only for the horizon, not the stream: state is
+    * O(keys per 50 h), evicted by the watermark. */
+  def streamDedupBounded(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val root = graft.core.Scratch.dir("sdedup", dir)
+    val ev = Relational.events(s, dir)
+    val minTs = ev.agg(min(col("ts"))).head().getTimestamp(0) // 1 row
+    val hi = new java.sql.Timestamp(minTs.getTime + 48L * 3600 * 1000)
+    val slice = ev.filter(col("ts") < lit(hi))
+      .select(col("event_id"), col("ts"))
+    lazy val n = slice.count()
+    if (!graft.core.Trust.parquetDir(s, s"$root/orig", n))
+      slice.coalesce(1).write.mode("overwrite").parquet(s"$root/orig")
+    if (!graft.core.Trust.parquetDir(s, s"$root/redeliver", n))
+      slice.withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/redeliver")
+    val schema = s.read.parquet(s"$root/orig").schema
+    val name = s"graft_stream_dedup_bounded_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/*")
+        .withWatermark("ts", "50 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_dedup_bounded" ->
+      """SELECT DISTINCT event_id FROM events
+        |WHERE ts < (SELECT min(ts) + INTERVAL 48 HOUR FROM events)
+        |ORDER BY event_id""".stripMargin,
     "stream_ingest" ->
       """SELECT lang, count(*) AS n FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -331,6 +381,7 @@ object StreamingOps {
     "events_hourly_stream" -> (eventsHourlyStreaming _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_ingest" -> (streamIngest _),
-    "stream_dedup" -> (streamDedup _)
+    "stream_dedup" -> (streamDedup _),
+    "stream_dedup_bounded" -> (streamDedupBounded _)
   )
 }
