@@ -400,6 +400,40 @@ object Relational {
     s.sql(q22Sql)
   }
 
+  /** TPC-H Q2 flavor (minimum-cost supplier): the decorrelation shape
+    * Q5/Q7/Q9/Q22 don't cover — a NESTED correlated scalar subquery
+    * whose body is an aggregate OVER A MULTI-RELATION JOIN
+    * (min price across lineitem⋈supplier⋈nation⋈region, correlated on
+    * the outer part key). Catalyst must pull the aggregate up into a
+    * per-partkey group and turn the correlation into an equi-join; the
+    * oracle runs the identical text. This corpus has no partsupp, so
+    * lineitem plays the part-supplier bridge (price = extendedprice) —
+    * the PLANNING shape (correlated agg-of-join, region filter repeated
+    * inside and out) is Q2's; only the bridge relation differs. Money
+    * compared as integer cents so the min and the outer equality are
+    * exact in both engines. */
+  private val q2Sql =
+    """SELECT DISTINCT p_partkey, s_name,
+      |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+      |FROM part p, lineitem l, supplier s, nation n, region r
+      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND CAST(round(l_extendedprice*100) AS BIGINT) = (
+      |    SELECT min(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'ASIA')
+      |ORDER BY p_partkey, s_name, price_cents""".stripMargin
+
+  def sqlTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "lineitem", "supplier", "nation", "region"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q2Sql)
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -862,6 +896,7 @@ object Relational {
     "sql_tpch_q7" -> q7Sql,
     "sql_tpch_q9" -> q9Sql,
     "sql_tpch_q22" -> q22Sql,
+    "sql_tpch_q2" -> q2Sql,
     "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
@@ -1156,6 +1191,7 @@ object Relational {
     "sql_tpch_q7" -> (sqlTpchQ7 _),
     "sql_tpch_q9" -> (sqlTpchQ9 _),
     "sql_tpch_q22" -> (sqlTpchQ22 _),
+    "sql_tpch_q2" -> (sqlTpchQ2 _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),
