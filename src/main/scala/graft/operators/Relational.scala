@@ -571,6 +571,15 @@ object Relational {
     * interpolation arithmetic. Interpolation is lo + frac·(hi−lo) on
     * exact integer cents with dyadic fracs (0/.25/.5/.75) — bit-equal to
     * DuckDB's quantile_cont and to the single-task `percentile`. */
+  /** The distributed sort [[quantilesOrdersDist]] ranks over — exposed so
+    * PlanSpec can lock that it compiles to a range-partitioned Exchange
+    * (each partition holds a contiguous value range; zipWithIndex offsets
+    * are then per-partition counts, never a single-task sort). */
+  private[graft] def quantilesSortedCents(s: SparkSession, dir: String)
+      : DataFrame =
+    t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+      .orderBy("pc").select("pc")
+
   def quantilesOrdersDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pc = t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
@@ -580,7 +589,7 @@ object Relational {
     val needed = hs.flatMap(h =>
       Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
     val bc = s.sparkContext.broadcast(needed)
-    val picked = pc.orderBy("pc").select("pc").rdd
+    val picked = quantilesSortedCents(s, dir).rdd
       .zipWithIndex()
       .filter { case (_, i) => bc.value.contains(i) }
       .map { case (r, i) => (i, r.getLong(0)) }
