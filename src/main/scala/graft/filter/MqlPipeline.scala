@@ -52,6 +52,9 @@ object MqlPipeline {
     // (a pre-group orderBy does not survive the aggregation exchange,
     // so order-sensitive accumulators re-derive it per group)
     var sortKeys: Seq[(Column, Boolean)] = Nil
+    // internal columns materializing a rebound metadata root (see the
+    // $project exclusion stage); dropped from the final frame
+    val helperCols = scala.collection.mutable.ArrayBuffer.empty[String]
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
@@ -148,9 +151,27 @@ object MqlPipeline {
               // document without them
               val (realExc, metaExc) = exc.map(_.getKey)
                 .partition(cur.columns.contains)
-              if (metaExc.nonEmpty)
-                meta = JsonRewrite.removeFields(meta, metaExc)
-              if (realExc.nonEmpty) cur.drop(realExc: _*) else cur
+              val dropped =
+                if (realExc.nonEmpty) cur.drop(realExc: _*) else cur
+              if (metaExc.nonEmpty) {
+                // materialize the rewritten document ONCE as a real
+                // column and rebind the root to it — without this,
+                // every later stage referencing a metadata field would
+                // re-embed (and re-run) the parse+rewrite per consuming
+                // leaf (no Catalyst global CSE). The UDF is marked
+                // non-deterministic ONLY to pin that single evaluation:
+                // CollapseProject/PushDownPredicates inline cheap-or-
+                // deterministic aliases into every consumer, which is
+                // the exact duplication this column exists to prevent.
+                // (Rewriting is pure; the marker is an optimizer fence,
+                // not a semantic claim.)
+                val tmp = s"__graft_root_${helperCols.size}"
+                helperCols += tmp
+                val once = dropped.withColumn(tmp,
+                  JsonRewrite.removeFieldsOnce(meta, metaExc))
+                meta = col(tmp)
+                once
+              } else dropped
             } else {
               // entry order preserved: {f: 1} includes, anything else is
               // a computed expression aliased to the key
@@ -235,7 +256,10 @@ object MqlPipeline {
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
     }
-    cur
+    // rebound-root scaffolding never surfaces to the caller; any helper
+    // already projected away (post-$group / inclusion-$project) is a
+    // no-op drop
+    helperCols.foldLeft(cur)(_.drop(_))
   }
 
   /** `"$f"` → the real column `f` when one exists (post-$unwind shape),
@@ -370,6 +394,12 @@ object MqlPipeline {
     *    per-group top-1 runs inside partial aggregation, no window, no
     *    extra shuffle. Rejected loudly without a $sort: FerretDB-style
     *    "positional first" is undefined under parallel scan.
+    *    TIE CONTRACT: when the $sort key is NOT unique within a group,
+    *    min_by/max_by picks an arbitrary row among the equal-key ties
+    *    (stable across no re-ordering — partial-merge order decides);
+    *    the returned value is always drawn from SOME tied row, never a
+    *    mix. Supply a unique (composite) sort key for a deterministic
+    *    answer — same stance as the $addToSet canonical-order choice.
     *  - $push with a prior $sort collects (key, value) pairs and
     *    sort_array's them per group (deterministic); without one it is
     *    plain collect_list — Mongo itself leaves the order unspecified

@@ -248,6 +248,44 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq((("a"), 2L, 1L), ("b", 4L, 3L), ("c", 5L, 5L)))
   }
 
+  test("$first/$last tie contract: non-unique $sort key → some tied row, never a mix") {
+    // every group's sort key ("k") is constant, so EVERY row ties: the
+    // documented contract is "arbitrary among the ties, drawn from some
+    // tied row" — assert set-stability, not a specific winner
+    val tied = Seq(
+      (1L, """{"grp": "a", "k": 1, "v": 10}"""),
+      (2L, """{"grp": "a", "k": 1, "v": 20}"""),
+      (3L, """{"grp": "b", "k": 2, "v": 5}"""),
+      (4L, """{"grp": "b", "k": 2, "v": 7}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(tied, col("meta"),
+      """[
+        | {"$sort": {"k": 1}},
+        | {"$group": {"_id": "$grp",
+        |   "f": {"$first": {"$toLong": "$v"}},
+        |   "l": {"$last": {"$toLong": "$v"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val legal = Map("a" -> Set(10L, 20L), "b" -> Set(5L, 7L))
+    assert(got.map(_._1) == Seq("a", "b"))
+    got.foreach { case (g, f, l) =>
+      assert(legal(g).contains(f), s"$$first of $g returned non-member $f")
+      assert(legal(g).contains(l), s"$$last of $g returned non-member $l")
+    }
+    // a unique composite key restores determinism (the documented fix)
+    val det = MqlPipeline.aggregate(tied, col("meta"),
+      """[
+        | {"$sort": {"k": 1, "id": 1}},
+        | {"$group": {"_id": "$grp",
+        |   "f": {"$first": {"$toLong": "$v"}},
+        |   "l": {"$last": {"$toLong": "$v"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(det == Seq(("a", 10L, 20L), ("b", 5L, 7L)))
+  }
+
   test("$push without $sort collects (order unspecified); $first raises") {
     val arr = run(
       """[{"$group": {"_id": null, "grps": {"$push": "$grp"}}}]""")

@@ -294,6 +294,18 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("mql_project_exclude: post-exclusion document is rewritten once per row") {
+    val p = physical(
+      graft.SparkEntry.queries("mql_project_exclude")(spark, sf0001))
+    // the materialized-root column pins ONE parse+rewrite; a second UDF
+    // occurrence means an optimizer rule inlined it back into a consumer
+    assert("UDF".r.findAllIn(p).size == 1, p)
+    // scaffolding never surfaces in the output schema
+    val out = graft.SparkEntry.queries("mql_project_exclude")(spark, sf0001)
+    assert(!out.columns.exists(_.startsWith("__graft_root")),
+      out.columns.mkString(","))
+  }
+
   test("sql_tpch_q2: correlated agg-of-join scalar subquery decorrelates") {
     val p = physical(Relational.sqlTpchQ2(spark, sf0001))
     // the subquery must be rewritten into a per-partkey min aggregate
