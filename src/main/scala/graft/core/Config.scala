@@ -12,9 +12,12 @@ package graft.core
   * (nlist, nprobe) plus the KMeans iteration count, which are this
   * engine's equivalent index dials.
   *
-  * Format: java.util.Properties (`key = value` lines) rather than TOML —
-  * zero extra dependencies and the same layered-over-defaults semantics
-  * as the reference's ParseFrom.
+  * Formats: java.util.Properties (`key = value` lines) and a TOML
+  * subset (`*.toml` — the reference's actual format,
+  * /root/reference/config/config.toml.example): comments, `[table]`
+  * headers flattened to dotted keys, basic/literal strings, integers,
+  * booleans. Both layer over the same defaults (reference ParseFrom
+  * semantics). No extra dependencies either way.
   */
 final case class GraftConfig(
     persistDir: String = "/tmp/graft-kaer",
@@ -74,23 +77,42 @@ object GraftConfig {
     math.min(30, math.max(default.dedupBitsPerBand, needed))
   }
 
-  /** Layer a properties file over the defaults (reference ParseFrom
+  /** Layer a config file over the defaults (reference ParseFrom
     * semantics: absent keys keep defaults; a missing file IS the
-    * defaults). Recognized keys: persist_dir, embedder_model, embed_dim,
-    * ivf_nlist, ivf_nprobe, kmeans_iters, dedup_bits_per_band,
-    * dedup_bands. `embed_dim` defaults to the model's map entry when a
-    * model is given without a dimension. */
+    * defaults). `*.toml` parses as a TOML subset (the reference's
+    * format); anything else as java.util.Properties. Recognized keys:
+    * persist_dir, embedder_model, embed_dim, ivf_nlist, ivf_nprobe,
+    * kmeans_iters, dedup_bits_per_band, dedup_bands — flat, or under
+    * the TOML sections mapped by [[tomlAliases]]. `embed_dim` defaults
+    * to the model's map entry when a model is given without a
+    * dimension. */
   def parseFrom(path: String): GraftConfig = {
-    val p = new java.util.Properties()
     val f = new java.io.File(path)
-    if (f.isFile) {
-      val in = new java.io.FileInputStream(f)
-      try p.load(in) finally in.close()
-    }
+    val kv: Map[String, String] =
+      if (!f.isFile) Map.empty
+      else if (path.endsWith(".toml"))
+        resolveTomlKeys(parseToml(
+          java.nio.file.Files.readString(f.toPath)))
+      else {
+        val p = new java.util.Properties()
+        val in = new java.io.FileInputStream(f)
+        try p.load(in) finally in.close()
+        import scala.jdk.CollectionConverters._
+        p.asScala.toMap
+      }
+    fromKeyValues(kv)
+  }
+
+  private def fromKeyValues(kv: Map[String, String]): GraftConfig = {
     val d = default
-    def str(k: String, dv: String) = Option(p.getProperty(k)).getOrElse(dv)
-    def int(k: String, dv: Int) =
-      Option(p.getProperty(k)).map(_.trim.toInt).getOrElse(dv)
+    def str(k: String, dv: String) = kv.getOrElse(k, dv)
+    def int(k: String, dv: Int) = kv.get(k).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"config key $k must be an integer, got: '$v'")
+      }
+    }.getOrElse(dv)
     val model = str("embedder_model", d.embedderModel)
     GraftConfig(
       persistDir = str("persist_dir", d.persistDir),
@@ -102,5 +124,129 @@ object GraftConfig {
       kmeansIters = int("kmeans_iters", d.kmeansIters),
       dedupBitsPerBand = int("dedup_bits_per_band", d.dedupBitsPerBand),
       dedupBands = int("dedup_bands", d.dedupBands))
+  }
+
+  /** TOML dotted key → flat config key. Sections follow the reference's
+    * file shape where a mapping exists (`[db] persist_dir`,
+    * `[cohere] model`) plus this engine's own dials under `[embed]`,
+    * `[ivf]`, `[dedup]`. The reference's connection block
+    * (postgres_*, ferretdb_*) and `[hnsw]` have no analogue here — no
+    * subprocesses, and the IVF dials are a different index family — so
+    * those keys are IGNORED (logged), not errors: the reference's own
+    * config file parses cleanly. */
+  private val tomlAliases: Map[String, String] = Map(
+    "db.persist_dir" -> "persist_dir",
+    "cohere.model" -> "embedder_model",
+    "embed.model" -> "embedder_model",
+    "embed.dim" -> "embed_dim",
+    "ivf.nlist" -> "ivf_nlist",
+    "ivf.nprobe" -> "ivf_nprobe",
+    "ivf.kmeans_iters" -> "kmeans_iters",
+    "dedup.bits_per_band" -> "dedup_bits_per_band",
+    "dedup.bands" -> "dedup_bands")
+
+  private val flatKeys: Set[String] = Set("persist_dir", "embedder_model",
+    "embed_dim", "ivf_nlist", "ivf_nprobe", "kmeans_iters",
+    "dedup_bits_per_band", "dedup_bands")
+
+  private def resolveTomlKeys(raw: Map[String, String]): Map[String, String] = {
+    val (known, unknown) = raw.partition { case (k, _) =>
+      tomlAliases.contains(k) || flatKeys.contains(k) }
+    if (unknown.nonEmpty) System.err.println(
+      "[graft-config] ignoring unrecognized TOML keys: " +
+        unknown.keys.toSeq.sorted.mkString(", "))
+    known.map { case (k, v) => tomlAliases.getOrElse(k, k) -> v }
+  }
+
+  /** Minimal TOML-subset parser — the slice the reference's config file
+    * actually uses (/root/reference/config/config.toml.example): `#`
+    * comments, `[table]` headers (flattened to `table.key`), and
+    * `key = value` with basic strings ("..", \\-escapes), literal
+    * strings ('..'), integers, floats, and booleans. Arrays, dates,
+    * inline tables, and multi-line strings are out of scope and fail
+    * loudly rather than mis-parse. Values return as raw strings;
+    * typing happens at the config-key layer. */
+  private[core] def parseToml(text: String): Map[String, String] = {
+    var section = ""
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((line0, i) <- text.linesIterator.zipWithIndex) {
+      val line = stripTomlComment(line0).trim
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"TOML parse error at line ${i + 1}: $msg: '${line0.trim}'")
+      if (line.nonEmpty) {
+        if (line.startsWith("[")) {
+          if (!line.endsWith("]") || line.startsWith("[["))
+            fail("bad table header")
+          section = line.substring(1, line.length - 1).trim
+          if (section.isEmpty) fail("empty table name")
+        } else line.indexOf('=') match {
+          case -1 => fail("expected key = value")
+          case eq =>
+            val key = line.substring(0, eq).trim
+            if (key.isEmpty) fail("empty key")
+            val value = parseTomlValue(line.substring(eq + 1).trim,
+              m => fail(m))
+            val full = if (section.isEmpty) key else s"$section.$key"
+            if (out.contains(full)) fail(s"duplicate key $full")
+            out(full) = value
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Strip a trailing `#` comment, honoring `#` inside quoted strings. */
+  private def stripTomlComment(line: String): String = {
+    var inB = false; var inL = false; var esc = false
+    val sb = new StringBuilder
+    var done = false
+    for (c <- line if !done) {
+      if (esc) { sb += c; esc = false }
+      else c match {
+        case '\\' if inB => sb += c; esc = true
+        case '"' if !inL => inB = !inB; sb += c
+        case '\'' if !inB => inL = !inL; sb += c
+        case '#' if !inB && !inL => done = true
+        case _ => sb += c
+      }
+    }
+    sb.toString
+  }
+
+  private def parseTomlValue(v: String, fail: String => Nothing): String = {
+    if (v.isEmpty) fail("empty value")
+    else if (v.startsWith("\"")) {
+      if (v.length < 2 || !v.endsWith("\"") || v.endsWith("\\\""))
+        fail("unterminated basic string")
+      val body = v.substring(1, v.length - 1)
+      val sb = new StringBuilder; var i = 0
+      while (i < body.length) {
+        val c = body(i)
+        if (c == '"') fail("stray quote inside basic string")
+        else if (c == '\\') {
+          if (i + 1 >= body.length) fail("dangling escape")
+          body(i + 1) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n' => sb += '\n'
+            case 't' => sb += '\t'
+            case 'r' => sb += '\r'
+            case other => fail(s"unsupported escape \\$other")
+          }
+          i += 2
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    } else if (v.startsWith("'")) {
+      if (v.length < 2 || !v.endsWith("'") ||
+          v.substring(1, v.length - 1).contains("'"))
+        fail("bad literal string")
+      v.substring(1, v.length - 1)
+    } else if (v == "true" || v == "false") v
+    else if (v.matches("[+-]?[0-9](_?[0-9])*")) v.replace("_", "")
+    else if (v.matches("[+-]?[0-9](_?[0-9])*\\.[0-9](_?[0-9])*"))
+      v.replace("_", "")
+    else fail(s"unsupported TOML value (arrays/dates/inline tables " +
+      "are out of scope)")
   }
 }

@@ -75,6 +75,75 @@ class ConfigSpec extends SparkTestBase {
     assert(cfg.dedupBitsPerBand == 12 && cfg.dedupBands == 3)
   }
 
+  test("TOML config: sections flatten, aliases map, unknown keys ignored") {
+    val dir = tmpDir("config-toml")
+    val f = new java.io.File(dir, "graft.toml")
+    // same shape as the reference's config.toml.example
+    // (/root/reference/config/config.toml.example): a title, a [cohere]
+    // block, a [db] block with connection keys this engine has no
+    // analogue for, and index dials — plus this engine's own sections
+    java.nio.file.Files.write(f.toPath,
+      """title = "engine config"   # top-level key, ignored
+        |
+        |[cohere]
+        |api_key = "not-a-real-key"
+        |model = "multilingual-22-12"
+        |
+        |[db]
+        |persist_dir = '/tmp/toml-root'
+        |postgres_username = "postgres"
+        |postgres_port = 5432
+        |ferretdb_tcp = "localhost:8080"
+        |
+        |[ivf]
+        |nlist = 64        # trailing comment
+        |nprobe = 8
+        |
+        |[dedup]
+        |bits_per_band = 12
+        |bands = 3
+        |""".stripMargin.getBytes)
+    val cfg = GraftConfig.parseFrom(f.getPath)
+    assert(cfg.persistDir == "/tmp/toml-root")
+    assert(cfg.embedderModel == "multilingual-22-12")
+    assert(cfg.embedDim == 768) // pulled from the model map
+    assert(cfg.ivfNlist == 64 && cfg.ivfNprobe == 8)
+    assert(cfg.dedupBitsPerBand == 12 && cfg.dedupBands == 3)
+    assert(cfg.kmeansIters == GraftConfig.default.kmeansIters)
+  }
+
+  test("TOML parser: strings, escapes, comments, malformed input") {
+    assert(GraftConfig.parseToml(
+      """a = "x \" y \\ z"
+        |b = 'lit "quoted"'
+        |c = 1_000
+        |d = true
+        |e = -2.5
+        |""".stripMargin) == Map("a" -> "x \" y \\ z",
+        "b" -> "lit \"quoted\"", "c" -> "1000", "d" -> "true",
+        "e" -> "-2.5"))
+    // '#' inside a quoted string is content, not a comment
+    assert(GraftConfig.parseToml("k = \"a # b\"  # real comment")
+      == Map("k" -> "a # b"))
+    // out-of-scope and malformed constructs fail loudly with a line number
+    for (bad <- Seq("k = [1, 2]", "k = 1979-05-27", "[t", "[[arr]]",
+        "just a line", "k = \"unterminated", "k =")) {
+      val e = intercept[IllegalArgumentException] {
+        GraftConfig.parseToml(bad) }
+      assert(e.getMessage.contains("line 1"), s"for: $bad → ${e.getMessage}")
+    }
+    // duplicate keys are an error, matching TOML semantics
+    intercept[IllegalArgumentException] {
+      GraftConfig.parseToml("a = 1\na = 2\n") }
+    // malformed int surfaces the config key, not a bare NumberFormat
+    val dir = tmpDir("config-toml-bad")
+    val f = new java.io.File(dir, "bad.toml")
+    java.nio.file.Files.write(f.toPath, "[ivf]\nnlist = \"8x\"\n".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.parseFrom(f.getPath) }
+    assert(e.getMessage.contains("ivf_nlist"))
+  }
+
   test("autoBitsPerBand holds expected bucket size near the target") {
     // small corpora keep the default floor
     assert(GraftConfig.autoBitsPerBand(0L) == 8)
