@@ -252,6 +252,75 @@ object MqlPipeline {
             .filter(col(spec.asText()) > 0) // empty input -> no document
           grouped = true
 
+        case "$sortByCount" =>
+          // {$sortByCount: <expr>} ≡ $group{_id: expr, count: {$sum: 1}}
+          // + $sort{count: -1}. Mongo leaves equal-count order
+          // undefined; this engine breaks ties by _id ascending so the
+          // stage is deterministic (documented divergence, same spirit
+          // as the $addToSet canonical-order choice).
+          require(!grouped, "$sortByCount after $group unsupported")
+          cur = cur.groupBy(valueExpr(spec, meta, cur).as("_id"))
+            .agg(count(lit(1)).as("count"))
+            .orderBy(col("count").desc, col("_id").asc)
+          grouped = true
+
+        case "$bucket" =>
+          // {groupBy: "$f", boundaries: [b0 < b1 < ...], default: d,
+          //  output: {name: accum, ...}}: each row lands in the
+          // half-open [b_i, b_{i+1}) bucket labeled by its LOWER bound
+          // (Mongo's _id contract); out-of-range rows take the default
+          // label, or — matching Mongo's error — fail the job via
+          // raise_error when no default is given. NUMERIC boundaries
+          // only (the overwhelmingly common form; string/date
+          // boundaries fail loudly). Output documents sort by _id,
+          // Mongo's documented stage order.
+          require(!grouped, "$bucket after $group unsupported")
+          val gbN = spec.get("groupBy")
+          require(gbN != null && gbN.isTextual &&
+            gbN.asText().startsWith("$"),
+            s"$$bucket groupBy must be a \"$$field\" path: $spec")
+          val bN = spec.get("boundaries")
+          require(bN != null && bN.isArray && bN.size() >= 2 &&
+            bN.elements().asScala.forall(_.isNumber),
+            s"$$bucket needs >=2 NUMERIC ascending boundaries: $spec")
+          val bs = bN.elements().asScala.toSeq.map(_.asDouble())
+          require(bs.sliding(2).forall(p => p(0) < p(1)),
+            s"$$bucket boundaries must be strictly ascending: $spec")
+          // _id stays integral when every literal is (long column);
+          // any fractional literal promotes the whole label space
+          val integral = bN.elements().asScala.forall(_.isIntegralNumber)
+          def idLit(d: Double): Column =
+            if (integral) lit(d.toLong) else lit(d)
+          val f = gbN.asText().drop(1)
+          val v =
+            if (cur.columns.contains(f)) col(f).cast("double")
+            else MqlFilter.JsonResolver(meta).num(f)
+          val defN = spec.get("default")
+          require(defN == null || defN.isNumber,
+            s"$$bucket default must be numeric here (label space is " +
+              s"numeric): $spec")
+          val fallback: Column =
+            if (defN != null) {
+              if (integral && defN.isIntegralNumber) lit(defN.asLong())
+              else lit(defN.asDouble())
+            } else raise_error(concat(
+              lit("$bucket value outside boundaries with no default: "),
+              v.cast("string")))
+              .cast(if (integral) "long" else "double")
+          val bucketId = bs.init.zip(bs.tail).foldLeft(
+            when(lit(false), idLit(0))) { case (acc, (lo, hi)) =>
+              acc.when(v >= lo && v < hi, idLit(lo)) }
+            .otherwise(fallback)
+          val outN = spec.get("output")
+          val outs: Seq[Column] =
+            if (outN == null) Seq(count(lit(1)).as("count"))
+            else outN.properties().asScala.toSeq.map(e =>
+              accumulator(e.getValue, meta, cur, sortKeys).as(e.getKey))
+          cur = cur.groupBy(bucketId.as("_id"))
+            .agg(outs.head, outs.tail: _*)
+            .orderBy(col("_id").asc)
+          grouped = true
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }

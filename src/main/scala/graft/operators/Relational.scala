@@ -818,6 +818,40 @@ object Relational {
         array_join(transform(col("docs"), _.cast("string")), ",")
           .as("docs"))
 
+  /** $sortByCount under the gate: the Mongo frequency-table shorthand
+    * ($group by value + $sort by count desc). Equal counts order by
+    * _id ascending in both engines — the stage's documented
+    * deterministic tie-break. */
+  def mqlSortByCount(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 100}}},
+        | {"$sortByCount": "$lang"}
+        |]""".stripMargin)
+
+  /** $bucket under the gate: half-open numeric ranges labeled by lower
+    * bound, out-of-range rows (both below 100 and above 500 exist in
+    * the data) landing in the default bucket, and a non-default output
+    * accumulator set — the Mongo histogram idiom as ONE grouped
+    * aggregation (a when-chain bucket id, no joins, no second pass). */
+  def mqlBucket(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$bucket": {"groupBy": "$n_chars",
+        |   "boundaries": [100, 200, 300, 400, 500],
+        |   "default": -1,
+        |   "output": {
+        |     "n": {"$sum": 1},
+        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}},
+        |     "max_chars": {"$max": {"$toLong": "$n_chars"}}}}}
+        |]""".stripMargin)
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1051,6 +1085,22 @@ object Relational {
         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang ORDER BY _id""".stripMargin,
+    "mql_sort_by_count" ->
+      """SELECT lang AS _id, count(*) AS count
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY count DESC, _id""".stripMargin,
+    "mql_bucket" ->
+      """SELECT CAST(CASE
+        |    WHEN n_chars >= 100 AND n_chars < 200 THEN 100
+        |    WHEN n_chars >= 200 AND n_chars < 300 THEN 200
+        |    WHEN n_chars >= 300 AND n_chars < 400 THEN 300
+        |    WHEN n_chars >= 400 AND n_chars < 500 THEN 400
+        |    ELSE -1 END AS BIGINT) AS _id,
+        |  count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
     "mql_pipeline" ->
       """SELECT lang AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1191,6 +1241,8 @@ object Relational {
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),
     "mql_unwind" -> (mqlUnwind _),
+    "mql_sort_by_count" -> (mqlSortByCount _),
+    "mql_bucket" -> (mqlBucket _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),

@@ -303,6 +303,57 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$sortByCount: frequency table, count desc, ties by _id asc") {
+    // grp a and b both have 2 docs — the tie lands in _id order
+    val got = run("""[{"$sortByCount": "$grp"}]""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("$bucket: lower-bound labels, default bucket, output accumulators") {
+    val got = run(
+      """[{"$bucket": {"groupBy": "$v",
+        | "boundaries": [0, 10, 50], "default": -1,
+        | "output": {"n": {"$sum": 1},
+        |   "total": {"$sum": {"$toLong": "$v"}}}}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // v=5,7 -> [0,10); v=10,20 -> [10,50); v=100 -> default
+    assert(got == Seq((-1L, 1L, 100L), (0L, 2L, 12L), (10L, 2L, 30L)))
+    // absent output -> Mongo's implicit {count: {$sum: 1}}
+    val counts = run(
+      """[{"$bucket": {"groupBy": "$v",
+        | "boundaries": [0, 1000]}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts == Seq((0L, 5L)))
+    // fractional boundary promotes the label space to double
+    val dbl = run(
+      """[{"$bucket": {"groupBy": "$v",
+        | "boundaries": [0.5, 1000.0]}}]""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(dbl == Seq((0.5, 5L)))
+  }
+
+  test("$bucket: out-of-range without default fails; bad specs raise") {
+    val e = intercept[Exception] {
+      run("""[{"$bucket": {"groupBy": "$v",
+        | "boundaries": [0, 50]}}]""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("outside boundaries") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside boundaries")))
+    intercept[IllegalArgumentException] { // non-ascending
+      run("""[{"$bucket": {"groupBy": "$v", "boundaries": [10, 10]}}]""")
+    }
+    intercept[IllegalArgumentException] { // string boundaries unsupported
+      run("""[{"$bucket": {"groupBy": "$grp",
+        | "boundaries": ["a", "z"]}}]""".stripMargin)
+    }
+    intercept[IllegalArgumentException] { // groupBy must be a field path
+      run("""[{"$bucket": {"groupBy": 3, "boundaries": [0, 1]}}]""")
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
