@@ -70,6 +70,92 @@ object Quantize {
 
   private val Dim = 64
 
+  // ---- Product quantization (PQ) + asymmetric distance (ADC) ----
+  //
+  // The scale path past scalar int8: split each 64-dim vector into M=8
+  // subspaces of 8 dims, store ONE byte per subspace (the id of the
+  // nearest sub-codeword) — 8 bytes/vector vs 256, a 32× shrink — and
+  // answer queries from a per-query lookup table of
+  // (subspace × codeword) → partial distance, so scanning candidates
+  // never touches float vectors at all. At 100 TB this is the
+  // difference between scanning 100 TB of floats and ~3 TB of codes;
+  // the exact float column stays the ground truth for the re-rank.
+  //
+  // Determinism contract (oracle-replicable, same device as ann_ivf's
+  // fixed centroids): the codebook for subspace m is the m-th subvector
+  // of the K=16 lowest-id vectors; assignment = argmin of the
+  // left-to-right-folded squared L2, ties to the lowest codeword id.
+  // A trained KMeans codebook drops in without changing the plan shape
+  // (IvfIndex.fitKMeans is the deterministic fitter) but would put the
+  // oracle out of reach.
+
+  private val M = 8 // subspaces
+  private val SubDim = Dim / M
+  private val K = 16 // codewords per subspace
+
+  /** PQ encode → parquet (8 tinyint codes/vector) → read back → ADC
+    * candidate scan (LUT lookups only, no float math per candidate) →
+    * exact re-rank of the top-50 on the float vectors: top-10 near
+    * query vector 77 by L2. The compressed store AND the ADC ranking
+    * both sit under the oracle gate. */
+  def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    // bounded driver collect: exactly K=16 codebook rows (the IvfIndex
+    // centroid-collect precedent), plus the 1-row query vector
+    val cents: Array[Array[Double]] = e.filter(col("vec_id") < K)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == K, s"expected $K codebook vectors")
+    val q: Array[Double] = e.filter(col("vec_id") === 77)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+
+    def subCol(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    def centSub(k: Int, m: Int): Seq[Double] =
+      cents(k).slice(m * SubDim, (m + 1) * SubDim).toSeq
+    // argmin over the K sub-codewords; array_position finds the FIRST
+    // minimum, so ties land on the lowest codeword id (the contract)
+    val codeCols: Seq[Column] = (0 until M).map { m =>
+      val dists = array((0 until K).map(k =>
+        l2Sq(subCol(col("embedding"), m), typedLit(centSub(k, m)))): _*)
+      (array_position(dists, array_min(dists)) - 1)
+        .cast("byte").as(s"c$m")
+    }
+    val out = graft.core.Scratch.dir("pq", dir)
+    e.select(col("vec_id") +: col("label") +: codeCols: _*)
+      .write.mode("overwrite").parquet(out)
+    val codes = s.read.parquet(out)
+
+    // per-query ADC lookup table, driver-computed with the identical
+    // left-to-right fold the oracle's list comprehension uses
+    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
+      Array.tabulate(K) { k =>
+        var acc = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val d = q(m * SubDim + i) - cents(k)(m * SubDim + i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    val dAdc: Column = (0 until M).map(m =>
+        element_at(typedLit(lut(m).toSeq), col(s"c$m").cast("int") + 1))
+      .reduceLeft(_ + _) // m-ascending fold, matching the oracle
+    val cand = codes.filter(col("vec_id") =!= 77)
+      .withColumn("d_adc", dAdc)
+      .orderBy(col("d_adc").asc, col("vec_id").asc)
+      .limit(50)
+    val qv = e.filter(col("vec_id") === 77).select(col("embedding").as("qv"))
+    cand.select("vec_id", "label")
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label")
+  }
+
   val oracle: Map[String, String] = Map(
     "quantize_topk" -> {
       def deq(e: String): String =
@@ -94,10 +180,57 @@ object Quantize {
          |  DESC,
          |  vec_id ASC
          |LIMIT 10""".stripMargin
+    },
+    "pq_adc_topk" -> {
+      // identical PQ math in SQL: per-(vector, subspace) codeword
+      // assignment by windowed argmin (ties → lowest cid), codes and
+      // the per-query LUT pivoted into m-ordered lists, ADC distance as
+      // an m-ordered list_sum — every fold left-to-right like the
+      // Spark side's native expressions and driver LUT
+      def subL2(a: String, b: String): String =
+        s"list_sum([($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE)" +
+          s"*($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE) " +
+          s"for i in generate_series(1,$SubDim)])"
+      def fullL2(a: String, b: String): String =
+        s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)" +
+          s"*($a[i]::DOUBLE - $b[i]::DOUBLE) " +
+          s"for i in generate_series(1,$Dim)])"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv
+         |          FROM embeddings WHERE vec_id < $K),
+         |assign AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT e.vec_id, t.m, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, t.m
+         |        ORDER BY ${subL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+         |        AS rn
+         |    FROM embeddings e, generate_series(0, ${M - 1}) t(m), cents c)
+         |  WHERE rn = 1),
+         |codes AS (SELECT vec_id, list(cid ORDER BY m) AS cs
+         |          FROM assign GROUP BY vec_id),
+         |lut AS (SELECT t.m, list(${subL2("q.qv", "c.cv")} ORDER BY c.cid)
+         |          AS dl
+         |        FROM generate_series(0, ${M - 1}) t(m), cents c, q
+         |        GROUP BY t.m),
+         |luts AS (SELECT list(dl ORDER BY m) AS ll FROM lut),
+         |adc AS (
+         |  SELECT c.vec_id,
+         |    list_sum([ll[m][c.cs[m] + 1]
+         |      for m in generate_series(1, $M)]) AS d_adc
+         |  FROM codes c, luts),
+         |coarse AS (
+         |  SELECT e.vec_id, e.label, e.embedding
+         |  FROM adc JOIN embeddings e ON adc.vec_id = e.vec_id
+         |  WHERE e.vec_id <> 77
+         |  ORDER BY adc.d_adc ASC, e.vec_id ASC LIMIT 50)
+         |SELECT vec_id, label FROM coarse, q
+         |ORDER BY ${fullL2("embedding", "qv")} ASC, vec_id ASC
+         |LIMIT 10""".stripMargin
     }
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "quantize_topk" -> (quantizeTopk _)
+    "quantize_topk" -> (quantizeTopk _),
+    "pq_adc_topk" -> (pqAdcTopk _)
   )
 }

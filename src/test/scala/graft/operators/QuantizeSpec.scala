@@ -31,6 +31,54 @@ class QuantizeSpec extends SparkTestBase {
     assert(bounds.getByte(0) <= 127 && bounds.getByte(1) >= -127)
   }
 
+  test("PQ: codes store as 8 tinyints in [0,16); gate plan returns 10") {
+    // run the registered pipeline once; inspect its persisted code table
+    val got = Quantize.pqAdcTopk(spark, sf0001)
+    assert(got.count() == 10)
+    val codes = spark.read.parquet(
+      graft.core.Scratch.dir("pq", sf0001))
+    val codeFields = codes.schema.fields.filter(_.name.startsWith("c"))
+    assert(codeFields.length == 8 &&
+      codeFields.forall(_.dataType == ByteType))
+    val mx = codes.select(greatest(
+      codeFields.map(f => max(col(f.name))): _*)).head().getByte(0)
+    val mn = codes.select(least(
+      codeFields.map(f => min(col(f.name))): _*)).head().getByte(0)
+    assert(mn >= 0 && mx < 16, s"codes out of range: [$mn, $mx]")
+    // every corpus vector got exactly one row of codes
+    assert(codes.count() ==
+      spark.read.parquet(s"$sf0001/embeddings.parquet").count())
+  }
+
+  test("PQ ADC ranking is deterministic and far above chance recall") {
+    import graft.functions.VectorFunctions.l2Sq
+    // brute-force exact top-10 for the gate's query vector
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = e.count()
+    val qv = e.filter(col("vec_id") === 77)
+      .select(col("embedding").as("qv"))
+    val exact = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 77)
+      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = Quantize.pqAdcTopk(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    // the synthetic near-uniform embeddings are PQ's worst case (same
+    // as the IVF recall sweep in BASELINE.md — distances concentrate,
+    // 8 bytes of code can't fully discriminate), so the 50-candidate
+    // ADC stage recovers PART of the exact top-10, not all. The honest
+    // property: recall is far above the ~50/n chance line (random 50
+    // candidates would hit ~10*50/n of the top-10), and the ranking is
+    // bit-deterministic (the oracle gate replays the identical math).
+    val recall = pq.toSet.intersect(exact).size
+    val chance = 10.0 * 50.0 / n
+    assert(recall >= math.max(2, math.ceil(2 * chance).toInt),
+      s"recall@10=$recall not above chance ($chance) for n=$n")
+    val again = Quantize.pqAdcTopk(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(pq.sameElements(again), "PQ pipeline must be deterministic")
+  }
+
   test("zero vector quantizes to zeros and dequantizes to zeros") {
     import spark.implicits._
     val z = Seq(Seq.fill(8)(0.0f)).toDF("embedding")

@@ -316,4 +316,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("NestedLoop"), p)
   }
+
+  test("pq_adc_topk: ADC candidate stage is LUT-only top-k, no cartesian") {
+    val p = plan(graft.operators.Quantize.pqAdcTopk(spark, sf0001))
+    // candidate scan ranks via TakeOrderedAndProject over the CODE
+    // table (8 tinyints/row); the float vectors only join back for the
+    // 50-row re-rank, and the query vector broadcasts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // the ADC ranking must not read the embedding column — it runs on
+    // the compressed codes alone (count the scans that read it: only
+    // the re-rank join's side and the 1-row query lookup may)
+    val adcScan = p.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(adcScan.exists(l => l.contains("c0") && !l.contains("embedding")),
+      s"code scan should not read embeddings:\n${adcScan.mkString("\n")}")
+  }
 }
