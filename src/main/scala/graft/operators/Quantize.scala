@@ -156,6 +156,62 @@ object Quantize {
       .select("vec_id", "label")
   }
 
+  /** IVF ∘ PQ — the production composition (the FAISS IVF-ADC shape):
+    * coarse centroids prune the corpus to the probed lists, then the
+    * ADC lookup table ranks what's left, then the exact re-rank. Every
+    * stage is a per-row expression over one scan — coarse argmin, code
+    * argmin, LUT sum — so the WHOLE candidate pipeline is
+    * zero-Exchange: the only movement is the top-50 heap merge
+    * (TakeOrderedAndProject), exactly like ann_ivf. Shares the fixed
+    * centroids/codebook/query fixture with ann_ivf and pq_adc_topk so
+    * all three oracles agree on the approximation being tested. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (centsF, qF) = IvfIndex.fixedCentroidsAndQuery(e)
+    val probes = centsF
+      .map { case (cid, cv) => (cid, IvfIndex.l2sqLocal(cv, qF)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1)
+    val cents: Array[Array[Double]] =
+      centsF.map(_._2.map(_.toDouble)).toArray
+    val q: Array[Double] = qF.map(_.toDouble)
+
+    def subCol(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    def centSub(k: Int, m: Int): Seq[Double] =
+      cents(k).slice(m * SubDim, (m + 1) * SubDim).toSeq
+    val codeCols: Seq[Column] = (0 until M).map { m =>
+      val dists = array((0 until K).map(k =>
+        l2Sq(subCol(col("embedding"), m), typedLit(centSub(k, m)))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
+    }
+    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
+      Array.tabulate(K) { k =>
+        var acc = 0.0
+        var i = 0
+        while (i < SubDim) {
+          val d = q(m * SubDim + i) - cents(k)(m * SubDim + i)
+          acc += d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    val dAdc: Column = (0 until M).map(m =>
+        element_at(typedLit(lut(m).toSeq), col(s"c$m") + 1))
+      .reduceLeft(_ + _)
+    val qlit = array(qF.map(lit(_)): _*)
+    e.withColumn("cid", IvfIndex.assignCid(centsF, col("embedding")))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
+      .select(col("vec_id") +: col("label") +: col("embedding") +:
+        codeCols: _*)
+      .withColumn("d_adc", dAdc)
+      .orderBy(col("d_adc").asc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label")
+  }
+
   val oracle: Map[String, String] = Map(
     "quantize_topk" -> {
       def deq(e: String): String =
@@ -226,11 +282,67 @@ object Quantize {
          |SELECT vec_id, label FROM coarse, q
          |ORDER BY ${fullL2("embedding", "qv")} ASC, vec_id ASC
          |LIMIT 10""".stripMargin
-    }
+    },
+    "ann_ivf_pq" -> ivfPqOracle
   )
+
+  // def, not val: the `oracle` map above initializes first (a val here
+  // would still be null when the map captures it)
+  private def ivfPqOracle: String = {
+    def subL2(a: String, b: String): String =
+      s"list_sum([($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE)" +
+        s"*($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE) " +
+        s"for i in generate_series(1,$SubDim)])"
+    def fullL2(a: String, b: String): String =
+      s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)" +
+        s"*($a[i]::DOUBLE - $b[i]::DOUBLE) " +
+        s"for i in generate_series(1,$Dim)])"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv
+       |          FROM embeddings WHERE vec_id < $K),
+       |probes AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${fullL2("cv", "qv")} ASC, cid ASC LIMIT 4),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fullL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+       |        AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT e.vec_id, t.m, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, t.m
+       |        ORDER BY ${subL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+       |        AS rn
+       |    FROM embeddings e, generate_series(0, ${M - 1}) t(m), cents c)
+       |  WHERE rn = 1),
+       |codes AS (SELECT vec_id, list(cid ORDER BY m) AS cs
+       |          FROM assign GROUP BY vec_id),
+       |lut AS (SELECT t.m, list(${subL2("q.qv", "c.cv")} ORDER BY c.cid)
+       |          AS dl
+       |        FROM generate_series(0, ${M - 1}) t(m), cents c, q
+       |        GROUP BY t.m),
+       |luts AS (SELECT list(dl ORDER BY m) AS ll FROM lut),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    list_sum([ll[m][c.cs[m] + 1]
+       |      for m in generate_series(1, $M)]) AS d_adc
+       |  FROM codes c, luts),
+       |coarse AS (
+       |  SELECT a.vec_id, a.label, a.embedding
+       |  FROM assigned a JOIN adc ON adc.vec_id = a.vec_id
+       |  WHERE a.cid IN (SELECT cid FROM probes) AND a.vec_id <> 77
+       |  ORDER BY adc.d_adc ASC, a.vec_id ASC LIMIT 50)
+       |SELECT vec_id, label FROM coarse, q
+       |ORDER BY ${fullL2("embedding", "qv")} ASC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantize_topk" -> (quantizeTopk _),
-    "pq_adc_topk" -> (pqAdcTopk _)
+    "pq_adc_topk" -> (pqAdcTopk _),
+    "ann_ivf_pq" -> (annIvfPq _)
   )
 }

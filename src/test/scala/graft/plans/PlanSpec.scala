@@ -334,4 +334,13 @@ class PlanSpec extends SparkTestBase {
     assert(adcScan.exists(l => l.contains("c0") && !l.contains("embedding")),
       s"code scan should not read embeddings:\n${adcScan.mkString("\n")}")
   }
+
+  test("ann_ivf_pq: coarse prune + ADC rank run zero-Exchange in one scan") {
+    val p = plan(graft.operators.Quantize.annIvfPq(spark, sf0001))
+    // coarse argmin, code argmin, and the LUT sum are all per-row
+    // expressions — the only data movement is the top-k heap merge
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
