@@ -252,6 +252,31 @@ object MqlPipeline {
             .filter(col(spec.asText()) > 0) // empty input -> no document
           grouped = true
 
+        case "$unionWith" =>
+          // {"$unionWith": "coll"} or {"$unionWith": {coll, pipeline}}:
+          // concatenate the foreign collection's documents (optionally
+          // pre-shaped by a sub-pipeline) onto the stream — Mongo's
+          // multi-collection union. Column alignment is by NAME with
+          // missing columns null-filled (Mongo's absent-field shape).
+          // The current metadata root must be a column the foreign
+          // frame also carries (collections share the canonical layout)
+          // — a rebound root (post-exclusion helper) has no foreign
+          // counterpart and reads null for foreign rows.
+          require(!grouped, "$unionWith after $group unsupported")
+          val (collName, subPipe) =
+            if (spec.isTextual) (spec.asText(), None)
+            else {
+              require(spec.isObject && spec.get("coll") != null,
+                s"$$unionWith needs a collection name or {coll, " +
+                  s"pipeline}, got: $spec")
+              (spec.get("coll").asText(),
+                Option(spec.get("pipeline")).map(_.toString))
+            }
+          val (odf, ometa) = lookup(collName)
+          val other = subPipe.fold(odf)(p =>
+            aggregate(odf, ometa, p, lookup))
+          cur = cur.unionByName(other, allowMissingColumns = true)
+
         case "$sortByCount" =>
           // {$sortByCount: <expr>} ≡ $group{_id: expr, count: {$sum: 1}}
           // + $sort{count: -1}. Mongo leaves equal-count order

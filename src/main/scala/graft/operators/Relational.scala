@@ -852,6 +852,34 @@ object Relational {
         |     "max_chars": {"$max": {"$toLong": "$n_chars"}}}}}
         |]""".stripMargin)
 
+  /** $unionWith under the gate: the live collection's English docs
+    * concatenated with an "archive" collection (same canonical layout,
+    * offset ids) pre-shaped by a sub-pipeline, then rolled up — the
+    * Mongo multi-collection union. The union is a zero-shuffle
+    * concatenation; only the $group moves data. */
+  def mqlUnionWith(s: SparkSession, dir: String): DataFrame = {
+    def shaped = t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+      .select(col("doc_id"), col("meta"))
+    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
+      case "archive" =>
+        (shaped.withColumn("doc_id", col("doc_id") + 10000), col("meta"))
+      case other => throw new IllegalArgumentException(
+        s"unknown collection: $other")
+    }
+    graft.filter.MqlPipeline.aggregate(
+      shaped,
+      col("meta"),
+      """[
+        | {"$match": {"lang": "en"}},
+        | {"$unionWith": {"coll": "archive",
+        |   "pipeline": [{"$match": {"n_chars": {"$gte": 300}}}]}},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      resolver)
+  }
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1085,6 +1113,13 @@ object Relational {
         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang ORDER BY _id""".stripMargin,
+    "mql_union_with" ->
+      """WITH u AS (
+        |  SELECT lang FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT lang FROM documents WHERE n_chars >= 300)
+        |SELECT lang AS _id, count(*) AS n
+        |FROM u GROUP BY 1 ORDER BY _id""".stripMargin,
     "mql_sort_by_count" ->
       """SELECT lang AS _id, count(*) AS count
         |FROM documents WHERE n_chars >= 100
@@ -1243,6 +1278,7 @@ object Relational {
     "mql_unwind" -> (mqlUnwind _),
     "mql_sort_by_count" -> (mqlSortByCount _),
     "mql_bucket" -> (mqlBucket _),
+    "mql_union_with" -> (mqlUnionWith _),
     "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),

@@ -354,6 +354,42 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$unionWith concatenates a sibling collection, by-name aligned") {
+    import spark.implicits._
+    val other = Seq(
+      (100L, """{"grp": "z", "v": 1}""", "x"),
+      (101L, """{"grp": "a", "v": 2}""", "y")
+    ).toDF("id", "meta", "extra")
+    val resolver: String => (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.Column) = {
+      case "other" => (other, col("meta"))
+      case n => fail(s"unexpected lookup: $n")
+    }
+    // short form: every foreign document appends; the current frame's
+    // missing "extra" column null-fills (Mongo's absent-field shape)
+    val all = MqlPipeline.aggregate(df, col("meta"),
+      """[{"$unionWith": "other"}]""", resolver)
+    assert(all.count() == 7)
+    assert(all.columns.toSet == Set("id", "meta", "extra"))
+    assert(all.filter(col("extra").isNull).count() == 5)
+    // sub-pipeline form shapes the foreign side first; later stages see
+    // the union (group spans both collections)
+    val got = MqlPipeline.aggregate(df, col("meta"),
+      """[
+        | {"$match": {"grp": "a"}},
+        | {"$unionWith": {"coll": "other",
+        |   "pipeline": [{"$match": {"v": {"$gte": 2}}}]}},
+        | {"$group": {"_id": "$grp", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin, resolver)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L)))
+    // no resolver -> loud failure, same contract as $lookup
+    intercept[IllegalArgumentException] {
+      run("""[{"$unionWith": "other"}]""")
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
