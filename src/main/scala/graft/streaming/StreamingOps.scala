@@ -350,7 +350,70 @@ object StreamingOps {
     s.table(name).orderBy("event_id")
   }
 
+  /** Stateful streaming sessionization under the gate: one AvailableNow
+    * pass of the events file through [[sessionizeStateful]]. Sessions
+    * whose gap horizon the final watermark passed are closed by
+    * event-time timeout (the runtime schedules the extra timer batch
+    * after the data batch advances the watermark); each user's TRAILING
+    * session near the end of stream-time stays open and unemitted —
+    * inherent to append-mode streaming — so the oracle is the batch
+    * sessionization restricted to sessions the watermark closed. The
+    * closed prefix carries identical per-user ordinals to batch (a
+    * user's sessions close strictly in order). State is O(users). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_sess_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = sessionizeStateful(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .select(col("ts"), col("user_id"), col("event_id")))
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("user_id", "sid")
+  }
+
+  // ms mirrors of the session gap / watermark-delay pair (both 30 min)
+  private val GapMs = graft.operators.Sessions.GapUs / 1000
+
   val oracle: Map[String, String] = Map(
+    "stream_sessionize" ->
+      // batch sessionization (verbatim the `sessionize` oracle CTEs)
+      // restricted to watermark-closed sessions: timeout fires when
+      // end-of-gap (ms) < final watermark = max event ms - delay.
+      // Watermark/timeout arithmetic is in FLOORED milliseconds, the
+      // engine's event-time unit.
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > ${graft.operators.Sessions.GapUs}
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l),
+         |sess AS (
+         |  SELECT user_id, sid, count(*) AS n_events,
+         |    min(us) AS start_us, max(us) AS end_us
+         |  FROM x GROUP BY 1, 2),
+         |wm AS (SELECT CAST(floor(max(us) / 1000) AS BIGINT) - $GapMs
+         |         AS wm_ms FROM e)
+         |SELECT user_id, sid, n_events, start_us, end_us
+         |FROM sess, wm
+         |WHERE CAST(floor(end_us / 1000) AS BIGINT) + $GapMs < wm_ms
+         |ORDER BY user_id, sid""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
@@ -382,6 +445,7 @@ object StreamingOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_dedup" -> (streamDedup _),
-    "stream_dedup_bounded" -> (streamDedupBounded _)
+    "stream_dedup_bounded" -> (streamDedupBounded _),
+    "stream_sessionize" -> (streamSessionize _)
   )
 }
