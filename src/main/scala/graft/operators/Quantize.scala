@@ -93,40 +93,29 @@ object Quantize {
   private val SubDim = Dim / M
   private val K = 16 // codewords per subspace
 
-  /** PQ encode → parquet (8 tinyint codes/vector) → read back → ADC
-    * candidate scan (LUT lookups only, no float math per candidate) →
-    * exact re-rank of the top-50 on the float vectors: top-10 near
-    * query vector 77 by L2. The compressed store AND the ADC ranking
-    * both sit under the oracle gate. */
-  def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(s"$dir/embeddings.parquet")
-    // bounded driver collect: exactly K=16 codebook rows (the IvfIndex
-    // centroid-collect precedent), plus the 1-row query vector
-    val cents: Array[Array[Double]] = e.filter(col("vec_id") < K)
-      .orderBy("vec_id").select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  /** PQ code columns c0..c{M-1} for `emb` against `cents` — per
+    * subspace, argmin over the K sub-codewords; array_position finds
+    * the FIRST minimum, so ties land on the lowest codeword id (the
+    * oracle contract). Shared by both gates and the scale probe. */
+  private[graft] def pqCodeCols(cents: Array[Array[Double]],
+      emb: Column, asByte: Boolean): Seq[Column] = {
     require(cents.length == K, s"expected $K codebook vectors")
-    val q: Array[Double] = e.filter(col("vec_id") === 77)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
-
-    def subCol(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
-    def centSub(k: Int, m: Int): Seq[Double] =
-      cents(k).slice(m * SubDim, (m + 1) * SubDim).toSeq
-    // argmin over the K sub-codewords; array_position finds the FIRST
-    // minimum, so ties land on the lowest codeword id (the contract)
-    val codeCols: Seq[Column] = (0 until M).map { m =>
-      val dists = array((0 until K).map(k =>
-        l2Sq(subCol(col("embedding"), m), typedLit(centSub(k, m)))): _*)
-      (array_position(dists, array_min(dists)) - 1)
-        .cast("byte").as(s"c$m")
+    (0 until M).map { m =>
+      val dists = array((0 until K).map { k =>
+        val sub = cents(k).slice(m * SubDim, (m + 1) * SubDim).toSeq
+        l2Sq(slice(emb, m * SubDim + 1, SubDim), typedLit(sub))
+      }: _*)
+      val code = array_position(dists, array_min(dists)) - 1
+      (if (asByte) code.cast("byte") else code.cast("int")).as(s"c$m")
     }
-    val out = graft.core.Scratch.dir("pq", dir)
-    e.select(col("vec_id") +: col("label") +: codeCols: _*)
-      .write.mode("overwrite").parquet(out)
-    val codes = s.read.parquet(out)
+  }
 
-    // per-query ADC lookup table, driver-computed with the identical
-    // left-to-right fold the oracle's list comprehension uses
+  /** ADC distance for a query: a driver-computed (subspace × codeword)
+    * lookup table — identical left-to-right folds to the oracle's list
+    * comprehensions — applied to the code columns by element_at, summed
+    * m-ascending. Zero float math per candidate row. */
+  private[graft] def pqAdcCol(cents: Array[Array[Double]],
+      q: Array[Double]): Column = {
     val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
       Array.tabulate(K) { k =>
         var acc = 0.0
@@ -139,11 +128,34 @@ object Quantize {
         acc
       }
     }
-    val dAdc: Column = (0 until M).map(m =>
+    (0 until M).map(m =>
         element_at(typedLit(lut(m).toSeq), col(s"c$m").cast("int") + 1))
-      .reduceLeft(_ + _) // m-ascending fold, matching the oracle
+      .reduceLeft(_ + _)
+  }
+
+  /** PQ encode → parquet (8 tinyint codes/vector) → read back → ADC
+    * candidate scan (LUT lookups only, no float math per candidate) →
+    * exact re-rank of the top-50 on the float vectors: top-10 near
+    * query vector 77 by L2. The compressed store AND the ADC ranking
+    * both sit under the oracle gate. */
+  def pqAdcTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    // bounded driver collect: exactly K=16 codebook rows (the IvfIndex
+    // centroid-collect precedent), plus the 1-row query vector
+    val cents: Array[Array[Double]] = e.filter(col("vec_id") < K)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val q: Array[Double] = e.filter(col("vec_id") === 77)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+
+    val out = graft.core.Scratch.dir("pq", dir)
+    e.select(col("vec_id") +: col("label") +:
+        pqCodeCols(cents, col("embedding"), asByte = true): _*)
+      .write.mode("overwrite").parquet(out)
+    val codes = s.read.parquet(out)
+
     val cand = codes.filter(col("vec_id") =!= 77)
-      .withColumn("d_adc", dAdc)
+      .withColumn("d_adc", pqAdcCol(cents, q))
       .orderBy(col("d_adc").asc, col("vec_id").asc)
       .limit(50)
     val qv = e.filter(col("vec_id") === 77).select(col("embedding").as("qv"))
@@ -175,35 +187,12 @@ object Quantize {
       centsF.map(_._2.map(_.toDouble)).toArray
     val q: Array[Double] = qF.map(_.toDouble)
 
-    def subCol(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
-    def centSub(k: Int, m: Int): Seq[Double] =
-      cents(k).slice(m * SubDim, (m + 1) * SubDim).toSeq
-    val codeCols: Seq[Column] = (0 until M).map { m =>
-      val dists = array((0 until K).map(k =>
-        l2Sq(subCol(col("embedding"), m), typedLit(centSub(k, m)))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$m")
-    }
-    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
-      Array.tabulate(K) { k =>
-        var acc = 0.0
-        var i = 0
-        while (i < SubDim) {
-          val d = q(m * SubDim + i) - cents(k)(m * SubDim + i)
-          acc += d * d
-          i += 1
-        }
-        acc
-      }
-    }
-    val dAdc: Column = (0 until M).map(m =>
-        element_at(typedLit(lut(m).toSeq), col(s"c$m") + 1))
-      .reduceLeft(_ + _)
     val qlit = array(qF.map(lit(_)): _*)
     e.withColumn("cid", IvfIndex.assignCid(centsF, col("embedding")))
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
       .select(col("vec_id") +: col("label") +: col("embedding") +:
-        codeCols: _*)
-      .withColumn("d_adc", dAdc)
+        pqCodeCols(cents, col("embedding"), asByte = false): _*)
+      .withColumn("d_adc", pqAdcCol(cents, q))
       .orderBy(col("d_adc").asc, col("vec_id").asc)
       .limit(50)
       .withColumn("d", l2Sq(col("embedding"), qlit))

@@ -94,6 +94,43 @@ object ScaleProbe {
       val el = (System.nanoTime() - t0) / 1e9
       println(f"[scale-rj] mult=$mult%2d rows=${100000 * mult}%7d out=$n%8d time=$el%6.2fs per-100k-rows=${el / mult}%5.3fs")
     }
+
+    // PQ encode + ADC candidate ranking: both are per-row expressions
+    // (no shuffle until the top-k heap), so per-row cost must stay FLAT
+    // as the corpus grows — the property that makes the 32× code shrink
+    // a 100 TB play rather than a small-corpus trick. Replicas reuse the
+    // rotation trick above so no two vectors share codes trivially.
+    {
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val q = emb.filter(col("vec_id") === 77)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      def pqRank(c: org.apache.spark.sql.DataFrame): Long = {
+        c.select(col("id") +:
+            graft.operators.Quantize.pqCodeCols(
+              cents, col("embedding"), asByte = true): _*)
+          .withColumn("d_adc",
+            graft.operators.Quantize.pqAdcCol(cents, q))
+          .orderBy(col("d_adc").asc, col("id").asc).limit(50)
+          .count()
+      }
+      pqRank(emb.select(col("vec_id").as("id"), col("embedding"))) // warm
+      for (mult <- Seq(1, 4, 16, 64)) {
+        val rep = (0 until mult).map(i =>
+          emb.select((col("vec_id") + i * 1000000L).as("id"),
+            transform(sequence(lit(0), lit(63)), j =>
+              (element_at(col("embedding"), ((j + i) % 64) + 1) +
+                lit((i / 64 + 1) * 7.0e-3) * ((j + i) % 7 - 3))
+                .cast("float"))
+              .as("embedding")))
+          .reduce(_ unionAll _).repartition(32)
+        val t0 = System.nanoTime()
+        val n = pqRank(rep)
+        val el = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-pq] mult=$mult%2d rows=${2000 * mult}%7d top=$n%3d time=$el%6.2fs per-2k-rows=${el / mult}%5.3fs")
+      }
+    }
     s.stop()
   }
 }
