@@ -53,6 +53,46 @@ object RecallProbe {
       }
       println(f"[recall] nprobe=$nprobe%2d recall@10=${rec / queries.length}%.3f scanned=${frac / queries.length * 100}%.1f%%")
     }
+
+    // PQ ADC recall sweep: recall@10 of the exact top-10 inside the
+    // ADC-ranked top-C candidate set, as the candidate budget C grows —
+    // the PQ analogue of the nprobe dial (the gates pin C=50). Same
+    // fixed codebook contract as the gates: subvectors of the 16
+    // lowest-id vectors, argmin with lowest-id tie-break.
+    val k16 = vecs.take(16).map(_._2.map(_.toDouble))
+    val M = 8; val SubDim = 8
+    def subL2(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var acc = 0.0; var i = m * SubDim
+      while (i < (m + 1) * SubDim) {
+        val d = a(i) - b(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val codes = vecs.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      id -> Array.tabulate(M)(m =>
+        k16.indices.minBy(k => (subL2(v, k16(k), m), k)))
+    }.toMap
+    for (c <- Seq(25, 50, 100, 200, 400)) {
+      var rec = 0.0
+      for ((qid, qvf) <- queries) {
+        val qv = qvf.map(_.toDouble)
+        val lut = Array.tabulate(M, 16)((m, k) => subL2(qv, k16(k), m))
+        val exact = vecs.filter(_._1 != qid)
+          .sortBy { case (id, v) => (l2sqLocal(v, qvf), id) }
+          .take(k).map(_._1).toSet
+        val adcTop = vecs.filter(_._1 != qid)
+          .map { case (id, _) =>
+            val cs = codes(id)
+            var d = 0.0; var m = 0
+            while (m < M) { d += lut(m)(cs(m)); m += 1 }
+            (id, d)
+          }
+          .sortBy { case (id, d) => (d, id) }.take(c).map(_._1).toSet
+        rec += (exact intersect adcTop).size.toDouble / k
+      }
+      println(f"[recall-pq] cand=$c%3d recall@10=${rec / queries.length}%.3f scanned=${c * 100.0 / vecs.length}%.1f%%")
+    }
     s.stop()
   }
 }
