@@ -335,6 +335,33 @@ class PlanSpec extends SparkTestBase {
       s"code scan should not read embeddings:\n${adcScan.mkString("\n")}")
   }
 
+  test("runtime bloom-filter join pruning engages when enabled") {
+    // the 100 TB lever Spark ships for selective dim->fact joins: the
+    // dimension's filter propagates to the fact scan as a runtime
+    // bloom filter, discarding non-joining fact rows BEFORE the
+    // shuffle. Off by default; this locks that the engine's plans are
+    // shaped so the optimizer can inject it when a deployment turns it
+    // on (shuffle join + selective creation side + plain equi-keys).
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "100",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("ann_ivf_pq: coarse prune + ADC rank run zero-Exchange in one scan") {
     val p = plan(graft.operators.Quantize.annIvfPq(spark, sf0001))
     // coarse argmin, code argmin, and the LUT sum are all per-row
