@@ -31,11 +31,20 @@ final case class GraftConfig(
     // the dial that keeps the in-bucket quadratic expansion bounded as
     // the corpus grows (see GraftConfig.autoBitsPerBand)
     dedupBitsPerBand: Int = 8,
-    dedupBands: Int = 2) {
+    dedupBands: Int = 2,
+    // text MinHash-LSH dials: signature length and band count (rows per
+    // band = minhash_k / text_bands) — fewer rows per band raises
+    // recall, more lowers candidate volume; the scale dial the text
+    // dedup docs point at
+    minhashK: Int = 12,
+    textBands: Int = 4) {
   require(embedDim > 0 && ivfNlist > 0 && ivfNprobe > 0 && kmeansIters > 0 &&
-    dedupBitsPerBand > 0 && dedupBands > 0,
+    dedupBitsPerBand > 0 && dedupBands > 0 && minhashK > 0 && textBands > 0,
     "config values must be positive")
   require(dedupBitsPerBand <= 30, "dedup_bits_per_band must fit an int bucket")
+  require(minhashK <= 64, "minhash_k capped at 64 signature rows")
+  require(minhashK % textBands == 0,
+    s"minhash_k ($minhashK) must divide evenly into text_bands ($textBands)")
 }
 
 object GraftConfig {
@@ -82,8 +91,9 @@ object GraftConfig {
     * defaults). `*.toml` parses as a TOML subset (the reference's
     * format); anything else as java.util.Properties. Recognized keys:
     * persist_dir, embedder_model, embed_dim, ivf_nlist, ivf_nprobe,
-    * kmeans_iters, dedup_bits_per_band, dedup_bands — flat, or under
-    * the TOML sections mapped by [[tomlAliases]]. `embed_dim` defaults
+    * kmeans_iters, dedup_bits_per_band, dedup_bands, minhash_k,
+    * text_bands — flat, or under the TOML sections mapped by
+    * [[tomlAliases]]. `embed_dim` defaults
     * to the model's map entry when a model is given without a
     * dimension. */
   def parseFrom(path: String): GraftConfig = {
@@ -123,7 +133,9 @@ object GraftConfig {
       ivfNprobe = int("ivf_nprobe", d.ivfNprobe),
       kmeansIters = int("kmeans_iters", d.kmeansIters),
       dedupBitsPerBand = int("dedup_bits_per_band", d.dedupBitsPerBand),
-      dedupBands = int("dedup_bands", d.dedupBands))
+      dedupBands = int("dedup_bands", d.dedupBands),
+      minhashK = int("minhash_k", d.minhashK),
+      textBands = int("text_bands", d.textBands))
   }
 
   /** TOML dotted key → flat config key. Sections follow the reference's
@@ -143,11 +155,13 @@ object GraftConfig {
     "ivf.nprobe" -> "ivf_nprobe",
     "ivf.kmeans_iters" -> "kmeans_iters",
     "dedup.bits_per_band" -> "dedup_bits_per_band",
-    "dedup.bands" -> "dedup_bands")
+    "dedup.bands" -> "dedup_bands",
+    "dedup.minhash_k" -> "minhash_k",
+    "dedup.text_bands" -> "text_bands")
 
   private val flatKeys: Set[String] = Set("persist_dir", "embedder_model",
     "embed_dim", "ivf_nlist", "ivf_nprobe", "kmeans_iters",
-    "dedup_bits_per_band", "dedup_bands")
+    "dedup_bits_per_band", "dedup_bands", "minhash_k", "text_bands")
 
   private def resolveTomlKeys(raw: Map[String, String]): Map[String, String] = {
     val (known, unknown) = raw.partition { case (k, _) =>

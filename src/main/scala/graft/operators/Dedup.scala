@@ -87,9 +87,21 @@ object Dedup {
   //    4 bands of 3 → explode → equi-join on (band, band_hash) →
   //    distinct candidates → exact-Jaccard verify (integer compare).
   // ------------------------------------------------------------------
-  private val MinhashK = 12
-  private val Bands = 4
-  private val RowsPerBand = MinhashK / Bands
+  private val MinhashK = graft.core.GraftConfig.default.minhashK
+  private val Bands = graft.core.GraftConfig.default.textBands
+
+  /** Runtime text-LSH dials, session conf over the GraftConfig defaults
+    * — the same layering as [[embedDials]]: signature length and band
+    * count, rows-per-band = k / bands (the recall/selectivity dial the
+    * banding docs point at). */
+  private[graft] def textDials(s: SparkSession): (Int, Int) = {
+    val k = confInt(s, "graft.dedup.minhash_k").getOrElse(MinhashK)
+    val bands = confInt(s, "graft.dedup.text_bands").getOrElse(Bands)
+    require(k > 0 && k <= 64 && bands > 0 && k % bands == 0,
+      s"bad text-LSH dials: minhash_k=$k text_bands=$bands " +
+        "(k must be in 1..64 and divide evenly into bands)")
+    (k, bands)
+  }
 
   /** Loud ceiling on LSH bucket membership. The in-bucket pair expansion
     * is quadratic in the bucket size, so a mega-bucket (degenerate
@@ -128,14 +140,16 @@ object Dedup {
     * hash — the shared prefix of [[lshCandidates]] and the skew probe's
     * [[lshBucketSizes]]. */
   private def bandedSignatures(corpus: DataFrame): DataFrame = {
+    val (k, bands) = textDials(corpus.sparkSession)
+    val rows = k / bands
     val sigsh = corpus
       .select(col("id"),
-        minhashShingles(tokens(col("text")), 3, MinhashK).as("ss"))
+        minhashShingles(tokens(col("text")), 3, k).as("ss"))
       .select(col("id"), col("ss.sig").as("sig"), col("ss.sh").as("sh"))
       .filter(size(col("sh")) > 0)
-    val bandHashes = array((0 until Bands).map { b =>
-      md5(concat_ws("|", (0 until RowsPerBand).map(i =>
-        element_at(col("sig"), b * RowsPerBand + i + 1)): _*))
+    val bandHashes = array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(i =>
+        element_at(col("sig"), b * rows + i + 1)): _*))
     }: _*)
     sigsh.select(col("id"), col("sh"),
       posexplode(bandHashes).as(Seq("band", "bh")))
@@ -194,6 +208,28 @@ object Dedup {
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(nearCorpus(s, dir))
+
+  /** The non-default text dial the override gate forces: 16 minhashes
+    * in 8 bands of 2 — shorter bands than the 12/4/3 default, so the
+    * candidate sets (and every md5 band formula in the oracle) differ
+    * from dedup_minhash_lsh's. */
+  private val TextDialK = 16
+  private val TextDialBands = 8
+
+  /** Text-LSH conf-override under its own gate — [[dedupEmbedCosineDial]]'s
+    * twin for the MinHash side: forces the non-default dial through the
+    * session conf, runs the ordinary [[dedupMinhashLsh]] entry, restores
+    * the conf. The oracle's signature/band CTEs are generated for the
+    * SAME dial, so conf-plumbing regressions break the hash match. */
+  def dedupTextDial(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("graft.dedup.minhash_k" -> TextDialK.toString,
+      "graft.dedup.text_bands" -> TextDialBands.toString)
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try dedupMinhashLsh(s, dir) // dials read eagerly at plan build
+    finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
 
   /** Duplicate-cluster assignment — the step that turns near-dup PAIRS
     * into a dedup DECISION (keep one doc per cluster): connected
@@ -294,14 +330,18 @@ object Dedup {
   }
 
   /** DuckDB twins of shingle/signature/banding, over a corpus CTE named
-    * `corpus(id, text)`. */
-  private def lshOracleCtes: String = {
+    * `corpus(id, text)` — generated for the given dial so the dial gate
+    * shares one definition with the default-dial oracles. */
+  private def lshOracleCtes: String = lshOracleCtes(MinhashK, Bands)
+
+  private def lshOracleCtes(k: Int, bands: Int): String = {
+    val rows = k / bands
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-    val sigElems = (0 until MinhashK).map(seed =>
+    val sigElems = (0 until k).map(seed =>
       s"list_min([md5('$seed:' || x) for x in sh])").mkString(", ")
-    val bandRows = (0 until Bands).map { b =>
-      val cc = (1 to RowsPerBand)
-        .map(i => s"sig[${b * RowsPerBand + i}]")
+    val bandRows = (0 until bands).map { b =>
+      val cc = (1 to rows)
+        .map(i => s"sig[${b * rows + i}]")
         .mkString(" || '|' || ")
       s"SELECT id, sh, $b AS band, md5($cc) AS bh FROM sig"
     }.mkString(" UNION ALL ")
@@ -568,6 +608,15 @@ object Dedup {
          |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_text_dial" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |${lshOracleCtes(TextDialK, TextDialBands)}
+         |SELECT id_a, id_b
+         |FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |  JOIN sh0 b ON b.id = cand.id_b
+         |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+         |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard_ngram" ->
       s"""WITH corpus AS ($nearCorpusSql),
          |$lshOracleCtes,
@@ -632,6 +681,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),

@@ -75,6 +75,21 @@ class ConfigSpec extends SparkTestBase {
     assert(cfg.dedupBitsPerBand == 12 && cfg.dedupBands == 3)
   }
 
+  test("text MinHash dials parse; k must divide evenly into bands") {
+    assert(GraftConfig.default.minhashK == 12 &&
+      GraftConfig.default.textBands == 4)
+    val dir = tmpDir("config-text")
+    val f = new java.io.File(dir, "t.properties")
+    java.nio.file.Files.write(f.toPath,
+      "minhash_k = 16\ntext_bands = 8\n".getBytes)
+    val cfg = GraftConfig.parseFrom(f.getPath)
+    assert(cfg.minhashK == 16 && cfg.textBands == 8)
+    intercept[IllegalArgumentException] {
+      GraftConfig(minhashK = 10, textBands = 4) // 10 % 4 != 0
+    }
+    intercept[IllegalArgumentException] { GraftConfig(minhashK = 96) }
+  }
+
   test("TOML config: sections flatten, aliases map, unknown keys ignored") {
     val dir = tmpDir("config-toml")
     val f = new java.io.File(dir, "graft.toml")
