@@ -201,6 +201,92 @@ object Quantize {
       .select("vec_id", "label")
   }
 
+  /** Residual IVF-PQ — the production FAISS IVFPQ *encoding* (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", §IV):
+    * codes are computed on the RESIDUAL `v − centroid(cid)`, not the raw
+    * vector, so the codebook only has to cover the spread *within* a
+    * coarse cell (≈10× smaller variance ⇒ the same 8 bytes/vector buy a
+    * much tighter distance estimate). The price is a per-probe ADC
+    * table: the query residual `q − centroid_c` differs per probed
+    * list, so the LUT is keyed by cid — here a literal map (nprobe=4 ×
+    * M=8 × K=16 doubles, ~4 KB broadcast with the plan) indexed by the
+    * candidate's cid at scan time. Still zero-Exchange: coarse argmin,
+    * residual, code argmin, and the per-cid LUT sum are all per-row
+    * expressions; the only movement is the top-50 heap merge.
+    *
+    * Determinism contract: codebook = residuals of vectors 16..31
+    * w.r.t. their own nearest centroid (the 16 centroid vectors have
+    * zero residual — training on them would be degenerate); all other
+    * devices (centroids vec_id<16, query 77, ties to lowest id,
+    * left-to-right folds) shared with ann_ivf / ann_ivf_pq. */
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (centsF, qF) = IvfIndex.fixedCentroidsAndQuery(e)
+    val probes = centsF
+      .map { case (cid, cv) => (cid, IvfIndex.l2sqLocal(cv, qF)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1)
+    val cents: Array[Array[Double]] =
+      centsF.map(_._2.map(_.toDouble)).toArray
+    val q: Array[Double] = qF.map(_.toDouble)
+
+    def localCid(v: Array[Double]): Int = {
+      var best = Double.MaxValue; var bc = -1; var c = 0
+      while (c < cents.length) {
+        var acc = 0.0; var i = 0
+        while (i < Dim) { val d = v(i) - cents(c)(i); acc += d * d; i += 1 }
+        if (acc < best) { best = acc; bc = c } // strict < : ties → lowest cid
+        c += 1
+      }
+      bc
+    }
+    // bounded driver collect: exactly K=16 training rows (the same
+    // budget as the codebook collect in pqAdcTopk)
+    val codebook: Array[Array[Double]] = e
+      .filter(col("vec_id") >= K && col("vec_id") < 2 * K)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val cc = cents(localCid(v))
+        Array.tabulate(Dim)(i => v(i) - cc(i))
+      }
+
+    def subL2local(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var acc = 0.0; var i = 0
+      while (i < SubDim) {
+        val d = a(m * SubDim + i) - b(m * SubDim + i); acc += d * d; i += 1
+      }
+      acc
+    }
+    // per-probe LUT on the query residual — cid → M × K partial dists
+    val lutByCid: Map[Long, Seq[Seq[Double]]] = probes.map { cid =>
+      val qr = Array.tabulate(Dim)(i => q(i) - cents(cid.toInt)(i))
+      cid -> Seq.tabulate(M)(m =>
+        Seq.tabulate(K)(k => subL2local(qr, codebook(k), m)))
+    }.toMap
+
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val lutLit = typedLit(lutByCid)
+    val qlit = array(qF.map(lit(_)): _*)
+    e.withColumn("cid", IvfIndex.assignCid(centsF, col("embedding")))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
+      .withColumn("res", zip_with(
+        col("embedding").cast("array<double>"),
+        element_at(centLit, col("cid").cast("int") + 1),
+        (a, b) => a - b))
+      .select(col("vec_id") +: col("label") +: col("embedding") +:
+        col("cid") +: pqCodeCols(codebook, col("res"), asByte = false): _*)
+      .withColumn("d_adc", (0 until M).map(m =>
+          element_at(element_at(element_at(lutLit, col("cid")), m + 1),
+            col(s"c$m") + 1))
+        .reduceLeft(_ + _))
+      .orderBy(col("d_adc").asc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label")
+  }
+
   val oracle: Map[String, String] = Map(
     "quantize_topk" -> {
       def deq(e: String): String =
@@ -272,8 +358,82 @@ object Quantize {
          |ORDER BY ${fullL2("embedding", "qv")} ASC, vec_id ASC
          |LIMIT 10""".stripMargin
     },
-    "ann_ivf_pq" -> ivfPqOracle
+    "ann_ivf_pq" -> ivfPqOracle,
+    "ann_ivf_pq_res" -> ivfPqResOracle
   )
+
+  /** Identical residual-PQ math in SQL: coarse assignment by windowed
+    * argmin, residuals as list comprehensions over double casts (float→
+    * double is exact, so Spark's zip_with and this comprehension agree
+    * bit-for-bit), codebook = residuals of vec 16..31, per-(vector,
+    * subspace) codeword argmin on the residual, per-PROBE LUT on the
+    * query residual (keyed by cid), ADC as an m-ordered list_sum —
+    * every fold left-to-right like the Spark side. */
+  private def ivfPqResOracle: String = {
+    def subL2(a: String, b: String): String =
+      s"list_sum([($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE)" +
+        s"*($a[t.m*$SubDim+i]::DOUBLE - $b[t.m*$SubDim+i]::DOUBLE) " +
+        s"for i in generate_series(1,$SubDim)])"
+    def fullL2(a: String, b: String): String =
+      s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)" +
+        s"*($a[i]::DOUBLE - $b[i]::DOUBLE) " +
+        s"for i in generate_series(1,$Dim)])"
+    def resid(v: String, c: String): String =
+      s"[$v[i]::DOUBLE - $c[i]::DOUBLE for i in generate_series(1,$Dim)]"
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv
+       |          FROM embeddings WHERE vec_id < $K),
+       |probes AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${fullL2("cv", "qv")} ASC, cid ASC LIMIT 4),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${fullL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+       |        AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |resid AS (
+       |  SELECT a.vec_id, a.label, a.embedding, a.cid,
+       |    ${resid("a.embedding", "c.cv")} AS res
+       |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+       |cb AS (
+       |  SELECT r.vec_id - $K AS k, r.res AS rv
+       |  FROM resid r WHERE r.vec_id >= $K AND r.vec_id < ${2 * K}),
+       |assign AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT r.vec_id, t.m, b.k,
+       |      row_number() OVER (PARTITION BY r.vec_id, t.m
+       |        ORDER BY ${subL2("r.res", "b.rv")} ASC, b.k ASC) AS rn
+       |    FROM resid r, generate_series(0, ${M - 1}) t(m), cb b)
+       |  WHERE rn = 1),
+       |codes AS (SELECT vec_id, list(k ORDER BY m) AS cs
+       |          FROM assign GROUP BY vec_id),
+       |qres AS (
+       |  SELECT c.cid, ${resid("q.qv", "c.cv")} AS qr
+       |  FROM cents c, q WHERE c.cid IN (SELECT cid FROM probes)),
+       |lut AS (SELECT qres.cid, t.m,
+       |          list(${subL2("qres.qr", "b.rv")} ORDER BY b.k) AS dl
+       |        FROM qres, generate_series(0, ${M - 1}) t(m), cb b
+       |        GROUP BY qres.cid, t.m),
+       |luts AS (SELECT cid, list(dl ORDER BY m) AS ll
+       |         FROM lut GROUP BY cid),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    list_sum([l.ll[m][c.cs[m] + 1]
+       |      for m in generate_series(1, $M)]) AS d_adc
+       |  FROM codes c
+       |  JOIN resid r ON c.vec_id = r.vec_id
+       |  JOIN luts l ON r.cid = l.cid),
+       |coarse AS (
+       |  SELECT r.vec_id, r.label, r.embedding
+       |  FROM resid r JOIN adc ON adc.vec_id = r.vec_id
+       |  WHERE r.vec_id <> 77
+       |  ORDER BY adc.d_adc ASC, r.vec_id ASC LIMIT 50)
+       |SELECT vec_id, label FROM coarse, q
+       |ORDER BY ${fullL2("embedding", "qv")} ASC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   // def, not val: the `oracle` map above initializes first (a val here
   // would still be null when the map captures it)
@@ -332,6 +492,7 @@ object Quantize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantize_topk" -> (quantizeTopk _),
     "pq_adc_topk" -> (pqAdcTopk _),
-    "ann_ivf_pq" -> (annIvfPq _)
+    "ann_ivf_pq" -> (annIvfPq _),
+    "ann_ivf_pq_res" -> (annIvfPqRes _)
   )
 }

@@ -370,4 +370,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ann_ivf_pq_res: residual encode + per-cid LUT stay zero-Exchange") {
+    val p = plan(graft.operators.Quantize.annIvfPqRes(spark, sf0001))
+    // the residual zip_with and the cid-keyed map LUT are still per-row
+    // expressions — residual encoding must not introduce a join against
+    // a centroid/LUT table
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -93,6 +93,59 @@ object RecallProbe {
       }
       println(f"[recall-pq] cand=$c%3d recall@10=${rec / queries.length}%.3f scanned=${c * 100.0 / vecs.length}%.1f%%")
     }
+
+    // Residual-PQ ADC sweep: same candidate-budget dial and byte budget
+    // (8 codes/vector), but codes on the v − centroid residual with a
+    // per-cid query-residual LUT — the ann_ivf_pq_res gate contract
+    // (cents = 16 lowest vectors, codebook = residuals of vecs 16..31).
+    // The delta vs [recall-pq] quantifies what residual encoding buys.
+    def nearestFix(v: Array[Double]): Int = {
+      var best = Double.MaxValue; var bc = -1; var c = 0
+      while (c < 16) {
+        var acc = 0.0; var i = 0
+        while (i < v.length) {
+          val d = v(i) - k16(c)(i); acc += d * d; i += 1
+        }
+        if (acc < best) { best = acc; bc = c }
+        c += 1
+      }
+      bc
+    }
+    val dvecs = vecs.map { case (id, vf) => id -> vf.map(_.toDouble) }
+    val cidFix = dvecs.map { case (id, v) => id -> nearestFix(v) }.toMap
+    val resOf = dvecs.map { case (id, v) =>
+      val cc = k16(cidFix(id))
+      id -> Array.tabulate(v.length)(i => v(i) - cc(i))
+    }.toMap
+    val cbRes = vecs.slice(16, 32).map { case (id, _) => resOf(id) }
+    val codesRes = vecs.map { case (id, _) =>
+      val r = resOf(id)
+      id -> Array.tabulate(M)(m =>
+        cbRes.indices.minBy(k => (subL2(r, cbRes(k), m), k)))
+    }.toMap
+    for (c <- Seq(25, 50, 100, 200, 400)) {
+      var rec = 0.0
+      for ((qid, qvf) <- queries) {
+        val qv = qvf.map(_.toDouble)
+        val luts = Array.tabulate(16) { cidx =>
+          val qr = Array.tabulate(qv.length)(i => qv(i) - k16(cidx)(i))
+          Array.tabulate(M, 16)((m, k) => subL2(qr, cbRes(k), m))
+        }
+        val exact = vecs.filter(_._1 != qid)
+          .sortBy { case (id, v) => (l2sqLocal(v, qvf), id) }
+          .take(k).map(_._1).toSet
+        val adcTop = vecs.filter(_._1 != qid)
+          .map { case (id, _) =>
+            val cs = codesRes(id); val lut = luts(cidFix(id))
+            var d = 0.0; var m = 0
+            while (m < M) { d += lut(m)(cs(m)); m += 1 }
+            (id, d)
+          }
+          .sortBy { case (id, d) => (d, id) }.take(c).map(_._1).toSet
+        rec += (exact intersect adcTop).size.toDouble / k
+      }
+      println(f"[recall-pq-res] cand=$c%3d recall@10=${rec / queries.length}%.3f scanned=${c * 100.0 / vecs.length}%.1f%%")
+    }
     s.stop()
   }
 }
