@@ -22,7 +22,9 @@ import scala.jdk.CollectionConverters._
   * numeric metadata view), $limit, $skip, $project (inclusion /
   * exclusion — real columns AND metadata fields, incl. dotted paths /
   * computed fields, "$$ROOT" for the whole document), $addFields,
-  * $replaceRoot (path and document forms), $count.
+  * $replaceRoot (path and document forms), $count, $setWindowFields
+  * (rank/denseRank/documentNumber, windowed accumulators with documents
+  * bounds, $shift — mapped 1:1 onto Spark's Window API).
   *
   * Value expressions: `"$field"` is the STRING view of a metadata field;
   * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
@@ -97,20 +99,7 @@ object MqlPipeline {
         case "$sort" =>
           val keyPairs = spec.properties().asScala.toSeq.flatMap { e =>
             val desc = e.getValue.asInt() < 0
-            val bases: Seq[Column] =
-              if (cur.columns.contains(e.getKey)) Seq(col(e.getKey))
-              else {
-                // Mongo/BSON sort order across types: missing/null <
-                // numbers < strings; inside a class, by value
-                val r = MqlFilter.JsonResolver(meta)
-                val rank = when(!r.exists(e.getKey) ||
-                    r.typeName(e.getKey) === "null", 0)
-                  .when(r.typeName(e.getKey).isin("long", "double"), 1)
-                  .when(r.typeName(e.getKey) === "string", 2)
-                  .otherwise(3)
-                Seq(rank, r.num(e.getKey), r.str(e.getKey))
-              }
-            bases.map(b => (b, desc))
+            sortBases(e.getKey, cur, meta).map(b => (b, desc))
           }
           if (!grouped) sortKeys = keyPairs
           cur = cur.orderBy(keyPairs.map { case (b, desc) =>
@@ -346,6 +335,112 @@ object MqlPipeline {
             .orderBy(col("_id").asc)
           grouped = true
 
+        case "$setWindowFields" =>
+          // Mongo 5.0's window-function stage — the one MQL stage that
+          // IS Spark's Window API: partitionBy/sortBy/output map 1:1 to
+          // Window.partitionBy/orderBy/over, so the whole stage stays
+          // inside the single Catalyst plan (one Window node; Spark
+          // groups same-spec functions into one pass).
+          //  - rank ops: $rank/$denseRank/$documentNumber (require
+          //    sortBy, frameless — Spark's contract too)
+          //  - accumulators: $sum/$avg/$min/$max/$count with optional
+          //    {window: {documents: [lo, hi]}} bounds (lo/hi =
+          //    "unbounded" | "current" | integer offset). Mongo's
+          //    DEFAULT window is the whole partition — Spark's default
+          //    frame with an orderBy is unbounded-preceding..current,
+          //    so the frame is ALWAYS set explicitly.
+          //  - $shift {output, by, default}: by > 0 → following row
+          //    (lead), by < 0 → preceding (lag); requires sortBy.
+          // Range ("range") and time-unit windows are unsupported and
+          // fail loudly.
+          val outN = spec.get("output")
+          require(outN != null && outN.isObject && !outN.isEmpty,
+            s"$$setWindowFields needs a non-empty output document: $spec")
+          val partCols: Seq[Column] = Option(spec.get("partitionBy")).toSeq
+            .map(p => valueExpr(p, meta, cur))
+          val sortPairs: Seq[(Column, Boolean)] =
+            Option(spec.get("sortBy")).toSeq
+              .flatMap(_.properties().asScala.toSeq).flatMap { e =>
+                val desc = e.getValue.asInt() < 0
+                sortBases(e.getKey, cur, meta).map(b => (b, desc))
+              }
+          val sortCols = sortPairs.map { case (b, desc) =>
+            if (desc) b.desc else b.asc }
+          import org.apache.spark.sql.expressions.Window
+          val baseW = Window.partitionBy(partCols: _*)
+          def orderedW(opName: String) = {
+            require(sortCols.nonEmpty,
+              s"$opName requires a sortBy in $$setWindowFields")
+            baseW.orderBy(sortCols: _*)
+          }
+          def docBound(n: JsonNode, lower: Boolean): Long =
+            if (n.isTextual) n.asText() match {
+              case "unbounded" =>
+                if (lower) Window.unboundedPreceding
+                else Window.unboundedFollowing
+              case "current" => Window.currentRow
+              case other => throw new IllegalArgumentException(
+                s"unsupported window bound: $other")
+            } else {
+              require(n.isIntegralNumber,
+                s"documents bound must be integer/unbounded/current: $n")
+              n.asLong()
+            }
+          val outCols = outN.properties().asScala.toSeq.map { out =>
+            val opEntries = out.getValue.properties().asScala.toSeq
+              .filterNot(_.getKey == "window")
+            require(opEntries.length == 1,
+              s"one window operator per output field: ${out.getValue}")
+            val (wop, arg) = (opEntries.head.getKey, opEntries.head.getValue)
+            def frame = Option(out.getValue.get("window")) match {
+              case None => // Mongo default: the WHOLE partition
+                baseW.orderBy(sortCols: _*).rowsBetween(
+                  Window.unboundedPreceding, Window.unboundedFollowing)
+              case Some(w) =>
+                val docsN = w.get("documents")
+                require(docsN != null && docsN.isArray && docsN.size == 2,
+                  s"only {documents: [lo, hi]} windows supported: $w")
+                orderedW(wop).rowsBetween(
+                  docBound(docsN.get(0), lower = true),
+                  docBound(docsN.get(1), lower = false))
+            }
+            lazy val operand: Column =
+              if (arg.isNumber && wop == "$sum") {
+                if (arg.isIntegralNumber) lit(arg.asLong())
+                else lit(arg.asDouble())
+              } else valueExpr(arg, meta, cur)
+            val c: Column = wop match {
+              case "$rank" => rank().over(orderedW(wop))
+              case "$denseRank" => dense_rank().over(orderedW(wop))
+              case "$documentNumber" => row_number().over(orderedW(wop))
+              case "$sum" => sum(operand).over(frame)
+              case "$avg" => avg(operand).over(frame)
+              case "$min" => min(operand).over(frame)
+              case "$max" => max(operand).over(frame)
+              case "$count" => count(lit(1)).over(frame)
+              case "$shift" =>
+                val outE = arg.get("output")
+                require(outE != null, s"$$shift needs output: $arg")
+                val by = Option(arg.get("by")).map(_.asInt()).getOrElse(1)
+                val base = valueExpr(outE, meta, cur)
+                // out-of-partition rows take the default (Mongo's
+                // contract) — lead/lag's literal default param, applied
+                // only past the frame edge, not on null values
+                val dflt: Any = Option(arg.get("default")).map { d =>
+                  if (d.isIntegralNumber) d.asLong()
+                  else if (d.isNumber) d.asDouble()
+                  else d.asText()
+                }.orNull
+                val w = orderedW(wop)
+                if (by >= 0) lead(base, by, dflt).over(w)
+                else lag(base, -by, dflt).over(w)
+              case other => throw new IllegalArgumentException(
+                s"unsupported window operator: $other")
+            }
+            c.as(out.getKey)
+          }
+          cur = cur.select(col("*") +: outCols: _*)
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
@@ -355,6 +450,23 @@ object MqlPipeline {
     // no-op drop
     helperCols.foldLeft(cur)(_.drop(_))
   }
+
+  /** Sort-key base columns for field `key`: the real column when one
+    * exists, else the Mongo/BSON cross-type order over the metadata
+    * view — missing/null < numbers < strings; inside a class, by value.
+    * Shared by $sort and $setWindowFields.sortBy so stage order and
+    * window order can never disagree. */
+  private def sortBases(key: String, cur: DataFrame,
+      meta: Column): Seq[Column] =
+    if (cur.columns.contains(key)) Seq(col(key))
+    else {
+      val r = MqlFilter.JsonResolver(meta)
+      val rank = when(!r.exists(key) || r.typeName(key) === "null", 0)
+        .when(r.typeName(key).isin("long", "double"), 1)
+        .when(r.typeName(key) === "string", 2)
+        .otherwise(3)
+      Seq(rank, r.num(key), r.str(key))
+    }
 
   /** `"$f"` → the real column `f` when one exists (post-$unwind shape),
     * else the STRING view of metadata field f;

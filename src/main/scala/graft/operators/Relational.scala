@@ -880,6 +880,49 @@ object Relational {
       resolver)
   }
 
+  /** $setWindowFields under the gate: two window stages folding into the
+    * one Catalyst plan — (1) sortBy the unique doc_id: document number,
+    * running character total (documents [unbounded, current]), previous
+    * doc's id ($shift by −1 with default), partition-total characters
+    * (Mongo's default whole-partition window); (2) sortBy n_chars
+    * descending — NON-unique, exercising $rank vs $denseRank tie
+    * semantics (both are deterministic under ties; the order-sensitive
+    * ops all live in stage 1 where the key is unique). Rank outputs
+    * cast to long for the dtype-strict oracle compare. */
+  def mqlWindowFields(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "seq": {"$documentNumber": {}},
+        |     "running_chars": {"$sum": {"$toLong": "$n_chars"},
+        |       "window": {"documents": ["unbounded", "current"]}},
+        |     "prev_id": {"$shift": {"output": "$doc_id", "by": -1,
+        |       "default": -1}},
+        |     "lang_chars": {"$sum": {"$toLong": "$n_chars"}}}}},
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"n_chars": -1},
+        |   "output": {
+        |     "rnk": {"$rank": {}},
+        |     "drnk": {"$denseRank": {}}}}},
+        | {"$sort": {"lang": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang", "seq": 1,
+        |   "running_chars": 1, "prev_id": 1, "lang_chars": 1,
+        |   "rnk": 1, "drnk": 1}}
+        |]""".stripMargin)
+      .select(col("doc_id"), col("lang"), col("seq").cast("long").as("seq"),
+        col("running_chars"), col("prev_id"), col("lang_chars"),
+        col("rnk").cast("long").as("rnk"),
+        col("drnk").cast("long").as("drnk"))
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1143,6 +1186,21 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_window_fields" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS running_chars,
+        |  lag(doc_id, 1, -1) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS prev_id,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_chars,
+        |  rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+        |    AS drnk
+        |FROM documents WHERE n_chars >= 120
+        |ORDER BY lang, doc_id""".stripMargin,
     "mql_docs_regex_ci" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(source, '(?i)^SRC1$')
@@ -1272,6 +1330,7 @@ object Relational {
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
+    "mql_window_fields" -> (mqlWindowFields _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

@@ -439,6 +439,85 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(perUser == Seq(("ann", 2L), ("cee", 1L)))
   }
 
+  test("$setWindowFields: documentNumber, running sum, shift, " +
+      "whole-partition default window") {
+    val got = run(
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$grp",
+        |   "sortBy": {"id": 1},
+        |   "output": {
+        |     "seq": {"$documentNumber": {}},
+        |     "run": {"$sum": {"$toLong": "$v"},
+        |       "window": {"documents": ["unbounded", "current"]}},
+        |     "prev": {"$shift": {"output": "$id", "by": -1,
+        |       "default": -99}},
+        |     "tot": {"$sum": {"$toLong": "$v"}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "seq": 1, "run": 1, "prev": 1,
+        |    "tot": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1, 10L, -99L, 30L), (2L, 2, 30L, 1L, 30L),
+      (3L, 1, 5L, -99L, 12L), (4L, 2, 12L, 3L, 12L),
+      (5L, 1, 100L, -99L, 100L)))
+  }
+
+  test("$setWindowFields: $rank leaves gaps on ties, $denseRank none; " +
+      "bounded trailing window") {
+    val ties = Seq(
+      (1L, """{"grp": "a", "v": 10}"""),
+      (2L, """{"grp": "a", "v": 10}"""),
+      (3L, """{"grp": "a", "v": 20}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(ties, col("meta"),
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$grp",
+        |   "sortBy": {"v": -1},
+        |   "output": {
+        |     "rnk": {"$rank": {}},
+        |     "drnk": {"$denseRank": {}}}}},
+        |  {"$setWindowFields": {
+        |   "partitionBy": "$grp",
+        |   "sortBy": {"id": 1},
+        |   "output": {
+        |     "pair": {"$sum": {"$toLong": "$v"},
+        |       "window": {"documents": [-1, 0]}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "rnk": 1, "drnk": 1, "pair": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSeq
+    // v desc: id 3 (v=20) rank 1; ids 1,2 (v=10) tie at rank 2 → next
+    // would be 4 ($rank gap), denseRank 2 (no gap).
+    // pair = this + previous doc's v in id order: 10, 20, 30
+    assert(got == Seq((1L, 2, 2, 10L), (2L, 2, 2, 20L), (3L, 1, 1, 30L)))
+  }
+
+  test("$setWindowFields rejects rank without sortBy, range windows, " +
+      "unknown operators") {
+    val rankNoSort = intercept[IllegalArgumentException] {
+      run("""[{"$setWindowFields": {"partitionBy": "$grp",
+            |  "output": {"r": {"$rank": {}}}}}]""".stripMargin).collect()
+    }
+    assert(rankNoSort.getMessage.contains("requires a sortBy"))
+    val rangeWin = intercept[IllegalArgumentException] {
+      run("""[{"$setWindowFields": {"partitionBy": "$grp",
+            |  "sortBy": {"id": 1},
+            |  "output": {"s": {"$sum": {"$toLong": "$v"},
+            |    "window": {"range": ["unbounded", "current"]}}}}}]"""
+        .stripMargin).collect()
+    }
+    assert(rangeWin.getMessage.contains("documents"))
+    val unknown = intercept[IllegalArgumentException] {
+      run("""[{"$setWindowFields": {"partitionBy": "$grp",
+            |  "sortBy": {"id": 1},
+            |  "output": {"x": {"$stdDevPop": "$v"}}}}]""".stripMargin)
+        .collect()
+    }
+    assert(unknown.getMessage.contains("unsupported window operator"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
