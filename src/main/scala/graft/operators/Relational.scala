@@ -434,6 +434,44 @@ object Relational {
     s.sql(q2Sql)
   }
 
+  /** TPC-H Q21 flavor (suppliers who kept orders waiting): the LAST
+    * distinct decorrelation family — correlated EXISTS *and* NOT EXISTS
+    * against the same fact table, each carrying an INEQUALITY conjunct
+    * (`l2.l_suppkey <> l1.l_suppkey`) on top of the equi correlation
+    * (`l_orderkey`). Catalyst must turn the EXISTS into a left-semi and
+    * the NOT EXISTS into a left-anti join, keeping the non-equi
+    * predicate as a join condition (not a post-filter) so both run as
+    * one hash join each on orderkey. This corpus has no
+    * commitdate/receiptdate, so `l_returnflag = 'R'` marks the problem
+    * line — the planning shape (multi-supplier order, sole-blame
+    * supplier) is Q21's. Deterministic: numwait desc, s_name asc. */
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem", "orders", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q21Sql)
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1011,6 +1049,7 @@ object Relational {
     "sql_tpch_q9" -> q9Sql,
     "sql_tpch_q22" -> q22Sql,
     "sql_tpch_q2" -> q2Sql,
+    "sql_tpch_q21" -> q21Sql,
     "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
@@ -1348,6 +1387,7 @@ object Relational {
     "sql_tpch_q9" -> (sqlTpchQ9 _),
     "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_tpch_q2" -> (sqlTpchQ2 _),
+    "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

@@ -371,6 +371,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_tpch_q21: EXISTS/NOT EXISTS decorrelate to hash semi/anti " +
+      "joins, no nested loops") {
+    val p = plan(graft.operators.Relational.sqlTpchQ21(spark, sf0001))
+    // both correlated subqueries must become single-pass hash joins on
+    // l_orderkey with the <> conjunct as a join condition — a
+    // BroadcastNestedLoop or Cartesian here would be O(n²) on lineitem
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("ann_ivf_pq_res: residual encode + per-cid LUT stay zero-Exchange") {
     val p = plan(graft.operators.Quantize.annIvfPqRes(spark, sf0001))
     // the residual zip_with and the cid-keyed map LUT are still per-row
