@@ -441,6 +441,62 @@ object MqlPipeline {
           }
           cur = cur.select(col("*") +: outCols: _*)
 
+        case "$fill" =>
+          // Mongo 5.3's gap-filling stage. Two fill forms:
+          //  - {value: <literal>}: constant fill → coalesce
+          //  - {method: "locf"}: last observed carried forward → Spark's
+          //    last(ignoreNulls) over an unbounded-preceding..current
+          //    running frame (requires sortBy; leading nulls stay null
+          //    in both Mongo and this translation)
+          // "linear" interpolation is unsupported and fails loudly.
+          // Fill targets must be REAL columns (the shaped frame), not
+          // metadata JSON paths — filling inside a JSON document would
+          // need a rewrite per row; shape the column out first.
+          val foutN = spec.get("output")
+          require(foutN != null && foutN.isObject && !foutN.isEmpty,
+            s"$$fill needs a non-empty output document: $spec")
+          val fPartCols: Seq[Column] = Option(spec.get("partitionBy"))
+            .toSeq.map(p => valueExpr(p, meta, cur))
+          val fSortCols: Seq[Column] = Option(spec.get("sortBy")).toSeq
+            .flatMap(_.properties().asScala.toSeq).flatMap { e =>
+              val desc = e.getValue.asInt() < 0
+              sortBases(e.getKey, cur, meta)
+                .map(b => if (desc) b.desc else b.asc)
+            }
+          import org.apache.spark.sql.expressions.Window
+          for (out <- foutN.properties().asScala.toSeq) {
+            val f = out.getKey
+            require(cur.columns.contains(f),
+              s"$$fill target must be a real column, got: $f " +
+                s"(shape metadata fields into columns first)")
+            val o = out.getValue
+            (Option(o.get("value")), Option(o.get("method"))) match {
+              case (Some(v), None) =>
+                val fillV: Column =
+                  if (v.isIntegralNumber) lit(v.asLong())
+                  else if (v.isNumber) lit(v.asDouble())
+                  else if (v.isTextual && v.asText().startsWith("$"))
+                    valueExpr(v, meta, cur)
+                  else if (v.isTextual) lit(v.asText())
+                  else throw new IllegalArgumentException(
+                    s"unsupported $$fill value: $v")
+                cur = cur.withColumn(f, coalesce(col(f), fillV))
+              case (None, Some(m)) if m.asText() == "locf" =>
+                require(fSortCols.nonEmpty,
+                  s"$$fill locf requires a sortBy to define document order")
+                val w = Window.partitionBy(fPartCols: _*)
+                  .orderBy(fSortCols: _*)
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                cur = cur.withColumn(f,
+                  last(col(f), ignoreNulls = true).over(w))
+              case (None, Some(m)) =>
+                throw new IllegalArgumentException(
+                  s"unsupported $$fill method: ${m.asText()} (locf only)")
+              case _ => throw new IllegalArgumentException(
+                s"$$fill output needs exactly one of value/method: $o")
+            }
+          }
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }

@@ -961,6 +961,33 @@ object Relational {
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
+  /** $fill under the gate: nulls planted in a numeric column (every
+    * n_chars divisible by 7) and a string column (source 'src1'), then
+    * one $fill stage repairs both — locf (last observed carried forward
+    * per language, doc_id order; leading nulls stay null) and a
+    * constant value fill. The locf is ONE running-frame window — no
+    * self-join, no driver pass; at 100 TB it shuffles once on the
+    * partition key like any window. */
+  def mqlFill(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"))))
+        .select(col("doc_id"), col("meta"),
+          when(col("n_chars") % 7 === 0, lit(null))
+            .otherwise(col("n_chars")).cast("double").as("chars"),
+          when(col("source") === "src1", lit(null))
+            .otherwise(col("source")).as("src")),
+      col("meta"),
+      """[
+        | {"$fill": {"partitionBy": "$lang", "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "chars": {"method": "locf"},
+        |     "src": {"value": "unknown"}}}},
+        | {"$sort": {"lang": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang", "chars": 1,
+        |   "src": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1225,6 +1252,18 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_fill" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END
+        |    AS DOUBLE) AS chars,
+        |  CASE WHEN source = 'src1' THEN NULL ELSE source END AS src
+        |FROM documents)
+        |SELECT doc_id, lang,
+        |  last_value(chars IGNORE NULLS) OVER (PARTITION BY lang
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
+        |  coalesce(src, 'unknown') AS src
+        |FROM f ORDER BY lang, doc_id""".stripMargin,
     "mql_window_fields" ->
       """SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
@@ -1370,6 +1409,7 @@ object Relational {
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
+    "mql_fill" -> (mqlFill _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

@@ -518,6 +518,49 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(unknown.getMessage.contains("unsupported window operator"))
   }
 
+  test("$fill: locf carries last observed forward, leading null stays; " +
+      "value fill; loud errors") {
+    val gaps = Seq(
+      (1L, """{"grp": "a"}""", null.asInstanceOf[java.lang.Double], "x"),
+      (2L, """{"grp": "a"}""", java.lang.Double.valueOf(5.0), null.asInstanceOf[String]),
+      (3L, """{"grp": "a"}""", null.asInstanceOf[java.lang.Double], "y"),
+      (4L, """{"grp": "b"}""", null.asInstanceOf[java.lang.Double], "z")
+    ).toDF("id", "meta", "v", "s")
+    val got = MqlPipeline.aggregate(gaps, col("meta"),
+      """[{"$fill": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        |   "output": {"v": {"method": "locf"},
+        |     "s": {"value": "none"}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "v": 1, "s": 1}}]""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getString(2))).toSeq
+    // id 1: leading null in grp a stays null; id 3 carries 5.0 forward;
+    // id 4 (grp b) has no prior observation — null
+    assert(got == Seq((1L, None, "x"), (2L, Some(5.0), "none"),
+      (3L, Some(5.0), "y"), (4L, None, "z")))
+
+    val linear = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(gaps, col("meta"),
+        """[{"$fill": {"sortBy": {"id": 1},
+          |  "output": {"v": {"method": "linear"}}}}]""".stripMargin)
+    }
+    assert(linear.getMessage.contains("locf only"))
+    val metaTarget = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(gaps, col("meta"),
+        """[{"$fill": {"sortBy": {"id": 1},
+          |  "output": {"grp": {"value": "g"}}}}]""".stripMargin)
+    }
+    assert(metaTarget.getMessage.contains("real column"))
+    val locfNoSort = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(gaps, col("meta"),
+        """[{"$fill": {"output": {"v": {"method": "locf"}}}}]"""
+          .stripMargin)
+    }
+    assert(locfNoSort.getMessage.contains("requires a sortBy"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
