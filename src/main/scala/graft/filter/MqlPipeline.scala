@@ -497,6 +497,93 @@ object MqlPipeline {
             }
           }
 
+        case "$densify" =>
+          // Mongo 5.1's gap-GENERATING stage (the $fill twin): emit a
+          // document for every missing step-multiple of `field` —
+          // per-partition bounds ("partition"), global bounds ("full"),
+          // or an explicit half-open [lo, hi). Spark-first shape:
+          //   bounds agg (tiny: one row per partition) → explode
+          //   sequence(lo, hi, step) → LEFT ANTI join against existing
+          //   (field, partition) pairs → unionByName with null-filled
+          //   other columns (Mongo's generated-document shape).
+          // Everything is distributed — generated volume is
+          // range/step per partition, never a driver loop. INTEGRAL
+          // fields/steps only: a double grid accumulates float error
+          // and the "is this value present" equality becomes
+          // ill-defined (Mongo has the same hazard; we refuse loudly).
+          // Date units are unsupported (no date densify fixture).
+          val dF = spec.get("field")
+          require(dF != null && dF.isTextual,
+            s"$$densify needs a field name: $spec")
+          val df0 = dF.asText()
+          require(cur.columns.contains(df0),
+            s"$$densify field must be a real column, got: $df0 " +
+              s"(shape metadata fields into columns first)")
+          val dPartFs: Seq[String] = Option(spec.get("partitionByFields"))
+            .toSeq.flatMap(_.elements().asScala).map(_.asText())
+          for (p <- dPartFs) require(cur.columns.contains(p),
+            s"$$densify partitionByFields must be real columns, got: $p")
+          val rangeN = spec.get("range")
+          require(rangeN != null && rangeN.isObject,
+            s"$$densify needs a range document: $spec")
+          require(rangeN.get("unit") == null,
+            "$densify date units unsupported (numeric grids only)")
+          val stepN = rangeN.get("step")
+          require(stepN != null && stepN.isIntegralNumber &&
+            stepN.asLong() > 0,
+            s"$$densify step must be a positive integer: $rangeN")
+          val step = stepN.asLong()
+          import org.apache.spark.sql.types.{IntegerType, LongType}
+          val fType = cur.schema(df0).dataType
+          require(fType == LongType || fType == IntegerType,
+            s"$$densify field must be integral, got $fType for $df0")
+          val boundsN = rangeN.get("bounds")
+          val partCols = dPartFs.map(col)
+          // one row per partition carrying its [lo, hi] grid bounds
+          val bh: (DataFrame, Option[Long]) = boundsN match {
+            case b if b != null && b.isTextual &&
+                b.asText() == "partition" =>
+              (cur.groupBy(partCols: _*)
+                .agg(min(col(df0)).as("_lo"), max(col(df0)).as("_hi")),
+                None)
+            case b if b != null && b.isTextual && b.asText() == "full" =>
+              // global grid bounds, applied to EVERY partition
+              val g = cur.agg(min(col(df0)).as("_lo"),
+                max(col(df0)).as("_hi"))
+              val parts =
+                if (dPartFs.isEmpty) g
+                else cur.select(partCols: _*).distinct().crossJoin(g)
+              (parts, None)
+            case b if b != null && b.isArray && b.size() == 2 &&
+                b.get(0).isIntegralNumber && b.get(1).isIntegralNumber =>
+              // explicit [lo, hi): every partition gets the grid, even
+              // where it has no rows in range (Mongo's contract)
+              val (lo, hi) = (b.get(0).asLong(), b.get(1).asLong())
+              require(lo < hi, s"$$densify bounds must be [lo < hi): $b")
+              val parts =
+                if (dPartFs.isEmpty) cur.select(lit(1).as("_one"))
+                  .limit(1).select(lit(lo).as("_lo"), lit(hi).as("_hi"))
+                else cur.select(partCols: _*).distinct()
+                  .withColumn("_lo", lit(lo)).withColumn("_hi", lit(hi))
+              (parts, Some(hi))
+            case other => throw new IllegalArgumentException(
+              s"""$$densify bounds must be "partition", "full" or """ +
+                s"[lo, hi]: $other")
+          }
+          val (boundsDf, hiOpen) = bh
+          // explode can't nest inside a cast — generate, then cast the
+          // grid value back to the field's own integral width
+          val gen0 = boundsDf.select(partCols :+
+              explode(sequence(col("_lo"), col("_hi"), lit(step)))
+                .as(df0): _*)
+            .withColumn(df0, col(df0).cast(fType))
+          // sequence() is end-inclusive; explicit bounds are half-open
+          val gen = hiOpen.fold(gen0)(hi => gen0.filter(col(df0) < hi))
+          val missing = gen.join(
+            cur.select((dPartFs :+ df0).map(col): _*),
+            dPartFs :+ df0, "left_anti")
+          cur = cur.unionByName(missing, allowMissingColumns = true)
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }

@@ -988,6 +988,30 @@ object Relational {
         |   "src": 1}}
         |]""".stripMargin)
 
+  /** $densify under the gate: documents coarsened to 10-char buckets,
+    * then per-language missing buckets generated across each
+    * partition's [min, max] grid — bounds agg (one row per lang) →
+    * sequence explode → LEFT ANTI against existing (lang, bucket) →
+    * null-filled union (generated rows carry null doc_id, Mongo's
+    * generated-document shape). Within any (lang, bucket) the rows are
+    * either all existing or one generated, so the doc_id tiebreak never
+    * compares null against non-null and both engines' null-order
+    * conventions agree. */
+  def mqlDensify(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"))))
+        .select(col("doc_id"), col("lang"),
+          (floor(col("n_chars") / 10) * 10).cast("long").as("bucket")),
+      col("meta"),
+      """[
+        | {"$densify": {"field": "bucket",
+        |   "partitionByFields": ["lang"],
+        |   "range": {"step": 10, "bounds": "partition"}}},
+        | {"$sort": {"lang": 1, "bucket": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": 1, "bucket": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1252,6 +1276,21 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_densify" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+        |  CAST(floor(n_chars / 10) * 10 AS BIGINT) AS bucket
+        |  FROM documents),
+        |b AS (SELECT lang, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM t0 GROUP BY lang),
+        |g AS (SELECT lang,
+        |        unnest(generate_series(lo, hi, 10)) AS bucket FROM b),
+        |miss AS (SELECT g.lang, g.bucket FROM g
+        |  WHERE NOT EXISTS (SELECT 1 FROM t0
+        |    WHERE t0.lang = g.lang AND t0.bucket = g.bucket))
+        |SELECT doc_id, lang, bucket FROM t0
+        |UNION ALL
+        |SELECT NULL AS doc_id, lang, bucket FROM miss
+        |ORDER BY lang, bucket, doc_id""".stripMargin,
     "mql_fill" ->
       """WITH f AS (SELECT doc_id, lang,
         |  CAST(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END
@@ -1410,6 +1449,7 @@ object Relational {
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_fill" -> (mqlFill _),
+    "mql_densify" -> (mqlDensify _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

@@ -561,6 +561,56 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(locfNoSort.getMessage.contains("requires a sortBy"))
   }
 
+  test("$densify: partition bounds fill per-group gaps, full bounds " +
+      "span globally, explicit bounds are half-open") {
+    val sparse = Seq(
+      (1L, """{"m": 1}""", "a", 10L),
+      (2L, """{"m": 1}""", "a", 40L),
+      (3L, """{"m": 1}""", "b", 20L),
+      (4L, """{"m": 1}""", "b", 30L)
+    ).toDF("id", "meta", "grp", "v")
+    def run(pipe: String) =
+      MqlPipeline.aggregate(sparse, col("meta"), pipe)
+        .select("grp", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    // partition: a spans 10..40 (gaps 20, 30); b spans 20..30 (no gap)
+    val part = run(
+      """[{"$densify": {"field": "v", "partitionByFields": ["grp"],
+        |   "range": {"step": 10, "bounds": "partition"}}}]"""
+        .stripMargin)
+    assert(part == Seq(("a", 10L, 1L), ("a", 20L, -1L), ("a", 30L, -1L),
+      ("a", 40L, 2L), ("b", 20L, 3L), ("b", 30L, 4L)))
+    // full: BOTH groups get the global 10..40 grid
+    val full = run(
+      """[{"$densify": {"field": "v", "partitionByFields": ["grp"],
+        |   "range": {"step": 10, "bounds": "full"}}}]""".stripMargin)
+    assert(full == Seq(("a", 10L, 1L), ("a", 20L, -1L), ("a", 30L, -1L),
+      ("a", 40L, 2L), ("b", 10L, -1L), ("b", 20L, 3L), ("b", 30L, 4L),
+      ("b", 40L, -1L)))
+    // explicit [0, 30): half-open — 0,10,20 generated where missing
+    val explicit = run(
+      """[{"$densify": {"field": "v", "partitionByFields": ["grp"],
+        |   "range": {"step": 10, "bounds": [0, 30]}}}]""".stripMargin)
+    assert(explicit == Seq(("a", 0L, -1L), ("a", 10L, 1L),
+      ("a", 20L, -1L), ("a", 40L, 2L),
+      ("b", 0L, -1L), ("b", 10L, -1L), ("b", 20L, 3L), ("b", 30L, 4L)))
+
+    val badStep = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(sparse, col("meta"),
+        """[{"$densify": {"field": "v",
+          |  "range": {"step": 0.5, "bounds": "full"}}}]""".stripMargin)
+    }
+    assert(badStep.getMessage.contains("positive integer"))
+    val dateUnit = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(sparse, col("meta"),
+        """[{"$densify": {"field": "v",
+          |  "range": {"step": 1, "bounds": "full", "unit": "hour"}}}]"""
+          .stripMargin)
+    }
+    assert(dateUnit.getMessage.contains("date units unsupported"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
