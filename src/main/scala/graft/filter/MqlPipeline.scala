@@ -584,6 +584,113 @@ object MqlPipeline {
             dPartFs :+ df0, "left_anti")
           cur = cur.unionByName(missing, allowMissingColumns = true)
 
+        case "$graphLookup" =>
+          // Recursive graph traversal (Mongo 3.4): from each document's
+          // startWith value, repeatedly match connectToField in `from`
+          // and follow connectFromField, collecting every reached
+          // document into the `as` array (optionally depth-tagged).
+          // Spark has no recursion operator, so this is DISTRIBUTED BFS
+          // by iterative joins — the dedup_clusters label-propagation
+          // pattern: each round one equi-join frontier⋈from, results
+          // localCheckpoint'ed so lineage doesn't nest. Two scale
+          // devices: (1) traversal runs over DISTINCT start values, not
+          // input rows — co-started documents share one walk, and the
+          // result joins back by start value; (2) per-(start, value)
+          // visited-set pruning = BFS min-depth semantics AND cycle
+          // termination (Mongo's visited contract: each doc once, at
+          // first encounter). Unbounded traversals are capped by
+          // graft.graphlookup.max_depth (default 20) and fail LOUDLY if
+          // the frontier is still live — a silent truncation would
+          // misreport connectivity. connectTo/connectFrom/as must be
+          // real columns on the `from` frame; null connect values never
+          // match (Mongo: null≠null in the join).
+          require(!grouped, "$graphLookup after $group unsupported")
+          def glText(k: String): String = {
+            val n = spec.get(k)
+            require(n != null && n.isTextual,
+              s"$$graphLookup needs textual $k: $spec")
+            n.asText()
+          }
+          val glFrom = glText("from")
+          val glCff = glText("connectFromField")
+          val glCtf = glText("connectToField")
+          val glAs = glText("as")
+          val glStartN = spec.get("startWith")
+          require(glStartN != null, s"$$graphLookup needs startWith: $spec")
+          val glMaxDepth = Option(spec.get("maxDepth")).map { n =>
+            require(n.isIntegralNumber && n.asInt() >= 0,
+              s"maxDepth must be a non-negative integer: $n")
+            n.asInt()
+          }
+          val glDepthF = Option(spec.get("depthField")).map(_.asText())
+          val (glFromDf, _) = lookup(glFrom)
+          for (c <- Seq(glCff, glCtf))
+            require(glFromDf.columns.contains(c),
+              s"$$graphLookup connect field must be a real column on " +
+                s"$glFrom: $c")
+          val fromCols = glFromDf.columns.toSeq
+          val cap = glMaxDepth.getOrElse(cur.sparkSession.conf
+            .get("graft.graphlookup.max_depth", "20").trim.toInt)
+
+          val startCol = valueExpr(glStartN, meta, cur)
+          var frontier = cur.select(startCol.as("_gl_start"))
+            .filter(col("_gl_start").isNotNull).distinct()
+            .withColumn("_gl_val", col("_gl_start"))
+            .localCheckpoint(true)
+          var seen = frontier
+          var foundParts: List[DataFrame] = Nil
+          var d = 0
+          var live = !frontier.isEmpty
+          while (live && d <= cap) {
+            val matched = glFromDf
+              .join(frontier, glFromDf(glCtf) === frontier("_gl_val"))
+              .select(col("_gl_start") +: lit(d).as("_gl_depth") +:
+                fromCols.map(glFromDf(_)): _*)
+              .localCheckpoint(true)
+            foundParts ::= matched
+            val next = matched
+              .select(col("_gl_start"), col(glCff).as("_gl_val"))
+              .filter(col("_gl_val").isNotNull).distinct()
+              .join(seen, Seq("_gl_start", "_gl_val"), "left_anti")
+              .localCheckpoint(true)
+            seen = seen.union(next).localCheckpoint(true)
+            frontier = next
+            d += 1
+            live = !frontier.isEmpty
+          }
+          // with an explicit maxDepth a live frontier is the requested
+          // bounded traversal; only the unbounded-with-safety-cap form
+          // must refuse to silently truncate
+          if (live && glMaxDepth.isEmpty) throw new IllegalStateException(
+            s"$$graphLookup frontier still live after $cap rounds — " +
+              "set maxDepth or raise graft.graphlookup.max_depth")
+          val structCols: Seq[Column] = fromCols.map(col) ++
+            glDepthF.map(f => col("_gl_depth").cast("long").as(f))
+          val glGrouped = foundParts.reduceOption(_ union _) match {
+            case None => null
+            case Some(all) => all
+              .groupBy("_gl_start")
+              // canonical order: sort_array over the full struct —
+              // Mongo guarantees none; this engine picks a
+              // deterministic one (the $addToSet precedent)
+              .agg(sort_array(collect_list(struct(structCols: _*)))
+                .as(glAs))
+          }
+          cur = cur.withColumn("_gl_start", startCol)
+          cur =
+            if (glGrouped == null)
+              // zero rounds ran (no non-null starts): empty arrays of a
+              // best-effort element type are unconstructable without a
+              // match schema — emit the degenerate all-null-start shape
+              cur.withColumn(glAs, array())
+            else {
+              val arrT = glGrouped.schema(glAs).dataType
+              cur.join(glGrouped, Seq("_gl_start"), "left")
+                .withColumn(glAs,
+                  coalesce(col(glAs), array().cast(arrT)))
+            }
+          cur = cur.drop("_gl_start")
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }

@@ -1012,6 +1012,44 @@ object Relational {
         | {"$project": {"doc_id": 1, "lang": 1, "bucket": 1}}
         |]""".stripMargin)
 
+  /** $graphLookup under the gate: documents shaped into a binary-tree
+    * parent relation (parent = floor(doc_id/2); the root 0 is its own
+    * parent — a genuine CYCLE the visited-set must terminate), then a
+    * self-referential ancestor walk to depth 2. The traversal is
+    * distributed BFS over distinct start values (iterative joins, the
+    * dedup_clusters pattern); the oracle is DuckDB's WITH RECURSIVE
+    * with min-depth dedup — BFS first-encounter depth ≡ the recursive
+    * CTE's minimum depth per (src, ancestor). Output flattened via
+    * $unwind for the row-compare. */
+  def mqlGraphLookup(s: SparkSession, dir: String): DataFrame = {
+    def shaped = t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .select(col("doc_id"),
+        floor(col("doc_id") / 2).cast("long").as("parent_id"),
+        col("meta"))
+    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
+      case "docs" => (shaped.select("doc_id", "parent_id"), lit(null))
+      case other => throw new IllegalArgumentException(
+        s"unknown collection: $other")
+    }
+    graft.filter.MqlPipeline.aggregate(
+      shaped, col("meta"),
+      """[
+        | {"$graphLookup": {"from": "docs",
+        |   "startWith": "$parent_id",
+        |   "connectFromField": "parent_id",
+        |   "connectToField": "doc_id",
+        |   "as": "ancestors", "maxDepth": 2, "depthField": "depth"}},
+        | {"$unwind": "$ancestors"},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin,
+      resolver)
+      .select(col("doc_id"),
+        col("ancestors.doc_id").as("anc_id"),
+        col("ancestors.depth").as("depth"))
+      .orderBy("doc_id", "depth", "anc_id")
+  }
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1276,6 +1314,22 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_graph_lookup" ->
+      """WITH RECURSIVE t0 AS (
+        |  SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS parent_id
+        |  FROM documents),
+        |anc AS (
+        |  SELECT c.doc_id AS src, p.doc_id AS anc_id,
+        |    p.parent_id AS anc_parent, 0 AS depth
+        |  FROM t0 c JOIN t0 p ON p.doc_id = c.parent_id
+        |  UNION
+        |  SELECT a.src, p2.doc_id, p2.parent_id, a.depth + 1
+        |  FROM anc a JOIN t0 p2 ON p2.doc_id = a.anc_parent
+        |  WHERE a.depth < 2)
+        |SELECT src AS doc_id, anc_id,
+        |  CAST(min(depth) AS BIGINT) AS depth
+        |FROM anc GROUP BY src, anc_id
+        |ORDER BY doc_id, depth, anc_id""".stripMargin,
     "mql_densify" ->
       """WITH t0 AS (SELECT doc_id, lang,
         |  CAST(floor(n_chars / 10) * 10 AS BIGINT) AS bucket
@@ -1450,6 +1504,7 @@ object Relational {
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_fill" -> (mqlFill _),
     "mql_densify" -> (mqlDensify _),
+    "mql_graph_lookup" -> (mqlGraphLookup _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

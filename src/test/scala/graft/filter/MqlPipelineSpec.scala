@@ -611,6 +611,65 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(dateUnit.getMessage.contains("date units unsupported"))
   }
 
+  test("$graphLookup: BFS with cycle termination, min-depth dedup, " +
+      "empty array for null starts") {
+    val g = Seq(
+      (1L, """{"m":1}""", java.lang.Long.valueOf(2L)),
+      (2L, """{"m":1}""", java.lang.Long.valueOf(3L)),
+      (3L, """{"m":1}""", java.lang.Long.valueOf(1L)), // 1→2→3→1 cycle
+      (4L, """{"m":1}""", null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "meta", "next")
+    val resolver: String => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
+      case "g" => (g.select("id", "next"), lit(null))
+      case o => fail(s"unexpected: $o")
+    }
+    val got = MqlPipeline.aggregate(g, col("meta"),
+      """[{"$graphLookup": {"from": "g", "startWith": "$next",
+        |   "connectFromField": "next", "connectToField": "id",
+        |   "as": "walk", "depthField": "d"}}]""".stripMargin, resolver)
+      .select(col("id"), col("walk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(w => (w.getLong(0), w.getLong(2))).sortBy(_._2).toSeq)
+      .toMap
+    // from 1 (start 2): 2@0, 3@1, 1@2 — the cycle closes and STOPS
+    assert(got(1L) == Seq((2L, 0L), (3L, 1L), (1L, 2L)))
+    assert(got(2L) == Seq((3L, 0L), (1L, 1L), (2L, 2L)))
+    // null start → empty walk, not null
+    assert(got(4L) == Seq())
+  }
+
+  test("$graphLookup: explicit maxDepth bounds quietly; the conf safety " +
+      "cap refuses a live frontier loudly") {
+    val chain = Seq(
+      (1L, """{"m":1}""", java.lang.Long.valueOf(2L)),
+      (2L, """{"m":1}""", java.lang.Long.valueOf(3L)),
+      (3L, """{"m":1}""", java.lang.Long.valueOf(4L)),
+      (4L, """{"m":1}""", null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "meta", "next")
+    val resolver: String => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column) = {
+      case "g" => (chain.select("id", "next"), lit(null))
+      case o => fail(s"unexpected: $o")
+    }
+    val bounded = MqlPipeline.aggregate(chain, col("meta"),
+      """[{"$graphLookup": {"from": "g", "startWith": "$next",
+        |   "connectFromField": "next", "connectToField": "id",
+        |   "as": "walk", "maxDepth": 0}}]""".stripMargin, resolver)
+      .filter(col("id") === 1L)
+      .select(size(col("walk"))).head().getInt(0)
+    assert(bounded == 1) // depth 0 only: just doc 2
+    spark.conf.set("graft.graphlookup.max_depth", "0")
+    try {
+      val cap = intercept[IllegalStateException] {
+        MqlPipeline.aggregate(chain, col("meta"),
+          """[{"$graphLookup": {"from": "g", "startWith": "$next",
+            |   "connectFromField": "next", "connectToField": "id",
+            |   "as": "walk"}}]""".stripMargin, resolver).collect()
+      }
+      assert(cap.getMessage.contains("frontier still live"))
+    } finally spark.conf.unset("graft.graphlookup.max_depth")
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
