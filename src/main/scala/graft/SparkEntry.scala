@@ -32,6 +32,7 @@ object SparkEntry {
       graft.sources.Formats.queries ++
       graft.operators.Skew.queries ++
       graft.operators.Quantize.queries ++
+      graft.operators.Upsert.queries ++
       graft.operators.Bucketing.queries ++
       graft.operators.Layout.queries ++
       graft.streaming.StreamingOps.queries
@@ -51,6 +52,7 @@ object SparkEntry {
       graft.sources.Formats.oracle ++
       graft.operators.Skew.oracle ++
       graft.operators.Quantize.oracle ++
+      graft.operators.Upsert.oracle ++
       graft.operators.Bucketing.oracle ++
       graft.operators.Layout.oracle ++
       graft.streaming.StreamingOps.oracle

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert — the Mongo `$merge` / ANSI `MERGE INTO` shape, as a
+  * pure DataFrame transform: no Delta/iceberg table format required,
+  * the merged result is written back as ordinary parquet.
+  *
+  * Reference surface: the kaer API mutates collections row-wise
+  * (update($set)/delete, /root/reference/db/db.go:111-147 delegates to
+  * FerretDB's update path); $merge is the BULK form of the same
+  * contract — a whole frame of changes applied by key in ONE pass.
+  *
+  * Semantics (Mongo $merge naming):
+  *  - whenMatched:  "replace" (source wins), "keepExisting" (target
+  *    wins), "merge" (per-column coalesce: source value unless null),
+  *    "fail" (loud error if ANY key matches)
+  *  - whenNotMatched: "insert" (new rows appended), "discard" (source
+  *    rows without a match dropped), "fail" (loud error)
+  *
+  * Scale shape: ONE full-outer shuffle join on the key — both sides
+  * hash-partition by key, no broadcast assumption (the target is the
+  * big side by construction), no driver materialization. Non-key
+  * columns ride inside a packed struct so arbitrary schemas work
+  * without column-name gymnastics; both frames must share the schema
+  * (checked loudly — $merge's "on" fields must exist both sides).
+  * Merge keys must be non-null: a null key matches nothing in Mongo
+  * and silently duplicates here, so it is rejected up front.
+  */
+object Upsert {
+
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+      whenMatched: String = "replace",
+      whenNotMatched: String = "insert"): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      s"upsert frames must share a schema: target=$cols " +
+        s"source=${source.columns.toSeq}")
+    for (k <- keys) require(cols.contains(k), s"missing key column: $k")
+    val rest = cols.filterNot(keys.contains)
+    def packed(df: DataFrame, as: String): DataFrame = {
+      val withCheck = keys.foldLeft(df)((d, k) =>
+        d.withColumn(k, assertNullFree(col(k), k)))
+      withCheck.select(keys.map(col) :+
+        struct(rest.map(col): _*).as(as): _*)
+    }
+    val j = packed(target, "_t")
+      .join(packed(source, "_s"), keys, "full_outer")
+    val matched = col("_t").isNotNull && col("_s").isNotNull
+    val onlyT = col("_s").isNull
+    def field(side: String): Seq[Column] =
+      rest.map(f => col(s"$side.$f").as(f))
+    val resolved: Seq[Column] = whenMatched match {
+      case "replace" => rest.map(f =>
+        when(onlyT, col(s"_t.$f")).otherwise(col(s"_s.$f")).as(f))
+      case "keepExisting" => rest.map(f =>
+        when(col("_t").isNotNull, col(s"_t.$f"))
+          .otherwise(col(s"_s.$f")).as(f))
+      case "merge" => rest.map(f =>
+        when(matched, coalesce(col(s"_s.$f"), col(s"_t.$f")))
+          .when(onlyT, col(s"_t.$f")).otherwise(col(s"_s.$f")).as(f))
+      case "fail" => rest.map(f =>
+        when(matched, raise_error(concat(
+            lit("upsert whenMatched=fail hit a matching key: "),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
+            .cast(target.schema(f).dataType))
+          .when(onlyT, col(s"_t.$f")).otherwise(col(s"_s.$f")).as(f))
+      case other => throw new IllegalArgumentException(
+        s"unsupported whenMatched: $other " +
+          "(replace|keepExisting|merge|fail)")
+    }
+    val base = j.select(keys.map(col) ++ resolved :+
+      col("_t").isNull.as("_unmatched_src"): _*)
+    val out = whenNotMatched match {
+      case "insert" => base
+      case "discard" => base.filter(!col("_unmatched_src"))
+      case "fail" =>
+        // the raise_error must live in a CONSUMED expression (an unused
+        // column would be pruned away and never fire); when() guarantees
+        // it only evaluates on the unmatched branch
+        base.filter(when(col("_unmatched_src"),
+          raise_error(lit("upsert whenNotMatched=fail hit an " +
+            "unmatched source row")).isNotNull).otherwise(lit(true)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported whenNotMatched: $other (insert|discard|fail)")
+    }
+    out.drop("_unmatched_src").select(cols.map(col): _*)
+  }
+
+  private def assertNullFree(c: Column, name: String): Column =
+    when(c.isNull, raise_error(
+      lit(s"upsert key '$name' must be non-null (a null key matches " +
+        "nothing and would silently duplicate)"))).otherwise(c)
+
+  /** Registered gate: target = documents with doc_id < 300, source =
+    * a changed slice [200, 400) (n_chars bumped by 1000), merged on
+    * doc_id with replace+insert, WRITTEN to parquet and READ BACK —
+    * the sink and source sit under the oracle like the format
+    * round-trip gates. Rows 200-299 must carry the bumped value
+    * (replace), 300-399 appear new (insert), 0-199 survive untouched. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val target = docs.filter(col("doc_id") < 300)
+    val source = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val out = graft.core.Scratch.dir("upsert", dir)
+    upsert(target, source, Seq("doc_id"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id < 300),
+        |s AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |      FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+        |SELECT doc_id,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.lang ELSE t.lang END
+        |    AS lang,
+        |  CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars
+        |       ELSE t.n_chars END AS n_chars
+        |FROM t FULL OUTER JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _)
+  )
+}
