@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Semantics (Mongo $merge naming):
   *  - whenMatched:  "replace" (source wins), "keepExisting" (target
   *    wins), "merge" (per-column coalesce: source value unless null),
-  *    "fail" (loud error if ANY key matches)
+  *    "newerWins" (version-aware: the greater `versionCol` survives —
+  *    commutative/idempotent, the CDC sink mode), "fail" (loud error
+  *    if ANY key matches)
   *  - whenNotMatched: "insert" (new rows appended), "discard" (source
   *    rows without a match dropped), "fail" (loud error)
   *
@@ -32,7 +34,8 @@ object Upsert {
 
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String],
       whenMatched: String = "replace",
-      whenNotMatched: String = "insert"): DataFrame = {
+      whenNotMatched: String = "insert",
+      versionCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val cols = target.columns.toSeq
     require(source.columns.toSeq == cols,
@@ -67,6 +70,20 @@ object Upsert {
             concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
             .cast(target.schema(f).dataType))
           .when(onlyT, col(s"_t.$f")).otherwise(col(s"_s.$f")).as(f))
+      case "newerWins" =>
+        // the CDC-correct mode: the matched row with the GREATER version
+        // survives (ties → source), so applying updates is commutative
+        // across arrival order and idempotent under at-least-once
+        // re-delivery — "replace" silently trusts arrival order instead
+        val v = versionCol.getOrElse(throw new IllegalArgumentException(
+          "whenMatched=newerWins requires versionCol"))
+        require(rest.contains(v),
+          s"versionCol must be a shared non-key column: $v")
+        rest.map(f =>
+          when(matched && col(s"_s.$v") >= col(s"_t.$v"), col(s"_s.$f"))
+            .when(matched, col(s"_t.$f"))
+            .when(onlyT, col(s"_t.$f"))
+            .otherwise(col(s"_s.$f")).as(f))
       case other => throw new IllegalArgumentException(
         s"unsupported whenMatched: $other " +
           "(replace|keepExisting|merge|fail)")

@@ -350,6 +350,78 @@ object StreamingOps {
     s.table(name).orderBy("event_id")
   }
 
+  /** Streaming keyed-upsert SINK under the gate — the CDC pattern: a
+    * stream of versioned updates folds into a keyed parquet store via
+    * foreachBatch + [[graft.operators.Upsert]]. Three production
+    * devices, all exercised:
+    *  - per-batch COMPACTION (max_by version per key) so one upsert
+    *    join runs per micro-batch however many updates a key got;
+    *  - whenMatched=newerWins, so the result is independent of
+    *    micro-batch ORDER and of at-least-once re-delivery —
+    *    maxFilesPerTrigger=1 forces the two update files through
+    *    separate batches to prove it;
+    *  - tmp-dir + swap on the target store (the Meta.Write tmp+rename
+    *    discipline, dir-sized) so a reader never sees a half-written
+    *    store.
+    * Oracle: max-version row per key across all updates — the
+    * arrival-order-free answer newerWins guarantees. */
+  def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Upsert
+    val root = graft.core.Scratch.dir("supsert", dir)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val u1 = docs.filter(col("doc_id") < 300)
+      .withColumn("ver", lit(1L))
+    val u2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .withColumn("ver", lit(2L))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    lazy val (n1, n2) = (u1.count(), u2.count())
+    if (!graft.core.Trust.parquetDir(s, s"$root/u1", n1))
+      u1.coalesce(1).write.mode("overwrite").parquet(s"$root/u1")
+    if (!graft.core.Trust.parquetDir(s, s"$root/u2", n2))
+      u2.coalesce(1).write.mode("overwrite").parquet(s"$root/u2")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh store + checkpoint per run: the gate is about the sink's
+    // converged content, not checkpoint resumption (stream_ingest gates
+    // that)
+    for (p <- Seq("target", "target_tmp", "ckpt"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$p"), true)
+    val schema = s.read.parquet(s"$root/u1").schema
+    val keyCols = Seq("doc_id")
+    val dataCols = Seq("lang", "n_chars", "ver")
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/u*")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val compacted = batch.groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(dataCols.map(col): _*), col("ver"))
+              .as("_r"))
+            .select(keyCols.map(col) ++
+              dataCols.map(f => col(s"_r.$f").as(f)): _*)
+          val tgt = new org.apache.hadoop.fs.Path(s"$root/target")
+          val merged =
+            if (!fs.exists(tgt)) compacted
+            else Upsert.upsert(batch.sparkSession.read.parquet(tgt.toString),
+              compacted, keyCols,
+              whenMatched = "newerWins", versionCol = Some("ver"))
+          val tmp = new org.apache.hadoop.fs.Path(s"$root/target_tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(tgt, true)
+          require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$root/target").orderBy("doc_id")
+  }
+
   /** Stateful streaming sessionization under the gate: one AvailableNow
     * pass of the events file through [[sessionizeStateful]]. Sessions
     * whose gap horizon the final watermark passed are closed by
@@ -385,6 +457,20 @@ object StreamingOps {
   private val GapMs = graft.operators.Sessions.GapUs / 1000
 
   val oracle: Map[String, String] = Map(
+    "stream_upsert" ->
+      // max-version row per key across all updates — the arrival-order-
+      // free converged store newerWins guarantees
+      """WITH updates AS (
+        |  SELECT doc_id, lang, n_chars, 1 AS ver FROM documents
+        |  WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 2 AS ver
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+        |SELECT doc_id, lang, n_chars, CAST(ver AS BIGINT) AS ver FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY ver DESC) AS rn FROM updates)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "stream_sessionize" ->
       // batch sessionization (verbatim the `sessionize` oracle CTEs)
       // restricted to watermark-closed sessions: timeout fires when
@@ -446,6 +532,7 @@ object StreamingOps {
     "stream_ingest" -> (streamIngest _),
     "stream_dedup" -> (streamDedup _),
     "stream_dedup_bounded" -> (streamDedupBounded _),
-    "stream_sessionize" -> (streamSessionize _)
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_upsert" -> (streamUpsert _)
   )
 }

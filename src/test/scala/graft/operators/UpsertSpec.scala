@@ -60,6 +60,29 @@ class UpsertSpec extends SparkTestBase {
     assert(nm.getMessage.contains("whenNotMatched=fail"))
   }
 
+  test("newerWins keeps the greater version either way (commutative)") {
+    val t = Seq((1L, "old", 5L), (2L, "cur", 9L)).toDF("k", "s", "ver")
+    val src = Seq((1L, "new", 7L), (2L, "stale", 3L)).toDF("k", "s", "ver")
+    val out = Upsert.upsert(t, src, Seq("k"),
+      whenMatched = "newerWins", versionCol = Some("ver"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // key 1: source ver 7 > 5 wins; key 2: source ver 3 < 9 loses
+    assert(out == Seq((1L, "new", 7L), (2L, "cur", 9L)))
+    // applying the SAME updates onto the result changes nothing
+    // (idempotent under re-delivery)
+    val again = Upsert.upsert(
+      Upsert.upsert(t, src, Seq("k"), "newerWins", "insert", Some("ver")),
+      src, Seq("k"), "newerWins", "insert", Some("ver"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(again == out)
+    val noVer = intercept[IllegalArgumentException] {
+      Upsert.upsert(t, src, Seq("k"), whenMatched = "newerWins")
+    }
+    assert(noVer.getMessage.contains("requires versionCol"))
+  }
+
   test("null keys and schema drift are rejected loudly") {
     val nullKey = Seq((java.lang.Long.valueOf(2L), "x", 1L),
         (null.asInstanceOf[java.lang.Long], "y", 2L))
