@@ -113,10 +113,15 @@ object MqlPipeline {
           // named after the field — later $group/$sort/$project on
           // "$field" resolve that column (Mongo's post-unwind document
           // shape, for the common unwind → group roll-up)
-          require(!grouped, "$unwind after $group unsupported")
           require(spec.isTextual && spec.asText().startsWith("$"),
             s"$$unwind operand must be a \"$$field\" path, got: $spec")
           val f = spec.asText().stripPrefix("$")
+          // post-$group/$facet the metadata view is gone, but unwinding
+          // a REAL output column (a $facet array, a $push result) is
+          // well-defined — only the JSON-resolver path needs pre-group
+          require(!grouped || cur.columns.contains(f),
+            "$unwind after $group/$facet only supports real output " +
+              s"columns, got: $f")
           val arrCol =
             if (cur.columns.contains(f)) col(f)
             else MqlFilter.JsonResolver(meta).arr(f)
@@ -690,6 +695,36 @@ object MqlPipeline {
                   coalesce(col(glAs), array().cast(arrT)))
             }
           cur = cur.drop("_gl_start")
+
+        case "$facet" =>
+          // Multi-pipeline fan-out: each facet runs its own sub-pipeline
+          // over the SAME input and the stage emits ONE document whose
+          // fields are the facets' result arrays. The input is lazily
+          // localCheckpoint'ed so N facets cost one source evaluation,
+          // not N rescans (at warehouse scale the checkpoint spills to
+          // local disk; facets over a pre-filtered stream are the normal
+          // shape). Facet arrays are CANONICALLY sorted (sort_array over
+          // the full result struct) — Mongo preserves sub-pipeline
+          // order, but collect_list order is not a Spark guarantee, and
+          // a deterministic canonical order is this engine's documented
+          // stance ($addToSet precedent). Each single-row facet frame
+          // joins the next by crossJoin — 1×1 rows, no data movement.
+          require(!grouped, "$facet after $group unsupported")
+          val facets = spec.properties().asScala.toSeq
+          require(facets.nonEmpty, s"$$facet needs at least one facet")
+          val shared = cur.localCheckpoint(false)
+          var facetOut: DataFrame = null
+          for (f <- facets) {
+            require(f.getValue.isArray,
+              s"facet ${f.getKey} must be a pipeline array: ${f.getValue}")
+            val fr = aggregate(shared, meta, f.getValue.toString, lookup)
+            val one = fr.agg(sort_array(collect_list(
+              struct(fr.columns.map(col): _*))).as(f.getKey))
+            facetOut =
+              if (facetOut == null) one else facetOut.crossJoin(one)
+          }
+          cur = facetOut
+          grouped = true
 
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")

@@ -1050,6 +1050,32 @@ object Relational {
       .orderBy("doc_id", "depth", "anc_id")
   }
 
+  /** $facet under the gate: one pass fans into two sub-pipelines — a
+    * per-language roll-up and a filtered $count — and the single facet
+    * document is flattened for the row compare ($unwind one facet; the
+    * scalar facet read by element_at). The $match BEFORE the $facet
+    * prunes once for both facets (the checkpointed-shared-input shape). */
+  def mqlFacet(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 100}}},
+        | {"$facet": {
+        |   "by_lang": [
+        |     {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        |     {"$sort": {"_id": 1}}],
+        |   "big": [
+        |     {"$match": {"n_chars": {"$gte": 400}}},
+        |     {"$count": "n"}]}},
+        | {"$unwind": "$by_lang"}
+        |]""".stripMargin)
+      .select(col("by_lang._id").as("lang"),
+        col("by_lang.n").as("n"),
+        element_at(col("big"), 1).getField("n").as("big_n"))
+      .orderBy("lang")
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1314,6 +1340,13 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_facet" ->
+      """WITH f AS (SELECT lang, n_chars FROM documents
+        |           WHERE n_chars >= 100),
+        |by_lang AS (SELECT lang, count(*) AS n FROM f GROUP BY lang),
+        |big AS (SELECT count(*) AS n FROM f WHERE n_chars >= 400)
+        |SELECT b.lang, b.n, big.n AS big_n FROM by_lang b, big
+        |ORDER BY lang""".stripMargin,
     "mql_graph_lookup" ->
       """WITH RECURSIVE t0 AS (
         |  SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS parent_id
@@ -1505,6 +1538,7 @@ object Relational {
     "mql_fill" -> (mqlFill _),
     "mql_densify" -> (mqlDensify _),
     "mql_graph_lookup" -> (mqlGraphLookup _),
+    "mql_facet" -> (mqlFacet _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

@@ -670,6 +670,25 @@ class MqlPipelineSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.graphlookup.max_depth")
   }
 
+  test("$facet: one document, one canonically-sorted array per facet; " +
+      "an empty sub-result is an empty array") {
+    val got = run(
+      """[{"$facet": {
+        |   "per_grp": [
+        |     {"$group": {"_id": "$grp", "n": {"$sum": 1}}},
+        |     {"$sort": {"_id": 1}}],
+        |   "none": [
+        |     {"$match": {"v": {"$gt": 1000}}},
+        |     {"$count": "n"}]}}]""".stripMargin)
+    assert(got.columns.toSeq == Seq("per_grp", "none"))
+    val row = got.head()
+    val perGrp = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(perGrp == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(row.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    assert(got.count() == 1)
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
