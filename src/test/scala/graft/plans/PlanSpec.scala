@@ -383,6 +383,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("upsert: one full-outer hash/merge join, never a nested loop") {
+    import spark.implicits._
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val src = Seq((2L, "B"), (3L, "c")).toDF("k", "s")
+    val p = plan(graft.operators.Upsert.upsert(t, src, Seq("k")))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("mql window stages ($setWindowFields, $fill) run as Window " +
+      "nodes, no joins") {
+    val pw = plan(graft.operators.Relational
+      .mqlWindowFields(spark, sf0001))
+    assert(pw.contains("Window"), pw)
+    assert(!pw.contains("Join"), pw)
+    val pf = plan(graft.operators.Relational.mqlFill(spark, sf0001))
+    assert(pf.contains("Window"), pf)
+    assert(!pf.contains("Join"), pf)
+  }
+
+  test("mql_densify: grid anti-join, no cartesian against the corpus") {
+    val p = plan(graft.operators.Relational.mqlDensify(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ann_ivf_pq_res: residual encode + per-cid LUT stay zero-Exchange") {
     val p = plan(graft.operators.Quantize.annIvfPqRes(spark, sf0001))
     // the residual zip_with and the cid-keyed map LUT are still per-row
