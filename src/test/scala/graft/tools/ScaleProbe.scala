@@ -131,6 +131,33 @@ object ScaleProbe {
         println(f"[scale-pq] mult=$mult%2d rows=${2000 * mult}%7d top=$n%3d time=$el%6.2fs per-2k-rows=${el / mult}%5.3fs")
       }
     }
+    // keyed upsert: ONE full-outer shuffle join — cost must track rows,
+    // not rows². Replicas carry disjoint key ranges so the match ratio
+    // (and the answer size per replica) stays constant as the corpus
+    // grows; any superlinearity would mean the join degenerated.
+    {
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def rep(mult: Int) = (0 until mult).map(i =>
+          docs.select((col("doc_id") + i * 1000000L).as("doc_id"),
+            col("lang"), col("n_chars")))
+        .reduce(_ unionAll _).repartition(32)
+      // warm
+      graft.operators.Upsert.upsert(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0), Seq("doc_id")).count()
+      for (mult <- Seq(1, 4, 16, 64)) {
+        val corpus = rep(mult)
+        val target = corpus.filter(col("doc_id") % 2 === 0)
+        val source = corpus.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000)
+        val t0 = System.nanoTime()
+        val n = graft.operators.Upsert
+          .upsert(target, source, Seq("doc_id")).count()
+        val el = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-upsert] mult=$mult%2d rows=${5000 * mult}%7d merged=$n%7d time=$el%6.2fs per-5k-rows=${el / mult}%5.3fs")
+      }
+    }
     s.stop()
   }
 }
