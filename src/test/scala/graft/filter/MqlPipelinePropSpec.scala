@@ -138,6 +138,49 @@ class MqlPipelineAccumPropSpec extends SparkTestBase {
     }
   }
 
+  test("random $setWindowFields (bounded sums, shifts, docnum) agree " +
+      "with the in-memory model") {
+    val r = new Random(991L)
+    for (round <- 1 to 20) {
+      val lo = -(1 + r.nextInt(3)) // trailing window [lo, 0]
+      val unbounded = r.nextBoolean()
+      val by = r.nextInt(5) - 2 // shift in [-2, 2]
+      val win =
+        if (unbounded) """{"documents": ["unbounded", "current"]}"""
+        else s"""{"documents": [$lo, 0]}"""
+      val pipeline =
+        s"""[
+           | {"$$setWindowFields": {
+           |   "partitionBy": "$$grp",
+           |   "sortBy": {"id": 1},
+           |   "output": {
+           |     "seq": {"$$documentNumber": {}},
+           |     "run": {"$$sum": {"$$toLong": "$$v"}, "window": $win},
+           |     "sh": {"$$shift": {"output": {"$$toLong": "$$v"},
+           |       "by": $by, "default": -1}}}}},
+           | {"$$sort": {"id": 1}},
+           | {"$$project": {"id": 1, "seq": 1, "run": 1, "sh": 1}}
+           |]""".stripMargin
+      val expect = docs.groupBy(_.grp).values.flatMap { ds =>
+        val sorted = ds.sortBy(_.id).toIndexedSeq
+        sorted.zipWithIndex.map { case (d, i) =>
+          val from = if (unbounded) 0 else math.max(0, i + lo)
+          val run = (from to i).map(sorted(_).v).sum
+          val j = i + by
+          val sh =
+            if (j >= 0 && j < sorted.length) sorted(j).v else -1L
+          (d.id, i + 1, run, sh)
+        }
+      }.toSeq.sortBy(_._1)
+      val got = MqlPipeline.aggregate(df, col("meta"), pipeline)
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+          x.getLong(3))).toSeq
+      assert(got == expect,
+        s"round $round lo=$lo unb=$unbounded by=$by\n" +
+          s"got   =${got.take(8)}\nexpect=${expect.take(8)}")
+    }
+  }
+
   test("random $bucket boundaries agree with the in-memory histogram") {
     val r = new Random(777L)
     for (round <- 1 to 15) {
