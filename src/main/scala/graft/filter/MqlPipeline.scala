@@ -726,6 +726,75 @@ object MqlPipeline {
           cur = facetOut
           grouped = true
 
+        case "$bucketAuto" =>
+          // Equal-population bucketing. Boundaries are the EXACT values
+          // at ranks floor(k·n/buckets) — selected distributed-style
+          // (range-partitioned sort + zipWithIndex, ≤ buckets−1 values
+          // to the driver: the quantiles_orders_dist device), never a
+          // global single-partition window. Rows are then assigned BY
+          // VALUE against the boundary chain (equal values always land
+          // together, so the result is deterministic regardless of tie
+          // order; duplicate boundary values merge buckets, and empty
+          // buckets simply don't appear — both exactly mirrored by a
+          // counting oracle). Documented divergence from Mongo: _id =
+          // {min, max} of the ACTUAL values in each bucket (Mongo
+          // rounds boundaries under `granularity`, unsupported here);
+          // populations are approximately equal like Mongo's
+          // "attempts to evenly distribute".
+          require(!grouped, "$bucketAuto after $group unsupported")
+          val baGbN = spec.get("groupBy")
+          require(baGbN != null && baGbN.isTextual &&
+            baGbN.asText().startsWith("$"),
+            s"$$bucketAuto groupBy must be a \"$$field\" path: $spec")
+          val baBN = spec.get("buckets")
+          require(baBN != null && baBN.isIntegralNumber &&
+            baBN.asInt() >= 1,
+            s"$$bucketAuto needs buckets >= 1: $spec")
+          require(spec.get("granularity") == null,
+            "$bucketAuto granularity (preferred-number rounding) " +
+              "unsupported — exact value boundaries only")
+          val nb = baBN.asInt()
+          val baF = baGbN.asText().drop(1)
+          val baV =
+            if (cur.columns.contains(baF)) col(baF).cast("double")
+            else MqlFilter.JsonResolver(meta).num(baF)
+          val vals = cur.select(baV.as("_ba_v"))
+          val nRows = vals.count()
+          val rankSet = (1 until nb).map(k => k.toLong * nRows / nb)
+            .filter(_ > 0).toSet
+          val bounds: Seq[Double] =
+            if (rankSet.isEmpty || nRows == 0L) Nil
+            else {
+              val bc = cur.sparkSession.sparkContext.broadcast(rankSet)
+              vals.repartitionByRange(col("_ba_v"))
+                .sortWithinPartitions("_ba_v")
+                .rdd.zipWithIndex()
+                .filter { case (_, i) => bc.value.contains(i) }
+                .map { case (r, _) =>
+                  require(!r.isNullAt(0),
+                    "$bucketAuto groupBy value must be non-null")
+                  r.getDouble(0)
+                }
+                .collect().toSeq.sorted // dup values kept: merged buckets
+            }
+          val bucketId = bounds.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(baV >= lit(b), 1).otherwise(0) }
+          val baOutN = spec.get("output")
+          val baOuts: Seq[(String, Column)] =
+            if (baOutN == null) Seq("count" -> count(lit(1)))
+            else baOutN.properties().asScala.toSeq.map(e =>
+              e.getKey -> accumulator(e.getValue, meta, cur, sortKeys))
+          val aggCols = min(baV).as("_ba_min") +: max(baV).as("_ba_max") +:
+            baOuts.map { case (nm, c) => c.as(nm) }
+          cur = cur.withColumn("_ba_bucket", bucketId)
+            .groupBy(col("_ba_bucket"))
+            .agg(aggCols.head, aggCols.tail: _*)
+            .select(struct(col("_ba_min").as("min"),
+              col("_ba_max").as("max")).as("_id") +:
+              baOuts.map { case (nm, _) => col(nm) }: _*)
+            .orderBy(col("_id.min"))
+          grouped = true
+
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }

@@ -1076,6 +1076,27 @@ object Relational {
         element_at(col("big"), 1).getField("n").as("big_n"))
       .orderBy("lang")
 
+  /** $bucketAuto under the gate: documents split into 4 approximately
+    * equal-population buckets by n_chars — boundary values selected at
+    * exact ranks floor(k·n/4) by the distributed rank device, rows
+    * assigned by value (half-open at each boundary), _id = {min, max}
+    * of the actual bucket values flattened for the compare. The oracle
+    * recomputes the identical ranks/boundaries via row_number and the
+    * identical assignment by counting boundaries ≤ v. */
+  def mqlBucketAuto(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$bucketAuto": {"groupBy": "$n_chars", "buckets": 4,
+        |   "output": {
+        |     "n": {"$sum": 1},
+        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}}}}}
+        |]""".stripMargin)
+      .select(col("_id.min").as("lo"), col("_id.max").as("hi"),
+        col("n"), col("total_chars"))
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1340,6 +1361,23 @@ object Relational {
         |FROM documents WHERE n_chars >= 120
         |GROUP BY lang HAVING count(*) >= 5
         |ORDER BY _id""".stripMargin,
+    "mql_bucket_auto" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v, n_chars
+        |           FROM documents),
+        |n AS (SELECT count(*) AS c FROM v),
+        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk
+        |           FROM v),
+        |bounds AS (
+        |  SELECT v AS bv FROM ranked, n
+        |  WHERE rk IN (1*c//4, 2*c//4, 3*c//4) AND rk > 0),
+        |assigned AS (
+        |  SELECT v.v, v.n_chars,
+        |    (SELECT count(*) FROM bounds WHERE bv <= v.v) AS bucket
+        |  FROM v)
+        |SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM assigned GROUP BY bucket
+        |ORDER BY lo""".stripMargin,
     "mql_facet" ->
       """WITH f AS (SELECT lang, n_chars FROM documents
         |           WHERE n_chars >= 100),
@@ -1539,6 +1577,7 @@ object Relational {
     "mql_densify" -> (mqlDensify _),
     "mql_graph_lookup" -> (mqlGraphLookup _),
     "mql_facet" -> (mqlFacet _),
+    "mql_bucket_auto" -> (mqlBucketAuto _),
     "mql_pipeline_accum" -> (mqlPipelineAccum _),
     "mql_project_exclude" -> (mqlProjectExclude _),
     "mql_replace_root_doc" -> (mqlReplaceRootDoc _),

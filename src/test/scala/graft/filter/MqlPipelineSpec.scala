@@ -689,6 +689,35 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got.count() == 1)
   }
 
+  test("$bucketAuto: equal-population split; tied boundary values land " +
+      "together; empty buckets vanish; loud errors") {
+    val vals = Seq(1L, 1L, 1L, 1L, 2L, 3L, 4L, 5L)
+    val tied = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, s"""{"v": $v}""") }
+      .toDF("id", "meta")
+    val got = MqlPipeline.aggregate(tied, col("meta"),
+      """[{"$bucketAuto": {"groupBy": "$v", "buckets": 4}}]""")
+      .select(col("_id.min"), col("_id.max"), col("count"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    // ranks 2,4,6 of [1,1,1,1,2,3,4,5] → bounds 1,2,4; all the 1s land
+    // in ONE bucket (assignment by value), the sub-1 bucket is empty
+    // and absent
+    assert(got == Seq((1.0, 1.0, 4L), (2.0, 3.0, 2L), (4.0, 5.0, 2L)))
+
+    val gran = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(tied, col("meta"),
+        """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+          |  "granularity": "R5"}}]""".stripMargin)
+    }
+    assert(gran.getMessage.contains("granularity"))
+    val zero = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(tied, col("meta"),
+        """[{"$bucketAuto": {"groupBy": "$v", "buckets": 0}}]""")
+    }
+    assert(zero.getMessage.contains("buckets >= 1"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
