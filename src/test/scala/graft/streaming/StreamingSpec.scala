@@ -157,4 +157,35 @@ class StreamingSpec extends SparkTestBase {
     val batch = graft.operators.Relational.eventsHourly(spark, sf0001).collect()
     assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
+
+  test("stateful sessionization runs unchanged on the RocksDB state " +
+      "store (the spill-to-disk backend a 100 TB cluster uses)") {
+    // the provider is read at query START, so setting it per-test is
+    // enough; default-provider coverage comes from every other test
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, Long, Long)](spark)
+      val out = StreamingOps.sessionizeStateful(
+        in.toDF().toDF("ts", "user_id", "event_id"))
+      val q = out.writeStream.format("memory")
+        .queryName("sess_rocks").outputMode("append").start()
+      try {
+        in.addData(
+          (ts(1, 0), 1L, 1L), (ts(1, 10), 1L, 2L), (ts(1, 50), 1L, 3L),
+          (ts(1, 5), 2L, 4L))
+        q.processAllAvailable()
+        in.addData((ts(9, 0), 99L, 5L))
+        q.processAllAvailable()
+        val got = spark.table("sess_rocks")
+          .filter(col("user_id").isin(1L, 2L))
+          .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+        // same 3 closed sessions the default-provider test asserts:
+        // user 1 splits on the 40-min gap, user 2 has one session
+        assert(got.map(_._1) == Set(1L, 2L) && got.size == 3, got)
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
