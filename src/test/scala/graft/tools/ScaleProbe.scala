@@ -158,6 +158,37 @@ object ScaleProbe {
         println(f"[scale-upsert] mult=$mult%2d rows=${5000 * mult}%7d merged=$n%7d time=$el%6.2fs per-5k-rows=${el / mult}%5.3fs")
       }
     }
+    // $graphLookup BFS: round count is fixed by maxDepth, each round is
+    // one frontier⋈from equi-join — total cost must track corpus size
+    // linearly. Replicas carry disjoint id spaces (independent forests),
+    // so the walk volume grows exactly with the input.
+    {
+      import org.apache.spark.sql.DataFrame
+      val pipe =
+        """[{"$graphLookup": {"from": "docs", "startWith": "$parent_id",
+          |  "connectFromField": "parent_id", "connectToField": "doc_id",
+          |  "as": "anc", "maxDepth": 2}}]""".stripMargin
+      def mk(mult: Int) = (0 until mult).map(i =>
+          d.select((col("doc_id") + i * 1000000L).as("doc_id"),
+            (floor(col("doc_id") / 2).cast("long") + i * 1000000L)
+              .as("parent_id")))
+        .reduce(_ unionAll _).repartition(32)
+      def walk(c: DataFrame): Long = {
+        val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
+          case "docs" => (c.select("doc_id", "parent_id"), lit(null))
+          case o => sys.error(o)
+        }
+        graft.filter.MqlPipeline.aggregate(c, lit("{}"), pipe, resolver)
+          .agg(sum(size(col("anc")))).head.getLong(0)
+      }
+      walk(mk(1)) // warm
+      for (mult <- Seq(1, 4, 16)) {
+        val t0 = System.nanoTime()
+        val n = walk(mk(mult))
+        val el = (System.nanoTime() - t0) / 1e9
+        println(f"[scale-graph] mult=$mult%2d rows=${5000 * mult}%6d ancRows=$n%7d time=$el%6.2fs per-5k-rows=${el / mult}%5.3fs")
+      }
+    }
     s.stop()
   }
 }
