@@ -209,6 +209,46 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(nearCorpus(s, dir))
 
+  /** Cross-corpus contamination check — the train/eval DECONTAMINATION
+    * op every benchmark-hygiene pipeline needs: eval documents that
+    * near-duplicate (Jaccard >= 0.5) any training document. Same
+    * one-shuffle LSH plan as [[minhashPairs]] over the UNION of both
+    * corpora — the two sides ride one band join instead of an
+    * eval×train cross product — with the side encoded in the id's low
+    * bit (train = 2·id, eval = 2·id+1), so keeping only mixed-parity
+    * pairs yields exactly the cross-corpus hits and within-corpus
+    * near-dups never reach the verify. Caller ids may overlap between
+    * frames (separate id spaces); each must be non-negative. */
+  private[graft] def contaminationPairs(train: DataFrame,
+      eval: DataFrame): DataFrame = {
+    val combined = train.select((col("id") * 2).as("id"), col("text"))
+      .unionAll(eval.select((col("id") * 2 + 1).as("id"), col("text")))
+    val cand = lshCandidates(combined)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand.filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .filter(inter * 2 >= union)
+      .select(
+        shiftright(when(pmod(col("id_a"), lit(2)) === 0, col("id_a"))
+          .otherwise(col("id_b")), 1).as("train_id"),
+        shiftright(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+          .otherwise(col("id_b")), 1).as("eval_id"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Registered gate: full documents as the training corpus; every 7th
+    * document, trimmed by 15 chars, as the planted-contaminated eval
+    * set (own id space). */
+  def dedupContaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contaminationPairs(
+      d.select(col("doc_id").as("id"), col("text")),
+      d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id").as("id"),
+          col("text").substr(lit(1), length(col("text")) - 15)
+            .as("text")))
+  }
+
   /** The non-default text dial the override gate forces: 16 minhashes
     * in 8 bands of 2 — shorter bands than the 12/4/3 default, so the
     * candidate sets (and every md5 band formula in the oracle) differ
@@ -599,6 +639,24 @@ object Dedup {
          |FROM corpus a JOIN corpus b
          |  ON md5(a.text) = md5(b.text) AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_contaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id * 2 AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    substr(text, 1, length(text) - 15) AS text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |$lshOracleCtes
+         |SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+         |    AS train_id,
+         |  (CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2
+         |    AS eval_id
+         |FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |  JOIN sh0 b ON b.id = cand.id_b
+         |WHERE id_a % 2 <> id_b % 2
+         |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
+         |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
+         |ORDER BY train_id, eval_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH corpus AS ($nearCorpusSql),
          |$lshOracleCtes
@@ -681,6 +739,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_contaminate" -> (dedupContaminate _),
     "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),

@@ -23,6 +23,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Seq((1L, 2L)), pairs.mkString(","))
   }
 
+  test("contaminationPairs reports only CROSS-corpus hits — " +
+      "within-corpus near-dups never surface") {
+    val other = "the rain in spain stays mainly in the plain every day " +
+      "again and again"
+    val train = Seq(
+      (1L, base),
+      (2L, base + " phi"), // train-train near-dup: must NOT appear
+      (3L, other)
+    ).toDF("id", "text")
+    val eval = Seq(
+      (1L, base + " chi psi"), // contaminated copy of train 1 (and 2);
+                               // id COLLIDES with train 1 on purpose —
+                               // separate id spaces must be preserved
+      (9L, "completely unrelated words about query engines and io")
+    ).toDF("id", "text")
+    val got = Dedup.contaminationPairs(train, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L)), got.mkString(","))
+  }
+
   test("identical docs are always found (LSH recall = 1 at jaccard 1)") {
     val corpus = Seq((10L, base), (20L, base)).toDF("id", "text")
     val pairs = Dedup.minhashPairs(corpus)
