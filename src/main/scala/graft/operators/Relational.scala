@@ -472,6 +472,31 @@ object Relational {
     s.sql(q21Sql)
   }
 
+  /** TPC-H Q17 flavor (small-quantity-order revenue): a correlated
+    * scalar AGGREGATE over the SAME table the outer query scans —
+    * lineitem correlates with a per-partkey sum of lineitem itself.
+    * Catalyst must decorrelate into one grouped aggregate of the fact
+    * table joined back to the fact table (scan it twice, join once) —
+    * the self-correlation Q2's agg-of-a-join flavor doesn't cover. All
+    * compared quantities are integers (quantity is integral in this
+    * corpus — verified — and money is cents), so the inequality and
+    * both sums are order-independent exact in both engines. */
+  private val q17Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem l, part p
+      |WHERE p.p_partkey = l.l_partkey
+      |  AND p.p_brand = 'Brand#1'
+      |  AND CAST(l_quantity AS BIGINT) * 5 < (
+      |    SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q17Sql)
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1186,6 +1211,7 @@ object Relational {
     "sql_tpch_q22" -> q22Sql,
     "sql_tpch_q2" -> q2Sql,
     "sql_tpch_q21" -> q21Sql,
+    "sql_tpch_q17" -> q17Sql,
     "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
@@ -1596,6 +1622,7 @@ object Relational {
     "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_tpch_q2" -> (sqlTpchQ2 _),
     "sql_tpch_q21" -> (sqlTpchQ21 _),
+    "sql_tpch_q17" -> (sqlTpchQ17 _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

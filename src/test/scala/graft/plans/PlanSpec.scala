@@ -410,6 +410,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sql_tpch_q17: self-correlated scalar agg decorrelates to one " +
+      "grouped-agg join, no nested loops") {
+    val p = plan(graft.operators.Relational.sqlTpchQ17(spark, sf0001))
+    // the per-partkey sum must become a grouped aggregate joined back —
+    // a nested-loop re-scan of lineitem per outer row would be O(n²)
+    assert(p.contains("Aggregate") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("ann_ivf_pq_res: residual encode + per-cid LUT stay zero-Exchange") {
     val p = plan(graft.operators.Quantize.annIvfPqRes(spark, sf0001))
     // the residual zip_with and the cid-keyed map LUT are still per-row
