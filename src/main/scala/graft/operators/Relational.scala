@@ -497,6 +497,39 @@ object Relational {
     s.sql(q17Sql)
   }
 
+  /** Funnel analysis — the product-analytics staple: users progressing
+    * view → click → purchase in STRICT event-time order (each step's
+    * timestamp must exceed the user's previous step's FIRST qualifying
+    * time — min-ts semantics, the standard "first touch" funnel). Three
+    * cascaded per-user aggregates, each one small shuffle on user_id;
+    * no per-user history is ever collected, so state is O(users), not
+    * O(events) — this survives arbitrarily long histories. Timestamps
+    * compare as floored MICROS on both engines (the events reader's
+    * unit), so nanos-tail ties can't flip the strict inequality. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    funnelOver(events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us")), Seq("view", "click", "purchase"))
+
+  /** The reusable funnel core over any `(user_id, event_type, us)`
+    * frame: per-user per-step first-qualifying times, cascaded. */
+  private[graft] def funnelOver(ev: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    var out = reached.select(lit(1).as("step"), col("user_id"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      reached = ev.filter(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t").as("prev")),
+          "user_id")
+        .filter(col("us") > col("prev"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      out = out.unionAll(
+        reached.select(lit(i + 2).as("step"), col("user_id")))
+    }
+    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1480,6 +1513,23 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, count(*) AS users FROM t1
+        |UNION ALL SELECT 2, count(*) FROM t2
+        |UNION ALL SELECT 3, count(*) FROM t3
+        |ORDER BY step""".stripMargin,
     "asof_join" ->
       """WITH ded AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -1623,6 +1673,7 @@ object Relational {
     "sql_tpch_q2" -> (sqlTpchQ2 _),
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
+    "funnel_steps" -> (funnelSteps _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

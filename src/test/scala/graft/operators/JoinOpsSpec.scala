@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Semantics + plan-shape checks for the join extensions (kNN similarity
   * join, as-of join) added on top of the reference surface. */
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("funnel counts strict-order progression only; out-of-order and " +
+      "repeat events don't inflate steps") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: clicked BEFORE viewing — no click follows the view, so
+      // step 2 is never reached and the later purchase can't count
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 50L),
+      // user 3: duplicate views/clicks must count once
+      (3L, "view", 1L), (3L, "view", 2L), (3L, "click", 3L),
+      (3L, "click", 4L),
+      // user 4: never viewed
+      (4L, "purchase", 9L)
+    ).toDF("user_id", "event_type", "us")
+    val got = graft.operators.Relational
+      .funnelOver(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // step 1: users 1,2,3; step 2: users 1,3; step 3: user 1
+    assert(got == Seq((1, 3L), (2, 2L), (3, 1L)), got.mkString(","))
+  }
+}
+
 class JoinOpsSpec extends SparkTestBase {
 
   test("asof_join matches the correlated-subquery definition at sf0.001") {
