@@ -510,6 +510,31 @@ object Relational {
     funnelOver(events(s, dir).select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us")), Seq("view", "click", "purchase"))
 
+  /** Cohort retention — funnel's sibling staple: users grouped by their
+    * FIRST active epoch-week (the cohort), counted in each later week
+    * they return. Shape: distinct (user, week) pairs → per-user min
+    * week → one grouped count per (cohort, week-offset). Two small
+    * shuffles on user_id, then one on the cohort pair; the distinct
+    * collapses arbitrarily long histories to O(users × weeks) rows
+    * first. Week index = epoch-micros DIV week-micros — integer
+    * division on both engines, no float boundary hazards. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 604800000000L // micros per week
+    retentionOver(events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), expr(s"us DIV $wkUs").as("wk")))
+  }
+
+  /** The reusable retention core over any `(user_id, wk)` frame. */
+  private[graft] def retentionOver(userWeeks: DataFrame): DataFrame = {
+    val weeks = userWeeks.distinct()
+    val cohort = weeks.groupBy("user_id").agg(min("wk").as("wk0"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("wk0"), (col("wk") - col("wk0")).as("wk_off"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("wk0", "wk_off")
+  }
+
   /** The reusable funnel core over any `(user_id, event_type, us)`
     * frame: per-user per-step first-qualifying times, cascaded. */
   private[graft] def funnelOver(ev: DataFrame,
@@ -1513,6 +1538,15 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "retention_cohorts" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 1000 // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS wk0 FROM weeks
+        |           GROUP BY user_id)
+        |SELECT c.wk0, w.wk - c.wk0 AS wk_off, count(*) AS users
+        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
@@ -1674,6 +1708,7 @@ object Relational {
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
     "funnel_steps" -> (funnelSteps _),
+    "retention_cohorts" -> (retentionCohorts _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

@@ -30,6 +30,24 @@ class FunnelSpec extends SparkTestBase {
   }
 }
 
+class RetentionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("retention counts each user once per week, cohorted by first week") {
+    val uw = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), (1L, 13L), // dup week counts once
+      (2L, 10L), (2L, 11L),
+      (3L, 11L) // later cohort
+    ).toDF("user_id", "wk")
+    val got = graft.operators.Relational.retentionOver(uw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // cohort 10: 2 users at offset 0, 2 at +1, 1 at +3; cohort 11: 1 user
+    assert(got == Seq((10L, 0L, 2L), (10L, 1L, 2L), (10L, 3L, 1L),
+      (11L, 0L, 1L)), got.mkString(","))
+  }
+}
+
 class JoinOpsSpec extends SparkTestBase {
 
   test("asof_join matches the correlated-subquery definition at sf0.001") {
