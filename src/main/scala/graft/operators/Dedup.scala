@@ -249,6 +249,23 @@ object Dedup {
             .as("text")))
   }
 
+  /** The actionable end of the contamination check: the TRAIN corpus
+    * with every eval-contaminated document removed — one LEFT ANTI
+    * against the (small) hit list, the shape that scales to any corpus
+    * because the anti join's build side is the contaminated ids, not
+    * the corpus. Emits the surviving census per language so the gate
+    * output stays compact while pinning exactly which rows survived. */
+  def pipelineDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val hits = dedupContaminate(s, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    d.join(hits, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** The non-default text dial the override gate forces: 16 minhashes
     * in 8 bands of 2 — shorter bands than the 12/4/3 default, so the
     * candidate sets (and every md5 band formula in the oracle) differ
@@ -639,6 +656,29 @@ object Dedup {
          |FROM corpus a JOIN corpus b
          |  ON md5(a.text) = md5(b.text) AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id * 2 AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS id,
+         |    substr(text, 1, length(text) - 15) AS text
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |$lshOracleCtes,
+         |hits AS (
+         |  SELECT DISTINCT
+         |    (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+         |      AS doc_id
+         |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |    JOIN sh0 b ON b.id = cand.id_b
+         |  WHERE id_a % 2 <> id_b % 2
+         |    AND 2 * len(list_intersect(a.shh, b.shh)) >=
+         |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh)))
+         |SELECT lang, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h
+         |                  WHERE h.doc_id = d.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_contaminate" ->
       s"""WITH corpus AS (
          |  SELECT doc_id * 2 AS id, text FROM documents
@@ -740,6 +780,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_contaminate" -> (dedupContaminate _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
