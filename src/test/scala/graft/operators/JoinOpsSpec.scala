@@ -48,6 +48,56 @@ class RetentionSpec extends SparkTestBase {
   }
 }
 
+class FunnelPropSpec extends SparkTestBase {
+  import spark.implicits._
+  import scala.util.Random
+
+  test("random event histories: funnel and retention agree with " +
+      "in-memory models") {
+    val r = new Random(31337L)
+    for (round <- 1 to 10) {
+      val types = Seq("view", "click", "purchase")
+      val evs = (0 until 400).map { _ =>
+        (r.nextInt(30).toLong, types(r.nextInt(3)),
+          r.nextInt(1000).toLong)
+      }
+      // in-memory funnel: per user, cascaded first-qualifying times
+      // (strictly increasing); ties on ts within a user+type collapse
+      // to the same min, so the model is deterministic
+      def firstAfter(u: Long, tpe: String, after: Long): Option[Long] = {
+        val c = evs.filter(e => e._1 == u && e._2 == tpe && e._3 > after)
+        if (c.isEmpty) None else Some(c.map(_._3).min)
+      }
+      val users = evs.map(_._1).distinct
+      var reached = users.flatMap(u => firstAfter(u, "view", Long.MinValue)
+        .map(u -> _)).toMap
+      var expect = Seq(1 -> reached.size.toLong)
+      for ((tpe, i) <- Seq("click" -> 2, "purchase" -> 3)) {
+        reached = reached.flatMap { case (u, t) =>
+          firstAfter(u, tpe, t).map(u -> _) }
+        expect = expect :+ (i -> reached.size.toLong)
+      }
+      val got = graft.operators.Relational
+        .funnelOver(evs.toDF("user_id", "event_type", "us"), types)
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSeq
+      assert(got == expect.filter(_._2 > 0), s"round $round: $got vs $expect")
+
+      // retention model: distinct (user, week), cohort = min week
+      val uw = evs.map(e => (e._1, e._3 / 100)).distinct
+      val coh = uw.groupBy(_._1).map { case (u, ws) =>
+        u -> ws.map(_._2).min }
+      val expRet = uw.groupBy { case (u, w) => (coh(u), w - coh(u)) }
+        .map { case (k, g) => (k._1, k._2, g.size.toLong) }
+        .toSeq.sorted
+      val gotRet = graft.operators.Relational
+        .retentionOver(uw.toDF("user_id", "wk"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .toSeq
+      assert(gotRet == expRet, s"round $round: $gotRet vs $expRet")
+    }
+  }
+}
+
 class JoinOpsSpec extends SparkTestBase {
 
   test("asof_join matches the correlated-subquery definition at sf0.001") {
