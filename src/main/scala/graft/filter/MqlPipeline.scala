@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   * computed fields, "$$ROOT" for the whole document), $addFields,
   * $replaceRoot (path and document forms), $count, $setWindowFields
   * (rank/denseRank/documentNumber, windowed accumulators with documents
-  * bounds, $shift — mapped 1:1 onto Spark's Window API).
+  * bounds, $shift, $derivative/$integral over the primary sortBy axis —
+  * mapped 1:1 onto Spark's Window API).
   *
   * Value expressions: `"$field"` is the STRING view of a metadata field;
   * `{"$toLong"|"$toDouble": "$field"}` the numeric view (MQL's
@@ -391,6 +392,23 @@ object MqlPipeline {
                 s"documents bound must be integer/unbounded/current: $n")
               n.asLong()
             }
+          // primary sortBy field — the x-axis of $derivative/$integral
+          val sortFields: Seq[String] = Option(spec.get("sortBy")).toSeq
+            .flatMap(_.properties().asScala.toSeq).map(_.getKey)
+          def sortVal(wop: String): Column = {
+            val sf = sortFields.headOption.getOrElse(
+              throw new IllegalArgumentException(
+                s"$wop requires a sortBy in $$setWindowFields"))
+            require(cur.columns.contains(sf),
+              s"$wop needs the primary sortBy field as a real numeric " +
+                s"column: $sf")
+            col(sf).cast("double")
+          }
+          // $integral's trapezoid references lag() — a window function
+          // can't nest inside the outer sum's window, so traps
+          // materialize as helper columns first and drop after
+          val trapCols =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
           val outCols = outN.properties().asScala.toSeq.map { out =>
             val opEntries = out.getValue.properties().asScala.toSeq
               .filterNot(_.getKey == "window")
@@ -439,12 +457,55 @@ object MqlPipeline {
                 val w = orderedW(wop)
                 if (by >= 0) lead(base, by, dflt).over(w)
                 else lag(base, -by, dflt).over(w)
+              case "$derivative" =>
+                // Mongo's contract over ANY documents frame: rate of
+                // change between the frame's first and last rows —
+                // (last(input) − first(input)) / (last(x) − first(x)),
+                // x = the primary sortBy value. Zero x-span (a one-row
+                // frame, or tied sort values) → null in both engines.
+                val inputE = arg.get("input")
+                require(inputE != null, s"$$derivative needs input: $arg")
+                val v = valueExpr(inputE, meta, cur).cast("double")
+                val sv = sortVal(wop)
+                val num = last(v).over(frame) - first(v).over(frame)
+                val den = last(sv).over(frame) - first(sv).over(frame)
+                when(den =!= 0, num / den)
+              case "$integral" =>
+                // trapezoid area over the frame's rows. Supported
+                // frames: the whole-partition default or a running
+                // ["unbounded", "current"] — per-row traps (computed
+                // against the PREVIOUS row) sum cleanly there; an
+                // interior lower bound would need the trap at the frame
+                // edge re-based, which Mongo itself doesn't offer
+                // beyond these shapes in common use. Loud otherwise.
+                val inputE = arg.get("input")
+                require(inputE != null, s"$$integral needs input: $arg")
+                Option(out.getValue.get("window")).foreach { w =>
+                  val d = w.get("documents")
+                  require(d != null && d.isArray && d.size == 2 &&
+                    d.get(0).isTextual && d.get(0).asText() == "unbounded" &&
+                    d.get(1).isTextual && d.get(1).asText() == "current",
+                    "$integral supports the default whole-partition " +
+                      s"window or [unbounded, current] only, got: $w")
+                }
+                val v = valueExpr(inputE, meta, cur).cast("double")
+                val sv = sortVal(wop)
+                val w = orderedW(wop)
+                val trap = when(lag(sv, 1).over(w).isNull, lit(0.0))
+                  .otherwise((v + lag(v, 1).over(w)) / 2 *
+                    (sv - lag(sv, 1).over(w)))
+                val tmp = s"_swf_trap_${out.getKey}"
+                trapCols += tmp -> trap
+                sum(col(tmp)).over(frame)
               case other => throw new IllegalArgumentException(
                 s"unsupported window operator: $other")
             }
             c.as(out.getKey)
           }
+          cur = trapCols.foldLeft(cur) { case (d, (n, c)) =>
+            d.withColumn(n, c) }
           cur = cur.select(col("*") +: outCols: _*)
+          cur = trapCols.foldLeft(cur) { case (d, (n, _)) => d.drop(n) }
 
         case "$fill" =>
           // Mongo 5.3's gap-filling stage. Two fill forms:

@@ -1180,6 +1180,39 @@ object Relational {
       .select(col("_id.min").as("lo"), col("_id.max").as("hi"),
         col("n"), col("total_chars"))
 
+  /** $derivative/$integral under the gate: per-user event series
+    * (x = event-time SECONDS, y = floor(value)) through one
+    * $setWindowFields — instantaneous rate over a [-1, 0] frame (the
+    * discrete derivative) and running trapezoid area. The axes are
+    * INTEGRAL by construction, so every trapezoid is an exact dyadic
+    * value (k/2) and the running sums stay exactly representable —
+    * necessary because Spark accumulates window sums in frame order
+    * while DuckDB aggregates them in segment-tree order, and a
+    * float-fractional series would diverge in the low bits (observed
+    * before this shaping). The derivative stays a single double
+    * division; tied timestamps (same second) yield null rates in both
+    * engines via the zero-x-span guard. */
+  def mqlWindowCalculus(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) DIV 1000000").as("sec"),
+          floor(col("value")).cast("double").as("yv")),
+      to_json(struct(col("user_id"))),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$user_id",
+        |   "sortBy": {"sec": 1, "event_id": 1},
+        |   "output": {
+        |     "vel": {"$derivative": {"input": "$yv"},
+        |       "window": {"documents": [-1, 0]}},
+        |     "area": {"$integral": {"input": "$yv"},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        | {"$sort": {"user_id": 1, "sec": 1, "event_id": 1}},
+        | {"$project": {"user_id": 1, "event_id": 1, "vel": 1,
+        |   "area": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1512,6 +1545,30 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
         |  coalesce(src, 'unknown') AS src
         |FROM f ORDER BY lang, doc_id""".stripMargin,
+    "mql_window_calculus" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(floor(value) AS DOUBLE) AS yv,
+        |  epoch_ns(ts) // 1000 // 1000000 AS sec FROM events),
+        |w AS (SELECT user_id, event_id, sec, yv,
+        |  first_value(yv) OVER fr AS fv,
+        |  last_value(yv) OVER fr AS lv,
+        |  first_value(sec) OVER fr AS fs,
+        |  last_value(sec) OVER fr AS ls,
+        |  lag(yv) OVER wo AS pv,
+        |  lag(sec) OVER wo AS ps
+        |  FROM ev
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+        |  wo AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |t AS (SELECT user_id, event_id, sec,
+        |  CASE WHEN ls - fs <> 0 THEN (lv - fv) / (ls - fs) END AS vel,
+        |  CASE WHEN ps IS NULL THEN 0.0
+        |       ELSE (yv + pv) / 2 * (sec - ps) END AS trap
+        |  FROM w)
+        |SELECT user_id, event_id, vel,
+        |  sum(trap) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
+        |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
     "mql_window_fields" ->
       """SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
@@ -1683,6 +1740,7 @@ object Relational {
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
+    "mql_window_calculus" -> (mqlWindowCalculus _),
     "mql_fill" -> (mqlFill _),
     "mql_densify" -> (mqlDensify _),
     "mql_graph_lookup" -> (mqlGraphLookup _),

@@ -718,6 +718,44 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(zero.getMessage.contains("buckets >= 1"))
   }
 
+  test("$derivative/$integral: slopes between frame ends, trapezoid " +
+      "running area, null rate on zero x-span") {
+    val series = Seq(
+      // grp a: (x, y) = (0,0) (2,4) (4,4) — slope 2 then 0;
+      // areas 0, 4, 12
+      (1L, "a", 0L, 0.0), (2L, "a", 2L, 4.0), (3L, "a", 4L, 4.0),
+      // grp b: two points at the SAME x — zero span → null rate
+      (4L, "b", 5L, 1.0), (5L, "b", 5L, 3.0)
+    ).toDF("id", "grp", "x", "y")
+      .withColumn("meta", to_json(struct(col("grp"))))
+    val got = MqlPipeline.aggregate(series, col("meta"),
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$grp",
+        |   "sortBy": {"x": 1, "id": 1},
+        |   "output": {
+        |     "vel": {"$derivative": {"input": "$y"},
+        |       "window": {"documents": [-1, 0]}},
+        |     "area": {"$integral": {"input": "$y"},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "vel": 1, "area": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getDouble(2))).toSeq
+    assert(got == Seq(
+      (1L, None, 0.0), (2L, Some(2.0), 4.0), (3L, Some(0.0), 12.0),
+      (4L, None, 0.0), (5L, None, 0.0)), got.mkString(","))
+
+    val badWin = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(series, col("meta"),
+        """[{"$setWindowFields": {"partitionBy": "$grp",
+          |  "sortBy": {"x": 1},
+          |  "output": {"a": {"$integral": {"input": "$y"},
+          |    "window": {"documents": [-2, 0]}}}}}]""".stripMargin)
+    }
+    assert(badWin.getMessage.contains("$integral supports"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
