@@ -457,6 +457,33 @@ object MqlPipeline {
                 val w = orderedW(wop)
                 if (by >= 0) lead(base, by, dflt).over(w)
                 else lag(base, -by, dflt).over(w)
+              case "$median" | "$percentile" =>
+                // Mongo 7.0 window ops. Mongo mandates method:
+                // "approximate" (its t-digest); this engine computes the
+                // EXACT interpolated percentile — a correctness superset
+                // — and accepts the keyword. $percentile returns the
+                // array shape Mongo documents (one value per requested
+                // p, request order).
+                val inputE = arg.get("input")
+                require(inputE != null, s"$wop needs input: $arg")
+                // Spark computes exact percentiles only over a bare
+                // partition spec (no order/frame) — bounded frames are
+                // loudly unsupported (Mongo's own default is the whole
+                // partition too)
+                require(out.getValue.get("window") == null,
+                  s"$wop supports the whole-partition default window " +
+                    s"only: ${out.getValue}")
+                val v = valueExpr(inputE, meta, cur).cast("double")
+                if (wop == "$median") median(v).over(baseW)
+                else {
+                  val pN = arg.get("p")
+                  require(pN != null && pN.isArray && !pN.isEmpty &&
+                    pN.elements().asScala.forall(n =>
+                      n.isNumber && n.asDouble() >= 0 && n.asDouble() <= 1),
+                    s"$$percentile needs p: [0..1 fractions]: $arg")
+                  val ps = pN.elements().asScala.toSeq.map(_.asDouble())
+                  percentile(v, typedLit(ps)).over(baseW)
+                }
               case "$derivative" =>
                 // Mongo's contract over ANY documents frame: rate of
                 // change between the frame's first and last rows —

@@ -1213,6 +1213,34 @@ object Relational {
         |   "area": 1}}
         |]""".stripMargin)
 
+  /** $median/$percentile window ops under the gate: per-language exact
+    * interpolated quantiles of n_chars through $setWindowFields
+    * (whole-partition frames), flattened to one row per language. The
+    * values are integral, so the linear interpolation (lo + frac·(hi−lo)
+    * with dyadic frac) is exact in both engines — Spark's percentile()
+    * and DuckDB's quantile_cont share the (n−1)·p rank convention. */
+  def mqlWindowPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("chars")),
+      to_json(struct(col("lang"))),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "med": {"$median": {"input": "$chars",
+        |       "method": "approximate"}},
+        |     "pcts": {"$percentile": {"input": "$chars",
+        |       "p": [0.25, 0.75], "method": "approximate"}}}}}
+        |]""".stripMargin)
+      .select(col("lang"), col("med"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p75"))
+      .distinct()
+      .orderBy("lang")
+
   /** Pipeline $unwind: array fan-out then per-element roll-up — the
     * Mongo unwind → group idiom over the same tags-array metadata as
     * mql_docs_array. */
@@ -1545,6 +1573,12 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
         |  coalesce(src, 'unknown') AS src
         |FROM f ORDER BY lang, doc_id""".stripMargin,
+    "mql_window_pct" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "mql_window_calculus" ->
       """WITH ev AS (SELECT user_id, event_id,
         |  CAST(floor(value) AS DOUBLE) AS yv,
@@ -1741,6 +1775,7 @@ object Relational {
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
+    "mql_window_pct" -> (mqlWindowPercentile _),
     "mql_fill" -> (mqlFill _),
     "mql_densify" -> (mqlDensify _),
     "mql_graph_lookup" -> (mqlGraphLookup _),

@@ -756,6 +756,40 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(badWin.getMessage.contains("$integral supports"))
   }
 
+  test("$median/$percentile: exact interpolation over the partition; " +
+      "bounded windows refused") {
+    val vals = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 10.0), (5L, "b", 7.0))
+      .toDF("id", "grp", "v")
+      .withColumn("meta", to_json(struct(col("grp"))))
+    val got = MqlPipeline.aggregate(vals, col("meta"),
+      """[{"$setWindowFields": {"partitionBy": "$grp",
+        |   "output": {
+        |     "med": {"$median": {"input": "$v",
+        |       "method": "approximate"}},
+        |     "pcts": {"$percentile": {"input": "$v", "p": [0.25, 1.0],
+        |       "method": "approximate"}}}}},
+        |  {"$sort": {"id": 1}}]""".stripMargin)
+      .select(col("id"), col("med"), element_at(col("pcts"), 1),
+        element_at(col("pcts"), 2))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // grp a [1,2,3,10]: median (2+3)/2 = 2.5; p25 at rank 0.75 →
+    // 1 + 0.75·(2−1) = 1.75; p100 = 10. grp b singleton: all 7
+    assert(got == Seq((1L, 2.5, 1.75, 10.0), (2L, 2.5, 1.75, 10.0),
+      (3L, 2.5, 1.75, 10.0), (4L, 2.5, 1.75, 10.0),
+      (5L, 7.0, 7.0, 7.0)), got.mkString(","))
+
+    val bounded = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(vals, col("meta"),
+        """[{"$setWindowFields": {"partitionBy": "$grp",
+          |  "sortBy": {"id": 1},
+          |  "output": {"m": {"$median": {"input": "$v"},
+          |    "window": {"documents": [-1, 0]}}}}}]""".stripMargin)
+    }
+    assert(bounded.getMessage.contains("whole-partition"))
+  }
+
   test("the reference's internal pipeline through Collection.aggregate") {
     val root = tmpDir("kaer-pipe")
     val c = new KaerSession(spark, root, HashingEmbedder(64))
