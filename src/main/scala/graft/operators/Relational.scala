@@ -535,6 +535,27 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** Event transition matrix — the Markov-chain view of user behavior
+    * (sequence-model featurization, UX flow analysis): for each user's
+    * time-ordered event stream, count every adjacent (from → to) pair.
+    * ONE window (lead over the per-user order) + one grouped count; the
+    * order key is (ts, event_id) so same-timestamp events have a
+    * deterministic successor in both engines. Final events (no
+    * successor) are dropped — the standard transition-matrix contract. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** The reusable funnel core over any `(user_id, event_type, us)`
     * frame: per-user per-step first-qualifying times, cascaded. */
   private[graft] def funnelOver(ev: DataFrame,
@@ -1629,6 +1650,16 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS to_type
+        |  FROM ev)
+        |SELECT from_type, to_type, count(*) AS n FROM nx
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "retention_cohorts" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id,
@@ -1802,6 +1833,7 @@ object Relational {
     "sql_tpch_q17" -> (sqlTpchQ17 _),
     "funnel_steps" -> (funnelSteps _),
     "retention_cohorts" -> (retentionCohorts _),
+    "event_transitions" -> (eventTransitions _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),
