@@ -209,6 +209,28 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(nearCorpus(s, dir))
 
+  /** Edit-distance-verified near-dup pairs — the fuzzy-match flavor for
+    * short documents where shingle Jaccard is too coarse (a 15-char
+    * tail edit barely moves a 3-gram set but IS the whole difference
+    * for a tweet-length doc). Same no-all-pairs shape: LSH candidates
+    * block the corpus, then ONLY candidate pairs pay the O(len²)
+    * Levenshtein — texts join back by id (candidates ≪ corpus, two
+    * narrow hash joins), never travel through the band shuffle. The
+    * metric is integer edit distance with unit costs — bit-identical
+    * in Spark's levenshtein() and DuckDB's. */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(s, dir)
+    val cand = lshCandidates(corpus).select("id_a", "id_b")
+    val txt = corpus.select(col("id"), col("text"))
+    cand
+      .join(txt.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= 20)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Cross-corpus contamination check — the train/eval DECONTAMINATION
     * op every benchmark-hygiene pipeline needs: eval documents that
     * near-duplicate (Jaccard >= 0.5) any training document. Same
@@ -656,6 +678,16 @@ object Dedup {
          |FROM corpus a JOIN corpus b
          |  ON md5(a.text) = md5(b.text) AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_edit_distance" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |$lshOracleCtes
+         |SELECT cand.id_a, cand.id_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+         |FROM cand
+         |  JOIN corpus ta ON ta.id = cand.id_a
+         |  JOIN corpus tb ON tb.id = cand.id_b
+         |WHERE levenshtein(ta.text, tb.text) <= 20
+         |ORDER BY id_a, id_b""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH corpus AS (
          |  SELECT doc_id * 2 AS id, text FROM documents
@@ -781,6 +813,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_contaminate" -> (dedupContaminate _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
+    "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
