@@ -19,6 +19,33 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
 
+  /** Overlapping token-window chunking — the preprocessing step every
+    * embedding pipeline runs before vectorizing long documents: word
+    * tokens sliced into windows of [[ChunkW]] with stride [[ChunkS]]
+    * (10-token overlap preserves context across boundaries). Pure
+    * per-row expressions — sequence of starts → posexplode → slice —
+    * so chunking runs at scan speed with NO shuffle; output order is
+    * the only sort. The last chunk is partial (standard contract);
+    * empty docs produce no chunks. */
+  private val ChunkW = 40
+  private val ChunkS = 30
+
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkS)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("t"), col("start") + 1, lit(ChunkW)), " ")
+          .as("chunk"),
+        least(col("n") - col("start"), lit(ChunkW)).cast("long")
+          .as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Whitespace tokens vs extracted word tokens. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -170,6 +197,17 @@ object TextAnalysis {
         |FROM tf JOIN df USING (tok), n
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "text_chunks" ->
+      """WITH t0 AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |tt AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
+        |st AS (SELECT doc_id, t, n,
+        |  unnest(generate_series(0, n - 1, 30)) AS start FROM tt)
+        |SELECT doc_id, start // 30 AS chunk_idx,
+        |  array_to_string(t[start + 1 : start + 40], ' ') AS chunk,
+        |  CAST(least(n - start, 40) AS BIGINT) AS chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
@@ -248,6 +286,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_keyword" -> (searchKeyword _),
     "text_tokens" -> (textTokens _),
+    "text_chunks" -> (textChunks _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
