@@ -21,7 +21,11 @@ import scala.jdk.CollectionConverters._
   * MQL type bracketing: numbers compare across int/long/double; strings
   * only compare with strings; a missing field fails every positive
   * predicate but matches $ne/$nin/$exists:false. The [[JsonResolver]]
-  * enforces this with Spark 4 VARIANT type introspection.
+  * enforces this with Spark 4 VARIANT type introspection. Integral
+  * literal × integral value compares EXACTLY as 64-bit longs (not
+  * through a double, which rounds past 2^53); date predicates use the
+  * Mongo extended-JSON literal {"$date": "ISO-8601"} and compare ISO
+  * string metadata values as TIMESTAMP.
   */
 object MqlFilter {
 
@@ -31,6 +35,15 @@ object MqlFilter {
   trait FieldResolver {
     /** Numeric view of the field (null when absent or non-numeric). */
     def num(field: String): Column
+    /** Integral view as a 64-bit long (null when absent or not an
+      * integral number) — comparisons between an integral literal and an
+      * integral value go through this view so ids past 2^53 compare
+      * EXACTLY instead of through a lossy double. */
+    def intNum(field: String): Column
+    /** Timestamp view (null when absent or not an ISO-8601 date string).
+      * JSON has no date type, so dates travel as strings — the Mongo
+      * extended-JSON `{"$date": "ISO"}` literal selects this view. */
+    def ts(field: String): Column
     /** String view (null when absent or non-string). */
     def str(field: String): Column
     /** Boolean view (null when absent or non-boolean). */
@@ -64,9 +77,17 @@ object MqlFilter {
     private def numericType(f: String): Column =
       schemaOf(f).isin("BIGINT", "DOUBLE", "INT", "SMALLINT",
         "TINYINT", "FLOAT") || schemaOf(f).startsWith("DECIMAL")
+    private def integralType(f: String): Column =
+      schemaOf(f).isin("BIGINT", "INT", "SMALLINT", "TINYINT") ||
+        (schemaOf(f).startsWith("DECIMAL") && schemaOf(f).endsWith(",0)"))
 
     def num(f: String): Column =
       when(numericType(f), try_variant_get(parsedV, path(f), "double"))
+    def intNum(f: String): Column =
+      when(integralType(f), try_variant_get(parsedV, path(f), "long"))
+    def ts(f: String): Column =
+      when(schemaOf(f) === "STRING",
+        try_to_timestamp(try_variant_get(parsedV, path(f), "string")))
     def str(f: String): Column =
       when(schemaOf(f) === "STRING",
         try_variant_get(parsedV, path(f), "string"))
@@ -135,6 +156,17 @@ object MqlFilter {
       case Some((c, t)) if t.isInstanceOf[NumericType] => c.cast("double")
       case _ => lit(null).cast("double")
     }
+    def intNum(f: String): Column = get(f) match {
+      case Some((c, ByteType | ShortType | IntegerType | LongType)) =>
+        c.cast("long")
+      case Some((c, d: DecimalType)) if d.scale == 0 => c.cast("long")
+      case _ => lit(null).cast("long")
+    }
+    def ts(f: String): Column = get(f) match {
+      case Some((c, TimestampType | DateType)) => c.cast("timestamp")
+      case Some((c, StringType)) => try_to_timestamp(c)
+      case _ => lit(null).cast("timestamp")
+    }
     def str(f: String): Column = get(f) match {
       case Some((c, StringType)) => c
       case _ => lit(null).cast("string")
@@ -147,10 +179,12 @@ object MqlFilter {
       case Some((c, ArrayType(_, _))) => c.cast("array<string>")
       case _ => lit(null).cast("array<string>")
     }
-    def varr(f: String): Column =
-      throw new IllegalArgumentException(
-        "embedded-document $elemMatch requires a JSON metadata field, " +
-          s"not typed column: $f")
+    def varr(f: String): Column = get(f) match {
+      // scalar-array ops ($all/$size/$elemMatch) bracket per element over
+      // a VARIANT view; arrays of atomics cast element-wise
+      case Some((c, ArrayType(_, _))) => c.cast("array<variant>")
+      case _ => lit(null).cast("array<variant>")
+    }
     def exists(f: String): Column = get(f) match {
       case Some((c, _)) => c.isNotNull
       case None => lit(false)
@@ -208,16 +242,37 @@ object MqlFilter {
     clauses.reduceLeftOption(_ && _).getOrElse(lit(true))
   }
 
+  /** Mongo extended-JSON date literal: {"$date": "ISO-8601"} — the form
+    * FerretDB accepts through the delegated filter
+    * (/root/reference/db/db.go:113). NOT an operator object. */
+  private def isDateLiteral(v: JsonNode): Boolean =
+    v.isObject && v.size() == 1 && v.has("$date") &&
+      v.get("$date").isTextual
+
   private def isOpObject(v: JsonNode): Boolean =
-    v.properties().asScala.nonEmpty &&
+    !isDateLiteral(v) &&
+      v.properties().asScala.nonEmpty &&
       v.properties().asScala.forall(_.getKey.startsWith("$"))
 
   private def cmp(field: String, lit0: JsonNode, r: FieldResolver)(
       op: (Column, Column) => Column): Column = {
-    if (lit0.isNumber) tv(op(r.num(field), lit(lit0.asDouble())))
+    if (lit0.isNumber) {
+      // MQL brackets across numeric types but compares EXACTLY: an
+      // integral literal against an integral value goes through the long
+      // view (a double would silently round past 2^53 — 64-bit ids and
+      // byte counts are routine at scale); mixed int/float falls back to
+      // double, where the float side already defines the precision.
+      if (lit0.isIntegralNumber && lit0.canConvertToLong)
+        tv(coalesce(
+          op(r.intNum(field), lit(lit0.asLong())),
+          op(r.num(field), lit(lit0.asDouble()))))
+      else tv(op(r.num(field), lit(lit0.asDouble())))
+    }
     else if (lit0.isTextual) tv(op(r.str(field), lit(lit0.asText())))
     else if (lit0.isBoolean) tv(op(r.bool(field), lit(lit0.asBoolean())))
     else if (lit0.isNull) !r.exists(field) || r.typeName(field) === "null"
+    else if (isDateLiteral(lit0))
+      tv(op(r.ts(field), to_timestamp(lit(lit0.get("$date").asText()))))
     else throw new IllegalArgumentException(
       s"unsupported literal for $field: $lit0")
   }
@@ -254,6 +309,36 @@ object MqlFilter {
     tv(r.str(field).rlike(pat))
   }
 
+  /** Bracketed comparison of ONE variant array element against a JSON
+    * literal — the element-level twin of [[cmp]]: integral×integral goes
+    * through long (exact past 2^53), numeric otherwise through double,
+    * strings only against strings, booleans against booleans. Null when
+    * the element's type doesn't bracket with the literal. */
+  private def elemCmp(e: Column, lit0: JsonNode)(
+      op: (Column, Column) => Column): Column = {
+    val s = schema_of_variant(e)
+    def root(t: String) = try_variant_get(e, "$", t)
+    val numeric = s.isin("BIGINT", "DOUBLE", "INT", "SMALLINT",
+      "TINYINT", "FLOAT") || s.startsWith("DECIMAL")
+    val integral = s.isin("BIGINT", "INT", "SMALLINT", "TINYINT") ||
+      (s.startsWith("DECIMAL") && s.endsWith(",0)"))
+    if (lit0.isNumber) {
+      val dbl = when(numeric, op(root("double"), lit(lit0.asDouble())))
+      if (lit0.isIntegralNumber && lit0.canConvertToLong)
+        coalesce(when(integral, op(root("long"), lit(lit0.asLong()))), dbl)
+      else dbl
+    }
+    else if (lit0.isTextual)
+      when(s === "STRING", op(root("string"), lit(lit0.asText())))
+    else if (lit0.isBoolean)
+      when(s === "BOOLEAN", op(root("boolean"), lit(lit0.asBoolean())))
+    else if (isDateLiteral(lit0))
+      when(s === "STRING", op(try_to_timestamp(root("string")),
+        to_timestamp(lit(lit0.get("$date").asText()))))
+    else throw new IllegalArgumentException(
+      s"unsupported array-element literal: $lit0")
+  }
+
   private def fieldOp(field: String, op: String, v: JsonNode,
       r: FieldResolver): Column = op match {
     case "$eq"  => cmp(field, v, r)(_ === _)
@@ -285,15 +370,22 @@ object MqlFilter {
       // Mongo rejects a zero divisor; silently-matching-nothing (the NaN
       // % result collapsed by tv) would hide the caller's bug
       require(args(0).asDouble() != 0.0, "$mod divisor cannot be 0")
-      tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
+      // integral args on an integral value → exact long arithmetic
+      // (double % collapses dividends past 2^53); mixed falls to double
+      if (args.forall(a => a.isIntegralNumber && a.canConvertToLong))
+        tv(coalesce(
+          r.intNum(field) % lit(args(0).asLong()) === lit(args(1).asLong()),
+          r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble())))
+      else
+        tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)
     case "$type" => tv(r.typeName(field) === v.asText())
     case "$regex" => regexPred(field, v.asText(), "", r)
-    case "$size" => tv(size(r.arr(field)) === v.asInt())
+    case "$size" => tv(size(r.varr(field)) === v.asInt())
     case "$all" =>
-      val elems = v.elements().asScala.map(_.asText()).toSeq
-      elems.map(e => tv(array_contains(r.arr(field), e)))
+      val elems = v.elements().asScala.toSeq
+      elems.map(e => tv(exists(r.varr(field), el => elemCmp(el, e)(_ === _))))
         .reduceLeftOption(_ && _).getOrElse(lit(true))
     case "$elemMatch" if !isOpObject(v) =>
       // embedded-document form: {"items": {"$elemMatch": {"k": "a",
@@ -304,28 +396,27 @@ object MqlFilter {
       // missing fields give a null element array -> false under tv.
       tv(exists(r.varr(field), e => translate(v, ElementResolver(e))))
     case "$elemMatch" =>
-      // operator-object form: {"tags": {"$elemMatch": {"$gt": 3}}}
+      // operator-object form: {"tags": {"$elemMatch": {"$gt": 3}}} —
+      // elements bracket per element (a string "5" never matches a
+      // numeric condition), same rules as a top-level field comparison
       val conds = v.properties().asScala.toSeq
       val pred: Column => Column = e => conds.map { c =>
         val litNode = c.getValue
-        val cast: Column =
-          if (litNode.isNumber) e.cast("double") else e
-        val l: Column =
-          if (litNode.isNumber) lit(litNode.asDouble())
-          else lit(litNode.asText())
         c.getKey match {
-          case "$eq"  => cast === l
-          case "$ne"  => cast =!= l
-          case "$gt"  => cast > l
-          case "$gte" => cast >= l
-          case "$lt"  => cast < l
-          case "$lte" => cast <= l
-          case "$regex" => e.rlike(litNode.asText())
+          case "$eq"  => tv(elemCmp(e, litNode)(_ === _))
+          // $ne matches differently-typed elements too (MQL semantics)
+          case "$ne"  => !tv(elemCmp(e, litNode)(_ === _))
+          case "$gt"  => tv(elemCmp(e, litNode)(_ > _))
+          case "$gte" => tv(elemCmp(e, litNode)(_ >= _))
+          case "$lt"  => tv(elemCmp(e, litNode)(_ < _))
+          case "$lte" => tv(elemCmp(e, litNode)(_ <= _))
+          case "$regex" =>
+            tv(try_variant_get(e, "$", "string").rlike(litNode.asText()))
           case other => throw new IllegalArgumentException(
             s"unsupported $$elemMatch op: $other")
         }
       }.reduceLeft(_ && _)
-      tv(exists(r.arr(field), pred))
+      tv(exists(r.varr(field), pred))
     case other =>
       throw new IllegalArgumentException(s"unsupported MQL operator: $other")
   }

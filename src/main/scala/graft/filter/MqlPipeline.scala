@@ -1116,6 +1116,8 @@ object MqlPipeline {
     private def pick(f: String): MqlFilter.FieldResolver =
       if (real(f)) typed else json
     def num(f: String): Column = pick(f).num(f)
+    def intNum(f: String): Column = pick(f).intNum(f)
+    def ts(f: String): Column = pick(f).ts(f)
     def str(f: String): Column = pick(f).str(f)
     def bool(f: String): Column = pick(f).bool(f)
     def arr(f: String): Column = pick(f).arr(f)

@@ -172,6 +172,28 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** MQL date predicates — the single most common metadata filter on a
+    * real corpus (crawl timestamps, ingestion dates). JSON has no date
+    * type, so dates travel as ISO-8601 strings in the metadata document;
+    * the filter uses Mongo extended-JSON `{"$date": "ISO"}` literals (the
+    * form FerretDB accepts through the reference's delegated filter,
+    * /root/reference/db/db.go:111-113) and MqlFilter compares both sides
+    * as TIMESTAMP. Combined with $in on a string field and $exists so the
+    * date view composes with the rest of the operator surface. */
+  def mqlEventsDate(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("meta", to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
+        col("event_type").as("etype"))))
+      .filter(MqlFilter.toColumn(
+        """{"created": {"$gte": {"$date": "2024-01-10T00:00:00"},
+          |             "$lt":  {"$date": "2024-01-20T12:00:00"}},
+          | "etype": {"$in": ["click", "view"]},
+          | "missing": {"$exists": false}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
   /** MQL $mod — Mongo's divisor/remainder predicate, over the same
     * schemaless props field as the other MQL gates. */
   def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
@@ -1278,6 +1300,36 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** $lookup under the oracle gate: left outer equi-match against a
+    * sibling collection (Mongo's cross-collection join,
+    * /root/reference delegated-pipeline surface), matches re-nested as an
+    * array then $unwind-flattened — the join fan-out makes the re-nest
+    * observable (each doc matches one foreign row per distinct source of
+    * its language; docs whose language has no foreign row drop at
+    * $unwind, the Mongo default). The oracle replays the same join+count
+    * in SQL. */
+  def mqlLookup(s: SparkSession, dir: String): DataFrame = {
+    val local = t(s, dir, "documents")
+      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
+    val foreign = t(s, dir, "documents")
+      .filter(col("lang").isin("en", "fr", "de"))
+      .select(col("lang"), col("source")).distinct()
+      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
+    graft.filter.MqlPipeline.aggregate(
+      local, col("meta"),
+      """[
+        | {"$lookup": {"from": "langsrc", "localField": "lang",
+        |   "foreignField": "lang", "as": "matches"}},
+        | {"$unwind": "$matches"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "langsrc", s"unknown collection: $name")
+        (foreign, col("fmeta"))
+      })
+  }
+
   /** $regex with Mongo $options (inline (?i) flags) + $not composition,
     * under the oracle gate — the flags travel inside the pattern so any
     * regex engine (Java here, RE2 in the oracle) evaluates identically. */
@@ -1644,6 +1696,13 @@ object Relational {
         |WHERE regexp_matches(source, '(?i)^SRC1$')
         |  AND NOT regexp_matches(lang, '(?i)^E')
         |ORDER BY doc_id""".stripMargin,
+    "mql_lookup" ->
+      """SELECT d.lang AS _id, count(*) AS n
+        |FROM documents d
+        |JOIN (SELECT DISTINCT lang, source FROM documents
+        |      WHERE lang IN ('en', 'fr', 'de')) f
+        |  ON d.lang = f.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -1707,6 +1766,12 @@ object Relational {
     "mql_events_mod" ->
       """SELECT event_id FROM events
         |WHERE (props->>'k')::DOUBLE % 7 = 3
+        |ORDER BY event_id""".stripMargin,
+    "mql_events_date" ->
+      """SELECT event_id FROM events
+        |WHERE date_trunc('second', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 12:00:00'
+        |  AND event_type IN ('click', 'view')
         |ORDER BY event_id""".stripMargin,
     "range_join_bucketed" ->
       """SELECT e.event_id, count(o.ts) AS n_prev_1h
@@ -1797,12 +1862,14 @@ object Relational {
     "mql_events_range" -> (mqlEventsRange _),
     "mql_events_nor" -> (mqlEventsNor _),
     "mql_events_mod" -> (mqlEventsMod _),
+    "mql_events_date" -> (mqlEventsDate _),
     "range_join_bucketed" -> (rangeJoinBucketed _),
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
+    "mql_lookup" -> (mqlLookup _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_calculus" -> (mqlWindowCalculus _),

@@ -13,13 +13,21 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 class MqlFilterPropSpec extends SparkTestBase {
   import spark.implicits._
 
-  // 40 docs: k in 0..19, some with a second field, some missing k
+  // 2^53: the first long a double cannot distinguish from its neighbor —
+  // the int64-exactness hot zone (comparisons here MUST go through the
+  // long view, a double would collapse BIG and BIG+1)
+  private val Big = 9007199254740992L
+
+  // 48 docs: k in 0..19, some with a second field, some missing k, and
+  // 8 docs with k in the 2^53 neighborhood
   private val corpus: Seq[(Long, String)] = (0L until 40L).map { i =>
     val json =
       if (i % 10 == 9) """{"other": "x"}"""
       else if (i % 3 == 0) s"""{"k": ${i % 20}, "tag": "t${i % 4}"}"""
       else s"""{"k": ${i % 20}}"""
     (i, json)
+  } ++ (40L until 48L).map { i =>
+    (i, s"""{"k": ${Big + (i % 4) - 1}}""")
   }
 
   private lazy val df = corpus.toDF("id", "meta").cache()
@@ -87,11 +95,15 @@ class MqlFilterPropSpec extends SparkTestBase {
 
   private val genCmp: Gen[P] = for {
     op <- Gen.oneOf("eq", "ne", "gt", "gte", "lt", "lte")
-    v <- Gen.choose(-2L, 21L)
+    // half the literals land in the 2^53 neighborhood where only an
+    // exact long comparison distinguishes adjacent values
+    v <- Gen.oneOf(Gen.choose(-2L, 21L), Gen.choose(Big - 2, Big + 3))
   } yield Cmp(op, v)
 
   private val genIn: Gen[P] = for {
-    vs <- Gen.nonEmptyListOf(Gen.choose(0L, 20L)).map(_.distinct.take(5))
+    vs <- Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(0L, 20L), Gen.choose(Big - 1, Big + 2)))
+      .map(_.distinct.take(5))
     neg <- Gen.oneOf(true, false)
   } yield In(vs, neg)
 

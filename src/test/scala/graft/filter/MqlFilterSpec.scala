@@ -145,6 +145,115 @@ class MqlFilterSpec extends SparkTestBase {
       == Seq(1L))
   }
 
+  // int64 exactness: 2^53 = 9007199254740992 is the first long a double
+  // cannot distinguish from its successor
+  private val bigRows = Seq(
+    (1L, """{"id64": 9007199254740992}"""),
+    (2L, """{"id64": 9007199254740993}"""),
+    (3L, """{"id64": 9007199254740994}"""),
+    (4L, """{"id64": 2.0}"""),
+    (5L, """{"id64": 2}""")
+  )
+  private lazy val bigDf = bigRows.toDF("id", "meta")
+  private def bigIds(filterJson: String): Seq[Long] =
+    bigDf.filter(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("int64-exact: $eq/$ne/$lt at 2^53+1 do not round through double") {
+    assert(bigIds("""{"id64": 9007199254740993}""") == Seq(2L))
+    assert(bigIds("""{"id64": {"$ne": 9007199254740993}}""")
+      == Seq(1L, 3L, 4L, 5L))
+    assert(bigIds("""{"id64": {"$gt": 9007199254740992}}""") == Seq(2L, 3L))
+    assert(bigIds("""{"id64": {"$lte": 9007199254740993}}""")
+      == Seq(1L, 2L, 4L, 5L))
+    assert(bigIds("""{"id64": {"$in": [9007199254740993, 2]}}""")
+      == Seq(2L, 4L, 5L))
+    // $mod stays exact past 2^53: 9007199254740993 % 7 == 5 exactly,
+    // while the double path would compute 4 — the wrong-answer case
+    assert(bigIds("""{"id64": {"$mod": [7, 5]}}""") == Seq(2L))
+    // 2^53 % 7 == 4: only row 1 — the double path would also pull in
+    // row 2 (2^53+1 collapses onto 2^53 as a double)
+    assert(bigIds("""{"id64": {"$mod": [7, 4]}}""") == Seq(1L))
+  }
+
+  test("int64 brackets with doubles: integral literal matches 2.0") {
+    assert(bigIds("""{"id64": 2}""") == Seq(4L, 5L))
+    assert(bigIds("""{"id64": 2.0}""") == Seq(4L, 5L))
+  }
+
+  // dates: ISO-8601 strings in metadata, {"$date": ...} literals in the
+  // filter (Mongo extended JSON — the form FerretDB accepts)
+  private val dateRows = Seq(
+    (1L, """{"created": "2024-01-15T10:00:00"}"""),
+    (2L, """{"created": "2024-06-01T00:00:00"}"""),
+    (3L, """{"created": "2023-12-31T23:59:59"}"""),
+    (4L, """{"created": 20240115}"""),
+    (5L, """{"created": "not a date"}"""),
+    (6L, """{}""")
+  )
+  private lazy val dateDf = dateRows.toDF("id", "meta")
+  private def dateIds(filterJson: String): Seq[Long] =
+    dateDf.filter(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("$date literals: range compare as TIMESTAMP over ISO strings") {
+    assert(dateIds(
+      """{"created": {"$gte": {"$date": "2024-01-01T00:00:00"}}}""")
+      == Seq(1L, 2L))
+    assert(dateIds(
+      """{"created": {"$gte": {"$date": "2024-01-01T00:00:00"},
+        |             "$lt": {"$date": "2024-02-01T00:00:00"}}}""".stripMargin)
+      == Seq(1L))
+    assert(dateIds(
+      """{"created": {"$date": "2024-06-01T00:00:00"}}""") == Seq(2L))
+  }
+
+  test("$date bracketing: numbers and unparseable strings never match") {
+    // row 4 (number 20240115) and row 5 ("not a date") must not match a
+    // $date predicate in either direction
+    assert(dateIds(
+      """{"created": {"$lt": {"$date": "2099-01-01T00:00:00"}}}""")
+      == Seq(1L, 2L, 3L))
+    // and a $date literal never matches through the numeric view
+    assert(dateIds("""{"created": {"$gte": 0}}""") == Seq(4L))
+  }
+
+  // numeric arrays: $all/$size/$elemMatch bracket per element
+  private val numArrRows = Seq(
+    (1L, """{"xs": [1, 2, 3]}"""),
+    (2L, """{"xs": [1.0, 2.5]}"""),
+    (3L, """{"xs": ["1", "2"]}"""),
+    (4L, """{"xs": [9007199254740993]}"""),
+    (5L, """{"xs": []}""")
+  )
+  private lazy val numArrDf = numArrRows.toDF("id", "meta")
+  private def numArrIds(filterJson: String): Seq[Long] =
+    numArrDf.filter(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("numeric $all brackets per element: 1 matches 1 and 1.0, not \"1\"") {
+    assert(numArrIds("""{"xs": {"$all": [1]}}""") == Seq(1L, 2L))
+    assert(numArrIds("""{"xs": {"$all": [1, 2]}}""") == Seq(1L))
+    assert(numArrIds("""{"xs": {"$all": ["1"]}}""") == Seq(3L))
+    // exact past 2^53 inside arrays too
+    assert(numArrIds("""{"xs": {"$all": [9007199254740993]}}""") == Seq(4L))
+    assert(numArrIds("""{"xs": {"$all": [9007199254740992]}}""") == Seq())
+  }
+
+  test("numeric $size / $elemMatch bracketing") {
+    assert(numArrIds("""{"xs": {"$size": 2}}""") == Seq(2L, 3L))
+    assert(numArrIds("""{"xs": {"$size": 0}}""") == Seq(5L))
+    assert(numArrIds("""{"xs": {"$elemMatch": {"$gt": 2}}}""")
+      == Seq(1L, 2L, 4L))
+    // string "2" does not satisfy a numeric $gte
+    assert(numArrIds("""{"xs": {"$elemMatch": {"$gte": 2}}}""")
+      == Seq(1L, 2L, 4L))
+    assert(numArrIds("""{"xs": {"$elemMatch": {"$eq": "2"}}}""") == Seq(3L))
+  }
+
   test("embedded $elemMatch: nested operators, missing fields, non-arrays") {
     // $in + range on the same element
     assert(docIds("""{"items": {"$elemMatch":
