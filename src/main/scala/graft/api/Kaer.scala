@@ -2,7 +2,8 @@ package graft.api
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core.{CollectionMeta, IndexMeta, Meta, Schema}
-import graft.embed.{Embedder, HashingEmbedder}
+import graft.embed.{BatchedEmbedder, Embedder, HashingEmbedder,
+  HttpEmbedTransport}
 import graft.filter.MqlFilter
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -66,8 +67,11 @@ object KaerSession {
   /** Open a session from a [[graft.core.GraftConfig]] — the reference's
     * config-driven NewKaer boot (db/kaer.go:84-145 reads the parsed TOML
     * for its dirs/models), minus the subprocess plumbing. The embedder is
-    * resolved from the config's model: the offline hashing embedder for
-    * the default model, with the dimension from the model→dim map. */
+    * resolved from the config: when `embed_endpoint` is set, the batched
+    * HTTP transport against that URL with the configured model/key (the
+    * reference's hosted-Cohere path, db/cohere.go:20-33, with the
+    * endpoint explicit instead of hardwired); otherwise the offline
+    * hashing embedder, with the dimension from the model→dim map. */
   def apply(spark: SparkSession,
       cfg: graft.core.GraftConfig): KaerSession = {
     require(cfg.embedDim == graft.core.GraftConfig.Model2Dim
@@ -75,7 +79,13 @@ object KaerSession {
       s"embed_dim ${cfg.embedDim} contradicts model " +
         s"'${cfg.embedderModel}' " +
         s"(${graft.core.GraftConfig.Model2Dim.get(cfg.embedderModel)})")
-    new KaerSession(spark, cfg.persistDir, HashingEmbedder(cfg.embedDim))
+    val embedder: Embedder =
+      if (cfg.embedEndpoint.nonEmpty)
+        BatchedEmbedder(HttpEmbedTransport(
+          cfg.embedEndpoint, cfg.embedderModel, cfg.embedDim,
+          apiKey = Option(cfg.embedApiKey).filter(_.nonEmpty)))
+      else HashingEmbedder(cfg.embedDim)
+    new KaerSession(spark, cfg.persistDir, embedder)
   }
 }
 
@@ -171,6 +181,10 @@ object Collection {
   /** Executor-static Jackson mapper for the update-merge UDF (one per
     * JVM, not per row — ObjectMapper construction is expensive). */
   private[api] lazy val udfMapper = new ObjectMapper()
+
+  /** Default driver-side cap for [[Collection.distinctValues]] —
+    * conf-overridable via `graft.distinct.max_values`. */
+  private[graft] val MaxDistinctValues = 100000
 }
 
 final class Collection(
@@ -237,16 +251,32 @@ final class Collection(
 
   /** Mongo `distinct` command twin: the distinct values of a metadata
     * field (string view), optionally under an MQL filter. One filtered
-    * scan + a distinct aggregate; missing fields contribute nothing. */
+    * scan + a distinct aggregate; missing fields contribute nothing.
+    *
+    * The command shape returns an in-memory array to the client (like
+    * Mongo's 16MB-capped distinct), so a high-cardinality field at scale
+    * would OOM the driver. Guarded like [[graft.operators.Dedup]]'s
+    * bucket cap: loud failure with remediation past
+    * `graft.distinct.max_values` (default 100k) — a user who actually
+    * wants the full value set should aggregate() to a sink instead. */
   def distinctValues(field: String, filterJson: String = null): Seq[String] = {
     if (!hasData) return Nil
+    val cap = spark.conf.getOption("graft.distinct.max_values")
+      .map(_.toInt).getOrElse(Collection.MaxDistinctValues)
     val base = if (filterJson == null || filterJson.trim.isEmpty) df
     else df.filter(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))))
-    base.select(MqlFilter.JsonResolver(col(Schema.MetaCol))
+    val out = base.select(MqlFilter.JsonResolver(col(Schema.MetaCol))
         .str(field).as("v"))
       .filter(col("v").isNotNull).distinct()
-      .orderBy("v").collect().map(_.getString(0)).toSeq
+      .orderBy("v").limit(cap + 1).collect().map(_.getString(0)).toSeq
+    if (out.length > cap) throw new IllegalStateException(
+      s"distinct('$field') exceeds $cap values — the distinct-command " +
+        "shape returns an array to the driver and a high-cardinality " +
+        "field would exhaust its memory. Raise graft.distinct.max_values " +
+        "if the cardinality is genuinely bounded, or aggregate() with a " +
+        "$group stage and write the result to a sink instead")
+    out
   }
 
   /** countDocuments twin: rows matching an MQL filter (the whole-table

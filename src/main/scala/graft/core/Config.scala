@@ -23,6 +23,13 @@ final case class GraftConfig(
     persistDir: String = "/tmp/graft-kaer",
     embedderModel: String = "hashing-md5-v1",
     embedDim: Int = 64,
+    // remote embedding backend (the reference's [cohere] block,
+    // config.go:59): when `embedEndpoint` is set the session boots the
+    // HTTP batch transport against it; empty means the offline hashing
+    // embedder. The endpoint is an explicit URL (never a hardwired
+    // hosted service) so air-gapped deployments point it anywhere.
+    embedEndpoint: String = "",
+    embedApiKey: String = "",
     ivfNlist: Int = 16,
     ivfNprobe: Int = 4,
     kmeansIters: Int = 3,
@@ -90,7 +97,8 @@ object GraftConfig {
     * semantics: absent keys keep defaults; a missing file IS the
     * defaults). `*.toml` parses as a TOML subset (the reference's
     * format); anything else as java.util.Properties. Recognized keys:
-    * persist_dir, embedder_model, embed_dim, ivf_nlist, ivf_nprobe,
+    * persist_dir, embedder_model, embed_dim, embed_endpoint,
+    * embed_api_key, ivf_nlist, ivf_nprobe,
     * kmeans_iters, dedup_bits_per_band, dedup_bands, minhash_k,
     * text_bands — flat, or under the TOML sections mapped by
     * [[tomlAliases]]. `embed_dim` defaults
@@ -129,6 +137,8 @@ object GraftConfig {
       embedderModel = model,
       embedDim = int("embed_dim",
         Model2Dim.getOrElse(model, d.embedDim)),
+      embedEndpoint = str("embed_endpoint", d.embedEndpoint),
+      embedApiKey = str("embed_api_key", d.embedApiKey),
       ivfNlist = int("ivf_nlist", d.ivfNlist),
       ivfNprobe = int("ivf_nprobe", d.ivfNprobe),
       kmeansIters = int("kmeans_iters", d.kmeansIters),
@@ -149,8 +159,12 @@ object GraftConfig {
   private val tomlAliases: Map[String, String] = Map(
     "db.persist_dir" -> "persist_dir",
     "cohere.model" -> "embedder_model",
+    "cohere.api_key" -> "embed_api_key",
+    "cohere.endpoint" -> "embed_endpoint",
     "embed.model" -> "embedder_model",
     "embed.dim" -> "embed_dim",
+    "embed.endpoint" -> "embed_endpoint",
+    "embed.api_key" -> "embed_api_key",
     "ivf.nlist" -> "ivf_nlist",
     "ivf.nprobe" -> "ivf_nprobe",
     "ivf.kmeans_iters" -> "kmeans_iters",
@@ -160,7 +174,8 @@ object GraftConfig {
     "dedup.text_bands" -> "text_bands")
 
   private val flatKeys: Set[String] = Set("persist_dir", "embedder_model",
-    "embed_dim", "ivf_nlist", "ivf_nprobe", "kmeans_iters",
+    "embed_dim", "embed_endpoint", "embed_api_key",
+    "ivf_nlist", "ivf_nprobe", "kmeans_iters",
     "dedup_bits_per_band", "dedup_bands", "minhash_k", "text_bands")
 
   private def resolveTomlKeys(raw: Map[String, String]): Map[String, String] = {

@@ -531,7 +531,18 @@ object MqlPipeline {
           }
           cur = trapCols.foldLeft(cur) { case (d, (n, c)) =>
             d.withColumn(n, c) }
-          cur = cur.select(col("*") +: outCols: _*)
+          // Mongo overwrite semantics: an output field named like an
+          // existing column REPLACES it (all output expressions still
+          // evaluate against the pre-stage document — select computes
+          // over the input frame); appending instead would duplicate the
+          // name and break later stage references with ambiguity errors
+          val outNames = outN.properties().asScala.toSeq.map(_.getKey)
+          val outByName = outNames.zip(outCols).toMap
+          val kept = cur.columns.toSeq.map(n =>
+            outByName.getOrElse(n, col(n)))
+          val appended = outNames.filterNot(cur.columns.contains)
+            .map(outByName)
+          cur = cur.select(kept ++ appended: _*)
           cur = trapCols.foldLeft(cur) { case (d, (n, _)) => d.drop(n) }
 
         case "$fill" =>
@@ -847,7 +858,18 @@ object MqlPipeline {
             if (cur.columns.contains(baF)) col(baF).cast("double")
             else MqlFilter.JsonResolver(meta).num(baF)
           val vals = cur.select(baV.as("_ba_v"))
-          val nRows = vals.count()
+          // the non-null groupBy contract is enforced UP FRONT (one
+          // aggregate computes total and non-null counts together) — a
+          // null discovered mid-rank-scan would only fail if it happened
+          // to land on a boundary rank, otherwise silently shifting rank
+          // indices and dumping nulls into bucket 0
+          val baCnts = vals.agg(count(lit(1)).as("n"),
+            count(col("_ba_v")).as("nn")).collect()(0)
+          val nRows = baCnts.getLong(0)
+          require(baCnts.getLong(1) == nRows,
+            s"$$bucketAuto groupBy '$baF' must be non-null numeric for " +
+              s"every document (${nRows - baCnts.getLong(1)} of $nRows " +
+              "values are null or non-numeric) — $match them out first")
           val rankSet = (1 until nb).map(k => k.toLong * nRows / nb)
             .filter(_ > 0).toSet
           val bounds: Seq[Double] =
@@ -858,11 +880,7 @@ object MqlPipeline {
                 .sortWithinPartitions("_ba_v")
                 .rdd.zipWithIndex()
                 .filter { case (_, i) => bc.value.contains(i) }
-                .map { case (r, _) =>
-                  require(!r.isNullAt(0),
-                    "$bucketAuto groupBy value must be non-null")
-                  r.getDouble(0)
-                }
+                .map { case (r, _) => r.getDouble(0) }
                 .collect().toSeq.sorted // dup values kept: merged buckets
             }
           val bucketId = bounds.foldLeft(lit(0)) { (acc, b) =>

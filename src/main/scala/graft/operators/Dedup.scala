@@ -141,6 +141,15 @@ object Dedup {
     * [[lshBucketSizes]]. */
   private def bandedSignatures(corpus: DataFrame): DataFrame = {
     val (k, bands) = textDials(corpus.sparkSession)
+    bandedSignatures(corpus, k, bands)
+  }
+
+  /** Dial-explicit form — callers that need a NON-default dial pass it
+    * directly instead of round-tripping through mutable session conf
+    * (which would leak the override into any concurrently-planned dedup
+    * query on the same session). */
+  private def bandedSignatures(corpus: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     val rows = k / bands
     val sigsh = corpus
       .select(col("id"),
@@ -181,7 +190,13 @@ object Dedup {
   }
 
   private[graft] def lshCandidates(corpus: DataFrame): DataFrame = {
-    bandedSignatures(corpus)
+    val (k, bands) = textDials(corpus.sparkSession)
+    lshCandidates(corpus, k, bands)
+  }
+
+  private[graft] def lshCandidates(corpus: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    bandedSignatures(corpus, k, bands)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -198,7 +213,13 @@ object Dedup {
   /** Near-duplicate pairs: LSH candidates verified at Jaccard >= 0.5
     * (integer-exact compare). */
   private[graft] def minhashPairs(corpus: DataFrame): DataFrame = {
-    val cand = lshCandidates(corpus)
+    val (k, bands) = textDials(corpus.sparkSession)
+    minhashPairs(corpus, k, bands)
+  }
+
+  private[graft] def minhashPairs(corpus: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val cand = lshCandidates(corpus, k, bands)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     cand.filter(inter * 2 >= union)
@@ -295,20 +316,15 @@ object Dedup {
   private val TextDialK = 16
   private val TextDialBands = 8
 
-  /** Text-LSH conf-override under its own gate — [[dedupEmbedCosineDial]]'s
-    * twin for the MinHash side: forces the non-default dial through the
-    * session conf, runs the ordinary [[dedupMinhashLsh]] entry, restores
-    * the conf. The oracle's signature/band CTEs are generated for the
-    * SAME dial, so conf-plumbing regressions break the hash match. */
-  def dedupTextDial(s: SparkSession, dir: String): DataFrame = {
-    val keys = Seq("graft.dedup.minhash_k" -> TextDialK.toString,
-      "graft.dedup.text_bands" -> TextDialBands.toString)
-    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
-    keys.foreach { case (k, v) => s.conf.set(k, v) }
-    try dedupMinhashLsh(s, dir) // dials read eagerly at plan build
-    finally prev.foreach { case (k, v) =>
-      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
-  }
+  /** Text-LSH non-default dial under its own gate — [[dedupEmbedCosineDial]]'s
+    * twin for the MinHash side: runs the ordinary MinHash pipeline at
+    * 16/8 instead of the 12/4 default, with the dial threaded as explicit
+    * parameters (NOT a session-conf round trip, which would leak the
+    * override into any dedup query planned concurrently on the same
+    * session). The oracle's signature/band CTEs are generated for the
+    * SAME dial, so dial-plumbing regressions break the hash match. */
+  def dedupTextDial(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(nearCorpus(s, dir), TextDialK, TextDialBands)
 
   /** Duplicate-cluster assignment — the step that turns near-dup PAIRS
     * into a dedup DECISION (keep one doc per cluster): connected

@@ -79,8 +79,22 @@ object Upsert {
           "whenMatched=newerWins requires versionCol"))
         require(rest.contains(v),
           s"versionCol must be a shared non-key column: $v")
+        // a null version on EITHER matched side fails loudly — the same
+        // contract as null keys. Silently, null >= x is null and the
+        // comparison would fall through to the target branch, biasing
+        // resolution toward the target exactly on the malformed CDC rows
+        // (missing versions) where the user most needs the loud signal.
+        def versioned(side: String): Column =
+          when(matched && col(s"$side.$v").isNull, raise_error(concat(
+            lit(s"upsert newerWins: version '$v' is null on a matched " +
+              "row (key "),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+            lit(") — null versions cannot be ordered; $match them out " +
+              "or backfill before merging")))
+            .cast(target.schema(v).dataType))
+            .otherwise(col(s"$side.$v"))
         rest.map(f =>
-          when(matched && col(s"_s.$v") >= col(s"_t.$v"), col(s"_s.$f"))
+          when(matched && versioned("_s") >= versioned("_t"), col(s"_s.$f"))
             .when(matched, col(s"_t.$f"))
             .when(onlyT, col(s"_t.$f"))
             .otherwise(col(s"_s.$f")).as(f))

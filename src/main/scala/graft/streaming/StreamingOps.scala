@@ -360,9 +360,13 @@ object StreamingOps {
     *    micro-batch ORDER and of at-least-once re-delivery —
     *    maxFilesPerTrigger=1 forces the two update files through
     *    separate batches to prove it;
-    *  - tmp-dir + swap on the target store (the Meta.Write tmp+rename
-    *    discipline, dir-sized) so a reader never sees a half-written
-    *    store.
+    *  - tmp-dir + backup-swap on the target store (the Meta.Write
+    *    tmp+rename discipline, dir-sized): a reader can observe a
+    *    MISSING target for the instant between the two renames (dir
+    *    rename is not atomic-exchange on hadoop filesystems) but never
+    *    a partially-written one, and a crash mid-swap loses nothing —
+    *    the previous store survives as the backup until the new target
+    *    is fully in place.
     * Oracle: max-version row per key across all updates — the
     * arrival-order-free answer newerWins guarantees. */
   def streamUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -385,7 +389,7 @@ object StreamingOps {
     // fresh store + checkpoint per run: the gate is about the sink's
     // converged content, not checkpoint resumption (stream_ingest gates
     // that)
-    for (p <- Seq("target", "target_tmp", "ckpt"))
+    for (p <- Seq("target", "target_tmp", "target_bak", "ckpt"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$p"), true)
     val schema = s.read.parquet(s"$root/u1").schema
     val keyCols = Seq("doc_id")
@@ -411,8 +415,16 @@ object StreamingOps {
               whenMatched = "newerWins", versionCol = Some("ver"))
           val tmp = new org.apache.hadoop.fs.Path(s"$root/target_tmp")
           merged.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(tgt, true)
+          // backup-swap: the old store is RENAMED aside (not deleted)
+          // before the new one renames in, and only deleted once the
+          // swap completed — a crash at any point leaves a complete
+          // store on disk under either name
+          val bak = new org.apache.hadoop.fs.Path(s"$root/target_bak")
+          fs.delete(bak, true)
+          if (fs.exists(tgt))
+            require(fs.rename(tgt, bak), s"rename $tgt -> $bak failed")
           require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
+          fs.delete(bak, true)
           ()
         }
         .trigger(Trigger.AvailableNow())

@@ -357,6 +357,24 @@ class KaerSpec extends SparkTestBase {
     assert(c.distinctValues("nope") == Nil)
   }
 
+  test("distinctValues: cardinality past the cap fails loudly, not OOM") {
+    val root = tmpDir("kaer-distinct-cap")
+    val c = newSession(root).createCollection("c")
+    c.insert(Data()
+      .withDocuments((0 until 8).map(i => s"doc $i"))
+      .withMetadatas((0 until 8).map(i =>
+        Map[String, Any]("uid" -> s"u$i"))))
+    spark.conf.set("graft.distinct.max_values", "5")
+    try {
+      val e = intercept[IllegalStateException] { c.distinctValues("uid") }
+      assert(e.getMessage.contains("exceeds 5 values"))
+      assert(e.getMessage.contains("graft.distinct.max_values"))
+      // raising the cap (the stated remediation) restores the result
+      spark.conf.set("graft.distinct.max_values", "100")
+      assert(c.distinctValues("uid").length == 8)
+    } finally spark.conf.unset("graft.distinct.max_values")
+  }
+
   test("count(filter) and query projection (document-store find shape)") {
     val root = tmpDir("kaer-proj")
     val k = newSession(root)

@@ -56,6 +56,45 @@ class ConfigSpec extends SparkTestBase {
     }
   }
 
+  test("config with embed_endpoint boots the HTTP embedder end-to-end") {
+    import graft.api.{Data, KaerSession}
+    import graft.embed.StubEmbedServer
+    val server = new StubEmbedServer(32, expectKey = Some("k123"),
+      model = "remote-m")
+    try {
+      val root = tmpDir("config-http-boot")
+      val dir = tmpDir("config-http")
+      val f = new java.io.File(dir, "remote.toml")
+      java.nio.file.Files.write(f.toPath,
+        s"""[db]
+           |persist_dir = '$root'
+           |
+           |[cohere]
+           |model = "remote-m"
+           |api_key = "k123"
+           |endpoint = "${server.url}"
+           |
+           |[embed]
+           |dim = 32
+           |""".stripMargin.getBytes)
+      val cfg = GraftConfig.parseFrom(f.getPath)
+      assert(cfg.embedEndpoint == server.url)
+      assert(cfg.embedApiKey == "k123")
+      val k = KaerSession(spark, cfg)
+      val c = k.createCollection("remote")
+      c.insert(Data().withDocuments(Seq("alpha", "beta", "gamma")))
+      // the stored vectors traveled over HTTP (batched), not hashing
+      assert(server.requestCount >= 1)
+      assert(server.batches.toArray(Array.empty[Seq[String]])
+        .flatten.toSet == Set("alpha", "beta", "gamma"))
+      // query-side embedding goes through the SAME transport, so
+      // stored-vs-query vectors are bit-equal → self-match at distance 0
+      val hit = c.query("alpha", 1).collect()(0)
+      assert(hit.getAs[String]("_m_doc") == "alpha")
+      assert(hit.getAs[Double]("_distance") < 1e-6)
+    } finally server.close()
+  }
+
   test("invalid numeric values are rejected") {
     intercept[IllegalArgumentException] { GraftConfig(ivfNlist = 0) }
     intercept[IllegalArgumentException] { GraftConfig(embedDim = -1) }

@@ -2,16 +2,14 @@ package graft.embed
 
 import java.io.IOException
 import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicInteger
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.HttpServer
 
 import graft.SparkTestBase
 
 /** Drives the real `java.net.http` client ([[HttpEmbedTransport]]) against
-  * an in-process stub server — the reference's POST-batch contract
+  * an in-process stub server ([[StubEmbedServer]], shared with the
+  * config-boot spec) — the reference's POST-batch contract
   * (/root/reference/db/cohere.go:35-50) without the hosted dependency:
   * batch boundaries (≤96), 512-cp truncation, retry-on-5xx with eventual
   * success AND eventual failure, no-retry-on-4xx, auth header, and
@@ -20,77 +18,7 @@ import graft.SparkTestBase
 class HttpTransportSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Stub embed server: validates the wire request (method, content type,
-    * model, optional bearer token), embeds via [[HashingEmbedder]] so
-    * vectors are comparable to the offline path, and records every batch.
-    * `failFirst` requests are answered 503 (transient); `alwaysStatus`
-    * short-circuits every request with a fixed status; `dropVectors`
-    * returns one vector too few (shape-violation probe).
-    */
-  private final class StubServer(
-      dim: Int,
-      expectKey: Option[String] = None,
-      failFirst: Int = 0,
-      alwaysStatus: Option[Int] = None,
-      dropVectors: Boolean = false) extends AutoCloseable {
-    private val mapper = new ObjectMapper()
-    private val inner = HashingEmbedder(dim)
-    private val requests = new AtomicInteger(0)
-    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]
-
-    private val server = HttpServer.create(new InetSocketAddress(0), 0)
-    server.createContext("/embed", (ex: HttpExchange) => {
-      val n = requests.incrementAndGet()
-      try {
-        val bodyBytes = ex.getRequestBody.readAllBytes()
-        alwaysStatus match {
-          case Some(s) => respond(ex, s, s"""{"message":"forced $s"}""")
-          case None if n <= failFirst =>
-            respond(ex, 503, """{"message":"transient"}""")
-          case None =>
-            assert(ex.getRequestMethod == "POST")
-            assert(ex.getRequestHeaders.getFirst("Content-Type")
-              .startsWith("application/json"))
-            expectKey.foreach { k =>
-              assert(ex.getRequestHeaders.getFirst("Authorization") ==
-                s"Bearer $k")
-            }
-            val req = mapper.readTree(
-              new String(bodyBytes, StandardCharsets.UTF_8))
-            assert(req.get("model").asText() == "stub-model")
-            val texts = (0 until req.get("texts").size())
-              .map(req.get("texts").get(_).asText())
-            batches.add(texts)
-            val root = mapper.createObjectNode()
-            val arr = root.putArray("embeddings")
-            val out = if (dropVectors) texts.dropRight(1) else texts
-            out.foreach { t =>
-              val v = arr.addArray()
-              inner.embedOne(t).foreach(f => v.add(f.toDouble))
-            }
-            respond(ex, 200, mapper.writeValueAsString(root))
-        }
-      } catch {
-        case e: Throwable =>
-          respond(ex, 400, s"""{"message":"${e.getMessage}"}""")
-      }
-    })
-    server.start()
-
-    private def respond(ex: HttpExchange, status: Int, body: String)
-        : Unit = {
-      val b = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(status, b.length)
-      ex.getResponseBody.write(b)
-      ex.close()
-    }
-
-    def url: String =
-      s"http://127.0.0.1:${server.getAddress.getPort}/embed"
-    def requestCount: Int = requests.get()
-    def close(): Unit = server.stop(0)
-  }
+  private type StubServer = StubEmbedServer
 
   private def transport(s: StubServer, dim: Int,
       key: Option[String] = None, retries: Int = 3) =
@@ -98,7 +26,7 @@ class HttpTransportSpec extends SparkTestBase {
       maxRetries = retries, retryBaseDelayMs = 1L)
 
   test("http: end-to-end batched ingest, vectors bit-equal to offline path") {
-    val s = new StubServer(16, expectKey = Some("sekrit"))
+    val s = new StubEmbedServer(16, expectKey = Some("sekrit"))
     try {
       val be = BatchedEmbedder(transport(s, 16, key = Some("sekrit")))
       val df = spark.range(200).selectExpr("concat('doc ', id) as t")
@@ -117,7 +45,7 @@ class HttpTransportSpec extends SparkTestBase {
   }
 
   test("http: texts are 512-cp truncated before they reach the wire") {
-    val s = new StubServer(8)
+    val s = new StubEmbedServer(8)
     try {
       val be = BatchedEmbedder(transport(s, 8))
       val long = "é" * 600 // non-ASCII so cp-counting matters
@@ -130,7 +58,7 @@ class HttpTransportSpec extends SparkTestBase {
   }
 
   test("http: 5xx retried with backoff, then succeeds") {
-    val s = new StubServer(8, failFirst = 2)
+    val s = new StubEmbedServer(8, failFirst = 2)
     try {
       val t = transport(s, 8)
       val v = t.embedBatch(Seq("hello world"))
@@ -142,7 +70,7 @@ class HttpTransportSpec extends SparkTestBase {
   }
 
   test("http: 5xx exhausts retries and propagates the last failure") {
-    val s = new StubServer(8, alwaysStatus = Some(503))
+    val s = new StubEmbedServer(8, alwaysStatus = Some(503))
     try {
       val t = transport(s, 8, retries = 2)
       val e = intercept[IOException] { t.embedBatch(Seq("x")) }
@@ -153,7 +81,7 @@ class HttpTransportSpec extends SparkTestBase {
   }
 
   test("http: 4xx fails immediately — no retry, status+body in message") {
-    val s = new StubServer(8, alwaysStatus = Some(400))
+    val s = new StubEmbedServer(8, alwaysStatus = Some(400))
     try {
       val t = transport(s, 8)
       val e = intercept[IllegalStateException] { t.embedBatch(Seq("x")) }
@@ -164,7 +92,7 @@ class HttpTransportSpec extends SparkTestBase {
   }
 
   test("http: vector-count mismatch from the server fails loudly") {
-    val s = new StubServer(8, dropVectors = true)
+    val s = new StubEmbedServer(8, dropVectors = true)
     try {
       val t = transport(s, 8)
       val e = intercept[IllegalArgumentException] {

@@ -463,6 +463,25 @@ class MqlPipelineSpec extends SparkTestBase {
       (5L, 1, 100L, -99L, 100L)))
   }
 
+  test("$setWindowFields: an output field named like an existing column " +
+      "OVERWRITES it (Mongo field semantics), no duplicate ambiguity") {
+    // the frame carries a real column "v"; the stage writes "v" — later
+    // stages must see exactly one "v", holding the window result, and
+    // the window input still reads the PRE-stage value
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "v")
+      .withColumn("meta", to_json(struct(col("grp"))))
+    val got = MqlPipeline.aggregate(df, col("meta"),
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$grp",
+        |   "sortBy": {"id": 1},
+        |   "output": {"v": {"$sum": "$v"}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "v": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 30L), (2L, 30L), (3L, 5L)))
+  }
+
   test("$setWindowFields: $rank leaves gaps on ties, $denseRank none; " +
       "bounded trailing window") {
     val ties = Seq(
@@ -716,6 +735,22 @@ class MqlPipelineSpec extends SparkTestBase {
         """[{"$bucketAuto": {"groupBy": "$v", "buckets": 0}}]""")
     }
     assert(zero.getMessage.contains("buckets >= 1"))
+  }
+
+  test("$bucketAuto: ANY null/non-numeric groupBy value fails up front " +
+      "(not only boundary-rank nulls)") {
+    // one null among 8 values, buckets=2 → the null never lands on a
+    // boundary rank, so the old in-scan check missed it and the null
+    // silently joined bucket 0
+    val withNull = (0 until 7).map(i => (i.toLong, s"""{"v": ${i + 1}}""")) :+
+      (7L, """{"w": 9}""")
+    val df = withNull.toDF("id", "meta")
+    val e = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(df, col("meta"),
+        """[{"$bucketAuto": {"groupBy": "$v", "buckets": 2}}]""")
+    }
+    assert(e.getMessage.contains("must be non-null numeric"))
+    assert(e.getMessage.contains("1 of 8"))
   }
 
   test("$derivative/$integral: slopes between frame ends, trapezoid " +

@@ -83,6 +83,29 @@ class UpsertSpec extends SparkTestBase {
     assert(noVer.getMessage.contains("requires versionCol"))
   }
 
+  test("newerWins: a null version on a matched row fails loudly") {
+    // null >= x is null in SQL — silently that fell through to the
+    // target branch, biasing resolution toward the target exactly on
+    // malformed CDC rows; the contract is now the same loud failure as
+    // null keys
+    val t = Seq((1L, "cur", java.lang.Long.valueOf(5L))).toDF("k", "s", "ver")
+    val srcNull = Seq((1L, "new", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "s", "ver")
+    val e = intercept[Exception] {
+      Upsert.upsert(t, srcNull, Seq("k"),
+        whenMatched = "newerWins", versionCol = Some("ver")).collect()
+    }
+    assert(e.getMessage.contains("version 'ver' is null"))
+    // an UNMATCHED null-version row is untouched by resolution — only
+    // matched rows need an orderable version
+    val srcNew = Seq((9L, "ins", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "s", "ver")
+    val ok = Upsert.upsert(t, srcNew, Seq("k"),
+      whenMatched = "newerWins", versionCol = Some("ver"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ok == Seq((1L, "cur"), (9L, "ins")))
+  }
+
   test("null keys and schema drift are rejected loudly") {
     val nullKey = Seq((java.lang.Long.valueOf(2L), "x", 1L),
         (null.asInstanceOf[java.lang.Long], "y", 2L))
