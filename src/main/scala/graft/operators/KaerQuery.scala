@@ -64,6 +64,14 @@ object KaerQuery {
             to_json(struct(col("doc_id"), col("lang"), col("source"),
               col("n_chars"))).as(Schema.MetaCol))
             .orderBy("doc_id"))
+        // compact the fresh build (id-ranged rewrite + rename swap) so
+        // the maintenance machinery runs UNDER the oracle hash every
+        // build — results are layout-independent, so a compaction bug
+        // that corrupted rows/ids would break the gate. Conf-off for
+        // experiments that want the raw append layout.
+        if (s.conf.getOption("graft.kaer.compact_on_build")
+            .forall(_.toBoolean))
+          coll.compact()
         coll
       }
   }
@@ -91,6 +99,42 @@ object KaerQuery {
         get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
           .as("doc_id"),
         get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+  }
+
+  /** Collection mutations under the oracle gate: insert → delete-by-MQL →
+    * Mongo update document ($set + $inc) → project the surviving
+    * metadata. Exercises the copy-on-write rewrite machinery (parquet is
+    * immutable: DELETE/UPDATE = filtered/transformed rewrite + rename
+    * swap + sidecar update — exactly a lakehouse mutation) end to end
+    * under the hash compare; the DuckDB twin replays the same mutations
+    * as relational algebra. Beyond the reference's own kaer surface (its
+    * FerretDB layer supports mutation; kaer never exposed it) — the
+    * capability a real document+vector store user expects.
+    *
+    * Mutations are NOT idempotent (a second $inc would double-bump), so
+    * the collection is dropped and rebuilt every run — never trusted
+    * from a previous round like [[openOrBuild]]'s read-only collection. */
+  def deleteUpdate(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaermut", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    coll.delete("""{"lang": {"$eq": "de"}}""")
+    coll.updateDoc("""{"n_chars": {"$gt": 800}}""",
+      """{"$set": {"flag": "long"}, "$inc": {"n_chars": 1000}}""")
+    k.aggregate("docs",
+      """[
+        | {"$project": {"did": {"$toLong": "$doc_id"}, "lang": 1,
+        |   "nchars": {"$toLong": "$n_chars"},
+        |   "flag": {"$ifNull": ["$flag", "none"]}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
   }
 
   /** The API-parity smoke of the literal main.go:35-52 flow (2 docs,
@@ -160,11 +204,20 @@ object KaerQuery {
   val oracle: Map[String, String] = Map(
     "kaer_query" -> flagshipOracleSql,
     // full probing ⇒ identical answer contract to the exact path
-    "kaer_query_indexed" -> flagshipOracleSql
+    "kaer_query_indexed" -> flagshipOracleSql,
+    "kaer_delete_update" ->
+      """SELECT doc_id AS did, lang,
+        |  CASE WHEN n_chars > 800 THEN n_chars + 1000
+        |       ELSE n_chars END AS nchars,
+        |  CASE WHEN n_chars > 800 THEN 'long' ELSE 'none' END AS flag
+        |FROM documents
+        |WHERE lang <> 'de'
+        |ORDER BY did""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kaer_query" -> (flagship _),
-    "kaer_query_indexed" -> (flagshipIndexed _)
+    "kaer_query_indexed" -> (flagshipIndexed _),
+    "kaer_delete_update" -> (deleteUpdate _)
   )
 }

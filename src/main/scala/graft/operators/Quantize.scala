@@ -133,6 +133,31 @@ object Quantize {
       .reduceLeft(_ + _)
   }
 
+  /** Per-subspace KMeans PQ codebook TRAINING — the FAISS trainer shape
+    * over the engine's distributed fitter: subspace m's codebook is
+    * [[IvfIndex.kmeansFit]] (seeded from the k lowest-id subvectors,
+    * Lloyd iterations as distributed groupBy-means) run on the corpus's
+    * m-th subvector slice. M narrow passes, each iteration ONE shuffle —
+    * the IVF centroid fit's cost shape, per subspace; at 100 TB the
+    * slices are column-pruned scans of the embedding column only.
+    * Returns codebooks(m)(k) of subDim doubles, codeword ids ascending.
+    *
+    * Trained books drop into the same encode/ADC plan shape as the fixed
+    * ones; the registered gates keep the FIXED-codebook contract for
+    * oracle replicability (SURVEY §7.4), so the trainer is spec-verified
+    * (QuantizeSpec: SSE no worse than the seed book) and recall-probed
+    * (BASELINE.md `[recall-pq-res-kmeans]`) instead. */
+  def pqTrainKmeans(vectors: DataFrame, m: Int = M, subDim: Int = SubDim,
+      k: Int = K, iters: Int = 3): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { mm =>
+      IvfIndex.kmeansFit(
+        vectors.select(col("vec_id"),
+          slice(col("embedding"), mm * subDim + 1, subDim)
+            .as("embedding")),
+        k, iters)
+        .sortBy(_._1).map(_._2.map(_.toDouble)).toArray
+    }
+
   /** PQ encode → parquet (8 tinyint codes/vector) → read back → ADC
     * candidate scan (LUT lookups only, no float math per candidate) →
     * exact re-rank of the top-50 on the float vectors: top-10 near

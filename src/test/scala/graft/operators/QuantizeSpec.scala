@@ -79,6 +79,34 @@ class QuantizeSpec extends SparkTestBase {
     assert(pq.sameElements(again), "PQ pipeline must be deterministic")
   }
 
+  test("pqTrainKmeans: M per-subspace codebooks of K subDim-vectors; " +
+      "training never worsens SSE vs the seed codebook") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val M = 8; val SubDim = 8; val K = 16
+    val books = Quantize.pqTrainKmeans(e, M, SubDim, K, iters = 3)
+    assert(books.length == M)
+    assert(books.forall(b => b.length == K && b.forall(_.length == SubDim)))
+    // SSE of a codebook over subspace m's subvectors (nearest codeword)
+    val byId = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val vecs = byId.map(_._2)
+    def sse(book: Array[Array[Double]], m: Int): Double =
+      vecs.map { v =>
+        val sub = v.slice(m * SubDim, (m + 1) * SubDim)
+        book.map(c => sub.zip(c).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+      }.sum
+    // the seed book is kmeansFit's init: the K lowest-id subvectors —
+    // Lloyd iterations only ever reduce (or keep) the quantization SSE
+    val seedBooks = Array.tabulate(M)(m =>
+      vecs.take(K).map(_.slice(m * SubDim, (m + 1) * SubDim)))
+    for (m <- 0 until M)
+      assert(sse(books(m), m) <= sse(seedBooks(m), m) + 1e-6,
+        s"subspace $m: trained SSE worse than seed")
+  }
+
   test("zero vector quantizes to zeros and dequantizes to zeros") {
     import spark.implicits._
     val z = Seq(Seq.fill(8)(0.0f)).toDF("embedding")
