@@ -1010,6 +1010,18 @@ object MqlPipeline {
         val Seq(a, b) = args(e.getValue)
         cmp(numOf(a), numOf(b))
       } else throw new IllegalArgumentException(s"not a condition: $n")
+    // date view of an expression: "$field" resolves through the
+    // timestamp view (ISO strings in metadata, typed timestamp columns),
+    // a bare string literal parses as an ISO timestamp, and a nested
+    // expression casts — the operand shape Mongo's date operators take
+    def dateOf(n: JsonNode): Column =
+      if (n.isTextual && n.asText().startsWith("$")) {
+        val f = n.asText().drop(1)
+        if (cur.columns.contains(f)) col(f).cast("timestamp")
+        else MqlFilter.JsonResolver(metaCol).ts(f)
+      } else if (n.isTextual) to_timestamp(lit(n.asText()))
+      else if (n.isObject) computeExpr(n, metaCol, cur).cast("timestamp")
+      else throw new IllegalArgumentException(s"not a date: $n")
     if (node.isTextual && node.asText().startsWith("$"))
       ref(node.asText().drop(1))
     else if (node.isTextual) lit(node.asText())
@@ -1031,6 +1043,12 @@ object MqlPipeline {
         case ("$toLower", v) => lower(strOf(v))
         case ("$toLong", v) => numOf(v).cast("long")
         case ("$toDouble", v) => numOf(v)
+        case ("$round", v) =>
+          // [expr, places] — Mongo's decimal rounding; the device gated
+          // float aggregates use to absorb engine summation-order ulps
+          val Seq(a, p) = args(v)
+          require(p.isIntegralNumber, s"$$round places must be int: $p")
+          round(numOf(a), p.asInt())
         case ("$ifNull", v) =>
           val Seq(a, b) = args(v)
           coalesce(computeExpr(a, metaCol, cur), computeExpr(b, metaCol, cur))
@@ -1040,6 +1058,48 @@ object MqlPipeline {
           val Seq(i, t, f) = args(v)
           when(boolOf(i), computeExpr(t, metaCol, cur))
             .otherwise(computeExpr(f, metaCol, cur))
+        // Mongo date operator family over the timestamp view (builds on
+        // the ISO-string date convention of the $date filter literals).
+        // Parts return LONG (the oracle engines' integer date parts).
+        case ("$year", v) => year(dateOf(v)).cast("long")
+        case ("$month", v) => month(dateOf(v)).cast("long")
+        case ("$dayOfMonth", v) => dayofmonth(dateOf(v)).cast("long")
+        case ("$hour", v) => hour(dateOf(v)).cast("long")
+        case ("$minute", v) => minute(dateOf(v)).cast("long")
+        case ("$second", v) => second(dateOf(v)).cast("long")
+        case ("$dateFromString", v) =>
+          require(v.isObject && v.get("dateString") != null,
+            s"$$dateFromString needs {dateString}: $v")
+          to_timestamp(strOf(v.get("dateString")))
+        case ("$dateToString", v) =>
+          require(v.isObject && v.get("date") != null,
+            s"$$dateToString needs {date, format?}: $v")
+          val fmt = Option(v.get("format")).map(_.asText())
+            .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
+          date_format(dateOf(v.get("date")), mongoDateFormat(fmt))
+        case ("$dateDiff", v) =>
+          // {startDate, endDate, unit}: boundary-crossing count, Mongo's
+          // contract — "day" counts calendar-day boundaries (datediff on
+          // the date-truncated operands), "hour"/"minute"/"second" count
+          // whole-unit boundaries on the epoch. Other units are loud.
+          require(v.isObject && v.get("startDate") != null &&
+            v.get("endDate") != null && v.get("unit") != null,
+            s"$$dateDiff needs {startDate, endDate, unit}: $v")
+          val sd = dateOf(v.get("startDate"))
+          val ed = dateOf(v.get("endDate"))
+          v.get("unit").asText() match {
+            case "day" => datediff(to_date(ed), to_date(sd)).cast("long")
+            case "hour" =>
+              (floor(unix_timestamp(ed) / 3600) -
+                floor(unix_timestamp(sd) / 3600)).cast("long")
+            case "minute" =>
+              (floor(unix_timestamp(ed) / 60) -
+                floor(unix_timestamp(sd) / 60)).cast("long")
+            case "second" =>
+              (unix_timestamp(ed) - unix_timestamp(sd)).cast("long")
+            case u => throw new IllegalArgumentException(
+              s"unsupported $$dateDiff unit: $u (day|hour|minute|second)")
+          }
         case (other, _) =>
           throw new IllegalArgumentException(
             s"unsupported computed operator: $other")
@@ -1119,9 +1179,54 @@ object MqlPipeline {
             operand.as("v"))), asc = !orderDesc),
           x => x.getField("v"))
       case "$addToSet" => array_sort(collect_set(operand))
+      // Mongo's population/sample standard deviation accumulators. The
+      // underlying parallel merge order is engine-defined, so the result
+      // is exact only to ~1 ulp of summation order — gated queries
+      // $round the output (the double-compare stance quantile gates take
+      // with integer cents; stddev has no integer form).
+      case "$stdDevPop" => stddev_pop(operand.cast("double"))
+      case "$stdDevSamp" => stddev_samp(operand.cast("double"))
       case other =>
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
+  }
+
+  /** Mongo $dateToString format → Spark DateTimeFormatter pattern.
+    * Specifier coverage is the Mongo set this engine supports; literal
+    * runs are single-quoted so pattern-letter characters in literals
+    * (the 'T' of ISO-8601) pass through verbatim. Unknown specifiers
+    * fail loudly rather than render garbage. */
+  private[filter] def mongoDateFormat(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      out ++= "'" + lit.toString.replace("'", "''") + "'"
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%') {
+        require(i + 1 < fmt.length, s"dangling %% in date format: $fmt")
+        val spec = fmt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'L' => "SSS"
+          case 'j' => "DDD"
+          case 'Z' => "xx"
+          case '%' => null // literal percent
+          case other => throw new IllegalArgumentException(
+            s"unsupported $$dateToString specifier %$other in: $fmt")
+        }
+        if (spec == null) lit += '%' else { flush(); out ++= spec }
+        i += 2
+      } else { lit += fmt(i); i += 1 }
+    }
+    flush()
+    out.toString
   }
 
   /** Field resolver delegating to the typed view for real columns (the

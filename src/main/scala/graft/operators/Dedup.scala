@@ -292,6 +292,57 @@ object Dedup {
             .as("text")))
   }
 
+  /** Exact n-gram cross-corpus contamination — the published-LM
+    * decontamination check (GPT-2/GPT-3 reports remove training
+    * documents by exact 8/13-gram collision with eval sets): pairs of
+    * (train, eval) documents sharing at least `minShared` distinct
+    * token n-grams. Complements [[contaminationPairs]] (whole-document
+    * Jaccard through LSH): exact n-gram collision catches a
+    * contaminated PASSAGE embedded in an otherwise-different document,
+    * which whole-doc similarity dilutes below threshold.
+    *
+    * Scale shape: each side reduces to distinct (id, md5(ngram)) rows —
+    * the explode is linear in corpus token count and pre-aggregates
+    * per-side (no pair yet), the join is a hash equi-join on the
+    * digest (narrow key, shuffles like any equi-join, never all-pairs),
+    * and the group-by-pair count bounds output by TRUE overlap. At
+    * 100 TB the digest column is the only thing that rides the
+    * shuffle. */
+  private[graft] def ngramContamination(train: DataFrame, eval: DataFrame,
+      n: Int, minShared: Int): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), tokens(col("text")).as("ts"))
+        .select(col(idAs), explode(
+          when(size(col("ts")) >= n,
+            transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+              i => concat_ws(" ", slice(col("ts"), i, lit(n)))))
+            // guard: Spark's sequence(1, stop) DESCENDS when stop < 1
+            .otherwise(array().cast("array<string>"))).as("g"))
+        .select(col(idAs), md5(col("g")).as("h"))
+        .distinct()
+    grams(train, "train_id").join(grams(eval, "eval_id"), "h")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Registered gate: full documents as the training corpus; every 11th
+    * document with the last 20 chars dropped as the planted eval set —
+    * the truncation leaves most 5-grams intact, so every planted doc
+    * must surface against its source (and only passage-level collisions
+    * beyond that). */
+  def dedupNgramContaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ngramContamination(
+      d.select(col("doc_id").as("id"), col("text")),
+      d.filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id").as("id"),
+          col("text").substr(lit(1),
+            greatest(length(col("text")) - 20, lit(0))).as("text")),
+      n = 5, minShared = 3)
+  }
+
   /** The actionable end of the contamination check: the TRAIN corpus
     * with every eval-contaminated document removed — one LEFT ANTI
     * against the (small) hit list, the shape that scales to any corpus
@@ -745,6 +796,29 @@ object Dedup {
          |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_ngram_contaminate" ->
+      """WITH tr AS (
+        |  SELECT doc_id AS train_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS eval_id,
+        |    regexp_extract_all(
+        |      lower(substr(text, 1, greatest(length(text) - 20, 0))),
+        |      '[a-z0-9]+') AS ts
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |tg AS (
+        |  SELECT DISTINCT train_id, unnest([array_to_string(ts[i:i+4], ' ')
+        |    for i in generate_series(1, len(ts) - 4)]) AS g
+        |  FROM tr WHERE len(ts) >= 5),
+        |eg AS (
+        |  SELECT DISTINCT eval_id, unnest([array_to_string(ts[i:i+4], ' ')
+        |    for i in generate_series(1, len(ts) - 4)]) AS g
+        |  FROM ev WHERE len(ts) >= 5)
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM tg JOIN eg USING (g)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH corpus AS ($nearCorpusSql),
          |$lshOracleCtes
@@ -828,6 +902,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_contaminate" -> (dedupContaminate _),
+    "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),

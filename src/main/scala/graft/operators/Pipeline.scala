@@ -93,6 +93,45 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Hash-deterministic NEGATIVE SAMPLING — the pair generator a
+    * contrastive-training data build runs (in-batch negatives are the
+    * cheap path; explicit sampled negatives are what you materialize
+    * for hard-negative mining and eval): for each anchor document, K
+    * pseudo-random partner ids drawn by hashing (anchor, rank), with
+    * self-pairs rejected. Hash-deterministic like every sampler here —
+    * re-runs reproduce the SAME pairs (resumable shard builds, exact
+    * oracle) where rand() could not.
+    *
+    * Scale shape: the pair frame is K explode rows per anchor (linear),
+    * and attaching partner attributes is ONE narrow equi-join on the
+    * dense id — the corpus text never rides the shuffle, only
+    * (anchor_id, neg_id, lang) rows do. Dense ids make hash-mod
+    * sampling uniform without a lookup table; a sparse-id corpus would
+    * first zipWithIndex to a dense surrogate (the insert path's
+    * device). */
+  def negativePairs(s: SparkSession, dir: String): DataFrame = {
+    val K = 4
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val bounds = d.agg(count(lit(1)).as("n_docs"),
+      min(col("doc_id")).as("min_id"))
+    d.select(col("doc_id"), col("lang").as("anchor_lang"))
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("anchor_lang"), col("n_docs"),
+        col("min_id"),
+        explode(sequence(lit(0), lit(K - 1))).as("rank"))
+      .withColumn("neg_id",
+        pmod(md5Hash60(concat(lit("neg:"), col("doc_id").cast("string"),
+          lit(":"), col("rank").cast("string"))), col("n_docs"))
+          + col("min_id"))
+      .filter(col("neg_id") =!= col("doc_id")) // reject self-pairs
+      .join(d.select(col("doc_id").as("neg_id"),
+        col("lang").as("neg_lang")), "neg_id")
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"),
+        (col("anchor_lang") === col("neg_lang")).as("same_lang"))
+      .orderBy("doc_id", "rank")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -119,6 +158,19 @@ object Pipeline {
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)
          |  WHERE len(t) >= 2)
          |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+    "contrastive_negatives" ->
+      """WITH b AS (SELECT count(*) AS n_docs, min(doc_id) AS min_id
+        |           FROM documents),
+        |pairs AS (
+        |  SELECT d.doc_id, d.lang AS anchor_lang, r.rank,
+        |    ('0x' || substr(md5('neg:' || d.doc_id || ':' || r.rank), 1, 15))
+        |      ::BIGINT % n_docs + min_id AS neg_id
+        |  FROM documents d, b, (SELECT unnest([0, 1, 2, 3]) AS rank) r)
+        |SELECT p.doc_id, p.rank::BIGINT AS rank, p.neg_id,
+        |  p.anchor_lang = n.lang AS same_lang
+        |FROM pairs p JOIN documents n ON n.doc_id = p.neg_id
+        |WHERE p.neg_id <> p.doc_id
+        |ORDER BY p.doc_id, p.rank""".stripMargin,
     "pipeline_clean" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
@@ -135,6 +187,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "top_ngrams" -> (topNgrams _),
-    "pipeline_clean" -> (pipelineClean _)
+    "pipeline_clean" -> (pipelineClean _),
+    "contrastive_negatives" -> (negativePairs _)
   )
 }

@@ -194,6 +194,31 @@ object Relational {
       .select(col("event_id"))
       .orderBy("event_id")
 
+  /** Mongo date OPERATOR family under the gate ($dateToString/$dayOfMonth/
+    * $dateDiff over the ISO-string metadata date convention): derive
+    * day-of-month and a formatted day label, filter a mid-month band,
+    * group per day with the max day-index since an epoch date. The oracle
+    * replays with strftime/date_diff — both engines count calendar-day
+    * boundaries. */
+  def mqlDatesPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "dom": {"$dayOfMonth": "$created"},
+        |   "day_label": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": "$created"}},
+        |   "day_idx": {"$dateDiff": {"startDate": "2024-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "day"}}}},
+        | {"$match": {"dom": {"$gte": 10, "$lt": 20}}},
+        | {"$group": {"_id": "$day_label", "n": {"$sum": 1},
+        |   "idx": {"$max": {"$toLong": "$day_idx"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** MQL $mod — Mongo's divisor/remainder predicate, over the same
     * schemaless props field as the other MQL gates. */
   def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
@@ -1300,6 +1325,29 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** $stdDevPop/$stdDevSamp accumulators under the gate: per-language
+    * dispersion of document lengths, $round-ed to 6 decimals on BOTH
+    * sides — parallel stddev merges differ from the oracle's by ~1 ulp
+    * of summation order, and the rounding absorbs exactly that (the
+    * float-aggregate stance; integer-exact aggregates use cents
+    * instead). */
+  def mqlStddev(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$group": {"_id": "$lang",
+        |   "sd_pop": {"$stdDevPop": {"$toLong": "$n_chars"}},
+        |   "sd_samp": {"$stdDevSamp": {"$toLong": "$n_chars"}},
+        |   "n": {"$sum": 1}}},
+        | {"$project": {"_id": 1,
+        |   "sd_pop": {"$round": ["$sd_pop", 6]},
+        |   "sd_samp": {"$round": ["$sd_samp", 6]},
+        |   "n": 1}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** $lookup under the oracle gate: left outer equi-match against a
     * sibling collection (Mongo's cross-collection join,
     * /root/reference delegated-pipeline surface), matches re-nested as an
@@ -1703,6 +1751,10 @@ object Relational {
         |      WHERE lang IN ('en', 'fr', 'de')) f
         |  ON d.lang = f.lang
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_stddev" ->
+      """SELECT lang AS _id, round(stddev_pop(n_chars), 6) AS sd_pop,
+        |  round(stddev_samp(n_chars), 6) AS sd_samp, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -1773,6 +1825,12 @@ object Relational {
         |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 12:00:00'
         |  AND event_type IN ('click', 'view')
         |ORDER BY event_id""".stripMargin,
+    "mql_dates_pipeline" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
+        |  max(date_diff('day', DATE '2024-01-01', ts::DATE)) AS idx
+        |FROM events
+        |WHERE day(ts) >= 10 AND day(ts) < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "range_join_bucketed" ->
       """SELECT e.event_id, count(o.ts) AS n_prev_1h
         |FROM events e LEFT JOIN events o
@@ -1863,6 +1921,7 @@ object Relational {
     "mql_events_nor" -> (mqlEventsNor _),
     "mql_events_mod" -> (mqlEventsMod _),
     "mql_events_date" -> (mqlEventsDate _),
+    "mql_dates_pipeline" -> (mqlDatesPipeline _),
     "range_join_bucketed" -> (rangeJoinBucketed _),
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
@@ -1870,6 +1929,7 @@ object Relational {
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
+    "mql_stddev" -> (mqlStddev _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_calculus" -> (mqlWindowCalculus _),

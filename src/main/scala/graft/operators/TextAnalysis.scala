@@ -81,6 +81,51 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Okapi BM25 ranking over the same inverted decomposition — the
+    * standard keyword relevance function (k1=1.2, b=0.75). Scale shape
+    * matches [[searchKeyword]]: tokenize → explode → filter to the query
+    * terms BEFORE any shuffle, conditional-aggregate per-doc tf in one
+    * pass, broadcast the (five-number) corpus stats. Determinism: every
+    * input to the float formula is an exact integer (tf, dl, df, N,
+    * Σdl); per-term scores sum in FIXED source order and round to 6
+    * decimals, absorbing libm log ulp differences between engines (the
+    * quantile/stddev float stance). */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "merge")
+    val K1 = 1.2; val B = 0.75
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok") === terms(0), 1L).otherwise(0L))
+          .as(s"tf_${terms(0)}"),
+        terms.drop(1).map(t =>
+          sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    // corpus stats: N, Σdl, df per term — five numbers, broadcast-joined
+    val dfCols = terms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tf.agg(dfCols.head, dfCols.tail: _*)
+      .crossJoin(broadcast(
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
+    val scored = tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def termScore(t: String) = {
+      val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)))
+      val tfD = col(s"tf_$t").cast("double")
+      idf * (tfD * lit(K1 + 1)) /
+        (tfD + lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("dl") / avgdl))
+    }
+    scored
+      .select(col("doc_id"),
+        round(terms.map(termScore).reduceLeft(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(15)
+  }
+
   private val enStop =
     Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
@@ -184,6 +229,43 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "bm25_search" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS dl FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+        |    sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_join,
+        |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf_merge
+        |  FROM tok WHERE tok IN ('hash', 'join', 'merge')
+        |  GROUP BY doc_id),
+        |st AS (
+        |  SELECT
+        |    (SELECT count(*) FROM dl) AS n_docs,
+        |    (SELECT sum(dl) FROM dl) AS sum_dl,
+        |    sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln((n_docs - df_hash + 0.5) / (df_hash + 0.5))
+        |      * (tf_hash::DOUBLE * 2.2)
+        |      / (tf_hash::DOUBLE + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+        |  + ln((n_docs - df_join + 0.5) / (df_join + 0.5))
+        |      * (tf_join::DOUBLE * 2.2)
+        |      / (tf_join::DOUBLE + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+        |  + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+        |      * (tf_merge::DOUBLE * 2.2)
+        |      / (tf_merge::DOUBLE + 1.2 * (1.0 - 0.75
+        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs))), 6) AS bm25
+        |FROM tf JOIN dl USING (doc_id), st
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
     "search_keyword" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -285,6 +367,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_keyword" -> (searchKeyword _),
+    "bm25_search" -> (bm25Search _),
     "text_tokens" -> (textTokens _),
     "text_chunks" -> (textChunks _),
     "text_quality" -> (textQuality _),

@@ -399,7 +399,7 @@ class MqlPipelineSpec extends SparkTestBase {
         |  "foreignField": "b", "as": "c"}}]""".stripMargin)
     }
     intercept[IllegalArgumentException] {
-      run("""[{"$group": {"_id": null, "x": {"$stdDevPop": "$v"}}}]""")
+      run("""[{"$group": {"_id": null, "x": {"$mergeObjects": "$v"}}}]""")
     }
   }
 
