@@ -219,7 +219,16 @@ object MqlPipeline {
           // {from, localField, foreignField, as}: left outer equi-match,
           // matches re-nested as an ARRAY of the foreign documents'
           // metadata (Mongo's embedded-docs shape; [] when none). The
-          // equality respects MQL bracketing: numeric OR string view.
+          // equality respects MQL bracketing — numeric matches numeric,
+          // string matches string — expressed as ONE equi-join on a
+          // type-tagged key ("n:"+double / "s:"+string) instead of an
+          // OR of typed comparisons: an OR condition degrades to a
+          // nested-loop join (no hashable key), which is quadratic
+          // against a large foreign collection; the tagged key hashes,
+          // shuffles and broadcasts like any equi-join. A missing field
+          // yields a null key on either side and null never equi-matches
+          // (missing does NOT match missing — documented divergence from
+          // Mongo's null-eq-null lookup, same stance as $match).
           // Re-nesting groups by ALL current columns — callers need a
           // unique key column in the frame (collections carry _m_id).
           require(!grouped, "$lookup after $group unsupported")
@@ -231,14 +240,17 @@ object MqlPipeline {
           val ff = spec.get("foreignField").asText()
           val as = spec.get("as").asText()
           val (fdf, fmeta) = lookup(from)
+          def bracketKey(r: MqlFilter.JsonResolver, f: String): Column =
+            coalesce(
+              concat(lit("n:"), r.num(f).cast("string")),
+              concat(lit("s:"), r.str(f)))
           val fres = MqlFilter.JsonResolver(fmeta)
           val f2 = fdf.select(fmeta.as("__f_meta"),
-            fres.num(ff).as("__f_num"), fres.str(ff).as("__f_str"))
+            bracketKey(fres, ff).as("__f_key"))
           val lres = MqlFilter.JsonResolver(meta)
-          val cond = (lres.num(lf) === col("__f_num")) ||
-            (lres.str(lf) === col("__f_str"))
           val leftCols = cur.columns.map(col)
-          cur = cur.join(f2, cond, "left")
+          cur = cur.join(f2, bracketKey(lres, lf) === col("__f_key"),
+              "left")
             .groupBy(leftCols: _*)
             .agg(collect_list(col("__f_meta")).as(as))
 

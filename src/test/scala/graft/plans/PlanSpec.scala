@@ -429,4 +429,42 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("mql_lookup: bracketed equality joins as a HASH equi-join on the " +
+      "type-tagged key, never a nested loop") {
+    // an OR of typed comparisons has no hashable key and degrades to
+    // BroadcastNestedLoopJoin — quadratic against a large foreign
+    // collection; the tagged-key rewrite must keep it an equi-join
+    val p = plan(Relational.mqlLookup(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_ngram_contaminate: digest equi-join after per-side " +
+      "distinct — no cartesian, no all-pairs") {
+    val p = plan(Dedup.dedupNgramContaminate(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    // each side pre-aggregates to distinct (id, digest) BEFORE the join
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("bm25_search: one tf shuffle; corpus stats broadcast, corpus " +
+      "never nested-loops against itself") {
+    val p = plan(graft.operators.TextAnalysis.bm25Search(spark, sf0001))
+    // the only nested-loop allowed is the 1-row stats cross join —
+    // assert no join has a corpus-sized build side by checking the
+    // scored side joins doc-keyed frames hash-wise
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("contrastive_negatives: pair explode + ONE narrow id equi-join, " +
+      "no cartesian of the corpus") {
+    val p = plan(graft.operators.Pipeline.negativePairs(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // partner attributes attach by hash equi-join on the dense id
+    assert(p.contains("HashJoin"), p)
+  }
 }
