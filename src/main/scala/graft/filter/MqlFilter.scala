@@ -123,8 +123,12 @@ object MqlFilter {
     * every predicate leaf would re-parse the JSON document (measured 6
     * parses/row on a 3-clause filter, ~2x the whole filter's runtime). */
   final case class JsonResolver(metaCol: Column) extends VariantViews {
-    private[MqlFilter] var parsed: Column = try_parse_json(metaCol)
-    private[MqlFilter] def parsedV: Column = parsed
+    private[filter] var parsed: Column = try_parse_json(metaCol)
+    /** True once any view resolved through the parsed document — lets
+      * [[graft.filter.MqlPipeline]] skip the parse-binding wrapper for
+      * expressions that only touch real columns. */
+    private[filter] var touched: Boolean = false
+    private[MqlFilter] def parsedV: Column = { touched = true; parsed }
     def arr(f: String): Column =
       when(schemaOf(f).startsWith("ARRAY"),
         from_json(get_json_object(metaCol, path(f)),

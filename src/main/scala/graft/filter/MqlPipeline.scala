@@ -940,17 +940,43 @@ object MqlPipeline {
       Seq(rank, r.num(key), r.str(key))
     }
 
+  /** Evaluate `build` with ONE JSON→VARIANT parse per row: probe-build
+    * first to learn whether the expression touches the metadata document
+    * at all (pure real-column expressions skip the wrapper and its
+    * wasted parse); if it does, rebuild with the resolver's parse bound
+    * to a higher-order-function lambda variable — the
+    * [[MqlFilter.toColumn]] device — so every leaf of the expression
+    * shares a single parse instead of paying one or two per leaf
+    * (schema introspection + value extraction both re-read the
+    * document; Catalyst has no global CSE to merge them). */
+  private def bindOnce(metaCol: Column,
+      build: MqlFilter.JsonResolver => Column): Column = {
+    val probe = MqlFilter.JsonResolver(metaCol)
+    val plain = build(probe)
+    if (!probe.touched) plain
+    else transform(array(try_parse_json(metaCol)), { p =>
+      val res = MqlFilter.JsonResolver(metaCol)
+      res.parsed = p
+      build(res)
+    }).getItem(0)
+  }
+
   /** `"$f"` → the real column `f` when one exists (post-$unwind shape),
     * else the STRING view of metadata field f;
-    * {"$toLong"/"$toDouble": "$f"} → numeric view; literals pass. */
+    * {"$toLong"/"$toDouble": "$f"} → numeric view; literals pass.
+    * Parse-bound: one JSON parse per row however many leaves. */
   private def valueExpr(node: JsonNode, metaCol: Column,
-      cur: DataFrame): Column = {
+      cur: DataFrame): Column =
+    bindOnce(metaCol, res => valueExprRes(node, metaCol, cur, res))
+
+  private def valueExprRes(node: JsonNode, metaCol: Column,
+      cur: DataFrame, res: MqlFilter.JsonResolver): Column = {
     def ref(f: String): Column =
       if (cur.columns.contains(f)) col(f)
-      else MqlFilter.JsonResolver(metaCol).str(f)
+      else res.str(f)
     def num(f: String): Column =
       if (cur.columns.contains(f)) col(f).cast("double")
-      else MqlFilter.JsonResolver(metaCol).num(f)
+      else res.num(f)
     if (node.isTextual && node.asText().startsWith("$"))
       ref(node.asText().drop(1))
     else if (node.isObject) {
@@ -975,24 +1001,30 @@ object MqlPipeline {
     * positions resolve "$f" through the NUMERIC view (a JSON number's
     * string view is null by bracketing). */
   private def computeExpr(node: JsonNode, metaCol: Column,
-      cur: DataFrame): Column = {
+      cur: DataFrame): Column =
+    bindOnce(metaCol, res => computeExprRes(node, metaCol, cur, res))
+
+  private def computeExprRes(node: JsonNode, metaCol: Column,
+      cur: DataFrame, res: MqlFilter.JsonResolver): Column = {
     def ref(f: String): Column =
       if (f == "$ROOT") metaCol // "$$ROOT": the whole current document
       else if (cur.columns.contains(f)) col(f)
-      else MqlFilter.JsonResolver(metaCol).str(f)
+      else res.str(f)
     def numRef(f: String): Column =
       if (cur.columns.contains(f)) col(f).cast("double")
-      else MqlFilter.JsonResolver(metaCol).num(f)
+      else res.num(f)
     def numOf(n: JsonNode): Column =
       if (n.isNumber) lit(n.asDouble())
       else if (n.isTextual && n.asText().startsWith("$"))
         numRef(n.asText().drop(1))
-      else if (n.isObject) computeExpr(n, metaCol, cur).cast("double")
+      else if (n.isObject)
+        computeExprRes(n, metaCol, cur, res).cast("double")
       else throw new IllegalArgumentException(s"not numeric: $n")
     def strOf(n: JsonNode): Column =
       if (n.isTextual && n.asText().startsWith("$")) ref(n.asText().drop(1))
       else if (n.isTextual) lit(n.asText())
-      else if (n.isObject) computeExpr(n, metaCol, cur).cast("string")
+      else if (n.isObject)
+        computeExprRes(n, metaCol, cur, res).cast("string")
       else throw new IllegalArgumentException(s"not a string: $n")
     def args(v: JsonNode): Seq[JsonNode] = {
       require(v.isArray, s"operand must be an array: $v")
@@ -1006,7 +1038,7 @@ object MqlPipeline {
       else if (n.isTextual && n.asText().startsWith("$")) {
         val f = n.asText().drop(1)
         if (cur.columns.contains(f)) col(f).cast("boolean")
-        else MqlFilter.JsonResolver(metaCol).bool(f)
+        else res.bool(f)
       } else if (n.isObject && n.properties().size() == 1) {
         val e = n.properties().asScala.head
         val cmp: (Column, Column) => Column = e.getKey match {
@@ -1030,9 +1062,10 @@ object MqlPipeline {
       if (n.isTextual && n.asText().startsWith("$")) {
         val f = n.asText().drop(1)
         if (cur.columns.contains(f)) col(f).cast("timestamp")
-        else MqlFilter.JsonResolver(metaCol).ts(f)
+        else res.ts(f)
       } else if (n.isTextual) to_timestamp(lit(n.asText()))
-      else if (n.isObject) computeExpr(n, metaCol, cur).cast("timestamp")
+      else if (n.isObject)
+        computeExprRes(n, metaCol, cur, res).cast("timestamp")
       else throw new IllegalArgumentException(s"not a date: $n")
     if (node.isTextual && node.asText().startsWith("$"))
       ref(node.asText().drop(1))
@@ -1063,13 +1096,14 @@ object MqlPipeline {
           round(numOf(a), p.asInt())
         case ("$ifNull", v) =>
           val Seq(a, b) = args(v)
-          coalesce(computeExpr(a, metaCol, cur), computeExpr(b, metaCol, cur))
+          coalesce(computeExprRes(a, metaCol, cur, res),
+            computeExprRes(b, metaCol, cur, res))
         case ("$cond", v) =>
           // [if, then, else] — the if is a comparison expression
           // ({$gt: [a, b]} family, numeric) or a boolean "$field" ref
           val Seq(i, t, f) = args(v)
-          when(boolOf(i), computeExpr(t, metaCol, cur))
-            .otherwise(computeExpr(f, metaCol, cur))
+          when(boolOf(i), computeExprRes(t, metaCol, cur, res))
+            .otherwise(computeExprRes(f, metaCol, cur, res))
         // Mongo date operator family over the timestamp view (builds on
         // the ISO-string date convention of the $date filter literals).
         // Parts return LONG (the oracle engines' integer date parts).

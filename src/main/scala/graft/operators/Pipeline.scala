@@ -132,6 +132,51 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** Sequence PACKING — the final shard-assembly step of a training-data
+    * build: documents packed greedily, in doc_id order, into fixed
+    * token-budget contexts (2048 here). Contract: a document's bin is
+    * `(tokens before it) DIV budget` — documents stay whole, every bin
+    * except the last holds ≥ budget tokens, and a bin overflows by less
+    * than one document (the standard streaming-packing approximation;
+    * exact bin packing is NP-hard and order-destroying).
+    *
+    * A prefix sum over a total order is the textbook anti-pattern as a
+    * single global window (one task scans everything), so it runs as the
+    * distributed two-phase scan (the quantiles_orders_dist device):
+    * range-partition by doc_id → per-partition token totals (P longs to
+    * the driver) → broadcast exclusive offsets → per-partition running
+    * sum. Two narrow passes, no global sort task, any corpus size. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val Budget = 2048L
+    val P = 8
+    val d = docs(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    // localCheckpoint: the totals pass and the scan pass share ONE
+    // tokenization of the corpus
+    val parts = d.repartitionByRange(P, col("doc_id"))
+      .sortWithinPartitions("doc_id").localCheckpoint()
+    val rdd = parts.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var sum = 0L; it.foreach(r => sum += r.getLong(1))
+      Iterator((pi, sum))
+    }.collect().sortBy(_._1).map(_._2) // bounded: P longs
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bcOff = s.sparkContext.broadcast(offsets)
+    import s.implicits._
+    rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var cum = bcOff.value(pi)
+      it.map { r =>
+        val bin = cum / Budget
+        cum += r.getLong(1)
+        (r.getLong(0), r.getLong(1), bin)
+      }
+    }.toDF("doc_id", "n_tok", "bin")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -158,6 +203,20 @@ object Pipeline {
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)
          |  WHERE len(t) >= 2)
          |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+'))::BIGINT AS n_tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM t)
+        |SELECT (before // 2048)::BIGINT AS bin, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "contrastive_negatives" ->
       """WITH b AS (SELECT count(*) AS n_docs, min(doc_id) AS min_id
         |           FROM documents),
@@ -188,6 +247,7 @@ object Pipeline {
     "quality_filter" -> (qualityFilter _),
     "top_ngrams" -> (topNgrams _),
     "pipeline_clean" -> (pipelineClean _),
-    "contrastive_negatives" -> (negativePairs _)
+    "contrastive_negatives" -> (negativePairs _),
+    "pack_sequences" -> (packSequences _)
   )
 }
