@@ -1104,6 +1104,27 @@ object MqlPipeline {
           val Seq(i, t, f) = args(v)
           when(boolOf(i), computeExprRes(t, metaCol, cur, res))
             .otherwise(computeExprRes(f, metaCol, cur, res))
+        case ("$switch", v) =>
+          // {branches: [{case, then}...], default} — Mongo's multi-way
+          // $cond; first matching branch wins, no default + no match →
+          // Mongo errors, mirrored with raise_error in the data path
+          require(v.isObject && v.get("branches") != null &&
+            v.get("branches").isArray && v.get("branches").size() > 0,
+            s"$$switch needs non-empty branches: $v")
+          val branches = v.get("branches").elements().asScala.toSeq.map { b =>
+            require(b.has("case") && b.has("then"),
+              s"$$switch branch needs {case, then}: $b")
+            (boolOf(b.get("case")),
+              computeExprRes(b.get("then"), metaCol, cur, res))
+          }
+          // raise_error's NullType coerces to the branch type, so the
+          // loud no-match default composes with any then-branch
+          val dflt: Column = Option(v.get("default"))
+            .map(d => computeExprRes(d, metaCol, cur, res))
+            .getOrElse(raise_error(lit(
+              "$switch: no branch matched and no default given")))
+          branches.foldRight(dflt) { case ((c, t), e) =>
+            when(c, t).otherwise(e) }
         // Mongo date operator family over the timestamp view (builds on
         // the ISO-string date convention of the $date filter literals).
         // Parts return LONG (the oracle engines' integer date parts).
@@ -1117,6 +1138,20 @@ object MqlPipeline {
           require(v.isObject && v.get("dateString") != null,
             s"$$dateFromString needs {dateString}: $v")
           to_timestamp(strOf(v.get("dateString")))
+        case ("$dateTrunc", v) =>
+          // {date, unit}: Mongo 5.0's truncation — calendar units map to
+          // Spark's date_trunc (same boundary semantics as the oracle
+          // engines); binSize/timezone/startOfWeek unsupported, loud
+          require(v.isObject && v.get("date") != null &&
+            v.get("unit") != null, s"$$dateTrunc needs {date, unit}: $v")
+          require(v.get("binSize") == null && v.get("timezone") == null &&
+            v.get("startOfWeek") == null,
+            s"$$dateTrunc binSize/timezone/startOfWeek unsupported: $v")
+          val u = v.get("unit").asText()
+          require(Seq("year", "quarter", "month", "week", "day", "hour",
+            "minute", "second").contains(u),
+            s"unsupported $$dateTrunc unit: $u")
+          date_trunc(u, dateOf(v.get("date")))
         case ("$dateToString", v) =>
           require(v.isObject && v.get("date") != null,
             s"$$dateToString needs {date, format?}: $v")

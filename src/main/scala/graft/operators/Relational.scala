@@ -219,6 +219,31 @@ object Relational {
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** $switch + $dateTrunc under the gate: events bucketed by calendar
+    * week (Mongo 5.0 truncation) × a multi-branch severity label
+    * (first-match-wins $switch with default), rolled up per composite
+    * key. The oracle replays with date_trunc('week') — both engines
+    * start weeks on Monday — and a CASE chain. */
+  def mqlSwitchTrunc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
+          col("value").as("v")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "wk": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc": {"date": "$created", "unit": "week"}}}},
+        |   "sev": {"$switch": {"branches": [
+        |     {"case": {"$gte": ["$v", 300]}, "then": "high"},
+        |     {"case": {"$gte": ["$v", 50]}, "then": "mid"}],
+        |     "default": "low"}}}},
+        | {"$addFields": {"key": {"$concat": ["$wk", "/", "$sev"]}}},
+        | {"$group": {"_id": "$key", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** MQL $mod — Mongo's divisor/remainder predicate, over the same
     * schemaless props field as the other MQL gates. */
   def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
@@ -358,6 +383,94 @@ object Relational {
         |  AND r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  /** TPC-H Q4 flavor (order priority checking): orders in a quarter with
+    * at least one late-shipping line (EXISTS against the fact table —
+    * decorrelates to a hash left-semi), counted per priority. Adapted to
+    * this corpus's columns: "late" = shipped > 60 days after order. */
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q4Sql)
+  }
+
+  /** TPC-H Q12 flavor (shipping-mode priority classification): per
+    * return flag, CASE-split counts of high- vs low-priority orders for
+    * lines shipped in one year — the join + conditional-sum shape.
+    * (This corpus has no l_shipmode/commitdate; l_returnflag carries the
+    * classification axis.) */
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def sqlTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q12Sql)
+  }
+
+  /** TPC-H Q14 flavor (promotion effect): promo-typed revenue as integer
+    * cents alongside total cents for one month — the conditional
+    * revenue-share shape, kept exact by emitting both sums instead of
+    * the spec's float percentage. */
+  private val q14Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+
+  def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q14Sql)
+  }
+
+  /** TPC-H Q19 flavor (discounted revenue, disjunctive brackets): three
+    * OR'd (brand, size, quantity) bracket predicates over the
+    * part⋈lineitem join — the planner must push the common join key and
+    * keep the disjunction as a residual filter, never a cartesian. */
+  private val q19Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE
+      |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 1 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+      |    AND l_quantity >= 10 AND l_quantity <= 30)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+      |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
+
+  def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q19Sql)
+  }
 
   /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
     * run verbatim through spark.sql over temp views — six-table join,
@@ -1447,6 +1560,10 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "sql_tpch_q5" -> q5Sql,
     "sql_tpch_q7" -> q7Sql,
+    "sql_tpch_q4" -> q4Sql,
+    "sql_tpch_q12" -> q12Sql,
+    "sql_tpch_q14" -> q14Sql,
+    "sql_tpch_q19" -> q19Sql,
     "sql_tpch_q9" -> q9Sql,
     "sql_tpch_q22" -> q22Sql,
     "sql_tpch_q2" -> q2Sql,
@@ -1825,6 +1942,12 @@ object Relational {
         |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 12:00:00'
         |  AND event_type IN ('click', 'view')
         |ORDER BY event_id""".stripMargin,
+    "mql_switch_trunc" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') || '/' ||
+        |  CASE WHEN value >= 300 THEN 'high'
+        |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS _id,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "mql_dates_pipeline" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
         |  max(date_diff('day', DATE '2024-01-01', ts::DATE)) AS idx
@@ -1922,6 +2045,7 @@ object Relational {
     "mql_events_mod" -> (mqlEventsMod _),
     "mql_events_date" -> (mqlEventsDate _),
     "mql_dates_pipeline" -> (mqlDatesPipeline _),
+    "mql_switch_trunc" -> (mqlSwitchTrunc _),
     "range_join_bucketed" -> (rangeJoinBucketed _),
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
@@ -1953,6 +2077,10 @@ object Relational {
     "pivot_orders" -> (pivotOrders _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q7" -> (sqlTpchQ7 _),
+    "sql_tpch_q4" -> (sqlTpchQ4 _),
+    "sql_tpch_q12" -> (sqlTpchQ12 _),
+    "sql_tpch_q14" -> (sqlTpchQ14 _),
+    "sql_tpch_q19" -> (sqlTpchQ19 _),
     "sql_tpch_q9" -> (sqlTpchQ9 _),
     "sql_tpch_q22" -> (sqlTpchQ22 _),
     "sql_tpch_q2" -> (sqlTpchQ2 _),

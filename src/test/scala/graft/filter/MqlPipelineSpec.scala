@@ -390,6 +390,75 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$switch: first matching branch wins; default; loud no-match") {
+    val got = run(
+      """[{"$addFields": {"lbl": {"$switch": {"branches": [
+        |    {"case": {"$gte": ["$v", 100]}, "then": "big"},
+        |    {"case": {"$gte": ["$v", 10]}, "then": "mid"}],
+        |   "default": "small"}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "lbl": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "mid"), (2L, "mid"), (3L, "small"),
+      (4L, "small"), (5L, "big")))
+    // no default + unmatched row → loud (Mongo errors too)
+    val e = intercept[Exception] {
+      run("""[{"$addFields": {"lbl": {"$switch": {"branches": [
+        |    {"case": {"$gte": ["$v", 1000]}, "then": "big"}]}}}},
+        |  {"$sort": {"id": 1}}]""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("no branch matched"))
+    intercept[IllegalArgumentException] { // empty branches
+      run("""[{"$addFields": {"x": {"$switch": {"branches": []}}}}]""")
+    }
+  }
+
+  test("$dateTrunc: calendar units; unsupported options loud") {
+    val dts = Seq(
+      (1L, """{"d": "2024-03-15T14:45:30"}"""), // Friday
+      (2L, """{"d": "2024-03-18T00:00:00"}""")  // Monday
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(dts, col("meta"),
+      """[{"$addFields": {
+        |   "wk": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc": {"date": "$d", "unit": "week"}}}},
+        |   "mo": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc": {"date": "$d", "unit": "month"}}}},
+        |   "hr": {"$dateToString": {"format": "%Y-%m-%dT%H:%M:%S",
+        |     "date": {"$dateTrunc": {"date": "$d", "unit": "hour"}}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "wk": 1, "mo": 1, "hr": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    // weeks start Monday: Fri 3/15 → Mon 3/11; Mon 3/18 → itself
+    assert(got == Seq(
+      (1L, "2024-03-11", "2024-03-01", "2024-03-15T14:00:00"),
+      (2L, "2024-03-18", "2024-03-01", "2024-03-18T00:00:00")))
+    intercept[IllegalArgumentException] { // binSize unsupported
+      MqlPipeline.aggregate(dts, col("meta"),
+        """[{"$addFields": {"x": {"$dateTrunc":
+          |  {"date": "$d", "unit": "hour", "binSize": 6}}}}]""".stripMargin)
+    }
+    intercept[IllegalArgumentException] { // unknown unit
+      MqlPipeline.aggregate(dts, col("meta"),
+        """[{"$addFields": {"x": {"$dateTrunc":
+          |  {"date": "$d", "unit": "fortnight"}}}}]""".stripMargin)
+    }
+  }
+
+  test("mongoDateFormat: specifiers map, literals quote, unknown loud") {
+    assert(MqlPipeline.mongoDateFormat("%Y-%m-%d") == "yyyy'-'MM'-'dd")
+    assert(MqlPipeline.mongoDateFormat("%Y-%m-%dT%H:%M:%S")
+      == "yyyy'-'MM'-'dd'T'HH':'mm':'ss")
+    assert(MqlPipeline.mongoDateFormat("%H%%") == "HH'%'")
+    intercept[IllegalArgumentException] {
+      MqlPipeline.mongoDateFormat("%Q")
+    }
+    intercept[IllegalArgumentException] {
+      MqlPipeline.mongoDateFormat("dangling%")
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
