@@ -254,6 +254,38 @@ object MqlPipeline {
             .groupBy(leftCols: _*)
             .agg(collect_list(col("__f_meta")).as(as))
 
+        case "$merge" =>
+          // Mongo's terminal output stage: {into, on, whenMatched,
+          // whenNotMatched} — the pipeline result keyed-merged into a
+          // sibling collection. Mongo's whenMatched/whenNotMatched modes
+          // map 1:1 onto [[graft.operators.Upsert]]'s (replace /
+          // keepExisting / merge / fail × insert / discard / fail): ONE
+          // full-outer shuffle join, the 100 TB shape. Divergence: the
+          // merged frame is RETURNED (the engine is a library over
+          // immutable parquet — the caller owns persistence; a
+          // collection write-back is the kaer_delete_update machinery).
+          require(spec.isObject && spec.get("into") != null,
+            s"$$merge needs {into, on?, whenMatched?, whenNotMatched?}: " +
+              spec)
+          val mInto = spec.get("into").asText()
+          val mOn = Option(spec.get("on")).map(_.asText())
+            .getOrElse("_id")
+          val wm = Option(spec.get("whenMatched")).map(_.asText())
+            .getOrElse("merge") // Mongo's default
+          val wnm = Option(spec.get("whenNotMatched")).map(_.asText())
+            .getOrElse("insert")
+          val (mdf, _) = lookup(mInto)
+          require(cur.columns.contains(mOn),
+            s"$$merge on-field must be a real column of the pipeline " +
+              s"output: $mOn (have ${cur.columns.mkString(", ")})")
+          require(mdf.columns.toSet == cur.columns.toSet,
+            s"$$merge schemas must match by name: target " +
+              s"${mdf.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+          cur = graft.operators.Upsert.upsert(
+            mdf.select(cur.columns.map(col): _*), cur, Seq(mOn),
+            whenMatched = wm, whenNotMatched = wnm)
+          grouped = true // $merge is terminal for metadata resolution
+
         case "$count" =>
           cur = cur.agg(count(lit(1)).as(spec.asText()))
             .filter(col(spec.asText()) > 0) // empty input -> no document

@@ -1491,6 +1491,34 @@ object Relational {
       })
   }
 
+  /** Pipeline $merge under the gate: a shaped update slice ($match +
+    * $addFields bump) merged into the base collection frame by doc_id
+    * (replace + insert through ONE full-outer join), then a census so
+    * the output stays compact. Mongo's pipeline-output upsert surface
+    * over the engine's Upsert machinery. */
+  def mqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = t(s, dir, "documents")
+      .filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("meta", to_json(struct(col("doc_id"))))
+    graft.filter.MqlPipeline.aggregate(src, col("meta"),
+      """[
+        | {"$addFields": {"n_chars": {"$toLong":
+        |     {"$add": ["$n_chars", 1000]}}}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+        | {"$merge": {"into": "base", "on": "doc_id",
+        |   "whenMatched": "replace", "whenNotMatched": "insert"}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "base", s"unknown collection: $name")
+        (base, col("doc_id").cast("string"))
+      })
+  }
+
   /** $regex with Mongo $options (inline (?i) flags) + $not composition,
     * under the oracle gate — the flags travel inside the pattern so any
     * regex engine (Java here, RE2 in the oracle) evaluates identically. */
@@ -1872,6 +1900,16 @@ object Relational {
       """SELECT lang AS _id, round(stddev_pop(n_chars), 6) AS sd_pop,
         |  round(stddev_samp(n_chars), 6) AS sd_samp, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_merge" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id < 300),
+        |s AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |      FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+        |SELECT doc_id, lang, n_chars FROM s
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM t
+        |WHERE doc_id NOT IN (SELECT doc_id FROM s)
+        |ORDER BY doc_id""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -2054,6 +2092,7 @@ object Relational {
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
     "mql_stddev" -> (mqlStddev _),
+    "mql_merge" -> (mqlMerge _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_calculus" -> (mqlWindowCalculus _),

@@ -459,6 +459,37 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$merge: pipeline output keyed-merged into a sibling frame " +
+      "(replace/insert), modes validated loudly") {
+    val target = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .withColumn("meta", to_json(struct(col("k"))))
+    val src = Seq((2L, 200L), (3L, 30L)).toDF("k", "v")
+      .withColumn("meta", to_json(struct(col("k"))))
+    val resolver: String => (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.Column) = {
+      case "tgt" => (target, col("meta"))
+      case n => fail(s"unexpected lookup: $n")
+    }
+    val got = MqlPipeline.aggregate(src, col("meta"),
+      """[{"$merge": {"into": "tgt", "on": "k",
+        |   "whenMatched": "replace", "whenNotMatched": "insert"}}]"""
+        .stripMargin, resolver)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    // whenMatched=fail raises on a matched key (Upsert contract through
+    // the stage)
+    val e = intercept[Exception] {
+      MqlPipeline.aggregate(src, col("meta"),
+        """[{"$merge": {"into": "tgt", "on": "k",
+          |   "whenMatched": "fail"}}]""".stripMargin, resolver).collect()
+    }
+    assert(e.getMessage.contains("whenMatched=fail"))
+    intercept[IllegalArgumentException] { // on-field must be real
+      MqlPipeline.aggregate(src, col("meta"),
+        """[{"$merge": {"into": "tgt", "on": "nope"}}]""", resolver)
+    }
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
