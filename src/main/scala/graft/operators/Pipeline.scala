@@ -132,6 +132,34 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** Domain MIXTURE — the per-source epoch weighting every LLM corpus
+    * recipe publishes (upweight curated sources to >1 epoch, downsample
+    * bulk crawl below 1): weight w (permille epochs) emits
+    * `w DIV 1000` whole copies of each document plus one more with
+    * probability `w MOD 1000` permille, decided by the same
+    * hash-deterministic sampler as [[sampleStratified]] — reproducible
+    * shard builds, exact oracle, never rand(). Pure per-row hash +
+    * explode: scan speed, zero shuffle, any corpus size. The copy index
+    * surfaces as `epoch` so downstream packing/shuffling can
+    * de-correlate repeated copies. */
+  def mixDomains(s: SparkSession, dir: String): DataFrame = {
+    // src0 ×2.5 epochs, src1 ×0.2, everything else ×1
+    val weights = Map("src0" -> 2500L, "src1" -> 200L)
+    val w = coalesce(
+      element_at(typedLit(weights), col("source")), lit(1000L))
+    val extra = when(
+      pmod(md5Hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000)) < w % 1000L, 1).otherwise(0)
+    docs(s, dir)
+      .withColumn("copies", (w / lit(1000L)).cast("int") + extra)
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), col("copies") - 1)).as("epoch"))
+      .select(col("doc_id"), col("source"),
+        col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Sequence PACKING — the final shard-assembly step of a training-data
     * build: documents packed greedily, in doc_id order, into fixed
     * token-budget contexts (2048 here). Contract: a document's bin is
@@ -203,6 +231,23 @@ object Pipeline {
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)
          |  WHERE len(t) >= 2)
          |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
+    "mix_domains" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2500
+        |                WHEN 'src1' THEN 200 ELSE 1000 END AS wt,
+        |    ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 1000
+        |      AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    wt // 1000 + CASE WHEN h < wt % 1000 THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM w)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(regexp_extract_all(lower(text),
@@ -248,6 +293,7 @@ object Pipeline {
     "top_ngrams" -> (topNgrams _),
     "pipeline_clean" -> (pipelineClean _),
     "contrastive_negatives" -> (negativePairs _),
-    "pack_sequences" -> (packSequences _)
+    "pack_sequences" -> (packSequences _),
+    "mix_domains" -> (mixDomains _)
   )
 }
