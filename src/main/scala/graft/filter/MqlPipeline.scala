@@ -1136,6 +1136,32 @@ object MqlPipeline {
           val Seq(i, t, f) = args(v)
           when(boolOf(i), computeExprRes(t, metaCol, cur, res))
             .otherwise(computeExprRes(f, metaCol, cur, res))
+        case ("$size", v) =>
+          // {$size: "$arrayField"} — element count of a metadata (or
+          // real) array; null (not an error) for non-arrays, like the
+          // filter-side $size's bracket behavior
+          require(v.isTextual && v.asText().startsWith("$"),
+            s"$$size operand must be a \"$$field\" path: $v")
+          val f = v.asText().drop(1)
+          size(if (cur.columns.contains(f)) col(f) else res.varr(f))
+            .cast("long")
+        case ("$arrayElemAt", v) =>
+          // {$arrayElemAt: ["$arrayField", i]} — 0-based; negative
+          // counts from the end (Mongo contract); out-of-range → null
+          val Seq(a, i) = args(v)
+          require(a.isTextual && a.asText().startsWith("$"),
+            s"$$arrayElemAt needs a \"$$field\" path: $a")
+          require(i.isIntegralNumber,
+            s"$$arrayElemAt index must be an integer: $i")
+          val f = a.asText().drop(1)
+          val arrC =
+            if (cur.columns.contains(f)) col(f) else res.arr(f)
+          val idx = i.asInt()
+          // try_element_at: 1-based for positives, end-relative for
+          // negatives (exactly Mongo's indexing), NULL out of range
+          // (element_at throws under ANSI)
+          if (idx >= 0) try_element_at(arrC, lit(idx + 1))
+          else try_element_at(arrC, lit(idx))
         case ("$switch", v) =>
           // {branches: [{case, then}...], default} — Mongo's multi-way
           // $cond; first matching branch wins, no default + no match →

@@ -44,7 +44,7 @@ object Pipeline {
 
   /** C4-flavored quality gate, integer math only: enough tokens, bounded
     * digit density, and (for English) at least one common stopword. */
-  private def qualityKeep: Column = {
+  private[graft] def qualityKeep: Column = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => array_position(
@@ -208,7 +208,7 @@ object Pipeline {
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private val sqlKeep =
+  private[graft] val sqlKeep =
     s"""len($sqlToks) >= 30
        |  AND len(regexp_extract_all(text, '[0-9]')) * 1000 <= length(text) * 200
        |  AND (lang <> 'en' OR len(list_filter($sqlToks, t -> list_contains(

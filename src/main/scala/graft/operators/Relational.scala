@@ -1491,6 +1491,27 @@ object Relational {
       })
   }
 
+  /** Array expression operators under the gate ($size/$arrayElemAt over
+    * a variable-length metadata array): long docs carry a third tag, so
+    * the count and the negative-index (last-element) access genuinely
+    * vary per row; the oracle replays the synthesis as CASE logic. */
+  def mqlArrayExpr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("n_chars") > 500,
+            array(col("lang"), col("source"), lit("long")))
+            .otherwise(array(col("lang"), col("source"))).as("tags")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "ntags": {"$size": "$tags"},
+        |   "first": {"$arrayElemAt": ["$tags", 0]},
+        |   "last": {"$arrayElemAt": ["$tags", -1]}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "ntags": 1, "first": 1, "last": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $merge under the gate: a shaped update slice ($match +
     * $addFields bump) merged into the base collection frame by doc_id
     * (replace + insert through ONE full-outer join), then a census so
@@ -1900,6 +1921,12 @@ object Relational {
       """SELECT lang AS _id, round(stddev_pop(n_chars), 6) AS sd_pop,
         |  round(stddev_samp(n_chars), 6) AS sd_samp, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_array_expr" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars > 500 THEN 3 ELSE 2 END::BIGINT AS ntags,
+        |  lang AS first,
+        |  CASE WHEN n_chars > 500 THEN 'long' ELSE source END AS last
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mql_merge" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
         |           WHERE doc_id < 300),
@@ -2093,6 +2120,7 @@ object Relational {
     "mql_lookup" -> (mqlLookup _),
     "mql_stddev" -> (mqlStddev _),
     "mql_merge" -> (mqlMerge _),
+    "mql_array_expr" -> (mqlArrayExpr _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_calculus" -> (mqlWindowCalculus _),

@@ -305,6 +305,32 @@ object StreamingOps {
     s.table(name).orderBy("user_id", "event_type")
   }
 
+  /** Streaming text-cleaning pipeline under the gate: the corpus
+    * operators (the C4-style quality predicate — token floor, digit
+    * density, stopword check) run UNCHANGED inside a Structured
+    * Streaming pass — per-row expressions are execution-mode-agnostic,
+    * which is the point: the same cleaning plan serves the batch corpus
+    * build and the incremental top-up of a live crawl. Final per-lang
+    * census in complete mode ≡ the batch oracle. */
+  def streamTextPipeline(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_textpipe_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(graft.operators.Pipeline.qualityKeep)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("lang")
+  }
+
   /** BOUNDED streaming dedup under the gate — the state-evicting
     * `dropDuplicatesWithinWatermark` form, not unbounded `dropDuplicates`
     * state. The stream is a planted re-delivery scenario: a 48-hour
@@ -515,6 +541,12 @@ object StreamingOps {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "stream_text_pipeline" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |WHERE ${graft.operators.Pipeline.sqlKeep}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "stream_dedup_bounded" ->
       """SELECT DISTINCT event_id FROM events
         |WHERE ts < (SELECT min(ts) + INTERVAL 48 HOUR FROM events)
@@ -543,6 +575,7 @@ object StreamingOps {
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_dedup" -> (streamDedup _),
+    "stream_text_pipeline" -> (streamTextPipeline _),
     "stream_dedup_bounded" -> (streamDedupBounded _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_upsert" -> (streamUpsert _)

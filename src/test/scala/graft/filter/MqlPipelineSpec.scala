@@ -490,6 +490,31 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$size/$arrayElemAt expressions: counts, 0-based + negative " +
+      "indexing, out-of-range null, non-array null") {
+    val arrs = Seq(
+      (1L, """{"tags": ["a", "b", "c"]}"""),
+      (2L, """{"tags": ["x"]}"""),
+      (3L, """{"tags": "not-an-array"}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(arrs, col("meta"),
+      """[{"$addFields": {
+        |   "n": {"$size": "$tags"},
+        |   "first": {"$arrayElemAt": ["$tags", 0]},
+        |   "last": {"$arrayElemAt": ["$tags", -1]},
+        |   "oob": {"$arrayElemAt": ["$tags", 5]}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "n": 1, "first": 1, "last": 1,
+        |    "oob": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, "a", "c", null),
+      (2L, 1L, "x", "x", null),
+      (3L, -1L, null, null, null)))
+  }
+
   test("unsupported stage and accumulator raise") {
     intercept[IllegalArgumentException] { // incomplete $lookup spec
       run("""[{"$lookup": {"from": "other"}}]""")
