@@ -327,6 +327,60 @@ object Dedup {
       .orderBy("train_id", "eval_id")
   }
 
+  /** Exact-substring duplicate pairs — the published "deduplicating
+    * training data" technique (long verbatim token runs shared between
+    * documents, which near-dup Jaccard misses when the run is a small
+    * fraction of both docs): documents sharing at least one exact
+    * `n`-token window. Suffix arrays don't distribute; the Spark-native
+    * shape is the same digest equi-join as the n-gram contamination
+    * check, at window length n=30.
+    *
+    * Two scale dials, both with exact semantics:
+    *  - `stride` samples window STARTS on one side (a shared run of
+    *    ≥ n + stride − 1 tokens is still guaranteed to hit — the
+    *    standard fingerprinting trade: stride s cuts that side's rows
+    *    s×, raising the minimum detectable run by s − 1);
+    *  - `maxDocsPerWindow` EXCLUDES windows present in more documents
+    *    (boilerplate headers/licenses — exactly what production
+    *    substring dedup drops first, and what would otherwise expand
+    *    quadratically in the join). */
+  private[graft] def substringPairs(corpus: DataFrame, n: Int,
+      stride: Int, maxDocsPerWindow: Int): DataFrame = {
+    def windows(step: Int): DataFrame =
+      corpus.select(col("id"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("id"), explode(
+          transform(sequence(lit(1), size(col("ts")) - (n - 1), lit(step)),
+            i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("g"))
+        .select(col("id"), md5(col("g")).as("h"))
+        .distinct()
+    val full = windows(1)
+    // boilerplate exclusion on the FULL side's frequency (the strided
+    // side samples, so its counts undercount)
+    val keep = full.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") <= maxDocsPerWindow)
+      .select(col("h"))
+    val a = windows(stride).join(keep, "h")
+      .select(col("h"), col("id").as("id_a"))
+    val b = full.join(keep, "h")
+      .select(col("h"), col("id").as("id_b"))
+    a.join(b, "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Registered gate: within-corpus 30-token-window duplicate pairs,
+    * full windows both sides (stride 1 — the complete answer; the
+    * stride dial is spec-verified on planted shifted runs), boilerplate
+    * cap 100 docs/window. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringPairs(
+      docs(s, dir).select(col("doc_id").as("id"), col("text")),
+      n = 30, stride = 1, maxDocsPerWindow = 100)
+
   /** Registered gate: full documents as the training corpus; every 11th
     * document with the last 20 chars dropped as the planted eval set —
     * the truncation leaves most 5-grams intact, so every planted doc
@@ -796,6 +850,19 @@ object Dedup {
          |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id, unnest([array_to_string(ts[i:i+29], ' ')
+        |    for i in generate_series(1, len(ts) - 29)]) AS g
+        |  FROM t WHERE len(ts) >= 30),
+        |keep AS (SELECT g FROM w GROUP BY g HAVING count(*) <= 100),
+        |wf AS (SELECT w.doc_id, w.g FROM w JOIN keep USING (g))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM wf a JOIN wf b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_ngram_contaminate" ->
       """WITH tr AS (
         |  SELECT doc_id AS train_id,
@@ -903,6 +970,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
+    "dedup_substring" -> (dedupSubstring _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),

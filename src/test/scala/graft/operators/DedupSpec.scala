@@ -43,6 +43,31 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L), (2L, 1L)), got.mkString(","))
   }
 
+  test("substringPairs: shifted long runs found; stride guarantee holds; " +
+      "boilerplate windows excluded") {
+    def words(pfx: String, n: Int): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val shared40 = words("s", 40) // 40-token shared run
+    val corpus = Seq(
+      (1L, shared40 + " " + words("a", 5)),
+      (2L, words("x", 3) + " " + shared40), // shifted by 3
+      (3L, words("z", 50)) // unrelated
+    ).toDF("id", "text")
+    // stride 1: complete answer
+    val full = Dedup.substringPairs(corpus, 30, 1, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == Seq((1L, 2L)))
+    // stride 10: run length 40 >= 30 + 10 - 1 → hit GUARANTEED
+    val strided = Dedup.substringPairs(corpus, 30, 10, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(strided == Seq((1L, 2L)))
+    // boilerplate exclusion: a window in MORE docs than the cap vanishes
+    val boiler = Seq.tabulate(5)(i =>
+      (10L + i, shared40 + " " + words(s"u$i", 3))).toDF("id", "text")
+    assert(Dedup.substringPairs(boiler, 30, 1, 4).count() == 0)
+    assert(Dedup.substringPairs(boiler, 30, 1, 5).count() == 10) // 5C2
+  }
+
   test("identical docs are always found (LSH recall = 1 at jaccard 1)") {
     val corpus = Seq((10L, base), (20L, base)).toDF("id", "text")
     val pairs = Dedup.minhashPairs(corpus)
