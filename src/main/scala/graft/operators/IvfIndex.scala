@@ -212,13 +212,90 @@ object IvfIndex {
     probe(s, idx, q, k = 10, nprobe = 4, excludeId = 77L)
   }
 
+  /** Persisted IVF-PQ index: inverted lists carrying ONLY (vec_id,
+    * label, 8 tinyint PQ codes) — no float embeddings. This is the
+    * on-DISK version of the ann_ivf_pq composition: at 100 TB of float
+    * vectors the code index is ~3 TB, a probe reads the probed lists'
+    * codes only (partition-pruned), ADC ranks them with zero float math,
+    * and the float SOURCE table — touched only for the candidate-budget
+    * ids via a broadcast id join — stays the exact-re-rank ground
+    * truth. */
+  def buildPq(s: SparkSession, vectors: DataFrame, outDir: String,
+      cents: Seq[(Long, Array[Float])]): String = {
+    import s.implicits._
+    val cd = cents.map(_._2.map(_.toDouble)).toArray
+    vectors
+      .withColumn("cid", assignCid(cents, col("embedding")))
+      .select(col("vec_id") +: col("label") +: col("cid") +:
+        Quantize.pqCodeCols(cd, col("embedding"), asByte = true): _*)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$outDir/lists")
+    cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    outDir
+  }
+
+  /** [[buildPq]] with the same trust-reuse contract as [[ensureBuilt]]. */
+  def ensureBuiltPq(s: SparkSession, vectors: DataFrame, outDir: String,
+      cents: Seq[(Long, Array[Float])]): String = {
+    val trusted =
+      graft.core.Trust.parquetDir(s, s"$outDir/centroids",
+        cents.size.toLong) &&
+      graft.core.Trust.parquetDir(s, s"$outDir/lists", vectors.count())
+    if (trusted) outDir else buildPq(s, vectors, outDir, cents)
+  }
+
+  /** Probe the PQ index: partition-pruned scan of the probed lists'
+    * CODES, ADC rank to `budget` candidates (lookup-table sums, no float
+    * vector math), then exact re-rank of those ids against the float
+    * `source` (broadcast id join — `budget` rows, never the corpus). */
+  def probePq(s: SparkSession, indexDir: String, source: DataFrame,
+      q: Array[Float], k: Int, nprobe: Int, budget: Int,
+      excludeId: Long = -1L): DataFrame = {
+    val centsF = readCentroids(s, indexDir)
+    val probes = centsF
+      .map { case (cid, cv) => (cid, l2sqLocal(cv, q)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nprobe).map(_._1)
+    val cd = centsF.map(_._2.map(_.toDouble)).toArray
+    val qlit = array(q.map(lit(_)): _*)
+    val cand = s.read.parquet(s"$indexDir/lists")
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .withColumn("d_adc", Quantize.pqAdcCol(cd, q.map(_.toDouble)))
+      .orderBy(col("d_adc").asc, col("vec_id").asc)
+      .limit(budget)
+      .select("vec_id")
+    source.join(broadcast(cand), "vec_id")
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "label")
+  }
+
+  /** Registered end-to-end PQ-index query — the persisted twin of
+    * ann_ivf_pq (same fixture, same oracle): build the code-only
+    * partitioned index once (trust-reused after), probe with vector 77
+    * at nprobe=4, ADC budget 50, exact re-rank to top-10. */
+  def annIvfPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (cents, q) = fixedCentroidsAndQuery(e)
+    val idx = ensureBuiltPq(s, e, graft.core.Scratch.dir("ivfpq", dir),
+      cents)
+    probePq(s, idx, e, q, k = 10, nprobe = 4, budget = 50,
+      excludeId = 77L)
+  }
+
   /** Same answer contract as ann_ivf: the index is storage layout, not
     * different math. */
   val oracle: Map[String, String] = Map(
-    "ann_ivf_indexed" -> Similarity.oracle("ann_ivf")
+    "ann_ivf_indexed" -> Similarity.oracle("ann_ivf"),
+    // the persisted PQ index shares ann_ivf_pq's oracle for the same
+    // reason — layout, not math
+    "ann_ivf_pq_indexed" -> Quantize.oracle("ann_ivf_pq")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivf_indexed" -> (annIvfIndexed _)
+    "ann_ivf_indexed" -> (annIvfIndexed _),
+    "ann_ivf_pq_indexed" -> (annIvfPqIndexed _)
   )
 }

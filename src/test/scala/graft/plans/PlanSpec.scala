@@ -460,6 +460,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_pq_indexed: probe scans CODES only (partition-pruned, " +
+      "no float column), re-rank joins the budget ids broadcast") {
+    val p = plan(graft.operators.IvfIndex.annIvfPqIndexed(spark, sf0001))
+    // the lists scan must carry the cid partition filter and must NOT
+    // read an embedding column — the whole point of the code index
+    assert(p.contains("PartitionFilters"), p)
+    val listsScan = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(listsScan.contains("c0"), p) // code columns present
+    // float vectors come ONLY from the source table's re-rank join side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("contrastive_negatives: pair explode + ONE narrow id equi-join, " +
       "no cartesian of the corpus") {
     val p = plan(graft.operators.Pipeline.negativePairs(spark, sf0001))
