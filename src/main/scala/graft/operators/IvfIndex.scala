@@ -236,6 +236,23 @@ object IvfIndex {
     outDir
   }
 
+  /** Incremental PQ-index maintenance — [[appendTail]]'s twin: encode
+    * the uncovered tail against the index's OWN centroids/codebook
+    * contract and append into the partitioned code lists. O(tail), list
+    * files untouched, centroids fixed (the reference's tail-replay
+    * semantics). */
+  def appendTailPq(s: SparkSession, tail: DataFrame,
+      indexDir: String): Unit = {
+    val cents = readCentroids(s, indexDir)
+    val cd = cents.map(_._2.map(_.toDouble)).toArray
+    tail
+      .withColumn("cid", assignCid(cents, col("embedding")))
+      .select(col("vec_id") +: col("label") +: col("cid") +:
+        Quantize.pqCodeCols(cd, col("embedding"), asByte = true): _*)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexDir/lists")
+  }
+
   /** [[buildPq]] with the same trust-reuse contract as [[ensureBuilt]]. */
   def ensureBuiltPq(s: SparkSession, vectors: DataFrame, outDir: String,
       cents: Seq[(Long, Array[Float])]): String = {

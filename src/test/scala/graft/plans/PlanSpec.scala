@@ -474,6 +474,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("PQ index tail append: incremental encode covers new rows, " +
+      "probe over split build == probe over full build") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (cents, q) = {
+      val c = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val qv = e.filter(col("vec_id") === 77)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      (c, qv)
+    }
+    val half = e.count() / 2
+    val dirSplit = tmpDir("ivfpq-split")
+    graft.operators.IvfIndex.buildPq(spark,
+      e.filter(col("vec_id") < half), dirSplit, cents)
+    graft.operators.IvfIndex.appendTailPq(spark,
+      e.filter(col("vec_id") >= half), dirSplit)
+    val dirFull = tmpDir("ivfpq-full")
+    graft.operators.IvfIndex.buildPq(spark, e, dirFull, cents)
+    def ids(d: String) = graft.operators.IvfIndex
+      .probePq(spark, d, e, q, k = 10, nprobe = 4, budget = 50,
+        excludeId = 77L)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(dirSplit) == ids(dirFull))
+    // appended lists cover every row exactly once
+    assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
+  }
+
   test("contrastive_negatives: pair explode + ONE narrow id equi-join, " +
       "no cartesian of the corpus") {
     val p = plan(graft.operators.Pipeline.negativePairs(spark, sf0001))
