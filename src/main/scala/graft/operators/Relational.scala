@@ -472,6 +472,234 @@ object Relational {
     s.sql(q19Sql)
   }
 
+  /** TPC-H Q6 flavor (forecasting revenue change): the one spec query
+    * with NO join — pure scan-side arithmetic. All three predicates
+    * (ship-year range, discount band, quantity cap) must reach the
+    * parquet reader as pushed filters and the single sum aggregates
+    * map-side; at 100 TB this query is bounded by bytes read, nothing
+    * else. Money as integer cents. */
+  private val q6Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q6Sql)
+  }
+
+  /** TPC-H Q10 flavor (returned-item reporting): revenue lost to
+    * returns per customer for one quarter, top 20 — a 4-relation join
+    * whose output carries dimension attributes through the aggregate
+    * (GROUP BY on the full customer tuple) and a deterministic
+    * LIMIT under a total order (cents DESC, custkey tiebreak).
+    * Account balance emitted as cents like every money column. */
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q10Sql)
+  }
+
+  /** TPC-H Q13 flavor (customer order-count distribution): the outer
+    * join with a JOIN-CONDITION filter (not a WHERE — customers with
+    * zero qualifying orders must survive with count 0) feeding a
+    * second aggregation over the first's result. Two shuffles by
+    * design; the histogram output is tiny. */
+  private val q13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def sqlTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q13Sql)
+  }
+
+  /** TPC-H Q15 flavor (top supplier): a named aggregate reused twice —
+    * once as the join input, once under a scalar max — where the spec's
+    * VIEW becomes a CTE. Catalyst plans the CTE once per consumer; the
+    * equality-to-max filter returns every tied supplier, so the result
+    * is deterministic without ROW_NUMBER. Money as integer cents makes
+    * the max and the equality exact in both engines. */
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |      AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_cents
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue_cents = (SELECT max(total_revenue_cents)
+      |    FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q15Sql)
+  }
+
+  /** TPC-H Q18 flavor (large-volume customers): IN against a HAVING
+    * aggregate over the same fact table being joined — the planner
+    * turns the subquery into a semi-join whose build side is the
+    * already-aggregated (small) order list. Quantities are integral
+    * doubles, so the BIGINT casts are exact. */
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY totalprice_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q18Sql)
+  }
+
+  /** TPC-H Q8 flavor (national market share): the widest join graph in
+    * the spec — 8 relation instances including nation twice in
+    * DIFFERENT roles (customer's region gate vs supplier's share axis).
+    * Emits numerator and denominator cents per year instead of the
+    * spec's float ratio, keeping the gate bit-exact. */
+  private val q8Sql =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol_cents
+      |    ELSE 0 END) AS BIGINT) AS nation_cents,
+      |  CAST(sum(vol_cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |      AS vol_cents,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |    nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+      |      AND TIMESTAMP '1996-12-31'
+      |    AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def sqlTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q8Sql)
+  }
+
+  /** TPC-H Q11 flavor (important stock): group-by filtered against a
+    * GLOBAL scalar aggregate of the same grouped result — the CTE is
+    * consumed once per side and the threshold is a single broadcast
+    * number. This corpus has no partsupp, so "stock value" is shipped
+    * value (retailprice × quantity) from one nation's suppliers — the
+    * HAVING-vs-global-sum planning shape is Q11's. */
+  private val q11Sql =
+    """WITH value AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    CAST(sum(CAST(round(p_retailprice*l_quantity*100) AS BIGINT))
+      |      AS BIGINT) AS value_cents
+      |  FROM lineitem, supplier, nation, part
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3' AND p_partkey = l_partkey
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, value_cents FROM value
+      |WHERE value_cents > (SELECT CAST(sum(value_cents)*0.001 AS BIGINT)
+      |  FROM value)
+      |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  def sqlTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "supplier", "nation", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q11Sql)
+  }
+
+  /** TPC-H Q16 flavor (parts/supplier relationship): COUNT(DISTINCT)
+    * per part attribute tuple with a NOT IN anti-join on the supplier
+    * dimension. The distinct rides the same shuffle as the group-by;
+    * the NOT IN side is dimension-sized → broadcast anti. Without
+    * partsupp, lineitem supplies the part↔supplier pairs. */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def sqlTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part", "supplier"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q16Sql)
+  }
+
+  /** TPC-H Q20 flavor (potential part promotion): a semi-join whose
+    * subquery is itself a join + HAVING aggregate (suppliers who moved
+    * enough of a name-matched part in a year), gated by a nation
+    * filter on the outer dimension. Without partsupp the spec's inner
+    * availqty correlation collapses to the HAVING threshold — the
+    * nested-IN planning shape survives. */
+  private val q20Sql =
+    """SELECT s_name, s_suppkey
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem, part
+      |    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(l_quantity) > 50)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "nation", "lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q20Sql)
+  }
+
   /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
     * run verbatim through spark.sql over temp views — six-table join,
     * the planner free to pick broadcast vs shuffle per side. */
@@ -1618,6 +1846,15 @@ object Relational {
     "sql_tpch_q2" -> q2Sql,
     "sql_tpch_q21" -> q21Sql,
     "sql_tpch_q17" -> q17Sql,
+    "sql_tpch_q6" -> q6Sql,
+    "sql_tpch_q8" -> q8Sql,
+    "sql_tpch_q10" -> q10Sql,
+    "sql_tpch_q11" -> q11Sql,
+    "sql_tpch_q13" -> q13Sql,
+    "sql_tpch_q15" -> q15Sql,
+    "sql_tpch_q16" -> q16Sql,
+    "sql_tpch_q18" -> q18Sql,
+    "sql_tpch_q20" -> q20Sql,
     "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
@@ -2153,6 +2390,15 @@ object Relational {
     "sql_tpch_q2" -> (sqlTpchQ2 _),
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
+    "sql_tpch_q6" -> (sqlTpchQ6 _),
+    "sql_tpch_q8" -> (sqlTpchQ8 _),
+    "sql_tpch_q10" -> (sqlTpchQ10 _),
+    "sql_tpch_q11" -> (sqlTpchQ11 _),
+    "sql_tpch_q13" -> (sqlTpchQ13 _),
+    "sql_tpch_q15" -> (sqlTpchQ15 _),
+    "sql_tpch_q16" -> (sqlTpchQ16 _),
+    "sql_tpch_q18" -> (sqlTpchQ18 _),
+    "sql_tpch_q20" -> (sqlTpchQ20 _),
     "funnel_steps" -> (funnelSteps _),
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),

@@ -504,6 +504,29 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("tpch q6: all three predicates pushed to the parquet scan, no join") {
+    val p = plan(Relational.sqlTpchQ6(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("tpch q18: HAVING subquery becomes a semi-join on the aggregated " +
+      "order list — no cartesian, top-k via TakeOrderedAndProject") {
+    val p = plan(Relational.sqlTpchQ18(spark, sf0001))
+    assert(p.contains("LeftSemi") || p.contains("Semi"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch q16: NOT IN compiles to a broadcast anti-join on the " +
+      "dimension, never a nested loop over the fact table") {
+    val p = plan(Relational.sqlTpchQ16(spark, sf0001))
+    assert(p.contains("Anti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("contrastive_negatives: pair explode + ONE narrow id equi-join, " +
       "no cartesian of the corpus") {
     val p = plan(graft.operators.Pipeline.negativePairs(spark, sf0001))
