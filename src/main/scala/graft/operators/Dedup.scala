@@ -757,6 +757,120 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------------------------
+  // Semantic dedup (SemDeDup): cluster by embedding DIRECTION, prune
+  // within-cluster cosine near-dups, keep the lowest id. The published
+  // web-scale recipe (cluster first so the quadratic compare never sees
+  // the whole corpus) — the pairwise step is confined to a cluster the
+  // same way LSH confines it to a band bucket.
+  // ------------------------------------------------------------------
+
+  /** Corpus with planted SEMANTIC duplicates: every 5th vector re-enters
+    * scaled ×2 — identical direction, different bytes and different L2
+    * norm, so exact dedup and L2 blocking both miss it while any
+    * direction-based (cosine) method must catch it. ×2 is exact in
+    * float AND scale-exact through double cosine (powers of two commute
+    * with rounding), so both engines see bit-identical cosines. */
+  private def semCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    e.select(col("vec_id").as("id"), col("embedding"), col("label"))
+      .unionAll(e.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+          col("label")))
+  }
+
+  private val semCorpusSql =
+    """SELECT vec_id AS id, embedding, label FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS id,
+      |  list_transform(embedding, x -> (x * 2)::FLOAT) AS embedding, label
+      |FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+
+  /** Keep-threshold and cluster count for the gated query. Production
+    * picks k ≈ corpus/target-cluster-size and kmeans-fit centroids
+    * ([[IvfIndex.kmeansFit]] drops in — same assignment contract); the
+    * gate pins the same first-16 seed centroids as the ann_ivf family
+    * so the oracle can replay assignment. */
+  private val SemTau = 0.99
+  private val SemClusters = 16
+
+  /** Within-cluster membership cap — [[guardBucket]]'s twin with the
+    * clustering remediation: a cluster past the cap means k is too
+    * small for the corpus (the quadratic in-cluster compare would blow
+    * up), and the fix is more/better centroids, not band dials. */
+  private def guardCluster(ms: Column): Column =
+    when(size(ms) <= MaxBucketMembers, ms)
+      .otherwise(raise_error(concat(
+        lit("semantic cluster overflow: "), size(ms).cast("string"),
+        lit(s" members > cap $MaxBucketMembers — raise the cluster count" +
+          " k (or kmeans-refit centroids) so in-cluster compares stay" +
+          " bounded"))))
+
+  /** SemDeDup: assign every vector to its nearest centroid by COSINE
+    * (direction, not distance — a vector and its scaled copy must land
+    * together), expand pairs within each cluster only, and drop the
+    * higher id of any pair with cosine ≥ τ. Output = the surviving
+    * corpus with its cluster assignment.
+    *
+    * Scale shape: ONE shuffle on cid (same single-pass collect_list +
+    * in-bucket expansion as the LSH family — the self-join alternative
+    * shuffles the embedding column twice), quadratic work confined to a
+    * guarded cluster, survivors via LEFT ANTI with the removed-id list
+    * as the small build side. At 100 TB, k grows with the corpus so
+    * cluster sizes stay under the guard; the plan is unchanged. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = e.filter(col("vec_id") < SemClusters)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val assigned = semCorpus(s, dir)
+      .withColumn("cid", IvfIndex.assignCosCid(cents, col("embedding")))
+    val removed = assigned
+      .groupBy("cid")
+      .agg(collect_list(struct(col("id"), col("embedding"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", guardCluster(col("ms")))
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b("id") > a("id")), b =>
+          struct(a("id").as("id_a"), b("id").as("id_b"),
+            a("embedding").as("emb_a"), b("embedding").as("emb_b"))))))
+        .as("p"))
+      .filter(cosineSim(col("p.emb_a"), col("p.emb_b")) >= SemTau)
+      .select(col("p.id_b").as("id")).distinct()
+    assigned.join(removed, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"), col("label"))
+      .orderBy("id")
+  }
+
+  /** DuckDB twin: identical seed centroids, identical cosine argmax
+    * (row_number cos DESC, cid ASC = the strict-> fold's tie-break),
+    * identical within-cluster pair prune. */
+  private def semOracle: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1,$Dim)])"
+    def cos(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH corpus AS ($semCorpusSql),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id < $SemClusters),
+       |assigned AS (
+       |  SELECT id, embedding, label, cid FROM (
+       |    SELECT e.id, e.embedding, e.label, c.cid,
+       |      row_number() OVER (PARTITION BY e.id
+       |        ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cid ASC)
+       |        AS rn
+       |    FROM corpus e, cents c) WHERE rn = 1),
+       |removed AS (
+       |  SELECT DISTINCT b.id FROM assigned a, assigned b
+       |  WHERE a.cid = b.cid AND a.id < b.id
+       |    AND ${cos("a.embedding", "b.embedding")} >= $SemTau)
+       |SELECT id, cid, label FROM assigned
+       |WHERE id NOT IN (SELECT id FROM removed)
+       |ORDER BY id""".stripMargin
+  }
+
   /** DuckDB twin of the LSH candidate generation + cosine verify for ONE
     * dial — band literals are generated from the (bits, bands) the gated
     * query actually runs with, so the oracle can never silently encode a
@@ -945,6 +1059,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands),
     "dedup_embed_dial" -> embOracle(DialBits, DialBands),
+    "dedup_semantic" -> semOracle,
     // exact-hamming self-join over the reconstructed signatures: the
     // oracle may go all-pairs (gate corpus is small); the Spark side's
     // band blocking must reproduce it exactly (pigeonhole recall = 1)
@@ -988,6 +1103,7 @@ object Dedup {
           s"bits=$bits bands=$bands — oracle parity will break")
       dedupEmbedCosine(s, dir)
     }),
-    "dedup_embed_dial" -> (dedupEmbedCosineDial _)
+    "dedup_embed_dial" -> (dedupEmbedCosineDial _),
+    "dedup_semantic" -> (dedupSemantic _)
   )
 }

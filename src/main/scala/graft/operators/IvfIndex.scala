@@ -39,6 +39,24 @@ object IvfIndex {
           struct(dc.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
       }).getField("cid")
 
+  /** [[assignCid]]'s cosine twin: argmax cosine similarity, strict `>`
+    * so ties keep the FIRST (lowest-cid) centroid — the same tie-break
+    * an ORDER BY cos DESC, cid ASC row_number picks. Scale-invariant:
+    * a vector and any positive multiple of it land in the same cell,
+    * which is what direction-based (semantic) clustering wants. */
+  private[graft] def assignCosCid(
+      cents: Seq[(Long, Array[Float])], emb: Column): Column =
+    aggregate(
+      array(cents.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*),
+      struct(lit(-2.0).as("c"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cc = cosineSim(emb, c.getField("cv"))
+        when(cc > acc.getField("c"),
+          struct(cc.as("c"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
   /** Deterministic Lloyd's KMeans: init = the k lowest-vec_id vectors,
     * `iters` rounds of broadcast assignment + per-cid mean. Every step is
     * index-order double math — same seed, same data ⇒ same centroids. */

@@ -221,4 +221,15 @@ class DedupSpec extends SparkTestBase {
       spark.conf.unset("graft.dedup.bands")
     }
   }
+
+  test("dedupSemantic removes exactly the planted scaled copies and " +
+      "keeps a vector together with its ×2 twin's cluster") {
+    val out = Dedup.dedupSemantic(spark, sf0001).collect()
+    val ids = out.map(_.getLong(0)).toSet
+    // every planted ×2 copy (id ≥ 100000) is removed — same direction
+    // as its source, cosine 1 — and every original survives
+    assert(ids.forall(_ < 100000L), "a scaled copy survived")
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(ids.size == n, s"expected all $n originals to survive")
+  }
 }

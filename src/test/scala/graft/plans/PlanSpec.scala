@@ -504,6 +504,14 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("dedup_semantic: in-cluster expansion, never a corpus self-join — " +
+      "no cartesian, survivors via anti-join") {
+    val p = plan(Dedup.dedupSemantic(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("tpch q6: all three predicates pushed to the parquet scan, no join") {
     val p = plan(Relational.sqlTpchQ6(spark, sf0001))
     assert(p.contains("PushedFilters: ["), p)
