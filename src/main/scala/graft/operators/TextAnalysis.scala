@@ -19,6 +19,80 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
 
+  /** Corpus-trained bigram language-model score — the perplexity-proxy
+    * quality signal (the KenLM-filtering shape: score each document
+    * against an n-gram LM, drop the tail). Two aggregation passes build
+    * the LM tables (unigram + bigram counts — at 100 TB these ARE the
+    * model, partitioned by their token key), then each document's
+    * bigram occurrences join their add-one-smoothed conditional
+    * probability P(w2|w1) = (c12+1)/(c1+V) and sum it per doc.
+    *
+    * Exactness contract: the probability is kept as an INTEGER in parts
+    * per million — counts are exact longs, `(c12+1)*1e6` is an exact
+    * double below 2^53, the single division is IEEE-correctly-rounded,
+    * and `round` half-up matches both engines — so the per-doc sum is
+    * reduction-order-free. No log/exp (libm rounding differs across
+    * engines); ranking by mean ppm is monotone with perplexity rank. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(docs(s, dir).select(col("doc_id"), tokens(col("text")).as("ts")))
+
+  /** The LM core over any `(doc_id, ts: array<string>)` frame. */
+  private[graft] def lmScore(toks: DataFrame): DataFrame = {
+    // position-ordered bigrams: transform-with-index + try_element_at
+    // (null past the end) keeps everything scan-local — no shuffle
+    // until the count aggregates
+    val bi = toks.select(col("doc_id"), explode(
+        filter(transform(col("ts"), (w, i) =>
+          struct(w.as("w1"),
+            try_element_at(col("ts"), i + lit(2)).as("w2"))),
+          p => p("w2").isNotNull)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val cnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bi
+      .join(cnt, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ppm", round((col("c2") + lit(1)) * lit(1000000.0) /
+        (col("c1") + col("v"))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("lm_ppm_sum"))
+    toks.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm_sum"), lit(0L)).as("lm_ppm_sum"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    """WITH toks AS (SELECT doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents),
+      |uni AS (SELECT u AS w, count(*) AS c1 FROM (
+      |    SELECT unnest(ts) AS u FROM toks) GROUP BY u),
+      |vocab AS (SELECT count(*) AS v FROM uni),
+      |big AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+      |      for i in generate_series(1, len(ts)-1)]) AS u
+      |    FROM toks WHERE len(ts) >= 2)),
+      |cnt AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    CAST(round((c.c2+1) * 1000000.0 / (u.c1 + vocab.v)) AS BIGINT)
+      |      AS ppm
+      |  FROM big b, cnt c, uni u, vocab
+      |  WHERE b.w1 = c.w1 AND b.w2 = c.w2 AND b.w1 = u.w),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(ppm) AS BIGINT) AS lm_ppm_sum
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.lm_ppm_sum, 0) AS lm_ppm_sum
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Overlapping token-window chunking — the preprocessing step every
     * embedding pipeline runs before vectorizing long documents: word
     * tokens sliced into windows of [[ChunkW]] with stride [[ChunkS]]
@@ -338,6 +412,7 @@ object TextAnalysis {
         |    '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
         |    || ' !!  END  '), '[^a-z0-9]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lm_score" -> lmScoreSql,
     "text_repetition" ->
       """SELECT doc_id,
         |  CAST(len(g) AS BIGINT) AS n_3grams,
@@ -375,6 +450,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_normalize" -> (textNormalize _),
     "pii_redact" -> (piiRedact _),
-    "text_repetition" -> (textRepetition _)
+    "text_repetition" -> (textRepetition _),
+    "text_lm_score" -> (textLmScore _)
   )
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("lmScore: a repetitive doc scores a higher mean bigram " +
+      "probability than a same-length all-unique doc; empty doc is 0/0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, ("the cat sat " * 10).trim),          // one bigram pattern, high P
+      (2L, (1 to 30).map(i => s"tok$i").mkString(" ")), // every bigram unique
+      (3L, "")                                   // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(
+        corpus.select(col("doc_id"), tokens(col("text")).as("ts")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (n1, s1) = out(1L)
+    val (n2, s2) = out(2L)
+    assert(out(3L) == ((0L, 0L)))
+    assert(n1 == 29 && n2 == 29, s"bigram counts: $n1 / $n2")
+    // mean ppm: the repeated "the cat / cat sat / sat the" bigrams are
+    // near-certain given their head; the unique doc's are all 1-count
+    // against the same smoothing denominator
+    assert(s1 > s2 * 3, s"repetitive $s1 should dwarf unique $s2")
+  }
+
+  test("textLmScore gate output covers every doc, keyed and ordered") {
+    val out = TextAnalysis.textLmScore(spark, sf0001)
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.count() == n)
+    val ids = out.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+}
