@@ -62,6 +62,84 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** DSIR-style importance scoring (the hashed-n-gram importance
+    * resampling recipe for picking pretraining data that "looks like" a
+    * target corpus): every document scores by how much more likely its
+    * features are under the TARGET distribution (here the English
+    * sub-corpus) than under the RAW corpus; the top slice is kept.
+    *
+    * Features are word bigrams hashed into [[DsirBuckets]] buckets —
+    * the hashing is the scale trick: the two count tables collapse to
+    * ≤ [[DsirBuckets]] rows each regardless of corpus size, so the
+    * per-feature weight LUT is BROADCAST and scoring is a map-side
+    * join at scan speed; the only shuffles are the two bounded-width
+    * count aggregates and the final per-doc sum.
+    *
+    * Linear-domain exactness variant: the published estimator sums
+    * log P_t(f)/P_r(f); libm log differs across engines in the last
+    * ulp, so the weight here is the exact integer DIFFERENCE of the
+    * two add-one-smoothed feature probabilities in ppm (each one
+    * integer-exact: exact counts, one correctly-rounded division,
+    * half-up round). Selection quality cares about the ranking, and
+    * the ppm-difference ranking preserves the "more target-like than
+    * raw-like" ordering. */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val b = DsirBuckets
+    val ts = tokens(col("text"))
+    val fArr = filter(transform(ts, (w, i) =>
+        pmod(md5Hash60(concat(w, lit(" "),
+          try_element_at(ts, i + lit(2)))), lit(b))),
+      f => f.isNotNull)
+    val feats = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(fArr).as("f"))
+    val tgt = feats.filter(col("lang") === "en")
+    val ct = tgt.groupBy("f").agg(count(lit(1)).as("ct"))
+    val cr = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val nt = tgt.agg(count(lit(1)).as("nt"))
+    val nr = feats.agg(count(lit(1)).as("nr"))
+    val lut = cr.join(ct, Seq("f"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("f"),
+        (round((coalesce(col("ct"), lit(0L)) + lit(1)) * lit(1000000.0) /
+            (col("nt") + lit(b))) -
+          round((col("cr") + lit(1)) * lit(1000000.0) /
+            (col("nr") + lit(b)))).cast("long").as("w"))
+    feats.join(broadcast(lut), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  private val DsirBuckets = 4096
+
+  private val dsirSql =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents),
+       |feats AS (SELECT doc_id, lang,
+       |    unnest([('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))
+       |        ::BIGINT % $DsirBuckets
+       |      for i in generate_series(1, len(ts)-1)]) AS f
+       |  FROM toks WHERE len(ts) >= 2),
+       |ct AS (SELECT f, count(*) AS ct FROM feats WHERE lang = 'en'
+       |  GROUP BY f),
+       |cr AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+       |nt AS (SELECT count(*) AS nt FROM feats WHERE lang = 'en'),
+       |nr AS (SELECT count(*) AS nr FROM feats),
+       |lut AS (SELECT cr.f,
+       |    CAST(round((COALESCE(ct.ct, 0) + 1) * 1000000.0
+       |        / (nt.nt + $DsirBuckets))
+       |      - round((cr.cr + 1) * 1000000.0 / (nr.nr + $DsirBuckets))
+       |      AS BIGINT) AS w
+       |  FROM cr LEFT JOIN ct ON cr.f = ct.f, nt, nr)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(w) AS BIGINT) AS importance
+       |FROM feats JOIN lut ON feats.f = lut.f
+       |GROUP BY doc_id
+       |ORDER BY importance DESC, doc_id ASC
+       |LIMIT 100""".stripMargin
+
   /** Corpus statistics: top-20 word bigrams by occurrence. Explode →
     * partial agg per partition → one shuffle on the ngram → top-k. */
   def topNgrams(s: SparkSession, dir: String): DataFrame =
@@ -215,6 +293,7 @@ object Pipeline {
        |    ['the','a','and','of','to','in','is','on','for','with'], t))) >= 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sample_dsir" -> dsirSql,
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlSampleKey < CASE WHEN lang = 'en' THEN 200 ELSE 700 END
@@ -294,6 +373,7 @@ object Pipeline {
     "pipeline_clean" -> (pipelineClean _),
     "contrastive_negatives" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
-    "mix_domains" -> (mixDomains _)
+    "mix_domains" -> (mixDomains _),
+    "sample_dsir" -> (dsirSample _)
   )
 }

@@ -27,6 +27,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s1 > s2 * 3, s"repetitive $s1 should dwarf unique $s2")
   }
 
+  test("dsirSample: the target-language docs dominate the top slice") {
+    val sel = Pipeline.dsirSample(spark, sf0001)
+    val langs = sel.join(
+        spark.read.parquet(s"$sf0001/documents.parquet"), Seq("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = langs.getOrElse("en", 0L)
+    assert(en * 2 > langs.values.sum,
+      s"importance scoring should favor the en target: $langs")
+  }
+
   test("textLmScore gate output covers every doc, keyed and ordered") {
     val out = TextAnalysis.textLmScore(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()

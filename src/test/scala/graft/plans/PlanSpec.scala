@@ -504,6 +504,14 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("sample_dsir: the hashed-feature weight LUT joins BROADCAST — " +
+      "scoring is map-side, no shuffle join on the feature stream") {
+    val p = plan(graft.operators.Pipeline.dsirSample(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_semantic: in-cluster expansion, never a corpus self-join — " +
       "no cartesian, survivors via anti-join") {
     val p = plan(Dedup.dedupSemantic(spark, sf0001))
