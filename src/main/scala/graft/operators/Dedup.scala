@@ -825,7 +825,15 @@ object Dedup {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
-    val assigned = semCorpus(s, dir)
+    dedupSemantic(semCorpus(s, dir), cents)
+  }
+
+  /** The SemDeDup core over any `(id, embedding, label)` corpus and
+    * centroid set — k is the scale dial: grow it with the corpus so
+    * in-cluster sizes (and the quadratic compare) stay constant. */
+  private[graft] def dedupSemantic(corpus: DataFrame,
+      cents: Seq[(Long, Array[Float])]): DataFrame = {
+    val assigned = corpus
       .withColumn("cid", IvfIndex.assignCosCid(cents, col("embedding")))
     val removed = assigned
       .groupBy("cid")

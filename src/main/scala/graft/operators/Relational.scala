@@ -1192,6 +1192,41 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** KMV (k-minimum-values) distinct-count sketch per event type — the
+    * mergeable-sketch family a 100 TB engine answers COUNT(DISTINCT)
+    * with when exact is too expensive. Unlike HLL++ (whose estimate
+    * depends on engine-internal hashing, so it can't sit under a
+    * cross-engine oracle), KMV over the md5-60 hash is bit-deterministic:
+    * keep the k smallest distinct hash values per group; the k-th
+    * smallest estimates the distinct count as (k-1)·2^60/kth.
+    *
+    * Scale shape: dropDuplicates is one shuffle on (group, hash) with
+    * map-side partial dedup; the per-group k-smallest compiles to
+    * WindowGroupLimit (partial top-k per partition BEFORE the group
+    * shuffle — the same plan device as the kNN join), so only
+    * k·partitions rows ride the window shuffle. Groups under k distinct
+    * values return the exact count (the sketch is exact below k).
+    * Estimate arithmetic: (k-1)·2^60 is an exact double, one
+    * correctly-rounded division, half-up round — oracle-identical. */
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.TextFunctions.md5Hash60
+    val h = events(s, dir)
+      .select(col("event_type"),
+        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+          .as("h"))
+      .dropDuplicates("event_type", "h")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
+      .select(col("event_type"),
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(round(lit(63.0 * 1152921504606846976.0) /
+            col("kth")).cast("long")).as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** $replaceRoot + $ifNull/$cond under the gate: metadata nests the
     * interesting fields one level down ({"info": {...}}); the pipeline
     * promotes `info` to the root, computes a $cond bucket label and an
@@ -1846,6 +1881,21 @@ object Relational {
     "sql_tpch_q2" -> q2Sql,
     "sql_tpch_q21" -> q21Sql,
     "sql_tpch_q17" -> q17Sql,
+    "sketch_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |topk AS (
+        |  SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |agg AS (SELECT event_type, count(*) AS k_seen, max(h) AS kth
+        |  FROM topk WHERE rn <= 64 GROUP BY event_type)
+        |SELECT event_type,
+        |  CASE WHEN k_seen < 64 THEN k_seen
+        |    ELSE CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est_distinct
+        |FROM agg ORDER BY event_type""".stripMargin,
     "sql_tpch_q6" -> q6Sql,
     "sql_tpch_q8" -> q8Sql,
     "sql_tpch_q10" -> q10Sql,
@@ -2390,6 +2440,7 @@ object Relational {
     "sql_tpch_q2" -> (sqlTpchQ2 _),
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
+    "sketch_distinct" -> (sketchDistinct _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),

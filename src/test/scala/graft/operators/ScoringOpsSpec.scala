@@ -4,7 +4,10 @@ import graft.SparkTestBase
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.functions._
 
-class TextAnalysisSpec extends SparkTestBase {
+/** Behavior specs for the scoring/selection operators: the bigram-LM
+  * perplexity proxy, DSIR importance sampling, and the KMV distinct
+  * sketch. */
+class ScoringOpsSpec extends SparkTestBase {
 
   test("lmScore: a repetitive doc scores a higher mean bigram " +
       "probability than a same-length all-unique doc; empty doc is 0/0") {
@@ -25,6 +28,22 @@ class TextAnalysisSpec extends SparkTestBase {
     // near-certain given their head; the unique doc's are all 1-count
     // against the same smoothing denominator
     assert(s1 > s2 * 3, s"repetitive $s1 should dwarf unique $s2")
+  }
+
+  test("sketchDistinct: exact below k, within KMV error bounds above") {
+    // sf0.001 has 15 distinct users per event type (< k=64): the sketch
+    // must return the EXACT count
+    val small = Relational.sketchDistinct(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, d) =>
+      if (d < 64) assert(small(t) == d, s"$t: ${small(t)} != exact $d")
+      // k=64 KMV stderr ≈ 1/sqrt(62) ≈ 12.7%; 25% ≈ 2σ on fixed data
+      else assert(math.abs(small(t) - d) <= d / 4,
+        s"$t: est ${small(t)} vs exact $d")
+    }
   }
 
   test("dsirSample: the target-language docs dominate the top slice") {

@@ -504,6 +504,12 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("sketch_distinct: per-group k-smallest runs as WindowGroupLimit " +
+      "(partial top-k before the shuffle), not a full per-group sort") {
+    val p = plan(Relational.sketchDistinct(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("sample_dsir: the hashed-feature weight LUT joins BROADCAST — " +
       "scoring is map-side, no shuffle join on the feature stream") {
     val p = plan(graft.operators.Pipeline.dsirSample(spark, sf0001))
