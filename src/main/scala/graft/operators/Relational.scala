@@ -1192,6 +1192,32 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Runtime Bloom-filter semi-join reduction — the scale device for a
+    * shuffle join whose build side carries a selective filter: Catalyst
+    * plants a bloom-filter aggregate on the filtered (small) side and
+    * injects `might_contain` into the FACT side's scan, so most of the
+    * 100 TB probe side drops before it ever reaches the exchange. At
+    * bench scale broadcast would hide the effect, so the join runs in a
+    * CHILD session (own conf, no session-global mutation — the r7
+    * advice) with broadcast off and the scan-size gate zeroed; on a
+    * real cluster the defaults trigger exactly when the probe side is
+    * huge, which is the 100 TB case. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    val li = ss.read.parquet(s"$dir/lineitem.parquet")
+    val ord = ss.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per event type — the
     * mergeable-sketch family a 100 TB engine answers COUNT(DISTINCT)
     * with when exact is too expensive. Unlike HLL++ (whose estimate
@@ -1881,6 +1907,14 @@ object Relational {
     "sql_tpch_q2" -> q2Sql,
     "sql_tpch_q21" -> q21Sql,
     "sql_tpch_q17" -> q17Sql,
+    "bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "sketch_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
@@ -2441,6 +2475,7 @@ object Relational {
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
     "sketch_distinct" -> (sketchDistinct _),
+    "bloom_join" -> (bloomJoin _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),
     "sql_tpch_q10" -> (sqlTpchQ10 _),

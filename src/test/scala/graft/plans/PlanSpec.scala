@@ -504,6 +504,13 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("bloom_join: runtime bloom filter injected on the fact scan — " +
+      "the probe side is semi-join-reduced before the exchange") {
+    val p = plan(Relational.bloomJoin(spark, sf0001))
+    assert(p.toLowerCase.contains("bloom"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sketch_distinct: per-group k-smallest runs as WindowGroupLimit " +
       "(partial top-k before the shuffle), not a full per-group sort") {
     val p = plan(Relational.sketchDistinct(spark, sf0001))
