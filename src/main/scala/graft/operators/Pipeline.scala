@@ -62,6 +62,37 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Gopher-rules quality gate — the OTHER published filter family
+    * (repetition/format heuristics with hard numeric brackets, vs the
+    * C4-style content rules of [[qualityFilter]]): word-count bracket,
+    * mean-word-length bracket, minimum share of purely-alphabetic
+    * words, and ≥2 stopwords. Every metric is an exact integer
+    * (permille ratios via integer cross-multiplication, never a float
+    * division), emitted alongside the keep flag so downstream can
+    * re-threshold without a rescan. Pure per-row expressions — scan
+    * speed, no shuffle, the same 100 TB profile as [[qualityFilter]]. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val nW = size(ws).cast("long")
+    val charsInWords = aggregate(ws, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val nAlpha = size(filter(ws, w => w.rlike("^[a-zA-Z]+$"))).cast("long")
+    val nStop = size(filter(tokens(col("text")), t => array_position(
+      array(Seq("the", "a", "and", "of", "to", "in", "is", "on", "for",
+        "with").map(lit): _*), t) > 0)).cast("long")
+    docs(s, dir)
+      .select(col("doc_id"), nW.as("n_words"),
+        charsInWords.as("n_word_chars"), nAlpha.as("n_alpha_words"),
+        nStop.as("n_stopwords"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("n_word_chars") * 1000 >= col("n_words") * 3000 &&
+          col("n_word_chars") * 1000 <= col("n_words") * 10000 &&
+          col("n_alpha_words") * 1000 >= col("n_words") * 800 &&
+          col("n_stopwords") >= 2)
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance scoring (the hashed-n-gram importance
     * resampling recipe for picking pretraining data that "looks like" a
     * target corpus): every document scores by how much more likely its
@@ -302,6 +333,27 @@ object Pipeline {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlKeep
          |ORDER BY doc_id""".stripMargin,
+    "gopher_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+         |      AS n_words,
+         |    CAST(list_sum(list_transform(
+         |      regexp_extract_all(text, '\\S+'), w -> length(w)))
+         |      AS BIGINT) AS n_word_chars,
+         |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         |      w -> regexp_matches(w, '^[a-zA-Z]+$$')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($sqlToks, t -> list_contains(
+         |      ['the','a','and','of','to','in','is','on','for','with'],
+         |      t))) AS BIGINT) AS n_stopwords
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND n_word_chars * 1000 >= n_words * 3000
+         |    AND n_word_chars * 1000 <= n_words * 10000
+         |    AND n_alpha_words * 1000 >= n_words * 800
+         |    AND n_stopwords >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "top_ngrams" ->
       s"""SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          |FROM (
@@ -369,6 +421,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
+    "gopher_quality" -> (gopherQuality _),
     "top_ngrams" -> (topNgrams _),
     "pipeline_clean" -> (pipelineClean _),
     "contrastive_negatives" -> (negativePairs _),
