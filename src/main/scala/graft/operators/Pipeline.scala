@@ -202,6 +202,78 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** The whole pretraining corpus build as ONE declarative plan —
+    * quality gate → canonical exact dedup → eval-set decontamination →
+    * token packing into 2048-token training bins. Each stage is the
+    * already-gated operator ([[qualityFilter]]'s predicate,
+    * [[pipelineClean]]'s canonical window, `dedupNgramContaminate`'s
+    * exact 5-gram hit list, [[packSequences]]'s two-phase prefix sum);
+    * the composite proves they CHAIN — Catalyst fuses the quality
+    * predicate into the scan below the dedup window, and the anti-join's
+    * build side is the (small) hit list, so the whole build reads the
+    * corpus once per tokenizing stage and shuffles only on the
+    * content-hash and digest keys. The gate output is the packed-bin
+    * summary of the surviving corpus. */
+  def pipelinePretrain(s: SparkSession, dir: String): DataFrame =
+    packCore(s, pretrainSurvivors(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok")))
+
+  /** Stages 1-3 of [[pipelinePretrain]] (everything before packing —
+    * which checkpoints, hiding the upstream plan): quality predicate →
+    * canonical-dup window → contamination anti-join. */
+  private[graft] def pretrainSurvivors(s: SparkSession,
+      dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    val uniq = docs(s, dir)
+      .filter(qualityKeep)
+      .withColumn("canon_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canon_id"))
+    val hits = Dedup.dedupNgramContaminate(s, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    uniq.join(hits, Seq("doc_id"), "left_anti")
+  }
+
+  // def, not val: sqlKeep is declared later in the file and object vals
+  // initialize in declaration order
+  private def pretrainSql =
+    s"""WITH q AS (SELECT doc_id, text FROM documents WHERE $sqlKeep),
+       |u AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |    FROM q) WHERE doc_id = canon),
+       |tr AS (SELECT doc_id AS train_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |  FROM documents),
+       |ev AS (SELECT doc_id AS eval_id,
+       |    regexp_extract_all(
+       |      lower(substr(text, 1, greatest(length(text) - 20, 0))),
+       |      '[a-z0-9]+') AS ts
+       |  FROM documents WHERE doc_id % 11 = 5),
+       |tg AS (SELECT DISTINCT train_id,
+       |    unnest([array_to_string(ts[i:i+4], ' ')
+       |      for i in generate_series(1, len(ts) - 4)]) AS g
+       |  FROM tr WHERE len(ts) >= 5),
+       |eg AS (SELECT DISTINCT eval_id,
+       |    unnest([array_to_string(ts[i:i+4], ' ')
+       |      for i in generate_series(1, len(ts) - 4)]) AS g
+       |  FROM ev WHERE len(ts) >= 5),
+       |hits AS (SELECT DISTINCT train_id AS doc_id FROM (
+       |    SELECT train_id, eval_id FROM tg JOIN eg USING (g)
+       |    GROUP BY 1, 2 HAVING count(*) >= 3)),
+       |surv AS (SELECT doc_id, text FROM u
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |t AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+       |    '[a-z0-9]+'))::BIGINT AS n_tok FROM surv),
+       |c AS (SELECT doc_id, n_tok,
+       |    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS before
+       |  FROM t)
+       |SELECT (before // 2048)::BIGINT AS bin, count(*) AS n_docs,
+       |  sum(n_tok)::BIGINT AS tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Hash-deterministic NEGATIVE SAMPLING — the pair generator a
     * contrastive-training data build runs (in-batch negatives are the
     * cheap path; explicit sampled negatives are what you materialize
@@ -283,11 +355,14 @@ object Pipeline {
     * range-partition by doc_id → per-partition token totals (P longs to
     * the driver) → broadcast exclusive offsets → per-partition running
     * sum. Two narrow passes, no global sort task, any corpus size. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packCore(s, docs(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok")))
+
+  /** The packing core over any `(doc_id, n_tok)` frame. */
+  private[graft] def packCore(s: SparkSession, d: DataFrame): DataFrame = {
     val Budget = 2048L
     val P = 8
-    val d = docs(s, dir).select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tok"))
     // localCheckpoint: the totals pass and the scan pass share ONE
     // tokenization of the corpus
     val parts = d.repartitionByRange(P, col("doc_id"))
@@ -324,6 +399,7 @@ object Pipeline {
        |    ['the','a','and','of','to','in','is','on','for','with'], t))) >= 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pipeline_pretrain" -> pretrainSql,
     "sample_dsir" -> dsirSql,
     "sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents
@@ -422,6 +498,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "gopher_quality" -> (gopherQuality _),
+    "pipeline_pretrain" -> (pipelinePretrain _),
     "top_ngrams" -> (topNgrams _),
     "pipeline_clean" -> (pipelineClean _),
     "contrastive_negatives" -> (negativePairs _),

@@ -504,6 +504,13 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("pipeline_pretrain: the composite build chains without a " +
+      "cartesian; decontamination is an anti-join") {
+    val p = plan(graft.operators.Pipeline.pretrainSurvivors(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("bloom_join: runtime bloom filter injected on the fact scan — " +
       "the probe side is semi-join-reduced before the exchange") {
     val p = plan(Relational.bloomJoin(spark, sf0001))
