@@ -166,7 +166,6 @@ object TextAnalysis {
     * quantile/stddev float stance). */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "join", "merge")
-    val K1 = 1.2; val B = 0.75
     val d = docs(s, dir)
     val dl = d.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("dl"))
@@ -178,12 +177,25 @@ object TextAnalysis {
           .as(s"tf_${terms(0)}"),
         terms.drop(1).map(t =>
           sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
-    // corpus stats: N, Σdl, df per term — five numbers, broadcast-joined
+    bm25TopK(tf, dl,
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      terms, 15)
+  }
+
+  /** Shared BM25 ranking tail — one definition of the formula so the
+    * scan path ([[bm25Search]]) and the persisted-index path
+    * (`TextIndex.search`) can NEVER diverge: `tf` is one row per
+    * matching doc with `tf_<term>` columns, `dl` is (doc_id, dl),
+    * `corpus` is the 1-row (n_docs, sum_dl) frame. df per term is
+    * derived from `tf` (docs where the term count is positive) —
+    * identical whether tf came from a corpus scan or a posting list. */
+  private[graft] def bm25TopK(tf: DataFrame, dl: DataFrame,
+      corpus: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val K1 = 1.2; val B = 0.75
     val dfCols = terms.map(t =>
       sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
     val stats = tf.agg(dfCols.head, dfCols.tail: _*)
-      .crossJoin(broadcast(
-        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
+      .crossJoin(broadcast(corpus))
     val scored = tf.join(dl, "doc_id").crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     def termScore(t: String) = {
@@ -197,7 +209,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         round(terms.map(termScore).reduceLeft(_ + _), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(15)
+      .limit(k)
   }
 
   private val enStop =
@@ -302,44 +314,48 @@ object TextAnalysis {
     s"len(list_filter($lst, m -> list_contains($sqlToks, m)))"
   }
 
+  private val bm25Sql =
+    """WITH dl AS (
+      |  SELECT doc_id, len(regexp_extract_all(lower(text),
+      |    '[a-z0-9]+')) AS dl FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+      |    '[a-z0-9]+')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+      |    sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_join,
+      |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf_merge
+      |  FROM tok WHERE tok IN ('hash', 'join', 'merge')
+      |  GROUP BY doc_id),
+      |st AS (
+      |  SELECT
+      |    (SELECT count(*) FROM dl) AS n_docs,
+      |    (SELECT sum(dl) FROM dl) AS sum_dl,
+      |    sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+      |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+      |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+      |  FROM tf)
+      |SELECT doc_id, round(
+      |    ln((n_docs - df_hash + 0.5) / (df_hash + 0.5))
+      |      * (tf_hash::DOUBLE * 2.2)
+      |      / (tf_hash::DOUBLE + 1.2 * (1.0 - 0.75
+      |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+      |  + ln((n_docs - df_join + 0.5) / (df_join + 0.5))
+      |      * (tf_join::DOUBLE * 2.2)
+      |      / (tf_join::DOUBLE + 1.2 * (1.0 - 0.75
+      |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+      |  + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+      |      * (tf_merge::DOUBLE * 2.2)
+      |      / (tf_merge::DOUBLE + 1.2 * (1.0 - 0.75
+      |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs))), 6) AS bm25
+      |FROM tf JOIN dl USING (doc_id), st
+      |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "bm25_search" ->
-      """WITH dl AS (
-        |  SELECT doc_id, len(regexp_extract_all(lower(text),
-        |    '[a-z0-9]+')) AS dl FROM documents),
-        |tok AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
-        |    '[a-z0-9]+')) AS tok FROM documents),
-        |tf AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
-        |    sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_join,
-        |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf_merge
-        |  FROM tok WHERE tok IN ('hash', 'join', 'merge')
-        |  GROUP BY doc_id),
-        |st AS (
-        |  SELECT
-        |    (SELECT count(*) FROM dl) AS n_docs,
-        |    (SELECT sum(dl) FROM dl) AS sum_dl,
-        |    sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
-        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
-        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
-        |  FROM tf)
-        |SELECT doc_id, round(
-        |    ln((n_docs - df_hash + 0.5) / (df_hash + 0.5))
-        |      * (tf_hash::DOUBLE * 2.2)
-        |      / (tf_hash::DOUBLE + 1.2 * (1.0 - 0.75
-        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
-        |  + ln((n_docs - df_join + 0.5) / (df_join + 0.5))
-        |      * (tf_join::DOUBLE * 2.2)
-        |      / (tf_join::DOUBLE + 1.2 * (1.0 - 0.75
-        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
-        |  + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5))
-        |      * (tf_merge::DOUBLE * 2.2)
-        |      / (tf_merge::DOUBLE + 1.2 * (1.0 - 0.75
-        |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs))), 6) AS bm25
-        |FROM tf JOIN dl USING (doc_id), st
-        |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin,
+    "bm25_search" -> bm25Sql,
+    // the persisted-index path answers the SAME query — one oracle text
+    "search_indexed" -> bm25Sql,
     "search_keyword" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -451,6 +467,7 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
-    "text_lm_score" -> (textLmScore _)
+    "text_lm_score" -> (textLmScore _),
+    "search_indexed" -> (TextIndex.searchIndexed _)
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted text index — the TEXT twin of [[IvfIndex]]'s
+  * persisted vector index: build once, trust-reuse, partition-prune at
+  * query time, append incrementally.
+  *
+  * Layout: `postings/` is (term, doc_id, tf) partitioned by `tb` =
+  * hash(term) mod [[NBuckets]] — a query's terms map to ≤|terms|
+  * buckets, so the scan PRUNES every other partition at file level
+  * (the text analogue of probing nprobe inverted lists); `docstats/`
+  * is (doc_id, dl); `meta/` is one row of corpus stats (n_docs,
+  * sum_dl) doubling as the trust-check row counts. At 100 TB the
+  * postings table is the index a search engine would shard by term —
+  * same partitioning axis, expressed as parquet partitions.
+  *
+  * Query = [[TextAnalysis.bm25TopK]] over the pruned postings — ONE
+  * shared definition of the ranking formula, so the scan path and the
+  * index path cannot diverge (the gate pins them to the same oracle). */
+object TextIndex {
+
+  val NBuckets = 64
+
+  /** Driver-side twin of the `tb` column (same md5-60 bit hash). */
+  private def bucketLocal(term: String): Long =
+    graft.expr.TextHash.hash60(term.getBytes("UTF-8")) % NBuckets
+
+  private def tb = pmod(md5Hash60(col("term")), lit(NBuckets.toLong))
+
+  private def postingsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    .withColumn("tb", tb)
+
+  private def statsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+
+  def build(s: SparkSession, d: DataFrame, outDir: String): String = {
+    postingsOf(d).write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$outDir/postings")
+    statsOf(d).write.mode("overwrite").parquet(s"$outDir/docstats")
+    writeMeta(s, outDir)
+    outDir
+  }
+
+  /** 1-row meta from what is ON DISK (build and append share it):
+    * corpus stats for BM25 + the row counts the trust check expects. */
+  private def writeMeta(s: SparkSession, outDir: String): Unit = {
+    val nPost = s.read.parquet(s"$outDir/postings").count()
+    s.read.parquet(s"$outDir/docstats")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_postings", lit(nPost))
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Same trust contract as [[IvfIndex.ensureBuilt]]: _SUCCESS markers
+    * + exact row counts (from meta) + the corpus hasn't grown. */
+  def ensureBuilt(s: SparkSession, d: DataFrame, outDir: String): String = {
+    val trusted =
+      graft.core.Trust.parquetDir(s, s"$outDir/meta", 1L) && {
+        val m = s.read.parquet(s"$outDir/meta").head()
+        graft.core.Trust.parquetDir(s, s"$outDir/docstats",
+          m.getAs[Long]("n_docs")) &&
+        graft.core.Trust.parquetDir(s, s"$outDir/postings",
+          m.getAs[Long]("n_postings")) &&
+        m.getAs[Long]("n_docs") == d.count()
+      }
+    if (trusted) outDir else build(s, d, outDir)
+  }
+
+  /** Incremental maintenance — [[IvfIndex.appendTailPq]]'s text twin:
+    * tokenize ONLY the new docs, append their postings into the
+    * partitioned buckets and their lengths into docstats, rewrite the
+    * 1-row meta. O(tail); existing bucket files untouched. */
+  def appendTail(s: SparkSession, tail: DataFrame, indexDir: String)
+      : Unit = {
+    postingsOf(tail).write.mode("append").partitionBy("tb")
+      .parquet(s"$indexDir/postings")
+    statsOf(tail).write.mode("append").parquet(s"$indexDir/docstats")
+    writeMeta(s, indexDir)
+  }
+
+  /** BM25 top-k over the index: terms → buckets (driver arithmetic) →
+    * partition-pruned postings scan → pivot to tf_<term> columns →
+    * the shared ranking tail. */
+  def search(s: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val tbs = terms.map(bucketLocal).distinct
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("term").isin(terms: _*))
+    val tf = posts.groupBy("doc_id")
+      .agg(
+        sum(when(col("term") === terms(0), col("tf")).otherwise(0L))
+          .as(s"tf_${terms(0)}"),
+        terms.drop(1).map(t =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L))
+            .as(s"tf_$t")): _*)
+    TextAnalysis.bm25TopK(tf,
+      s.read.parquet(s"$indexDir/docstats"),
+      s.read.parquet(s"$indexDir/meta").select("n_docs", "sum_dl"),
+      terms, k)
+  }
+
+  /** Gate: the bm25_search query served from the persisted index —
+    * same terms, same k, same oracle SQL as the scan path. */
+  def searchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("text"))
+    val idx = ensureBuilt(s, d, graft.core.Scratch.dir("textidx", dir))
+    search(s, idx, Seq("hash", "join", "merge"), 15)
+  }
+}

@@ -504,6 +504,43 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dirSplit/lists").count() == e.count())
   }
 
+  test("search_indexed: query terms prune postings buckets at " +
+      "PARTITION level — unqueried term buckets are never read") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.operators.TextIndex.ensureBuilt(spark, d,
+      tmpDir("textidx-plan"))
+    val p = plan(graft.operators.TextIndex.search(spark, idx,
+      Seq("hash", "join", "merge"), 15))
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("tb"), p)
+  }
+
+  test("text index tail append: search over split build == search over " +
+      "full build") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val half = d.count() / 2
+    val dirSplit = tmpDir("textidx-split")
+    graft.operators.TextIndex.build(spark,
+      d.filter(col("doc_id") < half), dirSplit)
+    graft.operators.TextIndex.appendTail(spark,
+      d.filter(col("doc_id") >= half), dirSplit)
+    val dirFull = tmpDir("textidx-full")
+    graft.operators.TextIndex.build(spark, d, dirFull)
+    def res(ix: String) = graft.operators.TextIndex
+      .search(spark, ix, Seq("hash", "join", "merge"), 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res(dirSplit) == res(dirFull))
+    // the appended index is trusted on reopen (meta counts match disk)
+    assert(graft.operators.TextIndex.ensureBuilt(spark, d, dirSplit)
+      == dirSplit)
+  }
+
   test("pipeline_pretrain: the composite build chains without a " +
       "cartesian; decontamination is an anti-join") {
     val p = plan(graft.operators.Pipeline.pretrainSurvivors(spark, sf0001))
