@@ -381,6 +381,62 @@ object Dedup {
       docs(s, dir).select(col("doc_id").as("id"), col("text")),
       n = 30, stride = 1, maxDocsPerWindow = 100)
 
+  /** Segment length (tokens) for [[dedupLines]] — 10-token spans stand
+    * in for "lines": the synthetic corpus carries no newlines, and the
+    * operator is segmentation-agnostic (C4 splits on newline, RefinedWeb
+    * on spans; only the segment expression changes). */
+  private val LineSegN = 10
+
+  /** C4-style duplicate-segment REMOVAL — the rewrite end of exact
+    * substring dedup: [[substringPairs]] reports which documents share
+    * spans; this operator edits the corpus, keeping the FIRST occurrence
+    * of every repeated segment and deleting the rest, then reassembles
+    * each document from its surviving segments (C4 does exactly this at
+    * line granularity: any line repeated anywhere in the corpus is kept
+    * once, corpus-wide).
+    *
+    * Shape: tokens → non-overlapping [[LineSegN]]-token segments
+    * (posexplode, scan-local) → ONE hash shuffle partitioned by
+    * `md5(seg)` (fixed 32-byte key rides the shuffle, never the segment
+    * text) → `row_number` picks the occurrence with the smallest
+    * (doc_id, seg_idx) — a total order, so the survivor is deterministic
+    * — → group back by doc_id and stitch kept segments in position
+    * order. Two shuffles total (segment hash, then doc_id), both on
+    * bounded-width keys; nothing driver-side. At 100 TB the only skew
+    * risk is a boilerplate segment with millions of copies: all its
+    * instances land in one partition ONLY as (rn, count) bookkeeping —
+    * row_number is a streaming window (no buffering of the segment
+    * text), the same reason C4's implementation scales. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val segs = d.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            ((size(col("ts")) - lit(1)) / lit(LineSegN)).cast("int")),
+          k => concat_ws(" ",
+            slice(col("ts"), k * LineSegN + 1, lit(LineSegN)))))
+        .as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg"))).orderBy("doc_id", "seg_idx")
+    val marked = segs.withColumn("rn", row_number().over(w))
+    val agg = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segs"),
+      sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+      array_join(transform(
+        array_sort(collect_list(when(col("rn") === 1,
+          struct(col("seg_idx"), col("seg"))))),
+        p => p("seg")), " ").as("clean_text"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Registered gate: full documents as the training corpus; every 11th
     * document with the last 20 chars dropped as the planted eval set —
     * the truncation leaves most 5-grams intact, so every planted doc
@@ -972,6 +1028,33 @@ object Dedup {
          |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, u.i AS seg_idx, u.seg FROM (
+        |    SELECT doc_id, unnest([struct_pack(i := CAST(k AS BIGINT),
+        |        seg := array_to_string(ts[k*10+1:k*10+10], ' '))
+        |      for k in generate_series(0,
+        |        CAST(floor((len(ts)-1)/10) AS INT))]) AS u
+        |    FROM toks WHERE len(ts) > 0)),
+        |rn AS (
+        |  SELECT doc_id, seg_idx, seg, row_number() OVER
+        |      (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |      ORDER BY seg_idx), '') AS clean_text
+        |  FROM rn GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
+        |  COALESCE(a.n_removed, 0) AS n_removed,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
@@ -1094,6 +1177,7 @@ object Dedup {
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_lines" -> (dedupLines _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),

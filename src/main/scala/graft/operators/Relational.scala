@@ -944,6 +944,65 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** PageRank iteration count for [[graphPagerank]] — fixed and
+    * unrolled in the oracle's CTE chain, so keep it small. */
+  private val PrIters = 3
+
+  /** Weighted PageRank over the event-type transition graph — the crawl
+    * prioritization / domain-ranking operator every corpus pipeline runs
+    * over its link graph (CommonCrawl ranks hosts exactly this way; here
+    * the graph is [[eventTransitions]]' from→to matrix, but the plan is
+    * graph-agnostic: nodes and weighted edges arrive as DataFrames).
+    *
+    * Exactness contract (the [[lmScore]] discipline applied to an
+    * iterative algorithm): ranks live in integer MICRO-UNITS (start
+    * 1e6 per node), each edge carries `floor(r_from * w_edge /
+    * w_out_total)` — exact long arithmetic, `DIV` floor division — and
+    * the damped update is `150000 + (85 * Σcontrib) DIV 100`
+    * (d = 0.85 scaled to avoid any float). Every step is
+    * reduction-order-free, so a 3-iteration unrolled DuckDB CTE chain
+    * reproduces the distributed result bit-for-bit. Dangling nodes
+    * (in-edges only) keep the teleport floor — the standard simplified
+    * contract, identical in both engines.
+    *
+    * Scale shape: the transition derivation is the heavy part (one
+    * window shuffle over the event log); the rank loop is K shuffle
+    * joins on the EDGE table — ranks never leave the cluster, and at
+    * web-graph scale each iteration would localCheckpoint to cut
+    * lineage (same loop discipline as [[graft.operators.Dedup]]'s
+    * label propagation). Edges are computed once and cached across
+    * iterations. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val edges = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outw = edges.groupBy("from_type").agg(sum("n").as("w_out"))
+    val weighted = edges.join(outw, "from_type").localCheckpoint(true)
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = weighted
+        .join(ranks.withColumnRenamed("node", "from_type"), "from_type")
+        .select(col("to_type").as("node"),
+          expr("r * n DIV w_out").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("node"))
+  }
+
   /** The reusable funnel core over any `(user_id, event_type, us)`
     * frame: per-user per-step first-qualifying times, cascaded. */
   private[graft] def funnelOver(ev: DataFrame,
@@ -2264,6 +2323,35 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "graph_pagerank" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS to_type
+        |  FROM ev),
+        |edges AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |outw AS (SELECT from_type, sum(n) AS w_out FROM edges
+        |  GROUP BY 1),
+        |we AS (SELECT e.from_type, e.to_type, e.n, o.w_out
+        |  FROM edges e JOIN outw o USING (from_type)),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM ev),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
+        |    AS s FROM we JOIN r0 r ON we.from_type = r.node GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
+        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c1 c USING (node)),
+        |c2 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
+        |    AS s FROM we JOIN r1 r ON we.from_type = r.node GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
+        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c2 c USING (node)),
+        |c3 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
+        |    AS s FROM we JOIN r2 r ON we.from_type = r.node GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
+        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c3 c USING (node))
+        |SELECT node, r AS rank_micros FROM r3
+        |ORDER BY rank_micros DESC, node""".stripMargin,
     "event_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
@@ -2488,6 +2576,7 @@ object Relational {
     "funnel_steps" -> (funnelSteps _),
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
+    "graph_pagerank" -> (graphPagerank _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

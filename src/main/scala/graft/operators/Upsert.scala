@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert — the Mongo `$merge` / ANSI `MERGE INTO` shape, as a
@@ -143,7 +144,80 @@ object Upsert {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Slowly-changing-dimension Type 2 build — the other half of the CDC
+    * story: [[upsert]] applies changes to a snapshot; `scd2` turns the
+    * full change HISTORY into versioned validity intervals
+    * (valid_from/valid_to half-open, `is_current` on the last version).
+    * This is the standard warehouse dimension shape (Kimball SCD2), built
+    * from any keyed event stream in two window passes:
+    *
+    *  1. change detection — `lag(tracked)` per key over the event order
+    *     drops events that repeat the previous tracked value (a re-stated
+    *     attribute is not a new version);
+    *  2. interval stitch — `lead(ts)` over the surviving change rows
+    *     closes each version at the next version's start; the last stays
+    *     open (valid_to null, is_current true). `row_number` = version.
+    *
+    * Scale shape: ONE hash shuffle on the key; both window passes and the
+    * final stitch share the same (key × event-order) sort, so the filter
+    * between them costs a local re-sort but no second Exchange. No
+    * driver materialization, no self-join (the naive SCD2 formulation
+    * joins the history to itself on "next change" — strictly worse).
+    * Event order must be made total by a tiebreak column: with ties on
+    * `ts` alone the lag/lead pairing — and therefore which duplicate
+    * survives — would be nondeterministic under shuffle.
+    */
+  def scd2(changes: DataFrame, key: String, tracked: String, ts: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
+    val boundary = changes
+      .withColumn("_prev", lag(col(tracked), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(tracked))
+    boundary
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(tracked),
+        col(ts).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("version"))
+  }
+
+  /** Registered gate: the customer order-status dimension — each
+    * customer's `o_orderstatus` history from `orders` (ordered by
+    * o_orderdate, o_orderkey as the tiebreak) collapsed into SCD2
+    * validity intervals. Oracle replays the same two window passes in
+    * DuckDB. */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_orderkey"))
+    scd2(orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("version"))
+      .orderBy("custkey", "version")
+  }
+
   val oracle: Map[String, String] = Map(
+    "scd2_build" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq
+        |        WHERE prev IS NULL OR prev <> o_orderstatus),
+        |ver AS (SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |  o_orderdate AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, version
+        |FROM ver ORDER BY custkey, version""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
         |           WHERE doc_id < 300),
@@ -159,6 +233,7 @@ object Upsert {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "merge_upsert" -> (mergeUpsert _)
+    "merge_upsert" -> (mergeUpsert _),
+    "scd2_build" -> (scd2Build _)
   )
 }
