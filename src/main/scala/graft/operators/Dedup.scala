@@ -407,8 +407,11 @@ object Dedup {
     * instances land in one partition ONLY as (rn, count) bookkeeping —
     * row_number is a streaming window (no buffering of the segment
     * text), the same reason C4's implementation scales. */
-  def dedupLines(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    dedupLinesOver(docs(s, dir))
+
+  /** The rewrite core over any `(doc_id, text)` frame. */
+  private[graft] def dedupLinesOver(d: DataFrame): DataFrame = {
     val segs = d.select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) > 0)
       .select(col("doc_id"), posexplode(

@@ -93,6 +93,56 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Classifier buckets and keep threshold for [[classifierScore]]. */
+  private val QcBuckets = 1024
+  private val QcKeepMilli = 999000L
+
+  /** Model-based quality scoring — the fasttext-classifier step of the
+    * published pipelines (CCNet/LLaMA filter web text by a linear
+    * bag-of-words classifier; Gopher/C4 above are the RULE-based
+    * families). The model is a bucketed linear layer: unigrams hash
+    * into [[QcBuckets]] buckets, each bucket carries a weight, a
+    * document's score is the mean bucket weight of its token instances.
+    *
+    * The weight table here is a deterministic placeholder (bucket
+    * `f` → `(f * 2654435761) % 1999`, Knuth multiplicative spread —
+    * a real trained model would load its weights into the same array);
+    * everything around it is the production shape: the model ships to
+    * executors as ONE array literal and scoring is a per-row fold over
+    * the token array — `element_at` LUT lookup per token, zero
+    * shuffle, scan speed. This is deliberately NOT an explode + join
+    * against a weight table: that shape shuffles every token instance
+    * of a 100 TB corpus; a 1024-entry broadcast LUT folds map-side.
+    *
+    * Exactness: weights are nonnegative integers (so the single mean
+    * division stays in positive range where Spark's truncating `DIV`
+    * and DuckDB's flooring `//` agree), the per-doc sum is an exact
+    * long fold, and the mean is one integer division to milli-units. */
+  def classifierScore(s: SparkSession, dir: String): DataFrame =
+    classifierScoreOver(docs(s, dir))
+
+  /** The scoring core over any `(doc_id, text)` frame. */
+  private[graft] def classifierScoreOver(d: DataFrame): DataFrame = {
+    val weights = lit(Array.tabulate(QcBuckets)(f =>
+      (f.toLong * 2654435761L) % 1999L))
+    val ts = tokens(col("text"))
+    val sumW = aggregate(
+      transform(ts, t => element_at(weights,
+        (pmod(md5Hash60(concat(lit("qc:"), t)), lit(QcBuckets)) + lit(1))
+          .cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    d.select(col("doc_id"), size(ts).cast("long").as("n_tokens"),
+        sumW.as("w_sum"))
+      .withColumn("score_milli",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("1000 * w_sum DIV n_tokens")))
+      .withColumn("keep",
+        col("n_tokens") > 0 && col("score_milli") >= QcKeepMilli)
+      .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance scoring (the hashed-n-gram importance
     * resampling recipe for picking pretraining data that "looks like" a
     * target corpus): every document scores by how much more likely its
@@ -409,6 +459,21 @@ object Pipeline {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlKeep
          |ORDER BY doc_id""".stripMargin,
+    "classifier_score" ->
+      s"""WITH sums AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(list_sum(list_transform($sqlToks, t ->
+         |      (('0x' || substr(md5('qc:' || t), 1, 15))::BIGINT
+         |         % $QcBuckets) * 2654435761 % 1999)), 0)
+         |      AS BIGINT) AS w_sum
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE 1000 * w_sum // n_tokens END AS score_milli,
+         |  (n_tokens > 0 AND (CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE 1000 * w_sum // n_tokens END) >= $QcKeepMilli)
+         |    AS keep
+         |FROM sums ORDER BY doc_id""".stripMargin,
     "gopher_quality" ->
       s"""WITH m AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
@@ -497,6 +562,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
+    "classifier_score" -> (classifierScore _),
     "gopher_quality" -> (gopherQuality _),
     "pipeline_pretrain" -> (pipelinePretrain _),
     "top_ngrams" -> (topNgrams _),

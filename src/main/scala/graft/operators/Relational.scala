@@ -984,12 +984,18 @@ object Relational {
       .groupBy(col("event_type").as("from_type"),
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    pagerankOver(nodes, edges, PrIters)
+  }
+
+  /** The rank loop over any `(node)` / `(from_type, to_type, n)` pair. */
+  private[graft] def pagerankOver(nodesIn: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
     val outw = edges.groupBy("from_type").agg(sum("n").as("w_out"))
     val weighted = edges.join(outw, "from_type").localCheckpoint(true)
-    val nodes = ev.select(col("event_type").as("node")).distinct()
-      .localCheckpoint(true)
+    val nodes = nodesIn.localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to PrIters) {
+    for (_ <- 1 to iters) {
       val contrib = weighted
         .join(ranks.withColumnRenamed("node", "from_type"), "from_type")
         .select(col("to_type").as("node"),

@@ -113,6 +113,55 @@ object Similarity {
       .select("vec_id", "label")
   }
 
+  /** Quantization offset/scale for [[embedOutliers]] — elements land in
+    * [0, 2e7] micro-units, so every integer division below runs on
+    * nonnegative operands (where Spark's truncating DIV and DuckDB's
+    * flooring // agree). */
+  private val OutlierScale = 1000000L
+  private val OutlierOffset = 10000000L
+
+  /** Embedding-space outlier detection — the corpus-hygiene step that
+    * drops mis-embedded / off-distribution rows before they poison
+    * nearest-neighbor training batches: distance to the GLOBAL corpus
+    * centroid, top-20 farthest flagged.
+    *
+    * Exactness contract: elements quantize to integer micro-units
+    * (`round(x·1e6) + 1e7`), the per-dimension centroid is
+    * `sum DIV n` — exact long arithmetic end-to-end, so the distributed
+    * result is bit-identical to the DuckDB replay (a float centroid
+    * would differ by reduction order and flip near-tie ranks).
+    *
+    * Scale shape: ONE narrow aggregate builds the centroid (posexplode →
+    * 64-row partial-agg'd groupBy — the shuffle carries dims × partitions
+    * rows, not the corpus), the centroid rides back as a broadcast
+    * 1-row array (never a driver value), and the distance pass is a
+    * scan-speed per-row fold ending in TakeOrderedAndProject's bounded
+    * heaps. Two jobs, no corpus-width shuffle anywhere. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame =
+    embedOutliersOver(emb(s, dir), 20)
+
+  /** The centroid-distance core over any
+    * `(vec_id, label, embedding: array<float>)` frame. */
+  private[graft] def embedOutliersOver(e: DataFrame, k: Int): DataFrame = {
+    val q = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x =>
+        (round(x.cast("double") * OutlierScale).cast("long") +
+          OutlierOffset)).as("qe"))
+    val cent = q
+      .select(posexplode(col("qe")).as(Seq("p", "v")))
+      .groupBy("p").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .select(col("p"), expr("sv DIV n").as("c"))
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("c")))),
+        pc => pc("c")).as("cent"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("dist", aggregate(
+        zip_with(col("qe"), col("cent"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Similarity JOIN (the §7 north-star extension): top-3 L2 neighbors
     * for EVERY query vector (vec_id ≡ 7 mod 100) against the rest of the
     * corpus — a kNN join, not a single-probe kNN.
@@ -210,6 +259,23 @@ object Similarity {
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1,64)])"
 
   val oracle: Map[String, String] = Map(
+    "embed_outliers" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |    [CAST(round(CAST(x AS DOUBLE) * $OutlierScale) AS BIGINT)
+         |       + $OutlierOffset
+         |      for x in embedding] AS qe
+         |  FROM embeddings),
+         |e AS (SELECT unnest([struct_pack(p := i, v := qe[i])
+         |    for i in generate_series(1, len(qe))]) AS u FROM q),
+         |cent AS (SELECT u.p AS p,
+         |    CAST(sum(u.v) // count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY u.p),
+         |carr AS (SELECT list(c ORDER BY p) AS cent FROM cent)
+         |SELECT vec_id, label,
+         |  CAST(list_sum([(qe[i] - cent[i]) * (qe[i] - cent[i])
+         |    for i in generate_series(1, len(qe))]) AS BIGINT) AS dist
+         |FROM q, carr
+         |ORDER BY dist DESC, vec_id ASC LIMIT 20""".stripMargin,
     "knn_l2" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label FROM embeddings, q WHERE vec_id <> 0
@@ -264,6 +330,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> (knnL2 _),
+    "embed_outliers" -> (embedOutliers _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
