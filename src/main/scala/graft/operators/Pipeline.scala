@@ -93,6 +93,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-(lang, source) cap for [[sourceCap]]. */
+  private val CapPerSource = 10
+
+  /** Per-source document cap — the "no single domain dominates" rule of
+    * corpus building (every published mix caps its largest sources):
+    * keep at most [[CapPerSource]] documents per (lang, source) cell,
+    * chosen by DETERMINISTIC hash order (never rand(), never arrival
+    * order — the same cap re-run on the same corpus keeps the same
+    * rows, so shard rebuilds are reproducible).
+    *
+    * Scale shape: one hash shuffle on the (lang, source) cell, and the
+    * `row_number ≤ k` predicate triggers Spark's WindowGroupLimit
+    * rewrite: each partition forwards at most k rows per cell to the
+    * exchange, so the shuffle carries O(cells · k · partitions) — a
+    * hot source with 10^9 docs ships k rows per input partition, not
+    * 10^9. */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val capKey = pmod(
+      md5Hash60(concat(lit("cap:"), col("doc_id").cast("string"))),
+      lit(1000000))
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(capKey.asc, col("doc_id").asc)
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CapPerSource)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Classifier buckets and keep threshold for [[classifierScore]]. */
   private val QcBuckets = 1024
   private val QcKeepMilli = 999000L
@@ -459,6 +488,14 @@ object Pipeline {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlKeep
          |ORDER BY doc_id""".stripMargin,
+    "source_cap" ->
+      s"""WITH r AS (SELECT doc_id, lang, source, row_number() OVER (
+         |    PARTITION BY lang, source
+         |    ORDER BY ('0x' || substr(md5('cap:' || doc_id), 1, 15))
+         |      ::BIGINT % 1000000 ASC, doc_id ASC) AS rn
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM r WHERE rn <= $CapPerSource
+         |ORDER BY doc_id""".stripMargin,
     "classifier_score" ->
       s"""WITH sums AS (
          |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
@@ -563,6 +600,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
+    "source_cap" -> (sourceCap _),
     "gopher_quality" -> (gopherQuality _),
     "pipeline_pretrain" -> (pipelinePretrain _),
     "top_ngrams" -> (topNgrams _),

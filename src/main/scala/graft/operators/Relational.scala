@@ -944,6 +944,36 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** ANALYZE-style table profiling — the statistics pass every engine
+    * runs before planning (and every data team runs before trusting a
+    * feed): per-column row count, null count, distinct count, min/max.
+    * ONE scan computes every statistic (a single multi-aggregate — not
+    * a per-column rescan), then the 1-row result pivots to one row per
+    * column. Distinct counts are EXACT here so the DuckDB oracle can
+    * hash-match; the 100 TB variant swaps `countDistinct` for
+    * `approx_count_distinct` (HLL — same plan shape, no Expand
+    * blow-up) exactly as engines' ANALYZE does. min/max emit as
+    * strings so one schema carries mixed column types. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_min").as("min_value"),
+        col(s"${c}_max").as("max_value"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
   /** PageRank iteration count for [[graphPagerank]] — fixed and
     * unrolled in the oracle's CTE chain, so keep it small. */
   private val PrIters = 3
@@ -2329,6 +2359,14 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "profile_table" -> Seq("o_custkey", "o_orderkey", "o_orderpriority",
+        "o_orderstatus").map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "graph_pagerank" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
@@ -2583,6 +2621,7 @@ object Relational {
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
     "graph_pagerank" -> (graphPagerank _),
+    "profile_table" -> (profileTable _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

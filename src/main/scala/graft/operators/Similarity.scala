@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -250,6 +251,44 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Retrieval composite dials for [[ragRetrieve]]. */
+  private val RagK1 = 50
+  private val RagK = 10
+  private val RagTerms = Seq("table", "scan", "fast", "merge")
+
+  /** RAG retrieval composite — the two-stage retrieve-then-rerank shape
+    * every retrieval-augmented pipeline runs: (1) dense ANN recall
+    * (cosine top-[[RagK1]] against the query embedding), (2) a lexical
+    * rerank over ONLY the recalled candidates (distinct query terms
+    * present in the document), final top-[[RagK]] by (keyword hits,
+    * dense similarity). The production rerank stage would swap the
+    * lexical score for a cross-encoder; the dataflow — score only the
+    * k1 survivors, never the corpus — is the part that matters.
+    *
+    * Scale shape: stage 1 is the broadcast-query TakeOrderedAndProject
+    * kNN (bounded per-partition heaps); stage 2 BROADCASTS the 50-row
+    * candidate list against `documents` — the text of the corpus is
+    * touched only where the id join hits (at scale, an id-IN-list
+    * pushdown / DPP-prunable scan), and the rerank expression runs on
+    * 50 rows. No corpus-width shuffle in either stage. */
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val stage1 = emb(s, dir).crossJoin(broadcast(qv(s, dir, 42)))
+      .filter(col("vec_id") =!= 42)
+      .withColumn("sim", cosineSim(col("embedding"), col("qv")))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(RagK1)
+      .select(col("vec_id"), col("label"), col("sim"))
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    d.join(broadcast(stage1), d("doc_id") === stage1("vec_id"))
+      .withColumn("kw_hits", size(filter(
+        array(RagTerms.map(lit): _*),
+        t => array_contains(col("ts"), t))).cast("long"))
+      .orderBy(col("kw_hits").desc, col("sim").desc, col("vec_id").asc)
+      .limit(RagK)
+      .select(col("doc_id"), col("kw_hits"), col("label"))
+  }
+
   /** DuckDB-side squared L2 between two FLOAT[] lists, double math,
     * index order — mirrors VectorFunctions.l2Sq. */
   private def sqlL2(a: String, b: String, dim: Int = 64): String =
@@ -259,6 +298,24 @@ object Similarity {
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1,64)])"
 
   val oracle: Map[String, String] = Map(
+    "rag_retrieve" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 42),
+         |s1 AS (SELECT vec_id, label,
+         |    ${sqlDot("embedding", "qv")} /
+         |      nullif(sqrt(${sqlDot("embedding", "embedding")})
+         |        * sqrt(${sqlDot("qv", "qv")}), 0) AS sim
+         |  FROM embeddings, q WHERE vec_id <> 42
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $RagK1),
+         |s2 AS (SELECT d.doc_id, s1.label, s1.sim,
+         |    CAST(len(list_filter(
+         |      [${RagTerms.map("'" + _ + "'").mkString(", ")}], t ->
+         |      list_contains(regexp_extract_all(lower(d.text),
+         |        '[a-z0-9]+'), t))) AS BIGINT) AS kw_hits
+         |  FROM s1 JOIN documents d ON d.doc_id = s1.vec_id)
+         |SELECT doc_id, kw_hits, label FROM s2
+         |ORDER BY kw_hits DESC, sim DESC, doc_id ASC
+         |LIMIT $RagK""".stripMargin,
     "embed_outliers" ->
       s"""WITH q AS (SELECT vec_id, label,
          |    [CAST(round(CAST(x AS DOUBLE) * $OutlierScale) AS BIGINT)
@@ -331,6 +388,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_l2" -> (knnL2 _),
     "embed_outliers" -> (embedOutliers _),
+    "rag_retrieve" -> (ragRetrieve _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
