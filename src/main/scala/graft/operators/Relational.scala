@@ -360,6 +360,27 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS: the arbitrary-set form CUBE/ROLLUP are sugar for —
+    * the three asymmetric sets (pair + each single, NO grand total; a
+    * combination neither CUBE nor ROLLUP expresses) with `grouping()`
+    * flags so rollup-nulls are distinguishable from data-nulls. Run
+    * verbatim in both engines; one Expand + one shuffle in Spark. */
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus))
+      |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  def groupingSetsSales(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(groupingSetsSql)
+  }
+
   /** PIVOT: order counts by status as columns, one row per priority.
     * (Pivot is syntactic over groupBy+conditional aggregation; the
     * oracle spells out the CASE form.) */
@@ -1101,6 +1122,49 @@ object Relational {
       .join(cnt, Seq("h", "event_type"), "left")
       .na.fill(0L, Seq("n"))
       .orderBy("h", "event_type")
+  }
+
+  /** Time-series resample with LINEAR interpolation — the fill mode
+    * [[resampleFill]] (zero-fill) and mql `$fill` (locf) don't cover,
+    * in exact integer arithmetic: per-hour value sums in cents, and a
+    * missing hour takes the time-weighted mean of its bracketing
+    * observations, `(v0·(h1-h) + v1·(h-h0)) DIV (h1-h0)`. The weighted
+    * SUM form (not `v0 + slope·dt`) keeps every operand nonnegative —
+    * value sums are nonnegative — so Spark's truncating DIV and
+    * DuckDB's flooring // agree; the difference form goes negative on
+    * any downward slope and the two engines round differently.
+    *
+    * Per type, the grid spans that type's own observed [min, max] hours
+    * (every gap has both brackets — no extrapolation contract), built
+    * in-plan via sequence+explode like [[resampleFill]]. The bracket
+    * carry is two running windows (last/first non-null observation
+    * struct) over ONE shuffle on event_type — the same
+    * single-partitioning all three window passes share. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("event_type"),
+      (expr("unix_micros(ts) DIV 3600000000") * 3600L).as("h"),
+      cents(col("value")).as("c"))
+    val obs = e.groupBy("event_type", "h").agg(sum("c").as("cents"))
+    val grid = obs.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val j = grid.join(obs, Seq("event_type", "h"), "left")
+    val base = Window.partitionBy("event_type").orderBy("h")
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val ob = when(col("cents").isNotNull,
+      struct(col("h").as("h"), col("cents").as("c")))
+    j.withColumn("pv", last(ob, ignoreNulls = true).over(back))
+      .withColumn("nv", first(ob, ignoreNulls = true).over(fwd))
+      .select(col("event_type"), col("h"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(expr(
+            "(pv.c * (nv.h - h) + nv.c * (h - pv.h)) DIV (nv.h - pv.h)"))
+          .as("cents"),
+        col("cents").isNull.as("interpolated"))
+      .orderBy("event_type", "h")
   }
 
   /** Deliberate CROSS JOIN: the (priority × status) grid densified with
@@ -2060,6 +2124,36 @@ object Relational {
         |FROM hours CROSS JOIN types
         |LEFT JOIN cnt ON cnt.h = hours.h AND cnt.event_type = types.event_type
         |ORDER BY 1, 2""".stripMargin,
+    "resample_interp" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |obs AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600)) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM obs GROUP BY 1)),
+        |j AS (SELECT g.event_type, g.h, o.cents FROM grid g
+        |  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h),
+        |w AS (SELECT event_type, h, cents,
+        |    last_value(CASE WHEN cents IS NOT NULL
+        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    first_value(CASE WHEN cents IS NOT NULL
+        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv
+        |  FROM j)
+        |SELECT event_type, h,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE (pv.c * (nv.h - h) + nv.c * (h - pv.h))
+        |         // (nv.h - pv.h) END AS cents,
+        |  cents IS NULL AS interpolated
+        |FROM w ORDER BY event_type, h""".stripMargin,
     "cross_grid" ->
       """SELECT p.o_orderpriority, s.o_orderstatus, COALESCE(c.n, 0) AS n
         |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
@@ -2127,6 +2221,7 @@ object Relational {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "grouping_sets" -> groupingSetsSql,
     "cube_sales" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -2622,9 +2717,11 @@ object Relational {
     "event_transitions" -> (eventTransitions _),
     "graph_pagerank" -> (graphPagerank _),
     "profile_table" -> (profileTable _),
+    "grouping_sets" -> (groupingSetsSales _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),
+    "resample_interp" -> (resampleInterp _),
     "full_outer_join" -> (fullOuterJoin _),
     "intersect_customers" -> (intersectCustomers _),
     "lateral_explode" -> (lateralExplode _),

@@ -198,7 +198,59 @@ object Upsert {
       .orderBy("custkey", "version")
   }
 
+  /** Point-in-time lookup against an SCD2 dimension — the join every
+    * fact table needs once the dimension is versioned: each fact row
+    * picks the dimension version whose `[valid_from, valid_to)` interval
+    * covers the fact timestamp. The gate joins `orders` back to the
+    * [[scd2Build]] dimension built from the same table, so every order
+    * must land in exactly one version (its own date's) — a structural
+    * invariant the row count re-proves on every run.
+    *
+    * Scale shape: an EQUI-join on the dimension key carries the
+    * colocation (both sides hash-partition by custkey); the interval
+    * predicate rides along as a post-join filter on the matched pairs,
+    * never a Cartesian — a key's fact rows meet only that key's few
+    * versions. This is the standard interval-lookup plan when the
+    * equi-key is selective; the bucketed-range-join pattern
+    * ([[graft.operators.Bucketing]]) covers the keyless case. */
+  def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val dim = scd2Build(s, dir)
+    orders.join(dim,
+      orders("o_custkey") === dim("custkey") &&
+        orders("o_orderdate") >= dim("valid_from") &&
+        (dim("valid_to").isNull ||
+          orders("o_orderdate") < dim("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("status").as("status_at_order"), col("version"))
+      .orderBy("o_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "scd2_lookup" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey
+        |       ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq
+        |        WHERE prev IS NULL OR prev <> o_orderstatus),
+        |dim AS (SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to,
+        |    CAST(row_number() OVER w AS BIGINT) AS version
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey))
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  d.status AS status_at_order, d.version
+        |FROM orders o JOIN dim d
+        |  ON o.o_custkey = d.custkey
+        | AND o.o_orderdate >= d.valid_from
+        | AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "scd2_build" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
@@ -234,6 +286,7 @@ object Upsert {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
-    "scd2_build" -> (scd2Build _)
+    "scd2_build" -> (scd2Build _),
+    "scd2_lookup" -> (scd2Lookup _)
   )
 }
