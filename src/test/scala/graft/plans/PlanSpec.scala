@@ -607,4 +607,56 @@ class PlanSpec extends SparkTestBase {
     // partner attributes attach by hash equi-join on the dense id
     assert(p.contains("HashJoin"), p)
   }
+
+  test("source_cap: rank<=k triggers WindowGroupLimit — partitions " +
+      "forward at most k rows per cell into the exchange") {
+    val p = plan(graft.operators.Pipeline.sourceCap(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("classifier_score: model scoring is scan-speed — no " +
+      "hash shuffle anywhere (LUT folds map-side, never a join)") {
+    val p = plan(graft.operators.Pipeline.classifierScore(spark, sf0001))
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("embed_outliers: centroid rides back as a broadcast, distance " +
+      "pass ends in TakeOrderedAndProject — no corpus-width shuffle") {
+    val p = plan(Similarity.embedOutliers(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("rag_retrieve: stage-2 rerank joins the 50-row candidate list " +
+      "by broadcast — the corpus text is never shuffled") {
+    val p = plan(Similarity.ragRetrieve(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scd2_build: one hash shuffle on the key feeds both window " +
+      "passes (change detection + interval stitch)") {
+    val p = plan(graft.operators.Upsert.scd2Build(spark, sf0001))
+    // formatted mode: node lines are bare "Exchange (n)"; partitioning
+    // lives in the details section — count the hash-shuffle arguments
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("scd2_lookup: interval lookup is an EQUI-join on the dimension " +
+      "key with the range as residual — never a cartesian") {
+    val p = plan(graft.operators.Upsert.scd2Lookup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_lines: segment survivor pick is one row_number window — " +
+      "no self-join, no cartesian") {
+    val p = plan(Dedup.dedupLines(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
