@@ -392,6 +392,24 @@ object Relational {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT (melt) — the inverse of [[pivotOrders]]: per-priority
+    * status counts computed wide (one conditional-sum pass), then
+    * melted back to (priority, status, n) rows with Spark's native
+    * `unpivot` (Expand under the hood — per-row fan-out, no shuffle
+    * beyond the aggregate's own). The oracle spells the melt as the
+    * UNION ALL it is sugar for. */
+  def unpivotOrders(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
   /** One copy of the Q5 text: the "run verbatim" contract requires the
     * executed SQL and the oracle to be byte-identical. */
   private val q5Sql = """SELECT n_name,
@@ -2222,6 +2240,21 @@ object Relational {
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "grouping_sets" -> groupingSetsSql,
+    "unpivot_orders" ->
+      """WITH a AS (SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'F' AS status, f AS n FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'O' AS status, o AS n FROM a
+        |UNION ALL
+        |SELECT o_orderpriority, 'P' AS status, p AS n FROM a
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "cube_sales" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -2718,6 +2751,7 @@ object Relational {
     "graph_pagerank" -> (graphPagerank _),
     "profile_table" -> (profileTable _),
     "grouping_sets" -> (groupingSetsSales _),
+    "unpivot_orders" -> (unpivotOrders _),
     "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
     "resample_fill" -> (resampleFill _),

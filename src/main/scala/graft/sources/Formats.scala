@@ -80,7 +80,44 @@ object Formats {
       .orderBy("o_orderstatus")
   }
 
+  /** Schema evolution across parquet batches — the append-a-column
+    * reality of any long-lived feed: batch 1 writes (doc_id, lang),
+    * batch 2 adds n_chars; a `mergeSchema` read unions the footers and
+    * back-fills the missing column with nulls. The gate rolls the
+    * merged read up per lang so the null back-fill is visible in the
+    * counts. At scale `mergeSchema` costs a footer pass per file —
+    * production pins the superset schema in a catalog and reads with
+    * it explicitly (same plan, no footer sweep); the null-fill
+    * semantics under test are identical. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "evo")
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/b=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/b=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/b=1", s"$out/b=2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -102,6 +139,7 @@ object Formats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> (csvRoundtrip _),
+    "schema_evolution" -> (schemaEvolution _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _)
   )
