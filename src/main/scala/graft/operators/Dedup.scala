@@ -501,8 +501,14 @@ object Dedup {
     * each round localCheckpoint'ed so lineage doesn't nest; at cluster
     * scale the same loop checkpoints to durable storage). Oracle: DuckDB
     * recursive CTE transitive closure. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val corpus = nearCorpus(s, dir)
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, nearCorpus(s, dir)).orderBy("id")
+
+  /** The (id, cluster) label frame over any `(id, text)` corpus —
+    * shared by [[dedupClusters]] (the labels themselves) and
+    * [[dedupKeepBest]] (labels → canonical-member decision). */
+  private[graft] def clusterLabels(s: SparkSession,
+      corpus: DataFrame): DataFrame = {
     val pairsDf = minhashPairs(corpus)
     // ONE bounded execution decides the path AND feeds the fast path:
     // collecting up to gate+1 pairs replaces a separate count() job, and
@@ -518,7 +524,30 @@ object Dedup {
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .withColumn("lbl", col("id"))
     labels.unionByName(singletons)
-      .select(col("id"), col("lbl").as("cluster")).orderBy("id")
+      .select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Canonical-member selection — the step AFTER clustering that a real
+    * dedup pipeline actually ships: one kept document per near-dup
+    * cluster. Keep rule: longest text wins (the longest member of a
+    * near-dup family retains the most content — the common
+    * CommonCrawl/C4 heuristic), ties broken by min id for determinism.
+    *
+    * Scale shape: one hash aggregate over the (id, cluster, len) join —
+    * `max(struct(len, -id))` computes the argmax inside the partial
+    * agg (map-side combine), so no per-cluster sort and no window
+    * shuffle; output is one row per cluster. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(s, dir)
+    val scored = corpus.select(col("id"),
+      length(col("text")).cast("long").as("len"))
+    clusterLabels(s, corpus).join(scored, "id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("len"), (-col("id")).as("nid"))).as("best"))
+      .select(col("cluster"), (-col("best.nid")).as("keep_id"),
+        col("best.len").as("keep_len"), col("n_members"))
+      .orderBy("cluster")
   }
 
   /** Verified-pair graphs are orders of magnitude smaller than the corpus
@@ -973,6 +1002,29 @@ object Dedup {
 
   // ------------------------------------------------------------------
 
+  /** Shared CTE chain for the cluster-label gates: LSH candidates →
+    * Jaccard-verified pairs → recursive transitive closure → min-label
+    * per component (`labeled(id, cluster)` — singletons label as
+    * themselves via the seed row). */
+  private def clusterOracleCtes: String =
+    s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
+       |$lshOracleCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+       |    JOIN sh0 b ON b.id = cand.id_b
+       |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+       |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT id, id FROM corpus
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |labeled AS (
+       |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH corpus AS ($exactCorpusSql)
@@ -1125,23 +1177,21 @@ object Dedup {
          |SELECT id_a, id_b, jacc_permille FROM scored
          |WHERE jacc_permille >= 200 ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE corpus AS ($nearCorpusSql),
-         |$lshOracleCtes,
-         |pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM cand JOIN sh0 a ON a.id = cand.id_a
-         |    JOIN sh0 b ON b.id = cand.id_b
-         |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
-         |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT DISTINCT id, id FROM corpus
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id, min(lbl) AS cluster FROM reach GROUP BY id
-         |ORDER BY id""".stripMargin,
+      s"""$clusterOracleCtes
+         |SELECT id, cluster FROM labeled ORDER BY id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""$clusterOracleCtes,
+         |scored AS (
+         |  SELECT l.cluster, l.id, CAST(length(c.text) AS BIGINT) AS len
+         |  FROM labeled l JOIN corpus c ON c.id = l.id),
+         |ranked AS (
+         |  SELECT cluster, id, len,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY len DESC, id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members
+         |  FROM scored)
+         |SELECT cluster, id AS keep_id, len AS keep_len, n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
     "dedup_simhash" ->
       s"""SELECT doc_id, ${(0 until 60).map(j =>
         s"(CASE WHEN list_sum([CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << j} ELSE 0 END)")
@@ -1185,6 +1235,7 @@ object Dedup {
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),

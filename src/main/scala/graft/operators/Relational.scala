@@ -1078,6 +1078,57 @@ object Relational {
       .orderBy(col("rank_micros").desc, col("node"))
   }
 
+  /** Triangle enumeration over the co-purchase graph — the graph-motif
+    * operator behind community/spam detection on link graphs. Edges:
+    * part pairs co-ordered in ≥2 distinct orders (the ≥2 floor keeps
+    * the market-basket graph sparse — a single shared order is noise).
+    *
+    * Scale shape: the standard DEGREE-ORIENTED (compact-forward) count.
+    * Each undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, so every wedge pivot fans out over a
+    * node's FORWARD degree only — bounded by O(√m) on any graph,
+    * which caps the wedge join at O(m^1.5) where the naive id-oriented
+    * join is quadratic in the max degree (a celebrity node explodes
+    * it). The closing check is a hash equi-join against the (u<v)
+    * undirected edge set — never a nested loop. Each triangle is found
+    * exactly once (the wedge at its orientation-minimum vertex), then
+    * re-sorted to (a<b<c) ids; the oracle enumerates id-oriented
+    * directly — same set, so the hash match proves
+    * orientation-invariance. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val und = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("u", "v")
+      .localCheckpoint(true) // reused: degrees, orientation, closing join
+    val deg = und.select(col("u").as("n"))
+      .unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val fwd = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true) // pivot side of the wedge join, used twice
+    val wedges = fwd.as("e1").join(fwd.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    // e1.t < e2.t above ⇒ y < z, matching und's u < v convention
+    wedges.join(und, col("y") === col("u") && col("z") === col("v"))
+      .select(array_sort(array(col("x"), col("y"), col("z"))).as("t3"))
+      .select(element_at(col("t3"), 1).as("a"),
+        element_at(col("t3"), 2).as("b"),
+        element_at(col("t3"), 3).as("c"))
+      .orderBy("a", "b", "c")
+  }
+
   /** The reusable funnel core over any `(user_id, event_type, us)`
     * frame: per-user per-step first-qualifying times, cascaded. */
   private[graft] def funnelOver(ev: DataFrame,
@@ -2524,6 +2575,16 @@ object Relational {
         |    AS BIGINT) AS r FROM nodes n LEFT JOIN c3 c USING (node))
         |SELECT node, r AS rank_micros FROM r3
         |ORDER BY rank_micros DESC, node""".stripMargin,
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM op a
+        |  JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY a, b, c""".stripMargin,
     "event_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
@@ -2749,6 +2810,7 @@ object Relational {
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "profile_table" -> (profileTable _),
     "grouping_sets" -> (groupingSetsSales _),
     "unpivot_orders" -> (unpivotOrders _),
