@@ -35,6 +35,7 @@ object SparkEntry {
       graft.operators.Upsert.queries ++
       graft.operators.Bucketing.queries ++
       graft.operators.Layout.queries ++
+      graft.operators.Geo.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.operators.Upsert.oracle ++
       graft.operators.Bucketing.oracle ++
       graft.operators.Layout.oracle ++
+      graft.operators.Geo.oracle ++
       graft.streaming.StreamingOps.oracle
 }

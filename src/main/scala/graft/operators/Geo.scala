@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial operators — radius search and distance self-join over point
+  * sets, the geo half of any location-tagged corpus (store locators,
+  * geotagged crawl pages, sensor fleets).
+  *
+  * Points are synthesized deterministically from customer keys with
+  * pure BIGINT arithmetic (`x = custkey·7919 mod 100000` etc. — two
+  * fixed primes spread the keys over a 100 km × 100 km integer-meter
+  * plane), so Spark and DuckDB derive bit-identical coordinates and
+  * every distance is an exact `BIGINT` square — no floating trig in
+  * the gate. A production deployment swaps the synthetic projection
+  * for real projected coordinates (or haversine in the refine step);
+  * the plan shapes under test — grid-cell blocking, bounding-box
+  * pushdown, top-k — are unchanged by that substitution.
+  */
+object Geo {
+
+  /** Cell size (and join radius) in meters. Cell ≥ radius guarantees
+    * any within-radius pair sits in the same or an adjacent cell —
+    * the 3×3 neighborhood the join explodes. */
+  private val R = 2000L
+
+  /** Radius-query search radius (meters) for [[geoNear]]. */
+  private val NearR = 20000L
+
+  private def points(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 100000).as("x"),
+        (col("c_custkey") * 104729 % 100000).as("y"))
+
+  private val pointsSql =
+    """SELECT c_custkey AS id, c_custkey * 7919 % 100000 AS x,
+      |  c_custkey * 104729 % 100000 AS y FROM customer""".stripMargin
+
+  /** Distance self-join: all point pairs within [[R]] meters, via
+    * GRID-CELL BLOCKING — the 2-D twin of the range join's time-bucket
+    * trick ([[Bucketing]]): each point keys to its `(x DIV R, y DIV R)`
+    * cell, ONE side explodes to its 3×3 neighborhood, and the match is
+    * a hash EQUI-join on the cell key. Every within-radius pair lands
+    * in exactly one (cellA-neighbor = cellB) bucket, so candidates are
+    * generated once, never a cross product — candidate count is bounded
+    * by local density (points per cell)², not corpus². The exact
+    * `dx²+dy² ≤ R²` refine runs post-join on candidates only. The
+    * oracle goes brute-force all-pairs (the gate corpus is 1.5k
+    * points); the blocked plan must reproduce it exactly — grid recall
+    * is 1 by the cell-size ≥ radius invariant. */
+  def geoJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+    // coordinates are non-negative, so double-divide + cast-to-long
+    // floors exactly like integer DIV (and 0..100000 is exact in double)
+    def cell(c: String): org.apache.spark.sql.Column =
+      (col(c) / R).cast("long")
+    val a = p.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+          struct((cell("x") + i).as("cx"),
+            (cell("y") + j).as("cy")))): _*)).as("cell"))
+    val b = p.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"),
+      struct(cell("x").as("cx"), cell("y").as("cy")).as("cell2"))
+    val dx = col("xa") - col("xb")
+    val dy = col("ya") - col("yb")
+    a.join(b, col("cell") === col("cell2") && col("id_a") < col("id_b"))
+      .withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= R * R)
+      .select("id_a", "id_b", "dist2")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Radius + top-k search from a query point — the "nearest stores"
+    * query: the k closest points within [[NearR]] of the plane's
+    * center. The bounding BOX (`x BETWEEN qx±R AND y BETWEEN qy±R`)
+    * goes first: two range predicates that push down to the parquet
+    * scan (min/max footer pruning — with the [[Layout]] z-order
+    * clustering, either predicate prunes files). The exact circle
+    * refine and the `(dist2, id)` top-k run on box survivors only;
+    * top-k compiles to TakeOrderedAndProject (per-partition heaps,
+    * k rows to the driver, never a global sort). */
+  def geoNear(s: SparkSession, dir: String): DataFrame = {
+    val (qx, qy) = (50000L, 50000L)
+    val dx = col("x") - qx
+    val dy = col("y") - qy
+    points(s, dir)
+      .filter(col("x").between(qx - NearR, qx + NearR) &&
+        col("y").between(qy - NearR, qy + NearR))
+      .withColumn("dist2", dx * dx + dy * dy)
+      .filter(col("dist2") <= NearR * NearR)
+      .orderBy(col("dist2"), col("id"))
+      .limit(10)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "geo_join" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         |  <= ${R * R}
+         |ORDER BY id_a, id_b""".stripMargin,
+    "geo_near" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT id, x, y,
+         |  (x - 50000) * (x - 50000) + (y - 50000) * (y - 50000) AS dist2
+         |FROM p
+         |WHERE (x - 50000) * (x - 50000) + (y - 50000) * (y - 50000)
+         |  <= ${NearR * NearR}
+         |ORDER BY dist2, id LIMIT 10""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_join" -> (geoJoin _),
+    "geo_near" -> (geoNear _)
+  )
+}

@@ -227,7 +227,47 @@ object Upsert {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every warehouse runs nightly: per-customer order partials
+    * (n_orders, total_cents) are built over the history BEFORE the
+    * split date and persisted as the MV; the new batch (rows at/after
+    * the split) is aggregated ALONE and merged into the stored
+    * partials by re-aggregation. The oracle recomputes from the full
+    * table, so the hash match proves merge ≡ recompute — the property
+    * incremental refresh depends on.
+    *
+    * Scale shape: the refresh touches `|MV| + |delta|` rows, never the
+    * history — the whole point at 100 TB, where the base table is
+    * unreadable nightly but the MV (one row per key) and the day's
+    * delta are small. count/sum partials merge by ADDITION, so the
+    * merge is a union + one hash re-aggregate (map-side combinable);
+    * avg, stddev, and the KMV distinct sketch ([[graft.operators
+    * .Pipeline]] sketch_distinct) all carry mergeable partials the
+    * same way. */
+  def incrAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_custkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val split = lit("1999-01-01").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+    val mv = graft.core.Scratch.dir("incr_mv", dir)
+    partials(orders.filter(col("o_orderdate") < split))
+      .write.mode("overwrite").parquet(mv)
+    s.read.parquet(mv)
+      .unionByName(partials(orders.filter(col("o_orderdate") >= split)))
+      .groupBy("o_custkey")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("total_cents").as("total_cents"))
+      .orderBy("o_custkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_lookup" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
@@ -286,6 +326,7 @@ object Upsert {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "incr_agg" -> (incrAgg _),
     "scd2_build" -> (scd2Build _),
     "scd2_lookup" -> (scd2Lookup _)
   )

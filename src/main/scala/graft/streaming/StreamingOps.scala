@@ -331,6 +331,44 @@ object StreamingOps {
     s.table(name).orderBy("lang")
   }
 
+  /** Stream-STATIC enrichment join under the gate — the most common
+    * streaming pattern in production: an unbounded event stream joined
+    * to a bounded dimension (here user → nation via customer), then
+    * rolled up per nation. Unlike stream-stream joins this is
+    * STATELESS: no watermark, no join state — the static side is
+    * re-planned each micro-batch and, being dim-sized, BROADCAST to
+    * the stream side, so enrichment costs zero shuffle on the stream
+    * no matter how long it runs. The per-nation census in complete
+    * mode must equal the batch three-table join (the oracle). */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val dim = broadcast(
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(s.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select((col("c_custkey") - 1).as("user_id"), col("n_name")))
+    val name = s"graft_stream_static_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_type"))
+        .join(dim, "user_id")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          // distinct aggregation is unsupported on streams — the
+          // conditional count keeps the rollup deterministic instead
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("n_name")
+  }
+
   /** BOUNDED streaming dedup under the gate — the state-evicting
     * `dropDuplicatesWithinWatermark` form, not unbounded `dropDuplicates`
     * state. The stream is a planted re-delivery scenario: a 48-hour
@@ -495,6 +533,14 @@ object StreamingOps {
   private val GapMs = graft.operators.Sessions.GapUs / 1000
 
   val oracle: Map[String, String] = Map(
+    "stream_static_join" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id + 1
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_upsert" ->
       // max-version row per key across all updates — the arrival-order-
       // free converged store newerWins guarantees
@@ -573,6 +619,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> (eventsHourlyStreaming _),
     "stream_stream_join" -> (streamStreamJoin _),
+    "stream_static_join" -> (streamStaticJoin _),
     "stream_ingest" -> (streamIngest _),
     "stream_dedup" -> (streamDedup _),
     "stream_text_pipeline" -> (streamTextPipeline _),
