@@ -533,10 +533,11 @@ object Dedup {
     * near-dup family retains the most content — the common
     * CommonCrawl/C4 heuristic), ties broken by min id for determinism.
     *
-    * Scale shape: one hash aggregate over the (id, cluster, len) join —
-    * `max(struct(len, -id))` computes the argmax inside the partial
-    * agg (map-side combine), so no per-cluster sort and no window
-    * shuffle; output is one row per cluster. */
+    * Scale shape: one two-phase aggregate over the (id, cluster, len)
+    * join — `max(struct(len, -id))` computes the argmax inside the
+    * partial agg (map-side combine; struct max plans as SortAggregate,
+    * which is sort-within-partition, NOT a window shuffle), so no
+    * per-cluster row_number pass; output is one row per cluster. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearCorpus(s, dir)
     val scored = corpus.select(col("id"),

@@ -75,12 +75,16 @@ object Geo {
   /** Radius + top-k search from a query point — the "nearest stores"
     * query: the k closest points within [[NearR]] of the plane's
     * center. The bounding BOX (`x BETWEEN qx±R AND y BETWEEN qy±R`)
-    * goes first: two range predicates that push down to the parquet
-    * scan (min/max footer pruning — with the [[Layout]] z-order
-    * clustering, either predicate prunes files). The exact circle
-    * refine and the `(dist2, id)` top-k run on box survivors only;
-    * top-k compiles to TakeOrderedAndProject (per-partition heaps,
-    * k rows to the driver, never a global sort). */
+    * goes first; with STORED coordinate columns those two range
+    * predicates push down to the parquet footer (min/max pruning —
+    * with the [[Layout]] z-order clustering, either predicate prunes
+    * files). Here the coordinates are computed from the key, so the
+    * box runs as a scan-adjacent codegen filter instead — same row
+    * reduction, no footer skip (PlanSpec locks the shape honestly).
+    * The exact circle refine and the `(dist2, id)` top-k run on box
+    * survivors only; top-k compiles to TakeOrderedAndProject
+    * (per-partition heaps, k rows to the driver, never a global
+    * sort). */
   def geoNear(s: SparkSession, dir: String): DataFrame = {
     val (qx, qy) = (50000L, 50000L)
     val dx = col("x") - qx

@@ -659,4 +659,44 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("graph_triangles: wedge and closing joins are hash equi-joins — " +
+      "degree orientation never degrades to a nested loop") {
+    val p = plan(Relational.graphTriangles(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("geo_join: grid-cell blocking is a hash equi-join on the cell " +
+      "key — candidates by local density, never a cross product") {
+    val p = plan(graft.operators.Geo.geoJoin(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("geo_near: box + circle refine stay inside one codegen stage " +
+      "over the scan, top-k is TakeOrderedAndProject — no global sort") {
+    val p = plan(graft.operators.Geo.geoNear(spark, sf0001))
+    // coordinates are COMPUTED here, so the box cannot reach the parquet
+    // footer (with stored x/y columns it would — see Geo scaladoc); the
+    // lock is that the filter is scan-adjacent and top-k never sorts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("dedup_keep_best: argmax-in-agg — canonical pick is a two-phase " +
+      "aggregate (struct max falls to SortAggregate, still map-side " +
+      "partial), never a per-cluster window") {
+    val p = plan(Dedup.dedupKeepBest(spark, sf0001))
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+    assert(!p.contains("RunningWindowFunction"), p)
+    assert(!p.contains("partial_row_number"), p)
+  }
+
+  test("incr_agg: the MV merge re-aggregates partials map-side — " +
+      "partial_sum before the exchange, history never rescanned") {
+    val p = plan(graft.operators.Upsert.incrAgg(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
