@@ -49,8 +49,13 @@ object Geo {
     * oracle goes brute-force all-pairs (the gate corpus is 1.5k
     * points); the blocked plan must reproduce it exactly — grid recall
     * is 1 by the cell-size ≥ radius invariant. */
-  def geoJoin(s: SparkSession, dir: String): DataFrame = {
-    val p = points(s, dir)
+  def geoJoin(s: SparkSession, dir: String): DataFrame =
+    geoJoinOver(points(s, dir))
+
+  /** The blocked join over any `(id, x, y)` frame (meters, non-negative
+    * BIGINT) — split out so the scale probe can feed tiled planes of
+    * controlled density. */
+  private[graft] def geoJoinOver(p: DataFrame): DataFrame = {
     // coordinates are non-negative, so double-divide + cast-to-long
     // floors exactly like integer DIV (and 0..100000 is exact in double)
     def cell(c: String): org.apache.spark.sql.Column =
