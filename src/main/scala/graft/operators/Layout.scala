@@ -86,7 +86,38 @@ object Layout {
         min("event_id").as("first_id"), max("event_id").as("last_id"))
       .orderBy("user_id")
 
+  /** Hive-style partitioned layout — the OTHER file-skipping mechanism
+    * (zorder prunes by footer stats; partitionBy prunes by DIRECTORY):
+    * documents written `partitionBy(lang)`, so a predicate on lang
+    * never opens — never even LISTS — the other partitions' files.
+    * At 100 TB partition columns are the first-order layout decision
+    * (date/source/lang), with stats-based skipping layered inside each
+    * partition. LayoutSpec asserts the plan carries the predicate as
+    * PartitionFilters (pruned before the scan), not a data filter. */
+  private def ensurePartitioned(s: SparkSession, dir: String): String = {
+    val out = graft.core.Scratch.dir("partlang", dir)
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    if (!graft.core.Trust.parquetDir(s, out, d.count()))
+      d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    out
+  }
+
+  /** Per-(lang, source) census over two of the five lang partitions.
+    * The answer must equal the same rollup on the raw table — layout
+    * moves bytes, not rows. */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(ensurePartitioned(s, dir))
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang", "source")
+
   val oracle: Map[String, String] = Map(
+    "partitioned_scan" ->
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zorder_scan" ->
       """SELECT user_id, count(*) AS n,
         |  min(event_id) AS first_id, max(event_id) AS last_id
@@ -97,6 +128,7 @@ object Layout {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "zorder_scan" -> (zorderScan _)
+    "zorder_scan" -> (zorderScan _),
+    "partitioned_scan" -> (partitionedScan _)
   )
 }

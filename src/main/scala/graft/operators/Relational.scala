@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.filter.MqlFilter
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1147,6 +1147,62 @@ object Relational {
         reached.select(lit(i + 2).as("step"), col("user_id")))
     }
     out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
+  }
+
+  /** Data-quality rule evaluation — the Deequ/dbt-test shape: a rule
+    * catalog evaluated in one job, emitting (rule, n_violations) per
+    * rule. Three rule classes, each with its scale-correct plan:
+    *
+    *  - ROW-LOCAL rules (null key, range checks) all fuse into ONE
+    *    conditional-aggregation scan of the table — adding a rule adds
+    *    a sum(when), not a pass; the wide row then melts to rule rows
+    *    ([[unpivotOrders]]'s Expand, no shuffle).
+    *  - UNIQUENESS (primary key) is a two-phase count-per-key + count
+    *    of keys over 1 — map-side combinable, one shuffle on the key.
+    *  - REFERENTIAL/CROSS-TABLE rules are anti-join (orphan FK) or
+    *    equi-join + filter (temporal order) COUNTS — the join output
+    *    never leaves the executors, only the count does.
+    *
+    * The synthetic data intentionally fails two rules (duplicate
+    * (orderkey, linenumber) pairs; ship-before-order dates), so the
+    * gate proves violations are COUNTED, not just that clean tables
+    * pass. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def rule(name: String, n: Column) =
+      struct(lit(name).as("rule"), n.as("n_violations"))
+    val rowLocal = li.agg(
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("neg_price"),
+        sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L))
+          .as("discount"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nullk"))
+      .select(explode(array(
+        rule("price_not_positive", col("neg_price")),
+        rule("range_discount", col("discount")),
+        rule("range_quantity", col("qty")),
+        rule("null_orderkey", col("nullk")))).as("r"))
+      .select("r.*")
+    val orphan = o.join(c, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(rule("fk_orphan_orders", col("n")).as("r")).select("r.*")
+    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(count(lit(1)).as("n"))
+      .select(rule("pk_duplicate_lineitem", col("n")).as("r")).select("r.*")
+    val shipEarly = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .agg(count(lit(1)).as("n"))
+      .select(rule("ship_before_order", col("n")).as("r")).select("r.*")
+    rowLocal.unionByName(orphan).unionByName(dupPk)
+      .unionByName(shipEarly).orderBy("rule")
   }
 
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
@@ -2575,6 +2631,31 @@ object Relational {
         |    AS BIGINT) AS r FROM nodes n LEFT JOIN c3 c USING (node))
         |SELECT node, r AS rank_micros FROM r3
         |ORDER BY rank_micros DESC, node""".stripMargin,
+    "dq_checks" ->
+      """SELECT 'fk_orphan_orders' AS rule, count(*) AS n_violations
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'null_orderkey', count(*) FROM lineitem
+        |WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'pk_duplicate_lineitem', count(*) FROM (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  GROUP BY 1, 2 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'price_not_positive', count(*) FROM lineitem
+        |WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'range_discount', count(*) FROM lineitem
+        |WHERE NOT (l_discount BETWEEN 0 AND 0.1)
+        |UNION ALL
+        |SELECT 'range_quantity', count(*) FROM lineitem
+        |WHERE l_quantity < 1 OR l_quantity > 50
+        |UNION ALL
+        |SELECT 'ship_before_order', count(*) FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate < o.o_orderdate
+        |ORDER BY rule""".stripMargin,
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
@@ -2811,6 +2892,7 @@ object Relational {
     "event_transitions" -> (eventTransitions _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "dq_checks" -> (dqChecks _),
     "profile_table" -> (profileTable _),
     "grouping_sets" -> (groupingSetsSales _),
     "unpivot_orders" -> (unpivotOrders _),

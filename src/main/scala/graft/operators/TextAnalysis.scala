@@ -306,6 +306,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Global frequency floor for [[heavyHitters]]. */
+  private val HhThreshold = 100L
+
+  /** Exact heavy hitters — all tokens with global frequency ≥
+    * [[HhThreshold]], found WITHOUT shuffling the full token stream.
+    * The vocabulary of a 100 TB corpus (ids, typos, hashes) dwarfs its
+    * head, so the naive global `groupBy(token)` shuffles billions of
+    * distinct keys to count a few hundred frequent ones. Two passes:
+    *
+    *  1. candidates by PIGEONHOLE: a token with global count ≥ s must
+    *     have count ≥ s/P in at least one of P input partitions. The
+    *     per-(partition, token) partial count completes inside its map
+    *     task (each group lives in exactly one partition), so only
+    *     per-partition VOCABULARIES ride the exchange — never token
+    *     instances — and the `n·P ≥ s` filter cuts those to a small
+    *     guaranteed-superset candidate list.
+    *  2. exact verify: the token stream semi-joins the BROADCAST
+    *     candidate list (map-side), and only candidate tokens reach
+    *     the counting shuffle. Output = exact counts ≥ s.
+    *
+    * The oracle counts every token the straight way — the gate proves
+    * the pruned plan loses nothing (recall 1 by the pigeonhole). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+    val parts = toks.rdd.getNumPartitions.toLong
+    val cand = toks.withColumn("pid", spark_partition_id())
+      .groupBy("pid", "t").agg(count(lit(1)).as("n"))
+      .filter(col("n") * parts >= HhThreshold)
+      .select("t").distinct()
+    toks.join(broadcast(cand), "t")
+      .groupBy("t").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HhThreshold)
+      .select(col("t").as("token"), col("n"))
+      .orderBy("token")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -353,6 +389,11 @@ object TextAnalysis {
       |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "heavy_hitters" ->
+      s"""SELECT t AS token, count(*) AS n
+         |FROM (SELECT unnest($sqlToks) AS t FROM documents)
+         |GROUP BY 1 HAVING count(*) >= $HhThreshold
+         |ORDER BY token""".stripMargin,
     "bm25_search" -> bm25Sql,
     // the persisted-index path answers the SAME query — one oracle text
     "search_indexed" -> bm25Sql,
@@ -457,6 +498,7 @@ object TextAnalysis {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters" -> (heavyHitters _),
     "search_keyword" -> (searchKeyword _),
     "bm25_search" -> (bm25Search _),
     "text_tokens" -> (textTokens _),

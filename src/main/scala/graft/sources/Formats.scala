@@ -107,7 +107,42 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** Corrupt-record routing — the malformed-input reality of any JSONL
+    * feed at scale: a deterministic tenth of the lines are truncated
+    * (closing brace cut off) before the write, and the PERMISSIVE read
+    * routes them into the `columnNameOfCorruptRecord` column instead
+    * of failing the job (FAILFAST) or silently dropping them
+    * (DROPMALFORMED). The gate rolls up good rows per lang plus a
+    * `_corrupt` bucket — the oracle knows by construction which rows
+    * were broken, so the count proves no corrupt line was lost OR
+    * misparsed. At 100 TB the same pattern quarantines bad lines to a
+    * side output for replay instead of poisoning the batch. */
+  def jsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "jsonl")
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(when(col("doc_id") % 10 === 0,
+          line.substr(lit(1), length(line) - 5))
+        .otherwise(line).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad").json(out)
+      .select(when(col("_bad").isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "jsonl_corrupt" ->
+      """SELECT CASE WHEN doc_id % 10 = 0 THEN '_corrupt' ELSE lang END
+        |  AS lang, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "schema_evolution" ->
       """WITH m AS (
         |  SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents
@@ -140,6 +175,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> (csvRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
+    "jsonl_corrupt" -> (jsonlCorrupt _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _)
   )

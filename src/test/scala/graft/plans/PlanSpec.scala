@@ -699,4 +699,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("partial sum"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("partitioned_scan: the lang predicate prunes DIRECTORIES — " +
+      "PartitionFilters carries it, the row-level data filter does not") {
+    val p = plan(graft.operators.Layout.partitionedScan(spark, sf0001))
+    assert("PartitionFilters:.*lang".r.findFirstIn(p).isDefined, p)
+    assert(!"PushedFilters:.*lang".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("heavy_hitters: the exact verify pass semi-reduces the token " +
+      "stream via a BROADCAST of the candidate list") {
+    val p = plan(graft.operators.TextAnalysis.heavyHitters(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dq_checks: rule catalog is one conditional-agg scan + count " +
+      "joins — no cartesian, orphan check is an anti-join") {
+    val p = plan(Relational.dqChecks(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
