@@ -477,7 +477,34 @@ object Pipeline {
        |  AND (lang <> 'en' OR len(list_filter($sqlToks, t -> list_contains(
        |    ['the','a','and','of','to','in','is','on','for','with'], t))) >= 1)""".stripMargin
 
+  /** Deterministic train/val/test split (90/5/5) — hash-bucketed on the
+    * document id with a fixed salt, so the split is a PROPERTY OF THE
+    * DOCUMENT, not of the job: stable across re-runs, reshards, and
+    * corpus growth (appending documents never moves an existing one
+    * across splits — the leakage hazard of rand() or row-number-modulo
+    * splits). Pure per-row hash, scan speed, zero shuffle before the
+    * census aggregate; the same expression assigns shards at any
+    * corpus size. */
+  def splitCorpus(s: SparkSession, dir: String): DataFrame = {
+    val b = pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+    docs(s, dir)
+      .withColumn("split",
+        when(b < 90, "train").when(b < 95, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("split", "lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "split_corpus" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100
+        |    AS h FROM documents)
+        |SELECT CASE WHEN h < 90 THEN 'train'
+        |            WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_pretrain" -> pretrainSql,
     "sample_dsir" -> dsirSql,
     "sample_stratified" ->
@@ -597,6 +624,7 @@ object Pipeline {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_corpus" -> (splitCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
