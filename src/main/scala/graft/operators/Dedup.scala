@@ -230,6 +230,63 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(nearCorpus(s, dir))
 
+  /** INCREMENTAL near-dup detection — dedup a new batch against a
+    * corpus whose MinHash band index is PERSISTED: the daily-ingest
+    * reality at 100 TB, where re-shingling the whole corpus per batch
+    * is unpayable. The base corpus's banded signatures (id, shingle
+    * set, band, bucket hash) are written once and trust-reused (the
+    * [[graft.operators.IvfIndex]] discipline applied to text LSH);
+    * each batch then:
+    *
+    *  1. computes signatures for the DELTA only (linear in the batch);
+    *  2. equi-joins delta bands against (index ∪ delta bands) on the
+    *     (band, bucket) key — base-vs-base pairs are never generated,
+    *     and the base side arrives pre-shingled from parquet;
+    *  3. Jaccard-verifies candidates exactly as the batch operator.
+    *
+    * Output = exactly the full-corpus pair set restricted to pairs
+    * touching the delta (the oracle recomputes from scratch and
+    * filters — proving the index path loses nothing). At scale the
+    * index is written bucketed by (band, bh) so the probe join
+    * shuffles only the delta side; appending the delta's bands keeps
+    * the index current for the next batch. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (k, bands) = textDials(s)
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id").as("id"), col("text"))
+    val delta = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("id"),
+        col("text").substr(lit(1), length(col("text")) - 15).as("text"))
+    // expected rows = docs × bands (every gate doc has ≥1 shingle); a
+    // mismatch — including tokenless docs — just rebuilds, never lies
+    val idx = graft.core.Scratch.dir("lshidx", dir)
+    if (!graft.core.Trust.parquetDir(s, idx, base.count() * bands))
+      bandedSignatures(base, k, bands)
+        .write.mode("overwrite").parquet(idx)
+    val deltaBands = bandedSignatures(delta, k, bands)
+      .localCheckpoint(true) // probe side joins the union AND itself
+    val all = s.read.parquet(idx).unionByName(deltaBands)
+    val lt = col("qid") < col("cid")
+    val cand = deltaBands
+      .select(col("id").as("qid"), col("sh").as("qsh"),
+        col("band"), col("bh"))
+      .join(all.select(col("id").as("cid"), col("sh").as("csh"),
+          col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("qid") =!= col("cid"))
+      .select(
+        when(lt, col("qid")).otherwise(col("cid")).as("id_a"),
+        when(lt, col("cid")).otherwise(col("qid")).as("id_b"),
+        when(lt, col("qsh")).otherwise(col("csh")).as("sh_a"),
+        when(lt, col("csh")).otherwise(col("qsh")).as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    cand.filter(inter * 2 >= union)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Edit-distance-verified near-dup pairs — the fuzzy-match flavor for
     * short documents where shingle Jaccard is too coarse (a 15-char
     * tail edit barely moves a 3-gram set but IS the whole difference
@@ -1156,6 +1213,18 @@ object Dedup {
          |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY id_a, id_b""".stripMargin,
+    // full recompute, restricted to pairs touching the delta (ids
+    // >= 100000) — must equal the index-probe path exactly
+    "dedup_incremental" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |$lshOracleCtes
+         |SELECT id_a, id_b
+         |FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |  JOIN sh0 b ON b.id = cand.id_b
+         |WHERE (id_a >= 100000 OR id_b >= 100000)
+         |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
+         |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_text_dial" ->
       s"""WITH corpus AS ($nearCorpusSql),
          |${lshOracleCtes(TextDialK, TextDialBands)}
@@ -1228,6 +1297,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "dedup_substring" -> (dedupSubstring _),

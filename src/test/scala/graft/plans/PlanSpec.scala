@@ -714,6 +714,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_incremental: the index probe is a hash equi-join on the " +
+      "(band, bucket) key — base never re-shingled, no cartesian") {
+    val p = plan(Dedup.dedupIncremental(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the base side arrives from the persisted index, not the corpus:
+    // exactly one parquet scan of documents (the delta's source)
+    assert("Scan parquet.*documents".r.findAllIn(p).size <= 1, p)
+  }
+
   test("dq_checks: rule catalog is one conditional-agg scan + count " +
       "joins — no cartesian, orphan check is an anti-join") {
     val p = plan(Relational.dqChecks(spark, sf0001))
