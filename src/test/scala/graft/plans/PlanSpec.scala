@@ -724,6 +724,14 @@ class PlanSpec extends SparkTestBase {
     assert("Scan parquet.*documents".r.findAllIn(p).size <= 1, p)
   }
 
+  test("dedup_jaccard_exact: prefix filter blocks on the element key — " +
+      "narrow (elem, id) rows shuffle, sets join back by id, " +
+      "never all-pairs") {
+    val p = plan(Dedup.dedupJaccardExact(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dq_checks: rule catalog is one conditional-agg scan + count " +
       "joins — no cartesian, orphan check is an anti-join") {
     val p = plan(Relational.dqChecks(spark, sf0001))
