@@ -257,9 +257,17 @@ object Dedup {
     val delta = d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 100000).as("id"),
         col("text").substr(lit(1), length(col("text")) - 15).as("text"))
+    incrementalPairs(s, base, delta,
+      graft.core.Scratch.dir("lshidx", dir), k, bands)
+  }
+
+  /** The index-probe core over any base/delta corpora — split out so
+    * the scale probe can grow the base while holding the delta fixed
+    * (the per-batch-cost-independent-of-corpus-size claim). */
+  private[graft] def incrementalPairs(s: SparkSession, base: DataFrame,
+      delta: DataFrame, idx: String, k: Int, bands: Int): DataFrame = {
     // expected rows = docs × bands (every gate doc has ≥1 shingle); a
     // mismatch — including tokenless docs — just rebuilds, never lies
-    val idx = graft.core.Scratch.dir("lshidx", dir)
     if (!graft.core.Trust.parquetDir(s, idx, base.count() * bands))
       bandedSignatures(base, k, bands)
         .write.mode("overwrite").parquet(idx)

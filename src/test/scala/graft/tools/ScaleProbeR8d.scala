@@ -59,6 +59,34 @@ object ScaleProbeR8d {
       println(f"[scale-triangles] mult=$mult%2d rows=${600000 * mult}%8d " +
         f"time=$e1%6.2fs per-600k-rows=${e1 / mult}%5.3fs")
     }
+
+    // incremental dedup: base corpus GROWS (vocab-remapped replicas, so
+    // replicas never near-dup each other), delta batch FIXED (truncated
+    // copies of replica 0 — the true answer is identical at every
+    // mult). First call builds the index untimed; the timed call probes
+    // the trust-reused index — per-batch cost should be flat in base
+    // size, the whole point of the persisted index.
+    val d0 = s.read.parquet(s"$sf/documents.parquet")
+    val delta = d0.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 50000000L).as("id"),
+        col("text").substr(lit(1), length(col("text")) - 15).as("text"))
+    for (mult <- Seq(1, 4, 16)) {
+      val base = (0 until mult).map(i =>
+        d0.select((col("doc_id") + i * 1000000L).as("id"),
+          (if (i == 0) col("text")
+           else regexp_replace(col("text"), "([a-z0-9]+)", s"r$i$$1"))
+            .as("text")))
+        .reduce(_ unionAll _).repartition(32)
+      val idx = s"/tmp/graft-probe-r8d-lshidx-$mult"
+      noop(graft.operators.Dedup.incrementalPairs(
+        s, base, delta, idx, 12, 4)) // builds the index, untimed
+      val t2 = System.nanoTime()
+      noop(graft.operators.Dedup.incrementalPairs(
+        s, base, delta, idx, 12, 4)) // trust-reused index, timed
+      val e2 = (System.nanoTime() - t2) / 1e9
+      println(f"[scale-dedup-incr] base=${5000 * mult}%6d delta=1000 " +
+        f"time=$e2%6.2fs")
+    }
     s.stop()
   }
 }
