@@ -137,6 +137,25 @@ object KaerQuery {
         |]""".stripMargin)
   }
 
+  /** MQL aggregation over the COLLECTION — the reference's
+    * `Collection.Aggregate` delegation (it uses the surface itself:
+    * `[{$sort:{_m_id:1}},{$limit:1}]`, /root/reference/db/db.go:146-148)
+    * generalized to the analytic form: $match → $group accumulators →
+    * $sort, fed by the store's VARIANT metadata end to end (trusted
+    * reopen → MqlPipeline over `_m_meta`). The table-backed mql_*
+    * gates prove the pipeline engine; this proves the COLLECTION path
+    * into it — schema, id injection, and persisted layout included. */
+  def aggregateGroup(s: SparkSession, dir: String): DataFrame =
+    openOrBuild(s, dir).aggregate(
+      """[
+        | {"$match": {"lang": {"$ne": "de"}, "n_chars": {"$gte": 200}}},
+        | {"$group": {"_id": "$source",
+        |   "n": {"$sum": 1},
+        |   "chars": {"$sum": {"$toLong": "$n_chars"}},
+        |   "max_chars": {"$max": {"$toLong": "$n_chars"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** The API-parity smoke of the literal main.go:35-52 flow (2 docs,
     * metadata, k=1, {"attr1": {"$eq": 1}}) — exercised in KaerSpec; this
     * module's registered query is the generalized, oracle-checked form. */
@@ -205,6 +224,12 @@ object KaerQuery {
     "kaer_query" -> flagshipOracleSql,
     // full probing ⇒ identical answer contract to the exact path
     "kaer_query_indexed" -> flagshipOracleSql,
+    "kaer_aggregate" ->
+      """SELECT source AS _id, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents WHERE lang <> 'de' AND n_chars >= 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "kaer_delete_update" ->
       """SELECT doc_id AS did, lang,
         |  CASE WHEN n_chars > 800 THEN n_chars + 1000
@@ -218,6 +243,7 @@ object KaerQuery {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kaer_query" -> (flagship _),
     "kaer_query_indexed" -> (flagshipIndexed _),
+    "kaer_aggregate" -> (aggregateGroup _),
     "kaer_delete_update" -> (deleteUpdate _)
   )
 }
