@@ -401,8 +401,11 @@ object MqlPipeline {
           //    so the frame is ALWAYS set explicitly.
           //  - $shift {output, by, default}: by > 0 → following row
           //    (lead), by < 0 → preceding (lag); requires sortBy.
-          // Range ("range") and time-unit windows are unsupported and
-          // fail loudly.
+          //  - {window: {range: [lo, hi]}} — VALUE-keyed frames over
+          //    the single ascending numeric sortBy field (Mongo's
+          //    contract), mapping to Spark's rangeBetween; peers are
+          //    included by RANGE semantics in both engines.
+          // Time-unit range windows are unsupported and fail loudly.
           val outN = spec.get("output")
           require(outN != null && outN.isObject && !outN.isEmpty,
             s"$$setWindowFields needs a non-empty output document: $spec")
@@ -465,11 +468,27 @@ object MqlPipeline {
                   Window.unboundedPreceding, Window.unboundedFollowing)
               case Some(w) =>
                 val docsN = w.get("documents")
-                require(docsN != null && docsN.isArray && docsN.size == 2,
-                  s"only {documents: [lo, hi]} windows supported: $w")
-                orderedW(wop).rowsBetween(
-                  docBound(docsN.get(0), lower = true),
-                  docBound(docsN.get(1), lower = false))
+                val rangeN = w.get("range")
+                if (docsN != null) {
+                  require(docsN.isArray && docsN.size == 2,
+                    s"documents window needs [lo, hi]: $w")
+                  orderedW(wop).rowsBetween(
+                    docBound(docsN.get(0), lower = true),
+                    docBound(docsN.get(1), lower = false))
+                } else {
+                  require(rangeN != null && rangeN.isArray &&
+                    rangeN.size == 2,
+                    s"window needs {documents: [lo, hi]} or " +
+                      s"{range: [lo, hi]}: $w")
+                  require(w.get("unit") == null,
+                    s"time-unit range windows unsupported: $w")
+                  require(sortPairs.length == 1 && !sortPairs.head._2,
+                    "range window requires exactly one ASCENDING " +
+                      s"numeric sortBy field: $spec")
+                  orderedW(wop).rangeBetween(
+                    docBound(rangeN.get(0), lower = true),
+                    docBound(rangeN.get(1), lower = false))
+                }
             }
             lazy val operand: Column =
               if (arg.isNumber && wop == "$sum") {

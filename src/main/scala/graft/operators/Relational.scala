@@ -1798,6 +1798,32 @@ object Relational {
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
+  /** $setWindowFields RANGE windows under the gate — Mongo's
+    * value-keyed frames ({window: {range: [lo, hi]}} over one
+    * ascending numeric sortBy) mapped to Spark's rangeBetween: each
+    * doc aggregates over the docs of its language within 100 chars
+    * below its own length. RANGE semantics include sort-value peers in
+    * both engines, so ties are deterministic without a tiebreak
+    * column. Same one-Window-node plan as the documents form. */
+  def mqlWindowRange(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("n_chars"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"n_chars": 1},
+        |   "output": {
+        |     "near_n": {"$count": {}, "window": {"range": [-100, 0]}},
+        |     "near_chars": {"$sum": {"$toLong": "$n_chars"},
+        |       "window": {"range": [-100, "current"]}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang",
+        |   "near_n": 1, "near_chars": 1}}
+        |]""".stripMargin)
+
   /** $fill under the gate: nulls planted in a numeric column (every
     * n_chars divisible by 7) and a string column (source 'src1'), then
     * one $fill stage repairs both — locf (last observed carried forward
@@ -2541,8 +2567,16 @@ object Relational {
         |  sum(trap) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
         |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
-    "mql_window_fields" ->
+    "mql_window_range" ->
       """SELECT doc_id, lang,
+        |  count(*) OVER w AS near_n,
+        |  CAST(sum(n_chars) OVER w AS BIGINT) AS near_chars
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+    "mql_window_fields" ->
+"""SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
         |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2846,6 +2880,7 @@ object Relational {
     "mql_array_expr" -> (mqlArrayExpr _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
+    "mql_window_range" -> (mqlWindowRange _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
     "mql_window_pct" -> (mqlWindowPercentile _),
     "mql_fill" -> (mqlFill _),

@@ -638,21 +638,28 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, 2, 2, 10L), (2L, 2, 2, 20L), (3L, 1, 1, 30L)))
   }
 
-  test("$setWindowFields rejects rank without sortBy, range windows, " +
-      "unknown operators") {
+  test("$setWindowFields rejects rank without sortBy, time-unit and " +
+      "descending range windows, unknown operators") {
     val rankNoSort = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "output": {"r": {"$rank": {}}}}}]""".stripMargin).collect()
     }
     assert(rankNoSort.getMessage.contains("requires a sortBy"))
-    val rangeWin = intercept[IllegalArgumentException] {
+    val unitWin = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "sortBy": {"id": 1},
             |  "output": {"s": {"$sum": {"$toLong": "$v"},
-            |    "window": {"range": ["unbounded", "current"]}}}}}]"""
+            |    "window": {"range": [-1, 0], "unit": "hour"}}}}}]"""
         .stripMargin).collect()
     }
-    assert(rangeWin.getMessage.contains("documents"))
+    assert(unitWin.getMessage.contains("time-unit"))
+    val descRange = intercept[IllegalArgumentException] {
+      run("""[{"$setWindowFields": {"partitionBy": "$grp",
+            |  "sortBy": {"id": -1},
+            |  "output": {"s": {"$sum": {"$toLong": "$v"},
+            |    "window": {"range": [-1, 0]}}}}}]""".stripMargin).collect()
+    }
+    assert(descRange.getMessage.contains("ASCENDING"))
     val unknown = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "sortBy": {"id": 1},
@@ -660,6 +667,20 @@ class MqlPipelineSpec extends SparkTestBase {
         .collect()
     }
     assert(unknown.getMessage.contains("unsupported window operator"))
+  }
+
+  test("$setWindowFields range window: value-keyed frame over the " +
+      "ascending sortBy, peers included") {
+    val got = run(
+      """[{"$setWindowFields": {"partitionBy": "$grp",
+        |  "sortBy": {"id": 1},
+        |  "output": {"s": {"$sum": {"$toLong": "$v"},
+        |    "window": {"range": [-1, 0]}}}}},
+        | {"$sort": {"id": 1}},
+        | {"$project": {"id": 1, "s": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 12L),
+      (5L, 100L)))
   }
 
   test("$fill: locf carries last observed forward, leading null stays; " +
