@@ -1205,6 +1205,29 @@ object Relational {
       .unionByName(shipEarly).orderBy("rule")
   }
 
+  /** Correlated LATERAL subquery — the SQL-surface form of "latest
+    * order per customer": each customer row drives a correlated
+    * ORDER BY … LIMIT 1 subquery. Catalyst DECORRELATES it (the naive
+    * reading is a per-row re-execution — a 1000-executor disaster):
+    * the rewrite becomes one window/top-1 over the orders side plus an
+    * equi-join on the correlation key, so the plan is the same shape a
+    * hand-written row_number query produces. Run verbatim in both
+    * engines (DuckDB executes LATERAL natively). */
+  private val lateralSql =
+    """SELECT c.c_custkey, l.o_orderkey AS last_orderkey,
+      |  l.o_orderdate AS last_orderdate
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_orderdate FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) l
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(lateralSql)
+  }
+
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -2567,6 +2590,7 @@ object Relational {
         |  sum(trap) OVER (PARTITION BY user_id ORDER BY sec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
         |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
+    "sql_lateral" -> lateralSql,
     "mql_window_range" ->
       """SELECT doc_id, lang,
         |  count(*) OVER w AS near_n,
@@ -2881,6 +2905,7 @@ object Relational {
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),
+    "sql_lateral" -> (sqlLateral _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
     "mql_window_pct" -> (mqlWindowPercentile _),
     "mql_fill" -> (mqlFill _),

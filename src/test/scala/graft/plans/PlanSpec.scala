@@ -724,6 +724,14 @@ class PlanSpec extends SparkTestBase {
     assert("Scan parquet.*documents".r.findAllIn(p).size <= 1, p)
   }
 
+  test("sql_lateral: the correlated LIMIT-1 subquery DECORRELATES — " +
+      "window top-1 + equi-join, never a per-row nested loop") {
+    val p = plan(Relational.sqlLateral(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+  }
+
   test("dedup_jaccard_exact: prefix filter blocks on the element key — " +
       "narrow (elem, id) rows shuffle, sets join back by id, " +
       "never all-pairs") {
