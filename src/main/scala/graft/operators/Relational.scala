@@ -1104,6 +1104,14 @@ object Relational {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("u", "v")
+    trianglesOver(und)
+  }
+
+  /** The oriented triangle count over any `(u, v)` undirected edge set
+    * with u < v — split out for hand-graph specs (hub orientation,
+    * K4 completeness). */
+  private[graft] def trianglesOver(undIn: DataFrame): DataFrame = {
+    val und = undIn
       .localCheckpoint(true) // reused: degrees, orientation, closing join
     val deg = und.select(col("u").as("n"))
       .unionAll(und.select(col("v").as("n")))
