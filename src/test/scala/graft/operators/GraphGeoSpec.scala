@@ -57,4 +57,12 @@ class GraphGeoSpec extends SparkTestBase {
     val got = pairs((1L, 0L, 0L), (2L, 2000L, 0L))
     assert(got == Seq((1L, 2L, 2000L * 2000L)))
   }
+
+  test("geo join: a point-mass cell fails loudly with remediation, " +
+      "never a silent quadratic expansion") {
+    val p = spark.range(10001).toDF("id")
+      .select(col("id"), lit(500L).as("x"), lit(500L).as("y"))
+    val e = intercept[Exception] { Geo.geoJoinOver(p).collect() }
+    assert(e.getMessage.contains("geo cell overflow"), e.getMessage)
+  }
 }
