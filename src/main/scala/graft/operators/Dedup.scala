@@ -274,11 +274,25 @@ object Dedup {
     val deltaBands = bandedSignatures(delta, k, bands)
       .localCheckpoint(true) // probe side joins the union AND itself
     val all = s.read.parquet(idx).unionByName(deltaBands)
+    // the same mega-bucket ceiling as the in-bucket expansion path
+    // (guardBucket): the raise_error wraps the JOIN KEY — a key must
+    // be evaluated to hash, so the guard can't be column-pruned and
+    // fires before the hot bucket streams a single candidate pair
+    val counts = all.groupBy("band", "bh").agg(count(lit(1)).as("_cn"))
+    val guarded = all.join(counts, Seq("band", "bh"))
+      .select(col("id"), col("sh"), col("band"),
+        when(col("_cn") <= MaxBucketMembers, col("bh"))
+          .otherwise(raise_error(concat(
+            lit("text LSH bucket overflow (incremental index): "),
+            col("_cn").cast("string"),
+            lit(s" members > cap $MaxBucketMembers — raise bands/" +
+              "bits-per-band selectivity or run exact dedup first"))))
+          .as("bh"))
     val lt = col("qid") < col("cid")
     val cand = deltaBands
       .select(col("id").as("qid"), col("sh").as("qsh"),
         col("band"), col("bh"))
-      .join(all.select(col("id").as("cid"), col("sh").as("csh"),
+      .join(guarded.select(col("id").as("cid"), col("sh").as("csh"),
           col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") &&
           col("qid") =!= col("cid"))

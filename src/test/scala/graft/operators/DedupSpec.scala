@@ -169,6 +169,22 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(small).count() == 49L * 50 / 2)
   }
 
+  test("incremental index probe hits the same mega-bucket ceiling") {
+    import org.apache.spark.sql.functions._
+    val degenerate = spark.range(Dedup.MaxBucketMembers + 1L)
+      .select(col("id"),
+        lit("identical text body repeated for every document").as("text"))
+    val delta = spark.range(5).select((col("id") + 1000000L).as("id"),
+      lit("identical text body repeated for every document").as("text"))
+    val idx = graft.core.Scratch.dir("lshidx-spec", "degenerate")
+    val ex = intercept[Throwable] {
+      Dedup.incrementalPairs(spark, degenerate, delta, idx, 12, 4).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(ex).contains("bucket overflow"), chain(ex).take(500))
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))
