@@ -342,6 +342,47 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /** Vocabulary size for [[buildVocab]] / [[encodeIds]]. */
+  private val VocabSize = 200
+
+  /** Frequency-ranked vocabulary — the word-level tokenizer-training
+    * step: top-[[VocabSize]] tokens by (count desc, token asc — the
+    * deterministic tiebreak), dense ids 1..V by that rank. The corpus
+    * count is a map-side-combined aggregate; the rank window then runs
+    * over the V-row RESULT (vocab is k-sized by construction — the
+    * single-partition window is over 200 rows, not the corpus). */
+  private def vocabCore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, dir).select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(VocabSize)
+      .withColumn("vid", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
+  def buildVocab(s: SparkSession, dir: String): DataFrame =
+    vocabCore(s, dir).select("vid", "token", "n").orderBy("vid")
+
+  /** Token-to-id ENCODING — the map step that turns text into training
+    * sequences: each document's tokens become vocab ids in token
+    * order, out-of-vocab → 0. The vocab rides a BROADCAST (V rows) so
+    * encoding is map-side; order is re-assembled by sorting the
+    * per-doc (pos, id) structs inside the aggregate, never a window.
+    * At 100 TB this is the exact shape a real tokenizer encode takes:
+    * broadcast merge table, posexplode, order-preserving regroup. */
+  def encodeIds(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocabCore(s, dir).select("token", "vid")),
+        Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col("pos"), coalesce(col("vid"), lit(0L)).as("vid")))),
+        x => x("vid")).as("ids"))
+      .orderBy("doc_id")
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -389,6 +430,26 @@ object TextAnalysis {
       |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "build_vocab" ->
+      s"""WITH c AS (SELECT t AS token, count(*) AS n
+         |  FROM (SELECT unnest($sqlToks) AS t FROM documents)
+         |  GROUP BY 1)
+         |SELECT row_number() OVER (ORDER BY n DESC, token) AS vid,
+         |  token, n
+         |FROM c QUALIFY vid <= $VocabSize ORDER BY vid""".stripMargin,
+    "encode_ids" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |c AS (SELECT t AS token, count(*) AS n
+         |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+         |v AS (SELECT token,
+         |  row_number() OVER (ORDER BY n DESC, token) AS vid
+         |  FROM c QUALIFY vid <= $VocabSize),
+         |ex AS (SELECT doc_id, unnest(ts) AS token,
+         |  unnest(generate_series(1, len(ts))) AS pos FROM toks)
+         |SELECT ex.doc_id, list(COALESCE(v.vid, 0) ORDER BY ex.pos)
+         |  AS ids
+         |FROM ex LEFT JOIN v ON v.token = ex.token
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters" ->
       s"""SELECT t AS token, count(*) AS n
          |FROM (SELECT unnest($sqlToks) AS t FROM documents)
@@ -499,6 +560,8 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "heavy_hitters" -> (heavyHitters _),
+    "build_vocab" -> (buildVocab _),
+    "encode_ids" -> (encodeIds _),
     "search_keyword" -> (searchKeyword _),
     "bm25_search" -> (bm25Search _),
     "text_tokens" -> (textTokens _),
