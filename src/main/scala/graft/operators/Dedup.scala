@@ -744,20 +744,38 @@ object Dedup {
     * Scale shape: one shuffle on the prefix-element key (narrow
     * (elem, id) rows — sets join back BY ID after candidates, the
     * [[dedupEditDistance]] discipline); candidates are bounded by
-    * prefix collisions, never all-pairs. The classic refinement —
-    * ordering the universe by ascending global frequency so prefixes
-    * hold the RAREST shingles — drops candidate count further at equal
-    * recall; hash order keeps the gate stats-free. The oracle goes
+    * prefix collisions, never all-pairs, and the universe is ordered
+    * by ASCENDING DOCUMENT FREQUENCY (the AllPairs/PPJoin refinement,
+    * one extra count+regroup pass) so prefixes hold each doc's rarest
+    * shingles. Measured honestly (ProfJaccard, sf0.1): on THIS corpus
+    * the ordering changes nothing (6.3s warm either way) — the
+    * synthetic 31-token vocabulary gives every shingle df ≥ ~5, so
+    * rare-shingle prefixes still collide (556k candidates from 160k
+    * prefix rows is the corpus's true overlap, not a blocking
+    * failure). On natural corpora with heavy-tailed shingle df
+    * (most shingles unique) the same ordering is the standard
+    * candidate-collapse win, which is why it ships. The oracle goes
     * brute-force all-pairs: the blocked plan must reproduce it
     * EXACTLY, which is the recall-1 claim under test. (At sf0.01 this
     * finds 138 pairs where the 12/4 MinHash dial finds 136 — the two
     * extra are true near-dups that missed every LSH band, the recall
     * gap banding accepts for its lower candidate volume.) */
   def dedupJaccardExact(s: SparkSession, dir: String): DataFrame = {
-    val sets = nearCorpus(s, dir).select(col("id"),
-        array_sort(transform(
-          array_distinct(wordNgrams(tokens(col("text")), 3)),
-          x => md5Hash60(x))).as("sh"))
+    val ex = nearCorpus(s, dir).select(col("id"),
+      explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("g"))
+    val cnt = ex.groupBy("g").agg(count(lit(1)).as("c"))
+    // each set ordered by the (document-frequency, hash) GLOBAL order —
+    // the AllPairs refinement: prefixes hold each doc's RAREST
+    // shingles (a df=1 shingle collides only with a true co-holder;
+    // boilerplate shingles sit in suffixes, generating no candidates).
+    // The verify's array_intersect is order-independent, so only the
+    // prefix selection depends on the ordering.
+    val sets = ex.join(cnt, "g")
+      .select(col("id"),
+        struct(col("c"), md5Hash60(col("g")).as("h")).as("e"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(col("e"))), x => x("h"))
+        .as("sh"))
       .filter(size(col("sh")) > 0)
     val plen = floor(size(col("sh")) / 2).cast("int") + 1
     val pref = sets.select(col("id"),
