@@ -404,8 +404,10 @@ object MqlPipeline {
           //  - {window: {range: [lo, hi]}} — VALUE-keyed frames over
           //    the single ascending numeric sortBy field (Mongo's
           //    contract), mapping to Spark's rangeBetween; peers are
-          //    included by RANGE semantics in both engines.
-          // Time-unit range windows are unsupported and fail loudly.
+          //    included by RANGE semantics in both engines. With
+          //    "unit", the frame keys on the timestamp sortBy's
+          //    epoch-micros with bounds scaled by the unit (the
+          //    sliding time-lookback form).
           val outN = spec.get("output")
           require(outN != null && outN.isObject && !outN.isEmpty,
             s"$$setWindowFields needs a non-empty output document: $spec")
@@ -480,14 +482,49 @@ object MqlPipeline {
                     rangeN.size == 2,
                     s"window needs {documents: [lo, hi]} or " +
                       s"{range: [lo, hi]}: $w")
-                  require(w.get("unit") == null,
-                    s"time-unit range windows unsupported: $w")
                   require(sortPairs.length == 1 && !sortPairs.head._2,
                     "range window requires exactly one ASCENDING " +
-                      s"numeric sortBy field: $spec")
-                  orderedW(wop).rangeBetween(
-                    docBound(rangeN.get(0), lower = true),
-                    docBound(rangeN.get(1), lower = false))
+                      s"sortBy field: $spec")
+                  Option(w.get("unit")) match {
+                    case None =>
+                      orderedW(wop).rangeBetween(
+                        docBound(rangeN.get(0), lower = true),
+                        docBound(rangeN.get(1), lower = false))
+                    case Some(u) =>
+                      // time-unit frames: the sortBy field must be a
+                      // real timestamp column; the frame keys on its
+                      // epoch-MICROS value (exact longs — no
+                      // fractional-second drift) with bounds scaled
+                      // by the unit. Inclusive both ends, matching
+                      // Mongo and SQL RANGE.
+                      val unitUs: Long = u.asText() match {
+                        case "week" => 7L * 86400 * 1000000
+                        case "day" => 86400L * 1000000
+                        case "hour" => 3600L * 1000000
+                        case "minute" => 60L * 1000000
+                        case "second" => 1000000L
+                        case "millisecond" => 1000L
+                        case other => throw new IllegalArgumentException(
+                          s"unsupported range-window unit: $other")
+                      }
+                      val sf = sortFields.head
+                      require(cur.columns.contains(sf),
+                        "time-unit range window needs the sortBy " +
+                          s"field as a real timestamp column: $sf")
+                      def scaled(n: JsonNode, lower: Boolean): Long = {
+                        val b = docBound(n, lower)
+                        if (b == Window.unboundedPreceding ||
+                          b == Window.unboundedFollowing ||
+                          b == Window.currentRow) b
+                        else b * unitUs
+                      }
+                      Window.partitionBy(partCols: _*)
+                        .orderBy(unix_micros(
+                          col(sf).cast("timestamp")).asc)
+                        .rangeBetween(
+                          scaled(rangeN.get(0), lower = true),
+                          scaled(rangeN.get(1), lower = false))
+                  }
                 }
             }
             lazy val operand: Column =

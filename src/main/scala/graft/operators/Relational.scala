@@ -1855,6 +1855,32 @@ object Relational {
         |   "near_n": 1, "near_chars": 1}}
         |]""".stripMargin)
 
+  /** Time-UNIT range windows under the gate — the sliding-lookback
+    * query every abuse/velocity check runs ("events by this user in
+    * the last hour"): {range: [-1, 0], unit: "hour"} keys the frame
+    * on the timestamp sortBy's epoch-micros, bounds scaled by the
+    * unit. One Window node, no self-join — the naive formulation is
+    * a time-range self-join that [[Bucketing]] exists to block. */
+  def mqlWindowUnit(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      // user_id rides as a REAL column: "$user_id" would otherwise
+      // resolve through the metadata STRING view, and a JSON number's
+      // string view is null by MQL bracketing (one null partition)
+      events(s, dir)
+        .withColumn("meta", to_json(struct(col("event_type"))))
+        .select(col("event_id"), col("ts"), col("user_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$user_id",
+        |   "sortBy": {"ts": 1},
+        |   "output": {
+        |     "recent_n": {"$count": {},
+        |       "window": {"range": [-1, 0], "unit": "hour"}}}}},
+        | {"$sort": {"event_id": 1}},
+        | {"$project": {"event_id": 1, "recent_n": 1}}
+        |]""".stripMargin)
+
   /** $fill under the gate: nulls planted in a numeric column (every
     * n_chars divisible by 7) and a string column (source 'src1'), then
     * one $fill stage repairs both — locf (last observed carried forward
@@ -2599,6 +2625,12 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
         |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
     "sql_lateral" -> lateralSql,
+    "mql_window_unit" ->
+      """SELECT event_id, count(*) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |  AS recent_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "mql_window_range" ->
       """SELECT doc_id, lang,
         |  count(*) OVER w AS near_n,
@@ -2913,6 +2945,7 @@ object Relational {
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),
+    "mql_window_unit" -> (mqlWindowUnit _),
     "sql_lateral" -> (sqlLateral _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
     "mql_window_pct" -> (mqlWindowPercentile _),

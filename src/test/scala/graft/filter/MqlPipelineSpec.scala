@@ -645,14 +645,14 @@ class MqlPipelineSpec extends SparkTestBase {
             |  "output": {"r": {"$rank": {}}}}}]""".stripMargin).collect()
     }
     assert(rankNoSort.getMessage.contains("requires a sortBy"))
-    val unitWin = intercept[IllegalArgumentException] {
+    val badUnit = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "sortBy": {"id": 1},
             |  "output": {"s": {"$sum": {"$toLong": "$v"},
-            |    "window": {"range": [-1, 0], "unit": "hour"}}}}}]"""
+            |    "window": {"range": [-1, 0], "unit": "fortnight"}}}}}]"""
         .stripMargin).collect()
     }
-    assert(unitWin.getMessage.contains("time-unit"))
+    assert(badUnit.getMessage.contains("unsupported range-window unit"))
     val descRange = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "sortBy": {"id": -1},
