@@ -420,6 +420,37 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Deterministic corpus SHUFFLE — the "shuffle your training data"
+    * step as a seeded PERMUTATION, not rand(): global position = rank
+    * by (salted doc-id hash, doc_id), so the same corpus always
+    * shuffles the same way (reproducible shard builds, resumable
+    * jobs) and any id subset keeps its relative order. Positions are
+    * assigned by the [[packSequences]] two-phase device — range
+    * partition on the hash, P partition counts to the driver,
+    * broadcast exclusive offsets, per-partition running counter —
+    * never a single global row_number window. Output positions are
+    * independent of where the range boundaries land, so the sampling
+    * inside repartitionByRange cannot perturb the result. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      md5Hash60(concat(lit("shuf:"), col("doc_id").cast("string")))
+        .as("h"))
+    val P = 8
+    val parts = d.repartitionByRange(P, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id").localCheckpoint()
+    val rdd = parts.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      Iterator((pi, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2) // bounded: P longs
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bcOff = s.sparkContext.broadcast(offsets)
+    import s.implicits._
+    rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var pos = bcOff.value(pi)
+      it.map { r => val out = (pos, r.getLong(0)); pos += 1; out }
+    }.toDF("pos", "doc_id").orderBy("pos")
+  }
+
   /** Sequence PACKING — the final shard-assembly step of a training-data
     * build: documents packed greedily, in doc_id order, into fixed
     * token-budget contexts (2048 here). Contract: a document's bin is
@@ -497,6 +528,11 @@ object Pipeline {
   }
 
   val oracle: Map[String, String] = Map(
+    "corpus_shuffle" ->
+      """SELECT row_number() OVER (
+        |  ORDER BY ('0x' || substr(md5('shuf:' || doc_id), 1, 15))
+        |    ::BIGINT, doc_id) - 1 AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
     "split_corpus" ->
       """WITH b AS (SELECT lang, n_chars,
         |  ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100
@@ -625,6 +661,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_corpus" -> (splitCorpus _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
