@@ -20,15 +20,27 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) — a parquet type Spark's
-    * vectorized reader rejects outright. Read nanos as LONG (legacy conf)
-    * and rebuild a microsecond timestamp with exact integer division
-    * (ns values ~1.7e18 exceed double's 2^53 mantissa — float division
-    * would corrupt them). */
+  /** The events table's `ts` has shipped as TIMESTAMP(NANOS) in some
+    * data generations (a parquet type Spark's vectorized reader rejects
+    * outright — read nanos as LONG via the legacy conf and rebuild a
+    * microsecond timestamp with exact integer division; ns values
+    * ~1.7e18 exceed double's 2^53 mantissa, so float division would
+    * corrupt them) and as plain TIMESTAMP(MICROS) in others (read as
+    * NTZ, identical wall clock under the session's UTC zone). Normalize
+    * by the dtype the reader actually produced so both vintages of the
+    * table work unchanged. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(t(s, dir, "events"))
   }
 
   private def cents(c: org.apache.spark.sql.Column) =

@@ -377,11 +377,37 @@ object TextAnalysis {
       .join(broadcast(vocabCore(s, dir).select("token", "vid")),
         Seq("token"), "left")
       .groupBy("doc_id")
-      .agg(transform(
+      .agg(array_join(transform(
         array_sort(collect_list(
           struct(col("pos"), coalesce(col("vid"), lit(0L)).as("vid")))),
-        x => x("vid")).as("ids"))
+        x => x("vid").cast("string")), " ").as("ids"))
       .orderBy("doc_id")
+
+  /** Id-to-token DECODING — the inverse merge of [[encodeIds]]: the
+    * encoded (pos, vid) stream joins the SAME broadcast vocab on vid
+    * (id→token is a bijection for vid≥1; id 0 decodes to `<unk>`), and
+    * the document is re-assembled in position order inside the
+    * aggregate. Round-trip contract: decode(encode(text)) equals the
+    * normalized token stream with OOV tokens replaced by `<unk>`. Both
+    * joins ride broadcasts (V rows), so the whole round trip is
+    * map-side + one groupBy shuffle on doc_id. */
+  def decodeIds(s: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabCore(s, dir).select("vid", "token")
+    val encoded = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocabCore(s, dir).select("token", "vid")),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vid"), lit(0L)).as("vid"))
+    encoded.join(broadcast(vocab), Seq("vid"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token"), lit("<unk>")).as("tok")))),
+        x => x("tok")), " ").as("decoded"))
+      .orderBy("doc_id")
+  }
 
   // ---- DuckDB twins -------------------------------------------------
 
@@ -446,8 +472,23 @@ object TextAnalysis {
          |  FROM c QUALIFY vid <= $VocabSize),
          |ex AS (SELECT doc_id, unnest(ts) AS token,
          |  unnest(generate_series(1, len(ts))) AS pos FROM toks)
-         |SELECT ex.doc_id, list(COALESCE(v.vid, 0) ORDER BY ex.pos)
-         |  AS ids
+         |SELECT ex.doc_id,
+         |  string_agg(CAST(COALESCE(v.vid, 0) AS VARCHAR), ' '
+         |    ORDER BY ex.pos) AS ids
+         |FROM ex LEFT JOIN v ON v.token = ex.token
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "decode_ids" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+         |c AS (SELECT t AS token, count(*) AS n
+         |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1),
+         |v AS (SELECT token,
+         |  row_number() OVER (ORDER BY n DESC, token) AS vid
+         |  FROM c QUALIFY vid <= $VocabSize),
+         |ex AS (SELECT doc_id, unnest(ts) AS token,
+         |  unnest(generate_series(1, len(ts))) AS pos FROM toks)
+         |SELECT ex.doc_id,
+         |  string_agg(CASE WHEN v.vid IS NULL THEN '<unk>'
+         |    ELSE ex.token END, ' ' ORDER BY ex.pos) AS decoded
          |FROM ex LEFT JOIN v ON v.token = ex.token
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters" ->
@@ -562,6 +603,7 @@ object TextAnalysis {
     "heavy_hitters" -> (heavyHitters _),
     "build_vocab" -> (buildVocab _),
     "encode_ids" -> (encodeIds _),
+    "decode_ids" -> (decodeIds _),
     "search_keyword" -> (searchKeyword _),
     "bm25_search" -> (bm25Search _),
     "text_tokens" -> (textTokens _),

@@ -52,10 +52,10 @@ object StreamingOps {
     withStatePartitions(s, 8) {
       // the file stream source requires a DIRECTORY: stream the parent dir
       // with a glob filter selecting just the events file
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = graft.operators.Relational.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
         .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
           .as("hour_epoch_s"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -183,10 +183,10 @@ object StreamingOps {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = graft.operators.Relational.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"),
         col("user_id").as("v_user"), col("ts").as("v_ts"))
@@ -515,10 +515,10 @@ object StreamingOps {
     val name = s"graft_stream_sess_${runId.incrementAndGet()}"
     withStatePartitions(s, 8) {
       val q = sessionizeStateful(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        graft.operators.Relational.normalizeEventTs(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir))
           .select(col("ts"), col("user_id"), col("event_id")))
         .toDF()
         .writeStream.format("memory").queryName(name)
