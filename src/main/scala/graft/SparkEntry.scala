@@ -36,6 +36,8 @@ object SparkEntry {
       graft.operators.Bucketing.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Geo.queries ++
+      graft.operators.Cluster.queries ++
+      graft.operators.Bpe.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +59,7 @@ object SparkEntry {
       graft.operators.Bucketing.oracle ++
       graft.operators.Layout.oracle ++
       graft.operators.Geo.oracle ++
+      graft.operators.Cluster.oracle ++
+      graft.operators.Bpe.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-geometry operators whose MATH is exact-integer so the whole
+  * distributed computation is oracle-replicable bit-for-bit:
+  *
+  *  - [[kmeansStep]] — one full Lloyd iteration (assign + centroid
+  *    recompute) over micro-quantized vectors. The production fitter
+  *    ([[IvfIndex.kmeansFit]] / [[IvfIndex.kmeansFitMl]]) runs the same
+  *    two jobs per round in float math; this gate pins the distributed
+  *    shape (broadcast-argmin assignment with ZERO shuffle, then one
+  *    partial-aggregated groupBy) under the DuckDB hash by quantizing
+  *    every coordinate to integer micros first — integer sums are
+  *    order-independent, so Spark's partial aggregation and DuckDB's
+  *    serial fold agree exactly.
+  *  - [[embedProject]] — Johnson-Lindenstrauss-style signed random
+  *    projection 64→16 dims (the dimensionality-reduction front end a
+  *    100 TB ANN pipeline puts before indexing: 4× fewer bytes per
+  *    vector, map-side only), then brute-force top-k by integer dot
+  *    product in the projected space. The sign matrix derives from a
+  *    hash of (i, j), so both engines synthesize the identical matrix
+  *    with no stored state.
+  *
+  * Scale: quantization, assignment, and projection are per-row codegen'd
+  * expressions — no shuffle until the k-sized aggregate (kmeans) or the
+  * TakeOrderedAndProject heap (top-k). The centroid recompute explodes
+  * rows×dim values, which is the same data volume as the input vectors
+  * themselves (linear), partial-aggregated map-side before the one
+  * shuffle on (cid, pos).
+  */
+object Cluster {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Quantization scale: 1e6 (integer micros per unit). Embedding
+    * coordinates are |x| < ~2, so quantized values are < 2^21 and a
+    * 64-dim squared L2 distance stays < 2^46 — exact in LONG. */
+  private val Q = 1000000L
+
+  /** Number of seed centroids for the Lloyd step (vec_id < K). */
+  private val K = 8
+
+  /** Projected dimensionality for [[embedProject]]. */
+  private val ProjDim = 16
+
+  /** round(x · 1e6) per element — exact integer embedding, identical in
+    * Spark and DuckDB (both round half away from zero; float→double is
+    * exact, and the ·1e6 product is correctly rounded IEEE on both). */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x.cast("double") * Q).cast("long"))
+
+  /** Nearest-seed assignment over quantized vectors: integer squared L2,
+    * strict `<` keeps the LOWEST cid on ties — the same tie-break as an
+    * ORDER BY d2, cid row_number. Pure codegen'd fold over a literal
+    * seed array: zero shuffle, the exact [[IvfIndex.assignCid]] shape. */
+  private def assignQ(seeds: Seq[(Long, Array[Long])], qe: Column): Column =
+    aggregate(
+      array(seeds.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*),
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(qe, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (x, y) => x + y)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** One distributed Lloyd iteration from the K lowest-vec_id seeds:
+    * per-cluster size and the recomputed centroid (per-dim floor of the
+    * exact integer mean, emitted as a space-joined string — scalar
+    * columns only, so the oracle compare can sort rows). */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val qe = emb(s, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+    // K-sized bounded collect — the seed fixture, same pattern as the
+    // IVF centroid reads (IvfIndex.readCentroids)
+    val seeds = qe.filter(col("vec_id") < K).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val assigned = qe
+      .withColumn("cid", assignQ(seeds, col("qe")))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+    // exact integer per-dim sums (order-independent), then floor-mean;
+    // floor(double-division) is exact here: |sum| < 2^53 so the
+    // correctly-rounded quotient floors identically in both engines
+    val means = assigned
+      .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+        .cast("long").as("mq"))
+      .groupBy("cid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("mq")))),
+        x => x("mq").cast("string")), " ").as("centroid"))
+    sizes.join(means, "cid")
+      .select("cid", "n", "centroid").orderBy("cid")
+  }
+
+  /** Deterministic ±1 sign for matrix cell (i, j), 1-based — a small
+    * integer mixer both engines evaluate identically in LONG math. */
+  private def signE(i: Column, j: Column): Column =
+    when((i * lit(73856093L) + j * lit(19349663L)) % 97 < 48, lit(1L))
+      .otherwise(lit(-1L))
+
+  /** Signed random projection to [[ProjDim]] dims — exact integer:
+    * proj[j] = Σ_i qe[i] · sign(i, j). |proj[j]| < 64·2^21 = 2^27. */
+  private def project(qe: Column): Column =
+    transform(sequence(lit(1), lit(ProjDim)), j =>
+      aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
+        acc + element_at(qe, i) * signE(i, j)))
+
+  /** Top-10 by integer dot product in the projected space against the
+    * projection of vec 0 (itself excluded). Scores stay exact in LONG:
+    * |Σ_j proj·projq| < 16·2^54 — within 2^63. The candidate side never
+    * shuffles; the ranking is a TakeOrderedAndProject heap. */
+  def embedProject(s: SparkSession, dir: String): DataFrame = {
+    val p = emb(s, dir)
+      .select(col("vec_id"),
+        project(quant(col("embedding"))).as("pv"))
+    val q = p.filter(col("vec_id") === 0).select(col("pv").as("qpv"))
+    p.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("score", aggregate(
+        zip_with(col("pv"), col("qpv"), (a, b) => a * b),
+        lit(0L), (x, y) => x + y))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .select("vec_id", "score")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "kmeans_step" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
+         |  FROM embeddings),
+         |s AS (SELECT vec_id AS cid, qe AS cv FROM q WHERE vec_id < $K),
+         |d AS (SELECT q.vec_id, s.cid,
+         |    list_sum([(q.qe[i]-s.cv[i])*(q.qe[i]-s.cv[i])
+         |      for i in generate_series(1,64)]) AS d2
+         |  FROM q CROSS JOIN s),
+         |asn AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+         |        AS rn
+         |    FROM d) WHERE rn = 1),
+         |ex AS (SELECT a.cid, unnest(q.qe) AS v,
+         |    unnest(generate_series(1,64)) AS pos
+         |  FROM asn a JOIN q USING (vec_id)),
+         |m AS (SELECT cid, pos,
+         |    floor(sum(v)::DOUBLE / count(*))::BIGINT AS mq
+         |  FROM ex GROUP BY 1, 2),
+         |n AS (SELECT cid, count(*) AS n FROM asn GROUP BY 1)
+         |SELECT n.cid, n.n,
+         |  string_agg(m.mq::VARCHAR, ' ' ORDER BY m.pos) AS centroid
+         |FROM n JOIN m USING (cid) GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "embed_project" ->
+      s"""WITH q AS (SELECT vec_id,
+         |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
+         |  FROM embeddings),
+         |p AS (SELECT vec_id,
+         |    [list_sum([qe[i] * (CASE WHEN
+         |        (i*73856093 + j*19349663) % 97 < 48
+         |        THEN 1 ELSE -1 END) for i in generate_series(1,64)]
+         |      )::BIGINT for j in generate_series(1,$ProjDim)] AS pv
+         |  FROM q),
+         |qq AS (SELECT pv AS qpv FROM p WHERE vec_id = 0)
+         |SELECT p.vec_id,
+         |  list_sum([p.pv[j] * qq.qpv[j]
+         |    for j in generate_series(1,$ProjDim)])::BIGINT AS score
+         |FROM p, qq WHERE p.vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_step" -> (kmeansStep _),
+    "embed_project" -> (embedProject _)
+  )
+}

