@@ -120,21 +120,22 @@ object Bpe {
   }
 
   /** Gate: encode every document with the merges learned from the SAME
-    * corpus — tokens to char symbols, then the merge list applied in
-    * rank order (a static unroll of [[Merges]] folds, all map-side).
-    * Output stays scalar: piece count and the segmented text. */
+    * corpus. The folds run over the DISTINCT-WORD dict only (the same
+    * dict-bounded insight as training — a word's segmentation doesn't
+    * depend on which document it's in), and the token stream picks up
+    * its piece counts through a broadcast join: at 100 TB the corpus
+    * pays one tokenize + one broadcast lookup, never a per-token fold. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val merges = trainMerges(s, dir)
-    val base = docs(s, dir)
+    val toks = docs(s, dir)
       .select(col("doc_id"),
         explode(tokens(col("text"))).as("word"))
-      .select(col("doc_id"), charSyms(col("word")).as("syms"))
-    val encoded = merges.foldLeft(base) { case (df, (_, a, b, _, _)) =>
+    val dict = toks.select("word").distinct()
+      .select(col("word"), charSyms(col("word")).as("syms"))
+    val encoded = merges.foldLeft(dict) { case (df, (_, a, b, _, _)) =>
       df.withColumn("syms", mergeFold(col("syms"), a, b))
-    }
-    encoded
-      .select(col("doc_id"), col("syms"))
-      .withColumn("n_pieces", size(col("syms")).cast("long"))
+    }.select(col("word"), size(col("syms")).cast("long").as("n_pieces"))
+    toks.join(broadcast(encoded), Seq("word"))
       .groupBy("doc_id")
       .agg(sum(col("n_pieces")).as("n_pieces"),
         count(lit(1)).as("n_words"))

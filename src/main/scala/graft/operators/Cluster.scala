@@ -101,17 +101,24 @@ object Cluster {
   }
 
   /** Deterministic ±1 sign for matrix cell (i, j), 1-based — a small
-    * integer mixer both engines evaluate identically in LONG math. */
-  private def signE(i: Column, j: Column): Column =
-    when((i * lit(73856093L) + j * lit(19349663L)) % 97 < 48, lit(1L))
-      .otherwise(lit(-1L))
+    * integer mixer the oracle evaluates identically in LONG math. The
+    * matrix is STATIC, so the Spark side bakes it into the expression
+    * tree at plan time (below) instead of re-hashing per row. */
+  private def sign(i: Int, j: Int): Long =
+    if ((i.toLong * 73856093L + j.toLong * 19349663L) % 97 < 48) 1L
+    else -1L
 
   /** Signed random projection to [[ProjDim]] dims — exact integer:
-    * proj[j] = Σ_i qe[i] · sign(i, j). |proj[j]| < 64·2^21 = 2^27. */
+    * proj[j] = Σ_i qe[i] · sign(i, j), |proj[j]| < 64·2^21 = 2^27.
+    * Built as [[ProjDim]] static ±element_at sums (no lambdas, no
+    * per-row sequence allocation — a flat codegen'd expression). */
   private def project(qe: Column): Column =
-    transform(sequence(lit(1), lit(ProjDim)), j =>
-      aggregate(sequence(lit(1), lit(64)), lit(0L), (acc, i) =>
-        acc + element_at(qe, i) * signE(i, j)))
+    array((1 to ProjDim).map { j =>
+      (1 to 64).map { i =>
+        val e = element_at(qe, i)
+        if (sign(i, j) > 0) e else negate(e)
+      }.reduce(_ + _)
+    }: _*)
 
   /** Top-10 by integer dot product in the projected space against the
     * projection of vec 0 (itself excluded). Scores stay exact in LONG:
@@ -123,9 +130,9 @@ object Cluster {
         project(quant(col("embedding"))).as("pv"))
     val q = p.filter(col("vec_id") === 0).select(col("pv").as("qpv"))
     p.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      .withColumn("score", aggregate(
-        zip_with(col("pv"), col("qpv"), (a, b) => a * b),
-        lit(0L), (x, y) => x + y))
+      .withColumn("score", (1 to ProjDim).map(j =>
+        element_at(col("pv"), j) * element_at(col("qpv"), j))
+        .reduce(_ + _))
       .orderBy(col("score").desc, col("vec_id").asc).limit(10)
       .select("vec_id", "score")
   }

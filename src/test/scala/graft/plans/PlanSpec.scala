@@ -746,4 +746,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("embed_project: projection + scoring never shuffle the " +
+      "candidates — top-k is a heap, no hash exchange anywhere") {
+    val p = plan(graft.operators.Cluster.embedProject(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("kmeans_step: assignment is broadcast-argmin (no cartesian), " +
+      "centroid sums partial-aggregate map-side before the exchange") {
+    val p = plan(graft.operators.Cluster.kmeansStep(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p)
+  }
+
+  test("assemble_threads: document assembly rides the ONE sessionize " +
+      "user_id shuffle — no second window pass, no extra exchange") {
+    val p = plan(graft.operators.Sessions.assembleThreads(spark, sf0001))
+    // exactly one hash shuffle (user_id); the only other exchange is the
+    // rangepartitioning for the final presentation sort
+    val shuffles = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(shuffles == 1, s"$shuffles hash exchanges:\n$p")
+  }
 }
