@@ -61,6 +61,65 @@ object VectorMath {
   }
 }
 
+/** Static kernel for [[SignedProjExpr]] — quantize-then-project in one
+  * JVM loop. Parity contract with the composed form (and the DuckDB
+  * oracle): quantization is Spark `round()` semantics (BigDecimal
+  * HALF_UP on the float→double value times 1e6 — identical to
+  * `round(x * 1e6)`), signs come from the same (i, j) integer mixer,
+  * and accumulation is exact LONG math (order-free). */
+object ProjMath {
+  private val Scale = 1000000L
+
+  def sign(i: Int, j: Int): Long =
+    if ((i.toLong * 73856093L + j.toLong * 19349663L) % 97 < 48) 1L
+    else -1L
+
+  def quantize(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def project(a: ArrayData, projDim: Int): Any = {
+    val n = a.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      q(i) = quantize(a.getFloat(i).toDouble)
+      i += 1
+    }
+    val out = new Array[Long](projDim)
+    var j = 0
+    while (j < projDim) {
+      var acc = 0L
+      i = 0
+      while (i < n) { acc += q(i) * sign(i + 1, j + 1); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Quantized signed random projection ARRAY<FLOAT> → ARRAY<LONG>
+  * ([[graft.operators.Cluster.embedProject]]'s hot path): one static
+  * call inside whole-stage codegen, replacing a projDim×dim flat
+  * expression tree whose Janino compile dominated cold runs. */
+case class SignedProjExpr(child: Expression, projDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    ProjMath.project(input.asInstanceOf[ArrayData], projDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object r = graft.expr.ProjMath.project($c, $projDim);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  override protected def withNewChildInternal(c: Expression): SignedProjExpr =
+    copy(child = c)
+}
+
 /** Base for the binary double-array expressions. */
 abstract class VectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType

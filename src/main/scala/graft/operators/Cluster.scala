@@ -100,25 +100,17 @@ object Cluster {
       .select("cid", "n", "centroid").orderBy("cid")
   }
 
-  /** Deterministic ±1 sign for matrix cell (i, j), 1-based — a small
-    * integer mixer the oracle evaluates identically in LONG math. The
-    * matrix is STATIC, so the Spark side bakes it into the expression
-    * tree at plan time (below) instead of re-hashing per row. */
-  private def sign(i: Int, j: Int): Long =
-    if ((i.toLong * 73856093L + j.toLong * 19349663L) % 97 < 48) 1L
-    else -1L
-
-  /** Signed random projection to [[ProjDim]] dims — exact integer:
-    * proj[j] = Σ_i qe[i] · sign(i, j), |proj[j]| < 64·2^21 = 2^27.
-    * Built as [[ProjDim]] static ±element_at sums (no lambdas, no
-    * per-row sequence allocation — a flat codegen'd expression). */
-  private def project(qe: Column): Column =
-    array((1 to ProjDim).map { j =>
-      (1 to 64).map { i =>
-        val e = element_at(qe, i)
-        if (sign(i, j) > 0) e else negate(e)
-      }.reduce(_ + _)
-    }: _*)
+  /** Quantize + signed-project in ONE native call
+    * ([[graft.expr.SignedProjExpr]]): proj[j] = Σ_i round(x_i·1e6) ·
+    * sign(i, j), |proj[j]| < 64·2^21 = 2^27, exact LONG math. The
+    * native kernel replaced both an interpreted nested-HOF form (per-row
+    * lambda evaluation, ~18× slower) and a flat projDim×dim expression
+    * tree (whose one-time Janino compile dominated cold runs); the sign
+    * mixer and rounding are bit-identical to the DuckDB oracle. */
+  private def project(embF: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.expr.SignedProjExpr(toExpr(embF), ProjDim))
+  }
 
   /** Top-10 by integer dot product in the projected space against the
     * projection of vec 0 (itself excluded). Scores stay exact in LONG:
@@ -127,7 +119,7 @@ object Cluster {
   def embedProject(s: SparkSession, dir: String): DataFrame = {
     val p = emb(s, dir)
       .select(col("vec_id"),
-        project(quant(col("embedding"))).as("pv"))
+        project(col("embedding")).as("pv"))
     val q = p.filter(col("vec_id") === 0).select(col("pv").as("qpv"))
     p.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .withColumn("score", (1 to ProjDim).map(j =>
