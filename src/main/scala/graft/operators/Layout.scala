@@ -112,7 +112,39 @@ object Layout {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy("lang", "source")
 
+  /** Dynamic partition pruning — the RUNTIME half of the layout story:
+    * the fact side is partitioned by lang, but the predicate lives on a
+    * DIMENSION attribute (`tier = 'keep'`), so static pruning can't
+    * fire; Catalyst plants a `dynamicpruningexpression` on the fact
+    * scan's PartitionFilters and prunes directories with the dim's
+    * runtime row set (the broadcast reused as the pruning subquery).
+    * At 100 TB with date/lang-partitioned facts this is THE mechanism
+    * that keeps star-schema joins from scanning every partition —
+    * PlanSpec locks the dynamicpruning marker on the scan. */
+  def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = s.read.parquet(ensurePartitioned(s, dir))
+    // a REAL dim table (file-based): DPP's selective-predicate heuristic
+    // needs a Filter over a scan — a literal LocalRelation folds the
+    // filter away and no pruning subquery is planted
+    val dimPath = graft.core.Scratch.dir("langdim", dir)
+    if (!graft.core.Trust.parquetDir(s, dimPath, 5L))
+      Seq(("en", "keep"), ("fr", "keep"), ("de", "drop"),
+        ("es", "drop"), ("zh", "drop")).toDF("lang", "tier")
+        .repartition(1).write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    part.join(dim.filter(col("tier") === "keep"), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "dpp_join" ->
+      """SELECT lang, count(*) AS n,
+        |  max(n_chars) AS max_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "partitioned_scan" ->
       """SELECT lang, source, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
@@ -129,6 +161,7 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_scan" -> (zorderScan _),
-    "partitioned_scan" -> (partitionedScan _)
+    "partitioned_scan" -> (partitionedScan _),
+    "dpp_join" -> (dppJoin _)
   )
 }

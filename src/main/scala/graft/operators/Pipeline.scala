@@ -420,6 +420,50 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Temperature-scaled domain mixing — the standard multilingual/
+    * multi-source LM sampling rule q_d ∝ p_d^α with α = 0.5: sampling
+    * shares are square-rooted corpus shares, upsampling low-resource
+    * sources and downsampling dominant ones while keeping the output
+    * size ≈ the corpus size. All boundary math is EXACT INTEGER so the
+    * oracle hash-matches: the only float op is sqrt (correctly rounded
+    * by IEEE in both engines), immediately quantized to integer micros;
+    * per-source per-doc copies-in-permille then come from one long
+    * division, and fractional copies are decided by the same salted
+    * doc-id hash device as [[mixDomains]] (a property of the document —
+    * stable under re-runs and resharding). The mixture table is
+    * k-sized (one row per source) and rides a broadcast; the corpus
+    * pays one groupBy(source) count and one map-side explode. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has perfectly uniform sources (temperature
+    // mixing would be an exact no-op), so the gate groups them into
+    // skewed DOMAINS first — head 60% / tail 40% — which exercises both
+    // the downsample (head < 1 copy) and upsample (tail > 1) branches
+    val d = docs(s, dir).withColumn("domain",
+      when(substring(col("source"), 4, 2).cast("int") < 12, "head")
+        .otherwise("tail"))
+    val q = d.groupBy("domain").agg(count(lit(1)).as("n_d"))
+      .withColumn("sq",
+        floor(sqrt(col("n_d").cast("double")) * 1000000L).cast("long"))
+    val rates = q.crossJoin(q.agg(sum(col("sq")).as("S"),
+        sum(col("n_d")).as("N")))
+      .withColumn("cm", expr("(sq * N * 1000) DIV (S * n_d)"))
+      .select("domain", "cm")
+    val h = pmod(
+      md5Hash60(concat(lit("mixt:"), col("doc_id").cast("string"))),
+      lit(1000))
+    d.select("doc_id", "domain")
+      .join(broadcast(rates), Seq("domain"))
+      .withColumn("copies",
+        expr("cm DIV 1000").cast("int") +
+          when(h < col("cm") % 1000L, 1).otherwise(0))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("domain"),
+        explode(sequence(lit(0), col("copies") - 1)).as("epoch"))
+      .select(col("doc_id"), col("domain"),
+        col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Deterministic corpus SHUFFLE — the "shuffle your training data"
     * step as a seeded PERMUTATION, not rand(): global position = rank
     * by (salted doc-id hash, doc_id), so the same corpus always
@@ -620,6 +664,31 @@ object Pipeline {
         |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
         |FROM c WHERE copies > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+    "mix_temperature" ->
+      """WITH dd AS (SELECT doc_id,
+        |    CASE WHEN substr(source, 4, 2)::INT < 12 THEN 'head'
+        |         ELSE 'tail' END AS domain
+        |  FROM documents),
+        |n AS (SELECT domain, count(*) AS n_d FROM dd GROUP BY 1),
+        |q AS (SELECT domain, n_d,
+        |    CAST(floor(sqrt(n_d::DOUBLE) * 1000000) AS BIGINT) AS sq
+        |  FROM n),
+        |t AS (SELECT CAST(sum(sq) AS BIGINT) AS S,
+        |    CAST(sum(n_d) AS BIGINT) AS N FROM q),
+        |r AS (SELECT domain, (sq * N * 1000) // (S * n_d) AS cm
+        |  FROM q, t),
+        |w AS (SELECT d.doc_id, d.domain, r.cm,
+        |    ('0x' || substr(md5('mixt:' || d.doc_id), 1, 15))::BIGINT
+        |      % 1000 AS h
+        |  FROM dd d JOIN r USING (domain)),
+        |c AS (SELECT doc_id, domain,
+        |    cm // 1000 + CASE WHEN h < cm % 1000 THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM w)
+        |SELECT doc_id, domain,
+        |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(regexp_extract_all(lower(text),
@@ -673,6 +742,7 @@ object Pipeline {
     "contrastive_negatives" -> (negativePairs _),
     "pack_sequences" -> (packSequences _),
     "mix_domains" -> (mixDomains _),
+    "mix_temperature" -> (mixTemperature _),
     "sample_dsir" -> (dsirSample _)
   )
 }

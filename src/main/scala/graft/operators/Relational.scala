@@ -1459,6 +1459,36 @@ object Relational {
     Seq((v(0), v(1), v(2))).toDF("q25", "q50", "q75")
   }
 
+  /** One-pass MERGEABLE quantile sketch — the third point on the
+    * quantile trade-off ([[quantilesOrders]] exact-but-single-task,
+    * [[quantilesOrdersDist]] exact-but-two-jobs): an equi-width integer
+    * histogram ($10k bins over price cents) built in ONE map-side-
+    * combined aggregate, from which any quantile reads off as the first
+    * bin whose cumulative count reaches ⌈q·N⌉. Histogram counts merge
+    * by addition, so at 100 TB this is the shape a streaming/partial
+    * refresh pipeline keeps (the same merge-by-+ contract as the KMV
+    * distinct sketch); error is bounded by the bin width, and every
+    * number is an exact integer — the oracle replays the identical
+    * arithmetic. The cumulative pass runs over the ≤50-row histogram,
+    * never the data. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val binW = 1000000L // $10k in cents
+    val h = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("pc"))
+      .select(expr(s"pc DIV $binW").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(h.agg(sum(col("c")).as("N")))
+    // qMicro: quantile in exact integer millionths — no float boundary
+    def edge(qMicro: Long, name: String): Column =
+      min(when(col("cum") * lit(1000000L) >= lit(qMicro) * col("N"),
+        (col("bin") + 1) * binW)).as(name)
+    cum.agg(edge(500000L, "p50_ub"), edge(950000L, "p95_ub"),
+      max(col("N")).as("n"))
+  }
+
   /** Embedded-document $elemMatch under the gate: metadata carries an
     * array of sub-documents ({k, n} items synthesized from `documents`
     * columns) and ONE element must satisfy the whole sub-filter — the
@@ -2392,6 +2422,21 @@ object Relational {
         |ORDER BY doc_id, pos""".stripMargin,
     "sql_window_battery" -> windowBatterySql,
     "quantiles_orders" -> quantilesOracleSql,
+    "quantile_sketch" ->
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    // 1000000 AS bin FROM orders),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM h),
+        |cm AS (SELECT bin, c,
+        |    CAST(sum(c) OVER (ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
+        |SELECT
+        |  min(CASE WHEN cum * 1000000 >= 500000 * N
+        |    THEN (bin + 1) * 1000000 END) AS p50_ub,
+        |  min(CASE WHEN cum * 1000000 >= 950000 * N
+        |    THEN (bin + 1) * 1000000 END) AS p95_ub,
+        |  max(N) AS n
+        |FROM cm, t""".stripMargin,
     // identical answer contract: the dist variant is storage/execution
     // strategy, not different math
     "quantiles_orders_dist" -> quantilesOracleSql,
@@ -3018,6 +3063,7 @@ object Relational {
     "lateral_explode" -> (lateralExplode _),
     "sql_window_battery" -> (sqlWindowBattery _),
     "quantiles_orders" -> (quantilesOrders _),
+    "quantile_sketch" -> (quantileSketch _),
     "quantiles_orders_dist" -> (quantilesOrdersDist _),
     "quantiles_by_status" -> (quantilesByStatus _),
     "mql_elem_match" -> (mqlElemMatch _),

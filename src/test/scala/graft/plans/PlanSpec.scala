@@ -747,6 +747,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dpp_join: the dim predicate prunes fact PARTITIONS at runtime " +
+      "— dynamicpruningexpression on the partitioned scan") {
+    val p = plan(graft.operators.Layout.dppJoin(spark, sf0001))
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
+  test("quantile_sketch: one map-side-combined histogram aggregate — " +
+      "partial_count before the exchange, window only over the bins") {
+    val p = plan(Relational.quantileSketch(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("embed_project: projection + scoring never shuffle the " +
       "candidates — top-k is a heap, no hash exchange anywhere") {
     val p = plan(graft.operators.Cluster.embedProject(spark, sf0001))
