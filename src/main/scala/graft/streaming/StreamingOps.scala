@@ -68,6 +68,42 @@ object StreamingOps {
     s.table(name).orderBy("hour_epoch_s", "event_type")
   }
 
+  /** The [[graft.operators.Relational.quantileSketch]] histogram built
+    * INCREMENTALLY — the merge-by-addition contract running live: each
+    * micro-batch's partial bin counts merge into streaming state by +,
+    * so the complete-mode table after AvailableNow equals the one-pass
+    * batch histogram exactly, and the quantile edges read off the
+    * ≤50-row result identically. State is O(bins), not O(events) — a
+    * quantile monitor over an unbounded stream holds 50 longs. */
+  def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_sketch_${runId.incrementAndGet()}"
+    val binW = 1000L // $10 bins over value cents
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(expr(s"CAST(round(value * 100) AS BIGINT) DIV $binW")
+          .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val h = s.table(name)
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(h.agg(sum(col("c")).as("N")))
+    def edge(qMicro: Long, nm: String) =
+      min(when(col("cum") * lit(1000000L) >= lit(qMicro) * col("N"),
+        (col("bin") + 1) * binW)).as(nm)
+    cum.agg(edge(500000L, "p50_ub"), edge(950000L, "p95_ub"),
+      max(col("N")).as("n"))
+  }
+
   /** Watermarked variant for unbounded sources (used by StreamingSpec via
     * MemoryStream): state for windows older than the 2h horizon is
     * finalized and dropped — late data beyond it is discarded. */
@@ -602,8 +638,23 @@ object StreamingOps {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     // identical to the batch events_hourly oracle — that IS the check:
     // incremental execution must converge to the batch answer.
+    "stream_sketch" ->
+      """WITH b AS (SELECT CAST(round(value * 100) AS BIGINT) // 1000
+        |    AS bin FROM events),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM h),
+        |cm AS (SELECT bin,
+        |    CAST(sum(c) OVER (ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
+        |SELECT
+        |  min(CASE WHEN cum * 1000000 >= 500000 * N
+        |    THEN (bin + 1) * 1000 END) AS p50_ub,
+        |  min(CASE WHEN cum * 1000000 >= 950000 * N
+        |    THEN (bin + 1) * 1000 END) AS p95_ub,
+        |  max(N) AS n
+        |FROM cm, t""".stripMargin,
     "events_hourly_stream" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
+"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
@@ -618,6 +669,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> (eventsHourlyStreaming _),
+    "stream_sketch" -> (streamSketch _),
     "stream_stream_join" -> (streamStreamJoin _),
     "stream_static_join" -> (streamStaticJoin _),
     "stream_ingest" -> (streamIngest _),
