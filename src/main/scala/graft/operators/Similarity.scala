@@ -188,6 +188,32 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Hard-negative MINING — the contrastive-training data op: each
+    * anchor gets its k CLOSEST vectors with a DIFFERENT label (the
+    * negatives that sit right at the decision boundary — the ones that
+    * actually move an embedding model, vs [[graft.operators.Pipeline]]'s
+    * hash-random negatives). Same WindowGroupLimit shape as [[knnJoin]]
+    * — the label predicate filters before the per-anchor top-k, so the
+    * shuffle still carries O(k · anchors · partitions); at 100 TB the
+    * LSH/IVF candidate generators compose in front exactly as for
+    * [[annJoinLsh]]. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("vec_id").asc)
+    e.filter(col("vec_id") % 100 =!= 7)
+      .crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("d", l2Sq(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"))
+      .orderBy("qid", "rank")
+  }
+
   /** LSH-accelerated kNN JOIN — the approximate scale path of
     * [[knnJoin]]: both sides band their hyperplane signatures (16
     * md5-seeded hyperplanes, 4 bands × 4 bits), candidates come from ONE
@@ -358,6 +384,16 @@ object Similarity {
          |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
          |  FROM embeddings e, q WHERE e.vec_id % 100 <> 7)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id % 100 = 7)
+         |SELECT qid, rank, vec_id, label FROM (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id % 100 <> 7 AND e.label <> q.ql)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_join_lsh" -> lshJoinOracle,
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
@@ -392,6 +428,7 @@ object Similarity {
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
+    "hard_negatives" -> (hardNegatives _),
     "ann_join_lsh" -> (annJoinLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_two_stage" -> (annTwoStage _)
