@@ -74,6 +74,27 @@ object Sessions {
       .orderBy("user_id", "sid")
   }
 
+  /** SFT-style behavioral-corpus build — the composite a fine-tuning
+    * data pipeline runs over event streams: [[assembleThreads]]'
+    * session documents, quality-gated (≥3 events — singleton sessions
+    * carry no sequence signal), then split train/val 90/10 by a salted
+    * hash of the (user, session) key — the split is a property of the
+    * SESSION (stable under re-runs and corpus growth, same device as
+    * split_corpus, and a user's sessions spread across both splits
+    * while no session straddles them). One user_id shuffle end to end. */
+  def pipelineSft(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    assembleThreads(s, dir)
+      .filter(col("n_events") >= 3)
+      .withColumn("split",
+        when(pmod(md5Hash60(concat(lit("sft:"),
+          col("user_id").cast("string"), lit(":"),
+          col("sid").cast("string"))), lit(100)) < 90, "train")
+          .otherwise("val"))
+      .select("user_id", "sid", "split", "n_events", "doc")
+      .orderBy("user_id", "sid")
+  }
+
   /** The same sessions through Spark's BUILT-IN session_window operator
     * (gap-merging group window) — one groupBy, no lag/running-sum
     * windows. Sessions agree with the lag formulation except for events
@@ -128,6 +149,31 @@ object Sessions {
          |  max(us) - min(us) AS span_us,
          |  string_agg(event_type, ' ' ORDER BY us, event_id) AS doc
          |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+    "pipeline_sft" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+         |  FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id, event_type,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us, event_id, event_type,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l),
+         |t AS (
+         |  SELECT user_id, sid, count(*) AS n_events,
+         |    string_agg(event_type, ' ' ORDER BY us, event_id) AS doc
+         |  FROM x GROUP BY 1, 2)
+         |SELECT user_id, sid,
+         |  CASE WHEN ('0x' || substr(md5('sft:' || user_id || ':' || sid),
+         |      1, 15))::BIGINT % 100 < 90
+         |    THEN 'train' ELSE 'val' END AS split,
+         |  n_events, doc
+         |FROM t WHERE n_events >= 3
+         |ORDER BY user_id, sid""".stripMargin,
     "sessionize_native" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
@@ -149,6 +195,7 @@ object Sessions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize" -> (sessionize _),
     "sessionize_native" -> (sessionizeNative _),
-    "assemble_threads" -> (assembleThreads _)
+    "assemble_threads" -> (assembleThreads _),
+    "pipeline_sft" -> (pipelineSft _)
   )
 }
