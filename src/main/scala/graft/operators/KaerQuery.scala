@@ -220,7 +220,23 @@ object KaerQuery {
          |    for i in generate_series(1, $Dim)]) ASC, v.doc_id ASC
          |LIMIT $K""".stripMargin
 
+  /** The Mongo `distinct` command through `Collection.distinctValues`
+    * under the oracle gate (so far spec-only): MQL-filtered distinct of
+    * a metadata field, returned client-side like the Mongo command —
+    * through the conf-capped guard (loud failure past
+    * `graft.distinct.max_values`, never a silent driver OOM). The
+    * k-sized result wraps back into a DataFrame for the hash compare. */
+  def distinctLangs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    openOrBuild(s, dir)
+      .distinctValues("lang", """{"n_chars": {"$gte": 500}}""")
+      .toDF("lang").orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "kaer_distinct" ->
+      """SELECT DISTINCT lang FROM documents
+        |WHERE n_chars >= 500 ORDER BY 1""".stripMargin,
     "kaer_query" -> flagshipOracleSql,
     // full probing ⇒ identical answer contract to the exact path
     "kaer_query_indexed" -> flagshipOracleSql,
@@ -242,6 +258,7 @@ object KaerQuery {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kaer_query" -> (flagship _),
+    "kaer_distinct" -> (distinctLangs _),
     "kaer_query_indexed" -> (flagshipIndexed _),
     "kaer_aggregate" -> (aggregateGroup _),
     "kaer_delete_update" -> (deleteUpdate _)
