@@ -974,6 +974,36 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** Event-type co-occurrence PMI — association mining over user
+    * contexts: do two event types appear in the SAME user's history
+    * more than independence predicts? The distinct (user, type) set is
+    * one dedup shuffle; pairs come from an equi-join on user_id with
+    * in-context fan-out bounded by the type cardinality squared (never
+    * corpus²); the PMI ratio is built as one division of two exact LONG
+    * products so both engines feed ln() the identical double (the bm25
+    * fixed-order-float device), rounded to 6dp. */
+  def eventPmi(s: SparkSession, dir: String): DataFrame = {
+    val ue = events(s, dir).select("user_id", "event_type").distinct()
+    val singles = ue.groupBy("event_type").agg(count(lit(1)).as("ns"))
+    val pairs = ue.select(col("user_id"), col("event_type").as("a"))
+      .join(ue.select(col("user_id"), col("event_type").as("b")),
+        Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("a"),
+        col("ns").as("na"))), Seq("a"))
+      .join(broadcast(singles.select(col("event_type").as("b"),
+        col("ns").as("nb"))), Seq("b"))
+      .crossJoin(broadcast(
+        ue.agg(countDistinct(col("user_id")).as("nu"))))
+      .withColumn("pmi", round(log(
+        (col("n_ab") * col("nu")).cast("double") /
+          (col("na") * col("nb")).cast("double")), 6))
+      .select("a", "b", "n_ab", "pmi")
+      .orderBy("a", "b")
+  }
+
   /** Event transition matrix — the Markov-chain view of user behavior
     * (sequence-model featurization, UX flow analysis): for each user's
     * time-ordered event stream, count every adjacent (from → to) pair.
@@ -2821,8 +2851,24 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+    "event_pmi" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, count(*) AS ns FROM ue GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM ue),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    count(*) AS n_ab
+        |  FROM ue x JOIN ue y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab,
+        |  round(ln((n_ab * nu)::DOUBLE / (na.ns * nb.ns)::DOUBLE), 6)
+        |    AS pmi
+        |FROM p JOIN n na ON na.event_type = p.a
+        |  JOIN n nb ON nb.event_type = p.b, t
+        |ORDER BY a, b""".stripMargin,
     "event_transitions" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
+"""WITH ev AS (SELECT user_id, event_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
         |nx AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id
@@ -3048,6 +3094,7 @@ object Relational {
     "funnel_steps" -> (funnelSteps _),
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
+    "event_pmi" -> (eventPmi _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "dq_checks" -> (dqChecks _),
