@@ -129,7 +129,39 @@ object Cluster {
       .select("vec_id", "score")
   }
 
+  /** Per-dimension SUFFICIENT STATISTICS over the quantized corpus —
+    * the distributed form of feature standardization (z-scoring before
+    * clustering/ANN): (n, Σq, Σq²) per dimension, all exact LONG (Σq²
+    * ≤ rows·2^42 — overflow-safe far past this scale), plus the exact
+    * floor-mean. Sufficient stats MERGE BY ADDITION across partitions
+    * and batches (the same contract as the histogram sketch), so the
+    * 100 TB path is one posexplode (the input's own volume) into a
+    * 64-row partial-aggregated groupBy; the standardization itself is
+    * then per-row arithmetic against the broadcast 64-row table. */
+  def embedStats(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(posexplode(quant(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .withColumn("mean_q",
+        floor(col("s1").cast("double") / col("n")).cast("long"))
+      .select(col("pos").cast("long").as("pos"), col("n"),
+        col("s1"), col("s2"), col("mean_q"))
+      .orderBy("pos")
+
   val oracle: Map[String, String] = Map(
+    "embed_stats" ->
+      s"""WITH q AS (SELECT
+         |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
+         |  FROM embeddings),
+         |ex AS (SELECT unnest(qe) AS v,
+         |    unnest(generate_series(0, 63)) AS pos FROM q)
+         |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+         |  CAST(sum(v) AS BIGINT) AS s1,
+         |  CAST(sum(v * v) AS BIGINT) AS s2,
+         |  CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS mean_q
+         |FROM ex GROUP BY pos ORDER BY pos""".stripMargin,
     "kmeans_step" ->
       s"""WITH q AS (SELECT vec_id,
          |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
@@ -174,6 +206,7 @@ object Cluster {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_step" -> (kmeansStep _),
-    "embed_project" -> (embedProject _)
+    "embed_project" -> (embedProject _),
+    "embed_stats" -> (embedStats _)
   )
 }
