@@ -495,6 +495,38 @@ object Pipeline {
     }.toDF("pos", "doc_id").orderBy("pos")
   }
 
+  /** Length-bucketed inference BATCHING — the serving-side twin of
+    * sequence packing: documents ranked by (token count, doc_id) and
+    * cut into fixed-size batches of 32, so each batch holds
+    * similar-length inputs (padding waste in a batched forward pass is
+    * set by the longest element — length-sorted batches are the
+    * standard mitigation). The global rank uses the same two-phase
+    * distributed device as [[corpusShuffle]] (range partition → P
+    * counts to the driver → broadcast offsets → per-partition counter),
+    * never a one-task window. */
+  def batchByLength(s: SparkSession, dir: String): DataFrame = {
+    val BatchSize = 32
+    val d = docs(s, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val P = 8
+    val parts = d.repartitionByRange(P, col("n_tok"), col("doc_id"))
+      .sortWithinPartitions("n_tok", "doc_id").localCheckpoint()
+    val rdd = parts.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      Iterator((pi, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2) // bounded: P longs
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bcOff = s.sparkContext.broadcast(offsets)
+    import s.implicits._
+    rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var pos = bcOff.value(pi)
+      it.map { r =>
+        val out = (r.getLong(0), r.getLong(1), pos / BatchSize)
+        pos += 1; out
+      }
+    }.toDF("doc_id", "n_tok", "batch").orderBy("doc_id")
+  }
+
   /** Sequence PACKING — the final shard-assembly step of a training-data
     * build: documents packed greedily, in doc_id order, into fixed
     * token-budget contexts (2048 here). Contract: a document's bin is
@@ -664,6 +696,13 @@ object Pipeline {
         |  unnest(generate_series(0, copies - 1))::BIGINT AS epoch
         |FROM c WHERE copies > 0
         |ORDER BY doc_id, epoch""".stripMargin,
+    "batch_by_length" ->
+      """WITH t AS (SELECT doc_id, len(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+'))::BIGINT AS n_tok FROM documents)
+        |SELECT doc_id, n_tok,
+        |  (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+        |    AS batch
+        |FROM t ORDER BY doc_id""".stripMargin,
     "mix_temperature" ->
       """WITH dd AS (SELECT doc_id,
         |    CASE WHEN substr(source, 4, 2)::INT < 12 THEN 'head'
@@ -743,6 +782,7 @@ object Pipeline {
     "pack_sequences" -> (packSequences _),
     "mix_domains" -> (mixDomains _),
     "mix_temperature" -> (mixTemperature _),
+    "batch_by_length" -> (batchByLength _),
     "sample_dsir" -> (dsirSample _)
   )
 }

@@ -315,6 +315,66 @@ object Similarity {
       .select(col("doc_id"), col("kw_hits"), col("label"))
   }
 
+  /** MMR greedy over a candidate list — quantized integer scores so the
+    * selection is bit-deterministic: at each step pick argmax of
+    * 7·rel_µ − 3·maxSimToSelected_µ (λ = 0.7 scaled ×10), ties to the
+    * lowest id. Pure function over the k-sized candidate set; exposed
+    * for the spec's hand fixture. */
+  private[graft] def mmrPick(
+      cands: Seq[(Long, Int, Long, Array[Double])], // (id, label, relµ, vec)
+      k: Int): Seq[(Long, Int, Long)] = {
+    def cosµ(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0) 0L else math.round(dot / n * 1000000L)
+    }
+    val picked = collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    val chosen = collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val rest = collection.mutable.ArrayBuffer(cands: _*)
+    while (picked.length < k && rest.nonEmpty) {
+      val best = rest.minBy { case (id, _, relµ, v) =>
+        val maxSim =
+          if (chosen.isEmpty) 0L else chosen.map(c => cosµ(v, c)).max
+        (-(7L * relµ - 3L * maxSim), id)
+      }
+      picked += ((best._1, best._2, best._3))
+      chosen += best._4
+      rest -= best
+    }
+    picked.toSeq
+  }
+
+  /** DIVERSIFIED retrieval — maximal marginal relevance over the dense
+    * recall stage: the distributed top-[[RagK1]] (TakeOrderedAndProject,
+    * the same shape as [[ragRetrieve]]'s stage 1) feeds a query-node MMR
+    * greedy that trades relevance against similarity-to-already-picked
+    * (λ = 0.7) — the standard recall-distributed / rerank-on-the-
+    * query-node architecture (the greedy is inherently sequential and
+    * k²-sized; the k-sized collect is the documented bounded-fixture
+    * pattern). Integer-micro scores make the pick order deterministic.
+    * Iterative argmax ⇒ no SQL oracle; MmrSpec locks the semantics by
+    * hand fixture — rows-only under the driver. */
+  def ragDiverse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cands = emb(s, dir).crossJoin(broadcast(qv(s, dir, 42)))
+      .filter(col("vec_id") =!= 42)
+      .withColumn("relµ",
+        round(cosineSim(col("embedding"), col("qv")) * 1000000L)
+          .cast("long"))
+      .orderBy(col("relµ").desc, col("vec_id").asc)
+      .limit(RagK1)
+      .select(col("vec_id"), col("label"), col("relµ"), col("embedding"))
+      .collect() // RagK1-sized — bounded fixture, never the corpus
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Float](3).map(_.toDouble).toArray)).toSeq
+    mmrPick(cands, RagK).zipWithIndex
+      .map { case ((id, label, relµ), i) => (i + 1L, id, label, relµ) }
+      .toDF("rank", "vec_id", "label", "rel_micro")
+  }
+
   /** DuckDB-side squared L2 between two FLOAT[] lists, double math,
     * index order — mirrors VectorFunctions.l2Sq. */
   private def sqlL2(a: String, b: String, dim: Int = 64): String =
@@ -429,6 +489,7 @@ object Similarity {
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
     "hard_negatives" -> (hardNegatives _),
+    "rag_diverse" -> (ragDiverse _),
     "ann_join_lsh" -> (annJoinLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_two_stage" -> (annTwoStage _)
