@@ -139,7 +139,45 @@ object Layout {
       .orderBy("lang")
   }
 
+  /** Dynamic partition OVERWRITE — the backfill primitive: rewriting
+    * one partition's data must replace ONLY the partitions present in
+    * the incoming batch (static overwrite mode would truncate the whole
+    * table — the classic lakehouse footgun). The gate seeds the full
+    * lang-partitioned table, then overwrites just the `en` batch with
+    * revised rows; the readback proves `en` changed and every other
+    * partition survived — which IS the oracle's arithmetic. Rebuilt
+    * from scratch each run (the seed write is part of the op under
+    * test); conf is restored afterwards. */
+  def insertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Scratch.dir("dynover", dir)
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try {
+      d.write.mode("overwrite").partitionBy("lang").parquet(out)
+      d.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
   val oracle: Map[String, String] = Map(
+    "insert_overwrite" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+        |           ELSE n_chars END) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dpp_join" ->
       """SELECT lang, count(*) AS n,
         |  max(n_chars) AS max_chars
@@ -162,6 +200,7 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zorder_scan" -> (zorderScan _),
     "partitioned_scan" -> (partitionedScan _),
-    "dpp_join" -> (dppJoin _)
+    "dpp_join" -> (dppJoin _),
+    "insert_overwrite" -> (insertOverwrite _)
   )
 }
