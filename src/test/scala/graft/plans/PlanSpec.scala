@@ -747,6 +747,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hard_negatives: per-anchor top-k runs as WindowGroupLimit — " +
+      "k rows per anchor per partition ride the shuffle, label filter " +
+      "before the window, no cartesian") {
+    val p = plan(Similarity.hardNegatives(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mix_temperature: the k-sized mixture table rides a broadcast — " +
+      "the corpus never shuffles for the rate join") {
+    val p = plan(graft.operators.Pipeline.mixTemperature(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dpp_join: the dim predicate prunes fact PARTITIONS at runtime " +
       "— dynamicpruningexpression on the partitioned scan") {
     val p = plan(graft.operators.Layout.dppJoin(spark, sf0001))
