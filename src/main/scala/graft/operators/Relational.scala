@@ -974,6 +974,36 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** NULL-semantics battery — the correctness corners every engine
+    * must agree on before any null-bearing pipeline is trusted:
+    * `count(*)` vs `count(col)` (the latter skips nulls), DISTINCT
+    * counting (nulls excluded from COUNT DISTINCT but present as a
+    * distinct row), and NULL-SAFE equality (`<=>` / IS NOT DISTINCT
+    * FROM matches null=null where `=` yields unknown) exercised
+    * through a self-join of the distinct value set — per key, the
+    * null-safe match count is exactly distinct-non-null + (1 if a null
+    * is present), which the oracle recomputes independently. Planted
+    * nulls are deterministic (orderkey % 13). */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      (col("o_custkey") % 7).as("key"),
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_orderpriority")).as("v"))
+    val agg = base.groupBy("key").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("v")).as("n_v"),
+      countDistinct(col("v")).as("n_dv"))
+    val dv = base.distinct()
+    val nullsafe = dv.as("a")
+      .join(dv.as("b"),
+        col("a.key") === col("b.key") && (col("a.v") <=> col("b.v")))
+      .groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as("n_nullsafe"))
+    agg.join(nullsafe, Seq("key"))
+      .select("key", "n_rows", "n_v", "n_dv", "n_nullsafe")
+      .orderBy("key")
+  }
+
   /** Event-type co-occurrence PMI — association mining over user
     * contexts: do two event types appear in the SAME user's history
     * more than independence predicts? The distinct (user, type) set is
@@ -2851,6 +2881,21 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+    "null_semantics" ->
+      """WITH base AS (SELECT o_custkey % 7 AS key,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS v
+        |  FROM orders),
+        |agg AS (SELECT key, count(*) AS n_rows, count(v) AS n_v,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_dv
+        |  FROM base GROUP BY 1),
+        |dv AS (SELECT DISTINCT key, v FROM base),
+        |ns AS (SELECT a.key, count(*) AS n_nullsafe
+        |  FROM dv a JOIN dv b
+        |    ON a.key = b.key AND a.v IS NOT DISTINCT FROM b.v
+        |  GROUP BY 1)
+        |SELECT key, n_rows, n_v, n_dv, n_nullsafe
+        |FROM agg JOIN ns USING (key) ORDER BY key""".stripMargin,
     "event_pmi" ->
       """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
         |n AS (SELECT event_type, count(*) AS ns FROM ue GROUP BY 1),
@@ -3095,6 +3140,7 @@ object Relational {
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
     "event_pmi" -> (eventPmi _),
+    "null_semantics" -> (nullSemantics _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "dq_checks" -> (dqChecks _),
