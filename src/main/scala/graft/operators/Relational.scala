@@ -974,6 +974,58 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** WINSORIZE — outlier clipping at exact corpus percentiles, the
+    * feature-engineering step before any scale-sensitive model input:
+    * event values (integer cents) clip to [⌈p01⌉, ⌊p99⌋]. The two
+    * percentiles are one exact-percentile aggregate (interpolation
+    * cross-engine-proven by the quantiles gates) broadcast back over
+    * the corpus; clipping and the per-type rollup are then exact LONG
+    * math. Emits kept/clipped counts beside the clipped sum so every
+    * row's clip decision is under the hash. */
+  def winsorizeValues(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val bounds = c.agg(
+      ceil(expr("percentile(c, 0.01)")).cast("long").as("lo"),
+      floor(expr("percentile(c, 0.99)")).cast("long").as("hi"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("cc", greatest(least(col("c"), col("hi")), col("lo")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cc")).as("clipped_cents"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Telemetry DEBOUNCE — drop repeat events of the same (user, type)
+    * arriving within 5 minutes of the previous occurrence, keeping the
+    * first of each burst: the standard event-stream cleaning step
+    * (double-clicks, retry storms, duplicate beacons). Burst membership
+    * chains through consecutive gaps, which is exactly the
+    * sessionization device keyed on (user_id, event_type) — one lag
+    * window marks burst heads, and only heads survive. One shuffle on
+    * the composite key; emitted as per-(user, type) kept/dropped counts
+    * so the gate checks every row's keep decision in aggregate. */
+  def eventsDebounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 5L * 60 * 1000000
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val prev = lag(col("us"), 1).over(w)
+    events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("head",
+        when(prev.isNull || col("us") - prev > GapUs, 1L).otherwise(0L))
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("head")).as("kept"),
+        (count(lit(1)) - sum(col("head"))).as("dropped"))
+      .filter(col("dropped") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
   /** NULL-semantics battery — the correctness corners every engine
     * must agree on before any null-bearing pipeline is trusted:
     * `count(*)` vs `count(col)` (the latter skips nulls), DISTINCT
@@ -2881,6 +2933,33 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+    "winsorize_values" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT CAST(ceil(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS hi FROM c)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(greatest(least(c, hi), lo)) AS BIGINT)
+        |    AS clipped_cents,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi
+        |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 300000000 THEN 1 ELSE 0 END
+        |      AS head
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id))
+        |SELECT user_id, event_type,
+        |  CAST(sum(head) AS BIGINT) AS kept,
+        |  CAST(count(*) - sum(head) AS BIGINT) AS dropped
+        |FROM l GROUP BY 1, 2 HAVING count(*) - sum(head) > 0
+        |ORDER BY user_id, event_type""".stripMargin,
     "null_semantics" ->
       """WITH base AS (SELECT o_custkey % 7 AS key,
         |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
@@ -3141,6 +3220,8 @@ object Relational {
     "event_transitions" -> (eventTransitions _),
     "event_pmi" -> (eventPmi _),
     "null_semantics" -> (nullSemantics _),
+    "events_debounce" -> (eventsDebounce _),
+    "winsorize_values" -> (winsorizeValues _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "dq_checks" -> (dqChecks _),
