@@ -74,6 +74,25 @@ object Sessions {
       .orderBy("user_id", "sid")
   }
 
+  /** Interval COVERAGE — concurrent-session counts per 6-hour window,
+    * the ops/capacity view of sessionized data ("how many sessions were
+    * active when"). The interval×window overlap join is computed
+    * WITHOUT a quadratic interval join: each session explodes to the
+    * windows its [start, end] span covers (fan-out bounded by session
+    * length ÷ window width — sessions are gap-bounded, so small), then
+    * one grouped count per window. The same span-explode blocking that
+    * the range/geo joins use, applied to interval coverage. */
+  def intervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val W = 6L * 3600 * 1000000 // 6 hours in µs
+    sessionize(s, dir)
+      .select(explode(sequence(
+        expr(s"start_us DIV $W"), expr(s"end_us DIV $W"))).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_active"))
+      .select((col("b") * W).as("window_start_us"), col("n_active"))
+      .orderBy("window_start_us")
+  }
+
   /** SFT-style behavioral-corpus build — the composite a fine-tuning
     * data pipeline runs over event streams: [[assembleThreads]]'
     * session documents, quality-gated (≥3 events — singleton sessions
@@ -149,6 +168,28 @@ object Sessions {
          |  max(us) - min(us) AS span_us,
          |  string_agg(event_type, ' ' ORDER BY us, event_id) AS doc
          |FROM x GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin,
+    "interval_coverage" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+         |l AS (
+         |  SELECT user_id, us, event_id,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w > $GapUs THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |x AS (
+         |  SELECT user_id, us,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM l),
+         |sess AS (
+         |  SELECT min(us) AS start_us, max(us) AS end_us
+         |  FROM x GROUP BY user_id, sid),
+         |cov AS (
+         |  SELECT unnest(generate_series(start_us // 21600000000,
+         |    end_us // 21600000000)) AS b FROM sess)
+         |SELECT b * 21600000000 AS window_start_us,
+         |  count(*) AS n_active
+         |FROM cov GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_sft" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
@@ -196,6 +237,7 @@ object Sessions {
     "sessionize" -> (sessionize _),
     "sessionize_native" -> (sessionizeNative _),
     "assemble_threads" -> (assembleThreads _),
+    "interval_coverage" -> (intervalCoverage _),
     "pipeline_sft" -> (pipelineSft _)
   )
 }
