@@ -409,6 +409,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fused ONE-PASS annotation — token count, language id, rolling-hash
+    * fingerprint, and the quality keep flag computed together in a
+    * single scan. At 100 TB this is the difference between annotating
+    * the corpus once and re-reading it once per feature: every
+    * annotator here is a per-row codegen'd expression, so fusing them
+    * is free (one WholeStageCodegen span) and the scan is paid once.
+    * Each feature individually matches its standalone gate
+    * (text_tokens / text_langid / text_fingerprint / quality_filter). */
+  def annotateDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, langId}
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      langId(tokens(col("text"))).as("lang_pred"),
+      fingerprint(col("text"), 8).as("fp"),
+      Pipeline.qualityKeep.as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- DuckDB twins -------------------------------------------------
 
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -556,6 +575,25 @@ object TextAnalysis {
          |  $cnts
          |  FROM documents)) ORDER BY doc_id""".stripMargin
     },
+    "annotate_docs" -> {
+      val langs = langMarkers.keys.toSeq.sorted
+      val cnts = langs.map(l => s"${sqlLangCnt(l)} AS c_$l").mkString(",\n  ")
+      val m = langs.map(l => s"c_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN c_$l = m THEN '$l'").mkString(" ")
+      val colList = langs.map(l => s"c_$l").mkString(", ")
+      s"""SELECT doc_id, n_tok,
+         |  CASE WHEN m = 0 THEN 'und' $cases END AS lang_pred,
+         |  fp, keep
+         |FROM (SELECT doc_id, n_tok, $colList, $m AS m, fp, keep FROM (
+         |  SELECT doc_id, len($sqlToks)::BIGINT AS n_tok,
+         |  $cnts,
+         |  COALESCE(
+         |    list_min([('0x' || substr(md5(substr(lower(text), i, 8)), 1, 15))::BIGINT
+         |      for i in generate_series(1, length(lower(text)) - 7)]),
+         |    ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT) AS fp,
+         |  (${graft.operators.Pipeline.sqlKeep}) AS keep
+         |  FROM documents)) ORDER BY doc_id""".stripMargin
+    },
     "text_fingerprint" ->
       // COALESCE fallback mirrors fingerprint()'s short-text branch
       // (texts < 8 chars have no 8-grams → hash the whole lowered text).
@@ -611,6 +649,7 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "annotate_docs" -> (annotateDocs _),
     "text_normalize" -> (textNormalize _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),

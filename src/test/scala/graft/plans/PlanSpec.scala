@@ -747,6 +747,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("annotate_docs: all four annotators fuse into ONE scan — a " +
+      "single parquet read, no joins, no repeated passes") {
+    val p = plan(graft.operators.TextAnalysis.annotateDocs(spark, sf0001))
+    // one file index = one pass over the corpus (formatted mode prints
+    // the scan twice — tree line + detail — so count Locations)
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("hard_negatives: per-anchor top-k runs as WindowGroupLimit — " +
       "k rows per anchor per partition ride the shuffle, label filter " +
       "before the window, no cartesian") {
