@@ -974,6 +974,29 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** SKEW REPORT — the pre-join diagnosis for a 100 TB shuffle: the
+    * key-frequency distribution of the join column, in one pass over
+    * the per-key counts (which are themselves one map-side-combined
+    * aggregate). `max/mean` ratio ≥ threshold is the standard salt-or-
+    * broadcast trigger; p99 separates one hot key from a hot region.
+    * All integer: the mean rides as ppm via exact long division, the
+    * p99 is the exact percentile of counts (cross-engine-proven
+    * interpolation), and the hottest key is reported with a
+    * deterministic low-key tie-break. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val mx = counts.agg(max(col("c")).as("mx"))
+    counts.crossJoin(broadcast(mx)).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_freq"),
+      expr("percentile(c, 0.99)").as("p99_freq"),
+      min(when(col("c") === col("mx"), col("k"))).as("hottest_key"),
+      expr("(sum(c) * 1000000) DIV count(1)").as("mean_freq_ppm"))
+  }
+
   /** WINSORIZE — outlier clipping at exact corpus percentiles, the
     * feature-engineering step before any scale-sensitive model input:
     * event values (integer cents) clip to [⌈p01⌉, ⌊p99⌋]. The two
@@ -2933,6 +2956,18 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT l_orderkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT max(c) AS mx FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_freq,
+        |  quantile_cont(c, 0.99) AS p99_freq,
+        |  min(CASE WHEN c = mx THEN k END) AS hottest_key,
+        |  CAST(sum(c) * 1000000 // count(*) AS BIGINT)
+        |    AS mean_freq_ppm
+        |FROM c, m""".stripMargin,
     "winsorize_values" ->
       """WITH c AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
@@ -3222,6 +3257,7 @@ object Relational {
     "null_semantics" -> (nullSemantics _),
     "events_debounce" -> (eventsDebounce _),
     "winsorize_values" -> (winsorizeValues _),
+    "skew_report" -> (skewReport _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "dq_checks" -> (dqChecks _),
