@@ -974,6 +974,48 @@ object Relational {
       .orderBy("wk0", "wk_off")
   }
 
+  /** RFM SEGMENTATION — the classic multi-metric customer bucketing
+    * (recency / frequency / monetary quartiles), computed WITHOUT the
+    * textbook global-ntile window (a single task over every customer at
+    * scale): each metric's three quartile THRESHOLDS come from one
+    * exact-percentile aggregate (cross-engine-proven interpolation) and
+    * bucket membership is then three parallel integer comparisons per
+    * row — scan-speed, any customer count. Recency is exact integer
+    * days against the corpus's own max order date; money is per-row
+    * integer cents. Output: per-segment census. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val per = o.groupBy("o_custkey").agg(
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+      count(lit(1)).as("f"),
+      sum(cents(col("o_totalprice"))).as("m"))
+    val anchor = o.agg(
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("anchor_us"))
+    val rfm = per.crossJoin(broadcast(anchor))
+      .withColumn("r", expr("(anchor_us - last_us) DIV 86400000000"))
+    val th = rfm.agg(
+      expr("percentile(r, 0.25)").as("r25"),
+      expr("percentile(r, 0.5)").as("r50"),
+      expr("percentile(r, 0.75)").as("r75"),
+      expr("percentile(f, 0.25)").as("f25"),
+      expr("percentile(f, 0.5)").as("f50"),
+      expr("percentile(f, 0.75)").as("f75"),
+      expr("percentile(m, 0.25)").as("m25"),
+      expr("percentile(m, 0.5)").as("m50"),
+      expr("percentile(m, 0.75)").as("m75"))
+    def q(v: String, p: String): Column =
+      lit(1L) + (col(v) > col(s"${p}25")).cast("long") +
+        (col(v) > col(s"${p}50")).cast("long") +
+        (col(v) > col(s"${p}75")).cast("long")
+    rfm.crossJoin(broadcast(th))
+      .withColumn("segment",
+        q("r", "r") * 100L + q("f", "f") * 10L + q("m", "m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).as("m_cents"))
+      .orderBy("segment")
+  }
+
   /** SKEW REPORT — the pre-join diagnosis for a 100 TB shuffle: the
     * key-frequency distribution of the join column, in one pass over
     * the per-key counts (which are themselves one map-side-combined
@@ -2956,6 +2998,40 @@ object Relational {
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(epoch_us(o_orderdate)) AS last_us,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(epoch_us(o_orderdate)) AS anchor_us
+        |  FROM orders),
+        |rfm AS (SELECT o_custkey, f, m,
+        |    (anchor_us - last_us) // 86400000000 AS r FROM per, a),
+        |th AS (SELECT
+        |    quantile_cont(r, 0.25) AS r25, quantile_cont(r, 0.5) AS r50,
+        |    quantile_cont(r, 0.75) AS r75,
+        |    quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+        |    quantile_cont(f, 0.75) AS f75,
+        |    quantile_cont(m, 0.25) AS m25, quantile_cont(m, 0.5) AS m50,
+        |    quantile_cont(m, 0.75) AS m75
+        |  FROM rfm),
+        |seg AS (SELECT m,
+        |    (1 + CASE WHEN r > r25 THEN 1 ELSE 0 END
+        |       + CASE WHEN r > r50 THEN 1 ELSE 0 END
+        |       + CASE WHEN r > r75 THEN 1 ELSE 0 END) * 100
+        |  + (1 + CASE WHEN f > f25 THEN 1 ELSE 0 END
+        |       + CASE WHEN f > f50 THEN 1 ELSE 0 END
+        |       + CASE WHEN f > f75 THEN 1 ELSE 0 END) * 10
+        |  + (1 + CASE WHEN m > m25 THEN 1 ELSE 0 END
+        |       + CASE WHEN m > m50 THEN 1 ELSE 0 END
+        |       + CASE WHEN m > m75 THEN 1 ELSE 0 END) AS segment
+        |  FROM rfm, th)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(m) AS BIGINT) AS m_cents
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
     "skew_report" ->
       """WITH c AS (SELECT l_orderkey AS k, count(*) AS c
         |  FROM lineitem GROUP BY 1),
@@ -3258,6 +3334,7 @@ object Relational {
     "events_debounce" -> (eventsDebounce _),
     "winsorize_values" -> (winsorizeValues _),
     "skew_report" -> (skewReport _),
+    "rfm_segments" -> (rfmSegments _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "dq_checks" -> (dqChecks _),
