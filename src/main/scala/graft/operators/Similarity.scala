@@ -354,9 +354,10 @@ object Similarity {
     * (λ = 0.7) — the standard recall-distributed / rerank-on-the-
     * query-node architecture (the greedy is inherently sequential and
     * k²-sized; the k-sized collect is the documented bounded-fixture
-    * pattern). Integer-micro scores make the pick order deterministic.
-    * Iterative argmax ⇒ no SQL oracle; MmrSpec locks the semantics by
-    * hand fixture — rows-only under the driver. */
+    * pattern). Integer-micro scores make the pick order deterministic —
+    * which also makes the fixed-k greedy oracle-expressible as a k-round
+    * unrolled CTE chain ([[mmrOracle]], the graph_pagerank device);
+    * MmrSpec additionally locks the semantics by hand fixture. */
   def ragDiverse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cands = emb(s, dir).crossJoin(broadcast(qv(s, dir, 42)))
@@ -383,7 +384,56 @@ object Similarity {
   private def sqlDot(a: String, b: String): String =
     s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in generate_series(1,64)])"
 
+  /** Integer-micro cosine between two FLOAT[] lists — DuckDB twin of
+    * mmrPick's cosµ (round half-up matches for the non-negative sims
+    * that occur here; zero norm → 0 via coalesce∘nullif). */
+  private def sqlCosMu(a: String, b: String): String =
+    s"""CAST(coalesce(round(${sqlDot(a, b)} /
+       | nullif(sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}), 0)
+       | * 1000000), 0) AS BIGINT)""".stripMargin.replace("\n", "")
+
+  /** rag_diverse oracle: the k=[[RagK]] MMR greedy unrolled — round 1
+    * picks argmax relevance; round n collects the n−1 chosen embeddings
+    * into ONE list (ch$n) and picks argmax of 7·relµ − 3·maxSimµ over
+    * the remaining candidates, ties to the lowest id — exactly mmrPick's
+    * comparator. CTEs are MATERIALIZED so the chain evaluates linearly
+    * (un-materialized, each p$n would re-evaluate every earlier round —
+    * exponential). Verified bit-equal to an independent MMR replica. */
+  private def mmrOracle: String = {
+    val head =
+      s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+         |cands AS MATERIALIZED (SELECT vec_id, label,
+         |    CAST(round(${sqlDot("embedding", "qv")} /
+         |      nullif(sqrt(${sqlDot("embedding", "embedding")})
+         |        * sqrt(${sqlDot("qv", "qv")}), 0)
+         |      * 1000000) AS BIGINT) AS rel,
+         |    embedding
+         |  FROM embeddings, q WHERE vec_id <> 42
+         |  ORDER BY rel DESC, vec_id ASC LIMIT $RagK1),
+         |p1 AS MATERIALIZED (SELECT vec_id, label, rel, embedding
+         |  FROM cands ORDER BY rel DESC, vec_id ASC LIMIT 1)""".stripMargin
+    val rounds = (2 to RagK).map { n =>
+      val prev = (1 until n)
+        .map(j => s"SELECT vec_id, embedding FROM p$j")
+        .mkString(" UNION ALL ")
+      s"""ch$n AS MATERIALIZED (SELECT list(vec_id) AS ids,
+         |  list(embedding) AS chs FROM ($prev)),
+         |p$n AS MATERIALIZED (
+         |  SELECT c.vec_id, c.label, c.rel, c.embedding FROM cands c, ch$n
+         |  WHERE NOT list_contains(ch$n.ids, c.vec_id)
+         |  ORDER BY 7 * c.rel - 3 * list_max(
+         |      [${sqlCosMu("c.embedding", "ce")} for ce in ch$n.chs]) DESC,
+         |    c.vec_id ASC LIMIT 1)""".stripMargin
+    }
+    val finalSel = (1 to RagK).map(n =>
+      s"SELECT CAST($n AS BIGINT) AS rank, vec_id, label, rel AS rel_micro FROM p$n")
+      .mkString("\nUNION ALL\n")
+    ((head +: rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$finalSel\n) ORDER BY rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "rag_diverse" -> mmrOracle,
     "rag_retrieve" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |  WHERE vec_id = 42),
