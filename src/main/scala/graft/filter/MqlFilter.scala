@@ -16,7 +16,9 @@ import scala.jdk.CollectionConverters._
   * Supported operators (SURVEY.md §2.5): implicit equality, $eq $ne $gt
   * $gte $lt $lte, $in $nin, $and $or $not $nor, $exists $type, $regex,
   * $mod, $all $size, $elemMatch (both the operator-object form over
-  * scalar arrays and the embedded-document form over arrays of objects).
+  * scalar arrays and the embedded-document form over arrays of objects),
+  * and $expr (aggregation expressions — arithmetic, string ops,
+  * array-operand comparisons — inside the find filter).
   *
   * MQL type bracketing: numbers compare across int/long/double; strings
   * only compare with strings; a missing field fails every positive
@@ -237,6 +239,7 @@ object MqlFilter {
           .reduceLeft(_ || _)
         case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
           .reduceLeft(_ || _)
+        case ("$expr", v) => tv(exprBool(v, r))
         case (field, v) if v.isObject && isOpObject(v) =>
           opObjectPred(field, v, r)
         case (field, v) => fieldOp(field, "$eq", v, r)
@@ -245,6 +248,96 @@ object MqlFilter {
     // MQL: the empty filter {} matches everything.
     clauses.reduceLeftOption(_ && _).getOrElse(lit(true))
   }
+
+  // -------------------------------------------------------------------
+  // $expr — aggregation expressions inside find filters (the standard
+  // Mongo form {$expr: {...}} FerretDB accepts through the delegated
+  // filter). Comparisons take ARRAY operands ({$gt: ["$a", e]}) and
+  // resolve field refs through the NUMERIC view unless the opposite
+  // operand is string-shaped (a string literal or a string operator),
+  // in which case both sides go through the STRING view — the same
+  // per-position bracketing MqlPipeline's $cond documents. Arithmetic
+  // is double math (MQL's cross-numeric bracketing).
+  // -------------------------------------------------------------------
+
+  /** Is this operand string-shaped (string literal or string operator)? */
+  private def isStrShaped(n: JsonNode): Boolean =
+    (n.isTextual && !n.asText().startsWith("$")) ||
+      (n.isObject && n.size() == 1 && {
+        val k = n.properties().asScala.head.getKey
+        k == "$concat" || k == "$toUpper" || k == "$toLower"
+      })
+
+  /** Numeric view of an $expr operand. */
+  private def exprNum(n: JsonNode, r: FieldResolver): Column =
+    if (n.isNumber) lit(n.asDouble())
+    else if (n.isTextual && n.asText().startsWith("$"))
+      r.num(n.asText().drop(1))
+    else if (n.isObject && n.size() == 1) {
+      val e = n.properties().asScala.head
+      lazy val args = e.getValue.elements().asScala.toSeq
+        .map(exprNum(_, r))
+      e.getKey match {
+        case "$add" => args.reduceLeft(_ + _)
+        case "$subtract" => val Seq(a, b) = args; a - b
+        case "$multiply" => args.reduceLeft(_ * _)
+        case "$divide" => val Seq(a, b) = args; a / b
+        case "$abs" => abs(exprNum(e.getValue, r))
+        case "$toDouble" => exprNum(e.getValue, r)
+        case "$toLong" =>
+          exprNum(e.getValue, r).cast("long").cast("double")
+        case other => throw new IllegalArgumentException(
+          s"unsupported $$expr numeric operator: $other")
+      }
+    } else throw new IllegalArgumentException(s"not numeric: $n")
+
+  /** String view of an $expr operand. */
+  private def exprStr(n: JsonNode, r: FieldResolver): Column =
+    if (n.isTextual && n.asText().startsWith("$"))
+      r.str(n.asText().drop(1))
+    else if (n.isTextual) lit(n.asText())
+    else if (n.isObject && n.size() == 1) {
+      val e = n.properties().asScala.head
+      e.getKey match {
+        case "$concat" => concat(e.getValue.elements().asScala.toSeq
+          .map(exprStr(_, r)): _*)
+        case "$toUpper" => upper(exprStr(e.getValue, r))
+        case "$toLower" => lower(exprStr(e.getValue, r))
+        case other => throw new IllegalArgumentException(
+          s"unsupported $$expr string operator: $other")
+      }
+    } else throw new IllegalArgumentException(s"not a string: $n")
+
+  /** Boolean $expr node: logical combinators and array-operand
+    * comparisons. NULL (missing field / wrong-type view) collapses to
+    * false at each comparison — MQL's two-valued semantics. */
+  private def exprBool(n: JsonNode, r: FieldResolver): Column =
+    if (n.isBoolean) lit(n.asBoolean())
+    else if (n.isObject && n.size() == 1) {
+      val e = n.properties().asScala.head
+      def sub = e.getValue.elements().asScala.toSeq
+      e.getKey match {
+        case "$and" => sub.map(exprBool(_, r)).map(tv).reduceLeft(_ && _)
+        case "$or" => sub.map(exprBool(_, r)).map(tv).reduceLeft(_ || _)
+        case "$not" => !tv(exprBool(sub.head, r))
+        case op @ ("$gt" | "$gte" | "$lt" | "$lte" | "$eq" | "$ne") =>
+          val Seq(a, b) = sub
+          val cmp: (Column, Column) => Column = op match {
+            case "$gt" => _ > _
+            case "$gte" => _ >= _
+            case "$lt" => _ < _
+            case "$lte" => _ <= _
+            case "$eq" => _ === _
+            case "$ne" => _ =!= _
+          }
+          if (isStrShaped(a) || isStrShaped(b))
+            tv(cmp(exprStr(a, r), exprStr(b, r)))
+          else tv(cmp(exprNum(a, r), exprNum(b, r)))
+        case other => throw new IllegalArgumentException(
+          s"unsupported $$expr operator: $other")
+      }
+    } else throw new IllegalArgumentException(
+      s"unsupported $$expr node: $n")
 
   /** Mongo extended-JSON date literal: {"$date": "ISO-8601"} — the form
     * FerretDB accepts through the delegated filter

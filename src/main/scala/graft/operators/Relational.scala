@@ -1848,6 +1848,24 @@ object Relational {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** MQL `$expr` under the gate — aggregation expressions inside a find
+    * filter: a numeric comparison whose right side is computed
+    * ($add/$multiply over field refs) AND a string equality, both
+    * resolved per-position through the variant views. The whole
+    * predicate is one Catalyst boolean over a single JSON parse. */
+  def mqlExprFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"),
+        (col("doc_id") % 7).as("sev"))))
+      .filter(MqlFilter.toColumn(
+        """{"$expr": {"$and": [
+          |  {"$gt": ["$n_chars",
+          |    {"$add": [{"$multiply": ["$sev", 100]}, 300]}]},
+          |  {"$eq": ["$lang", "en"]}]}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** Mongo aggregation PIPELINE under the gate: $match → $group
     * (count/sum/max accumulators over the numeric view) → post-group
     * $match (the HAVING shape) → $sort — four stages folding into one
@@ -2926,6 +2944,12 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "mql_expr_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(n_chars AS DOUBLE) >
+        |    CAST(doc_id % 7 AS DOUBLE) * 100 + 300
+        |  AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
     "profile_table" -> Seq("o_custkey", "o_orderkey", "o_orderpriority",
         "o_orderstatus").map(c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
@@ -3275,6 +3299,7 @@ object Relational {
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
+    "mql_expr_filter" -> (mqlExprFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
     "mql_stddev" -> (mqlStddev _),

@@ -265,4 +265,43 @@ class MqlFilterSpec extends SparkTestBase {
     assert(docIds("""{"items": {"$elemMatch": {"k": {"$exists": true}}}}""")
       == Seq(1L, 2L, 3L))
   }
+
+  test("$expr: arithmetic comparison over field refs") {
+    // a > (a * 0.5) + 1  ⇒  a > 2 for numeric a; string/missing a → false
+    assert(ids("""{"$expr": {"$gt": ["$a",
+      {"$add": [{"$multiply": ["$a", 0.5]}, 1]}]}}""") == Seq(2L, 5L))
+    // computed both sides: a−1 ≤ a/2 ⇔ a ≤ 2 (numeric a only)
+    assert(ids("""{"$expr": {"$lte": [{"$subtract": ["$a", 1]},
+      {"$divide": ["$a", 2]}]}}""") == Seq(1L))
+  }
+
+  test("$expr: string-shaped operand routes the compare to string views") {
+    // "$s" vs literal: row 3's numeric-string a is NOT matched by $eq on s
+    assert(ids("""{"$expr": {"$eq": ["$s", "x"]}}""") == Seq(1L))
+    assert(ids("""{"$expr": {"$eq": [{"$toUpper": "$s"}, "Y"]}}""")
+      == Seq(2L))
+    // $concat of refs and literals
+    assert(ids("""{"$expr": {"$eq": [{"$concat": ["$s", "!"]}, "x!"]}}""")
+      == Seq(1L))
+  }
+
+  test("$expr: logical combinators and two-valued collapse") {
+    assert(ids("""{"$expr": {"$and": [{"$gte": ["$a", 1]},
+      {"$lt": ["$a", 5]}]}}""") == Seq(1L, 2L))
+    assert(ids("""{"$expr": {"$or": [{"$eq": ["$s", "y"]},
+      {"$gt": ["$a", 4]}]}}""") == Seq(2L, 5L))
+    // $not over a null comparison (missing field) is TRUE — two-valued
+    assert(ids("""{"$expr": {"$not": [{"$gt": ["$a", 0]}]}}""")
+      == Seq(3L, 4L))
+    // $expr composes with ordinary field predicates in the same filter
+    assert(ids("""{"s": {"$exists": true},
+      "$expr": {"$gt": ["$a", 1]}}""") == Seq(2L))
+  }
+
+  test("$expr: bracketing — numeric view of a string field is null") {
+    // row 3: a = "5" (string) — numeric $expr comparisons never match
+    assert(ids("""{"$expr": {"$eq": ["$a", 5]}}""") == Seq(5L))
+    assert(ids("""{"$expr": {"$gte": [{"$toLong": "$a"}, 5]}}""")
+      == Seq(5L))
+  }
 }
