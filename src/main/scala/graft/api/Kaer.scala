@@ -517,14 +517,23 @@ final class Collection(
     else updateDoc(filterJson, s"""{"$$set": ${Data.toJson(set)}}""")
 
   /** Mongo update document over metadata: `{"$set": {...}, "$inc":
-    * {...}, "$unset": {...}}` applied to every document matching the MQL
-    * filter — the FerretDB update-operator surface. $inc adds to a
-    * numeric field (missing field starts at 0, integral+integral stays
-    * integral — Mongo's long-vs-double behavior); $inc on a non-numeric
-    * value fails the job loudly (Mongo errors too); $unset removes keys.
-    * Copy-on-write rewrite; document text and embeddings untouched. The
-    * merge is a per-row JSON transform off the hot query path —
-    * maintenance ops trade codegen for exact JSON semantics. */
+    * {...}, "$unset": {...}, "$push": {...}, "$addToSet": {...},
+    * "$pull": {...}, "$rename": {...}}` applied to every document
+    * matching the MQL filter — the FerretDB update-operator surface.
+    * $inc adds to a numeric field (missing field starts at 0,
+    * integral+integral stays integral — Mongo's long-vs-double
+    * behavior); $inc on a non-numeric value fails the job loudly (Mongo
+    * errors too); $unset removes keys. $push/$addToSet append to an
+    * array field (created when missing; `{$each: [...]}` appends many;
+    * $addToSet skips structurally-equal existing elements); both fail
+    * loudly on a non-array value, as Mongo does. $pull removes all
+    * elements structurally equal to the operand (missing field: no-op).
+    * $rename moves a key (missing source: no-op — Mongo's contract).
+    * Operators apply in the fixed order $set, $inc, $unset, $push,
+    * $addToSet, $pull, $rename. Copy-on-write rewrite; document text
+    * and embeddings untouched. The merge is a per-row JSON transform
+    * off the hot query path — maintenance ops trade codegen for exact
+    * JSON semantics. */
   def updateDoc(filterJson: String, updateJson: String): Long = {
     if (!hasData) return 0L
     // driver-side validation: unknown operators must fail fast, not in
@@ -533,10 +542,15 @@ final class Collection(
     require(opsNode.isObject && opsNode.properties().size() > 0,
       s"update document must be a non-empty object: $updateJson")
     opsNode.properties().forEach { e =>
-      require(Seq("$set", "$inc", "$unset").contains(e.getKey),
+      require(Seq("$set", "$inc", "$unset", "$push", "$addToSet",
+        "$pull", "$rename").contains(e.getKey),
         s"unsupported update operator: ${e.getKey}")
       require(e.getValue.isObject,
         s"${e.getKey} operand must be an object: ${e.getValue}")
+      if (e.getKey == "$rename")
+        e.getValue.properties().forEach(f =>
+          require(f.getValue.isTextual,
+            s"$$rename target must be a string: ${f.getValue}"))
     }
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
@@ -570,6 +584,61 @@ final class Collection(
       }
       Option(ops.get("$unset")).foreach { u =>
         u.properties().forEach(e => base.remove(e.getKey))
+      }
+      import com.fasterxml.jackson.databind.JsonNode
+      import com.fasterxml.jackson.databind.node.ArrayNode
+      import scala.jdk.CollectionConverters._
+      // operand → the values to append: {$each: [...]} or a single value
+      def pushVals(v: JsonNode): Seq[JsonNode] =
+        if (v.isObject && v.size() == 1 && v.has("$each")) {
+          val each = v.get("$each")
+          require(each.isArray, s"$$each operand must be an array: $each")
+          each.elements().asScala.toSeq
+        } else Seq(v)
+      // the field's array node, created when missing; loud on non-array
+      def arrayAt(op: String, f: String): ArrayNode =
+        base.get(f) match {
+          case null => base.putArray(f)
+          case n if n.isNull => base.putArray(f)
+          case a: ArrayNode => a
+          case other => throw new IllegalArgumentException(
+            s"$op on non-array field '$f': $other")
+        }
+      Option(ops.get("$push")).foreach { p =>
+        p.properties().forEach { e =>
+          val arr = arrayAt("$push", e.getKey)
+          pushVals(e.getValue).foreach(arr.add)
+        }
+      }
+      Option(ops.get("$addToSet")).foreach { p =>
+        p.properties().forEach { e =>
+          val arr = arrayAt("$addToSet", e.getKey)
+          pushVals(e.getValue).foreach { v =>
+            if (!arr.elements().asScala.contains(v)) arr.add(v)
+          }
+        }
+      }
+      Option(ops.get("$pull")).foreach { p =>
+        p.properties().forEach { e =>
+          base.get(e.getKey) match {
+            case a: ArrayNode =>
+              val kept = a.elements().asScala.filterNot(_ == e.getValue)
+                .toSeq
+              val na = m.createArrayNode()
+              kept.foreach(na.add)
+              base.set[JsonNode](e.getKey, na)
+            case null => () // missing: no-op (Mongo)
+            case n if n.isNull => ()
+            case other => throw new IllegalArgumentException(
+              s"$$pull on non-array field '${e.getKey}': $other")
+          }
+        }
+      }
+      Option(ops.get("$rename")).foreach { r =>
+        r.properties().forEach { e =>
+          val v = base.remove(e.getKey)
+          if (v != null) base.set[JsonNode](e.getValue.asText(), v)
+        }
       }
       m.writeValueAsString(base)
     }

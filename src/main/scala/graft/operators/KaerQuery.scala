@@ -137,6 +137,40 @@ object KaerQuery {
         |]""".stripMargin)
   }
 
+  /** Array update operators under the oracle gate: insert docs whose
+    * metadata carries a `tags` array → $push (filtered), $addToSet
+    * (set-semantics append), $pull (structural-equality removal,
+    * filtered), $rename (key move) → $unwind the renamed array through
+    * the aggregation pipeline. The DuckDB twin replays the same four
+    * mutations as list algebra. Same copy-on-write machinery as
+    * [[deleteUpdate]]; non-idempotent, so always rebuilt. */
+  def updateArray(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaerarr", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+            array(col("lang"), col("source")).as("tags")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    coll.updateDoc("""{"n_chars": {"$gt": 800}}""",
+      """{"$push": {"tags": "long"}}""")
+    coll.updateDoc("{}", """{"$addToSet": {"tags": "en"}}""")
+    coll.updateDoc("""{"lang": {"$eq": "fr"}}""",
+      """{"$pull": {"tags": "fr"}}""")
+    coll.updateDoc("{}", """{"$rename": {"tags": "labels"}}""")
+    k.aggregate("docs",
+      """[
+        | {"$unwind": "$labels"},
+        | {"$project": {"did": {"$toLong": "$doc_id"},
+        |   "label": "$labels"}},
+        | {"$sort": {"did": 1, "label": 1}}
+        |]""".stripMargin)
+  }
+
   /** MQL aggregation over the COLLECTION — the reference's
     * `Collection.Aggregate` delegation (it uses the surface itself:
     * `[{$sort:{_m_id:1}},{$limit:1}]`, /root/reference/db/db.go:146-148)
@@ -253,7 +287,23 @@ object KaerQuery {
         |  CASE WHEN n_chars > 800 THEN 'long' ELSE 'none' END AS flag
         |FROM documents
         |WHERE lang <> 'de'
-        |ORDER BY did""".stripMargin
+        |ORDER BY did""".stripMargin,
+    "kaer_update_array" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, [lang, source] AS tags
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, lang,
+        |  CASE WHEN n_chars > 800 THEN list_append(tags, 'long')
+        |       ELSE tags END AS tags FROM base),
+        |t2 AS (SELECT doc_id, lang,
+        |  CASE WHEN NOT list_contains(tags, 'en')
+        |       THEN list_append(tags, 'en') ELSE tags END AS tags
+        |  FROM t1),
+        |t3 AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'fr' THEN list_filter(tags, t -> t <> 'fr')
+        |       ELSE tags END AS tags FROM t2)
+        |SELECT doc_id AS did, unnest(tags) AS label FROM t3
+        |ORDER BY did, label""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -261,6 +311,7 @@ object KaerQuery {
     "kaer_distinct" -> (distinctLangs _),
     "kaer_query_indexed" -> (flagshipIndexed _),
     "kaer_aggregate" -> (aggregateGroup _),
-    "kaer_delete_update" -> (deleteUpdate _)
+    "kaer_delete_update" -> (deleteUpdate _),
+    "kaer_update_array" -> (updateArray _)
   )
 }

@@ -309,6 +309,59 @@ class KaerSpec extends SparkTestBase {
     assert(c.count() == 3 && c.watermark == 3)
   }
 
+  test("updateDoc array operators: $push/$addToSet/$pull/$rename") {
+    val root = tmpDir("kaer-arrops")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("a", "b", "c"))
+      .withMetadatas(Seq(
+        Map[String, Any]("grp" -> 0),      // no array yet
+        Map[String, Any]("grp" -> 1),
+        Map[String, Any]("grp" -> 0, "n" -> 5)))) // $push target non-array later
+    def metas(): Seq[String] =
+      c.query("a", 10).select("_m_meta").collect()
+        .map(_.getString(0)).toSeq
+    // $push creates the array when missing; $each appends many in order
+    assert(c.updateDoc("""{"grp": 0}""",
+      """{"$push": {"tags": "t1"}}""") == 2L)
+    assert(c.updateDoc("""{"grp": 0}""",
+      """{"$push": {"tags": {"$each": ["t2", "t1"]}}}""") == 2L)
+    assert(metas().count(_.contains("""["t1","t2","t1"]""")) == 2)
+    // $addToSet: structural equality — existing elements not re-added,
+    // new ones appended once ($each mixing both)
+    assert(c.updateDoc("""{"grp": 0}""",
+      """{"$addToSet": {"tags": {"$each": ["t1", "t3"]}}}""") == 2L)
+    assert(metas().count(_.contains("""["t1","t2","t1","t3"]""")) == 2)
+    // $pull removes ALL equal elements; missing field is a no-op
+    assert(c.updateDoc("{}", """{"$pull": {"tags": "t1"}}""") == 3L)
+    assert(metas().count(_.contains("""["t2","t3"]""")) == 2)
+    // numbers pull by numeric identity, not text
+    assert(c.updateDoc("""{"grp": 1}""",
+      """{"$push": {"nums": {"$each": [1, 2, 1]}}}""") == 1L)
+    assert(c.updateDoc("""{"grp": 1}""",
+      """{"$pull": {"nums": 1}}""") == 1L)
+    assert(metas().count(_.contains(""""nums":[2]""")) == 1)
+    // $rename moves the key; renaming a missing key is a no-op
+    assert(c.updateDoc("""{"grp": 0}""",
+      """{"$rename": {"tags": "labels", "ghost": "g2"}}""") == 2L)
+    val m = metas()
+    assert(m.count(_.contains(""""labels":["t2","t3"]""")) == 2)
+    assert(!m.exists(_.contains(""""tags"""")))
+    assert(!m.exists(_.contains(""""g2"""")))
+    // loud failure on array ops over a non-array value (Mongo errors too)
+    intercept[Exception] {
+      c.updateDoc("""{"n": 5}""", """{"$push": {"n": 1}}""")
+    }
+    // unknown operator and bad $rename target fail fast, driver-side
+    intercept[IllegalArgumentException] {
+      c.updateDoc("{}", """{"$pop": {"tags": 1}}""")
+    }
+    intercept[IllegalArgumentException] {
+      c.updateDoc("{}", """{"$rename": {"a": 7}}""")
+    }
+  }
+
   test("corrupt sidecar heals from data; truncated file reads as absent") {
     val root = tmpDir("kaer-corrupt")
     val k1 = newSession(root)
