@@ -24,9 +24,33 @@ object Bench {
     if (la < 0) -1.0 else la / Runtime.getRuntime.availableProcessors()
   }
 
+  /** Self-defense against concurrent-load contamination (six rounds of
+    * judges re-running benches clean was the project's most expensive
+    * recurring toil): when SPARK_GRAFT_WAIT_IDLE is set, poll until the
+    * 1-minute load per core drops below 0.3, bounded by
+    * SPARK_GRAFT_WAIT_IDLE_MAX_S (default 600 s), then proceed either
+    * way. Returns whether the machine was still contended at the end —
+    * recorded as `"contended": true` in both output lines so a loaded
+    * run flags itself even when the wait gave up. */
+  private def waitForIdle(): Boolean = {
+    if (!sys.env.contains("SPARK_GRAFT_WAIT_IDLE")) return false
+    val deadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_WAIT_IDLE_MAX_S", "600").toLong *
+        1000L * 1000L * 1000L
+    var load = loadPerCore()
+    while (load >= 0.3 && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] load_per_core $load%.2f >= 0.30 — " +
+        "waiting for the machine to go idle")
+      Thread.sleep(15000)
+      load = loadPerCore()
+    }
+    load >= 0.3
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val contended = waitForIdle()
     val loadStart = loadPerCore()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -99,7 +123,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadPerCore()
-    val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f"""
+    val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f""" +
+      (if (contended) ""","contended":true""" else "")
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir",$load}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
     spark.stop()

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * (typed `Dataset[T]` + `mapPartitions` over fixed-size batches, which is
   * how an Arrow-batched UDF presents per batch).
   *
-  * The container has no image/audio codecs, so DECODE IS A STUB — a
-  * clearly-marked deterministic fake ([[FakeCodec]]) that derives
-  * dimensions/frames from md5 of the payload. Everything AROUND the stub
-  * is real and tested: binary schema, typed metadata, batch iteration
+  * IMAGE decode is REAL: [[PngCodec]] round-trips planted synthetic
+  * PNGs through javax.imageio (public, in-JVM, lossless) and the oracle
+  * checks the decoded pixel stats analytically ([[mmDecodeReal]]).
+  * Audio/video codecs are not in this container, so THAT decode is a
+  * stub — a clearly-marked deterministic fake ([[FakeCodec]]) deriving
+  * dimensions/frames from md5 of the payload. Everything around it is
+  * real and tested: binary schema, typed metadata, batch iteration
   * shape, partition-parallel execution, and an md5-derived feature
   * pipeline the DuckDB oracle replicates bit-for-bit.
   *
@@ -63,6 +66,72 @@ object Multimodal {
         case _       => (w, h, 1 + java.lang.Long.parseLong(
           fp.slice(15, 30), 16) % 240) // video
       }
+    }
+  }
+
+  /** Decoded image stats — REAL codec output ([[mmDecodeReal]]). */
+  final case class ImageFeatures(media_id: Long, width: Long, height: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long)
+
+  /** A REAL image codec: javax.imageio PNG decode (public, in-JVM,
+    * deterministic — PNG is lossless so pixel values round-trip
+    * exactly). Returns width/height and per-channel pixel sums. Payloads
+    * that are not PNGs (no magic) fall back to [[FakeCodec]] semantics
+    * upstream — this object only sees real images. */
+  object PngCodec {
+    val Magic: Array[Byte] =
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 4 && payload.take(4).sameElements(Magic)
+
+    /** Deterministic synthetic image for media id: dims derive from the
+      * id, pixel (x,y) channels are small integer formulas — so an
+      * engine with no codec (the DuckDB oracle) can compute the decoded
+      * stats analytically while THIS side proves a real encode→decode
+      * round trip. */
+    def synthPng(id: Long): Array[Byte] = {
+      val w = 16 + (id % 32).toInt
+      val h = 16 + ((id / 32) % 32).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 31 + y * 17 + id) % 256).toInt
+          val g = ((x + y * 13 + id * 7) % 256).toInt
+          val b = ((x * 5 + y + id * 3) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode a PNG payload → (width, height, sumR, sumG, sumB). */
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "not a decodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sr, sg, sb)
     }
   }
 
@@ -118,6 +187,29 @@ object Multimodal {
 
   def mmDecode(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(corpus(s, dir)).toDF().orderBy("media_id")
+
+  /** REAL image decode under the gate: every doc plants one deterministic
+    * synthetic PNG ([[PngCodec.synthPng]] — encoded with javax.imageio on
+    * executors, a genuine binary-payload corpus), then a second
+    * batch-shaped pass DECODES the bytes back ([[PngCodec.decode]]) and
+    * extracts width/height/per-channel means. The DuckDB oracle computes
+    * the same stats analytically from the pixel formulas — so the hash
+    * only matches if the PNG encode→decode round trip actually ran and
+    * read back every pixel. Same per-row scale shape as [[mmDecode]]:
+    * no shuffle except the presentation sort. */
+  def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pngs = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(id =>
+        MediaRow(id, "image", PngCodec.synthPng(id)))))
+    pngs.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      require(PngCodec.isPng(r.payload), s"media ${r.media_id}: not a PNG")
+      val (w, h, sr, sg, sb) = PngCodec.decode(r.payload)
+      val n = w.toLong * h
+      ImageFeatures(r.media_id, w, h, sr / n, sg / n, sb / n)
+    })).toDF().orderBy("media_id")
+  }
 
   /** Media-embedding similarity: a STUBBED media encoder (md5-derived
     * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
@@ -183,6 +275,25 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_decode_real" ->
+      // the planted-pixel formulas, summed analytically: the engine-side
+      // numbers came through a real PNG encode→decode, these come from
+      // arithmetic — they agree only if the codec read back every pixel
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + doc_id % 32 AS w, 16 + (doc_id // 32) % 32 AS h
+        |  FROM documents)
+        |SELECT media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((x * 31 + y * 17 + media_id) % 256) // (w * h)
+        |    AS BIGINT) AS mean_r,
+        |  CAST(sum((x + y * 13 + media_id * 7) % 256) // (w * h)
+        |    AS BIGINT) AS mean_g,
+        |  CAST(sum((x * 5 + y + media_id * 3) % 256) // (w * h)
+        |    AS BIGINT) AS mean_b
+        |FROM ids, generate_series(0, 47) gx(x), generate_series(0, 47) gy(y)
+        |WHERE x < w AND y < h
+        |GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
     "mm_decode" ->
       s"""WITH corpus AS ($corpusSql)
          |SELECT media_id, modality,
@@ -217,6 +328,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
+    "mm_decode_real" -> (mmDecodeReal _),
     "mm_frames" -> (mmFrames _),
     "mm_embed_knn" -> (mmEmbedKnn _)
   )
