@@ -80,6 +80,94 @@ object Formats {
       .orderBy("o_orderstatus")
   }
 
+  /** Avro container-file round trip — WITHOUT the spark-avro connector
+    * (not on this classpath): a distributed sink and source built
+    * directly on the public `org.apache.avro` core API, which IS here.
+    * Write: `foreachPartition` streams each partition through a
+    * `DataFileWriter[GenericRecord]` into one `.avro` container file on
+    * the Hadoop filesystem (snappy-coded blocks — the production Avro
+    * layout). Read: the file list parallelizes into one task per file,
+    * each decoding through `FsInput` + `DataFileReader` — so both sides
+    * scale with partition count exactly like a built-in source; schema
+    * is EXPLICIT both ways (the record schema is the contract, never
+    * inferred). Integers-only payload (cents/epoch-µs), same policy as
+    * the other text formats. */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
+    import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import org.apache.hadoop.fs.Path
+    val out = scratch(dir, "avro")
+    val schemaJson = SchemaBuilder.record("order").fields()
+      .requiredLong("o_orderkey")
+      .requiredString("o_orderstatus")
+      .requiredLong("total_cents")
+      .requiredLong("order_us")
+      .endRecord().toString
+    // fresh write every run: a stale part file from a previous run with
+    // a different partition count would silently survive an "overwrite"
+    val rootPath = new Path(out)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    fs.mkdirs(rootPath)
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          // executor-side Configuration: defaults resolve from the
+          // cluster's core-site on the classpath (file:// locally)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val p = new Path(s"$out/part-$pid.avro")
+          val schema = new AvroSchema.Parser().parse(schemaJson)
+          val w = new DataFileWriter(
+            new GenericDatumWriter[GenericRecord](schema))
+            .setCodec(CodecFactory.snappyCodec())
+          w.create(schema, p.getFileSystem(conf).create(p, true))
+          try it.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            rec.put("o_orderkey", r.getLong(0))
+            rec.put("o_orderstatus", r.getString(1))
+            rec.put("total_cents", r.getLong(2))
+            rec.put("order_us", r.getLong(3))
+            w.append(rec)
+          } finally w.close()
+        }
+      }
+    val files = fs.listStatus(rootPath).map(_.getPath.toString)
+      .filter(_.endsWith(".avro")).sorted
+    import s.implicits._
+    val decoded = s.sparkContext
+      .parallelize(files.toSeq, math.max(files.length, 1))
+      .flatMap { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(new Path(f), conf),
+          new GenericDatumReader[GenericRecord]())
+        try {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long)]
+          while (reader.hasNext) {
+            val r = reader.next()
+            buf += ((r.get("o_orderkey").asInstanceOf[Long],
+              r.get("o_orderstatus").toString,
+              r.get("total_cents").asInstanceOf[Long],
+              r.get("order_us").asInstanceOf[Long]))
+          }
+          buf
+        } finally reader.close()
+      }
+      .toDF("o_orderkey", "o_orderstatus", "total_cents", "order_us")
+    decoded.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("total_cents")).as("total_cents"),
+        min(col("order_us")).as("first_us"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Schema evolution across parquet batches — the append-a-column
     * reality of any long-lived feed: batch 1 writes (doc_id, lang),
     * batch 2 adds n_chars; a `mergeSchema` read unions the footers and
@@ -153,6 +241,12 @@ object Formats {
         |SELECT lang, count(*) AS n, count(n_chars) AS n_with_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  min(epoch_us(o_orderdate)) AS first_us
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -177,6 +271,7 @@ object Formats {
     "schema_evolution" -> (schemaEvolution _),
     "jsonl_corrupt" -> (jsonlCorrupt _),
     "json_roundtrip" -> (jsonRoundtrip _),
-    "orc_roundtrip" -> (orcRoundtrip _)
+    "orc_roundtrip" -> (orcRoundtrip _),
+    "avro_roundtrip" -> (avroRoundtrip _)
   )
 }
