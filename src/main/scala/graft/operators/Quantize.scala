@@ -193,6 +193,128 @@ object Quantize {
       .select("vec_id", "label")
   }
 
+  // ---- trained-PQ gate: integer-micro Lloyd per subspace ------------
+
+  /** pq_adc_trained geometry: 8 subspaces × 8 dims, 8 codewords per
+    * subspace (seeded from the 8 lowest vec_ids' subvectors, codeword
+    * id = seed vec_id), 2 Lloyd rounds. Small enough that the training
+    * chain unrolls into the DuckDB oracle; the shape is the production
+    * one. */
+  private val TrM = 8
+  private val TrSub = 8
+  private val TrK = 8
+  private val TrRounds = 2
+  private val TrQ = 1000000L
+
+  private def quantMicros(c: Column): Column =
+    transform(c, x => round(x.cast("double") * TrQ).cast("long"))
+
+  /** One subspace's codebook as a literal array of (k, cv) structs. */
+  private def bookLit(book: Array[(Long, Array[Long])]): Column =
+    array(book.map { case (k, cw) =>
+      struct(lit(k).as("k"), array(cw.map(lit(_)): _*).as("cv"))
+    }: _*)
+
+  /** Argmin codeword id over a codebook-literal column — an `aggregate`
+    * HOF so the accumulator is a LAMBDA VARIABLE, not a duplicated
+    * subtree (a when/otherwise fold copies the accumulator twice per
+    * codeword — 2^K tree growth; the first cut of this gate paid 140 s
+    * of planning for it). Strict `<` keeps the LOWEST codeword id on
+    * ties (the oracle's row_number ORDER BY d2, k contract); integer
+    * squared L2, exact LONG. */
+  private def argminCode(bookCol: Column, sv: Column): Column =
+    aggregate(
+      bookCol,
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("k")),
+      (acc, c) => {
+        val d = aggregate(
+          zip_with(sv, c.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (x, y) => x + y)
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("k").as("k"))).otherwise(acc)
+      }).getField("k")
+
+  private def subSlice(qe: Column, m: Int): Column =
+    slice(qe, m * TrSub + 1, TrSub)
+
+  /** PQ with a TRAINED codebook under the full oracle gate: per
+    * subspace, [[TrRounds]] Lloyd iterations over micro-quantized
+    * subvectors — integer assignment (argmin, ties to lowest codeword),
+    * exact-integer floor-mean recompute, empty clusters keep their
+    * previous centroid — then encode + ADC rank against query vector
+    * 77. Every round is ONE distributed job over all subspaces at once
+    * (subspace id is just a grouping key); the per-round driver
+    * collect is the (8×8×8)-row centroid table — the same bounded
+    * fixture as the IVF centroid reads. The integer-micro math makes
+    * the TRAINING itself oracle-expressible (the kmeans_step device,
+    * unrolled per round), closing the gap where trained-PQ recall wins
+    * (RecallProbe r8) were only spec-verified. */
+  def pqAdcTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val qe = e.select(col("vec_id"), col("label"),
+      quantMicros(col("embedding")).as("qe"))
+    // (vec_id, m, sv): the corpus as subvector rows
+    val subs = qe.select(col("vec_id"),
+        posexplode(array((0 until TrM).map(m =>
+          subSlice(col("qe"), m)): _*)).as(Seq("m", "sv")))
+    // seed books: codeword id = vec_id of the 8 lowest-id vectors
+    val seedRows = qe.filter(col("vec_id") < TrK).orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    var books: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(TrM)(m => seedRows.map { case (k, full) =>
+        (k, full.slice(m * TrSub, (m + 1) * TrSub))
+      })
+    for (_ <- 1 to TrRounds) {
+      // assign every subvector to its nearest current codeword (the
+      // subspace picks its codebook by element_at on the nested
+      // literal), then recompute per-(m, k, pos) exact floor-means —
+      // one shuffle
+      val booksLit = array((0 until TrM).map(m => bookLit(books(m))): _*)
+      val assignCol =
+        argminCode(element_at(booksLit, col("m") + 1), col("sv"))
+      val means = subs.withColumn("k", assignCol)
+        .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("m", "k", "pos")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mq"))
+        .orderBy("m", "k", "pos")
+        .collect() // bounded: ≤ 8·8·8 = 512 rows
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((m, k), rs) =>
+          ((m, k), rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray) }
+      books = Array.tabulate(TrM)(m => books(m).map { case (k, old) =>
+        (k, means.getOrElse((m, k), old)) // empty cluster: keep previous
+      })
+    }
+    // encode + ADC against query 77, all per-row integer expressions
+    val q77 = qe.filter(col("vec_id") === 77).select("qe").head()
+      .getSeq[Long](0).toArray
+    val lut: Array[Array[Long]] = Array.tabulate(TrM) { m =>
+      val qsv = q77.slice(m * TrSub, (m + 1) * TrSub)
+      books(m).map { case (_, cw) =>
+        qsv.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum }
+    }
+    // one argmin per subspace (code columns), then code → LUT value via
+    // a literal map lookup (not a when-chain — see argminCode's note)
+    val withCodes = (0 until TrM).foldLeft(
+        qe.filter(col("vec_id") =!= 77)) { (df, m) =>
+      df.withColumn(s"code_$m",
+        argminCode(bookLit(books(m)), subSlice(col("qe"), m)))
+    }
+    val adc = (0 until TrM).map { m =>
+      val lutMap = map_from_arrays(
+        array(books(m).map { case (k, _) => lit(k) }: _*),
+        array(lut(m).map(lit(_)): _*))
+      element_at(lutMap, col(s"code_$m"))
+    }.reduce(_ + _)
+    withCodes
+      .withColumn("d_adc", adc)
+      .orderBy(col("d_adc").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label", "d_adc")
+  }
+
   /** IVF ∘ PQ — the production composition (the FAISS IVF-ADC shape):
     * coarse centroids prune the corpus to the probed lists, then the
     * ADC lookup table ranks what's left, then the exact re-rank. Every
@@ -312,7 +434,69 @@ object Quantize {
       .select("vec_id", "label")
   }
 
+  /** pq_adc_trained oracle: the per-subspace Lloyd TRAINING unrolled —
+    * one assign/recompute CTE block per round (the kmeans_step device),
+    * with subspace id as a plain grouping key so all 8 subspaces train
+    * in the same chain; empty clusters COALESCE to their previous
+    * centroid, then encode + per-query LUT + ADC rank. Everything is
+    * exact integer micros, so Spark's partial aggregation and DuckDB's
+    * serial fold agree bit-for-bit. */
+  private def pqAdcTrainedOracle: String = {
+    def subL2(a: String, b: String): String =
+      s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) " +
+        s"for i in generate_series(1,$TrSub)])"
+    val head =
+      s"""q AS MATERIALIZED (SELECT vec_id, label,
+         |    [round(x::DOUBLE * $TrQ)::BIGINT for x in embedding] AS qe
+         |  FROM embeddings),
+         |subs AS MATERIALIZED (SELECT vec_id, m,
+         |    [qe[(m-1)*$TrSub + i] for i in generate_series(1,$TrSub)]
+         |      AS sv
+         |  FROM q, generate_series(1,$TrM) g(m)),
+         |b0 AS MATERIALIZED (SELECT m, vec_id AS k, sv AS cv
+         |  FROM subs WHERE vec_id < $TrK)""".stripMargin
+    val rounds = (1 to TrRounds).map { r =>
+      val p = r - 1
+      s"""d$r AS (SELECT s.vec_id, s.m, b.k, ${subL2("s.sv", "b.cv")} AS d2
+         |  FROM subs s JOIN b$p b USING (m)),
+         |a$r AS MATERIALIZED (SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM d$r)
+         |  WHERE rn = 1),
+         |e$r AS (SELECT a.m, a.k, unnest(s.sv) AS v,
+         |    unnest(generate_series(1,$TrSub)) AS pos
+         |  FROM a$r a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m),
+         |c$r AS (SELECT m, k, pos,
+         |    floor(sum(v)::DOUBLE / count(*))::BIGINT AS mq
+         |  FROM e$r GROUP BY 1, 2, 3),
+         |cl$r AS (SELECT m, k, list(mq ORDER BY pos) AS cv
+         |  FROM c$r GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT b.m, b.k, COALESCE(c.cv, b.cv) AS cv
+         |  FROM b$p b LEFT JOIN cl$r c ON b.m = c.m AND b.k = c.k)"""
+        .stripMargin
+    }
+    val fin =
+      s"""dE AS (SELECT s.vec_id, s.m, b.k, ${subL2("s.sv", "b.cv")} AS d2
+         |  FROM subs s JOIN b$TrRounds b USING (m)),
+         |aE AS (SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM dE)
+         |  WHERE rn = 1),
+         |qs AS (SELECT m, sv AS qsv FROM subs WHERE vec_id = 77),
+         |lut AS MATERIALIZED (SELECT b.m, b.k,
+         |    ${subL2("qs.qsv", "b.cv")} AS d
+         |  FROM b$TrRounds b JOIN qs USING (m)),
+         |adc AS (SELECT a.vec_id, CAST(sum(l.d) AS BIGINT) AS d_adc
+         |  FROM aE a JOIN lut l ON a.m = l.m AND a.k = l.k
+         |  WHERE a.vec_id <> 77 GROUP BY 1)
+         |SELECT a.vec_id, q.label, a.d_adc
+         |FROM adc a JOIN q USING (vec_id)
+         |ORDER BY d_adc ASC, vec_id ASC LIMIT 10""".stripMargin
+    ((head +: rounds).mkString("WITH ", ",\n", "") + ",\n" + fin)
+  }
+
   val oracle: Map[String, String] = Map(
+    "pq_adc_trained" -> pqAdcTrainedOracle,
     "quantize_topk" -> {
       def deq(e: String): String =
         s"""[CASE WHEN sc_$e > 0 THEN
@@ -517,6 +701,7 @@ object Quantize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantize_topk" -> (quantizeTopk _),
     "pq_adc_topk" -> (pqAdcTopk _),
+    "pq_adc_trained" -> (pqAdcTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_res" -> (annIvfPqRes _)
   )
