@@ -127,10 +127,15 @@ object Layout {
     // a REAL dim table (file-based): DPP's selective-predicate heuristic
     // needs a Filter over a scan — a literal LocalRelation folds the
     // filter away and no pruning subquery is planted
-    val dimPath = graft.core.Scratch.dir("langdim", dir)
+    // the scratch key includes the fixture CONTENT: if the lang/tier
+    // mapping ever changes, the path changes with it — a stale 5-row
+    // dir with the old mapping can't be silently reused
+    val dimRows = Seq(("en", "keep"), ("fr", "keep"), ("de", "drop"),
+      ("es", "drop"), ("zh", "drop"))
+    val dimPath = graft.core.Scratch.dir("langdim",
+      s"$dir#${dimRows.map { case (l, t) => s"$l=$t" }.mkString(",")}")
     if (!graft.core.Trust.parquetDir(s, dimPath, 5L))
-      Seq(("en", "keep"), ("fr", "keep"), ("de", "drop"),
-        ("es", "drop"), ("zh", "drop")).toDF("lang", "tier")
+      dimRows.toDF("lang", "tier")
         .repartition(1).write.mode("overwrite").parquet(dimPath)
     val dim = s.read.parquet(dimPath)
     part.join(dim.filter(col("tier") === "keep"), Seq("lang"))
@@ -150,6 +155,16 @@ object Layout {
     * test); conf is restored afterwards. */
   def insertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val out = graft.core.Scratch.dir("dynover", dir)
+    // start from an EMPTY table: the seed write below also runs under
+    // dynamic overwrite, which only replaces partitions present in the
+    // seed batch — a stale partition from a prior run whose lang no
+    // longer exists in the current testdata vintage would otherwise
+    // survive both writes and diverge from the oracle
+    locally {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val d = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val key = "spark.sql.sources.partitionOverwriteMode"

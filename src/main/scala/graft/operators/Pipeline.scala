@@ -446,7 +446,14 @@ object Pipeline {
         floor(sqrt(col("n_d").cast("double")) * 1000000L).cast("long"))
     val rates = q.crossJoin(q.agg(sum(col("sq")).as("S"),
         sum(col("n_d")).as("N")))
-      .withColumn("cm", expr("(sq * N * 1000) DIV (S * n_d)"))
+      // DECIMAL(38) product: sq·N·1000 ≈ 1e9·N^1.5 overflows LONG past
+      // ~4M docs (Spark would wrap SILENTLY, Java semantics, while the
+      // claim on this operator is exact-integer at any corpus size);
+      // 38 digits hold it to N ≈ 10^19. DIV on decimals is still exact
+      // integral division in both engines; cm itself is small.
+      .withColumn("cm", expr(
+        "(CAST(sq AS DECIMAL(38,0)) * N * 1000)" +
+          " DIV (CAST(S AS DECIMAL(38,0)) * n_d)"))
       .select("domain", "cm")
     val h = pmod(
       md5Hash60(concat(lit("mixt:"), col("doc_id").cast("string"))),
@@ -714,7 +721,9 @@ object Pipeline {
         |  FROM n),
         |t AS (SELECT CAST(sum(sq) AS BIGINT) AS S,
         |    CAST(sum(n_d) AS BIGINT) AS N FROM q),
-        |r AS (SELECT domain, (sq * N * 1000) // (S * n_d) AS cm
+        |r AS (SELECT domain,
+        |    CAST((sq::HUGEINT * N * 1000) // (S::HUGEINT * n_d)
+        |      AS BIGINT) AS cm
         |  FROM q, t),
         |w AS (SELECT d.doc_id, d.domain, r.cm,
         |    ('0x' || substr(md5('mixt:' || d.doc_id), 1, 15))::BIGINT
