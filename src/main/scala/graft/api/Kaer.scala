@@ -528,9 +528,10 @@ final class Collection(
     * $addToSet skips structurally-equal existing elements); both fail
     * loudly on a non-array value, as Mongo does. $pull removes all
     * elements structurally equal to the operand (missing field: no-op).
-    * $rename moves a key (missing source: no-op — Mongo's contract).
-    * Operators apply in the fixed order $set, $inc, $unset, $push,
-    * $addToSet, $pull, $rename. Copy-on-write rewrite; document text
+    * $pop removes the last (1) or first (−1) element (empty/missing:
+    * no-op). $rename moves a key (missing source: no-op — Mongo's
+    * contract). Operators apply in the fixed order $set, $inc, $unset,
+    * $push, $addToSet, $pull, $pop, $rename. Copy-on-write rewrite; document text
     * and embeddings untouched. The merge is a per-row JSON transform
     * off the hot query path — maintenance ops trade codegen for exact
     * JSON semantics. */
@@ -543,7 +544,7 @@ final class Collection(
       s"update document must be a non-empty object: $updateJson")
     opsNode.properties().forEach { e =>
       require(Seq("$set", "$inc", "$unset", "$push", "$addToSet",
-        "$pull", "$rename").contains(e.getKey),
+        "$pull", "$pop", "$rename").contains(e.getKey),
         s"unsupported update operator: ${e.getKey}")
       require(e.getValue.isObject,
         s"${e.getKey} operand must be an object: ${e.getValue}")
@@ -551,6 +552,11 @@ final class Collection(
         e.getValue.properties().forEach(f =>
           require(f.getValue.isTextual,
             s"$$rename target must be a string: ${f.getValue}"))
+      if (e.getKey == "$pop")
+        e.getValue.properties().forEach(f =>
+          require(f.getValue.isInt &&
+            (f.getValue.asInt() == 1 || f.getValue.asInt() == -1),
+            s"$$pop operand must be 1 or -1: ${f.getValue}"))
     }
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
@@ -631,6 +637,20 @@ final class Collection(
             case n if n.isNull => ()
             case other => throw new IllegalArgumentException(
               s"$$pull on non-array field '${e.getKey}': $other")
+          }
+        }
+      }
+      Option(ops.get("$pop")).foreach { p =>
+        p.properties().forEach { e =>
+          base.get(e.getKey) match {
+            case a: ArrayNode if a.size() > 0 =>
+              if (e.getValue.asInt() == -1) a.remove(0)
+              else a.remove(a.size() - 1) // Mongo: 1 pops last, -1 first
+            case a: ArrayNode => () // empty array: no-op
+            case null => ()
+            case n if n.isNull => ()
+            case other => throw new IllegalArgumentException(
+              s"$$pop on non-array field '${e.getKey}': $other")
           }
         }
       }

@@ -342,6 +342,17 @@ class KaerSpec extends SparkTestBase {
     assert(c.updateDoc("""{"grp": 1}""",
       """{"$pull": {"nums": 1}}""") == 1L)
     assert(metas().count(_.contains(""""nums":[2]""")) == 1)
+    // $pop: 1 removes last, -1 removes first; empty/missing are no-ops
+    assert(c.updateDoc("""{"grp": 1}""",
+      """{"$push": {"nums": {"$each": [7, 8]}}}""") == 1L)
+    assert(c.updateDoc("""{"grp": 1}""", """{"$pop": {"nums": 1}}""") == 1L)
+    assert(metas().count(_.contains(""""nums":[2,7]""")) == 1)
+    assert(c.updateDoc("""{"grp": 1}""", """{"$pop": {"nums": -1}}""") == 1L)
+    assert(metas().count(_.contains(""""nums":[7]""")) == 1)
+    assert(c.updateDoc("{}", """{"$pop": {"ghost_arr": 1}}""") == 3L)
+    intercept[IllegalArgumentException] {
+      c.updateDoc("{}", """{"$pop": {"nums": 2}}""")
+    }
     // $rename moves the key; renaming a missing key is a no-op
     assert(c.updateDoc("""{"grp": 0}""",
       """{"$rename": {"tags": "labels", "ghost": "g2"}}""") == 2L)
@@ -355,7 +366,7 @@ class KaerSpec extends SparkTestBase {
     }
     // unknown operator and bad $rename target fail fast, driver-side
     intercept[IllegalArgumentException] {
-      c.updateDoc("{}", """{"$pop": {"tags": 1}}""")
+      c.updateDoc("{}", """{"$bit": {"tags": 1}}""")
     }
     intercept[IllegalArgumentException] {
       c.updateDoc("{}", """{"$rename": {"a": 7}}""")
