@@ -38,6 +38,32 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq(("a", 2L, 30L, 20L), ("b", 2L, 12L, 7L)))
   }
 
+  test("$expr inside pipeline $match — pre-group (metadata views) and " +
+      "post-group (real typed columns)") {
+    // pre-group: v > v/2 + 6  ⇔  v > 12
+    val pre = run(
+      """[
+        | {"$match": {"$expr": {"$gt": ["$v",
+        |   {"$add": [{"$divide": ["$v", 2]}, 6]}]}}},
+        | {"$sort": {"id": 1}},
+        | {"$project": {"id": {"$toLong": "$id"}}}
+        |]""".stripMargin)
+    // post-group: the $expr refs resolve through the TypedResolver
+    val post = run(
+      """[
+        | {"$group": {"_id": "$grp", "n": {"$sum": 1},
+        |   "total": {"$sum": {"$toLong": "$v"}}}},
+        | {"$match": {"$expr": {"$gte": ["$total",
+        |   {"$multiply": ["$n", 10]}]}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(run("""[{"$match": {"$expr": {"$gt": ["$v", 12]}}}]""")
+      .count() == 2) // v=20, v=100
+    assert(pre.collect().map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    assert(post == Seq("a", "c")) // a: 30≥20; b: 12<20; c: 100≥10
+  }
+
   test("$group with _id null aggregates the whole input") {
     val got = run(
       """[{"$group": {"_id": null, "n": {"$sum": 1},
