@@ -202,15 +202,18 @@ object Pipeline {
       f => f.isNotNull)
     val feats = docs(s, dir)
       .select(col("doc_id"), col("lang"), explode(fArr).as("f"))
-    val tgt = feats.filter(col("lang") === "en")
-    val ct = tgt.groupBy("f").agg(count(lit(1)).as("ct"))
-    val cr = feats.groupBy("f").agg(count(lit(1)).as("cr"))
-    val nt = tgt.agg(count(lit(1)).as("nt"))
-    val nr = feats.agg(count(lit(1)).as("nr"))
-    val lut = cr.join(ct, Seq("f"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+    // ONE aggregation pass computes both count tables (conditional
+    // count for the target side), and the totals nt/nr come from the
+    // ≤b-row table itself — the corpus is tokenized+hashed exactly
+    // twice (weight training, then scoring), not five times as the
+    // naive four-aggregate formulation re-evaluates it
+    val counts = feats.groupBy("f").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lut = counts.crossJoin(broadcast(totals))
       .select(col("f"),
-        (round((coalesce(col("ct"), lit(0L)) + lit(1)) * lit(1000000.0) /
+        (round((col("ct") + lit(1)) * lit(1000000.0) /
             (col("nt") + lit(b))) -
           round((col("cr") + lit(1)) * lit(1000000.0) /
             (col("nr") + lit(b)))).cast("long").as("w"))
