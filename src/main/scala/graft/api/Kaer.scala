@@ -529,9 +529,12 @@ final class Collection(
     * loudly on a non-array value, as Mongo does. $pull removes all
     * elements structurally equal to the operand (missing field: no-op).
     * $pop removes the last (1) or first (−1) element (empty/missing:
-    * no-op). $rename moves a key (missing source: no-op — Mongo's
-    * contract). Operators apply in the fixed order $set, $inc, $unset,
-    * $push, $addToSet, $pull, $pop, $rename. Copy-on-write rewrite; document text
+    * no-op). $min/$max keep the smaller/larger of current and operand
+    * (missing: operand wins); $mul multiplies (missing → 0 — Mongo's
+    * convention), integral×integral staying integral like $inc.
+    * $rename moves a key (missing source: no-op — Mongo's contract).
+    * Operators apply in the fixed order $set, $inc, $unset, $min,
+    * $max, $mul, $push, $addToSet, $pull, $pop, $rename. Copy-on-write rewrite; document text
     * and embeddings untouched. The merge is a per-row JSON transform
     * off the hot query path — maintenance ops trade codegen for exact
     * JSON semantics. */
@@ -543,8 +546,9 @@ final class Collection(
     require(opsNode.isObject && opsNode.properties().size() > 0,
       s"update document must be a non-empty object: $updateJson")
     opsNode.properties().forEach { e =>
-      require(Seq("$set", "$inc", "$unset", "$push", "$addToSet",
-        "$pull", "$pop", "$rename").contains(e.getKey),
+      require(Seq("$set", "$inc", "$unset", "$min", "$max", "$mul",
+        "$push", "$addToSet", "$pull", "$pop", "$rename")
+        .contains(e.getKey),
         s"unsupported update operator: ${e.getKey}")
       require(e.getValue.isObject,
         s"${e.getKey} operand must be an object: ${e.getValue}")
@@ -590,6 +594,42 @@ final class Collection(
       }
       Option(ops.get("$unset")).foreach { u =>
         u.properties().forEach(e => base.remove(e.getKey))
+      }
+      // $min/$max keep the smaller/larger of current and operand
+      // (missing field: operand wins — Mongo); $mul multiplies (missing
+      // field → 0, Mongo's convention), integral×integral stays
+      // integral like $inc. Non-numeric current values fail loudly.
+      Seq("$min", "$max", "$mul").foreach { opName =>
+        Option(ops.get(opName)).foreach { o =>
+          o.properties().forEach { e =>
+            val cur = base.get(e.getKey)
+            val d = e.getValue
+            if (!d.isNumber) throw new IllegalArgumentException(
+              s"$opName operand must be numeric: $d")
+            if (cur == null || cur.isNull) {
+              if (opName == "$mul")
+                base.put(e.getKey, 0L) // Mongo: missing × x = 0
+              else base.set[com.fasterxml.jackson.databind.JsonNode](
+                e.getKey, d)
+            } else if (!cur.isNumber)
+              throw new IllegalArgumentException(
+                s"$opName on non-numeric field '${e.getKey}': $cur")
+            else (opName, cur.isIntegralNumber && d.isIntegralNumber) match {
+              case ("$min", true) =>
+                base.put(e.getKey, math.min(cur.asLong(), d.asLong()))
+              case ("$min", false) =>
+                base.put(e.getKey, math.min(cur.asDouble(), d.asDouble()))
+              case ("$max", true) =>
+                base.put(e.getKey, math.max(cur.asLong(), d.asLong()))
+              case ("$max", false) =>
+                base.put(e.getKey, math.max(cur.asDouble(), d.asDouble()))
+              case ("$mul", true) =>
+                base.put(e.getKey, cur.asLong() * d.asLong())
+              case _ =>
+                base.put(e.getKey, cur.asDouble() * d.asDouble())
+            }
+          }
+        }
       }
       import com.fasterxml.jackson.databind.JsonNode
       import com.fasterxml.jackson.databind.node.ArrayNode

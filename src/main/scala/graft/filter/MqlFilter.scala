@@ -286,6 +286,12 @@ object MqlFilter {
         case "$toDouble" => exprNum(e.getValue, r)
         case "$toLong" =>
           exprNum(e.getValue, r).cast("long").cast("double")
+        case "$cond" => // [if, then, else] — numeric branches
+          val Seq(c, t, f) = e.getValue.elements().asScala.toSeq
+          when(tv(exprBool(c, r)), exprNum(t, r)).otherwise(exprNum(f, r))
+        case "$ifNull" => // first non-null operand
+          coalesce(e.getValue.elements().asScala.toSeq
+            .map(exprNum(_, r)): _*)
         case other => throw new IllegalArgumentException(
           s"unsupported $$expr numeric operator: $other")
       }

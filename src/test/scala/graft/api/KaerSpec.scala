@@ -342,6 +342,21 @@ class KaerSpec extends SparkTestBase {
     assert(c.updateDoc("""{"grp": 1}""",
       """{"$pull": {"nums": 1}}""") == 1L)
     assert(metas().count(_.contains(""""nums":[2]""")) == 1)
+    // $min/$max/$mul: numeric merge ops; missing-field conventions
+    assert(c.updateDoc("""{"grp": 0, "n": {"$exists": true}}""",
+      """{"$min": {"n": 3}, "$max": {"hi": 10}, "$mul": {"n": 2}}""")
+      == 1L)
+    // order is $min then $mul: min(5,3)=3, then 3*2=6; $max on missing
+    // field sets it; $mul on missing field writes 0
+    assert(metas().count(m => m.contains(""""n":6""") &&
+      m.contains(""""hi":10""")) == 1)
+    assert(c.updateDoc("""{"grp": 1}""",
+      """{"$mul": {"zero_start": 7}}""") == 1L)
+    assert(metas().count(_.contains(""""zero_start":0""")) == 1)
+    assert(c.updateDoc("""{"grp": 1}""", """{"$set": {"s": "x"}}""") == 1L)
+    intercept[Exception] { // non-numeric current value fails loudly
+      c.updateDoc("""{"grp": 1}""", """{"$min": {"s": 1}}""")
+    }
     // $pop: 1 removes last, -1 removes first; empty/missing are no-ops
     assert(c.updateDoc("""{"grp": 1}""",
       """{"$push": {"nums": {"$each": [7, 8]}}}""") == 1L)
@@ -360,9 +375,10 @@ class KaerSpec extends SparkTestBase {
     assert(m.count(_.contains(""""labels":["t2","t3"]""")) == 2)
     assert(!m.exists(_.contains(""""tags"""")))
     assert(!m.exists(_.contains(""""g2"""")))
-    // loud failure on array ops over a non-array value (Mongo errors too)
+    // loud failure on array ops over a non-array value (Mongo errors
+    // too); n is 6 after the $min/$mul sequence above
     intercept[Exception] {
-      c.updateDoc("""{"n": 5}""", """{"$push": {"n": 1}}""")
+      c.updateDoc("""{"n": 6}""", """{"$push": {"n": 1}}""")
     }
     // unknown operator and bad $rename target fail fast, driver-side
     intercept[IllegalArgumentException] {

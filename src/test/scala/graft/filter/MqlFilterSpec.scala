@@ -298,6 +298,15 @@ class MqlFilterSpec extends SparkTestBase {
       "$expr": {"$gt": ["$a", 1]}}""") == Seq(2L))
   }
 
+  test("$expr: $cond and $ifNull compose inside comparisons") {
+    // cap a at 2 via $cond, then compare: min(a,2) >= 2 ⇔ a >= 2
+    assert(ids("""{"$expr": {"$gte": [
+      {"$cond": [{"$gt": ["$a", 2]}, 2, "$a"]}, 2]}}""") == Seq(2L, 5L))
+    // $ifNull defaults the missing/string-typed a to 99
+    assert(ids("""{"$expr": {"$eq": [{"$ifNull": ["$a", 99]}, 99]}}""")
+      == Seq(3L, 4L))
+  }
+
   test("$expr: bracketing — numeric view of a string field is null") {
     // row 3: a = "5" (string) — numeric $expr comparisons never match
     assert(ids("""{"$expr": {"$eq": ["$a", 5]}}""") == Seq(5L))
