@@ -806,4 +806,30 @@ class PlanSpec extends SparkTestBase {
     val shuffles = "hashpartitioning\\(".r.findAllIn(p).length
     assert(shuffles == 1, s"$shuffles hash exchanges:\n$p")
   }
+
+  test("pq_adc_trained: encode + ADC rank is per-row expression work — " +
+      "no cartesian, no hash exchange, top-k is a heap") {
+    val p = plan(graft.operators.Quantize.pqAdcTrained(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // training already ran (bounded driver collects); the returned
+    // scoring plan itself reads the corpus once with zero shuffles
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("mm_decode_real: the decode pipeline is per-row map work — " +
+      "no exchange except the presentation sort") {
+    val p = plan(graft.operators.Multimodal.mmDecodeReal(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mql_expr_filter: $expr compiles to a real Catalyst predicate — " +
+      "one Filter over the scan, no UDF node") {
+    val p = plan(Relational.mqlExprFilter(spark, sf0001))
+    assert(!p.contains("BatchEvalPython"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    // pruned read: only the columns the filter/projection need
+    assert(!p.contains("text"), "scan reads unneeded text column")
+  }
 }
