@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[PngCodec]] round-trips planted synthetic
   * PNGs through javax.imageio (public, in-JVM, lossless) and the oracle
   * checks the decoded pixel stats analytically ([[mmDecodeReal]]).
-  * Audio/video codecs are not in this container, so THAT decode is a
-  * stub — a clearly-marked deterministic fake ([[FakeCodec]]) deriving
-  * dimensions/frames from md5 of the payload. Everything around it is
+  * AUDIO decode is REAL for PCM WAV: [[WavCodec]] hand-encodes and
+  * chunk-walks the RIFF container byte-for-byte ([[mmDecodeWav]]).
+  * Compressed audio/video codecs are not in this container, so THAT
+  * decode path remains a stub — a clearly-marked deterministic fake
+  * ([[FakeCodec]]) deriving dimensions/frames from md5 of the payload. Everything around it is
   * real and tested: binary schema, typed metadata, batch iteration
   * shape, partition-parallel execution, and an md5-derived feature
   * pipeline the DuckDB oracle replicates bit-for-bit.
@@ -135,6 +137,90 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio stats — REAL container parse ([[mmDecodeWav]]). */
+  final case class AudioFeatures(media_id: Long, sample_rate: Long,
+      n_samples: Long, mean_amp: Long)
+
+  /** A REAL audio codec for PCM WAV: the RIFF/fmt/data container is a
+    * public, fully-deterministic byte layout, so both the ENCODER (the
+    * canonical 44-byte header + 16-bit little-endian samples) and the
+    * DECODER (chunk walk + sample read-back) are exact — no codec
+    * library needed. Like [[PngCodec]], the planted waveform derives
+    * from integer formulas so the oracle computes the decoded stats
+    * analytically while this side proves the byte-level round trip. */
+  object WavCodec {
+    def isWav(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        payload.take(4).sameElements("RIFF".getBytes) &&
+        payload.slice(8, 12).sameElements("WAVE".getBytes)
+
+    /** Sample t of media id: ((t·31 + id·7) mod 4001) − 2000 — integer,
+      * |amp| ≤ 2000, exact in a 16-bit sample. */
+    def synthAmp(id: Long, t: Int): Int =
+      (((t * 31L + id * 7L) % 4001L) - 2000L).toInt
+
+    /** Deterministic synthetic mono PCM16 WAV for media id: 256–511
+      * samples, sample rate 8/12/16/20 kHz — both derived from the id. */
+    def synthWav(id: Long): Array[Byte] = {
+      val n = 256 + (id % 256).toInt
+      val sr = 8000 + (id % 4).toInt * 4000
+      val data = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(data)
+      def le32(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      }
+      def le16(v: Int): Unit = {
+        out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      }
+      out.writeBytes("RIFF"); le32(36 + n * 2); out.writeBytes("WAVE")
+      out.writeBytes("fmt "); le32(16); le16(1) /* PCM */ ; le16(1)
+      le32(sr); le32(sr * 2); le16(2); le16(16)
+      out.writeBytes("data"); le32(n * 2)
+      var t = 0
+      while (t < n) { le16(synthAmp(id, t) & 0xffff); t += 1 }
+      data.toByteArray
+    }
+
+    /** Parse a PCM WAV → (sampleRate, nSamples, Σ|amp|). Walks the
+      * chunk list (so writers that insert LIST/fact chunks still
+      * parse), requires PCM16 mono. */
+    def decode(payload: Array[Byte]): (Int, Long, Long) = {
+      require(isWav(payload), "not a RIFF/WAVE payload")
+      def u16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (payload(o) & 0xff).toLong |
+        ((payload(o + 1) & 0xff).toLong << 8) |
+        ((payload(o + 2) & 0xff).toLong << 16) |
+        ((payload(o + 3) & 0xff).toLong << 24)
+      var off = 12
+      var sr = -1
+      var sum = 0L
+      var n = 0L
+      while (off + 8 <= payload.length) {
+        val id = new String(payload.slice(off, off + 4), "US-ASCII")
+        val len = u32(off + 4).toInt
+        if (id == "fmt ") {
+          require(u16(off + 8) == 1 && u16(off + 10) == 1,
+            "expected PCM mono")
+          require(u16(off + 8 + 14) == 16, "expected 16-bit samples")
+          sr = u32(off + 12).toInt
+        } else if (id == "data") {
+          var p = off + 8
+          val end = math.min(off + 8 + len, payload.length)
+          while (p + 1 < end) {
+            val s = u16(p).toShort // sign via 16-bit wrap
+            sum += math.abs(s.toLong)
+            n += 1
+            p += 2
+          }
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(sr > 0 && n > 0, "missing fmt/data chunk")
+      (sr, n, sum)
+    }
+  }
+
   /** The media corpus as a typed Dataset. */
   def corpus(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -211,6 +297,25 @@ object Multimodal {
     })).toDF().orderBy("media_id")
   }
 
+  /** REAL audio decode under the gate — the WAV twin of
+    * [[mmDecodeReal]]: every doc plants a deterministic synthetic PCM16
+    * WAV (encoded byte-by-byte on executors), a second batch-shaped
+    * pass walks the RIFF chunks back and reads every sample, and the
+    * oracle computes sample count / rate / mean |amplitude|
+    * analytically from the waveform formula. Per-row map work only. */
+  def mmDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavs = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(id =>
+        MediaRow(id, "audio", WavCodec.synthWav(id)))))
+    wavs.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      require(WavCodec.isWav(r.payload), s"media ${r.media_id}: not WAV")
+      val (sr, n, sumAbs) = WavCodec.decode(r.payload)
+      AudioFeatures(r.media_id, sr, n, sumAbs / n)
+    })).toDF().orderBy("media_id")
+  }
+
   /** Media-embedding similarity: a STUBBED media encoder (md5-derived
     * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
     * as [[FakeCodec]]) feeding the engine's standard brute-force top-k.
@@ -275,6 +380,21 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_decode_wav" ->
+      // the waveform formula summed analytically — agrees only if the
+      // RIFF parse read back every 16-bit sample
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    256 + doc_id % 256 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS sr
+        |  FROM documents)
+        |SELECT media_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs((t * 31 + media_id * 7) % 4001 - 2000)) // n
+        |    AS BIGINT) AS mean_amp
+        |FROM ids, generate_series(0, 511) g(t)
+        |WHERE t < n
+        |GROUP BY media_id, sr, n
+        |ORDER BY media_id""".stripMargin,
     "mm_decode_real" ->
       // the planted-pixel formulas, summed analytically: the engine-side
       // numbers came through a real PNG encode→decode, these come from
@@ -329,6 +449,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> (mmDecode _),
     "mm_decode_real" -> (mmDecodeReal _),
+    "mm_decode_wav" -> (mmDecodeWav _),
     "mm_frames" -> (mmFrames _),
     "mm_embed_knn" -> (mmEmbedKnn _)
   )
