@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * checks the decoded pixel stats analytically ([[mmDecodeReal]]).
   * AUDIO decode is REAL for PCM WAV: [[WavCodec]] hand-encodes and
   * chunk-walks the RIFF container byte-for-byte ([[mmDecodeWav]]).
-  * Compressed audio/video codecs are not in this container, so THAT
-  * decode path remains a stub — a clearly-marked deterministic fake
+  * VIDEO decode is REAL for raw-frame YUV4MPEG2: [[Y4mCodec]] walks
+  * FRAME markers and reads every luma byte ([[mmDecodeY4m]]).
+  * Compressed codecs (JPEG-in-motion, MP3/AAC, H.264) are not in this
+  * container, so THAT decode path remains a stub — a clearly-marked deterministic fake
   * ([[FakeCodec]]) deriving dimensions/frames from md5 of the payload. Everything around it is
   * real and tested: binary schema, typed metadata, batch iteration
   * shape, partition-parallel execution, and an md5-derived feature
@@ -221,6 +223,86 @@ object Multimodal {
     }
   }
 
+  /** Decoded video stats — REAL container parse ([[mmDecodeY4m]]). */
+  final case class VideoFeatures(media_id: Long, width: Long, height: Long,
+      n_frames: Long, mean_y: Long)
+
+  /** A REAL video codec for the YUV4MPEG2 (.y4m) raw-frame container —
+    * the public uncompressed interchange format (ffmpeg/mjpegtools):
+    * a textual stream header, then `FRAME\n` + raw planes per frame.
+    * Planted frames use C444 (three full-size planes) with
+    * formula-derived luma, so the decode walk is byte-exact and the
+    * oracle computes frame stats analytically — the same honest-real
+    * device as [[PngCodec]]/[[WavCodec]]. Compressed video stays with
+    * [[FakeCodec]]. */
+  object Y4mCodec {
+    private val Magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+
+    def isY4m(payload: Array[Byte]): Boolean =
+      payload.length >= Magic.length &&
+        payload.take(Magic.length).sameElements(Magic)
+
+    /** Luma of (frame f, pixel x,y) for media id — integer formula. */
+    def synthLuma(id: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 7L + y * 11L + f * 13L + id) % 256L).toInt
+
+    /** Deterministic synthetic y4m: dims and frame count derive from
+      * the id; chroma planes constant 128 (grey). */
+    def synthY4m(id: Long): Array[Byte] = {
+      val w = 16 + (id % 16).toInt
+      val h = 16 + ((id / 16) % 16).toInt
+      val frames = 2 + (id % 3).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n"
+        .getBytes("US-ASCII"))
+      var f = 0
+      while (f < frames) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        var y = 0
+        while (y < h) { // Y plane
+          var x = 0
+          while (x < w) { out.write(synthLuma(id, f, x, y)); x += 1 }
+          y += 1
+        }
+        var i = 0 // U then V planes, constant grey
+        while (i < 2 * w * h) { out.write(128); i += 1 }
+        f += 1
+      }
+      out.toByteArray
+    }
+
+    /** Parse → (width, height, nFrames, ΣY). Reads the stream header's
+      * W/H/C tokens, then walks FRAME markers summing the luma plane. */
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      require(isY4m(payload), "not a YUV4MPEG2 payload")
+      val nl = payload.indexOf('\n'.toByte)
+      require(nl > 0, "missing stream header terminator")
+      val header = new String(payload, 0, nl, "US-ASCII")
+      val toks = header.split(' ').toSeq
+      def tok(p: String): Option[String] =
+        toks.find(_.startsWith(p)).map(_.drop(1))
+      val w = tok("W").get.toInt
+      val h = tok("H").get.toInt
+      require(toks.contains("C444"), "expected C444 planes")
+      var off = nl + 1
+      var frames = 0L
+      var sumY = 0L
+      val frameMark = "FRAME".getBytes("US-ASCII")
+      while (off + frameMark.length <= payload.length) {
+        require(payload.slice(off, off + frameMark.length)
+          .sameElements(frameMark), s"bad FRAME marker at $off")
+        val fnl = payload.indexOf('\n'.toByte, off)
+        off = fnl + 1
+        var i = 0
+        while (i < w * h) { sumY += payload(off + i) & 0xff; i += 1 }
+        off += 3 * w * h // Y + U + V
+        frames += 1
+      }
+      require(frames > 0, "no frames")
+      (w, h, frames, sumY)
+    }
+  }
+
   /** The media corpus as a typed Dataset. */
   def corpus(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -316,6 +398,25 @@ object Multimodal {
     })).toDF().orderBy("media_id")
   }
 
+  /** REAL video-container decode under the gate — the y4m twin of
+    * [[mmDecodeReal]]/[[mmDecodeWav]]: plant a deterministic raw-frame
+    * YUV4MPEG2 stream per doc, walk the FRAME markers back summing
+    * every luma byte; dims/frame-count/mean-luma hash-checked against
+    * the analytic formulas. Per-row map work only. */
+  def mmDecodeY4m(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vids = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(id =>
+        MediaRow(id, "video", Y4mCodec.synthY4m(id)))))
+    vids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      require(Y4mCodec.isY4m(r.payload), s"media ${r.media_id}: not y4m")
+      val (w, h, frames, sumY) = Y4mCodec.decode(r.payload)
+      VideoFeatures(r.media_id, w, h, frames,
+        sumY / (w.toLong * h * frames))
+    })).toDF().orderBy("media_id")
+  }
+
   /** Media-embedding similarity: a STUBBED media encoder (md5-derived
     * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
     * as [[FakeCodec]]) feeding the engine's standard brute-force top-k.
@@ -380,6 +481,26 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_decode_y4m" ->
+      // the luma formula summed analytically over (frame, x, y) —
+      // agrees only if the FRAME walk read back every luma byte
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w,
+        |    16 + (doc_id // 16) % 16 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents)
+        |SELECT media_id, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum((x * 7 + y * 11 + f * 13 + media_id) % 256)
+        |    // (w * h * nf) AS BIGINT) AS mean_y
+        |FROM ids,
+        |  generate_series(0, 3) gf(f),
+        |  generate_series(0, 31) gx(x),
+        |  generate_series(0, 31) gy(y)
+        |WHERE f < nf AND x < w AND y < h
+        |GROUP BY media_id, w, h, nf
+        |ORDER BY media_id""".stripMargin,
     "mm_decode_wav" ->
       // the waveform formula summed analytically — agrees only if the
       // RIFF parse read back every 16-bit sample
@@ -450,6 +571,7 @@ object Multimodal {
     "mm_decode" -> (mmDecode _),
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_decode_y4m" -> (mmDecodeY4m _),
     "mm_frames" -> (mmFrames _),
     "mm_embed_knn" -> (mmEmbedKnn _)
   )
