@@ -510,6 +510,38 @@ final class Collection(
     removed
   }
 
+  /** Mongo `replaceOne`: swap the FIRST document matching the filter
+    * (first = lowest `_m_id` — Mongo's natural order is storage order;
+    * id order is this store's deterministic equivalent) for a new
+    * document + metadata. The replacement re-embeds — the document
+    * text changed, so a stale vector would silently corrupt every
+    * later kNN ranking. The id is retained (Mongo keeps `_id` on
+    * replace). Copy-on-write rewrite; returns 1 when a document
+    * matched, 0 otherwise. */
+  def replaceOne(filterJson: String, document: String,
+      metadata: Map[String, Any] = Map.empty): Long = {
+    if (!hasData) return 0L
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val hit = df.filter(pred).agg(min(col(Schema.IdCol))).head()
+    if (hit.isNullAt(0)) return 0L
+    val id = hit.getLong(0)
+    val emb = embedder.embedOne(document)
+    val embLit = array(emb.map(v => lit(v)): _*)
+    val metaJson =
+      if (metadata.isEmpty) lit(null).cast("string")
+      else lit(Data.toJson(metadata))
+    val isHit = col(Schema.IdCol) === id
+    rewriteData(df
+      .withColumn(Schema.DocCol,
+        when(isHit, lit(document)).otherwise(col(Schema.DocCol)))
+      .withColumn(Schema.EmbeddingCol,
+        when(isHit, embLit).otherwise(col(Schema.EmbeddingCol)))
+      .withColumn(Schema.MetaCol,
+        when(isHit, metaJson).otherwise(col(Schema.MetaCol))))
+    1L
+  }
+
   /** Mongo-style $set on metadata for documents matching an MQL filter —
     * sugar over [[updateDoc]]; returns the number of rows updated. */
   def update(filterJson: String, set: Map[String, Any]): Long =

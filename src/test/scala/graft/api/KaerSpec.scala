@@ -389,6 +389,35 @@ class KaerSpec extends SparkTestBase {
     }
   }
 
+  test("replaceOne: first match by id, full replace, re-embedded") {
+    val root = tmpDir("kaer-repl")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("alpha one", "beta two", "gamma three"))
+      .withMetadatas(Seq(
+        Map[String, Any]("grp" -> 0, "old" -> "x"),
+        Map[String, Any]("grp" -> 0),
+        Map[String, Any]("grp" -> 1))))
+    // two docs match grp=0 — the LOWEST id (1) is replaced
+    assert(c.replaceOne("""{"grp": 0}""", "delta four",
+      Map("grp" -> 9)) == 1L)
+    assert(c.count() == 3)
+    val rows = c.query("delta four", 3).collect()
+    // the replacement is its own nearest neighbor at distance ~0, id kept
+    assert(rows.head.getAs[Long]("_m_id") == 1L)
+    assert(rows.head.getAs[String]("_m_doc") == "delta four")
+    assert(rows.head.getAs[Double]("_distance") < 1e-6)
+    // REPLACE, not merge: the old metadata key is gone
+    assert(c.query("x", 10, """{"old": {"$exists": true}}""").count() == 0)
+    assert(c.query("x", 10, """{"grp": {"$eq": 9}}""").count() == 1)
+    // the second grp=0 doc (id 2) was untouched
+    assert(c.query("beta two", 1).head.getAs[Long]("_m_id") == 2L)
+    // no match → 0, nothing rewritten
+    assert(c.replaceOne("""{"grp": 42}""", "nope") == 0L)
+    assert(c.count() == 3)
+  }
+
   test("corrupt sidecar heals from data; truncated file reads as absent") {
     val root = tmpDir("kaer-corrupt")
     val k1 = newSession(root)
