@@ -26,16 +26,18 @@ object Bench {
 
   /** Self-defense against concurrent-load contamination (six rounds of
     * judges re-running benches clean was the project's most expensive
-    * recurring toil): when SPARK_GRAFT_WAIT_IDLE is set, poll until the
-    * 1-minute load per core drops below 0.3, bounded by
-    * SPARK_GRAFT_WAIT_IDLE_MAX_S (default 600 s), then proceed either
-    * way. Returns whether the machine was still contended at the end —
-    * recorded as `"contended": true` in both output lines so a loaded
-    * run flags itself even when the wait gave up. */
+    * recurring toil): ON BY DEFAULT, poll until the 1-minute load per
+    * core drops below 0.3, bounded by SPARK_GRAFT_WAIT_IDLE_MAX_S
+    * (default 300 s), then proceed either way. Opt out with
+    * SPARK_GRAFT_WAIT_IDLE=0. Returns whether the machine was still
+    * contended at the end — recorded as `"contended": true` in both
+    * output lines so a loaded run flags itself even when the wait gave
+    * up: the artifact either measures an idle machine or says it
+    * didn't. */
   private def waitForIdle(): Boolean = {
-    if (!sys.env.contains("SPARK_GRAFT_WAIT_IDLE")) return false
+    if (sys.env.get("SPARK_GRAFT_WAIT_IDLE").contains("0")) return false
     val deadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_WAIT_IDLE_MAX_S", "600").toLong *
+      sys.env.getOrElse("SPARK_GRAFT_WAIT_IDLE_MAX_S", "300").toLong *
         1000L * 1000L * 1000L
     var load = loadPerCore()
     while (load >= 0.3 && System.nanoTime() < deadline) {
