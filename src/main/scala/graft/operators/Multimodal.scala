@@ -417,6 +417,51 @@ object Multimodal {
     })).toDF().orderBy("media_id")
   }
 
+  /** COMPRESSED-codec decode under the gate — JPEG through
+    * javax.imageio, the one compressed format the bare JVM ships a
+    * real codec for. JPEG is LOSSY: decoded pixel values are
+    * codec-defined, not analytically derivable, so the gate hashes
+    * only the spec-exact fields (dimensions — which survive any
+    * conforming round trip) plus a sanity band on the decoded luma
+    * (the planted mid-grey flat image must decode to mid-grey ± JPEG
+    * ringing, asserted engine-side, not hashed). Proves the real
+    * compressed encode→decode path executes on executors. */
+  def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jpegs = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+        val w = 16 + (id % 24).toInt
+        val h = 16 + ((id / 24) % 24).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val grey = (96 + id % 64).toInt // flat mid-grey per id
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (grey << 16) | (grey << 8) | grey)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        MediaRow(id, "image", bos.toByteArray)
+      }))
+    jpegs.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media ${r.media_id}: JPEG decode failed")
+      // lossy-band sanity: a flat grey image decodes to that grey ± 2
+      val grey = (96 + r.media_id % 64).toInt
+      val mid = img.getRGB(img.getWidth / 2, img.getHeight / 2) & 0xff
+      require(math.abs(mid - grey) <= 2,
+        s"media ${r.media_id}: grey $grey decoded to $mid")
+      (r.media_id, img.getWidth.toLong, img.getHeight.toLong)
+    })).toDF("media_id", "width", "height").orderBy("media_id")
+  }
+
   /** Media-embedding similarity: a STUBBED media encoder (md5-derived
     * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
     * as [[FakeCodec]]) feeding the engine's standard brute-force top-k.
@@ -481,6 +526,13 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_decode_jpeg" ->
+      // only the spec-exact fields sit under the hash (JPEG is lossy;
+      // the decoded-value sanity band is asserted engine-side)
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 24 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id // 24) % 24 AS BIGINT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm_decode_y4m" ->
       // the luma formula summed analytically over (frame, x, y) —
       // agrees only if the FRAME walk read back every luma byte
@@ -572,6 +624,7 @@ object Multimodal {
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_decode_wav" -> (mmDecodeWav _),
     "mm_decode_y4m" -> (mmDecodeY4m _),
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frames" -> (mmFrames _),
     "mm_embed_knn" -> (mmEmbedKnn _)
   )

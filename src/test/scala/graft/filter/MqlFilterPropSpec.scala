@@ -144,4 +144,113 @@ class MqlFilterPropSpec extends SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- $expr arithmetic fuzz -----------------------------------------
+  // Model of the documented $expr semantics: numeric views are doubles
+  // (so the 2^53 neighborhood COLLAPSES — unlike the int64-exact $match
+  // path above), a missing/null operand makes every comparison false
+  // (two-valued collapse), $not flips through the collapse (null → true).
+
+  sealed trait E {
+    def json: String
+    def eval(k: Option[Long]): Option[Double]
+  }
+  case class ELit(v: Long) extends E {
+    def json = v.toString
+    def eval(k: Option[Long]) = Some(v.toDouble)
+  }
+  case object ERef extends E {
+    def json = "\"$k\""
+    def eval(k: Option[Long]) = k.map(_.toDouble)
+  }
+  case class EBin(op: String, a: E, b: E) extends E {
+    def json = s"""{"$$$op": [${a.json}, ${b.json}]}"""
+    def eval(k: Option[Long]) = for { x <- a.eval(k); y <- b.eval(k) }
+      yield op match {
+        case "add" => x + y
+        case "subtract" => x - y
+        case "multiply" => x * y
+        case "divide" => x / y // divisor generator excludes 0
+      }
+  }
+  case class EIfNull(a: E, v: Long) extends E {
+    def json = s"""{"$$ifNull": [${a.json}, $v]}"""
+    def eval(k: Option[Long]) = a.eval(k).orElse(Some(v.toDouble))
+  }
+
+  sealed trait B { // boolean $expr node
+    def json: String
+    def eval(k: Option[Long]): Boolean
+  }
+  case class BCmp(op: String, a: E, b: E) extends B {
+    def json = s"""{"$$$op": [${a.json}, ${b.json}]}"""
+    def eval(k: Option[Long]) = (a.eval(k), b.eval(k)) match {
+      case (Some(x), Some(y)) => op match {
+        case "eq" => x == y; case "ne" => x != y
+        case "gt" => x > y; case "gte" => x >= y
+        case "lt" => x < y; case "lte" => x <= y
+      }
+      case _ => false // two-valued collapse
+    }
+  }
+  case class BLogic(op: String, cs: Seq[B]) extends B {
+    def json = s"""{"$$$op": [${cs.map(_.json).mkString(",")}]}"""
+    def eval(k: Option[Long]) = op match {
+      case "and" => cs.forall(_.eval(k))
+      case "or" => cs.exists(_.eval(k))
+    }
+  }
+  case class BNot(c: B) extends B {
+    def json = s"""{"$$not": [${c.json}]}"""
+    def eval(k: Option[Long]) = !c.eval(k)
+  }
+
+  private val genE: Gen[E] = {
+    val leaf = Gen.oneOf[E](
+      Gen.oneOf(Gen.choose(-3L, 25L), Gen.choose(Big - 2, Big + 3))
+        .map(ELit),
+      Gen.const(ERef),
+      Gen.choose(-3L, 25L).map(v => EIfNull(ERef, v)))
+    val bin = for {
+      op <- Gen.oneOf("add", "subtract", "multiply")
+      a <- leaf; b <- leaf
+    } yield EBin(op, a, b): E
+    val div = for { // nonzero literal divisor only
+      a <- leaf; d <- Gen.oneOf(2L, 3L, 5L, 7L)
+    } yield EBin("divide", a, ELit(d)): E
+    Gen.oneOf(leaf, bin, div)
+  }
+
+  private val genBCmp: Gen[B] = for {
+    op <- Gen.oneOf("eq", "ne", "gt", "gte", "lt", "lte")
+    a <- genE; b <- genE
+  } yield BCmp(op, a, b)
+
+  private val genB: Gen[B] = Gen.oneOf(
+    genBCmp,
+    genBCmp.map(BNot),
+    for {
+      op <- Gen.oneOf("and", "or")
+      n <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(n, genBCmp)
+    } yield BLogic(op, cs))
+
+  test("random $expr predicates: Catalyst translation == double-math " +
+      "model with two-valued collapse") {
+    val prop = Prop.forAll(genB) { b =>
+      val json = s"""{"$$expr": ${b.json}}"""
+      val got = df.filter(MqlFilter.toColumn(json,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = model.collect {
+        case (id, (k, _)) if b.eval(k) => id
+      }.toSet
+      if (got != want)
+        println(s"MISMATCH $json: got=$got want=$want")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
