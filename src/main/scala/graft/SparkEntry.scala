@@ -38,6 +38,7 @@ object SparkEntry {
       graft.operators.Geo.queries ++
       graft.operators.Cluster.queries ++
       graft.operators.Bpe.queries ++
+      graft.operators.Analytics.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.operators.Geo.oracle ++
       graft.operators.Cluster.oracle ++
       graft.operators.Bpe.oracle ++
+      graft.operators.Analytics.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the session family: multi-touch
+  * attribution and exact statistical anomaly flagging — the two
+  * remaining product-analytics staples a warehouse team runs daily over
+  * the same `events` table the funnel/retention/transition gates use.
+  *
+  * Both are exact-integer formulations so the full distributed result
+  * sits under the DuckDB oracle hash:
+  *
+  *  - [[attributionCredit]] — first-touch / last-touch / linear credit
+  *    per channel for each user's first conversion. Linear credit is
+  *    integer permille with the rounding remainder assigned to the
+  *    FIRST touch (deterministic — credits per user always sum to
+  *    exactly 1000).
+  *  - [[anomalyEvents]] — per-type 3-sigma outliers where the z² test
+  *    is evaluated as an exact cross-multiplied integer inequality
+  *    (never a float sqrt/stddev): `(v·n − S1)² > 9·(n·S2 − S1²)` on
+  *    centi-quantized values. Spark evaluates it in DECIMAL(38,0) and
+  *    the oracle in HUGEINT — both exact, so the boundary can't flip on
+  *    a rounding ulp.
+  *
+  * Scale: every aggregation keys on `user_id` or `event_type` with
+  * map-side partials; the per-type stats table is O(types) and rides a
+  * broadcast join back onto the stream. No windows over the full
+  * corpus, no driver loops — at 10^12 events the plan shape is
+  * unchanged (the decimal evaluation is why: the cross-multiplied
+  * products reach ~10^33 at trillion-row scale, past LONG but well
+  * inside DECIMAL(38)/HUGEINT).
+  */
+object Analytics {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Relational.events(s, dir)
+
+  /** Multi-touch attribution over each user's FIRST purchase: touches
+    * are all non-purchase events strictly before it in (us, event_id)
+    * order. One `user_id` shuffle shared by the conversion lookup and
+    * both credit rollups; the final per-channel tables are O(channels).
+    */
+  def attributionCredit(s: SparkSession, dir: String): DataFrame =
+    attributionCreditDF(ev(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type")))
+
+  /** Core plan over any `(user_id, us, event_id, event_type)` frame. */
+  def attributionCreditDF(e: DataFrame): DataFrame = {
+    val conv = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"))).as("p0"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .join(conv, "user_id")
+      .filter(struct(col("us"), col("event_id")) < col("p0"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("us"), col("event_id"))
+    val perUser = touches.groupBy("user_id").agg(
+      count(lit(1)).as("k"),
+      min_by(col("channel"), struct(col("us"), col("event_id")))
+        .as("first_ch"),
+      max_by(col("channel"), struct(col("us"), col("event_id")))
+        .as("last_ch"))
+    val perUc = touches.groupBy("user_id", "channel")
+      .agg(count(lit(1)).as("cnt"))
+    // co-partitioned on user_id with perUc — no broadcast needed, and
+    // at scale perUser is the same cardinality class as perUc anyway
+    val base = floor(lit(1000L) / col("k")).cast("long")
+    val linear = perUc.join(perUser, "user_id")
+      .withColumn("lin", col("cnt") * base +
+        when(col("channel") === col("first_ch"),
+          lit(1000L) - col("k") * base).otherwise(lit(0L)))
+      .groupBy("channel").agg(sum(col("lin")).as("linear_pm"))
+    val ft = perUser.groupBy(col("first_ch").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lt = perUser.groupBy(col("last_ch").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .join(linear, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_pm"), lit(0L)).as("linear_pm"))
+      .orderBy("channel")
+  }
+
+  /** Exact 3-sigma outlier census per event type. The flag is the
+    * cross-multiplied population z² test — all operands derived from
+    * LONG centi-units, evaluated in DECIMAL(38,0) so the squared
+    * products stay exact at any corpus size the stats themselves
+    * survive. Output columns are plain LONGs. */
+  def anomalyEvents(s: SparkSession, dir: String): DataFrame =
+    anomalyEventsDF(ev(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("vq")))
+
+  /** Core plan over any `(event_type, vq: long)` frame. */
+  def anomalyEventsDF(e: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("vq")).as("s1"),
+      sum(col("vq") * col("vq")).as("s2"))
+    val dev = d(col("vq")) * d(col("n")) - d(col("s1"))
+    val flag = dev * dev >
+      d(lit(9L)) * (d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1")))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("is_anom", flag)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
+        max(when(col("is_anom"), col("vq"))).as("max_anom_vq"),
+        sum(when(col("is_anom"), col("vq"))).as("sum_anom_vq"))
+      .orderBy("event_type")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "attribution_credit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, us, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn
+        |  FROM e WHERE event_type = 'purchase'),
+        |conv AS (SELECT user_id, us AS pus, event_id AS pid
+        |  FROM p WHERE rn = 1),
+        |touches AS (
+        |  SELECT e.user_id, e.event_type AS channel, e.us, e.event_id
+        |  FROM e JOIN conv c USING (user_id)
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (e.us < c.pus OR (e.us = c.pus AND e.event_id < c.pid))),
+        |ord AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS k
+        |  FROM touches),
+        |per_user AS (
+        |  SELECT user_id, max(k) AS k,
+        |    max(CASE WHEN rn = 1 THEN channel END) AS first_ch,
+        |    max(CASE WHEN rn = k THEN channel END) AS last_ch
+        |  FROM ord GROUP BY user_id),
+        |per_uc AS (
+        |  SELECT user_id, channel, count(*) AS cnt
+        |  FROM touches GROUP BY 1, 2),
+        |lin AS (
+        |  SELECT channel,
+        |    CAST(sum(cnt * (1000 // k) + CASE WHEN channel = first_ch
+        |      THEN 1000 - k * (1000 // k) ELSE 0 END) AS BIGINT)
+        |      AS linear_pm
+        |  FROM per_uc JOIN per_user USING (user_id) GROUP BY 1),
+        |ft AS (SELECT first_ch AS channel, count(*) AS first_touch
+        |  FROM per_user GROUP BY 1),
+        |lt AS (SELECT last_ch AS channel, count(*) AS last_touch
+        |  FROM per_user GROUP BY 1)
+        |SELECT channel,
+        |  CAST(COALESCE(first_touch, 0) AS BIGINT) AS first_touch,
+        |  CAST(COALESCE(last_touch, 0) AS BIGINT) AS last_touch,
+        |  CAST(COALESCE(linear_pm, 0) AS BIGINT) AS linear_pm
+        |FROM ft FULL OUTER JOIN lt USING (channel)
+        |FULL OUTER JOIN lin USING (channel)
+        |ORDER BY channel""".stripMargin,
+    "anomaly_events" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round("value" * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(vq) AS s1,
+        |    sum(vq * vq) AS s2
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT e.event_type, e.vq,
+        |    ((e.vq::HUGEINT * st.n - st.s1) * (e.vq::HUGEINT * st.n - st.s1)
+        |      > 9::HUGEINT * (st.n::HUGEINT * st.s2 - st.s1::HUGEINT * st.s1))
+        |      AS is_anom
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  max(CASE WHEN is_anom THEN vq END) AS max_anom_vq,
+        |  CAST(sum(CASE WHEN is_anom THEN vq END) AS BIGINT)
+        |    AS sum_anom_vq
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_credit" -> (attributionCredit _),
+    "anomaly_events" -> (anomalyEvents _)
+  )
+}

@@ -495,8 +495,66 @@ object Quantize {
     ((head +: rounds).mkString("WITH ", ",\n", "") + ",\n" + fin)
   }
 
+  // ---- Binary (1-bit) quantization + Hamming ranking ----
+  //
+  // The most aggressive quantization tier: one SIGN BIT per dimension,
+  // so a 64-dim float vector becomes 8 bytes — a 32× shrink like PQ but
+  // with zero codebook state, and distance becomes XOR + popcount (two
+  // native instructions per 64 dims). At 100 TB this is the cheapest
+  // possible first-pass filter: scan 8-byte signatures, shortlist by
+  // Hamming distance, re-rank survivors on the float column. Sign-bit
+  // agreement approximates angular similarity (the SimHash identity:
+  // P[bit match] = 1 − θ/π), so Hamming ranking IS approximate cosine
+  // ranking. Packing and popcount are bit-exact in both engines — the
+  // whole ranking sits under the oracle hash with no float tolerance.
+
+  /** Pack sign bits of dims [lo, lo+32) into one LONG (bit j set iff
+    * embedding[lo+j] >= 0). Two LONG halves rather than one 64-bit word
+    * keep every intermediate positive — no sign-bit edge cases in
+    * either engine. Pure codegen'd per-row expression. */
+  private def packSigns(emb: Column, lo: Int): Column =
+    (0 until 32).map { j =>
+      when(element_at(emb, lo + j + 1) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Top-10 by Hamming distance to query vector 3 (itself excluded),
+    * ties to the lowest vec_id. The signature computation never
+    * shuffles; ranking is a TakeOrderedAndProject heap. */
+  def quantizeBinary(s: SparkSession, dir: String): DataFrame = {
+    val b = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        packSigns(col("embedding"), 0).as("blo"),
+        packSigns(col("embedding"), 32).as("bhi"))
+    val q = b.filter(col("vec_id") === 3)
+      .select(col("blo").as("qlo"), col("bhi").as("qhi"))
+    b.filter(col("vec_id") =!= 3).crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("blo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("bhi").bitwiseXOR(col("qhi")))).cast("long"))
+      .orderBy(col("hamming").asc, col("vec_id").asc).limit(10)
+      .select("vec_id", "hamming")
+  }
+
+  private val quantizeBinaryOracle: String = {
+    def pack(off: Int): String =
+      s"""list_sum([CASE WHEN embedding[j + ${off + 1}] >= 0
+         |  THEN (1::BIGINT << j) ELSE 0::BIGINT END
+         |  for j in generate_series(0, 31)])::BIGINT""".stripMargin
+    s"""WITH b AS (
+       |  SELECT vec_id, ${pack(0)} AS blo, ${pack(32)} AS bhi
+       |  FROM embeddings),
+       |q AS (SELECT blo AS qlo, bhi AS qhi FROM b WHERE vec_id = 3)
+       |SELECT b.vec_id,
+       |  (bit_count(xor(b.blo, q.qlo)) +
+       |   bit_count(xor(b.bhi, q.qhi)))::BIGINT AS hamming
+       |FROM b, q WHERE b.vec_id <> 3
+       |ORDER BY hamming, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "pq_adc_trained" -> pqAdcTrainedOracle,
+    "quantize_binary" -> quantizeBinaryOracle,
     "quantize_topk" -> {
       def deq(e: String): String =
         s"""[CASE WHEN sc_$e > 0 THEN
@@ -700,6 +758,7 @@ object Quantize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quantize_topk" -> (quantizeTopk _),
+    "quantize_binary" -> (quantizeBinary _),
     "pq_adc_topk" -> (pqAdcTopk _),
     "pq_adc_trained" -> (pqAdcTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
