@@ -1085,35 +1085,73 @@ object MqlPipeline {
     * else string metadata view), literals, arithmetic
     * {$add/$subtract/$multiply/$divide: [...]} (double math — MQL's
     * cross-numeric bracketing), type coercion {$toLong/$toDouble: e},
-    * and string ops {$concat: [...]}, {$toUpper/$toLower: e}. Numeric
-    * positions resolve "$f" through the NUMERIC view (a JSON number's
-    * string view is null by bracketing). */
+    * string ops ({$concat/$toUpper/$toLower/$split/$trim/$ltrim/$rtrim/
+    * $substrCP/$strLenCP/$indexOfCP/$replaceAll/$regexMatch}), the
+    * array lambda family ({$map/$filter/$reduce} with `"$$var"`
+    * variables, plus {$concatArrays/$slice/$range}), and comparison/
+    * logic operators ({$gt..$ne/$and/$or/$not} — numeric operands, the
+    * same bracket as $cond's if). Numeric positions resolve "$f"
+    * through the NUMERIC view (a JSON number's string view is null by
+    * bracketing); lambda variables resolve through `env` and coerce by
+    * position (a VARIANT array element casts at its use site). */
   private def computeExpr(node: JsonNode, metaCol: Column,
       cur: DataFrame): Column =
     bindOnce(metaCol, res => computeExprRes(node, metaCol, cur, res))
 
+  /** {input, chars?} operand shape shared by $trim/$ltrim/$rtrim. */
+  private def trimArgs(v: JsonNode,
+      strOf: JsonNode => Column): (Column, Option[String]) = {
+    require(v.isObject && v.get("input") != null,
+      s"trim operators need {input, chars?}: $v")
+    (strOf(v.get("input")),
+      Option(v.get("chars")).map { c =>
+        require(c.isTextual && c.asText().nonEmpty,
+          s"trim chars must be a non-empty string literal: $c")
+        c.asText()
+      })
+  }
+
   private def computeExprRes(node: JsonNode, metaCol: Column,
-      cur: DataFrame, res: MqlFilter.JsonResolver): Column = {
+      cur: DataFrame, res: MqlFilter.JsonResolver,
+      env: Map[String, Column] = Map.empty): Column = {
     def ref(f: String): Column =
-      if (f == "$ROOT") metaCol // "$$ROOT": the whole current document
-      else if (cur.columns.contains(f)) col(f)
+      if (f.startsWith("$")) { // "$$var": lambda variables + $$ROOT
+        val name = f.drop(1)
+        if (name == "ROOT") metaCol
+        else env.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown pipeline variable: $$$$$name"))
+      } else if (cur.columns.contains(f)) col(f)
       else res.str(f)
     def numRef(f: String): Column =
-      if (cur.columns.contains(f)) col(f).cast("double")
+      if (f.startsWith("$")) ref(f).cast("double")
+      else if (cur.columns.contains(f)) col(f).cast("double")
       else res.num(f)
     def numOf(n: JsonNode): Column =
       if (n.isNumber) lit(n.asDouble())
       else if (n.isTextual && n.asText().startsWith("$"))
         numRef(n.asText().drop(1))
       else if (n.isObject)
-        computeExprRes(n, metaCol, cur, res).cast("double")
+        computeExprRes(n, metaCol, cur, res, env).cast("double")
       else throw new IllegalArgumentException(s"not numeric: $n")
     def strOf(n: JsonNode): Column =
-      if (n.isTextual && n.asText().startsWith("$")) ref(n.asText().drop(1))
-      else if (n.isTextual) lit(n.asText())
+      if (n.isTextual && n.asText().startsWith("$")) {
+        val f = n.asText().drop(1)
+        // a lambda variable may hold a VARIANT element — cast at use
+        if (f.startsWith("$")) ref(f).cast("string") else ref(f)
+      } else if (n.isTextual) lit(n.asText())
       else if (n.isObject)
-        computeExprRes(n, metaCol, cur, res).cast("string")
+        computeExprRes(n, metaCol, cur, res, env).cast("string")
       else throw new IllegalArgumentException(s"not a string: $n")
+    // array view of an operand: lambda var / real column / VARIANT
+    // array metadata view / nested array-producing expression
+    def arrOf(n: JsonNode): Column =
+      if (n.isTextual && n.asText().startsWith("$")) {
+        val f = n.asText().drop(1)
+        if (f.startsWith("$")) ref(f)
+        else if (cur.columns.contains(f)) col(f)
+        else res.varr(f)
+      } else if (n.isObject) computeExprRes(n, metaCol, cur, res, env)
+      else throw new IllegalArgumentException(s"not an array: $n")
     def args(v: JsonNode): Seq[JsonNode] = {
       require(v.isArray, s"operand must be an array: $v")
       v.elements().asScala.toSeq
@@ -1125,22 +1163,19 @@ object MqlPipeline {
       if (n.isBoolean) lit(n.asBoolean())
       else if (n.isTextual && n.asText().startsWith("$")) {
         val f = n.asText().drop(1)
-        if (cur.columns.contains(f)) col(f).cast("boolean")
+        if (f.startsWith("$")) ref(f).cast("boolean")
+        else if (cur.columns.contains(f)) col(f).cast("boolean")
         else res.bool(f)
       } else if (n.isObject && n.properties().size() == 1) {
         val e = n.properties().asScala.head
-        val cmp: (Column, Column) => Column = e.getKey match {
-          case "$gt" => _ > _
-          case "$gte" => _ >= _
-          case "$lt" => _ < _
-          case "$lte" => _ <= _
-          case "$eq" => _ === _
-          case "$ne" => _ =!= _
+        e.getKey match {
+          case "$gt" | "$gte" | "$lt" | "$lte" | "$eq" | "$ne" |
+               "$and" | "$or" | "$not" | "$regexMatch" =>
+            // these ARE compute operators returning boolean
+            computeExprRes(n, metaCol, cur, res, env).cast("boolean")
           case other => throw new IllegalArgumentException(
             s"unsupported $$cond comparison: $other")
         }
-        val Seq(a, b) = args(e.getValue)
-        cmp(numOf(a), numOf(b))
       } else throw new IllegalArgumentException(s"not a condition: $n")
     // date view of an expression: "$field" resolves through the
     // timestamp view (ISO strings in metadata, typed timestamp columns),
@@ -1153,7 +1188,7 @@ object MqlPipeline {
         else res.ts(f)
       } else if (n.isTextual) to_timestamp(lit(n.asText()))
       else if (n.isObject)
-        computeExprRes(n, metaCol, cur, res).cast("timestamp")
+        computeExprRes(n, metaCol, cur, res, env).cast("timestamp")
       else throw new IllegalArgumentException(s"not a date: $n")
     if (node.isTextual && node.asText().startsWith("$"))
       ref(node.asText().drop(1))
@@ -1184,23 +1219,24 @@ object MqlPipeline {
           round(numOf(a), p.asInt())
         case ("$ifNull", v) =>
           val Seq(a, b) = args(v)
-          coalesce(computeExprRes(a, metaCol, cur, res),
-            computeExprRes(b, metaCol, cur, res))
+          coalesce(computeExprRes(a, metaCol, cur, res, env),
+            computeExprRes(b, metaCol, cur, res, env))
         case ("$cond", v) =>
           // [if, then, else] — the if is a comparison expression
           // ({$gt: [a, b]} family, numeric) or a boolean "$field" ref
           val Seq(i, t, f) = args(v)
-          when(boolOf(i), computeExprRes(t, metaCol, cur, res))
-            .otherwise(computeExprRes(f, metaCol, cur, res))
+          when(boolOf(i), computeExprRes(t, metaCol, cur, res, env))
+            .otherwise(computeExprRes(f, metaCol, cur, res, env))
         case ("$size", v) =>
           // {$size: "$arrayField"} — element count of a metadata (or
           // real) array; null (not an error) for non-arrays, like the
-          // filter-side $size's bracket behavior
-          require(v.isTextual && v.asText().startsWith("$"),
-            s"$$size operand must be a \"$$field\" path: $v")
-          val f = v.asText().drop(1)
-          size(if (cur.columns.contains(f)) col(f) else res.varr(f))
-            .cast("long")
+          // filter-side $size's bracket behavior. Also accepts a nested
+          // array-producing expression ($filter/$map/$split/...).
+          require(v.isObject ||
+            (v.isTextual && v.asText().startsWith("$")),
+            s"$$size operand must be a \"$$field\" path or array " +
+              s"expression: $v")
+          size(arrOf(v)).cast("long")
         case ("$arrayElemAt", v) =>
           // {$arrayElemAt: ["$arrayField", i]} — 0-based; negative
           // counts from the end (Mongo contract); out-of-range → null
@@ -1229,12 +1265,12 @@ object MqlPipeline {
             require(b.has("case") && b.has("then"),
               s"$$switch branch needs {case, then}: $b")
             (boolOf(b.get("case")),
-              computeExprRes(b.get("then"), metaCol, cur, res))
+              computeExprRes(b.get("then"), metaCol, cur, res, env))
           }
           // raise_error's NullType coerces to the branch type, so the
           // loud no-match default composes with any then-branch
           val dflt: Column = Option(v.get("default"))
-            .map(d => computeExprRes(d, metaCol, cur, res))
+            .map(d => computeExprRes(d, metaCol, cur, res, env))
             .getOrElse(raise_error(lit(
               "$switch: no branch matched and no default given")))
           branches.foldRight(dflt) { case ((c, t), e) =>
@@ -1295,6 +1331,144 @@ object MqlPipeline {
             case u => throw new IllegalArgumentException(
               s"unsupported $$dateDiff unit: $u (day|hour|minute|second)")
           }
+        // ---- comparison / logic as first-class compute operators
+        // (Mongo's aggregation $gt family — numeric operands, same
+        // bracket as $cond's if-expression, which delegates here) ----
+        case ("$gt", v) =>
+          val Seq(a, b) = args(v); numOf(a) > numOf(b)
+        case ("$gte", v) =>
+          val Seq(a, b) = args(v); numOf(a) >= numOf(b)
+        case ("$lt", v) =>
+          val Seq(a, b) = args(v); numOf(a) < numOf(b)
+        case ("$lte", v) =>
+          val Seq(a, b) = args(v); numOf(a) <= numOf(b)
+        case ("$eq", v) =>
+          val Seq(a, b) = args(v); numOf(a) === numOf(b)
+        case ("$ne", v) =>
+          val Seq(a, b) = args(v); numOf(a) =!= numOf(b)
+        case ("$and", v) => args(v).map(boolOf).reduceLeft(_ && _)
+        case ("$or", v) => args(v).map(boolOf).reduceLeft(_ || _)
+        case ("$not", v) =>
+          // Mongo wraps the operand in a 1-element array
+          val inner = if (v.isArray) args(v).head else v
+          !boolOf(inner)
+        // ---- array lambda family ($map/$filter/$reduce + helpers).
+        // Lambda variables bind through `env`; a "$$var" reference
+        // resolves to the bound Column and coerces at its use site
+        // (VARIANT elements cast to double/string positionally). All
+        // three compile to Spark's codegen'd higher-order functions —
+        // per-row, scan-speed, zero shuffle. ----
+        case ("$map", v) =>
+          require(v.isObject && v.get("input") != null &&
+            v.get("in") != null, s"$$map needs {input, as?, in}: $v")
+          val as = Option(v.get("as")).map(_.asText()).getOrElse("this")
+          transform(arrOf(v.get("input")), x =>
+            computeExprRes(v.get("in"), metaCol, cur, res,
+              env + (as -> x)))
+        case ("$filter", v) =>
+          require(v.isObject && v.get("input") != null &&
+            v.get("cond") != null,
+            s"$$filter needs {input, as?, cond}: $v")
+          val as = Option(v.get("as")).map(_.asText()).getOrElse("this")
+          filter(arrOf(v.get("input")), x =>
+            computeExprRes(v.get("cond"), metaCol, cur, res,
+              env + (as -> x)).cast("boolean"))
+        case ("$reduce", v) =>
+          require(v.isObject && v.get("input") != null &&
+            v.get("initialValue") != null && v.get("in") != null,
+            s"$$reduce needs {input, initialValue, in}: $v")
+          // fully qualified: MqlPipeline.aggregate (the pipeline entry
+          // point) shadows functions.aggregate here
+          org.apache.spark.sql.functions.aggregate(
+            arrOf(v.get("input")),
+            computeExprRes(v.get("initialValue"), metaCol, cur, res, env),
+            (acc: Column, t: Column) =>
+              computeExprRes(v.get("in"), metaCol, cur, res,
+                env + ("value" -> acc) + ("this" -> t)))
+        case ("$concatArrays", v) => concat(args(v).map(arrOf): _*)
+        case ("$slice", v) =>
+          // [arr, n]: first n (n>0) / last n (n<0); [arr, pos, n]:
+          // n elements from 0-based pos (negative pos from the end —
+          // the |pos|>len clamp edge is unsupported, loud by absence)
+          args(v) match {
+            case Seq(arr, n) =>
+              require(n.isIntegralNumber, s"$$slice count: $n")
+              val k = n.asInt()
+              if (k >= 0) slice(arrOf(arr), 1, k)
+              else slice(arrOf(arr), k, -k)
+            case Seq(arr, p, n) =>
+              require(p.isIntegralNumber && n.isIntegralNumber &&
+                n.asInt() > 0, s"$$slice position/count: $p/$n")
+              val pos = p.asInt()
+              slice(arrOf(arr), if (pos >= 0) pos + 1 else pos, n.asInt())
+            case _ => throw new IllegalArgumentException(
+              s"$$slice needs [array, n] or [array, position, n]: $v")
+          }
+        case ("$range", v) =>
+          // [start, end, step?]: end-EXCLUSIVE integer grid (Mongo
+          // contract); literal bounds, positive step
+          val a = args(v)
+          require((a.length == 2 || a.length == 3) &&
+            a.forall(_.isIntegralNumber),
+            s"$$range needs integer literals [start, end, step?]: $v")
+          val (st, en) = (a(0).asLong(), a(1).asLong())
+          val sp = if (a.length == 3) a(2).asLong() else 1L
+          require(sp > 0, s"$$range supports positive step only: $sp")
+          if (st >= en) lit(Array.empty[Long])
+          else sequence(lit(st), lit(en - 1), lit(sp))
+        // ---- string operator family ----
+        case ("$split", v) =>
+          val Seq(a, d) = args(v)
+          require(d.isTextual && d.asText().nonEmpty,
+            s"$$split delimiter must be a non-empty string literal: $d")
+          split(strOf(a), java.util.regex.Pattern.quote(d.asText()))
+        case ("$strLenCP", v) => length(strOf(v)).cast("long")
+        case ("$substrCP", v) =>
+          // [str, start, count] — 0-based codepoint slice
+          val Seq(a, st, cnt) = args(v)
+          require(st.isIntegralNumber && cnt.isIntegralNumber &&
+            st.asInt() >= 0 && cnt.asInt() >= 0,
+            s"$$substrCP start/count must be non-negative ints: $v")
+          substring(strOf(a), st.asInt() + 1, cnt.asInt())
+        case ("$indexOfCP", v) =>
+          // [str, substr-literal] — 0-based first occurrence, -1 absent
+          val Seq(a, sub) = args(v)
+          require(sub.isTextual,
+            s"$$indexOfCP substring must be a string literal: $sub")
+          (instr(strOf(a), sub.asText()) - 1).cast("long")
+        case ("$trim", v) =>
+          val (s0, ch) = trimArgs(v, strOf)
+          ch.map(c => trim(s0, c)).getOrElse(trim(s0))
+        case ("$ltrim", v) =>
+          val (s0, ch) = trimArgs(v, strOf)
+          ch.map(c => ltrim(s0, c)).getOrElse(ltrim(s0))
+        case ("$rtrim", v) =>
+          val (s0, ch) = trimArgs(v, strOf)
+          ch.map(c => rtrim(s0, c)).getOrElse(rtrim(s0))
+        case ("$replaceAll", v) =>
+          // {input, find, replacement} — LITERAL find (Mongo contract;
+          // $regexMatch is the regex form)
+          require(v.isObject && v.get("input") != null &&
+            v.get("find") != null && v.get("replacement") != null,
+            s"$$replaceAll needs {input, find, replacement}: $v")
+          replace(strOf(v.get("input")), strOf(v.get("find")),
+            strOf(v.get("replacement")))
+        case ("$regexMatch", v) =>
+          // {input, regex, options?} — boolean; only the 'i' option
+          require(v.isObject && v.get("input") != null &&
+            v.get("regex") != null && v.get("regex").isTextual,
+            s"$$regexMatch needs {input, regex-literal, options?}: $v")
+          val opts = Option(v.get("options")).map(_.asText()).getOrElse("")
+          require(opts.forall(_ == 'i'),
+            s"$$regexMatch supports only the 'i' option: $opts")
+          val rx = (if (opts.contains('i')) "(?i)" else "") +
+            v.get("regex").asText()
+          regexp_like(strOf(v.get("input")), lit(rx))
+        case ("$toString", v) =>
+          computeExprRes(v, metaCol, cur, res, env).cast("string")
+        case ("$toInt", v) =>
+          // emitted as LONG — one integral width in the result schema
+          numOf(v).cast("long")
         case (other, _) =>
           throw new IllegalArgumentException(
             s"unsupported computed operator: $other")

@@ -2405,6 +2405,62 @@ object Relational {
         | {"$project": {"doc_id": 1, "ntags": 1, "first": 1, "last": 1}}
         |]""".stripMargin)
 
+  /** Array lambda battery under the gate: $map / $filter / $reduce
+    * (with `"$$var"` variables and nested composition) over a JSON
+    * numeric-array metadata field. Every lambda compiles to a Spark
+    * higher-order function (transform/filter/aggregate) — per-row
+    * codegen'd, zero shuffle; VARIANT elements cast to double at their
+    * use sites (MQL numeric bracketing). */
+  def mqlArrayLambda(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(array(
+          col("n_chars") % 7, col("n_chars") % 11,
+          col("n_chars") % 13, col("doc_id") % 5).as("vals")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "big": {"$size": {"$filter": {"input": "$vals", "as": "x",
+        |     "cond": {"$gte": ["$$x", 5]}}}},
+        |   "total": {"$toLong": {"$reduce": {"input": "$vals",
+        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}},
+        |   "scaled": {"$toLong": {"$reduce": {"input":
+        |     {"$map": {"input": "$vals", "as": "x",
+        |       "in": {"$multiply": ["$$x", 2]}}},
+        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}
+        | }},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "big": 1, "total": 1, "scaled": 1}}
+        |]""".stripMargin)
+
+  /** String operator battery under the gate: $split/$toUpper/$substrCP/
+    * $indexOfCP/$trim/$regexMatch/$replaceAll — over real columns AND
+    * the padded-string metadata view (the $trim input). All per-row
+    * codegen'd string expressions at scan speed. */
+  def mqlStringExpr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          concat(lit("  "), col("lang"), lit("  ")).as("padded")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "n_toks": {"$size": {"$split": ["$text", " "]}},
+        |   "up": {"$toUpper": "$lang"},
+        |   "pre": {"$substrCP": ["$source", 0, 3]},
+        |   "pos1": {"$indexOfCP": ["$source", "1"]},
+        |   "clean": {"$trim": {"input": "$padded"}},
+        |   "isnum": {"$toLong": {"$cond": [
+        |     {"$regexMatch": {"input": "$source", "regex": "^src[0-9]$"}},
+        |     1, 0]}},
+        |   "repl": {"$replaceAll": {"input": "$source",
+        |     "find": "src", "replacement": "S"}}
+        | }},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "n_toks": 1, "up": 1, "pre": 1,
+        |   "pos1": 1, "clean": 1, "isnum": 1, "repl": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $merge under the gate: a shaped update slice ($match +
     * $addFields bump) merged into the base collection frame by doc_id
     * (replace + insert through ONE full-outer join), then a census so
@@ -2928,6 +2984,30 @@ object Relational {
         |  lang AS first,
         |  CASE WHEN n_chars > 500 THEN 'long' ELSE source END AS last
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mql_array_lambda" ->
+      """WITH v AS (SELECT doc_id,
+        |  n_chars % 7 AS v1, n_chars % 11 AS v2,
+        |  n_chars % 13 AS v3, doc_id % 5 AS v4
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN v1 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v2 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v3 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v4 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+        |  CAST(v1 + v2 + v3 + v4 AS BIGINT) AS total,
+        |  CAST(2 * (v1 + v2 + v3 + v4) AS BIGINT) AS scaled
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "mql_string_expr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  upper(lang) AS up,
+        |  substring(source, 1, 3) AS pre,
+        |  CAST(strpos(source, '1') - 1 AS BIGINT) AS pos1,
+        |  lang AS clean,
+        |  CAST(CASE WHEN regexp_matches(source, '^src[0-9]$')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS isnum,
+        |  replace(source, 'src', 'S') AS repl
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mql_merge" ->
       """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
         |           WHERE doc_id < 300),
@@ -3305,6 +3385,8 @@ object Relational {
     "mql_stddev" -> (mqlStddev _),
     "mql_merge" -> (mqlMerge _),
     "mql_array_expr" -> (mqlArrayExpr _),
+    "mql_array_lambda" -> (mqlArrayLambda _),
+    "mql_string_expr" -> (mqlStringExpr _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),

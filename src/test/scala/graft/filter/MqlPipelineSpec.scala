@@ -1015,4 +1015,102 @@ class MqlPipelineSpec extends SparkTestBase {
       .head().getLong(0)
     assert(maxId == 3L)
   }
+
+  // ---- array lambda + string expression families ----
+
+  private lazy val arrDf = Seq(
+    (1L, """{"vals": [1, 5, 9], "s": "  hello_world  "}"""),
+    (2L, """{"vals": [], "s": "abc"}"""),
+    (3L, """{"vals": [4], "s": "xyz"}""")
+  ).toDF("id", "meta")
+
+  private def runArr(pipeline: String) =
+    MqlPipeline.aggregate(arrDf, col("meta"), pipeline)
+
+  test("$map/$filter/$reduce: lambda vars over a VARIANT array; empty " +
+      "array folds to the initial value") {
+    val got = runArr(
+      """[
+        | {"$addFields": {
+        |   "kept": {"$size": {"$filter": {"input": "$vals", "as": "x",
+        |     "cond": {"$gte": ["$$x", 5]}}}},
+        |   "sum2x": {"$toLong": {"$reduce": {
+        |     "input": {"$map": {"input": "$vals",
+        |       "in": {"$multiply": ["$$this", 2]}}},
+        |     "initialValue": 0,
+        |     "in": {"$add": ["$$value", "$$this"]}}}}}},
+        | {"$sort": {"id": 1}},
+        | {"$project": {"id": 1, "kept": 1, "sum2x": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 30L), (2L, 0L, 0L), (3L, 0L, 8L)))
+  }
+
+  test("$slice/$range/$concatArrays compose; $slice handles negatives") {
+    val got = runArr(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "lastTwo": {"$toLong": {"$reduce": {
+        |     "input": {"$slice": ["$vals", -2]}, "initialValue": 0,
+        |     "in": {"$add": ["$$value", "$$this"]}}}},
+        |   "gridSum": {"$toLong": {"$reduce": {
+        |     "input": {"$concatArrays": [{"$range": [0, 6, 2]},
+        |       {"$range": [10, 11]}]},
+        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}
+        | }},
+        | {"$project": {"id": 1, "lastTwo": 1, "gridSum": 1}}
+        |]""".stripMargin).collect()
+    // lastTwo = 5 + 9; gridSum = (0+2+4) + 10
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 14L, 16L)))
+  }
+
+  test("string battery: $split/$substrCP/$indexOfCP/$trim/$replaceAll/" +
+      "$strLenCP against hand values") {
+    val got = runArr(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "parts": {"$size": {"$split":
+        |     [{"$trim": {"input": "$s"}}, "_"]}},
+        |   "pre": {"$substrCP": [{"$trim": {"input": "$s"}}, 0, 5]},
+        |   "idx": {"$indexOfCP": [{"$trim": {"input": "$s"}}, "world"]},
+        |   "len": {"$strLenCP": {"$trim": {"input": "$s"}}},
+        |   "repl": {"$replaceAll": {"input": {"$trim": {"input": "$s"}},
+        |     "find": "_", "replacement": " "}}}},
+        | {"$project": {"id": 1, "parts": 1, "pre": 1, "idx": 1,
+        |   "len": 1, "repl": 1}}
+        |]""".stripMargin).collect()(0)
+    assert(got.getLong(1) == 2L)               // hello / world
+    assert(got.getString(2) == "hello")
+    assert(got.getLong(3) == 6L)               // 0-based index of "world"
+    assert(got.getLong(4) == 11L)
+    assert(got.getString(5) == "hello world")
+  }
+
+  test("$regexMatch: 'i' option folds case; unknown options are loud; " +
+      "unknown lambda variable is loud") {
+    val got = runArr(
+      """[
+        | {"$addFields": {"m": {"$toLong": {"$cond": [
+        |   {"$regexMatch": {"input": "$s", "regex": "HELLO",
+        |     "options": "i"}}, 1, 0]}}}},
+        | {"$sort": {"id": 1}},
+        | {"$project": {"id": 1, "m": 1}}
+        |]""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+    val badOpt = intercept[IllegalArgumentException] {
+      runArr("""[{"$addFields": {"m": {"$regexMatch":
+        | {"input": "$s", "regex": "x", "options": "gm"}}}}]"""
+        .stripMargin).collect()
+    }
+    assert(badOpt.getMessage.contains("'i' option"))
+    val badVar = intercept[IllegalArgumentException] {
+      runArr("""[{"$addFields": {"m": {"$map": {"input": "$vals",
+        | "as": "x", "in": {"$add": ["$$y", 1]}}}}}]"""
+        .stripMargin).collect()
+    }
+    assert(badVar.getMessage.contains("unknown pipeline variable"))
+  }
 }
