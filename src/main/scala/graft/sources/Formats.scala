@@ -226,7 +226,83 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** customer → XML (rowTag "customer") → read with explicit schema →
+    * per-segment rollup. Spark 4 ships the XML source natively in
+    * spark-sql; like the other text formats the transport is integers
+    * only (cents), schema explicit both ways, and the read-back rollup
+    * must reproduce the parquet-sourced answer exactly. */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "xml")
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .write.mode("overwrite").format("xml")
+      .option("rowTag", "customer").save(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("acctbal_cents", LongType)))
+    s.read.schema(schema).format("xml").option("rowTag", "customer")
+      .load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("acctbal_cents")).as("total_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Opaque-blob ingest through Spark's `binaryFile` source — the
+    * entry point a multimodal corpus actually arrives through (image/
+    * audio files on object storage, one row per file with content +
+    * metadata, no decode on the driver). The gate plants 40
+    * deterministic ASCII payload files (content derivable in SQL, so
+    * the md5 digests sit under the oracle hash), scans them with
+    * `format("binaryFile")`, and emits (id, length, md5). The fixture
+    * dir is keyed by a formula-version string — changing the planted
+    * content changes the scratch path, so a stale dir can never serve
+    * the gate (the dppJoin fixture-trust advisory, applied here from
+    * the start). */
+  def binaryFileScan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val NFiles = 40
+    def content(id: Int): String = s"payload-$id:" + "ab" * (id % 37)
+    val root = graft.core.Scratch.dir("binfiles-payload-v1", dir)
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      fs.mkdirs(new Path(root))
+      (0 until NFiles).foreach { id =>
+        val o = fs.create(new Path(root, s"pay_$id.bin"), true)
+        o.write(content(id).getBytes("UTF-8")); o.close()
+      }
+      fs.create(new Path(root, "_SUCCESS"), true).close()
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "pay_(\\d+)\\.bin$", 1)
+          .cast("long").as("file_id"),
+        col("length"),
+        md5(col("content")).as("digest"))
+      .orderBy("file_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "binaryfile_scan" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 39)) AS file_id),
+        |c AS (SELECT file_id,
+        |  'payload-' || file_id || ':' || repeat('ab', file_id % 37)
+        |    AS content FROM ids)
+        |SELECT CAST(file_id AS BIGINT) AS file_id,
+        |  CAST(length(content) AS BIGINT) AS length,
+        |  md5(content) AS digest
+        |FROM c ORDER BY file_id""".stripMargin,
     "jsonl_corrupt" ->
       """SELECT CASE WHEN doc_id % 10 = 0 THEN '_corrupt' ELSE lang END
         |  AS lang, count(*) AS n
@@ -272,6 +348,8 @@ object Formats {
     "jsonl_corrupt" -> (jsonlCorrupt _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
-    "avro_roundtrip" -> (avroRoundtrip _)
+    "avro_roundtrip" -> (avroRoundtrip _),
+    "xml_roundtrip" -> (xmlRoundtrip _),
+    "binaryfile_scan" -> (binaryFileScan _)
   )
 }

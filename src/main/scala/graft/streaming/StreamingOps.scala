@@ -246,6 +246,51 @@ object StreamingOps {
     s.table(name).orderBy("view_id", "purchase_id")
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the attribution join
+    * with "views that never converted" included: a view with no
+    * purchase in its hour emits a NULL-padded row, but only once the
+    * join state provably cannot match anymore — i.e. when the global
+    * watermark (min of both inputs' max-event-time, minus the 2h delay)
+    * has passed the view's one-hour match window. Views inside the
+    * final watermark horizon stay unreported (the streaming contract:
+    * their matches could still arrive). The DuckDB oracle replicates
+    * exactly that semantics: the batch inner join UNION the unmatched
+    * views whose window closed under the final watermark, with the
+    * engine's floored-millisecond event-time arithmetic. NULLs are
+    * coalesced to -1 on both sides so null-ordering differences can't
+    * leak into the row order. */
+  def streamStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = graft.operators.Relational.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val name = s"graft_ss_left_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") > col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .select(col("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("view_id", "purchase_id")
+  }
+
   /** Streaming exact dedup — the streaming twin of `dedup_exact`:
     * drop re-deliveries of the same content hash, with state bounded by
     * the watermark horizon (duplicates farther apart than the horizon
@@ -664,6 +709,32 @@ object StreamingOps {
         |  ON p.user_id = v.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_stream_left" ->
+      // inner matches ∪ unmatched views whose 1h window closed under
+      // the FINAL global watermark = min(max view ms, max purchase ms)
+      // − 2h delay; event-time arithmetic in floored milliseconds (the
+      // engine's unit), nulls coalesced to -1
+      """WITH v AS (SELECT event_id AS view_id, user_id,
+        |    epoch_us(ts) AS vus,
+        |    CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS vms FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) AS pus,
+        |    CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pms FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT v.view_id, p.purchase_id
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND p.pus > v.vus AND p.pus <= v.vus + 3600000000),
+        |wm AS (SELECT least((SELECT max(vms) FROM v),
+        |    (SELECT max(pms) FROM p)) - 7200000 AS wm_ms),
+        |unmatched AS (
+        |  SELECT v.view_id, CAST(-1 AS BIGINT) AS purchase_id
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |    AND v.vms + 3600000 < wm.wm_ms)
+        |SELECT view_id, purchase_id FROM m
+        |UNION ALL SELECT view_id, purchase_id FROM unmatched
         |ORDER BY view_id, purchase_id""".stripMargin
   )
 
@@ -677,6 +748,7 @@ object StreamingOps {
     "stream_text_pipeline" -> (streamTextPipeline _),
     "stream_dedup_bounded" -> (streamDedupBounded _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_upsert" -> (streamUpsert _)
+    "stream_upsert" -> (streamUpsert _),
+    "stream_stream_left" -> (streamStreamLeftJoin _)
   )
 }
