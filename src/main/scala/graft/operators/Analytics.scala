@@ -113,7 +113,44 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Top-10 most common 3-event journey prefixes — the "how do users
+    * start" path-analysis staple. Each user's first three events (in
+    * exact (us, event_id) order) serialize to a `a>b>c` path INSIDE the
+    * aggregate via the sorted-struct device (assemble_threads's shape —
+    * no window pass, one user_id shuffle); users with fewer than three
+    * events drop. The path census is a tiny second aggregation. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      col("event_type"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(
+          slice(array_sort(collect_list(struct(
+            col("us"), col("event_id"), col("event_type")))), 1, 3),
+          x => x("event_type")), ">").as("path"))
+      .filter(col("n") >= 3)
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc).limit(10)
+  }
+
   val oracle: Map[String, String] = Map(
+    "event_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 AND cnt >= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "attribution_credit" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
@@ -187,6 +224,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution_credit" -> (attributionCredit _),
-    "anomaly_events" -> (anomalyEvents _)
+    "anomaly_events" -> (anomalyEvents _),
+    "event_paths" -> (eventPaths _)
   )
 }

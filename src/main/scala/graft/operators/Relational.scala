@@ -1284,16 +1284,59 @@ object Relational {
     * re-sorted to (a<b<c) ids; the oracle enumerates id-oriented
     * directly — same set, so the hash match proves
     * orientation-invariance. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOver(coPurchaseEdges(s, dir))
+
+  /** The shared co-purchase edge set: part pairs co-ordered in ≥2
+    * distinct orders, undirected as (u < v). */
+  private[graft] def coPurchaseEdges(s: SparkSession,
+      dir: String): DataFrame = {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val und = op.as("a").join(op.as("b"),
+    op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("u", "v")
-    trianglesOver(und)
+  }
+
+  /** Bounded k-core peel over the co-purchase graph — the graph-hygiene
+    * operator that strips low-connectivity fringe before community/
+    * motif work (spam nodes and one-off links fall out first). Each
+    * round recomputes degrees over the CURRENT edge set, drops nodes
+    * with degree < K, and keeps only edges whose both endpoints
+    * survive. The gate runs a FIXED 3 peels (like graph_pagerank's
+    * fixed iterations — the bounded-round form an oracle can unroll);
+    * full convergence is the same loop run to fixpoint.
+    *
+    * Scale: each round is one map-side-combined degree aggregation
+    * plus two semi-joins on node keys — never a cartesian; the edge
+    * set only shrinks, and localCheckpoint truncates the per-round
+    * lineage exactly like the pagerank/BPE loops. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(coPurchaseEdges(s, dir), k = 3, rounds = 3)
+
+  /** The bounded peel over any `(u, v)` undirected edge set — split out
+    * for hand-graph specs (clique survival, pendant-chain stripping). */
+  private[graft] def kcorePeel(undIn: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var edges = undIn.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("u").as("n"))
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      edges = edges
+        .join(keep.select(col("n").as("u")), "u", "left_semi")
+        .join(keep.select(col("n").as("v")), "v", "left_semi")
+        .select("u", "v").localCheckpoint(true)
+    }
+    edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node"), col("deg"))
+      .orderBy("node")
   }
 
   /** The oriented triangle count over any `(u, v)` undirected edge set
@@ -3092,6 +3135,27 @@ object Relational {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate < o.o_orderdate
         |ORDER BY rule""".stripMargin,
+    "graph_kcore" -> {
+      def round(i: Int): String = {
+        val prev = s"e${i - 1}"
+        s"""d$i AS (SELECT n, count(*) AS d FROM (
+           |  SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
+           |  GROUP BY 1),
+           |k$i AS (SELECT n FROM d$i WHERE d >= 3),
+           |e$i AS (SELECT u, v FROM $prev
+           |  WHERE u IN (SELECT n FROM k$i)
+           |    AND v IN (SELECT n FROM k$i))""".stripMargin
+      }
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |e0 AS (SELECT a.pk AS u, b.pk AS v FROM op a JOIN op b
+         |  ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT n AS node, count(*) AS deg FROM (
+         |  SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3)
+         |GROUP BY 1 ORDER BY node""".stripMargin
+    },
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
@@ -3444,6 +3508,7 @@ object Relational {
     "rfm_segments" -> (rfmSegments _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
     "dq_checks" -> (dqChecks _),
     "profile_table" -> (profileTable _),
     "grouping_sets" -> (groupingSetsSales _),

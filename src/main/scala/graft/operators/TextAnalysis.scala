@@ -474,7 +474,46 @@ object TextAnalysis {
       |FROM tf JOIN dl USING (doc_id), st
       |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
 
+  /** Character-distribution diversity — the log-free cousin of entropy
+    * quality filters: per document, total chars, distinct chars, and
+    * the COLLISION index Σc² (Simpson/Rényi-2 — monotone in collision
+    * entropy −ln Σp², so thresholding it IS entropy filtering) as exact
+    * integer permille of n². Repetitive/degenerate docs score high,
+    * diverse text low; everything is LONG arithmetic with integer
+    * division, so the whole distribution metric sits under the oracle
+    * hash with no libm anywhere (the text_lm_score stance).
+    *
+    * Scale: one explode to the character stream (the input's own
+    * byte volume), map-side-combined (doc_id, ch) counts, one doc_id
+    * regroup. Top-20 most-collision-heavy docs under the gate. */
+  def textCharDiversity(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn("collision_pm",
+        expr("sum_sq * 1000 DIV (n * n)"))
+      .orderBy(col("collision_pm").desc, col("doc_id").asc).limit(20)
+      .select("doc_id", "n", "distinct_chars", "sum_sq", "collision_pm")
+
   val oracle: Map[String, String] = Map(
+    "text_char_diversity" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest([text[i] for i in generate_series(1, length(text))])
+        |      AS ch
+        |  FROM documents),
+        |h AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*) AS distinct_chars,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM h GROUP BY 1)
+        |SELECT doc_id, n, distinct_chars, sum_sq,
+        |  sum_sq * 1000 // (n * n) AS collision_pm
+        |FROM d ORDER BY collision_pm DESC, doc_id LIMIT 20""".stripMargin,
     "build_vocab" ->
       s"""WITH c AS (SELECT t AS token, count(*) AS n
          |  FROM (SELECT unnest($sqlToks) AS t FROM documents)
@@ -654,6 +693,7 @@ object TextAnalysis {
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),
-    "search_indexed" -> (TextIndex.searchIndexed _)
+    "search_indexed" -> (TextIndex.searchIndexed _),
+    "text_char_diversity" -> (textCharDiversity _)
   )
 }

@@ -65,4 +65,28 @@ class GraphGeoSpec extends SparkTestBase {
     val e = intercept[Exception] { Geo.geoJoinOver(p).collect() }
     assert(e.getMessage.contains("geo cell overflow"), e.getMessage)
   }
+
+  test("kcore: a K4 clique survives a 3-core peel, a pendant chain " +
+      "hanging off it is stripped") {
+    import spark.implicits._
+    // K4 on 1-4 (every degree 3) + chain 4-5-6 (degrees 1-2, peel off)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = Relational.kcorePeel(edges, k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kcore: cascading peel — each round exposes the next fringe " +
+      "(a path graph needs its length in rounds to vanish)") {
+    import spark.implicits._
+    // path 1-2-3-4-5 under k=2: ends peel first, then the next ends
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val after1 = Relational.kcorePeel(path, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after1 == Seq(2L, 3L, 4L)) // ends 1, 5 peeled
+    val after2 = Relational.kcorePeel(path, k = 2, rounds = 2)
+      .collect()
+    assert(after2.isEmpty) // 2-3-4 path's ends go next, nothing is left
+  }
 }
