@@ -39,6 +39,7 @@ object SparkEntry {
       graft.operators.Cluster.queries ++
       graft.operators.Bpe.queries ++
       graft.operators.Analytics.queries ++
+      graft.operators.Snapshots.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.operators.Cluster.oracle ++
       graft.operators.Bpe.oracle ++
       graft.operators.Analytics.oracle ++
+      graft.operators.Snapshots.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -286,6 +286,30 @@ object MqlPipeline {
             whenMatched = wm, whenNotMatched = wnm)
           grouped = true // $merge is terminal for metadata resolution
 
+        case "$out" =>
+          // Mongo's REPLACE-the-collection output stage: the pipeline
+          // result verbatim becomes the named collection's content
+          // (unlike $merge there is no keying — the prior content is
+          // irrelevant by definition). Library-over-parquet form: the
+          // frame is written to `<graft.mql.out_dir>/<name>` (overwrite)
+          // and the pipeline continues from the READBACK, so both the
+          // sink write and the source read sit under whatever gate
+          // consumes the result. Real (non-metadata) columns only —
+          // $out after shaping, the Mongo position for it.
+          require(spec.isTextual && spec.asText().nonEmpty,
+            s"$$out needs a collection name: $spec")
+          val outRoot = df.sparkSession.conf
+            .getOption("graft.mql.out_dir")
+            .getOrElse(throw new IllegalArgumentException(
+              "$out requires conf graft.mql.out_dir (the scratch root " +
+                "the collection is materialized under)"))
+          val outPath = s"$outRoot/${spec.asText()}"
+          cur.write.mode("overwrite").parquet(outPath)
+          // full documents persist (any metadata JSON column included,
+          // as a plain string — it round-trips), so later stages and
+          // the returned frame read entirely from storage
+          cur = df.sparkSession.read.parquet(outPath)
+
         case "$count" =>
           cur = cur.agg(count(lit(1)).as(spec.asText()))
             .filter(col(spec.asText()) > 0) // empty input -> no document

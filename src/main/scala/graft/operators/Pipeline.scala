@@ -613,7 +613,56 @@ object Pipeline {
       .orderBy("split", "lang")
   }
 
+  /** SFT example formatting with loss-mask spans — the step that turns
+    * documents into chat-templated training rows where the loss runs
+    * only over the response: prompt = first 12 tokens, response = the
+    * next ≤64, rendered as
+    * `<|user|> {prompt} <|assistant|> {response}` with ONE marker token
+    * on each side. The mask ships as SPAN BOUNDS (first/last response
+    * position in the rendered token sequence), not a per-token array —
+    * O(1) per row instead of O(len), the 100 TB-friendly encoding; the
+    * md5 of the full rendered string pins the actual render under the
+    * oracle hash. Pure per-row string/integer expressions, scan speed.
+    */
+  def sftLossMask(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .withColumn("p", least(lit(12), size(col("ts")) - 1))
+      .withColumn("r", least(size(col("ts")) - col("p"), lit(64)))
+      .withColumn("rendered", concat(
+        lit("<|user|> "),
+        array_join(slice(col("ts"), lit(1), col("p")), " "),
+        lit(" <|assistant|> "),
+        array_join(slice(col("ts"), col("p") + 1, col("r")), " ")))
+      .select(col("doc_id"),
+        col("p").cast("long").as("prompt_tokens"),
+        col("r").cast("long").as("response_tokens"),
+        // rendered token positions: [marker, p prompt, marker, r resp]
+        (col("p") + 3).cast("long").as("mask_from"),
+        (col("p") + 2 + col("r")).cast("long").as("mask_to"),
+        md5(col("rendered")).as("digest"))
+      .orderBy("doc_id")
+
   val oracle: Map[String, String] = Map(
+    "sft_loss_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents WHERE len(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+        |x AS (SELECT doc_id, ts,
+        |    least(12, len(ts) - 1) AS p,
+        |    least(len(ts) - least(12, len(ts) - 1), 64) AS r
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(p AS BIGINT) AS prompt_tokens,
+        |  CAST(r AS BIGINT) AS response_tokens,
+        |  CAST(p + 3 AS BIGINT) AS mask_from,
+        |  CAST(p + 2 + r AS BIGINT) AS mask_to,
+        |  md5('<|user|> ' || array_to_string(ts[1:p], ' ') ||
+        |    ' <|assistant|> ' ||
+        |    array_to_string(ts[p+1:p+r], ' ')) AS digest
+        |FROM x ORDER BY doc_id""".stripMargin,
     "corpus_shuffle" ->
       """SELECT row_number() OVER (
         |  ORDER BY ('0x' || substr(md5('shuf:' || doc_id), 1, 15))
@@ -795,6 +844,7 @@ object Pipeline {
     "mix_domains" -> (mixDomains _),
     "mix_temperature" -> (mixTemperature _),
     "batch_by_length" -> (batchByLength _),
-    "sample_dsir" -> (dsirSample _)
+    "sample_dsir" -> (dsirSample _),
+    "sft_loss_mask" -> (sftLossMask _)
   )
 }

@@ -2504,6 +2504,29 @@ object Relational {
         |   "pos1": 1, "clean": 1, "isnum": 1, "repl": 1}}
         |]""".stripMargin)
 
+  /** Pipeline $out under the gate: Mongo's replace-the-collection
+    * terminal stage in its library-over-parquet form — the shaped
+    * pipeline result is materialized to the conf-rooted scratch
+    * collection and the census that follows reads ENTIRELY from the
+    * readback, so the $out sink and source both sit under the oracle
+    * hash. */
+  def mqlOut(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("graft.mql.out_dir",
+      graft.core.Scratch.dir("mqlout", dir))
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang")))),
+      col("meta"),
+      """[
+        | {"$match": {"lang": {"$in": ["en", "fr"]}}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+        | {"$out": "docs_enfr"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1},
+        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+  }
+
   /** Pipeline $merge under the gate: a shaped update slice ($match +
     * $addFields bump) merged into the base collection frame by doc_id
     * (replace + insert through ONE full-outer join), then a census so
@@ -2870,6 +2893,11 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  max(n_chars) AS max_chars
         |FROM documents
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_out" ->
+      """SELECT lang AS _id, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY 1 ORDER BY _id""".stripMargin,
     "mql_pipeline" ->
       """SELECT lang AS _id, count(*) AS n,
@@ -3452,6 +3480,7 @@ object Relational {
     "mql_array_lambda" -> (mqlArrayLambda _),
     "mql_string_expr" -> (mqlStringExpr _),
     "mql_pipeline" -> (mqlPipeline _),
+    "mql_out" -> (mqlOut _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),
