@@ -1440,6 +1440,52 @@ object MqlPipeline {
           require(sp > 0, s"$$range supports positive step only: $sp")
           if (st >= en) lit(Array.empty[Long])
           else sequence(lit(st), lit(en - 1), lit(sp))
+        case ("$let", v) =>
+          // {vars: {name: expr, ...}, in: expr} — named subexpressions;
+          // vars evaluate in the OUTER scope (Mongo contract: a var
+          // cannot see its siblings), then `in` sees them as "$$name"
+          require(v.isObject && v.get("vars") != null &&
+            v.get("vars").isObject && v.get("in") != null,
+            s"$$let needs {vars: {...}, in}: $v")
+          val bound = v.get("vars").properties().asScala.map { e =>
+            e.getKey -> computeExprRes(e.getValue, metaCol, cur, res, env)
+          }.toMap
+          computeExprRes(v.get("in"), metaCol, cur, res, env ++ bound)
+        case ("$reverseArray", v) => reverse(arrOf(v))
+        case ("$sortArray", v) =>
+          // {input, sortBy: 1|-1} — scalar element sort (Mongo's
+          // document sortBy specs are out of scope, loud)
+          require(v.isObject && v.get("input") != null &&
+            v.get("sortBy") != null && v.get("sortBy").isIntegralNumber,
+            s"$$sortArray needs {input, sortBy: 1|-1}: $v")
+          val asc = v.get("sortBy").asInt() == 1
+          // numeric element bracket: VARIANT carries no ordering, so
+          // elements sort through the double view
+          val sorted = array_sort(
+            transform(arrOf(v.get("input")), _.cast("double")))
+          if (asc) sorted else reverse(sorted)
+        case ("$indexOfArray", v) =>
+          // [arr, value] — 0-based first position, -1 absent (Mongo);
+          // numeric matching through the double view (the language's
+          // numeric bracket)
+          val Seq(a, value) = args(v)
+          val arrD = transform(arrOf(a), x => x.cast("double"))
+          coalesce(array_position(arrD, numOf(value)) - 1, lit(-1L))
+        // set operators: Mongo sets are unordered — emitted
+        // CANONICALLY SORTED (the $addToSet/$facet precedent), distinct
+        // elements, numeric element bracket
+        case ("$setUnion", v) =>
+          array_sort(array_distinct(concat(
+            args(v).map(n => transform(arrOf(n), _.cast("double"))): _*)))
+        case ("$setIntersection", v) =>
+          array_sort(array_distinct(args(v)
+            .map(n => transform(arrOf(n), _.cast("double")))
+            .reduceLeft(array_intersect)))
+        case ("$setDifference", v) =>
+          val Seq(a, b) = args(v)
+          array_sort(array_distinct(array_except(
+            transform(arrOf(a), _.cast("double")),
+            transform(arrOf(b), _.cast("double")))))
         // ---- string operator family ----
         case ("$split", v) =>
           val Seq(a, d) = args(v)

@@ -2504,6 +2504,46 @@ object Relational {
         |   "pos1": 1, "clean": 1, "isnum": 1, "repl": 1}}
         |]""".stripMargin)
 
+  /** Array set-algebra + $let battery under the gate: $setUnion /
+    * $setIntersection / $setDifference (canonically sorted — Mongo
+    * sets are unordered, so a deterministic order is the only
+    * hashable contract), $sortArray / $indexOfArray, and $let-bound
+    * named subexpressions. Integral-valued results re-emitted as
+    * space-joined LONG strings (the encode_ids scalar-columns-only
+    * convention). */
+  def mqlArraySets(s: SparkSession, dir: String): DataFrame = {
+    val piped = graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          array(col("n_chars") % 7, col("n_chars") % 11,
+            col("doc_id") % 5).as("vals1"),
+          array(col("n_chars") % 7, col("doc_id") % 3, lit(2L))
+            .as("vals2")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "u": {"$setUnion": ["$vals1", "$vals2"]},
+        |   "i": {"$setIntersection": ["$vals1", "$vals2"]},
+        |   "d": {"$setDifference": ["$vals1", "$vals2"]},
+        |   "rev": {"$sortArray": {"input": "$vals1", "sortBy": -1}},
+        |   "pos3": {"$indexOfArray": ["$vals1", 3]},
+        |   "score": {"$let": {
+        |     "vars": {"t": {"$reduce": {"input": "$vals1",
+        |       "initialValue": 0,
+        |       "in": {"$add": ["$$value", "$$this"]}}}},
+        |     "in": {"$toLong": {"$multiply": ["$$t", 10]}}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "u": 1, "i": 1, "d": 1,
+        |   "rev": 1, "pos3": 1, "score": 1}}
+        |]""".stripMargin)
+    // integral-valued double arrays → space-joined LONG strings (the
+    // encode_ids scalar-columns-only convention for the oracle compare)
+    def joined(c: String) = array_join(
+      transform(col(c), x => x.cast("long").cast("string")), " ").as(c)
+    piped.select(col("doc_id"), joined("u"), joined("i"), joined("d"),
+      joined("rev"), col("pos3"), col("score"))
+  }
+
   /** Pipeline $out under the gate: Mongo's replace-the-collection
     * terminal stage in its library-over-parquet form — the shaped
     * pipeline result is materialized to the conf-rooted scratch
@@ -2894,6 +2934,31 @@ object Relational {
         |  max(n_chars) AS max_chars
         |FROM documents
         |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_array_sets" ->
+      """WITH v AS (SELECT doc_id,
+        |    [CAST(n_chars % 7 AS DOUBLE), CAST(n_chars % 11 AS DOUBLE),
+        |     CAST(doc_id % 5 AS DOUBLE)] AS v1,
+        |    [CAST(n_chars % 7 AS DOUBLE), CAST(doc_id % 3 AS DOUBLE),
+        |     CAST(2 AS DOUBLE)] AS v2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(list_concat(v1, v2)))], ' '),
+        |    '') AS u,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(
+        |      list_filter(v1, x -> list_contains(v2, x))))], ' '), '')
+        |    AS i,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(
+        |      list_filter(v1, x -> NOT list_contains(v2, x))))], ' '),
+        |    '') AS d,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_reverse_sort(v1)], ' '), '') AS rev,
+        |  CAST(COALESCE(list_position(v1, 3.0) - 1, -1) AS BIGINT)
+        |    AS pos3,
+        |  CAST((v1[1] + v1[2] + v1[3]) * 10 AS BIGINT) AS score
+        |FROM v ORDER BY doc_id""".stripMargin,
     "mql_out" ->
       """SELECT lang AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -3481,6 +3546,7 @@ object Relational {
     "mql_string_expr" -> (mqlStringExpr _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_out" -> (mqlOut _),
+    "mql_array_sets" -> (mqlArraySets _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),

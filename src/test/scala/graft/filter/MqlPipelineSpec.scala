@@ -1113,4 +1113,43 @@ class MqlPipelineSpec extends SparkTestBase {
     }
     assert(badVar.getMessage.contains("unknown pipeline variable"))
   }
+
+  test("$let: vars evaluate in the OUTER scope (a var cannot see its " +
+      "siblings — Mongo contract); nesting shadows") {
+    val got = runArr(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"r": {"$toLong": {"$let": {
+        |   "vars": {"a": 10},
+        |   "in": {"$let": {
+        |     "vars": {"a": {"$multiply": ["$$a", 2]}, "b": "$$a"},
+        |     "in": {"$add": ["$$a", "$$b"]}}}}}}}},
+        | {"$project": {"id": 1, "r": 1}}
+        |]""".stripMargin).collect()(0)
+    // inner vars see OUTER a=10: a' = 20, b = 10 → a' + b = 30
+    assert(got.getLong(1) == 30L)
+    // a var referencing its sibling in the same vars block is unknown
+    val bad = intercept[IllegalArgumentException] {
+      runArr("""[{"$addFields": {"r": {"$let": {
+        | "vars": {"a": 1, "b": "$$a"}, "in": "$$b"}}}}]"""
+        .stripMargin).collect()
+    }
+    assert(bad.getMessage.contains("unknown pipeline variable"))
+  }
+
+  test("set operators: canonical ascending order, distinct elements, " +
+      "numeric bracket over VARIANT arrays") {
+    val got = runArr(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "u": {"$setUnion": ["$vals", "$vals"]},
+        |   "pos": {"$indexOfArray": ["$vals", 5]},
+        |   "none": {"$indexOfArray": ["$vals", 42]}}},
+        | {"$project": {"id": 1, "u": 1, "pos": 1, "none": 1}}
+        |]""".stripMargin).collect()(0)
+    assert(got.getSeq[Double](1) == Seq(1.0, 5.0, 9.0))
+    assert(got.getLong(2) == 1L)   // 0-based position of 5
+    assert(got.getLong(3) == -1L)  // absent → -1
+  }
 }
