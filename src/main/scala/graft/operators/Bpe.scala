@@ -154,6 +154,157 @@ object Bpe {
   }
 
   // ---------------------------------------------------------------------
+  // WordPiece — greedy longest-match-first encoding (the BERT-family
+  // tokenizer, complementing BPE's merge-rank scheme). The vocab is
+  // corpus-derived and deterministic: the [a-z0-9] single characters
+  // (as both starts and ##continuations — progress is guaranteed, no
+  // UNK) plus the top-10 words whole, their 2/3-char prefixes as start
+  // pieces, and their 2/3-char suffixes as continuations. Encoding
+  // runs on the DISTINCT-WORD dict (the same dict-bounded insight as
+  // BPE — segmentation is document-independent) as a FIXED 10-round
+  // unrolled greedy: each round consumes the longest matching piece at
+  // the cursor, expressed as a pure when-chain over broadcast literal
+  // vocab arrays — per-row codegen, zero shuffle, and exactly
+  // unrollable into the DuckDB CTE chain below. Piece-length checks
+  // are capped at FIXED maxima (8 start / 3 continuation) in BOTH
+  // engines, so an over-long vocab entry is symmetrically unmatchable.
+  // ---------------------------------------------------------------------
+
+  private val WpTopWords = 10
+  private val WpRounds = 10
+  private val WpMaxStartL = 8
+  private val WpMaxContL = 3
+  private val WpChars: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  /** Scala twin of SQL substr-based take/takeRight (total on short
+    * words, like Scala's own). */
+  private def wpVocab(s: SparkSession, dir: String)
+      : (Seq[String], Seq[String]) = {
+    val top = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(WpTopWords)
+      .collect().map(_.getString(0)).toSeq
+    val start = (WpChars ++ top ++ top.map(_.take(2)) ++
+      top.map(_.take(3))).distinct
+    val cont = (WpChars ++ top.map(_.takeRight(2)) ++
+      top.map(_.takeRight(3))).distinct
+    (start, cont)
+  }
+
+  /** Length of the longest vocab piece matching `w` at 1-based `pos`,
+    * checking maxL down to 2 with the single-char fallback (always
+    * present in both vocabularies). */
+  private def wpLongest(w: Column, pos: Column, vocab: Seq[String],
+      maxL: Int): Column =
+    (maxL to 2 by -1).flatMap { l =>
+      val vs = vocab.filter(_.length == l)
+      if (vs.isEmpty) None
+      else Some((
+        (length(w) - pos + 1 >= l) &&
+          array_contains(typedLit(vs), w.substr(pos, lit(l))),
+        lit(l)))
+    }.foldRight(lit(1): Column) { case ((c, v), acc) =>
+      when(c, v).otherwise(acc)
+    }
+
+  /** Gate: every distinct word's WordPiece segmentation (+ corpus
+    * count) — `word, n, n_pieces, "piece ##piece ..."`. A word the 10
+    * rounds cannot finish fails LOUDLY (possible only past 10 chars —
+    * longer than any corpus word; the bound is a visible contract, not
+    * a silent truncation). */
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val (startV, contV) = wpVocab(s, dir)
+    wordpieceOver(
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      startV, contV)
+  }
+
+  /** The unrolled greedy over any `(w, n)` word dict with explicit
+    * vocabularies — split out for hand-vocab specs. */
+  private[graft] def wordpieceOver(words: DataFrame, startV: Seq[String],
+      contV: Seq[String]): DataFrame = {
+    var df = words
+      .withColumn("_l", wpLongest(col("w"), lit(1), startV, WpMaxStartL))
+      .withColumn("seg", col("w").substr(lit(1), col("_l")))
+      .withColumn("pos", lit(1) + col("_l"))
+      .drop("_l")
+    for (_ <- 2 to WpRounds) {
+      val active = col("pos") <= length(col("w"))
+      df = df
+        .withColumn("_l", when(active,
+          wpLongest(col("w"), col("pos"), contV, WpMaxContL))
+          .otherwise(lit(0)))
+        .withColumn("seg", when(active, concat(col("seg"), lit(" ##"),
+            col("w").substr(col("pos"), col("_l"))))
+          .otherwise(col("seg")))
+        .withColumn("pos", col("pos") + col("_l"))
+        .drop("_l")
+    }
+    df.select(col("w").as("word"), col("n"),
+        when(col("pos") <= length(col("w")), raise_error(concat(
+          lit(s"wordpiece: word not consumed in $WpRounds rounds: "),
+          col("w")))).otherwise(
+          size(split(col("seg"), " ")).cast("long")).as("n_pieces"),
+        col("seg"))
+      .orderBy("word")
+  }
+
+  private def wordpieceOracle: String = {
+    val chars = WpChars.map(c => s"'$c'").mkString("[", ", ", "]")
+    def startCase: String = {
+      val whens = (WpMaxStartL to 2 by -1).map { l =>
+        s"""WHEN length(w) >= $l AND list_contains(sv.l, substr(w, 1, $l))
+           |      THEN $l""".stripMargin
+      }.mkString("\n    ")
+      s"CASE $whens\n    ELSE 1 END"
+    }
+    def contCase: String = {
+      val whens = (WpMaxContL to 2 by -1).map { l =>
+        s"""WHEN length(w) - pos + 1 >= $l
+           |      AND list_contains(cv.l, substr(w, pos, $l)) THEN $l"""
+          .stripMargin
+      }.mkString("\n    ")
+      s"CASE WHEN pos > length(w) THEN 0\n    $whens\n    ELSE 1 END"
+    }
+    val rounds = (2 to WpRounds).map { i =>
+      val p = i - 1
+      s"""r$i AS (SELECT w, n, seg, pos, $contCase AS L
+         |  FROM s$p, cv),
+         |s$i AS MATERIALIZED (SELECT w, n,
+         |    CASE WHEN L = 0 THEN seg
+         |         ELSE seg || ' ##' || substr(w, pos, L) END AS seg,
+         |    pos + L AS pos
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |cnt AS MATERIALIZED (SELECT w, count(*) AS n FROM t GROUP BY 1),
+       |top AS MATERIALIZED (
+       |  SELECT w FROM cnt ORDER BY n DESC, w LIMIT $WpTopWords),
+       |sv AS MATERIALIZED (SELECT list(DISTINCT p) AS l FROM (
+       |  SELECT w AS p FROM top
+       |  UNION SELECT substr(w, 1, 2) FROM top
+       |  UNION SELECT substr(w, 1, 3) FROM top
+       |  UNION SELECT unnest($chars))),
+       |cv AS MATERIALIZED (SELECT list(DISTINCT p) AS l FROM (
+       |  SELECT substr(w, greatest(length(w) - 1, 1), 2) AS p FROM top
+       |  UNION SELECT substr(w, greatest(length(w) - 2, 1), 3) FROM top
+       |  UNION SELECT unnest($chars))),
+       |r1 AS (SELECT cnt.w, cnt.n, $startCase AS L FROM cnt, sv),
+       |s1 AS MATERIALIZED (SELECT w, n, substr(w, 1, L) AS seg,
+       |    1 + L AS pos FROM r1),
+       |$rounds
+       |SELECT w AS word, n,
+       |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces, seg
+       |FROM s$WpRounds ORDER BY word""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB oracle — the training loop runs a FIXED number of rounds, so
   // the iterative argmax is expressible as an unrolled CTE chain (the
   // same device as graph_pagerank's rank rounds and kmeans_step's Lloyd
@@ -235,10 +386,12 @@ object Bpe {
 
   val oracle: Map[String, String] = Map(
     "bpe_train" -> trainOracle,
-    "bpe_encode" -> encodeOracle)
+    "bpe_encode" -> encodeOracle,
+    "wordpiece_encode" -> wordpieceOracle)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
-    "bpe_encode" -> (bpeEncode _)
+    "bpe_encode" -> (bpeEncode _),
+    "wordpiece_encode" -> (wordpieceEncode _)
   )
 }

@@ -3,9 +3,10 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-/** BPE training + apply semantics, locked by hand-computed fixtures
-  * (the gates are rows-only under the driver, so this spec carries the
-  * correctness burden). */
+/** BPE training + apply and WordPiece greedy semantics, locked by
+  * hand-computed fixtures (both gate families also carry full DuckDB
+  * oracles since r10 — these fixtures pin the algorithms
+  * independently of the corpus). */
 class BpeSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -40,6 +41,37 @@ class BpeSpec extends SparkTestBase {
     val df3 = Seq(Seq("a", "b", "b")).toDF("syms")
       .select(Bpe.mergeFold(col("syms"), "a", "b").as("m"))
     assert(df3.head.getSeq[String](0) == Seq("ab", "b"))
+  }
+
+  test("wordpiece: greedy longest-match-first with hand vocab — whole " +
+      "word beats prefix, prefix beats chars, suffix continuations") {
+    val chars = ('a' to 'z').map(_.toString)
+    val startV = chars ++ Seq("play", "pl")
+    val contV = chars ++ Seq("ing", "ay")
+    val words = Seq(("play", 5L), ("playing", 3L), ("play1", 1L),
+      ("pling", 2L), ("zz", 1L)).toDF("w", "n")
+    val got = Bpe.wordpieceOver(words, startV, contV)
+      .orderBy("w")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      ("play", 1L, "play"),             // whole-word piece wins
+      ("play1", 2L, "play ##1"),        // then the char continuation
+      ("playing", 2L, "play ##ing"),    // longest continuation wins
+      ("pling", 2L, "pl ##ing"),        // prefix piece, then suffix
+      ("zz", 2L, "z ##z")))             // chars guarantee progress
+  }
+
+  test("wordpiece: a word the rounds cannot consume fails loudly") {
+    val chars = ('a' to 'z').map(_.toString)
+    // 11+ chars cannot finish in 1 start + 9 continuation single-char
+    // rounds — must raise, never silently truncate
+    val words = Seq(("abcdefghijkl", 1L)).toDF("w", "n")
+    val e = intercept[Exception] {
+      Bpe.wordpieceOver(words, chars, chars).collect()
+    }
+    assert(e.getMessage.contains("wordpiece: word not consumed"),
+      e.getMessage)
   }
 
   test("gates run end-to-end on sf0.001 and the encode conserves words") {
