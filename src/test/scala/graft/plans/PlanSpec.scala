@@ -832,4 +832,59 @@ class PlanSpec extends SparkTestBase {
     // pruned read: only the columns the filter/projection need
     assert(!p.contains("text"), "scan reads unneeded text column")
   }
+
+  // ---- r10 second-wave operators ----
+
+  test("quantize_binary: sign packing + hamming rank is per-row " +
+      "expression work — no hash exchange, top-k is a heap") {
+    val p = plan(graft.operators.Quantize.quantizeBinary(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("anomaly_events: the per-type stats table joins back by " +
+      "BROADCAST — the event stream itself is never re-shuffled for " +
+      "the flag pass") {
+    val p = plan(graft.operators.Analytics.anomalyEvents(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event_paths: path assembly is argmin-in-aggregate over the one " +
+      "user_id shuffle — no window pass") {
+    val p = plan(graft.operators.Analytics.eventPaths(spark, sf0001))
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_kcore: peel rounds are degree aggregations + semi-joins " +
+      "on node keys — no cartesian, no nested loop") {
+    val p = plan(Relational.graphKcore(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_char_diversity: char histogram partial-aggregates " +
+      "map-side before the one exchange") {
+    val p = plan(
+      graft.operators.TextAnalysis.textCharDiversity(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("wordpiece_encode: the greedy match chain is per-row codegen " +
+      "over the word dict — no UDF, no cartesian") {
+    val p = plan(graft.operators.Bpe.wordpieceEncode(spark, sf0001))
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sft_loss_mask: render + spans are pure per-row work — no " +
+      "exchange except the presentation sort") {
+    val p = plan(graft.operators.Pipeline.sftLossMask(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
 }
