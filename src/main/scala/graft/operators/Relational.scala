@@ -127,6 +127,61 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** MULTISET set operations — EXCEPT ALL preserves multiplicity
+    * (per key, max(n₁−n₂, 0) copies survive), the bag semantics
+    * [[setOps]]'s DISTINCT forms erase. Census'd per key so the
+    * surviving multiplicities themselves sit under the hash. */
+  def exceptAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val all = o.select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    all.exceptAll(urgent)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey").asc).limit(20)
+  }
+
+  /** INTERSECT ALL — per key, min(n₁, n₂) copies survive. */
+  def intersectAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val highPri = o.filter(col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey"))
+    open.intersectAll(highPri)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_custkey").asc).limit(20)
+  }
+
+  /** Exact WEIGHTED median per group — the lower weighted median
+    * (smallest value whose cumulative weight reaches half the total),
+    * all integer: price in cents, quantity as the integral weight.
+    * The cumulative window runs over the per-(group, value) AGGREGATED
+    * histogram, not the raw rows — at 100 TB the window input is
+    * bounded by distinct values per group, the quantile_sketch
+    * density insight applied to weighted quantiles. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("v"),
+        round(col("l_quantity")).cast("long").as("w"))
+    val hist = li.groupBy("flag", "v").agg(sum(col("w")).as("wv"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("flag").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    hist
+      .withColumn("cum", sum(col("wv")).over(win))
+      .withColumn("tot", sum(col("wv")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("flag")))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("flag").agg(min(col("v")).as("wmedian_cents"),
+        max(col("tot")).as("total_weight"))
+      .orderBy("flag")
+  }
+
   /** Aggregation with HAVING + join back to dimension. */
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -3493,6 +3548,39 @@ object Relational {
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "except_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders),
+        |b AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |r AS (SELECT o_custkey FROM a EXCEPT ALL
+        |  SELECT o_custkey FROM b)
+        |SELECT o_custkey, count(*) AS n FROM r GROUP BY 1
+        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin,
+    "intersect_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'O'),
+        |b AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |r AS (SELECT o_custkey FROM a INTERSECT ALL
+        |  SELECT o_custkey FROM b)
+        |SELECT o_custkey, count(*) AS n FROM r GROUP BY 1
+        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin,
+    "weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem),
+        |h AS (SELECT flag, v, CAST(sum(w) AS BIGINT) AS wv
+        |  FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, v,
+        |    CAST(sum(wv) OVER (PARTITION BY flag ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(wv) OVER (PARTITION BY flag) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT flag, min(v) AS wmedian_cents,
+        |  max(tot) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY flag ORDER BY flag""".stripMargin,
     "set_ops" ->
       """SELECT custkey FROM (
         |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
@@ -3522,6 +3610,9 @@ object Relational {
     "distinct_flags" -> (distinctFlags _),
     "window_top_customers" -> (windowTopCustomers _),
     "set_ops" -> (setOps _),
+    "except_all" -> (exceptAll _),
+    "intersect_all" -> (intersectAll _),
+    "weighted_median" -> (weightedMedian _),
     "agg_having" -> (aggHaving _),
     "events_hourly" -> (eventsHourly _),
     "semi_join" -> (semiJoin _),

@@ -520,6 +520,31 @@ object Similarity {
          |SELECT vec_id, label FROM assigned, q
          |WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77
          |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |probes AS (
+         |  SELECT cid FROM cents, q
+         |  ORDER BY ${sqlL2("cv", "qv")} ASC, cid ASC LIMIT 4),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+         |        AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |approx AS (
+         |  SELECT vec_id FROM assigned, q
+         |  WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77
+         |  ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q WHERE vec_id <> 77
+         |  ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10),
+         |h AS (SELECT count(*) AS hits FROM approx JOIN exact
+         |  USING (vec_id))
+         |SELECT CAST(10 AS BIGINT) AS k, hits,
+         |  CAST(hits * 100 AS BIGINT) AS recall_pm FROM h""".stripMargin,
     "ann_two_stage" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |coarse AS (
@@ -531,7 +556,30 @@ object Similarity {
          |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin
   )
 
+  /** Gated recall report — "measure, don't guess" as a first-class
+    * operator: the IVF probe ranking's top-10 intersected with the
+    * exact top-10 for the same fixture query, emitted as (k, hits,
+    * recall_pm). Both rankings are fully deterministic (integer-exact
+    * tie-breaks), so the recall number itself sits under the DuckDB
+    * oracle — the gate fails if EITHER ranking drifts. The production
+    * loop this encodes: recall@k is the dial that justifies nprobe. */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (_, q) = IvfIndex.fixedCentroidsAndQuery(e)
+    val qlit = array(q.map(lit(_)): _*)
+    val approx = annIvf(s, dir).select("vec_id")
+    val exact = e.filter(col("vec_id") =!= 77)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id")
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(10L).as("k"), col("hits"),
+        (col("hits") * 100L).as("recall_pm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> (annRecallReport _),
     "knn_l2" -> (knnL2 _),
     "embed_outliers" -> (embedOutliers _),
     "rag_retrieve" -> (ragRetrieve _),
