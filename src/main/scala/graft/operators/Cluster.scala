@@ -55,8 +55,11 @@ object Cluster {
   /** Nearest-seed assignment over quantized vectors: integer squared L2,
     * strict `<` keeps the LOWEST cid on ties — the same tie-break as an
     * ORDER BY d2, cid row_number. Pure codegen'd fold over a literal
-    * seed array: zero shuffle, the exact [[IvfIndex.assignCid]] shape. */
-  private def assignQ(seeds: Seq[(Long, Array[Long])], qe: Column): Column =
+    * seed array: zero shuffle, the exact [[IvfIndex.assignCid]] shape.
+    * [[assignStruct]] exposes the winning (d, cid) pair so the trainer
+    * can read the distance without a second fold. */
+  private def assignStruct(seeds: Seq[(Long, Array[Long])],
+      qe: Column): Column =
     aggregate(
       array(seeds.map { case (cid, cv) =>
         struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
@@ -68,7 +71,10 @@ object Cluster {
           lit(0L), (x, y) => x + y)
         when(d < acc.getField("d"),
           struct(d.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-      }).getField("cid")
+      })
+
+  private def assignQ(seeds: Seq[(Long, Array[Long])], qe: Column): Column =
+    assignStruct(seeds, qe).getField("cid")
 
   /** One distributed Lloyd iteration from the K lowest-vec_id seeds:
     * per-cluster size and the recomputed centroid (per-dim floor of the
@@ -98,6 +104,101 @@ object Cluster {
         x => x("mq").cast("string")), " ").as("centroid"))
     sizes.join(means, "cid")
       .select("cid", "n", "centroid").orderBy("cid")
+  }
+
+  /** Rounds the multi-round trainer runs. */
+  private val TrainRounds = 3
+
+  /** FULL KMeans training oracle-checked over [[TrainRounds]] Lloyd
+    * rounds — the production fitter ([[IvfIndex]]) run shape with every
+    * round's centroids exact-integer: assign (broadcast argmin, zero
+    * shuffle) → per-dim floor-mean recompute → K-sized driver collect
+    * feeds the next round's literal centroids (the same bounded-fixture
+    * pattern as the per-round BPE argmax). Empty clusters KEEP their
+    * previous centroid (the standard Lloyd convention, also what
+    * [[Quantize]]'s trained-PQ uses). Output: per final cluster its
+    * size, exact-integer SSE, and the centroid. SSE stays in LONG here
+    * (d² < 2^46 per row); at trillion-row scale the sum column is the
+    * one operand that would move to DECIMAL. */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    val qe = emb(s, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+      .localCheckpoint(true) // reused by every round + the final pass
+    var cents: Seq[(Long, Array[Long])] =
+      qe.filter(col("vec_id") < K).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    for (_ <- 1 to TrainRounds) {
+      val means = qe
+        .withColumn("cid", assignQ(cents, col("qe")))
+        .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mq"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mq"))))
+          .as("cv"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toArray)
+        .toMap
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+    }
+    val fin = qe.withColumn("a", assignStruct(cents, col("qe")))
+      .select(col("a.cid").as("cid"), col("a.d").as("d2"))
+    val centStr = cents.map { case (cid, cv) =>
+      (cid, cv.mkString(" "))
+    }.toMap
+    val centLit = map(centStr.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v))
+    }: _*)
+    fin.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sse"))
+      .withColumn("centroid", element_at(centLit, col("cid")))
+      .orderBy("cid")
+  }
+
+  private def kmeansTrainOracle: String = {
+    def l2(a: String, b: String): String =
+      s"""list_sum([($a[i]-$b[i])*($a[i]-$b[i])
+         |    for i in generate_series(1,64)])""".stripMargin
+    val rounds = (1 to TrainRounds).map { r =>
+      val p = r - 1
+      s"""d$r AS (SELECT q.vec_id, c.cid,
+         |    ${l2("q.qe", "c.cv")} AS d2
+         |  FROM q, c$p c),
+         |a$r AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, cid) AS rn FROM d$r) WHERE rn = 1),
+         |e$r AS (SELECT a.cid, unnest(q.qe) AS v,
+         |    unnest(generate_series(1,64)) AS pos
+         |  FROM a$r a JOIN q USING (vec_id)),
+         |mm$r AS (SELECT cid, pos,
+         |    floor(sum(v)::DOUBLE / count(*))::BIGINT AS mq
+         |  FROM e$r GROUP BY 1, 2),
+         |m$r AS (SELECT cid, list(mq ORDER BY pos) AS cv
+         |  FROM mm$r GROUP BY 1),
+         |c$r AS MATERIALIZED (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM c$p p LEFT JOIN m$r m USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val f = TrainRounds + 1
+    s"""WITH q AS MATERIALIZED (SELECT vec_id,
+       |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, qe AS cv FROM q
+       |  WHERE vec_id < $K),
+       |$rounds,
+       |df AS (SELECT q.vec_id, c.cid, ${l2("q.qe", "c.cv")} AS d2
+       |  FROM q, c$TrainRounds c),
+       |af AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+       |  WHERE rn = 1)
+       |SELECT a.cid, count(*) AS n, CAST(sum(a.d2) AS BIGINT) AS sse,
+       |  array_to_string([x::VARCHAR for x in c.cv], ' ') AS centroid
+       |FROM af a JOIN c$TrainRounds c USING (cid)
+       |GROUP BY a.cid, c.cv ORDER BY a.cid""".stripMargin
   }
 
   /** Quantize + signed-project in ONE native call
@@ -151,6 +252,7 @@ object Cluster {
       .orderBy("pos")
 
   val oracle: Map[String, String] = Map(
+    "kmeans_train" -> kmeansTrainOracle,
     "embed_stats" ->
       s"""WITH q AS (SELECT
          |    [round(x::DOUBLE * $Q)::BIGINT for x in embedding] AS qe
@@ -206,6 +308,7 @@ object Cluster {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_step" -> (kmeansStep _),
+    "kmeans_train" -> (kmeansTrain _),
     "embed_project" -> (embedProject _),
     "embed_stats" -> (embedStats _)
   )

@@ -1169,7 +1169,63 @@ object Dedup {
        |labeled AS (
        |  SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)""".stripMargin
 
+  /** URL-canonical dedup — the web-corpus staple that exact text-hash
+    * dedup can't do: the SAME page crawled under case-varying hosts,
+    * tracking query params, and trailing slashes collapses to one
+    * canonical URL. Canonicalization (per-row, scan speed): lowercase,
+    * strip everything from `?` (the tracking-param rule — this corpus
+    * plants only utm params, so the simple form is exact), strip one
+    * trailing `/`. Then a plain hash groupBy: per canonical URL, the
+    * kept (lowest) doc_id, the duplicate count, and the distinct RAW
+    * variant count — the census that proves canonicalization actually
+    * merged variants. URLs are synthesized deterministically from
+    * (source, doc_id) with planted noise, so both engines derive the
+    * identical corpus. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("HTTP://"))
+            .otherwise(lit("http://")),
+          when(col("doc_id") % 7 === 0, upper(col("lang")))
+            .otherwise(col("lang")),
+          lit(".example.com/page/"),
+          (col("doc_id") % 25).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+            .when(col("doc_id") % 3 === 1, lit("/"))
+            .otherwise(lit(""))).as("url"))
+    val canon = raw.withColumn("curl",
+      regexp_replace(
+        regexp_replace(lower(col("url")), "\\?.*$", ""),
+        "/$", ""))
+    canon.groupBy("curl")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("url")).as("n_variants"))
+      .filter(col("n_dups") >= 2)
+      .orderBy("curl")
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_url" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTP://'
+        |          ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN upper(lang)
+        |          ELSE lang END) ||
+        |    '.example.com/page/' || (doc_id % 25) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+        |          WHEN doc_id % 3 = 1 THEN '/'
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(lower(url), '\?.*$', ''),
+        |      '/$', '') AS curl
+        |  FROM raw)
+        |SELECT curl, min(doc_id) AS keep_id, count(*) AS n_dups,
+        |  count(DISTINCT url) AS n_variants
+        |FROM c GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY curl""".stripMargin,
     "dedup_exact" ->
       s"""WITH corpus AS ($exactCorpusSql)
          |SELECT a.id AS id_a, b.id AS id_b
@@ -1391,6 +1447,7 @@ object Dedup {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),

@@ -182,6 +182,28 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** KEYSET pagination — the scale-correct page-N read. OFFSET
+    * pagination scans and discards N·page rows (deep pages read the
+    * whole prefix — the classic warehouse anti-pattern); a keyset
+    * cursor filters `sortKey > cursor` and heaps the next page:
+    * O(page) work at any depth, TakeOrderedAndProject, no global sort.
+    * The gate derives the page-2 cursor in-plan (the 40th composite
+    * key) and returns page 3 of orders by (price desc, key asc) —
+    * encoded as one ASCENDING struct key (negated cents) so "after the
+    * cursor" is a single struct comparison. */
+  def keysetPage(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+      .withColumn("sk", struct((-col("c")).as("a"),
+        col("o_orderkey").as("b")))
+    val cursor = o.orderBy(col("sk").asc).limit(40)
+      .agg(max(col("sk")).as("cur"))
+    o.crossJoin(broadcast(cursor))
+      .filter(col("sk") > col("cur"))
+      .orderBy(col("sk").asc).limit(20)
+      .select(col("o_orderkey"), col("c").as("total_cents"))
+  }
+
   /** Aggregation with HAVING + join back to dimension. */
   def aggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -3548,6 +3570,16 @@ object Relational {
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "sql_keyset_page" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |p12 AS (SELECT -c AS a, o_orderkey AS b FROM o
+        |  ORDER BY 1, 2 LIMIT 40),
+        |cur AS (SELECT a, b FROM p12 ORDER BY a DESC, b DESC LIMIT 1)
+        |SELECT o_orderkey, c AS total_cents FROM o, cur
+        |WHERE (-o.c, o.o_orderkey) > (cur.a, cur.b)
+        |ORDER BY -c, o_orderkey LIMIT 20""".stripMargin,
     "except_all" ->
       """WITH a AS (SELECT o_custkey FROM orders),
         |b AS (SELECT o_custkey FROM orders
@@ -3611,6 +3643,7 @@ object Relational {
     "window_top_customers" -> (windowTopCustomers _),
     "set_ops" -> (setOps _),
     "except_all" -> (exceptAll _),
+    "sql_keyset_page" -> (keysetPage _),
     "intersect_all" -> (intersectAll _),
     "weighted_median" -> (weightedMedian _),
     "agg_having" -> (aggHaving _),
