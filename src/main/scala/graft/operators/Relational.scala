@@ -2738,7 +2738,97 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Column-pair correlation profile (the ANALYZE companion to
+    * [[profileTable]]): Pearson sufficient statistics between order
+    * value (whole dollars) and order date (epoch days), all EXACT LONG
+    * — sufficient stats merge by addition, the one-pass/incremental
+    * contract. The correlation itself is emitted at 6dp from the exact
+    * integers: every double op involved (long→double conversion,
+    * multiply, sqrt, divide) is IEEE correctly-rounded, so both
+    * engines produce the identical bits — no libm-divergence risk (the
+    * reason ln-based scores need the fixed-order device but sqrt does
+    * not). */
+  def profileCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(round(col("o_totalprice")).cast("long").as("x"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+          .as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_r6", {
+        // every factor converts to DOUBLE *before* multiplying — the
+        // BIGINT products (n·Sxx ≈ 6e19) would overflow 64-bit integer
+        // math in either engine; the double pipeline is c.r. IEEE at
+        // every step, identical bits both sides
+        val d = (c: Column) => c.cast("double")
+        round(
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n")) * d(col("sxx")) -
+              d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) -
+                d(col("sy")) * d(col("sy")))), 6)
+      })
+
+  /** FORWARD as-of join — each event matched to the user's NEXT order
+    * at-or-after it (the "time to next conversion" direction; the
+    * backward twin is [[asofJoin]]). Same union + running-merge device
+    * with the scan reversed: one user shuffle, one window, never a
+    * per-event range probe; DuckDB's native `ASOF ... ON e.ts <= o.ts`
+    * is the independent oracle formulation. */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ded = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = events(s, dir).select(
+      col("user_id").as("k"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("r_orderkey"), lit(0).as("side"))
+    val ord = ded.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("r_orderkey"), lit(1).as("side"))
+    // descending scan: at an equal timestamp the ORDER row must be seen
+    // first so the match is inclusive (ord.ts >= ev.ts)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").desc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("next_orderkey",
+        last(col("r_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("next_orderkey"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "profile_corr" ->
+      """WITH v AS (SELECT
+        |    CAST(round(o_totalprice) AS BIGINT) AS x,
+        |    epoch_us(o_orderdate) // 86400000000 AS y
+        |  FROM orders),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS corr_r6
+        |FROM st""".stripMargin,
+    "asof_join_forward" ->
+      """WITH ded AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+        |FROM events e ASOF LEFT JOIN ded o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "sql_tpch_q5" -> q5Sql,
     "sql_tpch_q7" -> q7Sql,
     "sql_tpch_q4" -> q4Sql,
@@ -3659,6 +3749,8 @@ object Relational {
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_join_forward" -> (asofJoinForward _),
+    "profile_corr" -> (profileCorr _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
