@@ -754,44 +754,74 @@ object MqlPipeline {
           val rangeN = spec.get("range")
           require(rangeN != null && rangeN.isObject,
             s"$$densify needs a range document: $spec")
-          require(rangeN.get("unit") == null,
-            "$densify date units unsupported (numeric grids only)")
+          // unit (Mongo's calendar-step form): the field must be a
+          // TIMESTAMP column; grid arithmetic runs on epoch-µs LONGS
+          // (exact, both engines), grid points land at min + k·unit.
+          // Only FIXED-width units — month/quarter shift by variable
+          // widths and are refused loudly.
+          val unitUsOpt: Option[Long] = Option(rangeN.get("unit")).map {
+            u => u.asText() match {
+              case "day" => 86400000000L
+              case "hour" => 3600000000L
+              case "minute" => 60000000L
+              case other => throw new IllegalArgumentException(
+                s"$$densify unit must be day|hour|minute: $other")
+            }
+          }
           val stepN = rangeN.get("step")
           require(stepN != null && stepN.isIntegralNumber &&
             stepN.asLong() > 0,
             s"$$densify step must be a positive integer: $rangeN")
           val step = stepN.asLong()
-          import org.apache.spark.sql.types.{IntegerType, LongType}
+          import org.apache.spark.sql.types.{IntegerType, LongType,
+            TimestampType}
           val fType = cur.schema(df0).dataType
-          require(fType == LongType || fType == IntegerType,
-            s"$$densify field must be integral, got $fType for $df0")
+          // with a unit the work frame carries the field as epoch-µs
+          val dWork = unitUsOpt match {
+            case Some(_) =>
+              require(fType == TimestampType,
+                s"$$densify with unit needs a TIMESTAMP field, " +
+                  s"got $fType for $df0")
+              cur.withColumn(df0, unix_micros(col(df0)))
+            case None =>
+              require(fType == LongType || fType == IntegerType,
+                s"$$densify field must be integral, got $fType for $df0")
+              cur
+          }
+          val dStep = unitUsOpt.map(_ * step).getOrElse(step)
+          val gType: org.apache.spark.sql.types.DataType =
+            if (unitUsOpt.isDefined) LongType else fType
           val boundsN = rangeN.get("bounds")
           val partCols = dPartFs.map(col)
           // one row per partition carrying its [lo, hi] grid bounds
           val bh: (DataFrame, Option[Long]) = boundsN match {
             case b if b != null && b.isTextual &&
                 b.asText() == "partition" =>
-              (cur.groupBy(partCols: _*)
+              (dWork.groupBy(partCols: _*)
                 .agg(min(col(df0)).as("_lo"), max(col(df0)).as("_hi")),
                 None)
             case b if b != null && b.isTextual && b.asText() == "full" =>
               // global grid bounds, applied to EVERY partition
-              val g = cur.agg(min(col(df0)).as("_lo"),
+              val g = dWork.agg(min(col(df0)).as("_lo"),
                 max(col(df0)).as("_hi"))
               val parts =
                 if (dPartFs.isEmpty) g
-                else cur.select(partCols: _*).distinct().crossJoin(g)
+                else dWork.select(partCols: _*).distinct().crossJoin(g)
               (parts, None)
             case b if b != null && b.isArray && b.size() == 2 &&
                 b.get(0).isIntegralNumber && b.get(1).isIntegralNumber =>
               // explicit [lo, hi): every partition gets the grid, even
-              // where it has no rows in range (Mongo's contract)
+              // where it has no rows in range (Mongo's contract).
+              // Date-literal bounds with a unit are out of scope, loud.
+              require(unitUsOpt.isEmpty,
+                "$densify explicit bounds with a unit unsupported " +
+                  "(use partition/full bounds)")
               val (lo, hi) = (b.get(0).asLong(), b.get(1).asLong())
               require(lo < hi, s"$$densify bounds must be [lo < hi): $b")
               val parts =
-                if (dPartFs.isEmpty) cur.select(lit(1).as("_one"))
+                if (dPartFs.isEmpty) dWork.select(lit(1).as("_one"))
                   .limit(1).select(lit(lo).as("_lo"), lit(hi).as("_hi"))
-                else cur.select(partCols: _*).distinct()
+                else dWork.select(partCols: _*).distinct()
                   .withColumn("_lo", lit(lo)).withColumn("_hi", lit(hi))
               (parts, Some(hi))
             case other => throw new IllegalArgumentException(
@@ -802,15 +832,19 @@ object MqlPipeline {
           // explode can't nest inside a cast — generate, then cast the
           // grid value back to the field's own integral width
           val gen0 = boundsDf.select(partCols :+
-              explode(sequence(col("_lo"), col("_hi"), lit(step)))
+              explode(sequence(col("_lo"), col("_hi"), lit(dStep)))
                 .as(df0): _*)
-            .withColumn(df0, col(df0).cast(fType))
+            .withColumn(df0, col(df0).cast(gType))
           // sequence() is end-inclusive; explicit bounds are half-open
           val gen = hiOpen.fold(gen0)(hi => gen0.filter(col(df0) < hi))
           val missing = gen.join(
-            cur.select((dPartFs :+ df0).map(col): _*),
+            dWork.select((dPartFs :+ df0).map(col): _*),
             dPartFs :+ df0, "left_anti")
-          cur = cur.unionByName(missing, allowMissingColumns = true)
+          val densified =
+            dWork.unionByName(missing, allowMissingColumns = true)
+          // with a unit the µs work column converts back to TIMESTAMP
+          cur = unitUsOpt.fold(densified)(_ =>
+            densified.withColumn(df0, timestamp_micros(col(df0))))
 
         case "$graphLookup" =>
           // Recursive graph traversal (Mongo 3.4): from each document's

@@ -2621,6 +2621,27 @@ object Relational {
       joined("rev"), col("pos3"), col("score"))
   }
 
+  /** $densify with a TIME UNIT under the gate (Mongo 5.1's calendar
+    * form): per-event-type day grids over the real timestamp column —
+    * grid arithmetic in exact epoch-µs (both engines), generated rows
+    * null-padded and flagged. The small user slice keeps the generated
+    * volume proportional to span/step, the operator's own contract. */
+  def mqlDensifyUnit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") < 3)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    graft.filter.MqlPipeline.aggregate(ev, col("meta"),
+      """[
+        | {"$densify": {"field": "ts",
+        |   "partitionByFields": ["event_type"],
+        |   "range": {"step": 1, "unit": "day",
+        |     "bounds": "partition"}}}
+        |]""".stripMargin)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        when(col("event_id").isNull, 1L).otherwise(0L).as("generated"))
+      .orderBy("event_type", "tus", "generated")
+  }
+
   /** Pipeline $out under the gate: Mongo's replace-the-collection
     * terminal stage in its library-over-parquet form — the shaped
     * pipeline result is materialized to the conf-rooted scratch
@@ -2804,6 +2825,21 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    "mql_densify_unit" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id < 3),
+        |b AS (SELECT event_type, min(us) AS lo, max(us) AS hi
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 86400000000)) AS us FROM b),
+        |miss AS (SELECT g.event_type, g.us FROM g
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.event_type = g.event_type AND e.us = g.us))
+        |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
+        |FROM e
+        |UNION ALL
+        |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
+        |ORDER BY event_type, tus, generated""".stripMargin,
     "profile_corr" ->
       """WITH v AS (SELECT
         |    CAST(round(o_totalprice) AS BIGINT) AS x,
@@ -3751,6 +3787,7 @@ object Relational {
     "asof_join" -> (asofJoin _),
     "asof_join_forward" -> (asofJoinForward _),
     "profile_corr" -> (profileCorr _),
+    "mql_densify_unit" -> (mqlDensifyUnit _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
