@@ -793,13 +793,47 @@ class MqlPipelineSpec extends SparkTestBase {
           |  "range": {"step": 0.5, "bounds": "full"}}}]""".stripMargin)
     }
     assert(badStep.getMessage.contains("positive integer"))
-    val dateUnit = intercept[IllegalArgumentException] {
+    // a unit now means "TIMESTAMP field" — an integral field refuses
+    val unitOnInt = intercept[IllegalArgumentException] {
       MqlPipeline.aggregate(sparse, col("meta"),
         """[{"$densify": {"field": "v",
           |  "range": {"step": 1, "bounds": "full", "unit": "hour"}}}]"""
           .stripMargin)
     }
-    assert(dateUnit.getMessage.contains("date units unsupported"))
+    assert(unitOnInt.getMessage.contains("needs a TIMESTAMP field"))
+    // variable-width calendar units stay out, loudly
+    val monthUnit = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(sparse, col("meta"),
+        """[{"$densify": {"field": "v",
+          |  "range": {"step": 1, "bounds": "full", "unit": "month"}}}]"""
+          .stripMargin)
+    }
+    assert(monthUnit.getMessage.contains("day|hour|minute"))
+  }
+
+  test("$densify with a day unit: per-partition timestamp grids at " +
+      "min + k·day, generated rows null-padded") {
+    import org.apache.spark.sql.functions.{timestamp_micros, unix_micros}
+    val day = 86400000000L
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      ("a", t0, 1L), ("a", t0 + 3 * day, 2L), // gap: +1d, +2d
+      ("b", t0 + day, 3L)                     // single point: no gap
+    ).toDF("grp", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    val got = MqlPipeline.aggregate(ev, col("meta"),
+      """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+        |  "range": {"step": 1, "unit": "day",
+        |    "bounds": "partition"}}}]""".stripMargin)
+      .select(col("grp"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .orderBy("grp", "us")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("a", t0, 1L), ("a", t0 + day, -1L), ("a", t0 + 2 * day, -1L),
+      ("a", t0 + 3 * day, 2L), ("b", t0 + day, 3L)))
   }
 
   test("$graphLookup: BFS with cycle termination, min-depth dedup, " +
