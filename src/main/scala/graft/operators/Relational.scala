@@ -156,16 +156,21 @@ object Relational {
 
   /** Exact WEIGHTED median per group — the lower weighted median
     * (smallest value whose cumulative weight reaches half the total),
-    * all integer: price in cents, quantity as the integral weight.
-    * The cumulative window runs over the per-(group, value) AGGREGATED
-    * histogram, not the raw rows — at 100 TB the window input is
-    * bounded by distinct values per group, the quantile_sketch
-    * density insight applied to weighted quantiles. */
+    * all integer: revenue-weighted median order QUANTITY per return
+    * flag. The cumulative window runs over the per-(group, value)
+    * AGGREGATED histogram, not the raw rows — and the value axis is
+    * deliberately the LOW-CARDINALITY one (quantity, ≤50 distinct):
+    * the raw scan collapses map-side to ≤50 rows per group before any
+    * window touches it. (Weighted-median OF a near-unique axis like
+    * price is a different problem — that one takes the distributed
+    * rank device `quantiles_orders_dist` already demonstrates, because
+    * a per-group window over a row-sized "histogram" would be one task
+    * per group.) */
   def weightedMedian(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
-        cents(col("l_extendedprice")).as("v"),
-        round(col("l_quantity")).cast("long").as("w"))
+        round(col("l_quantity")).cast("long").as("v"),
+        cents(col("l_extendedprice")).as("w"))
     val hist = li.groupBy("flag", "v").agg(sum(col("w")).as("wv"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("flag").orderBy("v")
@@ -177,8 +182,8 @@ object Relational {
       .withColumn("tot", sum(col("wv")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("flag")))
       .filter(col("cum") * 2 >= col("tot"))
-      .groupBy("flag").agg(min(col("v")).as("wmedian_cents"),
-        max(col("tot")).as("total_weight"))
+      .groupBy("flag").agg(min(col("v")).as("wmedian_qty"),
+        max(col("tot")).as("total_weight_cents"))
       .orderBy("flag")
   }
 
@@ -3725,8 +3730,8 @@ object Relational {
         |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin,
     "weighted_median" ->
       """WITH li AS (SELECT l_returnflag AS flag,
-        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-        |    CAST(round(l_quantity) AS BIGINT) AS w
+        |    CAST(round(l_quantity) AS BIGINT) AS v,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
         |  FROM lineitem),
         |h AS (SELECT flag, v, CAST(sum(w) AS BIGINT) AS wv
         |  FROM li GROUP BY 1, 2),
@@ -3735,8 +3740,8 @@ object Relational {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         |    CAST(sum(wv) OVER (PARTITION BY flag) AS BIGINT) AS tot
         |  FROM h)
-        |SELECT flag, min(v) AS wmedian_cents,
-        |  max(tot) AS total_weight
+        |SELECT flag, min(v) AS wmedian_qty,
+        |  max(tot) AS total_weight_cents
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY flag ORDER BY flag""".stripMargin,
     "set_ops" ->
