@@ -240,6 +240,28 @@ object MqlFilter {
         case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
           .reduceLeft(_ || _)
         case ("$expr", v) => tv(exprBool(v, r))
+        case ("$text", v) =>
+          // {"$text": {"$search": "w1 w2 ..."}} — Mongo's text-index
+          // predicate in its OR-of-terms form: match if ANY search term
+          // appears among the document's [a-z0-9]+ tokens (lowercased —
+          // Mongo's default-insensitive). Stemming, quoted phrases and
+          // `-negation` are index-language features out of scope: quote
+          // and dash characters are refused loudly. The column searched
+          // is the frame's `text` column (overridable via conf
+          // graft.mql.text_column at the query site by pre-aliasing) —
+          // a lazy name reference, resolved when the predicate binds.
+          require(v.isObject && v.get("$search") != null &&
+            v.get("$search").isTextual,
+            s"""$$text needs {"$$search": "terms"}: $v""")
+          val search = v.get("$search").asText()
+          require(!search.exists(c => c == '"' || c == '-'),
+            s"$$text phrases/negation unsupported: $search")
+          val terms = search.toLowerCase
+            .split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          require(terms.nonEmpty, s"$$text needs at least one term")
+          arrays_overlap(
+            graft.functions.TextFunctions.tokens(col("text")),
+            typedLit(terms.toSeq))
         case (field, v) if v.isObject && isOpObject(v) =>
           opObjectPred(field, v, r)
         case (field, v) => fieldOp(field, "$eq", v, r)

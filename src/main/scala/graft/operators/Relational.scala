@@ -1973,6 +1973,19 @@ object Relational {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** Mongo `$text` under the gate — the text-index predicate in its
+    * OR-of-terms form composed with an ordinary metadata filter: docs
+    * whose token stream contains "vector" or "hash", in en/fr only. */
+  def mqlTextFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .filter(MqlFilter.toColumn(
+        """{"$text": {"$search": "vector hash"},
+          | "lang": {"$in": ["en", "fr"]}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** MQL `$expr` under the gate — aggregation expressions inside a find
     * filter: a numeric comparison whose right side is computed
     * ($add/$multiply over field refs) AND a string equality, both
@@ -3368,6 +3381,13 @@ object Relational {
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "mql_text_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |  AND len(list_filter(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> t IN ('vector', 'hash'))) > 0
+        |ORDER BY doc_id""".stripMargin,
     "mql_expr_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >
@@ -3795,6 +3815,7 @@ object Relational {
     "mql_densify_unit" -> (mqlDensifyUnit _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_expr_filter" -> (mqlExprFilter _),
+    "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
     "mql_stddev" -> (mqlStddev _),

@@ -313,4 +313,34 @@ class MqlFilterSpec extends SparkTestBase {
     assert(ids("""{"$expr": {"$gte": [{"$toLong": "$a"}, 5]}}""")
       == Seq(5L))
   }
+
+  test("$text: OR of terms over the text column, case-folded; " +
+      "phrases and negation are loud") {
+    val tdf = Seq(
+      (1L, "{}", "The HASH join wins"),
+      (2L, "{}", "sort merge only"),
+      (3L, "{}", "vector search here"),
+      (4L, "{}", "nothing relevant")
+    ).toDF("id", "meta", "text")
+    def tids(f: String): Seq[Long] =
+      tdf.filter(MqlFilter.toColumn(f,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(tids("""{"$text": {"$search": "hash vector"}}""")
+      == Seq(1L, 3L))
+    // search terms tokenize/fold like the document side
+    assert(tids("""{"$text": {"$search": "MERGE"}}""") == Seq(2L))
+    // composes with ordinary clauses (AND)
+    assert(tids("""{"$text": {"$search": "hash merge"},
+        | "id_is": {"$exists": false}}""".stripMargin)
+      == Seq(1L, 2L))
+    val phrase = intercept[IllegalArgumentException] {
+      tids("""{"$text": {"$search": "\"exact phrase\""}}""")
+    }
+    assert(phrase.getMessage.contains("phrases/negation unsupported"))
+    val neg = intercept[IllegalArgumentException] {
+      tids("""{"$text": {"$search": "hash -merge"}}""")
+    }
+    assert(neg.getMessage.contains("phrases/negation unsupported"))
+  }
 }
