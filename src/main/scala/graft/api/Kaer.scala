@@ -572,6 +572,38 @@ final class Collection(
     * JSON semantics. */
   def updateDoc(filterJson: String, updateJson: String): Long = {
     if (!hasData) return 0L
+    updateWhere(coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false)),
+      updateJson)
+  }
+
+  /** Mongo `findOneAndUpdate`: apply the update document to the FIRST
+    * matching document only (lowest `_m_id` — the store's
+    * deterministic natural order, the [[replaceOne]] contract) and
+    * return `(id, metadata)`: the PRE-image by default, the POST-image
+    * with `returnNew` (Mongo's returnNewDocument). None when nothing
+    * matches. Single-writer store — atomicity IS the copy-on-write
+    * rewrite + rename swap. */
+  def findOneAndUpdate(filterJson: String, updateJson: String,
+      returnNew: Boolean = false): Option[(Long, String)] = {
+    if (!hasData) return None
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val hit = df.filter(pred)
+      .orderBy(col(Schema.IdCol).asc).limit(1)
+      .select(col(Schema.IdCol), col(Schema.MetaCol)).collect()
+    if (hit.isEmpty) return None
+    val id = hit(0).getLong(0)
+    val pre = hit(0).getString(1)
+    updateWhere(col(Schema.IdCol) === id, updateJson)
+    if (!returnNew) Some((id, pre))
+    else Some((id, df.filter(col(Schema.IdCol) === id)
+      .select(col(Schema.MetaCol)).head().getString(0)))
+  }
+
+  /** [[updateDoc]]'s core over an arbitrary row predicate — shared
+    * with [[findOneAndUpdate]]'s single-id restriction. */
+  private def updateWhere(pred: Column, updateJson: String): Long = {
     // driver-side validation: unknown operators must fail fast, not in
     // a task half-way through a rewrite
     val opsNode = Collection.udfMapper.readTree(updateJson)
@@ -594,8 +626,6 @@ final class Collection(
             (f.getValue.asInt() == 1 || f.getValue.asInt() == -1),
             s"$$pop operand must be 1 or -1: ${f.getValue}"))
     }
-    val pred = coalesce(MqlFilter.toColumn(filterJson,
-      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
     val mergeUdf = udf { meta: String =>
       // per-executor static mapper (Collection.udfMapper) — constructing
       // an ObjectMapper per row would dominate a large rewrite

@@ -500,7 +500,74 @@ object TextAnalysis {
       .orderBy(col("collision_pm").desc, col("doc_id").asc).limit(20)
       .select("doc_id", "n", "distinct_chars", "sum_sq", "collision_pm")
 
+  /** Count-Min sketch over the corpus token stream — the mergeable
+    * FREQUENCY sketch beside the KMV distinct sketch and the histogram
+    * quantile sketch: d=4 hash rows × w=1024 buckets of exact LONG
+    * counts that MERGE BY ADDITION across partitions/batches/days; a
+    * point estimate = min over rows, never an underestimate. Hashes
+    * are md5-derived (the [[Relational.sketchDistinct]] device), so
+    * the whole sketch — and therefore the estimates themselves — is
+    * bit-deterministic and sits under the DuckDB oracle. The gate
+    * probes four present tokens and one absent one (whose estimate is
+    * whatever collisions produce — the documented overcount). 4096
+    * cells regardless of corpus size; the 100 TB cost is the token
+    * explode (the input's own volume, map-side partial-aggregated). */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    import s.implicits._
+    val D = 4
+    val W = 1024L
+    def buckets(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until D).map(i =>
+      pmod(md5Hash60(concat(lit(s"cms$i:"), t)), lit(W))): _*)
+    val tk = docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+    val cells = tk
+      .select(posexplode(buckets(col("t"))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val probes = Seq("join", "hash", "vector", "slow", "zzzmissing")
+      .toDF("token")
+    val est = probes
+      .select(col("token"),
+        posexplode(buckets(col("token"))).as(Seq("r", "b")))
+      .join(cells, Seq("r", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("token").agg(min(col("c")).as("cms_estimate"))
+    val exact = tk.groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"), "left")
+      .na.fill(0L, Seq("exact"))
+      .select(col("token"), col("exact"), col("cms_estimate"))
+      .orderBy("token")
+  }
+
+  private def sketchCmsOracle: String = {
+    def bs(src: String): String = (0 until 4).map(i =>
+      s"('0x' || substr(md5('cms$i:' || $src), 1, 15))::BIGINT % 1024")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH tk AS (SELECT
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents),
+       |cell AS (SELECT r, b, count(*) AS c FROM (
+       |    SELECT unnest([0, 1, 2, 3]) AS r,
+       |      unnest(${bs("t")}) AS b
+       |    FROM tk) GROUP BY 1, 2),
+       |probes AS (SELECT unnest(
+       |    ['join', 'hash', 'vector', 'slow', 'zzzmissing']) AS token),
+       |pb AS (SELECT token, unnest([0, 1, 2, 3]) AS r,
+       |    unnest(${bs("token")}) AS b
+       |  FROM probes),
+       |est AS (SELECT token,
+       |    CAST(min(COALESCE(c, 0)) AS BIGINT) AS cms_estimate
+       |  FROM pb LEFT JOIN cell USING (r, b) GROUP BY 1),
+       |ex AS (SELECT t AS token, count(*) AS exact FROM tk GROUP BY 1)
+       |SELECT est.token, CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact,
+       |  cms_estimate
+       |FROM est LEFT JOIN ex ON est.token = ex.token
+       |ORDER BY est.token""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sketch_cms" -> sketchCmsOracle,
     "text_char_diversity" ->
       """WITH ch AS (SELECT doc_id,
         |    unnest([text[i] for i in generate_series(1, length(text))])
@@ -694,6 +761,7 @@ object TextAnalysis {
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),
     "search_indexed" -> (TextIndex.searchIndexed _),
-    "text_char_diversity" -> (textCharDiversity _)
+    "text_char_diversity" -> (textCharDiversity _),
+    "sketch_cms" -> (sketchCms _)
   )
 }

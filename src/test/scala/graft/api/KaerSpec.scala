@@ -521,4 +521,33 @@ class KaerSpec extends SparkTestBase {
     val again = newSession(root).createCollection("c")
     assert(again.count() == 1)
   }
+
+  test("findOneAndUpdate: first match only (lowest id), pre/post " +
+      "images, None on no match") {
+    val root = tmpDir("kaer-foau")
+    val c = newSession(root).createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("alpha", "beta", "gamma"))
+      .withMetadatas(Seq(
+        Map[String, Any]("grp" -> 0, "v" -> 10),
+        Map[String, Any]("grp" -> 0, "v" -> 20),
+        Map[String, Any]("grp" -> 1, "v" -> 30))))
+    // pre-image returned; ONLY doc 1 (lowest matching id) mutates
+    val pre = c.findOneAndUpdate(
+      """{"grp": {"$eq": 0}}""", """{"$inc": {"v": 5}}""")
+    assert(pre.isDefined && pre.get._1 == 1L)
+    assert(pre.get._2.contains("\"v\":10"), pre.get._2)
+    assert(c.count("""{"v": {"$eq": 15}}""") == 1L)
+    assert(c.count("""{"v": {"$eq": 20}}""") == 1L) // doc 2 untouched
+    // post-image with returnNew — doc 1 matches again (still grp 0)
+    val post = c.findOneAndUpdate(
+      """{"grp": {"$eq": 0}}""", """{"$inc": {"v": 5}}""",
+      returnNew = true)
+    assert(post.isDefined && post.get._1 == 1L)
+    assert(post.get._2.contains("\"v\":20"), post.get._2)
+    // no match → None, nothing rewritten
+    assert(c.findOneAndUpdate(
+      """{"grp": {"$eq": 9}}""", """{"$inc": {"v": 1}}""").isEmpty)
+    assert(c.count("""{"v": {"$eq": 20}}""") == 2L)
+  }
 }
