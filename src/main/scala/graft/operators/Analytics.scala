@@ -134,7 +134,71 @@ object Analytics {
       .orderBy(col("n_users").desc, col("path").asc).limit(10)
   }
 
+  /** Cumulative unique users per day — the growth-curve staple, WITHOUT
+    * a running COUNT(DISTINCT) (which would buffer every id per frame):
+    * distinct collapses to each user's FIRST-SEEN day (one user_id
+    * aggregation), the per-day new-user counts are a tiny day-keyed
+    * table, and the running sum windows over days, not rows. */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = ev(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val perDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
+  /** Inter-event gap distribution — p50/p95 of the per-user
+    * inter-arrival time in whole seconds: one lag window on the
+    * user_id shuffle the session family already pays, then ONE exact
+    * percentile aggregate (the cross-engine-proven interpolation of
+    * the quantiles gates) over integral seconds. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    ev(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("_lag", lag(col("us"), 1).over(w))
+      // DIV, not `/`: float division + cast truncates in Spark but
+      // ROUNDS under DuckDB's CAST — integer division is the only
+      // form the two engines floor identically
+      .withColumn("gap_s", expr("(us - _lag) DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_s, 0.5)").as("p50_s"),
+        expr("percentile(gap_s, 0.95)").as("p95_s"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT first_day AS day, count(*) AS new_users
+        |  FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM pd ORDER BY day""".stripMargin,
+    "event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (
+        |  SELECT (us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id)) // 1000000 AS gap_s
+        |  FROM e)
+        |SELECT count(*) AS n_gaps,
+        |  quantile_cont(gap_s, 0.5) AS p50_s,
+        |  quantile_cont(gap_s, 0.95) AS p95_s
+        |FROM g WHERE gap_s IS NOT NULL""".stripMargin,
     "event_paths" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
@@ -225,6 +289,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution_credit" -> (attributionCredit _),
     "anomaly_events" -> (anomalyEvents _),
-    "event_paths" -> (eventPaths _)
+    "event_paths" -> (eventPaths _),
+    "cumulative_users" -> (cumulativeUsers _),
+    "event_gaps" -> (eventGaps _)
   )
 }

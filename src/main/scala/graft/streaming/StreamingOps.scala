@@ -450,6 +450,51 @@ object StreamingOps {
     s.table(name).orderBy("n_name")
   }
 
+  /** Streaming anomaly flagging — the production deployment shape of
+    * [[graft.operators.Analytics.anomalyEvents]]: reference statistics
+    * are trained BATCH-side (per-type n/S1/S2 — the model), broadcast
+    * into the stream, and each arriving event evaluates the exact
+    * cross-multiplied z² test per micro-batch (stateless — no
+    * watermark, no join state; the census aggregation is the only
+    * stateful node). Complete-mode census must equal the batch
+    * operator's, which is exactly what the shared oracle checks. */
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val stats = broadcast(
+      graft.operators.Relational.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("vq"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("vq")).as("s1"),
+          sum(col("vq") * col("vq")).as("s2")))
+    val name = s"graft_stream_anom_${runId.incrementAndGet()}"
+    val dev = d(col("vq")) * d(col("n")) - d(col("s1"))
+    val flag = dev * dev > d(lit(9L)) *
+      (d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1")))
+    withStatePartitions(s, 8) {
+      val q = graft.operators.Relational.normalizeEventTs(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("vq"))
+        .join(stats, "event_type")
+        .withColumn("is_anom", flag)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          max(when(col("is_anom"), col("vq"))).as("max_anom_vq"),
+          sum(when(col("is_anom"), col("vq"))).as("sum_anom_vq"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_type")
+  }
+
   /** BOUNDED streaming dedup under the gate — the state-evicting
     * `dropDuplicatesWithinWatermark` form, not unbounded `dropDuplicates`
     * state. The stream is a planted re-delivery scenario: a 48-hour
@@ -614,6 +659,10 @@ object StreamingOps {
   private val GapMs = graft.operators.Sessions.GapUs / 1000
 
   val oracle: Map[String, String] = Map(
+    // identical to the batch anomaly oracle — incremental execution
+    // must converge to the batch answer (the events_hourly precedent)
+    "stream_anomaly" ->
+      graft.operators.Analytics.oracle("anomaly_events"),
     "stream_static_join" ->
       """SELECT n.n_name, count(*) AS n_events,
         |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -749,6 +798,7 @@ object StreamingOps {
     "stream_dedup_bounded" -> (streamDedupBounded _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_upsert" -> (streamUpsert _),
-    "stream_stream_left" -> (streamStreamLeftJoin _)
+    "stream_stream_left" -> (streamStreamLeftJoin _),
+    "stream_anomaly" -> (streamAnomaly _)
   )
 }
