@@ -348,6 +348,75 @@ object Quantize {
       .select("vec_id", "label")
   }
 
+  /** IVF ∘ SCALAR quantization (SQ8) — the middle rung of the
+    * quantization ladder the library now covers end to end (binary →
+    * SQ8 → PQ/ADC → exact): coarse probes prune cells exactly like
+    * ann_ivf, candidate ranking runs on the int8 RECONSTRUCTION (4×
+    * fewer bytes than floats, no codebook to train — the FAISS
+    * IVF,SQ8 index), and the float column re-ranks the top-50. Every
+    * step per-row expression work; zero Exchange until the heaps. The
+    * quantize/dequantize contract is [[quantizeI8]]/[[dequantize]]'s
+    * (floor+half, max-abs scale) — already oracle-proven by
+    * quantize_topk. */
+  def annIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (centsF, qF) = IvfIndex.fixedCentroidsAndQuery(e)
+    val probes = centsF
+      .map { case (cid, cv) => (cid, IvfIndex.l2sqLocal(cv, qF)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1)
+    val qlit = array(qF.map(lit(_)): _*)
+    e.withColumn("cid", IvfIndex.assignCid(centsF, col("embedding")))
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 77)
+      .withColumn("scale", scaleOf(col("embedding")))
+      .withColumn("q8", quantizeI8(col("embedding"), col("scale")))
+      .withColumn("d_sq", l2Sq(dequantize(col("q8"), col("scale")), qlit))
+      .orderBy(col("d_sq").asc, col("vec_id").asc)
+      .limit(50)
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "label")
+  }
+
+  private def annIvfSqOracle: String = {
+    def l2(a: String, b: String): String =
+      s"list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE)" +
+        s"*($a[i]::DOUBLE - $b[i]::DOUBLE) for i in generate_series(1,$Dim)])"
+    // the quantize_topk dequantize formula, verbatim contract
+    val deq =
+      s"""[CASE WHEN sc > 0 THEN
+         |    greatest(-127, least(127,
+         |      floor(embedding[i]::DOUBLE * 127.0 / sc + 0.5)))
+         |      * sc / 127.0
+         |   ELSE 0.0 END for i in generate_series(1, $Dim)]""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+       |  WHERE vec_id = 77),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |probes AS (
+       |  SELECT cid FROM cents, q
+       |  ORDER BY ${l2("cv", "qv")} ASC, cid ASC LIMIT 4),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2("e.embedding", "c.cv")} ASC, c.cid ASC)
+       |        AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |cand AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max([abs(x::DOUBLE) for x in embedding]) AS sc
+       |  FROM assigned
+       |  WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77),
+       |sq AS (SELECT vec_id, label, embedding, $deq AS deq FROM cand),
+       |coarse AS (
+       |  SELECT vec_id, label, embedding FROM sq, q
+       |  ORDER BY ${l2("deq", "qv")} ASC, vec_id ASC LIMIT 50)
+       |SELECT vec_id, label FROM coarse, q
+       |ORDER BY ${l2("embedding", "qv")} ASC, vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   /** Residual IVF-PQ — the production FAISS IVFPQ *encoding* (Jégou et
     * al., "Product Quantization for Nearest Neighbor Search", §IV):
     * codes are computed on the RESIDUAL `v − centroid(cid)`, not the raw
@@ -555,6 +624,7 @@ object Quantize {
   val oracle: Map[String, String] = Map(
     "pq_adc_trained" -> pqAdcTrainedOracle,
     "quantize_binary" -> quantizeBinaryOracle,
+    "ann_ivf_sq" -> annIvfSqOracle,
     "quantize_topk" -> {
       def deq(e: String): String =
         s"""[CASE WHEN sc_$e > 0 THEN
@@ -762,6 +832,7 @@ object Quantize {
     "pq_adc_topk" -> (pqAdcTopk _),
     "pq_adc_trained" -> (pqAdcTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_ivf_sq" -> (annIvfSq _),
     "ann_ivf_pq_res" -> (annIvfPqRes _)
   )
 }
