@@ -1148,6 +1148,15 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(badVar.getMessage.contains("unknown pipeline variable"))
   }
 
+  test("$out: without the scratch-root conf the stage refuses loudly " +
+      "instead of writing somewhere surprising") {
+    spark.conf.unset("graft.mql.out_dir")
+    val e = intercept[IllegalArgumentException] {
+      runArr("""[{"$out": "somewhere"}]""")
+    }
+    assert(e.getMessage.contains("graft.mql.out_dir"))
+  }
+
   test("$let: vars evaluate in the OUTER scope (a var cannot see its " +
       "siblings — Mongo contract); nesting shadows") {
     val got = runArr(

@@ -887,4 +887,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("ann_ivf_sq: assignment + quantized ranking are per-row " +
+      "expressions — zero Exchange until the heaps") {
+    val p = plan(graft.operators.Quantize.annIvfSq(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sketch_cms: cell counts partial-aggregate map-side; probes " +
+      "join the 4096-cell table without a cartesian") {
+    val p = plan(graft.operators.TextAnalysis.sketchCms(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("weighted_median: raw rows collapse to the value histogram " +
+      "map-side before any window touches them") {
+    val p = plan(Relational.weightedMedian(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("partial sum"), p)
+  }
+
+  test("cumulative_users: distinct collapses to first-seen days — no " +
+      "COUNT DISTINCT window, no expand") {
+    val p = plan(graft.operators.Analytics.cumulativeUsers(spark, sf0001))
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
