@@ -207,6 +207,130 @@ object StreamingOps {
       }
   }
 
+  /** One open session per user for the transformWithState twin —
+    * carries the registered event-time timer so a superseded timer can
+    * be DELETED (tws timers accumulate; GroupState's
+    * setTimeoutTimestamp used to overwrite). */
+  final case class TwsSession(sid: Long, startUs: Long, endUs: Long,
+      n: Long, timerMs: Long)
+
+  /** Spark 4's arbitrary-state API (`transformWithState` +
+    * StatefulProcessor over the RocksDB store) running the EXACT
+    * session semantics of [[sessionizeStateful]] — same merge rules,
+    * same event-time close. The API differences this twin pins down:
+    * explicit timer lifecycle (register/delete, not overwrite), state
+    * via typed ValueState handles, and expiry callbacks through
+    * handleExpiredTimer with a stale-timer guard. Still O(users)
+    * state. */
+  class SessionProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, SessEvent, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[TwsSession] = _
+    private val gapUs = graft.operators.Sessions.GapUs
+
+    override def init(outputMode: OutputMode,
+        timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsSession]("sess",
+        org.apache.spark.sql.Encoders.product[TwsSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.map(_.us).toArray.sorted
+      val prevTimer = if (state.exists) state.get.timerMs else 0L
+      var cur: Option[TwsSession] =
+        if (state.exists) Some(state.get) else None
+      val closed =
+        scala.collection.mutable.ArrayBuffer[ClosedSession]()
+      for (us <- evs) {
+        cur match {
+          case Some(s) if us >= s.startUs - gapUs &&
+              us <= s.endUs + gapUs =>
+            cur = Some(s.copy(startUs = math.min(s.startUs, us),
+              endUs = math.max(s.endUs, us), n = s.n + 1))
+          case Some(s) if us > s.endUs =>
+            closed += ClosedSession(user, s.sid, s.n, s.startUs, s.endUs)
+            cur = Some(TwsSession(s.sid + 1, us, us, 1, 0L))
+          case Some(s) =>
+            throw new IllegalStateException(
+              s"event $us predates session ${s.startUs} by more than " +
+                "the gap — watermark delay must equal the gap")
+          case None => cur = Some(TwsSession(1, us, us, 1, 0L))
+        }
+      }
+      cur.foreach { s =>
+        val t = s.endUs / 1000 + gapUs / 1000
+        if (t != prevTimer) {
+          if (prevTimer > 0) getHandle.deleteTimer(prevTimer)
+          getHandle.registerTimer(t)
+        }
+        state.update(s.copy(timerMs = t))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] =
+      // stale-timer guard: only the timer the CURRENT state registered
+      // may close it (superseded timers were deleted, but the guard
+      // keeps the contract explicit)
+      if (state.exists && state.get.timerMs == info.getExpiryTimeInMs) {
+        val s = state.get
+        state.clear()
+        Iterator(ClosedSession(user, s.sid, s.n, s.startUs, s.endUs))
+      } else Iterator.empty
+  }
+
+  /** [[sessionizeStateful]]'s logic through transformWithState. */
+  def sessionizeTws(events: DataFrame)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[streamSessionize]]'s gate twin on the NEW API — identical oracle
+    * (watermark-closed batch sessions): two independent stateful
+    * runtimes converging on one answer. transformWithState requires
+    * the RocksDB state store; the conf flips for this query only and
+    * is restored after. */
+  def streamSessionizeTws(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_sess_tws_${runId.incrementAndGet()}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try withStatePartitions(s, 8) {
+      val q = sessionizeTws(
+        graft.operators.Relational.normalizeEventTs(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(dir))
+          .select(col("ts"), col("user_id"), col("event_id")))
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    s.table(name).orderBy("user_id", "sid")
+  }
+
   /** Watermarked stream-stream inner join — purchase attribution: each
     * view joined to the same user's purchases within the following hour.
     * Both sides carry watermarks and the join condition is time-bounded,
@@ -658,34 +782,9 @@ object StreamingOps {
   // ms mirrors of the session gap / watermark-delay pair (both 30 min)
   private val GapMs = graft.operators.Sessions.GapUs / 1000
 
-  val oracle: Map[String, String] = Map(
-    // identical to the batch anomaly oracle — incremental execution
-    // must converge to the batch answer (the events_hourly precedent)
-    "stream_anomaly" ->
-      graft.operators.Analytics.oracle("anomaly_events"),
-    "stream_static_join" ->
-      """SELECT n.n_name, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_purchases
-        |FROM events e
-        |JOIN customer c ON c.c_custkey = e.user_id + 1
-        |JOIN nation n ON n.n_nationkey = c.c_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "stream_upsert" ->
-      // max-version row per key across all updates — the arrival-order-
-      // free converged store newerWins guarantees
-      """WITH updates AS (
-        |  SELECT doc_id, lang, n_chars, 1 AS ver FROM documents
-        |  WHERE doc_id < 300
-        |  UNION ALL
-        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 2 AS ver
-        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400)
-        |SELECT doc_id, lang, n_chars, CAST(ver AS BIGINT) AS ver FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY ver DESC) AS rn FROM updates)
-        |WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
-    "stream_sessionize" ->
+  /** Watermark-closed batch sessions — shared by BOTH stateful
+    * runtimes' gates (fmgws and transformWithState). */
+  private def sessionizeClosedOracle: String =
       // batch sessionization (verbatim the `sessionize` oracle CTEs)
       // restricted to watermark-closed sessions: timeout fires when
       // end-of-gap (ms) < final watermark = max event ms - delay.
@@ -713,7 +812,40 @@ object StreamingOps {
          |SELECT user_id, sid, n_events, start_us, end_us
          |FROM sess, wm
          |WHERE CAST(floor(end_us / 1000) AS BIGINT) + $GapMs < wm_ms
-         |ORDER BY user_id, sid""".stripMargin,
+         |ORDER BY user_id, sid""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // identical to the batch anomaly oracle — incremental execution
+    // must converge to the batch answer (the events_hourly precedent)
+    "stream_anomaly" ->
+      graft.operators.Analytics.oracle("anomaly_events"),
+    "stream_static_join" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id + 1
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_upsert" ->
+      // max-version row per key across all updates — the arrival-order-
+      // free converged store newerWins guarantees
+      """WITH updates AS (
+        |  SELECT doc_id, lang, n_chars, 1 AS ver FROM documents
+        |  WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 2 AS ver
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+        |SELECT doc_id, lang, n_chars, CAST(ver AS BIGINT) AS ver FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY ver DESC) AS rn FROM updates)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // the tws twin shares the sessionize oracle verbatim — two
+    // stateful runtimes (flatMapGroupsWithState/HDFS store,
+    // transformWithState/RocksDB) must converge on one answer
+    "stream_sessionize_tws" -> sessionizeClosedOracle,
+    "stream_sessionize" -> sessionizeClosedOracle,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
@@ -797,6 +929,7 @@ object StreamingOps {
     "stream_text_pipeline" -> (streamTextPipeline _),
     "stream_dedup_bounded" -> (streamDedupBounded _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_sessionize_tws" -> (streamSessionizeTws _),
     "stream_upsert" -> (streamUpsert _),
     "stream_stream_left" -> (streamStreamLeftJoin _),
     "stream_anomaly" -> (streamAnomaly _)
