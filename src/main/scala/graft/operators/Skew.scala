@@ -77,7 +77,69 @@ object Skew {
       .orderBy("c_mktsegment")
   }
 
+  /** Join-size estimation from Count-Min sketches — the optimizer
+    * statistic that decides broadcast-vs-shuffle BEFORE paying the
+    * join: |A ⋈ B| = Σₖ aₖ·bₖ is estimated by the classic CMS inner
+    * product, min over hash rows of Σ_b cmsA[r][b]·cmsB[r][b] — never
+    * an underestimate, and each side's sketch is 4×1024 LONG cells
+    * built in one map-side-combined pass (mergeable by addition, so
+    * per-partition/per-day sketches compose). md5-derived hashes make
+    * the estimate itself bit-deterministic under the oracle, emitted
+    * beside the exact size and the error in permille. */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val D = 4
+    val W = 1024L
+    def sketch(df: DataFrame, key: Column): DataFrame = df
+      .select(posexplode(array((0 until D).map(i =>
+        pmod(md5Hash60(concat(lit(s"jse$i:"), key.cast("string"))),
+          lit(W))): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val est = sketch(orders, col("o_custkey"))
+      .join(sketch(cust, col("c_custkey"))
+        .withColumnRenamed("c", "c2"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("c") * col("c2")).as("ip"))
+      .agg(min(col("ip")).as("cms_estimate"))
+    val exact = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("na"))
+      .join(cust.groupBy("c_custkey").agg(count(lit(1)).as("nb")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+        .as("exact_size"))
+    exact.crossJoin(est)
+      .select(col("exact_size"), col("cms_estimate"),
+        expr("(cms_estimate - exact_size) * 1000 DIV exact_size")
+          .as("overcount_pm"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "join_size_estimate" -> {
+      def bs(src: String): String = (0 until 4).map(i =>
+        s"('0x' || substr(md5('jse$i:' || $src), 1, 15))::BIGINT % 1024")
+        .mkString("[", ",\n      ", "]")
+      s"""WITH sa AS (SELECT r, b, count(*) AS c FROM (
+         |    SELECT unnest([0, 1, 2, 3]) AS r,
+         |      unnest(${bs("o_custkey")}) AS b FROM orders)
+         |  GROUP BY 1, 2),
+         |sb AS (SELECT r, b, count(*) AS c FROM (
+         |    SELECT unnest([0, 1, 2, 3]) AS r,
+         |      unnest(${bs("c_custkey")}) AS b FROM customer)
+         |  GROUP BY 1, 2),
+         |ip AS (SELECT sa.r, CAST(sum(sa.c * sb.c) AS BIGINT) AS ip
+         |  FROM sa JOIN sb USING (r, b) GROUP BY 1),
+         |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_estimate FROM ip),
+         |ex AS (SELECT CAST(COALESCE(sum(na * nb), 0) AS BIGINT)
+         |    AS exact_size FROM
+         |  (SELECT o_custkey, count(*) AS na FROM orders GROUP BY 1) a
+         |  JOIN (SELECT c_custkey, count(*) AS nb FROM customer
+         |    GROUP BY 1) b ON a.o_custkey = b.c_custkey)
+         |SELECT exact_size, cms_estimate,
+         |  (cms_estimate - exact_size) * 1000 // exact_size
+         |    AS overcount_pm
+         |FROM ex, est""".stripMargin
+    },
     "salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -94,6 +156,7 @@ object Skew {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "salted_agg" -> (saltedAgg _),
-    "salted_join" -> (saltedJoinQuery _)
+    "salted_join" -> (saltedJoinQuery _),
+    "join_size_estimate" -> (joinSizeEstimate _)
   )
 }
