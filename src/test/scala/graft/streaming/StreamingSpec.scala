@@ -17,6 +17,9 @@ class StreamingSpec extends SparkTestBase {
   private def ts(h: Int, m: Int = 0) =
     Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
 
+  /** Epoch micros of [[ts]] — for asserting session bounds. */
+  private def us(h: Int, m: Int = 0): Long = ts(h, m).getTime * 1000L
+
   test("watermarked hourly aggregation finalizes windows; drops too-late data") {
     val in = MemoryStream[(Timestamp, String, Double)](spark)
     val agg = StreamingOps.eventsHourlyWatermarked(
@@ -185,6 +188,46 @@ class StreamingSpec extends SparkTestBase {
         // same 3 closed sessions the default-provider test asserts:
         // user 1 splits on the 40-min gap, user 2 has one session
         assert(got.map(_._1) == Set(1L, 2L) && got.size == 3, got)
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("transformWithState sessionization: timer re-arm on session " +
+      "extension, event-time close, batch parity") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Timestamp, Long, Long)](spark)
+      val out = StreamingOps.sessionizeTws(
+        in.toDF().toDF("ts", "user_id", "event_id"))
+      val q = out.writeStream.format("memory")
+        .queryName("sess_tws").outputMode("append").start()
+      try {
+        // batch 1: open a session; its close timer arms at 1:10+gap
+        in.addData((ts(1, 0), 1L, 1L), (ts(1, 10), 1L, 2L))
+        q.processAllAvailable()
+        // batch 2: extend within the gap — the processor must DELETE
+        // the superseded timer and re-arm (a stale fire would close
+        // the session early and split it)
+        in.addData((ts(1, 35), 1L, 3L))
+        q.processAllAvailable()
+        // batch 3: a second session after the gap, then advance the
+        // watermark far enough to close everything
+        in.addData((ts(3, 0), 1L, 4L))
+        q.processAllAvailable()
+        in.addData((ts(9, 0), 99L, 5L))
+        q.processAllAvailable()
+        val got = spark.table("sess_tws")
+          .filter(col("user_id") === 1L)
+          .collect().map(r => (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        // ONE first session spanning 1:00-1:35 (3 events — the timer
+        // re-arm preserved it) and one second session at 3:00
+        assert(got == Set(
+          (1L, 3L, us(1, 0), us(1, 35)),
+          (2L, 1L, us(3, 0), us(3, 0))), got)
       } finally q.stop()
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
