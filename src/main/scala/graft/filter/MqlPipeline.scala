@@ -286,6 +286,34 @@ object MqlPipeline {
             whenMatched = wm, whenNotMatched = wnm)
           grouped = true // $merge is terminal for metadata resolution
 
+        case "$sample" =>
+          // {"size": k} — Mongo's random sample in this engine's
+          // REPRODUCIBLE form (the split_corpus/sample_stratified
+          // stance: sampling is a property of the DOCUMENT, never
+          // rand()): rank by the md5-60 hash of the canonically
+          // pipe-serialized real columns and keep the k smallest.
+          // Stable under re-runs, reshards, and engine — which also
+          // puts the sample itself under the oracle hash. Only
+          // integral/string columns serialize (doubles/timestamps
+          // have engine-dependent string forms — loud).
+          require(spec.isObject && spec.get("size") != null &&
+            spec.get("size").isIntegralNumber &&
+            spec.get("size").asLong() > 0,
+            s"$$sample needs {size: k > 0}: $spec")
+          val sk = spec.get("size").asInt()
+          import org.apache.spark.sql.types.{IntegerType, LongType,
+            StringType}
+          cur.schema.fields.foreach(f => require(
+            f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == StringType,
+            s"$$sample serializes integral/string columns only; " +
+              s"'${f.name}' is ${f.dataType} (cast or project it away)"))
+          val ser = concat_ws("|", cur.columns.map(col): _*)
+          cur = cur
+            .withColumn("_sh",
+              graft.functions.TextFunctions.md5Hash60(ser))
+            .orderBy(col("_sh").asc).limit(sk).drop("_sh")
+
         case "$out" =>
           // Mongo's REPLACE-the-collection output stage: the pipeline
           // result verbatim becomes the named collection's content

@@ -2670,6 +2670,22 @@ object Relational {
       .orderBy("event_type", "tus", "generated")
   }
 
+  /** $sample under the gate — the reproducible hash-rank form: the 50
+    * "random" documents are a deterministic function of the documents
+    * themselves, so the very sample membership sits under the oracle
+    * hash (rand() could never). */
+  def mqlSample(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("meta", to_json(struct(col("doc_id")))),
+      col("meta"),
+      """[
+        | {"$sample": {"size": 50}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}}
+        |]""".stripMargin)
+
   /** Pipeline $out under the gate: Mongo's replace-the-collection
     * terminal stage in its library-over-parquet form — the shaped
     * pipeline result is materialized to the conf-rooted scratch
@@ -2787,6 +2803,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Order-independent TABLE FINGERPRINT — the cross-engine/migration
+    * equality check: per table, row count plus the SUM of per-row
+    * md5-derived 60-bit hashes over a canonical pipe-separated
+    * serialization (integers only — cents and epoch-µs, never raw
+    * doubles, whose string forms engines disagree on). Sum is
+    * reduction-order-free, so two stores hold the same rows iff
+    * (n, hash_sum) match regardless of partitioning, file order, or
+    * engine; hashes merge by addition, so per-shard fingerprints
+    * compose. */
+  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    // per-row hashes reduce mod 2^40 and SUM in DECIMAL (a raw sum of
+    // 60-bit hashes overflows LONG at ~15k rows — and the two engines
+    // disagree on overflow: Spark wraps, DuckDB raises); the final
+    // fingerprint is the exact sum mod 2^61, emitted as LONG
+    def fp(name: String, df: DataFrame, ser: Column): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          pmod(
+            sum(pmod(md5Hash60(ser), lit(1L << 40))
+              .cast("decimal(38,0)")),
+            lit(1L << 61).cast("decimal(38,0)"))
+            .cast("long").as("hash_sum"))
+        .select(lit(name).as("table_name"), col("n"), col("hash_sum"))
+    val docs = fp("documents", t(s, dir, "documents"),
+      concat_ws("|", col("doc_id"), col("lang"), col("source"),
+        col("n_chars")))
+    val ords = fp("orders", t(s, dir, "orders"),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")),
+        unix_micros(col("o_orderdate").cast("timestamp"))))
+    docs.unionByName(ords).orderBy("table_name")
+  }
+
   /** Column-pair correlation profile (the ANALYZE companion to
     * [[profileTable]]): Pearson sufficient statistics between order
     * value (whole dollars) and order date (epoch days), all EXACT LONG
@@ -2868,6 +2917,25 @@ object Relational {
         |UNION ALL
         |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
         |ORDER BY event_type, tus, generated""".stripMargin,
+    "table_fingerprint" ->
+      """WITH d AS (SELECT count(*) AS n, CAST(
+        |    sum((('0x' || substr(md5(doc_id || '|' || lang || '|' ||
+        |      source || '|' || n_chars), 1, 15))::BIGINT
+        |      % 1099511627776)::HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS hash_sum
+        |  FROM documents),
+        |o AS (SELECT count(*) AS n, CAST(
+        |    sum((('0x' || substr(md5(o_orderkey || '|' ||
+        |      o_custkey || '|' || o_orderstatus || '|' ||
+        |      CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+        |      epoch_us(o_orderdate)), 1, 15))::BIGINT
+        |      % 1099511627776)::HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS hash_sum
+        |  FROM orders)
+        |SELECT 'documents' AS table_name, n, hash_sum FROM d
+        |UNION ALL
+        |SELECT 'orders', n, hash_sum FROM o
+        |ORDER BY table_name""".stripMargin,
     "profile_corr" ->
       """WITH v AS (SELECT
         |    CAST(round(o_totalprice) AS BIGINT) AS x,
@@ -3190,6 +3258,16 @@ object Relational {
         |    AS pos3,
         |  CAST((v1[1] + v1[2] + v1[3]) * 10 AS BIGINT) AS score
         |FROM v ORDER BY doc_id""".stripMargin,
+    "mql_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(doc_id || '|' || lang || '|' ||
+        |      n_chars || '|' || '{"doc_id":' || doc_id || '}'),
+        |      1, 15))::BIGINT AS sh
+        |  FROM documents),
+        |sm AS (SELECT doc_id, lang, n_chars FROM h
+        |  ORDER BY sh LIMIT 50)
+        |SELECT doc_id, lang, n_chars FROM sm
+        |ORDER BY doc_id""".stripMargin,
     "mql_out" ->
       """SELECT lang AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -3823,6 +3901,7 @@ object Relational {
     "asof_join_forward" -> (asofJoinForward _),
     "profile_corr" -> (profileCorr _),
     "mql_densify_unit" -> (mqlDensifyUnit _),
+    "table_fingerprint" -> (tableFingerprint _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
@@ -3835,6 +3914,7 @@ object Relational {
     "mql_string_expr" -> (mqlStringExpr _),
     "mql_pipeline" -> (mqlPipeline _),
     "mql_out" -> (mqlOut _),
+    "mql_sample" -> (mqlSample _),
     "mql_array_sets" -> (mqlArraySets _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_range" -> (mqlWindowRange _),

@@ -88,7 +88,52 @@ object Snapshots {
       .orderBy("version", "lang")
   }
 
+  /** Snapshot DIFF — the reconciliation read on top of time travel:
+    * what changed between two versions, as one FULL-OUTER join on the
+    * key (packed-struct compare for "changed"), censused per lang. The
+    * operational question every pipeline re-run raises ("what did this
+    * rebuild actually touch?") answered from the immutable version
+    * dirs alone. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    timeTravel(s, dir).count() // materialize v1/v2 (idempotent)
+    val root = graft.core.Scratch.dir("snap", dir)
+    val v1 = readSnapshot(s, root, Some(1))
+    val v2 = readSnapshot(s, root, Some(2))
+    val a = v1.select(col("doc_id"), col("lang").as("lang_a"),
+      col("n_chars").as("nc_a"))
+    val b = v2.select(col("doc_id"), col("lang").as("lang_b"),
+      col("n_chars").as("nc_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("lang_a").isNull, lit("added"))
+          .when(col("lang_b").isNull, lit("removed"))
+          .when(col("nc_a") =!= col("nc_b") ||
+            col("lang_a") =!= col("lang_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("lang", coalesce(col("lang_b"), col("lang_a")))
+      .groupBy("lang", "status").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "status")
+  }
+
   val oracle: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id < 300),
+        |delta AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400),
+        |v2 AS (SELECT doc_id, lang, n_chars FROM delta
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM v1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)),
+        |d AS (SELECT COALESCE(v2.lang, v1.lang) AS lang,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.n_chars <> v2.n_chars
+        |           OR v1.lang <> v2.lang THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT lang, status, count(*) AS n FROM d
+        |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin,
     "time_travel" ->
       """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
         |  WHERE doc_id < 300),
@@ -109,6 +154,7 @@ object Snapshots {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "time_travel" -> (timeTravel _)
+    "time_travel" -> (timeTravel _),
+    "snapshot_diff" -> (snapshotDiff _)
   )
 }
