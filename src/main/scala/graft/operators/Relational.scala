@@ -836,6 +836,40 @@ object Relational {
   /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
     * run verbatim through spark.sql over temp views — six-table join,
     * the planner free to pick broadcast vs shuffle per side. */
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — multi-hop reachability
+    * over the event-transition graph as VERBATIM shared SQL: min-hop
+    * distance from 'view' to every reachable event type, bounded at 4
+    * hops. The $graphLookup/dedup_clusters machinery expresses the
+    * same traversals as iterative joins; this gate pins the DECLARED
+    * recursive form both engines now parse identically. Events read
+    * through a micros-normalized view (the ts vintage device). */
+  private val recursiveCteSql =
+    """WITH RECURSIVE nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT from_type, to_type FROM nx
+      |  WHERE to_type IS NOT NULL),
+      |reach(node, d) AS (
+      |  SELECT 'view', 0
+      |  UNION ALL
+      |  SELECT e.to_type, r.d + 1
+      |  FROM reach r JOIN edges e ON e.from_type = r.node
+      |  WHERE r.d < 4)
+      |SELECT node, CAST(min(d) AS BIGINT) AS hops
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events")
+    val out = s.sql(recursiveCteSql)
+    // the driver's DuckDB oracle runs over the RAW parquet view — drop
+    // the temp view so later gates' reads are never shadowed
+    s.catalog.dropTempView("events")
+    out
+  }
+
   def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
     for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
         "supplier"))
@@ -2917,6 +2951,8 @@ object Relational {
         |UNION ALL
         |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
         |ORDER BY event_type, tus, generated""".stripMargin,
+    // VERBATIM shared SQL — both engines parse the same recursive form
+    "sql_recursive_cte" -> recursiveCteSql,
     "table_fingerprint" ->
       """WITH d AS (SELECT count(*) AS n, CAST(
         |    sum((('0x' || substr(md5(doc_id || '|' || lang || '|' ||
@@ -3902,6 +3938,7 @@ object Relational {
     "profile_corr" -> (profileCorr _),
     "mql_densify_unit" -> (mqlDensifyUnit _),
     "table_fingerprint" -> (tableFingerprint _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
