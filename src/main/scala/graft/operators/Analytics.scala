@@ -177,7 +177,61 @@ object Analytics {
         expr("percentile(gap_s, 0.95)").as("p95_s"))
   }
 
+  /** Lag-1 autocorrelation of the hourly event-count series — the
+    * seasonality probe a metrics pipeline runs before forecasting:
+    * hourly counts (exact LONG), consecutive-hour pairs via one lag
+    * window over the tiny hour axis, Pearson over the pairs by the
+    * profile_corr device (exact integer sufficient stats; the final
+    * coefficient at 6dp through all-correctly-rounded double ops). */
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .select(expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+    val pairs = hourly
+      .withColumn("prev_c", lag(col("c"), 1).over(w))
+      .withColumn("prev_h", lag(col("h"), 1).over(w))
+      // only CONSECUTIVE hours form a lag-1 pair (a gap hour breaks it)
+      .filter(col("prev_c").isNotNull && col("h") === col("prev_h") + 1)
+      .select(col("prev_c").as("x"), col("c").as("y"))
+    val d = (c: Column) => c.cast("double")
+    pairs.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("autocorr_r6", round(
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          sqrt((d(col("n")) * d(col("sxx")) -
+            d(col("sx")) * d(col("sx"))) *
+            (d(col("n")) * d(col("syy")) -
+              d(col("sy")) * d(col("sy")))), 6))
+      .select("n", "sx", "sy", "sxy", "autocorr_r6")
+  }
+
   val oracle: Map[String, String] = Map(
+    "ts_autocorr" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT lag(c) OVER (ORDER BY h) AS x, c AS y,
+        |    h, lag(h) OVER (ORDER BY h) AS ph
+        |  FROM hc),
+        |pp AS (SELECT x, y FROM p
+        |  WHERE x IS NOT NULL AND h = ph + 1),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pp)
+        |SELECT n, sx, sy, sxy,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS autocorr_r6
+        |FROM st""".stripMargin,
     "cumulative_users" ->
       """WITH fd AS (
         |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS first_day
@@ -291,6 +345,7 @@ object Analytics {
     "anomaly_events" -> (anomalyEvents _),
     "event_paths" -> (eventPaths _),
     "cumulative_users" -> (cumulativeUsers _),
-    "event_gaps" -> (eventGaps _)
+    "event_gaps" -> (eventGaps _),
+    "ts_autocorr" -> (tsAutocorr _)
   )
 }

@@ -187,7 +187,54 @@ object Layout {
       .orderBy("lang")
   }
 
+  /** Small-file COMPACTION as a generic table-maintenance op (the
+    * kaer collection compactor's standalone form): a 64-file seed
+    * write (the drip-ingest reality a streaming sink leaves behind) is
+    * rewritten to 4 id-ranged files via repartitionByRange + a rename
+    * swap; the gate reports files before/after and proves the rows
+    * survived bit-for-bit through the corpus-level census. File counts
+    * are deterministic BY CONSTRUCTION (explicit repartition numbers),
+    * so even they sit under the oracle. At 100 TB compaction is the
+    * difference between a scan scheduling millions of 1 MB tasks and
+    * thousands of 1 GB ones. */
+  def compactionReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = graft.core.Scratch.dir("compact-v1", dir)
+    val fs = new Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Long =
+      fs.listStatus(new Path(p)).count(f =>
+        f.getPath.getName.endsWith(".parquet"))
+    val src = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    // seed: the fragmented table (64 shards), rebuilt fresh per run
+    val seedDir = s"$root/seed"
+    src.repartition(64).write.mode("overwrite").parquet(seedDir)
+    val before = dataFiles(seedDir)
+    // compact: read the FRAGMENTED table, range-sort on the id so the
+    // output files are id-ranged (footer-prunable), swap via rename
+    val tmp = s"$root/compact.tmp"
+    val fin = s"$root/compact"
+    s.read.parquet(seedDir)
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(fin), true)
+    require(fs.rename(new Path(tmp), new Path(fin)),
+      s"compaction swap failed for $fin")
+    val after = dataFiles(fin)
+    s.read.parquet(fin)
+      .agg(count(lit(1)).as("rows"),
+        sum(col("n_chars")).as("chars_sum"))
+      .select(lit(before).as("files_before"),
+        lit(after).as("files_after"), col("rows"), col("chars_sum"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "compaction_report" ->
+      """SELECT CAST(64 AS BIGINT) AS files_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  count(*) AS rows, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents""".stripMargin,
     "insert_overwrite" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
@@ -216,6 +263,7 @@ object Layout {
     "zorder_scan" -> (zorderScan _),
     "partitioned_scan" -> (partitionedScan _),
     "dpp_join" -> (dppJoin _),
-    "insert_overwrite" -> (insertOverwrite _)
+    "insert_overwrite" -> (insertOverwrite _),
+    "compaction_report" -> (compactionReport _)
   )
 }
