@@ -566,7 +566,76 @@ object TextAnalysis {
        |ORDER BY est.token""".stripMargin
   }
 
+  /** Tokenizer vocab COVERAGE report — the QA step after any vocab
+    * build: per language, total token occurrences, how many fall
+    * outside the top-V vocab (OOV), and the OOV rate in permille. The
+    * vocab is [[buildVocab]]'s top-V contract (count desc, token asc);
+    * membership tests ride a broadcast left-anti-shaped join expressed
+    * as a left join + null flag so both counts come from ONE pass. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val V = 20
+    val tk = docs(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+    val vocab = tk.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t").asc).limit(V)
+      .select(col("t"), lit(1L).as("in_vocab"))
+    tk.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .as("oov_tokens"))
+      .withColumn("oov_pm",
+        expr("oov_tokens * 1000 DIV total_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Sequence-length histogram in power-of-2 bins — the batch-planning
+    * distribution (how many docs land in each padding bucket): bin =
+    * ⌊log₂(tokens)⌋ via an integer when-chain (exact in both engines —
+    * float log2 of a long is NOT guaranteed correctly rounded), with
+    * per-bin doc and token totals. */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    val bins = 14
+    val bin = (2 to bins).foldLeft(lit(0)) { (acc, b) =>
+      when(n >= (1L << b), b).otherwise(acc)
+    }
+    // the fold above leaves 0 for n in [0, 4); refine 1..3
+    val bin0 = when(n >= 2 && n < 4, 1).otherwise(bin)
+    docs(s, dir)
+      .select(when(n === 0, -1).otherwise(bin0).cast("long").as("bin"),
+        n.as("n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens_sum"))
+      .orderBy("bin")
+  }
+
   val oracle: Map[String, String] = Map(
+    "vocab_coverage" ->
+      s"""WITH tk AS (SELECT lang,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+         |  FROM documents),
+         |v AS (SELECT t FROM (
+         |    SELECT t, count(*) AS n FROM tk GROUP BY 1)
+         |  ORDER BY n DESC, t LIMIT 20)
+         |SELECT lang, count(*) AS total_tokens,
+         |  CAST(sum(CASE WHEN tk.t IN (SELECT t FROM v)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+         |  CAST(sum(CASE WHEN tk.t IN (SELECT t FROM v)
+         |    THEN 0 ELSE 1 END) AS BIGINT) * 1000 // count(*) AS oov_pm
+         |FROM tk GROUP BY lang ORDER BY lang""".stripMargin,
+    "length_histogram" ->
+      s"""WITH d AS (SELECT
+         |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+         |  FROM documents),
+         |b AS (SELECT n, CASE WHEN n = 0 THEN -1
+         |    ${(2 to 14).reverse.map(b =>
+               s"WHEN n >= ${1L << b} THEN $b").mkString("\n         |    ")}
+         |    WHEN n >= 2 THEN 1 ELSE 0 END AS bin
+         |  FROM d)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens_sum
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "sketch_cms" -> sketchCmsOracle,
     "text_char_diversity" ->
       """WITH ch AS (SELECT doc_id,
@@ -762,6 +831,8 @@ object TextAnalysis {
     "text_lm_score" -> (textLmScore _),
     "search_indexed" -> (TextIndex.searchIndexed _),
     "text_char_diversity" -> (textCharDiversity _),
-    "sketch_cms" -> (sketchCms _)
+    "sketch_cms" -> (sketchCms _),
+    "vocab_coverage" -> (vocabCoverage _),
+    "length_histogram" -> (lengthHistogram _)
   )
 }

@@ -619,6 +619,53 @@ object StreamingOps {
     s.table(name).orderBy("event_type")
   }
 
+  /** The Count-Min sketch built INCREMENTALLY — the same
+    * merge-by-addition contract [[streamSketch]] proved for the
+    * histogram, now for frequencies: each micro-batch's partial cell
+    * counts merge into streaming state by +, so the complete-mode cell
+    * table after AvailableNow equals the one-pass batch sketch exactly
+    * — and therefore so do the point estimates the gate computes from
+    * it (shared oracle with the batch `sketch_cms`). State is O(4096
+    * cells), not O(tokens): a frequency monitor over an unbounded
+    * token stream holds 32 KB. */
+  def streamCms(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{md5Hash60, tokens}
+    import s.implicits._
+    val D = 4
+    val W = 1024L
+    def buckets(t: org.apache.spark.sql.Column) =
+      array((0 until D).map(i =>
+        pmod(md5Hash60(concat(lit(s"cms$i:"), t)), lit(W))): _*)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val name = s"graft_stream_cms_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(explode(tokens(col("text"))).as("t"))
+        .select(posexplode(buckets(col("t"))).as(Seq("r", "b")))
+        .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val cells = s.table(name)
+    val probes = Seq("join", "hash", "vector", "slow", "zzzmissing")
+      .toDF("token")
+    val est = probes
+      .select(col("token"),
+        posexplode(buckets(col("token"))).as(Seq("r", "b")))
+      .join(cells, Seq("r", "b"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("token").agg(min(col("c")).as("cms_estimate"))
+    val exact = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t").as("token")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("token"), "left")
+      .na.fill(0L, Seq("exact"))
+      .select(col("token"), col("exact"), col("cms_estimate"))
+      .orderBy("token")
+  }
+
   /** BOUNDED streaming dedup under the gate — the state-evicting
     * `dropDuplicatesWithinWatermark` form, not unbounded `dropDuplicates`
     * state. The stream is a planted re-delivery scenario: a 48-hour
@@ -819,6 +866,9 @@ object StreamingOps {
     // must converge to the batch answer (the events_hourly precedent)
     "stream_anomaly" ->
       graft.operators.Analytics.oracle("anomaly_events"),
+    // shared with the batch sketch — incremental ≡ one-pass
+    "stream_cms" ->
+      graft.operators.TextAnalysis.oracle("sketch_cms"),
     "stream_static_join" ->
       """SELECT n.n_name, count(*) AS n_events,
         |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -932,6 +982,7 @@ object StreamingOps {
     "stream_sessionize_tws" -> (streamSessionizeTws _),
     "stream_upsert" -> (streamUpsert _),
     "stream_stream_left" -> (streamStreamLeftJoin _),
-    "stream_anomaly" -> (streamAnomaly _)
+    "stream_anomaly" -> (streamAnomaly _),
+    "stream_cms" -> (streamCms _)
   )
 }
