@@ -21,6 +21,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Chunk window for [[ragMaxsim]] (non-overlapping 8-token spans).
+    * Declared FIRST: the oracle val below reads it at object init —
+    * a later declaration would silently interpolate 0. */
+  private val MaxsimChunkW = 8
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -520,6 +525,7 @@ object Similarity {
          |SELECT vec_id, label FROM assigned, q
          |WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77
          |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "rag_maxsim" -> ragMaxsimOracle,
     "ann_recall_report" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |cents AS (SELECT vec_id AS cid, embedding AS cv
@@ -578,8 +584,91 @@ object Similarity {
         (col("hits") * 100L).as("recall_pm"))
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (MaxSim): instead of one
+    * vector per document, every 8-token chunk gets its own embedding
+    * and score(q, doc) = Σ over query tokens of the MAX chunk
+    * similarity — the multi-vector ranking that beats single-vector
+    * retrieval on long documents because each query token finds its
+    * own best-matching span. Embeddings are the deterministic hash
+    * encoder ([[graft.expr.MediaVecHash]], the mm_embed_knn device)
+    * QUANTIZED to integer micros, so every dot product is exact LONG
+    * and the full ranking sits under the oracle.
+    *
+    * Scale: chunk explode is bounded by corpus token volume; each
+    * (chunk × query-token) similarity is a per-row codegen'd fold
+    * against a BROADCAST 3-row query table; the max/sum reductions
+    * ride one doc_id shuffle; top-10 is a heap. At 100 TB the chunk
+    * table is the index (build once, scan per query) and an
+    * LSH/IVF candidate generator composes in front exactly like
+    * hard_negatives'. */
+  def ragMaxsim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    def hvec(c: Column): Column =
+      column(graft.expr.MediaVecHash(expression(c), 16))
+    def quant(c: Column): Column =
+      transform(c, x => round(x.cast("double") * 1000000L).cast("long"))
+    val chunks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(MaxsimChunkW)))
+          .as(Seq("ci", "start")), col("t"))
+      .select(col("doc_id"),
+        quant(hvec(array_join(
+          slice(col("t"), col("start") + 1, lit(MaxsimChunkW)), " ")))
+          .as("cv"))
+    val qtokens = Seq("hash", "join", "vector")
+    import s.implicits._
+    val q = broadcast(qtokens.zipWithIndex.toDF("qt", "qi")
+      .select(col("qi"), quant(hvec(col("qt"))).as("qv")))
+    val dot = aggregate(
+      zip_with(col("cv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    chunks.crossJoin(q)
+      .withColumn("sim", dot)
+      .groupBy("doc_id", "qi").agg(max(col("sim")).as("best"))
+      .groupBy("doc_id").agg(sum(col("best")).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc_id").asc).limit(10)
+  }
+
+  private def ragMaxsimOracle: String = {
+    def comp(e: String) =
+      s"round((((('0x' || substr(md5($e), 1, 15))::BIGINT % 2001) " +
+        s"- 1000) / 1000.0)::FLOAT::DOUBLE * 1000000)::BIGINT"
+    val qts = Seq("hash", "join", "vector")
+      .map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents WHERE len(
+       |    regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+       |ch AS (SELECT doc_id,
+       |    array_to_string(t[st + 1 : st + $MaxsimChunkW], ' ') AS chunk
+       |  FROM (SELECT doc_id, t,
+       |      unnest(generate_series(0, len(t) - 1, $MaxsimChunkW)) AS st
+       |    FROM d)),
+       |cv AS (SELECT doc_id,
+       |    [${comp("chunk || ':' || (i - 1)")}
+       |     for i in generate_series(1, 16)] AS cv
+       |  FROM ch),
+       |q AS (SELECT qi, [${comp("qt || ':' || (i - 1)")}
+       |     for i in generate_series(1, 16)] AS qv
+       |  FROM (SELECT unnest($qts) AS qt,
+       |    unnest(generate_series(0, 2)) AS qi)),
+       |sims AS (SELECT doc_id, qi,
+       |    max(list_sum([cv.cv[i] * q.qv[i]
+       |      for i in generate_series(1, 16)])) AS best
+       |  FROM cv, q GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+       |  FROM sims GROUP BY 1)
+       |SELECT doc_id, maxsim FROM sc
+       |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
+    "rag_maxsim" -> (ragMaxsim _),
     "knn_l2" -> (knnL2 _),
     "embed_outliers" -> (embedOutliers _),
     "rag_retrieve" -> (ragRetrieve _),
