@@ -1515,6 +1515,40 @@ object Relational {
     out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
   }
 
+  /** WINDOWED funnel — each step must land within `windowUs` of the
+    * previous step's time (the "converted within 24h" product form —
+    * an unbounded funnel overcounts journeys that stalled for weeks).
+    * Same cascaded min-aggregate shape as [[funnelOver]]: one small
+    * user_id shuffle per step, O(users) state, the bound is one extra
+    * residual predicate on the step join. Note the semantics are
+    * first-qualifying-WITHIN-window of the PREVIOUS first touch —
+    * deterministic and O(1) per user, the standard approximation (a
+    * per-PATH optimal search is exponential and nobody ships it). */
+  private[graft] def funnelWindowedOver(ev: DataFrame,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    var out = reached.select(lit(1).as("step"), col("user_id"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      reached = ev.filter(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t").as("prev")),
+          "user_id")
+        .filter(col("us") > col("prev") &&
+          col("us") <= col("prev") + windowUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+      out = out.unionAll(
+        reached.select(lit(i + 2).as("step"), col("user_id")))
+    }
+    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
+  }
+
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame =
+    funnelWindowedOver(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")),
+      Seq("view", "click", "purchase"), 24L * 3600 * 1000000)
+
   /** Data-quality rule evaluation — the Deequ/dbt-test shape: a rule
     * catalog evaluated in one job, emitting (rule, n_violations) per
     * rule. Three rule classes, each with its scale-correct plan:
@@ -3734,6 +3768,25 @@ object Relational {
         |SELECT c.wk0, w.wk - c.wk0 AS wk_off, count(*) AS users
         |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > t1.t1
+        |         AND e.us <= t1.t1 + 86400000000
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
+        |         AND e.us <= t2.t2 + 86400000000
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, count(*) AS users FROM t1
+        |UNION ALL SELECT 2, count(*) FROM t2
+        |UNION ALL SELECT 3, count(*) FROM t3
+        |ORDER BY step""".stripMargin,
     "funnel_steps" ->
       """WITH ev AS (SELECT user_id, event_type,
         |  epoch_ns(ts) // 1000 AS us FROM events),
@@ -3999,6 +4052,7 @@ object Relational {
     "sql_tpch_q18" -> (sqlTpchQ18 _),
     "sql_tpch_q20" -> (sqlTpchQ20 _),
     "funnel_steps" -> (funnelSteps _),
+    "funnel_windowed" -> (funnelWindowed _),
     "retention_cohorts" -> (retentionCohorts _),
     "event_transitions" -> (eventTransitions _),
     "event_pmi" -> (eventPmi _),

@@ -28,6 +28,25 @@ class FunnelSpec extends SparkTestBase {
     // step 1: users 1,2,3; step 2: users 1,3; step 3: user 1
     assert(got == Seq((1, 3L), (2, 2L), (3, 1L)), got.mkString(","))
   }
+
+  test("windowed funnel: a step past the conversion window does not " +
+      "count, the boundary is inclusive") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click 15 after view — inside window 20; purchase 25
+      // after the click — also inside
+      (1L, "view", 10L), (1L, "click", 25L), (1L, "purchase", 45L),
+      // user 2: click 21 after view — OUTSIDE window 20, funnel stops
+      (2L, "view", 10L), (2L, "click", 31L), (2L, "purchase", 35L),
+      // user 3: click exactly AT the window boundary — inclusive
+      (3L, "view", 10L), (3L, "click", 30L)
+    ).toDF("user_id", "event_type", "us")
+    val got = graft.operators.Relational
+      .funnelWindowedOver(ev, Seq("view", "click", "purchase"), 20L)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // step 1: users 1,2,3; step 2: users 1,3; step 3: user 1
+    assert(got == Seq((1, 3L), (2, 2L), (3, 1L)), got.mkString(","))
+  }
 }
 
 class RetentionSpec extends SparkTestBase {
