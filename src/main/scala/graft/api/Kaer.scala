@@ -572,9 +572,62 @@ final class Collection(
     * JSON semantics. */
   def updateDoc(filterJson: String, updateJson: String): Long = {
     if (!hasData) return 0L
-    updateWhere(coalesce(MqlFilter.toColumn(filterJson,
-      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false)),
-      updateJson)
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    // Mongo 4.2 update PIPELINES: `[{"$set": {f: <aggregation expr>}}]`
+    // — values COMPUTED from the document itself (the literal-operand
+    // operators above can't express "a = b + c"). Scope: $set stages
+    // only, loud otherwise.
+    if (updateJson.trim.startsWith("[")) updatePipeline(pred, updateJson)
+    else updateWhere(pred, updateJson)
+  }
+
+  /** The update-pipeline form: each $set field evaluates through the
+    * aggregation compute language against the CURRENT document (all
+    * fields read the pre-update state — Mongo's semantics for a single
+    * $set stage), the computed values render to a JSON patch column,
+    * and a generic per-row JSON merge writes them back (same
+    * copy-on-write rewrite as the literal path). */
+  private def updatePipeline(pred: Column, stagesJson: String): Long = {
+    val stages = Collection.udfMapper.readTree(stagesJson)
+    require(stages.isArray && stages.size() > 0,
+      s"update pipeline must be a non-empty array: $stagesJson")
+    val fields = scala.collection.mutable.LinkedHashMap[String, String]()
+    stages.elements().forEachRemaining { st =>
+      require(st.isObject && st.properties().size() == 1 &&
+        st.get("$set") != null && st.get("$set").isObject,
+        s"update pipeline supports {$$set: {...}} stages only: $st")
+      st.get("$set").properties().forEach(e =>
+        fields(e.getKey) = e.getValue.toString)
+    }
+    val patchCols = fields.toSeq.map { case (f, exprJson) =>
+      graft.filter.MqlPipeline.computeColumn(exprJson,
+        col(Schema.MetaCol), df.select(col(Schema.IdCol))).as(f)
+    }
+    // ignoreNullFields off: a null-evaluating expression SETS null
+    // (Mongo's $set), it doesn't silently skip the field
+    val patch = to_json(struct(patchCols: _*),
+      Map("ignoreNullFields" -> "false"))
+    val mergeUdf = udf { (meta: String, patchJson: String) =>
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val m = Collection.udfMapper
+      val base =
+        if (meta == null || meta.trim.isEmpty) m.createObjectNode()
+        else m.readTree(meta) match {
+          case o: ObjectNode => o
+          case _ => m.createObjectNode()
+        }
+      base.setAll[com.fasterxml.jackson.databind.JsonNode](
+        m.readTree(patchJson).asInstanceOf[ObjectNode])
+      m.writeValueAsString(base)
+    }
+    val updated = df.filter(pred).count()
+    if (updated > 0L) {
+      rewriteData(df.withColumn(Schema.MetaCol,
+        when(pred, mergeUdf(col(Schema.MetaCol), patch))
+          .otherwise(col(Schema.MetaCol))))
+    }
+    updated
   }
 
   /** Mongo `findOneAndUpdate`: apply the update document to the FIRST

@@ -1184,6 +1184,15 @@ object MqlPipeline {
       cur: DataFrame): Column =
     bindOnce(metaCol, res => computeExprRes(node, metaCol, cur, res))
 
+  /** One compute-language expression as a Column over a metadata
+    * document — the entry point Mongo-4.2 UPDATE PIPELINES use
+    * ([[graft.api.Collection]].updateDoc's `[{$set: {f: expr}}]`
+    * form): `"$f"` refs resolve through `cur`'s real columns first,
+    * then the metadata views, exactly like $addFields. */
+  private[graft] def computeColumn(exprJson: String, metaCol: Column,
+      cur: DataFrame): Column =
+    computeExpr(mapper.readTree(exprJson), metaCol, cur)
+
   /** {input, chars?} operand shape shared by $trim/$ltrim/$rtrim. */
   private def trimArgs(v: JsonNode,
       strOf: JsonNode => Column): (Column, Option[String]) = {

@@ -522,6 +522,33 @@ class KaerSpec extends SparkTestBase {
     assert(again.count() == 1)
   }
 
+  test("update PIPELINE: $set computes from the document itself; " +
+      "all fields read the pre-update state; non-$set stages loud") {
+    val root = tmpDir("kaer-updpipe")
+    val c = newSession(root).createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("a", "b"))
+      .withMetadatas(Seq(
+        Map[String, Any]("x" -> 10, "y" -> 3),
+        Map[String, Any]("x" -> 7))))
+    // total = x + y (missing y → null term → null total, Mongo $set
+    // sets null); swap = x computed BEFORE the same stage writes x
+    val n = c.updateDoc("""{"x": {"$gte": 0}}""",
+      """[{"$set": {
+        |  "total": {"$add": ["$x", "$y"]},
+        |  "x": {"$multiply": ["$x", 2]}}}]""".stripMargin)
+    assert(n == 2L)
+    assert(c.count("""{"total": {"$eq": 13}}""") == 1L)
+    assert(c.count("""{"x": {"$eq": 20}}""") == 1L) // doc 1: 10*2
+    assert(c.count("""{"x": {"$eq": 14}}""") == 1L) // doc 2: 7*2
+    // doc 2's total is explicit null (set, not skipped)
+    assert(c.count("""{"total": {"$type": "null"}}""") == 1L)
+    val bad = intercept[IllegalArgumentException] {
+      c.updateDoc("{}", """[{"$unset": {"x": 1}}]""")
+    }
+    assert(bad.getMessage.contains("$set"), bad.getMessage)
+  }
+
   test("findOneAndUpdate: first match only (lowest id), pre/post " +
       "images, None on no match") {
     val root = tmpDir("kaer-foau")
