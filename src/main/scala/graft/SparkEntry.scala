@@ -39,6 +39,7 @@ object SparkEntry {
       graft.operators.Cluster.queries ++
       graft.operators.Bpe.queries ++
       graft.operators.Analytics.queries ++
+      graft.operators.Mining.queries ++
       graft.operators.Snapshots.queries ++
       graft.streaming.StreamingOps.queries
 
@@ -64,6 +65,7 @@ object SparkEntry {
       graft.operators.Cluster.oracle ++
       graft.operators.Bpe.oracle ++
       graft.operators.Analytics.oracle ++
+      graft.operators.Mining.oracle ++
       graft.operators.Snapshots.oracle ++
       graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,391 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining and multi-objective operators — the classical
+  * warehouse-mining staples that round out the analytics surface:
+  *
+  *  - [[assocRules]] — pairwise market-basket association rules
+  *    (support / confidence / lift) over order baskets, exact-integer
+  *    ppm so the ranking sits under the oracle hash.
+  *  - [[skylineOrders]] — the Pareto frontier (skyline) of customers
+  *    on (spend, order count), via the distributed two-phase
+  *    local-skyline → global-skyline reduction.
+  *  - [[tsEwma]] — exponentially-weighted moving average of each
+  *    user's recent event values with EXACT rational weights (α = 1/5,
+  *    so (1−α)^j = 8^j/10^j — every weight is an integer over 10^7 and
+  *    the whole statistic evaluates in LONG arithmetic, no float pow).
+  *  - [[corpusDrift]] — per-word chi-square divergence between two
+  *    corpus slices (the data-drift / mixture-shift detector a training
+  *    pipeline runs when a new crawl lands), cross-multiplied in
+  *    DECIMAL(38) so the statistic is exact at any corpus size.
+  *  - [[graphLpa]] — synchronous label-propagation communities over
+  *    the shared co-purchase graph, fixed rounds, deterministic
+  *    mode-with-min-label tie-break (unrolled in the oracle exactly
+  *    like the pagerank/kcore rounds).
+  *
+  * Scale notes per operator sit on the member docs; the common theme is
+  * the same as the rest of the repo: aggregations with map-side
+  * partials, joins on real keys (never cartesian), per-round
+  * localCheckpoint on the iterative ops, bounded driver state.
+  */
+object Mining {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // -------------------------------------------------------------------
+  // Association rules (market basket, pair level)
+  // -------------------------------------------------------------------
+
+  /** Pairwise association rules over order baskets: for every ordered
+    * item pair (ante → cons) co-occurring in ≥ [[MinPairSupport]]
+    * baskets, emit the co-occurrence count, confidence (ppm of the
+    * antecedent's baskets that also hold the consequent) and lift
+    * (ppm, >1e6 ⇒ positive association) — top-20 by lift.
+    *
+    * Scale: the pair expansion is a self-equi-join on the basket key,
+    * O(Σ b²) over per-basket sizes — bounded in practice by a basket
+    * cap (TPC-H baskets are ≤ 7 items; a production run caps b and
+    * logs the drop). Item counts are a second map-side-combined
+    * aggregation; the counts table is O(items) and joins back by item
+    * key. All ratios are integer DIV in DECIMAL(38) — exact at any
+    * corpus size, same device as the anomaly/chi-square gates.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nBaskets = op.select("ok").distinct().count()
+    val itemCnt = op.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
+    val pairCnt = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c_both"))
+      .filter(col("c_both") >= MinPairSupport)
+    // both rule directions from each unordered pair
+    val rules = pairCnt.select(col("u").as("ante"), col("v").as("cons"),
+        col("c_both"))
+      .unionAll(pairCnt.select(col("v").as("ante"), col("u").as("cons"),
+        col("c_both")))
+      .join(itemCnt.select(col("pk").as("ante"), col("c_item").as("c_a")),
+        "ante")
+      .join(itemCnt.select(col("pk").as("cons"), col("c_item").as("c_c")),
+        "cons")
+    rules
+      .withColumn("conf_ppm", expr(
+        "CAST((CAST(c_both AS DECIMAL(38,0)) * 1000000)" +
+          " DIV c_a AS BIGINT)"))
+      .withColumn("lift_ppm", expr(
+        s"CAST((CAST(c_both AS DECIMAL(38,0)) * $nBaskets * 1000000)" +
+          " DIV (CAST(c_a AS DECIMAL(38,0)) * c_c) AS BIGINT)"))
+      .select("ante", "cons", "c_both", "conf_ppm", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("ante").asc, col("cons").asc)
+      .limit(20)
+  }
+
+  private val MinPairSupport = 3
+
+  // -------------------------------------------------------------------
+  // Skyline (Pareto frontier)
+  // -------------------------------------------------------------------
+
+  /** Pareto frontier of customers on (total spend, order count), both
+    * maximized: a customer is on the skyline iff no other customer is
+    * ≥ on both dimensions and > on at least one. Duplicated points
+    * (equal on both dims) all survive — the standard skyline contract.
+    *
+    * Scale: the classic two-phase reduction. Phase 1 computes a LOCAL
+    * skyline inside each of 32 deterministic buckets — a parallel
+    * sort-based pass (two windows per bucket: max count over strictly
+    * greater spend via a value-range frame, and max count among equal
+    * spend) that discards the vast majority of points; the local
+    * skyline is a superset of the global one (dominance inside a
+    * bucket implies dominance globally). Phase 2 re-runs the same two
+    * windows globally over the tiny union of survivors (skylines are
+    * O(frontier), orders of magnitude smaller than the input). No
+    * O(n²) join anywhere; the only global sort touches survivors.
+    */
+  def skylineOrders(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum(col("cents")).as("spend_c"), count(lit(1)).as("n_orders"))
+    val local = skylinePass(per.withColumn("b", pmod(col("o_custkey"),
+      lit(32L))), partCols = Seq("b")).drop("b")
+    skylinePass(local, partCols = Nil)
+      .select("o_custkey", "spend_c", "n_orders")
+      .orderBy(col("spend_c").desc, col("o_custkey").asc)
+  }
+
+  /** One skyline filter pass: survivors have no point with strictly
+    * greater spend and ≥ count, and the max count within their spend
+    * tie group. `partCols` scopes the windows (bucketed local pass vs
+    * the global pass). */
+  private[graft] def skylinePass(df: DataFrame, partCols: Seq[String])
+      : DataFrame = {
+    val wGt = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("spend_c"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wEq = Window.partitionBy((partCols.map(col) :+ col("spend_c")): _*)
+    df.withColumn("_gt", max(col("n_orders")).over(wGt))
+      .withColumn("_eq", max(col("n_orders")).over(wEq))
+      .filter((col("_gt").isNull || col("_gt") < col("n_orders")) &&
+        col("n_orders") === col("_eq"))
+      .drop("_gt", "_eq")
+  }
+
+  // -------------------------------------------------------------------
+  // Exact-rational EWMA
+  // -------------------------------------------------------------------
+
+  /** Per-user EWMA (α = 1/5) over the K = 8 most recent event values,
+    * in centi-units. The geometric weights (1−α)^j = 8^j/10^j are
+    * exact integers once scaled by 10^(K−1): w_j = 8^j·10^(K−1−j), so
+    * the statistic is `Σ vq_j·w_j DIV Σ w_j` — pure LONG arithmetic,
+    * identical in both engines (no float pow, no rounding-mode drift).
+    * Users with fewer than K events use the weight prefix that
+    * matches their history (the standard "EWMA of what exists").
+    *
+    * Scale: ONE user_id shuffle (the same the session family pays);
+    * the frame is bounded at K rows via lead() on the descending
+    * order, evaluated only at each user's newest row — per-user state
+    * is O(K) regardless of history length.
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("vq"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val weights = EwmaWeights
+    val terms = (0 until EwmaK).map { j =>
+      val x = if (j == 0) col("vq") else lead(col("vq"), j).over(w)
+      (coalesce(x * weights(j), lit(0L)),
+        when(x.isNotNull, lit(weights(j))).otherwise(lit(0L)))
+    }
+    e.withColumn("rn", row_number().over(w))
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .withColumn("n_events", count(lit(1)).over(
+        Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        col("vq").as("last_vq"),
+        expr("num DIV den").as("ewma_c"))
+      .orderBy("user_id")
+  }
+
+  private val EwmaK = 8
+  /** w_j = 8^j · 10^(K−1−j): 10^7, 8·10^6, 64·10^5, … 8^7. */
+  private[graft] val EwmaWeights: Seq[Long] =
+    (0 until EwmaK).map(j => math.pow(8, j).toLong *
+      math.pow(10, EwmaK - 1 - j).toLong)
+
+  // -------------------------------------------------------------------
+  // Corpus drift (chi-square divergence between slices)
+  // -------------------------------------------------------------------
+
+  /** Per-word chi-square drift between two corpus slices — the
+    * detector a training pipeline runs when a new crawl lands: which
+    * words' frequencies moved most between the head and tail domains?
+    * For word w with slice counts (c1, c2) and slice totals (N1, N2),
+    * the (2×2-homogeneity) statistic is proportional to
+    * `(c1·N2 − c2·N1)² / ((c1+c2)·N1·N2)` — a pure rational. Both
+    * engines evaluate the cross-multiplied form exactly: Spark in
+    * DECIMAL(38,0), the oracle in HUGEINT (the anomaly_events device —
+    * the squared products pass LONG long before the counts do).
+    * Top-20 drifted words, scaled to ppm of the max-possible statistic.
+    *
+    * Scale: one tokenize+count aggregation per corpus pass (the counts
+    * carry both slices in one groupBy via conditional sums — a single
+    * shuffle, not one per slice); slice totals are a 1-row broadcast.
+    */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("head", substring(col("source"), 4, 2)
+        .cast("int") < 12)
+      .select(col("head"), explode(tokens(col("text"))).as("word"))
+    val counts = d.groupBy("word").agg(
+      sum(when(col("head"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("head"), 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("chi_ppm", expr(
+        "CAST(((CAST(c1 AS DECIMAL(38,0)) * n2 -" +
+          " CAST(c2 AS DECIMAL(38,0)) * n1) *" +
+          " (CAST(c1 AS DECIMAL(38,0)) * n2 -" +
+          " CAST(c2 AS DECIMAL(38,0)) * n1) * 1000000)" +
+          " DIV ((CAST(c1 AS DECIMAL(38,0)) + c2) *" +
+          " CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"))
+      .select("word", "c1", "c2", "chi_ppm")
+      .orderBy(col("chi_ppm").desc, col("word").asc)
+      .limit(20)
+  }
+
+  // -------------------------------------------------------------------
+  // Label-propagation communities
+  // -------------------------------------------------------------------
+
+  /** Synchronous label propagation over the shared co-purchase graph,
+    * [[LpaRounds]] fixed rounds: every node starts labeled with its own
+    * id; each round it adopts the most frequent label among its
+    * neighbors (ties → smallest label — fully deterministic, so the
+    * fixed-round run is oracle-unrollable exactly like the pagerank
+    * and k-core loops). Output: the community-size census.
+    *
+    * Scale: each round is one equi-join of the bidirectional adjacency
+    * against the O(nodes) label table, one (node, label) count with
+    * map-side partials, and one argmax-in-aggregate (min over a
+    * (−count, label) struct — no per-node window); localCheckpoint
+    * truncates the per-round lineage. Never a cartesian; the label
+    * table never exceeds O(nodes).
+    */
+  def graphLpa(s: SparkSession, dir: String): DataFrame =
+    lpaOver(Relational.coPurchaseEdges(s, dir), LpaRounds)
+
+  private[graft] val LpaRounds = 3
+
+  /** The bounded synchronous LPA over any `(u, v)` undirected edge set
+    * — split out for hand-graph specs. */
+  private[graft] def lpaOver(und: DataFrame, rounds: Int): DataFrame = {
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community").asc)
+      .limit(20)
+  }
+
+  // -------------------------------------------------------------------
+  // Oracles
+  // -------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "assoc_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |nb AS (SELECT count(DISTINCT ok) AS n FROM op),
+         |ic AS (SELECT pk, count(*) AS c_item FROM op GROUP BY 1),
+         |pc AS (SELECT a.pk AS u, b.pk AS v, count(*) AS c_both
+         |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport),
+         |rules AS (
+         |  SELECT u AS ante, v AS cons, c_both FROM pc
+         |  UNION ALL
+         |  SELECT v AS ante, u AS cons, c_both FROM pc)
+         |SELECT ante, cons, c_both,
+         |  CAST(r.c_both::HUGEINT * 1000000 // ia.c_item AS BIGINT)
+         |    AS conf_ppm,
+         |  CAST(r.c_both::HUGEINT * nb.n * 1000000 //
+         |    (ia.c_item::HUGEINT * ic2.c_item) AS BIGINT) AS lift_ppm
+         |FROM rules r
+         |JOIN ic ia ON ia.pk = r.ante
+         |JOIN ic ic2 ON ic2.pk = r.cons
+         |CROSS JOIN nb
+         |ORDER BY lift_ppm DESC, ante, cons LIMIT 20""".stripMargin,
+    "skyline_orders" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend_c,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, spend_c, n_orders FROM per p
+        |WHERE NOT EXISTS (SELECT 1 FROM per q
+        |  WHERE q.spend_c >= p.spend_c AND q.n_orders >= p.n_orders
+        |    AND (q.spend_c > p.spend_c OR q.n_orders > p.n_orders))
+        |ORDER BY spend_c DESC, o_custkey""".stripMargin,
+    "ts_ewma" -> {
+      val ws = EwmaWeights
+      val xs = (0 until EwmaK).map { j =>
+        if (j == 0) "vq" else s"lead(vq, $j) OVER w"
+      }
+      val num = xs.zip(ws).map { case (x, wt) =>
+        s"COALESCE($x * $wt, 0)" }.mkString(" + ")
+      val den = xs.zip(ws).map { case (x, wt) =>
+        s"CASE WHEN $x IS NOT NULL THEN $wt ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    CAST(round("value" * 100) AS BIGINT) AS vq FROM events),
+         |r AS (SELECT user_id, vq,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n_events,
+         |    ($num) AS num, ($den) AS den
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY us DESC, event_id DESC))
+         |SELECT user_id, n_events, vq AS last_vq,
+         |  CAST(num // den AS BIGINT) AS ewma_c
+         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+    },
+    "corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT CAST(substr(source, 4, 2) AS INT) < 12 AS head,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word,
+        |    CAST(sum(CASE WHEN head THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN head THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM c)
+        |SELECT word, c1, c2,
+        |  CAST((c1::HUGEINT * n2 - c2::HUGEINT * n1) *
+        |       (c1::HUGEINT * n2 - c2::HUGEINT * n1) * 1000000 //
+        |       ((c1::HUGEINT + c2) * n1 * n2) AS BIGINT) AS chi_ppm
+        |FROM c, tot
+        |ORDER BY chi_ppm DESC, word LIMIT 20""".stripMargin,
+    "graph_lpa" -> {
+      def round(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""c$i AS (SELECT adj.a AS node, l.lbl, count(*) AS c
+           |  FROM adj JOIN $prev l ON adj.b = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |    ORDER BY c DESC, lbl ASC) AS rn FROM c$i)
+           |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |e AS (SELECT a.pk AS u, b.pk AS v FROM op a JOIN op b
+         |  ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v AS a, u AS b FROM e),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM adj),
+         |${(1 to LpaRounds).map(round).mkString(",\n")}
+         |SELECT lbl AS community, count(*) AS size
+         |FROM l$LpaRounds GROUP BY 1
+         |ORDER BY size DESC, community LIMIT 20""".stripMargin
+    }
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_rules" -> (assocRules _),
+    "skyline_orders" -> (skylineOrders _),
+    "ts_ewma" -> (tsEwma _),
+    "corpus_drift" -> (corpusDrift _),
+    "graph_lpa" -> (graphLpa _)
+  )
+}
