@@ -462,6 +462,122 @@ object Multimodal {
     })).toDF("media_id", "width", "height").orderBy("media_id")
   }
 
+  /** Perceptual difference-hash (dHash) over REAL decoded PNGs — the
+    * image near-duplicate detector (the visual twin of SimHash): decode
+    * → 8×8 block-mean grid → 56-bit left<right comparison hash →
+    * banded hamming join. The planted corpus derives each image from a
+    * BASE gradient (media_id DIV 8) plus a per-variant brightness
+    * shift — a global shift moves both sides of every comparison
+    * equally, so true variants collapse to hamming 0, which is exactly
+    * the invariance dHash is built for; variant 7 additionally brightens
+    * one pixel, flipping at most the one comparison its block feeds.
+    * The oracle computes every hash analytically from the pixel
+    * formulas — agreement proves the real PNG encode→decode→block-sum
+    * walk ran on executors. */
+  object PhashCodec {
+    val Dim = 32      // 32×32 px → 8×8 blocks of 4×4
+    val Bits = 56     // 8 rows × 7 adjacent-column comparisons
+
+    /** Gray value of pixel (x, y) for media id (base + variant). The
+      * gradient COEFFICIENTS derive from the base through prime
+      * multipliers, so distinct bases produce decorrelated comparison
+      * patterns (hamming ≈ 28 of 56 between bases — a shared-slope
+      * formula would make the true pair set itself quadratic, which is
+      * a broken fixture for a near-dup operator). */
+    def synthGray(id: Long, x: Int, y: Int): Int = {
+      val b = id / 8
+      val v = (id % 8).toInt
+      val a1 = 3 + (b * 7919L) % 131
+      val a2 = 2 + (b * 104729L) % 127
+      val g0 = ((x * a1 + y * a2 + b * 29L) % 200L).toInt + v
+      if (v == 7 && x == 0 && y == 0) g0 + 48 else g0
+    }
+
+    def synthPng(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(Dim, Dim,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < Dim) {
+        var x = 0
+        while (x < Dim) {
+          val g = synthGray(id, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL decode → dHash: PNG bytes → pixel read-back → 4×4 block
+      * sums → bit k = r·7+c set iff block(r,c) < block(r,c+1). Sums
+      * compare exactly like means (equal denominators), so the hash is
+      * pure integer. */
+    def dhash(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null && img.getWidth == Dim && img.getHeight == Dim,
+        "not a 32x32 image payload")
+      val bs = Array.ofDim[Long](8, 8)
+      var y = 0
+      while (y < Dim) {
+        var x = 0
+        while (x < Dim) {
+          bs(y / 4)(x / 4) += img.getRGB(x, y) & 0xff // gray channel
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 7) {
+          if (bs(r)(c) < bs(r)(c + 1)) h |= 1L << (r * 7 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+  }
+
+  /** Near-duplicate image pairs by perceptual hash: hamming(dHash) ≤ 3,
+    * found through the 4×14-bit band pigeonhole (≤3 differing bits
+    * leave at least one of 4 bands untouched — recall 1 by
+    * construction, the dedup_simhash_pairs device on the visual
+    * modality). Scale: the hash pass is per-row map work at scan
+    * speed; candidate generation is a band equi-join — quadratic work
+    * confined to in-bucket, NEVER an all-pairs product (the oracle,
+    * which runs at fixture scale, does the honest O(n²) to prove the
+    * banding lost nothing). */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Inputs
+      .resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+        (id, PhashCodec.dhash(PhashCodec.synthPng(id)))
+      })).toDF("media_id", "h")
+    val bands = hashes.select(col("media_id"), col("h"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+        shiftright(col("h"), 14 * i).bitwiseAND(lit(0x3FFFL))
+          .as("bv"))): _*)).as("band"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a"), col("b.media_id").as("b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   /** Media-embedding similarity: a STUBBED media encoder (md5-derived
     * 16-dim vector standing in for a CLIP/CLAP model — same stub policy
     * as [[FakeCodec]]) feeding the engine's standard brute-force top-k.
@@ -526,6 +642,34 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_phash_dedup" ->
+      // every hash computed analytically from the pixel formulas, then
+      // the honest all-pairs hamming at fixture scale — recall proof
+      // for the engine's banded join
+      """WITH ids AS (SELECT doc_id AS media_id, doc_id // 8 AS b,
+        |    doc_id % 8 AS v FROM documents),
+        |px AS (SELECT media_id, x, y,
+        |    (x * (3 + (b * 7919) % 131) + y * (2 + (b * 104729) % 127)
+        |      + b * 29) % 200 + v +
+        |      CASE WHEN v = 7 AND x = 0 AND y = 0 THEN 48 ELSE 0 END AS g
+        |  FROM ids, generate_series(0, 31) gx(x),
+        |    generate_series(0, 31) gy(y)),
+        |bs AS (SELECT media_id, y // 4 AS br, x // 4 AS bc,
+        |    sum(g) AS s
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT l.media_id, l.br * 7 + l.bc AS k,
+        |    CASE WHEN l.s < r.s THEN 1 ELSE 0 END AS bit
+        |  FROM bs l JOIN bs r ON r.media_id = l.media_id
+        |    AND r.br = l.br AND r.bc = l.bc + 1
+        |  WHERE l.bc <= 6),
+        |h AS (SELECT media_id,
+        |    CAST(sum(bit * (1::BIGINT << k::INT)) AS BIGINT) AS h
+        |  FROM bits GROUP BY 1)
+        |SELECT x.media_id AS a, y.media_id AS b,
+        |  CAST(bit_count(xor(x.h, y.h)) AS BIGINT) AS hamming
+        |FROM h x JOIN h y ON x.media_id < y.media_id
+        |WHERE bit_count(xor(x.h, y.h)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "mm_decode_jpeg" ->
       // only the spec-exact fields sit under the hash (JPEG is lossy;
       // the decoded-value sanity band is asserted engine-side)
@@ -626,6 +770,7 @@ object Multimodal {
     "mm_decode_y4m" -> (mmDecodeY4m _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frames" -> (mmFrames _),
-    "mm_embed_knn" -> (mmEmbedKnn _)
+    "mm_embed_knn" -> (mmEmbedKnn _),
+    "mm_phash_dedup" -> (mmPhashDedup _)
   )
 }

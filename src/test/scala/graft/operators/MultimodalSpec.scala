@@ -54,6 +54,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.fp == expected)
   }
 
+  test("dHash is invariant to a global brightness shift and moves at " +
+      "most one bit for the single-pixel variant") {
+    import Multimodal.PhashCodec
+    // ids 80..86 share base 10 with variants 0..6 (global shifts) —
+    // identical hashes; id 87 (variant 7) flips at most bit (0,0)
+    val base = PhashCodec.dhash(PhashCodec.synthPng(80L))
+    (81L to 86L).foreach { id =>
+      assert(PhashCodec.dhash(PhashCodec.synthPng(id)) == base, id)
+    }
+    val v7 = PhashCodec.dhash(PhashCodec.synthPng(87L))
+    assert(java.lang.Long.bitCount(base ^ v7) <= 1)
+    // a different base produces a genuinely different hash
+    val other = PhashCodec.dhash(PhashCodec.synthPng(160L))
+    assert(java.lang.Long.bitCount(base ^ other) > 3)
+  }
+
   test("native MediaVecHash bit-equals the composed transform form") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
