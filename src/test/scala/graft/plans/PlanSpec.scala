@@ -915,4 +915,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Expand"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("assoc_rules: pair expansion is a basket-key equi-join, item " +
+      "counts ride key joins — never a cartesian") {
+    val p = plan(graft.operators.Mining.assocRules(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("skyline_orders: dominance is window passes, not a self-join — " +
+      "no join node at all, and the local pass windows by bucket") {
+    val p = plan(graft.operators.Mining.skylineOrders(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // phase 1 windows carry the bucket in their partition spec
+    assert(p.contains("Window"), p)
+    assert("partitionBy=\\[b#".r.findAllIn(p).nonEmpty ||
+      p.contains("windowspecdefinition(b#"), p)
+  }
+
+  test("graph_lpa: every round is an adjacency equi-join + argmax " +
+      "aggregate — no cartesian, no per-node window") {
+    val und = {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    }
+    val p = plan(graft.operators.Mining.lpaOver(und, rounds = 1))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("mm_phash_dedup: candidates come from the band equi-join, " +
+      "never an all-pairs product") {
+    val p = plan(graft.operators.Multimodal.mmPhashDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
