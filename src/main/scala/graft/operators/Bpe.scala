@@ -253,6 +253,111 @@ object Bpe {
       .orderBy("word")
   }
 
+  // ---------------------------------------------------------------------
+  // Viterbi (optimal) segmentation — the dynamic-programming complement
+  // to WordPiece's greedy longest-match: minimize the NUMBER OF PIECES
+  // over the same corpus-derived vocabulary (the SentencePiece-family
+  // decode objective with unit piece costs, which keeps the DP in exact
+  // integers — no float log-probs, so the full distributed result sits
+  // under the oracle hash). Greedy can over-segment ("ab|c|d" where
+  // "a|bcd" exists); the DP finds the true minimum. Like the other
+  // tokenizer gates it runs on the DISTINCT-WORD dict, and the DP
+  // unrolls LEFT-TO-RIGHT (position p depends only on positions < p) as
+  // [[VitMaxLen]] chained column computations — per-row codegen, zero
+  // shuffle after the dict build, and expressible as the same chained
+  // CTE device in DuckDB. A single flat vocabulary list serves every
+  // piece length: an in-range candidate substring has exactly length l,
+  // so string equality already enforces the length match.
+  // ---------------------------------------------------------------------
+
+  private val VitMaxLen = 12  // loud contract: corpus words are ≤ 10
+  private val VitMaxPiece = 8
+
+  /** The corpus-derived flat vocabulary: single [a-z0-9] chars (DP is
+    * total — every position reachable) + the top-10 words + their 2/3-
+    * char prefixes and suffixes. */
+  private def vitVocab(s: SparkSession, dir: String): Seq[String] = {
+    val top = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(WpTopWords)
+      .collect().map(_.getString(0)).toSeq
+    (WpChars ++ top ++ top.map(_.take(2)) ++ top.map(_.take(3)) ++
+      top.map(_.takeRight(2)) ++ top.map(_.takeRight(3))).distinct
+  }
+
+  /** Gate: per distinct word, the MINIMUM piece count over the vocab
+    * (+ the corpus count) — `word, n, min_pieces`. */
+  def viterbiEncode(s: SparkSession, dir: String): DataFrame =
+    viterbiOver(
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      vitVocab(s, dir))
+
+  /** The unrolled DP over any `(w, n)` dict with an explicit flat
+    * vocabulary — split out for hand-vocab specs. Words longer than
+    * [[VitMaxLen]] fail LOUDLY. */
+  private[graft] def viterbiOver(words: DataFrame, vocab: Seq[String])
+      : DataFrame = {
+    val vlit = typedLit(vocab)
+    var df = words.withColumn("d0", lit(0))
+    for (p <- 1 to VitMaxLen) {
+      val cands = (1 to math.min(VitMaxPiece, p)).map { l =>
+        when(array_contains(vlit, col("w").substr(p - l + 1, l)),
+          col(s"d${p - l}") + 1)
+      }
+      df = df.withColumn(s"d$p",
+        if (cands.size == 1) cands.head else least(cands: _*))
+    }
+    val pick = (1 to VitMaxLen).foldRight(
+      raise_error(concat(lit(s"viterbi: word longer than $VitMaxLen: "),
+        col("w"))).cast("int"): Column) { (p, acc) =>
+      when(length(col("w")) === p, col(s"d$p")).otherwise(acc)
+    }
+    df.select(col("w").as("word"), col("n"),
+        pick.cast("long").as("min_pieces"))
+      .orderBy("word")
+  }
+
+  private def viterbiOracle: String = {
+    val rounds = (1 to VitMaxLen).map { p =>
+      val cs = (1 to math.min(VitMaxPiece, p)).map { l =>
+        s"""CASE WHEN list_contains(vv.l, substr(w, ${p - l + 1}, $l))
+           |      THEN d${p - l} + 1 END""".stripMargin
+      }
+      val cands =
+        if (cs.size == 1) cs.head
+        else s"least(\n    ${cs.mkString(",\n    ")})"
+      s"""s$p AS MATERIALIZED (SELECT w, n, ${
+        (0 until p).map(i => s"d$i").mkString(", ")},
+         |    $cands AS d$p
+         |  FROM s${p - 1}, vv)""".stripMargin
+    }.mkString(",\n")
+    val pick = (1 to VitMaxLen).map(p =>
+      s"WHEN length(w) = $p THEN d$p").mkString("\n    ")
+    val chars = WpChars.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |cnt AS MATERIALIZED (SELECT w, count(*) AS n FROM t GROUP BY 1),
+       |top AS MATERIALIZED (
+       |  SELECT w FROM cnt ORDER BY n DESC, w LIMIT $WpTopWords),
+       |vv AS MATERIALIZED (SELECT list(DISTINCT p) AS l FROM (
+       |  SELECT w AS p FROM top
+       |  UNION SELECT substr(w, 1, 2) FROM top
+       |  UNION SELECT substr(w, 1, 3) FROM top
+       |  UNION SELECT substr(w, greatest(length(w) - 1, 1), 2) FROM top
+       |  UNION SELECT substr(w, greatest(length(w) - 2, 1), 3) FROM top
+       |  UNION SELECT unnest($chars))),
+       |s0 AS (SELECT w, n, 0 AS d0 FROM cnt),
+       |$rounds
+       |SELECT w AS word, n, CAST(CASE
+       |    $pick
+       |    END AS BIGINT) AS min_pieces
+       |FROM s$VitMaxLen ORDER BY word""".stripMargin
+  }
+
   private def wordpieceOracle: String = {
     val chars = WpChars.map(c => s"'$c'").mkString("[", ", ", "]")
     def startCase: String = {
@@ -387,11 +492,13 @@ object Bpe {
   val oracle: Map[String, String] = Map(
     "bpe_train" -> trainOracle,
     "bpe_encode" -> encodeOracle,
-    "wordpiece_encode" -> wordpieceOracle)
+    "wordpiece_encode" -> wordpieceOracle,
+    "viterbi_encode" -> viterbiOracle)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
-    "wordpiece_encode" -> (wordpieceEncode _)
+    "wordpiece_encode" -> (wordpieceEncode _),
+    "viterbi_encode" -> (viterbiEncode _)
   )
 }

@@ -74,6 +74,29 @@ class BpeSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("viterbi DP beats greedy where longest-match over-segments, " +
+      "matches it on chars-only, and errors loudly past the bound") {
+    val chars = ('a' to 'z').map(_.toString)
+    // vocab: chars + "ab" + "cde" — greedy on "abcde" takes "ab" then
+    // "cde" (2); on "abc" greedy takes "ab"+"c" (2) which IS optimal;
+    // the interesting case: vocab chars + "abc" + "ab" + "cd" on
+    // "abcd": greedy longest-first takes "abc"+"d" (2), DP also 2;
+    // make greedy lose: vocab chars + "ab" + "bcd" on "abcd" — greedy
+    // takes "ab" then c,d (3); DP takes "a" + "bcd" (2).
+    val vocab = chars ++ Seq("ab", "bcd")
+    val words = Seq(("abcd", 5L), ("zz", 1L)).toDF("w", "n")
+    val got = Bpe.viterbiOver(words, vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("abcd", 5L, 2L), ("zz", 1L, 2L)), got.mkString(","))
+    // loud bound: a 13-char word must raise
+    val e = intercept[Exception] {
+      Bpe.viterbiOver(Seq(("abcdefghijklm", 1L)).toDF("w", "n"), chars)
+        .collect()
+    }
+    assert(e.getMessage.contains("viterbi: word longer"), e.getMessage)
+  }
+
   test("gates run end-to-end on sf0.001 and the encode conserves words") {
     val train = Bpe.bpeTrain(spark, sf0001).collect()
     assert(train.length == Bpe.Merges)
