@@ -184,6 +184,33 @@ object Multimodal {
       data.toByteArray
     }
 
+    /** The raw sample read-back (same RIFF walk as [[decode]]) — for
+      * the windowed-energy pass, which needs every sample in order. */
+    def decodeSamples(payload: Array[Byte]): Array[Short] = {
+      require(isWav(payload), "not a RIFF/WAVE payload")
+      def u32(o: Int) = (payload(o) & 0xff).toLong |
+        ((payload(o + 1) & 0xff).toLong << 8) |
+        ((payload(o + 2) & 0xff).toLong << 16) |
+        ((payload(o + 3) & 0xff).toLong << 24)
+      var off = 12
+      val out = Array.newBuilder[Short]
+      while (off + 8 <= payload.length) {
+        val id = new String(payload.slice(off, off + 4), "US-ASCII")
+        val len = u32(off + 4).toInt
+        if (id == "data") {
+          var p = off + 8
+          val end = math.min(off + 8 + len, payload.length)
+          while (p + 1 < end) {
+            out += ((payload(p) & 0xff) |
+              ((payload(p + 1) & 0xff) << 8)).toShort
+            p += 2
+          }
+        }
+        off += 8 + len + (len & 1)
+      }
+      out.result()
+    }
+
     /** Parse a PCM WAV → (sampleRate, nSamples, Σ|amp|). Walks the
       * chunk list (so writers that insert LIST/fact chunks still
       * parse), requires PCM16 mono. */
@@ -462,6 +489,36 @@ object Multimodal {
     })).toDF("media_id", "width", "height").orderBy("media_id")
   }
 
+  /** Windowed audio energy over REAL decoded WAVs — the feature pass an
+    * audio pipeline runs before VAD/segmentation: fixed 128-sample
+    * windows (plus the trailing partial — real pipelines keep it), per
+    * window the sample count, Σ|amp| and max|amp| — exact integers, so
+    * the whole distributed result sits under the oracle hash (the
+    * oracle derives every sample from the planted waveform formula; the
+    * engine reads them back through the RIFF chunk walk — agreement
+    * proves the byte-level decode ran). Per-row map work fanning out to
+    * O(n/128) window rows; no shuffle except the presentation sort. */
+  final case class AudioWindow(media_id: Long, win_idx: Long,
+      n_samples: Long, sum_abs: Long, max_abs: Long)
+
+  val AudioWin = 128
+
+  def mmAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wavs = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map(id =>
+        MediaRow(id, "audio", WavCodec.synthWav(id)))))
+    wavs.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { r =>
+      val samples = WavCodec.decodeSamples(r.payload)
+      samples.grouped(AudioWin).zipWithIndex.map { case (win, i) =>
+        AudioWindow(r.media_id, i.toLong, win.length.toLong,
+          win.map(v => math.abs(v.toLong)).sum,
+          win.map(v => math.abs(v.toLong)).max)
+      }
+    })).toDF().orderBy("media_id", "win_idx")
+  }
+
   /** Perceptual difference-hash (dHash) over REAL decoded PNGs — the
     * image near-duplicate detector (the visual twin of SimHash): decode
     * → 8×8 block-mean grid → 56-bit left<right comparison hash →
@@ -642,6 +699,19 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_embed_knn" -> embedKnnOracle,
+    "mm_audio_windows" ->
+      // the waveform formula windowed analytically — agrees only if
+      // the sample read-back preserved order and sign
+      s"""WITH ids AS (SELECT doc_id AS media_id,
+         |    256 + doc_id % 256 AS n FROM documents),
+         |sm AS (SELECT media_id, t, t // $AudioWin AS win_idx,
+         |    abs((t * 31 + media_id * 7) % 4001 - 2000) AS a
+         |  FROM ids, generate_series(0, 511) g(t) WHERE t < n)
+         |SELECT media_id, win_idx, count(*) AS n_samples,
+         |  CAST(sum(a) AS BIGINT) AS sum_abs,
+         |  CAST(max(a) AS BIGINT) AS max_abs
+         |FROM sm GROUP BY media_id, win_idx
+         |ORDER BY media_id, win_idx""".stripMargin,
     "mm_phash_dedup" ->
       // every hash computed analytically from the pixel formulas, then
       // the honest all-pairs hamming at fixture scale — recall proof
@@ -771,6 +841,7 @@ object Multimodal {
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_frames" -> (mmFrames _),
     "mm_embed_knn" -> (mmEmbedKnn _),
-    "mm_phash_dedup" -> (mmPhashDedup _)
+    "mm_phash_dedup" -> (mmPhashDedup _),
+    "mm_audio_windows" -> (mmAudioWindows _)
   )
 }

@@ -54,6 +54,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.fp == expected)
   }
 
+  test("decodeSamples reads back the planted waveform in order with " +
+      "sign intact") {
+    import Multimodal.WavCodec
+    val id = 123L
+    val samples = WavCodec.decodeSamples(WavCodec.synthWav(id))
+    assert(samples.length == 256 + (id % 256).toInt)
+    samples.zipWithIndex.foreach { case (s, t) =>
+      assert(s == WavCodec.synthAmp(id, t), s"t=$t")
+    }
+  }
+
   test("dHash is invariant to a global brightness shift and moves at " +
       "most one bit for the single-pixel variant") {
     import Multimodal.PhashCodec
