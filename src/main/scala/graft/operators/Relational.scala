@@ -2871,6 +2871,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The NATIVE as-of join gate — the same query as [[asofJoin]] run
+    * through the custom whole-operator path ([[graft.plans.AsofJoin]]:
+    * LogicalPlan → Strategy → BinaryExecNode with declared
+    * ClusteredDistribution + (key, time) child ordering, a single
+    * O(n+m) merge per co-partition). Shares [[asofJoin]]'s DuckDB
+    * ASOF LEFT JOIN oracle — two independent formulations (union+window
+    * vs custom exec) and one analytic truth. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ded = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("rts"),
+        col("o_orderkey"))
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      col("ts").cast("timestamp").as("ts"))
+    graft.plans.NativeAsof
+      .asofJoin(ev, ded, "user_id", "ts", "k", "rts", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Order-independent TABLE FINGERPRINT — the cross-engine/migration
     * equality check: per table, row count plus the SUM of per-row
     * md5-derived 60-bit hashes over a canonical pipe-separated
@@ -3812,6 +3835,15 @@ object Relational {
         |FROM events e ASOF LEFT JOIN ded o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    "asof_join_native" ->
+      // the custom-exec formulation against the SAME analytic truth
+      """WITH ded AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN ded o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "mql_events_range" ->
       """SELECT event_id FROM events
         |WHERE (props->>'k')::DOUBLE >= 20.0 AND (props->>'k')::DOUBLE < 60.0
@@ -3987,6 +4019,7 @@ object Relational {
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_join_native" -> (asofJoinNative _),
     "asof_join_forward" -> (asofJoinForward _),
     "profile_corr" -> (profileCorr _),
     "mql_densify_unit" -> (mqlDensifyUnit _),

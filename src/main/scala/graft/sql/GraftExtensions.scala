@@ -23,12 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
   * the plan as an unresolvable lazy node).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.sql.GraftFunctions", name),
         builder))
     }
+    // whole-operator extensions (graft.plans.*) — the same strategies
+    // NativeAsof.register plants on an existing session
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftFunctions {
