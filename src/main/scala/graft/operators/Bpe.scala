@@ -227,6 +227,7 @@ object Bpe {
     * vocabularies — split out for hand-vocab specs. */
   private[graft] def wordpieceOver(words: DataFrame, startV: Seq[String],
       contV: Seq[String]): DataFrame = {
+    graft.plans.GraftRules.register(words.sparkSession)
     var df = words
       .withColumn("_l", wpLongest(col("w"), lit(1), startV, WpMaxStartL))
       .withColumn("seg", col("w").substr(lit(1), col("_l")))
@@ -300,6 +301,9 @@ object Bpe {
     * [[VitMaxLen]] fail LOUDLY. */
   private[graft] def viterbiOver(words: DataFrame, vocab: Seq[String])
       : DataFrame = {
+    // vocab probes are array_contains over a literal array — register
+    // the InSet strength-reduction rule (O(1) probe, exact semantics)
+    graft.plans.GraftRules.register(words.sparkSession)
     val vlit = typedLit(vocab)
     var df = words.withColumn("d0", lit(0))
     for (p <- 1 to VitMaxLen) {

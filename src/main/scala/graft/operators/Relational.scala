@@ -2894,6 +2894,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD native as-of — the same [[graft.plans.AsofJoinExec]]
+    * operator run on NEGATED epoch-micros: the largest −t_order ≤
+    * −t_event is exactly the smallest t_order ≥ t_event, ties
+    * preserved — backward machinery, forward semantics, zero new
+    * operator code. Shares [[asofJoinForward]]'s oracle. */
+  def asofJoinForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val ded = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        (-unix_micros(col("o_orderdate").cast("timestamp"))).as("nts"),
+        col("o_orderkey"))
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      (-unix_micros(col("ts").cast("timestamp"))).as("nts"))
+    graft.plans.NativeAsof
+      .asofJoin(ev, ded, "user_id", "nts", "k", "nts", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("next_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Order-independent TABLE FINGERPRINT — the cross-engine/migration
     * equality check: per table, row count plus the SUM of per-row
     * md5-derived 60-bit hashes over a canonical pipe-separated
@@ -3047,6 +3068,15 @@ object Relational {
         |    6) AS corr_r6
         |FROM st""".stripMargin,
     "asof_join_forward" ->
+      """WITH ded AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+        |FROM events e ASOF LEFT JOIN ded o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    "asof_join_forward_native" ->
+      // the negated-time run of the custom exec, same analytic truth
       """WITH ded AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2)
@@ -4020,6 +4050,7 @@ object Relational {
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
     "asof_join_native" -> (asofJoinNative _),
+    "asof_join_forward_native" -> (asofJoinForwardNative _),
     "asof_join_forward" -> (asofJoinForward _),
     "profile_corr" -> (profileCorr _),
     "mql_densify_unit" -> (mqlDensifyUnit _),

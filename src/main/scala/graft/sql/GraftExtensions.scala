@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extensions (graft.plans.*) — the same strategies
     // NativeAsof.register plants on an existing session
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // optimizer extensions — GraftRules.register's session-build twin
+    ext.injectOptimizerRule(_ => graft.plans.LiteralArrayContainsToInSet)
   }
 }
 
