@@ -89,6 +89,47 @@ object Mining {
 
   private val MinPairSupport = 3
 
+  /** Item-item collaborative-filtering neighborhoods — the classic
+    * recsys "customers who bought X also bought Y": cosine similarity
+    * over basket co-occurrence vectors, cos²(i,j) = c_ij²/(c_i·c_j),
+    * kept EXACT as ppm via cross-multiplied DECIMAL DIV (cos² orders
+    * identically to cos — no float sqrt anywhere). Top-3 neighbors per
+    * item (≥2 shared baskets).
+    *
+    * Scale: the same basket-key self-equi-join as [[assocRules]]
+    * (bounded per-basket), item counts ride key joins; the per-item
+    * top-k is a rank-limited window — WindowGroupLimit keeps only
+    * k·partitions rows ahead of the shuffle (PlanSpec-locked). */
+  def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemCnt = op.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
+    val pairCnt = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c_both"))
+      .filter(col("c_both") >= 2)
+    val both = pairCnt.select(col("u").as("item"), col("v").as("nbr"),
+        col("c_both"))
+      .unionAll(pairCnt.select(col("v").as("item"), col("u").as("nbr"),
+        col("c_both")))
+      .join(itemCnt.select(col("pk").as("item"),
+        col("c_item").as("c_i")), "item")
+      .join(itemCnt.select(col("pk").as("nbr"),
+        col("c_item").as("c_n")), "nbr")
+      .withColumn("cos2_ppm", expr(
+        "CAST((CAST(c_both AS DECIMAL(38,0)) * c_both * 1000000)" +
+          " DIV (CAST(c_i AS DECIMAL(38,0)) * c_n) AS BIGINT)"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("cos2_ppm").desc, col("nbr").asc)
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("item"), col("rank").cast("long").as("rank"),
+        col("nbr"), col("c_both"), col("cos2_ppm"))
+      .orderBy("item", "rank")
+  }
+
   // -------------------------------------------------------------------
   // Skyline (Pareto frontier)
   // -------------------------------------------------------------------
@@ -305,6 +346,27 @@ object Mining {
          |JOIN ic ic2 ON ic2.pk = r.cons
          |CROSS JOIN nb
          |ORDER BY lift_ppm DESC, ante, cons LIMIT 20""".stripMargin,
+    "item_similarity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ic AS (SELECT pk, count(*) AS c_item FROM op GROUP BY 1),
+        |pc AS (SELECT a.pk AS u, b.pk AS v, count(*) AS c_both
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bt AS (
+        |  SELECT u AS item, v AS nbr, c_both FROM pc
+        |  UNION ALL SELECT v, u, c_both FROM pc),
+        |sc AS (SELECT b.item, b.nbr, b.c_both,
+        |    CAST(b.c_both::HUGEINT * b.c_both * 1000000 //
+        |      (ia.c_item::HUGEINT * ib.c_item) AS BIGINT) AS cos2_ppm
+        |  FROM bt b
+        |  JOIN ic ia ON ia.pk = b.item
+        |  JOIN ic ib ON ib.pk = b.nbr),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |    ORDER BY cos2_ppm DESC, nbr ASC) AS rank FROM sc)
+        |SELECT item, CAST(rank AS BIGINT) AS rank, nbr, c_both, cos2_ppm
+        |FROM rk WHERE rank <= 3
+        |ORDER BY item, rank""".stripMargin,
     "skyline_orders" ->
       """WITH per AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -383,6 +445,7 @@ object Mining {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assoc_rules" -> (assocRules _),
+    "item_similarity" -> (itemSimilarity _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),

@@ -693,6 +693,23 @@ object TextAnalysis {
     "bm25_search" -> bm25Sql,
     // the persisted-index path answers the SAME query — one oracle text
     "search_indexed" -> bm25Sql,
+    "search_phrase" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+        |  FROM documents),
+        |bi AS (SELECT p[1] AS t1, p[2] AS t2, count(*) AS n FROM (
+        |    SELECT unnest([[a[i], a[i+1]]
+        |        for i in generate_series(1, len(a)-1)]) AS p FROM t)
+        |  GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT 1),
+        |pos AS (SELECT doc_id, unnest(a) AS term,
+        |    generate_subscripts(a, 1) AS pos FROM t),
+        |m AS (SELECT p1.doc_id, count(*) AS n_occ
+        |  FROM pos p1 JOIN pos p2
+        |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1, bi
+        |  WHERE p1.term = bi.t1 AND p2.term = bi.t2
+        |  GROUP BY 1)
+        |SELECT doc_id, bi.t1, bi.t2, CAST(n_occ AS BIGINT) AS n_occ
+        |FROM m, bi ORDER BY doc_id""".stripMargin,
     "search_keyword" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -812,7 +829,46 @@ object TextAnalysis {
         |FROM w ORDER BY doc_id""".stripMargin
   )
 
+  /** Positional PHRASE search — the search-engine feature term-level
+    * postings can't answer: docs where two terms appear ADJACENT, in
+    * order. The query phrase is the corpus's top bigram (deterministic
+    * tie-break — self-contained gate, no magic constant); matching is
+    * the standard positional-postings device: filter the postings to
+    * the two phrase terms FIRST (at 100 TB the filter rides the
+    * term-bucketed index partitions, [[TextIndex]]'s layout), then one
+    * (doc, pos+1) equi-join — candidate volume is the terms' postings,
+    * never the corpus. The bigram census itself is in-array zip_with
+    * work, one aggregation, no extra corpus shuffle. */
+  def searchPhrase(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bi = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc)
+      .limit(1).collect()(0)
+    val (q1, q2) = (bi.getString(0), bi.getString(1))
+    val pos = d.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val p1 = pos.filter(col("term") === q1)
+      .select(col("doc_id"), col("pos"))
+    val p2 = pos.filter(col("term") === q2)
+      .select(col("doc_id"), col("pos"))
+    p1.as("x").join(p2.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.pos") === col("x.pos") + 1)
+      .groupBy(col("x.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), lit(q1).as("t1"), lit(q2).as("t2"),
+        col("n_occ"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_phrase" -> (searchPhrase _),
     "heavy_hitters" -> (heavyHitters _),
     "build_vocab" -> (buildVocab _),
     "encode_ids" -> (encodeIds _),

@@ -945,6 +945,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("item_similarity: per-item top-k rides WindowGroupLimit, " +
+      "never a full-partition sort of all neighbors") {
+    val p = plan(graft.operators.Mining.itemSimilarity(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("search_phrase: postings filter BEFORE the positional join — " +
+      "equi-join on (doc, pos), no cartesian") {
+    val p = plan(graft.operators.TextAnalysis.searchPhrase(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("mm_phash_dedup: candidates come from the band equi-join, " +
       "never an all-pairs product") {
     val p = plan(graft.operators.Multimodal.mmPhashDedup(spark, sf0001))
