@@ -180,6 +180,36 @@ object Mining {
       .drop("_gt", "_eq")
   }
 
+  /** Hourly OHLC bars per event type — the time-series downsampling
+    * staple (finance candles, metrics rollups): per (type, hour) the
+    * OPEN (value at the first (ts, event_id)), HIGH, LOW, CLOSE (value
+    * at the last), volume and turnover, all in exact centi-units.
+    *
+    * Open/close are argmax-IN-AGGREGATE (min_by/max_by on a single
+    * scalar key — in-hour micros offset ⊕ event_id packed into one
+    * BIGINT, unique because event ids are), so the whole bar table is
+    * ONE map-side-combinable aggregation — no per-group window, no
+    * second pass; at 10^12 events the plan is a single shuffle on
+    * (type, hour). The pack bound (event_id < 2^22) fails loudly, not
+    * silently. */
+  def eventsOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value") * 100).cast("long").as("vq"))
+    val h = expr("us DIV 3600000000") // integer division, both engines
+    val key = (col("us") - col("h") * 3600000000L) * 4194304L +
+      when(col("event_id") < 4194304L, col("event_id"))
+        .otherwise(raise_error(lit("events_ohlc: event_id >= 2^22")))
+    e.withColumn("h", h)
+      .withColumn("k", key)
+      .groupBy("event_type", "h")
+      .agg(min_by(col("vq"), col("k")).as("open"),
+        max(col("vq")).as("high"), min(col("vq")).as("low"),
+        max_by(col("vq"), col("k")).as("close"),
+        count(lit(1)).as("volume"), sum(col("vq")).as("turnover"))
+      .orderBy("event_type", "h")
+  }
+
   // -------------------------------------------------------------------
   // Exact-rational EWMA
   // -------------------------------------------------------------------
@@ -378,6 +408,17 @@ object Mining {
         |  WHERE q.spend_c >= p.spend_c AND q.n_orders >= p.n_orders
         |    AND (q.spend_c > p.spend_c OR q.n_orders > p.n_orders))
         |ORDER BY spend_c DESC, o_custkey""".stripMargin,
+    "events_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round("value" * 100) AS BIGINT) AS vq FROM events),
+        |k AS (SELECT event_type, us // 3600000000 AS h, vq,
+        |    (us - (us // 3600000000) * 3600000000) * 4194304
+        |      + event_id AS k
+        |  FROM e)
+        |SELECT event_type, h, arg_min(vq, k) AS open,
+        |  max(vq) AS high, min(vq) AS low, arg_max(vq, k) AS close,
+        |  count(*) AS volume, CAST(sum(vq) AS BIGINT) AS turnover
+        |FROM k GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin,
     "ts_ewma" -> {
       val ws = EwmaWeights
       val xs = (0 until EwmaK).map { j =>
@@ -446,6 +487,7 @@ object Mining {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "assoc_rules" -> (assocRules _),
     "item_similarity" -> (itemSimilarity _),
+    "events_ohlc" -> (eventsOhlc _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),

@@ -288,7 +288,31 @@ object Formats {
       .orderBy("file_id")
   }
 
+  /** DSv2 pushdown gate: query the [[GraftSeqSource]] connector with a
+    * PUSHABLE id range (narrows the generated range inside the source),
+    * a RESIDUAL predicate on the derived `vq` (correctly stays in
+    * Spark), and a pruned projection. The oracle rebuilds the formulas
+    * over generate_series — values match only if the source honored
+    * the narrowed range exactly (off-by-one in the pushdown arithmetic
+    * flips counts). PlanSpec locks PushedFilters + pruned ReadSchema. */
+  def dsv2Scan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftseq")
+      .option("rows", 200000).option("slices", 8).load()
+      .filter(col("id") >= 150000 && col("id") < 190000 &&
+        col("vq") < 50000)
+      .groupBy("tag").agg(count(lit(1)).as("n"),
+        sum(col("vq")).as("sum_vq"), max(col("bucket")).as("max_bucket"))
+      .orderBy("tag")
+
   val oracle: Map[String, String] = Map(
+    "dsv2_scan" ->
+      """WITH g AS (SELECT unnest(generate_series(150000, 189999)) AS id),
+        |v AS (SELECT id, id % 64 AS bucket,
+        |    (id * 2654435761) % 100000 AS vq,
+        |    't' || (id % 7) AS tag FROM g)
+        |SELECT tag, count(*) AS n, CAST(sum(vq) AS BIGINT) AS sum_vq,
+        |  CAST(max(bucket) AS BIGINT) AS max_bucket
+        |FROM v WHERE vq < 50000 GROUP BY 1 ORDER BY tag""".stripMargin,
     "xml_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
@@ -350,6 +374,7 @@ object Formats {
     "orc_roundtrip" -> (orcRoundtrip _),
     "avro_roundtrip" -> (avroRoundtrip _),
     "xml_roundtrip" -> (xmlRoundtrip _),
-    "binaryfile_scan" -> (binaryFileScan _)
+    "binaryfile_scan" -> (binaryFileScan _),
+    "dsv2_scan" -> (dsv2Scan _)
   )
 }

@@ -959,6 +959,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dsv2_scan: the id range reaches the source as PushedFilters, " +
+      "the vq residual stays a Spark Filter, and the projection is " +
+      "pruned to the referenced columns") {
+    val p = plan(graft.sources.Formats.dsv2Scan(spark, sf0001))
+    // the id range was pushed INTO the source (the scan's own
+    // description carries the narrowed range)...
+    assert(p.contains("GraftSeqScan(range=[150000, 190000)"), p)
+    // ...the derived-column predicate stays a Spark Filter...
+    assert(p.contains("Condition : (vq"), p)
+    // ...and the scan output is pruned: id is consumed entirely by the
+    // pushed filters, so the source never materializes it
+    assert(p.contains("cols=bucket,vq,tag"), p)
+    val out = p.linesIterator
+      .dropWhile(!_.contains("BatchScan")).take(3).mkString("\n")
+    assert(!out.contains("id#"), s"pruning failed — id still read:\n$out")
+  }
+
   test("mm_phash_dedup: candidates come from the band equi-join, " +
       "never an all-pairs product") {
     val p = plan(graft.operators.Multimodal.mmPhashDedup(spark, sf0001))
