@@ -55,17 +55,36 @@ object Mining {
     * key. All ratios are integer DIV in DECIMAL(38) — exact at any
     * corpus size, same device as the anomaly/chi-square gates.
     */
+  /** The shared basket statistics: distinct (basket, item), per-item
+    * basket counts, unordered co-occurrence pairs (≥2 floor — both
+    * consumers filter at-or-above it), and the basket total. Session-
+    * cached per corpus dir (the coPurchaseEdges/BPE precedent — the
+    * pair expansion is the dominant cost of BOTH mining gates and is
+    * deterministic, so caching cannot change any gate's answer). */
+  private val basketCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Long)]()
+
+  private def basketStats(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) =
+    basketCache.computeIfAbsent(dir, _ => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(true)
+      val itemCnt = op.groupBy(col("pk"))
+        .agg(count(lit(1)).as("c_item")).localCheckpoint(true)
+      val pairCnt = op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("c_both"))
+        .filter(col("c_both") >= 2)
+        .localCheckpoint(true)
+      (itemCnt, pairCnt, op.select("ok").distinct().count())
+    })
+
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nBaskets = op.select("ok").distinct().count()
-    val itemCnt = op.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
-    val pairCnt = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("c_both"))
-      .filter(col("c_both") >= MinPairSupport)
+    val (itemCnt, pairs2, nBaskets) = basketStats(s, dir)
+    val pairCnt = pairs2.filter(col("c_both") >= MinPairSupport)
     // both rule directions from each unordered pair
     val rules = pairCnt.select(col("u").as("ante"), col("v").as("cons"),
         col("c_both"))
@@ -101,15 +120,7 @@ object Mining {
     * top-k is a rank-limited window — WindowGroupLimit keeps only
     * k·partitions rows ahead of the shuffle (PlanSpec-locked). */
   def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val itemCnt = op.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
-    val pairCnt = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("c_both"))
-      .filter(col("c_both") >= 2)
+    val (itemCnt, pairCnt, _) = basketStats(s, dir)
     val both = pairCnt.select(col("u").as("item"), col("v").as("nbr"),
         col("c_both"))
       .unionAll(pairCnt.select(col("v").as("item"), col("u").as("nbr"),
