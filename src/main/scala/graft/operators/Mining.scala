@@ -269,6 +269,38 @@ object Mining {
     (0 until EwmaK).map(j => math.pow(8, j).toLong *
       math.pow(10, EwmaK - 1 - j).toLong)
 
+  /** Revenue concentration (the 80/20 analysis): how many top
+    * customers cover 50% / 80% / 95% of total revenue. Customers rank
+    * by spend (cents, exact) with a deterministic tie-break; the
+    * cumulative-share thresholds read off ONE aggregation over the
+    * ranked frame (min rank whose running total crosses each
+    * threshold, cross-multiplied — no percentage floats).
+    *
+    * Scale: the ranking window is global but runs on the AGGREGATED
+    * customer table (dim-scale, same class as cumulative_users' day
+    * axis — the fact-table pass is the groupBy); at catalog scale the
+    * distributed-rank device (quantiles_orders_dist) substitutes. */
+  def revenuePareto(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    val ranked = per
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("spend")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.crossJoin(broadcast(per.agg(sum(col("spend")).as("T"))))
+      .agg(max(col("T")).as("total_cents"),
+        count(lit(1)).as("n_customers"),
+        min(when(col("cum") * 100 >= col("T") * 50, col("rn")))
+          .as("n_top50_pct"),
+        min(when(col("cum") * 100 >= col("T") * 80, col("rn")))
+          .as("n_top80_pct"),
+        min(when(col("cum") * 100 >= col("T") * 95, col("rn")))
+          .as("n_top95_pct"))
+  }
+
   // -------------------------------------------------------------------
   // Corpus drift (chi-square divergence between slices)
   // -------------------------------------------------------------------
@@ -453,6 +485,26 @@ object Mining {
          |  CAST(num // den AS BIGINT) AS ewma_c
          |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
     },
+    "revenue_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS spend
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT spend,
+        |    CAST(row_number() OVER (ORDER BY spend DESC, o_custkey)
+        |      AS BIGINT) AS rn,
+        |    CAST(sum(spend) OVER (ORDER BY spend DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM per),
+        |t AS (SELECT CAST(sum(spend) AS BIGINT) AS T FROM per)
+        |SELECT max(T) AS total_cents, count(*) AS n_customers,
+        |  min(CASE WHEN cum * 100 >= T * 50 THEN rn END)
+        |    AS n_top50_pct,
+        |  min(CASE WHEN cum * 100 >= T * 80 THEN rn END)
+        |    AS n_top80_pct,
+        |  min(CASE WHEN cum * 100 >= T * 95 THEN rn END)
+        |    AS n_top95_pct
+        |FROM rk, t""".stripMargin,
     "corpus_drift" ->
       """WITH tok AS (
         |  SELECT CAST(substr(source, 4, 2) AS INT) < 12 AS head,
@@ -499,6 +551,7 @@ object Mining {
     "assoc_rules" -> (assocRules _),
     "item_similarity" -> (itemSimilarity _),
     "events_ohlc" -> (eventsOhlc _),
+    "revenue_pareto" -> (revenuePareto _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),

@@ -68,6 +68,42 @@ object StreamingOps {
     s.table(name).orderBy("hour_epoch_s", "event_type")
   }
 
+  /** [[graft.operators.Mining.eventsOhlc]] built INCREMENTALLY — OHLC
+    * candles maintained live over the stream: open/close are
+    * min_by/max_by on the packed (in-hour offset ⊕ event_id) key, and
+    * argmin-of-argmins merges across micro-batches exactly like
+    * min/sum do, so the complete-mode table after AvailableNow equals
+    * the one-pass batch bars bit-for-bit (the shared oracle proves
+    * it). State is O(types × hours), not O(events). */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_ohlc_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = graft.operators.Relational.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("vq"))
+        .withColumn("h", expr("us DIV 3600000000"))
+        .withColumn("k",
+          (col("us") - col("h") * 3600000000L) * 4194304L +
+            col("event_id"))
+        .groupBy("event_type", "h")
+        .agg(min_by(col("vq"), col("k")).as("open"),
+          max(col("vq")).as("high"), min(col("vq")).as("low"),
+          max_by(col("vq"), col("k")).as("close"),
+          count(lit(1)).as("volume"), sum(col("vq")).as("turnover"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_type", "h")
+  }
+
   /** The [[graft.operators.Relational.quantileSketch]] histogram built
     * INCREMENTALLY — the merge-by-addition contract running live: each
     * micro-batch's partial bin counts merge into streaming state by +,
@@ -862,6 +898,8 @@ object StreamingOps {
          |ORDER BY user_id, sid""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the streaming bars answer the SAME query as the batch gate
+    "stream_ohlc" -> graft.operators.Mining.oracle("events_ohlc"),
     // identical to the batch anomaly oracle — incremental execution
     // must converge to the batch answer (the events_hourly precedent)
     "stream_anomaly" ->
@@ -970,6 +1008,7 @@ object StreamingOps {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ohlc" -> (streamOhlc _),
     "events_hourly_stream" -> (eventsHourlyStreaming _),
     "stream_sketch" -> (streamSketch _),
     "stream_stream_join" -> (streamStreamJoin _),
