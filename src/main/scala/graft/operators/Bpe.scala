@@ -362,6 +362,29 @@ object Bpe {
        |FROM s$VitMaxLen ORDER BY word""".stripMargin
   }
 
+  /** Per-language tokenizer FERTILITY (pieces per word) — the
+    * tokenizer-evaluation staple: a vocab trained on one language mix
+    * over-segments the others, and fertility is the number that shows
+    * it. The WordPiece dict (segmentation is word-global) broadcasts
+    * onto the (lang, word) token stream; one aggregation per lang;
+    * ratio ppm by exact DIV. */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val (startV, contV) = wpVocab(s, dir)
+    val dict = wordpieceOver(
+      docs(s, dir).select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n")),
+      startV, contV).select(col("word"), col("n_pieces"))
+    docs(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(dict), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .withColumn("fertility_ppm",
+        expr("n_pieces * 1000000 DIV n_words"))
+      .orderBy("lang")
+  }
+
   private def wordpieceOracle: String = {
     val chars = WpChars.map(c => s"'$c'").mkString("[", ", ", "]")
     def startCase: String = {
@@ -411,6 +434,27 @@ object Bpe {
        |SELECT w AS word, n,
        |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces, seg
        |FROM s$WpRounds ORDER BY word""".stripMargin
+  }
+
+  /** Fertility oracle: the SAME wordpiece CTE chain (everything before
+    * the final SELECT), re-aggregated per language. */
+  private def fertilityOracle: String = {
+    val wp = wordpieceOracle
+    val ctes = wp.substring(0, wp.lastIndexOf("SELECT w AS word"))
+      .trim.stripSuffix(",") + ","
+    s"""$ctes
+       |lw AS (SELECT lang,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |pieces AS (SELECT w,
+       |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS np
+       |  FROM s$WpRounds)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(np)::HUGEINT * 1000000 // count(*) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM lw JOIN pieces USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -497,12 +541,14 @@ object Bpe {
     "bpe_train" -> trainOracle,
     "bpe_encode" -> encodeOracle,
     "wordpiece_encode" -> wordpieceOracle,
-    "viterbi_encode" -> viterbiOracle)
+    "viterbi_encode" -> viterbiOracle,
+    "tokenizer_fertility" -> fertilityOracle)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "wordpiece_encode" -> (wordpieceEncode _),
-    "viterbi_encode" -> (viterbiEncode _)
+    "viterbi_encode" -> (viterbiEncode _),
+    "tokenizer_fertility" -> (tokenizerFertility _)
   )
 }

@@ -693,6 +693,24 @@ object TextAnalysis {
     "bm25_search" -> bm25Sql,
     // the persisted-index path answers the SAME query — one oracle text
     "search_indexed" -> bm25Sql,
+    "lm_kneser_ney" ->
+      """WITH t AS (SELECT
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+        |  FROM documents),
+        |bi AS (SELECT p[1] AS w1, p[2] AS w2 FROM (
+        |    SELECT unnest([[a[i], a[i+1]]
+        |        for i in generate_series(1, len(a)-1)]) AS p FROM t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1fw FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1pw FROM c12 GROUP BY 1),
+        |nb AS (SELECT count(*) AS nb FROM c12)
+        |SELECT w1, w2, c12,
+        |  CAST((greatest(4 * c12 - 3, 0)::HUGEINT * nb
+        |      + 3::HUGEINT * n1fw * n1pw) * 1000000
+        |    // (4::HUGEINT * c1 * nb) AS BIGINT) AS p_kn_ppm
+        |FROM c12 JOIN ctx USING (w1) JOIN cont USING (w2), nb
+        |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
     "search_phrase" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
@@ -829,6 +847,46 @@ object TextAnalysis {
         |FROM w ORDER BY doc_id""".stripMargin
   )
 
+  /** Interpolated Kneser–Ney bigram probabilities — the LM TRAINING
+    * step behind perplexity filtering, with the standard discount
+    * d = 3/4 kept EXACT: working in quarters,
+    * `P·(4·c1·Nb) = max(4·c12 − 3, 0)·Nb + 3·N1+(w1·)·N1+(·w2)`
+    * — pure integers, the ppm emitted through one DECIMAL DIV (the
+    * cross-multiplied device; at trillion-token scale the products
+    * pass LONG, DECIMAL(38) holds them). Output: the top-20 bigrams by
+    * count with their KN probability.
+    *
+    * Scale: three count aggregations over the bigram stream (bigram,
+    * context, continuation — all map-side combinable) + one global
+    * distinct-bigram count broadcast; the join fan-in keys on w1/w2.
+    * The smoothing mass is where KN differs from the +1 Laplace LM
+    * ([[textLmScore]]): rare continuations are discounted by how many
+    * CONTEXTS a word follows, not raw frequency. */
+  def lmKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(tokens(col("text")).as("ts"))
+    val bi = toks.select(explode(
+        filter(transform(col("ts"), (w, i) =>
+          struct(w.as("w1"),
+            try_element_at(col("ts"), i + lit(2)).as("w2"))),
+          p => p("w2").isNotNull)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1fw")) // c(w1 ·), N1+(w1 ·)
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1pw")) // N1+(· w2)
+    val nb = c12.agg(count(lit(1)).as("nb"))
+    c12.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(nb))
+      .withColumn("p_kn_ppm", expr(
+        "CAST(((CASE WHEN 4 * c12 - 3 > 0 THEN 4 * c12 - 3 ELSE 0 END)" +
+          " * CAST(nb AS DECIMAL(38,0)) + 3 * CAST(n1fw AS DECIMAL(38,0))" +
+          " * n1pw) * 1000000" +
+          " DIV (4 * CAST(c1 AS DECIMAL(38,0)) * nb) AS BIGINT)"))
+      .select("w1", "w2", "c12", "p_kn_ppm")
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
   /** Positional PHRASE search — the search-engine feature term-level
     * postings can't answer: docs where two terms appear ADJACENT, in
     * order. The query phrase is the corpus's top bigram (deterministic
@@ -869,6 +927,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_phrase" -> (searchPhrase _),
+    "lm_kneser_ney" -> (lmKneserNey _),
     "heavy_hitters" -> (heavyHitters _),
     "build_vocab" -> (buildVocab _),
     "encode_ids" -> (encodeIds _),
