@@ -1990,6 +1990,27 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** The SAME KMV estimate through the native
+    * [[graft.expr.KmvDistinctAgg]] TypedImperativeAggregate (the
+    * production-sketch aggregation API: O(k) buffer per group, map-side
+    * partials, serialized merge between stages) — where
+    * [[sketchDistinct]] formulates it as dedup + rank windows. Both
+    * share one oracle text, so the two formulations provably agree.
+    * Scale: the window form shuffles the deduped hash stream; THIS form
+    * ships only k longs per (group, partition) — the reason sketch
+    * libraries are aggregates, demonstrated under the hash. */
+  def kmvAggNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    graft.sql.GraftFunctions.register(s)
+    events(s, dir)
+      .select(col("event_type"),
+        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+          .as("h"))
+      .groupBy("event_type")
+      .agg(expr("graft_kmv(h, 64)").as("est_distinct"))
+      .orderBy("event_type")
+  }
+
   /** $replaceRoot + $ifNull/$cond under the gate: metadata nests the
     * interesting fields one level down ({"info": {...}}); the pipeline
     * promotes `info` to the root, computes a $cond bucket label and an
@@ -3013,6 +3034,22 @@ object Relational {
       .orderBy("event_id")
   }
 
+  private val sketchDistinctSql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |topk AS (
+      |  SELECT event_type, h, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+      |agg AS (SELECT event_type, count(*) AS k_seen, max(h) AS kth
+      |  FROM topk WHERE rn <= 64 GROUP BY event_type)
+      |SELECT event_type,
+      |  CASE WHEN k_seen < 64 THEN k_seen
+      |    ELSE CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+      |  END AS est_distinct
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mql_densify_unit" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
@@ -3103,21 +3140,9 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
-    "sketch_distinct" ->
-      """WITH h AS (
-        |  SELECT DISTINCT event_type,
-        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
-        |  FROM events),
-        |topk AS (
-        |  SELECT event_type, h, row_number() OVER (
-        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
-        |agg AS (SELECT event_type, count(*) AS k_seen, max(h) AS kth
-        |  FROM topk WHERE rn <= 64 GROUP BY event_type)
-        |SELECT event_type,
-        |  CASE WHEN k_seen < 64 THEN k_seen
-        |    ELSE CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
-        |  END AS est_distinct
-        |FROM agg ORDER BY event_type""".stripMargin,
+    // the aggregate-expression form answers the SAME query — shared text
+    "kmv_agg_native" -> sketchDistinctSql,
+    "sketch_distinct" -> sketchDistinctSql,
     "sql_tpch_q6" -> q6Sql,
     "sql_tpch_q8" -> q8Sql,
     "sql_tpch_q10" -> q10Sql,
@@ -4105,6 +4130,7 @@ object Relational {
     "sql_tpch_q21" -> (sqlTpchQ21 _),
     "sql_tpch_q17" -> (sqlTpchQ17 _),
     "sketch_distinct" -> (sketchDistinct _),
+    "kmv_agg_native" -> (kmvAggNative _),
     "bloom_join" -> (bloomJoin _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),

@@ -90,7 +90,12 @@ object GraftFunctions {
       MinHashShingleSig(es(0), litInt(es(1), "shingle n"),
         litInt(es(2), "minhash k"))),
     "graft_hamming" -> ((es: Seq[Expression]) =>
-      Cast(BitwiseCount(BitwiseXor(es(0), es(1))), LongType))
+      Cast(BitwiseCount(BitwiseXor(es(0), es(1))), LongType)),
+    // native TypedImperativeAggregate: KMV distinct sketch over an
+    // already-hashed long column (compose with graft_hash60)
+    "graft_kmv" -> ((es: Seq[Expression]) =>
+      KmvDistinctAgg(es(0), litInt(es(1), "kmv k"))
+        .toAggregateExpression())
   )
 
   /** Register every function on an already-built session. */

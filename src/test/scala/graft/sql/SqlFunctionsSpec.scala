@@ -87,6 +87,29 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
+  test("graft_kmv: exact below k, estimate stable across partitioning " +
+      "(serialize/merge path), duplicates never double-count") {
+    import org.apache.spark.sql.functions._
+    graft.sql.GraftFunctions.register(spark)
+    // 40 distinct hashed values + every one duplicated: k=64 > 40 so
+    // the sketch must return the EXACT distinct count, proving both
+    // dedup and the below-k branch
+    val df = spark.range(80).select((col("id") % 40).as("v"))
+      .selectExpr("graft_hash60(CAST(v AS STRING)) AS h")
+    assert(df.repartition(7).selectExpr("graft_kmv(h, 64)")
+      .head().getLong(0) == 40L)
+    // above k: the estimate must be IDENTICAL for 1 vs 13 partitions —
+    // the TreeSet merge is order-free and the serialize path round-trips
+    val big = spark.range(5000)
+      .selectExpr("graft_hash60(CAST(id AS STRING)) AS h")
+    val e1 = big.coalesce(1).selectExpr("graft_kmv(h, 64)").head().getLong(0)
+    val e13 = big.repartition(13).selectExpr("graft_kmv(h, 64)")
+      .head().getLong(0)
+    assert(e1 == e13, s"$e1 vs $e13")
+    // and lands within a plausible band of the true 5000
+    assert(e1 > 3000 && e1 < 8000, e1.toString)
+  }
+
   test("GraftExtensions injects the same builders (builder-path smoke)") {
     // full session-build injection is exercised implicitly: the class
     // only delegates to GraftFunctions.all, which the tests above cover
