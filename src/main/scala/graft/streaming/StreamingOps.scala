@@ -104,6 +104,37 @@ object StreamingOps {
     s.table(name).orderBy("event_type", "h")
   }
 
+  /** The native KMV aggregate ([[graft.expr.KmvDistinctAgg]]) running
+    * INSIDE Structured Streaming — a custom TypedImperativeAggregate's
+    * serialize/merge path exercised by the streaming state store
+    * itself: micro-batch partials merge into state exactly like
+    * map-side partials do, so the complete-mode estimates equal the
+    * batch sketch's (shared oracle, third formulation of the same
+    * truth). State is O(k) longs per group — a live cardinality
+    * monitor over an unbounded stream. */
+  def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    graft.sql.GraftFunctions.register(s)
+    val path = s"$dir/events.parquet"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(path).schema
+    val name = s"graft_stream_kmv_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"),
+          md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+            .as("h"))
+        .groupBy("event_type")
+        .agg(expr("graft_kmv(h, 64)").as("est_distinct"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("event_type")
+  }
+
   /** The [[graft.operators.Relational.quantileSketch]] histogram built
     * INCREMENTALLY — the merge-by-addition contract running live: each
     * micro-batch's partial bin counts merge into streaming state by +,
@@ -900,6 +931,8 @@ object StreamingOps {
   val oracle: Map[String, String] = Map(
     // the streaming bars answer the SAME query as the batch gate
     "stream_ohlc" -> graft.operators.Mining.oracle("events_ohlc"),
+    // third formulation of the KMV truth (window / aggregate / stream)
+    "stream_kmv" -> graft.operators.Relational.oracle("sketch_distinct"),
     // identical to the batch anomaly oracle — incremental execution
     // must converge to the batch answer (the events_hourly precedent)
     "stream_anomaly" ->
@@ -1009,6 +1042,7 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ohlc" -> (streamOhlc _),
+    "stream_kmv" -> (streamKmv _),
     "events_hourly_stream" -> (eventsHourlyStreaming _),
     "stream_sketch" -> (streamSketch _),
     "stream_stream_join" -> (streamStreamJoin _),
