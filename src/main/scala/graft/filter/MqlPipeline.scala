@@ -1689,6 +1689,56 @@ object MqlPipeline {
             operand.as("v"))), asc = !orderDesc),
           x => x.getField("v"))
       case "$addToSet" => array_sort(collect_set(operand))
+      // Mongo 5.2 N-accumulators. $topN/$bottomN carry their OWN
+      // sortBy (independent of any pipeline $sort); $firstN/$lastN use
+      // the pipeline's document order like $first/$last. All four ride
+      // the sorted-struct device — collect, sort by (key, value)
+      // (deterministic tie-break both engines agree on), slice from the
+      // matching end, project the outputs. Group-sized buffers — the
+      // Mongo accumulator contract; bounded-group data only (the same
+      // caveat as $push).
+      case "$topN" | "$bottomN" =>
+        val v = e.getValue
+        require(v.isObject && v.has("n") && v.has("sortBy") &&
+          v.has("output"),
+          s"${e.getKey} needs {n, sortBy, output}: $v")
+        val n = v.get("n").asInt()
+        require(n > 0, s"${e.getKey}.n must be positive")
+        val out = valueExpr(v.get("output"), metaCol, cur)
+        val pairs = v.get("sortBy").properties().asScala.toSeq
+          .flatMap { f =>
+            val desc = f.getValue.asInt() < 0
+            sortBases(f.getKey, cur, metaCol).map(b => (b, desc))
+          }
+        require(pairs.nonEmpty, s"${e.getKey}.sortBy must be non-empty")
+        val dirs = pairs.map(_._2).distinct
+        require(dirs.size == 1, s"${e.getKey} requires a uniform-" +
+          "direction sortBy (no single sort_array key otherwise)")
+        val k = if (pairs.size == 1) pairs.head._1
+          else struct(pairs.map(_._1): _*)
+        val sorted = sort_array(
+          collect_list(struct(k.as("k"), out.as("v"))),
+          asc = !dirs.head)
+        val sliced =
+          if (e.getKey == "$topN") slice(sorted, lit(1), lit(n))
+          else slice(sorted,
+            greatest(size(sorted) - (n - 1), lit(1)), lit(n))
+        transform(sliced, x => x.getField("v"))
+      case "$firstN" | "$lastN" =>
+        val v = e.getValue
+        require(v.isObject && v.has("n") && v.has("input"),
+          s"${e.getKey} needs {n, input}: $v")
+        val n = v.get("n").asInt()
+        require(n > 0, s"${e.getKey}.n must be positive")
+        val out = valueExpr(v.get("input"), metaCol, cur)
+        val sorted = sort_array(
+          collect_list(struct(orderKey.as("k"), out.as("v"))),
+          asc = !orderDesc)
+        val sliced =
+          if (e.getKey == "$firstN") slice(sorted, lit(1), lit(n))
+          else slice(sorted,
+            greatest(size(sorted) - (n - 1), lit(1)), lit(n))
+        transform(sliced, x => x.getField("v"))
       // Mongo's population/sample standard deviation accumulators. The
       // underlying parallel merge order is engine-defined, so the result
       // is exact only to ~1 ulp of summation order — gated queries

@@ -2198,6 +2198,37 @@ object Relational {
         array_join(transform(col("docs"), _.cast("string")), ",")
           .as("docs"))
 
+  /** The Mongo 5.2 N-accumulator family under the gate: $topN/$bottomN
+    * (own sortBy, independent of the pipeline $sort) and $firstN/$lastN
+    * (pipeline document order) — all four against one oracle. The
+    * sorted-struct tie-break is (sort key, output value) in the SORT
+    * DIRECTION (a descending sortBy reverses both fields), which the
+    * oracle replicates verbatim. */
+  def mqlPipelineTopN(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$sort": {"doc_id": 1}},
+        | {"$group": {"_id": "$lang",
+        |   "big3": {"$topN": {"n": 3, "sortBy": {"n_chars": -1},
+        |            "output": "$doc_id"}},
+        |   "small3": {"$bottomN": {"n": 3, "sortBy": {"n_chars": -1},
+        |            "output": "$doc_id"}},
+        |   "first2": {"$firstN": {"n": 2, "input": "$source"}},
+        |   "last2": {"$lastN": {"n": 2, "input": "$source"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .select(col("_id"),
+        array_join(transform(col("big3"), _.cast("string")), ",")
+          .as("big3"),
+        array_join(transform(col("small3"), _.cast("string")), ",")
+          .as("small3"),
+        array_join(col("first2"), ",").as("first2"),
+        array_join(col("last2"), ",").as("last2"))
+
   /** $sortByCount under the gate: the Mongo frequency-table shorthand
     * ($group by value + $sort by count desc). Equal counts order by
     * _id ascending in both engines — the stage's documented
@@ -3140,6 +3171,25 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "mql_pipeline_topn" ->
+      // list(... ORDER BY) replicates the sorted-struct tie-break:
+      // a DESC sortBy reverses BOTH the key and the output value
+      """WITH d AS (SELECT lang, source, n_chars, doc_id
+        |  FROM documents),
+        |g AS (SELECT lang AS _id,
+        |    (list(doc_id ORDER BY n_chars DESC, doc_id DESC)) AS ord_d,
+        |    (list(source ORDER BY doc_id ASC)) AS ord_s
+        |  FROM d GROUP BY 1)
+        |SELECT _id,
+        |  array_to_string(ord_d[1:3], ',') AS big3,
+        |  array_to_string(
+        |    ord_d[greatest(len(ord_d) - 2, 1):len(ord_d)], ',')
+        |    AS small3,
+        |  array_to_string(ord_s[1:2], ',') AS first2,
+        |  array_to_string(
+        |    ord_s[greatest(len(ord_s) - 1, 1):len(ord_s)], ',')
+        |    AS last2
+        |FROM g ORDER BY _id""".stripMargin,
     // the aggregate-expression form answers the SAME query — shared text
     "kmv_agg_native" -> sketchDistinctSql,
     "sketch_distinct" -> sketchDistinctSql,
@@ -4131,6 +4181,7 @@ object Relational {
     "sql_tpch_q17" -> (sqlTpchQ17 _),
     "sketch_distinct" -> (sketchDistinct _),
     "kmv_agg_native" -> (kmvAggNative _),
+    "mql_pipeline_topn" -> (mqlPipelineTopN _),
     "bloom_join" -> (bloomJoin _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),

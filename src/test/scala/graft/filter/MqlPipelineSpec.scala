@@ -1180,6 +1180,44 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(bad.getMessage.contains("unknown pipeline variable"))
   }
 
+  test("$topN/$bottomN/$firstN/$lastN: own-sortBy vs pipeline order, " +
+      "groups smaller than n return what exists, validation is loud") {
+    val got = run(
+      """[
+        | {"$sort": {"id": 1}},
+        | {"$group": {"_id": "$grp",
+        |   "top2": {"$topN": {"n": 2, "sortBy": {"v": -1},
+        |            "output": {"$toLong": "$v"}}},
+        |   "bot2": {"$bottomN": {"n": 2, "sortBy": {"v": -1},
+        |            "output": {"$toLong": "$v"}}},
+        |   "f2": {"$firstN": {"n": 2, "input": {"$toLong": "$v"}}},
+        |   "l2": {"$lastN": {"n": 2, "input": {"$toLong": "$v"}}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1),
+        r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4))).toSeq
+    assert(got == Seq(
+      // grp a: v 10,20 -> top2 desc (20,10); bottom2 of desc = (20,10);
+      // first/last by id order
+      ("a", Seq(20L, 10L), Seq(20L, 10L), Seq(10L, 20L), Seq(10L, 20L)),
+      ("b", Seq(7L, 5L), Seq(7L, 5L), Seq(5L, 7L), Seq(5L, 7L)),
+      // grp c: single member, n=2 -> singleton arrays, no padding
+      ("c", Seq(100L), Seq(100L), Seq(100L), Seq(100L))), got.toString)
+    val noSort = intercept[Exception] {
+      run("""[{"$group": {"_id": "$grp",
+            |  "f": {"$firstN": {"n": 2, "input": "$v"}}}}]""".stripMargin)
+        .collect()
+    }
+    assert(noSort.getMessage.contains("requires a prior $sort"),
+      noSort.getMessage)
+    val badN = intercept[Exception] {
+      run("""[{"$sort": {"id": 1}}, {"$group": {"_id": "$grp",
+            |  "t": {"$topN": {"n": 0, "sortBy": {"v": 1},
+            |        "output": "$v"}}}}]""".stripMargin).collect()
+    }
+    assert(badN.getMessage.contains("must be positive"), badN.getMessage)
+  }
+
   test("set operators: canonical ascending order, distinct elements, " +
       "numeric bracket over VARIANT arrays") {
     val got = runArr(
