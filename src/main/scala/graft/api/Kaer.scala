@@ -178,6 +178,152 @@ final class KaerSession(
   * simultaneously the document store and the "index".
   */
 object Collection {
+
+  /** Apply a literal update document to a metadata JSON string —
+    * shared by the distributed rewrite (updateWhere's per-row UDF)
+    * and the driver-side upsert insert path. `$setOnInsert` is a
+    * NO-OP here (it applies only when a document is being CREATED —
+    * the upsert path folds it into $set before calling). */
+  private[api] def applyUpdateOps(meta: String,
+      updateJson: String): String = {
+      // per-executor static mapper (Collection.udfMapper) — constructing
+      // an ObjectMapper per row would dominate a large rewrite
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val m = Collection.udfMapper
+      val base = if (meta == null || meta.trim.isEmpty) m.createObjectNode()
+      else m.readTree(meta) match {
+        case o: ObjectNode => o
+        case _ => m.createObjectNode()
+      }
+      val ops = m.readTree(updateJson).asInstanceOf[ObjectNode]
+      Option(ops.get("$set")).foreach { s =>
+        base.setAll[com.fasterxml.jackson.databind.JsonNode](
+          s.asInstanceOf[ObjectNode])
+      }
+      Option(ops.get("$inc")).foreach { inc =>
+        inc.properties().forEach { e =>
+          val cur = base.get(e.getKey)
+          val d = e.getValue
+          if (cur == null || cur.isNull) base.set(e.getKey, d)
+          else if (!cur.isNumber)
+            throw new IllegalArgumentException(
+              s"$$inc on non-numeric field '${e.getKey}': $cur")
+          else if (cur.isIntegralNumber && d.isIntegralNumber)
+            base.put(e.getKey, cur.asLong() + d.asLong())
+          else base.put(e.getKey, cur.asDouble() + d.asDouble())
+        }
+      }
+      Option(ops.get("$unset")).foreach { u =>
+        u.properties().forEach(e => base.remove(e.getKey))
+      }
+      // $min/$max keep the smaller/larger of current and operand
+      // (missing field: operand wins — Mongo); $mul multiplies (missing
+      // field → 0, Mongo's convention), integral×integral stays
+      // integral like $inc. Non-numeric current values fail loudly.
+      Seq("$min", "$max", "$mul").foreach { opName =>
+        Option(ops.get(opName)).foreach { o =>
+          o.properties().forEach { e =>
+            val cur = base.get(e.getKey)
+            val d = e.getValue
+            if (!d.isNumber) throw new IllegalArgumentException(
+              s"$opName operand must be numeric: $d")
+            if (cur == null || cur.isNull) {
+              if (opName == "$mul")
+                base.put(e.getKey, 0L) // Mongo: missing × x = 0
+              else base.set[com.fasterxml.jackson.databind.JsonNode](
+                e.getKey, d)
+            } else if (!cur.isNumber)
+              throw new IllegalArgumentException(
+                s"$opName on non-numeric field '${e.getKey}': $cur")
+            else (opName, cur.isIntegralNumber && d.isIntegralNumber) match {
+              case ("$min", true) =>
+                base.put(e.getKey, math.min(cur.asLong(), d.asLong()))
+              case ("$min", false) =>
+                base.put(e.getKey, math.min(cur.asDouble(), d.asDouble()))
+              case ("$max", true) =>
+                base.put(e.getKey, math.max(cur.asLong(), d.asLong()))
+              case ("$max", false) =>
+                base.put(e.getKey, math.max(cur.asDouble(), d.asDouble()))
+              case ("$mul", true) =>
+                base.put(e.getKey, cur.asLong() * d.asLong())
+              case _ =>
+                base.put(e.getKey, cur.asDouble() * d.asDouble())
+            }
+          }
+        }
+      }
+      import com.fasterxml.jackson.databind.JsonNode
+      import com.fasterxml.jackson.databind.node.ArrayNode
+      import scala.jdk.CollectionConverters._
+      // operand → the values to append: {$each: [...]} or a single value
+      def pushVals(v: JsonNode): Seq[JsonNode] =
+        if (v.isObject && v.size() == 1 && v.has("$each")) {
+          val each = v.get("$each")
+          require(each.isArray, s"$$each operand must be an array: $each")
+          each.elements().asScala.toSeq
+        } else Seq(v)
+      // the field's array node, created when missing; loud on non-array
+      def arrayAt(op: String, f: String): ArrayNode =
+        base.get(f) match {
+          case null => base.putArray(f)
+          case n if n.isNull => base.putArray(f)
+          case a: ArrayNode => a
+          case other => throw new IllegalArgumentException(
+            s"$op on non-array field '$f': $other")
+        }
+      Option(ops.get("$push")).foreach { p =>
+        p.properties().forEach { e =>
+          val arr = arrayAt("$push", e.getKey)
+          pushVals(e.getValue).foreach(arr.add)
+        }
+      }
+      Option(ops.get("$addToSet")).foreach { p =>
+        p.properties().forEach { e =>
+          val arr = arrayAt("$addToSet", e.getKey)
+          pushVals(e.getValue).foreach { v =>
+            if (!arr.elements().asScala.contains(v)) arr.add(v)
+          }
+        }
+      }
+      Option(ops.get("$pull")).foreach { p =>
+        p.properties().forEach { e =>
+          base.get(e.getKey) match {
+            case a: ArrayNode =>
+              val kept = a.elements().asScala.filterNot(_ == e.getValue)
+                .toSeq
+              val na = m.createArrayNode()
+              kept.foreach(na.add)
+              base.set[JsonNode](e.getKey, na)
+            case null => () // missing: no-op (Mongo)
+            case n if n.isNull => ()
+            case other => throw new IllegalArgumentException(
+              s"$$pull on non-array field '${e.getKey}': $other")
+          }
+        }
+      }
+      Option(ops.get("$pop")).foreach { p =>
+        p.properties().forEach { e =>
+          base.get(e.getKey) match {
+            case a: ArrayNode if a.size() > 0 =>
+              if (e.getValue.asInt() == -1) a.remove(0)
+              else a.remove(a.size() - 1) // Mongo: 1 pops last, -1 first
+            case a: ArrayNode => () // empty array: no-op
+            case null => ()
+            case n if n.isNull => ()
+            case other => throw new IllegalArgumentException(
+              s"$$pop on non-array field '${e.getKey}': $other")
+          }
+        }
+      }
+      Option(ops.get("$rename")).foreach { r =>
+        r.properties().forEach { e =>
+          val v = base.remove(e.getKey)
+          if (v != null) base.set[JsonNode](e.getValue.asText(), v)
+        }
+      }
+      m.writeValueAsString(base)
+  }
+
   /** Executor-static Jackson mapper for the update-merge UDF (one per
     * JVM, not per row — ObjectMapper construction is expensive). */
   private[api] lazy val udfMapper = new ObjectMapper()
@@ -570,6 +716,58 @@ final class Collection(
     * and embeddings untouched. The merge is a per-row JSON transform
     * off the hot query path — maintenance ops trade codegen for exact
     * JSON semantics. */
+  /** Mongo upsert: run the update; when NOTHING matched, create the
+    * document — metadata seeded from the filter's top-level EQUALITY
+    * conditions (`{f: lit}` / `{f: {$eq: lit}}` — Mongo's seeding
+    * rule), then the update operators applied to that seed with
+    * `$setOnInsert` folded into `$set` (it fires exactly because this
+    * is the insert branch). The new row inserts through the normal
+    * embed/append path (empty document text — a metadata-only doc,
+    * the Mongo shape). Returns matched count (0 ⇒ one doc inserted).
+    * Literal update documents only — pipeline-form upsert is loud. */
+  def updateDoc(filterJson: String, updateJson: String,
+      upsert: Boolean): Long = {
+    val matched = updateDoc(filterJson, updateJson)
+    if (matched > 0 || !upsert) return matched
+    require(!updateJson.trim.startsWith("["),
+      "upsert with an update PIPELINE is not supported")
+    val m = Collection.udfMapper
+    val seed = m.createObjectNode()
+    val f = m.readTree(filterJson)
+    require(f.isObject, s"upsert filter must be an object: $filterJson")
+    f.properties().forEach { e =>
+      if (!e.getKey.startsWith("$")) {
+        val v = e.getValue
+        if (v.isObject) {
+          if (v.properties().size() == 1 && v.has("$eq"))
+            seed.set[com.fasterxml.jackson.databind.JsonNode](
+              e.getKey, v.get("$eq"))
+        } else seed.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, v)
+      }
+    }
+    // fold $setOnInsert into $set — the insert branch is the one place
+    // it applies
+    val ops = m.readTree(updateJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    Option(ops.remove("$setOnInsert")).foreach { soi =>
+      val set = Option(ops.get("$set")) match {
+        case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+        case _ =>
+          val o = m.createObjectNode(); ops.set("$set", o); o
+      }
+      soi.properties().forEach(e =>
+        set.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, e.getValue))
+    }
+    val metaJson = Collection.applyUpdateOps(
+      m.writeValueAsString(seed), m.writeValueAsString(ops))
+    import spark.implicits._
+    insertDF(Seq(("", metaJson))
+      .toDF(Schema.DocCol, Schema.MetaCol))
+    0L
+  }
+
   def updateDoc(filterJson: String, updateJson: String): Long = {
     if (!hasData) return 0L
     val pred = coalesce(MqlFilter.toColumn(filterJson,
@@ -664,7 +862,7 @@ final class Collection(
       s"update document must be a non-empty object: $updateJson")
     opsNode.properties().forEach { e =>
       require(Seq("$set", "$inc", "$unset", "$min", "$max", "$mul",
-        "$push", "$addToSet", "$pull", "$pop", "$rename")
+        "$push", "$addToSet", "$pull", "$pop", "$rename", "$setOnInsert")
         .contains(e.getKey),
         s"unsupported update operator: ${e.getKey}")
       require(e.getValue.isObject,
@@ -680,143 +878,7 @@ final class Collection(
             s"$$pop operand must be 1 or -1: ${f.getValue}"))
     }
     val mergeUdf = udf { meta: String =>
-      // per-executor static mapper (Collection.udfMapper) — constructing
-      // an ObjectMapper per row would dominate a large rewrite
-      import com.fasterxml.jackson.databind.node.ObjectNode
-      val m = Collection.udfMapper
-      val base = if (meta == null || meta.trim.isEmpty) m.createObjectNode()
-      else m.readTree(meta) match {
-        case o: ObjectNode => o
-        case _ => m.createObjectNode()
-      }
-      val ops = m.readTree(updateJson).asInstanceOf[ObjectNode]
-      Option(ops.get("$set")).foreach { s =>
-        base.setAll[com.fasterxml.jackson.databind.JsonNode](
-          s.asInstanceOf[ObjectNode])
-      }
-      Option(ops.get("$inc")).foreach { inc =>
-        inc.properties().forEach { e =>
-          val cur = base.get(e.getKey)
-          val d = e.getValue
-          if (cur == null || cur.isNull) base.set(e.getKey, d)
-          else if (!cur.isNumber)
-            throw new IllegalArgumentException(
-              s"$$inc on non-numeric field '${e.getKey}': $cur")
-          else if (cur.isIntegralNumber && d.isIntegralNumber)
-            base.put(e.getKey, cur.asLong() + d.asLong())
-          else base.put(e.getKey, cur.asDouble() + d.asDouble())
-        }
-      }
-      Option(ops.get("$unset")).foreach { u =>
-        u.properties().forEach(e => base.remove(e.getKey))
-      }
-      // $min/$max keep the smaller/larger of current and operand
-      // (missing field: operand wins — Mongo); $mul multiplies (missing
-      // field → 0, Mongo's convention), integral×integral stays
-      // integral like $inc. Non-numeric current values fail loudly.
-      Seq("$min", "$max", "$mul").foreach { opName =>
-        Option(ops.get(opName)).foreach { o =>
-          o.properties().forEach { e =>
-            val cur = base.get(e.getKey)
-            val d = e.getValue
-            if (!d.isNumber) throw new IllegalArgumentException(
-              s"$opName operand must be numeric: $d")
-            if (cur == null || cur.isNull) {
-              if (opName == "$mul")
-                base.put(e.getKey, 0L) // Mongo: missing × x = 0
-              else base.set[com.fasterxml.jackson.databind.JsonNode](
-                e.getKey, d)
-            } else if (!cur.isNumber)
-              throw new IllegalArgumentException(
-                s"$opName on non-numeric field '${e.getKey}': $cur")
-            else (opName, cur.isIntegralNumber && d.isIntegralNumber) match {
-              case ("$min", true) =>
-                base.put(e.getKey, math.min(cur.asLong(), d.asLong()))
-              case ("$min", false) =>
-                base.put(e.getKey, math.min(cur.asDouble(), d.asDouble()))
-              case ("$max", true) =>
-                base.put(e.getKey, math.max(cur.asLong(), d.asLong()))
-              case ("$max", false) =>
-                base.put(e.getKey, math.max(cur.asDouble(), d.asDouble()))
-              case ("$mul", true) =>
-                base.put(e.getKey, cur.asLong() * d.asLong())
-              case _ =>
-                base.put(e.getKey, cur.asDouble() * d.asDouble())
-            }
-          }
-        }
-      }
-      import com.fasterxml.jackson.databind.JsonNode
-      import com.fasterxml.jackson.databind.node.ArrayNode
-      import scala.jdk.CollectionConverters._
-      // operand → the values to append: {$each: [...]} or a single value
-      def pushVals(v: JsonNode): Seq[JsonNode] =
-        if (v.isObject && v.size() == 1 && v.has("$each")) {
-          val each = v.get("$each")
-          require(each.isArray, s"$$each operand must be an array: $each")
-          each.elements().asScala.toSeq
-        } else Seq(v)
-      // the field's array node, created when missing; loud on non-array
-      def arrayAt(op: String, f: String): ArrayNode =
-        base.get(f) match {
-          case null => base.putArray(f)
-          case n if n.isNull => base.putArray(f)
-          case a: ArrayNode => a
-          case other => throw new IllegalArgumentException(
-            s"$op on non-array field '$f': $other")
-        }
-      Option(ops.get("$push")).foreach { p =>
-        p.properties().forEach { e =>
-          val arr = arrayAt("$push", e.getKey)
-          pushVals(e.getValue).foreach(arr.add)
-        }
-      }
-      Option(ops.get("$addToSet")).foreach { p =>
-        p.properties().forEach { e =>
-          val arr = arrayAt("$addToSet", e.getKey)
-          pushVals(e.getValue).foreach { v =>
-            if (!arr.elements().asScala.contains(v)) arr.add(v)
-          }
-        }
-      }
-      Option(ops.get("$pull")).foreach { p =>
-        p.properties().forEach { e =>
-          base.get(e.getKey) match {
-            case a: ArrayNode =>
-              val kept = a.elements().asScala.filterNot(_ == e.getValue)
-                .toSeq
-              val na = m.createArrayNode()
-              kept.foreach(na.add)
-              base.set[JsonNode](e.getKey, na)
-            case null => () // missing: no-op (Mongo)
-            case n if n.isNull => ()
-            case other => throw new IllegalArgumentException(
-              s"$$pull on non-array field '${e.getKey}': $other")
-          }
-        }
-      }
-      Option(ops.get("$pop")).foreach { p =>
-        p.properties().forEach { e =>
-          base.get(e.getKey) match {
-            case a: ArrayNode if a.size() > 0 =>
-              if (e.getValue.asInt() == -1) a.remove(0)
-              else a.remove(a.size() - 1) // Mongo: 1 pops last, -1 first
-            case a: ArrayNode => () // empty array: no-op
-            case null => ()
-            case n if n.isNull => ()
-            case other => throw new IllegalArgumentException(
-              s"$$pop on non-array field '${e.getKey}': $other")
-          }
-        }
-      }
-      Option(ops.get("$rename")).foreach { r =>
-        r.properties().forEach { e =>
-          val v = base.remove(e.getKey)
-          if (v != null) base.set[JsonNode](e.getValue.asText(), v)
-        }
-      }
-      m.writeValueAsString(base)
-    }
+      Collection.applyUpdateOps(meta, updateJson) }
     val updated = df.filter(pred).count()
     if (updated > 0L) {
       rewriteData(df.withColumn(Schema.MetaCol,

@@ -1225,9 +1225,26 @@ object MqlPipeline {
       if (n.isNumber) lit(n.asDouble())
       else if (n.isTextual && n.asText().startsWith("$"))
         numRef(n.asText().drop(1))
-      else if (n.isObject)
-        computeExprRes(n, metaCol, cur, res, env).cast("double")
-      else throw new IllegalArgumentException(s"not numeric: $n")
+      else if (n.isObject) {
+        // $ifNull/$cond in NUMERIC position: push the numeric view
+        // into the branches — the generic value path resolves `$field`
+        // through the string bracket, which is null for a VARIANT
+        // number (so `{$toLong: {$ifNull: ["$a", 0]}}` silently took
+        // the fallback for present numeric fields)
+        val e = n.properties().asScala.headOption
+        e match {
+          case Some(p) if p.getKey == "$ifNull" &&
+              n.properties().size() == 1 =>
+            val Seq(a, b) = args(p.getValue)
+            coalesce(numOf(a), numOf(b))
+          case Some(p) if p.getKey == "$cond" &&
+              n.properties().size() == 1 =>
+            val Seq(i, t, f) = args(p.getValue)
+            when(boolOf(i), numOf(t)).otherwise(numOf(f))
+          case _ =>
+            computeExprRes(n, metaCol, cur, res, env).cast("double")
+        }
+      } else throw new IllegalArgumentException(s"not numeric: $n")
     def strOf(n: JsonNode): Column =
       if (n.isTextual && n.asText().startsWith("$")) {
         val f = n.asText().drop(1)

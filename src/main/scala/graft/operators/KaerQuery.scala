@@ -137,6 +137,42 @@ object KaerQuery {
         |]""".stripMargin)
   }
 
+  /** Mongo upsert under the oracle gate: a MATCHING upsert behaves as
+    * a plain update ($setOnInsert ignored), a NON-matching upsert
+    * creates the document — metadata seeded from the filter's equality
+    * conditions, $inc from absent (→ the increment), $setOnInsert
+    * fired. The aggregation projects both populations under one oracle
+    * (source rows + the one synthesized row). */
+  def upsertGate(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaerups", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    // matching: update fires, $setOnInsert must NOT
+    coll.updateDoc("""{"lang": {"$eq": "en"}}""",
+      """{"$set": {"seen": 1}, "$setOnInsert": {"origin": "insert"}}""",
+      upsert = true)
+    // no match: seeds {lang: "xx", doc_id: 999999}, $inc from absent,
+    // $setOnInsert fires
+    coll.updateDoc("""{"lang": "xx", "doc_id": {"$eq": 999999}}""",
+      """{"$inc": {"hits": 5}, "$setOnInsert": {"origin": "insert"}}""",
+      upsert = true)
+    k.aggregate("docs",
+      """[
+        | {"$project": {"did": {"$toLong": "$doc_id"}, "lang": 1,
+        |   "seen": {"$toLong": {"$ifNull": ["$seen", 0]}},
+        |   "hits": {"$toLong": {"$ifNull": ["$hits", 0]}},
+        |   "origin": {"$ifNull": ["$origin", "none"]}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+  }
+
   /** Array update operators under the oracle gate: insert docs whose
     * metadata carries a `tags` array → $push (filtered), $addToSet
     * (set-semantics append), $pull (structural-equality removal,
@@ -288,6 +324,15 @@ object KaerQuery {
         |FROM documents
         |WHERE lang <> 'de'
         |ORDER BY did""".stripMargin,
+    "kaer_upsert" ->
+      """SELECT doc_id AS did, lang,
+        |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |    AS seen,
+        |  CAST(0 AS BIGINT) AS hits, 'none' AS origin
+        |FROM documents
+        |UNION ALL
+        |SELECT 999999, 'xx', 0, 5, 'insert'
+        |ORDER BY did""".stripMargin,
     "kaer_update_array" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars, [lang, source] AS tags
@@ -312,6 +357,7 @@ object KaerQuery {
     "kaer_query_indexed" -> (flagshipIndexed _),
     "kaer_aggregate" -> (aggregateGroup _),
     "kaer_delete_update" -> (deleteUpdate _),
-    "kaer_update_array" -> (updateArray _)
+    "kaer_update_array" -> (updateArray _),
+    "kaer_upsert" -> (upsertGate _)
   )
 }

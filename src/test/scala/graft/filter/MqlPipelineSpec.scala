@@ -1218,6 +1218,22 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(badN.getMessage.contains("must be positive"), badN.getMessage)
   }
 
+  test("$toLong($ifNull)/$toLong($cond) keep present VARIANT numbers — " +
+      "the numeric view pushes into the branches") {
+    val d = Seq((1L, """{"a": 7, "b": 2}"""), (2L, """{"b": 3}"""))
+      .toDF("id", "meta")
+    val got = MqlPipeline.aggregate(d, col("meta"),
+      """[{"$project": {
+        |  "v": {"$toLong": {"$ifNull": ["$a", 0]}},
+        |  "c": {"$toLong": {"$cond": [{"$gte": ["$b", 3]}, "$b", "$a"]}}}},
+        | {"$sort": {"v": -1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // row 1: a present -> 7 (NOT the fallback); cond false -> $a = 7
+    // row 2: a absent -> 0; cond true -> $b = 3
+    assert(got == Seq((7L, 7L), (0L, 3L)), got.toString)
+  }
+
   test("set operators: canonical ascending order, distinct elements, " +
       "numeric bracket over VARIANT arrays") {
     val got = runArr(
