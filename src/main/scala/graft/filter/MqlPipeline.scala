@@ -232,12 +232,9 @@ object MqlPipeline {
           // Re-nesting groups by ALL current columns — callers need a
           // unique key column in the frame (collections carry _m_id).
           require(!grouped, "$lookup after $group unsupported")
-          val req = Seq("from", "localField", "foreignField", "as")
-          require(req.forall(spec.has),
-            s"$$lookup needs {${req.mkString(", ")}}: $spec")
+          require(spec.has("from") && spec.has("as"),
+            s"$$lookup needs from + as: $spec")
           val from = spec.get("from").asText()
-          val lf = spec.get("localField").asText()
-          val ff = spec.get("foreignField").asText()
           val as = spec.get("as").asText()
           val (fdf, fmeta) = lookup(from)
           def bracketKey(r: MqlFilter.JsonResolver, f: String): Column =
@@ -245,12 +242,98 @@ object MqlPipeline {
               concat(lit("n:"), r.num(f).cast("string")),
               concat(lit("s:"), r.str(f)))
           val fres = MqlFilter.JsonResolver(fmeta)
-          val f2 = fdf.select(fmeta.as("__f_meta"),
-            bracketKey(fres, ff).as("__f_key"))
           val lres = MqlFilter.JsonResolver(meta)
           val leftCols = cur.columns.map(col)
-          cur = cur.join(f2, bracketKey(lres, lf) === col("__f_key"),
-              "left")
+          // the correlated form: {from, let: {v: "$localPath"},
+          // pipeline: [{$match: {$expr: ...}} | {$match: <plain MQL>}],
+          // as}. Scope (loud otherwise): the $expr is an equality (or
+          // $and of equalities) between a `$$let-var` and a foreign
+          // `$field` — each becomes a type-tagged equi-join key (the
+          // same hashable bracket as the classic form — a general
+          // correlated predicate would nested-loop); plain $match
+          // stages are UNcorrelated and commute with the join, so they
+          // pre-filter the foreign side.
+          val keyPairs: Seq[(String, String)] =
+            if (spec.has("let") || spec.has("pipeline")) {
+              require(spec.has("let") && spec.has("pipeline"),
+                s"$$lookup let/pipeline travel together: $spec")
+              val lets = spec.get("let").properties().asScala.map { e =>
+                val v = e.getValue
+                require(v.isTextual && v.asText().startsWith("$") &&
+                  !v.asText().startsWith("$$"),
+                  s"$$lookup let value must be a '$$localField' path: $v")
+                e.getKey -> v.asText().drop(1)
+              }.toMap
+              val pairs = scala.collection.mutable.Buffer
+                .empty[(String, String)]
+              spec.get("pipeline").elements().asScala.foreach { st =>
+                require(st.isObject && st.properties().size() == 1 &&
+                  st.has("$match"),
+                  s"$$lookup sub-pipeline supports $$match stages only: " +
+                    st)
+                val mm = st.get("$match")
+                if (mm.has("$expr")) {
+                  require(mm.properties().size() == 1,
+                    s"correlated $$match must be {$$expr: ...}: $mm")
+                  val ex = mm.get("$expr")
+                  def eqPair(eq: JsonNode): Unit = {
+                    require(eq.isObject && eq.has("$eq"),
+                      s"$$lookup $$expr supports $$eq (or $$and of " +
+                        s"them): $eq")
+                    val Seq(a, b) = eq.get("$eq").elements().asScala.toSeq
+                    def varOf(n: JsonNode): Option[String] =
+                      if (n.isTextual && n.asText().startsWith("$$"))
+                        Some(n.asText().drop(2)) else None
+                    def fieldOf(n: JsonNode): Option[String] =
+                      if (n.isTextual && n.asText().startsWith("$") &&
+                        !n.asText().startsWith("$$"))
+                        Some(n.asText().drop(1)) else None
+                    (varOf(a), fieldOf(b), varOf(b), fieldOf(a)) match {
+                      case (Some(v), Some(f), _, _) =>
+                        pairs += ((lets.getOrElse(v, sys.error(
+                          s"unknown $$lookup let variable: $v")), f))
+                      case (_, _, Some(v), Some(f)) =>
+                        pairs += ((lets.getOrElse(v, sys.error(
+                          s"unknown $$lookup let variable: $v")), f))
+                      case _ => throw new IllegalArgumentException(
+                        s"$$lookup $$eq must pair a $$$$let-var with a " +
+                          s"foreign $$field: $eq")
+                    }
+                  }
+                  if (ex.isObject && ex.has("$and"))
+                    ex.get("$and").elements().asScala.foreach(eqPair)
+                  else eqPair(ex)
+                } else () // plain MQL $match — applied below
+              }
+              require(pairs.nonEmpty,
+                "$lookup pipeline needs a correlated {$match: {$expr}}")
+              pairs.toSeq
+            } else {
+              val req = Seq("localField", "foreignField")
+              require(req.forall(spec.has),
+                s"$$lookup needs {localField, foreignField} (or " +
+                  s"let/pipeline): $spec")
+              Seq((spec.get("localField").asText(),
+                spec.get("foreignField").asText()))
+            }
+          // uncorrelated sub-pipeline $match stages pre-filter fdf
+          val fdf2 =
+            if (spec.has("pipeline"))
+              spec.get("pipeline").elements().asScala
+                .filter(st => !st.get("$match").has("$expr"))
+                .foldLeft(fdf) { (d, st) =>
+                  d.filter(coalesce(MqlFilter.toColumn(
+                    st.get("$match").toString, fres), lit(false)))
+                }
+            else fdf
+          val fKeyCols = keyPairs.zipWithIndex.map { case ((_, ff), i) =>
+            bracketKey(fres, ff).as(s"__f_key$i")
+          }
+          val f2 = fdf2.select((fmeta.as("__f_meta") +: fKeyCols): _*)
+          val joinCond = keyPairs.zipWithIndex.map { case ((lf, _), i) =>
+            bracketKey(lres, lf) === col(s"__f_key$i")
+          }.reduce(_ && _)
+          cur = cur.join(f2, joinCond, "left")
             .groupBy(leftCols: _*)
             .agg(collect_list(col("__f_meta")).as(as))
 

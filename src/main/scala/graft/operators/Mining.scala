@@ -343,6 +343,42 @@ object Mining {
       .limit(20)
   }
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every forecasting
+    * pipeline must beat, evaluated honestly: forecast(hour h) =
+    * actual(h − 24) per event type, scored over the last
+    * [[BacktestHours]] hours of the corpus against both itself and the
+    * naive last-value forecast (= actual(h − 1)). Counts are exact
+    * LONGs; the MAE numerator/denominator emit as integers (no float
+    * division — consumers divide at display time).
+    *
+    * Scale: one (type, hour) aggregation (map-side combinable), two
+    * self-joins on the tiny hour-keyed table (O(types × hours)) — the
+    * fact pass is the groupBy; nothing rescans events. Missing base
+    * hours (gaps) drop from the scored pairs — count scored pairs
+    * explicitly so the denominator is honest. */
+  def tsForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Relational.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000")
+        .as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+    val hmax = hourly.agg(max(col("h")).as("hm"))
+    val eval = hourly.crossJoin(broadcast(hmax))
+      .filter(col("h") > col("hm") - BacktestHours)
+    val seasonal = hourly.select(col("event_type"),
+      (col("h") + 24).as("h"), col("c").as("f_seasonal"))
+    val naive = hourly.select(col("event_type"),
+      (col("h") + 1).as("h"), col("c").as("f_naive"))
+    eval.join(seasonal, Seq("event_type", "h"))
+      .join(naive, Seq("event_type", "h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("c") - col("f_seasonal"))).as("ae_seasonal"),
+        sum(abs(col("c") - col("f_naive"))).as("ae_naive"))
+      .orderBy("event_type")
+  }
+
+  private val BacktestHours = 168 // one week
+
   // -------------------------------------------------------------------
   // Label-propagation communities
   // -------------------------------------------------------------------
@@ -522,6 +558,19 @@ object Mining {
         |       ((c1::HUGEINT + c2) * n1 * n2) AS BIGINT) AS chi_ppm
         |FROM c, tot
         |ORDER BY chi_ppm DESC, word LIMIT 20""".stripMargin,
+    "ts_forecast_backtest" ->
+      """WITH hc AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |hm AS (SELECT max(h) AS hm FROM hc),
+        |ev AS (SELECT hc.* FROM hc, hm WHERE h > hm - 168)
+        |SELECT ev.event_type, count(*) AS n_scored,
+        |  CAST(sum(abs(ev.c - s.c)) AS BIGINT) AS ae_seasonal,
+        |  CAST(sum(abs(ev.c - n.c)) AS BIGINT) AS ae_naive
+        |FROM ev
+        |JOIN hc s ON s.event_type = ev.event_type AND s.h = ev.h - 24
+        |JOIN hc n ON n.event_type = ev.event_type AND n.h = ev.h - 1
+        |GROUP BY 1 ORDER BY ev.event_type""".stripMargin,
     "graph_lpa" -> {
       def round(i: Int): String = {
         val prev = s"l${i - 1}"
@@ -552,6 +601,7 @@ object Mining {
     "item_similarity" -> (itemSimilarity _),
     "events_ohlc" -> (eventsOhlc _),
     "revenue_pareto" -> (revenuePareto _),
+    "ts_forecast_backtest" -> (tsForecastBacktest _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),

@@ -2652,6 +2652,38 @@ object Relational {
       })
   }
 
+  /** The CORRELATED $lookup form under the gate ({let, pipeline} —
+    * Mongo's general lookup): the correlated `$expr` equality becomes
+    * the type-tagged equi-join key (hashable — a general correlated
+    * predicate would nested-loop), and the uncorrelated $match in the
+    * sub-pipeline pre-filters the foreign side before the join (it
+    * commutes — the oracle proves the factoring). */
+  def mqlLookupLet(s: SparkSession, dir: String): DataFrame = {
+    val local = t(s, dir, "documents")
+      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
+    val foreign = t(s, dir, "documents")
+      .filter(col("lang").isin("en", "fr", "de"))
+      .select(col("lang"), col("source")).distinct()
+      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
+    graft.filter.MqlPipeline.aggregate(
+      local, col("meta"),
+      """[
+        | {"$lookup": {"from": "langsrc",
+        |   "let": {"l": "$lang"},
+        |   "pipeline": [
+        |     {"$match": {"source": {"$gte": "src12"}}},
+        |     {"$match": {"$expr": {"$eq": ["$$l", "$lang"]}}}],
+        |   "as": "matches"}},
+        | {"$unwind": "$matches"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "langsrc", s"unknown collection: $name")
+        (foreign, col("fmeta"))
+      })
+  }
+
   /** Array expression operators under the gate ($size/$arrayElemAt over
     * a variable-length metadata array): long docs carry a third tag, so
     * the count and the negative-index (last-element) access genuinely
@@ -3610,6 +3642,13 @@ object Relational {
         |WHERE regexp_matches(source, '(?i)^SRC1$')
         |  AND NOT regexp_matches(lang, '(?i)^E')
         |ORDER BY doc_id""".stripMargin,
+    "mql_lookup_let" ->
+      """WITH f AS (SELECT DISTINCT lang, source FROM documents
+        |  WHERE lang IN ('en', 'fr', 'de')),
+        |f2 AS (SELECT * FROM f WHERE source >= 'src12')
+        |SELECT d.lang AS _id, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN f2 ON f2.lang = d.lang
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
     "mql_lookup" ->
       """SELECT d.lang AS _id, count(*) AS n
         |FROM documents d
@@ -4136,6 +4175,7 @@ object Relational {
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
+    "mql_lookup_let" -> (mqlLookupLet _),
     "mql_stddev" -> (mqlStddev _),
     "mql_merge" -> (mqlMerge _),
     "mql_array_expr" -> (mqlArrayExpr _),

@@ -1218,6 +1218,43 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(badN.getMessage.contains("must be positive"), badN.getMessage)
   }
 
+  test("$lookup let/pipeline: both $eq operand orders join, the " +
+      "uncorrelated $match pre-filters, unknown vars and non-equality " +
+      "$expr are loud") {
+    val local = Seq((1L, """{"g": "a"}"""), (2L, """{"g": "b"}"""))
+      .toDF("id", "meta")
+    val foreign = Seq("""{"g": "a", "v": 1}""", """{"g": "a", "v": 2}""",
+      """{"g": "b", "v": 9}""").toDF("fmeta")
+    def runl(p: String) = MqlPipeline.aggregate(local, col("meta"), p,
+      _ => (foreign, col("fmeta")))
+    val out = runl(
+      """[
+        | {"$lookup": {"from": "f", "let": {"x": "$g"},
+        |   "pipeline": [
+        |     {"$match": {"v": {"$lt": 9}}},
+        |     {"$match": {"$expr": {"$eq": ["$g", "$$x"]}}}],
+        |   "as": "m"}},
+        | {"$project": {"id": 1, "n": {"$size": "$m"}}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // group a: two rows v<9; group b: its only row filtered out
+    assert(out == Seq((1L, 2L), (2L, 0L)), out.toString)
+    val badVar = intercept[Exception] {
+      runl("""[{"$lookup": {"from": "f", "let": {"x": "$g"},
+            |  "pipeline": [{"$match": {"$expr": {"$eq": ["$$y", "$g"]}}}],
+            |  "as": "m"}}]""".stripMargin).collect()
+    }
+    assert(badVar.getMessage.contains("unknown $lookup let variable"),
+      badVar.getMessage)
+    val badExpr = intercept[Exception] {
+      runl("""[{"$lookup": {"from": "f", "let": {"x": "$g"},
+            |  "pipeline": [{"$match": {"$expr": {"$gt": ["$$x", "$g"]}}}],
+            |  "as": "m"}}]""".stripMargin).collect()
+    }
+    assert(badExpr.getMessage.contains("$eq"), badExpr.getMessage)
+  }
+
   test("$toLong($ifNull)/$toLong($cond) keep present VARIANT numbers — " +
       "the numeric view pushes into the branches") {
     val d = Seq((1L, """{"a": 7, "b": 2}"""), (2L, """{"b": 3}"""))
