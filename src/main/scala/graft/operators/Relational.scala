@@ -1990,6 +1990,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** SQL DDL / catalog surface under the gate: CREATE TABLE (managed
+    * parquet), INSERT INTO ... SELECT, ALTER TABLE ADD COLUMNS, a
+    * second INSERT populating the widened schema, and the final
+    * read-back through the catalog — the session-catalog lifecycle a
+    * SQL user exercises before any query runs. The oracle rebuilds the
+    * same two-batch union arithmetically. Dropped and rebuilt each run
+    * (DDL is the operator under test); table names are
+    * per-invocation unique so concurrent sessions never collide. */
+  def sqlDdlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_ddl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView(s"${tbl}_src")
+    try {
+      s.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, cents BIGINT,
+               |  status STRING) USING parquet""".stripMargin)
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               |  o_orderstatus
+               |FROM ${tbl}_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (batch INT)")
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               |  o_orderstatus, 2
+               |FROM ${tbl}_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(s"""SELECT status, coalesce(batch, 1) AS batch,
+               |  count(*) AS n, sum(cents) AS total_cents
+               |FROM $tbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.catalog.dropTempView(s"${tbl}_src")
+    }
+  }
+
   /** The SAME KMV estimate through the native
     * [[graft.expr.KmvDistinctAgg]] TypedImperativeAggregate (the
     * production-sketch aggregation API: O(k) buffer per group, map-side
@@ -3203,6 +3236,14 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "sql_ddl_catalog" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS INT)
+        |    AS batch,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mql_pipeline_topn" ->
       // list(... ORDER BY) replicates the sorted-struct tie-break:
       // a DESC sortBy reverses BOTH the key and the output value
@@ -4222,6 +4263,7 @@ object Relational {
     "sketch_distinct" -> (sketchDistinct _),
     "kmv_agg_native" -> (kmvAggNative _),
     "mql_pipeline_topn" -> (mqlPipelineTopN _),
+    "sql_ddl_catalog" -> (sqlDdlCatalog _),
     "bloom_join" -> (bloomJoin _),
     "sql_tpch_q6" -> (sqlTpchQ6 _),
     "sql_tpch_q8" -> (sqlTpchQ8 _),
