@@ -343,6 +343,37 @@ object Mining {
       .limit(20)
   }
 
+  /** Schema validation over the VARIANT column — the semi-structured
+    * twin of the relational DQ rule catalog: per rule, rows checked
+    * and violations, in ONE fused conditional-aggregation scan (no
+    * per-rule pass). Rules: parseable object / key `k` present and
+    * numeric (text-extraction semantics mirrored in both engines) /
+    * `k` inside the contract range / no unexpected keys. Zero-violation
+    * rules emit PROVEN-zero rows — absence of evidence made explicit,
+    * the dq_checks stance. */
+  def dqJsonSchema(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.events(s, dir).select(col("props"))
+    val keys = json_object_keys(col("props"))
+    val kTxt = get_json_object(col("props"), "$.k")
+    val checks = Seq(
+      ("r1_object", keys.isNull),
+      ("r2_k_numeric", kTxt.isNull || expr(
+        "try_cast(get_json_object(props, '$.k') AS DOUBLE) IS NULL")),
+      ("r3_k_range", coalesce(
+        expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)")
+          >= 60.0, lit(false))),
+      ("r4_no_extra_keys",
+        coalesce(size(array_except(keys, array(lit("k")))) > 0,
+          lit(false))))
+    val agg = e.agg(count(lit(1)).as("n"),
+      checks.map { case (nm, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(nm) }: _*)
+    agg.selectExpr("stack(4, " + checks.map { case (nm, _) =>
+        s"'$nm', n, $nm" }.mkString(", ") +
+        ") AS (rule, n_checked, n_violations)")
+      .orderBy("rule")
+  }
+
   /** Seasonal-naive forecast BACKTEST — the baseline every forecasting
     * pipeline must beat, evaluated honestly: forecast(hour h) =
     * actual(h − 24) per event type, scored over the last
@@ -558,6 +589,34 @@ object Mining {
         |       ((c1::HUGEINT + c2) * n1 * n2) AS BIGINT) AS chi_ppm
         |FROM c, tot
         |ORDER BY chi_ppm DESC, word LIMIT 20""".stripMargin,
+    "dq_json_schema" ->
+      // engine-mirrored semantics: ->> is get_json_object's text
+      // extraction, so the numeric test is the same TRY_CAST in both
+      """WITH e AS (SELECT props,
+        |    NOT (json_valid(props) AND json_type(props) = 'OBJECT')
+        |      AS r1_object,
+        |    (props->>'k') IS NULL
+        |      OR TRY_CAST(props->>'k' AS DOUBLE) IS NULL
+        |      AS r2_k_numeric,
+        |    coalesce(TRY_CAST(props->>'k' AS DOUBLE) >= 60.0, false)
+        |      AS r3_k_range,
+        |    coalesce(len(list_filter(json_keys(props),
+        |      x -> x <> 'k')) > 0, false) AS r4_no_extra_keys
+        |  FROM events),
+        |a AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN r1_object THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN r2_k_numeric THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN r3_k_range THEN 1 ELSE 0 END) AS v3,
+        |    sum(CASE WHEN r4_no_extra_keys THEN 1 ELSE 0 END) AS v4
+        |  FROM e)
+        |SELECT r.rule, a.n AS n_checked,
+        |  CAST(CASE r.rule
+        |    WHEN 'r1_object' THEN v1 WHEN 'r2_k_numeric' THEN v2
+        |    WHEN 'r3_k_range' THEN v3 ELSE v4 END AS BIGINT)
+        |    AS n_violations
+        |FROM a, (SELECT unnest(['r1_object', 'r2_k_numeric',
+        |    'r3_k_range', 'r4_no_extra_keys']) AS rule) r
+        |ORDER BY rule""".stripMargin,
     "ts_forecast_backtest" ->
       """WITH hc AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS h, count(*) AS c
@@ -602,6 +661,7 @@ object Mining {
     "events_ohlc" -> (eventsOhlc _),
     "revenue_pareto" -> (revenuePareto _),
     "ts_forecast_backtest" -> (tsForecastBacktest _),
+    "dq_json_schema" -> (dqJsonSchema _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),
