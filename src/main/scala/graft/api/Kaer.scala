@@ -732,20 +732,40 @@ final class Collection(
     require(!updateJson.trim.startsWith("["),
       "upsert with an update PIPELINE is not supported")
     val m = Collection.udfMapper
+    // re-validate the operator set HERE: the 2-arg call short-circuits
+    // before validation on an EMPTY collection (hasData guard), and the
+    // insert branch must reject unknown operators exactly like the
+    // matched path does
+    val opsCheck = m.readTree(updateJson)
+    require(opsCheck.isObject && opsCheck.properties().size() > 0,
+      s"update document must be a non-empty object: $updateJson")
+    opsCheck.properties().forEach(e =>
+      require(Seq("$set", "$inc", "$unset", "$min", "$max", "$mul",
+        "$push", "$addToSet", "$pull", "$pop", "$rename", "$setOnInsert")
+        .contains(e.getKey),
+        s"unsupported update operator: ${e.getKey}"))
     val seed = m.createObjectNode()
     val f = m.readTree(filterJson)
     require(f.isObject, s"upsert filter must be an object: $filterJson")
-    f.properties().forEach { e =>
-      if (!e.getKey.startsWith("$")) {
-        val v = e.getValue
-        if (v.isObject) {
-          if (v.properties().size() == 1 && v.has("$eq"))
-            seed.set[com.fasterxml.jackson.databind.JsonNode](
-              e.getKey, v.get("$eq"))
-        } else seed.set[com.fasterxml.jackson.databind.JsonNode](
-          e.getKey, v)
+    // Mongo's seeding rule: top-level equality conditions, INCLUDING
+    // those inside a top-level $and (other operators don't seed)
+    def seedFrom(node: com.fasterxml.jackson.databind.JsonNode): Unit =
+      node.properties().forEach { e =>
+        if (e.getKey == "$and" && e.getValue.isArray) {
+          e.getValue.elements().forEachRemaining { sub =>
+            if (sub.isObject) seedFrom(sub)
+          }
+        } else if (!e.getKey.startsWith("$")) {
+          val v = e.getValue
+          if (v.isObject) {
+            if (v.properties().size() == 1 && v.has("$eq"))
+              seed.set[com.fasterxml.jackson.databind.JsonNode](
+                e.getKey, v.get("$eq"))
+          } else seed.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, v)
+        }
       }
-    }
+    seedFrom(f)
     // fold $setOnInsert into $set — the insert branch is the one place
     // it applies
     val ops = m.readTree(updateJson)

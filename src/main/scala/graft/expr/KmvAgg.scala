@@ -54,8 +54,16 @@ case class KmvDistinctAgg(child: Expression, k: Int,
 
   override def eval(b: java.util.TreeSet[java.lang.Long]): Any =
     if (b.size < k) b.size.toLong
-    else math.round((k - 1).toDouble * (1L << 60).toDouble /
-      b.last().doubleValue())
+    else {
+      // invariant: k >= 2 DISTINCT non-negative hashes ⇒ the largest
+      // retained value is > 0 (only one value can be zero) — guard the
+      // division anyway so a contract break fails loudly, not as
+      // round(Infinity)
+      require(b.last() > 0L,
+        s"graft_kmv: non-positive kth value ${b.last()} with k=$k")
+      math.round((k - 1).toDouble * (1L << 60).toDouble /
+        b.last().doubleValue())
+    }
 
   override def serialize(b: java.util.TreeSet[java.lang.Long])
       : Array[Byte] = {

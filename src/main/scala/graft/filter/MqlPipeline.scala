@@ -1318,12 +1318,16 @@ object MqlPipeline {
         e match {
           case Some(p) if p.getKey == "$ifNull" &&
               n.properties().size() == 1 =>
-            val Seq(a, b) = args(p.getValue)
-            coalesce(numOf(a), numOf(b))
+            val as = args(p.getValue)
+            require(as.size == 2,
+              s"$$ifNull takes exactly 2 arguments: ${p.getValue}")
+            coalesce(numOf(as(0)), numOf(as(1)))
           case Some(p) if p.getKey == "$cond" &&
               n.properties().size() == 1 =>
-            val Seq(i, t, f) = args(p.getValue)
-            when(boolOf(i), numOf(t)).otherwise(numOf(f))
+            val as = args(p.getValue)
+            require(as.size == 3,
+              s"$$cond takes [if, then, else]: ${p.getValue}")
+            when(boolOf(as(0)), numOf(as(1))).otherwise(numOf(as(2)))
           case _ =>
             computeExprRes(n, metaCol, cur, res, env).cast("double")
         }
@@ -1807,6 +1811,10 @@ object MqlPipeline {
         val out = valueExpr(v.get("output"), metaCol, cur)
         val pairs = v.get("sortBy").properties().asScala.toSeq
           .flatMap { f =>
+            require(f.getValue.isIntegralNumber &&
+              math.abs(f.getValue.asInt()) == 1,
+              s"${e.getKey} sortBy direction must be 1 or -1: " +
+                s"${f.getKey}: ${f.getValue}")
             val desc = f.getValue.asInt() < 0
             sortBases(f.getKey, cur, metaCol).map(b => (b, desc))
           }

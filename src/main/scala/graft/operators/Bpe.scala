@@ -385,7 +385,10 @@ object Bpe {
       .orderBy("lang")
   }
 
-  private def wordpieceOracle: String = {
+  /** The shared wordpiece CTE chain (everything up to, not including,
+    * a final SELECT) — composed by both the encode and the fertility
+    * oracle, so neither depends on the other's output wording. */
+  private def wordpieceCtes: String = {
     val chars = WpChars.map(c => s"'$c'").mkString("[", ", ", "]")
     def startCase: String = {
       val whens = (WpMaxStartL to 2 by -1).map { l =>
@@ -430,19 +433,19 @@ object Bpe {
        |r1 AS (SELECT cnt.w, cnt.n, $startCase AS L FROM cnt, sv),
        |s1 AS MATERIALIZED (SELECT w, n, substr(w, 1, L) AS seg,
        |    1 + L AS pos FROM r1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def wordpieceOracle: String =
+    s"""$wordpieceCtes
        |SELECT w AS word, n,
        |  CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_pieces, seg
        |FROM s$WpRounds ORDER BY word""".stripMargin
-  }
 
-  /** Fertility oracle: the SAME wordpiece CTE chain (everything before
-    * the final SELECT), re-aggregated per language. */
-  private def fertilityOracle: String = {
-    val wp = wordpieceOracle
-    val ctes = wp.substring(0, wp.lastIndexOf("SELECT w AS word"))
-      .trim.stripSuffix(",") + ","
-    s"""$ctes
+  /** Fertility oracle: the SAME wordpiece CTE chain, re-aggregated
+    * per language. */
+  private def fertilityOracle: String =
+    s"""$wordpieceCtes,
        |lw AS (SELECT lang,
        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |  FROM documents),
@@ -455,7 +458,6 @@ object Bpe {
        |    AS fertility_ppm
        |FROM lw JOIN pieces USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // DuckDB oracle — the training loop runs a FIXED number of rounds, so

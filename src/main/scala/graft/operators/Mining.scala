@@ -66,7 +66,11 @@ object Mining {
 
   private def basketStats(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) =
-    basketCache.computeIfAbsent(dir, _ => {
+    // keyed on (application, dir): a cached DataFrame is bound to the
+    // session that checkpointed it — a later session reusing the dir
+    // must rebuild, not inherit dead RDD blocks
+    basketCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$dir", _ => {
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -593,7 +597,8 @@ object Mining {
       // engine-mirrored semantics: ->> is get_json_object's text
       // extraction, so the numeric test is the same TRY_CAST in both
       """WITH e AS (SELECT props,
-        |    NOT (json_valid(props) AND json_type(props) = 'OBJECT')
+        |    props IS NULL
+        |      OR NOT (json_valid(props) AND json_type(props) = 'OBJECT')
         |      AS r1_object,
         |    (props->>'k') IS NULL
         |      OR TRY_CAST(props->>'k' AS DOUBLE) IS NULL

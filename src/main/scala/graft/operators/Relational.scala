@@ -1415,7 +1415,10 @@ object Relational {
 
   private[graft] def coPurchaseEdges(s: SparkSession,
       dir: String): DataFrame =
-    coPurchaseCache.computeIfAbsent(dir, _ => {
+    // keyed on (application, dir) — same session-binding rationale as
+    // Mining.basketStats: checkpointed DataFrames die with their session
+    coPurchaseCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$dir", _ => {
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

@@ -111,6 +111,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       // latest right row at-or-before the current left (key, time)
       var rHead: InternalRow = if (rit.hasNext) rit.next().copy() else null
       var curVal = 0L
+      var curNull = false // matched row carried a NULL value — propagate
       var curValid = false
       var curKey = 0L
       lit.map { lrow =>
@@ -120,13 +121,14 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         while (rHead != null && (rHead.getLong(rki) < lk ||
             (rHead.getLong(rki) == lk && rHead.getLong(rti) <= lt))) {
           if (rHead.getLong(rki) == lk) {
-            curVal = rHead.getLong(rvi)
+            curNull = rHead.isNullAt(rvi)
+            curVal = if (curNull) 0L else rHead.getLong(rvi)
             curValid = true
             curKey = lk
           }
           rHead = if (rit.hasNext) rit.next().copy() else null
         }
-        if (curValid) valueRow.update(0, curVal)
+        if (curValid && !curNull) valueRow.update(0, curVal)
         else valueRow.update(0, null)
         proj(joined(lrow, valueRow))
       }

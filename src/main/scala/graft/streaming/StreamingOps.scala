@@ -88,9 +88,14 @@ object StreamingOps {
           col("event_id"),
           round(col("value") * 100).cast("long").as("vq"))
         .withColumn("h", expr("us DIV 3600000000"))
+        // same loud pack bound as the batch twin — an oversized id
+        // would bleed into the offset bits and silently corrupt
+        // open/close
         .withColumn("k",
           (col("us") - col("h") * 3600000000L) * 4194304L +
-            col("event_id"))
+            when(col("event_id") < 4194304L, col("event_id"))
+              .otherwise(raise_error(
+                lit("stream_ohlc: event_id >= 2^22"))))
         .groupBy("event_type", "h")
         .agg(min_by(col("vq"), col("k")).as("open"),
           max(col("vq")).as("high"), min(col("vq")).as("low"),

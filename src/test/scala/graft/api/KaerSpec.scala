@@ -577,4 +577,27 @@ class KaerSpec extends SparkTestBase {
       """{"grp": {"$eq": 9}}""", """{"$inc": {"v": 1}}""").isEmpty)
     assert(c.count("""{"v": {"$eq": 20}}""") == 2L)
   }
+
+  test("upsert: empty-collection path validates operators, $and " +
+      "equality conditions seed the created document") {
+    val k = newSession(tmpDir("kaer-upsert-spec"))
+    val c = k.createCollection("c")
+    // unknown operator must be loud even though the collection is
+    // EMPTY (the matched path's validation short-circuits on hasData)
+    val bad = intercept[IllegalArgumentException] {
+      c.updateDoc("""{"a": 1}""", """{"$currentDate": {"ts": true}}""",
+        upsert = true)
+    }
+    assert(bad.getMessage.contains("unsupported update operator"),
+      bad.getMessage)
+    // $and equalities seed like top-level ones (Mongo's rule)
+    c.updateDoc("""{"$and": [{"a": 1}], "b": {"$eq": 2}}""",
+      """{"$inc": {"n": 7}}""", upsert = true)
+    assert(c.count("""{"a": 1, "b": 2, "n": 7}""") == 1L)
+    // matching upsert does NOT insert a second doc
+    c.updateDoc("""{"$and": [{"a": 1}], "b": {"$eq": 2}}""",
+      """{"$inc": {"n": 1}}""", upsert = true)
+    assert(c.count("{}") == 1L)
+    assert(c.count("""{"n": 8}""") == 1L)
+  }
 }
