@@ -8,7 +8,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownOffset, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -75,12 +76,28 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table
 }
 
 class GraftSeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownOffset {
 
   private var lo = 0L          // inclusive
   private var hi = rows        // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = GraftSeqSource.Schema
+
+  // LIMIT/OFFSET compose with the filter-narrowed range: the sequence
+  // is generated in id order, so OFFSET advances lo and LIMIT caps hi —
+  // the source never materializes a skipped or post-limit row. Spark
+  // only offers these pushdowns when the plan shape is safe (no
+  // intervening residual filter), so accepting them is exact.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true // fully handled: the source emits exactly the limited range
+  }
+
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, lo + offset)
+    true
+  }
 
   /** Accept range/equality predicates on `id` — they narrow [lo, hi)
     * INSIDE the source; everything else is a residual for Spark. */

@@ -42,6 +42,23 @@ class GraftSeqSpec extends SparkTestBase {
     assert(pruned == expect)
   }
 
+  test("LIMIT/OFFSET push into the source and compose with the " +
+      "filter-narrowed range") {
+    // offset advances lo, limit caps hi — the generated SET is exact
+    val ids = seq(1000).filter(col("id") >= 100)
+      .offset(10).limit(5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (110L until 115L).toSet, ids)
+    // limit alone on the unfiltered table
+    assert(seq(1000).limit(7).count() == 7)
+    // offset past the end -> empty, no negative ranges
+    assert(seq(50).offset(60).count() == 0)
+    // the scan description proves the range narrowed INSIDE the source
+    val p = seq(1000).filter(col("id") >= 100).offset(10).limit(5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("range=[110, 115)"), p)
+  }
+
   test("slices split the narrowed range, not the full table") {
     val df = seq(1000).filter(col("id") >= 997)
     assert(df.rdd.getNumPartitions <= 3)
