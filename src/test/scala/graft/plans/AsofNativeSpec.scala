@@ -70,6 +70,55 @@ class AsofNativeSpec extends SparkTestBase {
     assert(native == uw)
   }
 
+  test("property: native exec == union+window over seeded random " +
+      "fixtures — skewed keys, duplicate times, null right values") {
+    val rng = new scala.util.Random(20260814L)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rng.nextInt(6)
+      val left = (1L to 300L).map { i =>
+        (i, rng.nextInt(nKeys).toLong, rng.nextInt(40).toLong)
+      } // duplicate times per key are common at 40 slots
+      val right = (1L to 80L).map { i =>
+        (rng.nextInt(nKeys + 2).toLong, // some keys have no left rows
+          rng.nextInt(40).toLong,
+          if (rng.nextInt(5) == 0) None else Some(i)) // ~20% null values
+      }
+      val l = left.toDF("id", "k", "t")
+      val r0 = right.toDF("k", "t", "v")
+      // one right row per (k, t): keep max v (nulls lose to values —
+      // both formulations see the SAME deduped frame, so any keep rule
+      // works as long as it's applied before both)
+      val r = r0.groupBy("k", "t").agg(max("v").as("v"))
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .sortBy(_._1).toSeq
+      val native = canon(NativeAsof
+        .asofJoin(l, r, "k", "t", "k", "t", "v").select("id", "v"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+        .orderBy(col("t").asc, col("side").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      // the window twin must carry NULL matched values DISTINCT from
+      // "no match": tag matched rows and carry (tag, value) together
+      val uw = canon(l.select(col("id"), col("k"), col("t"),
+          lit(null).cast("long").as("rv"), lit(0).as("side"))
+        .unionByName(r.select(lit(null).cast("long").as("id"), col("k"),
+          col("t"), col("v").as("rv"), lit(1).as("side")))
+        // the carried payload must be a NULL STRUCT on left rows so
+        // ignoreNulls skips them while a matched-but-null value (a
+        // non-null struct with a null field) still counts as a match
+        .withColumn("mm", when(col("side") === 1, struct(col("rv")))
+          .otherwise(lit(null)))
+        .withColumn("m", last(col("mm"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("id"), col("m.rv").as("v")))
+      assert(native == uw, s"round $round: ${
+        native.zip(uw).filter(p => p._1 != p._2).take(5)}")
+    }
+  }
+
   test("plan shape: AsofJoinExec with one hash exchange + sort per " +
       "side, no window, no other join node") {
     val l = (1L to 100L).map(i => (i, i % 5, i * 3)).toDF("id", "k", "t")
