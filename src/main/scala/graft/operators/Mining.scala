@@ -347,6 +347,28 @@ object Mining {
       .limit(20)
   }
 
+  /** Day-of-week seasonality profile with an EXACT uniformity
+    * statistic — the "is there a weekday effect" check a BI team runs
+    * before trusting any weekly rollup. Day-of-week is computed
+    * ARITHMETICALLY ((epoch_days + 3) mod 7, 0 = Monday — built-in
+    * dayofweek() conventions differ between engines), and each day's
+    * chi-square contribution (n_d − N/7)²/(N/7) is cross-multiplied to
+    * the integer form (7·n_d − N)²·10⁶ / (7·N·7) in DECIMAL — exact at
+    * any order volume. One map-side-combinable aggregation. */
+  def ordersSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .select(expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +
+        " DIV 86400000000 + 3) % 7").as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n_orders"))
+    d.crossJoin(broadcast(d.agg(sum(col("n_orders")).as("N"))))
+      .withColumn("dev_ppm", expr(
+        "CAST(((7 * CAST(n_orders AS DECIMAL(38,0)) - N) *" +
+          " (7 * CAST(n_orders AS DECIMAL(38,0)) - N) * 1000000)" +
+          " DIV (49 * CAST(N AS DECIMAL(38,0))) AS BIGINT)"))
+      .select("dow", "n_orders", "dev_ppm")
+      .orderBy("dow")
+  }
+
   /** Schema validation over the VARIANT column — the semi-structured
     * twin of the relational DQ rule catalog: per rule, rows checked
     * and violations, in ONE fused conditional-aggregation scan (no
@@ -593,6 +615,17 @@ object Mining {
         |       ((c1::HUGEINT + c2) * n1 * n2) AS BIGINT) AS chi_ppm
         |FROM c, tot
         |ORDER BY chi_ppm DESC, word LIMIT 20""".stripMargin,
+    "orders_seasonality" ->
+      """WITH d AS (SELECT
+        |    (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |      + 3) % 7 AS dow
+        |  FROM orders),
+        |c AS (SELECT dow, count(*) AS n_orders FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS N FROM c)
+        |SELECT dow, n_orders,
+        |  CAST((7::HUGEINT * n_orders - N) * (7::HUGEINT * n_orders - N)
+        |    * 1000000 // (49::HUGEINT * N) AS BIGINT) AS dev_ppm
+        |FROM c, t ORDER BY dow""".stripMargin,
     "dq_json_schema" ->
       // engine-mirrored semantics: ->> is get_json_object's text
       // extraction, so the numeric test is the same TRY_CAST in both
@@ -667,6 +700,7 @@ object Mining {
     "revenue_pareto" -> (revenuePareto _),
     "ts_forecast_backtest" -> (tsForecastBacktest _),
     "dq_json_schema" -> (dqJsonSchema _),
+    "orders_seasonality" -> (ordersSeasonality _),
     "skyline_orders" -> (skylineOrders _),
     "ts_ewma" -> (tsEwma _),
     "corpus_drift" -> (corpusDrift _),
