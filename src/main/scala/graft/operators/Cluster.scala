@@ -251,7 +251,59 @@ object Cluster {
         col("s1"), col("s2"), col("mean_q"))
       .orderBy("pos")
 
+  /** Embedding-distribution DRIFT between two corpus slices — the
+    * "did the new batch's embedding space move" monitor: cosine²
+    * between the slices' SUM vectors (direction of the mean — the n
+    * factors cancel in cosine), kept EXACT: centi-quantized components
+    * (drift is a distribution-level metric; centi precision keeps
+    * every cross-multiplied product inside DECIMAL(38), where the
+    * µ-quantization the per-vector gates use would overflow it), dims
+    * summed in LONG, the final (Σab)²·10⁶/(Σa²·Σb²) in DECIMAL.
+    * Scale: one posexplode + a 64-row-per-slice aggregation — sum
+    * vectors merge by addition, the incremental-monitor contract. */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = emb(s, dir)
+      .select((col("vec_id") % 2).as("slice"),
+        posexplode(expr(
+          "transform(embedding," +
+            " x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT))"))
+          .as(Seq("pos", "v")))
+      .groupBy("slice", "pos").agg(sum(col("v")).as("sv"))
+    val a = q.filter(col("slice") === 0)
+      .select(col("pos"), col("sv").as("av"))
+    val b = q.filter(col("slice") === 1)
+      .select(col("pos"), col("sv").as("bv"))
+    a.join(b, "pos")
+      .agg(count(lit(1)).as("dims"),
+        sum(col("av") * col("bv")).as("ab"),
+        sum(col("av") * col("av")).as("aa"),
+        sum(col("bv") * col("bv")).as("bb"))
+      .withColumn("cos2_ppm", expr(
+        "CAST((CAST(ab AS DECIMAL(38,0)) * ab * 1000000)" +
+          " DIV (CAST(aa AS DECIMAL(38,0)) * bb) AS BIGINT)"))
+      .select("dims", "ab", "cos2_ppm")
+  }
+
   val oracle: Map[String, String] = Map(
+    "embed_drift" ->
+      """WITH q AS (SELECT vec_id % 2 AS slice,
+        |    unnest([round(x::DOUBLE * 100)::BIGINT for x in embedding])
+        |      AS v,
+        |    unnest(generate_series(0, 63)) AS pos
+        |  FROM embeddings),
+        |sv AS (SELECT slice, pos, CAST(sum(v) AS BIGINT) AS sv
+        |  FROM q GROUP BY 1, 2),
+        |j AS (SELECT a.sv AS av, b.sv AS bv
+        |  FROM (SELECT * FROM sv WHERE slice = 0) a
+        |  JOIN (SELECT * FROM sv WHERE slice = 1) b USING (pos)),
+        |t AS (SELECT count(*) AS dims,
+        |    CAST(sum(av * bv) AS BIGINT) AS ab,
+        |    CAST(sum(av * av) AS BIGINT) AS aa,
+        |    CAST(sum(bv * bv) AS BIGINT) AS bb FROM j)
+        |SELECT dims, ab,
+        |  CAST(ab::HUGEINT * ab * 1000000 // (aa::HUGEINT * bb)
+        |    AS BIGINT) AS cos2_ppm
+        |FROM t""".stripMargin,
     "kmeans_train" -> kmeansTrainOracle,
     "embed_stats" ->
       s"""WITH q AS (SELECT
@@ -310,6 +362,7 @@ object Cluster {
     "kmeans_step" -> (kmeansStep _),
     "kmeans_train" -> (kmeansTrain _),
     "embed_project" -> (embedProject _),
-    "embed_stats" -> (embedStats _)
+    "embed_stats" -> (embedStats _),
+    "embed_drift" -> (embedDrift _)
   )
 }
