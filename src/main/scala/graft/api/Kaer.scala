@@ -855,6 +855,83 @@ final class Collection(
     * with `returnNew` (Mongo's returnNewDocument). None when nothing
     * matches. Single-writer store — atomicity IS the copy-on-write
     * rewrite + rename swap. */
+  /** Mongo ORDERED bulkWrite: a JSON array of operations executed
+    * sequentially — each op sees the previous ops' effects (Mongo's
+    * ordered mode; the unordered mode's only contract is "all ops
+    * run", which the same loop satisfies). Supported ops: insertOne
+    * {document?, metadata?}, updateOne/updateMany {filter, update,
+    * upsert?}, deleteOne/deleteMany {filter}, replaceOne {filter,
+    * document} — each riding the existing single-op machinery
+    * (first-match = lowest `_m_id`, the store's deterministic natural
+    * order). Returns (inserted, matched, deleted, upserted). Unknown
+    * op names are loud. Per-op copy-on-write rewrites — bulk here
+    * means one call, not one rewrite; a batched single-rewrite form
+    * would be the optimization if maintenance volume ever demanded
+    * it. */
+  def bulkWrite(opsJson: String): (Long, Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val arr = Collection.udfMapper.readTree(opsJson)
+    require(arr.isArray && arr.size() > 0,
+      s"bulkWrite needs a non-empty array: $opsJson")
+    var nIns = 0L; var nMatch = 0L; var nDel = 0L; var nUps = 0L
+    arr.elements().asScala.foreach { op =>
+      require(op.isObject && op.properties().size() == 1,
+        s"each bulk op is a single-key object: $op")
+      val e = op.properties().asScala.head
+      val spec = e.getValue
+      def fj = {
+        require(spec.has("filter"), s"${e.getKey} needs a filter: $spec")
+        spec.get("filter").toString
+      }
+      e.getKey match {
+        case "insertOne" =>
+          val doc = Option(spec.get("document"))
+            .map(_.asText()).getOrElse("")
+          val metaJ = Option(spec.get("metadata"))
+            .map(_.toString).getOrElse("{}")
+          import spark.implicits._
+          insertDF(Seq((doc, metaJ)).toDF(Schema.DocCol, Schema.MetaCol))
+          nIns += 1
+        case "updateMany" =>
+          val ups = Option(spec.get("upsert")).exists(_.asBoolean())
+          val m = updateDoc(fj, spec.get("update").toString,
+            upsert = ups)
+          nMatch += m
+          if (ups && m == 0) nUps += 1
+        case "updateOne" =>
+          val ups = Option(spec.get("upsert")).exists(_.asBoolean())
+          findOneAndUpdate(fj, spec.get("update").toString) match {
+            case Some(_) => nMatch += 1
+            case None if ups =>
+              updateDoc(fj, spec.get("update").toString, upsert = true)
+              nUps += 1
+            case None => ()
+          }
+        case "deleteMany" => nDel += delete(fj)
+        case "deleteOne" =>
+          if (hasData) {
+            val pred = coalesce(MqlFilter.toColumn(fj,
+              MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+            val hit = df.filter(pred).agg(min(col(Schema.IdCol))).head()
+            if (!hit.isNullAt(0)) {
+              val id = hit.getLong(0)
+              rewriteData(df.filter(col(Schema.IdCol) =!= id))
+              rowsCount -= 1
+              Meta.write(spark, dir, CollectionMeta(name, lastId,
+                embedder.dim, embedder.id, rowsCount))
+              nDel += 1
+            }
+          }
+        case "replaceOne" =>
+          nMatch += replaceOne(fj,
+            Option(spec.get("document")).map(_.asText()).getOrElse(""))
+        case other => throw new IllegalArgumentException(
+          s"unsupported bulk operation: $other")
+      }
+    }
+    (nIns, nMatch, nDel, nUps)
+  }
+
   def findOneAndUpdate(filterJson: String, updateJson: String,
       returnNew: Boolean = false): Option[(Long, String)] = {
     if (!hasData) return None

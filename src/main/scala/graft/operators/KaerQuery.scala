@@ -137,6 +137,48 @@ object KaerQuery {
         |]""".stripMargin)
   }
 
+  /** Ordered bulkWrite under the oracle gate: one call replays a mixed
+    * batch — updateMany (en flagged), updateOne (+$inc on the FIRST fr
+    * doc only — min doc_id, the deterministic natural order),
+    * insertOne (an xx doc), deleteOne (the first de doc), deleteMany
+    * (every zh doc) — and the aggregation reads the composite result
+    * back under one arithmetic oracle. */
+  def bulkWriteGate(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaerbulk", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    coll.bulkWrite(
+      """[
+        | {"updateMany": {"filter": {"lang": "en"},
+        |   "update": {"$set": {"seen": 1}}}},
+        | {"updateOne": {"filter": {"lang": "fr"},
+        |   "update": {"$inc": {"hits": 5}}}},
+        | {"insertOne": {"metadata": {"doc_id": 999999, "lang": "xx"}}},
+        | {"deleteOne": {"filter": {"lang": "de"}}},
+        | {"deleteMany": {"filter": {"lang": "zh"}}}
+        |]""".stripMargin)
+    k.aggregate("docs",
+      """[
+        | {"$project": {"lang": 1,
+        |   "seenv": {"$toLong": {"$ifNull": ["$seen", 0]}},
+        |   "hitsv": {"$toLong": {"$ifNull": ["$hits", 0]}}}},
+        | {"$group": {"_id": "$lang",
+        |   "n": {"$count": {}},
+        |   "seen_total": {"$sum": "$seenv"},
+        |   "hits_total": {"$sum": "$hitsv"}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .select(col("_id").as("lang"), col("n"), col("seen_total"),
+        col("hits_total"))
+  }
+
   /** Mongo upsert under the oracle gate: a MATCHING upsert behaves as
     * a plain update ($setOnInsert ignored), a NON-matching upsert
     * creates the document — metadata seeded from the filter's equality
@@ -324,6 +366,23 @@ object KaerQuery {
         |FROM documents
         |WHERE lang <> 'de'
         |ORDER BY did""".stripMargin,
+    "kaer_bulk_write" ->
+      """WITH de1 AS (SELECT min(doc_id) AS d FROM documents
+        |  WHERE lang = 'de'),
+        |fr1 AS (SELECT min(doc_id) AS d FROM documents
+        |  WHERE lang = 'fr'),
+        |kept AS (SELECT doc_id, lang FROM documents, de1
+        |  WHERE lang <> 'zh'
+        |    AND NOT (lang = 'de' AND doc_id = de1.d)),
+        |allr AS (SELECT doc_id, lang FROM kept
+        |  UNION ALL SELECT 999999, 'xx')
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS seen_total,
+        |  CAST(sum(CASE WHEN lang = 'fr'
+        |      AND doc_id = (SELECT d FROM fr1) THEN 5 ELSE 0 END)
+        |    AS BIGINT) AS hits_total
+        |FROM allr GROUP BY 1 ORDER BY lang""".stripMargin,
     "kaer_upsert" ->
       """SELECT doc_id AS did, lang,
         |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
@@ -358,6 +417,7 @@ object KaerQuery {
     "kaer_aggregate" -> (aggregateGroup _),
     "kaer_delete_update" -> (deleteUpdate _),
     "kaer_update_array" -> (updateArray _),
-    "kaer_upsert" -> (upsertGate _)
+    "kaer_upsert" -> (upsertGate _),
+    "kaer_bulk_write" -> (bulkWriteGate _)
   )
 }
