@@ -583,6 +583,21 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, nearCorpus(s, dir)).orderBy("id")
 
+  /** The dedup-QA artifact read off the cluster labels: how many
+    * clusters exist at each size (size 1 = unique documents) plus the
+    * duplicate mass per bucket — the report that tells a corpus owner
+    * whether near-dup removal is worth the pass. Two tiny aggregations
+    * over the label frame (O(docs) → O(clusters) → O(sizes)); the
+    * oracle wraps the SAME recursive-CTE clustering as a subquery, so
+    * the histogram is checked against an independently computed
+    * clustering, not a re-export of this one. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, nearCorpus(s, dir))
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("sz") * col("n_clusters"))
+      .orderBy("sz")
+
   /** The (id, cluster) label frame over any `(id, text)` corpus —
     * shared by [[dedupClusters]] (the labels themselves) and
     * [[dedupKeepBest]] (labels → canonical-member decision). */
@@ -1398,6 +1413,14 @@ object Dedup {
          |    JOIN sh0 b ON b.id = cand.id_b)
          |SELECT id_a, id_b, jacc_permille FROM scored
          |WHERE jacc_permille >= 200 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster_sizes" ->
+      // the SAME clustering CTE chain, re-aggregated to the size
+      // histogram — independently computed clustering, not a re-export
+      s"""$clusterOracleCtes
+         |SELECT sz, count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster, count(*) AS sz FROM labeled GROUP BY 1)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterOracleCtes
          |SELECT id, cluster FROM labeled ORDER BY id""".stripMargin,
@@ -1460,6 +1483,7 @@ object Dedup {
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_jaccard_ngram" -> (dedupJaccardNgram _),
     "dedup_simhash" -> (dedupSimhash _),
