@@ -259,6 +259,10 @@ object Cluster {
     * every cross-multiplied product inside DECIMAL(38), where the
     * µ-quantization the per-vector gates use would overflow it), dims
     * summed in LONG, the final (Σab)²·10⁶/(Σa²·Σb²) in DECIMAL.
+    * Scale bound: (Σab)²·10⁶ fits DECIMAL(38,0) while per-slice sum
+    * vectors stay under ~10¹⁵ centi-units per dim (≈10¹³ vectors of
+    * unit norm) — past that, non-ANSI Spark decimal returns NULL
+    * silently where the HUGEINT oracle errors; shard slices first.
     * Scale: one posexplode + a 64-row-per-slice aggregation — sum
     * vectors merge by addition, the incremental-monitor contract. */
   def embedDrift(s: SparkSession, dir: String): DataFrame = {

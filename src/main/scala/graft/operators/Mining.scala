@@ -320,6 +320,12 @@ object Mining {
     * the squared products pass LONG long before the counts do).
     * Top-20 drifted words, scaled to ppm of the max-possible statistic.
     *
+    * Scale bound: the numerator (c·N)²·10⁶ must fit DECIMAL(38,0), so
+    * exactness holds up to slice totals of ~10¹⁵ tokens (≫ any single
+    * corpus slice this engine partitions); past that, non-ANSI Spark
+    * decimal arithmetic would return NULL silently where the HUGEINT
+    * twin errors — keep slices under that bound or pre-bucket counts.
+    *
     * Scale: one tokenize+count aggregation per corpus pass (the counts
     * carry both slices in one groupBy via conditional sums — a single
     * shuffle, not one per slice); slice totals are a 1-row broadcast.
@@ -351,10 +357,14 @@ object Mining {
     * statistic — the "is there a weekday effect" check a BI team runs
     * before trusting any weekly rollup. Day-of-week is computed
     * ARITHMETICALLY ((epoch_days + 3) mod 7, 0 = Monday — built-in
-    * dayofweek() conventions differ between engines), and each day's
-    * chi-square contribution (n_d − N/7)²/(N/7) is cross-multiplied to
-    * the integer form (7·n_d − N)²·10⁶ / (7·N·7) in DECIMAL — exact at
-    * any order volume. One map-side-combinable aggregation. */
+    * dayofweek() conventions differ between engines). dev_ppm is the
+    * squared per-day deviation from the uniform expectation normalized
+    * by TOTAL volume, (n_d − N/7)²·10⁶ / N — cross-multiplied to the
+    * integer form (7·n_d − N)²·10⁶ / (49·N) in DECIMAL, exact at any
+    * order volume. (This is 1/7 of the classical chi-square
+    * contribution (n_d − N/7)²/(N/7): a constant rescale that preserves
+    * ordering and the uniformity verdict; the oracle computes the same
+    * form.) One map-side-combinable aggregation. */
   def ordersSeasonality(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "orders")
       .select(expr("(unix_micros(CAST(o_orderdate AS TIMESTAMP))" +

@@ -109,12 +109,25 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val valueRow = new GenericInternalRow(1)
       // single forward merge, O(1) state: the right cursor plus the
       // latest right row at-or-before the current left (key, time)
-      var rHead: InternalRow = if (rit.hasNext) rit.next().copy() else null
+      // loud on the contract breach the entry-point types can't see:
+      // parquet attributes are nullable, and a null key/time slot would
+      // silently read as 0 through getLong and produce wrong matches
+      def nonNull(row: InternalRow, i: Int, side: String): Unit =
+        if (row.isNullAt(i)) throw new IllegalStateException(
+          s"as-of join: null $side key/time at ordinal $i — " +
+            "key and time columns must be non-null")
+      def nextRight(): InternalRow =
+        if (rit.hasNext) {
+          val r = rit.next().copy()
+          nonNull(r, rki, "right"); nonNull(r, rti, "right"); r
+        } else null
+      var rHead: InternalRow = nextRight()
       var curVal = 0L
       var curNull = false // matched row carried a NULL value — propagate
       var curValid = false
       var curKey = 0L
       lit.map { lrow =>
+        nonNull(lrow, lki, "left"); nonNull(lrow, lti, "left")
         val lk = lrow.getLong(lki)
         val lt = lrow.getLong(lti)
         if (curValid && curKey != lk) curValid = false
@@ -126,7 +139,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
             curValid = true
             curKey = lk
           }
-          rHead = if (rit.hasNext) rit.next().copy() else null
+          rHead = nextRight()
         }
         if (curValid && !curNull) valueRow.update(0, curVal)
         else valueRow.update(0, null)
@@ -163,8 +176,25 @@ object NativeAsof {
       require(i >= 0, s"column $name not found in ${p.output.map(_.name)}")
       i
     }
+    // enforce the documented contract LOUDLY: key/time must be
+    // long-backed (the exec reads them with getLong — any other type
+    // would reinterpret bits, and a null would silently read as 0)
+    def longBacked(p: LogicalPlan, i: Int, role: String): Unit = {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType,
+        TimestampType}
+      val a = p.output(i)
+      require(Seq(LongType, TimestampType, TimestampNTZType)
+        .contains(a.dataType),
+        s"as-of $role column '${a.name}' must be LONG or TIMESTAMP " +
+          s"(long-backed), got ${a.dataType}")
+    }
+    val (lk, ltc) = (idx(l, leftKey), idx(l, leftTime))
+    val (rk, rtc, rv) =
+      (idx(r, rightKey), idx(r, rightTime), idx(r, rightValue))
+    longBacked(l, lk, "left key"); longBacked(l, ltc, "left time")
+    longBacked(r, rk, "right key"); longBacked(r, rtc, "right time")
+    longBacked(r, rv, "right value")
     org.apache.spark.sql.graft.PlanBridge.ofRows(s,
-      AsofJoin(l, r, idx(l, leftKey), idx(l, leftTime),
-        idx(r, rightKey), idx(r, rightTime), idx(r, rightValue)))
+      AsofJoin(l, r, lk, ltc, rk, rtc, rv))
   }
 }

@@ -7,8 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
-  DataType, DoubleType, FloatType, IntegerType, LongType, ShortType,
-  StringType}
+  DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Catalyst optimizer extension (`Rule[LogicalPlan]` — the third leg of
   * the extension architecture beside the expression family and the
@@ -36,9 +35,13 @@ object LiteralArrayContainsToInSet extends Rule[LogicalPlan] {
 
   /** Flat-comparable element types (hash/equals on the internal value
     * is the SQL equality — nested types have their own semantics and
-    * are left alone). */
+    * are left alone). Double/Float are EXCLUDED: InSet membership uses
+    * boxed equals, under which -0.0 != 0.0 (and NaN == NaN), while
+    * array_contains uses SQL equality (-0.0 == 0.0) — probing -0.0
+    * against a literal array holding 0.0 would flip true→false after
+    * the rewrite, so floating arrays are left to the linear scan. */
   private val flat: Set[DataType] = Set(StringType, LongType,
-    IntegerType, ShortType, ByteType, BooleanType, DoubleType, FloatType)
+    IntegerType, ShortType, ByteType, BooleanType)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {

@@ -52,6 +52,18 @@ class OptimizerRulesSpec extends SparkTestBase {
     assert(withNull.head().isNullAt(0)) // the three-valued miss survives
   }
 
+  test("floating-point arrays are untouched: -0.0 vs 0.0 keeps SQL " +
+      "equality (InSet's boxed equals would flip the probe to false)") {
+    GraftRules.register(spark)
+    val v = spark.range(1).select(lit(-0.0d).as("v"))
+    val df = v.select(array_contains(
+      typedLit(Seq(0.0d, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      col("v")).as("h"))
+    assert(!df.queryExecution.optimizedPlan.toString.toUpperCase
+      .contains("INSET"))
+    assert(df.head().getBoolean(0)) // SQL equality: -0.0 == 0.0
+  }
+
   test("the viterbi gate plans through the rule (INSET in its " +
       "optimized plan) and its spec fixture still holds") {
     val dir = tmpDir("vit-inset")
