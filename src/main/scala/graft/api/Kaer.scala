@@ -185,7 +185,19 @@ object Collection {
     * NO-OP here (it applies only when a document is being CREATED —
     * the upsert path folds it into $set before calling). */
   private[api] def applyUpdateOps(meta: String,
-      updateJson: String): String = {
+      updateJson: String): String =
+    applyUpdateOps(meta, updateJson, null, null)
+
+  /** r11 positional form: `arrayFiltersJson` is the Mongo arrayFilters
+    * array (for `$[ident]` segments), `queryFilterJson` the original
+    * query filter (for `$` first-match resolution). Dotted/positional
+    * paths are honored by the VALUE operators ($set/$inc/$unset/$min/
+    * $max/$mul); the array operators ($push/$addToSet/$pull/$pop) and
+    * $rename refuse them loudly (parity note: FerretDB 1.x does not
+    * honor positional forms on those either — loud beats silent
+    * corruption). */
+  private[api] def applyUpdateOps(meta: String, updateJson: String,
+      arrayFiltersJson: String, queryFilterJson: String): String = {
       // per-executor static mapper (Collection.udfMapper) — constructing
       // an ObjectMapper per row would dominate a large rewrite
       import com.fasterxml.jackson.databind.node.ObjectNode
@@ -196,25 +208,42 @@ object Collection {
         case _ => m.createObjectNode()
       }
       val ops = m.readTree(updateJson).asInstanceOf[ObjectNode]
+      // positional machinery inputs, parsed once per row at most
+      lazy val af = parseArrayFilters(arrayFiltersJson, m)
+      lazy val qf: Option[ObjectNode] =
+        Option(queryFilterJson).map(m.readTree).collect {
+          case o: ObjectNode => o
+        }
+      def dotted(k: String): Boolean = k.contains(".")
       Option(ops.get("$set")).foreach { s =>
-        base.setAll[com.fasterxml.jackson.databind.JsonNode](
-          s.asInstanceOf[ObjectNode])
+        s.properties().forEach { e =>
+          if (dotted(e.getKey))
+            resolveSlots(base, e.getKey, af, qf, create = true)
+              .foreach(_.set(e.getValue
+                .deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+          else base.set[com.fasterxml.jackson.databind.JsonNode](
+            e.getKey, e.getValue)
+        }
       }
       Option(ops.get("$inc")).foreach { inc =>
         inc.properties().forEach { e =>
-          val cur = base.get(e.getKey)
-          val d = e.getValue
-          if (cur == null || cur.isNull) base.set(e.getKey, d)
-          else if (!cur.isNumber)
-            throw new IllegalArgumentException(
-              s"$$inc on non-numeric field '${e.getKey}': $cur")
-          else if (cur.isIntegralNumber && d.isIntegralNumber)
-            base.put(e.getKey, cur.asLong() + d.asLong())
-          else base.put(e.getKey, cur.asDouble() + d.asDouble())
+          if (dotted(e.getKey))
+            resolveSlots(base, e.getKey, af, qf, create = true)
+              .foreach(sl =>
+                sl.set(numMerge("$inc", sl.get, e.getValue, e.getKey, m)))
+          else base.set[com.fasterxml.jackson.databind.JsonNode](e.getKey,
+            numMerge("$inc", base.get(e.getKey), e.getValue, e.getKey, m))
         }
       }
       Option(ops.get("$unset")).foreach { u =>
-        u.properties().forEach(e => base.remove(e.getKey))
+        u.properties().forEach { e =>
+          if (dotted(e.getKey))
+            // Mongo: $unset on an array SLOT nulls it (never shifts);
+            // missing intermediates are a no-op (create = false)
+            resolveSlots(base, e.getKey, af, qf, create = false)
+              .foreach(_.unset())
+          else base.remove(e.getKey)
+        }
       }
       // $min/$max keep the smaller/larger of current and operand
       // (missing field: operand wins — Mongo); $mul multiplies (missing
@@ -223,32 +252,12 @@ object Collection {
       Seq("$min", "$max", "$mul").foreach { opName =>
         Option(ops.get(opName)).foreach { o =>
           o.properties().forEach { e =>
-            val cur = base.get(e.getKey)
-            val d = e.getValue
-            if (!d.isNumber) throw new IllegalArgumentException(
-              s"$opName operand must be numeric: $d")
-            if (cur == null || cur.isNull) {
-              if (opName == "$mul")
-                base.put(e.getKey, 0L) // Mongo: missing × x = 0
-              else base.set[com.fasterxml.jackson.databind.JsonNode](
-                e.getKey, d)
-            } else if (!cur.isNumber)
-              throw new IllegalArgumentException(
-                s"$opName on non-numeric field '${e.getKey}': $cur")
-            else (opName, cur.isIntegralNumber && d.isIntegralNumber) match {
-              case ("$min", true) =>
-                base.put(e.getKey, math.min(cur.asLong(), d.asLong()))
-              case ("$min", false) =>
-                base.put(e.getKey, math.min(cur.asDouble(), d.asDouble()))
-              case ("$max", true) =>
-                base.put(e.getKey, math.max(cur.asLong(), d.asLong()))
-              case ("$max", false) =>
-                base.put(e.getKey, math.max(cur.asDouble(), d.asDouble()))
-              case ("$mul", true) =>
-                base.put(e.getKey, cur.asLong() * d.asLong())
-              case _ =>
-                base.put(e.getKey, cur.asDouble() * d.asDouble())
-            }
+            if (dotted(e.getKey))
+              resolveSlots(base, e.getKey, af, qf, create = true)
+                .foreach(sl =>
+                  sl.set(numMerge(opName, sl.get, e.getValue, e.getKey, m)))
+            else base.set[com.fasterxml.jackson.databind.JsonNode](e.getKey,
+              numMerge(opName, base.get(e.getKey), e.getValue, e.getKey, m))
           }
         }
       }
@@ -262,9 +271,18 @@ object Collection {
           require(each.isArray, s"$$each operand must be an array: $each")
           each.elements().asScala.toSeq
         } else Seq(v)
+      // array operators and $rename take FLAT keys only: dotted /
+      // positional paths on them are refused loudly (FerretDB 1.x
+      // parity — it does not honor these forms either)
+      def flatKey(op: String, f: String): String = {
+        require(!f.contains("."),
+          s"$op does not support dotted/positional paths " +
+            s"(unsupported — loud by contract): '$f'")
+        f
+      }
       // the field's array node, created when missing; loud on non-array
       def arrayAt(op: String, f: String): ArrayNode =
-        base.get(f) match {
+        base.get(flatKey(op, f)) match {
           case null => base.putArray(f)
           case n if n.isNull => base.putArray(f)
           case a: ArrayNode => a
@@ -287,7 +305,7 @@ object Collection {
       }
       Option(ops.get("$pull")).foreach { p =>
         p.properties().forEach { e =>
-          base.get(e.getKey) match {
+          base.get(flatKey("$pull", e.getKey)) match {
             case a: ArrayNode =>
               val kept = a.elements().asScala.filterNot(_ == e.getValue)
                 .toSeq
@@ -303,7 +321,7 @@ object Collection {
       }
       Option(ops.get("$pop")).foreach { p =>
         p.properties().forEach { e =>
-          base.get(e.getKey) match {
+          base.get(flatKey("$pop", e.getKey)) match {
             case a: ArrayNode if a.size() > 0 =>
               if (e.getValue.asInt() == -1) a.remove(0)
               else a.remove(a.size() - 1) // Mongo: 1 pops last, -1 first
@@ -317,11 +335,281 @@ object Collection {
       }
       Option(ops.get("$rename")).foreach { r =>
         r.properties().forEach { e =>
-          val v = base.remove(e.getKey)
-          if (v != null) base.set[JsonNode](e.getValue.asText(), v)
+          val v = base.remove(flatKey("$rename", e.getKey))
+          if (v != null)
+            base.set[JsonNode](flatKey("$rename", e.getValue.asText()), v)
         }
       }
       m.writeValueAsString(base)
+  }
+
+  // -------------------------------------------------------------------
+  // r11: dotted + positional ($ / $[] / $[ident]) update paths
+  // -------------------------------------------------------------------
+
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node.{ArrayNode, NullNode,
+    ObjectNode}
+
+  /** A mutation point resolved from an update path: an object field or
+    * an array element. `unset` on an array slot NULLs it — Mongo's
+    * $unset never shifts array elements. */
+  private[api] sealed trait Slot {
+    def get: JsonNode
+    def set(v: JsonNode): Unit
+    def unset(): Unit
+  }
+  private final class ObjSlot(o: ObjectNode, f: String) extends Slot {
+    def get: JsonNode = o.get(f)
+    def set(v: JsonNode): Unit = o.set[JsonNode](f, v)
+    def unset(): Unit = o.remove(f)
+  }
+  private final class ArrSlot(a: ArrayNode, i: Int) extends Slot {
+    def get: JsonNode = a.get(i)
+    def set(v: JsonNode): Unit = a.set(i, v)
+    def unset(): Unit = a.set(i, NullNode.instance)
+  }
+
+  private def isPositional(seg: String): Boolean =
+    seg == "$" || seg == "$[]" ||
+      (seg.startsWith("$[") && seg.endsWith("]"))
+
+  /** The shared numeric-merge law for $inc/$min/$max/$mul — exactly the
+    * pre-r11 top-level semantics, factored so array slots share it:
+    * $inc from missing sets the operand; $min/$max from missing keep
+    * the operand; $mul from missing → 0 (Mongo); integral∘integral
+    * stays integral; non-numeric current values are loud. */
+  private[api] def numMerge(opName: String, cur: JsonNode, d: JsonNode,
+      field: String, m: ObjectMapper): JsonNode = {
+    val nf = m.getNodeFactory
+    if (opName == "$inc") {
+      if (cur == null || cur.isNull) d
+      else if (!cur.isNumber) throw new IllegalArgumentException(
+        s"$$inc on non-numeric field '$field': $cur")
+      else if (cur.isIntegralNumber && d.isIntegralNumber)
+        nf.numberNode(cur.asLong() + d.asLong())
+      else nf.numberNode(cur.asDouble() + d.asDouble())
+    } else {
+      if (!d.isNumber) throw new IllegalArgumentException(
+        s"$opName operand must be numeric: $d")
+      if (cur == null || cur.isNull) {
+        if (opName == "$mul") nf.numberNode(0L) else d
+      } else if (!cur.isNumber) throw new IllegalArgumentException(
+        s"$opName on non-numeric field '$field': $cur")
+      else (opName, cur.isIntegralNumber && d.isIntegralNumber) match {
+        case ("$min", true) =>
+          nf.numberNode(math.min(cur.asLong(), d.asLong()))
+        case ("$min", false) =>
+          nf.numberNode(math.min(cur.asDouble(), d.asDouble()))
+        case ("$max", true) =>
+          nf.numberNode(math.max(cur.asLong(), d.asLong()))
+        case ("$max", false) =>
+          nf.numberNode(math.max(cur.asDouble(), d.asDouble()))
+        case ("$mul", true) =>
+          nf.numberNode(cur.asLong() * d.asLong())
+        case _ =>
+          nf.numberNode(cur.asDouble() * d.asDouble())
+      }
+    }
+  }
+
+  /** arrayFilters → ident → AND-ed (sub-path, condition) pairs.
+    * `[{"e": {"$lt": 5}}, {"g.score": {"$gte": 85}}]` parses to
+    * `e → [("", {$lt:5})]`, `g → [("score", {$gte:85})]`. Keys must be
+    * identifier-rooted (no top-level $and — loud, scope contract). */
+  private[api] def parseArrayFilters(json: String,
+      m: ObjectMapper): Map[String, Seq[(String, JsonNode)]] = {
+    import scala.jdk.CollectionConverters._
+    if (json == null || json.trim.isEmpty) return Map.empty
+    val arr = m.readTree(json)
+    require(arr.isArray, s"arrayFilters must be an array: $json")
+    val buf = scala.collection.mutable.LinkedHashMap[
+      String, Vector[(String, JsonNode)]]()
+    arr.elements().asScala.foreach { f =>
+      require(f.isObject && f.properties().size() > 0,
+        s"each arrayFilter must be a non-empty object: $f")
+      f.properties().asScala.foreach { e =>
+        require(!e.getKey.startsWith("$"),
+          "arrayFilters conditions must be keyed by identifier " +
+            s"(top-level operators unsupported — loud): ${e.getKey}")
+        val (ident, sub) = e.getKey.split("\\.", 2) match {
+          case Array(a) => (a, "")
+          case Array(a, b) => (a, b)
+        }
+        buf(ident) = buf.getOrElse(ident, Vector.empty) :+
+          ((sub, e.getValue))
+      }
+    }
+    buf.toMap
+  }
+
+  /** Dotted get inside an array element (arrayFilters sub-paths). */
+  private def pathGet(n: JsonNode, dottedPath: String): JsonNode = {
+    var cur = n
+    dottedPath.split('.').foreach { s =>
+      cur = if (cur == null || !cur.isObject) null else cur.get(s)
+    }
+    cur
+  }
+
+  /** SQL-free element matcher for positional resolution — Mongo's
+    * comparison bracketing on JSON nodes: numbers compare as numbers
+    * (BigDecimal-exact), strings as strings, booleans as booleans;
+    * cross-type ordered comparisons never match. Object conditions
+    * with only $-keys are operator sets; with only field keys they are
+    * sub-document conditions (the $elemMatch shape); a single-key
+    * {$elemMatch: ...} unwraps. Unknown operators are loud. */
+  private[api] def elemMatches(elem: JsonNode, cond: JsonNode): Boolean = {
+    import scala.jdk.CollectionConverters._
+    def nodeEq(a: JsonNode, b: JsonNode): Boolean =
+      if (a == null) false
+      else if (a.isNumber && b.isNumber)
+        a.decimalValue().compareTo(b.decimalValue()) == 0
+      else a == b
+    def cmp(a: JsonNode, b: JsonNode): Option[Int] =
+      if (a == null) None
+      else if (a.isNumber && b.isNumber)
+        Some(a.decimalValue().compareTo(b.decimalValue()))
+      else if (a.isTextual && b.isTextual)
+        Some(a.asText().compareTo(b.asText()))
+      else if (a.isBoolean && b.isBoolean)
+        Some(java.lang.Boolean.compare(a.asBoolean(), b.asBoolean()))
+      else None
+    if (cond == null) false
+    else if (cond.isObject && cond.properties().size() == 1 &&
+        cond.has("$elemMatch"))
+      elemMatches(elem, cond.get("$elemMatch"))
+    else if (cond.isObject && cond.properties().size() > 0 &&
+        cond.properties().asScala.forall(_.getKey.startsWith("$"))) {
+      cond.properties().asScala.forall { e =>
+        val v = e.getValue
+        e.getKey match {
+          case "$eq" => nodeEq(elem, v)
+          case "$ne" => !nodeEq(elem, v)
+          case "$gt" => cmp(elem, v).exists(_ > 0)
+          case "$gte" => cmp(elem, v).exists(_ >= 0)
+          case "$lt" => cmp(elem, v).exists(_ < 0)
+          case "$lte" => cmp(elem, v).exists(_ <= 0)
+          case "$in" =>
+            require(v.isArray, s"$$in operand must be an array: $v")
+            v.elements().asScala.exists(nodeEq(elem, _))
+          case "$nin" =>
+            require(v.isArray, s"$$nin operand must be an array: $v")
+            !v.elements().asScala.exists(nodeEq(elem, _))
+          case "$exists" =>
+            (elem != null && !elem.isMissingNode) == v.asBoolean()
+          case other => throw new IllegalArgumentException(
+            "unsupported operator in array-element condition " +
+              s"(scope: comparison/$$in/$$nin/$$exists): $other")
+        }
+      }
+    } else if (cond.isObject) {
+      // sub-document condition: every field condition must hold
+      cond.properties().asScala.forall { e =>
+        require(!e.getKey.startsWith("$"),
+          s"mixed operator/field keys in element condition: $cond")
+        elemMatches(pathGet(elem, e.getKey), e.getValue)
+      }
+    } else nodeEq(elem, cond)
+  }
+
+  /** Find the query filter's condition on `arrayPath` — directly keyed
+    * or inside a top-level $and — for `$` first-match resolution.
+    * Mongo's contract: the positional operator requires the array
+    * field to appear in the query. */
+  private def positionalCond(qf: ObjectNode,
+      arrayPath: String): Option[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    Option(qf.get(arrayPath)).orElse {
+      Option(qf.get("$and")).filter(_.isArray).flatMap {
+        _.elements().asScala.collectFirst {
+          case o: ObjectNode if o.has(arrayPath) => o.get(arrayPath)
+        }
+      }
+    }
+  }
+
+  /** Resolve an update path with dotted and positional segments to its
+    * mutation slots against one document. Missing intermediate fields:
+    * created as objects when `create` (the $set/$inc family), skipped
+    * when not ($unset); a positional segment over a missing/non-array
+    * node is LOUD (Mongo: "the path must exist to apply array
+    * updates"). `$` resolves the FIRST element of the array matching
+    * the query filter's condition on that path — loud when the filter
+    * carries no such condition or nothing matches (Mongo errors
+    * there too). */
+  private[api] def resolveSlots(base: ObjectNode, path: String,
+      af: Map[String, Seq[(String, JsonNode)]], qf: Option[ObjectNode],
+      create: Boolean): Seq[Slot] = {
+    val segs = path.split('.')
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"malformed update path: '$path'")
+    require(!isPositional(segs.head),
+      s"update path cannot START with a positional segment: '$path'")
+    def positionalIndices(a: ArrayNode, seg: String, i: Int): Seq[Int] =
+      seg match {
+        case "$[]" => 0 until a.size()
+        case "$" =>
+          val arrayPath = segs.take(i).mkString(".")
+          val cond = qf.flatMap(positionalCond(_, arrayPath)).getOrElse(
+            throw new IllegalArgumentException(
+              s"positional '$$' requires a query condition on " +
+                s"'$arrayPath' (Mongo contract)"))
+          val hit = (0 until a.size()).find(j =>
+            elemMatches(a.get(j), cond))
+          Seq(hit.getOrElse(throw new IllegalArgumentException(
+            s"positional '$$': no element of '$arrayPath' matches " +
+              "the query condition")))
+        case s =>
+          val ident = s.substring(2, s.length - 1)
+          val conds = af.getOrElse(ident,
+            throw new IllegalArgumentException(
+              s"no arrayFilters entry for identifier '$ident'"))
+          (0 until a.size()).filter { j =>
+            conds.forall { case (sub, c) =>
+              elemMatches(
+                if (sub.isEmpty) a.get(j) else pathGet(a.get(j), sub), c)
+            }
+          }
+      }
+    def walk(node: JsonNode, i: Int): Seq[Slot] = {
+      val seg = segs(i)
+      val last = i == segs.length - 1
+      if (isPositional(seg)) node match {
+        case a: ArrayNode =>
+          val idxs = positionalIndices(a, seg, i)
+          if (last) idxs.map(new ArrSlot(a, _))
+          else idxs.flatMap(j => walk(a.get(j), i + 1))
+        case other => throw new IllegalArgumentException(
+          s"positional segment '$seg' applied to non-array at " +
+            s"'${segs.take(i).mkString(".")}': $other")
+      } else node match {
+        case a: ArrayNode if seg.forall(_.isDigit) =>
+          // explicit numeric index (Mongo's "arr.0" form) — loud when
+          // out of bounds rather than silently padding
+          val j = seg.toInt
+          require(j < a.size(),
+            s"array index $j out of bounds in path '$path' " +
+              s"(size ${a.size()})")
+          if (last) Seq(new ArrSlot(a, j)) else walk(a.get(j), i + 1)
+        case o: ObjectNode =>
+          if (last) Seq(new ObjSlot(o, seg))
+          else o.get(seg) match {
+            case null | _: NullNode =>
+              if (!create) Seq.empty
+              else if (isPositional(segs(i + 1)))
+                throw new IllegalArgumentException(
+                  s"the path '${segs.take(i + 1).mkString(".")}' must " +
+                    "exist to apply array updates (Mongo parity)")
+              else walk(o.putObject(seg), i + 1)
+            case child => walk(child, i + 1)
+          }
+        case other => throw new IllegalArgumentException(
+          s"cannot traverse non-object at " +
+            s"'${segs.take(i).mkString(".")}' in path '$path': $other")
+      }
+    }
+    walk(base, 0)
   }
 
   /** Executor-static Jackson mapper for the update-merge UDF (one per
@@ -788,7 +1076,14 @@ final class Collection(
     0L
   }
 
-  def updateDoc(filterJson: String, updateJson: String): Long = {
+  def updateDoc(filterJson: String, updateJson: String): Long =
+    updateDoc(filterJson, updateJson, arrayFiltersJson = null)
+
+  /** r11 positional form: `arrayFiltersJson` is Mongo's arrayFilters
+    * array for `$[ident]` path segments; `$` segments resolve their
+    * first-match against `filterJson`'s condition on the array path. */
+  def updateDoc(filterJson: String, updateJson: String,
+      arrayFiltersJson: String): Long = {
     if (!hasData) return 0L
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
@@ -796,8 +1091,11 @@ final class Collection(
     // — values COMPUTED from the document itself (the literal-operand
     // operators above can't express "a = b + c"). Scope: $set stages
     // only, loud otherwise.
-    if (updateJson.trim.startsWith("[")) updatePipeline(pred, updateJson)
-    else updateWhere(pred, updateJson)
+    if (updateJson.trim.startsWith("[")) {
+      require(arrayFiltersJson == null,
+        "arrayFilters apply to literal update documents only")
+      updatePipeline(pred, updateJson)
+    } else updateWhere(pred, updateJson, arrayFiltersJson, filterJson)
   }
 
   /** The update-pipeline form: each $set field evaluates through the
@@ -883,10 +1181,19 @@ final class Collection(
         require(spec.has("filter"), s"${e.getKey} needs a filter: $spec")
         spec.get("filter").toString
       }
+      // the document is this store's TEXT payload (the embedded string),
+      // not a Mongo sub-document: a JSON object here would asText() to
+      // "" and silently insert an empty document — fail loudly instead
+      // (structured fields belong in `metadata`)
+      def docText(n: com.fasterxml.jackson.databind.JsonNode): String = {
+        require(n == null || n.isNull || n.isTextual,
+          s"${e.getKey}: 'document' must be a string (the text " +
+            s"payload; structured fields go in 'metadata'), got: $n")
+        if (n == null || n.isNull) "" else n.asText()
+      }
       e.getKey match {
         case "insertOne" =>
-          val doc = Option(spec.get("document"))
-            .map(_.asText()).getOrElse("")
+          val doc = docText(spec.get("document"))
           val metaJ = Option(spec.get("metadata"))
             .map(_.toString).getOrElse("{}")
           import spark.implicits._
@@ -894,13 +1201,22 @@ final class Collection(
           nIns += 1
         case "updateMany" =>
           val ups = Option(spec.get("upsert")).exists(_.asBoolean())
-          val m = updateDoc(fj, spec.get("update").toString,
-            upsert = ups)
+          val afj = Option(spec.get("arrayFilters")).map(_.toString).orNull
+          require(afj == null || !ups,
+            "bulkWrite: arrayFilters with upsert is unsupported (loud)")
+          val m =
+            if (ups) updateDoc(fj, spec.get("update").toString,
+              upsert = true)
+            else updateDoc(fj, spec.get("update").toString, afj)
           nMatch += m
           if (ups && m == 0) nUps += 1
         case "updateOne" =>
           val ups = Option(spec.get("upsert")).exists(_.asBoolean())
-          findOneAndUpdate(fj, spec.get("update").toString) match {
+          val afj = Option(spec.get("arrayFilters")).map(_.toString).orNull
+          require(afj == null || !ups,
+            "bulkWrite: arrayFilters with upsert is unsupported (loud)")
+          findOneAndUpdate(fj, spec.get("update").toString,
+            arrayFiltersJson = afj) match {
             case Some(_) => nMatch += 1
             case None if ups =>
               updateDoc(fj, spec.get("update").toString, upsert = true)
@@ -923,8 +1239,7 @@ final class Collection(
             }
           }
         case "replaceOne" =>
-          nMatch += replaceOne(fj,
-            Option(spec.get("document")).map(_.asText()).getOrElse(""))
+          nMatch += replaceOne(fj, docText(spec.get("document")))
         case other => throw new IllegalArgumentException(
           s"unsupported bulk operation: $other")
       }
@@ -933,7 +1248,8 @@ final class Collection(
   }
 
   def findOneAndUpdate(filterJson: String, updateJson: String,
-      returnNew: Boolean = false): Option[(Long, String)] = {
+      returnNew: Boolean = false,
+      arrayFiltersJson: String = null): Option[(Long, String)] = {
     if (!hasData) return None
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
@@ -943,20 +1259,30 @@ final class Collection(
     if (hit.isEmpty) return None
     val id = hit(0).getLong(0)
     val pre = hit(0).getString(1)
-    updateWhere(col(Schema.IdCol) === id, updateJson)
+    // the id restricts the rewrite; the ORIGINAL filter still resolves
+    // any positional '$' segments
+    updateWhere(col(Schema.IdCol) === id, updateJson,
+      arrayFiltersJson, filterJson)
     if (!returnNew) Some((id, pre))
     else Some((id, df.filter(col(Schema.IdCol) === id)
       .select(col(Schema.MetaCol)).head().getString(0)))
   }
 
   /** [[updateDoc]]'s core over an arbitrary row predicate — shared
-    * with [[findOneAndUpdate]]'s single-id restriction. */
-  private def updateWhere(pred: Column, updateJson: String): Long = {
+    * with [[findOneAndUpdate]]'s single-id restriction.
+    * `arrayFiltersJson` feeds `$[ident]` segments; `queryFilterJson`
+    * resolves `$` first-match segments (r11 positional forms). */
+  private def updateWhere(pred: Column, updateJson: String,
+      arrayFiltersJson: String = null,
+      queryFilterJson: String = null): Long = {
     // driver-side validation: unknown operators must fail fast, not in
     // a task half-way through a rewrite
     val opsNode = Collection.udfMapper.readTree(updateJson)
     require(opsNode.isObject && opsNode.properties().size() > 0,
       s"update document must be a non-empty object: $updateJson")
+    val usedIdents = scala.collection.mutable.Set[String]()
+    val valueOps =
+      Seq("$set", "$inc", "$unset", "$min", "$max", "$mul", "$setOnInsert")
     opsNode.properties().forEach { e =>
       require(Seq("$set", "$inc", "$unset", "$min", "$max", "$mul",
         "$push", "$addToSet", "$pull", "$pop", "$rename", "$setOnInsert")
@@ -964,6 +1290,34 @@ final class Collection(
         s"unsupported update operator: ${e.getKey}")
       require(e.getValue.isObject,
         s"${e.getKey} operand must be an object: ${e.getValue}")
+      e.getValue.properties().forEach { f =>
+        val k = f.getKey
+        if (valueOps.contains(e.getKey) && k.contains(".")) {
+          // positional-path shape checks, fail-fast on the driver
+          val segs = k.split('.')
+          require(segs.nonEmpty && segs.forall(_.nonEmpty),
+            s"malformed update path: '$k'")
+          segs.zipWithIndex.foreach { case (s, i) =>
+            if (s.startsWith("$")) {
+              require(s == "$" || s == "$[]" ||
+                (s.startsWith("$[") && s.endsWith("]") && s.length > 3),
+                s"malformed positional segment '$s' in path '$k'")
+              require(i > 0,
+                s"update path cannot start with a positional " +
+                  s"segment: '$k'")
+              if (s == "$") require(queryFilterJson != null,
+                s"positional '$$' needs the query filter for " +
+                  s"first-match resolution: '$k'")
+              if (s.length > 3)
+                usedIdents += s.substring(2, s.length - 1)
+            }
+          }
+        } else if (!valueOps.contains(e.getKey)) {
+          require(!k.contains("."),
+            s"${e.getKey} does not support dotted/positional paths " +
+              s"(unsupported — loud by contract): '$k'")
+        }
+      }
       if (e.getKey == "$rename")
         e.getValue.properties().forEach(f =>
           require(f.getValue.isTextual,
@@ -974,8 +1328,17 @@ final class Collection(
             (f.getValue.asInt() == 1 || f.getValue.asInt() == -1),
             s"$$pop operand must be 1 or -1: ${f.getValue}"))
     }
+    // Mongo parity both ways: every $[ident] needs a filter, every
+    // filter must be used
+    val filters =
+      Collection.parseArrayFilters(arrayFiltersJson, Collection.udfMapper)
+    usedIdents.foreach(id => require(filters.contains(id),
+      s"no arrayFilters entry for identifier '$id'"))
+    filters.keys.foreach(id => require(usedIdents.contains(id),
+      s"arrayFilters identifier '$id' is not used in the update"))
+    val (afj, qfj) = (arrayFiltersJson, queryFilterJson)
     val mergeUdf = udf { meta: String =>
-      Collection.applyUpdateOps(meta, updateJson) }
+      Collection.applyUpdateOps(meta, updateJson, afj, qfj) }
     val updated = df.filter(pred).count()
     if (updated > 0L) {
       rewriteData(df.withColumn(Schema.MetaCol,

@@ -249,6 +249,46 @@ object KaerQuery {
         |]""".stripMargin)
   }
 
+  /** r11 positional array updates under the oracle gate: seed each doc
+    * with a 3-element integer score array, then replay the three
+    * positional forms in sequence — `$[]` (every element of en docs
+    * +10), `$[low]` + arrayFilters (elements < 5 zeroed everywhere),
+    * and `$` (the FIRST element matching the query's $elemMatch
+    * condition +1) — and project the exploded arrays under the hash.
+    * The DuckDB twin replays the same mutations as list algebra; the
+    * first-match update is encoded multiset-exactly (all occurrences
+    * of the first matching VALUE are interchangeable, so bumping the
+    * rn=1 row of that value reproduces the sorted projection).
+    * Mutations are not idempotent → drop + rebuild every run. */
+  def updatePositional(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaerpos", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"),
+            array((col("n_chars") % 1000).cast("long"),
+              (col("doc_id") % 7).cast("long"), lit(500L)).as("scores")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    coll.updateDoc("""{"lang": {"$eq": "en"}}""",
+      """{"$inc": {"scores.$[]": 10}}""")
+    coll.updateDoc("{}", """{"$set": {"scores.$[low]": 0}}""",
+      """[{"low": {"$lt": 5}}]""")
+    coll.updateDoc("""{"scores": {"$elemMatch": {"$gt": 800}}}""",
+      """{"$inc": {"scores.$": 1}}""")
+    coll.df.select(
+      get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
+        .as("did"),
+      explode(from_json(
+        get_json_object(col(Schema.MetaCol), "$.scores"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))).as("score"))
+      .orderBy("did", "score")
+  }
+
   /** MQL aggregation over the COLLECTION — the reference's
     * `Collection.Aggregate` delegation (it uses the surface itself:
     * `[{$sort:{_m_id:1}},{$limit:1}]`, /root/reference/db/db.go:146-148)
@@ -392,6 +432,30 @@ object KaerQuery {
         |UNION ALL
         |SELECT 999999, 'xx', 0, 5, 'insert'
         |ORDER BY did""".stripMargin,
+    "kaer_update_positional" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    [CAST(n_chars % 1000 AS BIGINT),
+        |     CAST(doc_id % 7 AS BIGINT),
+        |     CAST(500 AS BIGINT)] AS scores
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en'
+        |       THEN list_transform(scores, x -> x + 10)
+        |       ELSE scores END AS scores FROM base),
+        |t2 AS (SELECT doc_id,
+        |  list_transform(scores,
+        |    x -> CASE WHEN x < 5 THEN 0 ELSE x END) AS scores FROM t1),
+        |t3 AS (SELECT doc_id, scores,
+        |  list_filter(scores, x -> x > 800)[1] AS fv FROM t2),
+        |rows_ AS (SELECT doc_id, fv, unnest(scores) AS x FROM t3),
+        |rn_ AS (SELECT doc_id, fv, x,
+        |  row_number() OVER (PARTITION BY doc_id, x ORDER BY x) AS rn
+        |  FROM rows_)
+        |SELECT doc_id AS did,
+        |  CAST(CASE WHEN fv IS NOT NULL AND x = fv AND rn = 1
+        |       THEN x + 1 ELSE x END AS BIGINT) AS score
+        |FROM rn_ ORDER BY did, score""".stripMargin,
     "kaer_update_array" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars, [lang, source] AS tags
@@ -417,6 +481,7 @@ object KaerQuery {
     "kaer_aggregate" -> (aggregateGroup _),
     "kaer_delete_update" -> (deleteUpdate _),
     "kaer_update_array" -> (updateArray _),
+    "kaer_update_positional" -> (updatePositional _),
     "kaer_upsert" -> (upsertGate _),
     "kaer_bulk_write" -> (bulkWriteGate _)
   )

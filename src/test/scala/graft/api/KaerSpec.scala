@@ -600,4 +600,107 @@ class KaerSpec extends SparkTestBase {
     assert(c.count("{}") == 1L)
     assert(c.count("""{"n": 8}""") == 1L)
   }
+
+  test("positional updates: $ first-match, $[] all-elements, " +
+      "$[ident]+arrayFilters, nested object paths") {
+    val k = newSession(tmpDir("kaer-positional"))
+    val c = k.createCollection("c")
+    c.insert(Data()
+      .withDocuments(Seq("d1", "d2"))
+      .withMetadatas(Seq(
+        Map("g" -> 1, "scores" -> Seq(10, 90, 90, 40)),
+        Map("g" -> 2, "scores" -> Seq(5, 70)))))
+    def scores(g: Int): Seq[Long] = {
+      val meta = c.df.filter(
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("_m_meta"), "$.g") === g)
+        .select("_m_meta").head().getString(0)
+      val n = Collection.udfMapper.readTree(meta).get("scores")
+      (0 until n.size()).map(n.get(_).asLong())
+    }
+    // $[]: every element of every matching doc
+    assert(c.updateDoc("""{"g": 1}""",
+      """{"$inc": {"scores.$[]": 1}}""") == 1L)
+    assert(scores(1) == Seq(11L, 91L, 91L, 41L))
+    // $[ident] + arrayFilters: only elements passing the filter
+    assert(c.updateDoc("{}",
+      """{"$set": {"scores.$[low]": 0}}""",
+      """[{"low": {"$lt": 40}}]""") == 2L)
+    assert(scores(1) == Seq(0L, 91L, 91L, 41L))
+    assert(scores(2) == Seq(0L, 70L))
+    // $: FIRST element matching the query's condition on the array —
+    // only the first 91 bumps, the duplicate stays
+    assert(c.updateDoc("""{"scores": {"$elemMatch": {"$gt": 80}}}""",
+      """{"$inc": {"scores.$": 100}}""") == 1L)
+    assert(scores(1) == Seq(0L, 191L, 91L, 41L))
+    // nested object path through a filtered element
+    assert(c.updateDoc("""{"g": 2}""",
+      """{"$set": {"rs": [{"tag": "a", "v": 1}, {"tag": "b", "v": 2}]}}""")
+      == 1L)
+    assert(c.updateDoc("""{"g": 2}""",
+      """{"$inc": {"rs.$[e].v": 10}}""",
+      """[{"e.tag": "b"}]""") == 1L)
+    assert(c.count("""{"rs": {"$elemMatch": {"tag": "b", "v": 12}}}""")
+      == 1L)
+    // plain dotted path navigates (creates intermediates)
+    assert(c.updateDoc("""{"g": 2}""",
+      """{"$set": {"meta.src.name": "x"}}""") == 1L)
+    assert(c.count("""{"meta.src.name": "x"}""") == 1L)
+  }
+
+  test("positional updates: unsupported forms are loud, never silent") {
+    val k = newSession(tmpDir("kaer-positional-loud"))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("d"))
+      .withMetadatas(Seq(Map("g" -> 1, "a" -> Seq(1, 2)))))
+    // $[ident] without a matching arrayFilters entry
+    val e1 = intercept[IllegalArgumentException] {
+      c.updateDoc("""{"g": 1}""", """{"$inc": {"a.$[x]": 1}}""") }
+    assert(e1.getMessage.contains("arrayFilters"), e1.getMessage)
+    // unused arrayFilters identifier (Mongo errors too)
+    val e2 = intercept[IllegalArgumentException] {
+      c.updateDoc("""{"g": 1}""", """{"$inc": {"a.$[]": 1}}""",
+        """[{"x": 1}]""") }
+    assert(e2.getMessage.contains("not used"), e2.getMessage)
+    // positional path on an array operator
+    val e3 = intercept[IllegalArgumentException] {
+      c.updateDoc("""{"g": 1}""", """{"$push": {"a.$[]": 9}}""") }
+    assert(e3.getMessage.contains("dotted/positional"), e3.getMessage)
+    // '$' without a query condition on the array
+    val e4 = intercept[Exception] {
+      c.updateDoc("""{"g": 1}""", """{"$inc": {"a.$": 1}}""") }
+    assert(e4.getMessage.contains("$"), e4.getMessage)
+    // positional over a missing field must not fabricate an array
+    val e5 = intercept[Exception] {
+      c.updateDoc("""{"g": 1}""", """{"$set": {"nope.$[]": 1}}""") }
+    assert(e5.getMessage.contains("must exist"), e5.getMessage)
+    // nothing was silently rewritten by the failed updates
+    assert(c.count("""{"a": {"$elemMatch": {"$eq": 1}}}""") == 1L)
+  }
+
+  test("bulkWrite: a JSON-object document is loud, not a silent " +
+      "empty-string insert (insertOne and replaceOne)") {
+    val k = newSession(tmpDir("kaer-bulk-doc"))
+    val c = k.createCollection("c")
+    val e1 = intercept[IllegalArgumentException] {
+      c.bulkWrite("""[{"insertOne": {"document": {"a": 1}}}]""")
+    }
+    assert(e1.getMessage.contains("must be a string"), e1.getMessage)
+    assert(c.count("{}") == 0L) // nothing inserted by the failed batch
+    c.insert(Data().withDocuments(Seq("x"))
+      .withMetadatas(Seq(Map("g" -> 1))))
+    val e2 = intercept[IllegalArgumentException] {
+      c.bulkWrite(
+        """[{"replaceOne": {"filter": {"g": 1},
+          | "document": {"nested": true}}}]""".stripMargin)
+    }
+    assert(e2.getMessage.contains("must be a string"), e2.getMessage)
+    // textual documents still work through the same ops
+    val (ins, m, _, _) = c.bulkWrite(
+      """[{"insertOne": {"document": "t2", "metadata": {"g": 2}}},
+        | {"replaceOne": {"filter": {"g": 1}, "document": "swapped"}}]"""
+        .stripMargin)
+    assert(ins == 1L && m == 1L)
+    assert(c.count("{}") == 2L)
+  }
 }
