@@ -397,6 +397,84 @@ object MqlPipeline {
               graft.functions.TextFunctions.md5Hash60(ser))
             .orderBy(col("_sh").asc).limit(sk).drop("_sh")
 
+        case "$geoNear" =>
+          // Mongo's $geoNear, on this engine's PLANAR INTEGER grid (the
+          // graft.operators.Geo contract): the metadata `key` field is
+          // an integer [x, y] point, `near` is [qx, qy] (legacy pair or
+          // GeoJSON Point), and `distanceField` receives the EXACT
+          // integer dist² (no floating trig under the hash — a
+          // production swap to projected meters/haversine changes only
+          // this expression). maxDistance (meters) filters as a
+          // bounding box first, then the exact circle dist² ≤ R² —
+          // the same box→refine shape as Geo.geoNear. `query` filters
+          // like $match. Documents without a valid point are excluded
+          // (Mongo's behavior for missing geo fields). spherical: true
+          // and float coordinates are out of scope — loud.
+          require(cur eq df,
+            "$geoNear must be the first pipeline stage (Mongo)")
+          require(spec.isObject, s"$$geoNear needs options: $spec")
+          val geoAllowed = Set("near", "key", "distanceField",
+            "maxDistance", "query", "spherical")
+          spec.properties().asScala.foreach(e =>
+            require(geoAllowed(e.getKey),
+              s"unsupported $$geoNear option (scope: " +
+                s"${geoAllowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
+          require(Option(spec.get("spherical")).forall(!_.asBoolean()),
+            "$geoNear spherical: true is unsupported " +
+              "(planar integer grid only — loud)")
+          val near0 = spec.get("near")
+          require(near0 != null, "$geoNear requires near")
+          val near =
+            if (near0.isObject) {
+              require(Option(near0.get("type"))
+                .exists(_.asText() == "Point") &&
+                near0.get("coordinates") != null,
+                s"$$geoNear GeoJSON near must be a Point: $near0")
+              near0.get("coordinates")
+            } else near0
+          require(near.isArray && near.size() == 2 &&
+            near.get(0).isIntegralNumber && near.get(1).isIntegralNumber,
+            "$geoNear near must be [x, y] integers on the planar " +
+              s"grid (GeoJSON Point accepted): $near0")
+          val (qx, qy) = (near.get(0).asLong(), near.get(1).asLong())
+          val geoKey = Option(spec.get("key")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "$geoNear requires key (the [x, y] metadata field)"))
+          val distF = Option(spec.get("distanceField")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              "$geoNear requires distanceField"))
+          val loc = from_json(get_json_object(meta, s"$$.$geoKey"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType))
+          val px = element_at(loc, 1)
+          val py = element_at(loc, 2)
+          // query filter first (row reduction before any arithmetic)
+          Option(spec.get("query")).foreach { q =>
+            val typed = MqlFilter.TypedResolver(
+              cur.schema.fields.map(f => f.name -> col(f.name)).toMap,
+              cur.schema.fields.map(f => f.name -> f.dataType).toMap)
+            cur = cur.filter(MqlFilter.toColumn(q.toString,
+              new HybridResolver(cur.columns.toSet, typed,
+                MqlFilter.JsonResolver(meta))))
+          }
+          cur = cur.filter(px.isNotNull && py.isNotNull)
+          Option(spec.get("maxDistance")).foreach { d0 =>
+            require(d0.isIntegralNumber && d0.asLong() >= 0,
+              s"$$geoNear maxDistance must be a non-negative integer " +
+                s"(meters): $d0")
+            val d = d0.asLong()
+            cur = cur.filter(px.between(qx - d, qx + d) &&
+              py.between(qy - d, qy + d))
+          }
+          cur = cur.withColumn(distF,
+            (px - qx) * (px - qx) + (py - qy) * (py - qy))
+          Option(spec.get("maxDistance")).foreach { d0 =>
+            val d = d0.asLong()
+            cur = cur.filter(col(distF) <= d * d)
+          }
+          cur = cur.orderBy(col(distF).asc)
+          if (!grouped) sortKeys = Seq((col(distF), false))
+
         case "$out" =>
           // Mongo's REPLACE-the-collection output stage: the pipeline
           // result verbatim becomes the named collection's content

@@ -126,7 +126,46 @@ object Geo {
       .limit(10)
   }
 
+  /** The `$geoNear` PIPELINE stage end to end (r11): the same planar
+    * integer grid, but driven through MQL — points packed into the
+    * metadata document as `loc: [x, y]`, then `$geoNear` with
+    * near/key/distanceField/maxDistance/query, a computed `$project`,
+    * and a deterministic `(dist2, idq)` sort+limit. Proves the stage's
+    * box→circle filter order, the query pre-filter, and the exact
+    * integer dist² under the oracle hash. */
+  def mqlGeoNear(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("meta", to_json(struct(
+          col("c_custkey").as("id"),
+          array(col("c_custkey") * 7919 % 100000,
+            col("c_custkey") * 104729 % 100000).as("loc"),
+          col("c_mktsegment").as("seg")))),
+      col("meta"),
+      s"""[
+         | {"$$geoNear": {"near": [50000, 50000], "key": "loc",
+         |   "distanceField": "dist2", "maxDistance": $NearR,
+         |   "query": {"seg": {"$$ne": "BUILDING"}}}},
+         | {"$$project": {"idq": {"$$toLong": "$$id"}, "dist2": 1}},
+         | {"$$sort": {"dist2": 1, "idq": 1}},
+         | {"$$limit": 10}
+         |]""".stripMargin)
+
   val oracle: Map[String, String] = Map(
+    "mql_geo_near" ->
+      s"""WITH p AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+         |    c_custkey * 7919 % 100000 AS x,
+         |    c_custkey * 104729 % 100000 AS y FROM customer)
+         |SELECT CAST(id AS BIGINT) AS idq,
+         |  CAST((x - 50000) * (x - 50000)
+         |    + (y - 50000) * (y - 50000) AS BIGINT) AS dist2
+         |FROM p
+         |WHERE seg <> 'BUILDING'
+         |  AND x BETWEEN ${50000 - NearR} AND ${50000 + NearR}
+         |  AND y BETWEEN ${50000 - NearR} AND ${50000 + NearR}
+         |  AND (x - 50000) * (x - 50000) + (y - 50000) * (y - 50000)
+         |    <= ${NearR * NearR}
+         |ORDER BY dist2, idq LIMIT 10""".stripMargin,
     "geo_join" ->
       s"""WITH p AS ($pointsSql)
          |SELECT a.id AS id_a, b.id AS id_b,
@@ -147,6 +186,7 @@ object Geo {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_join" -> (geoJoin _),
-    "geo_near" -> (geoNear _)
+    "geo_near" -> (geoNear _),
+    "mql_geo_near" -> (mqlGeoNear _)
   )
 }

@@ -172,6 +172,17 @@ class PlanSpec extends SparkTestBase {
     assert(kExchanges == 1, s"want 1 exchange on k, got $kExchanges\n$p")
   }
 
+  test("mql_geo_near: single-pass scan→filter→topk, no join node at " +
+      "all and the distance sort+limit is TakeOrderedAndProject") {
+    val p = plan(graft.operators.Geo.mqlGeoNear(spark, sf0001))
+    // $geoNear is a per-row computation over one input: any join —
+    // cartesian or otherwise — would mean the stage degenerated
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("salted_agg: two aggregation phases — (key,salt) then key") {
     import graft.operators.Skew
     val p = plan(Skew.saltedAgg(spark, sf0001))
