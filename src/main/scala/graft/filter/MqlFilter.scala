@@ -542,6 +542,39 @@ object MqlFilter {
         }
       }.reduceLeft(_ && _)
       tv(exists(r.varr(field), pred))
+    case "$bitsAllSet" | "$bitsAllClear" | "$bitsAnySet" |
+        "$bitsAnyClear" =>
+      // Mongo's bitwise query operators over the int64-exact numeric
+      // view. Operand: a non-negative numeric mask or an array of bit
+      // positions (0–63; BinData masks are out of scope — loud).
+      // Whole-number doubles participate like Mongo (42.0 has bits);
+      // fractional values and non-numeric types never match (tv).
+      // Negative field values read as two's complement (Mongo).
+      val mask: Long =
+        if (v.isArray) {
+          val ps = v.elements().asScala.toSeq
+          require(ps.nonEmpty && ps.forall(_.isIntegralNumber),
+            s"$op positions must be a non-empty integer array: $v")
+          ps.map(_.asLong()).map { p =>
+            require(p >= 0 && p <= 63,
+              s"$op bit position out of range [0, 63]: $p")
+            1L << p
+          }.reduce(_ | _)
+        } else if (v.isIntegralNumber && v.canConvertToLong &&
+            v.asLong() >= 0) v.asLong()
+        else throw new IllegalArgumentException(
+          s"$op operand must be a non-negative integer mask or an " +
+            s"array of bit positions (BinData unsupported — loud): $v")
+      val whole = r.num(field) === floor(r.num(field))
+      val iv = coalesce(r.intNum(field),
+        when(whole, r.num(field).cast("long")))
+      val m = lit(mask)
+      op match {
+        case "$bitsAllSet" => tv(iv.bitwiseAND(m) === m)
+        case "$bitsAllClear" => tv(iv.bitwiseAND(m) === lit(0L))
+        case "$bitsAnySet" => tv(iv.bitwiseAND(m) =!= lit(0L))
+        case _ => tv(iv.bitwiseAND(m) =!= m)
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported MQL operator: $other")
   }

@@ -1878,6 +1878,24 @@ object Relational {
     * FerretDB/Mongo form the scalar-array $elemMatch can't express. The
     * oracle evaluates the same per-element conjunction directly on the
     * source columns. */
+  /** The $bits* find operators (r11) over the int64-exact numeric
+    * view: AllSet as position array, AnySet as position array, and
+    * AnyClear as a numeric mask on the same field — together they
+    * select documents whose flag word has bits 0 and 2 set plus
+    * EXACTLY ONE of bits 4/5 (AnySet ∧ AnyClear on the same mask).
+    * The DuckDB twin is plain integer bitwise algebra. */
+  def mqlDocsBits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("doc_id"),
+        col("n_chars").cast("long").as("flags"))))
+      .filter(MqlFilter.toColumn(
+        """{"flags": {"$bitsAllSet": [0, 2]}, "$and": [
+          | {"flags": {"$bitsAnySet": [4, 5]}},
+          | {"flags": {"$bitsAnyClear": 48}}]}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("meta", to_json(struct(array(
@@ -3744,6 +3762,12 @@ object Relational {
         |SELECT doc_id, lang, n_chars FROM t
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
+    "mql_docs_bits" ->
+      """SELECT doc_id FROM documents
+        |WHERE (n_chars & 5) = 5
+        |  AND (n_chars & 48) <> 0
+        |  AND (n_chars & 48) <> 48
+        |ORDER BY doc_id""".stripMargin,
     "mql_docs_mixed" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -4215,6 +4239,7 @@ object Relational {
     "table_fingerprint" -> (tableFingerprint _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
+    "mql_docs_bits" -> (mqlDocsBits _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),

@@ -92,6 +92,21 @@ class MqlFilterPropSpec extends SparkTestBase {
     def json = s"""{"k": {"$$mod": [$m, $r]}}"""
     def eval(d: (Option[Long], Option[String])) = d._1.exists(_ % m == r)
   }
+  case class Bits(op: String, mask: Long, asPositions: Boolean) extends P {
+    def json =
+      if (asPositions) {
+        val ps = (0 to 63).filter(b => (mask & (1L << b)) != 0L)
+        s"""{"k": {"$$$op": [${ps.mkString(",")}]}}"""
+      } else s"""{"k": {"$$$op": $mask}}"""
+    def eval(d: (Option[Long], Option[String])) = d._1.exists { kk =>
+      op match {
+        case "bitsAllSet" => (kk & mask) == mask
+        case "bitsAllClear" => (kk & mask) == 0L
+        case "bitsAnySet" => (kk & mask) != 0L
+        case "bitsAnyClear" => (kk & mask) != mask
+      }
+    }
+  }
 
   private val genCmp: Gen[P] = for {
     op <- Gen.oneOf("eq", "ne", "gt", "gte", "lt", "lte")
@@ -118,8 +133,18 @@ class MqlFilterPropSpec extends SparkTestBase {
       yield TagRegex(i, ci),
     Gen.oneOf(true, false).map(TagExists))
 
+  private val genBits: Gen[P] = for {
+    op <- Gen.oneOf("bitsAllSet", "bitsAllClear", "bitsAnySet",
+      "bitsAnyClear")
+    // small masks exercise k∈0..19; the 2^53 bit exercises the int64
+    // neighborhood where a double view would alias adjacent values
+    mask <- Gen.oneOf(Gen.choose(1L, 31L),
+      Gen.choose(1L, 7L).map(_ | (1L << 53)))
+    asPos <- Gen.oneOf(true, false)
+  } yield Bits(op, mask, asPos)
+
   private val genLeaf: Gen[P] =
-    Gen.oneOf(genCmp, genIn, genMod, genTag,
+    Gen.oneOf(genCmp, genIn, genMod, genTag, genBits,
       Gen.oneOf(true, false).map(Exists))
 
   private val genPred: Gen[P] = for {

@@ -115,6 +115,29 @@ class MqlFilterSpec extends SparkTestBase {
     }
   }
 
+  test("$bits*: masks, position arrays, whole-double participation, " +
+      "loud malformed operands") {
+    // a=1 → bits {0}; a=5 → bits {0,2}; 2.5 (fractional), "5" (string)
+    // and missing never match
+    assert(ids("""{"a": {"$bitsAllSet": [0]}}""") == Seq(1L, 5L))
+    assert(ids("""{"a": {"$bitsAllSet": 5}}""") == Seq(5L))
+    assert(ids("""{"a": {"$bitsAllClear": 2}}""") == Seq(1L, 5L))
+    assert(ids("""{"a": {"$bitsAnySet": [1, 2]}}""") == Seq(5L))
+    assert(ids("""{"a": {"$bitsAnyClear": [0, 2]}}""") == Seq(1L))
+    // whole doubles have bits (Mongo); fractional values never match
+    val d2 = Seq((1L, """{"a": 6.0}"""), (2L, """{"a": 6.5}"""))
+      .toDF("id", "meta")
+    assert(d2.filter(MqlFilter.toColumn("""{"a": {"$bitsAllSet": [1, 2]}}""",
+        MqlFilter.JsonResolver(col("meta"))))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      ids("""{"a": {"$bitsAllSet": [64]}}""") }
+    intercept[IllegalArgumentException] {
+      ids("""{"a": {"$bitsAllSet": -3}}""") }
+    intercept[IllegalArgumentException] {
+      ids("""{"a": {"$bitsAnySet": []}}""") }
+  }
+
   test("unsupported operator raises") {
     intercept[IllegalArgumentException] { ids("""{"a": {"$where": "x"}}""") }
   }
