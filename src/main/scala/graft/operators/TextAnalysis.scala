@@ -244,6 +244,130 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trained char-n-gram language ID (r11) — the statistical twin of
+    * the marker-token heuristic [[textLangId]]: hashed char-trigram
+    * naive Bayes, TRAINED on the corpus's own labels under the oracle
+    * hash (the bigram-LM/KN "training is part of the gate" stance).
+    *
+    * Model: trigrams of the lowercased first [[LidPrefix]] chars hash
+    * into [[LidBuckets]] buckets; per-(lang, bucket) counts + per-lang
+    * totals are the model — ≤ L·B rows REGARDLESS of corpus size, so
+    * the weight LUT broadcasts and scoring is map-side (the
+    * classifier_score / dsir_sample scale device). Each doc scores
+    * every candidate language by Σ occurrences × add-one-smoothed
+    * P(bucket|lang) in INTEGER ppm ((c+1)·10⁶ over (n+B), one
+    * correctly-rounded division — exact while per-lang gram counts
+    * stay under ~9·10⁹; shard the training count past that); unseen
+    * (lang, bucket) pairs take the smoothing floor. Prediction =
+    * max score, ties to the lexicographically smallest language;
+    * docs too short for a trigram emit 'und'.
+    *
+    * The linear-domain ppm SUM (not Σ log p) is the engine's
+    * libm-free exactness trick (see dsir_sample): ranking quality is
+    * what language ID needs, and the planted multilingual corpus
+    * separates cleanly (accuracy vs the lang column is recorded in
+    * BASELINE.md). Scale: two bounded-width count shuffles (the
+    * model), one per-(doc, lang) partial-aggregated sum, a per-doc
+    * 4-row window — no quadratic stage anywhere. */
+  private val LidBuckets = 4096
+  private val LidPrefix = 200
+
+  /** The synthetic corpus's text is language-INDEPENDENT token soup
+    * (the lang column never manifests in the text — verified: zero
+    * language-exclusive tokens), so the multilingual signal is PLANTED
+    * deterministically and identically on both engines (the
+    * textNormalize noise-planting device): each doc gets a
+    * language-distinctive phrase prefix, unknown codes fall back to a
+    * repeated lang-code token. The classifier then has a real signal
+    * to learn; its accuracy against the label column is the
+    * BASELINE.md number. */
+  private val LidPlant: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog",
+    "de" -> "der schnelle braune fuchs springt ueber den faulen hund",
+    "fr" -> "le renard brun rapide saute par dessus le chien paresseux",
+    "es" -> "el zorro marron rapido salta sobre el perro perezoso",
+    "zh" -> "min jie de zong se hu li tiao guo lan gou wen ben")
+
+  def textLangIdTrained(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plant = LidPlant.foldLeft(
+      repeat(concat(col("lang"), lit("xx ")), 12)) {
+      case (acc, (l, p)) =>
+        when(col("lang") === l, lit(p + " ")).otherwise(acc)
+    }
+    val t = lower(substring(concat(plant, col("text")), 1, LidPrefix))
+    val fArr = transform(charNgrams(t, 3), g =>
+      pmod(md5Hash60(concat(lit("lid:"), g)), lit(LidBuckets)))
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      fArr.as("fs"))
+    val feats = d.select(col("doc_id"), col("lang"),
+      explode(col("fs")).as("f"))
+    val cnt = feats.groupBy("lang", "f").agg(count(lit(1)).as("c"))
+    val tot = feats.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = cnt.join(tot, "lang")
+      .select(col("lang").as("cand"), col("f"),
+        expr(s"CAST(round((c + 1) * 1000000.0 / (n + $LidBuckets))" +
+          " AS BIGINT)").as("w_ppm"))
+    val floorW = tot.select(col("lang").as("cand"),
+      expr(s"CAST(round(1000000.0 / (n + $LidBuckets)) AS BIGINT)")
+        .as("w_floor"))
+    val perLang = feats.select(col("doc_id"), col("f"))
+      .crossJoin(broadcast(floorW))
+      .join(broadcast(w), Seq("cand", "f"), "left")
+      .withColumn("wv", coalesce(col("w_ppm"), col("w_floor")))
+      .groupBy("doc_id", "cand").agg(sum(col("wv")).as("score"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    val pred = perLang
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("lang_pred"))
+    d.select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdTrainedSql = {
+    val b = LidBuckets
+    val plantCase = LidPlant.map { case (l, p) =>
+      s"WHEN '$l' THEN '$p '" }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    lower(substr((CASE lang $plantCase
+       |      ELSE repeat(lang || 'xx ', 12) END) || text,
+       |      1, $LidPrefix)) AS t FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(
+       |    CASE WHEN length(t) >= 3 THEN
+       |      [('0x' || substr(md5('lid:' || substr(t, i, 3)), 1, 15))
+       |         ::BIGINT % $b
+       |       for i in generate_series(1, length(t) - 2)]
+       |    ELSE CAST([] AS BIGINT[]) END) AS f
+       |  FROM d),
+       |cnt AS (SELECT lang, f, count(*) AS c FROM g GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS n FROM g GROUP BY 1),
+       |w AS (SELECT lang AS cand, f,
+       |    CAST(round((c + 1) * 1000000.0 / (n + $b)) AS BIGINT)
+       |      AS w_ppm
+       |  FROM cnt JOIN tot USING (lang)),
+       |fl AS (SELECT lang AS cand,
+       |    CAST(round(1000000.0 / (n + $b)) AS BIGINT) AS w_floor
+       |  FROM tot),
+       |sc AS (SELECT g.doc_id, fl.cand,
+       |    CAST(sum(COALESCE(w.w_ppm, fl.w_floor)) AS BIGINT) AS score
+       |  FROM g CROSS JOIN fl
+       |    LEFT JOIN w ON w.cand = fl.cand AND w.f = g.f
+       |  GROUP BY 1, 2),
+       |pred AS (SELECT doc_id, cand AS lang_pred,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand ASC) AS rn FROM sc)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(p.lang_pred, 'und') AS lang_pred
+       |FROM d LEFT JOIN (SELECT doc_id, lang_pred FROM pred
+       |  WHERE rn = 1) p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Rolling-hash document fingerprint (min 8-gram hash). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -772,6 +896,7 @@ object TextAnalysis {
          |      * 1000.0 / len($sqlToks)) AS BIGINT)
          |    ELSE 0 END AS stop_permille
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_trained" -> langIdTrainedSql,
     "text_langid" -> {
       val langs = langMarkers.keys.toSeq.sorted
       val cnts = langs.map(l => s"${sqlLangCnt(l)} AS c_$l").mkString(",\n  ")
@@ -938,6 +1063,7 @@ object TextAnalysis {
     "text_chunks" -> (textChunks _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
+    "text_langid_trained" -> (textLangIdTrained _),
     "text_fingerprint" -> (textFingerprint _),
     "annotate_docs" -> (annotateDocs _),
     "text_normalize" -> (textNormalize _),
