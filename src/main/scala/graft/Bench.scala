@@ -27,26 +27,30 @@ object Bench {
   /** Self-defense against concurrent-load contamination (six rounds of
     * judges re-running benches clean was the project's most expensive
     * recurring toil): ON BY DEFAULT, poll until the 1-minute load per
-    * core drops below 0.3, bounded by SPARK_GRAFT_WAIT_IDLE_MAX_S
-    * (default 300 s), then proceed either way. Opt out with
-    * SPARK_GRAFT_WAIT_IDLE=0. Returns whether the machine was still
-    * contended at the end — recorded as `"contended": true` in both
-    * output lines so a loaded run flags itself even when the wait gave
-    * up: the artifact either measures an idle machine or says it
-    * didn't. */
+    * core drops below [[IdleThreshold]], bounded by
+    * SPARK_GRAFT_WAIT_IDLE_MAX_S (default 300 s), then proceed either
+    * way. Opt out with SPARK_GRAFT_WAIT_IDLE=0. Returns whether the
+    * machine was still contended at the end — recorded as
+    * `"contended": true` in both output lines so a loaded run flags
+    * itself even when the wait gave up: the artifact either measures an
+    * idle machine or says it didn't. Threshold tightened 0.3 → 0.15 in
+    * r11: BENCH_r10.json passed the 0.3 gate at load 0.24 yet still
+    * measured ~1.2× above a truly idle run. */
+  private val IdleThreshold = 0.15
+
   private def waitForIdle(): Boolean = {
     if (sys.env.get("SPARK_GRAFT_WAIT_IDLE").contains("0")) return false
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_WAIT_IDLE_MAX_S", "300").toLong *
         1000L * 1000L * 1000L
     var load = loadPerCore()
-    while (load >= 0.3 && System.nanoTime() < deadline) {
-      System.err.println(f"[bench] load_per_core $load%.2f >= 0.30 — " +
-        "waiting for the machine to go idle")
+    while (load >= IdleThreshold && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] load_per_core $load%.2f >= " +
+        f"$IdleThreshold%.2f — waiting for the machine to go idle")
       Thread.sleep(15000)
       load = loadPerCore()
     }
-    load >= 0.3
+    load >= IdleThreshold
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,15 +110,31 @@ object Bench {
         .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_MIN_OF=N (default 1): run the full suite N times and
+    // keep each query's MINIMUM — the standard ambient-noise floor.
+    // Caveat recorded in the output: session caches pay only in pass 1,
+    // so a payer gate's min reflects its cache-warm cost; the
+    // "cache_payers" map says which gate paid which cache so per-gate
+    // numbers stay interpretable either way.
+    val minOf = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_MIN_OF", "1").toInt)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = (1 to minOf).map { pass =>
+      names.map { case (name, fn) =>
+        graft.core.CachePayers.setCurrent(name)
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name $sec%.2fs (pass $pass)")
+        name -> sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2fs")
-      name -> sec
+    }
+    graft.core.CachePayers.setCurrent(null)
+    val results = names.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     // stdout contract: the per-query detail line (~4 KB at 78 queries)
     // goes FIRST; the LAST line is short so a tail-capture that truncates
@@ -123,11 +143,14 @@ object Bench {
     // self-sufficient JSON.
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    val payers = graft.core.CachePayers.snapshot.toSeq.sorted
+      .map { case (c, g) => s""""$c":"$g"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = loadPerCore()
     val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f""" +
-      (if (contended) ""","contended":true""" else "")
-    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir",$load}""")
+      (if (contended) ""","contended":true""" else "") +
+      (if (minOf > 1) s""","min_of":$minOf""" else "")
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"sf":"$sfDir",$load}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
     spark.stop()
   }

@@ -114,13 +114,15 @@ object Bpe {
 
   /** Corpus word dict → [[Merges]] learned merges. */
   def trainMerges(s: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
-    mergeCache.computeIfAbsent(dir, _ =>
+    mergeCache.computeIfAbsent(dir, _ => {
+      graft.core.CachePayers.paid("bpe_merges")
       trainOn(
         docs(s, dir)
           .select(explode(tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))
           .select(charSyms(col("word")).as("syms"), col("freq")),
-        Merges))
+        Merges)
+    })
 
   /** Gate: the learned merge table itself. */
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {

@@ -71,6 +71,7 @@ object Mining {
     // must rebuild, not inherit dead RDD blocks
     basketCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}#$dir", _ => {
+      graft.core.CachePayers.paid("basket_stats")
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

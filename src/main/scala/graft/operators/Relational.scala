@@ -1419,6 +1419,7 @@ object Relational {
     // Mining.basketStats: checkpointed DataFrames die with their session
     coPurchaseCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}#$dir", _ => {
+      graft.core.CachePayers.paid("co_purchase_edges")
       val op = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

@@ -487,6 +487,52 @@ object StreamingOps {
     s.table(name).orderBy("view_id", "purchase_id")
   }
 
+  /** Watermarked stream-stream FULL OUTER join (r11) — completes the
+    * streaming join matrix beside inner and left: unmatched rows from
+    * BOTH sides emit NULL-padded once their state provably cannot
+    * match anymore. A view evicts when the global watermark passes its
+    * one-hour match window (the left-join rule); a purchase evicts
+    * when the watermark passes its own event time — the condition
+    * `p_ts > v_ts` means only EARLIER views can match it, so once no
+    * view older than p_ts can arrive the purchase is provably
+    * unmatched. Rows inside the final watermark horizon stay
+    * unreported on both sides (their matches could still arrive). The
+    * DuckDB twin replays exactly that: inner matches ∪ watermark-closed
+    * unmatched views ∪ watermark-closed unmatched purchases, in the
+    * engine's floored-millisecond arithmetic, NULLs coalesced to -1 so
+    * null-ordering differences can't leak into row order. */
+  def streamStreamFullJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = graft.operators.Relational.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val name = s"graft_ss_full_${runId.incrementAndGet()}"
+    withStatePartitions(s, 8) {
+      val q = views.join(purchases,
+          col("v_user") === col("p_user") &&
+            col("p_ts") > col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+          "fullOuter")
+        .select(coalesce(col("view_id"), lit(-1L)).as("view_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.table(name).orderBy("view_id", "purchase_id")
+  }
+
   /** Streaming exact dedup — the streaming twin of `dedup_exact`:
     * drop re-deliveries of the same content hash, with state bounded by
     * the watermark horizon (duplicates farther apart than the horizon
@@ -1042,6 +1088,39 @@ object StreamingOps {
         |    AND v.vms + 3600000 < wm.wm_ms)
         |SELECT view_id, purchase_id FROM m
         |UNION ALL SELECT view_id, purchase_id FROM unmatched
+        |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_stream_full" ->
+      // the left-join device extended to both sides: unmatched views
+      // close when the watermark passes their 1h window; unmatched
+      // purchases close when it passes their OWN event time (only
+      // earlier views can match `p_ts > v_ts`)
+      """WITH v AS (SELECT event_id AS view_id, user_id,
+        |    epoch_us(ts) AS vus,
+        |    CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS vms FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(ts) AS pus,
+        |    CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS pms FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT v.view_id, p.purchase_id
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |    AND p.pus > v.vus AND p.pus <= v.vus + 3600000000),
+        |wm AS (SELECT least((SELECT max(vms) FROM v),
+        |    (SELECT max(pms) FROM p)) - 7200000 AS wm_ms),
+        |unmatched_v AS (
+        |  SELECT v.view_id, CAST(-1 AS BIGINT) AS purchase_id
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+        |    AND v.vms + 3600000 < wm.wm_ms),
+        |unmatched_p AS (
+        |  SELECT CAST(-1 AS BIGINT) AS view_id, p.purchase_id
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM m
+        |      WHERE m.purchase_id = p.purchase_id)
+        |    AND p.pms < wm.wm_ms)
+        |SELECT view_id, purchase_id FROM m
+        |UNION ALL SELECT view_id, purchase_id FROM unmatched_v
+        |UNION ALL SELECT view_id, purchase_id FROM unmatched_p
         |ORDER BY view_id, purchase_id""".stripMargin
   )
 
@@ -1060,6 +1139,7 @@ object StreamingOps {
     "stream_sessionize_tws" -> (streamSessionizeTws _),
     "stream_upsert" -> (streamUpsert _),
     "stream_stream_left" -> (streamStreamLeftJoin _),
+    "stream_stream_full" -> (streamStreamFullJoin _),
     "stream_anomaly" -> (streamAnomaly _),
     "stream_cms" -> (streamCms _)
   )
