@@ -15,9 +15,10 @@ import org.apache.spark.sql.expressions.Window
   * (`round(x*100) :: long`) — bit-exact in any engine and any reduction
   * order, immune to float summation-order drift.
   */
-object Relational {
+object Relational extends RelationalTpch with RelationalMql
+    with RelationalGraph with RelationalAnalytics {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[operators] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** The events table's `ts` has shipped as TIMESTAMP(NANOS) in some
@@ -43,7 +44,7 @@ object Relational {
     normalizeEventTs(t(s, dir, "events"))
   }
 
-  private def cents(c: org.apache.spark.sql.Column) =
+  private[operators] def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
   /** TPC-H Q1-flavored pricing summary. Map-side partial aggregation +
@@ -218,20 +219,6 @@ object Relational {
       .filter(col("n_orders") >= 8)
       .orderBy(col("o_custkey"))
 
-  /** Batch windowed aggregation over the events stream table — tumbling
-    * 1-hour windows. The Structured Streaming twin is
-    * [[graft.streaming.StreamingOps.eventsHourlyStreaming]] (same logical
-    * plan, incremental execution with a watermark). */
-  def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      // epoch seconds (BIGINT) so the hour column hashes identically in
-      // both engines (no tz/precision ambiguity in the compare)
-      .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
-        .as("hour_epoch_s"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_cents"))
-      .orderBy("hour_epoch_s", "event_type")
-
   /** Correlated-style semi/anti join coverage: suppliers in nations that
     * have at least one customer with negative balance. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
@@ -243,110 +230,6 @@ object Relational {
       .select(col("s_suppkey"), col("s_nationkey"))
       .orderBy("s_suppkey")
   }
-
-  /** MQL predicate over the schemaless events.props JSON column — the
-    * reference's user-facing filter language (db/db.go:111-113) evaluated
-    * through the VARIANT-based JsonResolver: operator conjunction on one
-    * field + $exists on a missing field. */
-  def mqlEventsRange(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(MqlFilter.toColumn(
-        """{"k": {"$gte": 20, "$lt": 60}, "missing": {"$exists": false}}""",
-        MqlFilter.JsonResolver(col("props"))))
-      .select(col("event_id"))
-      .orderBy("event_id")
-
-  /** MQL logical tree: $nor of two comparisons + field-level $not. */
-  def mqlEventsNor(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(MqlFilter.toColumn(
-        """{"$nor": [{"k": {"$lt": 30}}, {"k": {"$gte": 70}}],
-          | "k": {"$not": {"$eq": 42}}}""".stripMargin,
-        MqlFilter.JsonResolver(col("props"))))
-      .select(col("event_id"))
-      .orderBy("event_id")
-
-  /** MQL date predicates — the single most common metadata filter on a
-    * real corpus (crawl timestamps, ingestion dates). JSON has no date
-    * type, so dates travel as ISO-8601 strings in the metadata document;
-    * the filter uses Mongo extended-JSON `{"$date": "ISO"}` literals (the
-    * form FerretDB accepts through the reference's delegated filter,
-    * /root/reference/db/db.go:111-113) and MqlFilter compares both sides
-    * as TIMESTAMP. Combined with $in on a string field and $exists so the
-    * date view composes with the rest of the operator surface. */
-  def mqlEventsDate(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .withColumn("meta", to_json(struct(
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
-        col("event_type").as("etype"))))
-      .filter(MqlFilter.toColumn(
-        """{"created": {"$gte": {"$date": "2024-01-10T00:00:00"},
-          |             "$lt":  {"$date": "2024-01-20T12:00:00"}},
-          | "etype": {"$in": ["click", "view"]},
-          | "missing": {"$exists": false}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("event_id"))
-      .orderBy("event_id")
-
-  /** Mongo date OPERATOR family under the gate ($dateToString/$dayOfMonth/
-    * $dateDiff over the ISO-string metadata date convention): derive
-    * day-of-month and a formatted day label, filter a mid-month band,
-    * group per day with the max day-index since an epoch date. The oracle
-    * replays with strftime/date_diff — both engines count calendar-day
-    * boundaries. */
-  def mqlDatesPipeline(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      events(s, dir)
-        .withColumn("meta", to_json(struct(
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "dom": {"$dayOfMonth": "$created"},
-        |   "day_label": {"$dateToString": {"format": "%Y-%m-%d",
-        |     "date": "$created"}},
-        |   "day_idx": {"$dateDiff": {"startDate": "2024-01-01T00:00:00",
-        |     "endDate": "$created", "unit": "day"}}}},
-        | {"$match": {"dom": {"$gte": 10, "$lt": 20}}},
-        | {"$group": {"_id": "$day_label", "n": {"$sum": 1},
-        |   "idx": {"$max": {"$toLong": "$day_idx"}}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-
-  /** $switch + $dateTrunc under the gate: events bucketed by calendar
-    * week (Mongo 5.0 truncation) × a multi-branch severity label
-    * (first-match-wins $switch with default), rolled up per composite
-    * key. The oracle replays with date_trunc('week') — both engines
-    * start weeks on Monday — and a CASE chain. */
-  def mqlSwitchTrunc(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      events(s, dir)
-        .withColumn("meta", to_json(struct(
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
-          col("value").as("v")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "wk": {"$dateToString": {"format": "%Y-%m-%d",
-        |     "date": {"$dateTrunc": {"date": "$created", "unit": "week"}}}},
-        |   "sev": {"$switch": {"branches": [
-        |     {"case": {"$gte": ["$v", 300]}, "then": "high"},
-        |     {"case": {"$gte": ["$v", 50]}, "then": "mid"}],
-        |     "default": "low"}}}},
-        | {"$addFields": {"key": {"$concat": ["$wk", "/", "$sev"]}}},
-        | {"$group": {"_id": "$key", "n": {"$sum": 1}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-
-  /** MQL $mod — Mongo's divisor/remainder predicate, over the same
-    * schemaless props field as the other MQL gates. */
-  def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(MqlFilter.toColumn(
-        """{"k": {"$mod": [7, 3]}}""",
-        MqlFilter.JsonResolver(col("props"))))
-      .select(col("event_id"))
-      .orderBy("event_id")
 
   /** Bounded range join done the scale-safe way: per event, count the
     * same user's events in the preceding hour. The naive plan — equi-join
@@ -504,1134 +387,6 @@ object Relational {
       .orderBy("o_orderpriority", "status")
   }
 
-  /** One copy of the Q5 text: the "run verbatim" contract requires the
-    * executed SQL and the oracle to be byte-identical. */
-  private val q5Sql = """SELECT n_name,
-        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
-        |    AS BIGINT) AS revenue_cents
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY revenue_cents DESC, n_name""".stripMargin
-
-  /** TPC-H Q4 flavor (order priority checking): orders in a quarter with
-    * at least one late-shipping line (EXISTS against the fact table —
-    * decorrelates to a hash left-semi), counted per priority. Adapted to
-    * this corpus's columns: "late" = shipped > 60 days after order. */
-  private val q4Sql =
-    """SELECT o_orderpriority, count(*) AS order_count
-      |FROM orders
-      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-      |  AND o_orderdate < TIMESTAMP '1995-04-01'
-      |  AND EXISTS (
-      |    SELECT 1 FROM lineitem
-      |    WHERE l_orderkey = o_orderkey
-      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin
-
-  def sqlTpchQ4(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("orders", "lineitem"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q4Sql)
-  }
-
-  /** TPC-H Q12 flavor (shipping-mode priority classification): per
-    * return flag, CASE-split counts of high- vs low-priority orders for
-    * lines shipped in one year — the join + conditional-sum shape.
-    * (This corpus has no l_shipmode/commitdate; l_returnflag carries the
-    * classification axis.) */
-  private val q12Sql =
-    """SELECT l_returnflag,
-      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      |  AND l_shipdate < TIMESTAMP '1996-01-01'
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
-
-  def sqlTpchQ12(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("orders", "lineitem"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q12Sql)
-  }
-
-  /** TPC-H Q14 flavor (promotion effect): promo-typed revenue as integer
-    * cents alongside total cents for one month — the conditional
-    * revenue-share shape, kept exact by emitting both sums instead of
-    * the spec's float percentage. */
-  private val q14Sql =
-    """SELECT
-      |  CAST(sum(CASE WHEN p_type = 'PROMO'
-      |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
-      |    ELSE 0 END) AS BIGINT) AS promo_cents,
-      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
-      |    AS BIGINT)) AS BIGINT) AS total_cents
-      |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
-      |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
-
-  def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("lineitem", "part"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q14Sql)
-  }
-
-  /** TPC-H Q19 flavor (discounted revenue, disjunctive brackets): three
-    * OR'd (brand, size, quantity) bracket predicates over the
-    * part⋈lineitem join — the planner must push the common join key and
-    * keep the disjunction as a residual filter, never a cartesian. */
-  private val q19Sql =
-    """SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
-      |    AS BIGINT)) AS BIGINT) AS revenue_cents
-      |FROM lineitem JOIN part ON p_partkey = l_partkey
-      |WHERE
-      |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-      |    AND l_quantity >= 1 AND l_quantity <= 20)
-      |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
-      |    AND l_quantity >= 10 AND l_quantity <= 30)
-      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
-      |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
-
-  def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("lineitem", "part"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q19Sql)
-  }
-
-  /** TPC-H Q6 flavor (forecasting revenue change): the one spec query
-    * with NO join — pure scan-side arithmetic. All three predicates
-    * (ship-year range, discount band, quantity cap) must reach the
-    * parquet reader as pushed filters and the single sum aggregates
-    * map-side; at 100 TB this query is bounded by bytes read, nothing
-    * else. Money as integer cents. */
-  private val q6Sql =
-    """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100)
-      |    AS BIGINT)) AS BIGINT) AS revenue_cents
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |  AND l_shipdate < TIMESTAMP '1997-01-01'
-      |  AND l_discount BETWEEN 0.05 AND 0.07
-      |  AND l_quantity < 24""".stripMargin
-
-  def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-    s.sql(q6Sql)
-  }
-
-  /** TPC-H Q10 flavor (returned-item reporting): revenue lost to
-    * returns per customer for one quarter, top 20 — a 4-relation join
-    * whose output carries dimension attributes through the aggregate
-    * (GROUP BY on the full customer tuple) and a deterministic
-    * LIMIT under a total order (cents DESC, custkey tiebreak).
-    * Account balance emitted as cents like every money column. */
-  private val q10Sql =
-    """SELECT c_custkey, c_name,
-      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
-      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
-      |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name
-      |FROM customer, orders, lineitem, nation
-      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
-      |  AND o_orderdate < TIMESTAMP '1997-01-01'
-      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-      |GROUP BY c_custkey, c_name, c_acctbal, n_name
-      |ORDER BY revenue_cents DESC, c_custkey
-      |LIMIT 20""".stripMargin
-
-  def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("customer", "orders", "lineitem", "nation"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q10Sql)
-  }
-
-  /** TPC-H Q13 flavor (customer order-count distribution): the outer
-    * join with a JOIN-CONDITION filter (not a WHERE — customers with
-    * zero qualifying orders must survive with count 0) feeding a
-    * second aggregation over the first's result. Two shuffles by
-    * design; the histogram output is tiny. */
-  private val q13Sql =
-    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-      |FROM (
-      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-      |  FROM customer LEFT OUTER JOIN orders
-      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-      |  GROUP BY c_custkey) c_orders
-      |GROUP BY c_count
-      |ORDER BY custdist DESC, c_count DESC""".stripMargin
-
-  def sqlTpchQ13(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("customer", "orders"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q13Sql)
-  }
-
-  /** TPC-H Q15 flavor (top supplier): a named aggregate reused twice —
-    * once as the join input, once under a scalar max — where the spec's
-    * VIEW becomes a CTE. Catalyst plans the CTE once per consumer; the
-    * equality-to-max filter returns every tied supplier, so the result
-    * is deterministic without ROW_NUMBER. Money as integer cents makes
-    * the max and the equality exact in both engines. */
-  private val q15Sql =
-    """WITH revenue AS (
-      |  SELECT l_suppkey AS supplier_no,
-      |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
-      |      AS BIGINT)) AS BIGINT) AS total_revenue_cents
-      |  FROM lineitem
-      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      |    AND l_shipdate < TIMESTAMP '1996-04-01'
-      |  GROUP BY l_suppkey)
-      |SELECT s_suppkey, s_name, total_revenue_cents
-      |FROM supplier, revenue
-      |WHERE s_suppkey = supplier_no
-      |  AND total_revenue_cents = (SELECT max(total_revenue_cents)
-      |    FROM revenue)
-      |ORDER BY s_suppkey""".stripMargin
-
-  def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("supplier", "lineitem"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q15Sql)
-  }
-
-  /** TPC-H Q18 flavor (large-volume customers): IN against a HAVING
-    * aggregate over the same fact table being joined — the planner
-    * turns the subquery into a semi-join whose build side is the
-    * already-aggregated (small) order list. Quantities are integral
-    * doubles, so the BIGINT casts are exact. */
-  private val q18Sql =
-    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-      |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
-      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
-      |FROM customer, orders, lineitem
-      |WHERE o_orderkey IN (
-      |    SELECT l_orderkey FROM lineitem
-      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
-      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-      |ORDER BY totalprice_cents DESC, o_orderkey
-      |LIMIT 100""".stripMargin
-
-  def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("customer", "orders", "lineitem"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q18Sql)
-  }
-
-  /** TPC-H Q8 flavor (national market share): the widest join graph in
-    * the spec — 8 relation instances including nation twice in
-    * DIFFERENT roles (customer's region gate vs supplier's share axis).
-    * Emits numerator and denominator cents per year instead of the
-    * spec's float ratio, keeping the gate bit-exact. */
-  private val q8Sql =
-    """SELECT o_year,
-      |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol_cents
-      |    ELSE 0 END) AS BIGINT) AS nation_cents,
-      |  CAST(sum(vol_cents) AS BIGINT) AS total_cents
-      |FROM (
-      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
-      |      AS vol_cents,
-      |    n2.n_name AS nation
-      |  FROM part, supplier, lineitem, orders, customer,
-      |    nation n1, nation n2, region
-      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-      |    AND c_nationkey = n1.n_nationkey
-      |    AND n1.n_regionkey = r_regionkey
-      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
-      |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
-      |      AND TIMESTAMP '1996-12-31'
-      |    AND p_type = 'ECONOMY') all_nations
-      |GROUP BY o_year
-      |ORDER BY o_year""".stripMargin
-
-  def sqlTpchQ8(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("part", "supplier", "lineitem", "orders", "customer",
-        "nation", "region"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q8Sql)
-  }
-
-  /** TPC-H Q11 flavor (important stock): group-by filtered against a
-    * GLOBAL scalar aggregate of the same grouped result — the CTE is
-    * consumed once per side and the threshold is a single broadcast
-    * number. This corpus has no partsupp, so "stock value" is shipped
-    * value (retailprice × quantity) from one nation's suppliers — the
-    * HAVING-vs-global-sum planning shape is Q11's. */
-  private val q11Sql =
-    """WITH value AS (
-      |  SELECT l_partkey AS ps_partkey,
-      |    CAST(sum(CAST(round(p_retailprice*l_quantity*100) AS BIGINT))
-      |      AS BIGINT) AS value_cents
-      |  FROM lineitem, supplier, nation, part
-      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-      |    AND n_name = 'NATION_3' AND p_partkey = l_partkey
-      |  GROUP BY l_partkey)
-      |SELECT ps_partkey, value_cents FROM value
-      |WHERE value_cents > (SELECT CAST(sum(value_cents)*0.001 AS BIGINT)
-      |  FROM value)
-      |ORDER BY value_cents DESC, ps_partkey""".stripMargin
-
-  def sqlTpchQ11(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("lineitem", "supplier", "nation", "part"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q11Sql)
-  }
-
-  /** TPC-H Q16 flavor (parts/supplier relationship): COUNT(DISTINCT)
-    * per part attribute tuple with a NOT IN anti-join on the supplier
-    * dimension. The distinct rides the same shuffle as the group-by;
-    * the NOT IN side is dimension-sized → broadcast anti. Without
-    * partsupp, lineitem supplies the part↔supplier pairs. */
-  private val q16Sql =
-    """SELECT p_brand, p_type, p_size,
-      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-      |FROM lineitem, part
-      |WHERE p_partkey = l_partkey
-      |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
-      |  AND l_suppkey NOT IN (
-      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
-      |GROUP BY p_brand, p_type, p_size
-      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
-
-  def sqlTpchQ16(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("lineitem", "part", "supplier"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q16Sql)
-  }
-
-  /** TPC-H Q20 flavor (potential part promotion): a semi-join whose
-    * subquery is itself a join + HAVING aggregate (suppliers who moved
-    * enough of a name-matched part in a year), gated by a nation
-    * filter on the outer dimension. Without partsupp the spec's inner
-    * availqty correlation collapses to the HAVING threshold — the
-    * nested-IN planning shape survives. */
-  private val q20Sql =
-    """SELECT s_name, s_suppkey
-      |FROM supplier, nation
-      |WHERE s_suppkey IN (
-      |    SELECT l_suppkey FROM lineitem, part
-      |    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
-      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
-      |      AND l_shipdate < TIMESTAMP '1998-01-01'
-      |    GROUP BY l_suppkey
-      |    HAVING sum(l_quantity) > 50)
-      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
-      |ORDER BY s_suppkey""".stripMargin
-
-  def sqlTpchQ20(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("supplier", "nation", "lineitem", "part"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q20Sql)
-  }
-
-  /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
-    * run verbatim through spark.sql over temp views — six-table join,
-    * the planner free to pick broadcast vs shuffle per side. */
-  /** Recursive CTE (Spark 4's WITH RECURSIVE) — multi-hop reachability
-    * over the event-transition graph as VERBATIM shared SQL: min-hop
-    * distance from 'view' to every reachable event type, bounded at 4
-    * hops. The $graphLookup/dedup_clusters machinery expresses the
-    * same traversals as iterative joins; this gate pins the DECLARED
-    * recursive form both engines now parse identically. Events read
-    * through a micros-normalized view (the ts vintage device). */
-  private val recursiveCteSql =
-    """WITH RECURSIVE nx AS (
-      |  SELECT event_type AS from_type,
-      |    lead(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS to_type
-      |  FROM events),
-      |edges AS (
-      |  SELECT DISTINCT from_type, to_type FROM nx
-      |  WHERE to_type IS NOT NULL),
-      |reach(node, d) AS (
-      |  SELECT 'view', 0
-      |  UNION ALL
-      |  SELECT e.to_type, r.d + 1
-      |  FROM reach r JOIN edges e ON e.from_type = r.node
-      |  WHERE r.d < 4)
-      |SELECT node, CAST(min(d) AS BIGINT) AS hops
-      |FROM reach GROUP BY node ORDER BY node""".stripMargin
-
-  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    events(s, dir).createOrReplaceTempView("events")
-    val out = s.sql(recursiveCteSql)
-    // the driver's DuckDB oracle runs over the RAW parquet view — drop
-    // the temp view so later gates' reads are never shadowed
-    s.catalog.dropTempView("events")
-    out
-  }
-
-  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
-        "supplier"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q5Sql)
-  }
-
-  /** TPC-H Q7 flavor (volume shipping): bidirectional nation-pair trade
-    * by ship year — a six-relation join with a self-joined dimension
-    * (nation n1/n2) and a disjunctive pair predicate the planner must
-    * keep above the joins. Shared-verbatim SQL: the adaptation to this
-    * corpus is only the nation names (synthetic NATION_i). */
-  private val q7Sql =
-    """SELECT supp_nation, cust_nation, l_year,
-      |  CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
-      |FROM (
-      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-      |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
-      |      AS vol_cents
-      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
-      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
-      |    AND c_nationkey = n2.n_nationkey
-      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-      |) shipping
-      |GROUP BY supp_nation, cust_nation, l_year
-      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
-
-  def sqlTpchQ7(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q7Sql)
-  }
-
-  /** TPC-H Q9 flavor (product-type profit): profit per supplier nation
-    * per order year over parts matching a name pattern. This corpus has
-    * no partsupp table, so supply cost is approximated as
-    * p_retailprice*l_quantity — the JOIN GRAPH (5 relations, LIKE
-    * pushdown on part, two independent date/name filters) is the Q9
-    * planning shape; only the cost term differs. */
-  private val q9Sql =
-    """SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT)
-      |    AS profit_cents
-      |FROM (
-      |  SELECT n_name AS nation,
-      |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-      |    CAST(round((l_extendedprice*(1.0-l_discount)
-      |      - p_retailprice*l_quantity)*100) AS BIGINT) AS amount_cents
-      |  FROM part, supplier, lineitem, orders, nation
-      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
-      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-      |    AND p_name LIKE '%red%'
-      |) profit
-      |GROUP BY nation, o_year
-      |ORDER BY nation, o_year DESC""".stripMargin
-
-  def sqlTpchQ9(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("part", "supplier", "lineitem", "orders", "nation"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q9Sql)
-  }
-
-  /** TPC-H Q22 flavor: above-average-balance customers with no
-    * processing-status order — an uncorrelated scalar subquery (the
-    * average) plus a correlated NOT EXISTS Catalyst must decorrelate to
-    * a null-safe anti join. Money as integer cents so the average is
-    * exact-integer summed before ONE double division (identical across
-    * engines regardless of partition-sum order). */
-  private val q22Sql =
-    """SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
-      |FROM customer c
-      |WHERE CAST(round(c_acctbal*100) AS BIGINT) >
-      |    (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer)
-      |  AND NOT EXISTS (SELECT 1 FROM orders o
-      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
-      |ORDER BY c_custkey""".stripMargin
-
-  def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("customer", "orders"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q22Sql)
-  }
-
-  /** TPC-H Q2 flavor (minimum-cost supplier): the decorrelation shape
-    * Q5/Q7/Q9/Q22 don't cover — a NESTED correlated scalar subquery
-    * whose body is an aggregate OVER A MULTI-RELATION JOIN
-    * (min price across lineitem⋈supplier⋈nation⋈region, correlated on
-    * the outer part key). Catalyst must pull the aggregate up into a
-    * per-partkey group and turn the correlation into an equi-join; the
-    * oracle runs the identical text. This corpus has no partsupp, so
-    * lineitem plays the part-supplier bridge (price = extendedprice) —
-    * the PLANNING shape (correlated agg-of-join, region filter repeated
-    * inside and out) is Q2's; only the bridge relation differs. Money
-    * compared as integer cents so the min and the outer equality are
-    * exact in both engines. */
-  private val q2Sql =
-    """SELECT DISTINCT p_partkey, s_name,
-      |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
-      |FROM part p, lineitem l, supplier s, nation n, region r
-      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
-      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-      |  AND r_name = 'ASIA'
-      |  AND CAST(round(l_extendedprice*100) AS BIGINT) = (
-      |    SELECT min(CAST(round(l2.l_extendedprice*100) AS BIGINT))
-      |    FROM lineitem l2, supplier s2, nation n2, region r2
-      |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
-      |      AND s2.s_nationkey = n2.n_nationkey
-      |      AND n2.n_regionkey = r2.r_regionkey
-      |      AND r2.r_name = 'ASIA')
-      |ORDER BY p_partkey, s_name, price_cents""".stripMargin
-
-  def sqlTpchQ2(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("part", "lineitem", "supplier", "nation", "region"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q2Sql)
-  }
-
-  /** TPC-H Q21 flavor (suppliers who kept orders waiting): the LAST
-    * distinct decorrelation family — correlated EXISTS *and* NOT EXISTS
-    * against the same fact table, each carrying an INEQUALITY conjunct
-    * (`l2.l_suppkey <> l1.l_suppkey`) on top of the equi correlation
-    * (`l_orderkey`). Catalyst must turn the EXISTS into a left-semi and
-    * the NOT EXISTS into a left-anti join, keeping the non-equi
-    * predicate as a join condition (not a post-filter) so both run as
-    * one hash join each on orderkey. This corpus has no
-    * commitdate/receiptdate, so `l_returnflag = 'R'` marks the problem
-    * line — the planning shape (multi-supplier order, sole-blame
-    * supplier) is Q21's. Deterministic: numwait desc, s_name asc. */
-  private val q21Sql =
-    """SELECT s_name, count(*) AS numwait
-      |FROM supplier, lineitem l1, orders, nation
-      |WHERE s_suppkey = l1.l_suppkey
-      |  AND o_orderkey = l1.l_orderkey
-      |  AND o_orderstatus = 'F'
-      |  AND l1.l_returnflag = 'R'
-      |  AND EXISTS (
-      |    SELECT 1 FROM lineitem l2
-      |    WHERE l2.l_orderkey = l1.l_orderkey
-      |      AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (
-      |    SELECT 1 FROM lineitem l3
-      |    WHERE l3.l_orderkey = l1.l_orderkey
-      |      AND l3.l_suppkey <> l1.l_suppkey
-      |      AND l3.l_returnflag = 'R')
-      |  AND s_nationkey = n_nationkey
-      |  AND n_name = 'NATION_3'
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name""".stripMargin
-
-  def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("supplier", "lineitem", "orders", "nation"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q21Sql)
-  }
-
-  /** TPC-H Q17 flavor (small-quantity-order revenue): a correlated
-    * scalar AGGREGATE over the SAME table the outer query scans —
-    * lineitem correlates with a per-partkey sum of lineitem itself.
-    * Catalyst must decorrelate into one grouped aggregate of the fact
-    * table joined back to the fact table (scan it twice, join once) —
-    * the self-correlation Q2's agg-of-a-join flavor doesn't cover. All
-    * compared quantities are integers (quantity is integral in this
-    * corpus — verified — and money is cents), so the inequality and
-    * both sums are order-independent exact in both engines. */
-  private val q17Sql =
-    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-      |    AS BIGINT) AS rev_cents
-      |FROM lineitem l, part p
-      |WHERE p.p_partkey = l.l_partkey
-      |  AND p.p_brand = 'Brand#1'
-      |  AND CAST(l_quantity AS BIGINT) * 5 < (
-      |    SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
-      |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
-
-  def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("lineitem", "part"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(q17Sql)
-  }
-
-  /** Funnel analysis — the product-analytics staple: users progressing
-    * view → click → purchase in STRICT event-time order (each step's
-    * timestamp must exceed the user's previous step's FIRST qualifying
-    * time — min-ts semantics, the standard "first touch" funnel). Three
-    * cascaded per-user aggregates, each one small shuffle on user_id;
-    * no per-user history is ever collected, so state is O(users), not
-    * O(events) — this survives arbitrarily long histories. Timestamps
-    * compare as floored MICROS on both engines (the events reader's
-    * unit), so nanos-tail ties can't flip the strict inequality. */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame =
-    funnelOver(events(s, dir).select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("us")), Seq("view", "click", "purchase"))
-
-  /** Cohort retention — funnel's sibling staple: users grouped by their
-    * FIRST active epoch-week (the cohort), counted in each later week
-    * they return. Shape: distinct (user, week) pairs → per-user min
-    * week → one grouped count per (cohort, week-offset). Two small
-    * shuffles on user_id, then one on the cohort pair; the distinct
-    * collapses arbitrarily long histories to O(users × weeks) rows
-    * first. Week index = epoch-micros DIV week-micros — integer
-    * division on both engines, no float boundary hazards. */
-  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val wkUs = 604800000000L // micros per week
-    retentionOver(events(s, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      .select(col("user_id"), expr(s"us DIV $wkUs").as("wk")))
-  }
-
-  /** The reusable retention core over any `(user_id, wk)` frame. */
-  private[graft] def retentionOver(userWeeks: DataFrame): DataFrame = {
-    val weeks = userWeeks.distinct()
-    val cohort = weeks.groupBy("user_id").agg(min("wk").as("wk0"))
-    weeks.join(cohort, "user_id")
-      .groupBy(col("wk0"), (col("wk") - col("wk0")).as("wk_off"))
-      .agg(count(lit(1)).as("users"))
-      .orderBy("wk0", "wk_off")
-  }
-
-  /** RFM SEGMENTATION — the classic multi-metric customer bucketing
-    * (recency / frequency / monetary quartiles), computed WITHOUT the
-    * textbook global-ntile window (a single task over every customer at
-    * scale): each metric's three quartile THRESHOLDS come from one
-    * exact-percentile aggregate (cross-engine-proven interpolation) and
-    * bucket membership is then three parallel integer comparisons per
-    * row — scan-speed, any customer count. Recency is exact integer
-    * days against the corpus's own max order date; money is per-row
-    * integer cents. Output: per-segment census. */
-  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    val per = o.groupBy("o_custkey").agg(
-      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
-      count(lit(1)).as("f"),
-      sum(cents(col("o_totalprice"))).as("m"))
-    val anchor = o.agg(
-      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("anchor_us"))
-    val rfm = per.crossJoin(broadcast(anchor))
-      .withColumn("r", expr("(anchor_us - last_us) DIV 86400000000"))
-    val th = rfm.agg(
-      expr("percentile(r, 0.25)").as("r25"),
-      expr("percentile(r, 0.5)").as("r50"),
-      expr("percentile(r, 0.75)").as("r75"),
-      expr("percentile(f, 0.25)").as("f25"),
-      expr("percentile(f, 0.5)").as("f50"),
-      expr("percentile(f, 0.75)").as("f75"),
-      expr("percentile(m, 0.25)").as("m25"),
-      expr("percentile(m, 0.5)").as("m50"),
-      expr("percentile(m, 0.75)").as("m75"))
-    def q(v: String, p: String): Column =
-      lit(1L) + (col(v) > col(s"${p}25")).cast("long") +
-        (col(v) > col(s"${p}50")).cast("long") +
-        (col(v) > col(s"${p}75")).cast("long")
-    rfm.crossJoin(broadcast(th))
-      .withColumn("segment",
-        q("r", "r") * 100L + q("f", "f") * 10L + q("m", "m"))
-      .groupBy("segment")
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("m")).as("m_cents"))
-      .orderBy("segment")
-  }
-
-  /** SKEW REPORT — the pre-join diagnosis for a 100 TB shuffle: the
-    * key-frequency distribution of the join column, in one pass over
-    * the per-key counts (which are themselves one map-side-combined
-    * aggregate). `max/mean` ratio ≥ threshold is the standard salt-or-
-    * broadcast trigger; p99 separates one hot key from a hot region.
-    * All integer: the mean rides as ppm via exact long division, the
-    * p99 is the exact percentile of counts (cross-engine-proven
-    * interpolation), and the hottest key is reported with a
-    * deterministic low-key tie-break. */
-  def skewReport(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("k"))
-      .agg(count(lit(1)).as("c"))
-    val mx = counts.agg(max(col("c")).as("mx"))
-    counts.crossJoin(broadcast(mx)).agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("c")).as("n_rows"),
-      max(col("c")).as("max_freq"),
-      expr("percentile(c, 0.99)").as("p99_freq"),
-      min(when(col("c") === col("mx"), col("k"))).as("hottest_key"),
-      expr("(sum(c) * 1000000) DIV count(1)").as("mean_freq_ppm"))
-  }
-
-  /** WINSORIZE — outlier clipping at exact corpus percentiles, the
-    * feature-engineering step before any scale-sensitive model input:
-    * event values (integer cents) clip to [⌈p01⌉, ⌊p99⌋]. The two
-    * percentiles are one exact-percentile aggregate (interpolation
-    * cross-engine-proven by the quantiles gates) broadcast back over
-    * the corpus; clipping and the per-type rollup are then exact LONG
-    * math. Emits kept/clipped counts beside the clipped sum so every
-    * row's clip decision is under the hash. */
-  def winsorizeValues(s: SparkSession, dir: String): DataFrame = {
-    val c = events(s, dir)
-      .select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-    val bounds = c.agg(
-      ceil(expr("percentile(c, 0.01)")).cast("long").as("lo"),
-      floor(expr("percentile(c, 0.99)")).cast("long").as("hi"))
-    c.crossJoin(broadcast(bounds))
-      .withColumn("cc", greatest(least(col("c"), col("hi")), col("lo")))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("cc")).as("clipped_cents"),
-        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
-        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
-      .orderBy("event_type")
-  }
-
-  /** Telemetry DEBOUNCE — drop repeat events of the same (user, type)
-    * arriving within 5 minutes of the previous occurrence, keeping the
-    * first of each burst: the standard event-stream cleaning step
-    * (double-clicks, retry storms, duplicate beacons). Burst membership
-    * chains through consecutive gaps, which is exactly the
-    * sessionization device keyed on (user_id, event_type) — one lag
-    * window marks burst heads, and only heads survive. One shuffle on
-    * the composite key; emitted as per-(user, type) kept/dropped counts
-    * so the gate checks every row's keep decision in aggregate. */
-  def eventsDebounce(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val GapUs = 5L * 60 * 1000000
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy("us", "event_id")
-    val prev = lag(col("us"), 1).over(w)
-    events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("event_id"))
-      .withColumn("head",
-        when(prev.isNull || col("us") - prev > GapUs, 1L).otherwise(0L))
-      .groupBy("user_id", "event_type")
-      .agg(sum(col("head")).as("kept"),
-        (count(lit(1)) - sum(col("head"))).as("dropped"))
-      .filter(col("dropped") > 0)
-      .orderBy("user_id", "event_type")
-  }
-
-  /** NULL-semantics battery — the correctness corners every engine
-    * must agree on before any null-bearing pipeline is trusted:
-    * `count(*)` vs `count(col)` (the latter skips nulls), DISTINCT
-    * counting (nulls excluded from COUNT DISTINCT but present as a
-    * distinct row), and NULL-SAFE equality (`<=>` / IS NOT DISTINCT
-    * FROM matches null=null where `=` yields unknown) exercised
-    * through a self-join of the distinct value set — per key, the
-    * null-safe match count is exactly distinct-non-null + (1 if a null
-    * is present), which the oracle recomputes independently. Planted
-    * nulls are deterministic (orderkey % 13). */
-  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "orders").select(
-      (col("o_custkey") % 7).as("key"),
-      when(col("o_orderkey") % 13 === 0, lit(null))
-        .otherwise(col("o_orderpriority")).as("v"))
-    val agg = base.groupBy("key").agg(
-      count(lit(1)).as("n_rows"),
-      count(col("v")).as("n_v"),
-      countDistinct(col("v")).as("n_dv"))
-    val dv = base.distinct()
-    val nullsafe = dv.as("a")
-      .join(dv.as("b"),
-        col("a.key") === col("b.key") && (col("a.v") <=> col("b.v")))
-      .groupBy(col("a.key").as("key"))
-      .agg(count(lit(1)).as("n_nullsafe"))
-    agg.join(nullsafe, Seq("key"))
-      .select("key", "n_rows", "n_v", "n_dv", "n_nullsafe")
-      .orderBy("key")
-  }
-
-  /** Event-type co-occurrence PMI — association mining over user
-    * contexts: do two event types appear in the SAME user's history
-    * more than independence predicts? The distinct (user, type) set is
-    * one dedup shuffle; pairs come from an equi-join on user_id with
-    * in-context fan-out bounded by the type cardinality squared (never
-    * corpus²); the PMI ratio is built as one division of two exact LONG
-    * products so both engines feed ln() the identical double (the bm25
-    * fixed-order-float device), rounded to 6dp. */
-  def eventPmi(s: SparkSession, dir: String): DataFrame = {
-    val ue = events(s, dir).select("user_id", "event_type").distinct()
-    val singles = ue.groupBy("event_type").agg(count(lit(1)).as("ns"))
-    val pairs = ue.select(col("user_id"), col("event_type").as("a"))
-      .join(ue.select(col("user_id"), col("event_type").as("b")),
-        Seq("user_id"))
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-    pairs
-      .join(broadcast(singles.select(col("event_type").as("a"),
-        col("ns").as("na"))), Seq("a"))
-      .join(broadcast(singles.select(col("event_type").as("b"),
-        col("ns").as("nb"))), Seq("b"))
-      .crossJoin(broadcast(
-        ue.agg(countDistinct(col("user_id")).as("nu"))))
-      .withColumn("pmi", round(log(
-        (col("n_ab") * col("nu")).cast("double") /
-          (col("na") * col("nb")).cast("double")), 6))
-      .select("a", "b", "n_ab", "pmi")
-      .orderBy("a", "b")
-  }
-
-  /** Event transition matrix — the Markov-chain view of user behavior
-    * (sequence-model featurization, UX flow analysis): for each user's
-    * time-ordered event stream, count every adjacent (from → to) pair.
-    * ONE window (lead over the per-user order) + one grouped count; the
-    * order key is (ts, event_id) so same-timestamp events have a
-    * deterministic successor in both engines. Final events (no
-    * successor) are dropped — the standard transition-matrix contract. */
-  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"),
-        col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy("from_type", "to_type")
-  }
-
-  /** ANALYZE-style table profiling — the statistics pass every engine
-    * runs before planning (and every data team runs before trusting a
-    * feed): per-column row count, null count, distinct count, min/max.
-    * ONE scan computes every statistic (a single multi-aggregate — not
-    * a per-column rescan), then the 1-row result pivots to one row per
-    * column. Distinct counts are EXACT here so the DuckDB oracle can
-    * hash-match; the 100 TB variant swaps `countDistinct` for
-    * `approx_count_distinct` (HLL — same plan shape, no Expand
-    * blow-up) exactly as engines' ANALYZE does. min/max emit as
-    * strings so one schema carries mixed column types. */
-  def profileTable(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_orderpriority")
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}_nn"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      min(col(c)).cast("string").as(s"${c}_min"),
-      max(col(c)).cast("string").as(s"${c}_max")))
-    t(s, dir, "orders")
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("column_name"), col("n_rows"),
-        (col("n_rows") - col(s"${c}_nn")).as("n_null"),
-        col(s"${c}_nd").as("n_distinct"),
-        col(s"${c}_min").as("min_value"),
-        col(s"${c}_max").as("max_value"))): _*)).as("p"))
-      .select("p.*")
-      .orderBy("column_name")
-  }
-
-  /** PageRank iteration count for [[graphPagerank]] — fixed and
-    * unrolled in the oracle's CTE chain, so keep it small. */
-  private val PrIters = 3
-
-  /** Weighted PageRank over the event-type transition graph — the crawl
-    * prioritization / domain-ranking operator every corpus pipeline runs
-    * over its link graph (CommonCrawl ranks hosts exactly this way; here
-    * the graph is [[eventTransitions]]' from→to matrix, but the plan is
-    * graph-agnostic: nodes and weighted edges arrive as DataFrames).
-    *
-    * Exactness contract (the [[lmScore]] discipline applied to an
-    * iterative algorithm): ranks live in integer MICRO-UNITS (start
-    * 1e6 per node), each edge carries `floor(r_from * w_edge /
-    * w_out_total)` — exact long arithmetic, `DIV` floor division — and
-    * the damped update is `150000 + (85 * Σcontrib) DIV 100`
-    * (d = 0.85 scaled to avoid any float). Every step is
-    * reduction-order-free, so a 3-iteration unrolled DuckDB CTE chain
-    * reproduces the distributed result bit-for-bit. Dangling nodes
-    * (in-edges only) keep the teleport floor — the standard simplified
-    * contract, identical in both engines.
-    *
-    * Scale shape: the transition derivation is the heavy part (one
-    * window shuffle over the event log); the rank loop is K shuffle
-    * joins on the EDGE table — ranks never leave the cluster, and at
-    * web-graph scale each iteration would localCheckpoint to cut
-    * lineage (same loop discipline as [[graft.operators.Dedup]]'s
-    * label propagation). Edges are computed once and cached across
-    * iterations. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val ev = events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-    val edges = ev
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"),
-        col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val nodes = ev.select(col("event_type").as("node")).distinct()
-    pagerankOver(nodes, edges, PrIters)
-  }
-
-  /** The rank loop over any `(node)` / `(from_type, to_type, n)` pair. */
-  private[graft] def pagerankOver(nodesIn: DataFrame, edges: DataFrame,
-      iters: Int): DataFrame = {
-    val outw = edges.groupBy("from_type").agg(sum("n").as("w_out"))
-    val weighted = edges.join(outw, "from_type").localCheckpoint(true)
-    val nodes = nodesIn.localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to iters) {
-      val contrib = weighted
-        .join(ranks.withColumnRenamed("node", "from_type"), "from_type")
-        .select(col("to_type").as("node"),
-          expr("r * n DIV w_out").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("85 * coalesce(s, 0L) DIV 100")).as("r"))
-    }
-    ranks.select(col("node"), col("r").as("rank_micros"))
-      .orderBy(col("rank_micros").desc, col("node"))
-  }
-
-  /** Triangle enumeration over the co-purchase graph — the graph-motif
-    * operator behind community/spam detection on link graphs. Edges:
-    * part pairs co-ordered in ≥2 distinct orders (the ≥2 floor keeps
-    * the market-basket graph sparse — a single shared order is noise).
-    *
-    * Scale shape: the standard DEGREE-ORIENTED (compact-forward) count.
-    * Each undirected edge is oriented from its lower-(degree, id)
-    * endpoint to the higher, so every wedge pivot fans out over a
-    * node's FORWARD degree only — bounded by O(√m) on any graph,
-    * which caps the wedge join at O(m^1.5) where the naive id-oriented
-    * join is quadratic in the max degree (a celebrity node explodes
-    * it). The closing check is a hash equi-join against the (u<v)
-    * undirected edge set — never a nested loop. Each triangle is found
-    * exactly once (the wedge at its orientation-minimum vertex), then
-    * re-sorted to (a<b<c) ids; the oracle enumerates id-oriented
-    * directly — same set, so the hash match proves
-    * orientation-invariance. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame =
-    trianglesOver(coPurchaseEdges(s, dir))
-
-  /** The shared co-purchase edge set: part pairs co-ordered in ≥2
-    * distinct orders, undirected as (u < v). Session-cached per corpus
-    * dir (the [[Bpe]] merge-table precedent — the build is
-    * deterministic, so caching cannot change any gate's answer): the
-    * 600k-row pair generation is the dominant cost of BOTH graph
-    * gates, and triangles + kcore in one bench pass should pay it
-    * once. */
-  private val coPurchaseCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private[graft] def coPurchaseEdges(s: SparkSession,
-      dir: String): DataFrame =
-    // keyed on (application, dir) — same session-binding rationale as
-    // Mining.basketStats: checkpointed DataFrames die with their session
-    coPurchaseCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$dir", _ => {
-      graft.core.CachePayers.paid("co_purchase_edges")
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select("u", "v")
-        .localCheckpoint(true)
-    })
-
-  /** Bounded k-core peel over the co-purchase graph — the graph-hygiene
-    * operator that strips low-connectivity fringe before community/
-    * motif work (spam nodes and one-off links fall out first). Each
-    * round recomputes degrees over the CURRENT edge set, drops nodes
-    * with degree < K, and keeps only edges whose both endpoints
-    * survive. The gate runs a FIXED 3 peels (like graph_pagerank's
-    * fixed iterations — the bounded-round form an oracle can unroll);
-    * full convergence is the same loop run to fixpoint.
-    *
-    * Scale: each round is one map-side-combined degree aggregation
-    * plus two semi-joins on node keys — never a cartesian; the edge
-    * set only shrinks, and localCheckpoint truncates the per-round
-    * lineage exactly like the pagerank/BPE loops. */
-  def graphKcore(s: SparkSession, dir: String): DataFrame =
-    kcorePeel(coPurchaseEdges(s, dir), k = 3, rounds = 3)
-
-  /** The bounded peel over any `(u, v)` undirected edge set — split out
-    * for hand-graph specs (clique survival, pendant-chain stripping). */
-  private[graft] def kcorePeel(undIn: DataFrame, k: Int,
-      rounds: Int): DataFrame = {
-    var edges = undIn.localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val deg = edges.select(col("u").as("n"))
-        .unionAll(edges.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("n")
-      edges = edges
-        .join(keep.select(col("n").as("u")), "u", "left_semi")
-        .join(keep.select(col("n").as("v")), "v", "left_semi")
-        .select("u", "v").localCheckpoint(true)
-    }
-    edges.select(col("u").as("n"))
-      .unionAll(edges.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-      .select(col("n").as("node"), col("deg"))
-      .orderBy("node")
-  }
-
-  /** The oriented triangle count over any `(u, v)` undirected edge set
-    * with u < v — split out for hand-graph specs (hub orientation,
-    * K4 completeness). */
-  private[graft] def trianglesOver(undIn: DataFrame): DataFrame = {
-    val und = undIn
-      .localCheckpoint(true) // reused: degrees, orientation, closing join
-    val deg = und.select(col("u").as("n"))
-      .unionAll(und.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val fwd = und
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-      .select(when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint(true) // pivot side of the wedge join, used twice
-    val wedges = fwd.as("e1").join(fwd.as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
-      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
-    // e1.t < e2.t above ⇒ y < z, matching und's u < v convention
-    wedges.join(und, col("y") === col("u") && col("z") === col("v"))
-      .select(array_sort(array(col("x"), col("y"), col("z"))).as("t3"))
-      .select(element_at(col("t3"), 1).as("a"),
-        element_at(col("t3"), 2).as("b"),
-        element_at(col("t3"), 3).as("c"))
-      .orderBy("a", "b", "c")
-  }
-
-  /** The reusable funnel core over any `(user_id, event_type, us)`
-    * frame: per-user per-step first-qualifying times, cascaded. */
-  private[graft] def funnelOver(ev: DataFrame,
-      steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    var reached = ev.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min("us").as("t"))
-    var out = reached.select(lit(1).as("step"), col("user_id"))
-    for ((st, i) <- steps.tail.zipWithIndex) {
-      reached = ev.filter(col("event_type") === st)
-        .join(reached.select(col("user_id"), col("t").as("prev")),
-          "user_id")
-        .filter(col("us") > col("prev"))
-        .groupBy("user_id").agg(min("us").as("t"))
-      out = out.unionAll(
-        reached.select(lit(i + 2).as("step"), col("user_id")))
-    }
-    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
-  }
-
-  /** WINDOWED funnel — each step must land within `windowUs` of the
-    * previous step's time (the "converted within 24h" product form —
-    * an unbounded funnel overcounts journeys that stalled for weeks).
-    * Same cascaded min-aggregate shape as [[funnelOver]]: one small
-    * user_id shuffle per step, O(users) state, the bound is one extra
-    * residual predicate on the step join. Note the semantics are
-    * first-qualifying-WITHIN-window of the PREVIOUS first touch —
-    * deterministic and O(1) per user, the standard approximation (a
-    * per-PATH optimal search is exponential and nobody ships it). */
-  private[graft] def funnelWindowedOver(ev: DataFrame,
-      steps: Seq[String], windowUs: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    var reached = ev.filter(col("event_type") === steps.head)
-      .groupBy("user_id").agg(min("us").as("t"))
-    var out = reached.select(lit(1).as("step"), col("user_id"))
-    for ((st, i) <- steps.tail.zipWithIndex) {
-      reached = ev.filter(col("event_type") === st)
-        .join(reached.select(col("user_id"), col("t").as("prev")),
-          "user_id")
-        .filter(col("us") > col("prev") &&
-          col("us") <= col("prev") + windowUs)
-        .groupBy("user_id").agg(min("us").as("t"))
-      out = out.unionAll(
-        reached.select(lit(i + 2).as("step"), col("user_id")))
-    }
-    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
-  }
-
-  def funnelWindowed(s: SparkSession, dir: String): DataFrame =
-    funnelWindowedOver(
-      events(s, dir).select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us")),
-      Seq("view", "click", "purchase"), 24L * 3600 * 1000000)
-
-  /** Data-quality rule evaluation — the Deequ/dbt-test shape: a rule
-    * catalog evaluated in one job, emitting (rule, n_violations) per
-    * rule. Three rule classes, each with its scale-correct plan:
-    *
-    *  - ROW-LOCAL rules (null key, range checks) all fuse into ONE
-    *    conditional-aggregation scan of the table — adding a rule adds
-    *    a sum(when), not a pass; the wide row then melts to rule rows
-    *    ([[unpivotOrders]]'s Expand, no shuffle).
-    *  - UNIQUENESS (primary key) is a two-phase count-per-key + count
-    *    of keys over 1 — map-side combinable, one shuffle on the key.
-    *  - REFERENTIAL/CROSS-TABLE rules are anti-join (orphan FK) or
-    *    equi-join + filter (temporal order) COUNTS — the join output
-    *    never leaves the executors, only the count does.
-    *
-    * The synthetic data intentionally fails two rules (duplicate
-    * (orderkey, linenumber) pairs; ship-before-order dates), so the
-    * gate proves violations are COUNTED, not just that clean tables
-    * pass. */
-  def dqChecks(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
-    def rule(name: String, n: Column) =
-      struct(lit(name).as("rule"), n.as("n_violations"))
-    val rowLocal = li.agg(
-        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
-          .as("neg_price"),
-        sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L))
-          .as("discount"),
-        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-          .otherwise(0L)).as("qty"),
-        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nullk"))
-      .select(explode(array(
-        rule("price_not_positive", col("neg_price")),
-        rule("range_discount", col("discount")),
-        rule("range_quantity", col("qty")),
-        rule("null_orderkey", col("nullk")))).as("r"))
-      .select("r.*")
-    val orphan = o.join(c, col("o_custkey") === col("c_custkey"),
-        "left_anti")
-      .agg(count(lit(1)).as("n"))
-      .select(rule("fk_orphan_orders", col("n")).as("r")).select("r.*")
-    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .agg(count(lit(1)).as("n"))
-      .select(rule("pk_duplicate_lineitem", col("n")).as("r")).select("r.*")
-    val shipEarly = li.select(col("l_orderkey"), col("l_shipdate"))
-      .join(o.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") < col("o_orderdate"))
-      .agg(count(lit(1)).as("n"))
-      .select(rule("ship_before_order", col("n")).as("r")).select("r.*")
-    rowLocal.unionByName(orphan).unionByName(dupPk)
-      .unionByName(shipEarly).orderBy("rule")
-  }
-
-  /** Correlated LATERAL subquery — the SQL-surface form of "latest
-    * order per customer": each customer row drives a correlated
-    * ORDER BY … LIMIT 1 subquery. Catalyst DECORRELATES it (the naive
-    * reading is a per-row re-execution — a 1000-executor disaster):
-    * the rewrite becomes one window/top-1 over the orders side plus an
-    * equi-join on the correlation key, so the plan is the same shape a
-    * hand-written row_number query produces. Run verbatim in both
-    * engines (DuckDB executes LATERAL natively). */
-  private val lateralSql =
-    """SELECT c.c_custkey, l.o_orderkey AS last_orderkey,
-      |  l.o_orderdate AS last_orderdate
-      |FROM customer c, LATERAL (
-      |  SELECT o_orderkey, o_orderdate FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey
-      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) l
-      |ORDER BY c_custkey""".stripMargin
-
-  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "customer").createOrReplaceTempView("customer")
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(lateralSql)
-  }
-
   /** FULL OUTER join: per-nation customer counts ⟗ per-nation supplier
     * counts — either side may be absent, both sides' keys survive. */
   def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1655,68 +410,6 @@ object Relational {
         o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct())
       .withColumnRenamed("o_custkey", "custkey")
       .orderBy("custkey")
-  }
-
-  /** Time-series resample with gap fill: the dense (hour × event_type)
-    * grid over the observed range, zero-filled where no events landed.
-    * The hour axis is generated IN-PLAN (sequence + explode over the
-    * min/max aggregate row — no driver collect, no driver loop), so the
-    * same plan scales to any range length. */
-  def resampleFill(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
-        col("event_type"))
-    val cnt = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
-    val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
-    val types = e.select("event_type").distinct()
-    hours.crossJoin(types)
-      .join(cnt, Seq("h", "event_type"), "left")
-      .na.fill(0L, Seq("n"))
-      .orderBy("h", "event_type")
-  }
-
-  /** Time-series resample with LINEAR interpolation — the fill mode
-    * [[resampleFill]] (zero-fill) and mql `$fill` (locf) don't cover,
-    * in exact integer arithmetic: per-hour value sums in cents, and a
-    * missing hour takes the time-weighted mean of its bracketing
-    * observations, `(v0·(h1-h) + v1·(h-h0)) DIV (h1-h0)`. The weighted
-    * SUM form (not `v0 + slope·dt`) keeps every operand nonnegative —
-    * value sums are nonnegative — so Spark's truncating DIV and
-    * DuckDB's flooring // agree; the difference form goes negative on
-    * any downward slope and the two engines round differently.
-    *
-    * Per type, the grid spans that type's own observed [min, max] hours
-    * (every gap has both brackets — no extrapolation contract), built
-    * in-plan via sequence+explode like [[resampleFill]]. The bracket
-    * carry is two running windows (last/first non-null observation
-    * struct) over ONE shuffle on event_type — the same
-    * single-partitioning all three window passes share. */
-  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = events(s, dir).select(col("event_type"),
-      (expr("unix_micros(ts) DIV 3600000000") * 3600L).as("h"),
-      cents(col("value")).as("c"))
-    val obs = e.groupBy("event_type", "h").agg(sum("c").as("cents"))
-    val grid = obs.groupBy("event_type")
-      .agg(min("h").as("h0"), max("h").as("h1"))
-      .select(col("event_type"),
-        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
-    val j = grid.join(obs, Seq("event_type", "h"), "left")
-    val base = Window.partitionBy("event_type").orderBy("h")
-    val back = base.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
-    val ob = when(col("cents").isNotNull,
-      struct(col("h").as("h"), col("cents").as("c")))
-    j.withColumn("pv", last(ob, ignoreNulls = true).over(back))
-      .withColumn("nv", first(ob, ignoreNulls = true).over(fwd))
-      .select(col("event_type"), col("h"),
-        when(col("cents").isNotNull, col("cents"))
-          .otherwise(expr(
-            "(pv.c * (nv.h - h) + nv.c * (h - pv.h)) DIV (nv.h - pv.h)"))
-          .as("cents"),
-        col("cents").isNull.as("interpolated"))
-      .orderBy("event_type", "h")
   }
 
   /** Deliberate CROSS JOIN: the (priority × status) grid densified with
@@ -1743,1237 +436,6 @@ object Relational {
         posexplode(array(col("lang"), col("source"))).as(Seq("pos", "tag")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tag"))
       .orderBy("doc_id", "pos")
-
-  /** Subquery battery, one SQL string shared verbatim by Spark and the
-    * DuckDB oracle: correlated EXISTS, uncorrelated IN, and a correlated
-    * scalar aggregate subquery. Catalyst decorrelates all three into
-    * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery)
-    * — there is no per-row re-execution at any scale. */
-  private val subqueriesSql =
-    """SELECT c_custkey,
-      |  CAST((SELECT count(*) FROM orders o
-      |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
-      |FROM customer c
-      |WHERE EXISTS (SELECT 1 FROM orders o
-      |              WHERE o.o_custkey = c.c_custkey
-      |                AND o.o_totalprice > 400000)
-      |  AND c_custkey IN (SELECT o_custkey FROM orders
-      |                    WHERE o_orderpriority = '1-URGENT')
-      |ORDER BY c_custkey""".stripMargin
-
-  def sqlSubqueries(s: SparkSession, dir: String): DataFrame = {
-    for (n <- Seq("customer", "orders"))
-      t(s, dir, n).createOrReplaceTempView(n)
-    s.sql(subqueriesSql)
-  }
-
-  /** Window-function battery over one named WINDOW clause — ranking
-    * (row_number, ntile, percent_rank), offsets (lag, lead), frames
-    * (first_value, partition-wide sum). Ordering is unique per
-    * partition, so every function is deterministic cross-engine. One
-    * shuffle + one sort per window spec. */
-  private val windowBatterySql =
-    """SELECT o_orderkey,
-      |  CAST(row_number() OVER w AS BIGINT) AS rn,
-      |  lag(pc) OVER w AS prev_pc,
-      |  lead(pc) OVER w AS next_pc,
-      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      |  first_value(pc) OVER w AS first_pc,
-      |  percent_rank() OVER w AS pr,
-      |  CAST(sum(pc) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total
-      |FROM (SELECT o_orderkey, o_custkey,
-      |      CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-      |ORDER BY o_orderkey""".stripMargin
-
-  def sqlWindowBattery(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "orders").createOrReplaceTempView("orders")
-    s.sql(windowBatterySql)
-  }
-
-  /** Exact quantiles (no approx sketch — bit-comparable): quartiles of
-    * order value via `percentile`, which matches DuckDB's
-    * quantile_cont linear interpolation on exact integer cents. */
-  def quantilesOrders(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(cents(col("o_totalprice")).as("pc"))
-      .agg(
-        expr("percentile(pc, 0.25)").as("q25"),
-        expr("percentile(pc, 0.5)").as("q50"),
-        expr("percentile(pc, 0.75)").as("q75"))
-
-  /** Scale-safe EXACT quantiles — the distributed twin of
-    * [[quantilesOrders]]. `percentile` buffers every value in the ONE
-    * final aggregate task (O(N) driver-adjacent memory — the r3 verdict's
-    * scale-margin flag); this variant computes the identical answer with
-    * bounded memory everywhere: one count job, one distributed
-    * range-partitioned sort, per-partition offsets via zipWithIndex, then
-    * ONLY the ≤6 rank-boundary rows return to the driver for the
-    * interpolation arithmetic. Interpolation is lo + frac·(hi−lo) on
-    * exact integer cents with dyadic fracs (0/.25/.5/.75) — bit-equal to
-    * DuckDB's quantile_cont and to the single-task `percentile`. */
-  /** The distributed sort [[quantilesOrdersDist]] ranks over — exposed so
-    * PlanSpec can lock that it compiles to a range-partitioned Exchange
-    * (each partition holds a contiguous value range; zipWithIndex offsets
-    * are then per-partition counts, never a single-task sort). */
-  private[graft] def quantilesSortedCents(s: SparkSession, dir: String)
-      : DataFrame =
-    t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
-      .orderBy("pc").select("pc")
-
-  def quantilesOrdersDist(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pc = t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
-    val qs = Seq(0.25, 0.5, 0.75)
-    val n = pc.count()
-    val hs = qs.map(q => (n - 1) * q)
-    val needed = hs.flatMap(h =>
-      Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
-    val bc = s.sparkContext.broadcast(needed)
-    val picked = quantilesSortedCents(s, dir).rdd
-      .zipWithIndex()
-      .filter { case (_, i) => bc.value.contains(i) }
-      .map { case (r, i) => (i, r.getLong(0)) }
-      .collect().toMap
-    val v = hs.map { h =>
-      val lo = picked(math.floor(h).toLong).toDouble
-      val hi = picked(math.ceil(h).toLong).toDouble
-      lo + (h - math.floor(h)) * (hi - lo)
-    }
-    Seq((v(0), v(1), v(2))).toDF("q25", "q50", "q75")
-  }
-
-  /** One-pass MERGEABLE quantile sketch — the third point on the
-    * quantile trade-off ([[quantilesOrders]] exact-but-single-task,
-    * [[quantilesOrdersDist]] exact-but-two-jobs): an equi-width integer
-    * histogram ($10k bins over price cents) built in ONE map-side-
-    * combined aggregate, from which any quantile reads off as the first
-    * bin whose cumulative count reaches ⌈q·N⌉. Histogram counts merge
-    * by addition, so at 100 TB this is the shape a streaming/partial
-    * refresh pipeline keeps (the same merge-by-+ contract as the KMV
-    * distinct sketch); error is bounded by the bin width, and every
-    * number is an exact integer — the oracle replays the identical
-    * arithmetic. The cumulative pass runs over the ≤50-row histogram,
-    * never the data. */
-  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
-    val binW = 1000000L // $10k in cents
-    val h = t(s, dir, "orders")
-      .select(cents(col("o_totalprice")).as("pc"))
-      .select(expr(s"pc DIV $binW").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = h.withColumn("cum", sum(col("c")).over(w))
-      .crossJoin(h.agg(sum(col("c")).as("N")))
-    // qMicro: quantile in exact integer millionths — no float boundary
-    def edge(qMicro: Long, name: String): Column =
-      min(when(col("cum") * lit(1000000L) >= lit(qMicro) * col("N"),
-        (col("bin") + 1) * binW)).as(name)
-    cum.agg(edge(500000L, "p50_ub"), edge(950000L, "p95_ub"),
-      max(col("N")).as("n"))
-  }
-
-  /** Embedded-document $elemMatch under the gate: metadata carries an
-    * array of sub-documents ({k, n} items synthesized from `documents`
-    * columns) and ONE element must satisfy the whole sub-filter — the
-    * FerretDB/Mongo form the scalar-array $elemMatch can't express. The
-    * oracle evaluates the same per-element conjunction directly on the
-    * source columns. */
-  /** The $bits* find operators (r11) over the int64-exact numeric
-    * view: AllSet as position array, AnySet as position array, and
-    * AnyClear as a numeric mask on the same field — together they
-    * select documents whose flag word has bits 0 and 2 set plus
-    * EXACTLY ONE of bits 4/5 (AnySet ∧ AnyClear on the same mask).
-    * The DuckDB twin is plain integer bitwise algebra. */
-  def mqlDocsBits(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("doc_id"),
-        col("n_chars").cast("long").as("flags"))))
-      .filter(MqlFilter.toColumn(
-        """{"flags": {"$bitsAllSet": [0, 2]}, "$and": [
-          | {"flags": {"$bitsAnySet": [4, 5]}},
-          | {"flags": {"$bitsAnyClear": 48}}]}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(array(
-        struct(col("lang").as("k"),
-          (col("n_chars") % 10).cast("long").as("n")),
-        struct(col("source").as("k"),
-          (col("n_chars") % 7).cast("long").as("n"))).as("items"))))
-      .filter(MqlFilter.toColumn(
-        """{"items": {"$elemMatch":
-          |  {"k": {"$in": ["en", "src2"]}, "n": {"$gte": 5}}}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  /** Computed pipeline fields under the gate: $addFields derives real
-    * columns from the metadata document ($divide/$concat), $match filters
-    * on one, and a computed $project emits arithmetic over them — the
-    * post-$addFields document shape flowing through typed resolution. */
-  def mqlPipelineCompute(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("doc_id"), col("lang"),
-          col("source"), col("n_chars")))),
-      col("meta"),
-      """[
-        |  {"$addFields": {
-        |    "kc": {"$divide": [{"$toLong": "$n_chars"}, 100]},
-        |    "label": {"$concat": [{"$toUpper": "$lang"}, ":", "$source"]}}},
-        |  {"$match": {"kc": {"$gt": 9}}},
-        |  {"$project": {
-        |    "did": {"$toLong": "$doc_id"},
-        |    "label": 1,
-        |    "kc": 1,
-        |    "score": {"$subtract": [{"$multiply": ["$kc", 2]}, 1.5]}}},
-        |  {"$sort": {"did": 1}}
-        |]""".stripMargin)
-
-  /** Grouped exact quantiles: median + p90 of order value per order
-    * status. Per-group `percentile` buffers are bounded by GROUP size,
-    * and groups hash-partition across executors — the single-task buffer
-    * concern of the global variant ([[quantilesOrdersDist]] covers that
-    * one) does not apply at the same severity; a skewed mega-group would
-    * use the same rank-extraction treatment per group. */
-  def quantilesByStatus(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)")
-          .as("p50"),
-        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9)")
-          .as("p90"),
-        count(lit(1)).as("n"))
-      .orderBy("o_orderstatus")
-
-  /** Runtime Bloom-filter semi-join reduction — the scale device for a
-    * shuffle join whose build side carries a selective filter: Catalyst
-    * plants a bloom-filter aggregate on the filtered (small) side and
-    * injects `might_contain` into the FACT side's scan, so most of the
-    * 100 TB probe side drops before it ever reaches the exchange. At
-    * bench scale broadcast would hide the effect, so the join runs in a
-    * CHILD session (own conf, no session-global mutation — the r7
-    * advice) with broadcast off and the scan-size gate zeroed; on a
-    * real cluster the defaults trigger exactly when the probe side is
-    * huge, which is the 100 TB case. */
-  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
-      "applicationSideScanSizeThreshold", "0")
-    val li = ss.read.parquet(s"$dir/lineitem.parquet")
-    val ord = ss.read.parquet(s"$dir/orders.parquet")
-      .filter(col("o_orderpriority") === "1-URGENT")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        sum(cents(col("l_extendedprice"))).as("rev_cents"))
-      .orderBy("l_returnflag")
-  }
-
-  /** KMV (k-minimum-values) distinct-count sketch per event type — the
-    * mergeable-sketch family a 100 TB engine answers COUNT(DISTINCT)
-    * with when exact is too expensive. Unlike HLL++ (whose estimate
-    * depends on engine-internal hashing, so it can't sit under a
-    * cross-engine oracle), KMV over the md5-60 hash is bit-deterministic:
-    * keep the k smallest distinct hash values per group; the k-th
-    * smallest estimates the distinct count as (k-1)·2^60/kth.
-    *
-    * Scale shape: dropDuplicates is one shuffle on (group, hash) with
-    * map-side partial dedup; the per-group k-smallest compiles to
-    * WindowGroupLimit (partial top-k per partition BEFORE the group
-    * shuffle — the same plan device as the kNN join), so only
-    * k·partitions rows ride the window shuffle. Groups under k distinct
-    * values return the exact count (the sketch is exact below k).
-    * Estimate arithmetic: (k-1)·2^60 is an exact double, one
-    * correctly-rounded division, half-up round — oracle-identical. */
-  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
-    val k = 64
-    import graft.functions.TextFunctions.md5Hash60
-    val h = events(s, dir)
-      .select(col("event_type"),
-        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
-          .as("h"))
-      .dropDuplicates("event_type", "h")
-    val w = Window.partitionBy("event_type").orderBy("h")
-    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
-      .select(col("event_type"),
-        when(col("k_seen") < k, col("k_seen"))
-          .otherwise(round(lit(63.0 * 1152921504606846976.0) /
-            col("kth")).cast("long")).as("est_distinct"))
-      .orderBy("event_type")
-  }
-
-  /** SQL DDL / catalog surface under the gate: CREATE TABLE (managed
-    * parquet), INSERT INTO ... SELECT, ALTER TABLE ADD COLUMNS, a
-    * second INSERT populating the widened schema, and the final
-    * read-back through the catalog — the session-catalog lifecycle a
-    * SQL user exercises before any query runs. The oracle rebuilds the
-    * same two-batch union arithmetically. Dropped and rebuilt each run
-    * (DDL is the operator under test); table names are
-    * per-invocation unique so concurrent sessions never collide. */
-  def sqlDdlCatalog(s: SparkSession, dir: String): DataFrame = {
-    val tbl = s"graft_ddl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    t(s, dir, "orders").createOrReplaceTempView(s"${tbl}_src")
-    try {
-      s.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, cents BIGINT,
-               |  status STRING) USING parquet""".stripMargin)
-      s.sql(s"""INSERT INTO $tbl
-               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
-               |  o_orderstatus
-               |FROM ${tbl}_src WHERE o_orderkey % 2 = 0""".stripMargin)
-      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (batch INT)")
-      s.sql(s"""INSERT INTO $tbl
-               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
-               |  o_orderstatus, 2
-               |FROM ${tbl}_src WHERE o_orderkey % 2 = 1""".stripMargin)
-      s.sql(s"""SELECT status, coalesce(batch, 1) AS batch,
-               |  count(*) AS n, sum(cents) AS total_cents
-               |FROM $tbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
-        .localCheckpoint()
-    } finally {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      s.catalog.dropTempView(s"${tbl}_src")
-    }
-  }
-
-  /** The SAME KMV estimate through the native
-    * [[graft.expr.KmvDistinctAgg]] TypedImperativeAggregate (the
-    * production-sketch aggregation API: O(k) buffer per group, map-side
-    * partials, serialized merge between stages) — where
-    * [[sketchDistinct]] formulates it as dedup + rank windows. Both
-    * share one oracle text, so the two formulations provably agree.
-    * Scale: the window form shuffles the deduped hash stream; THIS form
-    * ships only k longs per (group, partition) — the reason sketch
-    * libraries are aggregates, demonstrated under the hash. */
-  def kmvAggNative(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.md5Hash60
-    graft.sql.GraftFunctions.register(s)
-    events(s, dir)
-      .select(col("event_type"),
-        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
-          .as("h"))
-      .groupBy("event_type")
-      .agg(expr("graft_kmv(h, 64)").as("est_distinct"))
-      .orderBy("event_type")
-  }
-
-  /** $replaceRoot + $ifNull/$cond under the gate: metadata nests the
-    * interesting fields one level down ({"info": {...}}); the pipeline
-    * promotes `info` to the root, computes a $cond bucket label and an
-    * $ifNull fallback, filters and sorts on the promoted fields. */
-  def mqlReplaceRoot(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      // ONLY the JSON column travels — every field must resolve through
-      // the promoted root, not shadow real source columns
-      t(s, dir, "documents")
-        .select(to_json(struct(struct(col("doc_id"),
-          col("lang"), col("n_chars")).as("info"))).as("meta")),
-      col("meta"),
-      """[
-        |  {"$replaceRoot": {"newRoot": "$info"}},
-        |  {"$match": {"lang": {"$in": ["en", "de"]}}},
-        |  {"$project": {
-        |    "did": {"$toLong": "$doc_id"},
-        |    "lang": 1,
-        |    "size_bucket": {"$cond": [
-        |      {"$gte": [{"$toLong": "$n_chars"}, 800]}, "long", "short"]},
-        |    "fallback": {"$ifNull": ["$missing_field", "none"]}}},
-        |  {"$sort": {"did": 1}}
-        |]""".stripMargin)
-
-  /** Shared by both quantiles gates (declared ABOVE the oracle map —
-    * object-init order). */
-  private val quantilesOracleSql =
-    """SELECT
-      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
-      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS q50,
-      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS q75
-      |FROM orders""".stripMargin
-
-  /** Sliding windows: 2-hour windows sliding by 1 hour over events —
-    * each event lands in two windows (Spark's window() is epoch-aligned;
-    * the oracle unnests the two containing window starts per event). */
-  def eventsSliding(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_timestamp(col("w.start")).as("win_start_s"),
-        col("event_type"), col("n"))
-      .orderBy("win_start_s", "event_type")
-
-  /** MQL operator breadth through the JSON resolver in one registered
-    * query: $in (string set), $regex (anchored), numeric $gte on a JSON
-    * number — over a metadata document synthesized from `documents`
-    * columns, exactly how collection metadata flows through the engine. */
-  def mqlDocsMixed(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"), col("source"),
-        col("n_chars"))))
-      .filter(MqlFilter.toColumn(
-        """{"lang": {"$in": ["en", "fr"]},
-          | "source": {"$regex": "^src1"},
-          | "n_chars": {"$gte": 500}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  /** Mongo `$text` under the gate — the text-index predicate in its
-    * OR-of-terms form composed with an ordinary metadata filter: docs
-    * whose token stream contains "vector" or "hash", in en/fr only. */
-  def mqlTextFilter(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"))))
-      .filter(MqlFilter.toColumn(
-        """{"$text": {"$search": "vector hash"},
-          | "lang": {"$in": ["en", "fr"]}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  /** MQL `$expr` under the gate — aggregation expressions inside a find
-    * filter: a numeric comparison whose right side is computed
-    * ($add/$multiply over field refs) AND a string equality, both
-    * resolved per-position through the variant views. The whole
-    * predicate is one Catalyst boolean over a single JSON parse. */
-  def mqlExprFilter(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"),
-        (col("doc_id") % 7).as("sev"))))
-      .filter(MqlFilter.toColumn(
-        """{"$expr": {"$and": [
-          |  {"$gt": ["$n_chars",
-          |    {"$add": [{"$multiply": ["$sev", 100]}, 300]}]},
-          |  {"$eq": ["$lang", "en"]}]}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  /** Mongo aggregation PIPELINE under the gate: $match → $group
-    * (count/sum/max accumulators over the numeric view) → post-group
-    * $match (the HAVING shape) → $sort — four stages folding into one
-    * Catalyst plan with partial aggregation, over the same synthesized
-    * metadata document as the other MQL gates. */
-  def mqlPipeline(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("source"),
-          col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 120}}},
-        | {"$group": {"_id": "$lang",
-        |   "n": {"$sum": 1},
-        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}},
-        |   "max_chars": {"$max": {"$toLong": "$n_chars"}}}},
-        | {"$match": {"n": {"$gte": 5}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-
-  /** $project METADATA exclusion under the gate: the frame carries only
-    * (doc_id, meta) so "info.source" exists solely inside the JSON
-    * document; {"info.source": 0} rewrites the root via JsonRewrite
-    * (the dotted path descends into the sub-document), observable both
-    * through "$$ROOT" (the rewritten text) and through the now-null
-    * "$info.source" resolution ($ifNull fallback fires). */
-  def mqlProjectExclude(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"),
-          struct(col("source"), col("n_chars")).as("info"))))
-        .select(col("doc_id"), col("meta")),
-      col("meta"),
-      """[
-        | {"$match": {"lang": {"$in": ["en", "de"]}}},
-        | {"$project": {"info.source": 0}},
-        | {"$addFields": {
-        |   "doc": "$$ROOT",
-        |   "src_after": {"$ifNull": ["$info.source", "gone"]}}},
-        | {"$sort": {"doc_id": 1}}
-        |]""".stripMargin)
-      .select(col("doc_id").as("did"), col("doc"), col("src_after"))
-
-  /** $replaceRoot DOCUMENT form under the gate: the new root is composed
-    * from computed expressions ({newRoot: {k: expr}}), then later stages
-    * resolve fields inside it — including a numeric $match that
-    * round-trips a computed double through the JSON text (Jackson emits
-    * shortest round-trippable reprs, so the re-parse is exact). */
-  def mqlReplaceRootDoc(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("source"),
-          col("n_chars"))))
-        .select(col("doc_id"), col("meta")),
-      col("meta"),
-      """[
-        | {"$replaceRoot": {"newRoot": {
-        |   "label": {"$concat": [{"$toUpper": "$lang"}, "/", "$source"]},
-        |   "kchars": {"$divide": [{"$toLong": "$n_chars"}, 1000]}}}},
-        | {"$match": {"kchars": {"$gte": 0.5}}},
-        | {"$project": {"doc_id": 1, "label": 1,
-        |   "kchars": {"$toDouble": "$kchars"}}},
-        | {"$sort": {"doc_id": 1}}
-        |]""".stripMargin)
-
-  /** The $group accumulator breadth gate — $count (Mongo 5 form),
-    * $first/$last (min_by/max_by over the prior $sort key: the per-group
-    * top-1 runs inside partial aggregation, no window, no extra
-    * shuffle), $push (deterministic: per-group sort_array over the
-    * $sort key), $addToSet (canonical sorted set). Arrays are joined to
-    * strings ONLY for the oracle compare (pandas can't hash list
-    * cells); the pipeline itself returns real ARRAY columns. */
-  def mqlPipelineAccum(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("source"),
-          col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 120}}},
-        | {"$sort": {"doc_id": 1}},
-        | {"$group": {"_id": "$lang",
-        |   "n": {"$count": {}},
-        |   "first_src": {"$first": "$source"},
-        |   "last_src": {"$last": "$source"},
-        |   "srcs": {"$addToSet": "$source"},
-        |   "docs": {"$push": "$doc_id"}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-      .select(col("_id"), col("n"), col("first_src"), col("last_src"),
-        array_join(col("srcs"), ",").as("srcs"),
-        array_join(transform(col("docs"), _.cast("string")), ",")
-          .as("docs"))
-
-  /** The Mongo 5.2 N-accumulator family under the gate: $topN/$bottomN
-    * (own sortBy, independent of the pipeline $sort) and $firstN/$lastN
-    * (pipeline document order) — all four against one oracle. The
-    * sorted-struct tie-break is (sort key, output value) in the SORT
-    * DIRECTION (a descending sortBy reverses both fields), which the
-    * oracle replicates verbatim. */
-  def mqlPipelineTopN(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("source"),
-          col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$sort": {"doc_id": 1}},
-        | {"$group": {"_id": "$lang",
-        |   "big3": {"$topN": {"n": 3, "sortBy": {"n_chars": -1},
-        |            "output": "$doc_id"}},
-        |   "small3": {"$bottomN": {"n": 3, "sortBy": {"n_chars": -1},
-        |            "output": "$doc_id"}},
-        |   "first2": {"$firstN": {"n": 2, "input": "$source"}},
-        |   "last2": {"$lastN": {"n": 2, "input": "$source"}}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-      .select(col("_id"),
-        array_join(transform(col("big3"), _.cast("string")), ",")
-          .as("big3"),
-        array_join(transform(col("small3"), _.cast("string")), ",")
-          .as("small3"),
-        array_join(col("first2"), ",").as("first2"),
-        array_join(col("last2"), ",").as("last2"))
-
-  /** $sortByCount under the gate: the Mongo frequency-table shorthand
-    * ($group by value + $sort by count desc). Equal counts order by
-    * _id ascending in both engines — the stage's documented
-    * deterministic tie-break. */
-  def mqlSortByCount(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 100}}},
-        | {"$sortByCount": "$lang"}
-        |]""".stripMargin)
-
-  /** $bucket under the gate: half-open numeric ranges labeled by lower
-    * bound, out-of-range rows (both below 100 and above 500 exist in
-    * the data) landing in the default bucket, and a non-default output
-    * accumulator set — the Mongo histogram idiom as ONE grouped
-    * aggregation (a when-chain bucket id, no joins, no second pass). */
-  def mqlBucket(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$bucket": {"groupBy": "$n_chars",
-        |   "boundaries": [100, 200, 300, 400, 500],
-        |   "default": -1,
-        |   "output": {
-        |     "n": {"$sum": 1},
-        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}},
-        |     "max_chars": {"$max": {"$toLong": "$n_chars"}}}}}
-        |]""".stripMargin)
-
-  /** $unionWith under the gate: the live collection's English docs
-    * concatenated with an "archive" collection (same canonical layout,
-    * offset ids) pre-shaped by a sub-pipeline, then rolled up — the
-    * Mongo multi-collection union. The union is a zero-shuffle
-    * concatenation; only the $group moves data. */
-  def mqlUnionWith(s: SparkSession, dir: String): DataFrame = {
-    def shaped = t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
-      .select(col("doc_id"), col("meta"))
-    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
-      case "archive" =>
-        (shaped.withColumn("doc_id", col("doc_id") + 10000), col("meta"))
-      case other => throw new IllegalArgumentException(
-        s"unknown collection: $other")
-    }
-    graft.filter.MqlPipeline.aggregate(
-      shaped,
-      col("meta"),
-      """[
-        | {"$match": {"lang": "en"}},
-        | {"$unionWith": {"coll": "archive",
-        |   "pipeline": [{"$match": {"n_chars": {"$gte": 300}}}]}},
-        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin,
-      resolver)
-  }
-
-  /** $setWindowFields under the gate: two window stages folding into the
-    * one Catalyst plan — (1) sortBy the unique doc_id: document number,
-    * running character total (documents [unbounded, current]), previous
-    * doc's id ($shift by −1 with default), partition-total characters
-    * (Mongo's default whole-partition window); (2) sortBy n_chars
-    * descending — NON-unique, exercising $rank vs $denseRank tie
-    * semantics (both are deterministic under ties; the order-sensitive
-    * ops all live in stage 1 where the key is unique). Rank outputs
-    * cast to long for the dtype-strict oracle compare. */
-  def mqlWindowFields(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
-        .select(col("doc_id"), col("meta")),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 120}}},
-        | {"$setWindowFields": {
-        |   "partitionBy": "$lang",
-        |   "sortBy": {"doc_id": 1},
-        |   "output": {
-        |     "seq": {"$documentNumber": {}},
-        |     "running_chars": {"$sum": {"$toLong": "$n_chars"},
-        |       "window": {"documents": ["unbounded", "current"]}},
-        |     "prev_id": {"$shift": {"output": "$doc_id", "by": -1,
-        |       "default": -1}},
-        |     "lang_chars": {"$sum": {"$toLong": "$n_chars"}}}}},
-        | {"$setWindowFields": {
-        |   "partitionBy": "$lang",
-        |   "sortBy": {"n_chars": -1},
-        |   "output": {
-        |     "rnk": {"$rank": {}},
-        |     "drnk": {"$denseRank": {}}}}},
-        | {"$sort": {"lang": 1, "doc_id": 1}},
-        | {"$project": {"doc_id": 1, "lang": "$lang", "seq": 1,
-        |   "running_chars": 1, "prev_id": 1, "lang_chars": 1,
-        |   "rnk": 1, "drnk": 1}}
-        |]""".stripMargin)
-      .select(col("doc_id"), col("lang"), col("seq").cast("long").as("seq"),
-        col("running_chars"), col("prev_id"), col("lang_chars"),
-        col("rnk").cast("long").as("rnk"),
-        col("drnk").cast("long").as("drnk"))
-
-  /** $setWindowFields RANGE windows under the gate — Mongo's
-    * value-keyed frames ({window: {range: [lo, hi]}} over one
-    * ascending numeric sortBy) mapped to Spark's rangeBetween: each
-    * doc aggregates over the docs of its language within 100 chars
-    * below its own length. RANGE semantics include sort-value peers in
-    * both engines, so ties are deterministic without a tiebreak
-    * column. Same one-Window-node plan as the documents form. */
-  def mqlWindowRange(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
-        .select(col("doc_id"), col("n_chars"), col("meta")),
-      col("meta"),
-      """[
-        | {"$setWindowFields": {
-        |   "partitionBy": "$lang",
-        |   "sortBy": {"n_chars": 1},
-        |   "output": {
-        |     "near_n": {"$count": {}, "window": {"range": [-100, 0]}},
-        |     "near_chars": {"$sum": {"$toLong": "$n_chars"},
-        |       "window": {"range": [-100, "current"]}}}}},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "lang": "$lang",
-        |   "near_n": 1, "near_chars": 1}}
-        |]""".stripMargin)
-
-  /** Time-UNIT range windows under the gate — the sliding-lookback
-    * query every abuse/velocity check runs ("events by this user in
-    * the last hour"): {range: [-1, 0], unit: "hour"} keys the frame
-    * on the timestamp sortBy's epoch-micros, bounds scaled by the
-    * unit. One Window node, no self-join — the naive formulation is
-    * a time-range self-join that [[Bucketing]] exists to block. */
-  def mqlWindowUnit(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      // user_id rides as a REAL column: "$user_id" would otherwise
-      // resolve through the metadata STRING view, and a JSON number's
-      // string view is null by MQL bracketing (one null partition)
-      events(s, dir)
-        .withColumn("meta", to_json(struct(col("event_type"))))
-        .select(col("event_id"), col("ts"), col("user_id"), col("meta")),
-      col("meta"),
-      """[
-        | {"$setWindowFields": {
-        |   "partitionBy": "$user_id",
-        |   "sortBy": {"ts": 1},
-        |   "output": {
-        |     "recent_n": {"$count": {},
-        |       "window": {"range": [-1, 0], "unit": "hour"}}}}},
-        | {"$sort": {"event_id": 1}},
-        | {"$project": {"event_id": 1, "recent_n": 1}}
-        |]""".stripMargin)
-
-  /** $fill under the gate: nulls planted in a numeric column (every
-    * n_chars divisible by 7) and a string column (source 'src1'), then
-    * one $fill stage repairs both — locf (last observed carried forward
-    * per language, doc_id order; leading nulls stay null) and a
-    * constant value fill. The locf is ONE running-frame window — no
-    * self-join, no driver pass; at 100 TB it shuffles once on the
-    * partition key like any window. */
-  def mqlFill(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"))))
-        .select(col("doc_id"), col("meta"),
-          when(col("n_chars") % 7 === 0, lit(null))
-            .otherwise(col("n_chars")).cast("double").as("chars"),
-          when(col("source") === "src1", lit(null))
-            .otherwise(col("source")).as("src")),
-      col("meta"),
-      """[
-        | {"$fill": {"partitionBy": "$lang", "sortBy": {"doc_id": 1},
-        |   "output": {
-        |     "chars": {"method": "locf"},
-        |     "src": {"value": "unknown"}}}},
-        | {"$sort": {"lang": 1, "doc_id": 1}},
-        | {"$project": {"doc_id": 1, "lang": "$lang", "chars": 1,
-        |   "src": 1}}
-        |]""".stripMargin)
-
-  /** $densify under the gate: documents coarsened to 10-char buckets,
-    * then per-language missing buckets generated across each
-    * partition's [min, max] grid — bounds agg (one row per lang) →
-    * sequence explode → LEFT ANTI against existing (lang, bucket) →
-    * null-filled union (generated rows carry null doc_id, Mongo's
-    * generated-document shape). Within any (lang, bucket) the rows are
-    * either all existing or one generated, so the doc_id tiebreak never
-    * compares null against non-null and both engines' null-order
-    * conventions agree. */
-  def mqlDensify(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"))))
-        .select(col("doc_id"), col("lang"),
-          (floor(col("n_chars") / 10) * 10).cast("long").as("bucket")),
-      col("meta"),
-      """[
-        | {"$densify": {"field": "bucket",
-        |   "partitionByFields": ["lang"],
-        |   "range": {"step": 10, "bounds": "partition"}}},
-        | {"$sort": {"lang": 1, "bucket": 1, "doc_id": 1}},
-        | {"$project": {"doc_id": 1, "lang": 1, "bucket": 1}}
-        |]""".stripMargin)
-
-  /** $graphLookup under the gate: documents shaped into a binary-tree
-    * parent relation (parent = floor(doc_id/2); the root 0 is its own
-    * parent — a genuine CYCLE the visited-set must terminate), then a
-    * self-referential ancestor walk to depth 2. The traversal is
-    * distributed BFS over distinct start values (iterative joins, the
-    * dedup_clusters pattern); the oracle is DuckDB's WITH RECURSIVE
-    * with min-depth dedup — BFS first-encounter depth ≡ the recursive
-    * CTE's minimum depth per (src, ancestor). Output flattened via
-    * $unwind for the row-compare. */
-  def mqlGraphLookup(s: SparkSession, dir: String): DataFrame = {
-    def shaped = t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"))))
-      .select(col("doc_id"),
-        floor(col("doc_id") / 2).cast("long").as("parent_id"),
-        col("meta"))
-    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
-      case "docs" => (shaped.select("doc_id", "parent_id"), lit(null))
-      case other => throw new IllegalArgumentException(
-        s"unknown collection: $other")
-    }
-    graft.filter.MqlPipeline.aggregate(
-      shaped, col("meta"),
-      """[
-        | {"$graphLookup": {"from": "docs",
-        |   "startWith": "$parent_id",
-        |   "connectFromField": "parent_id",
-        |   "connectToField": "doc_id",
-        |   "as": "ancestors", "maxDepth": 2, "depthField": "depth"}},
-        | {"$unwind": "$ancestors"},
-        | {"$sort": {"doc_id": 1}}
-        |]""".stripMargin,
-      resolver)
-      .select(col("doc_id"),
-        col("ancestors.doc_id").as("anc_id"),
-        col("ancestors.depth").as("depth"))
-      .orderBy("doc_id", "depth", "anc_id")
-  }
-
-  /** $facet under the gate: one pass fans into two sub-pipelines — a
-    * per-language roll-up and a filtered $count — and the single facet
-    * document is flattened for the row compare ($unwind one facet; the
-    * scalar facet read by element_at). The $match BEFORE the $facet
-    * prunes once for both facets (the checkpointed-shared-input shape). */
-  def mqlFacet(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 100}}},
-        | {"$facet": {
-        |   "by_lang": [
-        |     {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
-        |     {"$sort": {"_id": 1}}],
-        |   "big": [
-        |     {"$match": {"n_chars": {"$gte": 400}}},
-        |     {"$count": "n"}]}},
-        | {"$unwind": "$by_lang"}
-        |]""".stripMargin)
-      .select(col("by_lang._id").as("lang"),
-        col("by_lang.n").as("n"),
-        element_at(col("big"), 1).getField("n").as("big_n"))
-      .orderBy("lang")
-
-  /** $bucketAuto under the gate: documents split into 4 approximately
-    * equal-population buckets by n_chars — boundary values selected at
-    * exact ranks floor(k·n/4) by the distributed rank device, rows
-    * assigned by value (half-open at each boundary), _id = {min, max}
-    * of the actual bucket values flattened for the compare. The oracle
-    * recomputes the identical ranks/boundaries via row_number and the
-    * identical assignment by counting boundaries ≤ v. */
-  def mqlBucketAuto(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$bucketAuto": {"groupBy": "$n_chars", "buckets": 4,
-        |   "output": {
-        |     "n": {"$sum": 1},
-        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}}}}}
-        |]""".stripMargin)
-      .select(col("_id.min").as("lo"), col("_id.max").as("hi"),
-        col("n"), col("total_chars"))
-
-  /** $derivative/$integral under the gate: per-user event series
-    * (x = event-time SECONDS, y = floor(value)) through one
-    * $setWindowFields — instantaneous rate over a [-1, 0] frame (the
-    * discrete derivative) and running trapezoid area. The axes are
-    * INTEGRAL by construction, so every trapezoid is an exact dyadic
-    * value (k/2) and the running sums stay exactly representable —
-    * necessary because Spark accumulates window sums in frame order
-    * while DuckDB aggregates them in segment-tree order, and a
-    * float-fractional series would diverge in the low bits (observed
-    * before this shaping). The derivative stays a single double
-    * division; tied timestamps (same second) yield null rates in both
-    * engines via the zero-x-span guard. */
-  def mqlWindowCalculus(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      events(s, dir)
-        .select(col("user_id"), col("event_id"),
-          expr("unix_micros(ts) DIV 1000000").as("sec"),
-          floor(col("value")).cast("double").as("yv")),
-      to_json(struct(col("user_id"))),
-      """[
-        | {"$setWindowFields": {
-        |   "partitionBy": "$user_id",
-        |   "sortBy": {"sec": 1, "event_id": 1},
-        |   "output": {
-        |     "vel": {"$derivative": {"input": "$yv"},
-        |       "window": {"documents": [-1, 0]}},
-        |     "area": {"$integral": {"input": "$yv"},
-        |       "window": {"documents": ["unbounded", "current"]}}}}},
-        | {"$sort": {"user_id": 1, "sec": 1, "event_id": 1}},
-        | {"$project": {"user_id": 1, "event_id": 1, "vel": 1,
-        |   "area": 1}}
-        |]""".stripMargin)
-
-  /** $median/$percentile window ops under the gate: per-language exact
-    * interpolated quantiles of n_chars through $setWindowFields
-    * (whole-partition frames), flattened to one row per language. The
-    * values are integral, so the linear interpolation (lo + frac·(hi−lo)
-    * with dyadic frac) is exact in both engines — Spark's percentile()
-    * and DuckDB's quantile_cont share the (n−1)·p rank convention. */
-  def mqlWindowPercentile(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          col("n_chars").cast("double").as("chars")),
-      to_json(struct(col("lang"))),
-      """[
-        | {"$setWindowFields": {
-        |   "partitionBy": "$lang",
-        |   "sortBy": {"doc_id": 1},
-        |   "output": {
-        |     "med": {"$median": {"input": "$chars",
-        |       "method": "approximate"}},
-        |     "pcts": {"$percentile": {"input": "$chars",
-        |       "p": [0.25, 0.75], "method": "approximate"}}}}}
-        |]""".stripMargin)
-      .select(col("lang"), col("med"),
-        element_at(col("pcts"), 1).as("p25"),
-        element_at(col("pcts"), 2).as("p75"))
-      .distinct()
-      .orderBy("lang")
-
-  /** Pipeline $unwind: array fan-out then per-element roll-up — the
-    * Mongo unwind → group idiom over the same tags-array metadata as
-    * mql_docs_array. */
-  def mqlUnwind(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(
-          array(col("lang"), col("source")).as("tags"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$match": {"n_chars": {"$gte": 120}}},
-        | {"$unwind": "$tags"},
-        | {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-
-  /** $stdDevPop/$stdDevSamp accumulators under the gate: per-language
-    * dispersion of document lengths, $round-ed to 6 decimals on BOTH
-    * sides — parallel stddev merges differ from the oracle's by ~1 ulp
-    * of summation order, and the rounding absorbs exactly that (the
-    * float-aggregate stance; integer-exact aggregates use cents
-    * instead). */
-  def mqlStddev(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
-      col("meta"),
-      """[
-        | {"$group": {"_id": "$lang",
-        |   "sd_pop": {"$stdDevPop": {"$toLong": "$n_chars"}},
-        |   "sd_samp": {"$stdDevSamp": {"$toLong": "$n_chars"}},
-        |   "n": {"$sum": 1}}},
-        | {"$project": {"_id": 1,
-        |   "sd_pop": {"$round": ["$sd_pop", 6]},
-        |   "sd_samp": {"$round": ["$sd_samp", 6]},
-        |   "n": 1}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-
-  /** $lookup under the oracle gate: left outer equi-match against a
-    * sibling collection (Mongo's cross-collection join,
-    * /root/reference delegated-pipeline surface), matches re-nested as an
-    * array then $unwind-flattened — the join fan-out makes the re-nest
-    * observable (each doc matches one foreign row per distinct source of
-    * its language; docs whose language has no foreign row drop at
-    * $unwind, the Mongo default). The oracle replays the same join+count
-    * in SQL. */
-  def mqlLookup(s: SparkSession, dir: String): DataFrame = {
-    val local = t(s, dir, "documents")
-      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
-    val foreign = t(s, dir, "documents")
-      .filter(col("lang").isin("en", "fr", "de"))
-      .select(col("lang"), col("source")).distinct()
-      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
-    graft.filter.MqlPipeline.aggregate(
-      local, col("meta"),
-      """[
-        | {"$lookup": {"from": "langsrc", "localField": "lang",
-        |   "foreignField": "lang", "as": "matches"}},
-        | {"$unwind": "$matches"},
-        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin,
-      name => {
-        require(name == "langsrc", s"unknown collection: $name")
-        (foreign, col("fmeta"))
-      })
-  }
-
-  /** The CORRELATED $lookup form under the gate ({let, pipeline} —
-    * Mongo's general lookup): the correlated `$expr` equality becomes
-    * the type-tagged equi-join key (hashable — a general correlated
-    * predicate would nested-loop), and the uncorrelated $match in the
-    * sub-pipeline pre-filters the foreign side before the join (it
-    * commutes — the oracle proves the factoring). */
-  def mqlLookupLet(s: SparkSession, dir: String): DataFrame = {
-    val local = t(s, dir, "documents")
-      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
-    val foreign = t(s, dir, "documents")
-      .filter(col("lang").isin("en", "fr", "de"))
-      .select(col("lang"), col("source")).distinct()
-      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
-    graft.filter.MqlPipeline.aggregate(
-      local, col("meta"),
-      """[
-        | {"$lookup": {"from": "langsrc",
-        |   "let": {"l": "$lang"},
-        |   "pipeline": [
-        |     {"$match": {"source": {"$gte": "src12"}}},
-        |     {"$match": {"$expr": {"$eq": ["$$l", "$lang"]}}}],
-        |   "as": "matches"}},
-        | {"$unwind": "$matches"},
-        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin,
-      name => {
-        require(name == "langsrc", s"unknown collection: $name")
-        (foreign, col("fmeta"))
-      })
-  }
-
-  /** Array expression operators under the gate ($size/$arrayElemAt over
-    * a variable-length metadata array): long docs carry a third tag, so
-    * the count and the negative-index (last-element) access genuinely
-    * vary per row; the oracle replays the synthesis as CASE logic. */
-  def mqlArrayExpr(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(
-          when(col("n_chars") > 500,
-            array(col("lang"), col("source"), lit("long")))
-            .otherwise(array(col("lang"), col("source"))).as("tags")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "ntags": {"$size": "$tags"},
-        |   "first": {"$arrayElemAt": ["$tags", 0]},
-        |   "last": {"$arrayElemAt": ["$tags", -1]}}},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "ntags": 1, "first": 1, "last": 1}}
-        |]""".stripMargin)
-
-  /** Array lambda battery under the gate: $map / $filter / $reduce
-    * (with `"$$var"` variables and nested composition) over a JSON
-    * numeric-array metadata field. Every lambda compiles to a Spark
-    * higher-order function (transform/filter/aggregate) — per-row
-    * codegen'd, zero shuffle; VARIANT elements cast to double at their
-    * use sites (MQL numeric bracketing). */
-  def mqlArrayLambda(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(array(
-          col("n_chars") % 7, col("n_chars") % 11,
-          col("n_chars") % 13, col("doc_id") % 5).as("vals")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "big": {"$size": {"$filter": {"input": "$vals", "as": "x",
-        |     "cond": {"$gte": ["$$x", 5]}}}},
-        |   "total": {"$toLong": {"$reduce": {"input": "$vals",
-        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}},
-        |   "scaled": {"$toLong": {"$reduce": {"input":
-        |     {"$map": {"input": "$vals", "as": "x",
-        |       "in": {"$multiply": ["$$x", 2]}}},
-        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}
-        | }},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "big": 1, "total": 1, "scaled": 1}}
-        |]""".stripMargin)
-
-  /** String operator battery under the gate: $split/$toUpper/$substrCP/
-    * $indexOfCP/$trim/$regexMatch/$replaceAll — over real columns AND
-    * the padded-string metadata view (the $trim input). All per-row
-    * codegen'd string expressions at scan speed. */
-  def mqlStringExpr(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(
-          concat(lit("  "), col("lang"), lit("  ")).as("padded")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "n_toks": {"$size": {"$split": ["$text", " "]}},
-        |   "up": {"$toUpper": "$lang"},
-        |   "pre": {"$substrCP": ["$source", 0, 3]},
-        |   "pos1": {"$indexOfCP": ["$source", "1"]},
-        |   "clean": {"$trim": {"input": "$padded"}},
-        |   "isnum": {"$toLong": {"$cond": [
-        |     {"$regexMatch": {"input": "$source", "regex": "^src[0-9]$"}},
-        |     1, 0]}},
-        |   "repl": {"$replaceAll": {"input": "$source",
-        |     "find": "src", "replacement": "S"}}
-        | }},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "n_toks": 1, "up": 1, "pre": 1,
-        |   "pos1": 1, "clean": 1, "isnum": 1, "repl": 1}}
-        |]""".stripMargin)
-
-  /** Array set-algebra + $let battery under the gate: $setUnion /
-    * $setIntersection / $setDifference (canonically sorted — Mongo
-    * sets are unordered, so a deterministic order is the only
-    * hashable contract), $sortArray / $indexOfArray, and $let-bound
-    * named subexpressions. Integral-valued results re-emitted as
-    * space-joined LONG strings (the encode_ids scalar-columns-only
-    * convention). */
-  def mqlArraySets(s: SparkSession, dir: String): DataFrame = {
-    val piped = graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(
-          array(col("n_chars") % 7, col("n_chars") % 11,
-            col("doc_id") % 5).as("vals1"),
-          array(col("n_chars") % 7, col("doc_id") % 3, lit(2L))
-            .as("vals2")))),
-      col("meta"),
-      """[
-        | {"$addFields": {
-        |   "u": {"$setUnion": ["$vals1", "$vals2"]},
-        |   "i": {"$setIntersection": ["$vals1", "$vals2"]},
-        |   "d": {"$setDifference": ["$vals1", "$vals2"]},
-        |   "rev": {"$sortArray": {"input": "$vals1", "sortBy": -1}},
-        |   "pos3": {"$indexOfArray": ["$vals1", 3]},
-        |   "score": {"$let": {
-        |     "vars": {"t": {"$reduce": {"input": "$vals1",
-        |       "initialValue": 0,
-        |       "in": {"$add": ["$$value", "$$this"]}}}},
-        |     "in": {"$toLong": {"$multiply": ["$$t", 10]}}}}}},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "u": 1, "i": 1, "d": 1,
-        |   "rev": 1, "pos3": 1, "score": 1}}
-        |]""".stripMargin)
-    // integral-valued double arrays → space-joined LONG strings (the
-    // encode_ids scalar-columns-only convention for the oracle compare)
-    def joined(c: String) = array_join(
-      transform(col(c), x => x.cast("long").cast("string")), " ").as(c)
-    piped.select(col("doc_id"), joined("u"), joined("i"), joined("d"),
-      joined("rev"), col("pos3"), col("score"))
-  }
-
-  /** $densify with a TIME UNIT under the gate (Mongo 5.1's calendar
-    * form): per-event-type day grids over the real timestamp column —
-    * grid arithmetic in exact epoch-µs (both engines), generated rows
-    * null-padded and flagged. The small user slice keeps the generated
-    * volume proportional to span/step, the operator's own contract. */
-  def mqlDensifyUnit(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).filter(col("user_id") < 3)
-      .select(col("event_type"), col("ts"), col("event_id"))
-      .withColumn("meta", to_json(struct(col("event_id"))))
-    graft.filter.MqlPipeline.aggregate(ev, col("meta"),
-      """[
-        | {"$densify": {"field": "ts",
-        |   "partitionByFields": ["event_type"],
-        |   "range": {"step": 1, "unit": "day",
-        |     "bounds": "partition"}}}
-        |]""".stripMargin)
-      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
-        when(col("event_id").isNull, 1L).otherwise(0L).as("generated"))
-      .orderBy("event_type", "tus", "generated")
-  }
-
-  /** $sample under the gate — the reproducible hash-rank form: the 50
-    * "random" documents are a deterministic function of the documents
-    * themselves, so the very sample membership sits under the oracle
-    * hash (rand() could never). */
-  def mqlSample(s: SparkSession, dir: String): DataFrame =
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .withColumn("meta", to_json(struct(col("doc_id")))),
-      col("meta"),
-      """[
-        | {"$sample": {"size": 50}},
-        | {"$sort": {"doc_id": 1}},
-        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}}
-        |]""".stripMargin)
-
-  /** Pipeline $out under the gate: Mongo's replace-the-collection
-    * terminal stage in its library-over-parquet form — the shaped
-    * pipeline result is materialized to the conf-rooted scratch
-    * collection and the census that follows reads ENTIRELY from the
-    * readback, so the $out sink and source both sit under the oracle
-    * hash. */
-  def mqlOut(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("graft.mql.out_dir",
-      graft.core.Scratch.dir("mqlout", dir))
-    graft.filter.MqlPipeline.aggregate(
-      t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang")))),
-      col("meta"),
-      """[
-        | {"$match": {"lang": {"$in": ["en", "fr"]}}},
-        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
-        | {"$out": "docs_enfr"},
-        | {"$group": {"_id": "$lang", "n": {"$sum": 1},
-        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}}}},
-        | {"$sort": {"_id": 1}}
-        |]""".stripMargin)
-  }
-
-  /** Pipeline $merge under the gate: a shaped update slice ($match +
-    * $addFields bump) merged into the base collection frame by doc_id
-    * (replace + insert through ONE full-outer join), then a census so
-    * the output stays compact. Mongo's pipeline-output upsert surface
-    * over the engine's Upsert machinery. */
-  def mqlMerge(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
-      .filter(col("doc_id") < 300)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    val src = t(s, dir, "documents")
-      .filter(col("doc_id") >= 200 && col("doc_id") < 400)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("meta", to_json(struct(col("doc_id"))))
-    graft.filter.MqlPipeline.aggregate(src, col("meta"),
-      """[
-        | {"$addFields": {"n_chars": {"$toLong":
-        |     {"$add": ["$n_chars", 1000]}}}},
-        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
-        | {"$merge": {"into": "base", "on": "doc_id",
-        |   "whenMatched": "replace", "whenNotMatched": "insert"}},
-        | {"$sort": {"doc_id": 1}}
-        |]""".stripMargin,
-      name => {
-        require(name == "base", s"unknown collection: $name")
-        (base, col("doc_id").cast("string"))
-      })
-  }
-
-  /** $regex with Mongo $options (inline (?i) flags) + $not composition,
-    * under the oracle gate — the flags travel inside the pattern so any
-    * regex engine (Java here, RE2 in the oracle) evaluates identically. */
-  def mqlDocsRegexCi(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(col("lang"), col("source"))))
-      .filter(MqlFilter.toColumn(
-        """{"source": {"$regex": "^SRC1$", "$options": "i"},
-          | "lang": {"$not": {"$regex": "^E", "$options": "i"}}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
-
-  /** The MQL ARRAY operator family ($all, $size, $elemMatch) plus $type
-    * under the oracle gate: metadata carries a real JSON array (the two
-    * tag strings), and the filter requires all of {the doc's lang}, a
-    * 2-element tag array, an element matching ^src, and n_chars typed as
-    * an integral number. */
-  def mqlDocsArray(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("meta", to_json(struct(
-        array(col("lang"), col("source")).as("tags"),
-        col("lang"), col("n_chars"))))
-      .filter(MqlFilter.toColumn(
-        """{"tags": {"$all": ["en"], "$size": 2,
-          |          "$elemMatch": {"$regex": "^src"}},
-          | "n_chars": {"$type": "long"}}""".stripMargin,
-        MqlFilter.JsonResolver(col("meta"))))
-      .select(col("doc_id"))
-      .orderBy("doc_id")
 
   /** AS-OF join — each event matched to the user's most recent order at
     * or before the event timestamp. Spark has no native as-of operator;
@@ -3054,73 +516,6 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** Order-independent TABLE FINGERPRINT — the cross-engine/migration
-    * equality check: per table, row count plus the SUM of per-row
-    * md5-derived 60-bit hashes over a canonical pipe-separated
-    * serialization (integers only — cents and epoch-µs, never raw
-    * doubles, whose string forms engines disagree on). Sum is
-    * reduction-order-free, so two stores hold the same rows iff
-    * (n, hash_sum) match regardless of partitioning, file order, or
-    * engine; hashes merge by addition, so per-shard fingerprints
-    * compose. */
-  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.md5Hash60
-    // per-row hashes reduce mod 2^40 and SUM in DECIMAL (a raw sum of
-    // 60-bit hashes overflows LONG at ~15k rows — and the two engines
-    // disagree on overflow: Spark wraps, DuckDB raises); the final
-    // fingerprint is the exact sum mod 2^61, emitted as LONG
-    def fp(name: String, df: DataFrame, ser: Column): DataFrame =
-      df.agg(count(lit(1)).as("n"),
-          pmod(
-            sum(pmod(md5Hash60(ser), lit(1L << 40))
-              .cast("decimal(38,0)")),
-            lit(1L << 61).cast("decimal(38,0)"))
-            .cast("long").as("hash_sum"))
-        .select(lit(name).as("table_name"), col("n"), col("hash_sum"))
-    val docs = fp("documents", t(s, dir, "documents"),
-      concat_ws("|", col("doc_id"), col("lang"), col("source"),
-        col("n_chars")))
-    val ords = fp("orders", t(s, dir, "orders"),
-      concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), cents(col("o_totalprice")),
-        unix_micros(col("o_orderdate").cast("timestamp"))))
-    docs.unionByName(ords).orderBy("table_name")
-  }
-
-  /** Column-pair correlation profile (the ANALYZE companion to
-    * [[profileTable]]): Pearson sufficient statistics between order
-    * value (whole dollars) and order date (epoch days), all EXACT LONG
-    * — sufficient stats merge by addition, the one-pass/incremental
-    * contract. The correlation itself is emitted at 6dp from the exact
-    * integers: every double op involved (long→double conversion,
-    * multiply, sqrt, divide) is IEEE correctly-rounded, so both
-    * engines produce the identical bits — no libm-divergence risk (the
-    * reason ln-based scores need the fixed-order device but sqrt does
-    * not). */
-  def profileCorr(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .select(round(col("o_totalprice")).cast("long").as("x"),
-        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
-          .as("y"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      .withColumn("corr_r6", {
-        // every factor converts to DOUBLE *before* multiplying — the
-        // BIGINT products (n·Sxx ≈ 6e19) would overflow 64-bit integer
-        // math in either engine; the double pipeline is c.r. IEEE at
-        // every step, identical bits both sides
-        val d = (c: Column) => c.cast("double")
-        round(
-          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-            sqrt((d(col("n")) * d(col("sxx")) -
-              d(col("sx")) * d(col("sx"))) *
-              (d(col("n")) * d(col("syy")) -
-                d(col("sy")) * d(col("sy")))), 6)
-      })
-
   /** FORWARD as-of join — each event matched to the user's NEXT order
     * at-or-after it (the "time to next conversion" direction; the
     * backward twin is [[asofJoin]]). Same union + running-merge device
@@ -3152,76 +547,7 @@ object Relational {
       .orderBy("event_id")
   }
 
-  private val sketchDistinctSql =
-    """WITH h AS (
-      |  SELECT DISTINCT event_type,
-      |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
-      |  FROM events),
-      |topk AS (
-      |  SELECT event_type, h, row_number() OVER (
-      |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
-      |agg AS (SELECT event_type, count(*) AS k_seen, max(h) AS kth
-      |  FROM topk WHERE rn <= 64 GROUP BY event_type)
-      |SELECT event_type,
-      |  CASE WHEN k_seen < 64 THEN k_seen
-      |    ELSE CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
-      |  END AS est_distinct
-      |FROM agg ORDER BY event_type""".stripMargin
-
   val oracle: Map[String, String] = Map(
-    "mql_densify_unit" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
-        |  FROM events WHERE user_id < 3),
-        |b AS (SELECT event_type, min(us) AS lo, max(us) AS hi
-        |  FROM e GROUP BY 1),
-        |g AS (SELECT event_type,
-        |    unnest(generate_series(lo, hi, 86400000000)) AS us FROM b),
-        |miss AS (SELECT g.event_type, g.us FROM g
-        |  WHERE NOT EXISTS (SELECT 1 FROM e
-        |    WHERE e.event_type = g.event_type AND e.us = g.us))
-        |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
-        |FROM e
-        |UNION ALL
-        |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
-        |ORDER BY event_type, tus, generated""".stripMargin,
-    // VERBATIM shared SQL — both engines parse the same recursive form
-    "sql_recursive_cte" -> recursiveCteSql,
-    "table_fingerprint" ->
-      """WITH d AS (SELECT count(*) AS n, CAST(
-        |    sum((('0x' || substr(md5(doc_id || '|' || lang || '|' ||
-        |      source || '|' || n_chars), 1, 15))::BIGINT
-        |      % 1099511627776)::HUGEINT)
-        |    % 2305843009213693952 AS BIGINT) AS hash_sum
-        |  FROM documents),
-        |o AS (SELECT count(*) AS n, CAST(
-        |    sum((('0x' || substr(md5(o_orderkey || '|' ||
-        |      o_custkey || '|' || o_orderstatus || '|' ||
-        |      CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
-        |      epoch_us(o_orderdate)), 1, 15))::BIGINT
-        |      % 1099511627776)::HUGEINT)
-        |    % 2305843009213693952 AS BIGINT) AS hash_sum
-        |  FROM orders)
-        |SELECT 'documents' AS table_name, n, hash_sum FROM d
-        |UNION ALL
-        |SELECT 'orders', n, hash_sum FROM o
-        |ORDER BY table_name""".stripMargin,
-    "profile_corr" ->
-      """WITH v AS (SELECT
-        |    CAST(round(o_totalprice) AS BIGINT) AS x,
-        |    epoch_us(o_orderdate) // 86400000000 AS y
-        |  FROM orders),
-        |st AS (SELECT count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
-        |  FROM v)
-        |SELECT n, sx, sy, sxy, sxx, syy,
-        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
-        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
-        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
-        |    6) AS corr_r6
-        |FROM st""".stripMargin,
     "asof_join_forward" ->
       """WITH ded AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -3239,65 +565,6 @@ object Relational {
         |FROM events e ASOF LEFT JOIN ded o
         |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
-    "sql_tpch_q5" -> q5Sql,
-    "sql_tpch_q7" -> q7Sql,
-    "sql_tpch_q4" -> q4Sql,
-    "sql_tpch_q12" -> q12Sql,
-    "sql_tpch_q14" -> q14Sql,
-    "sql_tpch_q19" -> q19Sql,
-    "sql_tpch_q9" -> q9Sql,
-    "sql_tpch_q22" -> q22Sql,
-    "sql_tpch_q2" -> q2Sql,
-    "sql_tpch_q21" -> q21Sql,
-    "sql_tpch_q17" -> q17Sql,
-    "bloom_join" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-        |    AS rev_cents
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-    "sql_ddl_catalog" ->
-      """SELECT o_orderstatus AS status,
-        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS INT)
-        |    AS batch,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS total_cents
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "mql_pipeline_topn" ->
-      // list(... ORDER BY) replicates the sorted-struct tie-break:
-      // a DESC sortBy reverses BOTH the key and the output value
-      """WITH d AS (SELECT lang, source, n_chars, doc_id
-        |  FROM documents),
-        |g AS (SELECT lang AS _id,
-        |    (list(doc_id ORDER BY n_chars DESC, doc_id DESC)) AS ord_d,
-        |    (list(source ORDER BY doc_id ASC)) AS ord_s
-        |  FROM d GROUP BY 1)
-        |SELECT _id,
-        |  array_to_string(ord_d[1:3], ',') AS big3,
-        |  array_to_string(
-        |    ord_d[greatest(len(ord_d) - 2, 1):len(ord_d)], ',')
-        |    AS small3,
-        |  array_to_string(ord_s[1:2], ',') AS first2,
-        |  array_to_string(
-        |    ord_s[greatest(len(ord_s) - 1, 1):len(ord_s)], ',')
-        |    AS last2
-        |FROM g ORDER BY _id""".stripMargin,
-    // the aggregate-expression form answers the SAME query — shared text
-    "kmv_agg_native" -> sketchDistinctSql,
-    "sketch_distinct" -> sketchDistinctSql,
-    "sql_tpch_q6" -> q6Sql,
-    "sql_tpch_q8" -> q8Sql,
-    "sql_tpch_q10" -> q10Sql,
-    "sql_tpch_q11" -> q11Sql,
-    "sql_tpch_q13" -> q13Sql,
-    "sql_tpch_q15" -> q15Sql,
-    "sql_tpch_q16" -> q16Sql,
-    "sql_tpch_q18" -> q18Sql,
-    "sql_tpch_q20" -> q20Sql,
-    "sql_subqueries" -> subqueriesSql,
     "full_outer_join" ->
       """SELECT COALESCE(c.nk, s.nk2) AS nationkey,
         |  COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
@@ -3312,47 +579,6 @@ object Relational {
         |INTERSECT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
-    "resample_fill" ->
-      """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
-        |    event_type FROM events),
-        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
-        |hours AS (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b),
-        |types AS (SELECT DISTINCT event_type FROM e),
-        |cnt AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2)
-        |SELECT hours.h, types.event_type, COALESCE(cnt.n, 0) AS n
-        |FROM hours CROSS JOIN types
-        |LEFT JOIN cnt ON cnt.h = hours.h AND cnt.event_type = types.event_type
-        |ORDER BY 1, 2""".stripMargin,
-    "resample_interp" ->
-      """WITH e AS (SELECT event_type,
-        |    (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS h,
-        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-        |obs AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS cents
-        |  FROM e GROUP BY 1, 2),
-        |grid AS (SELECT event_type,
-        |    unnest(generate_series(h0, h1, 3600)) AS h
-        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
-        |        FROM obs GROUP BY 1)),
-        |j AS (SELECT g.event_type, g.h, o.cents FROM grid g
-        |  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h),
-        |w AS (SELECT event_type, h, cents,
-        |    last_value(CASE WHEN cents IS NOT NULL
-        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
-        |      OVER (PARTITION BY event_type ORDER BY h
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS pv,
-        |    first_value(CASE WHEN cents IS NOT NULL
-        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
-        |      OVER (PARTITION BY event_type ORDER BY h
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        |      AS nv
-        |  FROM j)
-        |SELECT event_type, h,
-        |  CASE WHEN cents IS NOT NULL THEN cents
-        |       ELSE (pv.c * (nv.h - h) + nv.c * (h - pv.h))
-        |         // (nv.h - pv.h) END AS cents,
-        |  cents IS NULL AS interpolated
-        |FROM w ORDER BY event_type, h""".stripMargin,
     "cross_grid" ->
       """SELECT p.o_orderpriority, s.o_orderstatus, COALESCE(c.n, 0) AS n
         |FROM (SELECT DISTINCT o_orderpriority FROM orders) p
@@ -3369,64 +595,6 @@ object Relational {
         |SELECT doc_id, CAST(1 AS BIGINT), source
         |FROM documents WHERE doc_id < 50
         |ORDER BY doc_id, pos""".stripMargin,
-    "sql_window_battery" -> windowBatterySql,
-    "quantiles_orders" -> quantilesOracleSql,
-    "quantile_sketch" ->
-      """WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
-        |    // 1000000 AS bin FROM orders),
-        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM h),
-        |cm AS (SELECT bin, c,
-        |    CAST(sum(c) OVER (ORDER BY bin
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
-        |SELECT
-        |  min(CASE WHEN cum * 1000000 >= 500000 * N
-        |    THEN (bin + 1) * 1000000 END) AS p50_ub,
-        |  min(CASE WHEN cum * 1000000 >= 950000 * N
-        |    THEN (bin + 1) * 1000000 END) AS p95_ub,
-        |  max(N) AS n
-        |FROM cm, t""".stripMargin,
-    // identical answer contract: the dist variant is storage/execution
-    // strategy, not different math
-    "quantiles_orders_dist" -> quantilesOracleSql,
-    "quantiles_by_status" ->
-      """SELECT o_orderstatus,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
-        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90,
-        |  count(*) AS n
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-    // the oracle evaluates the per-element conjunction directly on the
-    // source columns the items array was synthesized from
-    "mql_elem_match" ->
-      """SELECT doc_id FROM documents
-        |WHERE (lang IN ('en','src2') AND n_chars % 10 >= 5)
-        |   OR (source IN ('en','src2') AND n_chars % 7 >= 5)
-        |ORDER BY doc_id""".stripMargin,
-    "mql_replace_root" ->
-      """SELECT CAST(doc_id AS BIGINT) AS did, lang,
-        |  CASE WHEN n_chars >= 800 THEN 'long' ELSE 'short' END
-        |    AS size_bucket,
-        |  'none' AS fallback
-        |FROM documents
-        |WHERE lang IN ('en', 'de')
-        |ORDER BY did""".stripMargin,
-    "mql_pipeline_compute" ->
-      """SELECT CAST(doc_id AS BIGINT) AS did,
-        |  upper(lang) || ':' || source AS label,
-        |  n_chars / 100.0 AS kc,
-        |  (n_chars / 100.0) * 2 - 1.5 AS score
-        |FROM documents
-        |WHERE n_chars / 100.0 > 9
-        |ORDER BY did""".stripMargin,
-    "events_sliding" ->
-      """SELECT win_start_s, event_type, count(*) AS n FROM (
-        |  SELECT event_type,
-        |    unnest([CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600,
-        |            CAST(epoch(date_trunc('hour', ts)) AS BIGINT)])
-        |      AS win_start_s
-        |  FROM events)
-        |GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     "rollup_sales" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
@@ -3470,576 +638,6 @@ object Relational {
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) WHERE rn <= 3
         |ORDER BY c_nationkey, rank""".stripMargin,
-    "mql_docs_array" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_contains([lang, source], 'en')
-        |  AND len([lang, source]) = 2
-        |  AND len(list_filter([lang, source],
-        |        t -> regexp_matches(t, '^src'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "mql_unwind" ->
-      """SELECT tag AS _id, count(*) AS n
-        |FROM (SELECT unnest([lang, source]) AS tag
-        |      FROM documents WHERE n_chars >= 120)
-        |GROUP BY 1 ORDER BY _id""".stripMargin,
-    "mql_project_exclude" ->
-      """SELECT doc_id AS did,
-        |  '{"lang":"' || lang || '","info":{"n_chars":' || n_chars || '}}'
-        |    AS doc,
-        |  'gone' AS src_after
-        |FROM documents WHERE lang IN ('en', 'de')
-        |ORDER BY did""".stripMargin,
-    "mql_replace_root_doc" ->
-      """SELECT doc_id, upper(lang) || '/' || source AS label,
-        |  n_chars / 1000.0 AS kchars
-        |FROM documents WHERE n_chars / 1000.0 >= 0.5
-        |ORDER BY doc_id""".stripMargin,
-    "mql_pipeline_accum" ->
-      """SELECT lang AS _id,
-        |  count(*) AS n,
-        |  arg_min(source, doc_id) AS first_src,
-        |  arg_max(source, doc_id) AS last_src,
-        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs,
-        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
-        |FROM documents WHERE n_chars >= 120
-        |GROUP BY lang ORDER BY _id""".stripMargin,
-    "mql_union_with" ->
-      """WITH u AS (
-        |  SELECT lang FROM documents WHERE lang = 'en'
-        |  UNION ALL
-        |  SELECT lang FROM documents WHERE n_chars >= 300)
-        |SELECT lang AS _id, count(*) AS n
-        |FROM u GROUP BY 1 ORDER BY _id""".stripMargin,
-    "mql_sort_by_count" ->
-      """SELECT lang AS _id, count(*) AS count
-        |FROM documents WHERE n_chars >= 100
-        |GROUP BY lang ORDER BY count DESC, _id""".stripMargin,
-    "mql_bucket" ->
-      """SELECT CAST(CASE
-        |    WHEN n_chars >= 100 AND n_chars < 200 THEN 100
-        |    WHEN n_chars >= 200 AND n_chars < 300 THEN 200
-        |    WHEN n_chars >= 300 AND n_chars < 400 THEN 300
-        |    WHEN n_chars >= 400 AND n_chars < 500 THEN 400
-        |    ELSE -1 END AS BIGINT) AS _id,
-        |  count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  max(n_chars) AS max_chars
-        |FROM documents
-        |GROUP BY 1 ORDER BY _id""".stripMargin,
-    "mql_array_sets" ->
-      """WITH v AS (SELECT doc_id,
-        |    [CAST(n_chars % 7 AS DOUBLE), CAST(n_chars % 11 AS DOUBLE),
-        |     CAST(doc_id % 5 AS DOUBLE)] AS v1,
-        |    [CAST(n_chars % 7 AS DOUBLE), CAST(doc_id % 3 AS DOUBLE),
-        |     CAST(2 AS DOUBLE)] AS v2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
-        |    for x in list_sort(list_distinct(list_concat(v1, v2)))], ' '),
-        |    '') AS u,
-        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
-        |    for x in list_sort(list_distinct(
-        |      list_filter(v1, x -> list_contains(v2, x))))], ' '), '')
-        |    AS i,
-        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
-        |    for x in list_sort(list_distinct(
-        |      list_filter(v1, x -> NOT list_contains(v2, x))))], ' '),
-        |    '') AS d,
-        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
-        |    for x in list_reverse_sort(v1)], ' '), '') AS rev,
-        |  CAST(COALESCE(list_position(v1, 3.0) - 1, -1) AS BIGINT)
-        |    AS pos3,
-        |  CAST((v1[1] + v1[2] + v1[3]) * 10 AS BIGINT) AS score
-        |FROM v ORDER BY doc_id""".stripMargin,
-    "mql_sample" ->
-      """WITH h AS (SELECT doc_id, lang, n_chars,
-        |    ('0x' || substr(md5(doc_id || '|' || lang || '|' ||
-        |      n_chars || '|' || '{"doc_id":' || doc_id || '}'),
-        |      1, 15))::BIGINT AS sh
-        |  FROM documents),
-        |sm AS (SELECT doc_id, lang, n_chars FROM h
-        |  ORDER BY sh LIMIT 50)
-        |SELECT doc_id, lang, n_chars FROM sm
-        |ORDER BY doc_id""".stripMargin,
-    "mql_out" ->
-      """SELECT lang AS _id, count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents WHERE lang IN ('en', 'fr')
-        |GROUP BY 1 ORDER BY _id""".stripMargin,
-    "mql_pipeline" ->
-      """SELECT lang AS _id, count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  max(n_chars) AS max_chars
-        |FROM documents WHERE n_chars >= 120
-        |GROUP BY lang HAVING count(*) >= 5
-        |ORDER BY _id""".stripMargin,
-    "mql_bucket_auto" ->
-      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v, n_chars
-        |           FROM documents),
-        |n AS (SELECT count(*) AS c FROM v),
-        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk
-        |           FROM v),
-        |bounds AS (
-        |  SELECT v AS bv FROM ranked, n
-        |  WHERE rk IN (1*c//4, 2*c//4, 3*c//4) AND rk > 0),
-        |assigned AS (
-        |  SELECT v.v, v.n_chars,
-        |    (SELECT count(*) FROM bounds WHERE bv <= v.v) AS bucket
-        |  FROM v)
-        |SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM assigned GROUP BY bucket
-        |ORDER BY lo""".stripMargin,
-    "mql_facet" ->
-      """WITH f AS (SELECT lang, n_chars FROM documents
-        |           WHERE n_chars >= 100),
-        |by_lang AS (SELECT lang, count(*) AS n FROM f GROUP BY lang),
-        |big AS (SELECT count(*) AS n FROM f WHERE n_chars >= 400)
-        |SELECT b.lang, b.n, big.n AS big_n FROM by_lang b, big
-        |ORDER BY lang""".stripMargin,
-    "mql_graph_lookup" ->
-      """WITH RECURSIVE t0 AS (
-        |  SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS parent_id
-        |  FROM documents),
-        |anc AS (
-        |  SELECT c.doc_id AS src, p.doc_id AS anc_id,
-        |    p.parent_id AS anc_parent, 0 AS depth
-        |  FROM t0 c JOIN t0 p ON p.doc_id = c.parent_id
-        |  UNION
-        |  SELECT a.src, p2.doc_id, p2.parent_id, a.depth + 1
-        |  FROM anc a JOIN t0 p2 ON p2.doc_id = a.anc_parent
-        |  WHERE a.depth < 2)
-        |SELECT src AS doc_id, anc_id,
-        |  CAST(min(depth) AS BIGINT) AS depth
-        |FROM anc GROUP BY src, anc_id
-        |ORDER BY doc_id, depth, anc_id""".stripMargin,
-    "mql_densify" ->
-      """WITH t0 AS (SELECT doc_id, lang,
-        |  CAST(floor(n_chars / 10) * 10 AS BIGINT) AS bucket
-        |  FROM documents),
-        |b AS (SELECT lang, min(bucket) AS lo, max(bucket) AS hi
-        |      FROM t0 GROUP BY lang),
-        |g AS (SELECT lang,
-        |        unnest(generate_series(lo, hi, 10)) AS bucket FROM b),
-        |miss AS (SELECT g.lang, g.bucket FROM g
-        |  WHERE NOT EXISTS (SELECT 1 FROM t0
-        |    WHERE t0.lang = g.lang AND t0.bucket = g.bucket))
-        |SELECT doc_id, lang, bucket FROM t0
-        |UNION ALL
-        |SELECT NULL AS doc_id, lang, bucket FROM miss
-        |ORDER BY lang, bucket, doc_id""".stripMargin,
-    "mql_fill" ->
-      """WITH f AS (SELECT doc_id, lang,
-        |  CAST(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END
-        |    AS DOUBLE) AS chars,
-        |  CASE WHEN source = 'src1' THEN NULL ELSE source END AS src
-        |FROM documents)
-        |SELECT doc_id, lang,
-        |  last_value(chars IGNORE NULLS) OVER (PARTITION BY lang
-        |    ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
-        |  coalesce(src, 'unknown') AS src
-        |FROM f ORDER BY lang, doc_id""".stripMargin,
-    "mql_window_pct" ->
-      """SELECT lang,
-        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
-        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
-        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "mql_window_calculus" ->
-      """WITH ev AS (SELECT user_id, event_id,
-        |  CAST(floor(value) AS DOUBLE) AS yv,
-        |  epoch_ns(ts) // 1000 // 1000000 AS sec FROM events),
-        |w AS (SELECT user_id, event_id, sec, yv,
-        |  first_value(yv) OVER fr AS fv,
-        |  last_value(yv) OVER fr AS lv,
-        |  first_value(sec) OVER fr AS fs,
-        |  last_value(sec) OVER fr AS ls,
-        |  lag(yv) OVER wo AS pv,
-        |  lag(sec) OVER wo AS ps
-        |  FROM ev
-        |  WINDOW fr AS (PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
-        |  wo AS (PARTITION BY user_id ORDER BY sec, event_id)),
-        |t AS (SELECT user_id, event_id, sec,
-        |  CASE WHEN ls - fs <> 0 THEN (lv - fv) / (ls - fs) END AS vel,
-        |  CASE WHEN ps IS NULL THEN 0.0
-        |       ELSE (yv + pv) / 2 * (sec - ps) END AS trap
-        |  FROM w)
-        |SELECT user_id, event_id, vel,
-        |  sum(trap) OVER (PARTITION BY user_id ORDER BY sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
-        |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
-    "sql_lateral" -> lateralSql,
-    "mql_window_unit" ->
-      """SELECT event_id, count(*) OVER (PARTITION BY user_id
-        |  ORDER BY epoch_ns(ts) // 1000
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |  AS recent_n
-        |FROM events ORDER BY event_id""".stripMargin,
-    "mql_window_range" ->
-      """SELECT doc_id, lang,
-        |  count(*) OVER w AS near_n,
-        |  CAST(sum(n_chars) OVER w AS BIGINT) AS near_chars
-        |FROM documents
-        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
-        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
-        |ORDER BY doc_id""".stripMargin,
-    "mql_window_fields" ->
-"""SELECT doc_id, lang,
-        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
-        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) AS running_chars,
-        |  lag(doc_id, 1, -1) OVER (PARTITION BY lang ORDER BY doc_id)
-        |    AS prev_id,
-        |  CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT)
-        |    AS lang_chars,
-        |  rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk,
-        |  dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
-        |    AS drnk
-        |FROM documents WHERE n_chars >= 120
-        |ORDER BY lang, doc_id""".stripMargin,
-    "mql_docs_regex_ci" ->
-      """SELECT doc_id FROM documents
-        |WHERE regexp_matches(source, '(?i)^SRC1$')
-        |  AND NOT regexp_matches(lang, '(?i)^E')
-        |ORDER BY doc_id""".stripMargin,
-    "mql_lookup_let" ->
-      """WITH f AS (SELECT DISTINCT lang, source FROM documents
-        |  WHERE lang IN ('en', 'fr', 'de')),
-        |f2 AS (SELECT * FROM f WHERE source >= 'src12')
-        |SELECT d.lang AS _id, CAST(count(*) AS BIGINT) AS n
-        |FROM documents d JOIN f2 ON f2.lang = d.lang
-        |GROUP BY 1 ORDER BY _id""".stripMargin,
-    "mql_lookup" ->
-      """SELECT d.lang AS _id, count(*) AS n
-        |FROM documents d
-        |JOIN (SELECT DISTINCT lang, source FROM documents
-        |      WHERE lang IN ('en', 'fr', 'de')) f
-        |  ON d.lang = f.lang
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "mql_stddev" ->
-      """SELECT lang AS _id, round(stddev_pop(n_chars), 6) AS sd_pop,
-        |  round(stddev_samp(n_chars), 6) AS sd_samp, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "mql_array_expr" ->
-      """SELECT doc_id,
-        |  CASE WHEN n_chars > 500 THEN 3 ELSE 2 END::BIGINT AS ntags,
-        |  lang AS first,
-        |  CASE WHEN n_chars > 500 THEN 'long' ELSE source END AS last
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "mql_array_lambda" ->
-      """WITH v AS (SELECT doc_id,
-        |  n_chars % 7 AS v1, n_chars % 11 AS v2,
-        |  n_chars % 13 AS v3, doc_id % 5 AS v4
-        |FROM documents)
-        |SELECT doc_id,
-        |  CAST((CASE WHEN v1 >= 5 THEN 1 ELSE 0 END) +
-        |       (CASE WHEN v2 >= 5 THEN 1 ELSE 0 END) +
-        |       (CASE WHEN v3 >= 5 THEN 1 ELSE 0 END) +
-        |       (CASE WHEN v4 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS big,
-        |  CAST(v1 + v2 + v3 + v4 AS BIGINT) AS total,
-        |  CAST(2 * (v1 + v2 + v3 + v4) AS BIGINT) AS scaled
-        |FROM v ORDER BY doc_id""".stripMargin,
-    "mql_string_expr" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |  upper(lang) AS up,
-        |  substring(source, 1, 3) AS pre,
-        |  CAST(strpos(source, '1') - 1 AS BIGINT) AS pos1,
-        |  lang AS clean,
-        |  CAST(CASE WHEN regexp_matches(source, '^src[0-9]$')
-        |    THEN 1 ELSE 0 END AS BIGINT) AS isnum,
-        |  replace(source, 'src', 'S') AS repl
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "mql_merge" ->
-      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
-        |           WHERE doc_id < 300),
-        |s AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
-        |      FROM documents WHERE doc_id >= 200 AND doc_id < 400)
-        |SELECT doc_id, lang, n_chars FROM s
-        |UNION ALL
-        |SELECT doc_id, lang, n_chars FROM t
-        |WHERE doc_id NOT IN (SELECT doc_id FROM s)
-        |ORDER BY doc_id""".stripMargin,
-    "mql_docs_bits" ->
-      """SELECT doc_id FROM documents
-        |WHERE (n_chars & 5) = 5
-        |  AND (n_chars & 48) <> 0
-        |  AND (n_chars & 48) <> 48
-        |ORDER BY doc_id""".stripMargin,
-    "mql_docs_mixed" ->
-      """SELECT doc_id FROM documents
-        |WHERE lang IN ('en', 'fr')
-        |  AND regexp_matches(source, '^src1')
-        |  AND n_chars >= 500
-        |ORDER BY doc_id""".stripMargin,
-    "mql_text_filter" ->
-      """SELECT doc_id FROM documents
-        |WHERE lang IN ('en', 'fr')
-        |  AND len(list_filter(
-        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |    t -> t IN ('vector', 'hash'))) > 0
-        |ORDER BY doc_id""".stripMargin,
-    "mql_expr_filter" ->
-      """SELECT doc_id FROM documents
-        |WHERE CAST(n_chars AS DOUBLE) >
-        |    CAST(doc_id % 7 AS DOUBLE) * 100 + 300
-        |  AND lang = 'en'
-        |ORDER BY doc_id""".stripMargin,
-    "profile_table" -> Seq("o_custkey", "o_orderkey", "o_orderpriority",
-        "o_orderstatus").map(c =>
-        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-           |  count(*) - count($c) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_value,
-           |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
-    "graph_pagerank" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
-        |  epoch_ns(ts) // 1000 AS us FROM events),
-        |nx AS (SELECT event_type AS from_type,
-        |  lead(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY us, event_id) AS to_type
-        |  FROM ev),
-        |edges AS (SELECT from_type, to_type, count(*) AS n FROM nx
-        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |outw AS (SELECT from_type, sum(n) AS w_out FROM edges
-        |  GROUP BY 1),
-        |we AS (SELECT e.from_type, e.to_type, e.n, o.w_out
-        |  FROM edges e JOIN outw o USING (from_type)),
-        |nodes AS (SELECT DISTINCT event_type AS node FROM ev),
-        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
-        |    AS s FROM we JOIN r0 r ON we.from_type = r.node GROUP BY 1),
-        |r1 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
-        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c1 c USING (node)),
-        |c2 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
-        |    AS s FROM we JOIN r1 r ON we.from_type = r.node GROUP BY 1),
-        |r2 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
-        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c2 c USING (node)),
-        |c3 AS (SELECT we.to_type AS node, sum(r.r * we.n // we.w_out)
-        |    AS s FROM we JOIN r2 r ON we.from_type = r.node GROUP BY 1),
-        |r3 AS (SELECT n.node, CAST(150000 + 85 * COALESCE(c.s, 0) // 100
-        |    AS BIGINT) AS r FROM nodes n LEFT JOIN c3 c USING (node))
-        |SELECT node, r AS rank_micros FROM r3
-        |ORDER BY rank_micros DESC, node""".stripMargin,
-    "dq_checks" ->
-      """SELECT 'fk_orphan_orders' AS rule, count(*) AS n_violations
-        |FROM orders o WHERE NOT EXISTS (
-        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        |UNION ALL
-        |SELECT 'null_orderkey', count(*) FROM lineitem
-        |WHERE l_orderkey IS NULL
-        |UNION ALL
-        |SELECT 'pk_duplicate_lineitem', count(*) FROM (
-        |  SELECT l_orderkey, l_linenumber FROM lineitem
-        |  GROUP BY 1, 2 HAVING count(*) > 1)
-        |UNION ALL
-        |SELECT 'price_not_positive', count(*) FROM lineitem
-        |WHERE l_extendedprice <= 0
-        |UNION ALL
-        |SELECT 'range_discount', count(*) FROM lineitem
-        |WHERE NOT (l_discount BETWEEN 0 AND 0.1)
-        |UNION ALL
-        |SELECT 'range_quantity', count(*) FROM lineitem
-        |WHERE l_quantity < 1 OR l_quantity > 50
-        |UNION ALL
-        |SELECT 'ship_before_order', count(*) FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE l.l_shipdate < o.o_orderdate
-        |ORDER BY rule""".stripMargin,
-    "graph_kcore" -> {
-      def round(i: Int): String = {
-        val prev = s"e${i - 1}"
-        s"""d$i AS (SELECT n, count(*) AS d FROM (
-           |  SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
-           |  GROUP BY 1),
-           |k$i AS (SELECT n FROM d$i WHERE d >= 3),
-           |e$i AS (SELECT u, v FROM $prev
-           |  WHERE u IN (SELECT n FROM k$i)
-           |    AND v IN (SELECT n FROM k$i))""".stripMargin
-      }
-      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem),
-         |e0 AS (SELECT a.pk AS u, b.pk AS v FROM op a JOIN op b
-         |  ON a.ok = b.ok AND a.pk < b.pk
-         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-         |${(1 to 3).map(round).mkString(",\n")}
-         |SELECT n AS node, count(*) AS deg FROM (
-         |  SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3)
-         |GROUP BY 1 ORDER BY node""".stripMargin
-    },
-    "graph_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
-        |e AS (SELECT a.pk AS u, b.pk AS v FROM op a
-        |  JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        |FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-        |ORDER BY a, b, c""".stripMargin,
-    "rfm_segments" ->
-      """WITH per AS (SELECT o_custkey,
-        |    max(epoch_us(o_orderdate)) AS last_us,
-        |    count(*) AS f,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |      AS BIGINT) AS m
-        |  FROM orders GROUP BY 1),
-        |a AS (SELECT max(epoch_us(o_orderdate)) AS anchor_us
-        |  FROM orders),
-        |rfm AS (SELECT o_custkey, f, m,
-        |    (anchor_us - last_us) // 86400000000 AS r FROM per, a),
-        |th AS (SELECT
-        |    quantile_cont(r, 0.25) AS r25, quantile_cont(r, 0.5) AS r50,
-        |    quantile_cont(r, 0.75) AS r75,
-        |    quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
-        |    quantile_cont(f, 0.75) AS f75,
-        |    quantile_cont(m, 0.25) AS m25, quantile_cont(m, 0.5) AS m50,
-        |    quantile_cont(m, 0.75) AS m75
-        |  FROM rfm),
-        |seg AS (SELECT m,
-        |    (1 + CASE WHEN r > r25 THEN 1 ELSE 0 END
-        |       + CASE WHEN r > r50 THEN 1 ELSE 0 END
-        |       + CASE WHEN r > r75 THEN 1 ELSE 0 END) * 100
-        |  + (1 + CASE WHEN f > f25 THEN 1 ELSE 0 END
-        |       + CASE WHEN f > f50 THEN 1 ELSE 0 END
-        |       + CASE WHEN f > f75 THEN 1 ELSE 0 END) * 10
-        |  + (1 + CASE WHEN m > m25 THEN 1 ELSE 0 END
-        |       + CASE WHEN m > m50 THEN 1 ELSE 0 END
-        |       + CASE WHEN m > m75 THEN 1 ELSE 0 END) AS segment
-        |  FROM rfm, th)
-        |SELECT CAST(segment AS BIGINT) AS segment,
-        |  count(*) AS n_customers,
-        |  CAST(sum(m) AS BIGINT) AS m_cents
-        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
-    "skew_report" ->
-      """WITH c AS (SELECT l_orderkey AS k, count(*) AS c
-        |  FROM lineitem GROUP BY 1),
-        |m AS (SELECT max(c) AS mx FROM c)
-        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        |  CAST(sum(c) AS BIGINT) AS n_rows,
-        |  max(c) AS max_freq,
-        |  quantile_cont(c, 0.99) AS p99_freq,
-        |  min(CASE WHEN c = mx THEN k END) AS hottest_key,
-        |  CAST(sum(c) * 1000000 // count(*) AS BIGINT)
-        |    AS mean_freq_ppm
-        |FROM c, m""".stripMargin,
-    "winsorize_values" ->
-      """WITH c AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
-        |b AS (SELECT CAST(ceil(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
-        |    CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS hi FROM c)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(greatest(least(c, hi), lo)) AS BIGINT)
-        |    AS clipped_cents,
-        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_lo,
-        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hi
-        |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "events_debounce" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
-        |    event_id FROM events),
-        |l AS (SELECT user_id, event_type,
-        |    CASE WHEN lag(us) OVER w IS NULL
-        |         OR us - lag(us) OVER w > 300000000 THEN 1 ELSE 0 END
-        |      AS head
-        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
-        |    ORDER BY us, event_id))
-        |SELECT user_id, event_type,
-        |  CAST(sum(head) AS BIGINT) AS kept,
-        |  CAST(count(*) - sum(head) AS BIGINT) AS dropped
-        |FROM l GROUP BY 1, 2 HAVING count(*) - sum(head) > 0
-        |ORDER BY user_id, event_type""".stripMargin,
-    "null_semantics" ->
-      """WITH base AS (SELECT o_custkey % 7 AS key,
-        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
-        |         ELSE o_orderpriority END AS v
-        |  FROM orders),
-        |agg AS (SELECT key, count(*) AS n_rows, count(v) AS n_v,
-        |    CAST(count(DISTINCT v) AS BIGINT) AS n_dv
-        |  FROM base GROUP BY 1),
-        |dv AS (SELECT DISTINCT key, v FROM base),
-        |ns AS (SELECT a.key, count(*) AS n_nullsafe
-        |  FROM dv a JOIN dv b
-        |    ON a.key = b.key AND a.v IS NOT DISTINCT FROM b.v
-        |  GROUP BY 1)
-        |SELECT key, n_rows, n_v, n_dv, n_nullsafe
-        |FROM agg JOIN ns USING (key) ORDER BY key""".stripMargin,
-    "event_pmi" ->
-      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
-        |n AS (SELECT event_type, count(*) AS ns FROM ue GROUP BY 1),
-        |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
-        |  FROM ue),
-        |p AS (SELECT x.event_type AS a, y.event_type AS b,
-        |    count(*) AS n_ab
-        |  FROM ue x JOIN ue y ON x.user_id = y.user_id
-        |    AND x.event_type < y.event_type
-        |  GROUP BY 1, 2)
-        |SELECT a, b, n_ab,
-        |  round(ln((n_ab * nu)::DOUBLE / (na.ns * nb.ns)::DOUBLE), 6)
-        |    AS pmi
-        |FROM p JOIN n na ON na.event_type = p.a
-        |  JOIN n nb ON nb.event_type = p.b, t
-        |ORDER BY a, b""".stripMargin,
-    "event_transitions" ->
-"""WITH ev AS (SELECT user_id, event_id, event_type,
-        |  epoch_ns(ts) // 1000 AS us FROM events),
-        |nx AS (SELECT event_type AS from_type,
-        |  lead(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY us, event_id) AS to_type
-        |  FROM ev)
-        |SELECT from_type, to_type, count(*) AS n FROM nx
-        |WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "retention_cohorts" ->
-      """WITH weeks AS (
-        |  SELECT DISTINCT user_id,
-        |    epoch_ns(ts) // 1000 // 604800000000 AS wk FROM events),
-        |cohort AS (SELECT user_id, min(wk) AS wk0 FROM weeks
-        |           GROUP BY user_id)
-        |SELECT c.wk0, w.wk - c.wk0 AS wk_off, count(*) AS users
-        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "funnel_windowed" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |  epoch_us(ts) AS us FROM events),
-        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
-        |       JOIN t1 ON e.user_id = t1.user_id
-        |       WHERE e.event_type = 'click' AND e.us > t1.t1
-        |         AND e.us <= t1.t1 + 86400000000
-        |       GROUP BY e.user_id),
-        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
-        |       JOIN t2 ON e.user_id = t2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
-        |         AND e.us <= t2.t2 + 86400000000
-        |       GROUP BY e.user_id)
-        |SELECT 1 AS step, count(*) AS users FROM t1
-        |UNION ALL SELECT 2, count(*) FROM t2
-        |UNION ALL SELECT 3, count(*) FROM t3
-        |ORDER BY step""".stripMargin,
-    "funnel_steps" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |  epoch_ns(ts) // 1000 AS us FROM events),
-        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
-        |       WHERE event_type = 'view' GROUP BY user_id),
-        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
-        |       JOIN t1 ON e.user_id = t1.user_id
-        |       WHERE e.event_type = 'click' AND e.us > t1.t1
-        |       GROUP BY e.user_id),
-        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
-        |       JOIN t2 ON e.user_id = t2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
-        |       GROUP BY e.user_id)
-        |SELECT 1 AS step, count(*) AS users FROM t1
-        |UNION ALL SELECT 2, count(*) FROM t2
-        |UNION ALL SELECT 3, count(*) FROM t3
-        |ORDER BY step""".stripMargin,
     "asof_join" ->
       """WITH ded AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -4057,38 +655,6 @@ object Relational {
         |FROM events e ASOF LEFT JOIN ded o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
-    "mql_events_range" ->
-      """SELECT event_id FROM events
-        |WHERE (props->>'k')::DOUBLE >= 20.0 AND (props->>'k')::DOUBLE < 60.0
-        |  AND json_extract(props, '$.missing') IS NULL
-        |ORDER BY event_id""".stripMargin,
-    "mql_events_nor" ->
-      """SELECT event_id FROM events
-        |WHERE NOT ((props->>'k')::DOUBLE < 30.0 OR (props->>'k')::DOUBLE >= 70.0)
-        |  AND NOT ((props->>'k')::DOUBLE = 42.0)
-        |ORDER BY event_id""".stripMargin,
-    "mql_events_mod" ->
-      """SELECT event_id FROM events
-        |WHERE (props->>'k')::DOUBLE % 7 = 3
-        |ORDER BY event_id""".stripMargin,
-    "mql_events_date" ->
-      """SELECT event_id FROM events
-        |WHERE date_trunc('second', ts) >= TIMESTAMP '2024-01-10 00:00:00'
-        |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 12:00:00'
-        |  AND event_type IN ('click', 'view')
-        |ORDER BY event_id""".stripMargin,
-    "mql_switch_trunc" ->
-      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') || '/' ||
-        |  CASE WHEN value >= 300 THEN 'high'
-        |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS _id,
-        |  count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "mql_dates_pipeline" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
-        |  max(date_diff('day', DATE '2024-01-01', ts::DATE)) AS idx
-        |FROM events
-        |WHERE day(ts) >= 10 AND day(ts) < 20
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "range_join_bucketed" ->
       """SELECT e.event_id, count(o.ts) AS n_prev_1h
         |FROM events e LEFT JOIN events o
@@ -4143,16 +709,6 @@ object Relational {
         |    row_number() OVER (PARTITION BY c_nationkey
         |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
         |  FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
-    "sql_keyset_page" ->
-      """WITH o AS (SELECT o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        |  FROM orders),
-        |p12 AS (SELECT -c AS a, o_orderkey AS b FROM o
-        |  ORDER BY 1, 2 LIMIT 40),
-        |cur AS (SELECT a, b FROM p12 ORDER BY a DESC, b DESC LIMIT 1)
-        |SELECT o_orderkey, c AS total_cents FROM o, cur
-        |WHERE (-o.c, o.o_orderkey) > (cur.a, cur.b)
-        |ORDER BY -c, o_orderkey LIMIT 20""".stripMargin,
     "except_all" ->
       """WITH a AS (SELECT o_custkey FROM orders),
         |b AS (SELECT o_custkey FROM orders
@@ -4196,16 +752,11 @@ object Relational {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 HAVING count(*) >= 8 ORDER BY o_custkey""".stripMargin,
-    "events_hourly" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "semi_join" ->
       """SELECT s_suppkey, s_nationkey FROM supplier
         |WHERE s_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
         |ORDER BY s_suppkey""".stripMargin
-  )
+  ) ++ tpchOracle ++ mqlOracle ++ graphOracle ++ analyticsOracle
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4216,18 +767,10 @@ object Relational {
     "window_top_customers" -> (windowTopCustomers _),
     "set_ops" -> (setOps _),
     "except_all" -> (exceptAll _),
-    "sql_keyset_page" -> (keysetPage _),
     "intersect_all" -> (intersectAll _),
     "weighted_median" -> (weightedMedian _),
     "agg_having" -> (aggHaving _),
-    "events_hourly" -> (eventsHourly _),
     "semi_join" -> (semiJoin _),
-    "mql_events_range" -> (mqlEventsRange _),
-    "mql_events_nor" -> (mqlEventsNor _),
-    "mql_events_mod" -> (mqlEventsMod _),
-    "mql_events_date" -> (mqlEventsDate _),
-    "mql_dates_pipeline" -> (mqlDatesPipeline _),
-    "mql_switch_trunc" -> (mqlSwitchTrunc _),
     "range_join_bucketed" -> (rangeJoinBucketed _),
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
@@ -4235,106 +778,15 @@ object Relational {
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_forward_native" -> (asofJoinForwardNative _),
     "asof_join_forward" -> (asofJoinForward _),
-    "profile_corr" -> (profileCorr _),
-    "mql_densify_unit" -> (mqlDensifyUnit _),
-    "table_fingerprint" -> (tableFingerprint _),
-    "sql_recursive_cte" -> (sqlRecursiveCte _),
-    "mql_docs_mixed" -> (mqlDocsMixed _),
-    "mql_docs_bits" -> (mqlDocsBits _),
-    "mql_expr_filter" -> (mqlExprFilter _),
-    "mql_text_filter" -> (mqlTextFilter _),
-    "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
-    "mql_lookup" -> (mqlLookup _),
-    "mql_lookup_let" -> (mqlLookupLet _),
-    "mql_stddev" -> (mqlStddev _),
-    "mql_merge" -> (mqlMerge _),
-    "mql_array_expr" -> (mqlArrayExpr _),
-    "mql_array_lambda" -> (mqlArrayLambda _),
-    "mql_string_expr" -> (mqlStringExpr _),
-    "mql_pipeline" -> (mqlPipeline _),
-    "mql_out" -> (mqlOut _),
-    "mql_sample" -> (mqlSample _),
-    "mql_array_sets" -> (mqlArraySets _),
-    "mql_window_fields" -> (mqlWindowFields _),
-    "mql_window_range" -> (mqlWindowRange _),
-    "mql_window_unit" -> (mqlWindowUnit _),
-    "sql_lateral" -> (sqlLateral _),
-    "mql_window_calculus" -> (mqlWindowCalculus _),
-    "mql_window_pct" -> (mqlWindowPercentile _),
-    "mql_fill" -> (mqlFill _),
-    "mql_densify" -> (mqlDensify _),
-    "mql_graph_lookup" -> (mqlGraphLookup _),
-    "mql_facet" -> (mqlFacet _),
-    "mql_bucket_auto" -> (mqlBucketAuto _),
-    "mql_pipeline_accum" -> (mqlPipelineAccum _),
-    "mql_project_exclude" -> (mqlProjectExclude _),
-    "mql_replace_root_doc" -> (mqlReplaceRootDoc _),
-    "mql_unwind" -> (mqlUnwind _),
-    "mql_sort_by_count" -> (mqlSortByCount _),
-    "mql_bucket" -> (mqlBucket _),
-    "mql_union_with" -> (mqlUnionWith _),
-    "mql_docs_array" -> (mqlDocsArray _),
     "topk_per_nation_agg" -> (topkPerNationAgg _),
     "rollup_sales" -> (rollupSales _),
     "cube_sales" -> (cubeSales _),
     "pivot_orders" -> (pivotOrders _),
-    "sql_tpch_q5" -> (sqlTpchQ5 _),
-    "sql_tpch_q7" -> (sqlTpchQ7 _),
-    "sql_tpch_q4" -> (sqlTpchQ4 _),
-    "sql_tpch_q12" -> (sqlTpchQ12 _),
-    "sql_tpch_q14" -> (sqlTpchQ14 _),
-    "sql_tpch_q19" -> (sqlTpchQ19 _),
-    "sql_tpch_q9" -> (sqlTpchQ9 _),
-    "sql_tpch_q22" -> (sqlTpchQ22 _),
-    "sql_tpch_q2" -> (sqlTpchQ2 _),
-    "sql_tpch_q21" -> (sqlTpchQ21 _),
-    "sql_tpch_q17" -> (sqlTpchQ17 _),
-    "sketch_distinct" -> (sketchDistinct _),
-    "kmv_agg_native" -> (kmvAggNative _),
-    "mql_pipeline_topn" -> (mqlPipelineTopN _),
-    "sql_ddl_catalog" -> (sqlDdlCatalog _),
-    "bloom_join" -> (bloomJoin _),
-    "sql_tpch_q6" -> (sqlTpchQ6 _),
-    "sql_tpch_q8" -> (sqlTpchQ8 _),
-    "sql_tpch_q10" -> (sqlTpchQ10 _),
-    "sql_tpch_q11" -> (sqlTpchQ11 _),
-    "sql_tpch_q13" -> (sqlTpchQ13 _),
-    "sql_tpch_q15" -> (sqlTpchQ15 _),
-    "sql_tpch_q16" -> (sqlTpchQ16 _),
-    "sql_tpch_q18" -> (sqlTpchQ18 _),
-    "sql_tpch_q20" -> (sqlTpchQ20 _),
-    "funnel_steps" -> (funnelSteps _),
-    "funnel_windowed" -> (funnelWindowed _),
-    "retention_cohorts" -> (retentionCohorts _),
-    "event_transitions" -> (eventTransitions _),
-    "event_pmi" -> (eventPmi _),
-    "null_semantics" -> (nullSemantics _),
-    "events_debounce" -> (eventsDebounce _),
-    "winsorize_values" -> (winsorizeValues _),
-    "skew_report" -> (skewReport _),
-    "rfm_segments" -> (rfmSegments _),
-    "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _),
-    "graph_kcore" -> (graphKcore _),
-    "dq_checks" -> (dqChecks _),
-    "profile_table" -> (profileTable _),
     "grouping_sets" -> (groupingSetsSales _),
     "unpivot_orders" -> (unpivotOrders _),
-    "sql_subqueries" -> (sqlSubqueries _),
     "cross_grid" -> (crossGrid _),
-    "resample_fill" -> (resampleFill _),
-    "resample_interp" -> (resampleInterp _),
     "full_outer_join" -> (fullOuterJoin _),
     "intersect_customers" -> (intersectCustomers _),
-    "lateral_explode" -> (lateralExplode _),
-    "sql_window_battery" -> (sqlWindowBattery _),
-    "quantiles_orders" -> (quantilesOrders _),
-    "quantile_sketch" -> (quantileSketch _),
-    "quantiles_orders_dist" -> (quantilesOrdersDist _),
-    "quantiles_by_status" -> (quantilesByStatus _),
-    "mql_elem_match" -> (mqlElemMatch _),
-    "mql_pipeline_compute" -> (mqlPipelineCompute _),
-    "mql_replace_root" -> (mqlReplaceRoot _),
-    "events_sliding" -> (eventsSliding _)
-  )
+    "lateral_explode" -> (lateralExplode _)
+  ) ++ tpchQueries ++ mqlQueries ++ graphQueries ++ analyticsQueries
 }

@@ -1,0 +1,1100 @@
+package graft.operators
+
+import graft.filter.MqlFilter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event/BI analytics, profiling and sketch gates (funnels,
+  * retention, RFM, DQ, quantiles, KMV/bloom, resampling) —
+  * split from Relational.scala in r11: a PURE MOVE into a mixin
+  * trait (see RelationalTpch's note) — zero behavior change. */
+private[graft] trait RelationalAnalytics { this: Relational.type =>
+  /** Batch windowed aggregation over the events stream table — tumbling
+    * 1-hour windows. The Structured Streaming twin is
+    * [[graft.streaming.StreamingOps.eventsHourlyStreaming]] (same logical
+    * plan, incremental execution with a watermark). */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      // epoch seconds (BIGINT) so the hour column hashes identically in
+      // both engines (no tz/precision ambiguity in the compare)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+        .as("hour_epoch_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("hour_epoch_s", "event_type")
+
+  /** Funnel analysis — the product-analytics staple: users progressing
+    * view → click → purchase in STRICT event-time order (each step's
+    * timestamp must exceed the user's previous step's FIRST qualifying
+    * time — min-ts semantics, the standard "first touch" funnel). Three
+    * cascaded per-user aggregates, each one small shuffle on user_id;
+    * no per-user history is ever collected, so state is O(users), not
+    * O(events) — this survives arbitrarily long histories. Timestamps
+    * compare as floored MICROS on both engines (the events reader's
+    * unit), so nanos-tail ties can't flip the strict inequality. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    funnelOver(events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us")), Seq("view", "click", "purchase"))
+
+  /** Cohort retention — funnel's sibling staple: users grouped by their
+    * FIRST active epoch-week (the cohort), counted in each later week
+    * they return. Shape: distinct (user, week) pairs → per-user min
+    * week → one grouped count per (cohort, week-offset). Two small
+    * shuffles on user_id, then one on the cohort pair; the distinct
+    * collapses arbitrarily long histories to O(users × weeks) rows
+    * first. Week index = epoch-micros DIV week-micros — integer
+    * division on both engines, no float boundary hazards. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 604800000000L // micros per week
+    retentionOver(events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), expr(s"us DIV $wkUs").as("wk")))
+  }
+
+  /** The reusable retention core over any `(user_id, wk)` frame. */
+  private[graft] def retentionOver(userWeeks: DataFrame): DataFrame = {
+    val weeks = userWeeks.distinct()
+    val cohort = weeks.groupBy("user_id").agg(min("wk").as("wk0"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("wk0"), (col("wk") - col("wk0")).as("wk_off"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("wk0", "wk_off")
+  }
+
+  /** RFM SEGMENTATION — the classic multi-metric customer bucketing
+    * (recency / frequency / monetary quartiles), computed WITHOUT the
+    * textbook global-ntile window (a single task over every customer at
+    * scale): each metric's three quartile THRESHOLDS come from one
+    * exact-percentile aggregate (cross-engine-proven interpolation) and
+    * bucket membership is then three parallel integer comparisons per
+    * row — scan-speed, any customer count. Recency is exact integer
+    * days against the corpus's own max order date; money is per-row
+    * integer cents. Output: per-segment census. */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val per = o.groupBy("o_custkey").agg(
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("last_us"),
+      count(lit(1)).as("f"),
+      sum(cents(col("o_totalprice"))).as("m"))
+    val anchor = o.agg(
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("anchor_us"))
+    val rfm = per.crossJoin(broadcast(anchor))
+      .withColumn("r", expr("(anchor_us - last_us) DIV 86400000000"))
+    val th = rfm.agg(
+      expr("percentile(r, 0.25)").as("r25"),
+      expr("percentile(r, 0.5)").as("r50"),
+      expr("percentile(r, 0.75)").as("r75"),
+      expr("percentile(f, 0.25)").as("f25"),
+      expr("percentile(f, 0.5)").as("f50"),
+      expr("percentile(f, 0.75)").as("f75"),
+      expr("percentile(m, 0.25)").as("m25"),
+      expr("percentile(m, 0.5)").as("m50"),
+      expr("percentile(m, 0.75)").as("m75"))
+    def q(v: String, p: String): Column =
+      lit(1L) + (col(v) > col(s"${p}25")).cast("long") +
+        (col(v) > col(s"${p}50")).cast("long") +
+        (col(v) > col(s"${p}75")).cast("long")
+    rfm.crossJoin(broadcast(th))
+      .withColumn("segment",
+        q("r", "r") * 100L + q("f", "f") * 10L + q("m", "m"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).as("m_cents"))
+      .orderBy("segment")
+  }
+
+  /** SKEW REPORT — the pre-join diagnosis for a 100 TB shuffle: the
+    * key-frequency distribution of the join column, in one pass over
+    * the per-key counts (which are themselves one map-side-combined
+    * aggregate). `max/mean` ratio ≥ threshold is the standard salt-or-
+    * broadcast trigger; p99 separates one hot key from a hot region.
+    * All integer: the mean rides as ppm via exact long division, the
+    * p99 is the exact percentile of counts (cross-engine-proven
+    * interpolation), and the hottest key is reported with a
+    * deterministic low-key tie-break. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val mx = counts.agg(max(col("c")).as("mx"))
+    counts.crossJoin(broadcast(mx)).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_freq"),
+      expr("percentile(c, 0.99)").as("p99_freq"),
+      min(when(col("c") === col("mx"), col("k"))).as("hottest_key"),
+      expr("(sum(c) * 1000000) DIV count(1)").as("mean_freq_ppm"))
+  }
+
+  /** WINSORIZE — outlier clipping at exact corpus percentiles, the
+    * feature-engineering step before any scale-sensitive model input:
+    * event values (integer cents) clip to [⌈p01⌉, ⌊p99⌋]. The two
+    * percentiles are one exact-percentile aggregate (interpolation
+    * cross-engine-proven by the quantiles gates) broadcast back over
+    * the corpus; clipping and the per-type rollup are then exact LONG
+    * math. Emits kept/clipped counts beside the clipped sum so every
+    * row's clip decision is under the hash. */
+  def winsorizeValues(s: SparkSession, dir: String): DataFrame = {
+    val c = events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val bounds = c.agg(
+      ceil(expr("percentile(c, 0.01)")).cast("long").as("lo"),
+      floor(expr("percentile(c, 0.99)")).cast("long").as("hi"))
+    c.crossJoin(broadcast(bounds))
+      .withColumn("cc", greatest(least(col("c"), col("hi")), col("lo")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cc")).as("clipped_cents"),
+        sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Telemetry DEBOUNCE — drop repeat events of the same (user, type)
+    * arriving within 5 minutes of the previous occurrence, keeping the
+    * first of each burst: the standard event-stream cleaning step
+    * (double-clicks, retry storms, duplicate beacons). Burst membership
+    * chains through consecutive gaps, which is exactly the
+    * sessionization device keyed on (user_id, event_type) — one lag
+    * window marks burst heads, and only heads survive. One shuffle on
+    * the composite key; emitted as per-(user, type) kept/dropped counts
+    * so the gate checks every row's keep decision in aggregate. */
+  def eventsDebounce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 5L * 60 * 1000000
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val prev = lag(col("us"), 1).over(w)
+    events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("head",
+        when(prev.isNull || col("us") - prev > GapUs, 1L).otherwise(0L))
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("head")).as("kept"),
+        (count(lit(1)) - sum(col("head"))).as("dropped"))
+      .filter(col("dropped") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** NULL-semantics battery — the correctness corners every engine
+    * must agree on before any null-bearing pipeline is trusted:
+    * `count(*)` vs `count(col)` (the latter skips nulls), DISTINCT
+    * counting (nulls excluded from COUNT DISTINCT but present as a
+    * distinct row), and NULL-SAFE equality (`<=>` / IS NOT DISTINCT
+    * FROM matches null=null where `=` yields unknown) exercised
+    * through a self-join of the distinct value set — per key, the
+    * null-safe match count is exactly distinct-non-null + (1 if a null
+    * is present), which the oracle recomputes independently. Planted
+    * nulls are deterministic (orderkey % 13). */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      (col("o_custkey") % 7).as("key"),
+      when(col("o_orderkey") % 13 === 0, lit(null))
+        .otherwise(col("o_orderpriority")).as("v"))
+    val agg = base.groupBy("key").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("v")).as("n_v"),
+      countDistinct(col("v")).as("n_dv"))
+    val dv = base.distinct()
+    val nullsafe = dv.as("a")
+      .join(dv.as("b"),
+        col("a.key") === col("b.key") && (col("a.v") <=> col("b.v")))
+      .groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as("n_nullsafe"))
+    agg.join(nullsafe, Seq("key"))
+      .select("key", "n_rows", "n_v", "n_dv", "n_nullsafe")
+      .orderBy("key")
+  }
+
+  /** Event-type co-occurrence PMI — association mining over user
+    * contexts: do two event types appear in the SAME user's history
+    * more than independence predicts? The distinct (user, type) set is
+    * one dedup shuffle; pairs come from an equi-join on user_id with
+    * in-context fan-out bounded by the type cardinality squared (never
+    * corpus²); the PMI ratio is built as one division of two exact LONG
+    * products so both engines feed ln() the identical double (the bm25
+    * fixed-order-float device), rounded to 6dp. */
+  def eventPmi(s: SparkSession, dir: String): DataFrame = {
+    val ue = events(s, dir).select("user_id", "event_type").distinct()
+    val singles = ue.groupBy("event_type").agg(count(lit(1)).as("ns"))
+    val pairs = ue.select(col("user_id"), col("event_type").as("a"))
+      .join(ue.select(col("user_id"), col("event_type").as("b")),
+        Seq("user_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("a"),
+        col("ns").as("na"))), Seq("a"))
+      .join(broadcast(singles.select(col("event_type").as("b"),
+        col("ns").as("nb"))), Seq("b"))
+      .crossJoin(broadcast(
+        ue.agg(countDistinct(col("user_id")).as("nu"))))
+      .withColumn("pmi", round(log(
+        (col("n_ab") * col("nu")).cast("double") /
+          (col("na") * col("nb")).cast("double")), 6))
+      .select("a", "b", "n_ab", "pmi")
+      .orderBy("a", "b")
+  }
+
+  /** Event transition matrix — the Markov-chain view of user behavior
+    * (sequence-model featurization, UX flow analysis): for each user's
+    * time-ordered event stream, count every adjacent (from → to) pair.
+    * ONE window (lead over the per-user order) + one grouped count; the
+    * order key is (ts, event_id) so same-timestamp events have a
+    * deterministic successor in both engines. Final events (no
+    * successor) are dropped — the standard transition-matrix contract. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** ANALYZE-style table profiling — the statistics pass every engine
+    * runs before planning (and every data team runs before trusting a
+    * feed): per-column row count, null count, distinct count, min/max.
+    * ONE scan computes every statistic (a single multi-aggregate — not
+    * a per-column rescan), then the 1-row result pivots to one row per
+    * column. Distinct counts are EXACT here so the DuckDB oracle can
+    * hash-match; the 100 TB variant swaps `countDistinct` for
+    * `approx_count_distinct` (HLL — same plan shape, no Expand
+    * blow-up) exactly as engines' ANALYZE does. min/max emit as
+    * strings so one schema carries mixed column types. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_min").as("min_value"),
+        col(s"${c}_max").as("max_value"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
+  /** The reusable funnel core over any `(user_id, event_type, us)`
+    * frame: per-user per-step first-qualifying times, cascaded. */
+  private[graft] def funnelOver(ev: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    var out = reached.select(lit(1).as("step"), col("user_id"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      reached = ev.filter(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t").as("prev")),
+          "user_id")
+        .filter(col("us") > col("prev"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      out = out.unionAll(
+        reached.select(lit(i + 2).as("step"), col("user_id")))
+    }
+    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
+  }
+
+  /** WINDOWED funnel — each step must land within `windowUs` of the
+    * previous step's time (the "converted within 24h" product form —
+    * an unbounded funnel overcounts journeys that stalled for weeks).
+    * Same cascaded min-aggregate shape as [[funnelOver]]: one small
+    * user_id shuffle per step, O(users) state, the bound is one extra
+    * residual predicate on the step join. Note the semantics are
+    * first-qualifying-WITHIN-window of the PREVIOUS first touch —
+    * deterministic and O(1) per user, the standard approximation (a
+    * per-PATH optimal search is exponential and nobody ships it). */
+  private[graft] def funnelWindowedOver(ev: DataFrame,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    var out = reached.select(lit(1).as("step"), col("user_id"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      reached = ev.filter(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t").as("prev")),
+          "user_id")
+        .filter(col("us") > col("prev") &&
+          col("us") <= col("prev") + windowUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+      out = out.unionAll(
+        reached.select(lit(i + 2).as("step"), col("user_id")))
+    }
+    out.groupBy("step").agg(count(lit(1)).as("users")).orderBy("step")
+  }
+
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame =
+    funnelWindowedOver(
+      events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")),
+      Seq("view", "click", "purchase"), 24L * 3600 * 1000000)
+
+  /** Data-quality rule evaluation — the Deequ/dbt-test shape: a rule
+    * catalog evaluated in one job, emitting (rule, n_violations) per
+    * rule. Three rule classes, each with its scale-correct plan:
+    *
+    *  - ROW-LOCAL rules (null key, range checks) all fuse into ONE
+    *    conditional-aggregation scan of the table — adding a rule adds
+    *    a sum(when), not a pass; the wide row then melts to rule rows
+    *    ([[unpivotOrders]]'s Expand, no shuffle).
+    *  - UNIQUENESS (primary key) is a two-phase count-per-key + count
+    *    of keys over 1 — map-side combinable, one shuffle on the key.
+    *  - REFERENTIAL/CROSS-TABLE rules are anti-join (orphan FK) or
+    *    equi-join + filter (temporal order) COUNTS — the join output
+    *    never leaves the executors, only the count does.
+    *
+    * The synthetic data intentionally fails two rules (duplicate
+    * (orderkey, linenumber) pairs; ship-before-order dates), so the
+    * gate proves violations are COUNTED, not just that clean tables
+    * pass. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def rule(name: String, n: Column) =
+      struct(lit(name).as("rule"), n.as("n_violations"))
+    val rowLocal = li.agg(
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+          .as("neg_price"),
+        sum(when(!col("l_discount").between(0, 0.1), 1L).otherwise(0L))
+          .as("discount"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nullk"))
+      .select(explode(array(
+        rule("price_not_positive", col("neg_price")),
+        rule("range_discount", col("discount")),
+        rule("range_quantity", col("qty")),
+        rule("null_orderkey", col("nullk")))).as("r"))
+      .select("r.*")
+    val orphan = o.join(c, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(rule("fk_orphan_orders", col("n")).as("r")).select("r.*")
+    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(count(lit(1)).as("n"))
+      .select(rule("pk_duplicate_lineitem", col("n")).as("r")).select("r.*")
+    val shipEarly = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .agg(count(lit(1)).as("n"))
+      .select(rule("ship_before_order", col("n")).as("r")).select("r.*")
+    rowLocal.unionByName(orphan).unionByName(dupPk)
+      .unionByName(shipEarly).orderBy("rule")
+  }
+
+  /** Time-series resample with gap fill: the dense (hour × event_type)
+    * grid over the observed range, zero-filled where no events landed.
+    * The hour axis is generated IN-PLAN (sequence + explode over the
+    * min/max aggregate row — no driver collect, no driver loop), so the
+    * same plan scales to any range length. */
+  def resampleFill(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
+    val cnt = e.groupBy("h", "event_type").agg(count(lit(1)).as("n"))
+    val hours = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val types = e.select("event_type").distinct()
+    hours.crossJoin(types)
+      .join(cnt, Seq("h", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy("h", "event_type")
+  }
+
+  /** Time-series resample with LINEAR interpolation — the fill mode
+    * [[resampleFill]] (zero-fill) and mql `$fill` (locf) don't cover,
+    * in exact integer arithmetic: per-hour value sums in cents, and a
+    * missing hour takes the time-weighted mean of its bracketing
+    * observations, `(v0·(h1-h) + v1·(h-h0)) DIV (h1-h0)`. The weighted
+    * SUM form (not `v0 + slope·dt`) keeps every operand nonnegative —
+    * value sums are nonnegative — so Spark's truncating DIV and
+    * DuckDB's flooring // agree; the difference form goes negative on
+    * any downward slope and the two engines round differently.
+    *
+    * Per type, the grid spans that type's own observed [min, max] hours
+    * (every gap has both brackets — no extrapolation contract), built
+    * in-plan via sequence+explode like [[resampleFill]]. The bracket
+    * carry is two running windows (last/first non-null observation
+    * struct) over ONE shuffle on event_type — the same
+    * single-partitioning all three window passes share. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events(s, dir).select(col("event_type"),
+      (expr("unix_micros(ts) DIV 3600000000") * 3600L).as("h"),
+      cents(col("value")).as("c"))
+    val obs = e.groupBy("event_type", "h").agg(sum("c").as("cents"))
+    val grid = obs.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val j = grid.join(obs, Seq("event_type", "h"), "left")
+    val base = Window.partitionBy("event_type").orderBy("h")
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val ob = when(col("cents").isNotNull,
+      struct(col("h").as("h"), col("cents").as("c")))
+    j.withColumn("pv", last(ob, ignoreNulls = true).over(back))
+      .withColumn("nv", first(ob, ignoreNulls = true).over(fwd))
+      .select(col("event_type"), col("h"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(expr(
+            "(pv.c * (nv.h - h) + nv.c * (h - pv.h)) DIV (nv.h - pv.h)"))
+          .as("cents"),
+        col("cents").isNull.as("interpolated"))
+      .orderBy("event_type", "h")
+  }
+
+  /** Exact quantiles (no approx sketch — bit-comparable): quartiles of
+    * order value via `percentile`, which matches DuckDB's
+    * quantile_cont linear interpolation on exact integer cents. */
+  def quantilesOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("pc"))
+      .agg(
+        expr("percentile(pc, 0.25)").as("q25"),
+        expr("percentile(pc, 0.5)").as("q50"),
+        expr("percentile(pc, 0.75)").as("q75"))
+
+  /** Scale-safe EXACT quantiles — the distributed twin of
+    * [[quantilesOrders]]. `percentile` buffers every value in the ONE
+    * final aggregate task (O(N) driver-adjacent memory — the r3 verdict's
+    * scale-margin flag); this variant computes the identical answer with
+    * bounded memory everywhere: one count job, one distributed
+    * range-partitioned sort, per-partition offsets via zipWithIndex, then
+    * ONLY the ≤6 rank-boundary rows return to the driver for the
+    * interpolation arithmetic. Interpolation is lo + frac·(hi−lo) on
+    * exact integer cents with dyadic fracs (0/.25/.5/.75) — bit-equal to
+    * DuckDB's quantile_cont and to the single-task `percentile`. */
+  /** The distributed sort [[quantilesOrdersDist]] ranks over — exposed so
+    * PlanSpec can lock that it compiles to a range-partitioned Exchange
+    * (each partition holds a contiguous value range; zipWithIndex offsets
+    * are then per-partition counts, never a single-task sort). */
+  private[graft] def quantilesSortedCents(s: SparkSession, dir: String)
+      : DataFrame =
+    t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+      .orderBy("pc").select("pc")
+
+  def quantilesOrdersDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = t(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val n = pc.count()
+    val hs = qs.map(q => (n - 1) * q)
+    val needed = hs.flatMap(h =>
+      Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+    val bc = s.sparkContext.broadcast(needed)
+    val picked = quantilesSortedCents(s, dir).rdd
+      .zipWithIndex()
+      .filter { case (_, i) => bc.value.contains(i) }
+      .map { case (r, i) => (i, r.getLong(0)) }
+      .collect().toMap
+    val v = hs.map { h =>
+      val lo = picked(math.floor(h).toLong).toDouble
+      val hi = picked(math.ceil(h).toLong).toDouble
+      lo + (h - math.floor(h)) * (hi - lo)
+    }
+    Seq((v(0), v(1), v(2))).toDF("q25", "q50", "q75")
+  }
+
+  /** One-pass MERGEABLE quantile sketch — the third point on the
+    * quantile trade-off ([[quantilesOrders]] exact-but-single-task,
+    * [[quantilesOrdersDist]] exact-but-two-jobs): an equi-width integer
+    * histogram ($10k bins over price cents) built in ONE map-side-
+    * combined aggregate, from which any quantile reads off as the first
+    * bin whose cumulative count reaches ⌈q·N⌉. Histogram counts merge
+    * by addition, so at 100 TB this is the shape a streaming/partial
+    * refresh pipeline keeps (the same merge-by-+ contract as the KMV
+    * distinct sketch); error is bounded by the bin width, and every
+    * number is an exact integer — the oracle replays the identical
+    * arithmetic. The cumulative pass runs over the ≤50-row histogram,
+    * never the data. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val binW = 1000000L // $10k in cents
+    val h = t(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("pc"))
+      .select(expr(s"pc DIV $binW").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(h.agg(sum(col("c")).as("N")))
+    // qMicro: quantile in exact integer millionths — no float boundary
+    def edge(qMicro: Long, name: String): Column =
+      min(when(col("cum") * lit(1000000L) >= lit(qMicro) * col("N"),
+        (col("bin") + 1) * binW)).as(name)
+    cum.agg(edge(500000L, "p50_ub"), edge(950000L, "p95_ub"),
+      max(col("N")).as("n"))
+  }
+
+  /** Grouped exact quantiles: median + p90 of order value per order
+    * status. Per-group `percentile` buffers are bounded by GROUP size,
+    * and groups hash-partition across executors — the single-task buffer
+    * concern of the global variant ([[quantilesOrdersDist]] covers that
+    * one) does not apply at the same severity; a skewed mega-group would
+    * use the same rank-extraction treatment per group. */
+  def quantilesByStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)")
+          .as("p50"),
+        expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.9)")
+          .as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Runtime Bloom-filter semi-join reduction — the scale device for a
+    * shuffle join whose build side carries a selective filter: Catalyst
+    * plants a bloom-filter aggregate on the filtered (small) side and
+    * injects `might_contain` into the FACT side's scan, so most of the
+    * 100 TB probe side drops before it ever reaches the exchange. At
+    * bench scale broadcast would hide the effect, so the join runs in a
+    * CHILD session (own conf, no session-global mutation — the r7
+    * advice) with broadcast off and the scan-size gate zeroed; on a
+    * real cluster the defaults trigger exactly when the probe side is
+    * huge, which is the 100 TB case. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    val li = ss.read.parquet(s"$dir/lineitem.parquet")
+    val ord = ss.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch per event type — the
+    * mergeable-sketch family a 100 TB engine answers COUNT(DISTINCT)
+    * with when exact is too expensive. Unlike HLL++ (whose estimate
+    * depends on engine-internal hashing, so it can't sit under a
+    * cross-engine oracle), KMV over the md5-60 hash is bit-deterministic:
+    * keep the k smallest distinct hash values per group; the k-th
+    * smallest estimates the distinct count as (k-1)·2^60/kth.
+    *
+    * Scale shape: dropDuplicates is one shuffle on (group, hash) with
+    * map-side partial dedup; the per-group k-smallest compiles to
+    * WindowGroupLimit (partial top-k per partition BEFORE the group
+    * shuffle — the same plan device as the kNN join), so only
+    * k·partitions rows ride the window shuffle. Groups under k distinct
+    * values return the exact count (the sketch is exact below k).
+    * Estimate arithmetic: (k-1)·2^60 is an exact double, one
+    * correctly-rounded division, half-up round — oracle-identical. */
+  def sketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    import graft.functions.TextFunctions.md5Hash60
+    val h = events(s, dir)
+      .select(col("event_type"),
+        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+          .as("h"))
+      .dropDuplicates("event_type", "h")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    h.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k_seen"), max(col("h")).as("kth"))
+      .select(col("event_type"),
+        when(col("k_seen") < k, col("k_seen"))
+          .otherwise(round(lit(63.0 * 1152921504606846976.0) /
+            col("kth")).cast("long")).as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** The SAME KMV estimate through the native
+    * [[graft.expr.KmvDistinctAgg]] TypedImperativeAggregate (the
+    * production-sketch aggregation API: O(k) buffer per group, map-side
+    * partials, serialized merge between stages) — where
+    * [[sketchDistinct]] formulates it as dedup + rank windows. Both
+    * share one oracle text, so the two formulations provably agree.
+    * Scale: the window form shuffles the deduped hash stream; THIS form
+    * ships only k longs per (group, partition) — the reason sketch
+    * libraries are aggregates, demonstrated under the hash. */
+  def kmvAggNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    graft.sql.GraftFunctions.register(s)
+    events(s, dir)
+      .select(col("event_type"),
+        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+          .as("h"))
+      .groupBy("event_type")
+      .agg(expr("graft_kmv(h, 64)").as("est_distinct"))
+      .orderBy("event_type")
+  }
+
+  /** Shared by both quantiles gates (declared ABOVE the oracle map —
+    * object-init order). */
+  private val quantilesOracleSql =
+    """SELECT
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) AS q25,
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS q50,
+      |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) AS q75
+      |FROM orders""".stripMargin
+
+  /** Sliding windows: 2-hour windows sliding by 1 hour over events —
+    * each event lands in two windows (Spark's window() is epoch-aligned;
+    * the oracle unnests the two containing window starts per event). */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_start_s"),
+        col("event_type"), col("n"))
+      .orderBy("win_start_s", "event_type")
+
+  /** Order-independent TABLE FINGERPRINT — the cross-engine/migration
+    * equality check: per table, row count plus the SUM of per-row
+    * md5-derived 60-bit hashes over a canonical pipe-separated
+    * serialization (integers only — cents and epoch-µs, never raw
+    * doubles, whose string forms engines disagree on). Sum is
+    * reduction-order-free, so two stores hold the same rows iff
+    * (n, hash_sum) match regardless of partitioning, file order, or
+    * engine; hashes merge by addition, so per-shard fingerprints
+    * compose. */
+  def tableFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    // per-row hashes reduce mod 2^40 and SUM in DECIMAL (a raw sum of
+    // 60-bit hashes overflows LONG at ~15k rows — and the two engines
+    // disagree on overflow: Spark wraps, DuckDB raises); the final
+    // fingerprint is the exact sum mod 2^61, emitted as LONG
+    def fp(name: String, df: DataFrame, ser: Column): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          pmod(
+            sum(pmod(md5Hash60(ser), lit(1L << 40))
+              .cast("decimal(38,0)")),
+            lit(1L << 61).cast("decimal(38,0)"))
+            .cast("long").as("hash_sum"))
+        .select(lit(name).as("table_name"), col("n"), col("hash_sum"))
+    val docs = fp("documents", t(s, dir, "documents"),
+      concat_ws("|", col("doc_id"), col("lang"), col("source"),
+        col("n_chars")))
+    val ords = fp("orders", t(s, dir, "orders"),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")),
+        unix_micros(col("o_orderdate").cast("timestamp"))))
+    docs.unionByName(ords).orderBy("table_name")
+  }
+
+  /** Column-pair correlation profile (the ANALYZE companion to
+    * [[profileTable]]): Pearson sufficient statistics between order
+    * value (whole dollars) and order date (epoch days), all EXACT LONG
+    * — sufficient stats merge by addition, the one-pass/incremental
+    * contract. The correlation itself is emitted at 6dp from the exact
+    * integers: every double op involved (long→double conversion,
+    * multiply, sqrt, divide) is IEEE correctly-rounded, so both
+    * engines produce the identical bits — no libm-divergence risk (the
+    * reason ln-based scores need the fixed-order device but sqrt does
+    * not). */
+  def profileCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(round(col("o_totalprice")).cast("long").as("x"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+          .as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_r6", {
+        // every factor converts to DOUBLE *before* multiplying — the
+        // BIGINT products (n·Sxx ≈ 6e19) would overflow 64-bit integer
+        // math in either engine; the double pipeline is c.r. IEEE at
+        // every step, identical bits both sides
+        val d = (c: Column) => c.cast("double")
+        round(
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            sqrt((d(col("n")) * d(col("sxx")) -
+              d(col("sx")) * d(col("sx"))) *
+              (d(col("n")) * d(col("syy")) -
+                d(col("sy")) * d(col("sy")))), 6)
+      })
+
+  private val sketchDistinctSql =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |topk AS (
+      |  SELECT event_type, h, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+      |agg AS (SELECT event_type, count(*) AS k_seen, max(h) AS kth
+      |  FROM topk WHERE rn <= 64 GROUP BY event_type)
+      |SELECT event_type,
+      |  CASE WHEN k_seen < 64 THEN k_seen
+      |    ELSE CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+      |  END AS est_distinct
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  protected def analyticsOracle: Map[String, String] = Map(
+    "table_fingerprint" ->
+      """WITH d AS (SELECT count(*) AS n, CAST(
+        |    sum((('0x' || substr(md5(doc_id || '|' || lang || '|' ||
+        |      source || '|' || n_chars), 1, 15))::BIGINT
+        |      % 1099511627776)::HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS hash_sum
+        |  FROM documents),
+        |o AS (SELECT count(*) AS n, CAST(
+        |    sum((('0x' || substr(md5(o_orderkey || '|' ||
+        |      o_custkey || '|' || o_orderstatus || '|' ||
+        |      CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+        |      epoch_us(o_orderdate)), 1, 15))::BIGINT
+        |      % 1099511627776)::HUGEINT)
+        |    % 2305843009213693952 AS BIGINT) AS hash_sum
+        |  FROM orders)
+        |SELECT 'documents' AS table_name, n, hash_sum FROM d
+        |UNION ALL
+        |SELECT 'orders', n, hash_sum FROM o
+        |ORDER BY table_name""".stripMargin,
+    "profile_corr" ->
+      """WITH v AS (SELECT
+        |    CAST(round(o_totalprice) AS BIGINT) AS x,
+        |    epoch_us(o_orderdate) // 86400000000 AS y
+        |  FROM orders),
+        |st AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM v)
+        |SELECT n, sx, sy, sxy, sxx, syy,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+        |    6) AS corr_r6
+        |FROM st""".stripMargin,
+    "bloom_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "kmv_agg_native" -> sketchDistinctSql,
+    "sketch_distinct" -> sketchDistinctSql,
+    "resample_fill" ->
+      """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    event_type FROM events),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        |hours AS (SELECT unnest(generate_series(h0, h1, 3600)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |cnt AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT hours.h, types.event_type, COALESCE(cnt.n, 0) AS n
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN cnt ON cnt.h = hours.h AND cnt.event_type = types.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "resample_interp" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |obs AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, 3600)) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM obs GROUP BY 1)),
+        |j AS (SELECT g.event_type, g.h, o.cents FROM grid g
+        |  LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h),
+        |w AS (SELECT event_type, h, cents,
+        |    last_value(CASE WHEN cents IS NOT NULL
+        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    first_value(CASE WHEN cents IS NOT NULL
+        |        THEN struct_pack(h := h, c := cents) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv
+        |  FROM j)
+        |SELECT event_type, h,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE (pv.c * (nv.h - h) + nv.c * (h - pv.h))
+        |         // (nv.h - pv.h) END AS cents,
+        |  cents IS NULL AS interpolated
+        |FROM w ORDER BY event_type, h""".stripMargin,
+    "quantiles_orders" -> quantilesOracleSql,
+    "quantile_sketch" ->
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    // 1000000 AS bin FROM orders),
+        |h AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM h),
+        |cm AS (SELECT bin, c,
+        |    CAST(sum(c) OVER (ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h)
+        |SELECT
+        |  min(CASE WHEN cum * 1000000 >= 500000 * N
+        |    THEN (bin + 1) * 1000000 END) AS p50_ub,
+        |  min(CASE WHEN cum * 1000000 >= 950000 * N
+        |    THEN (bin + 1) * 1000000 END) AS p95_ub,
+        |  max(N) AS n
+        |FROM cm, t""".stripMargin,
+    // identical answer contract: the dist variant is storage/execution
+    // strategy, not different math,
+    "quantiles_orders_dist" -> quantilesOracleSql,
+    "quantiles_by_status" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // the oracle evaluates the per-element conjunction directly on the
+    // source columns the items array was synthesized from,
+    "events_sliding" ->
+      """SELECT win_start_s, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest([CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600,
+        |            CAST(epoch(date_trunc('hour', ts)) AS BIGINT)])
+        |      AS win_start_s
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+    "profile_table" -> Seq("o_custkey", "o_orderkey", "o_orderpriority",
+        "o_orderstatus").map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "dq_checks" ->
+      """SELECT 'fk_orphan_orders' AS rule, count(*) AS n_violations
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'null_orderkey', count(*) FROM lineitem
+        |WHERE l_orderkey IS NULL
+        |UNION ALL
+        |SELECT 'pk_duplicate_lineitem', count(*) FROM (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  GROUP BY 1, 2 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'price_not_positive', count(*) FROM lineitem
+        |WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'range_discount', count(*) FROM lineitem
+        |WHERE NOT (l_discount BETWEEN 0 AND 0.1)
+        |UNION ALL
+        |SELECT 'range_quantity', count(*) FROM lineitem
+        |WHERE l_quantity < 1 OR l_quantity > 50
+        |UNION ALL
+        |SELECT 'ship_before_order', count(*) FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate < o.o_orderdate
+        |ORDER BY rule""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |    max(epoch_us(o_orderdate)) AS last_us,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(epoch_us(o_orderdate)) AS anchor_us
+        |  FROM orders),
+        |rfm AS (SELECT o_custkey, f, m,
+        |    (anchor_us - last_us) // 86400000000 AS r FROM per, a),
+        |th AS (SELECT
+        |    quantile_cont(r, 0.25) AS r25, quantile_cont(r, 0.5) AS r50,
+        |    quantile_cont(r, 0.75) AS r75,
+        |    quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+        |    quantile_cont(f, 0.75) AS f75,
+        |    quantile_cont(m, 0.25) AS m25, quantile_cont(m, 0.5) AS m50,
+        |    quantile_cont(m, 0.75) AS m75
+        |  FROM rfm),
+        |seg AS (SELECT m,
+        |    (1 + CASE WHEN r > r25 THEN 1 ELSE 0 END
+        |       + CASE WHEN r > r50 THEN 1 ELSE 0 END
+        |       + CASE WHEN r > r75 THEN 1 ELSE 0 END) * 100
+        |  + (1 + CASE WHEN f > f25 THEN 1 ELSE 0 END
+        |       + CASE WHEN f > f50 THEN 1 ELSE 0 END
+        |       + CASE WHEN f > f75 THEN 1 ELSE 0 END) * 10
+        |  + (1 + CASE WHEN m > m25 THEN 1 ELSE 0 END
+        |       + CASE WHEN m > m50 THEN 1 ELSE 0 END
+        |       + CASE WHEN m > m75 THEN 1 ELSE 0 END) AS segment
+        |  FROM rfm, th)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(m) AS BIGINT) AS m_cents
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT l_orderkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT max(c) AS mx FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_freq,
+        |  quantile_cont(c, 0.99) AS p99_freq,
+        |  min(CASE WHEN c = mx THEN k END) AS hottest_key,
+        |  CAST(sum(c) * 1000000 // count(*) AS BIGINT)
+        |    AS mean_freq_ppm
+        |FROM c, m""".stripMargin,
+    "winsorize_values" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT CAST(ceil(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS hi FROM c)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(greatest(least(c, hi), lo)) AS BIGINT)
+        |    AS clipped_cents,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi
+        |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |l AS (SELECT user_id, event_type,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 300000000 THEN 1 ELSE 0 END
+        |      AS head
+        |  FROM e WINDOW w AS (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id))
+        |SELECT user_id, event_type,
+        |  CAST(sum(head) AS BIGINT) AS kept,
+        |  CAST(count(*) - sum(head) AS BIGINT) AS dropped
+        |FROM l GROUP BY 1, 2 HAVING count(*) - sum(head) > 0
+        |ORDER BY user_id, event_type""".stripMargin,
+    "null_semantics" ->
+      """WITH base AS (SELECT o_custkey % 7 AS key,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS v
+        |  FROM orders),
+        |agg AS (SELECT key, count(*) AS n_rows, count(v) AS n_v,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS n_dv
+        |  FROM base GROUP BY 1),
+        |dv AS (SELECT DISTINCT key, v FROM base),
+        |ns AS (SELECT a.key, count(*) AS n_nullsafe
+        |  FROM dv a JOIN dv b
+        |    ON a.key = b.key AND a.v IS NOT DISTINCT FROM b.v
+        |  GROUP BY 1)
+        |SELECT key, n_rows, n_v, n_dv, n_nullsafe
+        |FROM agg JOIN ns USING (key) ORDER BY key""".stripMargin,
+    "event_pmi" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, count(*) AS ns FROM ue GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM ue),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b,
+        |    count(*) AS n_ab
+        |  FROM ue x JOIN ue y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT a, b, n_ab,
+        |  round(ln((n_ab * nu)::DOUBLE / (na.ns * nb.ns)::DOUBLE), 6)
+        |    AS pmi
+        |FROM p JOIN n na ON na.event_type = p.a
+        |  JOIN n nb ON nb.event_type = p.b, t
+        |ORDER BY a, b""".stripMargin,
+    "event_transitions" ->
+"""WITH ev AS (SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS to_type
+        |  FROM ev)
+        |SELECT from_type, to_type, count(*) AS n FROM nx
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "retention_cohorts" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 1000 // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS wk0 FROM weeks
+        |           GROUP BY user_id)
+        |SELECT c.wk0, w.wk - c.wk0 AS wk_off, count(*) AS users
+        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > t1.t1
+        |         AND e.us <= t1.t1 + 86400000000
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
+        |         AND e.us <= t2.t2 + 86400000000
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, count(*) AS users FROM t1
+        |UNION ALL SELECT 2, count(*) FROM t2
+        |UNION ALL SELECT 3, count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT 1 AS step, count(*) AS users FROM t1
+        |UNION ALL SELECT 2, count(*) FROM t2
+        |UNION ALL SELECT 3, count(*) FROM t3
+        |ORDER BY step""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_s,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+
+  protected def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> (eventsHourly _),
+    "profile_corr" -> (profileCorr _),
+    "table_fingerprint" -> (tableFingerprint _),
+    "sketch_distinct" -> (sketchDistinct _),
+    "kmv_agg_native" -> (kmvAggNative _),
+    "bloom_join" -> (bloomJoin _),
+    "funnel_steps" -> (funnelSteps _),
+    "funnel_windowed" -> (funnelWindowed _),
+    "retention_cohorts" -> (retentionCohorts _),
+    "event_transitions" -> (eventTransitions _),
+    "event_pmi" -> (eventPmi _),
+    "null_semantics" -> (nullSemantics _),
+    "events_debounce" -> (eventsDebounce _),
+    "winsorize_values" -> (winsorizeValues _),
+    "skew_report" -> (skewReport _),
+    "rfm_segments" -> (rfmSegments _),
+    "dq_checks" -> (dqChecks _),
+    "profile_table" -> (profileTable _),
+    "resample_fill" -> (resampleFill _),
+    "resample_interp" -> (resampleInterp _),
+    "quantiles_orders" -> (quantilesOrders _),
+    "quantile_sketch" -> (quantileSketch _),
+    "quantiles_orders_dist" -> (quantilesOrdersDist _),
+    "quantiles_by_status" -> (quantilesByStatus _),
+    "events_sliding" -> (eventsSliding _)
+  )
+}

@@ -1,0 +1,1521 @@
+package graft.operators
+
+import graft.filter.MqlFilter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The MQL find/aggregate gate family over events/documents —
+  * split from Relational.scala in r11: a PURE MOVE into a mixin
+  * trait (see RelationalTpch's note) — zero behavior change. */
+private[graft] trait RelationalMql { this: Relational.type =>
+  /** MQL predicate over the schemaless events.props JSON column — the
+    * reference's user-facing filter language (db/db.go:111-113) evaluated
+    * through the VARIANT-based JsonResolver: operator conjunction on one
+    * field + $exists on a missing field. */
+  def mqlEventsRange(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"k": {"$gte": 20, "$lt": 60}, "missing": {"$exists": false}}""",
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** MQL logical tree: $nor of two comparisons + field-level $not. */
+  def mqlEventsNor(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"$nor": [{"k": {"$lt": 30}}, {"k": {"$gte": 70}}],
+          | "k": {"$not": {"$eq": 42}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** MQL date predicates — the single most common metadata filter on a
+    * real corpus (crawl timestamps, ingestion dates). JSON has no date
+    * type, so dates travel as ISO-8601 strings in the metadata document;
+    * the filter uses Mongo extended-JSON `{"$date": "ISO"}` literals (the
+    * form FerretDB accepts through the reference's delegated filter,
+    * /root/reference/db/db.go:111-113) and MqlFilter compares both sides
+    * as TIMESTAMP. Combined with $in on a string field and $exists so the
+    * date view composes with the rest of the operator surface. */
+  def mqlEventsDate(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("meta", to_json(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
+        col("event_type").as("etype"))))
+      .filter(MqlFilter.toColumn(
+        """{"created": {"$gte": {"$date": "2024-01-10T00:00:00"},
+          |             "$lt":  {"$date": "2024-01-20T12:00:00"}},
+          | "etype": {"$in": ["click", "view"]},
+          | "missing": {"$exists": false}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** Mongo date OPERATOR family under the gate ($dateToString/$dayOfMonth/
+    * $dateDiff over the ISO-string metadata date convention): derive
+    * day-of-month and a formatted day label, filter a mid-month band,
+    * group per day with the max day-index since an epoch date. The oracle
+    * replays with strftime/date_diff — both engines count calendar-day
+    * boundaries. */
+  def mqlDatesPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "dom": {"$dayOfMonth": "$created"},
+        |   "day_label": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": "$created"}},
+        |   "day_idx": {"$dateDiff": {"startDate": "2024-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "day"}}}},
+        | {"$match": {"dom": {"$gte": 10, "$lt": 20}}},
+        | {"$group": {"_id": "$day_label", "n": {"$sum": 1},
+        |   "idx": {"$max": {"$toLong": "$day_idx"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
+  /** $switch + $dateTrunc under the gate: events bucketed by calendar
+    * week (Mongo 5.0 truncation) × a multi-branch severity label
+    * (first-match-wins $switch with default), rolled up per composite
+    * key. The oracle replays with date_trunc('week') — both engines
+    * start weeks on Monday — and a CASE chain. */
+  def mqlSwitchTrunc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created"),
+          col("value").as("v")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "wk": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc": {"date": "$created", "unit": "week"}}}},
+        |   "sev": {"$switch": {"branches": [
+        |     {"case": {"$gte": ["$v", 300]}, "then": "high"},
+        |     {"case": {"$gte": ["$v", 50]}, "then": "mid"}],
+        |     "default": "low"}}}},
+        | {"$addFields": {"key": {"$concat": ["$wk", "/", "$sev"]}}},
+        | {"$group": {"_id": "$key", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
+  /** MQL $mod — Mongo's divisor/remainder predicate, over the same
+    * schemaless props field as the other MQL gates. */
+  def mqlEventsMod(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(MqlFilter.toColumn(
+        """{"k": {"$mod": [7, 3]}}""",
+        MqlFilter.JsonResolver(col("props"))))
+      .select(col("event_id"))
+      .orderBy("event_id")
+
+  /** Embedded-document $elemMatch under the gate: metadata carries an
+    * array of sub-documents ({k, n} items synthesized from `documents`
+    * columns) and ONE element must satisfy the whole sub-filter — the
+    * FerretDB/Mongo form the scalar-array $elemMatch can't express. The
+    * oracle evaluates the same per-element conjunction directly on the
+    * source columns. */
+  /** The $bits* find operators (r11) over the int64-exact numeric
+    * view: AllSet as position array, AnySet as position array, and
+    * AnyClear as a numeric mask on the same field — together they
+    * select documents whose flag word has bits 0 and 2 set plus
+    * EXACTLY ONE of bits 4/5 (AnySet ∧ AnyClear on the same mask).
+    * The DuckDB twin is plain integer bitwise algebra. */
+  def mqlDocsBits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("doc_id"),
+        col("n_chars").cast("long").as("flags"))))
+      .filter(MqlFilter.toColumn(
+        """{"flags": {"$bitsAllSet": [0, 2]}, "$and": [
+          | {"flags": {"$bitsAnySet": [4, 5]}},
+          | {"flags": {"$bitsAnyClear": 48}}]}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(array(
+        struct(col("lang").as("k"),
+          (col("n_chars") % 10).cast("long").as("n")),
+        struct(col("source").as("k"),
+          (col("n_chars") % 7).cast("long").as("n"))).as("items"))))
+      .filter(MqlFilter.toColumn(
+        """{"items": {"$elemMatch":
+          |  {"k": {"$in": ["en", "src2"]}, "n": {"$gte": 5}}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Computed pipeline fields under the gate: $addFields derives real
+    * columns from the metadata document ($divide/$concat), $match filters
+    * on one, and a computed $project emits arithmetic over them — the
+    * post-$addFields document shape flowing through typed resolution. */
+  def mqlPipelineCompute(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")))),
+      col("meta"),
+      """[
+        |  {"$addFields": {
+        |    "kc": {"$divide": [{"$toLong": "$n_chars"}, 100]},
+        |    "label": {"$concat": [{"$toUpper": "$lang"}, ":", "$source"]}}},
+        |  {"$match": {"kc": {"$gt": 9}}},
+        |  {"$project": {
+        |    "did": {"$toLong": "$doc_id"},
+        |    "label": 1,
+        |    "kc": 1,
+        |    "score": {"$subtract": [{"$multiply": ["$kc", 2]}, 1.5]}}},
+        |  {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
+  /** $replaceRoot + $ifNull/$cond under the gate: metadata nests the
+    * interesting fields one level down ({"info": {...}}); the pipeline
+    * promotes `info` to the root, computes a $cond bucket label and an
+    * $ifNull fallback, filters and sorts on the promoted fields. */
+  def mqlReplaceRoot(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      // ONLY the JSON column travels — every field must resolve through
+      // the promoted root, not shadow real source columns
+      t(s, dir, "documents")
+        .select(to_json(struct(struct(col("doc_id"),
+          col("lang"), col("n_chars")).as("info"))).as("meta")),
+      col("meta"),
+      """[
+        |  {"$replaceRoot": {"newRoot": "$info"}},
+        |  {"$match": {"lang": {"$in": ["en", "de"]}}},
+        |  {"$project": {
+        |    "did": {"$toLong": "$doc_id"},
+        |    "lang": 1,
+        |    "size_bucket": {"$cond": [
+        |      {"$gte": [{"$toLong": "$n_chars"}, 800]}, "long", "short"]},
+        |    "fallback": {"$ifNull": ["$missing_field", "none"]}}},
+        |  {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
+  /** MQL operator breadth through the JSON resolver in one registered
+    * query: $in (string set), $regex (anchored), numeric $gte on a JSON
+    * number — over a metadata document synthesized from `documents`
+    * columns, exactly how collection metadata flows through the engine. */
+  def mqlDocsMixed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("source"),
+        col("n_chars"))))
+      .filter(MqlFilter.toColumn(
+        """{"lang": {"$in": ["en", "fr"]},
+          | "source": {"$regex": "^src1"},
+          | "n_chars": {"$gte": 500}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Mongo `$text` under the gate — the text-index predicate in its
+    * OR-of-terms form composed with an ordinary metadata filter: docs
+    * whose token stream contains "vector" or "hash", in en/fr only. */
+  def mqlTextFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .filter(MqlFilter.toColumn(
+        """{"$text": {"$search": "vector hash"},
+          | "lang": {"$in": ["en", "fr"]}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** MQL `$expr` under the gate — aggregation expressions inside a find
+    * filter: a numeric comparison whose right side is computed
+    * ($add/$multiply over field refs) AND a string equality, both
+    * resolved per-position through the variant views. The whole
+    * predicate is one Catalyst boolean over a single JSON parse. */
+  def mqlExprFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"),
+        (col("doc_id") % 7).as("sev"))))
+      .filter(MqlFilter.toColumn(
+        """{"$expr": {"$and": [
+          |  {"$gt": ["$n_chars",
+          |    {"$add": [{"$multiply": ["$sev", 100]}, 300]}]},
+          |  {"$eq": ["$lang", "en"]}]}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Mongo aggregation PIPELINE under the gate: $match → $group
+    * (count/sum/max accumulators over the numeric view) → post-group
+    * $match (the HAVING shape) → $sort — four stages folding into one
+    * Catalyst plan with partial aggregation, over the same synthesized
+    * metadata document as the other MQL gates. */
+  def mqlPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$group": {"_id": "$lang",
+        |   "n": {"$sum": 1},
+        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}},
+        |   "max_chars": {"$max": {"$toLong": "$n_chars"}}}},
+        | {"$match": {"n": {"$gte": 5}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
+  /** $project METADATA exclusion under the gate: the frame carries only
+    * (doc_id, meta) so "info.source" exists solely inside the JSON
+    * document; {"info.source": 0} rewrites the root via JsonRewrite
+    * (the dotted path descends into the sub-document), observable both
+    * through "$$ROOT" (the rewritten text) and through the now-null
+    * "$info.source" resolution ($ifNull fallback fires). */
+  def mqlProjectExclude(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          struct(col("source"), col("n_chars")).as("info"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$match": {"lang": {"$in": ["en", "de"]}}},
+        | {"$project": {"info.source": 0}},
+        | {"$addFields": {
+        |   "doc": "$$ROOT",
+        |   "src_after": {"$ifNull": ["$info.source", "gone"]}}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+      .select(col("doc_id").as("did"), col("doc"), col("src_after"))
+
+  /** $replaceRoot DOCUMENT form under the gate: the new root is composed
+    * from computed expressions ({newRoot: {k: expr}}), then later stages
+    * resolve fields inside it — including a numeric $match that
+    * round-trips a computed double through the JSON text (Jackson emits
+    * shortest round-trippable reprs, so the re-parse is exact). */
+  def mqlReplaceRootDoc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$replaceRoot": {"newRoot": {
+        |   "label": {"$concat": [{"$toUpper": "$lang"}, "/", "$source"]},
+        |   "kchars": {"$divide": [{"$toLong": "$n_chars"}, 1000]}}}},
+        | {"$match": {"kchars": {"$gte": 0.5}}},
+        | {"$project": {"doc_id": 1, "label": 1,
+        |   "kchars": {"$toDouble": "$kchars"}}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+
+  /** The $group accumulator breadth gate — $count (Mongo 5 form),
+    * $first/$last (min_by/max_by over the prior $sort key: the per-group
+    * top-1 runs inside partial aggregation, no window, no extra
+    * shuffle), $push (deterministic: per-group sort_array over the
+    * $sort key), $addToSet (canonical sorted set). Arrays are joined to
+    * strings ONLY for the oracle compare (pandas can't hash list
+    * cells); the pipeline itself returns real ARRAY columns. */
+  def mqlPipelineAccum(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$group": {"_id": "$lang",
+        |   "n": {"$count": {}},
+        |   "first_src": {"$first": "$source"},
+        |   "last_src": {"$last": "$source"},
+        |   "srcs": {"$addToSet": "$source"},
+        |   "docs": {"$push": "$doc_id"}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .select(col("_id"), col("n"), col("first_src"), col("last_src"),
+        array_join(col("srcs"), ",").as("srcs"),
+        array_join(transform(col("docs"), _.cast("string")), ",")
+          .as("docs"))
+
+  /** The Mongo 5.2 N-accumulator family under the gate: $topN/$bottomN
+    * (own sortBy, independent of the pipeline $sort) and $firstN/$lastN
+    * (pipeline document order) — all four against one oracle. The
+    * sorted-struct tie-break is (sort key, output value) in the SORT
+    * DIRECTION (a descending sortBy reverses both fields), which the
+    * oracle replicates verbatim. */
+  def mqlPipelineTopN(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("source"),
+          col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$sort": {"doc_id": 1}},
+        | {"$group": {"_id": "$lang",
+        |   "big3": {"$topN": {"n": 3, "sortBy": {"n_chars": -1},
+        |            "output": "$doc_id"}},
+        |   "small3": {"$bottomN": {"n": 3, "sortBy": {"n_chars": -1},
+        |            "output": "$doc_id"}},
+        |   "first2": {"$firstN": {"n": 2, "input": "$source"}},
+        |   "last2": {"$lastN": {"n": 2, "input": "$source"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+      .select(col("_id"),
+        array_join(transform(col("big3"), _.cast("string")), ",")
+          .as("big3"),
+        array_join(transform(col("small3"), _.cast("string")), ",")
+          .as("small3"),
+        array_join(col("first2"), ",").as("first2"),
+        array_join(col("last2"), ",").as("last2"))
+
+  /** $sortByCount under the gate: the Mongo frequency-table shorthand
+    * ($group by value + $sort by count desc). Equal counts order by
+    * _id ascending in both engines — the stage's documented
+    * deterministic tie-break. */
+  def mqlSortByCount(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 100}}},
+        | {"$sortByCount": "$lang"}
+        |]""".stripMargin)
+
+  /** $bucket under the gate: half-open numeric ranges labeled by lower
+    * bound, out-of-range rows (both below 100 and above 500 exist in
+    * the data) landing in the default bucket, and a non-default output
+    * accumulator set — the Mongo histogram idiom as ONE grouped
+    * aggregation (a when-chain bucket id, no joins, no second pass). */
+  def mqlBucket(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$bucket": {"groupBy": "$n_chars",
+        |   "boundaries": [100, 200, 300, 400, 500],
+        |   "default": -1,
+        |   "output": {
+        |     "n": {"$sum": 1},
+        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}},
+        |     "max_chars": {"$max": {"$toLong": "$n_chars"}}}}}
+        |]""".stripMargin)
+
+  /** $unionWith under the gate: the live collection's English docs
+    * concatenated with an "archive" collection (same canonical layout,
+    * offset ids) pre-shaped by a sub-pipeline, then rolled up — the
+    * Mongo multi-collection union. The union is a zero-shuffle
+    * concatenation; only the $group moves data. */
+  def mqlUnionWith(s: SparkSession, dir: String): DataFrame = {
+    def shaped = t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+      .select(col("doc_id"), col("meta"))
+    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
+      case "archive" =>
+        (shaped.withColumn("doc_id", col("doc_id") + 10000), col("meta"))
+      case other => throw new IllegalArgumentException(
+        s"unknown collection: $other")
+    }
+    graft.filter.MqlPipeline.aggregate(
+      shaped,
+      col("meta"),
+      """[
+        | {"$match": {"lang": "en"}},
+        | {"$unionWith": {"coll": "archive",
+        |   "pipeline": [{"$match": {"n_chars": {"$gte": 300}}}]}},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      resolver)
+  }
+
+  /** $setWindowFields under the gate: two window stages folding into the
+    * one Catalyst plan — (1) sortBy the unique doc_id: document number,
+    * running character total (documents [unbounded, current]), previous
+    * doc's id ($shift by −1 with default), partition-total characters
+    * (Mongo's default whole-partition window); (2) sortBy n_chars
+    * descending — NON-unique, exercising $rank vs $denseRank tie
+    * semantics (both are deterministic under ties; the order-sensitive
+    * ops all live in stage 1 where the key is unique). Rank outputs
+    * cast to long for the dtype-strict oracle compare. */
+  def mqlWindowFields(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "seq": {"$documentNumber": {}},
+        |     "running_chars": {"$sum": {"$toLong": "$n_chars"},
+        |       "window": {"documents": ["unbounded", "current"]}},
+        |     "prev_id": {"$shift": {"output": "$doc_id", "by": -1,
+        |       "default": -1}},
+        |     "lang_chars": {"$sum": {"$toLong": "$n_chars"}}}}},
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"n_chars": -1},
+        |   "output": {
+        |     "rnk": {"$rank": {}},
+        |     "drnk": {"$denseRank": {}}}}},
+        | {"$sort": {"lang": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang", "seq": 1,
+        |   "running_chars": 1, "prev_id": 1, "lang_chars": 1,
+        |   "rnk": 1, "drnk": 1}}
+        |]""".stripMargin)
+      .select(col("doc_id"), col("lang"), col("seq").cast("long").as("seq"),
+        col("running_chars"), col("prev_id"), col("lang_chars"),
+        col("rnk").cast("long").as("rnk"),
+        col("drnk").cast("long").as("drnk"))
+
+  /** $setWindowFields RANGE windows under the gate — Mongo's
+    * value-keyed frames ({window: {range: [lo, hi]}} over one
+    * ascending numeric sortBy) mapped to Spark's rangeBetween: each
+    * doc aggregates over the docs of its language within 100 chars
+    * below its own length. RANGE semantics include sort-value peers in
+    * both engines, so ties are deterministic without a tiebreak
+    * column. Same one-Window-node plan as the documents form. */
+  def mqlWindowRange(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars"))))
+        .select(col("doc_id"), col("n_chars"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"n_chars": 1},
+        |   "output": {
+        |     "near_n": {"$count": {}, "window": {"range": [-100, 0]}},
+        |     "near_chars": {"$sum": {"$toLong": "$n_chars"},
+        |       "window": {"range": [-100, "current"]}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang",
+        |   "near_n": 1, "near_chars": 1}}
+        |]""".stripMargin)
+
+  /** Time-UNIT range windows under the gate — the sliding-lookback
+    * query every abuse/velocity check runs ("events by this user in
+    * the last hour"): {range: [-1, 0], unit: "hour"} keys the frame
+    * on the timestamp sortBy's epoch-micros, bounds scaled by the
+    * unit. One Window node, no self-join — the naive formulation is
+    * a time-range self-join that [[Bucketing]] exists to block. */
+  def mqlWindowUnit(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      // user_id rides as a REAL column: "$user_id" would otherwise
+      // resolve through the metadata STRING view, and a JSON number's
+      // string view is null by MQL bracketing (one null partition)
+      events(s, dir)
+        .withColumn("meta", to_json(struct(col("event_type"))))
+        .select(col("event_id"), col("ts"), col("user_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$user_id",
+        |   "sortBy": {"ts": 1},
+        |   "output": {
+        |     "recent_n": {"$count": {},
+        |       "window": {"range": [-1, 0], "unit": "hour"}}}}},
+        | {"$sort": {"event_id": 1}},
+        | {"$project": {"event_id": 1, "recent_n": 1}}
+        |]""".stripMargin)
+
+  /** $fill under the gate: nulls planted in a numeric column (every
+    * n_chars divisible by 7) and a string column (source 'src1'), then
+    * one $fill stage repairs both — locf (last observed carried forward
+    * per language, doc_id order; leading nulls stay null) and a
+    * constant value fill. The locf is ONE running-frame window — no
+    * self-join, no driver pass; at 100 TB it shuffles once on the
+    * partition key like any window. */
+  def mqlFill(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"))))
+        .select(col("doc_id"), col("meta"),
+          when(col("n_chars") % 7 === 0, lit(null))
+            .otherwise(col("n_chars")).cast("double").as("chars"),
+          when(col("source") === "src1", lit(null))
+            .otherwise(col("source")).as("src")),
+      col("meta"),
+      """[
+        | {"$fill": {"partitionBy": "$lang", "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "chars": {"method": "locf"},
+        |     "src": {"value": "unknown"}}}},
+        | {"$sort": {"lang": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang", "chars": 1,
+        |   "src": 1}}
+        |]""".stripMargin)
+
+  /** $densify under the gate: documents coarsened to 10-char buckets,
+    * then per-language missing buckets generated across each
+    * partition's [min, max] grid — bounds agg (one row per lang) →
+    * sequence explode → LEFT ANTI against existing (lang, bucket) →
+    * null-filled union (generated rows carry null doc_id, Mongo's
+    * generated-document shape). Within any (lang, bucket) the rows are
+    * either all existing or one generated, so the doc_id tiebreak never
+    * compares null against non-null and both engines' null-order
+    * conventions agree. */
+  def mqlDensify(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"))))
+        .select(col("doc_id"), col("lang"),
+          (floor(col("n_chars") / 10) * 10).cast("long").as("bucket")),
+      col("meta"),
+      """[
+        | {"$densify": {"field": "bucket",
+        |   "partitionByFields": ["lang"],
+        |   "range": {"step": 10, "bounds": "partition"}}},
+        | {"$sort": {"lang": 1, "bucket": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": 1, "bucket": 1}}
+        |]""".stripMargin)
+
+  /** $graphLookup under the gate: documents shaped into a binary-tree
+    * parent relation (parent = floor(doc_id/2); the root 0 is its own
+    * parent — a genuine CYCLE the visited-set must terminate), then a
+    * self-referential ancestor walk to depth 2. The traversal is
+    * distributed BFS over distinct start values (iterative joins, the
+    * dedup_clusters pattern); the oracle is DuckDB's WITH RECURSIVE
+    * with min-depth dedup — BFS first-encounter depth ≡ the recursive
+    * CTE's minimum depth per (src, ancestor). Output flattened via
+    * $unwind for the row-compare. */
+  def mqlGraphLookup(s: SparkSession, dir: String): DataFrame = {
+    def shaped = t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .select(col("doc_id"),
+        floor(col("doc_id") / 2).cast("long").as("parent_id"),
+        col("meta"))
+    val resolver: String => (DataFrame, org.apache.spark.sql.Column) = {
+      case "docs" => (shaped.select("doc_id", "parent_id"), lit(null))
+      case other => throw new IllegalArgumentException(
+        s"unknown collection: $other")
+    }
+    graft.filter.MqlPipeline.aggregate(
+      shaped, col("meta"),
+      """[
+        | {"$graphLookup": {"from": "docs",
+        |   "startWith": "$parent_id",
+        |   "connectFromField": "parent_id",
+        |   "connectToField": "doc_id",
+        |   "as": "ancestors", "maxDepth": 2, "depthField": "depth"}},
+        | {"$unwind": "$ancestors"},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin,
+      resolver)
+      .select(col("doc_id"),
+        col("ancestors.doc_id").as("anc_id"),
+        col("ancestors.depth").as("depth"))
+      .orderBy("doc_id", "depth", "anc_id")
+  }
+
+  /** $facet under the gate: one pass fans into two sub-pipelines — a
+    * per-language roll-up and a filtered $count — and the single facet
+    * document is flattened for the row compare ($unwind one facet; the
+    * scalar facet read by element_at). The $match BEFORE the $facet
+    * prunes once for both facets (the checkpointed-shared-input shape). */
+  def mqlFacet(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 100}}},
+        | {"$facet": {
+        |   "by_lang": [
+        |     {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        |     {"$sort": {"_id": 1}}],
+        |   "big": [
+        |     {"$match": {"n_chars": {"$gte": 400}}},
+        |     {"$count": "n"}]}},
+        | {"$unwind": "$by_lang"}
+        |]""".stripMargin)
+      .select(col("by_lang._id").as("lang"),
+        col("by_lang.n").as("n"),
+        element_at(col("big"), 1).getField("n").as("big_n"))
+      .orderBy("lang")
+
+  /** $bucketAuto under the gate: documents split into 4 approximately
+    * equal-population buckets by n_chars — boundary values selected at
+    * exact ranks floor(k·n/4) by the distributed rank device, rows
+    * assigned by value (half-open at each boundary), _id = {min, max}
+    * of the actual bucket values flattened for the compare. The oracle
+    * recomputes the identical ranks/boundaries via row_number and the
+    * identical assignment by counting boundaries ≤ v. */
+  def mqlBucketAuto(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$bucketAuto": {"groupBy": "$n_chars", "buckets": 4,
+        |   "output": {
+        |     "n": {"$sum": 1},
+        |     "total_chars": {"$sum": {"$toLong": "$n_chars"}}}}}
+        |]""".stripMargin)
+      .select(col("_id.min").as("lo"), col("_id.max").as("hi"),
+        col("n"), col("total_chars"))
+
+  /** $derivative/$integral under the gate: per-user event series
+    * (x = event-time SECONDS, y = floor(value)) through one
+    * $setWindowFields — instantaneous rate over a [-1, 0] frame (the
+    * discrete derivative) and running trapezoid area. The axes are
+    * INTEGRAL by construction, so every trapezoid is an exact dyadic
+    * value (k/2) and the running sums stay exactly representable —
+    * necessary because Spark accumulates window sums in frame order
+    * while DuckDB aggregates them in segment-tree order, and a
+    * float-fractional series would diverge in the low bits (observed
+    * before this shaping). The derivative stays a single double
+    * division; tied timestamps (same second) yield null rates in both
+    * engines via the zero-x-span guard. */
+  def mqlWindowCalculus(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) DIV 1000000").as("sec"),
+          floor(col("value")).cast("double").as("yv")),
+      to_json(struct(col("user_id"))),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$user_id",
+        |   "sortBy": {"sec": 1, "event_id": 1},
+        |   "output": {
+        |     "vel": {"$derivative": {"input": "$yv"},
+        |       "window": {"documents": [-1, 0]}},
+        |     "area": {"$integral": {"input": "$yv"},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        | {"$sort": {"user_id": 1, "sec": 1, "event_id": 1}},
+        | {"$project": {"user_id": 1, "event_id": 1, "vel": 1,
+        |   "area": 1}}
+        |]""".stripMargin)
+
+  /** $median/$percentile window ops under the gate: per-language exact
+    * interpolated quantiles of n_chars through $setWindowFields
+    * (whole-partition frames), flattened to one row per language. The
+    * values are integral, so the linear interpolation (lo + frac·(hi−lo)
+    * with dyadic frac) is exact in both engines — Spark's percentile()
+    * and DuckDB's quantile_cont share the (n−1)·p rank convention. */
+  def mqlWindowPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("chars")),
+      to_json(struct(col("lang"))),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "med": {"$median": {"input": "$chars",
+        |       "method": "approximate"}},
+        |     "pcts": {"$percentile": {"input": "$chars",
+        |       "p": [0.25, 0.75], "method": "approximate"}}}}}
+        |]""".stripMargin)
+      .select(col("lang"), col("med"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p75"))
+      .distinct()
+      .orderBy("lang")
+
+  /** Pipeline $unwind: array fan-out then per-element roll-up — the
+    * Mongo unwind → group idiom over the same tags-array metadata as
+    * mql_docs_array. */
+  def mqlUnwind(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          array(col("lang"), col("source")).as("tags"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$match": {"n_chars": {"$gte": 120}}},
+        | {"$unwind": "$tags"},
+        | {"$group": {"_id": "$tags", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
+  /** $stdDevPop/$stdDevSamp accumulators under the gate: per-language
+    * dispersion of document lengths, $round-ed to 6 decimals on BOTH
+    * sides — parallel stddev merges differ from the oracle's by ~1 ulp
+    * of summation order, and the rounding absorbs exactly that (the
+    * float-aggregate stance; integer-exact aggregates use cents
+    * instead). */
+  def mqlStddev(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"), col("n_chars")))),
+      col("meta"),
+      """[
+        | {"$group": {"_id": "$lang",
+        |   "sd_pop": {"$stdDevPop": {"$toLong": "$n_chars"}},
+        |   "sd_samp": {"$stdDevSamp": {"$toLong": "$n_chars"}},
+        |   "n": {"$sum": 1}}},
+        | {"$project": {"_id": 1,
+        |   "sd_pop": {"$round": ["$sd_pop", 6]},
+        |   "sd_samp": {"$round": ["$sd_samp", 6]},
+        |   "n": 1}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
+  /** $lookup under the oracle gate: left outer equi-match against a
+    * sibling collection (Mongo's cross-collection join,
+    * /root/reference delegated-pipeline surface), matches re-nested as an
+    * array then $unwind-flattened — the join fan-out makes the re-nest
+    * observable (each doc matches one foreign row per distinct source of
+    * its language; docs whose language has no foreign row drop at
+    * $unwind, the Mongo default). The oracle replays the same join+count
+    * in SQL. */
+  def mqlLookup(s: SparkSession, dir: String): DataFrame = {
+    val local = t(s, dir, "documents")
+      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
+    val foreign = t(s, dir, "documents")
+      .filter(col("lang").isin("en", "fr", "de"))
+      .select(col("lang"), col("source")).distinct()
+      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
+    graft.filter.MqlPipeline.aggregate(
+      local, col("meta"),
+      """[
+        | {"$lookup": {"from": "langsrc", "localField": "lang",
+        |   "foreignField": "lang", "as": "matches"}},
+        | {"$unwind": "$matches"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "langsrc", s"unknown collection: $name")
+        (foreign, col("fmeta"))
+      })
+  }
+
+  /** The CORRELATED $lookup form under the gate ({let, pipeline} —
+    * Mongo's general lookup): the correlated `$expr` equality becomes
+    * the type-tagged equi-join key (hashable — a general correlated
+    * predicate would nested-loop), and the uncorrelated $match in the
+    * sub-pipeline pre-filters the foreign side before the join (it
+    * commutes — the oracle proves the factoring). */
+  def mqlLookupLet(s: SparkSession, dir: String): DataFrame = {
+    val local = t(s, dir, "documents")
+      .select(col("doc_id"), to_json(struct(col("lang"))).as("meta"))
+    val foreign = t(s, dir, "documents")
+      .filter(col("lang").isin("en", "fr", "de"))
+      .select(col("lang"), col("source")).distinct()
+      .select(to_json(struct(col("lang"), col("source"))).as("fmeta"))
+    graft.filter.MqlPipeline.aggregate(
+      local, col("meta"),
+      """[
+        | {"$lookup": {"from": "langsrc",
+        |   "let": {"l": "$lang"},
+        |   "pipeline": [
+        |     {"$match": {"source": {"$gte": "src12"}}},
+        |     {"$match": {"$expr": {"$eq": ["$$l", "$lang"]}}}],
+        |   "as": "matches"}},
+        | {"$unwind": "$matches"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "langsrc", s"unknown collection: $name")
+        (foreign, col("fmeta"))
+      })
+  }
+
+  /** Array expression operators under the gate ($size/$arrayElemAt over
+    * a variable-length metadata array): long docs carry a third tag, so
+    * the count and the negative-index (last-element) access genuinely
+    * vary per row; the oracle replays the synthesis as CASE logic. */
+  def mqlArrayExpr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("n_chars") > 500,
+            array(col("lang"), col("source"), lit("long")))
+            .otherwise(array(col("lang"), col("source"))).as("tags")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "ntags": {"$size": "$tags"},
+        |   "first": {"$arrayElemAt": ["$tags", 0]},
+        |   "last": {"$arrayElemAt": ["$tags", -1]}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "ntags": 1, "first": 1, "last": 1}}
+        |]""".stripMargin)
+
+  /** Array lambda battery under the gate: $map / $filter / $reduce
+    * (with `"$$var"` variables and nested composition) over a JSON
+    * numeric-array metadata field. Every lambda compiles to a Spark
+    * higher-order function (transform/filter/aggregate) — per-row
+    * codegen'd, zero shuffle; VARIANT elements cast to double at their
+    * use sites (MQL numeric bracketing). */
+  def mqlArrayLambda(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(array(
+          col("n_chars") % 7, col("n_chars") % 11,
+          col("n_chars") % 13, col("doc_id") % 5).as("vals")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "big": {"$size": {"$filter": {"input": "$vals", "as": "x",
+        |     "cond": {"$gte": ["$$x", 5]}}}},
+        |   "total": {"$toLong": {"$reduce": {"input": "$vals",
+        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}},
+        |   "scaled": {"$toLong": {"$reduce": {"input":
+        |     {"$map": {"input": "$vals", "as": "x",
+        |       "in": {"$multiply": ["$$x", 2]}}},
+        |     "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}}
+        | }},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "big": 1, "total": 1, "scaled": 1}}
+        |]""".stripMargin)
+
+  /** String operator battery under the gate: $split/$toUpper/$substrCP/
+    * $indexOfCP/$trim/$regexMatch/$replaceAll — over real columns AND
+    * the padded-string metadata view (the $trim input). All per-row
+    * codegen'd string expressions at scan speed. */
+  def mqlStringExpr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          concat(lit("  "), col("lang"), lit("  ")).as("padded")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "n_toks": {"$size": {"$split": ["$text", " "]}},
+        |   "up": {"$toUpper": "$lang"},
+        |   "pre": {"$substrCP": ["$source", 0, 3]},
+        |   "pos1": {"$indexOfCP": ["$source", "1"]},
+        |   "clean": {"$trim": {"input": "$padded"}},
+        |   "isnum": {"$toLong": {"$cond": [
+        |     {"$regexMatch": {"input": "$source", "regex": "^src[0-9]$"}},
+        |     1, 0]}},
+        |   "repl": {"$replaceAll": {"input": "$source",
+        |     "find": "src", "replacement": "S"}}
+        | }},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "n_toks": 1, "up": 1, "pre": 1,
+        |   "pos1": 1, "clean": 1, "isnum": 1, "repl": 1}}
+        |]""".stripMargin)
+
+  /** Array set-algebra + $let battery under the gate: $setUnion /
+    * $setIntersection / $setDifference (canonically sorted — Mongo
+    * sets are unordered, so a deterministic order is the only
+    * hashable contract), $sortArray / $indexOfArray, and $let-bound
+    * named subexpressions. Integral-valued results re-emitted as
+    * space-joined LONG strings (the encode_ids scalar-columns-only
+    * convention). */
+  def mqlArraySets(s: SparkSession, dir: String): DataFrame = {
+    val piped = graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          array(col("n_chars") % 7, col("n_chars") % 11,
+            col("doc_id") % 5).as("vals1"),
+          array(col("n_chars") % 7, col("doc_id") % 3, lit(2L))
+            .as("vals2")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "u": {"$setUnion": ["$vals1", "$vals2"]},
+        |   "i": {"$setIntersection": ["$vals1", "$vals2"]},
+        |   "d": {"$setDifference": ["$vals1", "$vals2"]},
+        |   "rev": {"$sortArray": {"input": "$vals1", "sortBy": -1}},
+        |   "pos3": {"$indexOfArray": ["$vals1", 3]},
+        |   "score": {"$let": {
+        |     "vars": {"t": {"$reduce": {"input": "$vals1",
+        |       "initialValue": 0,
+        |       "in": {"$add": ["$$value", "$$this"]}}}},
+        |     "in": {"$toLong": {"$multiply": ["$$t", 10]}}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "u": 1, "i": 1, "d": 1,
+        |   "rev": 1, "pos3": 1, "score": 1}}
+        |]""".stripMargin)
+    // integral-valued double arrays → space-joined LONG strings (the
+    // encode_ids scalar-columns-only convention for the oracle compare)
+    def joined(c: String) = array_join(
+      transform(col(c), x => x.cast("long").cast("string")), " ").as(c)
+    piped.select(col("doc_id"), joined("u"), joined("i"), joined("d"),
+      joined("rev"), col("pos3"), col("score"))
+  }
+
+  /** $densify with a TIME UNIT under the gate (Mongo 5.1's calendar
+    * form): per-event-type day grids over the real timestamp column —
+    * grid arithmetic in exact epoch-µs (both engines), generated rows
+    * null-padded and flagged. The small user slice keeps the generated
+    * volume proportional to span/step, the operator's own contract. */
+  def mqlDensifyUnit(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).filter(col("user_id") < 3)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    graft.filter.MqlPipeline.aggregate(ev, col("meta"),
+      """[
+        | {"$densify": {"field": "ts",
+        |   "partitionByFields": ["event_type"],
+        |   "range": {"step": 1, "unit": "day",
+        |     "bounds": "partition"}}}
+        |]""".stripMargin)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        when(col("event_id").isNull, 1L).otherwise(0L).as("generated"))
+      .orderBy("event_type", "tus", "generated")
+  }
+
+  /** $sample under the gate — the reproducible hash-rank form: the 50
+    * "random" documents are a deterministic function of the documents
+    * themselves, so the very sample membership sits under the oracle
+    * hash (rand() could never). */
+  def mqlSample(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("meta", to_json(struct(col("doc_id")))),
+      col("meta"),
+      """[
+        | {"$sample": {"size": 50}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}}
+        |]""".stripMargin)
+
+  /** Pipeline $out under the gate: Mongo's replace-the-collection
+    * terminal stage in its library-over-parquet form — the shaped
+    * pipeline result is materialized to the conf-rooted scratch
+    * collection and the census that follows reads ENTIRELY from the
+    * readback, so the $out sink and source both sit under the oracle
+    * hash. */
+  def mqlOut(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("graft.mql.out_dir",
+      graft.core.Scratch.dir("mqlout", dir))
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang")))),
+      col("meta"),
+      """[
+        | {"$match": {"lang": {"$in": ["en", "fr"]}}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+        | {"$out": "docs_enfr"},
+        | {"$group": {"_id": "$lang", "n": {"$sum": 1},
+        |   "total_chars": {"$sum": {"$toLong": "$n_chars"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+  }
+
+  /** Pipeline $merge under the gate: a shaped update slice ($match +
+    * $addFields bump) merged into the base collection frame by doc_id
+    * (replace + insert through ONE full-outer join), then a census so
+    * the output stays compact. Mongo's pipeline-output upsert surface
+    * over the engine's Upsert machinery. */
+  def mqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val src = t(s, dir, "documents")
+      .filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("meta", to_json(struct(col("doc_id"))))
+    graft.filter.MqlPipeline.aggregate(src, col("meta"),
+      """[
+        | {"$addFields": {"n_chars": {"$toLong":
+        |     {"$add": ["$n_chars", 1000]}}}},
+        | {"$project": {"doc_id": 1, "lang": 1, "n_chars": 1}},
+        | {"$merge": {"into": "base", "on": "doc_id",
+        |   "whenMatched": "replace", "whenNotMatched": "insert"}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin,
+      name => {
+        require(name == "base", s"unknown collection: $name")
+        (base, col("doc_id").cast("string"))
+      })
+  }
+
+  /** $regex with Mongo $options (inline (?i) flags) + $not composition,
+    * under the oracle gate — the flags travel inside the pattern so any
+    * regex engine (Java here, RE2 in the oracle) evaluates identically. */
+  def mqlDocsRegexCi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"), col("source"))))
+      .filter(MqlFilter.toColumn(
+        """{"source": {"$regex": "^SRC1$", "$options": "i"},
+          | "lang": {"$not": {"$regex": "^E", "$options": "i"}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** The MQL ARRAY operator family ($all, $size, $elemMatch) plus $type
+    * under the oracle gate: metadata carries a real JSON array (the two
+    * tag strings), and the filter requires all of {the doc's lang}, a
+    * 2-element tag array, an element matching ^src, and n_chars typed as
+    * an integral number. */
+  def mqlDocsArray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(
+        array(col("lang"), col("source")).as("tags"),
+        col("lang"), col("n_chars"))))
+      .filter(MqlFilter.toColumn(
+        """{"tags": {"$all": ["en"], "$size": 2,
+          |          "$elemMatch": {"$regex": "^src"}},
+          | "n_chars": {"$type": "long"}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  protected def mqlOracle: Map[String, String] = Map(
+    "mql_densify_unit" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id < 3),
+        |b AS (SELECT event_type, min(us) AS lo, max(us) AS hi
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 86400000000)) AS us FROM b),
+        |miss AS (SELECT g.event_type, g.us FROM g
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.event_type = g.event_type AND e.us = g.us))
+        |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
+        |FROM e
+        |UNION ALL
+        |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
+        |ORDER BY event_type, tus, generated""".stripMargin,
+    // VERBATIM shared SQL — both engines parse the same recursive form,
+    "mql_pipeline_topn" ->
+      // list(... ORDER BY) replicates the sorted-struct tie-break:
+      // a DESC sortBy reverses BOTH the key and the output value
+      """WITH d AS (SELECT lang, source, n_chars, doc_id
+        |  FROM documents),
+        |g AS (SELECT lang AS _id,
+        |    (list(doc_id ORDER BY n_chars DESC, doc_id DESC)) AS ord_d,
+        |    (list(source ORDER BY doc_id ASC)) AS ord_s
+        |  FROM d GROUP BY 1)
+        |SELECT _id,
+        |  array_to_string(ord_d[1:3], ',') AS big3,
+        |  array_to_string(
+        |    ord_d[greatest(len(ord_d) - 2, 1):len(ord_d)], ',')
+        |    AS small3,
+        |  array_to_string(ord_s[1:2], ',') AS first2,
+        |  array_to_string(
+        |    ord_s[greatest(len(ord_s) - 1, 1):len(ord_s)], ',')
+        |    AS last2
+        |FROM g ORDER BY _id""".stripMargin,
+    // the aggregate-expression form answers the SAME query — shared text,
+    "mql_elem_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE (lang IN ('en','src2') AND n_chars % 10 >= 5)
+        |   OR (source IN ('en','src2') AND n_chars % 7 >= 5)
+        |ORDER BY doc_id""".stripMargin,
+    "mql_replace_root" ->
+      """SELECT CAST(doc_id AS BIGINT) AS did, lang,
+        |  CASE WHEN n_chars >= 800 THEN 'long' ELSE 'short' END
+        |    AS size_bucket,
+        |  'none' AS fallback
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |ORDER BY did""".stripMargin,
+    "mql_pipeline_compute" ->
+      """SELECT CAST(doc_id AS BIGINT) AS did,
+        |  upper(lang) || ':' || source AS label,
+        |  n_chars / 100.0 AS kc,
+        |  (n_chars / 100.0) * 2 - 1.5 AS score
+        |FROM documents
+        |WHERE n_chars / 100.0 > 9
+        |ORDER BY did""".stripMargin,
+    "mql_docs_array" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains([lang, source], 'en')
+        |  AND len([lang, source]) = 2
+        |  AND len(list_filter([lang, source],
+        |        t -> regexp_matches(t, '^src'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "mql_unwind" ->
+      """SELECT tag AS _id, count(*) AS n
+        |FROM (SELECT unnest([lang, source]) AS tag
+        |      FROM documents WHERE n_chars >= 120)
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_project_exclude" ->
+      """SELECT doc_id AS did,
+        |  '{"lang":"' || lang || '","info":{"n_chars":' || n_chars || '}}'
+        |    AS doc,
+        |  'gone' AS src_after
+        |FROM documents WHERE lang IN ('en', 'de')
+        |ORDER BY did""".stripMargin,
+    "mql_replace_root_doc" ->
+      """SELECT doc_id, upper(lang) || '/' || source AS label,
+        |  n_chars / 1000.0 AS kchars
+        |FROM documents WHERE n_chars / 1000.0 >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+    "mql_pipeline_accum" ->
+      """SELECT lang AS _id,
+        |  count(*) AS n,
+        |  arg_min(source, doc_id) AS first_src,
+        |  arg_max(source, doc_id) AS last_src,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs,
+        |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
+        |FROM documents WHERE n_chars >= 120
+        |GROUP BY lang ORDER BY _id""".stripMargin,
+    "mql_union_with" ->
+      """WITH u AS (
+        |  SELECT lang FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT lang FROM documents WHERE n_chars >= 300)
+        |SELECT lang AS _id, count(*) AS n
+        |FROM u GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_sort_by_count" ->
+      """SELECT lang AS _id, count(*) AS count
+        |FROM documents WHERE n_chars >= 100
+        |GROUP BY lang ORDER BY count DESC, _id""".stripMargin,
+    "mql_bucket" ->
+      """SELECT CAST(CASE
+        |    WHEN n_chars >= 100 AND n_chars < 200 THEN 100
+        |    WHEN n_chars >= 200 AND n_chars < 300 THEN 200
+        |    WHEN n_chars >= 300 AND n_chars < 400 THEN 300
+        |    WHEN n_chars >= 400 AND n_chars < 500 THEN 400
+        |    ELSE -1 END AS BIGINT) AS _id,
+        |  count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_array_sets" ->
+      """WITH v AS (SELECT doc_id,
+        |    [CAST(n_chars % 7 AS DOUBLE), CAST(n_chars % 11 AS DOUBLE),
+        |     CAST(doc_id % 5 AS DOUBLE)] AS v1,
+        |    [CAST(n_chars % 7 AS DOUBLE), CAST(doc_id % 3 AS DOUBLE),
+        |     CAST(2 AS DOUBLE)] AS v2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(list_concat(v1, v2)))], ' '),
+        |    '') AS u,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(
+        |      list_filter(v1, x -> list_contains(v2, x))))], ' '), '')
+        |    AS i,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_sort(list_distinct(
+        |      list_filter(v1, x -> NOT list_contains(v2, x))))], ' '),
+        |    '') AS d,
+        |  COALESCE(array_to_string([CAST(x AS BIGINT)::VARCHAR
+        |    for x in list_reverse_sort(v1)], ' '), '') AS rev,
+        |  CAST(COALESCE(list_position(v1, 3.0) - 1, -1) AS BIGINT)
+        |    AS pos3,
+        |  CAST((v1[1] + v1[2] + v1[3]) * 10 AS BIGINT) AS score
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "mql_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(doc_id || '|' || lang || '|' ||
+        |      n_chars || '|' || '{"doc_id":' || doc_id || '}'),
+        |      1, 15))::BIGINT AS sh
+        |  FROM documents),
+        |sm AS (SELECT doc_id, lang, n_chars FROM h
+        |  ORDER BY sh LIMIT 50)
+        |SELECT doc_id, lang, n_chars FROM sm
+        |ORDER BY doc_id""".stripMargin,
+    "mql_out" ->
+      """SELECT lang AS _id, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_pipeline" ->
+      """SELECT lang AS _id, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents WHERE n_chars >= 120
+        |GROUP BY lang HAVING count(*) >= 5
+        |ORDER BY _id""".stripMargin,
+    "mql_bucket_auto" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v, n_chars
+        |           FROM documents),
+        |n AS (SELECT count(*) AS c FROM v),
+        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk
+        |           FROM v),
+        |bounds AS (
+        |  SELECT v AS bv FROM ranked, n
+        |  WHERE rk IN (1*c//4, 2*c//4, 3*c//4) AND rk > 0),
+        |assigned AS (
+        |  SELECT v.v, v.n_chars,
+        |    (SELECT count(*) FROM bounds WHERE bv <= v.v) AS bucket
+        |  FROM v)
+        |SELECT min(v) AS lo, max(v) AS hi, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM assigned GROUP BY bucket
+        |ORDER BY lo""".stripMargin,
+    "mql_facet" ->
+      """WITH f AS (SELECT lang, n_chars FROM documents
+        |           WHERE n_chars >= 100),
+        |by_lang AS (SELECT lang, count(*) AS n FROM f GROUP BY lang),
+        |big AS (SELECT count(*) AS n FROM f WHERE n_chars >= 400)
+        |SELECT b.lang, b.n, big.n AS big_n FROM by_lang b, big
+        |ORDER BY lang""".stripMargin,
+    "mql_graph_lookup" ->
+      """WITH RECURSIVE t0 AS (
+        |  SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS parent_id
+        |  FROM documents),
+        |anc AS (
+        |  SELECT c.doc_id AS src, p.doc_id AS anc_id,
+        |    p.parent_id AS anc_parent, 0 AS depth
+        |  FROM t0 c JOIN t0 p ON p.doc_id = c.parent_id
+        |  UNION
+        |  SELECT a.src, p2.doc_id, p2.parent_id, a.depth + 1
+        |  FROM anc a JOIN t0 p2 ON p2.doc_id = a.anc_parent
+        |  WHERE a.depth < 2)
+        |SELECT src AS doc_id, anc_id,
+        |  CAST(min(depth) AS BIGINT) AS depth
+        |FROM anc GROUP BY src, anc_id
+        |ORDER BY doc_id, depth, anc_id""".stripMargin,
+    "mql_densify" ->
+      """WITH t0 AS (SELECT doc_id, lang,
+        |  CAST(floor(n_chars / 10) * 10 AS BIGINT) AS bucket
+        |  FROM documents),
+        |b AS (SELECT lang, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM t0 GROUP BY lang),
+        |g AS (SELECT lang,
+        |        unnest(generate_series(lo, hi, 10)) AS bucket FROM b),
+        |miss AS (SELECT g.lang, g.bucket FROM g
+        |  WHERE NOT EXISTS (SELECT 1 FROM t0
+        |    WHERE t0.lang = g.lang AND t0.bucket = g.bucket))
+        |SELECT doc_id, lang, bucket FROM t0
+        |UNION ALL
+        |SELECT NULL AS doc_id, lang, bucket FROM miss
+        |ORDER BY lang, bucket, doc_id""".stripMargin,
+    "mql_fill" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CAST(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END
+        |    AS DOUBLE) AS chars,
+        |  CASE WHEN source = 'src1' THEN NULL ELSE source END AS src
+        |FROM documents)
+        |SELECT doc_id, lang,
+        |  last_value(chars IGNORE NULLS) OVER (PARTITION BY lang
+        |    ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
+        |  coalesce(src, 'unknown') AS src
+        |FROM f ORDER BY lang, doc_id""".stripMargin,
+    "mql_window_pct" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "mql_window_calculus" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |  CAST(floor(value) AS DOUBLE) AS yv,
+        |  epoch_ns(ts) // 1000 // 1000000 AS sec FROM events),
+        |w AS (SELECT user_id, event_id, sec, yv,
+        |  first_value(yv) OVER fr AS fv,
+        |  last_value(yv) OVER fr AS lv,
+        |  first_value(sec) OVER fr AS fs,
+        |  last_value(sec) OVER fr AS ls,
+        |  lag(yv) OVER wo AS pv,
+        |  lag(sec) OVER wo AS ps
+        |  FROM ev
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+        |  wo AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |t AS (SELECT user_id, event_id, sec,
+        |  CASE WHEN ls - fs <> 0 THEN (lv - fv) / (ls - fs) END AS vel,
+        |  CASE WHEN ps IS NULL THEN 0.0
+        |       ELSE (yv + pv) / 2 * (sec - ps) END AS trap
+        |  FROM w)
+        |SELECT user_id, event_id, vel,
+        |  sum(trap) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS area
+        |FROM t ORDER BY user_id, sec, event_id""".stripMargin,
+    "mql_window_unit" ->
+      """SELECT event_id, count(*) OVER (PARTITION BY user_id
+        |  ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |  AS recent_n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "mql_window_range" ->
+      """SELECT doc_id, lang,
+        |  count(*) OVER w AS near_n,
+        |  CAST(sum(n_chars) OVER w AS BIGINT) AS near_chars
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+    "mql_window_fields" ->
+"""SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS running_chars,
+        |  lag(doc_id, 1, -1) OVER (PARTITION BY lang ORDER BY doc_id)
+        |    AS prev_id,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_chars,
+        |  rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC)
+        |    AS drnk
+        |FROM documents WHERE n_chars >= 120
+        |ORDER BY lang, doc_id""".stripMargin,
+    "mql_docs_regex_ci" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(source, '(?i)^SRC1$')
+        |  AND NOT regexp_matches(lang, '(?i)^E')
+        |ORDER BY doc_id""".stripMargin,
+    "mql_lookup_let" ->
+      """WITH f AS (SELECT DISTINCT lang, source FROM documents
+        |  WHERE lang IN ('en', 'fr', 'de')),
+        |f2 AS (SELECT * FROM f WHERE source >= 'src12')
+        |SELECT d.lang AS _id, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN f2 ON f2.lang = d.lang
+        |GROUP BY 1 ORDER BY _id""".stripMargin,
+    "mql_lookup" ->
+      """SELECT d.lang AS _id, count(*) AS n
+        |FROM documents d
+        |JOIN (SELECT DISTINCT lang, source FROM documents
+        |      WHERE lang IN ('en', 'fr', 'de')) f
+        |  ON d.lang = f.lang
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_stddev" ->
+      """SELECT lang AS _id, round(stddev_pop(n_chars), 6) AS sd_pop,
+        |  round(stddev_samp(n_chars), 6) AS sd_samp, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_array_expr" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars > 500 THEN 3 ELSE 2 END::BIGINT AS ntags,
+        |  lang AS first,
+        |  CASE WHEN n_chars > 500 THEN 'long' ELSE source END AS last
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mql_array_lambda" ->
+      """WITH v AS (SELECT doc_id,
+        |  n_chars % 7 AS v1, n_chars % 11 AS v2,
+        |  n_chars % 13 AS v3, doc_id % 5 AS v4
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN v1 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v2 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v3 >= 5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN v4 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS big,
+        |  CAST(v1 + v2 + v3 + v4 AS BIGINT) AS total,
+        |  CAST(2 * (v1 + v2 + v3 + v4) AS BIGINT) AS scaled
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "mql_string_expr" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  upper(lang) AS up,
+        |  substring(source, 1, 3) AS pre,
+        |  CAST(strpos(source, '1') - 1 AS BIGINT) AS pos1,
+        |  lang AS clean,
+        |  CAST(CASE WHEN regexp_matches(source, '^src[0-9]$')
+        |    THEN 1 ELSE 0 END AS BIGINT) AS isnum,
+        |  replace(source, 'src', 'S') AS repl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mql_merge" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents
+        |           WHERE doc_id < 300),
+        |s AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |      FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+        |SELECT doc_id, lang, n_chars FROM s
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM t
+        |WHERE doc_id NOT IN (SELECT doc_id FROM s)
+        |ORDER BY doc_id""".stripMargin,
+    "mql_docs_bits" ->
+      """SELECT doc_id FROM documents
+        |WHERE (n_chars & 5) = 5
+        |  AND (n_chars & 48) <> 0
+        |  AND (n_chars & 48) <> 48
+        |ORDER BY doc_id""".stripMargin,
+    "mql_docs_mixed" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |  AND regexp_matches(source, '^src1')
+        |  AND n_chars >= 500
+        |ORDER BY doc_id""".stripMargin,
+    "mql_text_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE lang IN ('en', 'fr')
+        |  AND len(list_filter(
+        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |    t -> t IN ('vector', 'hash'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "mql_expr_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(n_chars AS DOUBLE) >
+        |    CAST(doc_id % 7 AS DOUBLE) * 100 + 300
+        |  AND lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    "mql_events_range" ->
+      """SELECT event_id FROM events
+        |WHERE (props->>'k')::DOUBLE >= 20.0 AND (props->>'k')::DOUBLE < 60.0
+        |  AND json_extract(props, '$.missing') IS NULL
+        |ORDER BY event_id""".stripMargin,
+    "mql_events_nor" ->
+      """SELECT event_id FROM events
+        |WHERE NOT ((props->>'k')::DOUBLE < 30.0 OR (props->>'k')::DOUBLE >= 70.0)
+        |  AND NOT ((props->>'k')::DOUBLE = 42.0)
+        |ORDER BY event_id""".stripMargin,
+    "mql_events_mod" ->
+      """SELECT event_id FROM events
+        |WHERE (props->>'k')::DOUBLE % 7 = 3
+        |ORDER BY event_id""".stripMargin,
+    "mql_events_date" ->
+      """SELECT event_id FROM events
+        |WHERE date_trunc('second', ts) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND date_trunc('second', ts) < TIMESTAMP '2024-01-20 12:00:00'
+        |  AND event_type IN ('click', 'view')
+        |ORDER BY event_id""".stripMargin,
+    "mql_switch_trunc" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') || '/' ||
+        |  CASE WHEN value >= 300 THEN 'high'
+        |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS _id,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mql_dates_pipeline" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS _id, count(*) AS n,
+        |  max(date_diff('day', DATE '2024-01-01', ts::DATE)) AS idx
+        |FROM events
+        |WHERE day(ts) >= 10 AND day(ts) < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  protected def mqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mql_events_range" -> (mqlEventsRange _),
+    "mql_events_nor" -> (mqlEventsNor _),
+    "mql_events_mod" -> (mqlEventsMod _),
+    "mql_events_date" -> (mqlEventsDate _),
+    "mql_dates_pipeline" -> (mqlDatesPipeline _),
+    "mql_switch_trunc" -> (mqlSwitchTrunc _),
+    "mql_densify_unit" -> (mqlDensifyUnit _),
+    "mql_docs_mixed" -> (mqlDocsMixed _),
+    "mql_docs_bits" -> (mqlDocsBits _),
+    "mql_expr_filter" -> (mqlExprFilter _),
+    "mql_text_filter" -> (mqlTextFilter _),
+    "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
+    "mql_lookup" -> (mqlLookup _),
+    "mql_lookup_let" -> (mqlLookupLet _),
+    "mql_stddev" -> (mqlStddev _),
+    "mql_merge" -> (mqlMerge _),
+    "mql_array_expr" -> (mqlArrayExpr _),
+    "mql_array_lambda" -> (mqlArrayLambda _),
+    "mql_string_expr" -> (mqlStringExpr _),
+    "mql_pipeline" -> (mqlPipeline _),
+    "mql_out" -> (mqlOut _),
+    "mql_sample" -> (mqlSample _),
+    "mql_array_sets" -> (mqlArraySets _),
+    "mql_window_fields" -> (mqlWindowFields _),
+    "mql_window_range" -> (mqlWindowRange _),
+    "mql_window_unit" -> (mqlWindowUnit _),
+    "mql_window_calculus" -> (mqlWindowCalculus _),
+    "mql_window_pct" -> (mqlWindowPercentile _),
+    "mql_fill" -> (mqlFill _),
+    "mql_densify" -> (mqlDensify _),
+    "mql_graph_lookup" -> (mqlGraphLookup _),
+    "mql_facet" -> (mqlFacet _),
+    "mql_bucket_auto" -> (mqlBucketAuto _),
+    "mql_pipeline_accum" -> (mqlPipelineAccum _),
+    "mql_project_exclude" -> (mqlProjectExclude _),
+    "mql_replace_root_doc" -> (mqlReplaceRootDoc _),
+    "mql_unwind" -> (mqlUnwind _),
+    "mql_sort_by_count" -> (mqlSortByCount _),
+    "mql_bucket" -> (mqlBucket _),
+    "mql_union_with" -> (mqlUnionWith _),
+    "mql_docs_array" -> (mqlDocsArray _),
+    "mql_pipeline_topn" -> (mqlPipelineTopN _),
+    "mql_elem_match" -> (mqlElemMatch _),
+    "mql_pipeline_compute" -> (mqlPipelineCompute _),
+    "mql_replace_root" -> (mqlReplaceRoot _)
+  )
+}

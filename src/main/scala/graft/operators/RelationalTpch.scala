@@ -1,0 +1,739 @@
+package graft.operators
+
+import graft.filter.MqlFilter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The verbatim-SQL battery — TPC-H queries and the SQL-surface
+  * gates (lateral/subqueries/window/DDL/recursive-CTE). Split
+  * from Relational.scala in r11: a PURE MOVE into a mixin trait
+  * (members defined once, here; `Relational` mixes them in, so
+  * every existing `Relational.sqlTpchQ*` reference still
+  * resolves) — zero behavior change, registry union unchanged. */
+private[graft] trait RelationalTpch { this: Relational.type =>
+  /** One copy of the Q5 text: the "run verbatim" contract requires the
+    * executed SQL and the oracle to be byte-identical. */
+  private val q5Sql = """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  /** TPC-H Q4 flavor (order priority checking): orders in a quarter with
+    * at least one late-shipping line (EXISTS against the fact table —
+    * decorrelates to a hash left-semi), counted per priority. Adapted to
+    * this corpus's columns: "late" = shipped > 60 days after order. */
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q4Sql)
+  }
+
+  /** TPC-H Q12 flavor (shipping-mode priority classification): per
+    * return flag, CASE-split counts of high- vs low-priority orders for
+    * lines shipped in one year — the join + conditional-sum shape.
+    * (This corpus has no l_shipmode/commitdate; l_returnflag carries the
+    * classification axis.) */
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def sqlTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q12Sql)
+  }
+
+  /** TPC-H Q14 flavor (promotion effect): promo-typed revenue as integer
+    * cents alongside total cents for one month — the conditional
+    * revenue-share shape, kept exact by emitting both sums instead of
+    * the spec's float percentage. */
+  private val q14Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+
+  def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q14Sql)
+  }
+
+  /** TPC-H Q19 flavor (discounted revenue, disjunctive brackets): three
+    * OR'd (brand, size, quantity) bracket predicates over the
+    * part⋈lineitem join — the planner must push the common join key and
+    * keep the disjunction as a residual filter, never a cartesian. */
+  private val q19Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE
+      |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity >= 1 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+      |    AND l_quantity >= 10 AND l_quantity <= 30)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+      |    AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
+
+  def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q19Sql)
+  }
+
+  /** TPC-H Q6 flavor (forecasting revenue change): the one spec query
+    * with NO join — pure scan-side arithmetic. All three predicates
+    * (ship-year range, discount band, quantity cap) must reach the
+    * parquet reader as pushed filters and the single sum aggregates
+    * map-side; at 100 TB this query is bounded by bytes read, nothing
+    * else. Money as integer cents. */
+  private val q6Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(q6Sql)
+  }
+
+  /** TPC-H Q10 flavor (returned-item reporting): revenue lost to
+    * returns per customer for one quarter, top 20 — a 4-relation join
+    * whose output carries dimension attributes through the aggregate
+    * (GROUP BY on the full customer tuple) and a deterministic
+    * LIMIT under a total order (cents DESC, custkey tiebreak).
+    * Account balance emitted as cents like every money column. */
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue_cents DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q10Sql)
+  }
+
+  /** TPC-H Q13 flavor (customer order-count distribution): the outer
+    * join with a JOIN-CONDITION filter (not a WHERE — customers with
+    * zero qualifying orders must survive with count 0) feeding a
+    * second aggregation over the first's result. Two shuffles by
+    * design; the histogram output is tiny. */
+  private val q13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def sqlTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q13Sql)
+  }
+
+  /** TPC-H Q15 flavor (top supplier): a named aggregate reused twice —
+    * once as the join input, once under a scalar max — where the spec's
+    * VIEW becomes a CTE. Catalyst plans the CTE once per consumer; the
+    * equality-to-max filter returns every tied supplier, so the result
+    * is deterministic without ROW_NUMBER. Money as integer cents makes
+    * the max and the equality exact in both engines. */
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |      AS BIGINT)) AS BIGINT) AS total_revenue_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue_cents
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue_cents = (SELECT max(total_revenue_cents)
+      |    FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q15Sql)
+  }
+
+  /** TPC-H Q18 flavor (large-volume customers): IN against a HAVING
+    * aggregate over the same fact table being joined — the planner
+    * turns the subquery into a semi-join whose build side is the
+    * already-aggregated (small) order list. Quantities are integral
+    * doubles, so the BIGINT casts are exact. */
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+      |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY totalprice_cents DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q18Sql)
+  }
+
+  /** TPC-H Q8 flavor (national market share): the widest join graph in
+    * the spec — 8 relation instances including nation twice in
+    * DIFFERENT roles (customer's region gate vs supplier's share axis).
+    * Emits numerator and denominator cents per year instead of the
+    * spec's float ratio, keeping the gate bit-exact. */
+  private val q8Sql =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol_cents
+      |    ELSE 0 END) AS BIGINT) AS nation_cents,
+      |  CAST(sum(vol_cents) AS BIGINT) AS total_cents
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |      AS vol_cents,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |    nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+      |      AND TIMESTAMP '1996-12-31'
+      |    AND p_type = 'ECONOMY') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def sqlTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q8Sql)
+  }
+
+  /** TPC-H Q11 flavor (important stock): group-by filtered against a
+    * GLOBAL scalar aggregate of the same grouped result — the CTE is
+    * consumed once per side and the threshold is a single broadcast
+    * number. This corpus has no partsupp, so "stock value" is shipped
+    * value (retailprice × quantity) from one nation's suppliers — the
+    * HAVING-vs-global-sum planning shape is Q11's. */
+  private val q11Sql =
+    """WITH value AS (
+      |  SELECT l_partkey AS ps_partkey,
+      |    CAST(sum(CAST(round(p_retailprice*l_quantity*100) AS BIGINT))
+      |      AS BIGINT) AS value_cents
+      |  FROM lineitem, supplier, nation, part
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3' AND p_partkey = l_partkey
+      |  GROUP BY l_partkey)
+      |SELECT ps_partkey, value_cents FROM value
+      |WHERE value_cents > (SELECT CAST(sum(value_cents)*0.001 AS BIGINT)
+      |  FROM value)
+      |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  def sqlTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "supplier", "nation", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q11Sql)
+  }
+
+  /** TPC-H Q16 flavor (parts/supplier relationship): COUNT(DISTINCT)
+    * per part attribute tuple with a NOT IN anti-join on the supplier
+    * dimension. The distinct rides the same shuffle as the group-by;
+    * the NOT IN side is dimension-sized → broadcast anti. Without
+    * partsupp, lineitem supplies the part↔supplier pairs. */
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def sqlTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part", "supplier"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q16Sql)
+  }
+
+  /** TPC-H Q20 flavor (potential part promotion): a semi-join whose
+    * subquery is itself a join + HAVING aggregate (suppliers who moved
+    * enough of a name-matched part in a year), gated by a nation
+    * filter on the outer dimension. Without partsupp the spec's inner
+    * availqty correlation collapses to the HAVING threshold — the
+    * nested-IN planning shape survives. */
+  private val q20Sql =
+    """SELECT s_name, s_suppkey
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem, part
+      |    WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(l_quantity) > 50)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "nation", "lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q20Sql)
+  }
+
+  /** The SQL entry path under the gate: TPC-H Q5 (local-supplier volume)
+    * run verbatim through spark.sql over temp views — six-table join,
+    * the planner free to pick broadcast vs shuffle per side. */
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — multi-hop reachability
+    * over the event-transition graph as VERBATIM shared SQL: min-hop
+    * distance from 'view' to every reachable event type, bounded at 4
+    * hops. The $graphLookup/dedup_clusters machinery expresses the
+    * same traversals as iterative joins; this gate pins the DECLARED
+    * recursive form both engines now parse identically. Events read
+    * through a micros-normalized view (the ts vintage device). */
+  private val recursiveCteSql =
+    """WITH RECURSIVE nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |edges AS (
+      |  SELECT DISTINCT from_type, to_type FROM nx
+      |  WHERE to_type IS NOT NULL),
+      |reach(node, d) AS (
+      |  SELECT 'view', 0
+      |  UNION ALL
+      |  SELECT e.to_type, r.d + 1
+      |  FROM reach r JOIN edges e ON e.from_type = r.node
+      |  WHERE r.d < 4)
+      |SELECT node, CAST(min(d) AS BIGINT) AS hops
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  def sqlRecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events")
+    val out = s.sql(recursiveCteSql)
+    // the driver's DuckDB oracle runs over the RAW parquet view — drop
+    // the temp view so later gates' reads are never shadowed
+    s.catalog.dropTempView("events")
+    out
+  }
+
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("region", "nation", "customer", "orders", "lineitem",
+        "supplier"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q5Sql)
+  }
+
+  /** TPC-H Q7 flavor (volume shipping): bidirectional nation-pair trade
+    * by ship year — a six-relation join with a self-joined dimension
+    * (nation n1/n2) and a disjunctive pair predicate the planner must
+    * keep above the joins. Shared-verbatim SQL: the adaptation to this
+    * corpus is only the nation names (synthetic NATION_i). */
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+      |      AS vol_cents
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def sqlTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q7Sql)
+  }
+
+  /** TPC-H Q9 flavor (product-type profit): profit per supplier nation
+    * per order year over parts matching a name pattern. This corpus has
+    * no partsupp table, so supply cost is approximated as
+    * p_retailprice*l_quantity — the JOIN GRAPH (5 relations, LIKE
+    * pushdown on part, two independent date/name filters) is the Q9
+    * planning shape; only the cost term differs. */
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(sum(amount_cents) AS BIGINT)
+      |    AS profit_cents
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(round((l_extendedprice*(1.0-l_discount)
+      |      - p_retailprice*l_quantity)*100) AS BIGINT) AS amount_cents
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def sqlTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "supplier", "lineitem", "orders", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q9Sql)
+  }
+
+  /** TPC-H Q22 flavor: above-average-balance customers with no
+    * processing-status order — an uncorrelated scalar subquery (the
+    * average) plus a correlated NOT EXISTS Catalyst must decorrelate to
+    * a null-safe anti join. Money as integer cents so the average is
+    * exact-integer summed before ONE double division (identical across
+    * engines regardless of partition-sum order). */
+  private val q22Sql =
+    """SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+      |FROM customer c
+      |WHERE CAST(round(c_acctbal*100) AS BIGINT) >
+      |    (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT)) FROM customer)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q22Sql)
+  }
+
+  /** TPC-H Q2 flavor (minimum-cost supplier): the decorrelation shape
+    * Q5/Q7/Q9/Q22 don't cover — a NESTED correlated scalar subquery
+    * whose body is an aggregate OVER A MULTI-RELATION JOIN
+    * (min price across lineitem⋈supplier⋈nation⋈region, correlated on
+    * the outer part key). Catalyst must pull the aggregate up into a
+    * per-partkey group and turn the correlation into an equi-join; the
+    * oracle runs the identical text. This corpus has no partsupp, so
+    * lineitem plays the part-supplier bridge (price = extendedprice) —
+    * the PLANNING shape (correlated agg-of-join, region filter repeated
+    * inside and out) is Q2's; only the bridge relation differs. Money
+    * compared as integer cents so the min and the outer equality are
+    * exact in both engines. */
+  private val q2Sql =
+    """SELECT DISTINCT p_partkey, s_name,
+      |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+      |FROM part p, lineitem l, supplier s, nation n, region r
+      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND CAST(round(l_extendedprice*100) AS BIGINT) = (
+      |    SELECT min(CAST(round(l2.l_extendedprice*100) AS BIGINT))
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'ASIA')
+      |ORDER BY p_partkey, s_name, price_cents""".stripMargin
+
+  def sqlTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "lineitem", "supplier", "nation", "region"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q2Sql)
+  }
+
+  /** TPC-H Q21 flavor (suppliers who kept orders waiting): the LAST
+    * distinct decorrelation family — correlated EXISTS *and* NOT EXISTS
+    * against the same fact table, each carrying an INEQUALITY conjunct
+    * (`l2.l_suppkey <> l1.l_suppkey`) on top of the equi correlation
+    * (`l_orderkey`). Catalyst must turn the EXISTS into a left-semi and
+    * the NOT EXISTS into a left-anti join, keeping the non-equi
+    * predicate as a join condition (not a post-filter) so both run as
+    * one hash join each on orderkey. This corpus has no
+    * commitdate/receiptdate, so `l_returnflag = 'R'` marks the problem
+    * line — the planning shape (multi-supplier order, sole-blame
+    * supplier) is Q21's. Deterministic: numwait desc, s_name asc. */
+  private val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem", "orders", "nation"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q21Sql)
+  }
+
+  /** TPC-H Q17 flavor (small-quantity-order revenue): a correlated
+    * scalar AGGREGATE over the SAME table the outer query scans —
+    * lineitem correlates with a per-partkey sum of lineitem itself.
+    * Catalyst must decorrelate into one grouped aggregate of the fact
+    * table joined back to the fact table (scan it twice, join once) —
+    * the self-correlation Q2's agg-of-a-join flavor doesn't cover. All
+    * compared quantities are integers (quantity is integral in this
+    * corpus — verified — and money is cents), so the inequality and
+    * both sums are order-independent exact in both engines. */
+  private val q17Sql =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) AS rev_cents
+      |FROM lineitem l, part p
+      |WHERE p.p_partkey = l.l_partkey
+      |  AND p.p_brand = 'Brand#1'
+      |  AND CAST(l_quantity AS BIGINT) * 5 < (
+      |    SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("lineitem", "part"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q17Sql)
+  }
+
+  /** Correlated LATERAL subquery — the SQL-surface form of "latest
+    * order per customer": each customer row drives a correlated
+    * ORDER BY … LIMIT 1 subquery. Catalyst DECORRELATES it (the naive
+    * reading is a per-row re-execution — a 1000-executor disaster):
+    * the rewrite becomes one window/top-1 over the orders side plus an
+    * equi-join on the correlation key, so the plan is the same shape a
+    * hand-written row_number query produces. Run verbatim in both
+    * engines (DuckDB executes LATERAL natively). */
+  private val lateralSql =
+    """SELECT c.c_custkey, l.o_orderkey AS last_orderkey,
+      |  l.o_orderdate AS last_orderdate
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_orderdate FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) l
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(lateralSql)
+  }
+
+  /** Subquery battery, one SQL string shared verbatim by Spark and the
+    * DuckDB oracle: correlated EXISTS, uncorrelated IN, and a correlated
+    * scalar aggregate subquery. Catalyst decorrelates all three into
+    * joins (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery)
+    * — there is no per-row re-execution at any scale. */
+  private val subqueriesSql =
+    """SELECT c_custkey,
+      |  CAST((SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 400000)
+      |  AND c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  def sqlSubqueries(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(subqueriesSql)
+  }
+
+  /** Window-function battery over one named WINDOW clause — ranking
+    * (row_number, ntile, percent_rank), offsets (lag, lead), frames
+    * (first_value, partition-wide sum). Ordering is unique per
+    * partition, so every function is deterministic cross-engine. One
+    * shuffle + one sort per window spec. */
+  private val windowBatterySql =
+    """SELECT o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  lag(pc) OVER w AS prev_pc,
+      |  lead(pc) OVER w AS next_pc,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(pc) OVER w AS first_pc,
+      |  percent_rank() OVER w AS pr,
+      |  CAST(sum(pc) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total
+      |FROM (SELECT o_orderkey, o_custkey,
+      |      CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def sqlWindowBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(windowBatterySql)
+  }
+
+  /** SQL DDL / catalog surface under the gate: CREATE TABLE (managed
+    * parquet), INSERT INTO ... SELECT, ALTER TABLE ADD COLUMNS, a
+    * second INSERT populating the widened schema, and the final
+    * read-back through the catalog — the session-catalog lifecycle a
+    * SQL user exercises before any query runs. The oracle rebuilds the
+    * same two-batch union arithmetically. Dropped and rebuilt each run
+    * (DDL is the operator under test); table names are
+    * per-invocation unique so concurrent sessions never collide. */
+  def sqlDdlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_ddl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    t(s, dir, "orders").createOrReplaceTempView(s"${tbl}_src")
+    try {
+      s.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, cents BIGINT,
+               |  status STRING) USING parquet""".stripMargin)
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               |  o_orderstatus
+               |FROM ${tbl}_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (batch INT)")
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+               |  o_orderstatus, 2
+               |FROM ${tbl}_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(s"""SELECT status, coalesce(batch, 1) AS batch,
+               |  count(*) AS n, sum(cents) AS total_cents
+               |FROM $tbl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.catalog.dropTempView(s"${tbl}_src")
+    }
+  }
+
+  protected def tpchOracle: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveCteSql,
+    "sql_tpch_q5" -> q5Sql,
+    "sql_tpch_q7" -> q7Sql,
+    "sql_tpch_q4" -> q4Sql,
+    "sql_tpch_q12" -> q12Sql,
+    "sql_tpch_q14" -> q14Sql,
+    "sql_tpch_q19" -> q19Sql,
+    "sql_tpch_q9" -> q9Sql,
+    "sql_tpch_q22" -> q22Sql,
+    "sql_tpch_q2" -> q2Sql,
+    "sql_tpch_q21" -> q21Sql,
+    "sql_tpch_q17" -> q17Sql,
+    "sql_ddl_catalog" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS INT)
+        |    AS batch,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sql_tpch_q6" -> q6Sql,
+    "sql_tpch_q8" -> q8Sql,
+    "sql_tpch_q10" -> q10Sql,
+    "sql_tpch_q11" -> q11Sql,
+    "sql_tpch_q13" -> q13Sql,
+    "sql_tpch_q15" -> q15Sql,
+    "sql_tpch_q16" -> q16Sql,
+    "sql_tpch_q18" -> q18Sql,
+    "sql_tpch_q20" -> q20Sql,
+    "sql_subqueries" -> subqueriesSql,
+    "sql_window_battery" -> windowBatterySql,
+    "sql_lateral" -> lateralSql,
+    "sql_keyset_page" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |p12 AS (SELECT -c AS a, o_orderkey AS b FROM o
+        |  ORDER BY 1, 2 LIMIT 40),
+        |cur AS (SELECT a, b FROM p12 ORDER BY a DESC, b DESC LIMIT 1)
+        |SELECT o_orderkey, c AS total_cents FROM o, cur
+        |WHERE (-o.c, o.o_orderkey) > (cur.a, cur.b)
+        |ORDER BY -c, o_orderkey LIMIT 20""".stripMargin
+  )
+
+  protected def tpchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_keyset_page" -> (keysetPage _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_lateral" -> (sqlLateral _),
+    "sql_tpch_q5" -> (sqlTpchQ5 _),
+    "sql_tpch_q7" -> (sqlTpchQ7 _),
+    "sql_tpch_q4" -> (sqlTpchQ4 _),
+    "sql_tpch_q12" -> (sqlTpchQ12 _),
+    "sql_tpch_q14" -> (sqlTpchQ14 _),
+    "sql_tpch_q19" -> (sqlTpchQ19 _),
+    "sql_tpch_q9" -> (sqlTpchQ9 _),
+    "sql_tpch_q22" -> (sqlTpchQ22 _),
+    "sql_tpch_q2" -> (sqlTpchQ2 _),
+    "sql_tpch_q21" -> (sqlTpchQ21 _),
+    "sql_tpch_q17" -> (sqlTpchQ17 _),
+    "sql_ddl_catalog" -> (sqlDdlCatalog _),
+    "sql_tpch_q6" -> (sqlTpchQ6 _),
+    "sql_tpch_q8" -> (sqlTpchQ8 _),
+    "sql_tpch_q10" -> (sqlTpchQ10 _),
+    "sql_tpch_q11" -> (sqlTpchQ11 _),
+    "sql_tpch_q13" -> (sqlTpchQ13 _),
+    "sql_tpch_q15" -> (sqlTpchQ15 _),
+    "sql_tpch_q16" -> (sqlTpchQ16 _),
+    "sql_tpch_q18" -> (sqlTpchQ18 _),
+    "sql_tpch_q20" -> (sqlTpchQ20 _),
+    "sql_subqueries" -> (sqlSubqueries _),
+    "sql_window_battery" -> (sqlWindowBattery _)
+  )
+}
