@@ -154,11 +154,73 @@ final class KaerSession(
 
   /** Mongo aggregation pipeline over a named collection, with $lookup
     * resolving sibling collections of this session — the cross-collection
-    * join surface FerretDB exposes. */
+    * join surface FerretDB exposes.
+    *
+    * A FIRST stage of `$vectorSearch` (the Atlas shape, r11) seeds the
+    * pipeline with the collection's kNN result instead of the full
+    * scan: `{queryVector: [...]} | {queryText: "..."}` (queryText is
+    * this engine's extension — embedded with the collection's own
+    * embedder), `limit` (k), optional MQL `filter` (Atlas's pre-filter
+    * semantics: applied BEFORE the top-k, like Collection.query), and
+    * optional `numCandidates` (accepted and recorded but not a
+    * semantic knob here: the seed is the EXACT top-k — recall 1, a
+    * strict superset of Atlas's ANN contract; the approximate path is
+    * `Collection.queryApprox(nprobe)`). Later stages see the matches
+    * as documents (metadata root intact) plus the real `_m_distance`
+    * column — the `$meta: "vectorSearchScore"` analogue. Unknown
+    * options and non-first placement are loud (Atlas errors too). */
   def aggregate(collection: String, pipelineJson: String): DataFrame = {
     val c = getCollection(collection)
-    graft.filter.MqlPipeline.aggregate(c.df,
-      org.apache.spark.sql.functions.col(Schema.MetaCol), pipelineJson,
+    val m = Collection.udfMapper
+    val stages = m.readTree(pipelineJson)
+    require(stages.isArray, s"pipeline must be a JSON array: $pipelineJson")
+    import scala.jdk.CollectionConverters._
+    stages.elements().asScala.zipWithIndex.foreach { case (st, i) =>
+      require(i == 0 || !(st.isObject && st.has("$vectorSearch")),
+        "$vectorSearch must be the FIRST pipeline stage (Atlas)")
+    }
+    val (seed, rest) =
+      if (stages.size() > 0 && stages.get(0).isObject &&
+          stages.get(0).has("$vectorSearch")) {
+        val spec = stages.get(0).get("$vectorSearch")
+        require(spec.isObject, s"$$vectorSearch needs options: $spec")
+        val allowed =
+          Set("queryVector", "queryText", "limit", "numCandidates",
+            "filter", "path")
+        spec.properties().asScala.foreach(e => require(allowed(e.getKey),
+          s"unsupported $$vectorSearch option (scope: " +
+            s"${allowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
+        Option(spec.get("path")).foreach(p =>
+          require(p.asText() == "embedding",
+            "this store has ONE vector column; path must be " +
+              s"'embedding', got: $p"))
+        val k = Option(spec.get("limit")).map(_.asInt()).getOrElse(
+          throw new IllegalArgumentException("$vectorSearch needs limit"))
+        require(k > 0, s"$$vectorSearch limit must be positive: $k")
+        val fj = Option(spec.get("filter")).map(_.toString).orNull
+        val qt = Option(spec.get("queryText"))
+        val qvN = Option(spec.get("queryVector"))
+        require(qt.isDefined != qvN.isDefined,
+          "$vectorSearch needs exactly one of queryText | queryVector")
+        val seeded = qt match {
+          case Some(t) =>
+            require(t.isTextual, s"queryText must be a string: $t")
+            c.query(t.asText(), k, fj)
+          case None =>
+            val arr = qvN.get
+            require(arr.isArray && arr.size() > 0 &&
+              arr.elements().asScala.forall(_.isNumber),
+              s"queryVector must be a numeric array: $arr")
+            c.queryVector(arr.elements().asScala
+              .map(_.floatValue()).toArray, k, fj)
+        }
+        val restJson = m.writeValueAsString(
+          m.createArrayNode().addAll(
+            stages.elements().asScala.drop(1).toSeq.asJava))
+        (seeded, restJson)
+      } else (c.df, pipelineJson)
+    graft.filter.MqlPipeline.aggregate(seed,
+      org.apache.spark.sql.functions.col(Schema.MetaCol), rest,
       name => (getCollection(name).df,
         org.apache.spark.sql.functions.col(Schema.MetaCol)))
   }
@@ -1358,8 +1420,19 @@ final class Collection(
     * _m_id — a strict superset of the reference output, which emits
     * queue-pop order and drops distances (SURVEY.md §2.3).
     */
-  def query(document: String, k: Int, filterJson: String = null): DataFrame = {
-    val qv = embedder.embedOne(document)
+  def query(document: String, k: Int, filterJson: String = null): DataFrame =
+    queryVector(embedder.embedOne(document), k, filterJson)
+
+  /** [[query]] by a caller-supplied vector (the Atlas `$vectorSearch`
+    * queryVector shape) — the embed step skipped, everything else
+    * identical. The vector length must match the collection's
+    * embedder dimension (loud — a wrong-dimension vector would rank
+    * by a meaningless truncated distance). */
+  def queryVector(qv: Array[Float], k: Int,
+      filterJson: String = null): DataFrame = {
+    require(qv.length == embedder.dim,
+      s"query vector dimension ${qv.length} != collection dimension " +
+        s"${embedder.dim}")
     val qlit = array(qv.map(v => lit(v)): _*)
     val base = if (filterJson == null || filterJson.trim.isEmpty) df
     else df.filter(MqlFilter.toColumn(filterJson,

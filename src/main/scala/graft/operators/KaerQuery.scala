@@ -289,6 +289,29 @@ object KaerQuery {
       .orderBy("did", "score")
   }
 
+  /** The Atlas `$vectorSearch` pipeline stage end to end (r11): the
+    * flagship kNN seeded INTO the aggregation pipeline —
+    * queryText/limit/filter through the first-stage dispatch in
+    * [[graft.api.KaerSession.aggregate]], the matches then projected
+    * by a computed `$project`. Same answer contract as kaer_query
+    * (the exact top-k is recall-1, a strict superset of Atlas's ANN
+    * semantics), so it shares the flagship oracle — what it adds to
+    * the gate is the stage dispatch, option validation, and the
+    * pipeline handoff (metadata root + `_m_distance` intact). */
+  def vectorSearch(s: SparkSession, dir: String): DataFrame = {
+    openOrBuild(s, dir)
+    val k = new KaerSession(s, scratch(dir), HashingEmbedder(Dim))
+    k.aggregate("docs",
+      """[
+        | {"$vectorSearch": {"queryText": "QT", "limit": KK,
+        |   "numCandidates": 50, "filter": FJ}},
+        | {"$project": {"doc_id": {"$toLong": "$doc_id"}, "lang": 1}}
+        |]""".stripMargin
+        .replace("QT", QueryText)
+        .replace("KK", K.toString)
+        .replace("FJ", FilterJson))
+  }
+
   /** MQL aggregation over the COLLECTION — the reference's
     * `Collection.Aggregate` delegation (it uses the surface itself:
     * `[{$sort:{_m_id:1}},{$limit:1}]`, /root/reference/db/db.go:146-148)
@@ -392,6 +415,8 @@ object KaerQuery {
     "kaer_query" -> flagshipOracleSql,
     // full probing ⇒ identical answer contract to the exact path
     "kaer_query_indexed" -> flagshipOracleSql,
+    // exact top-k seed ⇒ identical answer contract to the flagship
+    "kaer_vector_search" -> flagshipOracleSql,
     "kaer_aggregate" ->
       """SELECT source AS _id, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -482,6 +507,7 @@ object KaerQuery {
     "kaer_delete_update" -> (deleteUpdate _),
     "kaer_update_array" -> (updateArray _),
     "kaer_update_positional" -> (updatePositional _),
+    "kaer_vector_search" -> (vectorSearch _),
     "kaer_upsert" -> (upsertGate _),
     "kaer_bulk_write" -> (bulkWriteGate _)
   )

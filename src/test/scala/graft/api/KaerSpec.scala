@@ -678,6 +678,40 @@ class KaerSpec extends SparkTestBase {
     assert(c.count("""{"a": {"$elemMatch": {"$eq": 1}}}""") == 1L)
   }
 
+  test("$vectorSearch: seeds the pipeline with kNN matches; " +
+      "queryVector form; malformed uses are loud") {
+    val k = newSession(tmpDir("kaer-vsearch"))
+    val c = k.createCollection("docs")
+    c.insert(Data()
+      .withDocuments(Seq("alpha beta", "gamma delta", "alpha alpha"))
+      .withMetadatas(Seq(Map("g" -> 1), Map("g" -> 2), Map("g" -> 3))))
+    val got = k.aggregate("docs",
+      """[
+        | {"$vectorSearch": {"queryText": "alpha", "limit": 2}},
+        | {"$project": {"gv": {"$toLong": "$g"}}}
+        |]""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(got.length == 2)
+    // nearest to "alpha": the all-alpha doc first, then "alpha beta"
+    assert(got == Seq(3L, 1L), got)
+    // queryVector form agrees with queryText when given the same
+    // embedding
+    val qv = graft.embed.HashingEmbedder(64).embedOne("alpha")
+    val viaVec = c.queryVector(qv, 2)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    val viaText = c.query("alpha", 2)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(viaVec == viaText)
+    // loud: not-first placement, unknown option, both query forms,
+    // wrong vector dimension
+    intercept[IllegalArgumentException] { k.aggregate("docs",
+      """[{"$limit": 1}, {"$vectorSearch": {"queryText": "x", "limit": 1}}]""") }
+    intercept[IllegalArgumentException] { k.aggregate("docs",
+      """[{"$vectorSearch": {"queryText": "x", "limit": 1, "exact": true}}]""") }
+    intercept[IllegalArgumentException] { k.aggregate("docs",
+      """[{"$vectorSearch": {"queryText": "x", "queryVector": [1], "limit": 1}}]""") }
+    intercept[IllegalArgumentException] { c.queryVector(Array(1f, 2f), 1) }
+  }
+
   test("bulkWrite: a JSON-object document is loud, not a silent " +
       "empty-string insert (insertOne and replaceOne)") {
     val k = newSession(tmpDir("kaer-bulk-doc"))
