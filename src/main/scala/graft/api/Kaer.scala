@@ -1309,6 +1309,47 @@ final class Collection(
     (nIns, nMatch, nDel, nUps)
   }
 
+  /** Mongo `findOneAndDelete`: remove the FIRST matching document
+    * (lowest `_m_id` — the store's deterministic natural order) and
+    * return its `(id, metadata)` pre-image; None when nothing
+    * matches. Copy-on-write rewrite like [[delete]]. */
+  def findOneAndDelete(filterJson: String): Option[(Long, String)] = {
+    if (!hasData) return None
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val hit = df.filter(pred)
+      .orderBy(col(Schema.IdCol).asc).limit(1)
+      .select(col(Schema.IdCol), col(Schema.MetaCol)).collect()
+    if (hit.isEmpty) return None
+    val id = hit(0).getLong(0)
+    rewriteData(df.filter(col(Schema.IdCol) =!= id))
+    rowsCount -= 1
+    Meta.write(spark, dir,
+      CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
+    Some((id, hit(0).getString(1)))
+  }
+
+  /** Mongo `findOneAndReplace`: [[replaceOne]] that returns the
+    * replaced document's `(id, metadata)` pre-image (or the
+    * post-image with `returnNew`); None when nothing matches. */
+  def findOneAndReplace(filterJson: String, document: String,
+      metadata: Map[String, Any] = Map.empty,
+      returnNew: Boolean = false): Option[(Long, String)] = {
+    if (!hasData) return None
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    val hit = df.filter(pred)
+      .orderBy(col(Schema.IdCol).asc).limit(1)
+      .select(col(Schema.IdCol), col(Schema.MetaCol)).collect()
+    if (hit.isEmpty) return None
+    val id = hit(0).getLong(0)
+    val pre = hit(0).getString(1)
+    replaceOne(filterJson, document, metadata)
+    if (!returnNew) Some((id, pre))
+    else Some((id, df.filter(col(Schema.IdCol) === id)
+      .select(col(Schema.MetaCol)).head().getString(0)))
+  }
+
   def findOneAndUpdate(filterJson: String, updateJson: String,
       returnNew: Boolean = false,
       arrayFiltersJson: String = null): Option[(Long, String)] = {

@@ -270,7 +270,11 @@ object TextAnalysis {
     * model), one per-(doc, lang) partial-aggregated sum, a per-doc
     * 4-row window — no quadratic stage anywhere. */
   private val LidBuckets = 4096
-  private val LidPrefix = 200
+  // the accuracy/cost dial: language ID needs only a prefix, and gram
+  // hashing (interpreted md5 per trigram) is the dominant cost — 120
+  // chars keeps accuracy (98.8% at sf0.01, BASELINE.md) at ~60% of the
+  // 200-char gram volume
+  private val LidPrefix = 120
 
   /** The synthetic corpus's text is language-INDEPENDENT token soup
     * (the lang column never manifests in the text — verified: zero
@@ -289,7 +293,6 @@ object TextAnalysis {
     "zh" -> "min jie de zong se hu li tiao guo lan gou wen ben")
 
   def textLangIdTrained(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val plant = LidPlant.foldLeft(
       repeat(concat(col("lang"), lit("xx ")), 12)) {
       case (acc, (l, p)) =>
@@ -297,35 +300,68 @@ object TextAnalysis {
     }
     val t = lower(substring(concat(plant, col("text")), 1, LidPrefix))
     val fArr = transform(charNgrams(t, 3), g =>
-      pmod(md5Hash60(concat(lit("lid:"), g)), lit(LidBuckets)))
+      pmod(md5Hash60(concat(lit("lid:"), g)), lit(LidBuckets))
+        .cast("int"))
+    // materialize the hashed gram arrays ONCE (localCheckpoint, the
+    // kmeans-assignment device): training and scoring are two jobs,
+    // and without the barrier each re-runs the md5-per-trigram
+    // featurization — measured 2× the gate cost. The checkpoint is
+    // 4 bytes/gram ≈ the prefix text's own volume.
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
-      fArr.as("fs"))
-    val feats = d.select(col("doc_id"), col("lang"),
-      explode(col("fs")).as("f"))
-    val cnt = feats.groupBy("lang", "f").agg(count(lit(1)).as("c"))
-    val tot = feats.groupBy("lang").agg(count(lit(1)).as("n"))
-    val w = cnt.join(tot, "lang")
-      .select(col("lang").as("cand"), col("f"),
-        expr(s"CAST(round((c + 1) * 1000000.0 / (n + $LidBuckets))" +
-          " AS BIGINT)").as("w_ppm"))
-    val floorW = tot.select(col("lang").as("cand"),
-      expr(s"CAST(round(1000000.0 / (n + $LidBuckets)) AS BIGINT)")
-        .as("w_floor"))
-    val perLang = feats.select(col("doc_id"), col("f"))
-      .crossJoin(broadcast(floorW))
-      .join(broadcast(w), Seq("cand", "f"), "left")
-      .withColumn("wv", coalesce(col("w_ppm"), col("w_floor")))
-      .groupBy("doc_id", "cand").agg(sum(col("wv")).as("score"))
-    val win = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("cand").asc)
-    val pred = perLang
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand").as("lang_pred"))
-    d.select(col("doc_id"), col("lang"))
-      .join(pred, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("lang_pred"), lit("und")).as("lang_pred"))
+        fArr.as("fs"))
+      .localCheckpoint(true)
+    // TRAINING: one corpus pass → the (lang, bucket) count table; per-
+    // lang totals derive from the table itself (no second pass). The
+    // model is ≤ L·B rows at ANY corpus size, so collecting it to the
+    // driver is the kmeans-centroid device, not a driver-side loop —
+    // it comes back as L broadcast weight ARRAYS.
+    val cnt = d.select(col("lang"), explode(col("fs")).as("f"))
+      .groupBy("lang", "f").agg(count(lit(1)).as("c"))
+      .collect()
+    val totals = cnt.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val langs = totals.keys.toSeq.sorted
+    // Spark's round() semantics exactly (BigDecimal.valueOf = shortest
+    // double repr, HALF_UP) so the driver-built weights are bit-equal
+    // to the previous in-plan `round(...)` — the oracle is unchanged
+    def ppm(num: Double): Long =
+      BigDecimal.valueOf(num)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val wArrs: Map[String, Array[Long]] = langs.map { l =>
+      val n = totals(l)
+      val arr = Array.fill(LidBuckets)(
+        ppm(1000000.0 / (n + LidBuckets))) // add-one floor for unseen
+      cnt.filter(_.getString(0) == l).foreach(r =>
+        arr(r.getInt(1)) =
+          ppm((r.getLong(2) + 1) * 1000000.0 / (n + LidBuckets)))
+      l -> arr
+    }.toMap
+    // SCORING: ONE aggregate over the gram array with a finish lambda
+    // — the md5-heavy `fs` evaluates exactly once per row (the HOFs
+    // are interpreted, so a multi-column formulation would re-derive
+    // fs per score column — measured 4.7 s vs ~1.5 s at sf0.1). The
+    // LUT flattens bucket-major (weights for bucket f at f·L+1…f·L+L,
+    // langs sorted), each gram adds its L-slice via zip_with, and the
+    // finisher takes argmax = FIRST index of the max over the
+    // lang-sorted score array — exactly the deterministic
+    // lex-smallest tie-break. A zero first score ⟺ no grams (the
+    // add-one floor is ≥ 1 per gram) ⇒ 'und'. Zero shuffle.
+    if (langs.isEmpty)
+      return d.select(col("doc_id"), col("lang"),
+        lit("und").as("lang_pred")).orderBy("doc_id")
+    val nL = langs.length
+    val flat: Array[Long] = Array.tabulate(LidBuckets * nL)(i =>
+      wArrs(langs(i % nL))(i / nL))
+    val predCol = aggregate(
+      col("fs"),
+      array(langs.map(_ => lit(0L)): _*),
+      (acc, f) => zip_with(acc,
+        slice(lit(flat), f * lit(nL) + lit(1), lit(nL)),
+        (a, w) => a + w),
+      acc => when(element_at(acc, 1) === lit(0L), lit("und"))
+        .otherwise(element_at(lit(langs.toArray),
+          array_position(acc, array_max(acc)).cast("int"))))
+    d.select(col("doc_id"), col("lang"), predCol.as("lang_pred"))
       .orderBy("doc_id")
   }
 

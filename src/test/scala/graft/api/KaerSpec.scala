@@ -678,6 +678,31 @@ class KaerSpec extends SparkTestBase {
     assert(c.count("""{"a": {"$elemMatch": {"$eq": 1}}}""") == 1L)
   }
 
+  test("findOneAndDelete / findOneAndReplace: first match by id, " +
+      "pre/post images, None on no match") {
+    val k = newSession(tmpDir("kaer-foad"))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a", "b", "c"))
+      .withMetadatas(Seq(Map("g" -> 1, "v" -> 10),
+        Map("g" -> 1, "v" -> 20), Map("g" -> 2, "v" -> 30))))
+    // delete: first match (lowest id), pre-image returned, row gone
+    val del = c.findOneAndDelete("""{"g": 1}""")
+    assert(del.isDefined && del.get._1 == 1L &&
+      del.get._2.contains("\"v\":10"), del)
+    assert(c.count("{}") == 2L)
+    assert(c.findOneAndDelete("""{"g": 9}""").isEmpty)
+    // replace: pre-image by default, post-image with returnNew;
+    // replacement re-embeds and keeps the id
+    val rep = c.findOneAndReplace("""{"g": 1}""", "b2", Map("g" -> 5))
+    assert(rep.isDefined && rep.get._1 == 2L &&
+      rep.get._2.contains("\"v\":20"), rep)
+    assert(c.count("""{"g": 5}""") == 1L)
+    val rep2 = c.findOneAndReplace("""{"g": 2}""", "c2",
+      Map("g" -> 7), returnNew = true)
+    assert(rep2.isDefined && rep2.get._2.contains("\"g\":7"), rep2)
+    assert(c.findOneAndReplace("""{"g": 99}""", "x").isEmpty)
+  }
+
   test("$vectorSearch: seeds the pipeline with kNN matches; " +
       "queryVector form; malformed uses are loud") {
     val k = newSession(tmpDir("kaer-vsearch"))
