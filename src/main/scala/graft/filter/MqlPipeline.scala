@@ -397,6 +397,28 @@ object MqlPipeline {
               graft.functions.TextFunctions.md5Hash60(ser))
             .orderBy(col("_sh").asc).limit(sk).drop("_sh")
 
+        case "$documents" =>
+          // Mongo 5.1's literal-documents pipeline source: replaces
+          // the input stream with the operand array's documents (the
+          // unit-composition / seed-data device). First stage only
+          // (Mongo). Each document becomes a row whose JSON text is
+          // the new metadata root — every later stage resolves fields
+          // through the normal document path; the carrier column drops
+          // from the final frame.
+          require(cur eq df,
+            "$documents must be the first pipeline stage (Mongo)")
+          require(spec.isArray && spec.size() > 0,
+            s"$$documents needs a non-empty array of documents: $spec")
+          spec.elements().asScala.foreach(d => require(d.isObject,
+            s"$$documents entries must be objects, got: $d"))
+          val docRows = spec.elements().asScala.map(_.toString).toSeq
+          val sess = cur.sparkSession
+          val tmp = s"__graft_root_${helperCols.size}"
+          helperCols += tmp
+          cur = sess.createDataset(docRows)(
+            org.apache.spark.sql.Encoders.STRING).toDF(tmp)
+          meta = col(tmp)
+
         case "$geoNear" =>
           // Mongo's $geoNear, on this engine's PLANAR INTEGER grid (the
           // graft.operators.Geo contract): the metadata `key` field is

@@ -964,6 +964,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .orderBy("event_type", "tus", "generated")
   }
 
+  /** The $documents literal-source stage (r11, Mongo 5.1): the operand
+    * array replaces the input stream, each document flowing through
+    * the normal metadata-resolution path — here into $match + $group
+    * accumulators. The input frame is ignored by contract (the stage
+    * is a SOURCE); dir participates only through the signature. */
+  def mqlDocuments(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"))).as("meta")),
+      col("meta"),
+      """[
+        | {"$documents": [
+        |   {"k": 5, "grp": "b", "w": 10},
+        |   {"k": 1, "grp": "a", "w": 40},
+        |   {"k": 3, "grp": "a", "w": 20},
+        |   {"k": 9, "grp": "b", "w": 30}]},
+        | {"$match": {"k": {"$gte": 2}}},
+        | {"$group": {"_id": "$grp", "n": {"$sum": 1},
+        |   "wsum": {"$sum": {"$toLong": "$w"}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** $sample under the gate — the reproducible hash-rank form: the 50
     * "random" documents are a deterministic function of the documents
     * themselves, so the very sample membership sits under the oracle
@@ -1063,6 +1085,12 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .orderBy("doc_id")
 
   protected def mqlOracle: Map[String, String] = Map(
+    "mql_documents" ->
+      """SELECT * FROM (VALUES
+        |  ('a', CAST(1 AS BIGINT), CAST(20 AS BIGINT)),
+        |  ('b', CAST(2 AS BIGINT), CAST(40 AS BIGINT)))
+        |  AS t(_id, n, wsum)
+        |ORDER BY _id""".stripMargin,
     "mql_densify_unit" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id
         |  FROM events WHERE user_id < 3),
@@ -1472,6 +1500,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
   )
 
   protected def mqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mql_documents" -> (mqlDocuments _),
     "mql_events_range" -> (mqlEventsRange _),
     "mql_events_nor" -> (mqlEventsNor _),
     "mql_events_mod" -> (mqlEventsMod _),

@@ -47,7 +47,22 @@ object BuildSf1 {
       else df.withColumn("text",
         translate(lower(col("text")), alpha,
           alpha.drop(i % 26) + alpha.take(i % 26))))
-    tile("embeddings", Seq("vec_id"))
+    // embeddings decorrelate like the text does: each replica ROTATES
+    // the dimension axis (a permutation — every within-replica dot
+    // product, norm and neighbor structure is preserved EXACTLY, so
+    // true answers replicate), while cross-replica vectors decorrelate
+    // instead of being bit-identical clones. Verbatim copies made every
+    // vector a 10-way exact dup: LSH buckets grew 10×, in-bucket pairs
+    // 100×, and dedup_embed_dial OOM'd the first full-suite sf1 run —
+    // and a 10× corpus of verbatim clones is the WRONG model anyway.
+    tile("embeddings", Seq("vec_id"), (df, i) =>
+      if (i == 0) df
+      else {
+        val r = (i * 7) % 61 + 1
+        df.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${r + 1}, size(embedding) - $r)," +
+            s" slice(embedding, 1, $r))"))
+      })
     tile("events", Seq("event_id", "user_id"))
     tile("customer", Seq("c_custkey"))
     tile("supplier", Seq("s_suppkey"))
