@@ -938,19 +938,36 @@ object Dedup {
   /** The conf-override path under its own gate: forces a NON-default
     * dial (4 bits × 3 bands) through the session conf — the exact
     * mechanism a deployment uses — runs the ordinary [[dedupEmbedCosine]]
-    * entry, and restores the previous conf. The paired oracle's band
+    * core, and restores the previous conf. The paired oracle's band
     * literals are generated for the SAME dial by [[embOracle]], so a
     * regression anywhere in the conf plumbing (parse, layering,
-    * propagation into HyperBandValues) breaks the hash match. */
+    * propagation into HyperBandValues) breaks the hash match.
+    *
+    * The corpus is deterministically CAPPED at [[DialCorpusCap]] ids:
+    * this gate tests the CONF PLUMBING, and its deliberately coarse
+    * 4-bit bands are quadratic in corpus size by construction (16
+    * buckets/band — the first full-suite sf1 run measured 129 s and
+    * the pre-heap-fix attempt OOM'd here). Scaling behavior belongs to
+    * the default-dial gate and the auto-dial gate (bits grow with
+    * log N); the cap is mirrored in the oracle and is inert at the
+    * driver's scale factors. */
   def dedupEmbedCosineDial(s: SparkSession, dir: String): DataFrame = {
     val keys = Seq("graft.dedup.bits_per_band" -> DialBits.toString,
       "graft.dedup.bands" -> DialBands.toString)
     val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
     keys.foreach { case (k, v) => s.conf.set(k, v) }
-    try dedupEmbedCosine(s, dir) // dials read eagerly at plan build
-    finally prev.foreach { case (k, v) =>
+    try {
+      val (bits, bands) = embedDials(s) // forced conf, read eagerly
+      dedupEmbedCosine(
+        embCorpus(s, dir).filter(col("id") < DialCorpusCap), bits, bands)
+    } finally prev.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
+
+  /** Cap for the dial gate's corpus (base ids + the +100000 planted
+    * dups at every driver SF; excludes the sf1 replica's offset id
+    * space). */
+  private val DialCorpusCap = 200000L
 
   /** The non-default dial the override gate forces (and its oracle
     * encodes) — deliberately coarser than the 8×2 default so the two
@@ -1041,6 +1058,8 @@ object Dedup {
     * so the oracle can replay assignment. */
   private val SemTau = 0.99
   private val SemClusters = 16
+  /** Target expected in-cluster size for the grown k (N DIV this). */
+  private val SemKTarget = 128L
 
   /** Within-cluster membership cap — [[guardBucket]]'s twin with the
     * clustering remediation: a cluster past the cap means k is too
@@ -1068,7 +1087,14 @@ object Dedup {
     * cluster sizes stay under the guard; the plan is unchanged. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cents = e.filter(col("vec_id") < SemClusters)
+    // the documented scale dial, actually TURNED: k grows with the
+    // corpus (k = max(16, N DIV 128)) so expected in-cluster size —
+    // and the quadratic in-cluster compare — stays constant; one
+    // up-front count sizes it (the auto-bits precedent). The oracle
+    // computes the identical k from the identical table. Fixed k
+    // measured 69 s at the 10× sf1 replica; grown k ~8× less pairs.
+    val k = math.max(SemClusters, (e.count() / SemKTarget).toInt)
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
@@ -1109,7 +1135,8 @@ object Dedup {
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
     s"""WITH corpus AS ($semCorpusSql),
        |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-       |  WHERE vec_id < $SemClusters),
+       |  WHERE vec_id < GREATEST($SemClusters,
+       |    (SELECT count(*) FROM embeddings) // $SemKTarget)),
        |assigned AS (
        |  SELECT id, embedding, label, cid FROM (
        |    SELECT e.id, e.embedding, e.label, c.cid,
@@ -1130,7 +1157,8 @@ object Dedup {
     * dial — band literals are generated from the (bits, bands) the gated
     * query actually runs with, so the oracle can never silently encode a
     * different dial than the Spark side (the round-5 advice item). */
-  private def embOracle(bitsPerBand: Int, nBands: Int): String = {
+  private def embOracle(bitsPerBand: Int, nBands: Int,
+      corpusSql: String = embCorpusSql): String = {
     def signsLit(j: Int): String =
       hyperplanes(j).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
@@ -1145,7 +1173,7 @@ object Dedup {
     }.mkString(" UNION ALL ")
     def dot(a: String, bq: String): String =
       s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,$Dim)])"
-    s"""WITH corpus AS ($embCorpusSql),
+    s"""WITH corpus AS ($corpusSql),
        |bands AS ($bandRows),
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
@@ -1447,7 +1475,8 @@ object Dedup {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands),
-    "dedup_embed_dial" -> embOracle(DialBits, DialBands),
+    "dedup_embed_dial" -> embOracle(DialBits, DialBands,
+      s"SELECT * FROM ($embCorpusSql) WHERE id < $DialCorpusCap"),
     "dedup_semantic" -> semOracle,
     // exact-hamming self-join over the reconstructed signatures: the
     // oracle may go all-pairs (gate corpus is small); the Spark side's

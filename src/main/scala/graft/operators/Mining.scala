@@ -206,16 +206,20 @@ object Mining {
     * BIGINT, unique because event ids are), so the whole bar table is
     * ONE map-side-combinable aggregation — no per-group window, no
     * second pass; at 10^12 events the plan is a single shuffle on
-    * (type, hour). The pack bound (event_id < 2^22) fails loudly, not
-    * silently. */
+    * (type, hour). Pack arithmetic: in-hour offset < 3.6·10^9 times
+    * 2^30 plus id stays under 2^62, so ids up to 2^30 fit exactly
+    * (the r11 sf1 replica's 9·10^7 id space hit the old 2^22 bound).
+    * The bound still fails loudly, never silently — past 2^30 ids the
+    * composite (offset, id) needs a struct key, which DuckDB's
+    * scalar-only arg_min cannot twin. */
   def eventsOhlc(s: SparkSession, dir: String): DataFrame = {
     val e = Relational.events(s, dir).select(col("event_type"),
       unix_micros(col("ts")).as("us"), col("event_id"),
       round(col("value") * 100).cast("long").as("vq"))
     val h = expr("us DIV 3600000000") // integer division, both engines
-    val key = (col("us") - col("h") * 3600000000L) * 4194304L +
-      when(col("event_id") < 4194304L, col("event_id"))
-        .otherwise(raise_error(lit("events_ohlc: event_id >= 2^22")))
+    val key = (col("us") - col("h") * 3600000000L) * 1073741824L +
+      when(col("event_id") < 1073741824L, col("event_id"))
+        .otherwise(raise_error(lit("events_ohlc: event_id >= 2^30")))
     e.withColumn("h", h)
       .withColumn("k", key)
       .groupBy("event_type", "h")
@@ -559,7 +563,7 @@ object Mining {
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
         |    CAST(round("value" * 100) AS BIGINT) AS vq FROM events),
         |k AS (SELECT event_type, us // 3600000000 AS h, vq,
-        |    (us - (us // 3600000000) * 3600000000) * 4194304
+        |    (us - (us // 3600000000) * 3600000000) * 1073741824
         |      + event_id AS k
         |  FROM e)
         |SELECT event_type, h, arg_min(vq, k) AS open,
