@@ -325,9 +325,16 @@ object Dedup {
     cand
       .join(txt.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("text").as("tb")), "id_b")
+      // two sound cuts before/inside the O(len²) verify (the r11 sf1
+      // audit: the verify dominated at 58 s for 10× data):
+      // levenshtein ≥ |len(a) − len(b)| prunes for free in codegen,
+      // and the THRESHOLD form runs the banded O(len·k) DP (−1 past
+      // the band) — identical kept rows and identical distances, the
+      // oracle is untouched
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= 20)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
-      .filter(col("dist") <= 20)
+        levenshtein(col("ta"), col("tb"), 20).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 20)
       .orderBy("id_a", "id_b")
   }
 
