@@ -58,6 +58,28 @@ object MqlPipeline {
     // internal columns materializing a rebound metadata root (see the
     // $project exclusion stage); dropped from the final frame
     val helperCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Materialize non-trivial SORT / PARTITION key expressions as real
+    // columns before handing them to orderBy / Window: Sort, range-
+    // partitioning sampling and Window evaluate key expressions
+    // WITHOUT codegen subexpression elimination, so a JSON-resolved
+    // type-bracketing key re-parses the document dozens of times per
+    // row (the r11 sf1 audit measured mql_window_fields at 14.6 s for
+    // 50k rows). One codegen'd Project evaluates each key once; the
+    // helper columns drop from the final frame. Plain column
+    // references pass through untouched.
+    def materializeKeys(cs: Seq[Column]): Seq[Column] = cs.map { c =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.Attribute
+      val e = org.apache.spark.sql.graft.ColumnBridge.expression(c)
+      if (e.isInstanceOf[UnresolvedAttribute] || e.isInstanceOf[Attribute])
+        c
+      else {
+        val tmp = s"__graft_key_${helperCols.size}"
+        helperCols += tmp
+        cur = cur.withColumn(tmp, c)
+        col(tmp)
+      }
+    }
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
@@ -102,8 +124,10 @@ object MqlPipeline {
             val desc = e.getValue.asInt() < 0
             sortBases(e.getKey, cur, meta).map(b => (b, desc))
           }
-          if (!grouped) sortKeys = keyPairs
-          cur = cur.orderBy(keyPairs.map { case (b, desc) =>
+          val mat = materializeKeys(keyPairs.map(_._1))
+            .zip(keyPairs.map(_._2))
+          if (!grouped) sortKeys = mat
+          cur = cur.orderBy(mat.map { case (b, desc) =>
             if (desc) b.desc else b.asc }: _*)
 
         case "$limit" => cur = cur.limit(spec.asInt())
@@ -646,14 +670,17 @@ object MqlPipeline {
           val outN = spec.get("output")
           require(outN != null && outN.isObject && !outN.isEmpty,
             s"$$setWindowFields needs a non-empty output document: $spec")
-          val partCols: Seq[Column] = Option(spec.get("partitionBy")).toSeq
-            .map(p => valueExpr(p, meta, cur))
-          val sortPairs: Seq[(Column, Boolean)] =
+          val partCols: Seq[Column] = materializeKeys(
+            Option(spec.get("partitionBy")).toSeq
+              .map(p => valueExpr(p, meta, cur)))
+          val sortPairs0: Seq[(Column, Boolean)] =
             Option(spec.get("sortBy")).toSeq
               .flatMap(_.properties().asScala.toSeq).flatMap { e =>
                 val desc = e.getValue.asInt() < 0
                 sortBases(e.getKey, cur, meta).map(b => (b, desc))
               }
+          val sortPairs = materializeKeys(sortPairs0.map(_._1))
+            .zip(sortPairs0.map(_._2))
           val sortCols = sortPairs.map { case (b, desc) =>
             if (desc) b.desc else b.asc }
           import org.apache.spark.sql.expressions.Window
