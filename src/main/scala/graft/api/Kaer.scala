@@ -1486,6 +1486,17 @@ final class Collection(
       .limit(k)
   }
 
+  /** Mongo's `explain` cursor-method analogue (FerretDB exposes it
+    * too): the PHYSICAL plan the flagship query compiles to, in
+    * Spark's formatted mode — the surface an operator uses to check
+    * that the MQL filter translated to a pushdown-bearing Column and
+    * the top-k compiled to TakeOrderedAndProject, without running the
+    * query. */
+  def explainQuery(document: String, k: Int,
+      filterJson: String = null): String =
+    query(document, k, filterJson).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** [[query]] with a Mongo-style metadata projection: each requested
     * field surfaces as its own column (string view of the JSON value),
     * alongside id, document and distance. Column pruning then drops the

@@ -678,6 +678,17 @@ class KaerSpec extends SparkTestBase {
     assert(c.count("""{"a": {"$elemMatch": {"$eq": 1}}}""") == 1L)
   }
 
+  test("explainQuery: the Mongo explain analogue shows the top-k + " +
+      "filter plan without running the query") {
+    val k = newSession(tmpDir("kaer-explain"))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a", "b"))
+      .withMetadatas(Seq(Map("g" -> 1), Map("g" -> 2))))
+    val p = c.explainQuery("a", 1, """{"g": {"$gte": 1}}""")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Filter"), p)
+  }
+
   test("findOneAndDelete / findOneAndReplace: first match by id, " +
       "pre/post images, None on no match") {
     val k = newSession(tmpDir("kaer-foad"))

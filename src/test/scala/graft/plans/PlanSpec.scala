@@ -172,6 +172,36 @@ class PlanSpec extends SparkTestBase {
     assert(kExchanges == 1, s"want 1 exchange on k, got $kExchanges\n$p")
   }
 
+  test("mql_window_fields: sort/window keys are MATERIALIZED — no " +
+      "parse_json inside Sort or Exchange nodes") {
+    val p = graft.operators.Relational
+      .mqlWindowFields(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the document parse belongs in Project (codegen + CSE, once per
+    // row); a parse inside Sort keys or the range-partitioning
+    // exchange re-derives the whole bracketing tree per key per row
+    val badLines = p.linesIterator.filter(l =>
+      (l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort") ||
+        l.contains("rangepartitioning") ||
+        l.trim.startsWith("+- Window") || l.trim.startsWith("Window"))
+        && l.contains("parseJson")).toSeq
+    assert(badLines.isEmpty, badLines.mkString("\n"))
+  }
+
+  test("text_langid_trained: scoring is scan-speed — no join, no " +
+      "aggregate exchange beyond the presentation sort") {
+    val df = graft.operators.TextAnalysis
+      .textLangIdTrained(spark, sf0001)
+    // simple (one line per node) form — formatted mode prints each
+    // node twice (tree + details), double-counting Exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    // one exchange only: the final orderBy's range partitioning (the
+    // broadcast LUT scoring adds none)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"want <=1 exchange, got $exchanges\n$p")
+  }
+
   test("mql_geo_near: single-pass scan→filter→topk, no join node at " +
       "all and the distance sort+limit is TakeOrderedAndProject") {
     val p = plan(graft.operators.Geo.mqlGeoNear(spark, sf0001))
