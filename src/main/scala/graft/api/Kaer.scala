@@ -1165,18 +1165,55 @@ final class Collection(
     * fields read the pre-update state — Mongo's semantics for a single
     * $set stage), the computed values render to a JSON patch column,
     * and a generic per-row JSON merge writes them back (same
-    * copy-on-write rewrite as the literal path). */
+    * copy-on-write rewrite as the literal path).
+    *
+    * r11: `{$unset: "f"}` / `{$unset: ["f", ...]}` stages compose with
+    * $set IN ORDER (Mongo 4.2's pipeline semantics: a later $set
+    * re-adds what an earlier $unset removed, and vice versa) — the
+    * ordered op list travels to the merge UDF while the computed
+    * values ride the patch column. All $set expressions still read
+    * the PRE-update document (each stage's operands are pipeline
+    * fields; this engine scopes them to the original document —
+    * documented, and loud nowhere because the common pipelines don't
+    * chain computed fields through stages). */
   private def updatePipeline(pred: Column, stagesJson: String): Long = {
     val stages = Collection.udfMapper.readTree(stagesJson)
     require(stages.isArray && stages.size() > 0,
       s"update pipeline must be a non-empty array: $stagesJson")
+    // ordered op script: ("set", field) reads the patch, ("unset",
+    // field) removes; the LAST set expression per field wins for the
+    // computed value (Mongo: later stages see earlier results; with
+    // operands scoped to the pre-image, last-wins is the fixpoint)
+    val script = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val fields = scala.collection.mutable.LinkedHashMap[String, String]()
     stages.elements().forEachRemaining { st =>
       require(st.isObject && st.properties().size() == 1 &&
-        st.get("$set") != null && st.get("$set").isObject,
-        s"update pipeline supports {$$set: {...}} stages only: $st")
-      st.get("$set").properties().forEach(e =>
-        fields(e.getKey) = e.getValue.toString)
+        (st.has("$set") || st.has("$unset")),
+        s"update pipeline supports {$$set: {...}} and {$$unset: ...} " +
+          s"stages only: $st")
+      if (st.has("$set")) {
+        require(st.get("$set").isObject,
+          s"$$set stage operand must be an object: $st")
+        st.get("$set").properties().forEach { e =>
+          fields(e.getKey) = e.getValue.toString
+          script += (("set", e.getKey))
+        }
+      } else {
+        val u = st.get("$unset")
+        val fs =
+          if (u.isTextual) Seq(u.asText())
+          else {
+            require(u.isArray && u.size() > 0,
+              s"$$unset stage operand must be a field or non-empty " +
+                s"array of fields: $st")
+            import scala.jdk.CollectionConverters._
+            u.elements().asScala.toSeq.map { n =>
+              require(n.isTextual, s"$$unset fields must be strings: $n")
+              n.asText()
+            }
+          }
+        fs.foreach(f => script += (("unset", f)))
+      }
     }
     val patchCols = fields.toSeq.map { case (f, exprJson) =>
       graft.filter.MqlPipeline.computeColumn(exprJson,
@@ -1184,8 +1221,11 @@ final class Collection(
     }
     // ignoreNullFields off: a null-evaluating expression SETS null
     // (Mongo's $set), it doesn't silently skip the field
-    val patch = to_json(struct(patchCols: _*),
-      Map("ignoreNullFields" -> "false"))
+    val patch =
+      if (patchCols.isEmpty) lit("{}")
+      else to_json(struct(patchCols: _*),
+        Map("ignoreNullFields" -> "false"))
+    val opScript = script.toList
     val mergeUdf = udf { (meta: String, patchJson: String) =>
       import com.fasterxml.jackson.databind.node.ObjectNode
       val m = Collection.udfMapper
@@ -1195,8 +1235,12 @@ final class Collection(
           case o: ObjectNode => o
           case _ => m.createObjectNode()
         }
-      base.setAll[com.fasterxml.jackson.databind.JsonNode](
-        m.readTree(patchJson).asInstanceOf[ObjectNode])
+      val p = m.readTree(patchJson).asInstanceOf[ObjectNode]
+      opScript.foreach {
+        case ("set", f) =>
+          base.set[com.fasterxml.jackson.databind.JsonNode](f, p.get(f))
+        case (_, f) => base.remove(f)
+      }
       m.writeValueAsString(base)
     }
     val updated = df.filter(pred).count()

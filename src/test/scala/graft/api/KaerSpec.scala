@@ -543,10 +543,27 @@ class KaerSpec extends SparkTestBase {
     assert(c.count("""{"x": {"$eq": 14}}""") == 1L) // doc 2: 7*2
     // doc 2's total is explicit null (set, not skipped)
     assert(c.count("""{"total": {"$type": "null"}}""") == 1L)
+    // r11: $unset stages compose with $set IN ORDER — this removes
+    // total, then a later $set re-adds flag
+    val n2 = c.updateDoc("{}",
+      """[{"$unset": ["total"]}, {"$set": {"flag": {"$add": [1, 1]}}}]""")
+    assert(n2 == 2L)
+    assert(c.count("""{"total": {"$exists": true}}""") == 0L)
+    assert(c.count("""{"flag": 2}""") == 2L)
+    // order matters: set then unset of the SAME field removes it
+    c.updateDoc("{}",
+      """[{"$set": {"tmp": {"$add": [3, 4]}}}, {"$unset": "tmp"}]""")
+    assert(c.count("""{"tmp": {"$exists": true}}""") == 0L)
+    // malformed $unset operand (the literal-form object shape) is loud
     val bad = intercept[IllegalArgumentException] {
       c.updateDoc("{}", """[{"$unset": {"x": 1}}]""")
     }
-    assert(bad.getMessage.contains("$set"), bad.getMessage)
+    assert(bad.getMessage.contains("$unset"), bad.getMessage)
+    // unknown stages stay loud
+    val bad2 = intercept[IllegalArgumentException] {
+      c.updateDoc("{}", """[{"$replaceRoot": {"newRoot": "$x"}}]""")
+    }
+    assert(bad2.getMessage.contains("$set"), bad2.getMessage)
   }
 
   test("findOneAndUpdate: first match only (lowest id), pre/post " +
