@@ -149,7 +149,11 @@ object Bench {
     val loadEnd = loadPerCore()
     val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f""" +
       (if (contended) ""","contended":true""" else "") +
-      (if (minOf > 1) s""","min_of":$minOf""" else "")
+      (if (minOf > 1)
+        s""","min_of":$minOf,"pass_totals":${
+          passes.map(p => f"${p.map(_._2).sum}%.1f")
+            .mkString("[", ",", "]")}"""
+      else "")
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"sf":"$sfDir",$load}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
     spark.stop()
