@@ -1101,6 +1101,14 @@ object Dedup {
     // computes the identical k from the identical table. Fixed k
     // measured 69 s at the 10× sf1 replica; grown k ~8× less pairs.
     val k = math.max(SemClusters, (e.count() / SemKTarget).toInt)
+    // loud ceiling on the collected centroid table: the grown dial
+    // keeps in-cluster sizes constant, but k itself is corpus-linear —
+    // past ~10⁵ centroids the broadcast-argmin assignment needs the
+    // partitioned IVF machinery (IvfIndex), not a driver collect;
+    // fail with remediation instead of OOMing the driver
+    require(k <= 100000,
+      s"SemDeDup k=$k centroids exceeds the broadcast ceiling — " +
+        "assign through the partitioned IVF index path at this scale")
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

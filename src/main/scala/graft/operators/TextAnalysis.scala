@@ -321,6 +321,14 @@ object TextAnalysis {
     val totals = cnt.groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(2)).sum).toMap
     val langs = totals.keys.toSeq.sorted
+    // loud ceiling on the collected model: L·B rows is bounded only
+    // while the LABEL cardinality is a language set, not an id column
+    // — a mislabeled join feeding 10⁵ "languages" should fail with
+    // remediation, not OOM the driver (the distinctValues discipline)
+    require(langs.size <= 1000,
+      s"language-ID training saw ${langs.size} distinct labels — the " +
+        "lang column looks like an id, not a language set; fix the " +
+        "input or shard the model")
     // Spark's round() semantics exactly (BigDecimal.valueOf = shortest
     // double repr, HALF_UP) so the driver-built weights are bit-equal
     // to the previous in-plan `round(...)` — the oracle is unchanged
