@@ -516,6 +516,54 @@ object Relational extends RelationalTpch with RelationalMql
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join (r11) — each event matched to the user's order
+    * CLOSEST in time in EITHER direction (the sensor-fusion staple:
+    * align two streams on the nearest reading), ties to the EARLIER
+    * order (the backward match — deterministic). Both directions come
+    * from ONE union: the ascending window carries the latest
+    * at-or-before (date, key) struct forward, the descending window
+    * carries the earliest at-or-after backward — same partition key,
+    * so Catalyst plans ONE hash exchange with an in-partition re-sort
+    * between the two Window nodes; the pick is per-row integer-micros
+    * arithmetic. Never a per-event range probe. The oracle derives the
+    * same answer relationally: per-event min distance, then arg_min by
+    * order time among the distance ties. */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ded = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val ev = events(s, dir).select(
+      col("user_id").as("k"), unix_micros(col("ts")).as("tus"),
+      col("event_id"),
+      lit(null).cast("struct<ots:bigint,okey:bigint>").as("ro"),
+      lit(0).as("side"))
+    val ord = ded.select(
+      col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("tus"),
+      lit(null).cast("long").as("event_id"),
+      struct(
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+        col("o_orderkey").as("okey")).as("ro"),
+      lit(1).as("side"))
+    val wB = Window.partitionBy(col("k"))
+      .orderBy(col("tus").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("k"))
+      .orderBy(col("tus").desc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("bm", last(col("ro"), ignoreNulls = true).over(wB))
+      .withColumn("fm", last(col("ro"), ignoreNulls = true).over(wF))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k").as("user_id"),
+        when(col("bm").isNull, col("fm.okey"))
+          .when(col("fm").isNull, col("bm.okey"))
+          .when(col("tus") - col("bm.ots") <= col("fm.ots") - col("tus"),
+            col("bm.okey"))
+          .otherwise(col("fm.okey")).as("nearest_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** FORWARD as-of join — each event matched to the user's NEXT order
     * at-or-after it (the "time to next conversion" direction; the
     * backward twin is [[asofJoin]]). Same union + running-merge device
@@ -646,6 +694,27 @@ object Relational extends RelationalTpch with RelationalMql
         |FROM events e ASOF LEFT JOIN ded o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
+    "asof_join_nearest" ->
+      // per-event min |Δt|, then arg_min by order time among the ties
+      // (the EARLIER order wins — the engine's backward tie-break)
+      """WITH ded AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |pairs AS (SELECT e.event_id,
+        |    abs(epoch_us(e.ts) - epoch_us(o.o_orderdate::TIMESTAMP))
+        |      AS d,
+        |    epoch_us(o.o_orderdate::TIMESTAMP) AS ots,
+        |    o.o_orderkey
+        |  FROM events e JOIN ded o ON o.o_custkey = e.user_id),
+        |m AS (SELECT event_id, min(d) AS dmin FROM pairs GROUP BY 1),
+        |sel AS (SELECT p.event_id,
+        |    arg_min(p.o_orderkey, p.ots) AS nearest_orderkey
+        |  FROM pairs p JOIN m ON p.event_id = m.event_id
+        |    AND p.d = m.dmin
+        |  GROUP BY 1)
+        |SELECT e.event_id, e.user_id, sel.nearest_orderkey
+        |FROM events e LEFT JOIN sel ON e.event_id = sel.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "asof_join_native" ->
       // the custom-exec formulation against the SAME analytic truth
       """WITH ded AS (
@@ -775,6 +844,7 @@ object Relational extends RelationalTpch with RelationalMql
     "window_range_frame" -> (windowRangeFrame _),
     "anti_join" -> (antiJoin _),
     "asof_join" -> (asofJoin _),
+    "asof_join_nearest" -> (asofJoinNearest _),
     "asof_join_native" -> (asofJoinNative _),
     "asof_join_forward_native" -> (asofJoinForwardNative _),
     "asof_join_forward" -> (asofJoinForward _),

@@ -151,6 +151,59 @@ class JoinOpsSpec extends SparkTestBase {
     assert(earlyNulls.filter(col("last_orderkey").isNotNull).count() === 0)
   }
 
+  test("asof_join_nearest: either direction, earlier order wins ties, " +
+      "one hash exchange for both windows") {
+    val df = graft.operators.Relational
+      .asofJoinNearest(spark, sf0001)
+    // agreement with the two directional gates' analytic truth is the
+    // oracle's job; here lock the EDGE semantics on the real corpus:
+    // every event with any same-user order gets a non-null match
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // plan: both windows ride ONE hash exchange on the user key (the
+    // second direction re-sorts in-partition, it must not re-shuffle).
+    // AQE's final-plan string prints a materialized stage once per
+    // reference — count DISTINCT exchange plan_ids, not text hits
+    // the adaptive toString appends "== Initial Plan ==" — assert on
+    // the FINAL section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val kExIds = p.linesIterator
+      .filter(_.contains("hashpartitioning(k#"))
+      .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(kExIds.size == 1,
+      s"want 1 distinct hash exchange on k, got $kExIds\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("asof_join_nearest semantics on a hand fixture: before-any -> " +
+      "forward, after-all -> backward, equidistant -> earlier") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("asof-nearest")
+    // orders for user 1 at days 10 and 20 (epoch days)
+    Seq((1L, java.sql.Date.valueOf("2020-01-10"), 100L),
+        (1L, java.sql.Date.valueOf("2020-01-20"), 200L))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // events: before both (day 5 -> 100), after both (day 25 -> 200),
+    // equidistant (day 15 -> EARLIER order 100), exactly at an order
+    // (day 20 -> 200), and a user with no orders (null)
+    Seq((1L, 1L, "2020-01-05"), (2L, 1L, "2020-01-25"),
+        (3L, 1L, "2020-01-15"), (4L, 1L, "2020-01-20"),
+        (5L, 9L, "2020-01-15"))
+      .toDF("event_id", "user_id", "d")
+      .select(col("event_id"), col("user_id"),
+        col("d").cast("timestamp").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.asofJoinNearest(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(1L -> 100L, 2L -> 200L, 3L -> 100L,
+      4L -> 200L, 5L -> -1L), got)
+  }
+
   test("knn_join: WindowGroupLimit prunes to k per partition before the shuffle") {
     val p = Similarity.knnJoin(spark, sf0001)
       .queryExecution.executedPlan.toString
