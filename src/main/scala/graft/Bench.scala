@@ -53,6 +53,61 @@ object Bench {
     load >= IdleThreshold
   }
 
+  /** Per-PASS contention accounting (r12: the start-of-run idle gate
+    * let BENCH_r11.json ship 1.25× hot because load rose MID-run).
+    * The 1-minute load average can't gate mid-run — it includes the
+    * bench's own 32 threads — so each pass instead measures the
+    * EXTERNAL per-core CPU utilization directly: whole-box busy
+    * jiffies from /proc/stat minus this JVM's own process CPU time,
+    * over the pass's wall time. A clean box shows the documented ~2
+    * constant background cores (~0.06/core here); a concurrent sbt or
+    * duckdb shows up immediately. */
+  private final case class CpuSample(busyJiffies: Long, procNs: Long,
+      wallNs: Long)
+
+  private def procBusyJiffies(): Long = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        // user nice system idle iowait irq softirq steal — busy is
+        // everything except idle(3) and iowait(4)
+        f.zipWithIndex.collect {
+          case (v, i) if i != 3 && i != 4 => v }.sum
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+  }
+
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def cpuSample(): CpuSample =
+    CpuSample(procBusyJiffies(), processCpuNs(), System.nanoTime())
+
+  /** External per-core utilization since `s0`, or -1 if unmeasurable.
+    * USER_HZ is 100 on every Linux this runs on. */
+  private def externalUtilSince(s0: CpuSample): Double = {
+    val s1 = cpuSample()
+    if (s0.busyJiffies < 0 || s1.busyJiffies < 0 ||
+        s0.procNs < 0 || s1.procNs < 0) return -1.0
+    val wallSec = (s1.wallNs - s0.wallNs) / 1e9
+    if (wallSec <= 0) return -1.0
+    val busySec = (s1.busyJiffies - s0.busyJiffies) / 100.0
+    val procSec = (s1.procNs - s0.procNs) / 1e9
+    math.max(0.0, (busySec - procSec) / wallSec /
+      Runtime.getRuntime.availableProcessors())
+  }
+
+  /** External-load gate per pass: above this, the pass's numbers
+    * measured the neighbours, not the engine. The clean-box floor is
+    * ~0.06 (the constant background load); a concurrent single-thread
+    * duckdb adds ~0.03; a concurrent sbt build adds 0.3+. */
+  private val ExtLoadGate = 0.15
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -119,29 +174,65 @@ object Bench {
     val minOf = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_MIN_OF", "1").toInt)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to minOf).map { pass =>
-      names.map { case (name, fn) =>
+    // One pass = the full suite once, plus the pass's external-load
+    // verdict. A query failure records (time-to-failure, ok=false) —
+    // the min below only ever takes FAILED times when NO pass
+    // succeeded, so a transient failure can't masquerade as the
+    // fastest pass (it lands in the "failed" list instead).
+    def runPass(pass: Int): (Seq[(String, Double, Boolean)], Double) = {
+      val s0 = cpuSample()
+      val res = names.map { case (name, fn) =>
         graft.core.CachePayers.setCurrent(name)
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name $sec%.2fs (pass $pass)")
-        name -> sec
+        System.err.println(f"[bench] $name $sec%.2fs (pass $pass)" +
+          (if (ok) "" else " FAILED"))
+        (name, sec, ok)
       }
+      val ext = externalUtilSince(s0)
+      System.err.println(f"[bench] pass $pass external load/core $ext%.3f" +
+        (if (ext >= ExtLoadGate) " — CONTENDED" else ""))
+      (res, ext)
     }
+    val passes = collection.mutable.Buffer.empty[
+      (Seq[(String, Double, Boolean)], Double)]
+    (1 to minOf).foreach(p => passes += runPass(p))
+    // every pass externally contended ⇒ the min is still hot — wait
+    // for idle once and run ONE replacement pass before giving up
+    if (passes.forall { case (_, e) => e >= ExtLoadGate } &&
+        !sys.env.get("SPARK_GRAFT_PASS_RETRY").contains("0")) {
+      System.err.println("[bench] every pass was externally contended" +
+        " — waiting for idle and running one replacement pass")
+      waitForIdle()
+      passes += runPass(minOf + 1)
+    }
+    val contaminated =
+      passes.forall { case (_, e) => e >= ExtLoadGate }
     graft.core.CachePayers.setCurrent(null)
+    val byName: Map[String, Seq[(Double, Boolean)]] =
+      passes.flatMap(_._1).groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
     val results = names.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val runs = byName(name)
+      val okRuns = runs.filter(_._2)
+      if (okRuns.nonEmpty) (name, okRuns.map(_._1).min, true)
+      else (name, runs.map(_._1).min, false)
     }
+    val failed = results.collect { case (n, _, false) => n }
     // stdout contract: the per-query detail line (~4 KB at 78 queries)
     // goes FIRST; the LAST line is short so a tail-capture that truncates
     // long lines still parses it (r2/r3 driver records had parsed:null
     // from truncating the single long line). Both lines are complete,
     // self-sufficient JSON.
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val payers = graft.core.CachePayers.snapshot.toSeq.sorted
       .map { case (c, g) => s""""$c":"$g"""" }.mkString("{", ",", "}")
@@ -149,9 +240,16 @@ object Bench {
     val loadEnd = loadPerCore()
     val load = f""""load_per_core_start":$loadStart%.2f,"load_per_core_end":$loadEnd%.2f""" +
       (if (contended) ""","contended":true""" else "") +
+      (if (contaminated) ""","contaminated":true""" else "") +
+      s""","pass_ext_load":${passes.map(p => f"${p._2}%.3f")
+        .mkString("[", ",", "]")}""" +
+      (if (failed.nonEmpty)
+        s""","failed":${failed.map(n => s""""$n"""")
+          .mkString("[", ",", "]")}"""
+      else "") +
       (if (minOf > 1)
         s""","min_of":$minOf,"pass_totals":${
-          passes.map(p => f"${p.map(_._2).sum}%.1f")
+          passes.map { case (p, _) => f"${p.map(_._2).sum}%.1f" }
             .mkString("[", ",", "]")}"""
       else "")
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"sf":"$sfDir",$load}""")

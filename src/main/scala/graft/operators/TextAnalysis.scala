@@ -315,20 +315,24 @@ object TextAnalysis {
     // model is ≤ L·B rows at ANY corpus size, so collecting it to the
     // driver is the kmeans-centroid device, not a driver-side loop —
     // it comes back as L broadcast weight ARRAYS.
+    // loud ceiling on the model BEFORE collecting it: L·B rows is
+    // bounded only while the LABEL cardinality is a language set, not
+    // an id column — a mislabeled join feeding 10⁵ "languages" must
+    // fail with remediation BEFORE the count table lands on the driver
+    // (a post-collect guard would OOM first — the exact scenario it
+    // describes). One cheap distributed countDistinct over the
+    // checkpointed table.
+    val nLabels = d.agg(countDistinct(col("lang"))).head.getLong(0)
+    require(nLabels <= 1000,
+      s"language-ID training saw $nLabels distinct labels — the " +
+        "lang column looks like an id, not a language set; fix the " +
+        "input or shard the model")
     val cnt = d.select(col("lang"), explode(col("fs")).as("f"))
       .groupBy("lang", "f").agg(count(lit(1)).as("c"))
       .collect()
     val totals = cnt.groupBy(_.getString(0)).view
       .mapValues(_.map(_.getLong(2)).sum).toMap
     val langs = totals.keys.toSeq.sorted
-    // loud ceiling on the collected model: L·B rows is bounded only
-    // while the LABEL cardinality is a language set, not an id column
-    // — a mislabeled join feeding 10⁵ "languages" should fail with
-    // remediation, not OOM the driver (the distinctValues discipline)
-    require(langs.size <= 1000,
-      s"language-ID training saw ${langs.size} distinct labels — the " +
-        "lang column looks like an id, not a language set; fix the " +
-        "input or shard the model")
     // Spark's round() semantics exactly (BigDecimal.valueOf = shortest
     // double repr, HALF_UP) so the driver-built weights are bit-equal
     // to the previous in-plan `round(...)` — the oracle is unchanged
@@ -352,23 +356,28 @@ object TextAnalysis {
     // langs sorted), each gram adds its L-slice via zip_with, and the
     // finisher takes argmax = FIRST index of the max over the
     // lang-sorted score array — exactly the deterministic
-    // lex-smallest tie-break. A zero first score ⟺ no grams (the
-    // add-one floor is ≥ 1 per gram) ⇒ 'und'. Zero shuffle.
+    // lex-smallest tie-break. The no-grams ⇒ 'und' case tests
+    // size(fs) = 0 DIRECTLY, not "first score is zero": inferring
+    // no-grams from a zero score relies on the add-one floor ppm
+    // rounding to ≥ 1, which fails once the lex-first language
+    // exceeds ~2e6 grams (floor rounds to 0) — a silent
+    // scale-dependent oracle divergence. Zero shuffle either way.
     if (langs.isEmpty)
       return d.select(col("doc_id"), col("lang"),
         lit("und").as("lang_pred")).orderBy("doc_id")
     val nL = langs.length
     val flat: Array[Long] = Array.tabulate(LidBuckets * nL)(i =>
       wArrs(langs(i % nL))(i / nL))
-    val predCol = aggregate(
+    val argmaxCol = aggregate(
       col("fs"),
       array(langs.map(_ => lit(0L)): _*),
       (acc, f) => zip_with(acc,
         slice(lit(flat), f * lit(nL) + lit(1), lit(nL)),
         (a, w) => a + w),
-      acc => when(element_at(acc, 1) === lit(0L), lit("und"))
-        .otherwise(element_at(lit(langs.toArray),
-          array_position(acc, array_max(acc)).cast("int"))))
+      acc => element_at(lit(langs.toArray),
+        array_position(acc, array_max(acc)).cast("int")))
+    val predCol = when(size(col("fs")) === 0, lit("und"))
+      .otherwise(argmaxCol)
     d.select(col("doc_id"), col("lang"), predCol.as("lang_pred"))
       .orderBy("doc_id")
   }
