@@ -172,6 +172,179 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Buckets for the TRAINED quality classifier — 4096 hashed-unigram
+    * features; the model is 2 labels × 4096 longs, a trivially
+    * broadcastable LUT at any corpus size. */
+  private val QctBuckets = 4096
+
+  /** Scoring prefix (chars) for [[classifierScoreTrained]] — the
+    * trained-langid device: the linear ppm model (no log-odds — ln()
+    * is not IEEE-reproducible across engines, so the oracle couldn't
+    * replicate training bit-exactly) carries a small systematic
+    * positive bias per background token from the (n+B) normalization
+    * asymmetry between the 70%-good and 30%-bad token totals; over a
+    * full ~150-token doc that bias swamps the planted signal (measured:
+    * full-text accuracy 69.0% = majority class; 120-char prefix
+    * 99.8%). Capping scoring at the lead keeps the margin
+    * signal-dominated, exactly as LidPrefix does for langid. */
+  private val QctPrefix = 120
+
+  /** Planted quality signal for [[classifierScoreTrained]]: the
+    * synthetic corpus has no organic quality split, so one is planted
+    * deterministically and IDENTICALLY on both engines (the
+    * textNormalize noise-planting device). The label derives from a
+    * doc_id hash (70% good); each doc is prefixed with one of four
+    * label-distinctive phrases (hash-picked) so the classifier must
+    * learn a token SET per class, not memorize a single marker. The
+    * phrase pools mimic the real CCNet split: reference-prose tokens
+    * vs spam boilerplate. */
+  private val QctPlantGood = Seq(
+    "thorough peer reviewed analysis with careful methodology and clear exposition",
+    "the study presents rigorous evidence and balanced discussion of limitations",
+    "well structured argument citing primary sources and reproducible results",
+    "comprehensive survey of prior work with precise definitions and detailed proofs")
+  private val QctPlantBad = Seq(
+    "click here free winner limited offer buy now exclusive deal expires today",
+    "congratulations you won claim your prize instantly guaranteed cash bonus",
+    "cheap pills amazing miracle cure lose weight fast no prescription needed",
+    "hot deals in your area click subscribe like share follow and win big")
+
+  /** TRAINED quality classifier — promotes [[classifierScore]]'s
+    * placeholder weights to a model trained on the corpus itself,
+    * under the oracle (the r11 trained-langid recipe: hashed features
+    * → one-pass count table → integer-ppm add-one weights → broadcast
+    * LUT → per-row fold). fasttext-supervised shape exactly: a linear
+    * bag-of-hashed-unigrams classifier, argmax over 2 classes.
+    *
+    * Training: ONE distributed pass builds the (label, bucket) count
+    * table (≤ 2·[[QctBuckets]] rows at ANY corpus size — the
+    * kmeans-centroid device, not a driver loop); per-label ppm weights
+    * use the same HALF_UP rounding as Spark's `round` so the
+    * DuckDB-replicated training is bit-identical. Scoring ships the
+    * per-bucket weight DIFFERENCE (good − bad) as one 4096-long array
+    * literal: per token one LUT lookup, per doc one long fold — zero
+    * shuffle, scan speed, margin > 0 ⇒ good (tie falls to 'bad', the
+    * lex-smallest label, matching langid's first-max argmax rule).
+    * The no-token case tests size(fs) = 0 explicitly (the r11 ADVICE
+    * discipline), though the plant guarantees tokens in practice.
+    *
+    * 100 TB: training is a map-side partial aggregate into ≤ 8192
+    * cells; scoring is embarrassingly parallel. The only driver
+    * materialization is the 2×4096 model. Accuracy vs the planted
+    * label and the unplanted majority-class ceiling are recorded in
+    * BASELINE.md. */
+  def classifierScoreTrained(s: SparkSession, dir: String): DataFrame = {
+    val lab = when(
+      pmod(md5Hash60(concat(lit("qlab:"), col("doc_id").cast("string"))),
+        lit(10)) < 7, lit("good")).otherwise(lit("bad"))
+    val pick = pmod(
+      md5Hash60(concat(lit("qpick:"), col("doc_id").cast("string"))),
+      lit(4)).cast("int") + lit(1)
+    val plant = when(col("label") === "good",
+      element_at(lit(QctPlantGood.toArray), pick))
+      .otherwise(element_at(lit(QctPlantBad.toArray), pick))
+    val fArr = transform(
+      tokens(substring(concat(plant, lit(" "), col("text")), 1,
+        QctPrefix)),
+      t => pmod(md5Hash60(concat(lit("qct:"), t)), lit(QctBuckets))
+        .cast("int"))
+    // materialize hashed feature arrays ONCE across the train and
+    // score jobs (the langid localCheckpoint barrier — without it the
+    // md5-per-token featurization runs twice)
+    val d = docs(s, dir).select(col("doc_id"), lab.as("label"),
+        col("text"))
+      .withColumn("fs", fArr)
+      .drop("text")
+      .localCheckpoint(true)
+    val cnt = d.select(col("label"), explode(col("fs")).as("f"))
+      .groupBy("label", "f").agg(count(lit(1)).as("c"))
+      .collect()
+    def ppm(num: Double): Long =
+      BigDecimal.valueOf(num)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val totals = cnt.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    // both classes must be present — with one class empty the oracle's
+    // CROSS JOIN over observed labels scores 1 candidate while the LUT
+    // would still subtract the absent class's floor: fail loudly
+    // instead of silently diverging (can't happen on a 70/30 hash
+    // split over any real corpus; a single-doc toy input can)
+    require(totals.contains("good") && totals.contains("bad"),
+      s"quality-classifier training saw labels ${totals.keys.toSeq.sorted
+        .mkString(",")} — need both 'good' and 'bad'")
+    def weights(label: String): Array[Long] = {
+      val n = totals.getOrElse(label, 0L)
+      val arr = Array.fill(QctBuckets)(
+        ppm(1000000.0 / (n + QctBuckets)))
+      cnt.filter(_.getString(0) == label).foreach(r =>
+        arr(r.getInt(1)) =
+          ppm((r.getLong(2) + 1) * 1000000.0 / (n + QctBuckets)))
+      arr
+    }
+    val wGood = weights("good")
+    val wBad = weights("bad")
+    val diff: Array[Long] =
+      Array.tabulate(QctBuckets)(i => wGood(i) - wBad(i))
+    val margin = aggregate(col("fs"), lit(0L),
+      (acc, f) => acc + element_at(lit(diff), f + lit(1)))
+    d.select(col("doc_id"), col("label"),
+        when(size(col("fs")) === 0, lit(0L)).otherwise(margin)
+          .as("margin_ppm"))
+      .withColumn("pred",
+        when(col("margin_ppm") > 0, lit("good")).otherwise(lit("bad")))
+      .select(col("doc_id"), col("label"), col("pred"),
+        col("margin_ppm"))
+      .orderBy("doc_id")
+  }
+
+  private val classifierTrainedSql = {
+    val b = QctBuckets
+    def cases(pool: Seq[String]): String =
+      pool.zipWithIndex.map { case (p, i) => s"WHEN $i THEN '$p'" }
+        .mkString(" ")
+    s"""WITH d0 AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5('qlab:' || doc_id), 1, 15))
+       |        ::BIGINT % 10 < 7 THEN 'good' ELSE 'bad' END AS label,
+       |    ('0x' || substr(md5('qpick:' || doc_id), 1, 15))::BIGINT % 4
+       |      AS pick, text
+       |  FROM documents),
+       |d AS (SELECT doc_id, label,
+       |    regexp_extract_all(lower(substr(
+       |      (CASE WHEN label = 'good'
+       |         THEN CASE pick ${cases(QctPlantGood)} END
+       |         ELSE CASE pick ${cases(QctPlantBad)} END END)
+       |      || ' ' || text, 1, $QctPrefix)), '[a-z0-9]+') AS ts
+       |  FROM d0),
+       |g AS (SELECT doc_id, label, unnest(list_transform(ts, t ->
+       |    ('0x' || substr(md5('qct:' || t), 1, 15))::BIGINT % $b))
+       |    AS f
+       |  FROM d),
+       |cnt AS (SELECT label, f, count(*) AS c FROM g GROUP BY 1, 2),
+       |tot AS (SELECT label, count(*) AS n FROM g GROUP BY 1),
+       |w AS (SELECT label AS cand, f,
+       |    CAST(round((c + 1) * 1000000.0 / (n + $b)) AS BIGINT)
+       |      AS w_ppm
+       |  FROM cnt JOIN tot USING (label)),
+       |fl AS (SELECT label AS cand,
+       |    CAST(round(1000000.0 / (n + $b)) AS BIGINT) AS w_floor
+       |  FROM tot),
+       |sc AS (SELECT g.doc_id, fl.cand,
+       |    CAST(sum(COALESCE(w.w_ppm, fl.w_floor)) AS BIGINT) AS score
+       |  FROM g CROSS JOIN fl
+       |    LEFT JOIN w ON w.cand = fl.cand AND w.f = g.f
+       |  GROUP BY 1, 2),
+       |m AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN cand = 'good' THEN score
+       |                  ELSE -score END) AS BIGINT) AS margin
+       |  FROM sc GROUP BY 1)
+       |SELECT d.doc_id, d.label,
+       |  CASE WHEN COALESCE(m.margin, 0) > 0 THEN 'good'
+       |       ELSE 'bad' END AS pred,
+       |  COALESCE(m.margin, 0) AS margin_ppm
+       |FROM d LEFT JOIN m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DSIR-style importance scoring (the hashed-n-gram importance
     * resampling recipe for picking pretraining data that "looks like" a
     * target corpus): every document scores by how much more likely its
@@ -709,6 +882,7 @@ object Pipeline {
          |       ELSE 1000 * w_sum // n_tokens END) >= $QcKeepMilli)
          |    AS keep
          |FROM sums ORDER BY doc_id""".stripMargin,
+    "classifier_score_trained" -> classifierTrainedSql,
     "gopher_quality" ->
       s"""WITH m AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
@@ -834,6 +1008,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
+    "classifier_score_trained" -> (classifierScoreTrained _),
     "source_cap" -> (sourceCap _),
     "gopher_quality" -> (gopherQuality _),
     "pipeline_pretrain" -> (pipelinePretrain _),

@@ -111,6 +111,25 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 0L, 0L, false)))
   }
 
+  test("classifierScoreTrained recovers the planted quality split") {
+    val out = Pipeline
+      .classifierScoreTrained(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    // both classes present and the trained model separates them: the
+    // measured accuracy at sf0.001 is 1.000 (BASELINE.md) — assert a
+    // slack bound so a testdata refresh doesn't flap the suite
+    val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble /
+      out.length
+    assert(acc >= 0.95, s"planted-split accuracy $acc")
+    assert(out.map(_.getString(1)).toSet == Set("good", "bad"))
+    // margins carry sign: good predictions strictly positive, bad
+    // predictions <= 0 (the tie falls to 'bad', the lex-smallest label)
+    assert(out.forall(r =>
+      if (r.getString(2) == "good") r.getLong(3) > 0
+      else r.getLong(3) <= 0))
+  }
+
   // ---- embedding outliers ----------------------------------------------
 
   test("embedOutliers ranks the far vector first with exact distances") {

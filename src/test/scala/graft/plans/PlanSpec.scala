@@ -662,6 +662,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("classifier_score_trained: scoring is scan-speed — no join, " +
+      "at most the presentation sort's exchange (the trained LUT " +
+      "ships as a literal, never a weight-table join)") {
+    val df = graft.operators.Pipeline
+      .classifierScoreTrained(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"want <=1 exchange, got $exchanges\n$p")
+  }
+
   test("embed_outliers: centroid rides back as a broadcast, distance " +
       "pass ends in TakeOrderedAndProject — no corpus-width shuffle") {
     val p = plan(Similarity.embedOutliers(spark, sf0001))
