@@ -697,6 +697,11 @@ final class Collection(
   // insert path never has to (single-writer contract, as the reference).
   private var lastId: Long = 0L
   private var rowsCount: Long = 0L
+  // change-stream capture state — see the change-streams section below.
+  // Enabled iff dir/changes exists, so a reopened handle keeps
+  // capturing (single-writer contract, like the watermark)
+  private var captureChanges: Boolean = false
+  private var lastOpTime: Option[Long] = None
   locally {
     // crash-window repair for compact(): if the data dir vanished mid-swap,
     // the previous generation is intact in data_old — restore it before
@@ -706,6 +711,7 @@ final class Collection(
     val dataP = new Path(dataDir)
     val oldP = new Path(dir, "data_old")
     if (!fsr.exists(dataP) && fsr.exists(oldP)) fsr.rename(oldP, dataP)
+    captureChanges = fsr.exists(new Path(dir, "changes"))
     val meta = Meta.read(spark, dir)
     val sidecarLast = meta.map(_.lastId).getOrElse(0L)
     val dataMax = maxIdInData()
@@ -825,6 +831,17 @@ final class Collection(
       rowsCount += n
       Meta.write(spark, dir,
         CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
+      if (captureChanges) {
+        // insert events straight off the just-written id range: a
+        // pushed-down rescan of the data dir, never a re-embed
+        val t = nextOpTime()
+        appendChangeEvents(t,
+          df.filter(col(Schema.IdCol) > start &&
+              col(Schema.IdCol) <= start + n)
+            .select(lit(t).as("op_time"), lit("insert").as("op"),
+              col(Schema.IdCol), col(Schema.DocCol),
+              col(Schema.MetaCol)))
+      }
     }
   }
 
@@ -956,6 +973,91 @@ final class Collection(
     * per batch; at high batch counts scan planning degrades — the
     * standard cure is periodic compaction, exactly as a LSM/lakehouse
     * would. Ids, rows, and sidecar are unchanged. */
+  // ---- change streams ---------------------------------------------------
+  // Mongo `collection.watch()` analogue (the most-used Mongo API with no
+  // FerretDB-1.x/reference counterpart — extension tier): an oplog-style
+  // event log captured at the store's two narrow-waist write points.
+  // `insertDF` appends emit insert events straight from the just-written
+  // id range (a pushed-down rescan — the embeddings are NOT recomputed);
+  // every copy-on-write `rewriteData` swap emits update/delete events
+  // from a full-outer diff of the old generation vs the already-
+  // materialized tmp generation, keyed on `_m_id` with null-safe
+  // payload compare (so a compact(), which changes no logical content,
+  // emits nothing). Events carry the AFTER image (doc+meta; null for
+  // deletes) — Mongo's fullDocument=updateLookup shape.
+  //
+  // Capture is OPT-IN per collection (`enableChangeStream()`), exactly
+  // because the diff costs one extra join per mutation: a non-watched
+  // collection pays zero. Like Mongo, watch() replays nothing from
+  // before capture was enabled. `op_time` is the resume token: a dense
+  // per-mutation sequence (every capture-enabled mutation consumes one,
+  // even if it changed nothing), recovered from the log's max on
+  // reopen. Scale: the log is an append-only parquet dir partitioned by
+  // write batch; reading it is a plain filtered scan, and the streaming
+  // variant is the standard file-source readStream — executors tail new
+  // files, no driver state.
+  private def changesDir: String = new Path(dir, "changes").toString
+
+  private def changeSchema: StructType = StructType(Seq(
+    StructField("op_time", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField(Schema.IdCol, LongType, nullable = false),
+    StructField(Schema.DocCol, StringType, nullable = true),
+    StructField(Schema.MetaCol, StringType, nullable = true)))
+
+  /** Start capturing change events for this collection (idempotent).
+    * Events accrue from this point on — there is no retroactive replay
+    * (Mongo watch() semantics). */
+  def enableChangeStream(): Unit = if (!captureChanges) {
+    val p = new Path(changesDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    captureChanges = true
+    lastOpTime = Some(0L)
+  }
+
+  /** Whether change capture is on (enabled now or by a previous
+    * handle — the changes dir is the durable switch). */
+  def changeStreamEnabled: Boolean = captureChanges
+
+  private def nextOpTime(): Long = 1L + lastOpTime.getOrElse {
+    // reopened handle: recover the sequence from the log itself
+    spark.read.schema(changeSchema).parquet(changesDir)
+      .agg(max(col("op_time"))).head() match {
+      case Row(null) => 0L
+      case Row(v: Long) => v
+    }
+  }
+
+  private def appendChangeEvents(t: Long, events: DataFrame): Unit = {
+    events.write.mode("append").parquet(changesDir)
+    lastOpTime = Some(t)
+  }
+
+  /** The change-event log from after `resumeAfter` (an `op_time` resume
+    * token; 0 = everything captured). Batch form — one row per changed
+    * document per mutation: `(op_time, op ∈ insert|update|delete,
+    * _m_id, _m_doc, _m_meta)` with the after image (nulls for delete).
+    * Loud when capture was never enabled: an un-captured past cannot be
+    * watched. */
+  def watch(resumeAfter: Long = 0L): DataFrame = {
+    require(captureChanges,
+      s"change stream not enabled for collection '$name' — call " +
+        "enableChangeStream() first; events are captured from that " +
+        "point on (no retroactive replay)")
+    spark.read.schema(changeSchema).parquet(changesDir)
+      .filter(col("op_time") > resumeAfter)
+  }
+
+  /** Structured Streaming form of [[watch]]: a file-source readStream
+    * tailing the event log — watermarks/windows/stateful transforms
+    * compose on top like any stream. */
+  def watchStream(): DataFrame = {
+    require(captureChanges,
+      s"change stream not enabled for collection '$name' — call " +
+        "enableChangeStream() first")
+    spark.readStream.schema(changeSchema).parquet(changesDir)
+  }
+
   def compact(targetFiles: Int = 4): Unit = {
     if (!hasData) return
     rewriteData(df.repartitionByRange(targetFiles, col(Schema.IdCol)))
@@ -972,6 +1074,32 @@ final class Collection(
     val tmp = new Path(dir, "data_compact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     next.write.parquet(tmp.toString)
+    if (captureChanges) {
+      // diff the old generation (still live in dataDir) against the
+      // materialized tmp generation — both are plain parquet scans, no
+      // recomputation of `next`'s plan. Null-safe payload compare, so
+      // identical rows (e.g. a compact()) emit nothing.
+      val t = nextOpTime()
+      val o = df.select(col(Schema.IdCol),
+        col(Schema.DocCol).as("doc_a"), col(Schema.MetaCol).as("meta_a"),
+        lit(true).as("present_a"))
+      val nw = spark.read
+        .schema(graft.core.Schema.collectionSchema(embedder.dim))
+        .parquet(tmp.toString)
+        .select(col(Schema.IdCol),
+          col(Schema.DocCol).as("doc_b"), col(Schema.MetaCol).as("meta_b"),
+          lit(true).as("present_b"))
+      val events = o.join(nw, Seq(Schema.IdCol), "full_outer")
+        .withColumn("op",
+          when(col("present_a").isNull, lit("insert"))
+            .when(col("present_b").isNull, lit("delete"))
+            .when(!(col("doc_a") <=> col("doc_b")) ||
+              !(col("meta_a") <=> col("meta_b")), lit("update")))
+        .filter(col("op").isNotNull)
+        .select(lit(t).as("op_time"), col("op"), col(Schema.IdCol),
+          col("doc_b").as(Schema.DocCol), col("meta_b").as(Schema.MetaCol))
+      appendChangeEvents(t, events)
+    }
     val old = new Path(dir, "data_old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(new Path(dataDir), old))

@@ -114,6 +114,45 @@ object KaerQuery {
     * Mutations are NOT idempotent (a second $inc would double-bump), so
     * the collection is dropped and rebuilt every run — never trusted
     * from a previous round like [[openOrBuild]]'s read-only collection. */
+  /** Change streams under the oracle gate — `collection.watch()` over
+    * an enabled changelog: a scripted mutation sequence (bulk insert →
+    * $set update on the en slice → delete the de slice → a fresh
+    * single-doc insert) replayed against a dropped-and-rebuilt scratch
+    * collection, then the full event log read back. The oracle
+    * recomputes the event log ARITHMETICALLY from the documents table:
+    * `_m_id` is `row_number() OVER (ORDER BY doc_id)` (the store's
+    * documented dense-id insert order), after-image payloads reduce to
+    * `md5(text)` + the meta's lang field, op_time is the scripted
+    * mutation index. A capture bug anywhere — a missed event, a wrong
+    * after-image, a leaked compact event, a broken resume counter —
+    * hash-mismatches. */
+  def watchGate(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaerwatch", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.enableChangeStream()
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))                                  // op_time 1
+    coll.updateDoc("""{"lang": "en"}""",
+      """{"$set": {"seen": 1}}""")                           // op_time 2
+    coll.delete("""{"lang": {"$eq": "de"}}""")               // op_time 3
+    coll.insert(Data()
+      .withDocuments(Seq("fresh doc"))
+      .withMetadatas(Seq(Map[String, Any](
+        "doc_id" -> 999999, "lang" -> "xx"))))               // op_time 4
+    coll.watch()
+      .select(col("op_time"), col("op"),
+        col(Schema.IdCol).as("mid"),
+        md5(col(Schema.DocCol)).as("digest"),
+        get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+      .orderBy("op_time", "mid")
+  }
+
   def deleteUpdate(s: SparkSession, dir: String): DataFrame = {
     val k = new KaerSession(s, graft.core.Scratch.dir(
       "kaermut", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
@@ -481,6 +520,25 @@ object KaerQuery {
         |  CAST(CASE WHEN fv IS NOT NULL AND x = fv AND rn = 1
         |       THEN x + 1 ELSE x END AS BIGINT) AS score
         |FROM rn_ ORDER BY did, score""".stripMargin,
+    "kaer_watch" ->
+      """WITH base AS (SELECT
+        |    row_number() OVER (ORDER BY doc_id) AS mid,
+        |    text, lang FROM documents),
+        |ev AS (
+        |  SELECT 1 AS op_time, 'insert' AS op, mid,
+        |    md5(text) AS digest, lang FROM base
+        |  UNION ALL
+        |  SELECT 2, 'update', mid, md5(text), lang FROM base
+        |  WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 3, 'delete', mid, CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR) FROM base WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT 4, 'insert', (SELECT max(mid) FROM base) + 1,
+        |    md5('fresh doc'), 'xx')
+        |SELECT CAST(op_time AS BIGINT) AS op_time, op,
+        |  CAST(mid AS BIGINT) AS mid, digest, lang
+        |FROM ev ORDER BY op_time, mid""".stripMargin,
     "kaer_update_array" ->
       """WITH base AS (
         |  SELECT doc_id, lang, n_chars, [lang, source] AS tags
@@ -509,6 +567,7 @@ object KaerQuery {
     "kaer_update_positional" -> (updatePositional _),
     "kaer_vector_search" -> (vectorSearch _),
     "kaer_upsert" -> (upsertGate _),
-    "kaer_bulk_write" -> (bulkWriteGate _)
+    "kaer_bulk_write" -> (bulkWriteGate _),
+    "kaer_watch" -> (watchGate _)
   )
 }

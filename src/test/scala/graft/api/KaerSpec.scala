@@ -790,4 +790,75 @@ class KaerSpec extends SparkTestBase {
     assert(ins == 1L && m == 1L)
     assert(c.count("{}") == 2L)
   }
+
+  test("change stream lifecycle: capture is opt-in, events carry the " +
+      "after image, op_time is a dense resume token") {
+    val k = newSession(tmpDir("kaer-watch"))
+    val c = k.createCollection("c")
+    // not enabled -> loud, with remediation
+    val e = intercept[IllegalArgumentException] { c.watch() }
+    assert(e.getMessage.contains("enableChangeStream"), e.getMessage)
+    c.enableChangeStream()
+    c.enableChangeStream() // idempotent
+    c.insert(Data().withDocuments(Seq("one", "two", "three"))
+      .withMetadatas(Seq(Map("g" -> 1), Map("g" -> 2), Map("g" -> 3))))
+    c.updateDoc("""{"g": 2}""", """{"$set": {"flag": "hit"}}""")
+    c.delete("""{"g": {"$eq": 1}}""")
+    val ev = c.watch().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(ev.map(t => (t._1, t._2, t._3)) == Seq(
+      (1L, "insert", 1L), (1L, "insert", 2L), (1L, "insert", 3L),
+      (2L, "update", 2L), (3L, "delete", 1L)))
+    // after images: update carries the NEW meta; delete carries nulls
+    val upd = ev.find(t => t._2 == "update").get
+    assert(upd._4.contains("two") && upd._5.get.contains("\"flag\""))
+    val del = ev.find(t => t._2 == "delete").get
+    assert(del._4.isEmpty && del._5.isEmpty)
+    // resume token: strictly after op_time 1 -> only the later events
+    assert(c.watch(resumeAfter = 1L).collect().length == 2)
+  }
+
+  test("change stream: compact emits nothing, a reopened handle " +
+      "resumes the op_time sequence, drop clears the log") {
+    val root = tmpDir("kaer-watch2")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.enableChangeStream()
+    c.insert(Data().withDocuments(Seq("a", "b")))         // op_time 1
+    c.compact()                                           // no content change
+    assert(c.watch().collect().map(_.getLong(0)).max == 1L)
+    // compact consumed op_time 2 (every capture-enabled mutation does);
+    // the reopened handle recovers the sequence from the log max and
+    // keeps capturing without being re-enabled
+    val c2 = newSession(root).getCollection("c")
+    assert(c2.changeStreamEnabled)
+    c2.insert(Data().withDocuments(Seq("d")))
+    val times = c2.watch().collect().map(_.getLong(0)).toSeq.sorted
+    assert(times == Seq(1L, 1L, 2L), times.toString)
+    // drop removes everything; a recreated collection starts dark
+    newSession(root).dropCollection("c")
+    val c3 = newSession(root).createCollection("c")
+    assert(!c3.changeStreamEnabled)
+    intercept[IllegalArgumentException] { c3.watch() }
+  }
+
+  test("change stream: watchStream tails the log as a structured " +
+      "stream (file source, AvailableNow)") {
+    val k = newSession(tmpDir("kaer-watch3"))
+    val c = k.createCollection("c")
+    c.enableChangeStream()
+    c.insert(Data().withDocuments(Seq("s1", "s2")))
+    val q = c.watchStream()
+      .groupBy("op").count()
+      .writeStream.format("memory").queryName("kaer_watch_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("kaer_watch_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("insert" -> 2L), rows.toString)
+  }
 }
