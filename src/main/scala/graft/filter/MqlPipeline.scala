@@ -955,9 +955,74 @@ object MqlPipeline {
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 cur = cur.withColumn(f,
                   last(col(f), ignoreNulls = true).over(w))
+              case (None, Some(m)) if m.asText() == "linear" =>
+                // Mongo 5.3 linear interpolation, composed from the
+                // resample_interp exact-integer time-weighted device:
+                // bracket each null between its nearest non-null
+                // neighbours along the sortBy axis (one backward + one
+                // forward running-frame window — no self-join, no
+                // driver pass) and interpolate
+                //   (pv.y·(nv.x−x) + nv.y·(x−pv.x)) DIV (nv.x−pv.x).
+                // INTEGRAL axis and target only: float interpolation
+                // would put IEEE division in the oracle compare, so it
+                // stays loud by contract (cast to a scaled-integer
+                // column — cents/micros — first). Leading/trailing
+                // nulls stay null (Mongo parity). Like Mongo, linear
+                // requires exactly one ASCENDING numeric sortBy field.
+                val sortEntries = spec.get("sortBy")
+                  .properties().asScala.toSeq
+                require(sortEntries.size == 1 &&
+                  sortEntries.head.getValue.asInt() > 0,
+                  s"$$fill linear requires exactly one ascending " +
+                    s"sortBy field: $spec")
+                val xName = sortEntries.head.getKey
+                require(cur.columns.contains(xName),
+                  s"$$fill linear sortBy must be a real column, got: " +
+                    s"$xName (shape metadata fields into columns first)")
+                def integral(n: String): Boolean =
+                  cur.schema(n).dataType match {
+                    case org.apache.spark.sql.types.ByteType |
+                         org.apache.spark.sql.types.ShortType |
+                         org.apache.spark.sql.types.IntegerType |
+                         org.apache.spark.sql.types.LongType => true
+                    case _ => false
+                  }
+                require(integral(xName) && integral(f),
+                  s"$$fill linear supports integral sortBy/target " +
+                    s"columns only (exact integer interpolation; " +
+                    s"scale floats to cents/micros first): " +
+                    s"$xName -> $f")
+                val wb = Window.partitionBy(fPartCols: _*)
+                  .orderBy(fSortCols: _*)
+                val back = wb.rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)
+                val fwd = wb.rowsBetween(Window.currentRow,
+                  Window.unboundedFollowing)
+                val ob = when(col(f).isNotNull, struct(
+                  col(xName).cast("long").as("x"),
+                  col(f).cast("long").as("y")))
+                val pvN = s"__fill_pv_$f"
+                val nvN = s"__fill_nv_$f"
+                cur = cur
+                  .withColumn(pvN, last(ob, ignoreNulls = true).over(back))
+                  .withColumn(nvN, first(ob, ignoreNulls = true).over(fwd))
+                  .withColumn(f,
+                    when(col(f).isNotNull, col(f).cast("long"))
+                      .when(col(pvN).isNotNull && col(nvN).isNotNull,
+                        // tied axis values can make the bracket
+                        // degenerate (pv.x == nv.x): take the earlier
+                        // neighbour deterministically, never divide by 0
+                        when(col(nvN)("x") === col(pvN)("x"),
+                          col(pvN)("y"))
+                          .otherwise(expr(
+                            s"(`$pvN`.y * (`$nvN`.x - `$xName`) + " +
+                              s"`$nvN`.y * (`$xName` - `$pvN`.x)) DIV " +
+                              s"(`$nvN`.x - `$pvN`.x)"))))
+                  .drop(pvN, nvN)
               case (None, Some(m)) =>
                 throw new IllegalArgumentException(
-                  s"unsupported $$fill method: ${m.asText()} (locf only)")
+                  s"unsupported $$fill method: ${m.asText()} " +
+                    s"(locf and linear)")
               case _ => throw new IllegalArgumentException(
                 s"$$fill output needs exactly one of value/method: $o")
             }

@@ -555,6 +555,31 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |   "src": 1}}
         |]""".stripMargin)
 
+  /** $fill `method: "linear"` under the gate — the r11 verdict's gap:
+    * a user hitting linear interpolation got a loud refusal where a
+    * green gate was one composition away. Nulls planted on the n_chars
+    * axis (every multiple of 7), then linearly interpolated per
+    * language along doc_id with the resample_interp exact-integer
+    * time-weighted device (two running-frame windows bracket each null
+    * between its nearest observed neighbours; integer cross-multiply +
+    * one truncating division — both engines' integer division
+    * truncates). Leading/trailing nulls stay null (Mongo parity). One
+    * partition-key shuffle at any scale, like every window. */
+  def mqlFillLinear(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"))))
+        .select(col("doc_id"), col("meta"),
+          when(col("n_chars") % 7 === 0, lit(null))
+            .otherwise(col("n_chars")).cast("long").as("chars")),
+      col("meta"),
+      """[
+        | {"$fill": {"partitionBy": "$lang", "sortBy": {"doc_id": 1},
+        |   "output": {"chars": {"method": "linear"}}}},
+        | {"$sort": {"lang": 1, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "lang": "$lang", "chars": 1}}
+        |]""".stripMargin)
+
   /** $densify under the gate: documents coarsened to 10-char buckets,
     * then per-language missing buckets generated across each
     * partition's [min, max] grid — bounds agg (one row per lang) →
@@ -1318,6 +1343,30 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chars,
         |  coalesce(src, 'unknown') AS src
         |FROM f ORDER BY lang, doc_id""".stripMargin,
+    "mql_fill_linear" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  CASE WHEN n_chars % 7 = 0 THEN NULL
+        |       ELSE CAST(n_chars AS BIGINT) END AS chars
+        |FROM documents),
+        |b AS (SELECT doc_id, lang, chars,
+        |  last_value(CASE WHEN chars IS NOT NULL THEN
+        |      struct_pack(x := doc_id, y := chars) END IGNORE NULLS)
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  first_value(CASE WHEN chars IS NOT NULL THEN
+        |      struct_pack(x := doc_id, y := chars) END IGNORE NULLS)
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM f)
+        |SELECT doc_id, lang,
+        |  CASE WHEN chars IS NOT NULL THEN chars
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         CASE WHEN nv.x = pv.x THEN pv.y
+        |              ELSE (pv.y * (nv.x - doc_id) +
+        |                    nv.y * (doc_id - pv.x)) // (nv.x - pv.x)
+        |         END
+        |       ELSE NULL END AS chars
+        |FROM b ORDER BY lang, doc_id""".stripMargin,
     "mql_window_pct" ->
       """SELECT lang,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
@@ -1530,6 +1579,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_window_calculus" -> (mqlWindowCalculus _),
     "mql_window_pct" -> (mqlWindowPercentile _),
     "mql_fill" -> (mqlFill _),
+    "mql_fill_linear" -> (mqlFillLinear _),
     "mql_densify" -> (mqlDensify _),
     "mql_graph_lookup" -> (mqlGraphLookup _),
     "mql_facet" -> (mqlFacet _),

@@ -732,12 +732,14 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got == Seq((1L, None, "x"), (2L, Some(5.0), "none"),
       (3L, Some(5.0), "y"), (4L, None, "z")))
 
+    // linear over a FLOAT target: loud integral-only contract (scale
+    // to cents/micros first — IEEE division never reaches the oracle)
     val linear = intercept[IllegalArgumentException] {
       MqlPipeline.aggregate(gaps, col("meta"),
         """[{"$fill": {"sortBy": {"id": 1},
           |  "output": {"v": {"method": "linear"}}}}]""".stripMargin)
     }
-    assert(linear.getMessage.contains("locf only"))
+    assert(linear.getMessage.contains("integral"), linear.getMessage)
     val metaTarget = intercept[IllegalArgumentException] {
       MqlPipeline.aggregate(gaps, col("meta"),
         """[{"$fill": {"sortBy": {"id": 1},
@@ -750,6 +752,39 @@ class MqlPipelineSpec extends SparkTestBase {
           .stripMargin)
     }
     assert(locfNoSort.getMessage.contains("requires a sortBy"))
+  }
+
+  test("$fill linear: integer interpolation between bracketing " +
+      "observations; leading/trailing nulls stay; loud descending") {
+    val gaps = Seq(
+      (0L, """{"grp": "a"}""", null.asInstanceOf[java.lang.Long]),
+      (10L, """{"grp": "a"}""", java.lang.Long.valueOf(100L)),
+      (14L, """{"grp": "a"}""", null.asInstanceOf[java.lang.Long]),
+      (20L, """{"grp": "a"}""", java.lang.Long.valueOf(40L)),
+      (25L, """{"grp": "a"}""", null.asInstanceOf[java.lang.Long]),
+      (5L, """{"grp": "b"}""", java.lang.Long.valueOf(7L))
+    ).toDF("id", "meta", "v")
+    val got = MqlPipeline.aggregate(gaps, col("meta"),
+      """[{"$fill": {"partitionBy": "$grp", "sortBy": {"id": 1},
+        |   "output": {"v": {"method": "linear"}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "v": 1}}]""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+      .sortBy(_._1)
+    // id 14 brackets (10,100)-(20,40): 100 + (40-100)*4/10 = 76 exactly
+    // (the cross-multiplied form: (100*6 + 40*4) DIV 10 = 76);
+    // id 0 leading and id 25 trailing stay null; grp b untouched
+    assert(got == Seq((0L, None), (5L, Some(7L)), (10L, Some(100L)),
+      (14L, Some(76L)), (20L, Some(40L)), (25L, None)))
+    // descending sortBy is loud (Mongo requires ascending for linear)
+    val desc = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(gaps, col("meta"),
+        """[{"$fill": {"sortBy": {"id": -1},
+          |  "output": {"v": {"method": "linear"}}}}]""".stripMargin)
+    }
+    assert(desc.getMessage.contains("ascending"), desc.getMessage)
   }
 
   test("$densify: partition bounds fill per-group gaps, full bounds " +
