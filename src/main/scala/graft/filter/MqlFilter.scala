@@ -503,6 +503,100 @@ object MqlFilter {
           r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble())))
       else
         tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
+    case "$geoWithin" =>
+      // Mongo's find-side geo containment, on this engine's PLANAR
+      // INTEGER grid (the graft.operators.Geo contract): the field is
+      // an integral [x, y] point, the shape is one of the legacy
+      // planar forms — $box (opposite corners), $center ([[x,y], r],
+      // exact integer dist² ≤ r²), $polygon (≥3 integer vertices,
+      // boundary-INCLUSIVE point-in-polygon: an exact on-segment
+      // cross-product test per edge, plus ray-casting parity where
+      // every per-edge comparison is cross-multiplied by the edge's
+      // y-span — whose sign is a driver-side literal, so the
+      // inequality direction is chosen at translate time and NO
+      // division ever runs). $geometry/$centerSphere are spherical —
+      // loud, like $geoNear's spherical option. Documents without a
+      // valid 2-element integral point never match (Mongo's behavior
+      // for missing/invalid geo fields).
+      require(v.isObject && v.properties().size() == 1,
+        s"$$geoWithin needs exactly one shape operator: $v")
+      val shape = v.properties().iterator().next()
+      val pt = r.varr(field)
+      def coord(i: Int): Column =
+        try_variant_get(element_at(pt, i), "$", "long")
+      val px = coord(1)
+      val py = coord(2)
+      def parsePoint(n: JsonNode, what: String): (Long, Long) = {
+        require(n != null && n.isArray && n.size() == 2 &&
+          n.get(0).isIntegralNumber && n.get(1).isIntegralNumber,
+          s"$what must be an [x, y] integer point on the planar " +
+            s"grid: $n")
+        (n.get(0).asLong(), n.get(1).asLong())
+      }
+      val inside: Column = shape.getKey match {
+        case "$box" =>
+          val c0 = shape.getValue
+          require(c0.isArray && c0.size() == 2,
+            s"$$box needs [[x1, y1], [x2, y2]]: $c0")
+          val (x1, y1) = parsePoint(c0.get(0), "$box corner")
+          val (x2, y2) = parsePoint(c0.get(1), "$box corner")
+          px.between(math.min(x1, x2), math.max(x1, x2)) &&
+            py.between(math.min(y1, y2), math.max(y1, y2))
+        case "$center" =>
+          val c0 = shape.getValue
+          require(c0.isArray && c0.size() == 2 &&
+            c0.get(1).isIntegralNumber && c0.get(1).asLong() >= 0,
+            s"$$center needs [[x, y], radius] with an integer " +
+              s"radius: $c0")
+          val (cx, cy) = parsePoint(c0.get(0), "$center point")
+          val rad = c0.get(1).asLong()
+          val dx = px - cx
+          val dy = py - cy
+          dx * dx + dy * dy <= rad * rad
+        case "$polygon" =>
+          val vs0 = shape.getValue
+          require(vs0 != null && vs0.isArray && vs0.size() >= 3,
+            s"$$polygon needs >= 3 vertices: $vs0")
+          val vs = vs0.elements().asScala.toSeq.zipWithIndex
+            .map { case (n, i) => parsePoint(n, s"$$polygon vertex $i") }
+          // accept an explicitly closed ring (first == last)
+          val ring =
+            if (vs.length > 3 && vs.head == vs.last) vs.dropRight(1)
+            else vs
+          require(ring.length >= 3,
+            s"$$polygon needs >= 3 distinct vertices: $vs0")
+          val edges = ring.zip(ring.tail :+ ring.head)
+          val onEdge = edges.map { case ((xa, ya), (xb, yb)) =>
+            val cross = (px - xa) * (yb - ya) - (py - ya) * (xb - xa)
+            cross === 0L &&
+              px.between(math.min(xa, xb), math.max(xa, xb)) &&
+              py.between(math.min(ya, yb), math.max(ya, yb))
+          }.reduce(_ || _)
+          val crossings = edges.flatMap { case ((xa, ya), (xb, yb)) =>
+            if (ya == yb) None // horizontal edges never cross the ray
+            else {
+              // half-open y-span [min, max) — the standard rule that
+              // counts a ray through a vertex exactly once
+              val spans =
+                if (ya < yb) py >= ya && py < yb
+                else py >= yb && py < ya
+              val d = yb - ya
+              val lhs = (px - xa) * d
+              val rhs = (py - ya) * (xb - xa)
+              Some(spans && (if (d > 0) lhs < rhs else lhs > rhs))
+            }
+          }
+          val parity = crossings
+            .map(c => when(c, lit(1)).otherwise(lit(0)))
+            .reduce(_ + _) % 2 === 1
+          onEdge || parity
+        case other => throw new IllegalArgumentException(
+          s"unsupported $$geoWithin shape: $other (planar " +
+            "$box/$polygon/$center only; $geometry/$centerSphere are " +
+            "spherical — unsupported on the integer grid, loud by " +
+            "contract)")
+      }
+      tv(size(pt) === 2 && px.isNotNull && py.isNotNull && inside)
     case "$exists" =>
       if (v.asBoolean()) r.exists(field) else !r.exists(field)
     case "$type" => tv(r.typeName(field) === v.asText())

@@ -137,6 +137,69 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** Vertices of the [[mqlGeoWithin]] gate polygon — deliberately
+    * CONCAVE (the (45000, 50000) notch) so the ray-casting parity is
+    * exercised, not just a convex hull test. ONE source of truth: both
+    * the MQL filter JSON and the DuckDB oracle SQL derive from this
+    * list, edge by edge, with identical integer arithmetic. */
+  private val GeoWithinPoly: Seq[(Long, Long)] = Seq(
+    (20000L, 10000L), (80000L, 25000L), (45000L, 50000L),
+    (70000L, 80000L), (15000L, 60000L))
+
+  /** $geoWithin under the gate (r12) — the find-side geo operator
+    * beside $geoNear: customers planted on the integer grid (the Geo
+    * coordinate recipe), packed as `loc: [x, y]` metadata, then ONE
+    * boundary-inclusive point-in-$polygon predicate. All arithmetic is
+    * exact integers (cross-product on-edge test; cross-multiplied
+    * ray-casting with driver-chosen inequality directions — no
+    * division on either engine). Pure scan+filter: pushes nothing to
+    * parquet (the point is computed), but runs as a single codegen
+    * stage — no join, no window, no shuffle beyond the presentation
+    * sort (PlanSpec lock). */
+  def mqlGeoWithin(s: SparkSession, dir: String): DataFrame = {
+    val polyJson = GeoWithinPoly.map { case (x, y) => s"[$x, $y]" }
+      .mkString("[", ", ", "]")
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 100000).as("x"),
+        (col("c_custkey") * 104729 % 100000).as("y"))
+      .withColumn("meta", to_json(struct(col("id"),
+        array(col("x"), col("y")).as("loc"))))
+      .filter(MqlFilter.toColumn(
+        s"""{"loc": {"$$geoWithin": {"$$polygon": $polyJson}}}""",
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("id"), col("x"), col("y"))
+      .orderBy("id")
+  }
+
+  private val geoWithinSql: String = {
+    val ring = GeoWithinPoly
+    val edges = ring.zip(ring.tail :+ ring.head)
+    val onEdge = edges.map { case ((xa, ya), (xb, yb)) =>
+      s"((x - $xa) * ${yb - ya} - (y - $ya) * ${xb - xa} = 0 AND " +
+        s"x BETWEEN ${math.min(xa, xb)} AND ${math.max(xa, xb)} AND " +
+        s"y BETWEEN ${math.min(ya, yb)} AND ${math.max(ya, yb)})"
+    }.mkString("(", " OR ", ")")
+    val crossings = edges.flatMap { case ((xa, ya), (xb, yb)) =>
+      if (ya == yb) None
+      else {
+        val d = yb - ya
+        val spans =
+          if (ya < yb) s"(y >= $ya AND y < $yb)"
+          else s"(y >= $yb AND y < $ya)"
+        val cmp = if (d > 0) "<" else ">"
+        Some(s"CASE WHEN $spans AND (x - $xa) * $d $cmp " +
+          s"(y - $ya) * ${xb - xa} THEN 1 ELSE 0 END")
+      }
+    }.mkString(" + ")
+    s"""WITH p AS (SELECT c_custkey AS id,
+       |  c_custkey * 7919 % 100000 AS x,
+       |  c_custkey * 104729 % 100000 AS y FROM customer)
+       |SELECT id, x, y FROM p
+       |WHERE $onEdge OR ($crossings) % 2 = 1
+       |ORDER BY id""".stripMargin
+  }
+
   def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("meta", to_json(struct(array(
@@ -1489,6 +1552,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, lang, n_chars FROM t
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
+    "mql_geo_within" -> geoWithinSql,
     "mql_docs_bits" ->
       """SELECT doc_id FROM documents
         |WHERE (n_chars & 5) = 5
@@ -1559,6 +1623,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_densify_unit" -> (mqlDensifyUnit _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_bits" -> (mqlDocsBits _),
+    "mql_geo_within" -> (mqlGeoWithin _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),

@@ -366,4 +366,71 @@ class MqlFilterSpec extends SparkTestBase {
     }
     assert(neg.getMessage.contains("phrases/negation unsupported"))
   }
+
+  test("$geoWithin: $box and $center on the integer grid, boundary " +
+      "inclusive; invalid points never match") {
+    val pts = Seq(
+      (1L, """{"loc": [0, 0]}"""),     // box corner (boundary)
+      (2L, """{"loc": [5, 5]}"""),     // interior
+      (3L, """{"loc": [10, 0]}"""),    // box edge (boundary)
+      (4L, """{"loc": [11, 5]}"""),    // outside box, inside circle r=13
+      (5L, """{"loc": [3]}"""),        // 1-element array — invalid
+      (6L, """{"loc": "nope"}"""),     // not an array — invalid
+      (7L, """{}""")                   // missing — never matches
+    ).toDF("id", "meta")
+    def gids(f: String): Seq[Long] =
+      pts.filter(MqlFilter.toColumn(f,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$box": [[0, 0], [10, 10]]}}}""".stripMargin)
+      == Seq(1L, 2L, 3L))
+    // corners in either order
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$box": [[10, 10], [0, 0]]}}}""".stripMargin)
+      == Seq(1L, 2L, 3L))
+    // circle: 11² + 5² = 146 > 144 (r=12) but ≤ 169 (r=13)
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$center": [[0, 0], 12]}}}""".stripMargin)
+      == Seq(1L, 2L, 3L))
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$center": [[0, 0], 13]}}}""".stripMargin)
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("$geoWithin: concave $polygon — parity ray-casting, vertices " +
+      "and edges inclusive, notch excluded; spherical shapes loud") {
+    // concave "C"-ish pentagon: (0,0) (10,0) (4,5) (10,10) (0,10) —
+    // the (4,5) notch points INTO the shape
+    val poly = """[[0, 0], [10, 0], [4, 5], [10, 10], [0, 10]]"""
+    val pts = Seq(
+      (1L, """{"loc": [1, 5]}"""),    // interior, left of notch
+      (2L, """{"loc": [8, 5]}"""),    // in the notch cavity — OUTSIDE
+      (3L, """{"loc": [4, 5]}"""),    // the notch vertex — boundary
+      (4L, """{"loc": [5, 0]}"""),    // bottom edge — boundary
+      (5L, """{"loc": [0, 10]}"""),   // corner vertex — boundary
+      (6L, """{"loc": [7, 2]}"""),    // under the notch slope: interior
+      (7L, """{"loc": [11, 5]}""")    // right of everything — outside
+    ).toDF("id", "meta")
+    def gids(f: String): Seq[Long] =
+      pts.filter(MqlFilter.toColumn(f,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(gids(s"""{"loc": {"$$geoWithin": {"$$polygon": $poly}}}""")
+      == Seq(1L, 3L, 4L, 5L, 6L))
+    // an explicitly closed ring is accepted
+    val closed =
+      """[[0, 0], [10, 0], [4, 5], [10, 10], [0, 10], [0, 0]]"""
+    assert(gids(s"""{"loc": {"$$geoWithin": {"$$polygon": $closed}}}""")
+      == Seq(1L, 3L, 4L, 5L, 6L))
+    val sph = intercept[IllegalArgumentException] {
+      gids("""{"loc": {"$geoWithin": {"$geometry": {"type": "Polygon",
+        | "coordinates": []}}}}""".stripMargin)
+    }
+    assert(sph.getMessage.contains("spherical"), sph.getMessage)
+    val few = intercept[IllegalArgumentException] {
+      gids("""{"loc": {"$geoWithin": {"$polygon": [[0, 0], [1, 1]]}}}""")
+    }
+    assert(few.getMessage.contains(">= 3"), few.getMessage)
+  }
 }

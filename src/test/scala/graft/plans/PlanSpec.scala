@@ -202,6 +202,17 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"want <=1 exchange, got $exchanges\n$p")
   }
 
+  test("mql_geo_within: point-in-polygon is one codegen filter pass — " +
+      "no join, no window, only the presentation sort's exchange") {
+    val df = graft.operators.Relational
+      .queries("mql_geo_within")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"want <=1 exchange, got $exchanges\n$p")
+  }
+
   test("mql_geo_near: single-pass scan→filter→topk, no join node at " +
       "all and the distance sort+limit is TakeOrderedAndProject") {
     val p = plan(graft.operators.Geo.mqlGeoNear(spark, sf0001))
