@@ -225,6 +225,112 @@ object MqlFilter {
     case _ => translate(mapper.readTree(filterJson), r)
   }
 
+  // ---- collation ---------------------------------------------------------
+
+  /** Mongo find/aggregate collation, in the slice a codepoint engine
+    * can honor EXACTLY: `strength` 1–2 = case-insensitive compare
+    * (ICU level 1 also folds diacritics, but the supported locales are
+    * diacritic-free, so 1 and 2 coincide here); 3 = Mongo's default
+    * tertiary = plain codepoint compare (identity). Locales beyond
+    * en/simple need a real ICU table — loud, never an approximation. */
+  final case class Collation(locale: String, strength: Int) {
+    def caseInsensitive: Boolean = strength <= 2
+  }
+
+  def parseCollation(json: String): Collation = {
+    val n = mapper.readTree(json)
+    require(n.isObject, s"collation must be a document: $json")
+    n.properties().asScala.foreach(e =>
+      require(Seq("locale", "strength").contains(e.getKey),
+        s"unsupported collation option: ${e.getKey} (locale/strength)"))
+    val locale = Option(n.get("locale")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("collation requires locale"))
+    require(locale == "en" || locale == "simple",
+      s"unsupported collation locale: $locale (en/simple only — other " +
+        "locales need an ICU collation table; loud by contract)")
+    val strength = Option(n.get("strength")).map(_.asInt()).getOrElse(3)
+    require(strength >= 1 && strength <= 3,
+      s"unsupported collation strength: $strength " +
+        "(1/2 = case-insensitive, 3 = default codepoint)")
+    Collation(locale, strength)
+  }
+
+  /** Rewrite the filter's string literals for a case-insensitive
+    * collation (the other half of [[CollatedResolver]]'s lower() on the
+    * field side). Exempt by Mongo semantics: $regex/$options (regex
+    * ignores collation) and $date (an ISO timestamp, not collatable
+    * text). Loud: $elemMatch/$all (array-element compares run through
+    * the VARIANT element view, which this engine does not collate) and
+    * $expr (its string operands name FIELDS — lowercasing them would
+    * corrupt path resolution). Refusing beats silently matching
+    * case-sensitively under a collation the caller asked for. */
+  private def ciLiterals(node: JsonNode): JsonNode = node match {
+    case o if o.isObject =>
+      val out = mapper.createObjectNode()
+      o.properties().asScala.foreach { e =>
+        e.getKey match {
+          case "$regex" | "$options" | "$date" =>
+            out.set[JsonNode](e.getKey, e.getValue)
+          case k @ ("$elemMatch" | "$all" | "$expr") =>
+            throw new IllegalArgumentException(
+              s"$k under a case-insensitive collation is unsupported " +
+                "(not collated on this engine — loud, never silently " +
+                "case-sensitive)")
+          case k => out.set[JsonNode](k, ciLiterals(e.getValue))
+        }
+      }
+      out
+    case a if a.isArray =>
+      val out = mapper.createArrayNode()
+      a.elements().asScala.foreach(e => out.add(ciLiterals(e)))
+      out
+    case t if t.isTextual =>
+      com.fasterxml.jackson.databind.node.TextNode
+        .valueOf(t.asText().toLowerCase)
+    case other => other
+  }
+
+  /** The field-side half of case-insensitive collation: string views
+    * fold through lower(); every non-string view passes through
+    * untouched (numbers, booleans, timestamps and existence are not
+    * collatable). */
+  private final class CollatedResolver(inner: FieldResolver)
+      extends FieldResolver {
+    def num(f: String): Column = inner.num(f)
+    def intNum(f: String): Column = inner.intNum(f)
+    def ts(f: String): Column = inner.ts(f)
+    def str(f: String): Column = lower(inner.str(f))
+    def bool(f: String): Column = inner.bool(f)
+    def arr(f: String): Column = transform(inner.arr(f), e => lower(e))
+    def varr(f: String): Column = inner.varr(f)
+    def exists(f: String): Column = inner.exists(f)
+    def typeName(f: String): Column = inner.typeName(f)
+  }
+
+  /** [[toColumn]] under a Mongo collation: strength 3 (or no collation)
+    * is the identity; strength 1–2 lowercases both sides of every
+    * string comparison — the filter's string literals via
+    * [[ciLiterals]] and the document's string views via
+    * [[CollatedResolver]] — so $eq/$in/ordering on strings compare
+    * case-insensitively while numbers, dates and regexes keep their
+    * uncollated semantics (Mongo parity: regex ignores collation). */
+  def toColumn(filterJson: String, r: FieldResolver,
+      collation: Option[Collation]): Column =
+    collation.filter(_.caseInsensitive) match {
+      case None => toColumn(filterJson, r)
+      case Some(_) =>
+        val ciNode = ciLiterals(mapper.readTree(filterJson))
+        r match {
+          case JsonResolver(metaCol) =>
+            forall(array(try_parse_json(metaCol)), { parsed =>
+              val bound = JsonResolver(metaCol)
+              bound.parsed = parsed
+              translate(ciNode, new CollatedResolver(bound))
+            })
+          case other => translate(ciNode, new CollatedResolver(other))
+        }
+    }
+
   /** Missing/null-typed comparisons must not poison AND/OR trees: MQL is
     * two-valued, SQL is three-valued. Collapse NULL → false. */
   private def tv(c: Column): Column = coalesce(c, lit(false))

@@ -42,7 +42,35 @@ object MqlPipeline {
   def aggregate(df: DataFrame, metaCol: Column, pipelineJson: String,
       lookup: String => (DataFrame, Column) = name =>
         throw new IllegalArgumentException(
-          s"$$lookup unsupported here (no collection resolver): $name")): DataFrame = {
+          s"$$lookup unsupported here (no collection resolver): $name")): DataFrame =
+    aggregateImpl(df, metaCol, pipelineJson, lookup, None)
+
+  /** [[aggregate]] under a Mongo collation document (the find/aggregate
+    * `collation` option). Strength 3 is the identity; strength 1–2
+    * makes $match string compares and $sort string keys
+    * case-insensitive (both sides fold through lower() — the
+    * [[MqlFilter.toColumn]] collated form). Under a case-insensitive
+    * collation the pipeline is restricted to the FIND shape
+    * ($match/$sort/$project/$limit/$skip/$count): $group equality,
+    * accumulator compares and lookups are NOT collated on this engine,
+    * so they refuse loudly rather than silently running
+    * case-sensitively. Unsupported locales/strengths are loud in
+    * [[MqlFilter.parseCollation]]. */
+  def aggregateCollated(df: DataFrame, metaCol: Column,
+      pipelineJson: String, collationJson: String,
+      lookup: String => (DataFrame, Column) = name =>
+        throw new IllegalArgumentException(
+          s"$$lookup unsupported here (no collection resolver): $name"))
+      : DataFrame =
+    aggregateImpl(df, metaCol, pipelineJson, lookup,
+      Some(MqlFilter.parseCollation(collationJson)))
+
+  private def aggregateImpl(df: DataFrame, metaCol: Column,
+      pipelineJson: String, lookup: String => (DataFrame, Column),
+      collation: Option[MqlFilter.Collation]): DataFrame = {
+    val ci = collation.exists(_.caseInsensitive)
+    val ciStages = Set("$match", "$sort", "$project", "$limit",
+      "$skip", "$count")
     val stages = mapper.readTree(pipelineJson)
     require(stages.isArray, s"pipeline must be a JSON array: $pipelineJson")
     var cur = df
@@ -84,6 +112,10 @@ object MqlPipeline {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
       val (op, spec) = (fields.head.getKey, fields.head.getValue)
+      if (ci) require(ciStages.contains(op),
+        s"$op under a case-insensitive collation is unsupported " +
+          s"(only ${ciStages.toSeq.sorted.mkString("/")} are collated " +
+          "on this engine — loud, never silently case-sensitive)")
       op match {
         case "$match" =>
           // real columns win (post-$group output, post-$unwind element);
@@ -95,7 +127,7 @@ object MqlPipeline {
             if (grouped) typed
             else new HybridResolver(cur.columns.toSet, typed,
               MqlFilter.JsonResolver(meta))
-          cur = cur.filter(MqlFilter.toColumn(spec.toString, r))
+          cur = cur.filter(MqlFilter.toColumn(spec.toString, r, collation))
 
         case "$group" =>
           require(!grouped, "nested $group unsupported")
@@ -122,7 +154,7 @@ object MqlPipeline {
         case "$sort" =>
           val keyPairs = spec.properties().asScala.toSeq.flatMap { e =>
             val desc = e.getValue.asInt() < 0
-            sortBases(e.getKey, cur, meta).map(b => (b, desc))
+            sortBases(e.getKey, cur, meta, ci).map(b => (b, desc))
           }
           val mat = materializeKeys(keyPairs.map(_._1))
             .zip(keyPairs.map(_._2))
@@ -1378,15 +1410,21 @@ object MqlPipeline {
     * Shared by $sort and $setWindowFields.sortBy so stage order and
     * window order can never disagree. */
   private def sortBases(key: String, cur: DataFrame,
-      meta: Column): Seq[Column] =
-    if (cur.columns.contains(key)) Seq(col(key))
-    else {
+      meta: Column, ci: Boolean = false): Seq[Column] =
+    if (cur.columns.contains(key)) {
+      // case-insensitive collation folds STRING sort keys; other types
+      // are not collatable and pass through
+      if (ci && cur.schema(key).dataType ==
+          org.apache.spark.sql.types.StringType) Seq(lower(col(key)))
+      else Seq(col(key))
+    } else {
       val r = MqlFilter.JsonResolver(meta)
       val rank = when(!r.exists(key) || r.typeName(key) === "null", 0)
         .when(r.typeName(key).isin("long", "double"), 1)
         .when(r.typeName(key) === "string", 2)
         .otherwise(3)
-      Seq(rank, r.num(key), r.str(key))
+      Seq(rank, r.num(key),
+        if (ci) lower(r.str(key)) else r.str(key))
     }
 
   /** Evaluate `build` with ONE JSON→VARIANT parse per row: probe-build

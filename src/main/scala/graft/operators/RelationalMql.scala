@@ -200,6 +200,29 @@ private[graft] trait RelationalMql { this: Relational.type =>
        |ORDER BY id""".stripMargin
   }
 
+  /** Collation under the gate (r12): case is mangled deterministically
+    * (every 3rd doc's lang uppercased — the textNormalize planting
+    * device), then a `{locale: "en", strength: 2}` collation makes the
+    * $in match and the $sort order case-insensitive: both sides of
+    * every string compare fold through lower(), which is exactly what
+    * ICU strength ≤ 2 degenerates to on a diacritic-free locale. The
+    * output keeps the ORIGINAL case (collation affects comparison,
+    * never the stored value); ties in the folded key break on did. */
+  def mqlCollation(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 3 === 0, upper(col("lang")))
+            .otherwise(col("lang")).as("langx"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"langx": {"$in": ["EN", "fr"]}}},
+        | {"$sort": {"langx": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "langx": "$langx"}}
+        |]""".stripMargin,
+      """{"locale": "en", "strength": 2}""")
+
   def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("meta", to_json(struct(array(
@@ -1553,6 +1576,14 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
     "mql_geo_within" -> geoWithinSql,
+    "mql_collation" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END
+        |    AS langx
+        |FROM documents)
+        |SELECT doc_id, langx FROM d
+        |WHERE lower(langx) IN ('en', 'fr')
+        |ORDER BY lower(langx), doc_id""".stripMargin,
     "mql_docs_bits" ->
       """SELECT doc_id FROM documents
         |WHERE (n_chars & 5) = 5
@@ -1624,6 +1655,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),
+    "mql_collation" -> (mqlCollation _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),

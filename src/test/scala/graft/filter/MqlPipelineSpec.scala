@@ -787,6 +787,53 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(desc.getMessage.contains("ascending"), desc.getMessage)
   }
 
+  test("collation: strength 2 folds match + sort case; strength 3 is " +
+      "identity; values keep original case; loud edges") {
+    val cdf = Seq(
+      (1L, """{"k": "Apple", "g": 1}"""),
+      (2L, """{"k": "apple", "g": 1}"""),
+      (3L, """{"k": "BANANA", "g": 2}"""),
+      (4L, """{"k": "banana", "g": 2}"""),
+      (5L, """{"k": "cherry", "g": 3}""")
+    ).toDF("id", "meta")
+    val ci = MqlPipeline.aggregateCollated(cdf, col("meta"),
+      """[{"$match": {"k": {"$in": ["APPLE", "Banana"]}}},
+        |  {"$sort": {"k": 1, "id": -1}},
+        |  {"$project": {"id": 1, "k": "$k"}}]""".stripMargin,
+      """{"locale": "en", "strength": 2}""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // case-folded match catches all four; sort by folded k, id desc;
+    // ORIGINAL case survives to the output
+    assert(ci == Seq((2L, "apple"), (1L, "Apple"),
+      (4L, "banana"), (3L, "BANANA")))
+    // strength 3 = Mongo default = plain codepoint compare
+    val cs = MqlPipeline.aggregateCollated(cdf, col("meta"),
+      """[{"$match": {"k": {"$in": ["APPLE", "banana"]}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1}}]""".stripMargin,
+      """{"locale": "en", "strength": 3}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cs == Seq(4L))
+    // loud: unsupported locale, $group under CI collation, $expr
+    val loc = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregateCollated(cdf, col("meta"),
+        """[{"$match": {"k": "x"}}]""", """{"locale": "fr"}""")
+    }
+    assert(loc.getMessage.contains("locale"), loc.getMessage)
+    val grp = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregateCollated(cdf, col("meta"),
+        """[{"$group": {"_id": "$k", "n": {"$sum": 1}}}]""",
+        """{"locale": "en", "strength": 1}""")
+    }
+    assert(grp.getMessage.contains("collation"), grp.getMessage)
+    val ex = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregateCollated(cdf, col("meta"),
+        """[{"$match": {"$expr": {"$eq": ["$k", "apple"]}}}]""",
+        """{"locale": "en", "strength": 2}""")
+    }
+    assert(ex.getMessage.contains("$expr"), ex.getMessage)
+  }
+
   test("$densify: partition bounds fill per-group gaps, full bounds " +
       "span globally, explicit bounds are half-open") {
     val sparse = Seq(
