@@ -335,6 +335,125 @@ object MqlFilter {
     * two-valued, SQL is three-valued. Collapse NULL → false. */
   private def tv(c: Column): Column = coalesce(c, lit(false))
 
+  /** Mongo's `$jsonSchema` find operator — validation-as-predicate,
+    * the query-side form of schema validation (FerretDB exposes it the
+    * same way). Supported draft-4/BSON subset, one flat level:
+    * top-level `bsonType`/`type` (must be "object"), `required`,
+    * `properties` with per-field `bsonType`/`type` (string/long/int/
+    * integer/double/number/bool/boolean/array/null), `enum`
+    * (string/number/bool literals), `minimum`/`maximum` (numeric
+    * fields; non-numbers pass, JSON-Schema keyword-applicability
+    * rules), `minLength`/`maxLength`/`pattern` (string fields;
+    * non-strings pass). JSON-Schema semantics throughout: a property
+    * constraint applies ONLY when the field is present — absence
+    * fails nothing except `required`. Everything else (nested
+    * objects/items/additionalProperties/$ref/allOf...) is loudly
+    * unsupported, never silently ignored: a validator that skips a
+    * rule it doesn't know admits exactly the documents the rule was
+    * written to reject. */
+  private def jsonSchemaPred(schema: JsonNode, r: FieldResolver): Column = {
+    require(schema.isObject, s"$$jsonSchema must be an object: $schema")
+    val topAllowed =
+      Set("bsonType", "type", "required", "properties", "title",
+        "description")
+    schema.properties().asScala.foreach(e =>
+      require(topAllowed(e.getKey),
+        s"unsupported $$jsonSchema keyword: ${e.getKey} (scope: " +
+          s"${topAllowed.toSeq.sorted.mkString("/")}) — loud by " +
+          "contract, a skipped rule admits what it was written to " +
+          "reject"))
+    Seq(Option(schema.get("bsonType")), Option(schema.get("type")))
+      .flatten.foreach(t => require(t.asText() == "object",
+        s"top-level $$jsonSchema type must be \"object\": $t"))
+    // typeName buckets for a bsonType/type keyword value
+    def typeNames(t: String): Seq[String] = t match {
+      case "string" => Seq("string")
+      case "long" | "int" | "integer" => Seq("long")
+      case "double" => Seq("double")
+      case "number" => Seq("long", "double")
+      case "bool" | "boolean" => Seq("bool")
+      case "array" => Seq("array")
+      case "null" => Seq("null")
+      case other => throw new IllegalArgumentException(
+        s"unsupported $$jsonSchema bsonType: $other")
+    }
+    val required: Seq[Column] =
+      Option(schema.get("required")).toSeq.flatMap { req =>
+        require(req.isArray, s"required must be an array: $req")
+        req.elements().asScala.toSeq.map(f => r.exists(f.asText()))
+      }
+    val propChecks: Seq[Column] =
+      Option(schema.get("properties")).toSeq.flatMap { props =>
+        require(props.isObject, s"properties must be an object: $props")
+        props.properties().asScala.toSeq.map { p =>
+          val f = p.getKey
+          val sub = p.getValue
+          require(sub.isObject,
+            s"property schema for '$f' must be an object: $sub")
+          val subAllowed = Set("bsonType", "type", "enum", "minimum",
+            "maximum", "minLength", "maxLength", "pattern", "title",
+            "description")
+          sub.properties().asScala.foreach(e =>
+            require(subAllowed(e.getKey),
+              s"unsupported $$jsonSchema property keyword for " +
+                s"'$f': ${e.getKey} (scope: " +
+                s"${subAllowed.toSeq.sorted.mkString("/")})"))
+          val isNum = r.typeName(f).isin("long", "double")
+          val isStr = r.typeName(f) === "string"
+          val cs = scala.collection.mutable.Buffer.empty[Column]
+          Seq(Option(sub.get("bsonType")), Option(sub.get("type")))
+            .flatten.foreach { t =>
+              cs += tv(r.typeName(f).isin(typeNames(t.asText()): _*))
+            }
+          Option(sub.get("enum")).foreach { en =>
+            require(en.isArray && en.size() > 0,
+              s"enum for '$f' must be a non-empty array: $en")
+            val alts = en.elements().asScala.toSeq.map { lit0 =>
+              if (lit0.isTextual) tv(r.str(f) === lit(lit0.asText()))
+              else if (lit0.isIntegralNumber && lit0.canConvertToLong)
+                tv(r.intNum(f) === lit(lit0.asLong())) ||
+                  tv(r.num(f) === lit(lit0.asDouble()))
+              else if (lit0.isNumber)
+                tv(r.num(f) === lit(lit0.asDouble()))
+              else if (lit0.isBoolean)
+                tv(r.bool(f) === lit(lit0.asBoolean()))
+              else throw new IllegalArgumentException(
+                s"unsupported enum literal for '$f': $lit0")
+            }
+            cs += alts.reduce(_ || _)
+          }
+          def numBound(key: String)(cmp: (Column, Column) => Column)
+              : Unit = Option(sub.get(key)).foreach { b =>
+            require(b.isNumber, s"$key for '$f' must be a number: $b")
+            cs += when(isNum, cmp(r.num(f), lit(b.asDouble())))
+              .otherwise(lit(true))
+          }
+          numBound("minimum")(_ >= _)
+          numBound("maximum")(_ <= _)
+          def lenBound(key: String)(cmp: (Column, Column) => Column)
+              : Unit = Option(sub.get(key)).foreach { b =>
+            require(b.isIntegralNumber && b.asLong() >= 0,
+              s"$key for '$f' must be a non-negative integer: $b")
+            cs += when(isStr, cmp(length(r.str(f)), lit(b.asLong())))
+              .otherwise(lit(true))
+          }
+          lenBound("minLength")(_ >= _)
+          lenBound("maxLength")(_ <= _)
+          Option(sub.get("pattern")).foreach { pat =>
+            require(pat.isTextual,
+              s"pattern for '$f' must be a string: $pat")
+            cs += when(isStr, r.str(f).rlike(pat.asText()))
+              .otherwise(lit(true))
+          }
+          val all = cs.reduceOption(_ && _).getOrElse(lit(true))
+          // JSON-Schema applicability: constraints bind only when the
+          // field is present; absence fails only `required`
+          !tv(r.exists(f)) || tv(all)
+        }
+      }
+    (required ++ propChecks).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
   private def translate(node: JsonNode, r: FieldResolver): Column = {
     require(node.isObject, s"MQL filter must be an object, got: $node")
     val clauses = node.properties().asScala.toSeq.map { e =>
@@ -346,6 +465,7 @@ object MqlFilter {
         case ("$nor", v) => !v.elements().asScala.map(translate(_, r))
           .reduceLeft(_ || _)
         case ("$expr", v) => tv(exprBool(v, r))
+        case ("$jsonSchema", v) => jsonSchemaPred(v, r)
         case ("$text", v) =>
           // {"$text": {"$search": "w1 w2 ..."}} — Mongo's text-index
           // predicate in its OR-of-terms form: match if ANY search term

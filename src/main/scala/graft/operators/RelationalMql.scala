@@ -223,6 +223,41 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2}""")
 
+  /** $jsonSchema under the gate (r12) — validation-as-predicate from
+    * find(): three violation classes planted deterministically in a
+    * hand-built JSON document (every 7th doc omits `lang` → required
+    * fails; every 5th doc writes `nc` as a STRING → bsonType fails;
+    * out-of-bracket n_chars → minimum/maximum fail), then one
+    * $jsonSchema predicate admits exactly the clean documents. The
+    * oracle is the same three rules as relational algebra. Pure
+    * scan+filter — validation runs at scan speed like any other
+    * predicate, which is the point of the operator at 100 TB. */
+  def mqlJsonSchema(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", concat(
+        lit("{\"did\": "), col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(""))
+          .otherwise(concat(lit(", \"lang\": \""), col("lang"),
+            lit("\""))),
+        lit(", \"nc\": "),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\""), col("n_chars"), lit("\"")))
+          .otherwise(col("n_chars").cast("string")),
+        lit("}")))
+      .filter(MqlFilter.toColumn(
+        """{"$jsonSchema": {
+          |  "bsonType": "object",
+          |  "required": ["did", "lang"],
+          |  "properties": {
+          |    "did": {"bsonType": "long"},
+          |    "lang": {"bsonType": "string", "pattern": "^[a-z]{2}$",
+          |      "minLength": 2, "maxLength": 2},
+          |    "nc": {"bsonType": "long", "minimum": 100,
+          |      "maximum": 500}}}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   def mqlElemMatch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("meta", to_json(struct(array(
@@ -1576,6 +1611,12 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
     "mql_geo_within" -> geoWithinSql,
+    "mql_json_schema" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 0
+        |  AND doc_id % 5 <> 0
+        |  AND n_chars BETWEEN 100 AND 500
+        |ORDER BY doc_id""".stripMargin,
     "mql_collation" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END
@@ -1656,6 +1697,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),
     "mql_collation" -> (mqlCollation _),
+    "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),

@@ -367,6 +367,51 @@ class MqlFilterSpec extends SparkTestBase {
     assert(neg.getMessage.contains("phrases/negation unsupported"))
   }
 
+  test("$jsonSchema: required/bsonType/enum/bounds/pattern with " +
+      "JSON-Schema applicability; unknown keywords loud") {
+    val docs = Seq(
+      (1L, """{"k": 5, "s": "ab"}"""),        // clean
+      (2L, """{"k": "5", "s": "ab"}"""),      // k wrong type
+      (3L, """{"s": "ab"}"""),                // k missing (required)
+      (4L, """{"k": 50, "s": "ab"}"""),       // k over maximum
+      (5L, """{"k": 5, "s": "abc"}"""),       // s too long
+      (6L, """{"k": 5, "s": "AB"}"""),        // s fails pattern
+      (7L, """{"k": 5}"""),                   // s absent — passes (not required)
+      (8L, """{"k": 5, "s": "ab", "e": "x"}"""), // e fails enum
+      (9L, """{"k": 5, "s": "ab", "e": "y"}""")  // e passes enum
+    ).toDF("id", "meta")
+    def jids(schema: String): Seq[Long] =
+      docs.filter(MqlFilter.toColumn(
+          s"""{"$$jsonSchema": $schema}""",
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(jids(
+      """{"bsonType": "object", "required": ["k"],
+        | "properties": {
+        |   "k": {"bsonType": "long", "minimum": 0, "maximum": 10},
+        |   "s": {"type": "string", "minLength": 2, "maxLength": 2,
+        |     "pattern": "^[a-z]+$"},
+        |   "e": {"enum": ["y", "z", 7]}}}""".stripMargin)
+      == Seq(1L, 7L, 9L))
+    // numeric bounds apply to numbers only (keyword applicability):
+    // a string-typed k passes minimum but still fails bsonType —
+    // with no bsonType constraint, row 2 ("5") passes the bound
+    assert(jids(
+      """{"properties": {"k": {"minimum": 100}}}""")
+      == Seq(2L, 3L))
+    // empty schema admits everything
+    assert(jids("""{}""") == (1L to 9L))
+    // unknown keywords are loud, never silently ignored
+    val unk = intercept[IllegalArgumentException] {
+      jids("""{"additionalProperties": false}""")
+    }
+    assert(unk.getMessage.contains("unsupported"), unk.getMessage)
+    val ref = intercept[IllegalArgumentException] {
+      jids("""{"properties": {"k": {"items": {}}}}""")
+    }
+    assert(ref.getMessage.contains("unsupported"), ref.getMessage)
+  }
+
   test("$geoWithin: $box and $center on the integer grid, boundary " +
       "inclusive; invalid points never match") {
     val pts = Seq(
