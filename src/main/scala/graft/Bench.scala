@@ -173,7 +173,18 @@ object Bench {
     // numbers stay interpretable either way.
     val minOf = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_MIN_OF", "1").toInt)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=a,b,c: benchmark a subset (scale probes, local
+    // iteration). Unknown names are loud — a typo must not silently
+    // shrink the run. Unset = the full registered suite (the driver).
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = want.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty,
+          s"SPARK_GRAFT_ONLY names not registered: ${missing.mkString(",")}")
+        want.toSeq.sorted.map(n => n -> SparkEntry.queries(n))
+      case None => SparkEntry.queries.toSeq.sortBy(_._1)
+    }
     // One pass = the full suite once, plus the pass's external-load
     // verdict. A query failure records (time-to-failure, ok=false) —
     // the min below only ever takes FAILED times when NO pass
