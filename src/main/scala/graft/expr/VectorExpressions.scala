@@ -156,6 +156,237 @@ case class DotExpr(left: Expression, right: Expression)
       r: Expression): DotExpr = copy(left = l, right = r)
 }
 
+/** Static kernel for [[NearestCentroidExpr]] — the exact argmin/argmax
+  * nearest-centroid scan as one flat JVM loop.
+  *
+  * Bit-compatibility contract with the Column-space fold it replaces
+  * (`aggregate` over a literal centroid array, strict `<`/`>` compare,
+  * first-in-order wins ties — see [[graft.operators.IvfIndex]]): dot and
+  * normSq accumulate in index order; cosine = dot / (norm(x) · norm(c))
+  * with the product formed in that order; a zero denominator, a length
+  * mismatch, or a null input/element skips exactly the centroids the
+  * composed form's null cosine/distance skipped (a null never wins a
+  * strict compare), so an all-null row yields the fold's init cid −1.
+  * norm(x) is computed ONCE per row instead of once per centroid — the
+  * same double reused, identical bits. */
+object CentroidMath {
+
+  def normSq(c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    acc
+  }
+
+  def nearest(a: ArrayData, cids: Array[Long], cents: Array[Array[Double]],
+      norms: Array[Double], cosine: Boolean): Long = {
+    if (a == null) return -1L
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return -1L
+      x(i) = a.getDouble(i)
+      i += 1
+    }
+    var bestCid = -1L
+    var j = 0
+    if (cosine) {
+      val xn = math.sqrt(normSq(x))
+      var best = -2.0
+      while (j < cents.length) {
+        val c = cents(j)
+        if (c.length == n) {
+          val den = xn * norms(j)
+          if (den != 0.0) {
+            var d = 0.0
+            var k = 0
+            while (k < n) { d += x(k) * c(k); k += 1 }
+            val cc = d / den
+            // Spark SQL compares doubles NaN-SAFE (NaN > any non-NaN,
+            // NaN == NaN), so the fold's when(cc > acc) lets a NaN
+            // cosine WIN once and then hold (NaN > NaN is false) —
+            // replicate exactly
+            if (cc > best ||
+                (java.lang.Double.isNaN(cc) &&
+                  !java.lang.Double.isNaN(best))) {
+              best = cc; bestCid = cids(j)
+            }
+          }
+        }
+        j += 1
+      }
+    } else {
+      var best = Double.MaxValue
+      while (j < cents.length) {
+        val c = cents(j)
+        if (c.length == n) {
+          var d2 = 0.0
+          var k = 0
+          while (k < n) { val d = x(k) - c(k); d2 += d * d; k += 1 }
+          // nan-safe `<`: a NaN distance never wins (NaN > MaxValue in
+          // Spark's ordering), so plain primitive compare suffices —
+          // best can never become NaN on this branch
+          if (d2 < best) { best = d2; bestCid = cids(j) }
+        }
+        j += 1
+      }
+    }
+    bestCid
+  }
+}
+
+/** Static kernel for [[CosineDupRemovedExpr]] — SemDeDup's in-cluster
+  * prune as one native call per cluster.
+  *
+  * Semantics contract (the composed form it replaces, and the DuckDB
+  * oracle): expand pairs (a, b) with `b.id > a.id` inside the cluster,
+  * keep pairs with `cosineSim(emb_a, emb_b) >= tau` (Spark nan-safe
+  * `>=`: a NaN cosine PASSES; a null cosine — zero vector, length
+  * mismatch, null element — is dropped by the filter), output the
+  * DISTINCT id_b set. Existence short-circuits: b is removed on its
+  * FIRST qualifying earlier-id partner, which is the same set as
+  * all-pairs + distinct at a fraction of the compares. Cosine
+  * arithmetic is [[VectorMath]]'s: index-order dot and norms,
+  * dot / (norm(a) · norm(b)). */
+object CosineDupMath {
+
+  def removed(ms: ArrayData, tau: Double): ArrayData = {
+    val m = ms.numElements()
+    val ids = new Array[Long](m)
+    val embs = new Array[Array[Double]](m) // null = poisoned (skip)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val s = ms.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      if (!s.isNullAt(1)) {
+        val a = s.getArray(1)
+        val n = a.numElements()
+        val x = new Array[Double](n)
+        var k = 0
+        var ok = true
+        while (ok && k < n) {
+          if (a.isNullAt(k)) ok = false else { x(k) = a.getDouble(k); k += 1 }
+        }
+        if (ok) { embs(i) = x; norms(i) = math.sqrt(CentroidMath.normSq(x)) }
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var b = 0
+    while (b < m) {
+      val eb = embs(b)
+      if (eb != null) {
+        var hit = false
+        var a = 0
+        while (!hit && a < m) {
+          val ea = embs(a)
+          if (ea != null && ids(a) < ids(b) && ea.length == eb.length) {
+            val den = norms(a) * norms(b)
+            if (den != 0.0) {
+              var d = 0.0
+              var k = 0
+              while (k < ea.length) { d += ea(k) * eb(k); k += 1 }
+              val cc = d / den
+              // nan-safe >=: NaN qualifies (NaN > any non-NaN in
+              // Spark's ordering)
+              if (cc >= tau || java.lang.Double.isNaN(cc)) hit = true
+            }
+          }
+          a += 1
+        }
+        if (hit) out += ids(b)
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** SemDeDup's within-cluster removed-id set in ONE native call per
+  * cluster ([[graft.operators.Dedup.dedupSemantic]]): replaces the
+  * interpreted transform/filter/flatten/explode pair expansion, which
+  * materialized every candidate pair as a (id, id, emb, emb) struct —
+  * ~18.5M such structs at the sf10 rung — before the native cosine
+  * even ran. Existence short-circuit + zero pair materialization; the
+  * output array explodes straight into the LEFT ANTI join's build
+  * side. See [[CosineDupMath]] for the exact semantics contract. */
+case class CosineDupRemovedExpr(child: Expression, tau: Double)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_dup_removed"
+  override protected def nullSafeEval(input: Any): Any =
+    CosineDupMath.removed(input.asInstanceOf[ArrayData], tau)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expr.CosineDupMath.removed($c, $tau);
+    """)
+  override protected def withNewChildInternal(c: Expression)
+      : CosineDupRemovedExpr = copy(child = c)
+}
+
+/** Nearest-centroid id over a broadcast-sized centroid table in ONE
+  * native call — the assignment kernel under every IVF/KMeans/SemDeDup
+  * operator ([[graft.operators.IvfIndex.assignCid]] and its cosine
+  * twin).
+  *
+  * Replaces the `aggregate` HOF fold over k literal centroid structs,
+  * whose interpreted lambdas made assignment the superlinear term of
+  * the grown-k SemDeDup dial at the sf10 rung (k grows with the corpus,
+  * so the fold paid interpreter overhead × N·k·Dim — BASELINE.md r12).
+  * Semantics are the fold's, bit-for-bit (see [[CentroidMath]]);
+  * centroids ride the expression as plain arrays (driver-broadcast with
+  * the serialized plan, like the literal array they replace), and the
+  * per-centroid norms are recomputed lazily per JVM rather than
+  * serialized. Result is never null: bad input reproduces the fold's
+  * init cid −1.
+  */
+case class NearestCentroidExpr(child: Expression, cids: Array[Long],
+    cents: Array[Array[Double]], cosine: Boolean)
+    extends UnaryExpression {
+  require(cids.length == cents.length,
+    s"cids(${cids.length}) and cents(${cents.length}) must align")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_centroid"
+  // keep k·dim doubles out of every explain/treeString dump
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"k=${cids.length}", s"cosine=$cosine")
+
+  @transient private lazy val norms: Array[Double] =
+    cents.map(c => math.sqrt(CentroidMath.normSq(c)))
+
+  def assign(a: ArrayData): Long =
+    CentroidMath.nearest(a, cids, cents, norms, cosine)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    assign(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("nearestCentroidExpr", this)
+    val childGen = child.genCode(ctx)
+    val arr = ctx.freshName("ncArr")
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData $arr =
+          ${childGen.isNull} ? null : ${childGen.value};
+        long ${ev.value} = $ref.assign($arr);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : NearestCentroidExpr = copy(child = c)
+}
+
 case class NormSqExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.expr.CosineDupRemovedExpr
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1121,20 +1122,22 @@ object Dedup {
     * in-cluster sizes (and the quadratic compare) stay constant. */
   private[graft] def dedupSemantic(corpus: DataFrame,
       cents: Seq[(Long, Array[Float])]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val assigned = corpus
       .withColumn("cid", IvfIndex.assignCosCid(cents, col("embedding")))
+    // within-cluster prune in ONE native call per cluster
+    // (CosineDupRemovedExpr): same removed-id set as the pair
+    // expansion + cos >= tau filter + distinct (existence semantics
+    // short-circuit; each id_b lives in exactly one cluster so the
+    // output ids are already distinct — no dedup shuffle needed)
     val removed = assigned
       .groupBy("cid")
-      .agg(collect_list(struct(col("id"), col("embedding"))).as("ms"))
+      .agg(collect_list(struct(col("id"),
+        col("embedding").cast("array<double>"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .withColumn("ms", guardCluster(col("ms")))
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(filter(col("ms"), b => b("id") > a("id")), b =>
-          struct(a("id").as("id_a"), b("id").as("id_b"),
-            a("embedding").as("emb_a"), b("embedding").as("emb_b"))))))
-        .as("p"))
-      .filter(cosineSim(col("p.emb_a"), col("p.emb_b")) >= SemTau)
-      .select(col("p.id_b").as("id")).distinct()
+      .select(explode(toCol(CosineDupRemovedExpr(
+        toExpr(col("ms")), SemTau))).as("id"))
     assigned.join(removed, Seq("id"), "left_anti")
       .select(col("id"), col("cid"), col("label"))
       .orderBy("id")

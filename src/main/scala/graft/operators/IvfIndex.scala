@@ -24,20 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Per-row nearest-centroid id over a literal centroid array — pure
-    * codegen'd fold, zero shuffle (same shape as Similarity.annIvf). */
+  /** Per-row nearest-centroid id (argmin L2) — ONE native codegen'd
+    * call over the centroid table, zero shuffle. Strict `<`, first
+    * centroid in seq order wins ties. Until r12 this was an
+    * `aggregate` fold over k literal centroid structs; the fold's
+    * interpreted lambdas made assignment O(N·k·Dim) × interpreter
+    * overhead — the superlinear term of the grown-k SemDeDup dial at
+    * the sf10 rung. [[graft.expr.NearestCentroidExpr]] keeps the
+    * fold's arithmetic bit-for-bit (NearestCentroidSpec proves
+    * equivalence against the composed form). */
   private[graft] def assignCid(
       cents: Seq[(Long, Array[Float])], emb: Column): Column =
-    aggregate(
-      array(cents.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
-      }: _*),
-      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val dc = l2Sq(emb, c.getField("cv"))
-        when(dc < acc.getField("d"),
-          struct(dc.as("d"), c.getField("cid").as("cid"))).otherwise(acc)
-      }).getField("cid")
+    nearestCentroid(cents, emb, cosine = false)
 
   /** [[assignCid]]'s cosine twin: argmax cosine similarity, strict `>`
     * so ties keep the FIRST (lowest-cid) centroid — the same tie-break
@@ -46,16 +44,17 @@ object IvfIndex {
     * which is what direction-based (semantic) clustering wants. */
   private[graft] def assignCosCid(
       cents: Seq[(Long, Array[Float])], emb: Column): Column =
-    aggregate(
-      array(cents.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
-      }: _*),
-      struct(lit(-2.0).as("c"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val cc = cosineSim(emb, c.getField("cv"))
-        when(cc > acc.getField("c"),
-          struct(cc.as("c"), c.getField("cid").as("cid"))).otherwise(acc)
-      }).getField("cid")
+    nearestCentroid(cents, emb, cosine = true)
+
+  private def nearestCentroid(cents: Seq[(Long, Array[Float])],
+      emb: Column, cosine: Boolean): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(graft.expr.NearestCentroidExpr(
+      toExpr(emb.cast("array<double>")),
+      cents.map(_._1).toArray,
+      cents.map(_._2.map(_.toDouble)).toArray,
+      cosine))
+  }
 
   /** Deterministic Lloyd's KMeans: init = the k lowest-vec_id vectors,
     * `iters` rounds of broadcast assignment + per-cid mean. Every step is
