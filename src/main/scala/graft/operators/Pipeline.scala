@@ -368,13 +368,19 @@ object Pipeline {
     * raw-like" ordering. */
   def dsirSample(s: SparkSession, dir: String): DataFrame = {
     val b = DsirBuckets
-    val ts = tokens(col("text"))
-    val fArr = filter(transform(ts, (w, i) =>
-        pmod(md5Hash60(concat(w, lit(" "),
-          try_element_at(ts, i + lit(2)))), lit(b))),
-      f => f.isNotNull)
+    // Bigrams via the native WordNgramsExpr (one pass over the token
+    // array), hash AFTER the explode so pmod∘md5Hash60 runs as plain
+    // whole-stage-codegen'd column expressions. The previous
+    // transform-with-index + try_element_at(ts, i+2) lambda referenced
+    // the full tokens() regex subtree INSIDE the lambda body — Catalyst
+    // does no CSE across lambda boundaries, so every element re-ran
+    // regexp_extract_all over the whole text: O(len²) regex work per
+    // document (the sf10 audit's superlinear signature on this gate).
     val feats = docs(s, dir)
-      .select(col("doc_id"), col("lang"), explode(fArr).as("f"))
+      .select(col("doc_id"), col("lang"),
+        explode(wordNgrams(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Hash60(col("bg")), lit(b)).as("f"))
     // ONE aggregation pass computes both count tables (conditional
     // count for the target side), and the totals nt/nr come from the
     // ≤b-row table itself — the corpus is tokenized+hashed exactly
