@@ -33,6 +33,54 @@ object MqlFilter {
 
   private val mapper = new ObjectMapper()
 
+  /** Truncating 64-bit integer division as a Column (Spark's `DIV`,
+    * DuckDB's `//` — BOTH truncate toward zero, verified on negatives),
+    * so the scaled spherical metric below is cross-engine exact. */
+  private[graft] def intDiv(a: Column, b: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(lit(b))))
+
+  /** cos(latitude) in MILLI units, rounded once at TRANSLATE time —
+    * the single driver-side scalar the spherical metric scales
+    * longitudes by. Latitude is integer microdegrees. */
+  private[graft] def cosMilli(latMicroDeg: Long): Long =
+    math.round(math.cos(math.toRadians(latMicroDeg / 1e6)) * 1000)
+
+  /** The SPHERICAL surrogate metric shared by `$geoNear {spherical:
+    * true}` and `$geoWithin.$centerSphere`: coordinates are [lon, lat]
+    * integer MICRODEGREES and dist² is the equirectangular projection
+    * anchored at the query latitude —
+    *
+    *   dlat² + ((wrap(dlon) · cosMilli(qlat)) div 1000)²
+    *
+    * with dlon WRAPPED across the antimeridian into [−180°, 180°)
+    * (pmod — a pin near lon +179.9° IS near one at −179.9°). The cos
+    * scale is computed ONCE driver-side ([[cosMilli]]) and embedded as
+    * a literal, so the per-row path is pure 64-bit integer arithmetic —
+    * no trig, no libm, no floats — which both engines reproduce
+    * bit-for-bit (the repo's hash-exactness discipline; floating
+    * haversine would diverge in the last ulp across engines).
+    *
+    * Geodesy contract: a local flat-earth model, the standard regional
+    * approximation — error grows with |lat − qlat| and near the poles
+    * (hence the ±85° guard). 1 grid unit ≈ 0.111 m of latitude; a
+    * production swap to true haversine changes ONLY this expression,
+    * the surrounding prefilter/top-k plan shapes are metric-agnostic. */
+  private[graft] def sphereDist2(plon: Column, plat: Column,
+      qlon: Long, qlat: Long): Column = {
+    require(math.abs(qlat) <= 85000000L,
+      "spherical query latitude must be within ±85° (integer " +
+        s"microdegrees): $qlat")
+    val cm = cosMilli(qlat)
+    val dlat = plat - qlat
+    val dlonW = pmod(plon - qlon + lit(180000000L), lit(360000000L)) -
+      lit(180000000L)
+    val dlonS = intDiv(dlonW * lit(cm), 1000L)
+    dlat * dlat + dlonS * dlonS
+  }
+
   /** How a metadata field name becomes typed Columns. */
   trait FieldResolver {
     /** Numeric view of the field (null when absent or non-numeric). */
@@ -730,18 +778,19 @@ object MqlFilter {
       else
         tv(r.num(field) % lit(args(0).asDouble()) === lit(args(1).asDouble()))
     case "$geoWithin" =>
-      // Mongo's find-side geo containment, on this engine's PLANAR
-      // INTEGER grid (the graft.operators.Geo contract): the field is
-      // an integral [x, y] point, the shape is one of the legacy
-      // planar forms — $box (opposite corners), $center ([[x,y], r],
+      // Mongo's find-side geo containment: the field is an integral
+      // [x, y] point ([lon, lat] microdegrees for the spherical shape),
+      // the shape one of — $box (opposite corners), $center ([[x,y], r],
       // exact integer dist² ≤ r²), $polygon (≥3 integer vertices,
       // boundary-INCLUSIVE point-in-polygon: an exact on-segment
       // cross-product test per edge, plus ray-casting parity where
       // every per-edge comparison is cross-multiplied by the edge's
       // y-span — whose sign is a driver-side literal, so the
       // inequality direction is chosen at translate time and NO
-      // division ever runs). $geometry/$centerSphere are spherical —
-      // loud, like $geoNear's spherical option. Documents without a
+      // division ever runs), or $centerSphere ([[lon, lat], r] on the
+      // [[sphereDist2]] surrogate metric — antimeridian-wrapped,
+      // latitude-scaled, integer-exact). $geometry (full GeoJSON
+      // polygons on the sphere) stays loud. Documents without a
       // valid 2-element integral point never match (Mongo's behavior
       // for missing/invalid geo fields).
       require(v.isObject && v.properties().size() == 1,
@@ -779,6 +828,21 @@ object MqlFilter {
           val dx = px - cx
           val dy = py - cy
           dx * dx + dy * dy <= rad * rad
+        case "$centerSphere" =>
+          // the spherical containment twin of $center, on the
+          // [[sphereDist2]] surrogate metric: [[lon, lat] integer
+          // microdegrees, integer radius in grid units] (Mongo's
+          // radians radius maps to grid units here, exactly as
+          // $center's meters map to the planar grid)
+          val c0 = shape.getValue
+          require(c0.isArray && c0.size() == 2 &&
+            c0.get(1).isIntegralNumber && c0.get(1).asLong() >= 0 &&
+            c0.get(1).asLong() <= 2000000000L,
+            s"$$centerSphere needs [[lon, lat], radius] with an " +
+              s"integer radius in [0, 2e9] grid units: $c0")
+          val (cx, cy) = parsePoint(c0.get(0), "$centerSphere point")
+          val rad = c0.get(1).asLong()
+          sphereDist2(px, py, cx, cy) <= rad * rad
         case "$polygon" =>
           val vs0 = shape.getValue
           require(vs0 != null && vs0.isArray && vs0.size() >= 3,
@@ -817,10 +881,10 @@ object MqlFilter {
             .reduce(_ + _) % 2 === 1
           onEdge || parity
         case other => throw new IllegalArgumentException(
-          s"unsupported $$geoWithin shape: $other (planar " +
-            "$box/$polygon/$center only; $geometry/$centerSphere are " +
-            "spherical — unsupported on the integer grid, loud by " +
-            "contract)")
+          s"unsupported $$geoWithin shape: $other " +
+            "($box/$polygon/$center/$centerSphere only; $geometry " +
+            "GeoJSON polygons are spherical geodesics — unsupported " +
+            "on the integer grid, loud by contract)")
       }
       tv(size(pt) === 2 && px.isNotNull && py.isNotNull && inside)
     case "$exists" =>

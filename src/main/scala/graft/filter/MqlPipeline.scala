@@ -487,7 +487,12 @@ object MqlPipeline {
           // the same box→refine shape as Geo.geoNear. `query` filters
           // like $match. Documents without a valid point are excluded
           // (Mongo's behavior for missing geo fields). spherical: true
-          // and float coordinates are out of scope — loud.
+          // switches the metric to [[MqlFilter.sphereDist2]] — points
+          // are [lon, lat] integer MICRODEGREES, distance is the
+          // antimeridian-wrapped latitude-scaled integer surrogate,
+          // and the prefilter is the LATITUDE band only (a longitude
+          // band is wrap-unsafe and pole-degenerate; latitude alone
+          // buys the row reduction). Float coordinates stay loud.
           require(cur eq df,
             "$geoNear must be the first pipeline stage (Mongo)")
           require(spec.isObject, s"$$geoNear needs options: $spec")
@@ -497,9 +502,8 @@ object MqlPipeline {
             require(geoAllowed(e.getKey),
               s"unsupported $$geoNear option (scope: " +
                 s"${geoAllowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
-          require(Option(spec.get("spherical")).forall(!_.asBoolean()),
-            "$geoNear spherical: true is unsupported " +
-              "(planar integer grid only — loud)")
+          val spherical =
+            Option(spec.get("spherical")).exists(_.asBoolean())
           val near0 = spec.get("near")
           require(near0 != null, "$geoNear requires near")
           val near =
@@ -539,13 +543,16 @@ object MqlPipeline {
           Option(spec.get("maxDistance")).foreach { d0 =>
             require(d0.isIntegralNumber && d0.asLong() >= 0,
               s"$$geoNear maxDistance must be a non-negative integer " +
-                s"(meters): $d0")
+                s"(grid units): $d0")
             val d = d0.asLong()
-            cur = cur.filter(px.between(qx - d, qx + d) &&
-              py.between(qy - d, qy + d))
+            cur =
+              if (spherical) cur.filter(py.between(qy - d, qy + d))
+              else cur.filter(px.between(qx - d, qx + d) &&
+                py.between(qy - d, qy + d))
           }
           cur = cur.withColumn(distF,
-            (px - qx) * (px - qx) + (py - qy) * (py - qy))
+            if (spherical) MqlFilter.sphereDist2(px, py, qx, qy)
+            else (px - qx) * (px - qx) + (py - qy) * (py - qy))
           Option(spec.get("maxDistance")).foreach { d0 =>
             val d = d0.asLong()
             cur = cur.filter(col(distF) <= d * d)

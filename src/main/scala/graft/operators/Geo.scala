@@ -151,7 +151,93 @@ object Geo {
          | {"$$limit": 10}
          |]""".stripMargin)
 
+  /** Spherical point synthesis (integer MICRODEGREES, one source of
+    * truth for both engines): lon derives from the ±180° range so the
+    * ANTIMERIDIAN WRAP is exercised (at gate SFs every point lands on
+    * the west side of the date line while the query pins sit on the
+    * east — only wrapped distances match at all), lat stays within
+    * ±60° (inside the spherical ±85° guard). */
+  private val SpherePointsSql =
+    """SELECT c_custkey AS id,
+      |  c_custkey * 7919 % 360000000 - 180000000 AS lon,
+      |  c_custkey * 104729 % 120000000 - 60000000 AS lat
+      |FROM customer""".stripMargin
+
+  private def spherePoints(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"),
+        (col("c_custkey") * 7919 % 360000000L - 180000000L).as("lon"),
+        (col("c_custkey") * 104729 % 120000000L - 60000000L).as("lat"))
+
+  /** The [[graft.filter.MqlFilter.sphereDist2]] metric as oracle SQL —
+    * same wrap (floor-mod emulation `((x%m)+m)%m` ≡ Spark pmod), same
+    * single translate-time cos constant, same truncating `//` ≡ DIV. */
+  private def sphereDist2Sql(qlon: Long, qlat: Long): String = {
+    val cm = graft.filter.MqlFilter.cosMilli(qlat)
+    val w = s"((((lon - $qlon + 180000000) % 360000000) + 360000000)" +
+      s" % 360000000 - 180000000)"
+    s"((lat - $qlat) * (lat - $qlat)" +
+      s" + ($w * $cm // 1000) * ($w * $cm // 1000))"
+  }
+
+  /** `$geoNear {spherical: true}` end to end (r12 — lifts the r11 loud
+    * refusal): lon/lat microdegree points through the MQL pipeline,
+    * near pin at [179°E, 50°S] so matches exist ONLY via the
+    * antimeridian wrap, maxDistance as the latitude-band prefilter +
+    * exact metric refine, then the deterministic (d2, idq) top-k. The
+    * geodesy is the documented local flat-earth surrogate — integer
+    * microdegree wrap + one translate-time cos scale — so the hash
+    * gate proves wrap, scale, prefilter order and metric exactness
+    * with zero per-row trig in either engine. */
+  def mqlGeoSphereNear(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      spherePoints(s, dir)
+        .withColumn("meta", to_json(struct(col("id"),
+          array(col("lon"), col("lat")).as("loc")))),
+      col("meta"),
+      s"""[
+         | {"$$geoNear": {"near": [179000000, -50000000], "key": "loc",
+         |   "distanceField": "d2", "maxDistance": 8000000,
+         |   "spherical": true}},
+         | {"$$project": {"idq": {"$$toLong": "$$id"}, "d2": 1}},
+         | {"$$sort": {"d2": 1, "idq": 1}},
+         | {"$$limit": 12}
+         |]""".stripMargin)
+
+  /** `$geoWithin.$centerSphere` under the gate (r12): containment on
+    * the same spherical surrogate metric from the find() side — center
+    * at [−175°, 52°S], again reachable only across the date line.
+    * Pure scan+filter, integer-exact both engines. */
+  def mqlGeoCenterSphere(s: SparkSession, dir: String): DataFrame =
+    spherePoints(s, dir)
+      .withColumn("meta", to_json(struct(col("id"),
+        array(col("lon"), col("lat")).as("loc"))))
+      .filter(graft.filter.MqlFilter.toColumn(
+        """{"loc": {"$geoWithin":
+          |  {"$centerSphere": [[-175000000, -52000000],
+          |    7000000]}}}""".stripMargin,
+        graft.filter.MqlFilter.JsonResolver(col("meta"))))
+      .select(col("id"), col("lon"), col("lat"))
+      .orderBy("id")
+
   val oracle: Map[String, String] = Map(
+    "mql_geo_sphere_near" -> {
+      val d2 = sphereDist2Sql(179000000L, -50000000L)
+      s"""WITH p AS ($SpherePointsSql)
+         |SELECT CAST(id AS BIGINT) AS idq, CAST($d2 AS BIGINT) AS d2
+         |FROM p
+         |WHERE lat BETWEEN ${-50000000L - 8000000L}
+         |    AND ${-50000000L + 8000000L}
+         |  AND $d2 <= ${8000000L * 8000000L}
+         |ORDER BY d2, idq LIMIT 12""".stripMargin
+    },
+    "mql_geo_center_sphere" -> {
+      val d2 = sphereDist2Sql(-175000000L, -52000000L)
+      s"""WITH p AS ($SpherePointsSql)
+         |SELECT id, lon, lat FROM p
+         |WHERE $d2 <= ${7000000L * 7000000L}
+         |ORDER BY id""".stripMargin
+    },
     "mql_geo_near" ->
       s"""WITH p AS (SELECT c_custkey AS id, c_mktsegment AS seg,
          |    c_custkey * 7919 % 100000 AS x,
@@ -187,6 +273,8 @@ object Geo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_join" -> (geoJoin _),
     "geo_near" -> (geoNear _),
-    "mql_geo_near" -> (mqlGeoNear _)
+    "mql_geo_near" -> (mqlGeoNear _),
+    "mql_geo_sphere_near" -> (mqlGeoSphereNear _),
+    "mql_geo_center_sphere" -> (mqlGeoCenterSphere _)
   )
 }

@@ -478,4 +478,55 @@ class MqlFilterSpec extends SparkTestBase {
     }
     assert(few.getMessage.contains(">= 3"), few.getMessage)
   }
+
+  test("$geoWithin: $centerSphere — antimeridian wrap, latitude cos " +
+      "scale, boundary inclusive, pole/radius guards loud") {
+    val pts = Seq(
+      // 2 microdeg WEST of the center across the date line: wrapped
+      // dlon = 2 (unwrapped it would be ~360e6 — the wrap IS the test)
+      (1L, """{"loc": [-179999999, 0]}"""),
+      // wrapped dlon = 6, dlat = 5 → dist² = 61
+      (2L, """{"loc": [-179999995, 5]}"""),
+      (3L, """{"loc": [179999999, 0]}"""), // the center itself
+      (4L, """{"loc": [0, 0]}""")          // half a world away
+    ).toDF("id", "meta")
+    def gids(f: String): Seq[Long] =
+      pts.filter(MqlFilter.toColumn(f,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$centerSphere": [[179999999, 0], 2]}}}""".stripMargin)
+      == Seq(1L, 3L))
+    // 61 > 7² but ≤ 8² — exact boundary through the wrap
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$centerSphere": [[179999999, 0], 7]}}}""".stripMargin)
+      == Seq(1L, 3L))
+    assert(gids("""{"loc": {"$geoWithin":
+      | {"$centerSphere": [[179999999, 0], 8]}}}""".stripMargin)
+      == Seq(1L, 2L, 3L))
+    // cos scale at 60°N: dlon 2000 scales to 1000 exactly (cos = .500)
+    val at60 = Seq(
+      (1L, """{"loc": [2000, 60000000]}"""),
+      (2L, """{"loc": [0, 60001000]}""")).toDF("id", "meta")
+    def g60(f: String): Seq[Long] =
+      at60.filter(MqlFilter.toColumn(f,
+          MqlFilter.JsonResolver(col("meta"))))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(g60("""{"loc": {"$geoWithin":
+      | {"$centerSphere": [[0, 60000000], 1000]}}}""".stripMargin)
+      == Seq(1L, 2L))
+    assert(g60("""{"loc": {"$geoWithin":
+      | {"$centerSphere": [[0, 60000000], 999]}}}""".stripMargin)
+      == Seq())
+    val pole = intercept[IllegalArgumentException] {
+      gids("""{"loc": {"$geoWithin":
+        | {"$centerSphere": [[0, 86000000], 10]}}}""".stripMargin)
+    }
+    assert(pole.getMessage.contains("±85°"), pole.getMessage)
+    val badR = intercept[IllegalArgumentException] {
+      gids("""{"loc": {"$geoWithin":
+        | {"$centerSphere": [[0, 0], -1]}}}""".stripMargin)
+    }
+    assert(badR.getMessage.contains("radius"), badR.getMessage)
+  }
 }
