@@ -287,6 +287,52 @@ object Similarity {
   private val RagK = 10
   private val RagTerms = Seq("table", "scan", "fast", "merge")
 
+  /** Reciprocal-rank-fusion dials for [[ragHybridRrf]]: the standard
+    * k=60 smoothing constant, and an integer surrogate for 1/(k+r) —
+    * `SCALE div (k+r)` with both engines' truncating integer division,
+    * so fusion scores are exact 64-bit integers under the oracle hash
+    * (float 1/(k+r) sums would differ in the last ulp across engines).
+    * SCALE=10¹² keeps every distinct rank ≤ ~4·10⁶ a distinct
+    * contribution (the first collision needs k+r > √SCALE). */
+  private val RrfK = 60L
+  private val RrfScale = 1000000000000L
+
+  /** Hybrid search — lexical BM25 + dense cosine fused by RECIPROCAL
+    * RANK FUSION (the Mongo 8.1 $rankFusion / Elastic `rrf` shape, and
+    * the default hybrid-retrieval recipe in RAG stacks): each leg
+    * contributes SCALE div (60 + rank) for documents it ranked, 0
+    * otherwise; final order by fused score. Ranks — not scores — cross
+    * the fusion boundary, which is the point of RRF: BM25 logs and
+    * cosine doubles never need calibrating against each other.
+    *
+    * Scale shape: each leg is the already-audited top-k device (BM25 =
+    * scan-speed conditional aggregate + broadcast stats,
+    * TakeOrderedAndProject; dense = broadcast-query kNN heap) and the
+    * rank windows + full-outer fusion run on ≤ k1+k2 ROWS TOTAL — the
+    * corpus is never touched again after the two heaps, so fusion cost
+    * is independent of corpus size. */
+  def ragHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25Search(s, dir) // (doc_id, bm25) top-15
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = emb(s, dir).crossJoin(broadcast(qv(s, dir, 42)))
+      .filter(col("vec_id") =!= 42)
+      .withColumn("sim", cosineSim(col("embedding"), col("qv")))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(RagK1)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr(s"$RrfScale DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale DIV ($RrfK + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(RagK)
+      .select(col("doc_id"), col("rrf"), col("lex_rank"), col("vec_rank"))
+  }
+
   /** RAG retrieval composite — the two-stage retrieve-then-rerank shape
     * every retrieval-augmented pipeline runs: (1) dense ANN recall
     * (cosine top-[[RagK1]] against the query embedding), (2) a lexical
@@ -439,6 +485,28 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "rag_diverse" -> mmrOracle,
+    "rag_hybrid_rrf" ->
+      s"""WITH lexb AS (${TextAnalysis.bm25Sql.replace("\n", "\n  ")}),
+         |lex AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+         |      AS BIGINT) AS lex_rank FROM lexb),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 42),
+         |vecb AS (SELECT vec_id,
+         |    ${sqlDot("embedding", "qv")} /
+         |      nullif(sqrt(${sqlDot("embedding", "embedding")})
+         |        * sqrt(${sqlDot("qv", "qv")}), 0) AS sim
+         |  FROM embeddings, q WHERE vec_id <> 42
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $RagK1),
+         |vec AS (SELECT vec_id AS doc_id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+         |      AS BIGINT) AS vec_rank FROM vecb)
+         |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |  CAST(COALESCE($RrfScale // ($RrfK + lex_rank), 0)
+         |    + COALESCE($RrfScale // ($RrfK + vec_rank), 0)
+         |    AS BIGINT) AS rrf,
+         |  lex_rank, vec_rank
+         |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |ORDER BY rrf DESC, doc_id ASC LIMIT $RagK""".stripMargin,
     "rag_retrieve" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |  WHERE vec_id = 42),
@@ -672,6 +740,7 @@ object Similarity {
     "knn_l2" -> (knnL2 _),
     "embed_outliers" -> (embedOutliers _),
     "rag_retrieve" -> (ragRetrieve _),
+    "rag_hybrid_rrf" -> (ragHybridRrf _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),

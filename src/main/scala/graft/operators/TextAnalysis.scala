@@ -613,7 +613,7 @@ object TextAnalysis {
     s"len(list_filter($lst, m -> list_contains($sqlToks, m)))"
   }
 
-  private val bm25Sql =
+  private[graft] val bm25Sql =
     """WITH dl AS (
       |  SELECT doc_id, len(regexp_extract_all(lower(text),
       |    '[a-z0-9]+')) AS dl FROM documents),
