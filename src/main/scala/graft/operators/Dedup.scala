@@ -4,6 +4,7 @@ import graft.expr.CosineDupRemovedExpr
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operator family for LLM training-data pipelines: exact
@@ -467,6 +468,66 @@ object Dedup {
     substringPairs(
       docs(s, dir).select(col("doc_id").as("id"), col("text")),
       n = 30, stride = 1, maxDocsPerWindow = 100)
+
+  /** Positional exact-substring SPAN merge — the output production
+    * substring dedup actually acts on: [[substringPairs]] answers WHO
+    * shares a window; this answers WHERE and HOW LONG (the
+    * span-extraction step of the "Deduplicating Training Data Makes
+    * Language Models Better" recipe — the maximal duplicated extents
+    * are what gets cut or attributed). Every matched window alignment
+    * (id_a, id_b, pa, pb) groups by its DIAGONAL offset pa − pb, and
+    * consecutive positions along one diagonal merge into maximal spans
+    * by the gaps-and-islands device: island id = pa − row_number over
+    * the diagonal — pure window arithmetic, no iteration, no driver. A
+    * run of L consecutive matched windows is a shared span of
+    * L + n − 1 tokens.
+    *
+    * Scale: window derivation is the one-pass native WordNgramsExpr
+    * with the hash applied AFTER the posexplode (whole-stage codegen
+    * end to end — the sample_dsir lesson: never reference the token
+    * subtree inside a lambda); the boilerplate cap excludes hot
+    * windows BEFORE the self-join exactly as [[substringPairs]] does,
+    * so candidate volume is bounded by true duplication, not corpus²;
+    * the islands window partitions by (pair, diagonal) — match-sized,
+    * never corpus-sized. */
+  private[graft] def substringSpans(corpus: DataFrame, n: Int,
+      maxDocsPerWindow: Int): DataFrame = {
+    val wins = corpus.select(col("id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("id"), posexplode(wordNgrams(col("ts"), n)))
+      .toDF("id", "pos0", "win")
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        md5Hash60(col("win")).as("h"))
+    val keep = wins.select(col("id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= maxDocsPerWindow)
+      .select("h")
+    val w = wins.join(keep, "h")
+    val m = w.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(w.select(col("h"), col("id").as("id_b"),
+        col("pos").as("pb")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"),
+        (col("pa") - col("pb")).as("off"))
+    m.withColumn("grp", col("pa") -
+        row_number().over(Window.partitionBy("id_a", "id_b", "off")
+          .orderBy("pa")))
+      .groupBy("id_a", "id_b", "off", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("len")).as("n_windows"),
+        count(lit(1)).as("n_spans"),
+        max(col("len") + lit(n - 1)).as("max_span_tokens"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Registered gate: maximal shared-span extents for every
+    * 30-token-window duplicate pair (the [[dedupSubstring]] corpus and
+    * dials, positional). */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpans(
+      docs(s, dir).select(col("doc_id").as("id"), col("text")),
+      n = 30, maxDocsPerWindow = 100)
 
   /** Segment length (tokens) for [[dedupLines]] — 10-token spans stand
     * in for "lines": the synthetic corpus carries no newlines, and the
@@ -1384,6 +1445,32 @@ object Dedup {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM wf a JOIN wf b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_substring_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |w0 AS (
+        |  SELECT doc_id, unnest([struct_pack(pos := i,
+        |      win := array_to_string(ts[i:i+29], ' '))
+        |    for i in generate_series(1, len(ts) - 29)]) AS u
+        |  FROM t WHERE len(ts) >= 30),
+        |w AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+        |    ('0x' || substr(md5(u.win), 1, 15))::BIGINT AS h FROM w0),
+        |keep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+        |  GROUP BY h HAVING count(*) BETWEEN 2 AND 100),
+        |wf AS (SELECT w.* FROM w JOIN keep USING (h)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+        |    a.pos - b.pos AS off
+        |  FROM wf a JOIN wf b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |i AS (SELECT id_a, id_b, off, pa - row_number()
+        |    OVER (PARTITION BY id_a, id_b, off ORDER BY pa) AS grp
+        |  FROM m),
+        |sp AS (SELECT id_a, id_b, off, grp, count(*) AS len
+        |  FROM i GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, CAST(sum(len) AS BIGINT) AS n_windows,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(len + 29) AS BIGINT) AS max_span_tokens
+        |FROM sp GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_contaminate" ->
       """WITH tr AS (
         |  SELECT doc_id AS train_id,
@@ -1525,6 +1612,7 @@ object Dedup {
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_lines" -> (dedupLines _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_edit_distance" -> (dedupEditDistance _),

@@ -68,6 +68,41 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.substringPairs(boiler, 30, 1, 5).count() == 10) // 5C2
   }
 
+  test("substringSpans: diagonal islands merge to maximal spans; " +
+      "disjoint runs stay separate spans; offsets don't bleed") {
+    def words(pfx: String, n: Int): String =
+      (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val run40 = words("s", 40)  // one 40-token shared run
+    val run31 = words("t", 31)  // a second, disjoint 31-token run
+    val corpus = Seq(
+      // doc1: [run40][gap 7][run31]  doc2: [3 tokens][run40][gap 9][run31]
+      (1L, run40 + " " + words("g", 7) + " " + run31),
+      (2L, words("x", 3) + " " + run40 + " " + words("h", 9) + " " + run31),
+      (3L, words("z", 50))
+    ).toDF("id", "text")
+    val got = Dedup.substringSpans(corpus, 30, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // run40 → 11 consecutive windows on one diagonal (span 40);
+    // run31 → 2 on ANOTHER diagonal (span 31): they must not merge
+    // even though both pairs involve the same docs
+    assert(got == Seq((1L, 2L, 13L, 2L, 40L)), got.mkString(","))
+    // same-length runs at the same offset but separated by a gap stay
+    // two islands: doc4/doc5 share run40 twice with a non-matching gap
+    val twice = Seq(
+      (4L, run40 + " " + words("p", 5) + " " + run40),
+      (5L, run40 + " " + words("q", 5) + " " + run40)
+    ).toDF("id", "text")
+    val g2 = Dedup.substringSpans(twice, 30, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // each run40 in doc4 aligns with BOTH copies in doc5: the offset-0
+    // diagonal carries two 11-window islands (the gap words differ, so
+    // they must NOT merge into one 85-token span), the ±45 cross
+    // diagonals one island each → 4 spans of 40 tokens, 44 alignments
+    assert(g2 == Seq((4L, 5L, 44L, 4L, 40L)), g2.mkString(","))
+  }
+
   test("identical docs are always found (LSH recall = 1 at jaccard 1)") {
     val corpus = Seq((10L, base), (20L, base)).toDF("id", "text")
     val pairs = Dedup.minhashPairs(corpus)
