@@ -1045,4 +1045,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("mql_geo_sphere_near: one scan, no join — the spherical metric " +
+      "is a per-row integer predicate, top-k is per-partition heaps") {
+    val p = plan(graft.operators.Geo.queries("mql_geo_sphere_near")(
+      spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    // the wrap + cos-scale really compile to integer pmod/div — no trig
+    assert(p.contains("pmod") && p.contains("div"), p)
+    assert(!p.toLowerCase.contains("cos("), p)
+  }
+
+  test("rag_hybrid_rrf: each leg ends in a top-k heap BEFORE its rank " +
+      "window, fusion is a full-outer join of the two k-sized lists") {
+    val p = plan(graft.operators.Similarity.queries("rag_hybrid_rrf")(
+      spark, sf0001))
+    // 3 heaps: BM25 leg, dense leg, final fused top-k
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3, p)
+    assert(p.contains("FullOuter"), p)
+    // rank windows must sit ABOVE a TakeOrdered (k rows), never over
+    // the corpus: every Window's subtree must contain a TakeOrdered
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_substring_spans: the self-join is the window-hash " +
+      "equi-join, islands are window passes — no all-pairs product") {
+    val p = plan(graft.operators.Dedup.queries("dedup_substring_spans")(
+      spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
 }
