@@ -35,6 +35,20 @@ object MqlPipeline {
 
   private val mapper = new ObjectMapper()
 
+  /** Reciprocal-rank-fusion constants, shared by the `$rankFusion`
+    * stage here and the library-level hybrid search
+    * ([[graft.operators.Similarity]] rag_hybrid_rrf): the standard
+    * k=60 smoothing, and an integer surrogate for 1/(k+r) —
+    * `SCALE div (k+r)` with both engines' truncating integer division,
+    * so fused scores are exact 64-bit integers under the oracle hash
+    * (float 1/(k+r) sums differ across engines in the last ulp).
+    * SCALE=10¹² keeps every rank ≤ ~10⁶ a distinct contribution. */
+  private[graft] val RrfK = 60L
+  private[graft] val RrfScale = 1000000000000L
+
+  /** Internal rank column a `rank=true` sub-pipeline run appends. */
+  private val RankCol = "__graft_rank"
+
   /** Run `pipelineJson` (a JSON array of stages) over `df`, resolving
     * metadata field paths through `metaCol` (a JSON document column).
     * `lookup` resolves a $lookup stage's `from` name to (frame, its
@@ -67,7 +81,8 @@ object MqlPipeline {
 
   private def aggregateImpl(df: DataFrame, metaCol: Column,
       pipelineJson: String, lookup: String => (DataFrame, Column),
-      collation: Option[MqlFilter.Collation]): DataFrame = {
+      collation: Option[MqlFilter.Collation],
+      rankMode: Boolean = false): DataFrame = {
     val ci = collation.exists(_.caseInsensitive)
     val ciStages = Set("$match", "$sort", "$project", "$limit",
       "$skip", "$count")
@@ -78,6 +93,8 @@ object MqlPipeline {
     // embedded sub-document for all later stages
     var meta = metaCol
     var grouped = false
+    // an explicit $limit has bounded the stream (rank-mode precondition)
+    var limited = false
     // the last pre-group $sort, as (key column, desc?) pairs — the
     // defined order that $first/$last/$push accumulators translate to
     // (a pre-group orderBy does not survive the aggregation exchange,
@@ -162,7 +179,7 @@ object MqlPipeline {
           cur = cur.orderBy(mat.map { case (b, desc) =>
             if (desc) b.desc else b.asc }: _*)
 
-        case "$limit" => cur = cur.limit(spec.asInt())
+        case "$limit" => cur = cur.limit(spec.asInt()); limited = true
         case "$skip" => cur = cur.offset(spec.asInt())
 
         case "$unwind" =>
@@ -474,6 +491,83 @@ object MqlPipeline {
           cur = sess.createDataset(docRows)(
             org.apache.spark.sql.Encoders.STRING).toDF(tmp)
           meta = col(tmp)
+
+        case "$rankFusion" =>
+          // Mongo 8.1's hybrid-search stage: named input pipelines each
+          // rank the SAME collection independently, and documents fuse
+          // by weighted reciprocal rank — here the integer-exact
+          // surrogate Σ w·([[RrfScale]] div ([[RrfK]] + rank)), 0 for a
+          // leg that did not rank the document (float 1/(k+r) sums
+          // differ across engines in the last ulp — same stance as the
+          // library-level rag_hybrid_rrf). Engine contract (documented
+          // divergences): must be the first stage; every input pipeline
+          // must project a real `_id` column BEFORE its final
+          // total-order $sort + mandatory $limit (rank-mode
+          // preconditions — see the rank tail); `_id` must be unique
+          // per leg output (duplicate ids would fan the fusion join
+          // out); output documents are {_id, score} ordered by
+          // (score desc, _id asc), plus flat `<name>_rank` columns when
+          // scoreDetails is true (Mongo nests details under metadata).
+          // Weights are POSITIVE INTEGERS (exact fusion scores; Mongo's
+          // fractional weights would reintroduce float sums), default 1.
+          // Scale: each leg is its own bounded pipeline ending in a
+          // top-k; the fusion full-outer joins k-sized lists — cost
+          // independent of corpus size.
+          require(cur eq df,
+            "$rankFusion must be the first pipeline stage (Mongo)")
+          val rfAllowed = Set("input", "combination", "scoreDetails")
+          spec.properties().asScala.foreach(e => require(
+            rfAllowed(e.getKey),
+            s"unsupported $$rankFusion option (scope: " +
+              s"${rfAllowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
+          val pipesN = Option(spec.get("input"))
+            .map(_.get("pipelines")).orNull
+          require(pipesN != null && pipesN.isObject &&
+            pipesN.properties().size() >= 2,
+            s"$$rankFusion needs input.pipelines with >= 2 named " +
+              s"pipelines: $spec")
+          Option(spec.get("combination")).foreach(c =>
+            c.properties().asScala.foreach(e => require(
+              e.getKey == "weights",
+              s"unsupported $$rankFusion combination option " +
+                s"(weights only): ${e.getKey}")))
+          val weightsN = Option(spec.get("combination"))
+            .flatMap(c => Option(c.get("weights"))).orNull
+          val rfDetails =
+            Option(spec.get("scoreDetails")).exists(_.asBoolean())
+          val legs = pipesN.properties().asScala.toSeq.map { e =>
+            val name = e.getKey
+            require(name.matches("[A-Za-z0-9_]+"),
+              s"$$rankFusion pipeline names must be [A-Za-z0-9_]+: $name")
+            val w = Option(weightsN).flatMap(wn => Option(wn.get(name)))
+              .map { n =>
+                require(n.isIntegralNumber && n.asLong() > 0,
+                  "$rankFusion weights must be positive integers " +
+                    s"(exact fusion scores): $name -> $n")
+                n.asLong()
+              }.getOrElse(1L)
+            val ranked = aggregateImpl(df, metaCol, e.getValue.toString,
+              lookup, collation, rankMode = true)
+            require(ranked.columns.contains("_id"),
+              s"$$rankFusion input pipeline '$name' must $$project a " +
+                "real _id column (ranked outputs fuse by _id)")
+            (name, w,
+              ranked.select(col("_id"), col(RankCol).as(s"__rf_$name")))
+          }
+          val fusedBase = legs.map(_._3)
+            .reduce((a, b) => a.join(b, Seq("_id"), "full_outer"))
+          val score = legs.map { case (name, w, _) =>
+            coalesce(
+              expr(s"$w * ($RrfScale DIV ($RrfK + __rf_$name))"),
+              lit(0L))
+          }.reduce(_ + _)
+          cur = legs.foldLeft(fusedBase.withColumn("score", score)) {
+            case (c, (name, _, _)) =>
+              if (rfDetails)
+                c.withColumnRenamed(s"__rf_$name", s"${name}_rank")
+              else c.drop(s"__rf_$name")
+          }.orderBy(col("score").desc, col("_id").asc)
+          grouped = true
 
         case "$geoNear" =>
           // Mongo's $geoNear, on this engine's PLANAR INTEGER grid (the
@@ -1404,6 +1498,25 @@ object MqlPipeline {
         case other =>
           throw new IllegalArgumentException(s"unsupported stage: $other")
       }
+    }
+    // rank mode (a $rankFusion input): append the document's 1-based
+    // rank from the FINAL sort order. The window re-derives the order
+    // from the recorded sort keys (row position after an orderBy is
+    // not addressable), which is why the contract demands the pipeline
+    // END with its $sort (+ $limit): later stages could project the
+    // key columns away. The rank window is one partition over the
+    // $limit-bounded stream — k rows by construction, never corpus.
+    if (rankMode) {
+      require(!grouped && sortKeys.nonEmpty && limited,
+        "a $rankFusion input pipeline must be RANKED on this engine: " +
+          "end with a total-order $sort (suffix a unique id key — " +
+          "rank ties would be nondeterministic) followed by an " +
+          "explicit $limit (the rank window is single-partition by " +
+          "design; bound it)")
+      cur = cur.withColumn(RankCol, row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          sortKeys.map { case (c, desc) =>
+            if (desc) c.desc else c.asc }: _*)).cast("long"))
     }
     // rebound-root scaffolding never surfaces to the caller; any helper
     // already projected away (post-$group / inclusion-$project) is a

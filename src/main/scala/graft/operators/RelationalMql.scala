@@ -223,6 +223,41 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2}""")
 
+  /** $rankFusion under the gate (r12) — Mongo 8.1's hybrid-search
+    * stage end to end: two named input pipelines rank the same
+    * documents collection by OPPOSING criteria (longest English docs
+    * weighted 2× vs shortest en/fr docs), each ending in the contract's
+    * total-order $sort + $limit, then weighted integer-RRF fusion with
+    * scoreDetails exposing per-leg ranks, and a post-fusion $limit.
+    * The DuckDB twin replicates both legs and the
+    * Σ w·(10¹² // (60+rank)) fusion exactly. */
+  def mqlRankFusion(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"), col("lang"),
+          col("n_chars").cast("long").as("nc")))),
+      col("meta"),
+      """[
+        | {"$rankFusion": {
+        |   "input": {"pipelines": {
+        |     "long": [
+        |       {"$match": {"lang": "en"}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "nc": {"$toLong": "$nc"}}},
+        |       {"$sort": {"nc": -1, "_id": 1}},
+        |       {"$limit": 20}],
+        |     "short": [
+        |       {"$match": {"lang": {"$in": ["en", "fr"]}}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "nc": {"$toLong": "$nc"}}},
+        |       {"$sort": {"nc": 1, "_id": 1}},
+        |       {"$limit": 25}]}},
+        |   "combination": {"weights": {"long": 2, "short": 1}},
+        |   "scoreDetails": true}},
+        | {"$limit": 15}
+        |]""".stripMargin)
+
   /** $jsonSchema under the gate (r12) — validation-as-predicate from
     * find(): three violation classes planted deterministically in a
     * hand-built JSON document (every 7th doc omits `lang` → required
@@ -1611,6 +1646,24 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
     "mql_geo_within" -> geoWithinSql,
+    "mql_rank_fusion" ->
+      """WITH d AS (SELECT doc_id AS _id, lang, n_chars AS nc
+        |    FROM documents),
+        |la AS (SELECT _id, CAST(row_number()
+        |      OVER (ORDER BY nc DESC, _id ASC) AS BIGINT) AS long_rank
+        |  FROM (SELECT _id, nc FROM d WHERE lang = 'en'
+        |        ORDER BY nc DESC, _id ASC LIMIT 20)),
+        |sb AS (SELECT _id, CAST(row_number()
+        |      OVER (ORDER BY nc ASC, _id ASC) AS BIGINT) AS short_rank
+        |  FROM (SELECT _id, nc FROM d WHERE lang IN ('en', 'fr')
+        |        ORDER BY nc ASC, _id ASC LIMIT 25))
+        |SELECT COALESCE(la._id, sb._id) AS _id,
+        |  CAST(COALESCE(2 * (1000000000000 // (60 + long_rank)), 0)
+        |    + COALESCE(1000000000000 // (60 + short_rank), 0)
+        |    AS BIGINT) AS score,
+        |  long_rank, short_rank
+        |FROM la FULL OUTER JOIN sb ON la._id = sb._id
+        |ORDER BY score DESC, _id ASC LIMIT 15""".stripMargin,
     "mql_json_schema" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0
@@ -1696,6 +1749,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),
+    "mql_rank_fusion" -> (mqlRankFusion _),
     "mql_collation" -> (mqlCollation _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),

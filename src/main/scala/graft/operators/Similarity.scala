@@ -287,15 +287,15 @@ object Similarity {
   private val RagK = 10
   private val RagTerms = Seq("table", "scan", "fast", "merge")
 
-  /** Reciprocal-rank-fusion dials for [[ragHybridRrf]]: the standard
-    * k=60 smoothing constant, and an integer surrogate for 1/(k+r) —
-    * `SCALE div (k+r)` with both engines' truncating integer division,
-    * so fusion scores are exact 64-bit integers under the oracle hash
-    * (float 1/(k+r) sums would differ in the last ulp across engines).
-    * SCALE=10¹² keeps every distinct rank ≤ ~4·10⁶ a distinct
-    * contribution (the first collision needs k+r > √SCALE). */
-  private val RrfK = 60L
-  private val RrfScale = 1000000000000L
+  /** Reciprocal-rank-fusion dials for [[ragHybridRrf]] — ONE source of
+    * truth with the MQL `$rankFusion` stage
+    * ([[graft.filter.MqlPipeline.RrfK]]): the standard k=60 smoothing,
+    * and the integer `SCALE div (k+r)` surrogate for 1/(k+r) (both
+    * engines' division truncates, so fusion scores are exact 64-bit
+    * integers under the oracle hash; float sums would differ in the
+    * last ulp across engines). */
+  private val RrfK = graft.filter.MqlPipeline.RrfK
+  private val RrfScale = graft.filter.MqlPipeline.RrfScale
 
   /** Hybrid search — lexical BM25 + dense cosine fused by RECIPROCAL
     * RANK FUSION (the Mongo 8.1 $rankFusion / Elastic `rrf` shape, and

@@ -1368,4 +1368,58 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got.getLong(2) == 1L)   // 0-based position of 5
     assert(got.getLong(3) == -1L)  // absent → -1
   }
+
+  test("$rankFusion: weighted integer RRF over two ranked legs; " +
+      "unranked docs score from one leg; contract guards loud") {
+    // ranks by v DESC: 5,2,1,4,3 ; by v ASC: 3,4,1,2,5
+    def leg(dir: Int, lim: Int) =
+      s"""[{"$$project": {"_id": {"$$toLong": "$$id"},
+         |    "v": {"$$toLong": "$$v"}}},
+         |  {"$$sort": {"v": $dir, "_id": 1}}, {"$$limit": $lim}]"""
+        .stripMargin
+    val fused = MqlPipeline.aggregate(df.withColumn("meta",
+        to_json(struct(col("id"),
+          get_json_object(col("meta"), "$.v").cast("long").as("v")))),
+      col("meta"),
+      s"""[{"$$rankFusion": {
+         |   "input": {"pipelines": {
+         |     "hi": ${leg(-1, 3)}, "lo": ${leg(1, 3)}}},
+         |   "combination": {"weights": {"hi": 2}},
+         |   "scoreDetails": true}}]""".stripMargin)
+      .select("_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hi top-3 = docs 5,2,1 (ranks 1,2,3); lo top-3 = 3,4,1
+    def c(k: Long, w: Long = 1L) = w * (1000000000000L / (60L + k))
+    assert(fused(5L) == c(1, 2))           // hi only, weight 2
+    assert(fused(3L) == c(1))              // lo only
+    assert(fused(1L) == c(3, 2) + c(3))    // both legs, rank 3 each
+    assert(fused(2L) == c(2, 2) && fused(4L) == c(2))
+    assert(fused.size == 5)                // union of the two top-3s
+    val noLimit = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(df, col("meta"),
+        s"""[{"$$rankFusion": {"input": {"pipelines": {
+           |  "a": [{"$$project": {"_id": {"$$toLong": "$$id"}}},
+           |        {"$$sort": {"_id": 1}}],
+           |  "b": ${leg(1, 2)}}}}}]""".stripMargin).collect()
+    }
+    assert(noLimit.getMessage.contains("$limit"), noLimit.getMessage)
+    val noId = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(df, col("meta"),
+        s"""[{"$$rankFusion": {"input": {"pipelines": {
+           |  "a": [{"$$project": {"k": {"$$toLong": "$$id"}}},
+           |        {"$$sort": {"k": 1}}, {"$$limit": 2}],
+           |  "b": ${leg(1, 2)}}}}}]""".stripMargin).collect()
+    }
+    assert(noId.getMessage.contains("_id"), noId.getMessage)
+    val fracW = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(df, col("meta"),
+        s"""[{"$$rankFusion": {
+           |  "input": {"pipelines": {"a": ${leg(1, 2)},
+           |                          "b": ${leg(-1, 2)}}},
+           |  "combination": {"weights": {"a": 0.5}}}}]""".stripMargin)
+          .collect()
+    }
+    assert(fracW.getMessage.contains("positive integers"),
+      fracW.getMessage)
+  }
 }
