@@ -185,6 +185,18 @@ object Bench {
         want.toSeq.sorted.map(n => n -> SparkEntry.queries(n))
       case None => SparkEntry.queries.toSeq.sortBy(_._1)
     }
+    // SPARK_GRAFT_SKIP=a,b,c: run the suite MINUS named gates (scale
+    // rungs where a gate is excluded BY GEOMETRY — e.g. geo_join's
+    // fixed-plane density² output at the sf10 replica — with the
+    // exclusion recorded in the JSON, never silent). Unknown names
+    // are loud, same as ONLY.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val skipMissing = skip.filterNot(SparkEntry.queries.contains)
+    require(skipMissing.isEmpty,
+      s"SPARK_GRAFT_SKIP names not registered: ${skipMissing.mkString(",")}")
+    val selected = names.filterNot { case (n, _) => skip(n) }
     // One pass = the full suite once, plus the pass's external-load
     // verdict. A query failure records (time-to-failure, ok=false) —
     // the min below only ever takes FAILED times when NO pass
@@ -192,7 +204,7 @@ object Bench {
     // fastest pass (it lands in the "failed" list instead).
     def runPass(pass: Int): (Seq[(String, Double, Boolean)], Double) = {
       val s0 = cpuSample()
-      val res = names.map { case (name, fn) =>
+      val res = selected.map { case (name, fn) =>
         graft.core.CachePayers.setCurrent(name)
         val t0 = System.nanoTime()
         val ok =
@@ -231,7 +243,7 @@ object Bench {
     val byName: Map[String, Seq[(Double, Boolean)]] =
       passes.flatMap(_._1).groupBy(_._1).view
         .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
-    val results = names.map { case (name, _) =>
+    val results = selected.map { case (name, _) =>
       val runs = byName(name)
       val okRuns = runs.filter(_._2)
       if (okRuns.nonEmpty) (name, okRuns.map(_._1).min, true)
@@ -262,6 +274,10 @@ object Bench {
         s""","min_of":$minOf,"pass_totals":${
           passes.map { case (p, _) => f"${p.map(_._2).sum}%.1f" }
             .mkString("[", ",", "]")}"""
+      else "") +
+      (if (skip.nonEmpty)
+        s""","skipped":${skip.toSeq.sorted.map(n => s""""$n"""")
+          .mkString("[", ",", "]")}"""
       else "")
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"sf":"$sfDir",$load}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
