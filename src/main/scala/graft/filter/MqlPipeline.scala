@@ -708,6 +708,56 @@ object MqlPipeline {
             aggregate(odf, ometa, p, lookup))
           cur = cur.unionByName(other, allowMissingColumns = true)
 
+        case "$redact" =>
+          // Mongo's access-control stage: the expression evaluates per
+          // DOCUMENT to $$KEEP (emit) or $$PRUNE (drop). This engine's
+          // documents are FLAT metadata roots, so document-level
+          // KEEP/PRUNE is the complete semantics; $$DESCEND — whose
+          // entire point is per-SUBDOCUMENT recursion — is loud rather
+          // than silently aliased to KEEP (an access-control operator
+          // must never quietly widen visibility). The sentinels are
+          // rewritten to plain string literals so the whole spec runs
+          // through the standard computed-expression machinery
+          // ($cond/$switch/comparisons/boolean ops), and a branch
+          // value that is NOT a sentinel raises PER ROW (Mongo errors
+          // the aggregation the same way — a typo'd verdict must not
+          // silently drop or keep).
+          require(!grouped, "$redact after $group unsupported")
+          def rewriteSentinels(n: JsonNode): JsonNode =
+            if (n.isTextual) n.asText() match {
+              case "$$KEEP" =>
+                com.fasterxml.jackson.databind.node.TextNode
+                  .valueOf("KEEP")
+              case "$$PRUNE" =>
+                com.fasterxml.jackson.databind.node.TextNode
+                  .valueOf("PRUNE")
+              case "$$DESCEND" => throw new IllegalArgumentException(
+                "$redact $$DESCEND (per-subdocument recursion) is " +
+                  "unsupported on this engine's flat documents — " +
+                  "loud by contract; restructure the expression to " +
+                  "$$KEEP/$$PRUNE")
+              case _ => n
+            }
+            else if (n.isObject) {
+              val o = mapper.createObjectNode()
+              n.properties().asScala.foreach(e =>
+                o.set[JsonNode](e.getKey, rewriteSentinels(e.getValue)))
+              o
+            } else if (n.isArray) {
+              val a = mapper.createArrayNode()
+              n.elements().asScala.foreach(e => a.add(rewriteSentinels(e)))
+              a
+            } else n
+          val verdict = computeExpr(rewriteSentinels(spec), meta, cur)
+          cur = cur.filter(
+            when(verdict === "KEEP", lit(true))
+              .when(verdict === "PRUNE", lit(false))
+              .otherwise(raise_error(concat(
+                lit("$redact must evaluate to $$KEEP or $$PRUNE, " +
+                  "got: "),
+                coalesce(verdict.cast("string"), lit("null"))))
+                .cast("boolean")))
+
         case "$sortByCount" =>
           // {$sortByCount: <expr>} ≡ $group{_id: expr, count: {$sum: 1}}
           // + $sort{count: -1}. Mongo leaves equal-count order

@@ -223,6 +223,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2}""")
 
+  /** $redact under the gate (r12) — Mongo's access-control stage on
+    * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
+    * document from its numeric char-count bracket ([300, 800)); the
+    * oracle is the equivalent relational predicate. $$DESCEND is loud
+    * by contract (flat documents — see the stage doc). */
+  def mqlRedact(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          col("n_chars").cast("long").as("nc")))),
+      col("meta"),
+      """[
+        | {"$redact": {"$cond": [
+        |   {"$gte": [{"$toLong": "$nc"}, 300]},
+        |   {"$cond": [{"$lt": [{"$toLong": "$nc"}, 800]},
+        |              "$$KEEP", "$$PRUNE"]},
+        |   "$$PRUNE"]}},
+        | {"$project": {"doc_id": {"$toLong": "$did"}}},
+        | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+
   /** $rankFusion under the gate (r12) — Mongo 8.1's hybrid-search
     * stage end to end: two named input pipelines rank the same
     * documents collection by OPPOSING criteria (longest English docs
@@ -1646,6 +1668,10 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WHERE doc_id NOT IN (SELECT doc_id FROM s)
         |ORDER BY doc_id""".stripMargin,
     "mql_geo_within" -> geoWithinSql,
+    "mql_redact" ->
+      """SELECT doc_id FROM documents
+        |WHERE n_chars >= 300 AND n_chars < 800
+        |ORDER BY doc_id""".stripMargin,
     "mql_rank_fusion" ->
       """WITH d AS (SELECT doc_id AS _id, lang, n_chars AS nc
         |    FROM documents),
@@ -1750,6 +1776,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),
     "mql_rank_fusion" -> (mqlRankFusion _),
+    "mql_redact" -> (mqlRedact _),
     "mql_collation" -> (mqlCollation _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),

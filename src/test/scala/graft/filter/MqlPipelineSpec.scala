@@ -1369,6 +1369,31 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got.getLong(3) == -1L)  // absent → -1
   }
 
+  test("$redact: KEEP/PRUNE per document via nested $cond; $$DESCEND " +
+      "loud; non-sentinel verdict raises per row") {
+    val kept = run(
+      """[{"$redact": {"$cond": [
+        |    {"$gte": [{"$toLong": "$v"}, 7]},
+        |    {"$cond": [{"$lt": [{"$toLong": "$v"}, 20]},
+        |               "$$KEEP", "$$PRUNE"]},
+        |    "$$PRUNE"]}},
+        |  {"$project": {"id": 1}}, {"$sort": {"id": 1}}
+        |]""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L)) // v=10 and v=7; 20/100 too big, 5 small
+    val descend = intercept[IllegalArgumentException] {
+      run("""[{"$redact": "$$DESCEND"}]""")
+    }
+    assert(descend.getMessage.contains("$$DESCEND"), descend.getMessage)
+    val bad = intercept[Exception] {
+      run("""[{"$redact": {"$cond": [{"$gte": [{"$toLong": "$v"}, 0]},
+            |  "oops", "$$PRUNE"]}}]""".stripMargin).collect()
+    }
+    assert(bad.getMessage.contains("oops") ||
+      Option(bad.getCause).exists(_.getMessage.contains("oops")),
+      bad.getMessage)
+  }
+
   test("$rankFusion: weighted integer RRF over two ranked legs; " +
       "unranked docs score from one leg; contract guards loud") {
     // ranks by v DESC: 5,2,1,4,3 ; by v ASC: 3,4,1,2,5
