@@ -1069,22 +1069,47 @@ object Dedup {
     // the oracle's list_sum fold
     val bandVals = toCol(graft.expr.HyperBandValues(
       toExpr(col("embedding")), bitsPerBand, nBands))
-    // same single-pass bucket shape as lshCandidates: one shuffle on the
-    // (band, value) key, within-bucket pair expansion — the self-join
-    // alternative reads + projects the corpus twice
-    c.select(col("id"), col("embedding"),
-        posexplode(bandVals).as(Seq("band", "bv")))
-      .groupBy(col("band"), col("bv"))
-      .agg(collect_list(struct(col("id"), col("embedding"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .withColumn("ms", guardBucket(col("ms"), "embedding"))
-      .select(explode(flatten(transform(col("ms"), a =>
-        transform(filter(col("ms"), b => b("id") > a("id")), b =>
-          struct(a("id").as("id_a"), b("id").as("id_b"),
-            a("embedding").as("emb_a"), b("embedding").as("emb_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
+    // Only IDS ride the bucket machinery; embeddings re-attach BY ID
+    // once the candidate set exists. The previous shape —
+    // collect_list(struct(id, embedding)) + an in-row M² pair
+    // transform — materialized a bucket's ENTIRE pair array (each pair
+    // carrying two 64-float vectors) inside ONE aggregate row: ~0.5 GB
+    // for a 1000-member bucket, well UNDER the 10k member cap (which
+    // is calibrated for id-only text buckets), and it OOM'd a 96 GiB
+    // heap at the sf10 rung where the static 8-bit dial's expected
+    // population crosses ~10³. The equi-join form below streams
+    // candidates through the shuffle — constant memory per task,
+    // spill-safe — the shape that survives 100 TB.
+    val banded = c.select(col("id"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    // population guard (the Geo.geoJoinOver device): the bucket count
+    // rides ON one side's join key, so the guard cannot be pruned and
+    // fires before the expansion streams a single pair; singleton
+    // buckets never pair and drop before the join
+    val counts = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > 1)
+    val bSide = banded.join(counts, Seq("band", "bv"))
+      .select(col("id").as("id_b"),
+        when(col("_bn") <= MaxBucketMembers,
+          struct(col("band"), col("bv")))
+          .otherwise(raise_error(concat(
+            lit("embedding LSH bucket overflow: "),
+            col("_bn").cast("string"),
+            lit(s" members > cap $MaxBucketMembers — raise bands/" +
+              "bits-per-band selectivity or run exact dedup first"))))
+          .as("bk"))
+    val aSide = banded.select(
+      struct(col("band"), col("bv")).as("bk"), col("id").as("id_a"))
+    val e = c.select(col("id"), col("embedding"))
+    aSide.join(bSide, "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      .join(e.select(col("id").as("id_a"),
+        col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("id").as("id_b"),
+        col("embedding").as("emb_b")), "id_b")
       .filter(cosineSim(col("emb_a"), col("emb_b")) >= 0.9)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
