@@ -2,6 +2,7 @@ package graft.filter
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -45,6 +46,14 @@ object MqlPipeline {
     * SCALE=10¹² keeps every rank ≤ ~10⁶ a distinct contribution. */
   private[graft] val RrfK = 60L
   private[graft] val RrfScale = 1000000000000L
+
+  /** `$scoreFusion`'s fixed-point "1.0": minMaxScaler normalization
+    * maps each leg's scores onto [0, ScoreNormScale] in exact integer
+    * arithmetic — `(s − min)·ScoreNormScale DIV (max − min)` (both
+    * engines truncate; operands nonnegative so DuckDB `//` agrees).
+    * 10⁶ keeps a leg with up to ~10⁶ distinct score values
+    * distinguishable after normalization. */
+  private[graft] val ScoreNormScale = 1000000L
 
   /** Internal rank column a `rank=true` sub-pipeline run appends. */
   private val RankCol = "__graft_rank"
@@ -566,6 +575,147 @@ object MqlPipeline {
               if (rfDetails)
                 c.withColumnRenamed(s"__rf_$name", s"${name}_rank")
               else c.drop(s"__rf_$name")
+          }.orderBy(col("score").desc, col("_id").asc)
+          grouped = true
+
+        case "$scoreFusion" =>
+          // Mongo 8.2's score-based hybrid-search stage — the sibling
+          // of $rankFusion: named input pipelines each SCORE the same
+          // collection, per-leg scores normalize onto a shared range,
+          // and documents fuse by the weighted AVERAGE of the
+          // normalized scores. Engine contract (documented
+          // divergences): Mongo feeds legs from scored search stages
+          // and reads the score METADATA; this flat surface has no
+          // $search metadata, so each input pipeline must $project a
+          // real integral `_score` column (its leg score) alongside
+          // `_id`, then END with a total-order $sort + mandatory
+          // $limit (the same rank-mode bounding contract as
+          // $rankFusion — legs are top-k lists, fusion full-outer
+          // joins k-sized frames, cost independent of corpus size).
+          // input.normalization (required, as in Mongo):
+          // "minMaxScaler" = the integer surrogate
+          // (s − min)·[[ScoreNormScale]] DIV (max − min) over the
+          // leg's bounded list, max = min collapsing to the scaled 1.0
+          // (Mongo's single-point minmax); "none" = raw scores pass
+          // through; "sigmoid" LOUD (transcendental — float sums
+          // diverge across engines in the last ulp). Combination is
+          // method "avg" only (the Mongo default):
+          // score = floor(Σ w·norm / Σ w) with POSITIVE INTEGER
+          // weights, computed as (num − pmod(num, W)) DIV W so the
+          // floor stays exact even for negative raw "none" scores
+          // (DuckDB // floors, Spark DIV truncates — pmod realigns
+          // them; W > 0 always). A leg that did not score a document
+          // contributes 0 with its weight still in the denominator
+          // (Mongo's treatment of missing documents). Output
+          // {_id, score} ordered by (score desc, _id asc);
+          // scoreDetails adds flat <name>_norm columns (null when the
+          // leg did not score the document; Mongo nests these under
+          // scoreDetails metadata).
+          require(cur eq df,
+            "$scoreFusion must be the first pipeline stage (Mongo)")
+          val sfAllowed = Set("input", "combination", "scoreDetails")
+          spec.properties().asScala.foreach(e => require(
+            sfAllowed(e.getKey),
+            s"unsupported $$scoreFusion option (scope: " +
+              s"${sfAllowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
+          val sfInput = spec.get("input")
+          require(sfInput != null && sfInput.isObject,
+            s"$$scoreFusion needs input {pipelines, normalization}: " +
+              s"$spec")
+          sfInput.properties().asScala.foreach(e => require(
+            e.getKey == "pipelines" || e.getKey == "normalization",
+            s"unsupported $$scoreFusion input option: ${e.getKey}"))
+          val sfPipes = sfInput.get("pipelines")
+          require(sfPipes != null && sfPipes.isObject &&
+            sfPipes.properties().size() >= 2,
+            s"$$scoreFusion needs input.pipelines with >= 2 named " +
+              s"pipelines: $spec")
+          val sfNorm = Option(sfInput.get("normalization"))
+            .map(_.asText()).getOrElse(throw new
+              IllegalArgumentException("$scoreFusion requires " +
+                "input.normalization (minMaxScaler | none; sigmoid " +
+                "is transcendental and unsupported on the " +
+                "exact-integer engine)"))
+          require(sfNorm == "minMaxScaler" || sfNorm == "none",
+            s"unsupported $$scoreFusion normalization '$sfNorm' " +
+              "(minMaxScaler | none; sigmoid is transcendental — " +
+              "float sums diverge across engines)")
+          Option(spec.get("combination")).foreach { c =>
+            c.properties().asScala.foreach(e => require(
+              e.getKey == "weights" || e.getKey == "method",
+              s"unsupported $$scoreFusion combination option " +
+                s"(weights/method): ${e.getKey}"))
+            Option(c.get("method")).foreach(m => require(
+              m.asText() == "avg",
+              s"unsupported $$scoreFusion combination.method " +
+                s"'${m.asText()}' (avg only; 'expression' would " +
+                "evaluate float arithmetic outside the oracle hash)"))
+          }
+          val sfWeightsN = Option(spec.get("combination"))
+            .flatMap(c => Option(c.get("weights"))).orNull
+          val sfDetails =
+            Option(spec.get("scoreDetails")).exists(_.asBoolean())
+          val sfLegs = sfPipes.properties().asScala.toSeq.map { e =>
+            val name = e.getKey
+            require(name.matches("[A-Za-z0-9_]+"),
+              s"$$scoreFusion pipeline names must be " +
+                s"[A-Za-z0-9_]+: $name")
+            val w = Option(sfWeightsN)
+              .flatMap(wn => Option(wn.get(name)))
+              .map { n =>
+                require(n.isIntegralNumber && n.asLong() > 0,
+                  "$scoreFusion weights must be positive integers " +
+                    s"(exact fusion scores): $name -> $n")
+                n.asLong()
+              }.getOrElse(1L)
+            val scored = aggregateImpl(df, metaCol, e.getValue.toString,
+              lookup, collation, rankMode = true)
+            require(scored.columns.contains("_id"),
+              s"$$scoreFusion input pipeline '$name' must $$project " +
+                "a real _id column (scored outputs fuse by _id)")
+            require(scored.columns.contains("_score"),
+              s"$$scoreFusion input pipeline '$name' must $$project " +
+                "a real integral _score column (this engine's scored-" +
+                "pipeline analogue — no $search score metadata here)")
+            require(Seq(org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.IntegerType)
+                .contains(scored.schema("_score").dataType),
+              s"$$scoreFusion _score in pipeline '$name' must be " +
+                s"integral (exact fusion scores), got " +
+                s"${scored.schema("_score").dataType.simpleString}")
+            // normalize over the leg's $limit-bounded list: the
+            // min/max window is one partition over k rows by
+            // construction, never corpus-sized
+            val normed = scored
+              .select(col("_id"), col("_score").cast("long").as("__s"))
+              .withColumn("__mn",
+                min(col("__s")).over(Window.partitionBy()))
+              .withColumn("__mx",
+                max(col("__s")).over(Window.partitionBy()))
+              .select(col("_id"), (sfNorm match {
+                case "minMaxScaler" => expr(
+                  s"CASE WHEN __mx = __mn THEN CAST($ScoreNormScale " +
+                    "AS BIGINT) ELSE ((__s - __mn) * " +
+                    s"$ScoreNormScale) DIV (__mx - __mn) END")
+                case _ => col("__s")
+              }).as(s"__sf_$name"))
+            (name, w, normed)
+          }
+          val sfFused = sfLegs.map(_._3)
+            .reduce((a, b) => a.join(b, Seq("_id"), "full_outer"))
+          val sfWSum = sfLegs.map(_._2).sum
+          val sfNum = sfLegs.map { case (name, w, _) =>
+            coalesce(col(s"__sf_$name") * w, lit(0L))
+          }.reduce(_ + _)
+          cur = sfLegs.foldLeft(sfFused
+            .withColumn("__sf_num", sfNum)
+            .withColumn("score", expr(
+              s"(__sf_num - pmod(__sf_num, $sfWSum)) DIV $sfWSum"))
+            .drop("__sf_num")) {
+            case (c, (name, _, _)) =>
+              if (sfDetails)
+                c.withColumnRenamed(s"__sf_$name", s"${name}_norm")
+              else c.drop(s"__sf_$name")
           }.orderBy(col("score").desc, col("_id").asc)
           grouped = true
 

@@ -280,6 +280,47 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 15}
         |]""".stripMargin)
 
+  /** $scoreFusion under the gate (r12) — Mongo 8.2's score-based
+    * hybrid fusion end to end, the sibling of [[mqlRankFusion]]: two
+    * legs score the same documents collection on DIFFERENT scales
+    * (raw length in chars vs a 100k-minus-length shortness score —
+    * exactly the cross-scale mismatch minMaxScaler normalization
+    * exists to absorb), each ending in the contract's total-order
+    * $sort + $limit and projecting the engine's `_score` column, then
+    * per-leg exact-integer minmax normalization onto [0, 10⁶], a 2:1
+    * weighted average fused with the pmod floor device, and
+    * scoreDetails exposing per-leg normalized scores. The DuckDB twin
+    * replicates both legs, both minmax windows, and the
+    * floor((2·a + b)/3) combination exactly. */
+  def mqlScoreFusion(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"), col("lang"),
+          col("n_chars").cast("long").as("nc")))),
+      col("meta"),
+      """[
+        | {"$scoreFusion": {
+        |   "input": {"pipelines": {
+        |     "long": [
+        |       {"$match": {"lang": "en"}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "_score": {"$toLong": "$nc"}}},
+        |       {"$sort": {"_score": -1, "_id": 1}},
+        |       {"$limit": 20}],
+        |     "short": [
+        |       {"$match": {"lang": {"$in": ["en", "fr"]}}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "_score": {"$toLong": {"$subtract":
+        |                       [100000, {"$toLong": "$nc"}]}}}},
+        |       {"$sort": {"_score": -1, "_id": 1}},
+        |       {"$limit": 25}]},
+        |    "normalization": "minMaxScaler"},
+        |   "combination": {"weights": {"long": 2, "short": 1}},
+        |   "scoreDetails": true}},
+        | {"$limit": 15}
+        |]""".stripMargin)
+
   /** $jsonSchema under the gate (r12) — validation-as-predicate from
     * find(): three violation classes planted deterministically in a
     * hand-built JSON document (every 7th doc omits `lang` → required
@@ -1690,6 +1731,30 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  long_rank, short_rank
         |FROM la FULL OUTER JOIN sb ON la._id = sb._id
         |ORDER BY score DESC, _id ASC LIMIT 15""".stripMargin,
+    "mql_score_fusion" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS _id, lang,
+        |    CAST(n_chars AS BIGINT) AS nc FROM documents),
+        |la0 AS (SELECT _id, nc AS s FROM d WHERE lang = 'en'
+        |        ORDER BY s DESC, _id ASC LIMIT 20),
+        |la AS (SELECT _id, CAST(CASE
+        |    WHEN max(s) OVER () = min(s) OVER () THEN 1000000
+        |    ELSE ((s - min(s) OVER ()) * 1000000)
+        |      // (max(s) OVER () - min(s) OVER ()) END
+        |  AS BIGINT) AS long_norm FROM la0),
+        |sb0 AS (SELECT _id, 100000 - nc AS s FROM d
+        |        WHERE lang IN ('en', 'fr')
+        |        ORDER BY s DESC, _id ASC LIMIT 25),
+        |sb AS (SELECT _id, CAST(CASE
+        |    WHEN max(s) OVER () = min(s) OVER () THEN 1000000
+        |    ELSE ((s - min(s) OVER ()) * 1000000)
+        |      // (max(s) OVER () - min(s) OVER ()) END
+        |  AS BIGINT) AS short_norm FROM sb0)
+        |SELECT COALESCE(la._id, sb._id) AS _id,
+        |  CAST((COALESCE(2 * long_norm, 0) + COALESCE(short_norm, 0))
+        |    // 3 AS BIGINT) AS score,
+        |  long_norm, short_norm
+        |FROM la FULL OUTER JOIN sb ON la._id = sb._id
+        |ORDER BY score DESC, _id ASC LIMIT 15""".stripMargin,
     "mql_json_schema" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0
@@ -1776,6 +1841,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),
     "mql_rank_fusion" -> (mqlRankFusion _),
+    "mql_score_fusion" -> (mqlScoreFusion _),
     "mql_redact" -> (mqlRedact _),
     "mql_collation" -> (mqlCollation _),
     "mql_json_schema" -> (mqlJsonSchema _),

@@ -1447,4 +1447,87 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(fracW.getMessage.contains("positive integers"),
       fracW.getMessage)
   }
+
+  test("$scoreFusion: minMaxScaler weighted average over two scored " +
+      "legs; 'none' floors exactly on negatives; guards loud") {
+    val base = df.withColumn("meta", to_json(struct(col("id"),
+      get_json_object(col("meta"), "$.v").cast("long").as("v"))))
+    def leg(scoreExpr: String, lim: Int) =
+      s"""[{"$$project": {"_id": {"$$toLong": "$$id"},
+         |    "_score": $scoreExpr}},
+         |  {"$$sort": {"_score": -1, "_id": 1}},
+         |  {"$$limit": $lim}]""".stripMargin
+    // hi top-3 by v desc: 5(100), 2(20), 1(10) -> minmax over
+    // {100,20,10}: 1000000 / 111111 / 0; lo top-3 by -v desc (v asc):
+    // 3(-5), 4(-7), 1(-10) -> minmax over {-5,-7,-10}:
+    // 1000000 / 600000 / 0. Weighted avg (hi 2, lo 1, W=3).
+    val fused = MqlPipeline.aggregate(base, col("meta"),
+      s"""[{"$$scoreFusion": {
+         |   "input": {"pipelines": {
+         |     "hi": ${leg("""{"$toLong": "$v"}""", 3)},
+         |     "lo": ${leg("""{"$toLong": {"$subtract": [0, {"$toLong": "$v"}]}}""",
+             3)}},
+         |    "normalization": "minMaxScaler"},
+         |   "combination": {"weights": {"hi": 2}},
+         |   "scoreDetails": true}}]""".stripMargin)
+    assert(fused.columns.toSeq ==
+      Seq("_id", "hi_norm", "lo_norm", "score"))
+    val rows = fused.select("_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(5L -> 666666L, 3L -> 333333L,
+      4L -> 200000L, 2L -> 74074L, 1L -> 0L))
+    // "none": a doc scored -7 by one leg of two (W=2) must FLOOR to
+    // -4, not truncate to -3 (the pmod device = DuckDB's //)
+    val negFloor = MqlPipeline.aggregate(base, col("meta"),
+      s"""[{"$$scoreFusion": {
+         |   "input": {"pipelines": {
+         |     "a": ${leg("""{"$toLong": {"$subtract": [0, {"$toLong": "$v"}]}}""",
+             2)},
+         |     "b": ${leg("""{"$toLong": "$v"}""", 1)}},
+         |    "normalization": "none"}}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a top-2: 3(-5), 4(-7); b top-1: 5(100)
+    assert(negFloor(4L) == -4L) // floor(-7/2), not trunc -3
+    assert(negFloor(3L) == -3L) // floor(-5/2)
+    assert(negFloor(5L) == 50L)
+    val sigmoid = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(base, col("meta"),
+        s"""[{"$$scoreFusion": {
+           |  "input": {"pipelines": {
+           |    "a": ${leg("""{"$toLong": "$v"}""", 2)},
+           |    "b": ${leg("""{"$toLong": "$v"}""", 2)}},
+           |   "normalization": "sigmoid"}}}]""".stripMargin)
+    }
+    assert(sigmoid.getMessage.contains("sigmoid"), sigmoid.getMessage)
+    val noNorm = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(base, col("meta"),
+        s"""[{"$$scoreFusion": {
+           |  "input": {"pipelines": {
+           |    "a": ${leg("""{"$toLong": "$v"}""", 2)},
+           |    "b": ${leg("""{"$toLong": "$v"}""", 2)}}}}}]"""
+          .stripMargin)
+    }
+    assert(noNorm.getMessage.contains("normalization"),
+      noNorm.getMessage)
+    val noScore = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(base, col("meta"),
+        s"""[{"$$scoreFusion": {
+           |  "input": {"pipelines": {
+           |    "a": [{"$$project": {"_id": {"$$toLong": "$$id"}}},
+           |          {"$$sort": {"_id": 1}}, {"$$limit": 2}],
+           |    "b": ${leg("""{"$toLong": "$v"}""", 2)}},
+           |   "normalization": "none"}}}]""".stripMargin)
+    }
+    assert(noScore.getMessage.contains("_score"), noScore.getMessage)
+    val exprMethod = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(base, col("meta"),
+        s"""[{"$$scoreFusion": {
+           |  "input": {"pipelines": {
+           |    "a": ${leg("""{"$toLong": "$v"}""", 2)},
+           |    "b": ${leg("""{"$toLong": "$v"}""", 2)}},
+           |   "normalization": "none"},
+           |  "combination": {"method": "expression"}}}]""".stripMargin)
+    }
+    assert(exprMethod.getMessage.contains("avg"), exprMethod.getMessage)
+  }
 }
