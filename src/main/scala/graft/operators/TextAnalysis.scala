@@ -445,6 +445,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-style LINE-level cleaning — the transform half of the C4
+    * recipe the doc-level `quality_filter` predicate leaves out: each
+    * document's individual lines are kept only if they end in terminal
+    * punctuation, have >= 5 words, and carry no javascript / cookie /
+    * curly-brace boilerplate; the whole document drops when any line
+    * contains "lorem ipsum" or fewer than 2 lines survive (C4 drops
+    * lorem-ipsum docs outright and short remnants). The synthetic
+    * corpus has no line structure, so a 5/6-line document is planted
+    * deterministically from each doc's own words (two clean lines, a
+    * javascript line, a cookie-or-too-short line, an unterminated
+    * line, and — every 3rd doc — the lorem-ipsum doc-killer); the
+    * oracle replants and re-filters identically. Pure per-row array
+    * work at scan speed: the lines array materializes as a column
+    * once, the lambda filters that attribute (never a recomputed
+    * subtree — the no-CSE-across-lambda rule), no shuffle but the
+    * presentation sort. */
+  def textC4Lines(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val base = docs(s, dir)
+      .withColumn("l1",
+        concat(concat_ws(" ", slice(w, 1, 3)), lit(" data table.")))
+      .withColumn("l2", lit("please enable javascript to view this page."))
+      .withColumn("l3", when(col("doc_id") % 2 === 0,
+        lit("we use cookies on this site.")).otherwise(lit("short line.")))
+      .withColumn("l4",
+        concat(concat_ws(" ", slice(w, 4, 6)), lit(" window sort group")))
+      .withColumn("l6",
+        concat(concat_ws(" ", slice(w, 7, 3)), lit(" filter merge batch!")))
+      .withColumn("lines", when(col("doc_id") % 3 === 0,
+        array(col("l1"), col("l2"), col("l3"), col("l4"),
+          lit("lorem ipsum dolor sit amet."), col("l6")))
+        .otherwise(array(col("l1"), col("l2"), col("l3"), col("l4"),
+          col("l6"))))
+      .withColumn("kept", expr(
+        "filter(lines, l -> right(l, 1) IN ('.', '!', '?') AND " +
+          "size(split(l, ' ')) >= 5 AND " +
+          "NOT contains(l, 'javascript') AND " +
+          "NOT contains(l, 'cookie') AND NOT contains(l, '{'))"))
+    base
+      .filter(!contains(array_join(col("lines"), "\n"), lit("lorem ipsum"))
+        && size(col("kept")) >= 2)
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction — mask emails and phone-like digit groups before a
     * corpus ships to training. PII is planted deterministically from
     * doc_id (the synthetic text has none), redaction is two anchored
@@ -997,6 +1045,37 @@ object TextAnalysis {
         |    '  ' || (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
         |    || ' !!  END  '), '[^a-z0-9]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_c4_lines" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |pl AS (SELECT doc_id,
+        |  array_to_string(w[1:3], ' ') || ' data table.' AS l1,
+        |  'please enable javascript to view this page.' AS l2,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'we use cookies on this site.'
+        |       ELSE 'short line.' END AS l3,
+        |  array_to_string(w[4:9], ' ') || ' window sort group' AS l4,
+        |  array_to_string(w[7:9], ' ') || ' filter merge batch!' AS l6
+        |  FROM ws),
+        |ln AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN [l1, l2, l3, l4, 'lorem ipsum dolor sit amet.', l6]
+        |    ELSE [l1, l2, l3, l4, l6] END AS lines
+        |  FROM pl),
+        |k AS (SELECT doc_id, lines,
+        |  list_filter(lines, l -> right(l, 1) IN ('.', '!', '?')
+        |    AND len(string_split(l, ' ')) >= 5
+        |    AND NOT contains(l, 'javascript')
+        |    AND NOT contains(l, 'cookie')
+        |    AND NOT contains(l, '{')) AS kept
+        |  FROM ln)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS cleaned
+        |FROM k
+        |WHERE NOT contains(array_to_string(lines, chr(10)), 'lorem ipsum')
+        |  AND len(kept) >= 2
+        |ORDER BY doc_id""".stripMargin,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" ->
       """SELECT doc_id,
@@ -1120,6 +1199,7 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "annotate_docs" -> (annotateDocs _),
     "text_normalize" -> (textNormalize _),
+    "text_c4_lines" -> (textC4Lines _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),

@@ -64,4 +64,25 @@ class ScoringOpsSpec extends SparkTestBase {
     val ids = out.select("doc_id").collect().map(_.getLong(0))
     assert(ids.sameElements(ids.sorted))
   }
+
+  test("textC4Lines: lorem-ipsum docs drop whole; surviving docs keep " +
+      "exactly the two clean planted lines, boilerplate gone") {
+    val out = TextAnalysis.textC4Lines(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(out.nonEmpty && out.length < n) // every 3rd doc dropped
+    out.foreach { r =>
+      val (id, nl, nk, cleaned) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(id % 3 != 0, s"doc $id carries lorem ipsum, must drop")
+      assert(nl == 5 && nk == 2, s"doc $id: $nl lines / $nk kept")
+      val lines = cleaned.split("\n")
+      assert(lines.length == 2)
+      lines.foreach { l =>
+        assert(".!?".contains(l.last), s"unterminated kept line: $l")
+        assert(l.split(" ").length >= 5, s"short kept line: $l")
+        assert(!l.contains("javascript") && !l.contains("cookie") &&
+          !l.contains("{"), s"boilerplate survived: $l")
+      }
+    }
+  }
 }
