@@ -493,6 +493,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Mojibake repair — the ftfy-style encoding-fix pass web corpora
+    * get before training: UTF-8 text mis-decoded as Windows-1252
+    * leaves characteristic artifact sequences (a\u0302\u20ac\u2122 for
+    * the right single quote, A\u0303\u00a9 for e-acute, ...), repaired
+    * here by an ORDERED fixed replacement chain — the chain IS the
+    * contract and the oracle runs the identical chain, so the repair
+    * is engine-exact with no charset library on either side (the
+    * artifact/repair pairs are declared once in [[MojibakeTable]] and
+    * the oracle SQL is GENERATED from the same constants — the two
+    * engines cannot drift). Artifacts are planted deterministically
+    * from doc_id (the synthetic corpus is pure ASCII): four artifact
+    * classes cycle by doc_id % 4, every 5th doc gets a second class.
+    * Emits the artifact count (the detector — route high counts to
+    * quarantine) beside the repaired text. Pure per-row codegen'd
+    * string work at scan speed; the detector regex and the repair
+    * chain share the one table. */
+  def textMojibake(s: SparkSession, dir: String): DataFrame = {
+    val planted = mojibakePlanted
+    val fixed = MojibakeTable.foldLeft(planted) { case (c, (art, rep)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(art), rep)
+    }
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(planted,
+        lit(MojibakeTable.map(t => java.util.regex.Pattern.quote(t._1))
+          .mkString("(", "|", ")")), lit(0)))
+        .cast("long").as("n_arts"),
+      fixed.as("fixed"))
+      .orderBy("doc_id")
+  }
+
+  /** (artifact, repair) pairs — UTF-8 bytes of the repair character
+    * mis-decoded as Windows-1252 yield the artifact. Longest-first so
+    * no earlier replacement manufactures a later pattern. One source
+    * of truth for the Spark plan, the detector regex, and the
+    * generated oracle SQL. */
+  private[graft] val MojibakeTable: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "'",       // E2 80 99 = U+2019 right quote
+    "\u00e2\u20ac\u201c" -> "\u2013", // E2 80 93 = U+2013 en dash
+    "\u00c3\u00a9" -> "\u00e9",        // C3 A9    = U+00E9 e-acute
+    "\u00c3\u00bc" -> "\u00fc",        // C3 BC    = U+00FC u-umlaut
+    "\u00c2\u00a0" -> " ")              // C2 A0    = U+00A0 NBSP -> space
+  private def mojibakePlanted = concat(col("text"),
+    when(col("doc_id") % 4 === 0,
+      lit(" don\u00e2\u20ac\u2122t stop"))
+      .when(col("doc_id") % 4 === 1, lit(" caf\u00c3\u00a9 culture"))
+      .when(col("doc_id") % 4 === 2, lit(" \u00c3\u00bcber fast"))
+      .otherwise(lit(" rows\u00e2\u20ac\u201ccols")),
+    when(col("doc_id") % 5 === 0,
+      lit(" end\u00c2\u00a0mark")).otherwise(lit("")))
+
+  /** The `text_mojibake` oracle, GENERATED from [[MojibakeTable]] so
+    * the two engines share the artifact bytes by construction. */
+  private lazy val mojibakeSql: String = {
+    val arts = MojibakeTable.map(_._1)
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
+    val planted =
+      s"""text || CASE
+         |    WHEN doc_id % 4 = 0 THEN ${q(" don" + arts(0) + "t stop")}
+         |    WHEN doc_id % 4 = 1 THEN ${q(" caf" + arts(2) + " culture")}
+         |    WHEN doc_id % 4 = 2 THEN ${q(" " + arts(3) + "ber fast")}
+         |    ELSE ${q(" rows" + arts(1) + "cols")} END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ${q(" end" + arts(4) + "mark")}
+         |       ELSE '' END""".stripMargin
+    val fixed = MojibakeTable.foldLeft("p") { case (acc, (art, rep)) =>
+      s"replace($acc, ${q(art)}, ${q(rep)})" }
+    s"""WITH w AS (SELECT doc_id, $planted AS p FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(p,
+       |    ${q(arts.mkString("(", "|", ")"))})) AS BIGINT) AS n_arts,
+       |  $fixed AS fixed
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   /** PII redaction — mask emails and phone-like digit groups before a
     * corpus ships to training. PII is planted deterministically from
     * doc_id (the synthetic text has none), redaction is two anchored
@@ -1077,6 +1151,7 @@ object TextAnalysis {
         |  AND len(kept) >= 2
         |ORDER BY doc_id""".stripMargin,
     "text_lm_score" -> lmScoreSql,
+    "text_mojibake" -> mojibakeSql,
     "text_repetition" ->
       """SELECT doc_id,
         |  CAST(len(g) AS BIGINT) AS n_3grams,
@@ -1200,6 +1275,7 @@ object TextAnalysis {
     "annotate_docs" -> (annotateDocs _),
     "text_normalize" -> (textNormalize _),
     "text_c4_lines" -> (textC4Lines _),
+    "text_mojibake" -> (textMojibake _),
     "pii_redact" -> (piiRedact _),
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),

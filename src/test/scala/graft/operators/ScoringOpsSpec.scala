@@ -65,6 +65,29 @@ class ScoringOpsSpec extends SparkTestBase {
     assert(ids.sameElements(ids.sorted))
   }
 
+  test("textMojibake: artifact classes repair to their true " +
+      "characters, detector counts both plants, no artifact survives") {
+    val out = TextAnalysis.textMojibake(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    out.foreach { case (id, (n, fixed)) =>
+      val expected = if (id % 5 == 0) 2L else 1L
+      assert(n == expected, s"doc $id: detector saw $n, want $expected")
+      // no artifact sequence survives the repair chain
+      assert(!fixed.contains("â€") &&
+        !fixed.contains("Ã©") &&
+        !fixed.contains("Ã¼") && !fixed.contains("Â "),
+        s"doc $id still mojibake: ${fixed.takeRight(30)}")
+      if (id % 4 == 0) assert(fixed.contains(" don't stop"), fixed)
+      else if (id % 4 == 1)
+        assert(fixed.contains(" café culture"), fixed)
+      else if (id % 4 == 2) assert(fixed.contains(" über fast"), fixed)
+      else assert(fixed.contains(" rows–cols"), fixed)
+      if (id % 5 == 0) assert(fixed.endsWith(" end mark"), fixed)
+    }
+    assert(out.nonEmpty)
+  }
+
   test("textC4Lines: lorem-ipsum docs drop whole; surviving docs keep " +
       "exactly the two clean planted lines, boilerplate gone") {
     val out = TextAnalysis.textC4Lines(spark, sf0001).collect()
