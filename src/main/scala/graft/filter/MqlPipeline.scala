@@ -2080,6 +2080,35 @@ object MqlPipeline {
             case u => throw new IllegalArgumentException(
               s"unsupported $$dateDiff unit: $u (day|hour|minute|second)")
           }
+        case (op @ ("$dateAdd" | "$dateSubtract"), v) =>
+          // Mongo 5.0 date arithmetic on FIXED-LENGTH units only
+          // (week/day/hour/minute/second — pure integer epoch-seconds
+          // arithmetic, engine-exact; metadata dates are
+          // second-precision strings on this surface, so the
+          // second-granular result loses nothing); calendar units
+          // (year/quarter/month) are variable-length under the
+          // calendar and timezone shifts DST — both refuse loudly
+          // rather than risk a silent cross-engine divergence.
+          require(v.isObject && v.get("startDate") != null &&
+            v.get("unit") != null && v.get("amount") != null,
+            s"$op needs {startDate, unit, amount}: $v")
+          require(v.get("timezone") == null,
+            s"$op timezone unsupported (UTC engine): $v")
+          val addSecs = v.get("unit").asText() match {
+            case "week" => 604800L
+            case "day" => 86400L
+            case "hour" => 3600L
+            case "minute" => 60L
+            case "second" => 1L
+            case u => throw new IllegalArgumentException(
+              s"unsupported $op unit: $u (week|day|hour|minute|" +
+                "second; year/quarter/month are calendar-variable " +
+                "on this exact-integer engine)")
+          }
+          val amt = numOf(v.get("amount")).cast("long") * addSecs
+          timestamp_seconds(
+            unix_timestamp(dateOf(v.get("startDate"))) +
+              (if (op == "$dateSubtract") -amt else amt))
         // ---- comparison / logic as first-class compute operators
         // (Mongo's aggregation $gt family — numeric operands, same
         // bracket as $cond's if-expression, which delegates here) ----

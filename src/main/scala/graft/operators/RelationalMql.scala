@@ -78,6 +78,38 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
 
+  /** $dateAdd / $dateSubtract under the gate (r12) — Mongo 5.0 date
+    * arithmetic on the fixed-length units: each event's deadline is
+    * its timestamp + 3 days, its warning mark 90 minutes before the
+    * deadline (a NESTED $dateSubtract over the $dateAdd — date
+    * expressions compose), both emitted through $dateToString. The
+    * oracle replays with interval arithmetic on the second-truncated
+    * timestamp. Calendar units (month/quarter/year) and timezone
+    * refuse loudly (MqlPipelineSpec) — variable-length arithmetic
+    * cannot be engine-exact on the integer discipline. */
+  def mqlDateAdd(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("created")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "due": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "day", "amount": 3}}}},
+        |   "warn": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateSubtract": {
+        |       "startDate": {"$dateAdd": {"startDate": "$created",
+        |         "unit": "day", "amount": 3}},
+        |       "unit": "minute", "amount": 90}}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "due": 1, "warn": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 200}
+        |]""".stripMargin)
+
   /** $switch + $dateTrunc under the gate: events bucketed by calendar
     * week (Mongo 5.0 truncation) × a multi-branch severity label
     * (first-match-wins $switch with default), rolled up per composite
@@ -1755,6 +1787,13 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  long_norm, short_norm
         |FROM la FULL OUTER JOIN sb ON la._id = sb._id
         |ORDER BY score DESC, _id ASC LIMIT 15""".stripMargin,
+    "mql_date_add" ->
+      """SELECT event_id,
+        |  strftime(date_trunc('second', ts) + INTERVAL 3 DAY,
+        |    '%Y-%m-%d %H:%M:%S') AS due,
+        |  strftime(date_trunc('second', ts) + INTERVAL 3 DAY
+        |    - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS warn
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
     "mql_json_schema" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0
@@ -1842,6 +1881,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_geo_within" -> (mqlGeoWithin _),
     "mql_rank_fusion" -> (mqlRankFusion _),
     "mql_score_fusion" -> (mqlScoreFusion _),
+    "mql_date_add" -> (mqlDateAdd _),
     "mql_redact" -> (mqlRedact _),
     "mql_collation" -> (mqlCollation _),
     "mql_json_schema" -> (mqlJsonSchema _),

@@ -1448,6 +1448,41 @@ class MqlPipelineSpec extends SparkTestBase {
       fracW.getMessage)
   }
 
+  test("$dateAdd/$dateSubtract: fixed-length units compose exactly; " +
+      "calendar units and timezone loud") {
+    val got = run(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "due": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-01-30T23:30:00",
+        |       "unit": "day", "amount": 3}}}},
+        |   "back": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateSubtract": {
+        |       "startDate": {"$dateAdd": {
+        |         "startDate": "2024-01-30T23:30:00",
+        |         "unit": "week", "amount": 1}},
+        |       "unit": "minute", "amount": 90}}}}}},
+        | {"$project": {"due": 1, "back": 1}}
+        |]""".stripMargin).collect()(0)
+    assert(got.getString(0) == "2024-02-02 23:30:00") // +3d crosses month
+    assert(got.getString(1) == "2024-02-06 22:00:00") // +7d then -90min
+    val month = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$dateAdd": {
+            |  "startDate": "2024-01-30T00:00:00",
+            |  "unit": "month", "amount": 1}}}}]""".stripMargin)
+    }
+    assert(month.getMessage.contains("calendar-variable"),
+      month.getMessage)
+    val tz = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$dateSubtract": {
+            |  "startDate": "2024-01-30T00:00:00", "unit": "day",
+            |  "amount": 1, "timezone": "America/New_York"}}}}]"""
+        .stripMargin)
+    }
+    assert(tz.getMessage.contains("timezone"), tz.getMessage)
+  }
+
   test("$scoreFusion: minMaxScaler weighted average over two scored " +
       "legs; 'none' floors exactly on negatives; guards loud") {
     val base = df.withColumn("meta", to_json(struct(col("id"),
