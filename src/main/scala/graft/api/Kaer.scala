@@ -1481,6 +1481,145 @@ final class Collection(
     (nIns, nMatch, nDel, nUps)
   }
 
+  // ---- transactions -----------------------------------------------------
+  // Mongo 4.0-style multi-operation transaction on ONE collection:
+  // operations STAGE against the snapshot taken at begin (each op sees
+  // the prior staged ops — read-your-own-writes inside the
+  // transaction, Mongo's semantics) and nothing touches disk until
+  // commit() publishes the whole batch through a SINGLE copy-on-write
+  // rewrite + rename swap — all-or-nothing by construction, exactly
+  // the guarantee Mongo's transaction machinery exists to provide on
+  // a store whose single ops are already atomic. abort() discards the
+  // staged frame; a reader holding the collection sees the pre-begin
+  // state until the commit rename lands. Change streams observe the
+  // commit as ONE op_time batch of insert/update/delete events (the
+  // rewrite diff classifies all three) — Mongo's one-clusterTime
+  // shape for transactional writes. Concurrency is the store's
+  // single-writer contract, enforced optimistically: commit() re-reads
+  // the (lastId, rows) watermark pair and refuses loudly when another
+  // writer moved it since begin — Mongo's WriteConflict, surfaced at
+  // commit instead of op time. Cross-collection transactions are LOUD
+  // (unsupported): atomicity here is the one-directory rename; a
+  // multi-collection commit needs a generation-pointer manifest the
+  // read path doesn't resolve through (documented divergence — Mongo
+  // 4.0 shipped single-shard first for the same reason).
+  // Scale: staging is plan composition (zero I/O per op beyond the
+  // per-op matched-count job); commit pays exactly one rewrite of the
+  // final frame — N ops cost ONE write amplification, which is why
+  // bulk maintenance at 100 TB should prefer a transaction over N
+  // bulkWrite rewrites.
+  final class Txn private[api] () {
+    private var frame = df
+    private val startLastId = lastId
+    private val startRows = rowsCount
+    private var nextId = lastId
+    private var insertedN = 0L
+    private var deletedN = 0L
+    private var updatedAny = false
+    private var done: Option[String] = None
+    private def live(): Unit = require(done.isEmpty,
+      s"transaction already ${done.get}")
+    private def predOf(filterJson: String) =
+      coalesce(MqlFilter.toColumn(filterJson,
+        MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+
+    /** Stage an insert — ids assigned above the snapshot watermark,
+      * embedded now, visible to later ops in THIS transaction only. */
+    def insert(data: Data): Unit = {
+      live()
+      if (data.metadatas.nonEmpty &&
+        data.documents.length != data.metadatas.length)
+        throw new FieldLengthMismatch
+      if (data.documents.isEmpty) return
+      val rows = if (data.metadatas.isEmpty)
+        data.documents.map(d => (d, null: String))
+      else data.documents.zip(data.metadatas)
+      val base = spark.createDataFrame(rows)
+        .toDF(Schema.DocCol, Schema.MetaCol)
+      val n = data.documents.length.toLong
+      val indexed = embedder.embedDF(
+          zipWithId(base, nextId), Schema.DocCol, Schema.EmbeddingCol)
+        .select(col(Schema.IdCol), col(Schema.DocCol),
+          col(Schema.EmbeddingCol), col(Schema.MetaCol))
+      frame = frame.unionByName(indexed)
+      nextId += n
+      insertedN += n
+    }
+
+    /** Stage a literal-document update over every staged row matching
+      * the MQL filter; returns the matched count (evaluated against
+      * the staged frame — one count job, no write). */
+    def updateMany(filterJson: String, updateJson: String): Long = {
+      live()
+      val pred = predOf(filterJson)
+      val mergeUdf = validatedUpdateUdf(updateJson,
+        arrayFiltersJson = null, queryFilterJson = filterJson)
+      val matched = frame.filter(pred).count()
+      if (matched > 0L) {
+        frame = frame.withColumn(Schema.MetaCol,
+          when(pred, mergeUdf(col(Schema.MetaCol)))
+            .otherwise(col(Schema.MetaCol)))
+        updatedAny = true
+      }
+      matched
+    }
+
+    /** Stage a delete of every staged row matching the MQL filter;
+      * returns the removed count. */
+    def deleteMany(filterJson: String): Long = {
+      live()
+      val pred = predOf(filterJson)
+      val removed = frame.filter(pred).count()
+      if (removed > 0L) {
+        frame = frame.filter(!pred)
+        deletedN += removed
+      }
+      removed
+    }
+
+    /** Publish every staged operation through ONE copy-on-write
+      * rewrite. Loud WriteConflict when the collection moved since
+      * begin; no-op commit when nothing was staged. */
+    def commit(): Unit = {
+      live()
+      require(lastId == startLastId && rowsCount == startRows,
+        s"write conflict: collection '$name' changed since this " +
+          "transaction began (watermark moved) — abort and retry")
+      if (insertedN > 0 || deletedN > 0 || updatedAny) {
+        rewriteData(frame)
+        lastId = nextId
+        rowsCount = startRows + insertedN - deletedN
+        Meta.write(spark, dir,
+          CollectionMeta(name, lastId, embedder.dim, embedder.id,
+            rowsCount))
+      }
+      done = Some("committed")
+    }
+
+    /** Discard the staged frame — the disk state never knew the
+      * transaction existed. */
+    def abort(): Unit = { live(); done = Some("aborted") }
+  }
+
+  /** Open a transaction. The collection must hold data (the staged
+    * frame and the commit rewrite both ride the existing generation;
+    * seed an empty collection with a plain insert first — loud). */
+  def beginTransaction(): Txn = {
+    require(hasData,
+      s"transaction on empty collection '$name' unsupported: the " +
+        "commit path rewrites the current generation — seed with a " +
+        "plain insert first")
+    new Txn()
+  }
+
+  /** Mongo `withTransaction` convention: run `body`, commit on
+    * success, abort on ANY exception (which then propagates). */
+  def transaction[T](body: Txn => T): T = {
+    val t = beginTransaction()
+    try { val r = body(t); t.commit(); r }
+    catch { case e: Throwable => t.abort(); throw e }
+  }
+
   /** Mongo `findOneAndDelete`: remove the FIRST matching document
     * (lowest `_m_id` — the store's deterministic natural order) and
     * return its `(id, metadata)` pre-image; None when nothing
@@ -1550,8 +1689,26 @@ final class Collection(
   private def updateWhere(pred: Column, updateJson: String,
       arrayFiltersJson: String = null,
       queryFilterJson: String = null): Long = {
-    // driver-side validation: unknown operators must fail fast, not in
-    // a task half-way through a rewrite
+    val mergeUdf =
+      validatedUpdateUdf(updateJson, arrayFiltersJson, queryFilterJson)
+    val updated = df.filter(pred).count()
+    if (updated > 0L) {
+      rewriteData(df.withColumn(Schema.MetaCol,
+        when(pred, mergeUdf(col(Schema.MetaCol)))
+          .otherwise(col(Schema.MetaCol))))
+    }
+    updated
+  }
+
+  /** Driver-side validation of a literal update document + the per-row
+    * merge UDF — shared by the committed path ([[updateWhere]]) and the
+    * staged transaction path ([[Txn.updateMany]]). Unknown operators
+    * must fail fast on the driver, not in a task half-way through a
+    * rewrite. */
+  private def validatedUpdateUdf(updateJson: String,
+      arrayFiltersJson: String,
+      queryFilterJson: String)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val opsNode = Collection.udfMapper.readTree(updateJson)
     require(opsNode.isObject && opsNode.properties().size() > 0,
       s"update document must be a non-empty object: $updateJson")
@@ -1612,15 +1769,8 @@ final class Collection(
     filters.keys.foreach(id => require(usedIdents.contains(id),
       s"arrayFilters identifier '$id' is not used in the update"))
     val (afj, qfj) = (arrayFiltersJson, queryFilterJson)
-    val mergeUdf = udf { meta: String =>
+    udf { meta: String =>
       Collection.applyUpdateOps(meta, updateJson, afj, qfj) }
-    val updated = df.filter(pred).count()
-    if (updated > 0L) {
-      rewriteData(df.withColumn(Schema.MetaCol,
-        when(pred, mergeUdf(col(Schema.MetaCol)))
-          .otherwise(col(Schema.MetaCol))))
-    }
-    updated
   }
 
   /** The flagship composite operator (db/db.go:111-143): metadata

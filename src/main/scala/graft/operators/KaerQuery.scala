@@ -153,6 +153,49 @@ object KaerQuery {
       .orderBy("op_time", "mid")
   }
 
+  /** Multi-operation transaction under the oracle gate: an ABORTED
+    * transaction (flag update + fr-language delete) must leave zero
+    * trace, then a COMMITTED transaction stages an insert (two xx
+    * docs), an updateMany (en docs flagged seen) and a deleteMany
+    * (de docs) and publishes all three through ONE atomic rewrite.
+    * The gate reads the final state back; the oracle recomputes it
+    * arithmetically from the base corpus — any abort leakage (ghost
+    * flag, missing fr rows) or lost commit op hash-mismatches. The
+    * one-op_time change-event batch and the WriteConflict guard are
+    * KaerSpec's lifecycle battery. */
+  def txnGate(s: SparkSession, dir: String): DataFrame = {
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaertxn", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))
+    val t0 = coll.beginTransaction()
+    t0.updateMany("""{"lang": "en"}""", """{"$set": {"ghost": 1}}""")
+    t0.deleteMany("""{"lang": "fr"}""")
+    t0.abort()
+    coll.transaction { t =>
+      t.insert(Data()
+        .withDocuments(Seq("txn doc a", "txn doc b"))
+        .withMetadatas(Seq(
+          Map[String, Any]("doc_id" -> 1000001, "lang" -> "xx"),
+          Map[String, Any]("doc_id" -> 1000002, "lang" -> "xx"))))
+      t.updateMany("""{"lang": "en"}""", """{"$set": {"seen": 1}}""")
+      t.deleteMany("""{"lang": {"$eq": "de"}}""")
+    }
+    k.aggregate("docs",
+      """[
+        | {"$project": {"did": {"$toLong": "$doc_id"}, "lang": 1,
+        |   "seen": {"$toLong":
+        |     {"$ifNull": [{"$toLong": "$seen"}, 0]}}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+  }
+
   def deleteUpdate(s: SparkSession, dir: String): DataFrame = {
     val k = new KaerSession(s, graft.core.Scratch.dir(
       "kaermut", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
@@ -520,6 +563,18 @@ object KaerQuery {
         |  CAST(CASE WHEN fv IS NOT NULL AND x = fv AND rn = 1
         |       THEN x + 1 ELSE x END AS BIGINT) AS score
         |FROM rn_ ORDER BY did, score""".stripMargin,
+    "kaer_txn" ->
+      """SELECT did, lang, seen FROM (
+        |  SELECT doc_id AS did, lang,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+        |      AS seen
+        |  FROM documents WHERE lang <> 'de'
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(1000001 AS BIGINT), 'xx', CAST(0 AS BIGINT)),
+        |    (CAST(1000002 AS BIGINT), 'xx', CAST(0 AS BIGINT)))
+        |    v(did, lang, seen))
+        |ORDER BY did""".stripMargin,
     "kaer_watch" ->
       """WITH base AS (SELECT
         |    row_number() OVER (ORDER BY doc_id) AS mid,
@@ -568,6 +623,7 @@ object KaerQuery {
     "kaer_vector_search" -> (vectorSearch _),
     "kaer_upsert" -> (upsertGate _),
     "kaer_bulk_write" -> (bulkWriteGate _),
-    "kaer_watch" -> (watchGate _)
+    "kaer_watch" -> (watchGate _),
+    "kaer_txn" -> (txnGate _)
   )
 }

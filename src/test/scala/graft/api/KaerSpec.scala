@@ -861,4 +861,70 @@ class KaerSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(rows == Map("insert" -> 2L), rows.toString)
   }
+
+  test("transaction: abort leaves zero trace, commit is ONE atomic " +
+      "op_time batch, staged ops see each other, conflicts loud") {
+    val k = newSession(tmpDir("kaer-txn"))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("one", "two", "three"))
+      .withMetadatas(Seq(Map("g" -> 1), Map("g" -> 2), Map("g" -> 3))))
+    c.enableChangeStream()
+    // aborted transaction: nothing on disk, nothing in the stream
+    val t0 = c.beginTransaction()
+    assert(t0.updateMany("""{"g": {"$gte": 1}}""",
+      """{"$set": {"ghost": 1}}""") == 3L)
+    assert(t0.deleteMany("""{"g": 3}""") == 1L)
+    t0.abort()
+    assert(c.count() == 3)
+    assert(c.df.filter(org.apache.spark.sql.functions
+      .col("_m_meta").contains("ghost")).count() == 0)
+    assert(c.watch().collect().isEmpty)
+    val dead = intercept[IllegalArgumentException] { t0.commit() }
+    assert(dead.getMessage.contains("aborted"), dead.getMessage)
+    // committed transaction: read-your-own-writes (the update matches
+    // the doc staged two lines above), one op_time, all three op kinds
+    val r = c.transaction { t =>
+      t.insert(Data().withDocuments(Seq("four"))
+        .withMetadatas(Seq(Map("g" -> 4))))
+      assert(t.updateMany("""{"g": 4}""",
+        """{"$set": {"flag": "new"}}""") == 1L)
+      assert(t.updateMany("""{"g": 2}""",
+        """{"$set": {"flag": "old"}}""") == 1L)
+      assert(t.deleteMany("""{"g": {"$eq": 1}}""") == 1L)
+      42
+    }
+    assert(r == 42)
+    assert(c.count() == 3) // 3 + 1 - 1
+    val ev = c.watch().collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(ev.map(_._1).distinct.toSeq == Seq(1L),
+      s"commit must land as ONE op_time batch: ${ev.toSeq}")
+    assert(ev.map(_._2).sorted.toSeq ==
+      Seq("delete", "insert", "update"), ev.toSeq.toString)
+    // the staged insert's after image carries the in-txn update
+    val ins = ev.find(_._2 == "insert").get
+    val insMeta = c.watch().collect()
+      .find(x => x.getLong(2) == ins._3).get.getString(4)
+    assert(insMeta.contains("\"flag\""), insMeta)
+    // optimistic conflict: an outside write between begin and commit
+    val t2 = c.beginTransaction()
+    assert(t2.deleteMany("""{"g": 2}""") == 1L)
+    c.insert(Data().withDocuments(Seq("outside")))
+    val wc = intercept[IllegalArgumentException] { t2.commit() }
+    assert(wc.getMessage.contains("write conflict"), wc.getMessage)
+    assert(c.count() == 4) // the conflicted txn changed nothing
+    // withTransaction aborts (and re-throws) on a body exception
+    intercept[RuntimeException] {
+      c.transaction { t =>
+        t.deleteMany("""{"g": 2}"""); throw new RuntimeException("boom")
+      }
+    }
+    assert(c.count() == 4)
+    // empty collection is loud with remediation
+    val c2 = k.createCollection("c2")
+    val empty = intercept[IllegalArgumentException] {
+      c2.beginTransaction()
+    }
+    assert(empty.getMessage.contains("seed"), empty.getMessage)
+  }
 }
