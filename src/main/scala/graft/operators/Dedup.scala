@@ -588,6 +588,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Tail-head continuation detection — the pagination/crawl-chaining
+    * structure plain substring dedup does not NAME: document B
+    * continues document A when A's last K tokens equal B's first K
+    * (scraped multi-page articles, log rotations, chunked uploads) —
+    * the directed edge a training pipeline needs to stitch pages into
+    * one document (or drop the continuations) instead of treating them
+    * as independent near-dups. Device: one (doc_id, first-K-gram) and
+    * one (doc_id, last-K-gram) projection, a boilerplate cap dropping
+    * any gram heading/tailing > 8 documents (template text is not
+    * continuation — and the cap bounds the join fan-out at any corpus
+    * size), then ONE equi-join on the gram STRING itself (K tokens —
+    * exact match, no hash-collision verify step needed, and the only
+    * shuffle key). Continuations planted deterministically: every 7th
+    * doc gets a next-page twin (id + 10⁶) opening with the parent's
+    * last K tokens. Output: directed (src → dst) continuation edges;
+    * chain assembly from the edges is the existing connected-components
+    * device. Never all-pairs — candidates exist only where grams
+    * collide. */
+  def dedupTailHead(s: SparkSession, dir: String): DataFrame = {
+    val K = 6
+    val d = docs(s, dir)
+    val w = split(col("text"), " ")
+    val children = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(slice(w, -K, K), reverse(slice(w, 1, 8)))).as("text"))
+    val aug = d.select(col("doc_id"), col("text")).unionByName(children)
+    val toks = aug.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= K)
+    val heads = toks.select(col("doc_id").as("dst"),
+      concat_ws(" ", slice(col("ts"), 1, K)).as("gram"))
+    val tails = toks.select(col("doc_id").as("src"),
+      concat_ws(" ", slice(col("ts"), -K, K)).as("gram"))
+    val hot = heads.select(col("gram"))
+      .unionAll(tails.select(col("gram")))
+      .groupBy("gram").count().filter(col("count") > 8).select("gram")
+    tails.join(hot, Seq("gram"), "left_anti")
+      .join(heads.join(hot, Seq("gram"), "left_anti"), Seq("gram"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        lit(K.toLong).as("overlap_tokens"))
+      .orderBy("src", "dst")
+  }
+
   /** Registered gate: full documents as the training corpus; every 11th
     * document with the last 20 chars dropped as the planted eval set —
     * the truncation leaves most 5-grams intact, so every planted doc
@@ -1430,6 +1474,27 @@ object Dedup {
          |  AND 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_tail_head" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ch AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_concat(w[len(w)-5:len(w)],
+        |      list_reverse(w[1:8])), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents WHERE doc_id % 7 = 0)),
+        |aug AS (SELECT * FROM d UNION ALL SELECT * FROM ch),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug
+        |      WHERE len(string_split(text, ' ')) >= 6),
+        |heads AS (SELECT doc_id AS dst,
+        |    array_to_string(ts[1:6], ' ') AS gram FROM t),
+        |tails AS (SELECT doc_id AS src,
+        |    array_to_string(ts[len(ts)-5:len(ts)], ' ') AS gram FROM t),
+        |hot AS (SELECT gram FROM (
+        |    SELECT gram FROM heads UNION ALL SELECT gram FROM tails)
+        |  GROUP BY gram HAVING count(*) > 8)
+        |SELECT src, dst, CAST(6 AS BIGINT) AS overlap_tokens
+        |FROM tails JOIN heads USING (gram)
+        |WHERE src <> dst AND gram NOT IN (SELECT gram FROM hot)
+        |ORDER BY src, dst""".stripMargin,
     "dedup_lines" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
@@ -1639,6 +1704,7 @@ object Dedup {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_lines" -> (dedupLines _),
+    "dedup_tail_head" -> (dedupTailHead _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_text_dial" -> (dedupTextDial _),

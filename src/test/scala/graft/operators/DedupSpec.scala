@@ -283,4 +283,17 @@ class DedupSpec extends SparkTestBase {
     val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
     assert(ids.size == n, s"expected all $n originals to survive")
   }
+
+  test("dedupTailHead: exactly the planted parent->child continuation " +
+      "edges, directed, fixed overlap") {
+    val edges = Dedup.dedupTailHead(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.forall(_._3 == 6L))
+    val parents = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(edges.map(e => (e._1, e._2)).toSet ==
+      parents.map(p => (p, p + 1000000L)),
+      s"edges ${edges.length} vs planted ${parents.size}")
+  }
 }
