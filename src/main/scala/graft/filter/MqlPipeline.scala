@@ -2024,6 +2024,50 @@ object MqlPipeline {
               "$switch: no branch matched and no default given")))
           branches.foldRight(dflt) { case ((c, t), e) =>
             when(c, t).otherwise(e) }
+        case ("$convert", v) =>
+          // Mongo's safe cast: {input, to, onError?, onNull?}. The
+          // conversion itself is try_cast (≡ DuckDB TRY_CAST); a null
+          // INPUT takes onNull (null if absent — Mongo), a non-null
+          // input whose conversion fails takes onError, and WITHOUT
+          // onError a failed conversion RAISES per row (Mongo errors
+          // too — a silent null would let corrupt values slide through
+          // a typed pipeline). `to` supports long/int (widened to
+          // long — the engine's integral bracket), double and bool;
+          // to-string is LOUD: numeric→string FORMATTING is the one
+          // cast the two engines render differently at the edges
+          // (1e20, -0.0) — use $toString/$dateToString where the
+          // operand bracket is known safe.
+          require(v.isObject && v.get("input") != null &&
+            v.get("to") != null,
+            s"$$convert needs {input, to, onError?, onNull?}: $v")
+          v.properties().asScala.foreach(e => require(
+            Seq("input", "to", "onError", "onNull").contains(e.getKey),
+            s"unsupported $$convert option: ${e.getKey}"))
+          val convTo = v.get("to").asText() match {
+            case "long" | "int" => "long"
+            case "double" => "double"
+            case "bool" => "boolean"
+            case other => throw new IllegalArgumentException(
+              s"unsupported $$convert target '$other' (long/int/" +
+                "double/bool; to-string formatting is engine-" +
+                "divergent at the edges — use $toString)")
+          }
+          val convIn = computeExprRes(v.get("input"), metaCol, cur,
+            res, env)
+          val convCast = convIn.try_cast(convTo)
+          val onNull: Column = Option(v.get("onNull"))
+            .map(n => computeExprRes(n, metaCol, cur, res, env)
+              .cast(convTo))
+            .getOrElse(lit(null).cast(convTo))
+          val onError: Column = Option(v.get("onError"))
+            .map(n => computeExprRes(n, metaCol, cur, res, env)
+              .cast(convTo))
+            .getOrElse(raise_error(concat(
+              lit(s"$$convert to $convTo failed for input: "),
+              convIn.cast("string"))))
+          when(convIn.isNull, onNull)
+            .when(convCast.isNull, onError)
+            .otherwise(convCast)
         // Mongo date operator family over the timestamp view (builds on
         // the ISO-string date convention of the $date filter literals).
         // Parts return LONG (the oracle engines' integer date parts).

@@ -110,6 +110,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 200}
         |]""".stripMargin)
 
+  /** $convert under the gate (r12) — Mongo's safe cast with the full
+    * error surface: a planted string field is numeric for most docs,
+    * garbage every 5th (→ onError -1), missing every 5th+1 (→ onNull
+    * 0); the oracle replays with TRY_CAST + the same null/error
+    * routing. The no-onError RAISE path is MqlPipelineSpec's. */
+  def mqlConvert(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          when(col("doc_id") % 5 === 1, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, lit("oops"))
+            .otherwise(col("n_chars").cast("string")).as("raw")))),
+      col("meta"),
+      """[
+        | {"$addFields": {"v": {"$convert": {"input": "$raw",
+        |   "to": "long", "onError": -1, "onNull": 0}}}},
+        | {"$project": {"did": {"$toLong": "$did"},
+        |   "v": {"$toLong": "$v"}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
   /** $switch + $dateTrunc under the gate: events bucketed by calendar
     * week (Mongo 5.0 truncation) × a multi-branch severity label
     * (first-match-wins $switch with default), rolled up per composite
@@ -1794,6 +1816,16 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  strftime(date_trunc('second', ts) + INTERVAL 3 DAY
         |    - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS warn
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+    "mql_convert" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN 'oops'
+        |         ELSE CAST(n_chars AS VARCHAR) END AS raw
+        |  FROM documents)
+        |SELECT doc_id AS did,
+        |  CAST(COALESCE(CASE WHEN raw IS NULL THEN 0
+        |    ELSE TRY_CAST(raw AS BIGINT) END, -1) AS BIGINT) AS v
+        |FROM w ORDER BY did""".stripMargin,
     "mql_json_schema" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0
@@ -1882,6 +1914,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_rank_fusion" -> (mqlRankFusion _),
     "mql_score_fusion" -> (mqlScoreFusion _),
     "mql_date_add" -> (mqlDateAdd _),
+    "mql_convert" -> (mqlConvert _),
     "mql_redact" -> (mqlRedact _),
     "mql_collation" -> (mqlCollation _),
     "mql_json_schema" -> (mqlJsonSchema _),

@@ -1483,6 +1483,33 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(tz.getMessage.contains("timezone"), tz.getMessage)
   }
 
+  test("$convert: onError/onNull route, missing onError RAISES per " +
+      "row, to-string loud") {
+    val ok = run(
+      """[
+        | {"$addFields": {"v": {"$convert": {"input": "$grp",
+        |   "to": "long", "onError": -1, "onNull": 0}}}},
+        | {"$project": {"id": {"$toLong": "$id"},
+        |   "v": {"$toLong": "$v"}}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // grp is 'a'/'b'/'c' — never numeric: every row takes onError
+    assert(ok.map(_._2).forall(_ == -1L), ok.toString)
+    val boom = intercept[Exception] {
+      run("""[{"$addFields": {"v": {"$convert": {"input": "$grp",
+            |  "to": "long"}}}}]""".stripMargin).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(boom).exists(_.contains("$convert")), msgs(boom).toString)
+    val str = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"v": {"$convert": {"input": "$v",
+            |  "to": "string"}}}}]""".stripMargin)
+    }
+    assert(str.getMessage.contains("$toString"), str.getMessage)
+  }
+
   test("$scoreFusion: minMaxScaler weighted average over two scored " +
       "legs; 'none' floors exactly on negatives; guards loud") {
     val base = df.withColumn("meta", to_json(struct(col("id"),
