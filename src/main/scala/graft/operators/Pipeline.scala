@@ -57,10 +57,12 @@ object Pipeline {
       (col("lang") =!= "en" || nStop >= 1)
   }
 
-  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // stopword probe -> InSet + exists
     docs(s, dir).filter(qualityKeep)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+  }
 
   /** Gopher-rules quality gate — the OTHER published filter family
     * (repetition/format heuristics with hard numeric brackets, vs the
@@ -72,6 +74,7 @@ object Pipeline {
     * re-threshold without a rescan. Pure per-row expressions — scan
     * speed, no shuffle, the same 100 TB profile as [[qualityFilter]]. */
   def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // stopword probe -> InSet
     val ws = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
     val nW = size(ws).cast("long")
     val charsInWords = aggregate(ws, lit(0L),
@@ -450,6 +453,7 @@ object Pipeline {
     * content hash + one tiny aggregate; everything else is scan-speed
     * predicates. */
   def pipelineClean(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // qualityKeep stopword probe
     val w = Window.partitionBy(md5(col("text")))
     docs(s, dir)
       .filter(qualityKeep)
@@ -484,6 +488,7 @@ object Pipeline {
     * canonical-dup window → contamination anti-join. */
   private[graft] def pretrainSurvivors(s: SparkSession,
       dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // qualityKeep stopword probe
     val w = Window.partitionBy(md5(col("text")))
     val uniq = docs(s, dir)
       .filter(qualityKeep)

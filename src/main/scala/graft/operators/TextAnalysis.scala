@@ -217,6 +217,7 @@ object TextAnalysis {
 
   /** Quality signals as exact integer counts + a derived score. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // stopword probe -> InSet
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks,
@@ -717,6 +718,7 @@ object TextAnalysis {
     * Each feature individually matches its standalone gate
     * (text_tokens / text_langid / text_fingerprint / quality_filter). */
   def annotateDocs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // qualityKeep stopword probe
     import graft.functions.TextFunctions.{fingerprint, langId}
     docs(s, dir).select(
       col("doc_id"),

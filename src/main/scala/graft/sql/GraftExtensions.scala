@@ -33,7 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // NativeAsof.register plants on an existing session
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // optimizer extensions — GraftRules.register's session-build twin
-    ext.injectOptimizerRule(_ => graft.plans.LiteralArrayContainsToInSet)
+    graft.plans.GraftRules.all.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
 

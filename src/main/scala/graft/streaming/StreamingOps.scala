@@ -636,6 +636,7 @@ object StreamingOps {
     * build and the incremental top-up of a live crawl. Final per-lang
     * census in complete mode ≡ the batch oracle. */
   def streamTextPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s) // qualityKeep stopword probe
     val path = s"$dir/documents.parquet"
     val schema = s.read.parquet(path).schema
     val name = s"graft_stream_textpipe_${runId.incrementAndGet()}"
