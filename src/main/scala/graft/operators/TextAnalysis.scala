@@ -155,6 +155,80 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Longest token allowed into the fuzzy deletion neighborhood: the
+    * neighborhood is O(L²/2) variants per token (L=32 → ≤529), so the
+    * cap bounds the explode fanout; the SAME cap is part of the
+    * operator contract (and the oracle SQL) — longer tokens simply
+    * don't participate in fuzzy matching. */
+  private val MaxFuzzyLen = 32
+
+  /** Query terms for [[searchFuzzy]]: planted typos of corpus
+    * vocabulary (transpositions, substitutions, insertions, deletions),
+    * one exact term, one no-match probe. */
+  private val fuzzyTerms = Seq("jion", "tabel", "scann", "filtr",
+    "vektor", "strem", "hash", "zzzzzz")
+
+  /** The SymSpell deletion neighborhood: every string reachable from
+    * `t` by deleting AT MOST 2 characters (including `t` itself),
+    * deduplicated. Standard completeness property: if
+    * levenshtein(a, b) ≤ 2 then delete₂(a) ∩ delete₂(b) ≠ ∅ — each
+    * edit-script op removes at most one aligned char from each side,
+    * so deleting the non-matching positions from both strings meets at
+    * the common subsequence. The neighborhood is therefore a SUPERSET
+    * candidate generator; the exact banded levenshtein verify prunes.
+    * Pure HOF expressions over an attribute input (sequence/transform/
+    * flatten) — codegen-friendly, no UDF. */
+  private[graft] def delNeighborhood(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val L = length(t)
+    def del1(i: org.apache.spark.sql.Column) =
+      concat(t.substr(lit(1), i), t.substr(i + 2, L))
+    def del2(i: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column) =
+      concat(t.substr(lit(1), i), t.substr(i + 2, j - i - 1),
+        t.substr(j + 2, L))
+    val d1 = transform(sequence(lit(0), L - 1), i => del1(i))
+    // sequence(a, b) with a > b counts DOWN in Spark — guard L ≥ 2
+    val d2 = when(L >= 2,
+      flatten(transform(sequence(lit(0), L - 2),
+        i => transform(sequence(i + 1, L - 1), j => del2(i, j)))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(array(t), d1, d2))
+  }
+
+  /** Fuzzy term matching — SymSpell deletion-neighborhood blocking:
+    * find every corpus vocabulary token within edit distance ≤ 2 of
+    * each query term WITHOUT an all-pairs scan. The published device
+    * (Garbe's SymSpell): two strings within distance d share a common
+    * member of their ≤d-deletion neighborhoods, so candidates come
+    * from an EQUI-join on deletion variants, then the exact banded
+    * levenshtein verifies (threshold form: O(L·d), −1 past the band).
+    *
+    * Scale shape for a 100 TB corpus: the corpus collapses to its
+    * VOCABULARY first (one hash aggregation — the only corpus-width
+    * shuffle); the ~×L²/2 variant explode happens on vocab rows, not
+    * corpus rows; the query side is k terms → broadcast; the verify
+    * runs only on candidate pairs. Nothing is ever all-pairs and the
+    * corpus text never travels through the join. */
+  def searchFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) <= MaxFuzzyLen)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val vvar = vocab.select(col("tok"), col("n"),
+      explode(delNeighborhood(col("tok"))).as("v"))
+    val qvar = fuzzyTerms.toDF("q")
+      .select(col("q"), explode(delNeighborhood(col("q"))).as("v"))
+    vvar.join(broadcast(qvar), "v")
+      .select("q", "tok", "n").distinct()
+      .withColumn("dist", levenshtein(col("q"), col("tok"), 2)
+        .cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("q"), col("tok"), col("dist"), col("n"))
+      .orderBy("q", "tok")
+  }
+
   /** Okapi BM25 ranking over the same inverted decomposition — the
     * standard keyword relevance function (k1=1.2, b=0.75). Scale shape
     * matches [[searchKeyword]]: tokenize → explode → filter to the query
@@ -994,6 +1068,22 @@ object TextAnalysis {
     "bm25_search" -> bm25Sql,
     // the persisted-index path answers the SAME query — one oracle text
     "search_indexed" -> bm25Sql,
+    // the oracle is the all-pairs definition the SymSpell join must
+    // reproduce exactly: every (query, vocab token) pair within edit
+    // distance 2, same 32-char participation cap
+    "search_fuzzy" ->
+      """WITH vocab AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+')) AS tok FROM documents)
+        |  WHERE length(tok) <= 32 GROUP BY tok),
+        |q(q) AS (VALUES ('jion'), ('tabel'), ('scann'), ('filtr'),
+        |  ('vektor'), ('strem'), ('hash'), ('zzzzzz'))
+        |SELECT q.q, v.tok,
+        |  CAST(levenshtein(q.q, v.tok) AS BIGINT) AS dist, v.n
+        |FROM q CROSS JOIN vocab v
+        |WHERE levenshtein(q.q, v.tok) <= 2
+        |ORDER BY q, tok""".stripMargin,
     "lm_kneser_ney" ->
       """WITH t AS (SELECT
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS a
@@ -1267,6 +1357,7 @@ object TextAnalysis {
     "encode_ids" -> (encodeIds _),
     "decode_ids" -> (decodeIds _),
     "search_keyword" -> (searchKeyword _),
+    "search_fuzzy" -> (searchFuzzy _),
     "bm25_search" -> (bm25Search _),
     "text_tokens" -> (textTokens _),
     "text_chunks" -> (textChunks _),
