@@ -24,12 +24,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * both share one oracle: aggregate-expression form and DataFrame form
   * provably agree.
   */
-case class KmvDistinctAgg(child: Expression, k: Int,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+/** Shared KMV buffer mechanics (k smallest distinct longs in a
+  * TreeSet, map-side partials, truncating merge, length-prefixed
+  * serialization) — [[KmvDistinctAgg]] evals the ESTIMATE,
+  * [[KmvSketchAgg]] evals the retained SET (for downstream sketch
+  * algebra: union/intersection estimation without re-scanning). */
+abstract class KmvAggBase
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
 
-  require(k >= 2, "graft_kmv: k must be >= 2")
+  def k: Int
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
@@ -52,19 +56,6 @@ case class KmvDistinctAgg(child: Expression, k: Int,
     b
   }
 
-  override def eval(b: java.util.TreeSet[java.lang.Long]): Any =
-    if (b.size < k) b.size.toLong
-    else {
-      // invariant: k >= 2 DISTINCT non-negative hashes ⇒ the largest
-      // retained value is > 0 (only one value can be zero) — guard the
-      // division anyway so a contract break fails loudly, not as
-      // round(Infinity)
-      require(b.last() > 0L,
-        s"graft_kmv: non-positive kth value ${b.last()} with k=$k")
-      math.round((k - 1).toDouble * (1L << 60).toDouble /
-        b.last().doubleValue())
-    }
-
   override def serialize(b: java.util.TreeSet[java.lang.Long])
       : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -85,8 +76,29 @@ case class KmvDistinctAgg(child: Expression, k: Int,
     b
   }
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
+}
+
+case class KmvDistinctAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+
+  require(k >= 2, "graft_kmv: k must be >= 2")
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any =
+    if (b.size < k) b.size.toLong
+    else {
+      // invariant: k >= 2 DISTINCT non-negative hashes ⇒ the largest
+      // retained value is > 0 (only one value can be zero) — guard the
+      // division anyway so a contract break fails loudly, not as
+      // round(Infinity)
+      require(b.last() > 0L,
+        s"graft_kmv: non-positive kth value ${b.last()} with k=$k")
+      math.round((k - 1).toDouble * (1L << 60).toDouble /
+        b.last().doubleValue())
+    }
+
+  override def dataType: DataType = LongType
   override def prettyName: String = "graft_kmv"
 
   override def withNewMutableAggBufferOffset(o: Int): KmvDistinctAgg =
@@ -95,4 +107,35 @@ case class KmvDistinctAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression)
       : KmvDistinctAgg = copy(child = c)
+}
+
+/** The sketch-valued sibling: evals the retained k-min set as a sorted
+  * LONG array, enabling DOWNSTREAM set algebra (theta-sketch style
+  * union/intersection estimates as plain array expressions over two
+  * k-sized rows) — the corpus is scanned once per side, everything
+  * after is O(k). */
+case class KmvSketchAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends KmvAggBase {
+
+  require(k >= 2, "graft_kmv_sketch: k must be >= 2")
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](b.size)
+    var i = 0
+    val it = b.iterator() // TreeSet: ascending
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression)
+      : KmvSketchAgg = copy(child = c)
 }

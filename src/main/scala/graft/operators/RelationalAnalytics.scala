@@ -643,6 +643,58 @@ private[graft] trait RelationalAnalytics { this: Relational.type =>
       .orderBy("event_type")
   }
 
+  /** KMV sketch SET ALGEBRA — the theta-sketch device: estimate
+    * |A ∪ B| and |A ∩ B| of two populations from their k-min sketches
+    * alone, never re-scanning the data. Union sketch = k smallest of
+    * the merged retained sets (a valid KMV sketch of A ∪ B, the
+    * classic closure property); intersection via the Jaccard ratio on
+    * the union sketch: est∩ = |{m ∈ M : m ∈ S_A ∧ m ∈ S_B}| · est∪ / k
+    * (integer DIV — exact in both engines on non-negatives).
+    *
+    * Scale shape: ONE corpus scan produces both sketches as
+    * conditional [[graft.expr.KmvSketchAgg]] aggregates (O(k) state
+    * map-side, k longs per partition across the exchange); ALL set
+    * algebra is array expressions over one k-sized row. At 100 TB this
+    * is the only way to answer overlap questions across many
+    * population pairs — sketch once, combine cheaply ever after. */
+  def sketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    graft.sql.GraftFunctions.register(s)
+    val K = 64
+    val kmvEst = (kth: Column) =>
+      round(lit((K - 1).toDouble * 1152921504606846976.0) / kth)
+        .cast("long")
+    val sk = events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        md5Hash60(concat(lit("kmv:"), col("user_id").cast("string")))
+          .as("h"))
+      .agg(
+        expr(s"graft_kmv_sketch(CASE WHEN event_type = 'click' " +
+          s"THEN h END, $K)").as("ska"),
+        expr(s"graft_kmv_sketch(CASE WHEN event_type = 'view' " +
+          s"THEN h END, $K)").as("skb"))
+    val merged = array_sort(array_distinct(concat(col("ska"), col("skb"))))
+    val est = (skc: Column) => when(size(skc) < K, size(skc).cast("long"))
+      .otherwise(kmvEst(element_at(skc, K)))
+    sk.select(col("ska"), col("skb"), merged.as("mg"))
+      .select(col("ska"), col("skb"), col("mg"),
+        slice(col("mg"), 1, K).as("m"))
+      .select(
+        est(col("ska")).as("est_a"),
+        est(col("skb")).as("est_b"),
+        size(filter(col("m"), x => array_contains(col("ska"), x) &&
+          array_contains(col("skb"), x))).cast("long").as("k_common"),
+        when(size(col("mg")) < K, size(col("mg")).cast("long"))
+          .otherwise(kmvEst(element_at(col("m"), K))).as("est_union"),
+        size(col("mg")).cast("long").as("mg_n"))
+      .select(col("est_a"), col("est_b"), col("k_common"),
+        col("est_union"),
+        when(col("mg_n") < K, col("k_common"))
+          .otherwise(expr(s"(k_common * est_union) DIV $K"))
+          .as("est_intersect"))
+  }
+
   /** Shared by both quantiles gates (declared ABOVE the oracle map —
     * object-init order). */
   private val quantilesOracleSql =
@@ -793,6 +845,41 @@ private[graft] trait RelationalAnalytics { this: Relational.type =>
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "kmv_agg_native" -> sketchDistinctSql,
+    // the theta-style set algebra must reproduce the window-rank
+    // formulation of the same sketches exactly
+    "sketch_set_ops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS h
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |rk AS (SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |ska AS (SELECT h FROM rk WHERE event_type = 'click' AND rn <= 64),
+        |skb AS (SELECT h FROM rk WHERE event_type = 'view' AND rn <= 64),
+        |na AS (SELECT count(*) AS n, max(h) AS kth FROM ska),
+        |nb AS (SELECT count(*) AS n, max(h) AS kth FROM skb),
+        |mg AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT h FROM ska UNION SELECT h FROM skb)),
+        |mtot AS (SELECT count(*) AS n FROM mg),
+        |m AS (SELECT h FROM mg WHERE rn <= 64),
+        |mu AS (SELECT max(h) AS kth FROM m),
+        |cm AS (SELECT count(*) AS c FROM m
+        |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+        |ea AS (SELECT CASE WHEN n < 64 THEN n ELSE
+        |    CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est FROM na),
+        |eb AS (SELECT CASE WHEN n < 64 THEN n ELSE
+        |    CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est FROM nb),
+        |eu AS (SELECT CASE WHEN (SELECT n FROM mtot) < 64
+        |    THEN (SELECT n FROM mtot) ELSE
+        |    CAST(round(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS est FROM mu)
+        |SELECT ea.est AS est_a, eb.est AS est_b,
+        |  CAST(cm.c AS BIGINT) AS k_common, eu.est AS est_union,
+        |  CASE WHEN (SELECT n FROM mtot) < 64 THEN CAST(cm.c AS BIGINT)
+        |    ELSE (cm.c * eu.est) // 64 END AS est_intersect
+        |FROM ea, eb, eu, cm""".stripMargin,
     "sketch_distinct" -> sketchDistinctSql,
     "resample_fill" ->
       """WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
@@ -1076,6 +1163,7 @@ private[graft] trait RelationalAnalytics { this: Relational.type =>
     "table_fingerprint" -> (tableFingerprint _),
     "sketch_distinct" -> (sketchDistinct _),
     "kmv_agg_native" -> (kmvAggNative _),
+    "sketch_set_ops" -> (sketchSetOps _),
     "bloom_join" -> (bloomJoin _),
     "funnel_steps" -> (funnelSteps _),
     "funnel_windowed" -> (funnelWindowed _),

@@ -95,6 +95,9 @@ object GraftFunctions {
     // already-hashed long column (compose with graft_hash60)
     "graft_kmv" -> ((es: Seq[Expression]) =>
       KmvDistinctAgg(es(0), litInt(es(1), "kmv k"))
+        .toAggregateExpression()),
+    "graft_kmv_sketch" -> ((es: Seq[Expression]) =>
+      KmvSketchAgg(es(0), litInt(es(1), "kmv k"))
         .toAggregateExpression())
   )
 

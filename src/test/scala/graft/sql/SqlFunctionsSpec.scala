@@ -110,6 +110,40 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(e1 > 3000 && e1 < 8000, e1.toString)
   }
 
+  test("graft_kmv_sketch: sorted retained k-min set, partition-stable, " +
+      "and its kth element reproduces graft_kmv's estimate") {
+    import org.apache.spark.sql.functions._
+    graft.sql.GraftFunctions.register(spark)
+    val big = spark.range(5000)
+      .selectExpr("graft_hash60(CAST(id AS STRING)) AS h")
+    val s1 = big.coalesce(1).selectExpr("graft_kmv_sketch(h, 64) AS s")
+      .head().getSeq[Long](0)
+    val s13 = big.repartition(13).selectExpr("graft_kmv_sketch(h, 64) AS s")
+      .head().getSeq[Long](0)
+    assert(s1 == s13)
+    assert(s1.length == 64 && s1 == s1.sorted)
+    val est = big.selectExpr("graft_kmv(h, 64)").head().getLong(0)
+    assert(math.round(63.0 * (1L << 60).toDouble / s1.last) == est)
+    // below k: the sketch IS the distinct set
+    val small = spark.range(10)
+      .selectExpr("graft_hash60(CAST(id AS STRING)) AS h")
+    assert(small.selectExpr("graft_kmv_sketch(h, 64) AS s")
+      .head().getSeq[Long](0).length == 10)
+  }
+
+  test("sketchSetOps: union/intersection estimates within a plausible " +
+      "band of the true overlap, intersection <= each side") {
+    val r = graft.operators.Relational
+      .sketchSetOps(spark, "/root/testdata/sf0.001").head()
+    val (estA, estB, common, estU, estI) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // truth at sf0.001: same ~150-user pool does every event type, so
+    // A ≈ B ≈ A∪B ≈ A∩B; the estimates must sit in one band together
+    assert(estU >= math.max(estA, estB) * 3 / 4, s"$estU vs $estA/$estB")
+    assert(estI <= estU && estI > 0, s"$estI vs $estU")
+    assert(common > 0 && common <= 64)
+  }
+
   test("GraftExtensions injects the same builders (builder-path smoke)") {
     // full session-build injection is exercised implicitly: the class
     // only delegates to GraftFunctions.all, which the tests above cover
