@@ -96,6 +96,38 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Sample size for [[sampleWeighted]]. */
+  private val WeightedK = 25
+
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield/Lund/Thorup; the A-Res family): each row draws a
+    * priority `u / w` with u uniform and keeps the BOTTOM-k — near
+    * zero the density of u/w is ∝ w, so inclusion probability is
+    * proportional to weight. The uniform is the deterministic md5-60
+    * hash (never rand(): reruns keep the same sample, and the oracle
+    * replicates the draw exactly); the priority is one integer DIV —
+    * no float exponent, both engines agree bit-for-bit. Weight here =
+    * n_chars (sample long documents preferentially — the token-budget
+    * sampler of a corpus mixer; any positive integer weight column
+    * plugs in).
+    *
+    * Scale shape: pure per-row expressions + TakeOrderedAndProject —
+    * a k-sized heap per partition, k rows per partition to the
+    * driver, NO global sort, no shuffle. The same profile at 100 TB. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    sampleWeightedOver(docs(s, dir))
+
+  /** The sampling core over any `(doc_id, lang, n_chars)` frame. */
+  private[graft] def sampleWeightedOver(d: DataFrame): DataFrame =
+    d.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5Hash60(concat(lit("wsmp:"), col("doc_id").cast("string")))
+          .as("h"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr("h DIV n_chars").as("priority"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+      .limit(WeightedK)
+
   /** Per-(lang, source) cap for [[sourceCap]]. */
   private val CapPerSource = 10
 
@@ -866,6 +898,12 @@ object Pipeline {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlSampleKey < CASE WHEN lang = 'en' THEN 200 ELSE 700 END
          |ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars,
+        |  ('0x' || substr(md5('wsmp:' || doc_id), 1, 15))::BIGINT
+        |    // n_chars AS priority
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY priority ASC, doc_id ASC LIMIT 25""".stripMargin,
     "quality_filter" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sqlKeep
@@ -1017,6 +1055,7 @@ object Pipeline {
     "split_corpus" -> (splitCorpus _),
     "corpus_shuffle" -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
     "classifier_score_trained" -> (classifierScoreTrained _),

@@ -57,6 +57,38 @@ class ScoringOpsSpec extends SparkTestBase {
       s"importance scoring should favor the en target: $langs")
   }
 
+  test("sampleWeighted: inclusion tracks weight (priority sampling), " +
+      "deterministic across reruns, zero-weight rows excluded") {
+    import spark.implicits._
+    // 100 light docs (w=3) vs 100 heavy (w=3000): bottom-25 by
+    // hash DIV w must be dominated by the heavy class
+    val d = (0L until 200L).map(i =>
+        (i, "en", if (i < 100) 3L else 3000L))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Pipeline.sampleWeightedOver(d).collect()
+    assert(got.length == 25)
+    val heavy = got.count(_.getLong(0) >= 100)
+    assert(heavy >= 20, s"only $heavy/25 heavy picks")
+    // deterministic: same frame, same sample
+    val again = Pipeline.sampleWeightedOver(d).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // zero/negative weights never participate
+    val z = Pipeline.sampleWeightedOver(
+      (0L until 5L).map(i => (i, "en", 0L)).toDF("doc_id", "lang",
+        "n_chars")).collect()
+    assert(z.isEmpty)
+  }
+
+  test("sampleWeighted plans as TakeOrderedAndProject — per-partition " +
+      "k-heap, no global sort") {
+    import spark.implicits._
+    val d = (0L until 50L).map(i => (i, "en", i + 1)).toDF(
+      "doc_id", "lang", "n_chars")
+    val plan = Pipeline.sampleWeightedOver(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("textLmScore gate output covers every doc, keyed and ordered") {
     val out = TextAnalysis.textLmScore(spark, sf0001)
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
