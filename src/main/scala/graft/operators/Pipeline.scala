@@ -44,17 +44,25 @@ object Pipeline {
 
   /** C4-flavored quality gate, integer math only: enough tokens, bounded
     * digit density, and (for English) at least one common stopword. */
-  private[graft] def qualityKeep: Column = {
-    val toks = tokens(col("text"))
+  private[graft] def qualityKeep: Column =
+    qualityKeepOver(col("text"), tokens(col("text")), col("lang"))
+
+  /** The same predicate over an ALREADY-TOKENIZED column — callers that
+    * annotate several token-derived features in one scan project the
+    * token array once and pass its attribute here, instead of paying
+    * the tokenizing regex again inside the predicate (HOFs are
+    * CodegenFallback: no CSE reaches across that boundary). */
+  private[graft] def qualityKeepOver(text: Column, toks: Column,
+      lang: Column): Column = {
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => array_position(
       array(Seq("the", "a", "and", "of", "to", "in", "is", "on", "for",
         "with").map(lit): _*), t) > 0))
-    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
       .cast("long")
     nTok >= 30 &&
-      nDigit * 1000 <= length(col("text")).cast("long") * 200 &&
-      (col("lang") =!= "en" || nStop >= 1)
+      nDigit * 1000 <= length(text).cast("long") * 200 &&
+      (lang =!= "en" || nStop >= 1)
   }
 
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {

@@ -292,21 +292,39 @@ object TextAnalysis {
   /** Quality signals as exact integer counts + a derived score. */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftRules.register(s) // stopword probe -> InSet
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks,
-      t => array_position(array(enStop.map(lit): _*), t) > 0)).cast("long")
-    docs(s, dir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars_m"),
-      nTok.as("n_tokens"),
-      nStop.as("n_stopwords"),
-      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-        .cast("long").as("n_digits"),
-      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
-        .cast("long").as("n_punct"),
-      when(nTok > 0, floor(nStop * lit(1000.0) / nTok))
-        .otherwise(0L).cast("long").as("stop_permille"))
+    // STAGED projections, not one flat select: the token array feeds
+    // two outputs and the counts feed stop_permille — inlined, each
+    // reference would re-run the tokenizing regex (HOFs are
+    // CodegenFallback; no CSE crosses that boundary — the sf10 probe
+    // measured the flat shape at 10× its gopher_quality sibling).
+    // CollapseProject leaves multi-referenced non-cheap aliases alone,
+    // so each regex/filter runs ONCE per row.
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        tokens(col("text")).as("ts"),
+        size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+          .cast("long").as("n_digits"),
+        // punct count as a LENGTH DIFFERENCE, not a negated-class
+        // find-all: Java regex loses the bitmap fast path on a class
+        // containing \s or negation — at the sf10 rung the negated
+        // scan measured 15.4 s vs 1.1 s for stripping the POSITIVE
+        // class and counting what vanished (identical count: the
+        // class matches single codepoints)
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+          .cast("long").as("n_punct"))
+      .select(col("doc_id"), col("n_chars_m"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(filter(col("ts"), t => array_position(
+          array(enStop.map(lit): _*), t) > 0)).cast("long")
+          .as("n_stopwords"),
+        col("n_digits"), col("n_punct"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        col("n_stopwords"), col("n_digits"), col("n_punct"),
+        when(col("n_tokens") > 0,
+          floor(col("n_stopwords") * lit(1000.0) / col("n_tokens")))
+          .otherwise(0L).cast("long").as("stop_permille"))
       .orderBy("doc_id")
   }
 
@@ -794,12 +812,20 @@ object TextAnalysis {
   def annotateDocs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftRules.register(s) // qualityKeep stopword probe
     import graft.functions.TextFunctions.{fingerprint, langId}
-    docs(s, dir).select(
-      col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tok"),
-      langId(tokens(col("text"))).as("lang_pred"),
-      fingerprint(col("text"), 8).as("fp"),
-      Pipeline.qualityKeep.as("keep"))
+    // tokenize ONCE into an attribute, then annotate from it — inlined,
+    // each of the four annotators would re-run the tokenizing regex
+    // (CodegenFallback HOFs, no cross-boundary CSE; the sf10 probe
+    // measured the flat shape at 14 s vs ~5 s staged)
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        langId(col("ts")).as("lang_pred"),
+        fingerprint(col("text"), 8).as("fp"),
+        Pipeline.qualityKeepOver(col("text"), col("ts"), col("lang"))
+          .as("keep"))
       .orderBy("doc_id")
   }
 
