@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Errors mirroring the reference's sentinel errors. */
+/** collStats result: document count, storage footprint, ANN index
+  * presence. */
+final case class CollStats(count: Long, storageBytes: Long,
+    hasIndex: Boolean)
+
 final case class CollectionNotFound(name: String)
   extends RuntimeException(s"collection not found: $name") // db/kaer.go:14
 final class FieldLengthMismatch
@@ -150,6 +155,55 @@ final class KaerSession(
     else fs.listStatus(root).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => Meta.read(spark, dir(n)).isDefined)
+  }
+
+  /** Mongo's renameCollection admin command. The move is one
+    * filesystem `rename` (a metadata operation on HDFS-like stores —
+    * no data copy at any collection size) plus a sidecar rewrite with
+    * the new name; both collections drop from the session cache, so
+    * the next `getCollection` reopens through the normal
+    * recovery/trust path. Mongo parity: missing source raises
+    * CollectionNotFound; an existing target raises unless
+    * `dropTarget = true` (then it is dropped first, Mongo's documented
+    * overwrite semantics). Handles to the OLD Collection object become
+    * stale, as they do across a Mongo rename. */
+  def renameCollection(from: String, to: String,
+      dropTarget: Boolean = false): Unit = {
+    require(from != to,
+      "renameCollection: source and target are the same name")
+    val src = new Path(dir(from))
+    val dst = new Path(dir(to))
+    if (Meta.read(spark, dir(from)).isEmpty) throw CollectionNotFound(from)
+    if (fs.exists(dst)) {
+      if (!dropTarget) throw new IllegalStateException(
+        s"renameCollection: target '$to' already exists " +
+          "(pass dropTarget = true to overwrite, Mongo semantics)")
+      dropCollection(to)
+    }
+    cache.remove(from)
+    cache.remove(to)
+    require(fs.rename(src, dst),
+      s"renameCollection: filesystem rename $src -> $dst failed")
+    Meta.read(spark, dir(to)) match {
+      case Some(m) => Meta.write(spark, dir(to), m.copy(name = to))
+      case None => throw new IllegalStateException(
+        s"renameCollection: sidecar missing after rename of '$from'")
+    }
+  }
+
+  /** Mongo's collStats-lite: live document count, bytes on storage
+    * under the collection directory, and whether a persisted ANN index
+    * is present — the capacity-planning introspection every operator
+    * of a growing corpus runs. Count comes from the open collection
+    * (watermark-recovered if the sidecar was stale); bytes are one
+    * filesystem content summary, no data scan. */
+  def collStats(name: String): CollStats = {
+    val c = getCollection(name)
+    val summary = fs.getContentSummary(new Path(dir(name)))
+    CollStats(
+      count = c.count(),
+      storageBytes = summary.getLength,
+      hasIndex = fs.exists(new Path(new Path(dir(name), "index").toString)))
   }
 
   /** Mongo aggregation pipeline over a named collection, with $lookup

@@ -49,6 +49,44 @@ class KaerSpec extends SparkTestBase {
     assert(meta.lastId == 6L && meta.rows == 6L)
   }
 
+  test("renameCollection: data and watermark survive the move, the " +
+      "sidecar carries the new name, Mongo target semantics hold") {
+    val root = tmpDir("kaer-rename")
+    val k = newSession(root)
+    val c = k.createCollection("src")
+    c.insert(Data().withDocuments(Seq("one", "two", "three")))
+    // missing source raises
+    intercept[CollectionNotFound] { k.renameCollection("nope", "x") }
+    // existing target refuses without dropTarget
+    k.createCollection("busy")
+    intercept[IllegalStateException] { k.renameCollection("src", "busy") }
+    // clean rename: data, ids, sidecar name all move
+    k.renameCollection("src", "dst")
+    intercept[CollectionNotFound] { k.getCollection("src") }
+    val d = k.getCollection("dst")
+    assert(d.count() == 3)
+    assert(Meta.read(spark, s"$root/dst").get.name == "dst")
+    d.insert(Data().withDocuments(Seq("four"))) // watermark intact
+    assert(d.df.select("_m_id").collect().map(_.getLong(0)).sorted
+      .sameElements(1L to 4L))
+    // dropTarget=true overwrites (Mongo's documented overwrite form)
+    k.renameCollection("dst", "busy", dropTarget = true)
+    assert(k.getCollection("busy").count() == 4)
+    assert(k.listCollections().toSet == Set("busy"))
+  }
+
+  test("collStats: live count, positive storage bytes, index presence " +
+      "flips after ensureIndex") {
+    val root = tmpDir("kaer-stats")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a", "b", "c", "d")))
+    val st = k.collStats("c")
+    assert(st.count == 4 && st.storageBytes > 0 && !st.hasIndex)
+    c.ensureIndex(nlist = 2)
+    assert(k.collStats("c").hasIndex)
+  }
+
   test("sidecar survives a lost meta file (max(_m_id) fallback)") {
     val root = tmpDir("kaer-fallback")
     val k1 = newSession(root)
