@@ -340,6 +340,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Reliability diagram over the trained classifier — the ML-eval
+    * step after training: bin documents by margin into 10 EQUAL-WIDTH
+    * bands of the observed margin range and report the observed
+    * good-label rate per band. A calibrated (or merely monotone)
+    * scorer shows good_ppm rising with the bin index; a flat diagram
+    * means the margin carries no signal.
+    *
+    * Equal-width (not equal-mass) bins on purpose: ntile-style decile
+    * bucketing needs a GLOBAL total sort — a single-partition
+    * bottleneck at corpus scale — while equal-width binning is one
+    * tiny min/max reduce broadcast back, then a pure per-row
+    * expression and a 10-row aggregate: scan speed at 100 TB. All
+    * arithmetic is non-negative integer DIV, bit-identical in both
+    * engines. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = classifierScoreTrained(s, dir)
+      .select(col("doc_id"), col("label"), col("margin_ppm"))
+    val ext = scored.agg(min(col("margin_ppm")).as("lo"),
+      max(col("margin_ppm")).as("hi"))
+    scored.crossJoin(broadcast(ext))
+      .withColumn("bin",
+        least(lit(9L), expr("(margin_ppm - lo) * 10 DIV (hi - lo + 1)")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === "good", 1L).otherwise(0L)).as("n_good"))
+      .withColumn("good_ppm", expr("n_good * 1000000 DIV n"))
+      .orderBy("bin")
+  }
+
   private val classifierTrainedSql = {
     val b = QctBuckets
     def cases(pool: Seq[String]): String =
@@ -940,6 +969,23 @@ object Pipeline {
          |    AS keep
          |FROM sums ORDER BY doc_id""".stripMargin,
     "classifier_score_trained" -> classifierTrainedSql,
+    // the calibration diagram re-derives the scored frame through the
+    // same training CTE chain, then bins it
+    "classifier_calibration" ->
+      // concatenated, NOT interpolated inside a stripMargin block: the
+      // embedded SQL has lines starting with ||, which an outer
+      // stripMargin would eat one pipe of
+      ("WITH scored AS (" + classifierTrainedSql + "),\n" +
+        """ext AS (SELECT min(margin_ppm) AS lo, max(margin_ppm) AS hi
+          |  FROM scored),
+          |b AS (SELECT least(9, (margin_ppm - lo) * 10 // (hi - lo + 1))
+          |    AS bin, label FROM scored, ext)
+          |SELECT bin, count(*) AS n,
+          |  CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_good,
+          |  (CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+          |    AS BIGINT) * 1000000) // count(*) AS good_ppm
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
     "gopher_quality" ->
       s"""WITH m AS (SELECT doc_id,
          |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
@@ -1067,6 +1113,7 @@ object Pipeline {
     "quality_filter" -> (qualityFilter _),
     "classifier_score" -> (classifierScore _),
     "classifier_score_trained" -> (classifierScoreTrained _),
+    "classifier_calibration" -> (classifierCalibration _),
     "source_cap" -> (sourceCap _),
     "gopher_quality" -> (gopherQuality _),
     "pipeline_pretrain" -> (pipelinePretrain _),

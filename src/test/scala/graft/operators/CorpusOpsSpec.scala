@@ -111,6 +111,27 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 0L, 0L, false)))
   }
 
+  test("classifierCalibration: 10 equal-width margin bins, counts " +
+      "conserve, observed good-rate rises with the bin index") {
+    val bins = Pipeline
+      .classifierCalibration(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.nonEmpty && bins.forall(b => b._1 >= 0 && b._1 <= 9))
+    // counts conserve against the scored corpus
+    val total = Pipeline
+      .classifierScoreTrained(spark, "/root/testdata/sf0.001").count()
+    assert(bins.map(_._2).sum == total)
+    // good_ppm is exactly n_good*1e6 DIV n per bin, and the diagram is
+    // MONOTONE nondecreasing (the planted margin is a real signal)
+    bins.foreach { case (_, n, ng, ppm) =>
+      assert(ppm == ng * 1000000L / n) }
+    val rates = bins.sortBy(_._1).map(_._4)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b },
+      rates.mkString(","))
+    assert(rates.head == 0L && rates.last == 1000000L)
+  }
+
   test("classifierScoreTrained recovers the planted quality split") {
     val out = Pipeline
       .classifierScoreTrained(spark, "/root/testdata/sf0.001")
