@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond the session family: multi-touch
@@ -110,6 +111,52 @@ object Analytics {
         sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
         max(when(col("is_anom"), col("vq"))).as("max_anom_vq"),
         sum(when(col("is_anom"), col("vq"))).as("sum_anom_vq"))
+      .orderBy("event_type")
+  }
+
+  /** Robust outlier census per event type — the MAD (median absolute
+    * deviation) complement of [[anomalyEvents]]'s 3-sigma test: mean/
+    * stddev are themselves dragged by the outliers they're meant to
+    * catch, while the median/MAD pair has a 50% breakdown point (the
+    * robust-statistics textbook estimator). Flag: |v − med| > 3·1.4826
+    * ·MAD, cross-multiplied to `dev·10000 > MAD·44478` — exact longs,
+    * no float σ. Medians are LOWER medians (the ⌈n/2⌉-th smallest,
+    * ties by event_id), an exact order statistic both engines compute
+    * identically — never an interpolated even-count average.
+    *
+    * Scale shape: two per-group rank windows (one per median) over the
+    * event_type hash partitioning and one broadcast of the per-type
+    * statistics — group count is event-type-sized, rows never leave
+    * their type partition. MAD = 0 (≥ half the values identical)
+    * degrades to flagging every value off the median — the standard
+    * MAD caveat, deterministic in both engines. */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyMadDF(ev(s, dir).select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("vq")))
+
+  /** Core plan over any `(event_type, event_id, vq: long)` frame. */
+  def anomalyMadDF(e: DataFrame): DataFrame = {
+    def lowerMedian(d: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(v).asc, col("event_id").asc)
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("event_type")))
+        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("event_type"), col(v).as(s"${v}_med"))
+    }
+    val med = lowerMedian(e, "vq")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("vq") - col("vq_med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("event_id"),
+      col("dev")), "dev")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("vq_med")).as("med"),
+        max(col("dev_med")).as("mad"),
+        sum(when(col("dev") * 10000L > col("dev_med") * 44478L, 1L)
+          .otherwise(0L)).as("n_anomalies"))
       .orderBy("event_type")
   }
 
@@ -316,6 +363,30 @@ object Analytics {
         |FROM ft FULL OUTER JOIN lt USING (channel)
         |FULL OUTER JOIN lin USING (channel)
         |ORDER BY channel""".stripMargin,
+    "anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round("value" * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT event_type, vq AS med FROM (
+        |    SELECT event_type, vq, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY vq, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT e.event_type, e.event_id, e.vq, m.med,
+        |    abs(e.vq - m.med) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev * 10000 > md.mad * 44478
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "anomaly_events" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -343,6 +414,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution_credit" -> (attributionCredit _),
     "anomaly_events" -> (anomalyEvents _),
+    "anomaly_mad" -> (anomalyMad _),
     "event_paths" -> (eventPaths _),
     "cumulative_users" -> (cumulativeUsers _),
     "event_gaps" -> (eventGaps _),

@@ -69,6 +69,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r.getLong(4) == 10000L)        // sum_anom_vq
   }
 
+  test("anomalyMad: lower medians exact, the MAD flag catches the " +
+      "planted outlier the dragged-mean z-test context motivates") {
+    import spark.implicits._
+    // values 1..9 (med = 5, devs 0,1,1,2,2,3,3,4,4 → MAD lower med = 2)
+    // plus one wild outlier 1000: med of 10 values = lower median = 5
+    // (5th smallest), devs now include 995; MAD stays 2 (lower med of
+    // 0,1,1,2,2,3,3,4,4,995 → 5th smallest = 2)
+    // flag: dev·10000 > 2·44478 = 88956 → dev > 8.9 → only the 995
+    val e = ((1L to 9L).map(v => ("a", v, v)) :+ (("a", 10L, 1000L)))
+      .toDF("event_type", "event_id", "vq")
+    val r = Analytics.anomalyMadDF(e).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 10L)  // n
+    assert(row.getLong(2) == 5L)   // med
+    assert(row.getLong(3) == 2L)   // mad
+    assert(row.getLong(4) == 1L)   // exactly the planted outlier
+    // degenerate MAD = 0: >=half identical — everything off the median
+    // flags (the standard MAD caveat, deterministically)
+    val z = Seq(("b", 1L, 7L), ("b", 2L, 7L), ("b", 3L, 7L),
+      ("b", 4L, 9L)).toDF("event_type", "event_id", "vq")
+    val rz = Analytics.anomalyMadDF(z).collect().head
+    assert(rz.getLong(3) == 0L && rz.getLong(4) == 1L)
+  }
+
   test("anomalyEvents: uniform distribution has zero anomalies") {
     import spark.implicits._
     val e = (1L to 100L).map(i => ("b", (i % 10) * 100))
