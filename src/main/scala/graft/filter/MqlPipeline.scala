@@ -104,6 +104,10 @@ object MqlPipeline {
     var grouped = false
     // an explicit $limit has bounded the stream (rank-mode precondition)
     var limited = false
+    // search terms of the last top-level $text $match — the basis of
+    // {$meta: "textScore"} in later $project/$addFields/$sort stages
+    // (Mongo requires the $text to precede any $meta use; same here)
+    var textTerms: Option[Seq[String]] = None
     // the last pre-group $sort, as (key column, desc?) pairs — the
     // defined order that $first/$last/$push accumulators translate to
     // (a pre-group orderBy does not survive the aggregation exchange,
@@ -134,6 +138,25 @@ object MqlPipeline {
         col(tmp)
       }
     }
+    // {$meta: "textScore"}: the deterministic score surrogate — total
+    // occurrences of the (distinct) search terms among the document's
+    // tokens, an exact integer (Mongo's own textScore is an
+    // index-internal tf weighting; the SURFACE — score projection and
+    // $meta sort after a $text match — is the parity being provided,
+    // and this engine's score is reproducible under the oracle). The
+    // membership probe plans through the array_position→InSet rule.
+    def isMetaTextScore(n: JsonNode): Boolean =
+      n.isObject && n.properties().size() == 1 &&
+        n.get("$meta") != null
+    def metaScoreCol(n: JsonNode): Column = {
+      require(n.get("$meta").asText() == "textScore",
+        s"""only {"$$meta": "textScore"} is supported, got: $n""")
+      val terms = textTerms.getOrElse(throw new IllegalArgumentException(
+        "{$meta: \"textScore\"} requires a preceding top-level " +
+          "$text $match stage (Mongo contract)"))
+      size(filter(graft.functions.TextFunctions.tokens(col("text")),
+        t => array_position(typedLit(terms), t) > 0)).cast("long")
+    }
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
@@ -144,6 +167,14 @@ object MqlPipeline {
           "on this engine — loud, never silently case-sensitive)")
       op match {
         case "$match" =>
+          // a top-level $text records its search terms for later
+          // {$meta: "textScore"} stages (the filter itself translates
+          // through MqlFilter unchanged)
+          if (spec.isObject && spec.get("$text") != null) {
+            val search = spec.get("$text").get("$search").asText()
+            textTerms = Some(search.toLowerCase
+              .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq)
+          }
           // real columns win (post-$group output, post-$unwind element);
           // everything else resolves through the metadata document
           val typed = MqlFilter.TypedResolver(
@@ -179,8 +210,13 @@ object MqlPipeline {
 
         case "$sort" =>
           val keyPairs = spec.properties().asScala.toSeq.flatMap { e =>
-            val desc = e.getValue.asInt() < 0
-            sortBases(e.getKey, cur, meta, ci).map(b => (b, desc))
+            if (isMetaTextScore(e.getValue))
+              // Mongo's $meta sort is best-match-first: descending
+              Seq((metaScoreCol(e.getValue), true))
+            else {
+              val desc = e.getValue.asInt() < 0
+              sortBases(e.getKey, cur, meta, ci).map(b => (b, desc))
+            }
           }
           val mat = materializeKeys(keyPairs.map(_._1))
             .zip(keyPairs.map(_._2))
@@ -257,7 +293,9 @@ object MqlPipeline {
                 if (isFlag(e.getValue)) {
                   if (cur.columns.contains(f)) col(f)
                   else MqlFilter.JsonResolver(meta).str(f).as(f)
-                } else computeExpr(e.getValue, meta, cur).as(f)
+                } else if (isMetaTextScore(e.getValue))
+                  metaScoreCol(e.getValue).as(f)
+                else computeExpr(e.getValue, meta, cur).as(f)
               }
               cur.select(cols: _*)
             }
@@ -269,7 +307,8 @@ object MqlPipeline {
           // Mongo's post-$addFields document shape
           for (e <- spec.properties().asScala)
             cur = cur.withColumn(e.getKey,
-              computeExpr(e.getValue, meta, cur))
+              if (isMetaTextScore(e.getValue)) metaScoreCol(e.getValue)
+              else computeExpr(e.getValue, meta, cur))
 
         case "$replaceRoot" =>
           // {newRoot: "$f"}: promote an embedded sub-document to the

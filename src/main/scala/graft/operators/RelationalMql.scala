@@ -523,6 +523,32 @@ private[graft] trait RelationalMql { this: Relational.type =>
     * $match (the HAVING shape) → $sort — four stages folding into one
     * Catalyst plan with partial aggregation, over the same synthesized
     * metadata document as the other MQL gates. */
+  /** $text ranking surface — Mongo's
+    * `find({$text: ...}, {score: {$meta: "textScore"}})
+    *   .sort({score: {$meta: "textScore"}})`
+    * as a pipeline: match on the text predicate, PROJECT the score,
+    * sort best-match-first (the $meta sort is always descending —
+    * Mongo contract), tie-break by doc_id, limit. The score is the
+    * deterministic surrogate (total occurrences of the distinct search
+    * terms among the document's tokens — exact integer; Mongo's own is
+    * an index-internal tf weighting, so the SURFACE is the parity).
+    * The membership probe plans through the array_position→InSet rule;
+    * scoring is per-row scan work, the sort is top-k bounded. */
+  def mqlTextScore(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftRules.register(s)
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang")))),
+      col("meta"),
+      """[
+        | {"$match": {"$text": {"$search": "vector hash table"}}},
+        | {"$addFields": {"score": {"$meta": "textScore"}}},
+        | {"$sort": {"score": {"$meta": "textScore"}, "doc_id": 1}},
+        | {"$limit": 15},
+        | {"$project": {"doc_id": 1, "score": 1}}
+        |]""".stripMargin)
+  }
+
   def mqlPipeline(s: SparkSession, dir: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(
       t(s, dir, "documents")
@@ -1852,6 +1878,16 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
+    "mql_text_score" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('vector', 'hash', 'table'))) AS BIGINT)
+        |      AS score
+        |  FROM documents)
+        |SELECT doc_id, score FROM m WHERE score > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "mql_text_filter" ->
       """SELECT doc_id FROM documents
         |WHERE lang IN ('en', 'fr')
@@ -1920,6 +1956,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
+    "mql_text_score" -> (mqlTextScore _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
     "mql_lookup_let" -> (mqlLookupLet _),

@@ -23,6 +23,42 @@ class MqlPipelineSpec extends SparkTestBase {
   private def run(pipeline: String) =
     MqlPipeline.aggregate(df, col("meta"), pipeline)
 
+  test("$meta textScore: tf-sum score, descending $meta sort, " +
+      "requires a preceding $text, non-textScore $meta is loud") {
+    val docs = Seq(
+      (1L, "vector vector hash other words here", """{"k": 1}"""),
+      (2L, "table only once", """{"k": 2}"""),
+      (3L, "nothing relevant at all", """{"k": 3}"""),
+      (4L, "vector hash table vector", """{"k": 4}""")
+    ).toDF("doc_id", "text", "meta")
+    val got = MqlPipeline.aggregate(docs, col("meta"),
+      """[
+        | {"$match": {"$text": {"$search": "vector hash table"}}},
+        | {"$addFields": {"score": {"$meta": "textScore"}}},
+        | {"$sort": {"score": {"$meta": "textScore"}, "doc_id": 1}},
+        | {"$project": {"doc_id": 1, "score": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 4: 4 hits; doc 1: 3 hits; doc 2: 1; doc 3 filtered out
+    assert(got == Seq((4L, 4L), (1L, 3L), (2L, 1L)), got.mkString(","))
+    // $meta without a preceding $text: loud (Mongo contract)
+    val e1 = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(docs, col("meta"),
+        """[{"$addFields": {"score": {"$meta": "textScore"}}}]""")
+        .collect()
+    }
+    assert(e1.getMessage.contains("$text"), e1.getMessage)
+    // unsupported $meta values: loud
+    val e2 = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(docs, col("meta"),
+        """[
+          | {"$match": {"$text": {"$search": "vector"}}},
+          | {"$addFields": {"s": {"$meta": "indexKey"}}}
+          |]""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("textScore"), e2.getMessage)
+  }
+
   test("$match -> $group -> post-group $match -> $sort") {
     val got = run(
       """[
