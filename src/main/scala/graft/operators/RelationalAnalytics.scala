@@ -448,11 +448,18 @@ private[graft] trait RelationalAnalytics { this: Relational.type =>
     val j = grid.join(obs, Seq("event_type", "h"), "left")
     val base = Window.partitionBy("event_type").orderBy("h")
     val back = base.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    // next-observed as a running frame over the REVERSED axis, never
+    // an UnboundedFollowing frame (Spark rescans the partition
+    // remainder per row — O(grid²); see the $fill linear twin in
+    // MqlPipeline). h is unique per (event_type, grid cell), so the
+    // reversed running last is exactly the forward first.
+    val fwdRev = Window.partitionBy("event_type")
+      .orderBy(col("h").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val ob = when(col("cents").isNotNull,
       struct(col("h").as("h"), col("cents").as("c")))
     j.withColumn("pv", last(ob, ignoreNulls = true).over(back))
-      .withColumn("nv", first(ob, ignoreNulls = true).over(fwd))
+      .withColumn("nv", last(ob, ignoreNulls = true).over(fwdRev))
       .select(col("event_type"), col("h"),
         when(col("cents").isNotNull, col("cents"))
           .otherwise(expr(
