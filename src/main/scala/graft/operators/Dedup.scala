@@ -888,6 +888,30 @@ object Dedup {
     * finds 138 pairs where the 12/4 MinHash dial finds 136 — the two
     * extra are true near-dups that missed every LSH band, the recall
     * gap banding accepts for its lower candidate volume.) */
+  /** LSH banding EVAL — recall/precision of the MinHash-banded pair
+    * set against the exact-Jaccard ground truth, both already gated
+    * operators re-derived here (never a re-export of either): banding
+    * is probabilistic (a ≥0.5-Jaccard pair whose signature agrees in
+    * no full band is MISSED), and this gate puts that recall under the
+    * oracle as a measured number instead of folklore. Precision is 1
+    * by construction (both pipelines verify candidates with the same
+    * exact threshold) — emitting it PROVES it. The measurement an
+    * operator of a 100 TB dedup actually needs before trusting a
+    * band/row dial; the eval joins two pair sets, cost = the two
+    * operators it audits. */
+  def dedupLshEval(s: SparkSession, dir: String): DataFrame = {
+    val ex = dedupJaccardExact(s, dir)
+    val lp = dedupMinhashLsh(s, dir)
+    val nEx = ex.agg(count(lit(1)).as("n_exact"))
+    val nLp = lp.agg(count(lit(1)).as("n_lsh"))
+    val nBoth = ex.join(lp, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    nEx.crossJoin(nLp).crossJoin(nBoth)
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        expr("n_common * 1000000 DIV n_exact").as("recall_ppm"),
+        expr("n_common * 1000000 DIV n_lsh").as("precision_ppm"))
+  }
+
   def dedupJaccardExact(s: SparkSession, dir: String): DataFrame = {
     val ex = nearCorpus(s, dir).select(col("id"),
       explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("g"))
@@ -1593,6 +1617,27 @@ object Dedup {
          |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY id_a, id_b""".stripMargin,
+    // the eval re-derives both pair sets through the SAME CTE chain
+    // and counts the overlap
+    "dedup_lsh_eval" ->
+      s"""WITH corpus AS ($nearCorpusSql),
+         |$lshOracleCtes,
+         |ex AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sh0 a JOIN sh0 b ON a.id < b.id
+         |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+         |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+         |lp AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+         |    JOIN sh0 b ON b.id = cand.id_b
+         |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+         |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+         |c AS (SELECT count(*) AS n FROM ex JOIN lp USING (id_a, id_b)),
+         |ne AS (SELECT count(*) AS n FROM ex),
+         |nl AS (SELECT count(*) AS n FROM lp)
+         |SELECT ne.n AS n_exact, nl.n AS n_lsh, c.n AS n_common,
+         |  (c.n * 1000000) // ne.n AS recall_ppm,
+         |  (c.n * 1000000) // nl.n AS precision_ppm
+         |FROM ne, nl, c""".stripMargin,
     // brute-force all-pairs exact Jaccard — the prefix-filtered plan
     // must reproduce it exactly (recall 1 by arithmetic)
     "dedup_jaccard_exact" ->
@@ -1699,6 +1744,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_jaccard_exact" -> (dedupJaccardExact _),
+    "dedup_lsh_eval" -> (dedupLshEval _),
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "dedup_substring" -> (dedupSubstring _),

@@ -220,6 +220,17 @@ class DedupSpec extends SparkTestBase {
     assert(chain(ex).contains("bucket overflow"), chain(ex).take(500))
   }
 
+  test("dedupLshEval: precision is exactly 1 (both sides verify with " +
+      "the same threshold), recall high, common bounded by both sides") {
+    val r = Dedup.dedupLshEval(spark, "/root/testdata/sf0.001").head()
+    val (nEx, nLsh, nC, rec, prec) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(prec == 1000000L, s"precision $prec")
+    assert(nC <= math.min(nEx, nLsh) && nC == nLsh)
+    assert(rec >= 900000L, s"banding recall $rec ppm")  // measured .98+
+    assert(rec == nC * 1000000L / nEx)
+  }
+
   test("hyperplane matrix is deterministic and ±1-valued") {
     val h = Dedup.hyperplanes
     assert(h.length == 16 && h.forall(_.length == 64))
