@@ -2178,34 +2178,53 @@ object MqlPipeline {
               s"unsupported $$dateDiff unit: $u (day|hour|minute|second)")
           }
         case (op @ ("$dateAdd" | "$dateSubtract"), v) =>
-          // Mongo 5.0 date arithmetic on FIXED-LENGTH units only
-          // (week/day/hour/minute/second — pure integer epoch-seconds
-          // arithmetic, engine-exact; metadata dates are
-          // second-precision strings on this surface, so the
-          // second-granular result loses nothing); calendar units
-          // (year/quarter/month) are variable-length under the
-          // calendar and timezone shifts DST — both refuse loudly
-          // rather than risk a silent cross-engine divergence.
+          // Mongo 5.0 date arithmetic. Fixed-length units
+          // (week/day/hour/minute/second) are pure integer
+          // epoch-seconds arithmetic — engine-exact. Calendar units
+          // (year/quarter/month, r13) run UTC CIVIL-DATE arithmetic:
+          // add_months on the date part (Spark 3+ clamps a
+          // nonexistent day-of-month to the month's last day — Jan 31
+          // + 1 month → Feb 28/29 — exactly Mongo's documented clamp
+          // AND DuckDB's ts + INTERVAL n MONTH behavior), then
+          // re-attach the time-of-day as integer seconds-within-day.
+          // Timezone stays loud: DST shifts make wall-clock
+          // arithmetic engine-divergent.
           require(v.isObject && v.get("startDate") != null &&
             v.get("unit") != null && v.get("amount") != null,
             s"$op needs {startDate, unit, amount}: $v")
           require(v.get("timezone") == null,
             s"$op timezone unsupported (UTC engine): $v")
-          val addSecs = v.get("unit").asText() match {
-            case "week" => 604800L
-            case "day" => 86400L
-            case "hour" => 3600L
-            case "minute" => 60L
-            case "second" => 1L
-            case u => throw new IllegalArgumentException(
-              s"unsupported $op unit: $u (week|day|hour|minute|" +
-                "second; year/quarter/month are calendar-variable " +
-                "on this exact-integer engine)")
+          val sign = if (op == "$dateSubtract") -1 else 1
+          v.get("unit").asText() match {
+            case u @ ("year" | "quarter" | "month") =>
+              val mPerU = u match {
+                case "year" => 12; case "quarter" => 3; case _ => 1 }
+              val amtM = numOf(v.get("amount")).cast("int") *
+                lit(sign * mPerU)
+              val ts = dateOf(v.get("startDate"))
+              val d = to_date(ts)
+              // integer seconds-within-day (session TZ is UTC, so the
+              // date boundary is exactly unix_date * 86400)
+              val tod = unix_timestamp(ts) -
+                unix_date(d).cast("long") * 86400L
+              timestamp_seconds(
+                unix_date(add_months(d, amtM)).cast("long") * 86400L
+                  + tod)
+            case u =>
+              val addSecs = u match {
+                case "week" => 604800L
+                case "day" => 86400L
+                case "hour" => 3600L
+                case "minute" => 60L
+                case "second" => 1L
+                case other => throw new IllegalArgumentException(
+                  s"unsupported $op unit: $other (year|quarter|month|" +
+                    "week|day|hour|minute|second)")
+              }
+              val amt = numOf(v.get("amount")).cast("long") * addSecs
+              timestamp_seconds(
+                unix_timestamp(dateOf(v.get("startDate"))) + amt * sign)
           }
-          val amt = numOf(v.get("amount")).cast("long") * addSecs
-          timestamp_seconds(
-            unix_timestamp(dateOf(v.get("startDate"))) +
-              (if (op == "$dateSubtract") -amt else amt))
         // ---- comparison / logic as first-class compute operators
         // (Mongo's aggregation $gt family — numeric operands, same
         // bracket as $cond's if-expression, which delegates here) ----

@@ -930,10 +930,26 @@ object Dedup {
         .as("sh"))
       .filter(size(col("sh")) > 0)
     val plen = floor(size(col("sh")) / 2).cast("int") + 1
-    val pref = sets.select(col("id"),
-      explode(slice(col("sh"), lit(1), plen)).as("p"))
+    // PPJoin refinements on top of the prefix filter (same recall-1
+    // output, fewer candidates reaching the expensive verify):
+    //  - LENGTH filter in the join condition: J >= 0.5 forces
+    //    min(|a|,|b|)/max(|a|,|b|) >= 0.5, so any pair with
+    //    max > 2*min can be dropped at the equi-join itself.
+    //  - POSITIONAL filter per collision row: a collision at 0-based
+    //    positions (i, j) bounds the overlap by
+    //    min(|a|-i, |b|-j) (the match plus everything after it in the
+    //    global order); the verify needs 3*inter >= |a|+|b|, so a row
+    //    with 3*min(|a|-i, |b|-j) < |a|+|b| can't be the pair's FIRST
+    //    common element if the pair truly passes — and the first
+    //    common element always sits inside both prefixes, so filtering
+    //    rows (not pairs) before dropDuplicates preserves recall 1.
+    val pref = sets.select(col("id"), size(col("sh")).as("n"),
+      posexplode(slice(col("sh"), lit(1), plen)).as(Seq("pos", "p")))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.p") === col("b.p") && col("a.id") < col("b.id"))
+        col("a.p") === col("b.p") && col("a.id") < col("b.id") &&
+          col("a.n") <= col("b.n") * 2 && col("b.n") <= col("a.n") * 2)
+      .filter(least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+        * 3 >= col("a.n") + col("b.n"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val withSets = cand

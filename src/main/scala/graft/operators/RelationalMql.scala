@@ -110,6 +110,44 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 200}
         |]""".stripMargin)
 
+  /** Calendar-unit $dateAdd / $dateSubtract under the gate (r13) —
+    * Mongo 5.0's month/quarter/year arithmetic with the documented
+    * month-end clamp. The planted base date sweeps two years of
+    * calendar (every day of 2023-2024 incl. leap Feb 29) with a
+    * nonzero time-of-day, so the result set exercises clamping
+    * (Jan 31 + 1 month → Feb 28/29, Feb 29 + 1 year → Feb 28) and
+    * time preservation on every path. Both engines run pure
+    * civil-date integer arithmetic (Spark add_months + epoch-day
+    * seconds; DuckDB ts + to_months) — exact, no floats, no DST
+    * (timezone stays loud). */
+  def mqlDateAddCal(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("base", timestamp_seconds(
+          lit(1672531200L) + (col("event_id") % 730) * 86400L +
+            col("event_id") % 86399))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(col("base"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("created")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "plus_m": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "month", "amount": 1}}}},
+        |   "minus_q": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateSubtract": {"startDate": "$created",
+        |       "unit": "quarter", "amount": 1}}}},
+        |   "plus_y": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "year", "amount": 1}}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "plus_m": 1, "minus_q": 1, "plus_y": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 250}
+        |]""".stripMargin)
+
   /** $convert under the gate (r12) — Mongo's safe cast with the full
     * error surface: a planted string field is numeric for most docs,
     * garbage every 5th (→ onError -1), missing every 5th+1 (→ onNull
@@ -1842,6 +1880,17 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  strftime(date_trunc('second', ts) + INTERVAL 3 DAY
         |    - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS warn
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+    "mql_date_add_cal" ->
+      """WITH b AS (SELECT event_id,
+        |  TIMESTAMP '2023-01-01 00:00:00'
+        |    + to_seconds(CAST((event_id % 730) * 86400
+        |        + event_id % 86399 AS BIGINT)) AS base
+        |  FROM events)
+        |SELECT event_id,
+        |  strftime(base + to_months(1), '%Y-%m-%d %H:%M:%S') AS plus_m,
+        |  strftime(base - to_months(3), '%Y-%m-%d %H:%M:%S') AS minus_q,
+        |  strftime(base + to_months(12), '%Y-%m-%d %H:%M:%S') AS plus_y
+        |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_convert" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -1950,6 +1999,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_rank_fusion" -> (mqlRankFusion _),
     "mql_score_fusion" -> (mqlScoreFusion _),
     "mql_date_add" -> (mqlDateAdd _),
+    "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_convert" -> (mqlConvert _),
     "mql_redact" -> (mqlRedact _),
     "mql_collation" -> (mqlCollation _),

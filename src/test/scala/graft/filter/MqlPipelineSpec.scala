@@ -1503,13 +1503,34 @@ class MqlPipelineSpec extends SparkTestBase {
         |]""".stripMargin).collect()(0)
     assert(got.getString(0) == "2024-02-02 23:30:00") // +3d crosses month
     assert(got.getString(1) == "2024-02-06 22:00:00") // +7d then -90min
-    val month = intercept[IllegalArgumentException] {
-      run("""[{"$addFields": {"x": {"$dateAdd": {
-            |  "startDate": "2024-01-30T00:00:00",
-            |  "unit": "month", "amount": 1}}}}]""".stripMargin)
-    }
-    assert(month.getMessage.contains("calendar-variable"),
-      month.getMessage)
+    // calendar units (r13): civil-date arithmetic with Mongo's
+    // month-end clamp — Jan 31 + 1 month lands on Feb's last day
+    // (leap-aware), Feb 29 + 1 year clamps to Feb 28, quarters are
+    // 3-month steps, and time-of-day survives the clamp intact.
+    val cal = run(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "m_leap": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-01-31T10:15:00",
+        |       "unit": "month", "amount": 1}}}},
+        |   "m_nolp": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2023-01-31T10:15:00",
+        |       "unit": "month", "amount": 1}}}},
+        |   "y_clmp": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-02-29T05:00:01",
+        |       "unit": "year", "amount": 1}}}},
+        |   "q_back": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateSubtract": {
+        |       "startDate": "2024-05-31T23:59:58",
+        |       "unit": "quarter", "amount": 1}}}}}},
+        | {"$project": {"m_leap": 1, "m_nolp": 1, "y_clmp": 1,
+        |   "q_back": 1}}
+        |]""".stripMargin).collect()(0)
+    assert(cal.getString(0) == "2024-02-29 10:15:00", cal.toString)
+    assert(cal.getString(1) == "2023-02-28 10:15:00", cal.toString)
+    assert(cal.getString(2) == "2025-02-28 05:00:01", cal.toString)
+    assert(cal.getString(3) == "2024-02-29 23:59:58", cal.toString)
     val tz = intercept[IllegalArgumentException] {
       run("""[{"$addFields": {"x": {"$dateSubtract": {
             |  "startDate": "2024-01-30T00:00:00", "unit": "day",
