@@ -1557,11 +1557,12 @@ final class Collection(
   // multi-collection commit needs a generation-pointer manifest the
   // read path doesn't resolve through (documented divergence — Mongo
   // 4.0 shipped single-shard first for the same reason).
-  // Scale: staging is plan composition (zero I/O per op beyond the
-  // per-op matched-count job); commit pays exactly one rewrite of the
-  // final frame — N ops cost ONE write amplification, which is why
-  // bulk maintenance at 100 TB should prefer a transaction over N
-  // bulkWrite rewrites.
+  // Scale: each staged op pays ONE localCheckpoint materialization
+  // (lineage truncation — without it the per-op matched-count job
+  // re-evaluates every prior staged op, O(N²) for N ops); commit pays
+  // exactly one rewrite of the final frame — N ops cost ONE write
+  // amplification, which is why bulk maintenance at 100 TB should
+  // prefer a transaction over N bulkWrite rewrites.
   final class Txn private[api] () {
     private var frame = df
     private val startLastId = lastId
@@ -1576,6 +1577,24 @@ final class Collection(
     private def predOf(filterJson: String) =
       coalesce(MqlFilter.toColumn(filterJson,
         MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+
+    /** Truncate the staged lineage after every mutation (r13): without
+      * this, each op's matched-count job re-evaluates EVERY prior
+      * staged op (including the embed UDF over staged inserts) — an
+      * N-op transaction pays O(N²) recompute before the single commit
+      * rewrite. localCheckpoint materializes the frame into local
+      * blocks and replaces the plan with an O(1)-depth scan, so the
+      * battery is op-count-linear: one materialization per op, the
+      * $facet/localCheckpoint precedent. */
+    private def stage(f: DataFrame): Unit = { frame = f.localCheckpoint() }
+
+    /** Staged logical-plan depth — the spec's probe that [[stage]]
+      * keeps the lineage O(1) per op instead of accumulating. */
+    private[graft] def stagedPlanDepth: Int = {
+      def d(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Int = 1 + (p.children.map(d) :+ 0).max
+      d(frame.queryExecution.logical)
+    }
 
     /** Stage an insert — ids assigned above the snapshot watermark,
       * embedded now, visible to later ops in THIS transaction only. */
@@ -1595,7 +1614,7 @@ final class Collection(
           zipWithId(base, nextId), Schema.DocCol, Schema.EmbeddingCol)
         .select(col(Schema.IdCol), col(Schema.DocCol),
           col(Schema.EmbeddingCol), col(Schema.MetaCol))
-      frame = frame.unionByName(indexed)
+      stage(frame.unionByName(indexed))
       nextId += n
       insertedN += n
     }
@@ -1610,9 +1629,9 @@ final class Collection(
         arrayFiltersJson = null, queryFilterJson = filterJson)
       val matched = frame.filter(pred).count()
       if (matched > 0L) {
-        frame = frame.withColumn(Schema.MetaCol,
+        stage(frame.withColumn(Schema.MetaCol,
           when(pred, mergeUdf(col(Schema.MetaCol)))
-            .otherwise(col(Schema.MetaCol)))
+            .otherwise(col(Schema.MetaCol))))
         updatedAny = true
       }
       matched
@@ -1625,7 +1644,7 @@ final class Collection(
       val pred = predOf(filterJson)
       val removed = frame.filter(pred).count()
       if (removed > 0L) {
-        frame = frame.filter(!pred)
+        stage(frame.filter(!pred))
         deletedN += removed
       }
       removed

@@ -965,4 +965,31 @@ class KaerSpec extends SparkTestBase {
     }
     assert(empty.getMessage.contains("seed"), empty.getMessage)
   }
+
+  test("transaction: staged lineage stays O(1)-deep across a 20-op " +
+      "battery (localCheckpoint truncation, not O(N^2) recompute)") {
+    val k = newSession(tmpDir("kaer-txn-depth"))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a", "b", "c", "d"))
+      .withMetadatas((1 to 4).map(i => Map[String, Any]("g" -> i))))
+    val t = c.beginTransaction()
+    val depths = (1 to 20).map { i =>
+      if (i % 3 == 0)
+        t.insert(Data().withDocuments(Seq(s"doc$i"))
+          .withMetadatas(Seq(Map[String, Any]("g" -> (100 + i)))))
+      else if (i % 3 == 1)
+        t.updateMany("""{"g": {"$gte": 1}}""", s"""{"$$set": {"r": $i}}""")
+      else
+        t.deleteMany(s"""{"g": ${100 + i - 1}}""")
+      t.stagedPlanDepth
+    }
+    // every staged op re-roots the frame at a materialized scan: the
+    // plan depth after op N must not grow with N (pre-fix it grew by
+    // the op's own operator stack each time — O(N) depth, O(N^2)
+    // total recompute across the battery's count jobs)
+    assert(depths.max <= depths.head,
+      s"staged plan depth grew across ops: $depths")
+    t.commit()
+    assert(c.count() > 0)
+  }
 }
