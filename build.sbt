@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Sources are UTF-8; without this scalac uses the platform charset
+// (POSIX locale → ASCII), mangling non-ASCII string literals (the
+// collation diacritic fold table) into replacement chars.
+scalacOptions += "-encoding:UTF-8"
 Test / fork := true
 run / fork := true
 // Forked run output must reach stdout RAW (no "[info] " logger prefix):
@@ -29,6 +33,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

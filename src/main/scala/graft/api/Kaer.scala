@@ -935,10 +935,42 @@ final class Collection(
     if (!vecs.isEmpty) {
       val cents = graft.operators.IvfIndex.kmeansFit(vecs, nlist, iters)
       graft.operators.IvfIndex.build(spark, vecs, indexDir, cents)
+      // a rebuild covers exactly the live rows: compact tombstones away
+      val tp = new Path(tombDir)
+      val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (tfs.exists(tp)) tfs.delete(tp, true)
       Meta.writeIndex(spark, indexDir, IndexMeta(lastId, rowsCount, nlist))
       rebuildCount += 1
     }
   }
+
+  private def tombDir: String = s"$indexDir/tombstones"
+
+  /** Record ids removed by a delete into the index's TOMBSTONE sidecar
+    * (r13) — the O(delta) alternative to rebuild-on-delete: the
+    * inverted lists keep the dead rows physically, the sidecar counts
+    * them out of the coverage arithmetic, and query join-back (which
+    * equi-joins probed candidates to the live collection by id)
+    * already drops them from every result. Only ids the lists actually
+    * cover (id ≤ indexedLastId) are recorded; compaction happens on
+    * the next full rebuild. No-op without a persisted index. */
+  /** Single-id form of [[recordTombstones]] (deleteOne /
+    * findOneAndDelete — the id is already on the driver). */
+  private def recordTombstoneId(id: Long): Unit =
+    recordTombstones(spark.range(1).select(lit(id).as(Schema.IdCol)))
+
+  private def recordTombstones(deadIds: DataFrame): Unit =
+    Meta.readIndex(spark, indexDir).foreach { m =>
+      val covered = deadIds
+        .filter(col(Schema.IdCol) <= m.indexedLastId)
+        .select(col(Schema.IdCol).as("vec_id"))
+      val n = covered.count()
+      if (n > 0) {
+        covered.coalesce(1).write.mode("append").parquet(tombDir)
+        Meta.writeIndex(spark, indexDir,
+          m.copy(tombstones = m.tombstones + n))
+      }
+    }
 
   /** Make the persisted index cover the CURRENT data, doing the least
     * work that restores coverage — reference parity with
@@ -963,22 +995,33 @@ final class Collection(
     def storageTrusted(listRows: Long): Boolean =
       graft.core.Trust.parquetDir(spark, s"$idx/centroids", nlist.toLong) &&
       graft.core.Trust.parquetDir(spark, s"$idx/lists", listRows)
+    // tombstone sidecar trust: row count matches the meta counter
+    // (vacuously true at zero — the dir need not exist)
+    def tombTrusted(n: Long): Boolean =
+      n == 0L || graft.core.Trust.parquetDir(spark, tombDir, n)
     Meta.readIndex(spark, idx) match {
       case Some(m) if m.nlist == nlist && m.indexedLastId == lastId &&
-          m.indexedRows == rowsCount && storageTrusted(rowsCount) =>
-        () // current — nothing to do
+          m.indexedRows - m.tombstones == rowsCount &&
+          storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
+        () // live coverage current (deletes ride the tombstone
+           // sidecar, recorded at delete time) — nothing to do
       case Some(m) if m.nlist == nlist && m.indexedLastId < lastId &&
-          rowsCount - m.indexedRows == lastId - m.indexedLastId &&
-          storageTrusted(m.indexedRows) =>
-        // pure append gap: ids are dense by construction, so rows can
-        // only have grown by exactly (lastId - indexedLastId) when no
-        // delete intervened — a delete would break the equality and
-        // fall through to rebuild
+          rowsCount - (m.indexedRows - m.tombstones) ==
+            lastId - m.indexedLastId &&
+          storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
+        // pure append gap above the watermark: ids are dense by
+        // construction and pre-watermark deletes are accounted by the
+        // tombstone counter, so live rows can only have grown by
+        // exactly (lastId - indexedLastId) when no NEW-id delete
+        // intervened — that would break the equality and fall through
+        // to rebuild
         val tail = df.filter(col(Schema.IdCol) > m.indexedLastId)
           .select(col(Schema.IdCol).as("vec_id"),
             col(Schema.EmbeddingCol).as("embedding"))
         graft.operators.IvfIndex.appendTail(spark, tail, idx)
-        Meta.writeIndex(spark, idx, IndexMeta(lastId, rowsCount, nlist))
+        Meta.writeIndex(spark, idx, IndexMeta(lastId,
+          m.indexedRows + (lastId - m.indexedLastId), nlist,
+          m.tombstones))
         appendCount += 1
       case None if storageTrusted(rowsCount) =>
         // pre-sidecar index that happens to be fully current (legacy
@@ -1176,6 +1219,13 @@ final class Collection(
     if (!hasData) return 0L
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    // capture removed ids BEFORE the rewrite swaps the generation —
+    // only when an index sidecar exists (the tombstone recording is
+    // what keeps delete-heavy index maintenance O(delta)); skip the
+    // extra job entirely on unindexed collections
+    val dead = if (Meta.readIndex(spark, indexDir).isDefined)
+      Some(df.filter(pred).select(col(Schema.IdCol)).localCheckpoint())
+    else None
     val keep = df.filter(!pred)
     val kept = keep.count()
     val removed = rowsCount - kept
@@ -1184,6 +1234,7 @@ final class Collection(
       rowsCount = kept
       Meta.write(spark, dir,
         CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
+      dead.foreach(recordTombstones)
     }
     removed
   }
@@ -1523,6 +1574,7 @@ final class Collection(
               rowsCount -= 1
               Meta.write(spark, dir, CollectionMeta(name, lastId,
                 embedder.dim, embedder.id, rowsCount))
+              recordTombstoneId(id)
               nDel += 1
             }
           }
@@ -1710,6 +1762,7 @@ final class Collection(
     rowsCount -= 1
     Meta.write(spark, dir,
       CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
+    recordTombstoneId(id)
     Some((id, hit(0).getString(1)))
   }
 

@@ -28,7 +28,14 @@ final case class CollectionMeta(
   * insert the engine appends only ids past `indexedLastId` instead of
   * rebuilding — the reference replays the tail into its HNSW the same way.
   */
-final case class IndexMeta(indexedLastId: Long, indexedRows: Long, nlist: Int)
+/** Persisted-index coverage sidecar. `indexedRows` counts rows IN THE
+  * LISTS (including tombstoned ones — the storage trust check compares
+  * against physical list rows); live coverage is
+  * `indexedRows - tombstones`. `tombstones` (r13) counts deleted ids
+  * recorded in the index's tombstone sidecar table — delete-heavy
+  * maintenance stays O(delta) instead of forcing a rebuild. */
+final case class IndexMeta(indexedLastId: Long, indexedRows: Long,
+    nlist: Int, tombstones: Long = 0L)
 
 object Meta {
   private val mapper = new ObjectMapper()
@@ -68,6 +75,7 @@ object Meta {
     node.put("indexedLastId", m.indexedLastId)
     node.put("indexedRows", m.indexedRows)
     node.put("nlist", m.nlist)
+    node.put("tombstones", m.tombstones)
     writeAtomic(spark, indexDir, IndexFileName, mapper.writeValueAsBytes(node))
   }
 
@@ -94,7 +102,8 @@ object Meta {
       else Some(IndexMeta(
         node.get("indexedLastId").asLong(),
         node.get("indexedRows").asLong(),
-        node.get("nlist").asInt()))
+        node.get("nlist").asInt(),
+        Option(node.get("tombstones")).map(_.asLong()).getOrElse(0L)))
     } catch {
       case _: org.apache.hadoop.fs.ChecksumException |
           _: java.io.EOFException => None

@@ -276,13 +276,41 @@ object MqlFilter {
   // ---- collation ---------------------------------------------------------
 
   /** Mongo find/aggregate collation, in the slice a codepoint engine
-    * can honor EXACTLY: `strength` 1–2 = case-insensitive compare
-    * (ICU level 1 also folds diacritics, but the supported locales are
-    * diacritic-free, so 1 and 2 coincide here); 3 = Mongo's default
-    * tertiary = plain codepoint compare (identity). Locales beyond
-    * en/simple need a real ICU table — loud, never an approximation. */
+    * can honor EXACTLY: `strength` 2 = case-insensitive compare;
+    * `strength` 1 (r13) = ICU primary — case-insensitive AND
+    * Latin-1-diacritic-insensitive, folded through the public
+    * one-to-one table below (accents are SECONDARY differences in
+    * every ICU Latin tailoring, so primary strength equates á=a in
+    * en too); 3 = Mongo's default tertiary = plain codepoint compare
+    * (identity). Multi-char expansions (æ→ae, ß→ss) are primary-
+    * DISTINCT letters in ICU root and stay unfolded. Locales beyond
+    * en/simple need a real ICU table — loud, never an
+    * approximation. */
   final case class Collation(locale: String, strength: Int) {
     def caseInsensitive: Boolean = strength <= 2
+    def diacriticFold: Boolean = strength == 1
+  }
+
+  /** Latin-1 diacritic fold (lowercase side — [[foldCol]] lowers
+    * first): the ICU-root primary-equivalence subset that is a
+    * ONE-to-one codepoint map, safe for translate() on both engines. */
+  private[graft] val DiaFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+  private[graft] val DiaTo = "aaaaaaceeeeiiiinooooouuuuyy"
+
+  /** Comparison key under a case-insensitive collation: lower(), plus
+    * the diacritic fold at strength 1. */
+  private[graft] def foldCol(c: Column, fold: Boolean): Column =
+    if (fold) // qualified: MqlFilter defines its own translate(node, r)
+      org.apache.spark.sql.functions.translate(lower(c), DiaFrom, DiaTo)
+    else lower(c)
+
+  private[graft] def foldLit(s: String, fold: Boolean): String = {
+    val lo = s.toLowerCase
+    if (!fold) lo
+    else lo.map { ch =>
+      val i = DiaFrom.indexOf(ch)
+      if (i >= 0) DiaTo(i) else ch
+    }
   }
 
   def parseCollation(json: String): Collation = {
@@ -312,7 +340,8 @@ object MqlFilter {
     * $expr (its string operands name FIELDS — lowercasing them would
     * corrupt path resolution). Refusing beats silently matching
     * case-sensitively under a collation the caller asked for. */
-  private def ciLiterals(node: JsonNode): JsonNode = node match {
+  private def ciLiterals(node: JsonNode, fold: Boolean): JsonNode =
+    node match {
     case o if o.isObject =>
       val out = mapper.createObjectNode()
       o.properties().asScala.foreach { e =>
@@ -324,17 +353,17 @@ object MqlFilter {
               s"$k under a case-insensitive collation is unsupported " +
                 "(not collated on this engine — loud, never silently " +
                 "case-sensitive)")
-          case k => out.set[JsonNode](k, ciLiterals(e.getValue))
+          case k => out.set[JsonNode](k, ciLiterals(e.getValue, fold))
         }
       }
       out
     case a if a.isArray =>
       val out = mapper.createArrayNode()
-      a.elements().asScala.foreach(e => out.add(ciLiterals(e)))
+      a.elements().asScala.foreach(e => out.add(ciLiterals(e, fold)))
       out
     case t if t.isTextual =>
       com.fasterxml.jackson.databind.node.TextNode
-        .valueOf(t.asText().toLowerCase)
+        .valueOf(foldLit(t.asText(), fold))
     case other => other
   }
 
@@ -342,14 +371,15 @@ object MqlFilter {
     * fold through lower(); every non-string view passes through
     * untouched (numbers, booleans, timestamps and existence are not
     * collatable). */
-  private final class CollatedResolver(inner: FieldResolver)
-      extends FieldResolver {
+  private final class CollatedResolver(inner: FieldResolver,
+      fold: Boolean) extends FieldResolver {
     def num(f: String): Column = inner.num(f)
     def intNum(f: String): Column = inner.intNum(f)
     def ts(f: String): Column = inner.ts(f)
-    def str(f: String): Column = lower(inner.str(f))
+    def str(f: String): Column = foldCol(inner.str(f), fold)
     def bool(f: String): Column = inner.bool(f)
-    def arr(f: String): Column = transform(inner.arr(f), e => lower(e))
+    def arr(f: String): Column =
+      transform(inner.arr(f), e => foldCol(e, fold))
     def varr(f: String): Column = inner.varr(f)
     def exists(f: String): Column = inner.exists(f)
     def typeName(f: String): Column = inner.typeName(f)
@@ -366,16 +396,19 @@ object MqlFilter {
       collation: Option[Collation]): Column =
     collation.filter(_.caseInsensitive) match {
       case None => toColumn(filterJson, r)
-      case Some(_) =>
-        val ciNode = ciLiterals(mapper.readTree(filterJson))
+      case Some(c) =>
+        val ciNode = ciLiterals(mapper.readTree(filterJson),
+          c.diacriticFold)
         r match {
           case JsonResolver(metaCol) =>
             forall(array(try_parse_json(metaCol)), { parsed =>
               val bound = JsonResolver(metaCol)
               bound.parsed = parsed
-              translate(ciNode, new CollatedResolver(bound))
+              translate(ciNode,
+                new CollatedResolver(bound, c.diacriticFold))
             })
-          case other => translate(ciNode, new CollatedResolver(other))
+          case other =>
+            translate(ciNode, new CollatedResolver(other, c.diacriticFold))
         }
     }
 

@@ -93,6 +93,7 @@ object MqlPipeline {
       collation: Option[MqlFilter.Collation],
       rankMode: Boolean = false): DataFrame = {
     val ci = collation.exists(_.caseInsensitive)
+    val foldDia = collation.exists(_.diacriticFold)
     val ciStages = Set("$match", "$sort", "$project", "$limit",
       "$skip", "$count")
     val stages = mapper.readTree(pipelineJson)
@@ -215,7 +216,8 @@ object MqlPipeline {
               Seq((metaScoreCol(e.getValue), true))
             else {
               val desc = e.getValue.asInt() < 0
-              sortBases(e.getKey, cur, meta, ci).map(b => (b, desc))
+              sortBases(e.getKey, cur, meta, ci, foldDia)
+                .map(b => (b, desc))
             }
           }
           val mat = materializeKeys(keyPairs.map(_._1))
@@ -899,12 +901,17 @@ object MqlPipeline {
 
         case "$redact" =>
           // Mongo's access-control stage: the expression evaluates per
-          // DOCUMENT to $$KEEP (emit) or $$PRUNE (drop). This engine's
-          // documents are FLAT metadata roots, so document-level
-          // KEEP/PRUNE is the complete semantics; $$DESCEND — whose
-          // entire point is per-SUBDOCUMENT recursion — is loud rather
-          // than silently aliased to KEEP (an access-control operator
-          // must never quietly widen visibility). The sentinels are
+          // DOCUMENT to $$KEEP (emit), $$PRUNE (drop), or $$DESCEND
+          // (keep this level's scalar fields and RE-EVALUATE the
+          // expression at each embedded subdocument). This engine
+          // supports ONE nesting level of DESCEND (r13): the document
+          // round-trips through a map<string,variant> view and
+          // map_filter drops embedded-OBJECT fields whose re-rooted
+          // verdict is PRUNE — field order preserved, scalars kept,
+          // the Mongo ACL recursion for the flat-with-embedded-docs
+          // shape. A level-2 DESCEND verdict and arrays of embedded
+          // documents stay LOUD (an access-control operator must
+          // never quietly widen visibility). The sentinels are
           // rewritten to plain string literals so the whole spec runs
           // through the standard computed-expression machinery
           // ($cond/$switch/comparisons/boolean ops), and a branch
@@ -912,6 +919,7 @@ object MqlPipeline {
           // the aggregation the same way — a typo'd verdict must not
           // silently drop or keep).
           require(!grouped, "$redact after $group unsupported")
+          var hasDescend = false
           def rewriteSentinels(n: JsonNode): JsonNode =
             if (n.isTextual) n.asText() match {
               case "$$KEEP" =>
@@ -920,11 +928,10 @@ object MqlPipeline {
               case "$$PRUNE" =>
                 com.fasterxml.jackson.databind.node.TextNode
                   .valueOf("PRUNE")
-              case "$$DESCEND" => throw new IllegalArgumentException(
-                "$redact $$DESCEND (per-subdocument recursion) is " +
-                  "unsupported on this engine's flat documents — " +
-                  "loud by contract; restructure the expression to " +
-                  "$$KEEP/$$PRUNE")
+              case "$$DESCEND" =>
+                hasDescend = true
+                com.fasterxml.jackson.databind.node.TextNode
+                  .valueOf("DESCEND")
               case _ => n
             }
             else if (n.isObject) {
@@ -937,15 +944,63 @@ object MqlPipeline {
               n.elements().asScala.foreach(e => a.add(rewriteSentinels(e)))
               a
             } else n
-          val verdict = computeExpr(rewriteSentinels(spec), meta, cur)
-          cur = cur.filter(
-            when(verdict === "KEEP", lit(true))
-              .when(verdict === "PRUNE", lit(false))
-              .otherwise(raise_error(concat(
-                lit("$redact must evaluate to $$KEEP or $$PRUNE, " +
-                  "got: "),
-                coalesce(verdict.cast("string"), lit("null"))))
-                .cast("boolean")))
+          val rewritten = rewriteSentinels(spec)
+          val verdict = computeExpr(rewritten, meta, cur)
+          def verdictErr = raise_error(concat(
+            lit("$redact must evaluate to $$KEEP or $$PRUNE" +
+              (if (hasDescend) " or $$DESCEND" else "") + ", got: "),
+            coalesce(verdict.cast("string"), lit("null"))))
+            .cast("boolean")
+          if (!hasDescend)
+            cur = cur.filter(
+              when(verdict === "KEEP", lit(true))
+                .when(verdict === "PRUNE", lit(false))
+                .otherwise(verdictErr))
+          else {
+            import org.apache.spark.sql.types.{MapType, StringType,
+              VariantType}
+            val mv = from_json(meta, MapType(StringType, VariantType))
+            val cleaned = to_json(map_filter(mv, (_, v) => {
+              val sch = schema_of_variant(v)
+              when(sch.startsWith("ARRAY<OBJECT"),
+                raise_error(lit("$redact $$DESCEND into arrays of " +
+                  "embedded documents is unsupported — one nesting " +
+                  "level, object fields only")).cast("boolean"))
+                .when(!sch.startsWith("OBJECT"), lit(true))
+                .otherwise({
+                  val sv = computeExpr(rewritten, to_json(v), cur)
+                  when(sv === "KEEP", lit(true))
+                    .when(sv === "PRUNE", lit(false))
+                    // DESCEND on a LEAF subdocument (no embedded
+                    // objects of its own) is exactly Mongo's KEEP —
+                    // there is nothing to recurse into; only a subdoc
+                    // that itself nests objects needs level-3
+                    // recursion, which stays loud
+                    .when(sv === "DESCEND" &&
+                      locate("OBJECT<", sch, 2) === 0, lit(true))
+                    .when(sv === "DESCEND",
+                      raise_error(lit("$redact $$DESCEND supports ONE " +
+                        "nesting level — a DESCEND verdict on a " +
+                        "subdocument that itself nests objects is " +
+                        "loud")).cast("boolean"))
+                    .otherwise(raise_error(concat(
+                      lit("$redact subdocument verdict must be " +
+                        "$$KEEP/$$PRUNE/$$DESCEND, got: "),
+                      coalesce(sv.cast("string"), lit("null"))))
+                      .cast("boolean"))
+                })
+            }))
+            cur = cur.filter(
+              when(verdict === "KEEP", lit(true))
+                // force the cleaned document INSIDE the filter: the
+                // per-subdoc loud raises must fire even when no later
+                // stage reads the rewritten meta
+                .when(verdict === "DESCEND",
+                  coalesce(length(cleaned) >= 0, lit(true)))
+                .when(verdict === "PRUNE", lit(false))
+                .otherwise(verdictErr))
+            meta = when(verdict === "DESCEND", cleaned).otherwise(meta)
+          }
 
         case "$sortByCount" =>
           // {$sortByCount: <expr>} ≡ $group{_id: expr, count: {$sum: 1}}
@@ -1783,12 +1838,15 @@ object MqlPipeline {
     * Shared by $sort and $setWindowFields.sortBy so stage order and
     * window order can never disagree. */
   private def sortBases(key: String, cur: DataFrame,
-      meta: Column, ci: Boolean = false): Seq[Column] =
+      meta: Column, ci: Boolean = false,
+      fold: Boolean = false): Seq[Column] =
     if (cur.columns.contains(key)) {
-      // case-insensitive collation folds STRING sort keys; other types
-      // are not collatable and pass through
+      // case-insensitive collation folds STRING sort keys (plus the
+      // Latin-1 diacritic fold at strength 1); other types are not
+      // collatable and pass through
       if (ci && cur.schema(key).dataType ==
-          org.apache.spark.sql.types.StringType) Seq(lower(col(key)))
+          org.apache.spark.sql.types.StringType)
+        Seq(MqlFilter.foldCol(col(key), fold))
       else Seq(col(key))
     } else {
       val r = MqlFilter.JsonResolver(meta)
@@ -1797,7 +1855,7 @@ object MqlPipeline {
         .when(r.typeName(key) === "string", 2)
         .otherwise(3)
       Seq(rank, r.num(key),
-        if (ci) lower(r.str(key)) else r.str(key))
+        if (ci) MqlFilter.foldCol(r.str(key), fold) else r.str(key))
     }
 
   /** Evaluate `build` with ONE JSON→VARIANT parse per row: probe-build
@@ -2085,28 +2143,75 @@ object MqlPipeline {
           // onError a failed conversion RAISES per row (Mongo errors
           // too — a silent null would let corrupt values slide through
           // a typed pipeline). `to` supports long/int (widened to
-          // long — the engine's integral bracket), double and bool;
-          // to-string is LOUD: numeric→string FORMATTING is the one
-          // cast the two engines render differently at the edges
-          // (1e20, -0.0) — use $toString/$dateToString where the
-          // operand bracket is known safe.
+          // long — the engine's integral bracket), double, bool, and
+          // (r13) string for inputs whose STATIC type sits in the
+          // integral/boolean/string bracket — digit / "true"/"false" /
+          // identity rendering is engine-exact. Double→string stays
+          // LOUD: float FORMATTING is the one cast the two engines
+          // render differently at the edges (1e20, -0.0).
           require(v.isObject && v.get("input") != null &&
             v.get("to") != null,
             s"$$convert needs {input, to, onError?, onNull?}: $v")
           v.properties().asScala.foreach(e => require(
             Seq("input", "to", "onError", "onNull").contains(e.getKey),
             s"unsupported $$convert option: ${e.getKey}"))
+          val convIn = computeExprRes(v.get("input"), metaCol, cur,
+            res, env)
           val convTo = v.get("to").asText() match {
             case "long" | "int" => "long"
             case "double" => "double"
             case "bool" => "boolean"
+            case "string" =>
+              // the bracket proof is STRUCTURAL (pre-resolution
+              // Columns carry no static type): real columns prove by
+              // schema type; metadata field refs are safe by
+              // construction (the generic path resolves them through
+              // the STRING view — non-strings are absent on that
+              // view, route through $toLong first for digit
+              // rendering); computed nodes prove by operator family.
+              // Anything unprovable (arithmetic → double) refuses
+              // loudly rather than risk divergent float rendering.
+              import org.apache.spark.sql.types._
+              def bracketOk(n: JsonNode): Boolean =
+                if (n.isTextual && n.asText().startsWith("$$")) false
+                else if (n.isTextual && n.asText().startsWith("$")) {
+                  val f = n.asText().drop(1)
+                  if (cur.columns.contains(f))
+                    cur.schema(f).dataType match {
+                      case LongType | IntegerType | BooleanType |
+                        StringType => true
+                      case _ => false
+                    }
+                  else true // string view of the metadata document
+                } else if (n.isTextual || n.isBoolean) true
+                else if (n.isObject && n.properties().size() == 1) {
+                  val p = n.properties().asScala.head
+                  p.getKey match {
+                    case "$toLong" | "$toInt" => true
+                    case "$gt" | "$gte" | "$lt" | "$lte" | "$eq" |
+                      "$ne" | "$and" | "$or" | "$not" |
+                      "$regexMatch" => true
+                    case "$concat" | "$toUpper" | "$toLower" |
+                      "$toString" | "$trim" | "$substrCP" |
+                      "$dateToString" => true
+                    case "$convert" =>
+                      Option(p.getValue.get("to")).map(_.asText())
+                        .exists(Seq("long", "int", "bool", "string")
+                          .contains)
+                    case _ => false
+                  }
+                } else false
+              if (!bracketOk(v.get("input")))
+                throw new IllegalArgumentException(
+                  "$convert to string needs a provably integral/" +
+                    s"bool/string input (got ${v.get("input")}) — " +
+                    "double formatting is engine-divergent at the " +
+                    "edges")
+              "string"
             case other => throw new IllegalArgumentException(
               s"unsupported $$convert target '$other' (long/int/" +
-                "double/bool; to-string formatting is engine-" +
-                "divergent at the edges — use $toString)")
+                "double/bool/string-on-integral-bracket)")
           }
-          val convIn = computeExprRes(v.get("input"), metaCol, cur,
-            res, env)
           val convCast = convIn.try_cast(convTo)
           val onNull: Column = Option(v.get("onNull"))
             .map(n => computeExprRes(n, metaCol, cur, res, env)

@@ -170,6 +170,37 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
+  /** $convert TO-STRING under the gate (r13) — the integral/boolean/
+    * string bracket with onNull/onError composition: a planted long
+    * (itself a $convert with onError routing) renders to digits or
+    * takes onNull, a comparison renders "true"/"false", and a raw
+    * string passes through identity with onNull. Double→string stays
+    * loud (MqlPipelineSpec) — float formatting is engine-divergent. */
+  def mqlConvertStr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          when(col("doc_id") % 5 === 1, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, lit("oops"))
+            .otherwise(col("n_chars").cast("string")).as("raw"),
+          col("n_chars").cast("long").as("nc")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "vl": {"$convert": {"input": "$raw", "to": "long",
+        |     "onError": -1}},
+        |   "sb": {"$convert": {"input":
+        |     {"$gt": [{"$toLong": "$nc"}, 300]}, "to": "string"}}}},
+        | {"$addFields": {
+        |   "sl": {"$convert": {"input": "$vl", "to": "string",
+        |     "onNull": "none"}}}},
+        | {"$project": {"did": {"$toLong": "$did"}, "sl": 1, "sb": 1,
+        |   "ss": {"$convert": {"input": "$raw", "to": "string",
+        |     "onNull": "missing"}}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
   /** $switch + $dateTrunc under the gate: events bucketed by calendar
     * week (Mongo 5.0 truncation) × a multi-branch severity label
     * (first-match-wins $switch with default), rolled up per composite
@@ -315,6 +346,33 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2}""")
 
+  /** Strength-1 collation under the gate (r13) — ICU primary: case
+    * AND Latin-1 diacritics are non-differences. Accented variants
+    * are planted deterministically (café/CAFE/cafe/naïve/NAÏVE by
+    * doc_id residue), a `{locale: "en", strength: 1}` collation makes
+    * `$in: ["cafe", "naive"]` match every variant and the $sort order
+    * fold-insensitive; the fold is the public one-to-one Latin-1
+    * table as a translate() chain — exact on both engines. Output
+    * keeps the ORIGINAL spelling (collation affects comparison,
+    * never the stored value). */
+  def mqlCollationDiacritic(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 5 === 0, lit("café"))
+            .when(col("doc_id") % 5 === 1, lit("CAFE"))
+            .when(col("doc_id") % 5 === 2, lit("naïve"))
+            .when(col("doc_id") % 5 === 3, lit("NAÏVE"))
+            .otherwise(lit("résumé")).as("word"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"word": {"$in": ["cafe", "Naïve"]}}},
+        | {"$sort": {"word": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "word": "$word"}}
+        |]""".stripMargin,
+      """{"locale": "en", "strength": 1}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -335,6 +393,36 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |   "$$PRUNE"]}},
         | {"$project": {"doc_id": {"$toLong": "$did"}}},
         | {"$sort": {"doc_id": 1}}
+        |]""".stripMargin)
+
+  /** $redact $$DESCEND under the gate (r13) — Mongo's per-subdocument
+    * ACL recursion on ONE nesting level: each document carries a root
+    * clearance and two embedded sub-documents with their own levels;
+    * the classic {"$cond": [level>=3, "$$DESCEND", "$$PRUNE"]}
+    * expression prunes low-clearance roots entirely and strips
+    * low-clearance sub-documents from surviving roots. The oracle is
+    * the equivalent relational predicate over the planted levels. */
+  def mqlRedactDescend(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          (col("doc_id") % 5).as("level"),
+          struct((col("doc_id") % 7).as("level"),
+            col("n_chars").cast("long").as("v")).as("sec"),
+          struct(lit(2L).as("level"),
+            col("doc_id").as("v")).as("aux")))),
+      col("meta"),
+      """[
+        | {"$redact": {"$cond": [
+        |   {"$gte": [{"$toLong": "$level"}, 3]},
+        |   "$$DESCEND", "$$PRUNE"]}},
+        | {"$project": {"did": {"$toLong": "$did"},
+        |   "sec_v": {"$toLong": {"$ifNull":
+        |     [{"$toLong": "$sec.v"}, -1]}},
+        |   "aux_v": {"$toLong": {"$ifNull":
+        |     [{"$toLong": "$aux.v"}, -1]}}}},
+        | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
   /** $rankFusion under the gate (r12) — Mongo 8.1's hybrid-search
@@ -1831,6 +1919,13 @@ private[graft] trait RelationalMql { this: Relational.type =>
       """SELECT doc_id FROM documents
         |WHERE n_chars >= 300 AND n_chars < 800
         |ORDER BY doc_id""".stripMargin,
+    "mql_redact_descend" ->
+      """SELECT doc_id AS did,
+        |  CAST(CASE WHEN doc_id % 7 >= 3 THEN n_chars ELSE -1 END
+        |    AS BIGINT) AS sec_v,
+        |  CAST(-1 AS BIGINT) AS aux_v
+        |FROM documents WHERE doc_id % 5 >= 3
+        |ORDER BY did""".stripMargin,
     "mql_rank_fusion" ->
       """WITH d AS (SELECT doc_id AS _id, lang, n_chars AS nc
         |    FROM documents),
@@ -1901,12 +1996,42 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  CAST(COALESCE(CASE WHEN raw IS NULL THEN 0
         |    ELSE TRY_CAST(raw AS BIGINT) END, -1) AS BIGINT) AS v
         |FROM w ORDER BY did""".stripMargin,
+    "mql_convert_str" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN 'oops'
+        |         ELSE CAST(n_chars AS VARCHAR) END AS raw,
+        |    n_chars FROM documents),
+        |v AS (SELECT doc_id, raw, n_chars,
+        |    CASE WHEN raw IS NULL THEN NULL
+        |         ELSE COALESCE(TRY_CAST(raw AS BIGINT), -1) END AS vl
+        |  FROM w)
+        |SELECT doc_id AS did,
+        |  COALESCE(CAST(vl AS VARCHAR), 'none') AS sl,
+        |  CAST(n_chars > 300 AS VARCHAR) AS sb,
+        |  COALESCE(raw, 'missing') AS ss
+        |FROM v ORDER BY did""".stripMargin,
     "mql_json_schema" ->
       """SELECT doc_id FROM documents
         |WHERE doc_id % 7 <> 0
         |  AND doc_id % 5 <> 0
         |  AND n_chars BETWEEN 100 AND 500
         |ORDER BY doc_id""".stripMargin,
+    "mql_collation_diacritic" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'café'
+        |       WHEN doc_id % 5 = 1 THEN 'CAFE'
+        |       WHEN doc_id % 5 = 2 THEN 'naïve'
+        |       WHEN doc_id % 5 = 3 THEN 'NAÏVE'
+        |       ELSE 'résumé' END AS word
+        |FROM documents),
+        |f AS (SELECT doc_id, word,
+        |  translate(lower(word), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
+        |    'aaaaaaceeeeiiiinooooouuuuyy') AS k
+        |FROM d)
+        |SELECT doc_id, word FROM f
+        |WHERE k IN ('cafe', 'naive')
+        |ORDER BY k, doc_id""".stripMargin,
     "mql_collation" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN upper(lang) ELSE lang END
@@ -2001,8 +2126,11 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add" -> (mqlDateAdd _),
     "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_convert" -> (mqlConvert _),
+    "mql_convert_str" -> (mqlConvertStr _),
     "mql_redact" -> (mqlRedact _),
+    "mql_redact_descend" -> (mqlRedactDescend _),
     "mql_collation" -> (mqlCollation _),
+    "mql_collation_diacritic" -> (mqlCollationDiacritic _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -333,6 +333,76 @@ object Similarity {
       .select(col("doc_id"), col("rrf"), col("lex_rank"), col("vec_rank"))
   }
 
+  /** Query ids for [[ragEvalMetrics]]'s dense-leg evaluation — the
+    * fusion leg stays on 42 (the [[ragHybridRrf]] dial). */
+  private val EvalQids = Seq(7L, 42L, 101L)
+
+  /** IR-EVAL metrics gate (r13) — the measurement loop for the
+    * retrieval stack, the [[Dedup.dedupLshEval]] stance applied to
+    * search: MRR, recall@10, precision@10 and nDCG@10 of (a) the
+    * hybrid RRF fusion and (b) the dense cosine leg alone, against
+    * PLANTED relevance labels (relevant = shares the query vector's
+    * `label` — the synthetic corpus's cluster ground truth). An
+    * operator of a 100 TB retrieval stack needs these numbers before
+    * trusting a fusion dial; this gate keeps them under the oracle.
+    *
+    * Determinism: ranks, hit counts and |R| are exact integers;
+    * recall/precision/RR are integer-DIV ppm; nDCG sums its ≤10
+    * discount terms in fixed ascending-rank order and rounds at 1e-6
+    * (the bm25 fixed-order-float stance — ln ulp noise is 1e-16,
+    * ten orders below the quantum). Scale shape: each ranking is the
+    * already-audited top-k device; the eval joins a BROADCAST k-row
+    * ranking against the label-filtered corpus — one scan per query,
+    * no corpus-width shuffle, cost independent of corpus size beyond
+    * the scan. */
+  def ragEvalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val k = RagK
+    def evalOne(sys: String, qid: Long, ranking: DataFrame): DataFrame = {
+      val e = emb(s, dir)
+      val qlab = e.filter(col("vec_id") === qid)
+        .select(col("label").as("qlab"))
+      val rel = e.crossJoin(broadcast(qlab))
+        .filter(col("vec_id") =!= qid && col("label") === col("qlab"))
+        .select(col("vec_id").as("doc_id"))
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      val hits = rel.join(broadcast(ranking), "doc_id")
+        .agg(count(lit(1)).as("hits"),
+          min(col("rank")).as("first_rank"),
+          sort_array(collect_list(col("rank"))).as("hit_ranks"))
+      hits.crossJoin(nRel)
+        .select(
+          lit(sys).as("system"), lit(qid).as("qid"),
+          col("n_rel"), col("hits"),
+          expr("hits * 1000000 DIV n_rel").as("recall_ppm"),
+          expr(s"hits * 1000000 DIV $k").as("precision_ppm"),
+          coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_ppm"),
+          // binary-gain nDCG@k: DCG over hit ranks, IDCG over the
+          // first min(k,|R|) ranks, both folded ascending
+          expr(s"""CAST(round(
+            aggregate(hit_ranks, CAST(0.0 AS DOUBLE),
+              (acc, r) -> acc + ln(2) / ln(r + 1)) /
+            aggregate(sequence(1, least($k, n_rel)), CAST(0.0 AS DOUBLE),
+              (acc, r) -> acc + ln(2) / ln(r + 1)) * 1000000)
+            AS BIGINT)""").as("ndcg_micro"))
+    }
+    val rrfRank = ragHybridRrf(s, dir)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rank"))
+    def denseRank(qid: Long) = emb(s, dir)
+      .crossJoin(broadcast(qv(s, dir, qid)))
+      .filter(col("vec_id") =!= qid)
+      .withColumn("sim", cosineSim(col("embedding"), col("qv")))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    val rows = evalOne("rrf", 42L, rrfRank) +:
+      EvalQids.map(q => evalOne("dense", q, denseRank(q)))
+    rows.reduce(_.unionByName(_)).orderBy("system", "qid")
+  }
+
   /** RAG retrieval composite — the two-stage retrieve-then-rerank shape
     * every retrieval-augmented pipeline runs: (1) dense ANN recall
     * (cosine top-[[RagK1]] against the query embedding), (2) a lexical
@@ -483,9 +553,10 @@ object Similarity {
       s"\nSELECT * FROM (\n$finalSel\n) ORDER BY rank")
   }
 
-  val oracle: Map[String, String] = Map(
-    "rag_diverse" -> mmrOracle,
-    "rag_hybrid_rrf" ->
+  /** rag_hybrid_rrf oracle body — extracted so [[ragEvalMetricsSql]]
+    * can nest it as a subquery (concatenated, never re-stripMargined:
+    * embedded |-prefixed lines would lose a pipe). */
+  private val rrfOracleSql: String =
       s"""WITH lexb AS (${TextAnalysis.bm25Sql.replace("\n", "\n  ")}),
          |lex AS (SELECT doc_id,
          |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
@@ -506,7 +577,62 @@ object Similarity {
          |    AS BIGINT) AS rrf,
          |  lex_rank, vec_rank
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
-         |ORDER BY rrf DESC, doc_id ASC LIMIT $RagK""".stripMargin,
+         |ORDER BY rrf DESC, doc_id ASC LIMIT $RagK""".stripMargin
+
+  /** [[ragEvalMetrics]] oracle — built by CONCATENATION (each piece
+    * stripMargins itself before assembly). */
+  private def ragEvalMetricsSql: String = {
+    def relCte(q: Long) =
+      s"""rel$q AS (SELECT vec_id AS doc_id FROM embeddings
+         |  WHERE vec_id <> $q AND label =
+         |    (SELECT label FROM embeddings WHERE vec_id = $q))""".stripMargin
+    def denseCte(q: Long) =
+      s"""db$q AS (SELECT vec_id,
+         |    ${sqlDot("embedding", "qv")} /
+         |      nullif(sqrt(${sqlDot("embedding", "embedding")})
+         |        * sqrt(${sqlDot("qv", "qv")}), 0) AS sim
+         |  FROM embeddings,
+         |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = $q)
+         |  WHERE vec_id <> $q
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $RagK),
+         |dr$q AS (SELECT vec_id AS doc_id,
+         |  CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+         |    AS BIGINT) AS rank FROM db$q)""".stripMargin
+    def evalSel(sys: String, q: Long, rankCte: String) =
+      s"""SELECT '$sys' AS system, CAST($q AS BIGINT) AS qid,
+         |  n_rel, hits,
+         |  hits * 1000000 // n_rel AS recall_ppm,
+         |  hits * 1000000 // $RagK AS precision_ppm,
+         |  COALESCE(1000000 // first_rank, CAST(0 AS BIGINT)) AS rr_ppm,
+         |  CAST(round(COALESCE(list_sum(list_transform(hit_ranks,
+         |      r -> ln(2) / ln(r + 1))), 0)
+         |    / list_sum(list_transform(
+         |        generate_series(1, least($RagK, n_rel)),
+         |        r -> ln(2) / ln(r + 1))) * 1000000) AS BIGINT)
+         |    AS ndcg_micro
+         |FROM (SELECT count(*) AS hits, min(rank) AS first_rank,
+         |        list(rank ORDER BY rank) AS hit_ranks
+         |      FROM $rankCte r JOIN rel$q e ON r.doc_id = e.doc_id) h
+         |CROSS JOIN (SELECT count(*) AS n_rel FROM rel$q) n""".stripMargin
+    val rrfCtes =
+      s"""rrfq AS (SELECT * FROM (
+         |$rrfOracleSql
+         |)),
+         |rrank AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+         |    AS BIGINT) AS rank FROM rrfq)""".stripMargin
+    val ctes = (EvalQids.map(relCte) ++ Seq(relCte(42L)).filterNot(_ =>
+      EvalQids.contains(42L)) ++ EvalQids.map(denseCte) :+ rrfCtes)
+      .mkString(",\n")
+    val sels = (EvalQids.map(q => evalSel("dense", q, s"dr$q")) :+
+      evalSel("rrf", 42L, "rrank")).mkString("\nUNION ALL\n")
+    s"WITH $ctes\nSELECT * FROM (\n$sels\n) ORDER BY system, qid"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "rag_diverse" -> mmrOracle,
+    "rag_hybrid_rrf" -> rrfOracleSql,
+    "rag_eval_metrics" -> ragEvalMetricsSql,
     "rag_retrieve" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings
          |  WHERE vec_id = 42),
@@ -741,6 +867,7 @@ object Similarity {
     "embed_outliers" -> (embedOutliers _),
     "rag_retrieve" -> (ragRetrieve _),
     "rag_hybrid_rrf" -> (ragHybridRrf _),
+    "rag_eval_metrics" -> (ragEvalMetrics _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),

@@ -247,22 +247,83 @@ class KaerSpec extends SparkTestBase {
     assert(listFiles == after)
   }
 
-  test("ensureIndex rebuilds after delete (append arithmetic broken)") {
+  test("index tombstones: deletes stay O(delta) — no rebuild, probes " +
+      "stay exact, compaction on explicit rebuild") {
+    val root = tmpDir("kaer-tomb")
+    val k = newSession(root)
+    val c = k.createCollection("v")
+    c.insert(Data()
+      .withDocuments((0 until 30).map(i => s"tomb doc $i topic ${i % 4}"))
+      .withMetadatas((0 until 30).map(i => Map[String, Any]("g" -> i))))
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 0)
+    // delete a slice: the delete records tombstones instead of
+    // invalidating the index — the next ensureIndex is a NO-OP
+    assert(c.delete("""{"g": {"$gte": 10, "$lt": 15}}""") == 5L)
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 0,
+      s"delete forced index work: rebuilds=${c.indexRebuilds} " +
+        s"appends=${c.indexAppends}")
+    assert(spark.read.parquet(s"$root/v/index/tombstones").count() == 5)
+    // lists still physically hold the dead rows (30); live coverage
+    // arithmetic = 30 - 5 = 25 = collection rows
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == 30)
+    assert(c.count() == 25)
+    // probed query never returns a deleted doc (join-back drops them)
+    val approx = c.queryApprox("tomb doc 12 topic 0", 5, nprobe = 4)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(approx.nonEmpty && approx.forall(id =>
+      !(11L to 15L).contains(id)), approx.mkString(","))
+    // ...and matches exact search at full probe
+    val exact = c.query("tomb doc 12 topic 0", 5)
+      .select("_m_id").collect().map(_.getLong(0)).toSeq
+    assert(approx == exact, s"approx=$approx exact=$exact")
+    // delete THEN insert: tail append still works (tombstone-aware
+    // arithmetic), no rebuild
+    assert(c.delete("""{"g": 20}""") == 1L)
+    c.insert(Data().withDocuments(Seq("late tomb doc")))
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 1,
+      s"rebuilds=${c.indexRebuilds} appends=${c.indexAppends}")
+    assert(spark.read.parquet(s"$root/v/index/tombstones").count() == 6)
+    // single-id delete paths record tombstones too
+    assert(c.findOneAndDelete("""{"g": 25}""").isDefined)
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == 1 && c.indexAppends == 1)
+    assert(spark.read.parquet(s"$root/v/index/tombstones").count() == 7)
+    // explicit rebuild compacts: tombstones gone, lists = live rows
+    c.buildIndex(nlist = 4, iters = 2)
+    assert(!new org.apache.hadoop.fs.Path(s"$root/v/index/tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$root/v/index/tombstones")))
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == c.count())
+    // post-compaction coverage is current: ensureIndex is a no-op
+    val (rb, ap) = (c.indexRebuilds, c.indexAppends)
+    c.ensureIndex(nlist = 4, iters = 2)
+    assert(c.indexRebuilds == rb && c.indexAppends == ap)
+  }
+
+  test("ensureIndex rebuilds after a NEW-id delete (tombstones only " +
+      "cover indexed ids — tail deletes break the append arithmetic)") {
     val root = tmpDir("kaer-incr-del")
     val k = newSession(root)
     val c = k.createCollection("v")
     c.insert(Data()
       .withDocuments((0 until 20).map(i => s"doc $i"))
-      .withMetadatas((0 until 20).map(i => Map[String, Any]("g" -> (i % 2)))))
+      .withMetadatas((0 until 20).map(i => Map[String, Any]("g" -> i))))
     c.ensureIndex(nlist = 2, iters = 1)
     assert(c.indexRebuilds == 1)
-    assert(c.delete("""{"g": {"$eq": 0}}""") == 10L)
-    c.insert(Data().withDocuments(Seq("replacement")))
+    // insert ABOVE the watermark, then delete one of the new (still
+    // unindexed) ids: not tombstoned (the lists never covered it), so
+    // the pure-tail equality breaks and ensureIndex must rebuild
+    c.insert(Data()
+      .withDocuments((0 until 4).map(i => s"new doc $i"))
+      .withMetadatas((0 until 4).map(i => Map[String, Any]("g" -> (100 + i)))))
+    assert(c.delete("""{"g": 102}""") == 1L)
     c.ensureIndex(nlist = 2, iters = 1)
-    // delete+insert must NOT look like a pure tail: full rebuild required
     assert(c.indexRebuilds == 2 && c.indexAppends == 0,
       s"rebuilds=${c.indexRebuilds} appends=${c.indexAppends}")
-    assert(spark.read.parquet(s"$root/v/index/lists").count() == 11)
+    assert(spark.read.parquet(s"$root/v/index/lists").count() == 23)
   }
 
   test("compact rewrites many small files into few; ids and rows unchanged") {

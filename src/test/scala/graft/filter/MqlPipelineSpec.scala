@@ -1417,10 +1417,51 @@ class MqlPipelineSpec extends SparkTestBase {
         |]""".stripMargin)
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L, 4L)) // v=10 and v=7; 20/100 too big, 5 small
-    val descend = intercept[IllegalArgumentException] {
-      run("""[{"$redact": "$$DESCEND"}]""")
+    // r13: $$DESCEND recurses ONE level — root DESCEND keeps scalar
+    // fields and prunes embedded-object fields whose re-rooted verdict
+    // is PRUNE; field order and untouched values survive the rewrite
+    val nested = Seq(
+      (1L, """{"level": 5, "a": 1, "sec": {"level": 1, "v": 7},""" +
+        """ "pub": {"level": 9, "v": 8}}"""),
+      (2L, """{"level": 1, "a": 2, "sec": {"level": 9, "v": 7}}"""),
+      (3L, """{"level": 4, "a": 3, "pub": {"level": 3, "v": 6}}""")
+    ).toDF("id", "meta")
+    val redactExpr =
+      """{"$redact": {"$cond": [
+        |  {"$gte": [{"$toLong": "$level"}, 3]},
+        |  "$$DESCEND", "$$PRUNE"]}}""".stripMargin
+    val desc = MqlPipeline.aggregate(nested, col("meta"),
+      s"""[$redactExpr,
+         | {"$$project": {"id": 1,
+         |   "secv": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$sec.v"}, -1]}},
+         |   "pubv": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$pub.v"}, -1]}}}},
+         | {"$$sort": {"id": 1}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2 pruned at root (level 1); doc 1 descends: sec (level 1)
+    // pruned, pub (level 9) kept; doc 3: pub (level 3) kept
+    assert(desc.toSeq == Seq((1L, -1L, 8L), (3L, -1L, 6L)),
+      desc.mkString(","))
+    // DESCEND on a LEAF subdoc ≡ KEEP (Mongo: nothing to recurse
+    // into) — a bare $$DESCEND keeps everything on one-level docs
+    val all = MqlPipeline.aggregate(nested, col("meta"),
+      """[{"$redact": "$$DESCEND"}, {"$project": {"id": 1}},
+        | {"$sort": {"id": 1}}]""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == Seq(1L, 2L, 3L), all.toString)
+    // ...but a DESCEND verdict on a subdoc that ITSELF nests objects
+    // needs level-3 recursion: loud per row
+    val deep = Seq((1L,
+      """{"level": 5, "sec": {"level": 4, "inner": {"level": 1}}}"""))
+      .toDF("id", "meta")
+    val two = intercept[Exception] {
+      MqlPipeline.aggregate(deep, col("meta"),
+        """[{"$redact": "$$DESCEND"}]""").collect()
     }
-    assert(descend.getMessage.contains("$$DESCEND"), descend.getMessage)
+    def msgsD(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsD(t.getCause)
+    assert(msgsD(two).exists(_.contains("ONE")), msgsD(two).toString)
     val bad = intercept[Exception] {
       run("""[{"$redact": {"$cond": [{"$gte": [{"$toLong": "$v"}, 0]},
             |  "oops", "$$PRUNE"]}}]""".stripMargin).collect()
@@ -1560,11 +1601,33 @@ class MqlPipelineSpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(boom).exists(_.contains("$convert")), msgs(boom).toString)
+    // r13: to-string works on the provable integral/bool/string
+    // bracket (digits / true/false / identity with onNull)...
+    val strOk = run(
+      """[
+        | {"$addFields": {"vl": {"$convert": {"input": "$grp",
+        |   "to": "long", "onError": -7}}}},
+        | {"$project": {"id": {"$toLong": "$id"},
+        |   "sl": {"$convert": {"input": "$vl", "to": "string"}},
+        |   "sb": {"$convert": {"input": {"$gt": [{"$toLong": "$id"}, 3]},
+        |     "to": "string"}},
+        |   "ss": {"$convert": {"input": "$grp", "to": "string",
+        |     "onNull": "missing"}}}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin).collect()
+    assert(strOk.forall(_.getString(1) == "-7"), strOk.mkString("|"))
+    assert(strOk.map(r => (r.getLong(0), r.getString(2))).forall {
+      case (id, sb) => sb == (if (id > 3) "true" else "false") },
+      strOk.mkString("|"))
+    assert(strOk.forall(r => Seq("a", "b", "c").contains(r.getString(3))),
+      strOk.mkString("|"))
+    // ...doubles stay loud (float formatting is engine-divergent)
     val str = intercept[IllegalArgumentException] {
-      run("""[{"$addFields": {"v": {"$convert": {"input": "$v",
+      run("""[{"$addFields": {"v": {"$convert": {"input":
+            |  {"$multiply": [{"$toLong": "$id"}, 2]},
             |  "to": "string"}}}}]""".stripMargin)
     }
-    assert(str.getMessage.contains("$toString"), str.getMessage)
+    assert(str.getMessage.contains("engine-divergent"), str.getMessage)
   }
 
   test("$scoreFusion: minMaxScaler weighted average over two scored " +
