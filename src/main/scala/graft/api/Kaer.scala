@@ -1148,11 +1148,12 @@ final class Collection(
   /** Structured Streaming form of [[watch]]: a file-source readStream
     * tailing the event log — watermarks/windows/stateful transforms
     * compose on top like any stream. */
-  def watchStream(): DataFrame = {
+  def watchStream(options: Map[String, String] = Map.empty): DataFrame = {
     require(captureChanges,
       s"change stream not enabled for collection '$name' — call " +
         "enableChangeStream() first")
-    spark.readStream.schema(changeSchema).parquet(changesDir)
+    spark.readStream.schema(changeSchema).options(options)
+      .parquet(changesDir)
   }
 
   def compact(targetFiles: Int = 4): Unit = {

@@ -153,6 +153,91 @@ object KaerQuery {
       .orderBy("op_time", "mid")
   }
 
+  /** Streaming CDC → live materialized view under the gate (r13):
+    * [[graft.api.Collection.watchStream]] tails the change log as a
+    * file-source stream and foreachBatch maintains the lakehouse
+    * CDC-MV pattern end to end: an ID-level store upserted
+    * newest-op_time-wins per micro-batch (delete events persist as
+    * TOMBSTONE rows, so re-delivery or out-of-order batches can never
+    * resurrect a dead id), with the MV aggregate derived from the
+    * converged store. maxFilesPerTrigger=1 forces each mutation's
+    * event file through its own micro-batch — the CROSS-batch merge is
+    * what converges, not one lucky batch. The oracle recomputes the
+    * final per-lang counts from the base corpus arithmetically:
+    * merge ≡ recompute, the incr_agg contract fed by a LIVE change
+    * stream instead of a date split. */
+  def watchCdcMvGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val k = new KaerSession(s, graft.core.Scratch.dir(
+      "kaercdcmv", s"$dir#${HashingEmbedder(Dim).id}"), HashingEmbedder(Dim))
+    k.dropCollection("docs")
+    val coll = k.createCollection("docs")
+    coll.enableChangeStream()
+    coll.insertDF(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("text").as(Schema.DocCol),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as(Schema.MetaCol))
+        .orderBy("doc_id"))                                  // op_time 1
+    coll.updateDoc("""{"lang": "de"}""",
+      """{"$set": {"lang": "dd"}}""")                        // op_time 2
+    coll.delete("""{"lang": {"$eq": "fr"}}""")               // op_time 3
+    coll.insert(Data()
+      .withDocuments(Seq("cdc doc a", "cdc doc b"))
+      .withMetadatas(Seq(
+        Map[String, Any]("doc_id" -> 1000001, "lang" -> "xx"),
+        Map[String, Any]("doc_id" -> 1000002, "lang" -> "xx")))) // 4
+    val root = graft.core.Scratch.dir("kaercdcmv_store",
+      s"$dir#${HashingEmbedder(Dim).id}")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fresh store + checkpoint per run: the gate is about the sink's
+    // converged content, not checkpoint resumption
+    for (p <- Seq("store", "store_tmp", "store_bak", "ckpt"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$p"), true)
+    val q = coll.watchStream(Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val events = batch.select(
+          col(Schema.IdCol).as("mid"), col("op_time"), col("op"),
+          get_json_object(col(Schema.MetaCol), "$.lang").as("lang"))
+        // per-batch compaction: one row per id however many events
+        val compacted = events.groupBy("mid")
+          .agg(max_by(struct(col("op"), col("lang")), col("op_time"))
+            .as("_r"), max(col("op_time")).as("op_time"))
+          .select(col("mid"), col("_r.op").as("op"),
+            col("_r.lang").as("lang"), col("op_time"))
+        val tgt = new org.apache.hadoop.fs.Path(s"$root/store")
+        val merged =
+          if (!fs.exists(tgt)) compacted
+          else Upsert.upsert(
+            batch.sparkSession.read.parquet(tgt.toString), compacted,
+            Seq("mid"), whenMatched = "newerWins",
+            versionCol = Some("op_time"))
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/store_tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(s"$root/store_bak")
+        fs.delete(bak, true)
+        if (fs.exists(tgt))
+          require(fs.rename(tgt, bak), s"rename $tgt -> $bak failed")
+        require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
+        fs.delete(bak, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the LIVE view: tombstones drop out, everything else aggregates —
+    // at scale this is the one-row-per-key MV refresh shape (|store| +
+    // |delta| per batch, never the base table)
+    s.read.parquet(s"$root/store")
+      .filter(col("op") =!= "delete")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Multi-operation transaction under the oracle gate: an ABORTED
     * transaction (flag update + fr-language delete) must leave zero
     * trace, then a COMMITTED transaction stages an insert (two xx
@@ -575,6 +660,13 @@ object KaerQuery {
         |    (CAST(1000002 AS BIGINT), 'xx', CAST(0 AS BIGINT)))
         |    v(did, lang, seen))
         |ORDER BY did""".stripMargin,
+    "stream_cdc_mv" ->
+      """WITH live AS (
+        |  SELECT CASE WHEN lang = 'de' THEN 'dd' ELSE lang END AS lang
+        |  FROM documents WHERE lang <> 'fr'
+        |  UNION ALL SELECT 'xx' UNION ALL SELECT 'xx')
+        |SELECT lang, count(*) AS n_docs FROM live
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "kaer_watch" ->
       """WITH base AS (SELECT
         |    row_number() OVER (ORDER BY doc_id) AS mid,
@@ -624,6 +716,7 @@ object KaerQuery {
     "kaer_upsert" -> (upsertGate _),
     "kaer_bulk_write" -> (bulkWriteGate _),
     "kaer_watch" -> (watchGate _),
+    "stream_cdc_mv" -> (watchCdcMvGate _),
     "kaer_txn" -> (txnGate _)
   )
 }
