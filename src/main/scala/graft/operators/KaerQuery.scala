@@ -160,9 +160,12 @@ object KaerQuery {
     * newest-op_time-wins per micro-batch (delete events persist as
     * TOMBSTONE rows, so re-delivery or out-of-order batches can never
     * resurrect a dead id), with the MV aggregate derived from the
-    * converged store. maxFilesPerTrigger=1 forces each mutation's
-    * event file through its own micro-batch — the CROSS-batch merge is
-    * what converges, not one lucky batch. The oracle recomputes the
+    * converged store. maxFilesPerTrigger=16 splits the log across
+    * several micro-batches (the bulk insert alone writes one event
+    * file per shuffle partition) — the CROSS-batch merge is what
+    * converges, not one lucky batch; 1-file batches would pay an
+    * O(|store|) rewrite per partition file for no extra proof. The
+    * oracle recomputes the
     * final per-lang counts from the base corpus arithmetically:
     * merge ≡ recompute, the incr_agg contract fed by a LIVE change
     * stream instead of a date split. */
@@ -195,7 +198,7 @@ object KaerQuery {
     // converged content, not checkpoint resumption
     for (p <- Seq("store", "store_tmp", "store_bak", "ckpt"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$p"), true)
-    val q = coll.watchStream(Map("maxFilesPerTrigger" -> "1"))
+    val q = coll.watchStream(Map("maxFilesPerTrigger" -> "16"))
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
