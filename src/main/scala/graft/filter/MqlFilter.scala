@@ -321,13 +321,26 @@ object MqlFilter {
         s"unsupported collation option: ${e.getKey} (locale/strength)"))
     val locale = Option(n.get("locale")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("collation requires locale"))
-    require(locale == "en" || locale == "simple",
-      s"unsupported collation locale: $locale (en/simple only — other " +
-        "locales need an ICU collation table; loud by contract)")
     val strength = Option(n.get("strength")).map(_.asInt()).getOrElse(3)
     require(strength >= 1 && strength <= 3,
       s"unsupported collation strength: $strength " +
-        "(1/2 = case-insensitive, 3 = default codepoint)")
+        "(1 = primary/fold, 2 = case-insensitive, 3 = default codepoint)")
+    // en/simple are exact at every supported strength. At STRENGTH 1
+    // the Latin-1 primary fold is locale-INDEPENDENT for the Western
+    // European locales that keep ICU root's primary weights (r13), so
+    // they are exact too. Locales that TAILOR primary/case stay loud:
+    // Nordic (æ/ø/å are distinct primary letters in da/no/sv, å→a
+    // would corrupt), Turkish (dotless-ı case mapping), and anything
+    // else without a verified table.
+    val primaryRootLocales =
+      Set("en", "simple", "fr", "de", "es", "it", "pt", "nl")
+    require(locale == "en" || locale == "simple" ||
+      (strength == 1 && primaryRootLocales.contains(locale)),
+      s"unsupported collation locale: $locale at strength $strength " +
+        "(en/simple at any strength; fr/de/es/it/pt/nl at strength 1 " +
+        "only — their secondary/tertiary tailorings need a real ICU " +
+        "table; Nordic/Turkish tailor PRIMARY weights and are loud at " +
+        "every strength)")
     Collation(locale, strength)
   }
 

@@ -371,7 +371,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"word": 1, "did": 1}},
         | {"$project": {"doc_id": 1, "word": "$word"}}
         |]""".stripMargin,
-      """{"locale": "en", "strength": 1}""")
+      // locale fr exercises the r13 widening: Latin-1 primary is
+      // locale-independent across the ICU-root Western locales
+      """{"locale": "fr", "strength": 1}""")
 
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per

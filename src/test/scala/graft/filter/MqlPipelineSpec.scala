@@ -850,12 +850,31 @@ class MqlPipelineSpec extends SparkTestBase {
       """{"locale": "en", "strength": 3}""")
       .collect().map(_.getLong(0)).toSeq
     assert(cs == Seq(4L))
-    // loud: unsupported locale, $group under CI collation, $expr
+    // loud: unsupported locale/strength combos, $group under CI, $expr
+    // (fr default strength 3 needs a real ICU table; fr strength 1 is
+    // the locale-independent Latin-1 primary fold — allowed r13;
+    // Nordic tailors PRIMARY weights: loud at every strength)
     val loc = intercept[IllegalArgumentException] {
       MqlPipeline.aggregateCollated(cdf, col("meta"),
         """[{"$match": {"k": "x"}}]""", """{"locale": "fr"}""")
     }
     assert(loc.getMessage.contains("locale"), loc.getMessage)
+    val nordic = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregateCollated(cdf, col("meta"),
+        """[{"$match": {"k": "x"}}]""",
+        """{"locale": "sv", "strength": 1}""")
+    }
+    assert(nordic.getMessage.contains("locale"), nordic.getMessage)
+    val frFold = Seq(
+      (1L, """{"k": "déjà"}"""), (2L, """{"k": "DEJA"}"""),
+      (3L, """{"k": "dija"}""")
+    ).toDF("id", "meta")
+    val fr1 = MqlPipeline.aggregateCollated(frFold, col("meta"),
+      """[{"$match": {"k": "deja"}}, {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1}}]""".stripMargin,
+      """{"locale": "fr", "strength": 1}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(fr1 == Seq(1L, 2L), fr1.toString)
     val grp = intercept[IllegalArgumentException] {
       MqlPipeline.aggregateCollated(cdf, col("meta"),
         """[{"$group": {"_id": "$k", "n": {"$sum": 1}}}]""",
