@@ -57,7 +57,7 @@ object Dedup {
 
   /** documents ∪ tail-truncated copies of every 5th doc — near-dups with
     * high (but not 1.0) shingle overlap. */
-  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     d.select(col("doc_id").as("id"), col("text"))
       .unionAll(d.filter(col("doc_id") % 5 === 0)
@@ -151,13 +151,24 @@ object Dedup {
     * (which would leak the override into any concurrently-planned dedup
     * query on the same session). */
   private def bandedSignatures(corpus: DataFrame, k: Int,
-      bands: Int): DataFrame = {
-    val rows = k / bands
-    val sigsh = corpus
+      bands: Int): DataFrame =
+    bandSigs(signatureFrame(corpus, k), k, bands)
+
+  /** The per-doc (id, sig, sh) MinHash signature frame — the part of
+    * the LSH pipeline that is BANDING-INDEPENDENT: materialize it once
+    * and every band dial re-groups it for free (what [[dedupLshSweep]]
+    * does, and what a 100 TB corpus would persist). */
+  private def signatureFrame(corpus: DataFrame, k: Int): DataFrame =
+    corpus
       .select(col("id"),
         minhashShingles(tokens(col("text")), 3, k).as("ss"))
       .select(col("id"), col("ss.sig").as("sig"), col("ss.sh").as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Band-hash a signature frame under a (k, bands) dial. */
+  private def bandSigs(sigsh: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val rows = k / bands
     val bandHashes = array((0 until bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(i =>
         element_at(col("sig"), b * rows + i + 1)): _*))
@@ -197,8 +208,11 @@ object Dedup {
   }
 
   private[graft] def lshCandidates(corpus: DataFrame, k: Int,
-      bands: Int): DataFrame = {
-    bandedSignatures(corpus, k, bands)
+      bands: Int): DataFrame =
+    candidatesFromBands(bandedSignatures(corpus, k, bands))
+
+  private def candidatesFromBands(banded: DataFrame): DataFrame = {
+    banded
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -830,6 +844,31 @@ object Dedup {
     * shares one definition with the default-dial oracles. */
   private def lshOracleCtes: String = lshOracleCtes(MinhashK, Bands)
 
+  /** One dial row of the [[dedupLshSweep]] oracle — the lsh_eval body
+    * under a NON-default banding of the same 12-row signature, with
+    * the dial as literal columns. */
+  private def lshSweepDialSql(bands: Int): String =
+    s"""SELECT * FROM (WITH corpus AS ($nearCorpusSql),
+       |${lshOracleCtes(12, bands)},
+       |ex AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sh0 a JOIN sh0 b ON a.id < b.id
+       |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+       |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+       |lp AS (SELECT id_a, id_b
+       |  FROM cand JOIN sh0 a ON a.id = cand.id_a
+       |    JOIN sh0 b ON b.id = cand.id_b
+       |  WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
+       |    len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))),
+       |c AS (SELECT count(*) AS n FROM ex JOIN lp USING (id_a, id_b)),
+       |ne AS (SELECT count(*) AS n FROM ex),
+       |nl AS (SELECT count(*) AS n FROM lp)
+       |SELECT CAST($bands AS BIGINT) AS bands,
+       |  CAST(${12 / bands} AS BIGINT) AS rows_per_band,
+       |  ne.n AS n_exact, nl.n AS n_lsh, c.n AS n_common,
+       |  (c.n * 1000000) // ne.n AS recall_ppm,
+       |  (c.n * 1000000) // nl.n AS precision_ppm
+       |FROM ne, nl, c)""".stripMargin
+
   private def lshOracleCtes(k: Int, bands: Int): String = {
     val rows = k / bands
     val toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -910,6 +949,44 @@ object Dedup {
       .select(col("n_exact"), col("n_lsh"), col("n_common"),
         expr("n_common * 1000000 DIV n_exact").as("recall_ppm"),
         expr("n_common * 1000000 DIV n_lsh").as("precision_ppm"))
+  }
+
+  /** LSH DIAL SWEEP (r13) — [[dedupLshEval]] across the band dial: the
+    * recall/precision of THREE bandings of the same 12-row MinHash
+    * signature (2×6 / 4×3 / 6×2 bands×rows — the tight→loose ladder)
+    * against the exact-Jaccard ground truth, one row per dial. This is
+    * the pre-flight CURVE an operator reads before spending a 100 TB
+    * pass: fewer rows per band → higher recall AND higher candidate
+    * volume; the sweep prices both sides of that trade under the
+    * oracle instead of trusting the 1−(1−s^r)^b formula's idealized
+    * independence. Ground truth and each dial's pair set are
+    * localCheckpointed before the metric joins — each is referenced by
+    * several aggregates, and pair sets are tiny (the audited operators
+    * already bounded them) where their LINEAGE is the full corpus
+    * pass. */
+  def dedupLshSweep(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearCorpus(s, dir)
+    val ex = dedupJaccardExact(s, dir).localCheckpoint()
+    val nEx = ex.agg(count(lit(1)).as("n_exact"))
+    // ONE signature pass serves every dial — banding is a re-group
+    val sigs = signatureFrame(corpus, 12).localCheckpoint()
+    val dials = Seq(2, 4, 6)
+    dials.map { bands =>
+      val cand = candidatesFromBands(bandSigs(sigs, 12, bands))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val union = size(col("sh_a")) + size(col("sh_b")) - inter
+      val lp = cand.filter(inter * 2 >= union)
+        .select("id_a", "id_b").localCheckpoint()
+      val nLp = lp.agg(count(lit(1)).as("n_lsh"))
+      val nBoth = ex.join(lp, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      nEx.crossJoin(nLp).crossJoin(nBoth)
+        .select(lit(bands.toLong).as("bands"),
+          lit((12 / bands).toLong).as("rows_per_band"),
+          col("n_exact"), col("n_lsh"), col("n_common"),
+          expr("n_common * 1000000 DIV n_exact").as("recall_ppm"),
+          expr("n_common * 1000000 DIV n_lsh").as("precision_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("bands")
   }
 
   def dedupJaccardExact(s: SparkSession, dir: String): DataFrame = {
@@ -1633,6 +1710,9 @@ object Dedup {
          |WHERE 2 * len(list_intersect(a.shh, b.shh)) >=
          |  len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_lsh_sweep" -> (Seq(2, 4, 6).map(lshSweepDialSql)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY bands")),
     // the eval re-derives both pair sets through the SAME CTE chain
     // and counts the overlap
     "dedup_lsh_eval" ->
@@ -1761,6 +1841,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_jaccard_exact" -> (dedupJaccardExact _),
     "dedup_lsh_eval" -> (dedupLshEval _),
+    "dedup_lsh_sweep" -> (dedupLshSweep _),
     "dedup_contaminate" -> (dedupContaminate _),
     "dedup_ngram_contaminate" -> (dedupNgramContaminate _),
     "dedup_substring" -> (dedupSubstring _),
