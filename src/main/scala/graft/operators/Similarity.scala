@@ -96,6 +96,47 @@ object Similarity {
       .select("vec_id", "label")
   }
 
+  /** IVF nprobe SWEEP (r13) — the ANN twin of the LSH band-dial sweep:
+    * recall@10 AND rows-scanned of the IVF probe at nprobe ∈
+    * {1,2,4,8,16} against the exact top-10, one row per dial. This is
+    * the cost/recall CURVE an operator reads before dialing a 100 TB
+    * ANN deployment: nprobe trades scan fraction for recall, and the
+    * sweep prices both sides under the oracle (nprobe = nlist = 16 is
+    * the full scan — recall 1000‰ by construction, the anchor row).
+    * ONE centroid-assignment pass serves every dial
+    * (localCheckpointed — assignment is the corpus-width work; a probe
+    * re-dial is a partition filter, which is exactly why production
+    * IVF lists persist partitioned by cid). */
+  def annNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (cents, q) = IvfIndex.fixedCentroidsAndQuery(e)
+    val qlit = array(q.map(lit(_)): _*)
+    val assigned = e
+      .withColumn("cid", IvfIndex.assignCid(cents.toSeq, col("embedding")))
+      .filter(col("vec_id") =!= 77)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+      .localCheckpoint()
+    val exact = assigned
+      .withColumn("d", l2Sq(col("embedding"), qlit))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").localCheckpoint()
+    val order = cents
+      .map { case (cid, cv) => (cid, IvfIndex.l2sqLocal(cv, q)) }
+      .sortBy { case (cid, dq) => (dq, cid) }.map(_._1)
+    Seq(1, 2, 4, 8, 16).map { np =>
+      val probes = order.take(np)
+      val cand = assigned.filter(col("cid").isin(probes: _*))
+      val approx = cand
+        .withColumn("d", l2Sq(col("embedding"), qlit))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select("vec_id")
+      approx.join(exact, "vec_id").agg(count(lit(1)).as("hits"))
+        .crossJoin(cand.agg(count(lit(1)).as("scanned")))
+        .select(lit(np.toLong).as("nprobe"), col("scanned"),
+          col("hits"), (col("hits") * 100L).as("recall_pm"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** Two-stage ANN: a COARSE distance over the first 16 dims prunes the
     * corpus to 50 candidates, then the exact 64-dim distance re-ranks to
     * the final top-10 — the truncated-dimension ("matryoshka"-style)
@@ -720,6 +761,41 @@ object Similarity {
          |WHERE cid IN (SELECT cid FROM probes) AND vec_id <> 77
          |ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10""".stripMargin,
     "rag_maxsim" -> ragMaxsimOracle,
+    "ann_nprobe_sweep" -> {
+      val dialBlocks = Seq(1, 2, 4, 8, 16).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, sc$np.n AS scanned,
+           |  h$np.hits, CAST(h$np.hits * 100 AS BIGINT) AS recall_pm
+           |FROM
+           |  (SELECT count(*) AS hits FROM
+           |    (SELECT vec_id FROM assigned, q
+           |     WHERE cid IN (SELECT cid FROM cents, q
+           |       ORDER BY ${sqlL2("cv", "qv")} ASC, cid ASC LIMIT $np)
+           |     ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC
+           |     LIMIT 10) a JOIN exact USING (vec_id)) h$np,
+           |  (SELECT count(*) AS n FROM assigned
+           |   WHERE cid IN (SELECT cid FROM cents, q
+           |     ORDER BY ${sqlL2("cv", "qv")} ASC, cid ASC LIMIT $np))
+           |    sc$np""".stripMargin
+      }
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 77),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlL2("e.embedding", "c.cv")} ASC, c.cid ASC)
+         |        AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1 AND vec_id <> 77),
+         |exact AS (
+         |  SELECT vec_id FROM embeddings, q WHERE vec_id <> 77
+         |  ORDER BY ${sqlL2("embedding", "qv")} ASC, vec_id ASC LIMIT 10)
+         |SELECT * FROM (
+         |""".stripMargin +
+        dialBlocks.mkString("\nUNION ALL\n") +
+        "\n) ORDER BY nprobe"
+    },
     "ann_recall_report" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |cents AS (SELECT vec_id AS cid, embedding AS cv
@@ -868,6 +944,7 @@ object Similarity {
     "rag_retrieve" -> (ragRetrieve _),
     "rag_hybrid_rrf" -> (ragHybridRrf _),
     "rag_eval_metrics" -> (ragEvalMetrics _),
+    "ann_nprobe_sweep" -> (annNprobeSweep _),
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
