@@ -1117,12 +1117,85 @@ final class Collection(
   def changeStreamEnabled: Boolean = captureChanges
 
   private def nextOpTime(): Long = 1L + lastOpTime.getOrElse {
-    // reopened handle: recover the sequence from the log itself
+    // reopened handle: recover the sequence from the log itself — the
+    // compaction floor keeps the sequence monotone even when the whole
+    // log was trimmed (an empty compacted log must NOT restart at 1:
+    // old resume tokens would silently alias new events)
     spark.read.schema(changeSchema).parquet(changesDir)
       .agg(max(col("op_time"))).head() match {
-      case Row(null) => 0L
-      case Row(v: Long) => v
+      case Row(null) => readChangeFloor()
+      case Row(v: Long) => math.max(v, readChangeFloor())
     }
+  }
+
+  // ---- change-log compaction (r13) ---------------------------------
+  // The log is append-only; an unbounded oplog is an operational
+  // liability (Mongo caps its oplog window for the same reason).
+  // compactChangeLog trims events at/below a resume token and records
+  // the trim point as the log FLOOR — resume tokens at/below the floor
+  // are invalidated loudly (Mongo's resume-token-past-oplog-start
+  // error): a resumed watch that cannot prove it missed nothing must
+  // re-sync from the collection, never silently skip.
+  private var changeFloor: Option[Long] = None
+  private def floorPath = new Path(changesDir, "_floor")
+
+  private def readChangeFloor(): Long = changeFloor.getOrElse {
+    val fs = floorPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v =
+      if (!fs.exists(floorPath)) 0L
+      else {
+        val in = fs.open(floorPath)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        } catch { case _: NumberFormatException => 0L }
+        finally in.close()
+      }
+    changeFloor = Some(v)
+    v
+  }
+
+  private def writeChangeFloor(dirPath: Path, v: Long): Unit = {
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dirPath, "_floor"), true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Trim the change log: drop every event with `op_time <=
+    * retainAfter` and set the log floor there. Copy-on-write tmp+swap
+    * like [[rewriteData]] (underscore-prefixed floor marker rides the
+    * directory, invisible to the parquet scans). Floors never move
+    * backwards. Scale: the rewrite reads only the RETAINED tail — at
+    * a production cadence (compact up to the slowest consumer's
+    * checkpoint) that is the small live window, and the trimmed
+    * history is one directory delete. */
+  def compactChangeLog(retainAfter: Long): Unit = {
+    require(captureChanges,
+      s"change stream not enabled for collection '$name' — nothing " +
+        "to compact")
+    val newFloor = math.max(retainAfter, readChangeFloor())
+    val fs = new Path(changesDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "changes_compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.schema(changeSchema).parquet(changesDir)
+      .filter(col("op_time") > retainAfter)
+      .write.parquet(tmp.toString)
+    writeChangeFloor(tmp, newFloor)
+    val old = new Path(dir, "changes_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(new Path(changesDir), old))
+      throw new java.io.IOException(s"change-log compact: rename " +
+        s"$changesDir -> $old failed")
+    if (!fs.rename(tmp, new Path(changesDir)))
+      throw new java.io.IOException(s"change-log compact: rename " +
+        s"$tmp -> $changesDir failed")
+    fs.delete(old, true)
+    changeFloor = Some(newFloor)
   }
 
   private def appendChangeEvents(t: Long, events: DataFrame): Unit = {
@@ -1141,6 +1214,11 @@ final class Collection(
       s"change stream not enabled for collection '$name' — call " +
         "enableChangeStream() first; events are captured from that " +
         "point on (no retroactive replay)")
+    require(resumeAfter >= readChangeFloor(),
+      s"resume token $resumeAfter predates the compacted change-log " +
+        s"start (floor ${readChangeFloor()}) for collection '$name' — " +
+        "a resumed watch cannot prove nothing was missed; re-sync " +
+        "from the collection and resume from a current token")
     spark.read.schema(changeSchema).parquet(changesDir)
       .filter(col("op_time") > resumeAfter)
   }

@@ -1027,6 +1027,48 @@ class KaerSpec extends SparkTestBase {
     assert(empty.getMessage.contains("seed"), empty.getMessage)
   }
 
+  test("change-log compaction: trims below the token, floors resume, " +
+      "keeps the op_time sequence monotone across reopen") {
+    val root = tmpDir("kaer-oplog")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a", "b"))
+      .withMetadatas(Seq(Map("g" -> 1), Map("g" -> 2))))
+    c.enableChangeStream()
+    c.updateDoc("""{"g": 1}""", """{"$set": {"s": 1}}""") // op 1
+    c.updateDoc("""{"g": 2}""", """{"$set": {"s": 2}}""") // op 2
+    c.delete("""{"g": 1}""")                              // op 3
+    c.insert(Data().withDocuments(Seq("d")))              // op 4
+    assert(c.watch().count() == 4)
+    c.compactChangeLog(2)
+    // retained tail only, resumable from the floor exactly
+    assert(c.watch(2).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // tokens at/below... below the floor are invalid (Mongo's
+    // resume-past-oplog-start error); the floor itself still works
+    val stale = intercept[IllegalArgumentException] { c.watch(1) }
+    assert(stale.getMessage.contains("floor"), stale.getMessage)
+    val full = intercept[IllegalArgumentException] { c.watch() }
+    assert(full.getMessage.contains("floor"), full.getMessage)
+    // floors never move backwards
+    c.compactChangeLog(1)
+    assert(c.watch(2).count() == 2)
+    // compact EVERYTHING: empty log is fine, sequence must not restart
+    c.compactChangeLog(4)
+    assert(c.watch(4).count() == 0)
+    c.insert(Data().withDocuments(Seq("e")))              // op 5, not 1
+    assert(c.watch(4).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // a REOPENED handle recovers both the floor and the sequence from
+    // the trimmed log
+    val k2 = newSession(root)
+    val r = k2.getCollection("c")
+    val stale2 = intercept[IllegalArgumentException] { r.watch(3) }
+    assert(stale2.getMessage.contains("floor"), stale2.getMessage)
+    r.updateDoc("""{"g": 2}""", """{"$set": {"s": 9}}""") // op 6
+    assert(r.watch(4).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(5L, 6L))
+  }
+
   test("transaction: staged lineage stays O(1)-deep across a 20-op " +
       "battery (localCheckpoint truncation, not O(N^2) recompute)") {
     val k = newSession(tmpDir("kaer-txn-depth"))
