@@ -37,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-size the heap: lazy expansion of a large -Xmx stalls the first
+  // big-allocation queries for tens of seconds (measured: the sf1
+  // suite's first levenshtein gate at 40 s vs 4.9 s steady-state)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -211,8 +211,24 @@ object Dedup {
       bands: Int): DataFrame =
     candidatesFromBands(bandedSignatures(corpus, k, bands))
 
+  /** Pin the bucket shuffle at the session's shuffle-partition width
+    * with an EXPLICIT numPartitions (r13): AQE coalesces post-shuffle
+    * partitions by BYTES, and the in-bucket pair expansion is tiny in
+    * bytes but quadratic in CPU — measured at sf1, AQE sporadically
+    * coalesced this stage to ONE task (21 s single-thread expansion,
+    * 2 subtree executions = the dedup_edit_distance 40 s stalls).
+    * A user-specified numPartitions is never coalesced; the groupBy
+    * right after is distribution-satisfied, so the plan still has
+    * exactly one exchange. */
+  private def pinBuckets(banded: DataFrame, cols: Seq[Column])
+      : DataFrame = {
+    val n = banded.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    banded.repartition(n, cols: _*)
+  }
+
   private def candidatesFromBands(banded: DataFrame): DataFrame = {
-    banded
+    pinBuckets(banded, Seq(col("band"), col("bh")))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .filter(size(col("ms")) > 1)
@@ -223,6 +239,30 @@ object Dedup {
             a("sh").as("sh_a"), b("sh").as("sh_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** ID-ONLY candidate pairs (r13) — the [[lshCandidates]] banding with
+    * the shingle arrays LEFT OUT of the bucket collect and the pair
+    * expansion: consumers that verify by a different metric
+    * ([[dedupEditDistance]] joins texts back by id) never need them,
+    * and carrying two ~50-element hash arrays per pair through the
+    * in-bucket quadratic expansion was this family's dominant
+    * allocation (at sf1 the humongous bucket arrays intermittently
+    * drove ~40 s full-GC stalls on a 48g heap; ids-only buckets are
+    * ~50× smaller). */
+  private[graft] def lshCandidateIds(corpus: DataFrame): DataFrame = {
+    val (k, bands) = textDials(corpus.sparkSession)
+    pinBuckets(bandedSignatures(corpus, k, bands),
+        Seq(col("band"), col("bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .withColumn("ms", guardBucket(col("ms"), "text"))
+      .select(explode(flatten(transform(col("ms"), a =>
+        transform(filter(col("ms"), b => b > a), b =>
+          struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -336,7 +376,14 @@ object Dedup {
     * in Spark's levenshtein() and DuckDB's. */
   def dedupEditDistance(s: SparkSession, dir: String): DataFrame = {
     val corpus = nearCorpus(s, dir)
-    val cand = lshCandidates(corpus).select("id_a", "id_b")
+    // materialize the (small, bucket-capped) candidate pair set before
+    // the text join-backs: the joins broadcast it, and a broadcast
+    // build over the live LSH lineage sporadically re-executed the
+    // WHOLE shingle+minhash pipeline single-threaded inside the
+    // broadcast thread (measured at sf1: two 18 s one-task stages =
+    // the 40 s runs; with the checkpoint the build collects 13k
+    // materialized rows)
+    val cand = lshCandidateIds(corpus).localCheckpoint()
     val txt = corpus.select(col("id"), col("text"))
     cand
       .join(txt.select(col("id").as("id_a"), col("text").as("ta")), "id_a")
@@ -939,6 +986,9 @@ object Dedup {
     * band/row dial; the eval joins two pair sets, cost = the two
     * operators it audits. */
   def dedupLshEval(s: SparkSession, dir: String): DataFrame = {
+    // NOT checkpointed (measured): exchange reuse shares each pair
+    // set's lineage across its count and the overlap join — live is
+    // 3.5 s at sf0.1 where eager materialization costs 5.3 s
     val ex = dedupJaccardExact(s, dir)
     val lp = dedupMinhashLsh(s, dir)
     val nEx = ex.agg(count(lit(1)).as("n_exact"))
@@ -999,6 +1049,10 @@ object Dedup {
     // boilerplate shingles sit in suffixes, generating no candidates).
     // The verify's array_intersect is order-independent, so only the
     // prefix selection depends on the ordering.
+    // NOT checkpointed (measured): exchange reuse already shares the
+    // set-build shuffle across the prefix self-join and the verify
+    // join-backs — an eager materialization pass costs more than it
+    // saves here (sf1: 5.2 s live vs 8.7 s checkpointed)
     val sets = ex.join(cnt, "g")
       .select(col("id"),
         struct(col("c"), md5Hash60(col("g")).as("h")).as("e"))
