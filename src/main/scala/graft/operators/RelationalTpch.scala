@@ -25,6 +25,35 @@ private[graft] trait RelationalTpch { this: Relational.type =>
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin
 
+  /** TPC-H Q3 (shipping priority, r13 — the one join shape the battery
+    * was missing): unshipped-revenue top-10 for one market segment —
+    * the canonical dimension-filter → 3-way join → group → top-k
+    * plan (broadcast the filtered customer side, one orderkey
+    * shuffle, TakeOrderedAndProject). Adapted columns: this corpus
+    * has no o_shippriority, so o_orderpriority rides in its place;
+    * revenue in exact per-row cents (the battery's float discipline);
+    * ties broken by (o_orderdate, l_orderkey) for a total order. */
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-15'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  def sqlTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(n)
+    s.sql(q3Sql)
+  }
+
   /** TPC-H Q4 flavor (order priority checking): orders in a quarter with
     * at least one late-shipping line (EXISTS against the fact table —
     * decorrelates to a hash left-semi), counted per priority. Adapted to
@@ -665,6 +694,7 @@ private[graft] trait RelationalTpch { this: Relational.type =>
 
   protected def tpchOracle: Map[String, String] = Map(
     "sql_recursive_cte" -> recursiveCteSql,
+    "sql_tpch_q3" -> q3Sql,
     "sql_tpch_q5" -> q5Sql,
     "sql_tpch_q7" -> q7Sql,
     "sql_tpch_q4" -> q4Sql,
@@ -712,6 +742,7 @@ private[graft] trait RelationalTpch { this: Relational.type =>
     "sql_keyset_page" -> (keysetPage _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_lateral" -> (sqlLateral _),
+    "sql_tpch_q3" -> (sqlTpchQ3 _),
     "sql_tpch_q5" -> (sqlTpchQ5 _),
     "sql_tpch_q7" -> (sqlTpchQ7 _),
     "sql_tpch_q4" -> (sqlTpchQ4 _),
