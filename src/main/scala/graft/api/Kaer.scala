@@ -765,7 +765,12 @@ final class Collection(
     val dataP = new Path(dataDir)
     val oldP = new Path(dir, "data_old")
     if (!fsr.exists(dataP) && fsr.exists(oldP)) fsr.rename(oldP, dataP)
-    captureChanges = fsr.exists(new Path(dir, "changes"))
+    // same crash-window repair for compactChangeLog()'s swap: a crash
+    // between its two renames leaves the log stranded at changes_old
+    val chP = new Path(dir, "changes")
+    val chOldP = new Path(dir, "changes_old")
+    if (!fsr.exists(chP) && fsr.exists(chOldP)) fsr.rename(chOldP, chP)
+    captureChanges = fsr.exists(chP)
     val meta = Meta.read(spark, dir)
     val sidecarLast = meta.map(_.lastId).getOrElse(0L)
     val dataMax = maxIdInData()
@@ -1116,16 +1121,23 @@ final class Collection(
     * handle — the changes dir is the durable switch). */
   def changeStreamEnabled: Boolean = captureChanges
 
-  private def nextOpTime(): Long = 1L + lastOpTime.getOrElse {
-    // reopened handle: recover the sequence from the log itself — the
-    // compaction floor keeps the sequence monotone even when the whole
-    // log was trimmed (an empty compacted log must NOT restart at 1:
-    // old resume tokens would silently alias new events)
-    spark.read.schema(changeSchema).parquet(changesDir)
-      .agg(max(col("op_time"))).head() match {
-      case Row(null) => readChangeFloor()
-      case Row(v: Long) => math.max(v, readChangeFloor())
+  private def nextOpTime(): Long = {
+    val base = lastOpTime.getOrElse {
+      // reopened handle: recover the sequence from the log itself — the
+      // compaction floor keeps the sequence monotone even when the whole
+      // log was trimmed (an empty compacted log must NOT restart at 1:
+      // old resume tokens would silently alias new events)
+      spark.read.schema(changeSchema).parquet(changesDir)
+        .agg(max(col("op_time"))).head() match {
+        case Row(null) => 0L
+        case Row(v: Long) => v
+      }
     }
+    // max with the CURRENT floor even on the live path: a compaction
+    // (this handle's or another's) may have raised the floor past this
+    // handle's lastOpTime, and an event minted below the floor would be
+    // invisible to every floor-valid watch() — silently lost
+    1L + math.max(base, readChangeFloor())
   }
 
   // ---- change-log compaction (r13) ---------------------------------
@@ -1136,25 +1148,33 @@ final class Collection(
   // are invalidated loudly (Mongo's resume-token-past-oplog-start
   // error): a resumed watch that cannot prove it missed nothing must
   // re-sync from the collection, never silently skip.
-  private var changeFloor: Option[Long] = None
   private def floorPath = new Path(changesDir, "_floor")
 
-  private def readChangeFloor(): Long = changeFloor.getOrElse {
+  /** The compaction floor, read from the filesystem EVERY call (no
+    * handle-local cache): a second handle on the same directory may
+    * compact the log, and a stale cached floor would let
+    * watch(resumeAfter) pass the floor check and silently return a
+    * partial stream — the exact silent-skip the floor exists to
+    * prevent. The file is a few bytes; the read is noise next to any
+    * parquet scan. Read with a fill loop — FSDataInputStream.read may
+    * return short counts, and truncated digits would parse a SMALLER
+    * floor, re-opening the silent-resume window. */
+  private def readChangeFloor(): Long = {
     val fs = floorPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v =
-      if (!fs.exists(floorPath)) 0L
-      else {
-        val in = fs.open(floorPath)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        } catch { case _: NumberFormatException => 0L }
-        finally in.close()
-      }
-    changeFloor = Some(v)
-    v
+    if (!fs.exists(floorPath)) 0L
+    else {
+      val in = fs.open(floorPath)
+      try {
+        val buf = new Array[Byte](64)
+        var off = 0
+        var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+          off += n
+        new String(buf, 0, off,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } catch { case _: NumberFormatException => 0L }
+      finally in.close()
+    }
   }
 
   private def writeChangeFloor(dirPath: Path, v: Long): Unit = {
@@ -1180,6 +1200,15 @@ final class Collection(
     val newFloor = math.max(retainAfter, readChangeFloor())
     val fs = new Path(changesDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // Empty log (capture enabled, nothing written yet — the dir holds
+    // at most the _floor marker): nothing to rewrite; just advance the
+    // floor in place. Guards the parquet read AND skips a no-op swap.
+    val hasEvents = fs.exists(new Path(changesDir)) &&
+      fs.listStatus(new Path(changesDir)).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (!hasEvents) { writeChangeFloor(new Path(changesDir), newFloor); return }
     val tmp = new Path(dir, "changes_compact")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.schema(changeSchema).parquet(changesDir)
@@ -1191,11 +1220,12 @@ final class Collection(
     if (!fs.rename(new Path(changesDir), old))
       throw new java.io.IOException(s"change-log compact: rename " +
         s"$changesDir -> $old failed")
-    if (!fs.rename(tmp, new Path(changesDir)))
+    if (!fs.rename(tmp, new Path(changesDir))) {
+      fs.rename(old, new Path(changesDir)) // roll back, like rewriteData
       throw new java.io.IOException(s"change-log compact: rename " +
         s"$tmp -> $changesDir failed")
+    }
     fs.delete(old, true)
-    changeFloor = Some(newFloor)
   }
 
   private def appendChangeEvents(t: Long, events: DataFrame): Unit = {

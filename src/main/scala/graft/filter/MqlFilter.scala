@@ -305,7 +305,10 @@ object MqlFilter {
     else lower(c)
 
   private[graft] def foldLit(s: String, fold: Boolean): String = {
-    val lo = s.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent; a Turkish
+    // default JVM locale would otherwise fold 'I' to dotless-ı here
+    // and disagree with the column side.
+    val lo = s.toLowerCase(java.util.Locale.ROOT)
     if (!fold) lo
     else lo.map { ch =>
       val i = DiaFrom.indexOf(ch)

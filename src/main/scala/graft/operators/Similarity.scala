@@ -374,9 +374,14 @@ object Similarity {
       .select(col("doc_id"), col("rrf"), col("lex_rank"), col("vec_rank"))
   }
 
-  /** Query ids for [[ragEvalMetrics]]'s dense-leg evaluation — the
-    * fusion leg stays on 42 (the [[ragHybridRrf]] dial). */
-  private val EvalQids = Seq(7L, 42L, 101L)
+  /** Dense-leg query panel width for [[ragEvalMetrics]]: the
+    * [[EvalQPerLabel]] LOWEST vec_ids of EVERY cluster label (30
+    * queries at the corpus's 10 labels, at every SF) — derived from
+    * the data, not a literal id list, so the panel spans all labels
+    * at any scale and the macro numbers stop depending on 3 lucky
+    * draws (r13's smoke-sized eval). The fusion leg stays on 42 (the
+    * [[ragHybridRrf]] dial). */
+  private val EvalQPerLabel = 3
 
   /** IR-EVAL metrics gate (r13) — the measurement loop for the
     * retrieval stack, the [[Dedup.dedupLshEval]] stance applied to
@@ -398,50 +403,93 @@ object Similarity {
     * the scan. */
   def ragEvalMetrics(s: SparkSession, dir: String): DataFrame = {
     val k = RagK
-    def evalOne(sys: String, qid: Long, ranking: DataFrame): DataFrame = {
-      val e = emb(s, dir)
-      val qlab = e.filter(col("vec_id") === qid)
-        .select(col("label").as("qlab"))
-      val rel = e.crossJoin(broadcast(qlab))
-        .filter(col("vec_id") =!= qid && col("label") === col("qlab"))
-        .select(col("vec_id").as("doc_id"))
-      val nRel = rel.agg(count(lit(1)).as("n_rel"))
-      val hits = rel.join(broadcast(ranking), "doc_id")
-        .agg(count(lit(1)).as("hits"),
-          min(col("rank")).as("first_rank"),
-          sort_array(collect_list(col("rank"))).as("hit_ranks"))
-      hits.crossJoin(nRel)
-        .select(
-          lit(sys).as("system"), lit(qid).as("qid"),
-          col("n_rel"), col("hits"),
-          expr("hits * 1000000 DIV n_rel").as("recall_ppm"),
-          expr(s"hits * 1000000 DIV $k").as("precision_ppm"),
-          coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_ppm"),
-          // binary-gain nDCG@k: DCG over hit ranks, IDCG over the
-          // first min(k,|R|) ranks, both folded ascending
-          expr(s"""CAST(round(
-            aggregate(hit_ranks, CAST(0.0 AS DOUBLE),
-              (acc, r) -> acc + ln(2) / ln(r + 1)) /
-            aggregate(sequence(1, least($k, n_rel)), CAST(0.0 AS DOUBLE),
-              (acc, r) -> acc + ln(2) / ln(r + 1)) * 1000000)
-            AS BIGINT)""").as("ndcg_micro"))
-    }
+    val e = emb(s, dir)
+    // n_rel = 0 (a unique label) is guarded EXPLICITLY on both engines:
+    // unguarded, Spark's sequence(1, least(k, 0)) yields the descending
+    // [1, 0] (Infinity IDCG) while DuckDB's generate_series(1, 0) is
+    // empty (NULL), and the recall division is NULL in Spark but an
+    // error in DuckDB — a silent engine divergence. Zero relevant docs
+    // ⇒ every metric is 0 by definition, on both sides.
+    def metricCols(sys: Column, qid: Column): Seq[Column] = Seq(
+      sys.as("system"), qid.as("qid"), col("n_rel"), col("hits"),
+      when(col("n_rel") === 0, lit(0L))
+        .otherwise(expr("hits * 1000000 DIV n_rel")).as("recall_ppm"),
+      expr(s"hits * 1000000 DIV $k").as("precision_ppm"),
+      coalesce(expr("1000000 DIV first_rank"), lit(0L)).as("rr_ppm"),
+      // binary-gain nDCG@k: DCG over hit ranks (0 when none), IDCG
+      // over the first min(k,|R|) ranks, both folded ascending
+      when(col("n_rel") === 0, lit(0L)).otherwise(expr(s"""CAST(round(
+        coalesce(aggregate(hit_ranks, CAST(0.0 AS DOUBLE),
+          (acc, r) -> acc + ln(2) / ln(r + 1)), CAST(0.0 AS DOUBLE)) /
+        aggregate(sequence(1, least($k, n_rel)), CAST(0.0 AS DOUBLE),
+          (acc, r) -> acc + ln(2) / ln(r + 1)) * 1000000)
+        AS BIGINT)""")).as("ndcg_micro"))
+    // Query panel: derived from the data (see EvalQPerLabel). ~30 rows;
+    // localCheckpoint BEFORE its broadcast consumers (r13 rule:
+    // broadcast over live lineage sporadically re-executes the whole
+    // subtree single-threaded in the broadcast thread).
+    val q = e.withColumn("rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= EvalQPerLabel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlab"))
+      .localCheckpoint(true)
+    val labCnt = e.groupBy(col("label")).agg(count(lit(1)).as("lab_cnt"))
+    // ONE corpus pass scores every panel query (panel broadcast × scan)
+    // — 30 per-qid plans unioned (the r13 shape) would pay 30 scans.
+    // The rank window shuffles |E|·|panel| rows by qid; a production
+    // run swaps it for the per-query top-k heap, same contract.
+    val ranked = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosineSim(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlab"), col("vec_id").as("doc_id"),
+        col("label").as("dlab"), col("rank"))
+    val hitAgg = ranked.filter(col("dlab") === col("qlab"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"),
+        sort_array(collect_list(col("rank"))).as("hit_ranks"))
+    // left join from the panel so ZERO-hit queries keep their row
+    val perq = q.join(labCnt, q("qlab") === labCnt("label"))
+      .select(col("qid"), (col("lab_cnt") - 1).as("n_rel"))
+      .join(hitAgg, Seq("qid"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .localCheckpoint(true) // 30 rows, consumed by dense + macro
+    val dense = perq.select(metricCols(lit("dense"), col("qid")): _*)
+    // macro row: per-query metrics averaged with the same integer-DIV
+    // quantum (n_rel/hits carry the panel SUMS for auditability)
+    val macroRow = dense.agg(
+      sum(col("n_rel")).as("n_rel"), sum(col("hits")).as("hits"),
+      expr("sum(recall_ppm) DIV count(1)").as("recall_ppm"),
+      expr("sum(precision_ppm) DIV count(1)").as("precision_ppm"),
+      expr("sum(rr_ppm) DIV count(1)").as("rr_ppm"),
+      expr("sum(ndcg_micro) DIV count(1)").as("ndcg_micro"))
+      .select(lit("dense_macro").as("system"), lit(-1L).as("qid"),
+        col("n_rel"), col("hits"), col("recall_ppm"),
+        col("precision_ppm"), col("rr_ppm"), col("ndcg_micro"))
+    // fusion leg: the rrf ranking stays on the qid-42 dial
     val rrfRank = ragHybridRrf(s, dir)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), col("rank"))
-    def denseRank(qid: Long) = emb(s, dir)
-      .crossJoin(broadcast(qv(s, dir, qid)))
-      .filter(col("vec_id") =!= qid)
-      .withColumn("sim", cosineSim(col("embedding"), col("qv")))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
-      .select(col("vec_id").as("doc_id"), col("rank"))
-    val rows = evalOne("rrf", 42L, rrfRank) +:
-      EvalQids.map(q => evalOne("dense", q, denseRank(q)))
-    rows.reduce(_.unionByName(_)).orderBy("system", "qid")
+    val lab42 = e.filter(col("vec_id") === 42)
+      .select(col("label").as("qlab")).localCheckpoint(true)
+    val rrfHits = rrfRank
+      .join(e.select(col("vec_id").as("doc_id"), col("label").as("dlab")),
+        "doc_id")
+      .crossJoin(broadcast(lab42))
+      .filter(col("dlab") === col("qlab"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"),
+        sort_array(collect_list(col("rank"))).as("hit_ranks"))
+    val rrfRow = rrfHits.crossJoin(
+        lab42.join(labCnt, col("qlab") === col("label"))
+          .select((col("lab_cnt") - 1).as("n_rel")))
+      .select(metricCols(lit("rrf"), lit(42L)): _*)
+    dense.unionByName(macroRow).unionByName(rrfRow)
+      .orderBy("system", "qid")
   }
 
   /** RAG retrieval composite — the two-stage retrieve-then-rerank shape
@@ -620,54 +668,82 @@ object Similarity {
          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
          |ORDER BY rrf DESC, doc_id ASC LIMIT $RagK""".stripMargin
 
-  /** [[ragEvalMetrics]] oracle — built by CONCATENATION (each piece
-    * stripMargins itself before assembly). */
+  /** [[ragEvalMetrics]] oracle — the same set-oriented shape (panel
+    * derived per label, one scored pass, left join keeps zero-hit
+    * queries, n_rel=0 guarded, macro = integer-DIV means). Built by
+    * CONCATENATION (each piece stripMargins itself before assembly). */
   private def ragEvalMetricsSql: String = {
-    def relCte(q: Long) =
-      s"""rel$q AS (SELECT vec_id AS doc_id FROM embeddings
-         |  WHERE vec_id <> $q AND label =
-         |    (SELECT label FROM embeddings WHERE vec_id = $q))""".stripMargin
-    def denseCte(q: Long) =
-      s"""db$q AS (SELECT vec_id,
-         |    ${sqlDot("embedding", "qv")} /
-         |      nullif(sqrt(${sqlDot("embedding", "embedding")})
-         |        * sqrt(${sqlDot("qv", "qv")}), 0) AS sim
-         |  FROM embeddings,
-         |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = $q)
-         |  WHERE vec_id <> $q
-         |  ORDER BY sim DESC, vec_id ASC LIMIT $RagK),
-         |dr$q AS (SELECT vec_id AS doc_id,
-         |  CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
-         |    AS BIGINT) AS rank FROM db$q)""".stripMargin
-    def evalSel(sys: String, q: Long, rankCte: String) =
-      s"""SELECT '$sys' AS system, CAST($q AS BIGINT) AS qid,
-         |  n_rel, hits,
-         |  hits * 1000000 // n_rel AS recall_ppm,
+    // metric select over (n_rel, hits, first_rank, hit_ranks) in scope
+    def metricSql = // n_rel=0 guard mirrors the Spark side exactly
+      s"""  CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE hits * 1000000 // n_rel END AS recall_ppm,
          |  hits * 1000000 // $RagK AS precision_ppm,
          |  COALESCE(1000000 // first_rank, CAST(0 AS BIGINT)) AS rr_ppm,
-         |  CAST(round(COALESCE(list_sum(list_transform(hit_ranks,
+         |  CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(round(COALESCE(list_sum(list_transform(hit_ranks,
          |      r -> ln(2) / ln(r + 1))), 0)
          |    / list_sum(list_transform(
          |        generate_series(1, least($RagK, n_rel)),
-         |        r -> ln(2) / ln(r + 1))) * 1000000) AS BIGINT)
-         |    AS ndcg_micro
-         |FROM (SELECT count(*) AS hits, min(rank) AS first_rank,
-         |        list(rank ORDER BY rank) AS hit_ranks
-         |      FROM $rankCte r JOIN rel$q e ON r.doc_id = e.doc_id) h
-         |CROSS JOIN (SELECT count(*) AS n_rel FROM rel$q) n""".stripMargin
+         |        r -> ln(2) / ln(r + 1))) * 1000000) AS BIGINT) END
+         |    AS ndcg_micro""".stripMargin
+    val panelCtes =
+      s"""q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+         |  FROM (SELECT vec_id, embedding, label,
+         |      row_number() OVER (PARTITION BY label ORDER BY vec_id)
+         |        AS rn FROM embeddings) WHERE rn <= $EvalQPerLabel),
+         |lc AS (SELECT label, count(*) AS lab_cnt FROM embeddings
+         |  GROUP BY label),
+         |scored AS (SELECT q.qid, q.qlab, e.vec_id AS doc_id,
+         |    e.label AS dlab,
+         |    ${sqlDot("e.embedding", "q.qv")} /
+         |      nullif(sqrt(${sqlDot("e.embedding", "e.embedding")})
+         |        * sqrt(${sqlDot("q.qv", "q.qv")}), 0) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |ranked AS (SELECT qid, qlab, doc_id, dlab,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored),
+         |h AS (SELECT qid, count(*) AS hits, min(rank) AS first_rank,
+         |    list(rank ORDER BY rank) AS hit_ranks
+         |  FROM ranked WHERE rank <= $RagK AND dlab = qlab GROUP BY qid),
+         |perq AS (SELECT q.qid, lc.lab_cnt - 1 AS n_rel,
+         |    COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |    h.first_rank, h.hit_ranks
+         |  FROM q JOIN lc ON q.qlab = lc.label
+         |  LEFT JOIN h ON q.qid = h.qid),
+         |dense AS (SELECT 'dense' AS system, qid, n_rel, hits,
+         |$metricSql
+         |  FROM perq)""".stripMargin
     val rrfCtes =
       s"""rrfq AS (SELECT * FROM (
          |$rrfOracleSql
          |)),
          |rrank AS (SELECT doc_id,
          |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
-         |    AS BIGINT) AS rank FROM rrfq)""".stripMargin
-    val ctes = (EvalQids.map(relCte) ++ Seq(relCte(42L)).filterNot(_ =>
-      EvalQids.contains(42L)) ++ EvalQids.map(denseCte) :+ rrfCtes)
-      .mkString(",\n")
-    val sels = (EvalQids.map(q => evalSel("dense", q, s"dr$q")) :+
-      evalSel("rrf", 42L, "rrank")).mkString("\nUNION ALL\n")
-    s"WITH $ctes\nSELECT * FROM (\n$sels\n) ORDER BY system, qid"
+         |    AS BIGINT) AS rank FROM rrfq),
+         |q42 AS (SELECT label AS qlab FROM embeddings WHERE vec_id = 42),
+         |h42 AS (SELECT count(*) AS hits, min(rank) AS first_rank,
+         |    list(rank ORDER BY rank) AS hit_ranks
+         |  FROM rrank r JOIN embeddings e ON r.doc_id = e.vec_id, q42
+         |  WHERE e.label = q42.qlab),
+         |p42 AS (SELECT (SELECT lc.lab_cnt - 1 FROM lc, q42
+         |      WHERE lc.label = q42.qlab) AS n_rel,
+         |    hits, first_rank, hit_ranks FROM h42),
+         |rrfrow AS (SELECT 'rrf' AS system, CAST(42 AS BIGINT) AS qid,
+         |  n_rel, hits,
+         |$metricSql
+         |  FROM p42),
+         |mac AS (SELECT 'dense_macro' AS system, CAST(-1 AS BIGINT) AS qid,
+         |  CAST(sum(n_rel) AS BIGINT) AS n_rel,
+         |  CAST(sum(hits) AS BIGINT) AS hits,
+         |  CAST(sum(recall_ppm) // count(*) AS BIGINT) AS recall_ppm,
+         |  CAST(sum(precision_ppm) // count(*) AS BIGINT) AS precision_ppm,
+         |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS rr_ppm,
+         |  CAST(sum(ndcg_micro) // count(*) AS BIGINT) AS ndcg_micro
+         |  FROM dense)""".stripMargin
+    s"WITH $panelCtes,\n$rrfCtes\n" +
+      "SELECT * FROM (SELECT * FROM dense UNION ALL SELECT * FROM mac " +
+      "UNION ALL SELECT * FROM rrfrow) ORDER BY system, qid"
   }
 
   val oracle: Map[String, String] = Map(

@@ -1069,6 +1069,41 @@ class KaerSpec extends SparkTestBase {
       Seq(5L, 6L))
   }
 
+  test("change-log compaction hardening: empty-log no-op, cross-handle " +
+      "floor visibility, interrupted-swap recovery on reopen") {
+    val root = tmpDir("kaer-oplog2")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq("a"))
+      .withMetadatas(Seq(Map("g" -> 1))))
+    c.enableChangeStream()
+    // (1) compact with ZERO events written: clean floor advance, no
+    // raw path-not-found from the parquet read, no stranded swap dirs
+    c.compactChangeLog(3)
+    val stale0 = intercept[IllegalArgumentException] { c.watch(1) }
+    assert(stale0.getMessage.contains("floor"), stale0.getMessage)
+    c.updateDoc("""{"g": 1}""", """{"$set": {"s": 1}}""") // op 4 (floor 3)
+    assert(c.watch(3).collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // (2) a SECOND handle on the same directory compacts; this handle
+    // must see the new floor (no stale per-handle cache — the silent-
+    // skip the floor exists to prevent)
+    val other = newSession(root).getCollection("c")
+    other.compactChangeLog(4)
+    val stale1 = intercept[IllegalArgumentException] { c.watch(3) }
+    assert(stale1.getMessage.contains("floor"), stale1.getMessage)
+    assert(c.watch(4).count() == 0)
+    // (3) crash between compaction's two renames strands the log at
+    // changes_old; reopen must restore it (same repair as data_old)
+    c.updateDoc("""{"g": 1}""", """{"$set": {"s": 2}}""") // op 5
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val chDir = new org.apache.hadoop.fs.Path(s"$root/c/changes")
+    val chOld = new org.apache.hadoop.fs.Path(s"$root/c/changes_old")
+    assert(fs.rename(chDir, chOld)) // simulate the crash window
+    val r = newSession(root).getCollection("c")
+    assert(r.watch(4).collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("transaction: staged lineage stays O(1)-deep across a 20-op " +
       "battery (localCheckpoint truncation, not O(N^2) recompute)") {
     val k = newSession(tmpDir("kaer-txn-depth"))
