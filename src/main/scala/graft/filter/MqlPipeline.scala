@@ -2208,9 +2208,50 @@ object MqlPipeline {
                     "double formatting is engine-divergent at the " +
                     "edges")
               "string"
+            case "date" | "timestamp" =>
+              // (r14) the ISO-STRING bracket: string→timestamp via
+              // try_cast is engine-exact (both engines parse ISO-8601
+              // variants identically; garbage routes through onError).
+              // NUMERIC inputs refuse loudly: Mongo reads a long as
+              // epoch MILLIS, Spark's cast as epoch SECONDS, and
+              // DuckDB errors — three different answers. The proof is
+              // structural, like the to-string bracket.
+              import org.apache.spark.sql.types._
+              def dateBracketOk(n: JsonNode): Boolean =
+                if (n.isTextual && n.asText().startsWith("$$")) false
+                else if (n.isTextual && n.asText().startsWith("$")) {
+                  val f = n.asText().drop(1)
+                  if (cur.columns.contains(f))
+                    cur.schema(f).dataType match {
+                      case StringType | TimestampType => true
+                      case _ => false
+                    }
+                  else true // string view of the metadata document
+                } else if (n.isTextual) true // ISO literal
+                else if (n.isObject && n.properties().size() == 1) {
+                  n.properties().asScala.head.getKey match {
+                    case "$concat" | "$toUpper" | "$toLower" |
+                      "$toString" | "$trim" | "$substrCP" |
+                      "$dateToString" => true // string producers
+                    case "$dateFromString" | "$dateAdd" |
+                      "$dateSubtract" | "$dateTrunc" => true // ts producers
+                    case "$cond" => // [if, then, else]: branches prove
+                      val c = n.properties().asScala.head.getValue
+                      c.isArray && c.size() == 3 &&
+                        dateBracketOk(c.get(1)) && dateBracketOk(c.get(2))
+                    case _ => false
+                  }
+                } else false
+              if (!dateBracketOk(v.get("input")))
+                throw new IllegalArgumentException(
+                  "$convert to date needs a provably string/timestamp " +
+                    s"input (got ${v.get("input")}) — a numeric input " +
+                    "is epoch-millis in Mongo but epoch-seconds in " +
+                    "Spark's cast: silently divergent")
+              "timestamp"
             case other => throw new IllegalArgumentException(
               s"unsupported $$convert target '$other' (long/int/" +
-                "double/bool/string-on-integral-bracket)")
+                "double/bool/date/string-on-integral-bracket)")
           }
           val convCast = convIn.try_cast(convTo)
           val onNull: Column = Option(v.get("onNull"))
@@ -2240,25 +2281,44 @@ object MqlPipeline {
             s"$$dateFromString needs {dateString}: $v")
           to_timestamp(strOf(v.get("dateString")))
         case ("$dateTrunc", v) =>
-          // {date, unit}: Mongo 5.0's truncation — calendar units map to
-          // Spark's date_trunc (same boundary semantics as the oracle
-          // engines); binSize/timezone/startOfWeek unsupported, loud
+          // {date, unit, timezone?}: Mongo 5.0's truncation — calendar
+          // units map to Spark's date_trunc (same boundary semantics as
+          // the oracle engines). timezone (r14): FIXED offsets only —
+          // truncate in the offset-shifted frame, shift back (a pure
+          // integer conjugation; named zones loud in tzOffsetSeconds);
+          // binSize/startOfWeek unsupported, loud
           require(v.isObject && v.get("date") != null &&
             v.get("unit") != null, s"$$dateTrunc needs {date, unit}: $v")
-          require(v.get("binSize") == null && v.get("timezone") == null &&
+          require(v.get("binSize") == null &&
             v.get("startOfWeek") == null,
-            s"$$dateTrunc binSize/timezone/startOfWeek unsupported: $v")
+            s"$$dateTrunc binSize/startOfWeek unsupported: $v")
           val u = v.get("unit").asText()
           require(Seq("year", "quarter", "month", "week", "day", "hour",
             "minute", "second").contains(u),
             s"unsupported $$dateTrunc unit: $u")
-          date_trunc(u, dateOf(v.get("date")))
+          val truncOff = tzOffsetOf(v)
+          if (truncOff == 0L) date_trunc(u, dateOf(v.get("date")))
+          else timestamp_seconds(
+            unix_timestamp(date_trunc(u, timestamp_seconds(
+              unix_timestamp(dateOf(v.get("date"))) + truncOff)))
+              - truncOff)
         case ("$dateToString", v) =>
           require(v.isObject && v.get("date") != null,
-            s"$$dateToString needs {date, format?}: $v")
+            s"$$dateToString needs {date, format?, timezone?}: $v")
           val fmt = Option(v.get("format")).map(_.asText())
             .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-          date_format(dateOf(v.get("date")), mongoDateFormat(fmt))
+          // timezone (r14): render the WALL CLOCK of the fixed offset —
+          // format the shifted instant (the session stays UTC)
+          val fmtOff = tzOffsetOf(v)
+          require(fmtOff == 0L || !fmt.contains("%Z"),
+            s"$$dateToString %Z with a nonzero offset would render the " +
+              s"session zone, not the requested one — drop %Z or the " +
+              s"timezone: $v")
+          val fmtTs =
+            if (fmtOff == 0L) dateOf(v.get("date"))
+            else timestamp_seconds(
+              unix_timestamp(dateOf(v.get("date"))) + fmtOff)
+          date_format(fmtTs, mongoDateFormat(fmt))
         case ("$dateDiff", v) =>
           // {startDate, endDate, unit}: boundary-crossing count, Mongo's
           // contract — "day" counts calendar-day boundaries (datediff on
@@ -2292,13 +2352,17 @@ object MqlPipeline {
           // + 1 month → Feb 28/29 — exactly Mongo's documented clamp
           // AND DuckDB's ts + INTERVAL n MONTH behavior), then
           // re-attach the time-of-day as integer seconds-within-day.
-          // Timezone stays loud: DST shifts make wall-clock
-          // arithmetic engine-divergent.
+          // Timezone (r14): FIXED offsets are supported — the civil
+          // arithmetic runs in the offset-shifted frame (shift, add,
+          // shift back: which calendar day "Jan 31 23:00 UTC" is — and
+          // so which month-end clamp applies — depends on the zone),
+          // a pure integer conjugation. Named DST zones stay loud
+          // (tzOffsetSeconds): wall-clock arithmetic across a DST
+          // transition is engine-divergent.
           require(v.isObject && v.get("startDate") != null &&
             v.get("unit") != null && v.get("amount") != null,
             s"$op needs {startDate, unit, amount}: $v")
-          require(v.get("timezone") == null,
-            s"$op timezone unsupported (UTC engine): $v")
+          val tzOff = tzOffsetOf(v)
           val sign = if (op == "$dateSubtract") -1 else 1
           v.get("unit").asText() match {
             case u @ ("year" | "quarter" | "month") =>
@@ -2306,7 +2370,9 @@ object MqlPipeline {
                 case "year" => 12; case "quarter" => 3; case _ => 1 }
               val amtM = numOf(v.get("amount")).cast("int") *
                 lit(sign * mPerU)
-              val ts = dateOf(v.get("startDate"))
+              val ts0 = dateOf(v.get("startDate"))
+              val ts = if (tzOff == 0L) ts0
+                else timestamp_seconds(unix_timestamp(ts0) + tzOff)
               val d = to_date(ts)
               // integer seconds-within-day (session TZ is UTC, so the
               // date boundary is exactly unix_date * 86400)
@@ -2314,7 +2380,7 @@ object MqlPipeline {
                 unix_date(d).cast("long") * 86400L
               timestamp_seconds(
                 unix_date(add_months(d, amtM)).cast("long") * 86400L
-                  + tod)
+                  + tod - lit(tzOff))
             case u =>
               val addSecs = u match {
                 case "week" => 604800L
@@ -2658,6 +2724,40 @@ object MqlPipeline {
         throw new IllegalArgumentException(s"unsupported accumulator: $other")
     }
   }
+
+  /** Mongo `timezone` option → signed offset SECONDS, for the exactly-
+    * implementable bracket: FIXED offsets ("+05:30", "-08:00", "+0530",
+    * "+05", "UTC", "Z") are pure integer shifts of the epoch — no DST,
+    * no zone-rules table, engine-exact on both sides of the oracle.
+    * NAMED zones (America/New_York) stay loud: DST transitions make
+    * wall-clock arithmetic depend on the engine's tzdata vintage, and
+    * an ACL-grade date engine must never silently approximate.
+    * (Mongo 5.0 accepts both forms — this is the r14 offset slice.) */
+  private[filter] def tzOffsetSeconds(tz: String): Long = {
+    val Off = "^([+-])(\\d{2})(?::?(\\d{2}))?$".r
+    tz match {
+      case "UTC" | "Z" => 0L
+      case Off(sgn, hh, mm) =>
+        val h = hh.toInt
+        val m = Option(mm).map(_.toInt).getOrElse(0)
+        require(h <= 18 && m < 60, // ISO-8601 offset envelope
+          s"invalid fixed timezone offset: $tz")
+        (if (sgn == "-") -1L else 1L) * (h * 3600L + m * 60L)
+      case other => throw new IllegalArgumentException(
+        s"unsupported timezone '$other' — only fixed offsets " +
+          "(+HH:MM / +HHMM / +HH / UTC / Z) are engine-exact; named " +
+          "zones carry DST rules that diverge across engines")
+    }
+  }
+
+  /** The `timezone` member of a date-operator document as offset
+    * seconds (0 when absent). The member must be a literal string —
+    * a column-valued timezone cannot be validated statically. */
+  private def tzOffsetOf(v: JsonNode): Long =
+    Option(v.get("timezone")).map { n =>
+      require(n.isTextual, s"timezone must be a literal string: $n")
+      tzOffsetSeconds(n.asText())
+    }.getOrElse(0L)
 
   /** Mongo $dateToString format → Spark DateTimeFormatter pattern.
     * Specifier coverage is the Mongo set this engine supports; literal

@@ -148,6 +148,47 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 250}
         |]""".stripMargin)
 
+  /** FIXED-OFFSET timezone date arithmetic under the gate (r14) —
+    * Mongo 5.0's `timezone` option on the exactly-implementable
+    * bracket: "+HH:MM" offsets are pure integer epoch shifts (no DST,
+    * no tzdata), so calendar arithmetic runs in the shifted frame and
+    * shifts back — engine-exact on both sides. The same two-year base
+    * sweep as mql_date_add_cal, so near-midnight rows (where the
+    * offset frame lands on a DIFFERENT civil day and a different
+    * month-end clamp applies) are exercised on every path: +1 month
+    * in +05:30, −1 quarter in −08:00, day-trunc in +05:30, and the
+    * −08:00 wall-clock rendering. Named DST zones stay loud
+    * (MqlPipelineSpec). */
+  def mqlDateAddTz(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("base", timestamp_seconds(
+          lit(1672531200L) + (col("event_id") % 730) * 86400L +
+            col("event_id") % 86399))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(col("base"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("created")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "m_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "month", "amount": 1, "timezone": "+05:30"}}}},
+        |   "q_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateSubtract": {"startDate": "$created",
+        |       "unit": "quarter", "amount": 1, "timezone": "-08:00"}}}},
+        |   "tr_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateTrunc": {"date": "$created",
+        |       "unit": "day", "timezone": "+05:30"}}}},
+        |   "lbl_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M",
+        |     "date": "$created", "timezone": "-08:00"}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "m_tz": 1, "q_tz": 1, "tr_tz": 1, "lbl_tz": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 250}
+        |]""".stripMargin)
+
   /** $convert under the gate (r12) — Mongo's safe cast with the full
     * error surface: a planted string field is numeric for most docs,
     * garbage every 5th (→ onError -1), missing every 5th+1 (→ onNull
@@ -167,6 +208,40 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |   "to": "long", "onError": -1, "onNull": 0}}}},
         | {"$project": {"did": {"$toLong": "$did"},
         |   "v": {"$toLong": "$v"}}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
+  /** $convert TO-DATE under the gate (r14) — the ISO-string bracket
+    * with the full error surface: a planted string field is a valid
+    * ISO timestamp for most docs, garbage every 5th (→ onError, a
+    * sentinel date), missing every 5th+1 (→ onNull, the epoch); the
+    * converted TIMESTAMP then feeds $dateToString (typed date ops
+    * compose downstream of the convert), keeping the gate's output
+    * string-typed. The oracle replays with TRY_CAST AS TIMESTAMP +
+    * the same routing. Numeric→date stays loud (epoch-millis vs
+    * epoch-seconds vs error across engines — MqlPipelineSpec). */
+  def mqlConvertDate(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          when(col("doc_id") % 5 === 1, lit(null).cast("string"))
+            .when(col("doc_id") % 5 === 0, lit("not-a-date"))
+            .otherwise(concat(lit("2024-"),
+              lpad(((col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+              lit("-"),
+              lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+              lit("T"),
+              lpad((col("doc_id") % 24).cast("string"), 2, "0"),
+              lit(":30:00"))).as("raw")))),
+      col("meta"),
+      """[
+        | {"$addFields": {"d": {"$convert": {"input": "$raw",
+        |   "to": "date", "onError": "1999-12-31T23:59:59",
+        |   "onNull": "1970-01-01T00:00:00"}}}},
+        | {"$addFields": {"lbl": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S", "date": "$d"}}}},
+        | {"$project": {"did": {"$toLong": "$did"}, "lbl": 1}},
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
@@ -1988,6 +2063,21 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  strftime(base - to_months(3), '%Y-%m-%d %H:%M:%S') AS minus_q,
         |  strftime(base + to_months(12), '%Y-%m-%d %H:%M:%S') AS plus_y
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
+    "mql_date_add_tz" ->
+      """WITH b AS (SELECT event_id,
+        |  TIMESTAMP '2023-01-01 00:00:00'
+        |    + to_seconds(CAST((event_id % 730) * 86400
+        |        + event_id % 86399 AS BIGINT)) AS base
+        |  FROM events)
+        |SELECT event_id,
+        |  strftime(base + to_seconds(19800) + to_months(1)
+        |    - to_seconds(19800), '%Y-%m-%d %H:%M:%S') AS m_tz,
+        |  strftime(base - to_seconds(28800) - to_months(3)
+        |    + to_seconds(28800), '%Y-%m-%d %H:%M:%S') AS q_tz,
+        |  strftime(date_trunc('day', base + to_seconds(19800))
+        |    - to_seconds(19800), '%Y-%m-%d %H:%M:%S') AS tr_tz,
+        |  strftime(base - to_seconds(28800), '%Y-%m-%d %H:%M') AS lbl_tz
+        |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_convert" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -1998,6 +2088,25 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  CAST(COALESCE(CASE WHEN raw IS NULL THEN 0
         |    ELSE TRY_CAST(raw AS BIGINT) END, -1) AS BIGINT) AS v
         |FROM w ORDER BY did""".stripMargin,
+    "mql_convert_date" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN NULL
+        |         WHEN doc_id % 5 = 0 THEN 'not-a-date'
+        |         ELSE '2024-'
+        |           || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+        |           || '-'
+        |           || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+        |           || 'T'
+        |           || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |           || ':30:00' END AS raw
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN raw IS NULL THEN TIMESTAMP '1970-01-01 00:00:00'
+        |         ELSE COALESCE(TRY_CAST(raw AS TIMESTAMP),
+        |                       TIMESTAMP '1999-12-31 23:59:59') END AS d
+        |  FROM w)
+        |SELECT doc_id AS did, strftime(d, '%Y-%m-%d %H:%M:%S') AS lbl
+        |FROM c ORDER BY did""".stripMargin,
     "mql_convert_str" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -2127,8 +2236,10 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_score_fusion" -> (mqlScoreFusion _),
     "mql_date_add" -> (mqlDateAdd _),
     "mql_date_add_cal" -> (mqlDateAddCal _),
+    "mql_date_add_tz" -> (mqlDateAddTz _),
     "mql_convert" -> (mqlConvert _),
     "mql_convert_str" -> (mqlConvertStr _),
+    "mql_convert_date" -> (mqlConvertDate _),
     "mql_redact" -> (mqlRedact _),
     "mql_redact_descend" -> (mqlRedactDescend _),
     "mql_collation" -> (mqlCollation _),

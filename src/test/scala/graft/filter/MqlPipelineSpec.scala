@@ -1600,6 +1600,87 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(tz.getMessage.contains("timezone"), tz.getMessage)
   }
 
+  test("date operators honor FIXED-offset timezones; named zones and " +
+      "bad offsets stay loud (r14)") {
+    // month arithmetic in the +05:30 frame: 2024-02-29 20:00 UTC is
+    // already Mar 1 01:30 in +05:30, so +1 month lands Apr 1 01:30
+    // local = Mar 31 20:00 UTC — TWO days later than the UTC-frame
+    // answer (Feb 29 + 1m = Mar 29). The offset changes the answer,
+    // not just the rendering.
+    val got = run(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "m_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-02-29T20:00:00",
+        |       "unit": "month", "amount": 1, "timezone": "+05:30"}}}},
+        |   "m_utc": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-02-29T20:00:00",
+        |       "unit": "month", "amount": 1}}}},
+        |   "m_neg": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "2024-03-01T02:00:00",
+        |       "unit": "month", "amount": 1, "timezone": "-08:00"}}}},
+        |   "tr_d": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateTrunc": {"date": "2024-01-15T20:00:00",
+        |       "unit": "day", "timezone": "+05:30"}}}},
+        |   "lbl": {"$dateToString": {"format": "%Y-%m-%d %H:%M",
+        |     "date": "2024-01-15T20:00:00", "timezone": "+05:30"}}}},
+        | {"$project": {"m_tz": 1, "m_utc": 1, "m_neg": 1, "tr_d": 1,
+        |   "lbl": 1}}
+        |]""".stripMargin).collect()(0)
+    assert(got.getString(0) == "2024-03-31 20:00:00", got.toString)
+    assert(got.getString(1) == "2024-03-29 20:00:00", got.toString)
+    // -08:00 frame: Mar 1 02:00 UTC = Feb 29 18:00 local; +1m =
+    // Mar 29 18:00 local = Mar 30 02:00 UTC (UTC frame: Apr 1)
+    assert(got.getString(2) == "2024-03-30 02:00:00", got.toString)
+    // day trunc in +05:30: Jan 15 20:00 UTC = Jan 16 01:30 local →
+    // local midnight Jan 16 = Jan 15 18:30 UTC
+    assert(got.getString(3) == "2024-01-15 18:30:00", got.toString)
+    assert(got.getString(4) == "2024-01-16 01:30", got.toString)
+    // named zones stay loud on every operator of the family
+    for (frag <- Seq(
+      """{"$dateTrunc": {"date": "2024-01-01T00:00:00", "unit": "day",
+        |  "timezone": "America/New_York"}}""".stripMargin,
+      """{"$dateToString": {"date": "2024-01-01T00:00:00",
+        |  "timezone": "Europe/Berlin"}}""".stripMargin,
+      """{"$dateAdd": {"startDate": "2024-01-01T00:00:00",
+        |  "unit": "hour", "amount": 1, "timezone": "+19:00"}}"""
+        .stripMargin)) {
+      val e = intercept[IllegalArgumentException] {
+        run(s"""[{"$$addFields": {"x": $frag}}]""").collect()
+      }
+      assert(e.getMessage.contains("timezone") ||
+        e.getMessage.contains("offset"), e.getMessage)
+    }
+  }
+
+  test("$convert to date: ISO strings convert with onError/onNull " +
+      "routing; numeric input refuses loudly (r14)") {
+    val ok = run(
+      """[
+        | {"$match": {"id": {"$lte": 3}}},
+        | {"$addFields": {"d": {"$convert": {
+        |   "input": {"$cond": [{"$eq": ["$id", 2]},
+        |     "garbage", "2024-06-15T08:30:00"]},
+        |   "to": "date", "onError": "1999-12-31T23:59:59"}}}},
+        | {"$addFields": {"lbl": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S", "date": "$d"}}}},
+        | {"$project": {"id": {"$toLong": "$id"}, "lbl": 1}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin).collect()
+    assert(ok.map(_.getString(1)).toSeq == Seq(
+      "2024-06-15 08:30:00", "1999-12-31 23:59:59",
+      "2024-06-15 08:30:00"), ok.mkString("|"))
+    // numeric input: Mongo = epoch millis, Spark cast = epoch seconds,
+    // DuckDB = error — refuse rather than pick one silently
+    val num = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"d": {"$convert": {
+            |  "input": {"$toLong": "$id"}, "to": "date"}}}}]"""
+        .stripMargin).collect()
+    }
+    assert(num.getMessage.contains("string/timestamp"), num.getMessage)
+  }
+
   test("$convert: onError/onNull route, missing onError RAISES per " +
       "row, to-string loud") {
     val ok = run(
