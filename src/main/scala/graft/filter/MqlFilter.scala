@@ -286,9 +286,12 @@ object MqlFilter {
     * DISTINCT letters in ICU root and stay unfolded. Locales beyond
     * en/simple need a real ICU table — loud, never an
     * approximation. */
-  final case class Collation(locale: String, strength: Int) {
+  final case class Collation(locale: String, strength: Int,
+      numericOrdering: Boolean = false) {
     def caseInsensitive: Boolean = strength <= 2
     def diacriticFold: Boolean = strength == 1
+    /** Whether any comparison rewriting is needed at all. */
+    def active: Boolean = caseInsensitive || numericOrdering
   }
 
   /** Latin-1 diacritic fold (lowercase side — [[foldCol]] lowers
@@ -316,12 +319,78 @@ object MqlFilter {
     }
   }
 
+  // ---- numericOrdering (r14) ----------------------------------------
+  // Mongo's numeric-string collation: embedded digit RUNS compare by
+  // numeric value ("item2" < "item10"). The comparison key normalizes
+  // each maximal digit run — leading zeros stripped ("02" ≡ "2", the
+  // ICU kn contract), then zero-padded to NumRunWidth — so plain
+  // lexicographic order on keys IS numeric-aware order. Both engines
+  // build the key with the same RE2-safe regexes (no lookaround: the
+  // oracle's DuckDB regex engine has none). Runs longer than
+  // NumRunWidth digits raise per row rather than truncate-and-misorder.
+  private[graft] val NumRunWidth = 18
+  private[graft] val NumRunSep = "\u001f" // ASCII unit separator, outside text data
+
+  /** Numeric-collation key of a string column: split at digit/non-digit
+    * boundaries (two capture-group passes insert a US separator), then
+    * normalize each digit run. */
+  private[graft] def numKeyCol(c: Column): Column = {
+    val marked = regexp_replace(
+      regexp_replace(c, "([0-9])([^0-9])", s"$$1$NumRunSep$$2"),
+      "([^0-9])([0-9])", s"$$1$NumRunSep$$2")
+    val parts = split(marked, NumRunSep)
+    array_join(transform(parts, p => {
+      val run = regexp_replace(p, "^0+([0-9])", "$1")
+      when(!p.rlike("^[0-9]+$"), p)
+        .when(length(run) > NumRunWidth, raise_error(concat(
+          lit(s"numericOrdering: digit run longer than $NumRunWidth " +
+            "digits cannot be keyed exactly: "), p)))
+        .otherwise(lpad(run, NumRunWidth, "0"))
+    }), "")
+  }
+
+  /** Scala twin of [[numKeyCol]] for the filter's literals. */
+  private[graft] def numKeyLit(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i).isDigit) {
+        val j = s.indexWhere(!_.isDigit, i) match {
+          case -1 => s.length; case x => x }
+        val run = s.substring(i, j).dropWhile(_ == '0') match {
+          case "" => "0"; case r => r }
+        require(run.length <= NumRunWidth,
+          s"numericOrdering: digit run longer than $NumRunWidth " +
+            s"digits cannot be keyed exactly: ${s.substring(i, j)}")
+        out ++= ("0" * (NumRunWidth - run.length)) ++= run
+        i = j
+      } else { out += s(i); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The full comparison key under a collation: case/diacritic fold
+    * (strength ≤ 2), then the numeric-run key (numericOrdering). */
+  private[graft] def collKeyCol(c: Column, coll: Collation): Column = {
+    val folded =
+      if (coll.caseInsensitive) foldCol(c, coll.diacriticFold) else c
+    if (coll.numericOrdering) numKeyCol(folded) else folded
+  }
+
+  private[graft] def collKeyLit(s: String, coll: Collation): String = {
+    val folded =
+      if (coll.caseInsensitive) foldLit(s, coll.diacriticFold) else s
+    if (coll.numericOrdering) numKeyLit(folded) else folded
+  }
+
   def parseCollation(json: String): Collation = {
     val n = mapper.readTree(json)
     require(n.isObject, s"collation must be a document: $json")
     n.properties().asScala.foreach(e =>
-      require(Seq("locale", "strength").contains(e.getKey),
-        s"unsupported collation option: ${e.getKey} (locale/strength)"))
+      require(Seq("locale", "strength", "numericOrdering")
+        .contains(e.getKey),
+        s"unsupported collation option: ${e.getKey} " +
+          "(locale/strength/numericOrdering)"))
     val locale = Option(n.get("locale")).map(_.asText()).getOrElse(
       throw new IllegalArgumentException("collation requires locale"))
     val strength = Option(n.get("strength")).map(_.asInt()).getOrElse(3)
@@ -344,7 +413,13 @@ object MqlFilter {
         "only — their secondary/tertiary tailorings need a real ICU " +
         "table; Nordic/Turkish tailor PRIMARY weights and are loud at " +
         "every strength)")
-    Collation(locale, strength)
+    // numericOrdering is locale-independent (digit runs are digits in
+    // every supported locale) and composes with any strength
+    val numeric = Option(n.get("numericOrdering")).exists { b =>
+      require(b.isBoolean, s"numericOrdering must be a boolean: $b")
+      b.asBoolean()
+    }
+    Collation(locale, strength, numeric)
   }
 
   /** Rewrite the filter's string literals for a case-insensitive
@@ -356,7 +431,7 @@ object MqlFilter {
     * $expr (its string operands name FIELDS — lowercasing them would
     * corrupt path resolution). Refusing beats silently matching
     * case-sensitively under a collation the caller asked for. */
-  private def ciLiterals(node: JsonNode, fold: Boolean): JsonNode =
+  private def ciLiterals(node: JsonNode, coll: Collation): JsonNode =
     node match {
     case o if o.isObject =>
       val out = mapper.createObjectNode()
@@ -366,20 +441,20 @@ object MqlFilter {
             out.set[JsonNode](e.getKey, e.getValue)
           case k @ ("$elemMatch" | "$all" | "$expr") =>
             throw new IllegalArgumentException(
-              s"$k under a case-insensitive collation is unsupported " +
+              s"$k under a collation is unsupported " +
                 "(not collated on this engine — loud, never silently " +
-                "case-sensitive)")
-          case k => out.set[JsonNode](k, ciLiterals(e.getValue, fold))
+                "uncollated)")
+          case k => out.set[JsonNode](k, ciLiterals(e.getValue, coll))
         }
       }
       out
     case a if a.isArray =>
       val out = mapper.createArrayNode()
-      a.elements().asScala.foreach(e => out.add(ciLiterals(e, fold)))
+      a.elements().asScala.foreach(e => out.add(ciLiterals(e, coll)))
       out
     case t if t.isTextual =>
       com.fasterxml.jackson.databind.node.TextNode
-        .valueOf(foldLit(t.asText(), fold))
+        .valueOf(collKeyLit(t.asText(), coll))
     case other => other
   }
 
@@ -388,14 +463,14 @@ object MqlFilter {
     * untouched (numbers, booleans, timestamps and existence are not
     * collatable). */
   private final class CollatedResolver(inner: FieldResolver,
-      fold: Boolean) extends FieldResolver {
+      coll: Collation) extends FieldResolver {
     def num(f: String): Column = inner.num(f)
     def intNum(f: String): Column = inner.intNum(f)
     def ts(f: String): Column = inner.ts(f)
-    def str(f: String): Column = foldCol(inner.str(f), fold)
+    def str(f: String): Column = collKeyCol(inner.str(f), coll)
     def bool(f: String): Column = inner.bool(f)
     def arr(f: String): Column =
-      transform(inner.arr(f), e => foldCol(e, fold))
+      transform(inner.arr(f), e => collKeyCol(e, coll))
     def varr(f: String): Column = inner.varr(f)
     def exists(f: String): Column = inner.exists(f)
     def typeName(f: String): Column = inner.typeName(f)
@@ -410,21 +485,19 @@ object MqlFilter {
     * uncollated semantics (Mongo parity: regex ignores collation). */
   def toColumn(filterJson: String, r: FieldResolver,
       collation: Option[Collation]): Column =
-    collation.filter(_.caseInsensitive) match {
+    collation.filter(_.active) match {
       case None => toColumn(filterJson, r)
       case Some(c) =>
-        val ciNode = ciLiterals(mapper.readTree(filterJson),
-          c.diacriticFold)
+        val ciNode = ciLiterals(mapper.readTree(filterJson), c)
         r match {
           case JsonResolver(metaCol) =>
             forall(array(try_parse_json(metaCol)), { parsed =>
               val bound = JsonResolver(metaCol)
               bound.parsed = parsed
-              translate(ciNode,
-                new CollatedResolver(bound, c.diacriticFold))
+              translate(ciNode, new CollatedResolver(bound, c))
             })
           case other =>
-            translate(ciNode, new CollatedResolver(other, c.diacriticFold))
+            translate(ciNode, new CollatedResolver(other, c))
         }
     }
 

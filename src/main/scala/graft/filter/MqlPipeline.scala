@@ -47,6 +47,18 @@ object MqlPipeline {
   private[graft] val RrfK = 60L
   private[graft] val RrfScale = 1000000000000L
 
+  /** $redact $$DESCEND bounds (r14): the recursive rewrite is unrolled
+    * at plan time, so both the OBJECT nesting depth (DESCEND levels)
+    * and the ARRAY nesting depth are fixed caps; beyond either the
+    * verdict raises per row. 2 rewrite levels (root + subdocument +
+    * leaf-DESCEND≡KEEP at the third) covers Mongo's own $redact
+    * examples; the caps are PLAN-SIZE dials — the unrolled tree grows
+    * ~3.5× per extra level (measured: depth 3 ≈ 13 s of pure
+    * plan/codegen time per query at ANY row count, depth 2 ≈ 4 s),
+    * so widening them trades fixed driver latency, not correctness. */
+  private[graft] val RedactMaxDepth = 2
+  private[graft] val RedactMaxArrayDepth = 1
+
   /** `$scoreFusion`'s fixed-point "1.0": minMaxScaler normalization
     * maps each leg's scores onto [0, ScoreNormScale] in exact integer
     * arithmetic — `(s − min)·ScoreNormScale DIV (max − min)` (both
@@ -92,8 +104,7 @@ object MqlPipeline {
       pipelineJson: String, lookup: String => (DataFrame, Column),
       collation: Option[MqlFilter.Collation],
       rankMode: Boolean = false): DataFrame = {
-    val ci = collation.exists(_.caseInsensitive)
-    val foldDia = collation.exists(_.diacriticFold)
+    val ci = collation.exists(_.active)
     val ciStages = Set("$match", "$sort", "$project", "$limit",
       "$skip", "$count")
     val stages = mapper.readTree(pipelineJson)
@@ -163,7 +174,7 @@ object MqlPipeline {
       require(fields.length == 1, s"one operator per stage, got: $stage")
       val (op, spec) = (fields.head.getKey, fields.head.getValue)
       if (ci) require(ciStages.contains(op),
-        s"$op under a case-insensitive collation is unsupported " +
+        s"$op under a collation is unsupported " +
           s"(only ${ciStages.toSeq.sorted.mkString("/")} are collated " +
           "on this engine — loud, never silently case-sensitive)")
       op match {
@@ -216,7 +227,7 @@ object MqlPipeline {
               Seq((metaScoreCol(e.getValue), true))
             else {
               val desc = e.getValue.asInt() < 0
-              sortBases(e.getKey, cur, meta, ci, foldDia)
+              sortBases(e.getKey, cur, meta, collation)
                 .map(b => (b, desc))
             }
           }
@@ -957,49 +968,113 @@ object MqlPipeline {
                 .when(verdict === "PRUNE", lit(false))
                 .otherwise(verdictErr))
           else {
-            import org.apache.spark.sql.types.{MapType, StringType,
-              VariantType}
-            val mv = from_json(meta, MapType(StringType, VariantType))
-            val cleaned = to_json(map_filter(mv, (_, v) => {
+            // DESCEND rewrite, bounded depth (r14 — r13 supported one
+            // level, objects only). The recursion is unrolled at PLAN
+            // time to RedactMaxDepth levels (the fixed-rounds device):
+            // each level re-roots the verdict expression at the
+            // subdocument / array element and reassembles the JSON
+            // text field-by-field (manual reassembly because a kept
+            // field keeps its variant VERBATIM while a descended one
+            // is REPLACED by its rewritten text — map_filter can drop
+            // but never substitute). Arrays of embedded documents get
+            // Mongo's per-element treatment: each object element is
+            // re-evaluated (PRUNE removes the element), non-object
+            // elements pass through. Beyond RedactMaxDepth the verdict
+            // raises PER ROW — an ACL operator must never silently
+            // widen visibility.
+            import org.apache.spark.sql.types.{ArrayType, MapType,
+              StringType, VariantType}
+            // value-text of one field/element given its verdict; null
+            // text = drop. `leafKeep`: DESCEND on a value with no
+            // nested objects is Mongo's KEEP (nothing to recurse into).
+            def jsonKey(k: Column): Column = concat(lit("\""),
+              regexp_replace(
+                regexp_replace(k, lit("\\\\"), lit("\\\\\\\\")),
+                lit("\""), lit("\\\\\"")),
+              lit("\":"))
+            def cleanDoc(docJson: Column, level: Int): Column = {
+              val mv = from_json(docJson, MapType(StringType, VariantType))
+              val frags = transform(map_entries(mv), e => {
+                val k = e.getField("key")
+                val v = e.getField("value")
+                concat(jsonKey(k), valueText(v, level, RedactMaxArrayDepth))
+              })
+              concat(lit("{"),
+                concat_ws(",", filter(frags, f => f.isNotNull)),
+                lit("}"))
+            }
+            // the rewritten text of one variant VALUE at `level`, or
+            // null to drop the enclosing field/element. `arrBudget`
+            // bounds ARRAY nesting structurally (the plan is built by
+            // Scala recursion, so every branch must terminate at plan
+            // time): arrays-of-arrays beyond RedactMaxArrayDepth with
+            // objects inside raise per row rather than pass unredacted.
+            def valueText(v: Column, level: Int, arrBudget: Int): Column = {
               val sch = schema_of_variant(v)
-              when(sch.startsWith("ARRAY<OBJECT"),
-                raise_error(lit("$redact $$DESCEND into arrays of " +
-                  "embedded documents is unsupported — one nesting " +
-                  "level, object fields only")).cast("boolean"))
-                .when(!sch.startsWith("OBJECT"), lit(true))
-                .otherwise({
-                  val sv = computeExpr(rewritten, to_json(v), cur)
-                  when(sv === "KEEP", lit(true))
-                    .when(sv === "PRUNE", lit(false))
-                    // DESCEND on a LEAF subdocument (no embedded
-                    // objects of its own) is exactly Mongo's KEEP —
-                    // there is nothing to recurse into; only a subdoc
-                    // that itself nests objects needs level-3
-                    // recursion, which stays loud
-                    .when(sv === "DESCEND" &&
-                      locate("OBJECT<", sch, 2) === 0, lit(true))
-                    .when(sv === "DESCEND",
-                      raise_error(lit("$redact $$DESCEND supports ONE " +
-                        "nesting level — a DESCEND verdict on a " +
-                        "subdocument that itself nests objects is " +
-                        "loud")).cast("boolean"))
-                    .otherwise(raise_error(concat(
-                      lit("$redact subdocument verdict must be " +
-                        "$$KEEP/$$PRUNE/$$DESCEND, got: "),
-                      coalesce(sv.cast("string"), lit("null"))))
-                      .cast("boolean"))
-                })
-            }))
-            cur = cur.filter(
-              when(verdict === "KEEP", lit(true))
-                // force the cleaned document INSIDE the filter: the
-                // per-subdoc loud raises must fire even when no later
-                // stage reads the rewritten meta
-                .when(verdict === "DESCEND",
-                  coalesce(length(cleaned) >= 0, lit(true)))
-                .when(verdict === "PRUNE", lit(false))
-                .otherwise(verdictErr))
-            meta = when(verdict === "DESCEND", cleaned).otherwise(meta)
+              val isLeafObj = locate("OBJECT<", sch, 2) === 0
+              def objText: Column = {
+                val sv = computeExpr(rewritten, to_json(v), cur)
+                val descended: Column =
+                  if (level < RedactMaxDepth) cleanDoc(to_json(v), level + 1)
+                  else raise_error(lit("$redact $$DESCEND exceeds the " +
+                    s"supported nesting depth $RedactMaxDepth — a " +
+                    "DESCEND verdict this deep on a subdocument that " +
+                    "itself nests objects is loud")).cast("string")
+                when(sv === "KEEP", to_json(v))
+                  .when(sv === "PRUNE", lit(null).cast("string"))
+                  .when(sv === "DESCEND" && isLeafObj, to_json(v))
+                  .when(sv === "DESCEND", descended)
+                  .otherwise(raise_error(concat(
+                    lit("$redact subdocument verdict must be " +
+                      "$$KEEP/$$PRUNE/$$DESCEND, got: "),
+                    coalesce(sv.cast("string"), lit("null"))))
+                    .cast("string"))
+              }
+              // a mixed array reports ARRAY<VARIANT>, so any array that
+              // MIGHT hide objects (OBJECT or VARIANT in its schema)
+              // must go through per-element dispatch — falling through
+              // verbatim would silently keep unredacted documents
+              def mayHideObjects: Column =
+                sch.contains("OBJECT") || sch.contains("VARIANT")
+              def arrText: Column =
+                if (arrBudget <= 0)
+                  when(mayHideObjects,
+                    raise_error(lit("$redact $$DESCEND: arrays nested " +
+                      s"deeper than $RedactMaxArrayDepth with embedded " +
+                      "documents are unsupported — loud, never " +
+                      "unredacted")).cast("string"))
+                    .otherwise(to_json(v))
+                else {
+                  val elems = from_json(to_json(v), ArrayType(VariantType))
+                  val kept = filter(
+                    transform(elems, el =>
+                      valueText(el, level, arrBudget - 1)),
+                    t => t.isNotNull)
+                  concat(lit("["), concat_ws(",", kept), lit("]"))
+                }
+              when(sch.startsWith("OBJECT"), objText)
+                .when(sch.startsWith("ARRAY"), arrText)
+                .otherwise(to_json(v)) // scalar: keep
+            }
+            val cleaned = cleanDoc(meta, 1)
+            // materialize the rewrite ONCE as a column: the unrolled
+            // tree is large (every level embeds the verdict expression),
+            // and referencing it from both the filter and the
+            // downstream meta would double plan size and codegen time
+            val rcol = s"__graft_redact_${helperCols.size}"
+            helperCols += rcol
+            cur = cur.withColumn(rcol,
+                when(verdict === "DESCEND", cleaned).otherwise(meta))
+              .filter(
+                when(verdict === "KEEP", lit(true))
+                  // force the cleaned document INSIDE the filter: the
+                  // per-subdoc loud raises must fire even when no later
+                  // stage reads the rewritten meta
+                  .when(verdict === "DESCEND",
+                    coalesce(length(col(rcol)) >= 0, lit(true)))
+                  .when(verdict === "PRUNE", lit(false))
+                  .otherwise(verdictErr))
+            meta = col(rcol)
           }
 
         case "$sortByCount" =>
@@ -1838,16 +1913,18 @@ object MqlPipeline {
     * Shared by $sort and $setWindowFields.sortBy so stage order and
     * window order can never disagree. */
   private def sortBases(key: String, cur: DataFrame,
-      meta: Column, ci: Boolean = false,
-      fold: Boolean = false): Seq[Column] =
+      meta: Column,
+      collation: Option[MqlFilter.Collation] = None): Seq[Column] =
     if (cur.columns.contains(key)) {
-      // case-insensitive collation folds STRING sort keys (plus the
-      // Latin-1 diacritic fold at strength 1); other types are not
-      // collatable and pass through
-      if (ci && cur.schema(key).dataType ==
-          org.apache.spark.sql.types.StringType)
-        Seq(MqlFilter.foldCol(col(key), fold))
-      else Seq(col(key))
+      // an active collation keys STRING sort columns (case/diacritic
+      // fold at strength ≤ 2, numeric-run key under numericOrdering);
+      // other types are not collatable and pass through
+      collation.filter(_.active) match {
+        case Some(c) if cur.schema(key).dataType ==
+            org.apache.spark.sql.types.StringType =>
+          Seq(MqlFilter.collKeyCol(col(key), c))
+        case _ => Seq(col(key))
+      }
     } else {
       val r = MqlFilter.JsonResolver(meta)
       val rank = when(!r.exists(key) || r.typeName(key) === "null", 0)
@@ -1855,7 +1932,9 @@ object MqlPipeline {
         .when(r.typeName(key) === "string", 2)
         .otherwise(3)
       Seq(rank, r.num(key),
-        if (ci) MqlFilter.foldCol(r.str(key), fold) else r.str(key))
+        collation.filter(_.active)
+          .map(c => MqlFilter.collKeyCol(r.str(key), c))
+          .getOrElse(r.str(key)))
     }
 
   /** Evaluate `build` with ONE JSON→VARIANT parse per row: probe-build

@@ -450,6 +450,36 @@ private[graft] trait RelationalMql { this: Relational.type =>
       // locale-independent across the ICU-root Western locales
       """{"locale": "fr", "strength": 1}""")
 
+  /** numericOrdering collation under the gate (r14) — Mongo's
+    * numeric-string compare: planted tags mix case ("ITEM"/"item"),
+    * 1-3 digit numbers, and leading-zero variants ("item0042");
+    * `{locale: "en", strength: 2, numericOrdering: true}` makes the
+    * range $match and the $sort numeric-aware AND case-insensitive
+    * ("item2" < "item10", "0042" ≡ "42"). The engine keys digit runs
+    * (leading zeros stripped, zero-padded to 18); the ORACLE replays
+    * the SEMANTICS directly (sort by the planted numeric value) — an
+    * independent check of the ordering contract, not a re-derivation
+    * of the key. Ties in the collation key break on did. */
+  def mqlCollationNumeric(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          concat(
+            when(col("doc_id") % 3 === 0, lit("ITEM"))
+              .otherwise(lit("item")),
+            when(col("doc_id") % 7 === 0,
+              lpad((col("doc_id") % 120).cast("string"), 4, "0"))
+              .otherwise((col("doc_id") % 120).cast("string")))
+            .as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gte": "item10", "$lt": "ITEM100"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "en", "strength": 2, "numericOrdering": true}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -472,13 +502,15 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"doc_id": 1}}
         |]""".stripMargin)
 
-  /** $redact $$DESCEND under the gate (r13) — Mongo's per-subdocument
-    * ACL recursion on ONE nesting level: each document carries a root
-    * clearance and two embedded sub-documents with their own levels;
-    * the classic {"$cond": [level>=3, "$$DESCEND", "$$PRUNE"]}
-    * expression prunes low-clearance roots entirely and strips
-    * low-clearance sub-documents from surviving roots. The oracle is
-    * the equivalent relational predicate over the planted levels. */
+  /** $redact $$DESCEND under the gate (r13, widened r14) — Mongo's
+    * per-subdocument ACL recursion to BOUNDED DEPTH: each document
+    * carries a root clearance, an embedded sub-document that itself
+    * nests a level-2 sub-sub-document (r14 — r13 kept this loud), a
+    * low-clearance sibling, and an ARRAY of embedded documents whose
+    * low-clearance elements must be removed per-element (r14); the
+    * classic {"$cond": [level>=3, "$$DESCEND", "$$PRUNE"]} expression
+    * drives every level. The oracle is the equivalent relational
+    * predicate over the planted levels. */
   def mqlRedactDescend(s: SparkSession, dir: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(
       t(s, dir, "documents")
@@ -486,9 +518,16 @@ private[graft] trait RelationalMql { this: Relational.type =>
           col("doc_id").as("did"),
           (col("doc_id") % 5).as("level"),
           struct((col("doc_id") % 7).as("level"),
-            col("n_chars").cast("long").as("v")).as("sec"),
+            col("n_chars").cast("long").as("v"),
+            struct((col("doc_id") % 4).as("level"),
+              (col("doc_id") * 2).as("w")).as("inner")).as("sec"),
           struct(lit(2L).as("level"),
-            col("doc_id").as("v")).as("aux")))),
+            col("doc_id").as("v")).as("aux"),
+          array(
+            struct((col("doc_id") % 2 + 2).as("level"),
+              lit(1L).as("t")),
+            struct(lit(5L).as("level"),
+              (col("doc_id") % 9).as("t"))).as("arr")))),
       col("meta"),
       """[
         | {"$redact": {"$cond": [
@@ -497,8 +536,11 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$project": {"did": {"$toLong": "$did"},
         |   "sec_v": {"$toLong": {"$ifNull":
         |     [{"$toLong": "$sec.v"}, -1]}},
+        |   "inner_w": {"$toLong": {"$ifNull":
+        |     [{"$toLong": "$sec.inner.w"}, -1]}},
         |   "aux_v": {"$toLong": {"$ifNull":
-        |     [{"$toLong": "$aux.v"}, -1]}}}},
+        |     [{"$toLong": "$aux.v"}, -1]}},
+        |   "na": {"$size": "$arr"}}},
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
@@ -2000,7 +2042,11 @@ private[graft] trait RelationalMql { this: Relational.type =>
       """SELECT doc_id AS did,
         |  CAST(CASE WHEN doc_id % 7 >= 3 THEN n_chars ELSE -1 END
         |    AS BIGINT) AS sec_v,
-        |  CAST(-1 AS BIGINT) AS aux_v
+        |  CAST(CASE WHEN doc_id % 7 >= 3 AND doc_id % 4 = 3
+        |    THEN doc_id * 2 ELSE -1 END AS BIGINT) AS inner_w,
+        |  CAST(-1 AS BIGINT) AS aux_v,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END
+        |    AS BIGINT) AS na
         |FROM documents WHERE doc_id % 5 >= 3
         |ORDER BY did""".stripMargin,
     "mql_rank_fusion" ->
@@ -2128,6 +2174,17 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  AND doc_id % 5 <> 0
         |  AND n_chars BETWEEN 100 AND 500
         |ORDER BY doc_id""".stripMargin,
+    "mql_collation_numeric" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'ITEM' ELSE 'item' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN lpad(CAST(doc_id % 120 AS VARCHAR), 4, '0')
+        |         ELSE CAST(doc_id % 120 AS VARCHAR) END AS tag,
+        |    doc_id % 120 AS n
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE n >= 10 AND n < 100
+        |ORDER BY n, doc_id""".stripMargin,
     "mql_collation_diacritic" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN 'café'
@@ -2244,6 +2301,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_redact_descend" -> (mqlRedactDescend _),
     "mql_collation" -> (mqlCollation _),
     "mql_collation_diacritic" -> (mqlCollationDiacritic _),
+    "mql_collation_numeric" -> (mqlCollationNumeric _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -889,6 +889,59 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(ex.getMessage.contains("$expr"), ex.getMessage)
   }
 
+  test("collation numericOrdering: digit runs compare numerically, " +
+      "leading zeros equate, composes with strength 2; long runs loud") {
+    val ndf = Seq(
+      (1L, """{"k": "item2"}"""), (2L, """{"k": "ITEM10"}"""),
+      (3L, """{"k": "item0003"}"""), (4L, """{"k": "item30b"}"""),
+      (5L, """{"k": "zeta"}""")
+    ).toDF("id", "meta")
+    // numeric + CI: item2 < item0003(≡3) < ITEM10 < item30b; the range
+    // [item2, item30b) excludes the upper bound and the non-matching
+    // prefix "zeta"
+    val got = MqlPipeline.aggregateCollated(ndf, col("meta"),
+      """[{"$match": {"k": {"$gte": "ITEM2", "$lt": "item30b"}}},
+        |  {"$sort": {"k": 1, "id": 1}},
+        |  {"$project": {"id": 1, "k": "$k"}}]""".stripMargin,
+      """{"locale": "en", "strength": 2, "numericOrdering": true}""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "item2"), (3L, "item0003"), (2L, "ITEM10")),
+      got.toString)
+    // numericOrdering WITHOUT case-insensitivity (default strength 3):
+    // case still distinguishes, numbers still compare numerically
+    val cs = MqlPipeline.aggregateCollated(ndf, col("meta"),
+      """[{"$match": {"k": {"$gte": "item2", "$lte": "item31"}}},
+        |  {"$sort": {"k": 1, "id": 1}},
+        |  {"$project": {"id": 1}}]""".stripMargin,
+      """{"locale": "en", "numericOrdering": true}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cs == Seq(1L, 3L, 4L), cs.toString) // ITEM10 ≠ item-case
+    // the key twins agree (literal side vs column side)
+    assert(graft.filter.MqlFilter.numKeyLit("a007b12") ==
+      "a" + "0" * 17 + "7b" + "0" * 16 + "12")
+    assert(graft.filter.MqlFilter.numKeyLit("00") == "0" * 18)
+    // >18-digit runs refuse on the literal side...
+    val long = intercept[IllegalArgumentException] {
+      graft.filter.MqlFilter.numKeyLit("x1234567890123456789")
+    }
+    assert(long.getMessage.contains("digit run"), long.getMessage)
+    // ...and per row on the column side
+    val colLong = intercept[Exception] {
+      MqlPipeline.aggregateCollated(
+        Seq((1L, """{"k": "v1234567890123456789"}""")).toDF("id", "meta"),
+        col("meta"),
+        """[{"$match": {"k": {"$gte": "v1"}}},
+          |  {"$project": {"id": 1}}]""".stripMargin,
+        """{"locale": "en", "numericOrdering": true}""")
+        .collect()
+    }
+    def msgsN(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgsN(t.getCause)
+    assert(msgsN(colLong).exists(_.contains("digit run")),
+      msgsN(colLong).toString)
+  }
+
   test("$densify: partition bounds fill per-group gaps, full bounds " +
       "span globally, explicit bounds are half-open") {
     val sparse = Seq(
@@ -1469,18 +1522,47 @@ class MqlPipelineSpec extends SparkTestBase {
         | {"$sort": {"id": 1}}]""".stripMargin)
       .collect().map(_.getLong(0)).toSeq
     assert(all == Seq(1L, 2L, 3L), all.toString)
-    // ...but a DESCEND verdict on a subdoc that ITSELF nests objects
-    // needs level-3 recursion: loud per row
+    // r14: DESCEND now recurses to bounded depth — a subdoc that
+    // itself nests objects is REWRITTEN (inner pruned by its own
+    // re-rooted verdict), and arrays of embedded documents get the
+    // per-element treatment (pruned elements removed, scalars kept)
     val deep = Seq((1L,
-      """{"level": 5, "sec": {"level": 4, "inner": {"level": 1}}}"""))
+      """{"level": 5, "a": 1, "sec": {"level": 4, "v": 2,""" +
+        """ "inner": {"level": 1, "v": 3},""" +
+        """ "pub2": {"level": 7, "v": 4}},""" +
+        """ "arr": [{"level": 1, "v": 1}, {"level": 5, "v": 2}, 7]}"""))
+      .toDF("id", "meta")
+    val d2 = MqlPipeline.aggregate(deep, col("meta"),
+      s"""[$redactExpr,
+         | {"$$project": {"id": 1,
+         |   "secv": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$sec.v"}, -1]}},
+         |   "innv": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$sec.inner.v"}, -1]}},
+         |   "p2v": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$sec.pub2.v"}, -1]}},
+         |   "na": {"$$size": "$$arr"}}}]""".stripMargin)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    // sec (level 4) descends: v kept, inner (level 1) pruned, pub2
+    // (level 7, leaf) kept; arr loses its level-1 element, keeps the
+    // level-5 doc and the scalar 7
+    assert(d2.toSeq == Seq((1L, 2L, -1L, 4L, 2L)), d2.mkString(","))
+    // ...but past the depth cap (4 nested DESCENDs on non-leaf
+    // subdocs) the verdict raises per row
+    val deep4 = Seq((1L,
+      """{"level": 9, "s1": {"level": 9, "s2": {"level": 9,""" +
+        """ "s3": {"level": 9, "s4": {"level": 9}}}}}"""))
       .toDF("id", "meta")
     val two = intercept[Exception] {
-      MqlPipeline.aggregate(deep, col("meta"),
+      MqlPipeline.aggregate(deep4, col("meta"),
         """[{"$redact": "$$DESCEND"}]""").collect()
     }
     def msgsD(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsD(t.getCause)
-    assert(msgsD(two).exists(_.contains("ONE")), msgsD(two).toString)
+    assert(msgsD(two).exists(_.contains("nesting depth")),
+      msgsD(two).toString)
     val bad = intercept[Exception] {
       run("""[{"$redact": {"$cond": [{"$gte": [{"$toLong": "$v"}, 0]},
             |  "oops", "$$PRUNE"]}}]""".stripMargin).collect()
