@@ -108,6 +108,31 @@ object Bench {
     * duckdb adds ~0.03; a concurrent sbt build adds 0.3+. */
   private val ExtLoadGate = 0.15
 
+  /** Per-gate shuffle-write and spill accounting (r14, VERDICT r13
+    * item 9): a stage-completion listener sums shuffle bytes written
+    * and disk spill across every stage a gate ran — the two numbers
+    * that predict 100 TB behavior (a shuffle-heavy gate is the one
+    * whose exchange becomes the bottleneck at scale; ANY spill on
+    * sf0.1 data means executor memory was the constraint already).
+    * The listener bus is drained between gates so async events land
+    * on the gate that caused them. */
+  private final class StageBytes
+      extends org.apache.spark.scheduler.SparkListener {
+    private val shuffle = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { shuffle.set(0L); spill.set(0L) }
+    def snapshot: (Long, Long) = (shuffle.get(), spill.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -202,10 +227,18 @@ object Bench {
     // the min below only ever takes FAILED times when NO pass
     // succeeded, so a transient failure can't masquerade as the
     // fastest pass (it lands in the "failed" list instead).
+    val stageBytes = new StageBytes
+    spark.sparkContext.addSparkListener(stageBytes)
+    // per-gate (shuffle write, disk spill) bytes — MAX across passes
+    // (bytes are plan-determined; max also catches an AQE re-plan)
+    val gateBytes =
+      collection.mutable.Map.empty[String, (Long, Long)]
     def runPass(pass: Int): (Seq[(String, Double, Boolean)], Double) = {
       val s0 = cpuSample()
       val res = selected.map { case (name, fn) =>
         graft.core.CachePayers.setCurrent(name)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        stageBytes.reset()
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -216,6 +249,10 @@ object Bench {
             false
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        val (sh, sp) = stageBytes.snapshot
+        val (psh, psp) = gateBytes.getOrElse(name, (0L, 0L))
+        gateBytes(name) = (math.max(psh, sh), math.max(psp, sp))
         System.err.println(f"[bench] $name $sec%.2fs (pass $pass)" +
           (if (ok) "" else " FAILED"))
         (name, sec, ok)
@@ -279,7 +316,18 @@ object Bench {
         s""","skipped":${skip.toSeq.sorted.map(n => s""""$n"""")
           .mkString("[", ",", "]")}"""
       else "")
-    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"sf":"$sfDir",$load}""")
+    // shuffle/spill detail: gates with nonzero shuffle write, in MB
+    // (1 decimal); spill map lists ONLY spilling gates — any entry at
+    // these SFs is a memory-pressure flag worth reading
+    val shuffleMb = results.collect { case (n, _, _)
+        if gateBytes.get(n).exists(_._1 > 0) =>
+      f""""$n":${gateBytes(n)._1 / 1048576.0}%.1f"""
+    }.mkString("{", ",", "}")
+    val spillMb = results.collect { case (n, _, _)
+        if gateBytes.get(n).exists(_._2 > 0) =>
+      f""""$n":${gateBytes(n)._2 / 1048576.0}%.1f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"sf":"$sfDir",$load}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
     spark.stop()
   }

@@ -1036,6 +1036,121 @@ final class Collection(
     }
   }
 
+  // ---- persisted TEXT index (r14) -----------------------------------
+  // The $text twin of the IVF machinery above: same sidecar contract
+  // (IndexMeta with nlist ≡ the bucket count), same decision ladder
+  // (trust-reuse → O(tail) append → rebuild), same delete tombstones
+  // (recorded at delete time, compacted on rebuild, counted out of the
+  // live-coverage arithmetic). Mongo requires a text index before any
+  // $text query; this engine mirrors that — textFind without a built
+  // index is loud.
+  private var textRebuildCount = 0L
+  private var textAppendCount = 0L
+  def textIndexRebuilds: Long = textRebuildCount
+  def textIndexAppends: Long = textAppendCount
+  private def textIndexDir: String = new Path(dir, "textindex").toString
+  private def textTombDir: String = s"$textIndexDir/tombstones"
+
+  private def docsFrame: DataFrame = df.select(
+    col(Schema.IdCol).as("doc_id"), col(Schema.DocCol).as("text"))
+
+  /** Build (or rebuild) the persisted inverted text index: postings
+    * partitioned by term bucket under `dir/textindex` (see
+    * [[graft.operators.TextIndex]]). A rebuild covers exactly the live
+    * rows, so tombstones compact away. No-op on an empty collection. */
+  def buildTextIndex(): Unit = if (hasData && rowsCount > 0) {
+    graft.operators.TextIndex.build(spark, docsFrame, textIndexDir)
+    val tp = new Path(textTombDir)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
+    Meta.writeIndex(spark, textIndexDir,
+      IndexMeta(lastId, rowsCount, graft.operators.TextIndex.NBuckets))
+    textRebuildCount += 1
+  }
+
+  private def recordTextTombstoneId(id: Long): Unit =
+    recordTextTombstones(spark.range(1).select(lit(id).as(Schema.IdCol)))
+
+  /** [[recordTombstones]]' text twin — only ids the postings cover. */
+  private def recordTextTombstones(deadIds: DataFrame): Unit =
+    Meta.readIndex(spark, textIndexDir).foreach { m =>
+      val covered = deadIds
+        .filter(col(Schema.IdCol) <= m.indexedLastId)
+        .select(col(Schema.IdCol).as("doc_id"))
+      val n = covered.count()
+      if (n > 0) {
+        covered.coalesce(1).write.mode("append").parquet(textTombDir)
+        Meta.writeIndex(spark, textIndexDir,
+          m.copy(tombstones = m.tombstones + n))
+      }
+    }
+
+  /** [[ensureIndex]]'s text twin — the same cheapest-first ladder:
+    * coverage current → no-op; pure id-tail gap → tokenize ONLY the
+    * tail and append into the partitioned buckets (O(tail)); anything
+    * else → rebuild. */
+  def ensureTextIndex(): Unit = {
+    val idx = textIndexDir
+    def storageTrusted(docRows: Long): Boolean =
+      graft.core.Trust.parquetDir(spark, s"$idx/meta", 1L) && {
+        val mm = spark.read.parquet(s"$idx/meta").head()
+        mm.getAs[Long]("n_docs") == docRows &&
+        graft.core.Trust.parquetDir(spark, s"$idx/docstats", docRows) &&
+        graft.core.Trust.parquetDir(spark, s"$idx/postings",
+          mm.getAs[Long]("n_postings"))
+      }
+    def tombTrusted(n: Long): Boolean =
+      n == 0L || graft.core.Trust.parquetDir(spark, textTombDir, n)
+    Meta.readIndex(spark, idx) match {
+      case Some(m) if m.indexedLastId == lastId &&
+          m.indexedRows - m.tombstones == rowsCount &&
+          storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
+        () // live coverage current
+      case Some(m) if m.indexedLastId < lastId &&
+          rowsCount - (m.indexedRows - m.tombstones) ==
+            lastId - m.indexedLastId &&
+          storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
+        graft.operators.TextIndex.appendTail(spark,
+          docsFrame.filter(col("doc_id") > m.indexedLastId), idx)
+        Meta.writeIndex(spark, idx, IndexMeta(lastId,
+          m.indexedRows + (lastId - m.indexedLastId), m.nlist,
+          m.tombstones))
+        textAppendCount += 1
+      case _ => buildTextIndex()
+    }
+  }
+
+  /** Mongo `find({$text: {$search}, ...extra})` SERVED FROM the
+    * persisted text index (r14): search terms map to partition-pruned
+    * postings buckets (never a corpus scan), the OR-of-terms hits carry
+    * the engine's deterministic textScore surrogate (Σ tf of the
+    * distinct matched terms — bit-identical to the scan path's), the
+    * MQL pre-filter composes on the live collection, and the result is
+    * best-match-first ($meta textScore descending — Mongo contract),
+    * ties by id, top-k. Join-back to the live data drops tombstoned
+    * docs exactly like the IVF probe path. Loud without a built index
+    * (Mongo: $text requires a text index); with one, coverage is
+    * re-ensured first — an id-tail append, never a rebuild, on the
+    * insert-only path. */
+  def textFind(search: String, k: Int = 10,
+      filterJson: String = "{}"): DataFrame = {
+    require(Meta.readIndex(spark, textIndexDir).isDefined,
+      s"collection '$name' has no text index — $$text queries need " +
+        "one (Mongo contract); call ensureTextIndex() first")
+    ensureTextIndex()
+    val terms = MqlFilter.textSearchTerms(search)
+    val hits = graft.operators.TextIndex
+      .termHits(spark, textIndexDir, terms)
+    val pred = coalesce(MqlFilter.toColumn(filterJson,
+      MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
+    df.filter(pred)
+      .join(hits, col(Schema.IdCol) === col("doc_id"))
+      .orderBy(col("score").desc, col(Schema.IdCol).asc)
+      .limit(k)
+      .select(col(Schema.IdCol), col(Schema.DocCol), col(Schema.MetaCol),
+        col("score"))
+  }
+
   /** Recovered watermark (max assigned _m_id) and row count — exposed for
     * reuse trust checks; both maintained arithmetically on insert and
     * re-synced from data on reopen when the sidecar is stale. */
@@ -1332,7 +1447,9 @@ final class Collection(
     // only when an index sidecar exists (the tombstone recording is
     // what keeps delete-heavy index maintenance O(delta)); skip the
     // extra job entirely on unindexed collections
-    val dead = if (Meta.readIndex(spark, indexDir).isDefined)
+    val hasIvf = Meta.readIndex(spark, indexDir).isDefined
+    val hasText = Meta.readIndex(spark, textIndexDir).isDefined
+    val dead = if (hasIvf || hasText)
       Some(df.filter(pred).select(col(Schema.IdCol)).localCheckpoint())
     else None
     val keep = df.filter(!pred)
@@ -1343,7 +1460,8 @@ final class Collection(
       rowsCount = kept
       Meta.write(spark, dir,
         CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
-      dead.foreach(recordTombstones)
+      if (hasIvf) dead.foreach(recordTombstones)
+      if (hasText) dead.foreach(recordTextTombstones)
     }
     removed
   }
@@ -1684,6 +1802,7 @@ final class Collection(
               Meta.write(spark, dir, CollectionMeta(name, lastId,
                 embedder.dim, embedder.id, rowsCount))
               recordTombstoneId(id)
+              recordTextTombstoneId(id)
               nDel += 1
             }
           }
@@ -1872,6 +1991,7 @@ final class Collection(
     Meta.write(spark, dir,
       CollectionMeta(name, lastId, embedder.dim, embedder.id, rowsCount))
     recordTombstoneId(id)
+    recordTextTombstoneId(id)
     Some((id, hit(0).getString(1)))
   }
 

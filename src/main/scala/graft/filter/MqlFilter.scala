@@ -319,6 +319,21 @@ object MqlFilter {
     }
   }
 
+  /** Mongo `$search` string → distinct lowercase terms. ONE parser for
+    * the scan-path `$text` predicate and the index-path serving
+    * (`Collection.textFind`), so the two can never tokenize
+    * differently. Stemming, quoted phrases and `-negation` are
+    * index-language features out of scope: quote and dash characters
+    * are refused loudly. */
+  private[graft] def textSearchTerms(search: String): Seq[String] = {
+    require(!search.exists(c => c == '"' || c == '-'),
+      s"$$text phrases/negation unsupported: $search")
+    val terms = search.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"$$text needs at least one term")
+    terms
+  }
+
   // ---- numericOrdering (r14) ----------------------------------------
   // Mongo's numeric-string collation: embedded digit RUNS compare by
   // numeric value ("item2" < "item10"). The comparison key normalizes
@@ -640,24 +655,17 @@ object MqlFilter {
           // {"$text": {"$search": "w1 w2 ..."}} — Mongo's text-index
           // predicate in its OR-of-terms form: match if ANY search term
           // appears among the document's [a-z0-9]+ tokens (lowercased —
-          // Mongo's default-insensitive). Stemming, quoted phrases and
-          // `-negation` are index-language features out of scope: quote
-          // and dash characters are refused loudly. The column searched
+          // Mongo's default-insensitive). The column searched
           // is the frame's `text` column (overridable via conf
           // graft.mql.text_column at the query site by pre-aliasing) —
           // a lazy name reference, resolved when the predicate binds.
           require(v.isObject && v.get("$search") != null &&
             v.get("$search").isTextual,
             s"""$$text needs {"$$search": "terms"}: $v""")
-          val search = v.get("$search").asText()
-          require(!search.exists(c => c == '"' || c == '-'),
-            s"$$text phrases/negation unsupported: $search")
-          val terms = search.toLowerCase
-            .split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-          require(terms.nonEmpty, s"$$text needs at least one term")
+          val terms = textSearchTerms(v.get("$search").asText())
           arrays_overlap(
             graft.functions.TextFunctions.tokens(col("text")),
-            typedLit(terms.toSeq))
+            typedLit(terms))
         case (field, v) if v.isObject && isOpObject(v) =>
           opObjectPred(field, v, r)
         case (field, v) => fieldOp(field, "$eq", v, r)

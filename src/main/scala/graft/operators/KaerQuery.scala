@@ -211,21 +211,35 @@ object KaerQuery {
             .as("_r"), max(col("op_time")).as("op_time"))
           .select(col("mid"), col("_r.op").as("op"),
             col("_r.lang").as("lang"), col("op_time"))
+        // r14: PARTITIONED store MERGE — the store is partitioned by
+        // id-range bucket (ids are monotone, so an insert batch lands
+        // in the tail bucket; updates/deletes touch the buckets of the
+        // ids they name), and each batch (1) reads ONLY the touched
+        // buckets (partition-pruned scan), (2) merges the delta,
+        // (3) DYNAMIC-overwrites only those buckets. Per-batch cost is
+        // O(touched partitions + delta), independent of store size —
+        // the r13 whole-store rewrite was O(|store| + |delta|).
+        val W = 65536L // ids per bucket
+        val delta = compacted
+          .withColumn("pb", (col("mid") / W).cast("long"))
         val tgt = new org.apache.hadoop.fs.Path(s"$root/store")
         val merged =
-          if (!fs.exists(tgt)) compacted
-          else Upsert.upsert(
-            batch.sparkSession.read.parquet(tgt.toString), compacted,
-            Seq("mid"), whenMatched = "newerWins",
-            versionCol = Some("op_time"))
-        val tmp = new org.apache.hadoop.fs.Path(s"$root/store_tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        val bak = new org.apache.hadoop.fs.Path(s"$root/store_bak")
-        fs.delete(bak, true)
-        if (fs.exists(tgt))
-          require(fs.rename(tgt, bak), s"rename $tgt -> $bak failed")
-        require(fs.rename(tmp, tgt), s"rename $tmp -> $tgt failed")
-        fs.delete(bak, true)
+          if (!fs.exists(tgt)) delta
+          else {
+            // ≤ (delta id-span / W) bucket ids — a bounded collect
+            val touched = delta.select("pb").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val cur = batch.sparkSession.read.parquet(tgt.toString)
+              .filter(col("pb").isin(touched: _*))
+              .select(col("mid"), col("op"), col("lang"),
+                col("op_time"), col("pb").cast("long").as("pb"))
+            Upsert.upsert(cur, delta,
+              Seq("mid"), whenMatched = "newerWins",
+              versionCol = Some("op_time"))
+          }
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("pb").parquet(tgt.toString)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -578,7 +592,38 @@ object KaerQuery {
       .toDF("lang").orderBy("lang")
   }
 
+  /** `$text` SERVED FROM the collection's persisted postings index
+    * (r14): ensureTextIndex (trust-reuse / O(tail) append / rebuild —
+    * the IVF ladder's text twin) then textFind — partition-pruned
+    * bucket scan, textScore surrogate, MQL pre-filter composed on the
+    * live collection, $meta-descending top-k. The oracle is the SAME
+    * scan-path scoring SQL the mql_text_score gate pins, composed with
+    * the lang filter — a serving-path bug (missed posting, stale
+    * bucket, broken tombstone arithmetic) hash-mismatches against the
+    * independently computed scan answer. */
+  def textSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val coll = openOrBuild(s, dir)
+    coll.ensureTextIndex()
+    coll.textFind("vector hash table", 15,
+        """{"lang": {"$in": ["en", "fr"]}}""")
+      .select(
+        get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
+          .as("doc_id"),
+        col("score"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "kaer_text_search" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('vector', 'hash', 'table'))) AS BIGINT)
+        |      AS score
+        |  FROM documents)
+        |SELECT doc_id, score FROM m
+        |WHERE score > 0 AND lang IN ('en', 'fr')
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "kaer_distinct" ->
       """SELECT DISTINCT lang FROM documents
         |WHERE n_chars >= 500 ORDER BY 1""".stripMargin,
@@ -709,6 +754,7 @@ object KaerQuery {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kaer_query" -> (flagship _),
+    "kaer_text_search" -> (textSearchIndexed _),
     "kaer_distinct" -> (distinctLangs _),
     "kaer_query_indexed" -> (flagshipIndexed _),
     "kaer_aggregate" -> (aggregateGroup _),

@@ -83,6 +83,24 @@ object TextIndex {
     writeMeta(s, indexDir)
   }
 
+  /** OR-of-terms hits from the index — the `$text` predicate's serving
+    * shape (r14): terms map to ≤|terms| buckets on the DRIVER, the
+    * postings scan partition-prunes every other bucket, and the result
+    * is one row per matching doc with the engine's deterministic
+    * textScore surrogate (total occurrences of the distinct search
+    * terms = Σ tf over matched terms — identical to the scan path's
+    * surrogate, so both paths share one oracle). Deleted docs are NOT
+    * filtered here: the caller's join-back to the live collection
+    * drops them, exactly like the IVF probe path. */
+  def termHits(s: SparkSession, indexDir: String, terms: Seq[String])
+      : DataFrame = {
+    val tbs = terms.map(bucketLocal).distinct
+    s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(tbs: _*))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(sum(col("tf")).as("score"))
+  }
+
   /** BM25 top-k over the index: terms → buckets (driver arithmetic) →
     * partition-pruned postings scan → pivot to tf_<term> columns →
     * the shared ranking tail. */

@@ -1104,6 +1104,58 @@ class KaerSpec extends SparkTestBase {
     assert(r.watch(4).collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
+  test("text index: build, O(tail) append on insert, delete tombstones " +
+      "keep live arithmetic, textFind serves from postings across reopen") {
+    val root = tmpDir("kaer-textidx")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq(
+      "alpha beta gamma", "beta beta delta", "epsilon zeta",
+      "alpha alpha alpha"))
+      .withMetadatas((1 to 4).map(i => Map[String, Any]("g" -> i))))
+    // Mongo contract: $text without a text index is loud
+    val no = intercept[IllegalArgumentException] { c.textFind("alpha") }
+    assert(no.getMessage.contains("text index"), no.getMessage)
+    c.ensureTextIndex()
+    assert(c.textIndexRebuilds == 1 && c.textIndexAppends == 0)
+    // OR-of-terms, score = Σ occurrences of distinct matched terms,
+    // best-match-first, ties by id: doc4 (alpha×3) > doc1 (2) = doc2 (2)
+    val r1 = c.textFind("alpha beta").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(4L, 1L, 2L), r1.mkString("|"))
+    assert(r1.map(_.getAs[Long]("score")).toSeq == Seq(3L, 2L, 2L))
+    // a second ensure is a trusted no-op
+    c.ensureTextIndex()
+    assert(c.textIndexRebuilds == 1 && c.textIndexAppends == 0)
+    // insert → the NEXT query appends only the id tail, never rebuilds
+    c.insert(Data().withDocuments(Seq("beta omega"))
+      .withMetadatas(Seq(Map[String, Any]("g" -> 5))))
+    val r2 = c.textFind("beta").collect()
+    assert(c.textIndexRebuilds == 1 && c.textIndexAppends == 1)
+    assert(r2.map(_.getLong(0)).toSeq == Seq(2L, 1L, 5L), r2.mkString("|"))
+    // delete records tombstones; coverage arithmetic stays live (no
+    // rebuild), and the join-back drops the dead doc from results
+    assert(c.delete("""{"g": 2}""") == 1L)
+    val r3 = c.textFind("beta").collect()
+    assert(r3.map(_.getLong(0)).toSeq == Seq(1L, 5L), r3.mkString("|"))
+    assert(c.textIndexRebuilds == 1 && c.textIndexAppends == 1)
+    assert(spark.read.parquet(s"$root/c/textindex/tombstones")
+      .count() == 1)
+    // MQL pre-filter composes on the live collection
+    val rf = c.textFind("beta alpha", 10, """{"g": {"$gte": 4}}""")
+      .collect()
+    assert(rf.map(_.getLong(0)).toSeq == Seq(4L, 5L), rf.mkString("|"))
+    // a REOPENED handle trust-reuses the persisted index: no rebuild,
+    // no append, same answers
+    val c2 = newSession(root).getCollection("c")
+    val r4 = c2.textFind("beta").collect()
+    assert(r4.map(_.getLong(0)).toSeq == Seq(1L, 5L), r4.mkString("|"))
+    assert(c2.textIndexRebuilds == 0 && c2.textIndexAppends == 0)
+    // a rebuild (forced by an out-of-ladder shape: delete of a NEW id
+    // after an append... here just buildTextIndex) compacts tombstones
+    c2.buildTextIndex()
+    assert(!new java.io.File(s"$root/c/textindex/tombstones").exists())
+  }
+
   test("transaction: staged lineage stays O(1)-deep across a 20-op " +
       "battery (localCheckpoint truncation, not O(N^2) recompute)") {
     val k = newSession(tmpDir("kaer-txn-depth"))

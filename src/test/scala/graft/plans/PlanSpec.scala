@@ -41,6 +41,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("collection textFind prunes unqueried postings buckets at " +
+      "partition level (the $text index serving contract)") {
+    import graft.api.{Data, KaerSession}
+    val k = new KaerSession(spark, tmpDir("kaer-text-plan"),
+      graft.embed.HashingEmbedder(16))
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq(
+      "alpha beta gamma", "beta delta", "epsilon zeta")))
+    c.ensureTextIndex()
+    val p = plan(c.textFind("alpha beta"))
+    assert(p.contains("PartitionFilters"), p)
+    // the tb bucket predicate must be a PARTITION filter on the
+    // postings scan — file-level pruning, not a data filter
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("tb"), p)
+  }
+
   test("ann_ivf_indexed: probe prunes unprobed inverted lists at partition level") {
     import graft.operators.IvfIndex
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
