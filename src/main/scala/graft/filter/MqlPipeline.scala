@@ -2349,16 +2349,39 @@ object MqlPipeline {
         // Mongo date operator family over the timestamp view (builds on
         // the ISO-string date convention of the $date filter literals).
         // Parts return LONG (the oracle engines' integer date parts).
-        case ("$year", v) => year(dateOf(v)).cast("long")
-        case ("$month", v) => month(dateOf(v)).cast("long")
-        case ("$dayOfMonth", v) => dayofmonth(dateOf(v)).cast("long")
-        case ("$hour", v) => hour(dateOf(v)).cast("long")
-        case ("$minute", v) => minute(dateOf(v)).cast("long")
-        case ("$second", v) => second(dateOf(v)).cast("long")
+        // Each part operator also accepts Mongo's {date, timezone}
+        // document form (r14) — the part is extracted from the
+        // FIXED-OFFSET wall clock (which calendar day/hour an instant
+        // is depends on the zone); named DST zones loud as everywhere.
+        case (op @ ("$year" | "$month" | "$dayOfMonth" | "$hour" |
+            "$minute" | "$second"), v) =>
+          val (dn, off) =
+            if (v.isObject && v.get("date") != null) {
+              v.properties().asScala.foreach(e => require(
+                Seq("date", "timezone").contains(e.getKey),
+                s"unsupported $op option: ${e.getKey} (date/timezone)"))
+              (v.get("date"), tzOffsetOf(v))
+            } else (v, 0L)
+          val ts = if (off == 0L) dateOf(dn)
+            else timestamp_seconds(unix_timestamp(dateOf(dn)) + off)
+          (op match {
+            case "$year" => year(ts)
+            case "$month" => month(ts)
+            case "$dayOfMonth" => dayofmonth(ts)
+            case "$hour" => hour(ts)
+            case "$minute" => minute(ts)
+            case _ => second(ts)
+          }).cast("long")
         case ("$dateFromString", v) =>
+          // {dateString, timezone?}: with a FIXED offset the string is
+          // read as that zone's WALL CLOCK — parse, then shift back to
+          // the UTC instant (r14; named zones loud in tzOffsetSeconds)
           require(v.isObject && v.get("dateString") != null,
             s"$$dateFromString needs {dateString}: $v")
-          to_timestamp(strOf(v.get("dateString")))
+          val dfsOff = tzOffsetOf(v)
+          val parsed = to_timestamp(strOf(v.get("dateString")))
+          if (dfsOff == 0L) parsed
+          else timestamp_seconds(unix_timestamp(parsed) - dfsOff)
         case ("$dateTrunc", v) =>
           // {date, unit, timezone?}: Mongo 5.0's truncation — calendar
           // units map to Spark's date_trunc (same boundary semantics as
@@ -2406,8 +2429,17 @@ object MqlPipeline {
           require(v.isObject && v.get("startDate") != null &&
             v.get("endDate") != null && v.get("unit") != null,
             s"$$dateDiff needs {startDate, endDate, unit}: $v")
-          val sd = dateOf(v.get("startDate"))
-          val ed = dateOf(v.get("endDate"))
+          // timezone (r14): boundaries are counted in the FIXED-offset
+          // wall clock — day boundaries move with the zone, and hour
+          // boundaries too for :30/:45 offsets. Shift both operands
+          // into the offset frame; the boundary arithmetic below is
+          // unchanged (named zones loud in tzOffsetSeconds).
+          val ddOff = tzOffsetOf(v)
+          def inZone(c: Column): Column =
+            if (ddOff == 0L) c
+            else timestamp_seconds(unix_timestamp(c) + ddOff)
+          val sd = inZone(dateOf(v.get("startDate")))
+          val ed = inZone(dateOf(v.get("endDate")))
           v.get("unit").asText() match {
             case "day" => datediff(to_date(ed), to_date(sd)).cast("long")
             case "hour" =>

@@ -182,9 +182,19 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |     "date": {"$dateTrunc": {"date": "$created",
         |       "unit": "day", "timezone": "+05:30"}}}},
         |   "lbl_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M",
-        |     "date": "$created", "timezone": "-08:00"}}}},
+        |     "date": "$created", "timezone": "-08:00"}},
+        |   "dom_tz": {"$dayOfMonth": {"date": "$created",
+        |     "timezone": "+05:30"}},
+        |   "diff_d_tz": {"$dateDiff": {
+        |     "startDate": "2023-01-01T00:00:00", "endDate": "$created",
+        |     "unit": "day", "timezone": "-08:00"}},
+        |   "from_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateFromString": {"dateString": "$created",
+        |       "timezone": "+05:30"}}}}}},
         | {"$project": {"event_id": {"$toLong": "$eid"},
-        |   "m_tz": 1, "q_tz": 1, "tr_tz": 1, "lbl_tz": 1}},
+        |   "m_tz": 1, "q_tz": 1, "tr_tz": 1, "lbl_tz": 1,
+        |   "dom_tz": {"$toLong": "$dom_tz"},
+        |   "diff_d_tz": {"$toLong": "$diff_d_tz"}, "from_tz": 1}},
         | {"$sort": {"event_id": 1}},
         | {"$limit": 250}
         |]""".stripMargin)
@@ -2122,7 +2132,16 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    + to_seconds(28800), '%Y-%m-%d %H:%M:%S') AS q_tz,
         |  strftime(date_trunc('day', base + to_seconds(19800))
         |    - to_seconds(19800), '%Y-%m-%d %H:%M:%S') AS tr_tz,
-        |  strftime(base - to_seconds(28800), '%Y-%m-%d %H:%M') AS lbl_tz
+        |  strftime(base - to_seconds(28800), '%Y-%m-%d %H:%M') AS lbl_tz,
+        |  CAST(date_part('day', base + to_seconds(19800)) AS BIGINT)
+        |    AS dom_tz,
+        |  CAST(date_diff('day',
+        |    CAST(TIMESTAMP '2023-01-01 00:00:00'
+        |      - to_seconds(28800) AS DATE),
+        |    CAST(base - to_seconds(28800) AS DATE)) AS BIGINT)
+        |    AS diff_d_tz,
+        |  strftime(base - to_seconds(19800), '%Y-%m-%d %H:%M:%S')
+        |    AS from_tz
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_convert" ->
       """WITH w AS (SELECT doc_id,

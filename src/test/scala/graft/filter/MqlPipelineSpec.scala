@@ -1719,6 +1719,38 @@ class MqlPipelineSpec extends SparkTestBase {
     // local midnight Jan 16 = Jan 15 18:30 UTC
     assert(got.getString(3) == "2024-01-15 18:30:00", got.toString)
     assert(got.getString(4) == "2024-01-16 01:30", got.toString)
+    // (r14b) the rest of the date family takes {date, timezone} too:
+    // parts read the offset wall clock, $dateDiff counts boundaries in
+    // the offset frame, $dateFromString reads a wall clock and returns
+    // the UTC instant
+    val fam = run(
+      """[
+        | {"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {
+        |   "h": {"$toLong": {"$hour": {"date": "2024-01-15T20:45:00",
+        |     "timezone": "+05:30"}}},
+        |   "dom": {"$toLong": {"$dayOfMonth": {
+        |     "date": "2024-01-15T20:45:00", "timezone": "+05:30"}}},
+        |   "dd": {"$toLong": {"$dateDiff": {
+        |     "startDate": "2024-01-15T07:00:00",
+        |     "endDate": "2024-01-15T09:00:00",
+        |     "unit": "day", "timezone": "-08:00"}}},
+        |   "dd0": {"$toLong": {"$dateDiff": {
+        |     "startDate": "2024-01-15T07:00:00",
+        |     "endDate": "2024-01-15T09:00:00", "unit": "day"}}},
+        |   "fs": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateFromString": {
+        |       "dateString": "2024-01-15T00:00:00",
+        |       "timezone": "+05:30"}}}}}},
+        | {"$project": {"h": 1, "dom": 1, "dd": 1, "dd0": 1, "fs": 1}}
+        |]""".stripMargin).collect()(0)
+    // 20:45 UTC = 02:15 local Jan 16 in +05:30
+    assert(fam.getLong(0) == 2L && fam.getLong(1) == 16L, fam.toString)
+    // 07:00→09:00 UTC crosses local midnight in -08:00 (23:00→01:00),
+    // but no UTC day boundary
+    assert(fam.getLong(2) == 1L && fam.getLong(3) == 0L, fam.toString)
+    // +05:30 wall clock midnight = 18:30 UTC the previous day
+    assert(fam.getString(4) == "2024-01-14 18:30:00", fam.toString)
     // named zones stay loud on every operator of the family
     for (frag <- Seq(
       """{"$dateTrunc": {"date": "2024-01-01T00:00:00", "unit": "day",
