@@ -134,6 +134,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the detail line is machine-parsed JSON built with f-interpolators;
+    // a comma-decimal default locale would emit invalid JSON — pin ROOT
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val contended = waitForIdle()

@@ -1005,12 +1005,16 @@ final class Collection(
     def tombTrusted(n: Long): Boolean =
       n == 0L || graft.core.Trust.parquetDir(spark, tombDir, n)
     Meta.readIndex(spark, idx) match {
-      case Some(m) if m.nlist == nlist && m.indexedLastId == lastId &&
+      // a STALE sidecar (in-place rewrite under an unchanged watermark,
+      // see replaceOne) defeats every arithmetic check — rebuild
+      case Some(m) if !m.stale &&
+          m.nlist == nlist && m.indexedLastId == lastId &&
           m.indexedRows - m.tombstones == rowsCount &&
           storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
         () // live coverage current (deletes ride the tombstone
            // sidecar, recorded at delete time) — nothing to do
-      case Some(m) if m.nlist == nlist && m.indexedLastId < lastId &&
+      case Some(m) if !m.stale &&
+          m.nlist == nlist && m.indexedLastId < lastId &&
           rowsCount - (m.indexedRows - m.tombstones) ==
             lastId - m.indexedLastId &&
           storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
@@ -1102,11 +1106,13 @@ final class Collection(
     def tombTrusted(n: Long): Boolean =
       n == 0L || graft.core.Trust.parquetDir(spark, textTombDir, n)
     Meta.readIndex(spark, idx) match {
-      case Some(m) if m.indexedLastId == lastId &&
+      // stale = in-place text rewrite (replaceOne): counters all match
+      // but the postings describe the OLD text — rebuild, never serve
+      case Some(m) if !m.stale && m.indexedLastId == lastId &&
           m.indexedRows - m.tombstones == rowsCount &&
           storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
         () // live coverage current
-      case Some(m) if m.indexedLastId < lastId &&
+      case Some(m) if !m.stale && m.indexedLastId < lastId &&
           rowsCount - (m.indexedRows - m.tombstones) ==
             lastId - m.indexedLastId &&
           storageTrusted(m.indexedRows) && tombTrusted(m.tombstones) =>
@@ -1495,6 +1501,19 @@ final class Collection(
         when(isHit, embLit).otherwise(col(Schema.EmbeddingCol)))
       .withColumn(Schema.MetaCol,
         when(isHit, metaJson).otherwise(col(Schema.MetaCol))))
+    // the rewrite changed text + embedding UNDER an unchanged id /
+    // watermark / rowcount, so both index families' coverage arithmetic
+    // still passes while their entries describe the OLD content (stale
+    // postings would keep matching the old text; the IVF entry pins the
+    // id to the old embedding's list). Tombstone+reinsert can't express
+    // this — tombstones drop dead ids at join-back, and this id stays
+    // live — so poison the sidecars: the next ensure rebuilds. replaceOne
+    // is already an O(n) copy-on-write, so the rebuild is the same cost
+    // class, paid once, lazily, by the next index consumer.
+    Meta.readIndex(spark, indexDir).foreach(m =>
+      Meta.writeIndex(spark, indexDir, m.copy(stale = true)))
+    Meta.readIndex(spark, textIndexDir).foreach(m =>
+      Meta.writeIndex(spark, textIndexDir, m.copy(stale = true)))
     1L
   }
 

@@ -34,8 +34,15 @@ final case class CollectionMeta(
   * `indexedRows - tombstones`. `tombstones` (r13) counts deleted ids
   * recorded in the index's tombstone sidecar table — delete-heavy
   * maintenance stays O(delta) instead of forcing a rebuild. */
+/** Index-coverage sidecar. `stale` is the in-place-rewrite poison pill
+  * (r15): replaceOne swaps document text + embedding UNDER an unchanged
+  * id/watermark/rowcount, so every arithmetic coverage check still
+  * passes while the postings/list entries describe the OLD content —
+  * the ensure ladders must treat a stale sidecar as "rebuild required"
+  * no matter what the counters say. Absent in pre-r15 sidecars ⇒ false
+  * (those stores had no in-place rewrite yet). */
 final case class IndexMeta(indexedLastId: Long, indexedRows: Long,
-    nlist: Int, tombstones: Long = 0L)
+    nlist: Int, tombstones: Long = 0L, stale: Boolean = false)
 
 object Meta {
   private val mapper = new ObjectMapper()
@@ -76,6 +83,7 @@ object Meta {
     node.put("indexedRows", m.indexedRows)
     node.put("nlist", m.nlist)
     node.put("tombstones", m.tombstones)
+    node.put("stale", m.stale)
     writeAtomic(spark, indexDir, IndexFileName, mapper.writeValueAsBytes(node))
   }
 
@@ -103,7 +111,8 @@ object Meta {
         node.get("indexedLastId").asLong(),
         node.get("indexedRows").asLong(),
         node.get("nlist").asInt(),
-        Option(node.get("tombstones")).map(_.asLong()).getOrElse(0L)))
+        Option(node.get("tombstones")).map(_.asLong()).getOrElse(0L),
+        Option(node.get("stale")).exists(_.asBoolean())))
     } catch {
       case _: org.apache.hadoop.fs.ChecksumException |
           _: java.io.EOFException => None

@@ -1011,7 +1011,15 @@ object MqlPipeline {
             // objects inside raise per row rather than pass unredacted.
             def valueText(v: Column, level: Int, arrBudget: Int): Column = {
               val sch = schema_of_variant(v)
-              val isLeafObj = locate("OBJECT<", sch, 2) === 0
+              // "leaf" must mean PROVABLY no nested documents: a mixed
+              // array inside the subdoc reports ARRAY<VARIANT> with no
+              // nested OBJECT<, so a bare second-OBJECT< test would
+              // treat {a:[1,{..}]} as a leaf and keep the embedded
+              // object verbatim — the exact silent-visibility-widening
+              // arrText's mayHideObjects guard exists to prevent. Any
+              // VARIANT in the schema routes through cleanDoc/arrText.
+              val isLeafObj = locate("OBJECT<", sch, 2) === 0 &&
+                !sch.contains("VARIANT")
               def objText: Column = {
                 val sv = computeExpr(rewritten, to_json(v), cur)
                 val descended: Column =
@@ -2379,9 +2387,27 @@ object MqlPipeline {
           require(v.isObject && v.get("dateString") != null,
             s"$$dateFromString needs {dateString}: $v")
           val dfsOff = tzOffsetOf(v)
-          val parsed = to_timestamp(strOf(v.get("dateString")))
+          val dfsStr = strOf(v.get("dateString"))
+          val parsed = to_timestamp(dfsStr)
           if (dfsOff == 0L) parsed
-          else timestamp_seconds(unix_timestamp(parsed) - dfsOff)
+          else {
+            // Mongo RAISES when the string carries its own offset AND a
+            // timezone option is given; honoring the embedded offset
+            // then shifting again would double-shift silently. The
+            // string is column-valued, so the conflict check is a
+            // runtime guard: an offset/Z suffix is only an offset when
+            // it follows a time component (a bare date's "-01" is a day)
+            val embedded = dfsStr.rlike(
+              "\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?\\s*" +
+                "([Zz]|[+-]\\d{2}(:?\\d{2})?)$")
+            when(embedded, raise_error(concat(
+              lit("$dateFromString: dateString carries an explicit " +
+                "offset while a timezone option is also given — Mongo " +
+                "raises on the conflict, so does this engine: "),
+              dfsStr)).cast("timestamp"))
+              .otherwise(
+                timestamp_seconds(unix_timestamp(parsed) - dfsOff))
+          }
         case ("$dateTrunc", v) =>
           // {date, unit, timezone?}: Mongo 5.0's truncation — calendar
           // units map to Spark's date_trunc (same boundary semantics as
@@ -2851,7 +2877,8 @@ object MqlPipeline {
       case Off(sgn, hh, mm) =>
         val h = hh.toInt
         val m = Option(mm).map(_.toInt).getOrElse(0)
-        require(h <= 18 && m < 60, // ISO-8601 offset envelope
+        // ISO-8601 offset envelope is ±18:00 TOTAL — +18:30 is out
+        require(m < 60 && (h < 18 || (h == 18 && m == 0)),
           s"invalid fixed timezone offset: $tz")
         (if (sgn == "-") -1L else 1L) * (h * 3600L + m * 60L)
       case other => throw new IllegalArgumentException(

@@ -1156,6 +1156,45 @@ class KaerSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/c/textindex/tombstones").exists())
   }
 
+  test("replaceOne poisons index sidecars: in-place rewrite under an " +
+      "unchanged watermark forces rebuild — textFind never serves " +
+      "stale postings (r15, ADVICE)") {
+    val root = tmpDir("kaer-repl-stale")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq(
+      "alpha beta", "gamma delta", "epsilon zeta"))
+      .withMetadatas((1 to 3).map(i => Map[String, Any]("g" -> i))))
+    c.ensureTextIndex()
+    c.ensureIndex(nlist = 2)
+    assert(c.textIndexRebuilds == 1 && c.indexRebuilds == 1)
+    assert(c.textFind("gamma").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    // swap doc 2's text in place: id, watermark, and rowcount all
+    // unchanged — every arithmetic coverage check still passes
+    assert(c.replaceOne("""{"g": 2}""", "omega psi",
+      Map("g" -> 2)) == 1L)
+    // ...but the sidecars are poisoned: the next textFind REBUILDS
+    // instead of serving the replaced doc's old postings
+    val r = c.textFind("omega").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L), r.mkString("|"))
+    assert(c.textIndexRebuilds == 2 && c.textIndexAppends == 0)
+    // the OLD text matches nowhere (stale postings would still score it)
+    assert(c.textFind("gamma").count() == 0)
+    // the IVF twin is poisoned too (the old list entry pins id 2 to
+    // the stale embedding's centroid — a recall hole): ensure rebuilds
+    c.ensureIndex(nlist = 2)
+    assert(c.indexRebuilds == 2 && c.indexAppends == 0)
+    // a second ensure after the rebuild is a trusted no-op again
+    c.ensureIndex(nlist = 2)
+    c.ensureTextIndex()
+    assert(c.indexRebuilds == 2 && c.textIndexRebuilds == 2)
+    // a REOPENED handle sees the healed sidecars: trust-reuse, no work
+    val c2 = newSession(root).getCollection("c")
+    assert(c2.textFind("omega").count() == 1)
+    assert(c2.textIndexRebuilds == 0 && c2.textIndexAppends == 0)
+  }
+
   test("transaction: staged lineage stays O(1)-deep across a 20-op " +
       "battery (localCheckpoint truncation, not O(N^2) recompute)") {
     val k = newSession(tmpDir("kaer-txn-depth"))

@@ -1549,6 +1549,26 @@ class MqlPipelineSpec extends SparkTestBase {
     // (level 7, leaf) kept; arr loses its level-1 element, keeps the
     // level-5 doc and the scalar 7
     assert(d2.toSeq == Seq((1L, 2L, -1L, 4L, 2L)), d2.mkString(","))
+    // (r15, ADVICE) a DESCEND subdoc whose ONLY nesting is a MIXED
+    // array (scalars + objects → ARRAY<VARIANT>, no nested OBJECT< in
+    // its schema) must NOT be treated as a leaf: the embedded object
+    // gets its own re-rooted verdict (PRUNE here) instead of riding
+    // along verbatim — the silent-visibility-widening case
+    val mixedLeak = Seq((1L,
+      """{"level": 5, "sub": {"level": 4, "keep": 1,""" +
+        """ "arr": [1, {"level": 0, "secret": 9}, 2]}}"""))
+      .toDF("id", "meta")
+    val ml = MqlPipeline.aggregate(mixedLeak, col("meta"),
+      s"""[$redactExpr,
+         | {"$$project": {"id": 1,
+         |   "na": {"$$size": "$$sub.arr"},
+         |   "sec": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": {"$$arrayElemAt": ["$$sub.arr", 1]}},
+         |      -1]}}}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the level-0 object is pruned OUT of the mixed array: 3 → 2
+    // elements, and position 1 now holds the scalar 2
+    assert(ml.toSeq == Seq((1L, 2L, 2L)), ml.mkString(","))
     // ...but past the depth cap (4 nested DESCENDs on non-leaf
     // subdocs) the verdict raises per row
     val deep4 = Seq((1L,
@@ -1766,6 +1786,47 @@ class MqlPipelineSpec extends SparkTestBase {
       assert(e.getMessage.contains("timezone") ||
         e.getMessage.contains("offset"), e.getMessage)
     }
+    // (r15) the ISO envelope is ±18:00 TOTAL: +18:30 is out, +18:00 in
+    val over = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$hour": {
+            |  "date": "2024-01-01T00:00:00",
+            |  "timezone": "+18:30"}}}}]""".stripMargin).collect()
+    }
+    assert(over.getMessage.contains("offset"), over.getMessage)
+    assert(MqlPipeline.tzOffsetSeconds("+18:00") == 18L * 3600)
+    assert(MqlPipeline.tzOffsetSeconds("-18:00") == -18L * 3600)
+    // (r15) $dateFromString with BOTH a timezone option and an
+    // embedded offset in the string raises (Mongo's conflict error —
+    // honoring the embedded offset then shifting again would silently
+    // double-shift); an offsetless string still parses
+    val conflict = intercept[Exception] {
+      run("""[{"$addFields": {"x": {"$dateFromString": {
+            |  "dateString": "2024-01-01T00:00:00+02:00",
+            |  "timezone": "+05:30"}}}},
+            | {"$project": {"x": 1}}]""".stripMargin).collect()
+    }
+    def msgsC(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsC(t.getCause)
+    assert(msgsC(conflict).exists(_.contains("conflict")),
+      msgsC(conflict).toString)
+    val zConflict = intercept[Exception] {
+      run("""[{"$addFields": {"x": {"$dateFromString": {
+            |  "dateString": "2024-01-01T00:00:00Z",
+            |  "timezone": "+05:30"}}}},
+            | {"$project": {"x": 1}}]""".stripMargin).collect()
+    }
+    assert(msgsC(zConflict).exists(_.contains("conflict")),
+      msgsC(zConflict).toString)
+    // a bare date's "-01" day segment is NOT an offset — still parses
+    val bare = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S",
+        |   "date": {"$dateFromString": {
+        |     "dateString": "2024-03-01",
+        |     "timezone": "+05:30"}}}}}},
+        | {"$project": {"x": 1}}]""".stripMargin).collect()(0)
+    assert(bare.getString(0) == "2024-02-29 18:30:00", bare.toString)
   }
 
   test("$convert to date: ISO strings convert with onError/onNull " +
