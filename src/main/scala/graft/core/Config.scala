@@ -78,10 +78,20 @@ object GraftConfig {
   /** Bits-per-band sized to the corpus: with bucket count 2^bits per
     * band, expected bucket membership ≈ N / 2^bits, so holding buckets
     * near `targetBucket` needs bits ≥ log2(N / targetBucket). Floored at
-    * the default 8 (the measured sweet spot for ≤100k corpora) — the
+    * the default 8 (the measured sweet spot for small corpora) — the
     * remedy for the measured failure mode where a fixed band space
-    * saturates and bucket size grows linearly with the corpus. */
-  def autoBitsPerBand(corpusRows: Long, targetBucket: Long = 1000L): Int = {
+    * saturates and bucket size grows linearly with the corpus.
+    *
+    * The target is 16, NOT the bucket-overflow cap: candidate-pair
+    * volume is quadratic in bucket membership (Σ m²/2 per band), so the
+    * target sets the verify bill directly — ~N·target/2 cosine checks
+    * per band. The r14 sf10 measurements pin the curve on a 220k-row
+    * corpus: membership ~860 (8 bits) = 492 s with 83 GB of spill;
+    * membership ~13 (14 bits) = 6.8 s, zero spill, identical verified
+    * output (exact copies collide at every dial). target=16 reproduces
+    * the measured sweet spot (bits=14 at 220k) and keeps per-row verify
+    * work constant as the corpus grows. */
+  def autoBitsPerBand(corpusRows: Long, targetBucket: Long = 16L): Int = {
     require(targetBucket > 0, "targetBucket must be positive")
     // integer derivation of ceil(log2(N / target)): smallest b with
     // 2^b * target >= N. Exact at power-of-two boundaries, where the

@@ -1506,6 +1506,67 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Sign-matrix SQL literal: `nPlanes` md5-seeded hyperplane rows as a
+    * list-of-lists, so a RUNTIME bits dial can index plane
+    * `band*bits + k` for any bits ≤ 30 — the runtime-dial oracles'
+    * device (the static oracles inline per-plane literals instead). */
+  private[operators] def signMatrixLit(nPlanes: Int): String =
+    (0 until nPlanes).map(j =>
+      graft.expr.TextHash.hyperplane(j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** The `cnt`/`par` CTE pair deriving the auto bits dial IN SQL —
+    * the integer-exact twin of [[graft.core.GraftConfig.autoBitsPerBand]]
+    * (smallest b with 2^b ≥ ceil(N/16), floored at 8, capped at 30; a
+    * bit-shift series, never floating-point log, so power-of-two
+    * boundaries land identically on both engines). One SQL text is
+    * correct at EVERY scale factor — the derivation itself is what the
+    * gate pins. */
+  private[operators] def autoBitsCtes(corpusCte: String): String =
+    s"""cnt AS (SELECT COUNT(*) AS n FROM $corpusCte),
+       |par AS (SELECT LEAST(30, GREATEST(8, (SELECT MIN(b)
+       |  FROM generate_series(0, 62) t(b), cnt
+       |  WHERE (1::BIGINT << b) >= (cnt.n + 15) // 16))) AS bits)"""
+      .stripMargin
+
+  /** Runtime-dial banding expression: pack `bits` (a SQL column from
+    * `par`) sign bits per band, planes indexed `band*bits + k` exactly
+    * as [[graft.expr.TextHash.hyperBands]] does. */
+  private[operators] def autoBandSql(embCol: String,
+      bandRef: String = "bb.band"): String =
+    s"""list_sum([CASE WHEN list_sum([$embCol[i]::DOUBLE *
+       |      (m[$bandRef*bits + k])[i] for i in generate_series(1,$Dim)]) > 0
+       |    THEN (1::BIGINT << (k-1)) ELSE 0 END
+       |    for k in generate_series(1, bits)])""".stripMargin
+
+  /** Oracle for [[dedupEmbedCosineAuto]]: same candidate→verify chain as
+    * [[embOracle]], but the bits dial is derived at RUNTIME from the
+    * corpus count by [[autoBitsCtes]] and the banding runs over the full
+    * sign matrix via [[autoBandSql]] — pinning the auto derivation AND
+    * the banding math with one SQL text valid at every SF. */
+  private def autoEmbOracle: String = {
+    def dot(a: String, bq: String): String =
+      s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,$Dim)])"
+    s"""WITH corpus AS ($embCorpusSql),
+       |${autoBitsCtes("corpus")},
+       |sm AS (SELECT ${signMatrixLit(30 * NBands)} AS m),
+       |banded AS (
+       |  SELECT id, bb.band AS band, ${autoBandSql("embedding")} AS bv
+       |  FROM corpus, par, sm, generate_series(0, ${NBands - 1}) bb(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.id < y.id)
+       |SELECT id_a, id_b FROM cand
+       |  JOIN corpus a ON a.id = cand.id_a
+       |  JOIN corpus b ON b.id = cand.id_b
+       |WHERE ${dot("a.embedding", "b.embedding")} /
+       |  (sqrt(${dot("a.embedding", "a.embedding")}) *
+       |   sqrt(${dot("b.embedding", "b.embedding")})) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   /** Shared CTE chain for the cluster-label gates: LSH candidates →
@@ -1867,6 +1928,7 @@ object Dedup {
     "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands),
     "dedup_embed_dial" -> embOracle(DialBits, DialBands,
       s"SELECT * FROM ($embCorpusSql) WHERE id < $DialCorpusCap"),
+    "dedup_embed_auto" -> autoEmbOracle,
     "dedup_semantic" -> semOracle,
     // exact-hamming self-join over the reconstructed signatures: the
     // oracle may go all-pairs (gate corpus is small); the Spark side's
@@ -1922,6 +1984,7 @@ object Dedup {
       dedupEmbedCosine(s, dir)
     }),
     "dedup_embed_dial" -> (dedupEmbedCosineDial _),
+    "dedup_embed_auto" -> (dedupEmbedCosineAuto _),
     "dedup_semantic" -> (dedupSemantic _)
   )
 }

@@ -219,13 +219,34 @@ object Similarity {
     * Spark's WindowGroupLimit rewrite, which keeps only k rows per query
     * PER PARTITION before the exchange, so the shuffle carries
     * O(k · queries · partitions), not O(corpus · queries). */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoinCore(s, dir, col("vec_id") % 100 === 7)
+
+  /** Probe-anchor count for the `_batch` gate variants: a production
+    * kNN join probes a FIXED batch (today's new anchors) against the
+    * whole corpus — work LINEAR in the corpus — where the `% 100`
+    * fixture ties probe count to corpus size, so its work grows
+    * quadratically by geometry (the r14 sf10 audit's knn_join 25× /
+    * hard_negatives 24× entries: 100× work for 10× data while
+    * per-unit-work cost fell 4×). 64 anchors exist at every driver SF
+    * (embeddings ≥ 500 rows from sf0.001 up), and the id predicate is
+    * SF-independent, so the sf1→sf10 bench curve measures the
+    * deployment shape. */
+  private val ProbeBatch = 64
+
+  /** [[knnJoin]] over a fixed 64-anchor probe batch — the
+    * linear-in-corpus production shape (see [[ProbeBatch]]). */
+  def knnJoinBatch(s: SparkSession, dir: String): DataFrame =
+    knnJoinCore(s, dir, col("vec_id") < ProbeBatch)
+
+  private def knnJoinCore(s: SparkSession, dir: String,
+      isProbe: Column): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") % 100 === 7)
+    val q = e.filter(isProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("vec_id").asc)
-    e.filter(col("vec_id") % 100 =!= 7)
+    e.filter(!isProbe)
       .crossJoin(broadcast(q))
       .withColumn("d", l2Sq(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -243,14 +264,23 @@ object Similarity {
     * shuffle still carries O(k · anchors · partitions); at 100 TB the
     * LSH/IVF candidate generators compose in front exactly as for
     * [[annJoinLsh]]. */
-  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesCore(s, dir, col("vec_id") % 100 === 7)
+
+  /** [[hardNegatives]] over a fixed 64-anchor probe batch — the
+    * linear-in-corpus production shape (see [[ProbeBatch]]). */
+  def hardNegativesBatch(s: SparkSession, dir: String): DataFrame =
+    hardNegativesCore(s, dir, col("vec_id") < ProbeBatch)
+
+  private def hardNegativesCore(s: SparkSession, dir: String,
+      isProbe: Column): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") % 100 === 7)
+    val q = e.filter(isProbe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("label").as("qlabel"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("d").asc, col("vec_id").asc)
-    e.filter(col("vec_id") % 100 =!= 7)
+    e.filter(!isProbe)
       .crossJoin(broadcast(q))
       .filter(col("label") =!= col("qlabel"))
       .withColumn("d", l2Sq(col("embedding"), col("qv")))
@@ -269,12 +299,29 @@ object Similarity {
     * collide — the documented recall trade; raise bands (or probe
     * neighboring band values) for more recall, bits per band for less
     * work, without changing the plan. */
-  def annJoinLsh(s: SparkSession, dir: String): DataFrame = {
+  def annJoinLsh(s: SparkSession, dir: String): DataFrame =
+    annJoinLshCore(s, dir, bits = 4, bands = 4)
+
+  /** Auto-dialed sibling of [[annJoinLsh]] — the scale path: bits per
+    * band derive from the corpus count ([[graft.core.GraftConfig
+    * .autoBitsPerBand]]), so the band space grows with the corpus
+    * instead of saturating (the static 4-bit dial's measured failure at
+    * the sf10 rung: 16 buckets/band ⇒ per-bucket membership grows
+    * linearly and candidate volume quadratically). Bands stay 4 — the
+    * recall knob; bits are the work knob. */
+  def annJoinLshAuto(s: SparkSession, dir: String): DataFrame = {
+    val bits = graft.core.GraftConfig.autoBitsPerBand(
+      emb(s, dir).count())
+    annJoinLshCore(s, dir, bits, bands = 4)
+  }
+
+  private def annJoinLshCore(s: SparkSession, dir: String,
+      bits: Int, bands: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(toCol(graft.expr.HyperBandValues(
-          toExpr(col("embedding")), 4, 4))).as(Seq("band", "bv")))
+          toExpr(col("embedding")), bits, bands))).as(Seq("band", "bv")))
     val e = emb(s, dir)
     val q = banded(e.filter(col("vec_id") % 100 === 7), "qid", "qv")
     val c = banded(e.filter(col("vec_id") % 100 =!= 7), "vec_id", "cv")
@@ -306,6 +353,38 @@ object Similarity {
     def dot(a: String, bq: String): String =
       s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,64)])"
     s"""WITH bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id,
+       |    q.embedding AS qv, c.embedding AS cv
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.bv = c.bv
+       |  WHERE q.vec_id % 100 = 7 AND c.vec_id % 100 <> 7),
+       |ranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      ${dot("cv", "qv")} /
+       |        nullif(sqrt(${dot("cv", "cv")})
+       |          * sqrt(${dot("qv", "qv")}), 0) DESC,
+       |      vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, rank, vec_id FROM ranked WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Oracle for [[annJoinLshAuto]]: the bits dial derives at RUNTIME
+    * from the corpus count (Dedup.autoBitsCtes — the integer-exact SQL
+    * twin of autoBitsPerBand) and banding runs over the full 4×30-plane
+    * sign matrix with a runtime list comprehension (Dedup.autoBandSql),
+    * so ONE SQL text pins derivation + banding at every SF. */
+  private def lshJoinAutoOracle: String = {
+    def dot(a: String, bq: String): String =
+      s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,64)])"
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+       |${Dedup.autoBitsCtes("corpus")},
+       |sm AS (SELECT ${Dedup.signMatrixLit(30 * 4)} AS m),
+       |bands AS (
+       |  SELECT vec_id, embedding, bb.band AS band,
+       |    ${Dedup.autoBandSql("embedding")} AS bv
+       |  FROM corpus, par, sm, generate_series(0, 3) bb(band)),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id,
        |    q.embedding AS qv, c.embedding AS cv
@@ -820,7 +899,27 @@ object Similarity {
          |  FROM embeddings e, q
          |  WHERE e.vec_id % 100 <> 7 AND e.label <> q.ql)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "knn_join_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 64)
+         |SELECT qid, rank, vec_id, label FROM (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings e, q WHERE e.vec_id >= 64)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "hard_negatives_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 64)
+         |SELECT qid, rank, vec_id, label FROM (
+         |  SELECT q.qid, e.vec_id, e.label,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${sqlL2("e.embedding", "q.qv")} ASC, e.vec_id ASC) AS rank
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id >= 64 AND e.label <> q.ql)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "ann_join_lsh" -> lshJoinOracle,
+    "ann_join_lsh_auto" -> lshJoinAutoOracle,
     "ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 77),
          |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
@@ -1024,9 +1123,12 @@ object Similarity {
     "knn_l2_filtered" -> (knnL2Filtered _),
     "knn_cosine" -> (knnCosine _),
     "knn_join" -> (knnJoin _),
+    "knn_join_batch" -> (knnJoinBatch _),
     "hard_negatives" -> (hardNegatives _),
+    "hard_negatives_batch" -> (hardNegativesBatch _),
     "rag_diverse" -> (ragDiverse _),
     "ann_join_lsh" -> (annJoinLsh _),
+    "ann_join_lsh_auto" -> (annJoinLshAuto _),
     "ann_ivf" -> (annIvf _),
     "ann_two_stage" -> (annTwoStage _)
   )

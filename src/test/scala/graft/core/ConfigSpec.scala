@@ -199,17 +199,20 @@ class ConfigSpec extends SparkTestBase {
   }
 
   test("autoBitsPerBand holds expected bucket size near the target") {
-    // small corpora keep the default floor
+    // small corpora keep the default floor (binds while N <= 16·2^8)
     assert(GraftConfig.autoBitsPerBand(0L) == 8)
-    assert(GraftConfig.autoBitsPerBand(100000L) == 8)
-    // past the floor: bits = ceil(log2(N / 1000)) — expected bucket
-    // membership N / 2^bits stays <= the 1000 target as N grows
-    assert(GraftConfig.autoBitsPerBand(320000L) == 9)
-    assert(GraftConfig.autoBitsPerBand(1000000L) == 10)
-    assert(GraftConfig.autoBitsPerBand(1000000000L) == 20)
+    assert(GraftConfig.autoBitsPerBand(4096L) == 8)
+    // past the floor: bits = ceil(log2(N / 16)) — expected bucket
+    // membership N / 2^bits stays <= the 16 target as N grows (the
+    // target sets the verify bill: candidate pairs are quadratic in
+    // membership — see the sf10 measurements on autoBitsPerBand)
+    assert(GraftConfig.autoBitsPerBand(8192L) == 9)
+    assert(GraftConfig.autoBitsPerBand(220000L) == 14) // the sf10 rung
+    assert(GraftConfig.autoBitsPerBand(1000000L) == 16)
+    assert(GraftConfig.autoBitsPerBand(1000000000L) == 26)
     for (n <- Seq(500000L, 4000000L, 123456789L)) {
       val bits = GraftConfig.autoBitsPerBand(n)
-      assert(n.toDouble / (1L << bits) <= 1000.0)
+      assert(n.toDouble / (1L << bits) <= 16.0)
     }
     // capped so band values fit an int bucket
     assert(GraftConfig.autoBitsPerBand(Long.MaxValue / 2) == 30)

@@ -284,6 +284,40 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("auto-dial embed dedup (r15): bits derive from the corpus count " +
+      "past the floor, planted recall holds, explicit conf wins") {
+    import org.apache.spark.sql.functions._
+    // 25,025 rows → ceil(25025/16) = 1565 → bits = 11: the derivation is
+    // past the 8-bit floor AND past the default 16-plane matrix, so the
+    // on-demand hyperplane indexing (planes 0..21 across 2 bands) is live
+    val base = spark.range(25000).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        j => (pmod(col("id") * 37 + j * 11, lit(997)).cast("double") / 997 - 0.5)
+          .cast("float")).as("embedding"))
+    val corpus = base.unionAll(base.filter(col("id") % 1000 === 0)
+      .select((col("id") + 100000).as("id"), col("embedding")))
+    val bits = graft.core.GraftConfig.autoBitsPerBand(corpus.count())
+    assert(bits == 11, s"derived bits=$bits")
+    val planted =
+      (0 until 25000 by 1000).map(i => (i.toLong, i + 100000L)).toSet
+    val out = Dedup.dedupEmbedCosine(corpus, bits, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies share every band value at ANY dial — recall 1
+    assert(planted.subsetOf(out), s"missing ${planted -- out}")
+    // the gate wiring: an EXPLICIT session dial beats the derivation
+    // (same precedence as the fixed path), and the planted file dups
+    // (+100000 clones of vec_id % 10 = 0) survive the forced dial
+    try {
+      spark.conf.set("graft.dedup.bits_per_band", "4")
+      val confOut = Dedup.dedupEmbedCosineAuto(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filePlanted = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 0).select("vec_id")
+        .collect().map(v => (v.getLong(0), v.getLong(0) + 100000L)).toSet
+      assert(filePlanted.subsetOf(confOut))
+    } finally spark.conf.unset("graft.dedup.bits_per_band")
+  }
+
   test("dedupSemantic removes exactly the planted scaled copies and " +
       "keeps a vector together with its ×2 twin's cluster") {
     val out = Dedup.dedupSemantic(spark, sf0001).collect()
