@@ -276,20 +276,25 @@ object MqlFilter {
   // ---- collation ---------------------------------------------------------
 
   /** Mongo find/aggregate collation, in the slice a codepoint engine
-    * can honor EXACTLY: `strength` 2 = case-insensitive compare;
-    * `strength` 1 (r13) = ICU primary — case-insensitive AND
+    * can honor EXACTLY: `strength` 2 = case-insensitive compare with
+    * accents SIGNIFICANT and ICU-secondary ORDERED (r15 — the key is
+    * primary fold + separator + per-character accent weights, so á ≠ a
+    * but sorts immediately after it, never after z); `strength` 1
+    * (r13) = ICU primary — case-insensitive AND
     * Latin-1-diacritic-insensitive, folded through the public
     * one-to-one table below (accents are SECONDARY differences in
     * every ICU Latin tailoring, so primary strength equates á=a in
     * en too); 3 = Mongo's default tertiary = plain codepoint compare
     * (identity). Multi-char expansions (æ→ae, ß→ss) are primary-
     * DISTINCT letters in ICU root and stay unfolded. Locales beyond
-    * en/simple need a real ICU table — loud, never an
+    * the empirically-root set need a real ICU table — loud, never an
     * approximation. */
   final case class Collation(locale: String, strength: Int,
       numericOrdering: Boolean = false) {
     def caseInsensitive: Boolean = strength <= 2
     def diacriticFold: Boolean = strength == 1
+    /** Strength 2 orders accents by ICU-root secondary weight. */
+    def secondaryOrder: Boolean = strength == 2
     /** Whether any comparison rewriting is needed at all. */
     def active: Boolean = caseInsensitive || numericOrdering
   }
@@ -318,6 +323,50 @@ object MqlFilter {
       if (i >= 0) DiaTo(i) else ch
     }
   }
+
+  // ---- strength-2 secondary ordering (r15) --------------------------
+  // ICU root orders equal-primary strings by ACCENT at the secondary
+  // level: a < á < à < â < å < ä < ã (measured against icu4j 77's root
+  // collator over the whole supported alphabet — the parity spec locks
+  // it). The comparison key appends one weight character per non-digit
+  // character of the lowered value after a separator: lexicographic
+  // order on `primaryFold <SEP> weights` IS primary-then-secondary
+  // order, because the separator sorts below every text character (a
+  // strict-prefix primary wins before weights are reached, the UCA
+  // level rule). Digits contribute NO weight — icu4j measurement:
+  // numeric collation ("02" ≡ "2") holds through the TERTIARY level,
+  // so equal-value runs of different lengths must not desynchronize
+  // the weight string.
+  //
+  // Per-mark ranks (only marks sharing a base letter ever compare, so
+  // ranks need only be consistent per base — these follow ICU root):
+  // acute 1, grave 2, circumflex 3, ring 4, diaeresis 5, tilde 6,
+  // cedilla 7.
+  private[graft] val SecSep = "\u001e" // below all text, like NumRunSep
+  private[graft] val SecFrom = "áàâåäãéèêëíìîïóòôöõúùûüýÿçñ"
+  private[graft] val SecTo = "123456" + "1235" + "1235" + "12356" +
+    "1235" + "15" + "7" + "6"
+
+  /** Secondary-weight string of a column: lower, drop digits (they
+    * carry no secondary weight under numeric collation), map accents to
+    * their rank digit, everything else to '0'. */
+  private[graft] def accentKeyCol(c: Column): Column =
+    regexp_replace(
+      org.apache.spark.sql.functions.translate(
+        org.apache.spark.sql.functions.translate(
+          lower(c), "0123456789", ""),
+        SecFrom, SecTo),
+      "[^1-7]", "0")
+
+  /** Scala twin of [[accentKeyCol]] for the filter's literals. */
+  private[graft] def accentKeyLit(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT).flatMap { ch =>
+      if (ch.isDigit) ""
+      else {
+        val i = SecFrom.indexOf(ch)
+        if (i >= 0) SecTo(i).toString else "0"
+      }
+    }
 
   /** Mongo `$search` string → distinct lowercase terms. ONE parser for
     * the scan-path `$text` predicate and the index-path serving
@@ -384,18 +433,32 @@ object MqlFilter {
     out.toString
   }
 
-  /** The full comparison key under a collation: case/diacritic fold
-    * (strength ≤ 2), then the numeric-run key (numericOrdering). */
+  /** The full comparison key under a collation: case/diacritic fold,
+    * then the numeric-run key (numericOrdering), then — at strength 2 —
+    * the accent-weight suffix after [[SecSep]] so equal-primary strings
+    * order by ICU secondary weight instead of raw codepoint. At
+    * strength 2 the PRIMARY part uses the full diacritic fold (primary
+    * weights ignore accents); the suffix restores accent significance
+    * for both equality and order. */
   private[graft] def collKeyCol(c: Column, coll: Collation): Column = {
     val folded =
-      if (coll.caseInsensitive) foldCol(c, coll.diacriticFold) else c
-    if (coll.numericOrdering) numKeyCol(folded) else folded
+      if (coll.caseInsensitive)
+        foldCol(c, coll.diacriticFold || coll.secondaryOrder)
+      else c
+    val primary = if (coll.numericOrdering) numKeyCol(folded) else folded
+    if (coll.secondaryOrder)
+      concat(primary, lit(SecSep), accentKeyCol(c))
+    else primary
   }
 
   private[graft] def collKeyLit(s: String, coll: Collation): String = {
     val folded =
-      if (coll.caseInsensitive) foldLit(s, coll.diacriticFold) else s
-    if (coll.numericOrdering) numKeyLit(folded) else folded
+      if (coll.caseInsensitive)
+        foldLit(s, coll.diacriticFold || coll.secondaryOrder)
+      else s
+    val primary = if (coll.numericOrdering) numKeyLit(folded) else folded
+    if (coll.secondaryOrder) primary + SecSep + accentKeyLit(s)
+    else primary
   }
 
   def parseCollation(json: String): Collation = {
@@ -412,22 +475,27 @@ object MqlFilter {
     require(strength >= 1 && strength <= 3,
       s"unsupported collation strength: $strength " +
         "(1 = primary/fold, 2 = case-insensitive, 3 = default codepoint)")
-    // en/simple are exact at every supported strength. At STRENGTH 1
-    // the Latin-1 primary fold is locale-INDEPENDENT for the Western
-    // European locales that keep ICU root's primary weights (r13), so
-    // they are exact too. Locales that TAILOR primary/case stay loud:
-    // Nordic (æ/ø/å are distinct primary letters in da/no/sv, å→a
-    // would corrupt), Turkish (dotless-ı case mapping), and anything
-    // else without a verified table.
-    val primaryRootLocales =
-      Set("en", "simple", "fr", "de", "es", "it", "pt", "nl")
+    // en/simple are exact at every supported strength. The Western
+    // European set is exact where MEASURED equal to ICU root — the
+    // r15 audit compared every supported-alphabet pair against icu4j
+    // 77's locale collators at strengths 1 and 2:
+    //   fr/de/it/pt/nl = root at BOTH strengths → allowed at 1 and 2;
+    //   es  = root at strength 2 but NOT at 1 (es tailors ñ as a
+    //         PRIMARY letter after n, so the ñ→n primary fold would
+    //         equate what real ICU es distinguishes — the r13 claim
+    //         was wrong for es and is now loud);
+    //   da/sv (æ/ø/å are primary letters) and tr (dotless-ı) differ
+    //         at every strength → loud, as before.
+    val rootAtS1 = Set("en", "simple", "fr", "de", "it", "pt", "nl")
+    val rootAtS2 = rootAtS1 + "es"
     require(locale == "en" || locale == "simple" ||
-      (strength == 1 && primaryRootLocales.contains(locale)),
+      (strength == 1 && rootAtS1.contains(locale)) ||
+      (strength == 2 && rootAtS2.contains(locale)),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; fr/de/es/it/pt/nl at strength 1 " +
-        "only — their secondary/tertiary tailorings need a real ICU " +
-        "table; Nordic/Turkish tailor PRIMARY weights and are loud at " +
-        "every strength)")
+        "(en/simple at any strength; fr/de/it/pt/nl at strengths 1-2; " +
+        "es at strength 2 only — es tailors ñ at the PRIMARY level; " +
+        "tertiary tailorings need a real ICU table; Nordic/Turkish " +
+        "tailor PRIMARY weights and are loud at every strength)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

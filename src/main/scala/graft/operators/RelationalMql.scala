@@ -490,6 +490,40 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2, "numericOrdering": true}""")
 
+  /** Strength-2 ACCENT-SENSITIVE collation under the gate (r15) —
+    * ICU secondary semantics: case folds, accents are significant AND
+    * order by secondary weight (cote < coté < côte < côté; ring before
+    * diaeresis: såte < säte), digit runs compare numerically and
+    * carry no secondary weight ("2" ≡ "002" through the tie), and a
+    * primary difference always beats any accent. The planted variants
+    * carry a known ICU rank; the oracle replays the rank semantically
+    * (the engine's key construction is parity-locked against icu4j
+    * root in MqlFilterSpec). $gt excludes the rank-0 equality class
+    * ("item2 cote" ≡ "ITEM002 cote" at this strength); $ne excludes
+    * by case+accent-folded equality ("ITEM10 côté" ≡ "ITEM10 CÔTÉ"). */
+  def mqlCollationAccent(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 9 === 0, lit("item2 cote"))
+            .when(col("doc_id") % 9 === 1, lit("ITEM002 cote"))
+            .when(col("doc_id") % 9 === 2, lit("item2 coté"))
+            .when(col("doc_id") % 9 === 3, lit("item2 côte"))
+            .when(col("doc_id") % 9 === 4, lit("item2 côté"))
+            .when(col("doc_id") % 9 === 5, lit("item10 cote"))
+            .when(col("doc_id") % 9 === 6, lit("ITEM10 CÔTÉ"))
+            .when(col("doc_id") % 9 === 7, lit("item10 såte"))
+            .otherwise(lit("item10 säte")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "item2 cote",
+        |    "$ne": "ITEM10 côté"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "en", "strength": 2, "numericOrdering": true}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -2204,6 +2238,21 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE n >= 10 AND n < 100
         |ORDER BY n, doc_id""".stripMargin,
+    "mql_collation_accent" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN 'item2 cote' WHEN 1 THEN 'ITEM002 cote'
+        |      WHEN 2 THEN 'item2 coté' WHEN 3 THEN 'item2 côte'
+        |      WHEN 4 THEN 'item2 côté' WHEN 5 THEN 'item10 cote'
+        |      WHEN 6 THEN 'ITEM10 CÔTÉ' WHEN 7 THEN 'item10 såte'
+        |      ELSE 'item10 säte' END AS tag,
+        |    CASE doc_id % 9 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 1
+        |      WHEN 3 THEN 2 WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 5
+        |      WHEN 7 THEN 6 ELSE 7 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk > 0 AND rnk <> 5
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_diacritic" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN 'café'
@@ -2321,6 +2370,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation" -> (mqlCollation _),
     "mql_collation_diacritic" -> (mqlCollationDiacritic _),
     "mql_collation_numeric" -> (mqlCollationNumeric _),
+    "mql_collation_accent" -> (mqlCollationAccent _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -529,4 +529,49 @@ class MqlFilterSpec extends SparkTestBase {
     }
     assert(badR.getMessage.contains("radius"), badR.getMessage)
   }
+
+  test("strength-2 collation key orders EXACTLY as icu4j root at " +
+      "SECONDARY over the supported alphabet, with and without " +
+      "numericOrdering (r15 parity lock)") {
+    // the reference implementation: ICU's own root collator (the icu4j
+    // jar ships with Spark 4), strength SECONDARY — what Mongo runs
+    import com.ibm.icu.text.{Collator => IcuCollator, RuleBasedCollator}
+    val vocab = Seq(
+      "cote", "coté", "côte", "côté", "COTE", "CÔTÉ",
+      "a", "á", "à", "â", "å", "ä", "ã", "az", "áa", "aá", "z",
+      "cafe", "café", "CAFE", "naive", "naïve", "NAÏVE", "résumé",
+      "nu", "ñu", "ceci", "çedille", "ab", "abc", "ába", "abá",
+      "item2", "item02", "ITEM10", "item2á", "item02a", "x9y", "x10y")
+    def icu(numeric: Boolean): IcuCollator = {
+      val c = IcuCollator.getInstance(com.ibm.icu.util.ULocale.ROOT)
+        .asInstanceOf[RuleBasedCollator]
+      c.setStrength(IcuCollator.SECONDARY)
+      c.setNumericCollation(numeric)
+      c
+    }
+    for (numeric <- Seq(false, true)) {
+      val coll = MqlFilter.Collation("en", 2, numeric)
+      val ref = icu(numeric)
+      for (x <- vocab; y <- vocab) {
+        val mine = Integer.signum(
+          MqlFilter.collKeyLit(x, coll).compareTo(
+            MqlFilter.collKeyLit(y, coll)))
+        val theirs = Integer.signum(ref.compare(x, y))
+        assert(mine == theirs,
+          s"numeric=$numeric '$x' vs '$y': key says $mine, ICU says " +
+            s"$theirs (keys ${MqlFilter.collKeyLit(x, coll)} / " +
+            s"${MqlFilter.collKeyLit(y, coll)})")
+      }
+      // the column twin builds the identical key
+      val df = vocab.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val colKeys = df.select(col("id"),
+          MqlFilter.collKeyCol(col("w"), coll).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      vocab.zipWithIndex.foreach { case (w, i) =>
+        assert(colKeys(i.toLong) == MqlFilter.collKeyLit(w, coll),
+          s"column/literal key twin drift on '$w'")
+      }
+    }
+  }
 }
