@@ -967,7 +967,24 @@ object MqlPipeline {
               when(verdict === "KEEP", lit(true))
                 .when(verdict === "PRUNE", lit(false))
                 .otherwise(verdictErr))
-          else {
+          else if (RedactWalk.interpretable(rewritten) &&
+              cur.sparkSession.conf
+                .get("graft.redact.force_unroll", "false") != "true") {
+            // r15 scale path: the verdict is inside RedactWalk's
+            // interpreter grammar (the canonical ACL shape), so the
+            // whole recursion runs as ONE jackson walk per row — O(1)
+            // plan size, depth a runtime parameter (cap 64, loud)
+            // instead of the unrolled path's plan-size-bound depth 2.
+            // Semantics parity is locked by RedactWalkSpec's
+            // cross-implementation property test.
+            val rcol = s"__graft_redact_${helperCols.size}"
+            helperCols += rcol
+            cur = cur.withColumn(rcol,
+                RedactWalk.redactOnce(meta,
+                  mapper.writeValueAsString(rewritten)))
+              .filter(col(rcol).isNotNull)
+            meta = col(rcol)
+          } else {
             // DESCEND rewrite, bounded depth (r14 — r13 supported one
             // level, objects only). The recursion is unrolled at PLAN
             // time to RedactMaxDepth levels (the fixed-rounds device):

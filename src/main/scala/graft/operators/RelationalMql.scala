@@ -564,7 +564,12 @@ private[graft] trait RelationalMql { this: Relational.type =>
           struct((col("doc_id") % 7).as("level"),
             col("n_chars").cast("long").as("v"),
             struct((col("doc_id") % 4).as("level"),
-              (col("doc_id") * 2).as("w")).as("inner")).as("sec"),
+              (col("doc_id") * 2).as("w"),
+              // r15: a LEVEL-3 subdocument — past the unrolled path's
+              // plan-size cap, served by the RedactWalk runtime path
+              struct((col("doc_id") % 6).as("level"),
+                (col("doc_id") + 7).as("z")).as("deep")).as("inner"))
+            .as("sec"),
           struct(lit(2L).as("level"),
             col("doc_id").as("v")).as("aux"),
           array(
@@ -582,6 +587,8 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |     [{"$toLong": "$sec.v"}, -1]}},
         |   "inner_w": {"$toLong": {"$ifNull":
         |     [{"$toLong": "$sec.inner.w"}, -1]}},
+        |   "deep_z": {"$toLong": {"$ifNull":
+        |     [{"$toLong": "$sec.inner.deep.z"}, -1]}},
         |   "aux_v": {"$toLong": {"$ifNull":
         |     [{"$toLong": "$aux.v"}, -1]}},
         |   "na": {"$size": "$arr"}}},
@@ -2088,6 +2095,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    AS BIGINT) AS sec_v,
         |  CAST(CASE WHEN doc_id % 7 >= 3 AND doc_id % 4 = 3
         |    THEN doc_id * 2 ELSE -1 END AS BIGINT) AS inner_w,
+        |  CAST(CASE WHEN doc_id % 7 >= 3 AND doc_id % 4 = 3
+        |    AND doc_id % 6 >= 3
+        |    THEN doc_id + 7 ELSE -1 END AS BIGINT) AS deep_z,
         |  CAST(-1 AS BIGINT) AS aux_v,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END
         |    AS BIGINT) AS na

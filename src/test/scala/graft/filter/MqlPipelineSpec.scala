@@ -1569,20 +1569,48 @@ class MqlPipelineSpec extends SparkTestBase {
     // the level-0 object is pruned OUT of the mixed array: 3 → 2
     // elements, and position 1 now holds the scalar 2
     assert(ml.toSeq == Seq((1L, 2L, 2L)), ml.mkString(","))
-    // ...but past the depth cap (4 nested DESCENDs on non-leaf
-    // subdocs) the verdict raises per row
+    // (r15) an INTERPRETABLE verdict runs the RedactWalk scale path:
+    // depth is a runtime parameter, so 4 nested DESCENDs now rewrite
+    // instead of raising — the level-1 leaf at the bottom prunes, the
+    // rest survives
     val deep4 = Seq((1L,
       """{"level": 9, "s1": {"level": 9, "s2": {"level": 9,""" +
-        """ "s3": {"level": 9, "s4": {"level": 9}}}}}"""))
+        """ "s3": {"level": 9, "s4": {"level": 1}}}}}"""))
       .toDF("id", "meta")
-    val two = intercept[Exception] {
-      MqlPipeline.aggregate(deep4, col("meta"),
-        """[{"$redact": "$$DESCEND"}]""").collect()
-    }
+    val walked = MqlPipeline.aggregate(deep4, col("meta"),
+      s"""[$redactExpr,
+         | {"$$project": {"id": 1,
+         |   "l3": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$s1.s2.s3.level"}, -1]}},
+         |   "l4": {"$$toLong": {"$$ifNull":
+         |     [{"$$toLong": "$$s1.s2.s3.s4.level"}, -1]}}}}]"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walked.toSeq == Seq((1L, 9L, -1L)), walked.mkString(","))
     def msgsD(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsD(t.getCause)
-    assert(msgsD(two).exists(_.contains("nesting depth")),
-      msgsD(two).toString)
+    // ...a NON-interpretable DESCEND verdict ($switch is outside the
+    // walk grammar) falls back to the plan-unrolled path, whose
+    // plan-size depth cap still raises per row past depth 2
+    val sw = intercept[Exception] {
+      MqlPipeline.aggregate(deep4, col("meta"),
+        """[{"$redact": {"$switch": {"branches": [
+          |   {"case": {"$gte": [{"$toLong": "$level"}, 3]},
+          |    "then": "$$DESCEND"}], "default": "$$PRUNE"}}}]"""
+          .stripMargin).collect()
+    }
+    assert(msgsD(sw).exists(_.contains("nesting depth")),
+      msgsD(sw).toString)
+    // ...and the walk path's own RUNTIME cap stays loud: a document
+    // nested past 64 levels raises instead of passing unredacted
+    val deepJson = (1 to 70).foldLeft("""{"level": 9}""") { (inner, _) =>
+      s"""{"level": 9, "s": $inner}""" }
+    val capped = intercept[Exception] {
+      MqlPipeline.aggregate(Seq((1L, deepJson)).toDF("id", "meta"),
+        col("meta"), """[{"$redact": "$$DESCEND"}]""").collect()
+    }
+    assert(msgsD(capped).exists(_.contains("runtime nesting cap")),
+      msgsD(capped).toString)
     val bad = intercept[Exception] {
       run("""[{"$redact": {"$cond": [{"$gte": [{"$toLong": "$v"}, 0]},
             |  "oops", "$$PRUNE"]}}]""".stripMargin).collect()
