@@ -2261,6 +2261,24 @@ object MqlPipeline {
             s"unsupported $$convert option: ${e.getKey}"))
           val convIn = computeExprRes(v.get("input"), metaCol, cur,
             res, env)
+          // r15: a provably-DOUBLE input may convert to string through
+          // the EXACTLY-INTEGRAL sub-bracket (see below); detected
+          // structurally so the general string bracket stays strict
+          def doubleBracket(n: JsonNode): Boolean =
+            (n.isObject && n.properties().size() == 1 &&
+              n.properties().asScala.head.getKey == "$toDouble") || {
+              n.isTextual && n.asText().startsWith("$") &&
+                !n.asText().startsWith("$$") && {
+                  val f = n.asText().drop(1)
+                  cur.columns.contains(f) &&
+                    (cur.schema(f).dataType ==
+                      org.apache.spark.sql.types.DoubleType ||
+                     cur.schema(f).dataType ==
+                      org.apache.spark.sql.types.FloatType)
+                }
+            }
+          val dblToStr = v.get("to").asText() == "string" &&
+            doubleBracket(v.get("input"))
           val convTo = v.get("to").asText() match {
             case "long" | "int" => "long"
             case "double" => "double"
@@ -2305,12 +2323,13 @@ object MqlPipeline {
                     case _ => false
                   }
                 } else false
-              if (!bracketOk(v.get("input")))
+              if (!dblToStr && !bracketOk(v.get("input")))
                 throw new IllegalArgumentException(
                   "$convert to string needs a provably integral/" +
                     s"bool/string input (got ${v.get("input")}) — " +
                     "double formatting is engine-divergent at the " +
-                    "edges")
+                    "edges (exactly-integral doubles pass via the " +
+                    "$toLong-render sub-bracket)")
               "string"
             case "date" | "timestamp" =>
               // (r14) the ISO-STRING bracket: string→timestamp via
@@ -2357,7 +2376,29 @@ object MqlPipeline {
               s"unsupported $$convert target '$other' (long/int/" +
                 "double/bool/date/string-on-integral-bracket)")
           }
-          val convCast = convIn.try_cast(convTo)
+          // r15 double→string EXACT sub-bracket: a double that is
+          // exactly integral (v == trunc(v), |v| ≤ 2^53, not -0.0)
+          // renders under an EXPLICIT integer cast — digit-identical
+          // on both engines AND to Mongo ($toString renders 5.0 as
+          // "5"). Everything float formatting could diverge on —
+          // fractional values, magnitudes past 2^53, negative zero
+          // (Mongo renders "-0") — raises PER ROW with the reason;
+          // onError does NOT swallow it (Mongo's double→string never
+          // errors, so a silent onError fallback would misreport a
+          // bracket refusal as a data error).
+          val convCast =
+            if (dblToStr)
+              when(convIn === convIn.cast("long").cast("double") &&
+                  org.apache.spark.sql.functions.abs(convIn) <=
+                    lit(9.007199254740992e15) &&
+                  !(convIn === 0.0 && lit(1.0) / convIn < 0),
+                convIn.cast("long").cast("string"))
+              .otherwise(raise_error(concat(
+                lit("$convert double->string is exact only for " +
+                  "integral |v| <= 2^53 (float formatting diverges " +
+                  "across engines), got: "),
+                convIn.cast("string"))).cast("string"))
+            else convIn.try_cast(convTo)
           val onNull: Column = Option(v.get("onNull"))
             .map(n => computeExprRes(n, metaCol, cur, res, env)
               .cast(convTo))

@@ -255,6 +255,33 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
+  /** $convert DOUBLE→string under the gate (r15) — the exactly-
+    * integral sub-bracket: a provably-double input ($toDouble) whose
+    * values are integral renders under an explicit integer cast,
+    * digit-identical on both engines and to Mongo's $toString of an
+    * integral double. Negative values and an onNull route compose;
+    * fractional/huge/-0.0 inputs raise per row (unit-tested, not
+    * gate-plantable — the gate corpus is all-integral by
+    * construction). */
+  def mqlConvertDoubleStr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"),
+          when(col("doc_id") % 7 === 1, lit(null).cast("long"))
+            .otherwise(col("n_chars").cast("long")).as("nc")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "s": {"$convert": {"input": {"$toDouble": "$nc"},
+        |     "to": "string", "onNull": "absent"}},
+        |   "neg": {"$convert": {
+        |     "input": {"$toDouble": {"$subtract": [0, "$nc"]}},
+        |     "to": "string", "onNull": "-"}}}},
+        | {"$project": {"did": {"$toLong": "$did"}, "s": 1, "neg": 1}},
+        | {"$sort": {"did": 1}}
+        |]""".stripMargin)
+
   /** $convert TO-STRING under the gate (r13) — the integral/boolean/
     * string bracket with onNull/onError composition: a planted long
     * (itself a $convert with onError routing) renders to digits or
@@ -2197,6 +2224,14 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  CAST(COALESCE(CASE WHEN raw IS NULL THEN 0
         |    ELSE TRY_CAST(raw AS BIGINT) END, -1) AS BIGINT) AS v
         |FROM w ORDER BY did""".stripMargin,
+    "mql_convert_double_str" ->
+      """SELECT doc_id AS did,
+        |  CASE WHEN doc_id % 7 = 1 THEN 'absent'
+        |       ELSE CAST(CAST(n_chars AS BIGINT) AS VARCHAR) END AS s,
+        |  CASE WHEN doc_id % 7 = 1 THEN '-'
+        |       ELSE CAST(CAST(-n_chars AS BIGINT) AS VARCHAR) END
+        |    AS neg
+        |FROM documents ORDER BY did""".stripMargin,
     "mql_convert_date" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -2375,6 +2410,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_convert" -> (mqlConvert _),
     "mql_convert_str" -> (mqlConvertStr _),
     "mql_convert_date" -> (mqlConvertDate _),
+    "mql_convert_double_str" -> (mqlConvertDoubleStr _),
     "mql_redact" -> (mqlRedact _),
     "mql_redact_descend" -> (mqlRedactDescend _),
     "mql_collation" -> (mqlCollation _),

@@ -1924,13 +1924,37 @@ class MqlPipelineSpec extends SparkTestBase {
       strOk.mkString("|"))
     assert(strOk.forall(r => Seq("a", "b", "c").contains(r.getString(3))),
       strOk.mkString("|"))
-    // ...doubles stay loud (float formatting is engine-divergent)
+    // ...unprovable inputs stay loud (float formatting is
+    // engine-divergent)
     val str = intercept[IllegalArgumentException] {
       run("""[{"$addFields": {"v": {"$convert": {"input":
             |  {"$multiply": [{"$toLong": "$id"}, 2]},
             |  "to": "string"}}}}]""".stripMargin)
     }
     assert(str.getMessage.contains("engine-divergent"), str.getMessage)
+    // (r15) PROVABLY-double inputs pass through the exactly-integral
+    // sub-bracket: integral values render as digits...
+    val dOk = run(
+      """[
+        | {"$project": {"id": {"$toLong": "$id"},
+        |   "ds": {"$convert": {"input": {"$toDouble": "$id"},
+        |     "to": "string"}}}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin).collect()
+    assert(dOk.forall(r => r.getString(1) == r.getLong(0).toString),
+      dOk.mkString("|"))
+    // ...and a FRACTIONAL double raises per row with the bracket
+    // reason (onError must NOT swallow it — Mongo's double→string
+    // never errors, so onError would misreport a refusal)
+    val frac = intercept[Exception] {
+      run("""[{"$project": {"v": {"$convert": {"input":
+            |  {"$toDouble": {"$divide": [{"$toLong": "$id"}, 2]}},
+            |  "to": "string", "onError": "nope"}}}},
+            | {"$sort": {"v": 1}}]""".stripMargin).collect()
+    }
+    def msgsF(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsF(t.getCause)
+    assert(msgsF(frac).exists(_.contains("integral")), msgsF(frac).toString)
   }
 
   test("$scoreFusion: minMaxScaler weighted average over two scored " +
