@@ -1096,6 +1096,7 @@ final class Collection(
   def ensureTextIndex(): Unit = {
     val idx = textIndexDir
     def storageTrusted(docRows: Long): Boolean =
+      graft.operators.TextIndex.layoutCurrent(spark, idx) &&
       graft.core.Trust.parquetDir(spark, s"$idx/meta", 1L) && {
         val mm = spark.read.parquet(s"$idx/meta").head()
         mm.getAs[Long]("n_docs") == docRows &&
@@ -1144,9 +1145,28 @@ final class Collection(
       s"collection '$name' has no text index — $$text queries need " +
         "one (Mongo contract); call ensureTextIndex() first")
     ensureTextIndex()
-    val terms = MqlFilter.textSearchTerms(search)
-    val hits = graft.operators.TextIndex
-      .termHits(spark, textIndexDir, terms)
+    // r15: the index path also serves quoted PHRASES (every phrase
+    // must appear as an adjacent token run — position-joined from the
+    // postings, partition-pruned like exact terms) and single-edit
+    // FUZZY terms (`term~`, resolved against the vocab dictionary,
+    // then served as exact terms). Score stays the engine's
+    // deterministic surrogate: Σ tf over the DISTINCT matched index
+    // terms — exact ∪ fuzzy-resolved ∪ phrase members — so the plain
+    // path is bit-identical to pre-r15. The scan-path $text predicate
+    // keeps refusing phrase/fuzzy loudly (one parser, two surfaces).
+    val q = MqlFilter.parseTextSearch(search)
+    val fuzzyTerms = graft.operators.TextIndex
+      .fuzzyResolve(spark, textIndexDir, q.fuzzy)
+    val allTerms = (q.terms ++ fuzzyTerms ++ q.phrases.flatten).distinct
+    val hits0 =
+      if (allTerms.nonEmpty) graft.operators.TextIndex
+        .termHits(spark, textIndexDir, allTerms)
+      else // fuzzy-only query, nothing within one edit: no matches
+        spark.range(0).select(col("id").as("doc_id"),
+          lit(0L).as("score"))
+    val hits = q.phrases.foldLeft(hits0)((h, ph) => h.join(
+      graft.operators.TextIndex.phraseDocs(spark, textIndexDir, ph),
+      "doc_id"))
     val pred = coalesce(MqlFilter.toColumn(filterJson,
       MqlFilter.JsonResolver(col(Schema.MetaCol))), lit(false))
     df.filter(pred)

@@ -368,19 +368,66 @@ object MqlFilter {
       }
     }
 
-  /** Mongo `$search` string → distinct lowercase terms. ONE parser for
-    * the scan-path `$text` predicate and the index-path serving
-    * (`Collection.textFind`), so the two can never tokenize
-    * differently. Stemming, quoted phrases and `-negation` are
-    * index-language features out of scope: quote and dash characters
-    * are refused loudly. */
+  /** ONE tokenizer for every `$text` surface — the scan-path
+    * predicate, the index-path serving, and the phrase/fuzzy parser —
+    * so the surfaces can never tokenize differently. */
+  private[graft] def textTokensOf(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  /** Mongo `$search` string → distinct lowercase terms, for the
+    * SCAN-path `$text` predicate. Quoted phrases and `~`-fuzzy are
+    * served only by the INDEX path (`Collection.textFind`, r15) —
+    * here they stay loud; `-negation` is loud everywhere. */
   private[graft] def textSearchTerms(search: String): Seq[String] = {
-    require(!search.exists(c => c == '"' || c == '-'),
-      s"$$text phrases/negation unsupported: $search")
-    val terms = search.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    require(!search.exists(c => c == '"' || c == '-' || c == '~'),
+      s"$$text phrases/fuzzy/negation need the text index path " +
+        s"(textFind); the scan predicate takes plain terms: $search")
+    val terms = textTokensOf(search).distinct
     require(terms.nonEmpty, s"$$text needs at least one term")
     terms
+  }
+
+  /** Parsed `$search` for the index path (r15): plain terms, quoted
+    * phrases, and single-edit fuzzy terms (`term~` — Lucene's marker;
+    * Mongo's own $text has no fuzzy, so this is extension surface).
+    * `-negation` stays loud. */
+  final case class TextQuery(terms: Seq[String],
+      phrases: Seq[Seq[String]], fuzzy: Seq[String]) {
+    def plainOnly: Boolean = phrases.isEmpty && fuzzy.isEmpty
+  }
+
+  private[graft] def parseTextSearch(search: String): TextQuery = {
+    require(!search.contains("-"),
+      s"$$text negation unsupported: $search")
+    require(search.count(_ == '"') % 2 == 0,
+      s"$$text unbalanced quotes: $search")
+    val phrases = collection.mutable.Buffer.empty[Seq[String]]
+    val rest = new StringBuilder
+    var i = 0
+    while (i < search.length) {
+      if (search(i) == '"') {
+        val j = search.indexOf('"', i + 1)
+        val ph = textTokensOf(search.substring(i + 1, j))
+        require(ph.nonEmpty, s"$$text empty phrase: $search")
+        phrases += ph
+        i = j + 1
+      } else { rest += search(i); i += 1 }
+    }
+    val terms = collection.mutable.Buffer.empty[String]
+    val fuzzy = collection.mutable.Buffer.empty[String]
+    rest.toString.split("\\s+").filter(_.nonEmpty).foreach { w =>
+      if (w.endsWith("~")) {
+        val t = textTokensOf(w.dropRight(1))
+        require(t.size == 1, s"$$text fuzzy marker takes one term: $w")
+        fuzzy += t.head
+      } else terms ++= textTokensOf(w)
+    }
+    val q = TextQuery(terms.distinct.toSeq,
+      phrases.distinct.toSeq, fuzzy.distinct.toSeq)
+    require(q.terms.nonEmpty || q.phrases.nonEmpty || q.fuzzy.nonEmpty,
+      s"$$text needs at least one term: $search")
+    q
   }
 
   // ---- numericOrdering (r14) ----------------------------------------

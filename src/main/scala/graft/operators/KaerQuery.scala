@@ -612,7 +612,45 @@ object KaerQuery {
         col("score"))
   }
 
+  /** textFind phrase + fuzzy under the gate (r15): a quoted phrase
+    * ("hash table" must appear as an ADJACENT token run — served from
+    * the postings' positions), a plain term, and a single-edit fuzzy
+    * term (vectr~ resolves against the vocab dictionary), composed
+    * with an MQL pre-filter. Score = Σ tf over the distinct matched
+    * terms (exact ∪ fuzzy-resolved ∪ phrase members). The oracle
+    * DERIVES the fuzzy resolution from the corpus vocabulary with the
+    * same levenshtein≤1 rule — nothing hardcoded. */
+  def textPhraseIndexed(s: SparkSession, dir: String): DataFrame = {
+    val coll = openOrBuild(s, dir)
+    coll.ensureTextIndex()
+    coll.textFind("\"hash table\" merge vectr~", 15,
+        """{"lang": {"$in": ["en", "fr", "de"]}}""")
+      .select(
+        get_json_object(col(Schema.MetaCol), "$.doc_id").cast("long")
+          .as("doc_id"),
+        col("score"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "kaer_text_phrase" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |vocab AS (SELECT DISTINCT unnest(ts) AS t FROM tk),
+        |mt AS (SELECT list(t) AS ml FROM (
+        |  SELECT t FROM vocab WHERE levenshtein(t, 'vectr') <= 1
+        |  UNION SELECT unnest(['hash', 'table', 'merge']))),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(ts, x -> list_contains(ml, x)))
+        |      AS BIGINT) AS score,
+        |    len(list_filter(generate_series(1, len(ts) - 1),
+        |      i -> ts[i] = 'hash' AND ts[i + 1] = 'table')) AS ph
+        |  FROM tk, mt)
+        |SELECT doc_id, score FROM m
+        |WHERE ph > 0 AND lang IN ('en', 'fr', 'de')
+        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
     "kaer_text_search" ->
       """WITH m AS (
         |  SELECT doc_id, lang,
@@ -755,6 +793,7 @@ object KaerQuery {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kaer_query" -> (flagship _),
     "kaer_text_search" -> (textSearchIndexed _),
+    "kaer_text_phrase" -> (textPhraseIndexed _),
     "kaer_distinct" -> (distinctLangs _),
     "kaer_query_indexed" -> (flagshipIndexed _),
     "kaer_aggregate" -> (aggregateGroup _),

@@ -31,16 +31,28 @@ object TextIndex {
   private def tb = pmod(md5Hash60(col("term")), lit(NBuckets.toLong))
 
   private def postingsOf(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    .select(col("doc_id"), posexplode(tokens(col("text")))
+      .as(Seq("pos", "term")))
+    .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"),
+      // token positions (r15): what phrase adjacency joins on.
+      // sort_array pins collect_list's partition-order
+      // nondeterminism — positions are ascending per (term, doc)
+      sort_array(collect_list(col("pos"))).as("positions"))
     .withColumn("tb", tb)
 
   private def statsOf(d: DataFrame): DataFrame = d
     .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
 
   def build(s: SparkSession, d: DataFrame, outDir: String): String = {
-    postingsOf(d).write.mode("overwrite").partitionBy("tb")
+    val posts = postingsOf(d)
+    posts.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$outDir/postings")
+    // vocab dictionary (r15): the fuzzy path's candidate source — a
+    // full scan of THIS (vocab-sized, tiny next to postings) instead
+    // of the postings table. Appends may duplicate terms; readers
+    // dedup. Derivable from postings, so not in the trust arithmetic.
+    posts.select("term").distinct()
+      .write.mode("overwrite").parquet(s"$outDir/terms")
     statsOf(d).write.mode("overwrite").parquet(s"$outDir/docstats")
     writeMeta(s, outDir)
     outDir
@@ -56,10 +68,23 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
+  /** Layout check (r15): a pre-r15 index has no `positions` column and
+    * no `terms/` dictionary — phrase/fuzzy serving would silently
+    * mis-serve on a mixed layout, so an old layout reads as untrusted
+    * and the ensure ladders REBUILD (the same heal path as corrupt
+    * storage). */
+  def layoutCurrent(s: SparkSession, indexDir: String): Boolean =
+    try s.read.parquet(s"$indexDir/postings").columns
+      .contains("positions") &&
+      new org.apache.hadoop.fs.Path(s"$indexDir/terms")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$indexDir/terms"))
+    catch { case _: Exception => false }
+
   /** Same trust contract as [[IvfIndex.ensureBuilt]]: _SUCCESS markers
     * + exact row counts (from meta) + the corpus hasn't grown. */
   def ensureBuilt(s: SparkSession, d: DataFrame, outDir: String): String = {
-    val trusted =
+    val trusted = layoutCurrent(s, outDir) &&
       graft.core.Trust.parquetDir(s, s"$outDir/meta", 1L) && {
         val m = s.read.parquet(s"$outDir/meta").head()
         graft.core.Trust.parquetDir(s, s"$outDir/docstats",
@@ -77,8 +102,11 @@ object TextIndex {
     * 1-row meta. O(tail); existing bucket files untouched. */
   def appendTail(s: SparkSession, tail: DataFrame, indexDir: String)
       : Unit = {
-    postingsOf(tail).write.mode("append").partitionBy("tb")
+    val posts = postingsOf(tail)
+    posts.write.mode("append").partitionBy("tb")
       .parquet(s"$indexDir/postings")
+    posts.select("term").distinct()
+      .write.mode("append").parquet(s"$indexDir/terms")
     statsOf(tail).write.mode("append").parquet(s"$indexDir/docstats")
     writeMeta(s, indexDir)
   }
@@ -99,6 +127,56 @@ object TextIndex {
       .filter(col("tb").isin(tbs: _*))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id").agg(sum(col("tf")).as("score"))
+  }
+
+  /** Resolve FUZZY query terms against the vocab dictionary (r15):
+    * every indexed term within Levenshtein distance 1 of any query
+    * term. One scan of the vocab-sized `terms/` sidecar (length
+    * bracket prunes before the edit-distance compare), collected to
+    * the driver — the resolved terms then serve partition-PRUNED like
+    * exact terms, so the postings table itself is never scanned
+    * unpruned. Loud on a pre-r15 index (no dictionary — rebuild). */
+  def fuzzyResolve(s: SparkSession, indexDir: String,
+      fuzzy: Seq[String]): Seq[String] = {
+    if (fuzzy.isEmpty) return Nil
+    require(layoutCurrent(s, indexDir),
+      "text index predates fuzzy/phrase support — rebuild it " +
+        "(buildTextIndex)")
+    val vocab = s.read.parquet(s"$indexDir/terms").distinct()
+    val lens = fuzzy.map(_.length)
+    val bracket = vocab.filter(
+      length(col("term")) >= lens.min - 1 &&
+        length(col("term")) <= lens.max + 1)
+    bracket.filter(fuzzy.map(f =>
+        levenshtein(col("term"), lit(f)) <= 1).reduce(_ || _))
+      .collect().map(_.getString(0)).toSeq.distinct
+  }
+
+  /** Docs containing the PHRASE (adjacent token run) — served from the
+    * positions column (r15): each phrase term's postings are
+    * partition-pruned by bucket, the legs equi-join on doc_id, and
+    * adjacency is an array filter over the first term's positions
+    * (∃ p: term_i occurs at p+i for all i). Returns one `doc_id` row
+    * per matching doc. */
+  def phraseDocs(s: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(layoutCurrent(s, indexDir),
+      "text index predates fuzzy/phrase support — rebuild it " +
+        "(buildTextIndex)")
+    val tbs = phrase.map(bucketLocal).distinct
+    val posts = s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(tbs: _*))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, "doc_id"))
+    if (phrase.size == 1) joined.select("doc_id")
+    else joined.filter(size(filter(col("p0"), p =>
+        (1 until phrase.size).map(i =>
+          array_contains(col(s"p$i"), p + i)).reduce(_ && _))) > 0)
+      .select("doc_id")
   }
 
   /** BM25 top-k over the index: terms → buckets (driver arithmetic) →

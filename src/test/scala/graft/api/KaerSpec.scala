@@ -1156,6 +1156,63 @@ class KaerSpec extends SparkTestBase {
     assert(!new java.io.File(s"$root/c/textindex/tombstones").exists())
   }
 
+  test("textFind phrase + fuzzy (r15): adjacency from positions, " +
+      "single-edit vocab resolution, O(tail) append keeps both fresh, " +
+      "scan-path $text stays loud") {
+    val root = tmpDir("kaer-textph")
+    val k = newSession(root)
+    val c = k.createCollection("c")
+    c.insert(Data().withDocuments(Seq(
+      "alpha beta gamma",       // 1: adjacent alpha beta
+      "beta alpha beta",        // 2: adjacent at pos 1 (beta alpha? no: alpha@1,beta@2 → yes)
+      "alpha gamma beta",       // 3: both terms, NOT adjacent
+      "alpha beta alpha beta",  // 4: two occurrences
+      "gamma delta"))           // 5: neither
+      .withMetadatas((1 to 5).map(i => Map[String, Any]("g" -> i))))
+    c.ensureTextIndex()
+    // phrase = adjacency, not co-occurrence: doc 3 must NOT match;
+    // score = Σ tf of the phrase's member terms
+    val ph = c.textFind("\"alpha beta\"").collect()
+    assert(ph.map(_.getLong(0)).toSeq == Seq(4L, 2L, 1L),
+      ph.mkString("|")) // doc4 tf=4, doc2 tf=3 (beta,alpha,beta), doc1 tf=2
+    assert(ph.map(_.getAs[Long]("score")).toSeq == Seq(4L, 3L, 2L))
+    // ...wait: doc2 = "beta alpha beta" has alpha@1 beta@2 adjacent ✓
+    // fuzzy: one edit away resolves (gamme→gamma), two edits do not
+    val fz = c.textFind("gamme~").collect()
+    assert(fz.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L), fz.mkString("|"))
+    assert(c.textFind("gamxx~").count() == 0) // distance 2: no match
+    // phrase AND: every phrase must appear
+    assert(c.textFind("\"alpha beta\" \"gamma delta\"").count() == 0)
+    // phrase + term + fuzzy compose: the phrase FILTERS (doc 3 has
+    // both words but not adjacent — excluded), loose terms and the
+    // fuzzy-resolved term widen the SCORE only. Scores over matched
+    // terms {alpha, beta, gamma, delta}: doc4 = 4, doc1 = 3 (a,b,g),
+    // doc2 = 3 (b×2, a) — tie broken by id
+    val mix = c.textFind("\"alpha beta\" gamme~ delta").collect()
+    assert(mix.map(r => (r.getLong(0), r.getAs[Long]("score"))).toSeq
+      == Seq((4L, 4L), (1L, 3L), (2L, 3L)), mix.mkString("|"))
+    // insert → the next query APPENDS (no rebuild), and both the new
+    // doc's phrase and its vocab join the serving set
+    c.insert(Data().withDocuments(Seq("alpha beta omega"))
+      .withMetadatas(Seq(Map[String, Any]("g" -> 6))))
+    val ph2 = c.textFind("\"alpha beta\"").collect()
+    assert(ph2.map(_.getLong(0)).toSeq == Seq(4L, 2L, 1L, 6L))
+    assert(c.textIndexRebuilds == 1 && c.textIndexAppends == 1)
+    assert(c.textFind("omegg~").collect().map(_.getLong(0)).toSeq ==
+      Seq(6L))
+    // loud edges: unbalanced quotes, empty phrase, scan-path refusal
+    val unb = intercept[IllegalArgumentException] {
+      c.textFind("\"alpha beta") }
+    assert(unb.getMessage.contains("unbalanced"), unb.getMessage)
+    val neg = intercept[IllegalArgumentException] {
+      c.textFind("alpha -beta") }
+    assert(neg.getMessage.contains("negation"), neg.getMessage)
+    val scan = intercept[IllegalArgumentException] {
+      c.query("alpha", 5, """{"$text": {"$search": "\"alpha beta\""}}""")
+        .collect() }
+    assert(scan.getMessage.contains("textFind"), scan.getMessage)
+  }
+
   test("replaceOne poisons index sidecars: in-place rewrite under an " +
       "unchanged watermark forces rebuild — textFind never serves " +
       "stale postings (r15, ADVICE)") {

@@ -57,6 +57,13 @@ class PlanSpec extends SparkTestBase {
     val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
       .mkString("\n")
     assert(pf.contains("tb"), p)
+    // (r15) the PHRASE path keeps the same contract: every postings
+    // scan (the term legs AND the adjacency legs) carries a tb
+    // partition filter — adding positions must not cost the pruning
+    val p2 = plan(c.textFind("\"alpha beta\" delta"))
+    val scans = p2.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("tb")), p2)
   }
 
   test("ann_ivf_indexed: probe prunes unprobed inverted lists at partition level") {
