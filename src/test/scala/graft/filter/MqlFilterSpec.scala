@@ -360,11 +360,11 @@ class MqlFilterSpec extends SparkTestBase {
     val phrase = intercept[IllegalArgumentException] {
       tids("""{"$text": {"$search": "\"exact phrase\""}}""")
     }
-    assert(phrase.getMessage.contains("phrases/negation unsupported"))
+    assert(phrase.getMessage.contains("textFind"), phrase.getMessage)
     val neg = intercept[IllegalArgumentException] {
       tids("""{"$text": {"$search": "hash -merge"}}""")
     }
-    assert(neg.getMessage.contains("phrases/negation unsupported"))
+    assert(neg.getMessage.contains("textFind"), neg.getMessage)
   }
 
   test("$jsonSchema: required/bsonType/enum/bounds/pattern with " +
