@@ -124,12 +124,23 @@ object Analytics {
     * ties by event_id), an exact order statistic both engines compute
     * identically — never an interpolated even-count average.
     *
-    * Scale shape: two per-group rank windows (one per median) over the
-    * event_type hash partitioning and one broadcast of the per-type
-    * statistics — group count is event-type-sized, rows never leave
-    * their type partition. MAD = 0 (≥ half the values identical)
-    * degrades to flagging every value off the median — the standard
-    * MAD caveat, deterministic in both engines. */
+    * Scale shape (reworked r15 — the sf10 watch-list audit): each
+    * median is HISTOGRAM SELECTION, not a per-row rank window. A rank
+    * window partitioned by event_type sorts ALL rows of a type in ONE
+    * task — with 5 event types the old plan's parallelism was 5
+    * regardless of cluster size (2M-row single-task sorts at sf10,
+    * measured 21.1 s). Now: (1) groupBy(type, value) builds the exact
+    * per-type value histogram — a map-side-combinable shuffle of
+    * DIGEST size (distinct values, ≤56k here); (2) one cumulative-sum
+    * window over the histogram locates the value whose cumulative
+    * count first reaches ⌈n/2⌉ — the exact lower median (tie order by
+    * event_id never changes the selected VALUE, only which row carries
+    * it). The window now runs over the value-domain digest, so cost is
+    * O(distinct values) per type, independent of row count; for an
+    * unbounded value domain the same device escalates to a two-level
+    * (coarse-bucket, then in-bucket) selection. MAD = 0 (≥ half the
+    * values identical) degrades to flagging every value off the
+    * median — the standard MAD caveat, deterministic in both engines. */
   def anomalyMad(s: SparkSession, dir: String): DataFrame =
     anomalyMadDF(ev(s, dir).select(col("event_type"), col("event_id"),
       round(col("value") * 100).cast("long").as("vq")))
@@ -137,19 +148,21 @@ object Analytics {
   /** Core plan over any `(event_type, event_id, vq: long)` frame. */
   def anomalyMadDF(e: DataFrame): DataFrame = {
     def lowerMedian(d: DataFrame, v: String): DataFrame = {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col(v).asc, col("event_id").asc)
-      d.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1))
+      val hist = d.groupBy(col("event_type"), col(v))
+        .agg(count(lit(1)).as("_c"))
+      val wCum = Window.partitionBy("event_type").orderBy(col(v).asc)
+      hist.withColumn("_cum", sum(col("_c")).over(wCum))
+        .withColumn("_n", sum(col("_c"))
           .over(Window.partitionBy("event_type")))
-        .filter(col("rn") === expr("(n + 1) DIV 2"))
+        // the distinct value whose count interval covers rank ⌈n/2⌉
+        .filter(col("_cum") - col("_c") < expr("(_n + 1) DIV 2") &&
+          col("_cum") >= expr("(_n + 1) DIV 2"))
         .select(col("event_type"), col(v).as(s"${v}_med"))
     }
     val med = lowerMedian(e, "vq")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("vq") - col("vq_med")))
-    val mad = lowerMedian(dev.select(col("event_type"), col("event_id"),
-      col("dev")), "dev")
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev")
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
