@@ -2416,20 +2416,22 @@ object MqlPipeline {
         // the ISO-string date convention of the $date filter literals).
         // Parts return LONG (the oracle engines' integer date parts).
         // Each part operator also accepts Mongo's {date, timezone}
-        // document form (r14) — the part is extracted from the
-        // FIXED-OFFSET wall clock (which calendar day/hour an instant
-        // is depends on the zone); named DST zones loud as everywhere.
+        // document form (r14) — the part is extracted from the zone's
+        // wall clock (which calendar day/hour an instant is depends on
+        // the zone). Fixed offsets are integer shifts; named zones
+        // (r15) shift by the baked per-instant offset — a total,
+        // forward-only mapping (no gap/overlap ambiguity).
         case (op @ ("$year" | "$month" | "$dayOfMonth" | "$hour" |
             "$minute" | "$second"), v) =>
-          val (dn, off) =
+          val (dn, tzp) =
             if (v.isObject && v.get("date") != null) {
               v.properties().asScala.foreach(e => require(
                 Seq("date", "timezone").contains(e.getKey),
                 s"unsupported $op option: ${e.getKey} (date/timezone)"))
-              (v.get("date"), tzOffsetOf(v))
-            } else (v, 0L)
-          val ts = if (off == 0L) dateOf(dn)
-            else timestamp_seconds(unix_timestamp(dateOf(dn)) + off)
+              (v.get("date"), tzSpecOf(v))
+            } else (v, UtcTz: TzSpec)
+          val ts = if (tzp.isZero) dateOf(dn)
+            else timestamp_seconds(tzp.toLocal(unix_timestamp(dateOf(dn))))
           (op match {
             case "$year" => year(ts)
             case "$month" => month(ts)
@@ -2439,15 +2441,17 @@ object MqlPipeline {
             case _ => second(ts)
           }).cast("long")
         case ("$dateFromString", v) =>
-          // {dateString, timezone?}: with a FIXED offset the string is
-          // read as that zone's WALL CLOCK — parse, then shift back to
-          // the UTC instant (r14; named zones loud in tzOffsetSeconds)
+          // {dateString, timezone?}: the string is read as the zone's
+          // WALL CLOCK — parse, then map back to the UTC instant (r14
+          // fixed offsets; r15 named zones via the baked table — a
+          // local time in a DST gap shifts forward, one in an overlap
+          // takes the earlier instant, the java.time resolution)
           require(v.isObject && v.get("dateString") != null,
             s"$$dateFromString needs {dateString}: $v")
-          val dfsOff = tzOffsetOf(v)
+          val dfsTz = tzSpecOf(v)
           val dfsStr = strOf(v.get("dateString"))
           val parsed = to_timestamp(dfsStr)
-          if (dfsOff == 0L) parsed
+          if (dfsTz.isZero) parsed
           else {
             // Mongo RAISES when the string carries its own offset AND a
             // timezone option is given; honoring the embedded offset
@@ -2463,15 +2467,19 @@ object MqlPipeline {
                 "offset while a timezone option is also given — Mongo " +
                 "raises on the conflict, so does this engine: "),
               dfsStr)).cast("timestamp"))
-              .otherwise(
-                timestamp_seconds(unix_timestamp(parsed) - dfsOff))
+              .otherwise(timestamp_seconds(
+                dfsTz.toInstant(unix_timestamp(parsed), None)))
           }
         case ("$dateTrunc", v) =>
           // {date, unit, timezone?}: Mongo 5.0's truncation — calendar
           // units map to Spark's date_trunc (same boundary semantics as
-          // the oracle engines). timezone (r14): FIXED offsets only —
-          // truncate in the offset-shifted frame, shift back (a pure
-          // integer conjugation; named zones loud in tzOffsetSeconds);
+          // the oracle engines). timezone: truncate in the zone's wall
+          // clock, map back to the instant — fixed offsets as a pure
+          // integer conjugation (r14); named zones (r15) through the
+          // baked table, preferring the base instant's offset when the
+          // truncated local lands in a fall-back overlap (a zone that
+          // transitions AT midnight can put local midnight in a gap —
+          // the java.time forward shift applies, like all gap cases);
           // binSize/startOfWeek unsupported, loud
           require(v.isObject && v.get("date") != null &&
             v.get("unit") != null, s"$$dateTrunc needs {date, unit}: $v")
@@ -2482,28 +2490,32 @@ object MqlPipeline {
           require(Seq("year", "quarter", "month", "week", "day", "hour",
             "minute", "second").contains(u),
             s"unsupported $$dateTrunc unit: $u")
-          val truncOff = tzOffsetOf(v)
-          if (truncOff == 0L) date_trunc(u, dateOf(v.get("date")))
-          else timestamp_seconds(
-            unix_timestamp(date_trunc(u, timestamp_seconds(
-              unix_timestamp(dateOf(v.get("date"))) + truncOff)))
-              - truncOff)
+          val truncTz = tzSpecOf(v)
+          if (truncTz.isZero) date_trunc(u, dateOf(v.get("date")))
+          else {
+            val baseSecs = unix_timestamp(dateOf(v.get("date")))
+            val localTrunc = unix_timestamp(date_trunc(u,
+              timestamp_seconds(truncTz.toLocal(baseSecs))))
+            timestamp_seconds(truncTz.toInstant(localTrunc,
+              Some(truncTz.offsetAt(baseSecs))))
+          }
         case ("$dateToString", v) =>
           require(v.isObject && v.get("date") != null,
             s"$$dateToString needs {date, format?, timezone?}: $v")
           val fmt = Option(v.get("format")).map(_.asText())
             .getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
-          // timezone (r14): render the WALL CLOCK of the fixed offset —
-          // format the shifted instant (the session stays UTC)
-          val fmtOff = tzOffsetOf(v)
-          require(fmtOff == 0L || !fmt.contains("%Z"),
+          // timezone: render the zone's WALL CLOCK — format the
+          // shifted instant (the session stays UTC). r14 fixed
+          // offsets; r15 named zones (forward-only, total)
+          val fmtTz = tzSpecOf(v)
+          require(fmtTz.isZero || !fmt.contains("%Z"),
             s"$$dateToString %Z with a nonzero offset would render the " +
               s"session zone, not the requested one — drop %Z or the " +
               s"timezone: $v")
           val fmtTs =
-            if (fmtOff == 0L) dateOf(v.get("date"))
+            if (fmtTz.isZero) dateOf(v.get("date"))
             else timestamp_seconds(
-              unix_timestamp(dateOf(v.get("date"))) + fmtOff)
+              fmtTz.toLocal(unix_timestamp(dateOf(v.get("date")))))
           date_format(fmtTs, mongoDateFormat(fmt))
         case ("$dateDiff", v) =>
           // {startDate, endDate, unit}: boundary-crossing count, Mongo's
@@ -2513,15 +2525,26 @@ object MqlPipeline {
           require(v.isObject && v.get("startDate") != null &&
             v.get("endDate") != null && v.get("unit") != null,
             s"$$dateDiff needs {startDate, endDate, unit}: $v")
-          // timezone (r14): boundaries are counted in the FIXED-offset
-          // wall clock — day boundaries move with the zone, and hour
+          // timezone (r14): boundaries are counted in the zone's wall
+          // clock — day boundaries move with the zone, and hour
           // boundaries too for :30/:45 offsets. Shift both operands
-          // into the offset frame; the boundary arithmetic below is
-          // unchanged (named zones loud in tzOffsetSeconds).
-          val ddOff = tzOffsetOf(v)
+          // into the zone frame (r15: named zones shift each operand
+          // by ITS OWN baked offset — the calendar day an instant
+          // falls on is offset-at-that-instant's business); the
+          // boundary arithmetic below is unchanged. Named zones
+          // support only "day": sub-day boundary counts across a DST
+          // transition have no single defensible answer (the local
+          // clock repeats or skips boundaries), so they stay loud.
+          val ddTz = tzSpecOf(v)
+          require(!ddTz.civilDays ||
+            v.get("unit").asText() == "day",
+            "$dateDiff with a named timezone supports only unit " +
+              "'day' — sub-day boundary counts across a DST " +
+              "transition are ambiguous (the local clock repeats or " +
+              "skips boundaries); use a fixed offset")
           def inZone(c: Column): Column =
-            if (ddOff == 0L) c
-            else timestamp_seconds(unix_timestamp(c) + ddOff)
+            if (ddTz.isZero) c
+            else timestamp_seconds(ddTz.toLocal(unix_timestamp(c)))
           val sd = inZone(dateOf(v.get("startDate")))
           val ed = inZone(dateOf(v.get("endDate")))
           v.get("unit").asText() match {
@@ -2547,35 +2570,49 @@ object MqlPipeline {
           // + 1 month → Feb 28/29 — exactly Mongo's documented clamp
           // AND DuckDB's ts + INTERVAL n MONTH behavior), then
           // re-attach the time-of-day as integer seconds-within-day.
-          // Timezone (r14): FIXED offsets are supported — the civil
-          // arithmetic runs in the offset-shifted frame (shift, add,
-          // shift back: which calendar day "Jan 31 23:00 UTC" is — and
-          // so which month-end clamp applies — depends on the zone),
-          // a pure integer conjugation. Named DST zones stay loud
-          // (tzOffsetSeconds): wall-clock arithmetic across a DST
-          // transition is engine-divergent.
+          // Timezone (r14): FIXED offsets — the civil arithmetic runs
+          // in the offset-shifted frame (shift, add, shift back: which
+          // calendar day "Jan 31 23:00 UTC" is — and so which
+          // month-end clamp applies — depends on the zone), a pure
+          // integer conjugation. NAMED zones (r15): the same civil
+          // arithmetic through the baked [[graft.expr.TzTable]] — the
+          // shift-in offset is the base instant's, the shift-out
+          // resolves the result local time with java.time's rules (gap
+          // → forward by the gap; overlap → the base offset when still
+          // valid, else the earlier instant). Mongo's documented
+          // DST-awareness makes day/week CIVIL units in a named zone
+          // (adding 1 day across spring-forward is 23 physical hours);
+          // in fixed frames day/week stay on the exact-seconds path —
+          // the same result, one expression instead of three.
           require(v.isObject && v.get("startDate") != null &&
             v.get("unit") != null && v.get("amount") != null,
             s"$op needs {startDate, unit, amount}: $v")
-          val tzOff = tzOffsetOf(v)
+          val tzSp = tzSpecOf(v)
           val sign = if (op == "$dateSubtract") -1 else 1
+          def civilShift(newLocalOf: Column => Column): Column = {
+            val baseSecs = unix_timestamp(dateOf(v.get("startDate")))
+            val localSecs = tzSp.toLocal(baseSecs)
+            timestamp_seconds(tzSp.toInstant(newLocalOf(localSecs),
+              Some(tzSp.offsetAt(baseSecs))))
+          }
           v.get("unit").asText() match {
             case u @ ("year" | "quarter" | "month") =>
               val mPerU = u match {
                 case "year" => 12; case "quarter" => 3; case _ => 1 }
               val amtM = numOf(v.get("amount")).cast("int") *
                 lit(sign * mPerU)
-              val ts0 = dateOf(v.get("startDate"))
-              val ts = if (tzOff == 0L) ts0
-                else timestamp_seconds(unix_timestamp(ts0) + tzOff)
-              val d = to_date(ts)
-              // integer seconds-within-day (session TZ is UTC, so the
-              // date boundary is exactly unix_date * 86400)
-              val tod = unix_timestamp(ts) -
-                unix_date(d).cast("long") * 86400L
-              timestamp_seconds(
-                unix_date(add_months(d, amtM)).cast("long") * 86400L
-                  + tod - lit(tzOff))
+              civilShift { localSecs =>
+                val d = to_date(timestamp_seconds(localSecs))
+                // integer seconds-within-day (session TZ is UTC, so
+                // the date boundary is exactly unix_date * 86400)
+                val tod = localSecs - unix_date(d).cast("long") * 86400L
+                unix_date(add_months(d, amtM)).cast("long") * 86400L + tod
+              }
+            case u @ ("week" | "day") if tzSp.civilDays =>
+              val daySecs = if (u == "week") 604800L else 86400L
+              val amt = numOf(v.get("amount")).cast("long") *
+                lit(daySecs * sign)
+              civilShift(localSecs => localSecs + amt)
             case u =>
               val addSecs = u match {
                 case "week" => 604800L
@@ -2920,14 +2957,12 @@ object MqlPipeline {
     }
   }
 
-  /** Mongo `timezone` option → signed offset SECONDS, for the exactly-
-    * implementable bracket: FIXED offsets ("+05:30", "-08:00", "+0530",
-    * "+05", "UTC", "Z") are pure integer shifts of the epoch — no DST,
-    * no zone-rules table, engine-exact on both sides of the oracle.
-    * NAMED zones (America/New_York) stay loud: DST transitions make
-    * wall-clock arithmetic depend on the engine's tzdata vintage, and
-    * an ACL-grade date engine must never silently approximate.
-    * (Mongo 5.0 accepts both forms — this is the r14 offset slice.) */
+  /** Mongo `timezone` option → signed offset SECONDS, for the fixed-
+    * offset forms: "+05:30", "-08:00", "+0530", "+05", "UTC", "Z" are
+    * pure integer shifts of the epoch — no DST, no zone-rules table,
+    * engine-exact on both sides of the oracle. Named region ids route
+    * through [[tzSpecOf]] instead (r15 — the baked-ZoneRules device);
+    * this parser raises on anything that is not a fixed offset. */
   private[filter] def tzOffsetSeconds(tz: String): Long = {
     val Off = "^([+-])(\\d{2})(?::?(\\d{2}))?$".r
     tz match {
@@ -2940,20 +2975,82 @@ object MqlPipeline {
           s"invalid fixed timezone offset: $tz")
         (if (sgn == "-") -1L else 1L) * (h * 3600L + m * 60L)
       case other => throw new IllegalArgumentException(
-        s"unsupported timezone '$other' — only fixed offsets " +
-          "(+HH:MM / +HHMM / +HH / UTC / Z) are engine-exact; named " +
-          "zones carry DST rules that diverge across engines")
+        s"'$other' is not a fixed timezone offset " +
+          "(+HH:MM / +HHMM / +HH / UTC / Z)")
     }
   }
 
-  /** The `timezone` member of a date-operator document as offset
-    * seconds (0 when absent). The member must be a literal string —
-    * a column-valued timezone cannot be validated statically. */
-  private def tzOffsetOf(v: JsonNode): Long =
+  /** A resolved `timezone` option: the wall-clock frame a date
+    * operator runs in. Fixed offsets stay on the r14 integer-shift
+    * path (identical plans); NAMED zones (r15) carry a baked
+    * [[graft.expr.TzTable]] and shift per-instant through native
+    * binary-search expressions. `toInstant`'s `pref` is the base
+    * instant's offset for java.time's overlap rule (None → earlier
+    * instant). */
+  private[filter] sealed trait TzSpec {
+    def isZero: Boolean
+    /** epoch seconds → local-frame seconds */
+    def toLocal(secs: Column): Column
+    /** local-frame seconds → epoch seconds */
+    def toInstant(localSecs: Column, pref: Option[Column]): Column
+    /** offset in force at an instant (seconds), as a column */
+    def offsetAt(secs: Column): Column
+    /** day-and-larger units are civil (DST-aware) only when offsets
+      * can move; fixed frames keep the pure-seconds fast path */
+    def civilDays: Boolean = false
+  }
+  private[filter] case object UtcTz extends TzSpec {
+    def isZero = true
+    def toLocal(secs: Column): Column = secs
+    def toInstant(l: Column, p: Option[Column]): Column = l
+    def offsetAt(secs: Column): Column = lit(0L)
+  }
+  private[filter] final case class FixedTz(off: Long) extends TzSpec {
+    def isZero = false
+    def toLocal(secs: Column): Column = secs + lit(off)
+    def toInstant(l: Column, p: Option[Column]): Column = l - lit(off)
+    def offsetAt(secs: Column): Column = lit(off)
+  }
+  private[filter] final case class NamedTz(table: graft.expr.TzTable)
+      extends TzSpec {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    def isZero = false
+    def toLocal(secs: Column): Column = secs + offsetAt(secs)
+    def toInstant(l: Column, p: Option[Column]): Column =
+      toCol(graft.expr.ZoneLocalToInstantExpr(toExpr(l),
+        toExpr(p.getOrElse(lit(Long.MinValue))), table))
+    def offsetAt(secs: Column): Column =
+      toCol(graft.expr.ZoneOffsetAtExpr(toExpr(secs), table))
+    override def civilDays: Boolean = true
+  }
+
+  /** The `timezone` member of a date-operator document, resolved
+    * (UtcTz when absent). The member must be a literal string — a
+    * column-valued timezone cannot be validated statically. Fixed
+    * offsets parse first; anything else must be a region id the JVM's
+    * tzdata knows (java.time raises with its own message otherwise). */
+  private def tzSpecOf(v: JsonNode): TzSpec =
     Option(v.get("timezone")).map { n =>
       require(n.isTextual, s"timezone must be a literal string: $n")
-      tzOffsetSeconds(n.asText())
-    }.getOrElse(0L)
+      val tz = n.asText()
+      try {
+        tzOffsetSeconds(tz) match {
+          case 0L => UtcTz
+          case o => FixedTz(o)
+        }
+      } catch {
+        case _: IllegalArgumentException if tz.contains("/") =>
+          try NamedTz(graft.expr.TzTable.of(tz))
+          catch {
+            case e: java.time.DateTimeException =>
+              throw new IllegalArgumentException(
+                s"unknown timezone region id '$tz': ${e.getMessage}", e)
+          }
+        case e: IllegalArgumentException => throw new
+            IllegalArgumentException(e.getMessage + "; named region " +
+              "ids must contain '/' (America/New_York)", e)
+      }
+    }.getOrElse(UtcTz)
 
   /** Mongo $dateToString format → Spark DateTimeFormatter pattern.
     * Specifier coverage is the Mongo set this engine supports; literal

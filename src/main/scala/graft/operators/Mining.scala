@@ -182,12 +182,22 @@ object Mining {
   /** One skyline filter pass: survivors have no point with strictly
     * greater spend and ≥ count, and the max count within their spend
     * tie group. `partCols` scopes the windows (bucketed local pass vs
-    * the global pass). */
+    * the global pass).
+    *
+    * Frame direction matters (r15 — the sf10 watch-list audit): "max
+    * count over strictly greater spend" as `orderBy(spend asc)
+    * .rangeBetween(1, unboundedFollowing)` is a SHRINKING frame,
+    * which Spark re-aggregates from scratch per row — O(n²) per
+    * bucket (measured: the local pass alone was 22 s of the gate's
+    * 23 s at sf10, 47k-row buckets). The identical set expressed as
+    * `orderBy(spend DESC).rangeBetween(unboundedPreceding, -1)` is a
+    * GROWING frame — Spark maintains the max incrementally, O(n).
+    * Same rows, same max, 20× the speed at the 1.5M-customer rung. */
   private[graft] def skylinePass(df: DataFrame, partCols: Seq[String])
       : DataFrame = {
     val wGt = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(col("spend_c"))
-      .rangeBetween(1L, Window.unboundedFollowing)
+      .orderBy(col("spend_c").desc)
+      .rangeBetween(Window.unboundedPreceding, -1L)
     val wEq = Window.partitionBy((partCols.map(col) :+ col("spend_c")): _*)
     df.withColumn("_gt", max(col("n_orders")).over(wGt))
       .withColumn("_eq", max(col("n_orders")).over(wEq))

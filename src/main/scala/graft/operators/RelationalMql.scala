@@ -199,6 +199,177 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 250}
         |]""".stripMargin)
 
+  /** NAMED-timezone (DST) date arithmetic under the gate (r15) —
+    * Mongo's `timezone: "America/New_York"` form, exact by the baked-
+    * ZoneRules device: the engine resolves per-instant offsets from a
+    * transition table derived ONCE from the JVM's tzdata
+    * ([[graft.expr.TzTable]]), and the oracle replays the IDENTICAL
+    * table (serialized into the SQL as list literals by
+    * [[nyReplaySql]]) — one rules source, so the tzdata-vintage
+    * divergence that kept named zones loud through r14 cannot occur.
+    * Local→instant resolution is java.time's (gap → shift forward by
+    * the gap; overlap → the base instant's offset when still valid,
+    * else the earlier instant), implemented by the same two-probe
+    * algorithm on both sides.
+    *
+    * The base sweep plants rows straddling all four 2023 NY windows
+    * that matter: the spring-forward instant (mod-7=3), the fall-back
+    * instant (mod-7=4), one day before each (mod-7=5/6 — so +1 day /
+    * +1 month arithmetic LANDS in the skipped/repeated hour and the
+    * gap and overlap rules are pinned under the oracle), plus the
+    * plain two-year sweep. `$dateFromString` reads planted local
+    * strings INSIDE the skipped hour (02:xx Mar 12 → forward shift)
+    * and the repeated hour (01:xx Nov 5 → earlier instant). */
+  def mqlDateTzNamed(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("base", timestamp_seconds(
+          when(col("event_id") % 7 === 3,
+            lit(1678597200L) + (col("event_id") % 240) * 60)
+          .when(col("event_id") % 7 === 4,
+            lit(1699156800L) + (col("event_id") % 240) * 60)
+          .when(col("event_id") % 7 === 5,
+            lit(1678510800L) + (col("event_id") % 240) * 60)
+          .when(col("event_id") % 7 === 6,
+            lit(1699070400L) + (col("event_id") % 240) * 60)
+          .otherwise(lit(1672531200L) +
+            (col("event_id") % 730) * 86400L + col("event_id") % 86399)))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(col("base"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("created"),
+          when(col("event_id") % 7 === 3, concat(lit("2023-03-12T02:"),
+              lpad((col("event_id") % 60).cast("string"), 2, "0"),
+              lit(":00")))
+            .when(col("event_id") % 7 === 4, concat(lit("2023-11-05T01:"),
+              lpad((col("event_id") % 60).cast("string"), 2, "0"),
+              lit(":00")))
+            .otherwise(date_format(col("base"),
+              "yyyy-MM-dd'T'HH:mm:ss")).as("fsin")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "lbl_ny": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": "$created", "timezone": "America/New_York"}},
+        |   "hr_ny": {"$hour": {"date": "$created",
+        |     "timezone": "America/New_York"}},
+        |   "pm_ny": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "month", "amount": 1,
+        |       "timezone": "America/New_York"}}}},
+        |   "pd_ny": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateAdd": {"startDate": "$created",
+        |       "unit": "day", "amount": 1,
+        |       "timezone": "America/New_York"}}}},
+        |   "tr_ny": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateTrunc": {"date": "$created",
+        |       "unit": "day", "timezone": "America/New_York"}}}},
+        |   "dd_ny": {"$dateDiff": {
+        |     "startDate": "2023-01-01T00:00:00", "endDate": "$created",
+        |     "unit": "day", "timezone": "America/New_York"}},
+        |   "fs_ny": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateFromString": {"dateString": "$fsin",
+        |       "timezone": "America/New_York"}}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "lbl_ny": 1, "hr_ny": {"$toLong": "$hr_ny"}, "pm_ny": 1,
+        |   "pd_ny": 1, "tr_ny": 1, "dd_ny": {"$toLong": "$dd_ny"},
+        |   "fs_ny": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 400}
+        |]""".stripMargin)
+
+  /** DuckDB replay of the America/New_York baked table + the engine's
+    * two-probe local→instant resolution — generated from the SAME
+    * [[graft.expr.TzTable]] the Spark plan uses, so the two engines
+    * cannot disagree on rules. */
+  private def nyReplaySql: String = {
+    val tbl = graft.expr.TzTable.of("America/New_York")
+    val trL = tbl.trans.drop(1).mkString("[", ",", "]") // drop sentinel
+    val osL = tbl.offs.mkString("[", ",", "]")
+    val off0 = tbl.offsetAt(1672531200L) // 2023-01-01T00:00:00Z
+    def offAt(t: String) =
+      s"os[len(list_filter(tr, x -> x <= ($t))) + 1]"
+    def lastTr(t: String) =
+      s"tr[len(list_filter(tr, x -> x <= ($t)))]"
+    // the engine's localToInstant, with an overlap preference
+    def rev(l: String, b: String, a: String, t: String,
+        pref: Option[String]) = {
+      val overlap = pref.map(p =>
+        s"WHEN ($p) = $a OR ($p) = $b THEN ($l) - ($p)\n").getOrElse("")
+      s"""CASE WHEN $b = $a THEN ($l) - $a
+         |  WHEN ($l) < $t + least($a, $b) THEN ($l) - $b
+         |  WHEN ($l) >= $t + greatest($a, $b) THEN ($l) - $a
+         |  WHEN $a > $b THEN ($l) - $b
+         |  $overlap ELSE ($l) - $b END""".stripMargin
+    }
+    s"""WITH z AS (SELECT $trL::BIGINT[] AS tr, $osL::BIGINT[] AS os),
+       |b AS (SELECT event_id,
+       |  (CASE WHEN event_id % 7 = 3
+       |        THEN 1678597200 + (event_id % 240) * 60
+       |        WHEN event_id % 7 = 4
+       |        THEN 1699156800 + (event_id % 240) * 60
+       |        WHEN event_id % 7 = 5
+       |        THEN 1678510800 + (event_id % 240) * 60
+       |        WHEN event_id % 7 = 6
+       |        THEN 1699070400 + (event_id % 240) * 60
+       |        ELSE 1672531200 + (event_id % 730) * 86400
+       |          + event_id % 86399 END)::BIGINT AS t,
+       |  CASE WHEN event_id % 7 = 3
+       |       THEN epoch(TIMESTAMP '2023-03-12 02:00:00')::BIGINT
+       |         + (event_id % 60) * 60
+       |       WHEN event_id % 7 = 4
+       |       THEN epoch(TIMESTAMP '2023-11-05 01:00:00')::BIGINT
+       |         + (event_id % 60) * 60
+       |       ELSE NULL END AS fl0
+       |  FROM events),
+       |c AS (SELECT event_id, t, COALESCE(fl0, t) AS fl, tr, os,
+       |    ${offAt("t")} AS o0
+       |  FROM b, z),
+       |l AS (SELECT *, t + o0 AS lcl FROM c),
+       |n AS (SELECT *,
+       |  epoch(make_timestamp(lcl * 1000000) + to_months(1))::BIGINT
+       |    AS nlm,
+       |  lcl + 86400 AS nld,
+       |  epoch(date_trunc('day', make_timestamp(lcl * 1000000)))::BIGINT
+       |    AS nltr
+       |  FROM l),
+       |r AS (SELECT *,
+       |  ${offAt("nlm - 64800")} AS m_b, ${offAt("nlm + 64800")} AS m_a,
+       |  ${lastTr("nlm + 64800")} AS m_t,
+       |  ${offAt("nld - 64800")} AS d_b, ${offAt("nld + 64800")} AS d_a,
+       |  ${lastTr("nld + 64800")} AS d_t,
+       |  ${offAt("nltr - 64800")} AS r_b, ${offAt("nltr + 64800")} AS r_a,
+       |  ${lastTr("nltr + 64800")} AS r_t,
+       |  ${offAt("fl - 64800")} AS f_b, ${offAt("fl + 64800")} AS f_a,
+       |  ${lastTr("fl + 64800")} AS f_t
+       |  FROM n),
+       |i AS (SELECT *,
+       |  ${rev("nlm", "m_b", "m_a", "m_t", Some("o0"))} AS im,
+       |  ${rev("nld", "d_b", "d_a", "d_t", Some("o0"))} AS idy,
+       |  ${rev("nltr", "r_b", "r_a", "r_t", Some("o0"))} AS itr,
+       |  ${rev("fl", "f_b", "f_a", "f_t", None)} AS ifs
+       |  FROM r)
+       |SELECT event_id,
+       |  strftime(make_timestamp(lcl * 1000000), '%Y-%m-%d %H:%M:%S')
+       |    AS lbl_ny,
+       |  CAST(date_part('hour', make_timestamp(lcl * 1000000))
+       |    AS BIGINT) AS hr_ny,
+       |  strftime(make_timestamp(im * 1000000), '%Y-%m-%d %H:%M:%S')
+       |    AS pm_ny,
+       |  strftime(make_timestamp(idy * 1000000), '%Y-%m-%d %H:%M:%S')
+       |    AS pd_ny,
+       |  strftime(make_timestamp(itr * 1000000), '%Y-%m-%d %H:%M:%S')
+       |    AS tr_ny,
+       |  CAST(date_diff('day',
+       |    CAST(make_timestamp((1672531200::BIGINT + ($off0)) * 1000000)
+       |      AS DATE),
+       |    CAST(make_timestamp(lcl * 1000000) AS DATE)) AS BIGINT)
+       |    AS dd_ny,
+       |  strftime(make_timestamp(ifs * 1000000), '%Y-%m-%d %H:%M:%S')
+       |    AS fs_ny
+       |FROM i ORDER BY event_id LIMIT 400""".stripMargin
+  }
+
   /** $convert under the gate (r12) — Mongo's safe cast with the full
     * error surface: a planted string field is numeric for most docs,
     * garbage every 5th (→ onError -1), missing every 5th+1 (→ onNull
@@ -2214,6 +2385,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  strftime(base - to_seconds(19800), '%Y-%m-%d %H:%M:%S')
         |    AS from_tz
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
+    "mql_date_tz_named" -> nyReplaySql,
     "mql_convert" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -2407,6 +2579,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add" -> (mqlDateAdd _),
     "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_date_add_tz" -> (mqlDateAddTz _),
+    "mql_date_tz_named" -> (mqlDateTzNamed _),
     "mql_convert" -> (mqlConvert _),
     "mql_convert_str" -> (mqlConvertStr _),
     "mql_convert_date" -> (mqlConvertDate _),

@@ -1675,7 +1675,7 @@ class MqlPipelineSpec extends SparkTestBase {
   }
 
   test("$dateAdd/$dateSubtract: fixed-length units compose exactly; " +
-      "calendar units and timezone loud") {
+      "calendar units clamp; named-zone civil day arithmetic") {
     val got = run(
       """[
         | {"$match": {"id": {"$eq": 1}}},
@@ -1721,13 +1721,17 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(cal.getString(1) == "2023-02-28 10:15:00", cal.toString)
     assert(cal.getString(2) == "2025-02-28 05:00:01", cal.toString)
     assert(cal.getString(3) == "2024-02-29 23:59:58", cal.toString)
-    val tz = intercept[IllegalArgumentException] {
-      run("""[{"$addFields": {"x": {"$dateSubtract": {
-            |  "startDate": "2024-01-30T00:00:00", "unit": "day",
-            |  "amount": 1, "timezone": "America/New_York"}}}}]"""
-        .stripMargin)
-    }
-    assert(tz.getMessage.contains("timezone"), tz.getMessage)
+    // named zones work since r15 (no transition near this date —
+    // plain civil day subtraction in the EST frame)
+    val tz = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S",
+        |   "date": {"$dateSubtract": {
+        |     "startDate": "2024-01-30T00:00:00", "unit": "day",
+        |     "amount": 1, "timezone": "America/New_York"}}}}}},
+        | {"$project": {"x": 1}}]""".stripMargin).collect()(0)
+    assert(tz.getString(0) == "2024-01-29 00:00:00", tz.toString)
   }
 
   test("date operators honor FIXED-offset timezones; named zones and " +
@@ -1799,12 +1803,12 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(fam.getLong(2) == 1L && fam.getLong(3) == 0L, fam.toString)
     // +05:30 wall clock midnight = 18:30 UTC the previous day
     assert(fam.getString(4) == "2024-01-14 18:30:00", fam.toString)
-    // named zones stay loud on every operator of the family
+    // out-of-envelope offsets and garbage zone ids stay loud; named
+    // REGION ids work since r15 (the baked-ZoneRules device) — their
+    // behavior is locked in the dedicated named-tz test below
     for (frag <- Seq(
-      """{"$dateTrunc": {"date": "2024-01-01T00:00:00", "unit": "day",
-        |  "timezone": "America/New_York"}}""".stripMargin,
       """{"$dateToString": {"date": "2024-01-01T00:00:00",
-        |  "timezone": "Europe/Berlin"}}""".stripMargin,
+        |  "timezone": "America/Nowhere"}}""".stripMargin,
       """{"$dateAdd": {"startDate": "2024-01-01T00:00:00",
         |  "unit": "hour", "amount": 1, "timezone": "+19:00"}}"""
         .stripMargin)) {
@@ -1855,6 +1859,95 @@ class MqlPipelineSpec extends SparkTestBase {
         |     "timezone": "+05:30"}}}}}},
         | {"$project": {"x": 1}}]""".stripMargin).collect()(0)
     assert(bare.getString(0) == "2024-02-29 18:30:00", bare.toString)
+  }
+
+  test("named-timezone (DST) date operators (r15): offsets move with " +
+      "the instant, gap shifts forward, overlap prefers the base " +
+      "offset, sub-day $dateDiff and past-horizon instants stay loud") {
+    def one(expr: String): String = run(
+      s"""[{"$$match": {"id": {"$$eq": 1}}},
+         | {"$$addFields": {"x": {"$$dateToString": {
+         |   "format": "%Y-%m-%d %H:%M:%S", "date": $expr}}}},
+         | {"$$project": {"x": 1}}]""".stripMargin)
+      .collect()(0).getString(0)
+    // rendering in the zone: EST in January, EDT in July (the whole
+    // point — one zone id, two offsets)
+    val jan = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S",
+        |   "date": "2023-01-15T12:00:00",
+        |   "timezone": "America/New_York"}}}},
+        | {"$project": {"x": 1}}]""".stripMargin).collect()(0).getString(0)
+    assert(jan == "2023-01-15 07:00:00", jan) // UTC-5
+    val jul = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S",
+        |   "date": "2023-07-15T12:00:00",
+        |   "timezone": "America/New_York"}}}},
+        | {"$project": {"x": 1}}]""".stripMargin).collect()(0).getString(0)
+    assert(jul == "2023-07-15 08:00:00", jul) // UTC-4
+    // $dateAdd day ACROSS spring-forward keeps the local wall clock:
+    // 2023-03-11 21:00 EST (02:00 UTC Mar 12) + 1 day = Mar 12 21:00
+    // EDT = 01:00 UTC Mar 13 — 23 physical hours, the DST-aware day
+    val springDay = one(
+      """{"$dateAdd": {"startDate": "2023-03-12T02:00:00",
+        |  "unit": "day", "amount": 1,
+        |  "timezone": "America/New_York"}}""".stripMargin)
+    assert(springDay == "2023-03-13 01:00:00", springDay)
+    // +1 day landing IN the gap: base 02:30 EST Mar 11 (07:30 UTC) →
+    // local Mar 12 02:30 does not exist → shifts forward by the gap
+    // to 03:30 EDT = 07:30 UTC (java.time's resolution)
+    val gapDay = one(
+      """{"$dateAdd": {"startDate": "2023-03-11T07:30:00",
+        |  "unit": "day", "amount": 1,
+        |  "timezone": "America/New_York"}}""".stripMargin)
+    assert(gapDay == "2023-03-12 07:30:00", gapDay)
+    // +1 day landing IN the overlap: base 01:30 EDT Nov 4 (05:30 UTC)
+    // → local Nov 5 01:30 exists twice → the base offset (EDT) is
+    // still valid → the EARLIER instant, 05:30 UTC
+    val overDay = one(
+      """{"$dateAdd": {"startDate": "2023-11-04T05:30:00",
+        |  "unit": "day", "amount": 1,
+        |  "timezone": "America/New_York"}}""".stripMargin)
+    assert(overDay == "2023-11-05 05:30:00", overDay)
+    // $dateFromString reads the zone's wall clock; a string INSIDE the
+    // skipped hour shifts forward (02:30 → 03:30 EDT = 07:30 UTC), one
+    // inside the repeated hour takes the earlier instant (01:30 EDT =
+    // 05:30 UTC, not 01:30 EST = 06:30)
+    val fsGap = one(
+      """{"$dateFromString": {"dateString": "2023-03-12T02:30:00",
+        |  "timezone": "America/New_York"}}""".stripMargin)
+    assert(fsGap == "2023-03-12 07:30:00", fsGap)
+    val fsOver = one(
+      """{"$dateFromString": {"dateString": "2023-11-05T01:30:00",
+        |  "timezone": "America/New_York"}}""".stripMargin)
+    assert(fsOver == "2023-11-05 05:30:00", fsOver)
+    // sub-day $dateDiff in a named zone: loud (boundary counts across
+    // a transition are ambiguous)
+    val subDay = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$dateDiff": {
+            |  "startDate": "2023-01-01T00:00:00",
+            |  "endDate": "2023-07-01T00:00:00", "unit": "hour",
+            |  "timezone": "America/New_York"}}}}]""".stripMargin)
+        .collect()
+    }
+    assert(subDay.getMessage.contains("named timezone"),
+      subDay.getMessage)
+    // past the baked horizon: loud per row, never a silently frozen
+    // last rule
+    val horizon = intercept[Exception] {
+      run("""[{"$match": {"id": {"$eq": 1}}},
+            | {"$addFields": {"x": {"$dateAdd": {
+            |   "startDate": "2099-12-31T12:00:00", "unit": "month",
+            |   "amount": 1, "timezone": "America/New_York"}}}},
+            | {"$project": {"x": 1}}]""".stripMargin).collect()
+    }
+    def msgsH(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsH(t.getCause)
+    assert(msgsH(horizon).exists(_.contains("horizon")),
+      msgsH(horizon).toString)
   }
 
   test("$convert to date: ISO strings convert with onError/onNull " +
