@@ -2422,7 +2422,9 @@ object MqlPipeline {
         // (r15) shift by the baked per-instant offset — a total,
         // forward-only mapping (no gap/overlap ambiguity).
         case (op @ ("$year" | "$month" | "$dayOfMonth" | "$hour" |
-            "$minute" | "$second"), v) =>
+            "$minute" | "$second" | "$millisecond" | "$dayOfWeek" |
+            "$dayOfYear" | "$isoDayOfWeek" | "$isoWeek" |
+            "$isoWeekYear" | "$week"), v) =>
           val (dn, tzp) =
             if (v.isObject && v.get("date") != null) {
               v.properties().asScala.foreach(e => require(
@@ -2438,7 +2440,27 @@ object MqlPipeline {
             case "$dayOfMonth" => dayofmonth(ts)
             case "$hour" => hour(ts)
             case "$minute" => minute(ts)
-            case _ => second(ts)
+            case "$second" => second(ts)
+            // sub-second part survives the zone shift untouched (all
+            // offsets are whole minutes); pmod keeps pre-1970 exact
+            case "$millisecond" =>
+              pmod(unix_micros(ts), lit(1000000L)) / lit(1000L)
+            // Spark dayofweek is already Mongo's 1=Sunday..7=Saturday
+            case "$dayOfWeek" => dayofweek(ts)
+            case "$dayOfYear" => dayofyear(ts)
+            // Spark weekday is 0=Monday..6 — ISO wants 1=Monday..7
+            case "$isoDayOfWeek" => weekday(ts) + lit(1)
+            // Spark weekofyear IS the ISO-8601 week number
+            case "$isoWeek" => weekofyear(ts)
+            case "$isoWeekYear" => date_part(lit("YEAROFWEEK"), ts)
+            // Mongo $week = strftime %U: weeks start on Sunday, days
+            // before the year's first Sunday are week 0. With d =
+            // day-of-year and s = Sunday-based weekday index
+            // (dayofweek-1), the count of Sundays in [1, d] is
+            // (d - s + 6) DIV 7 — all integer, engine-exact
+            case _ =>
+              (dayofyear(ts) - (dayofweek(ts) - lit(1)) + lit(6))
+                .cast("long") / lit(7L)
           }).cast("long")
         case ("$dateFromString", v) =>
           // {dateString, timezone?}: the string is read as the zone's
@@ -2525,6 +2547,10 @@ object MqlPipeline {
           require(v.isObject && v.get("startDate") != null &&
             v.get("endDate") != null && v.get("unit") != null,
             s"$$dateDiff needs {startDate, endDate, unit}: $v")
+          v.properties().asScala.foreach(e => require(
+            Seq("startDate", "endDate", "unit", "timezone",
+              "startOfWeek").contains(e.getKey),
+            s"unsupported $$dateDiff option: ${e.getKey}"))
           // timezone (r14): boundaries are counted in the zone's wall
           // clock — day boundaries move with the zone, and hour
           // boundaries too for :30/:45 offsets. Shift both operands
@@ -2536,12 +2562,19 @@ object MqlPipeline {
           // transition have no single defensible answer (the local
           // clock repeats or skips boundaries), so they stay loud.
           val ddTz = tzSpecOf(v)
-          require(!ddTz.civilDays ||
-            v.get("unit").asText() == "day",
-            "$dateDiff with a named timezone supports only unit " +
-              "'day' — sub-day boundary counts across a DST " +
-              "transition are ambiguous (the local clock repeats or " +
-              "skips boundaries); use a fixed offset")
+          require(!ddTz.civilDays || Seq("day", "week", "month",
+              "quarter", "year").contains(v.get("unit").asText()),
+            "$dateDiff with a named timezone supports only calendar " +
+              "units (day|week|month|quarter|year) — sub-day boundary " +
+              "counts across a DST transition are ambiguous (the " +
+              "local clock repeats or skips boundaries); use a fixed " +
+              "offset")
+          // startOfWeek (Mongo: week unit only, default Sunday)
+          val ddSow = Option(v.get("startOfWeek")).map { n =>
+            require(v.get("unit").asText() == "week",
+              "$dateDiff startOfWeek applies only to unit 'week'")
+            n.asText().toLowerCase
+          }.getOrElse("sunday")
           def inZone(c: Column): Column =
             if (ddTz.isZero) c
             else timestamp_seconds(ddTz.toLocal(unix_timestamp(c)))
@@ -2549,6 +2582,31 @@ object MqlPipeline {
           val ed = inZone(dateOf(v.get("endDate")))
           v.get("unit").asText() match {
             case "day" => datediff(to_date(ed), to_date(sd)).cast("long")
+            // calendar-boundary counts (r15): pure integer index
+            // arithmetic on the wall-clock calendar — engine-exact
+            case "year" => (year(ed) - year(sd)).cast("long")
+            case "quarter" =>
+              (year(ed) * lit(4) + quarter(ed) -
+                (year(sd) * lit(4) + quarter(sd))).cast("long")
+            case "month" =>
+              (year(ed) * lit(12) + month(ed) -
+                (year(sd) * lit(12) + month(sd))).cast("long")
+            case "week" =>
+              // week index = count of startOfWeek boundaries since a
+              // fixed anchor: with e = epoch day and k the per-weekday
+              // phase (first such weekday in 1970 is day 3+w, w =
+              // Sunday-based index), index = (e + k + 35e6) DIV 7 —
+              // the +35e6 keeps the dividend positive so truncating
+              // division IS floor division on both engines (any date
+              // past year −7000)
+              val w = Seq("sunday", "monday", "tuesday", "wednesday",
+                "thursday", "friday", "saturday").indexOf(ddSow)
+              require(w >= 0, s"bad startOfWeek: $ddSow")
+              val k = ((4 - w) % 7 + 7) % 7
+              def wkIdx(c: Column): Column =
+                ((unix_date(to_date(c)).cast("long") + lit(k.toLong) +
+                  lit(35000000L)) / lit(7L)).cast("long")
+              wkIdx(ed) - wkIdx(sd)
             case "hour" =>
               (floor(unix_timestamp(ed) / 3600) -
                 floor(unix_timestamp(sd) / 3600)).cast("long")
@@ -2558,7 +2616,8 @@ object MqlPipeline {
             case "second" =>
               (unix_timestamp(ed) - unix_timestamp(sd)).cast("long")
             case u => throw new IllegalArgumentException(
-              s"unsupported $$dateDiff unit: $u (day|hour|minute|second)")
+              s"unsupported $$dateDiff unit: $u (year|quarter|month|" +
+                "week|day|hour|minute|second)")
           }
         case (op @ ("$dateAdd" | "$dateSubtract"), v) =>
           // Mongo 5.0 date arithmetic. Fixed-length units

@@ -278,6 +278,69 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 400}
         |]""".stripMargin)
 
+  /** Extended date parts + calendar-unit $dateDiff under the gate
+    * (r15) — the rest of Mongo's part family ($dayOfWeek/$dayOfYear/
+    * $isoDayOfWeek/$isoWeek/$isoWeekYear/$week/$millisecond, all
+    * integer calendar arithmetic both engines compute identically;
+    * $week is the strftime %U Sunday-anchored count, derived from
+    * day-of-year and weekday on both sides) and $dateDiff's calendar
+    * boundary counts (week with startOfWeek, month, quarter, year —
+    * pure index differences). The two-year sweep crosses ISO-week-year
+    * boundaries (Jan 1 2023 is a Sunday: isoWeek 52 of isoWeekYear
+    * 2022); the millisecond column rides a planted fractional
+    * $dateFromString (the fixture timestamps are whole seconds). One
+    * part carries a fixed-offset timezone to pin the {date, timezone}
+    * form on the new operators. */
+  def mqlDatePartsExt(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("base", timestamp_seconds(
+          lit(1672531200L) + (col("event_id") % 730) * 86400L +
+            col("event_id") % 86399))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(col("base"), "yyyy-MM-dd'T'HH:mm:ss")
+            .as("created"),
+          concat(lit("2024-01-01T00:00:00."),
+            lpad((col("event_id") % 1000).cast("string"), 3, "0"))
+            .as("fsms")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "dow": {"$dayOfWeek": "$created"},
+        |   "doy": {"$dayOfYear": "$created"},
+        |   "idow": {"$isoDayOfWeek": "$created"},
+        |   "iwk": {"$isoWeek": "$created"},
+        |   "iwy": {"$isoWeekYear": "$created"},
+        |   "wk": {"$week": "$created"},
+        |   "dow_ist": {"$dayOfWeek": {"date": "$created",
+        |     "timezone": "+05:30"}},
+        |   "ms": {"$millisecond": {"$dateFromString": {
+        |     "dateString": "$fsms"}}},
+        |   "dd_w": {"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "week"}},
+        |   "dd_wm": {"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "week",
+        |     "startOfWeek": "monday"}},
+        |   "dd_m": {"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "month"}},
+        |   "dd_q": {"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "quarter"}},
+        |   "dd_y": {"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+        |     "endDate": "$created", "unit": "year"}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "dow": {"$toLong": "$dow"}, "doy": {"$toLong": "$doy"},
+        |   "idow": {"$toLong": "$idow"}, "iwk": {"$toLong": "$iwk"},
+        |   "iwy": {"$toLong": "$iwy"}, "wk": {"$toLong": "$wk"},
+        |   "dow_ist": {"$toLong": "$dow_ist"},
+        |   "ms": {"$toLong": "$ms"},
+        |   "dd_w": {"$toLong": "$dd_w"}, "dd_wm": {"$toLong": "$dd_wm"},
+        |   "dd_m": {"$toLong": "$dd_m"}, "dd_q": {"$toLong": "$dd_q"},
+        |   "dd_y": {"$toLong": "$dd_y"}}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 400}
+        |]""".stripMargin)
+
   /** DuckDB replay of the America/New_York baked table + the engine's
     * two-probe local→instant resolution — generated from the SAME
     * [[graft.expr.TzTable]] the Spark plan uses, so the two engines
@@ -2386,6 +2449,35 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    AS from_tz
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_date_tz_named" -> nyReplaySql,
+    "mql_date_parts_ext" ->
+      """WITH b AS (SELECT event_id,
+        |  TIMESTAMP '2023-01-01 00:00:00'
+        |    + to_seconds(CAST((event_id % 730) * 86400
+        |        + event_id % 86399 AS BIGINT)) AS base
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(dayofweek(base) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(base) AS BIGINT) AS doy,
+        |  CAST(isodow(base) AS BIGINT) AS idow,
+        |  CAST(weekofyear(base) AS BIGINT) AS iwk,
+        |  CAST(isoyear(base) AS BIGINT) AS iwy,
+        |  CAST((dayofyear(base) - dayofweek(base) + 6) // 7 AS BIGINT)
+        |    AS wk,
+        |  CAST(dayofweek(base + to_seconds(19800)) + 1 AS BIGINT)
+        |    AS dow_ist,
+        |  CAST(event_id % 1000 AS BIGINT) AS ms,
+        |  CAST((date_diff('day', DATE '1970-01-01', CAST(base AS DATE))
+        |      + 4 + 35000000) // 7
+        |    - (19358 + 4 + 35000000) // 7 AS BIGINT) AS dd_w,
+        |  CAST((date_diff('day', DATE '1970-01-01', CAST(base AS DATE))
+        |      + 3 + 35000000) // 7
+        |    - (19358 + 3 + 35000000) // 7 AS BIGINT) AS dd_wm,
+        |  CAST((date_part('year', base) * 12 + date_part('month', base))
+        |    - (2023 * 12 + 1) AS BIGINT) AS dd_m,
+        |  CAST((date_part('year', base) * 4 + quarter(base))
+        |    - (2023 * 4 + 1) AS BIGINT) AS dd_q,
+        |  CAST(date_part('year', base) - 2023 AS BIGINT) AS dd_y
+        |FROM b ORDER BY event_id LIMIT 400""".stripMargin,
     "mql_convert" ->
       """WITH w AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN NULL
@@ -2580,6 +2672,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_date_add_tz" -> (mqlDateAddTz _),
     "mql_date_tz_named" -> (mqlDateTzNamed _),
+    "mql_date_parts_ext" -> (mqlDatePartsExt _),
     "mql_convert" -> (mqlConvert _),
     "mql_convert_str" -> (mqlConvertStr _),
     "mql_convert_date" -> (mqlConvertDate _),

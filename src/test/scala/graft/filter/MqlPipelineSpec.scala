@@ -1861,6 +1861,74 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(bare.getString(0) == "2024-02-29 18:30:00", bare.toString)
   }
 
+  test("extended date parts and calendar $dateDiff (r15): ISO and " +
+      "Sunday-anchored weeks, iso week-year boundary, millisecond, " +
+      "boundary counts with startOfWeek; bad options loud") {
+    def longs(fields: String, adds: String): Seq[Long] = run(
+      s"""[{"$$match": {"id": {"$$eq": 1}}},
+         | {"$$addFields": {$adds}},
+         | {"$$project": {$fields}}]""".stripMargin)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    // 2023-01-01 is a Sunday: dayOfWeek 1, isoDayOfWeek 7, isoWeek 52
+    // of isoWeekYear 2022, Mongo week ($week, %U) = 1 (Jan 1 IS the
+    // first Sunday); Jan 2 (Monday) stays week 1
+    assert(longs(
+      """"a": {"$toLong": "$a"}, "b": {"$toLong": "$b"},
+        |"c": {"$toLong": "$c"}, "d": {"$toLong": "$d"},
+        |"e": {"$toLong": "$e"}, "f": {"$toLong": "$f"}""".stripMargin,
+      """"a": {"$dayOfWeek": "2023-01-01T10:00:00"},
+        |"b": {"$isoDayOfWeek": "2023-01-01T10:00:00"},
+        |"c": {"$isoWeek": "2023-01-01T10:00:00"},
+        |"d": {"$isoWeekYear": "2023-01-01T10:00:00"},
+        |"e": {"$week": "2023-01-01T10:00:00"},
+        |"f": {"$dayOfYear": "2023-02-01T10:00:00"}""".stripMargin) ==
+      Seq(1L, 7L, 52L, 2022L, 1L, 32L))
+    // 2021-01-01 (Friday): %U week 0 (before the year's first Sunday);
+    // millisecond from a fractional parse
+    assert(longs(
+      """"a": {"$toLong": "$a"}, "b": {"$toLong": "$b"}""",
+      """"a": {"$week": "2021-01-01T10:00:00"},
+        |"b": {"$millisecond": {"$dateFromString": {
+        |  "dateString": "2024-01-01T00:00:00.987"}}}""".stripMargin) ==
+      Seq(0L, 987L))
+    // $dateDiff calendar boundaries: Dec 31 → Jan 1 crosses one year,
+    // one quarter, one month boundary regardless of hour; week counts
+    // move with startOfWeek (Dec 31 2023 is a Sunday: a sunday-start
+    // week boundary sits exactly on it, a monday-start one does not)
+    assert(longs(
+      """"y": {"$toLong": "$y"}, "q": {"$toLong": "$q"},
+        |"m": {"$toLong": "$m"}, "w": {"$toLong": "$w"},
+        |"wm": {"$toLong": "$wm"}""".stripMargin,
+      """"y": {"$dateDiff": {"startDate": "2023-12-31T23:00:00",
+        |  "endDate": "2024-01-01T01:00:00", "unit": "year"}},
+        |"q": {"$dateDiff": {"startDate": "2023-12-31T23:00:00",
+        |  "endDate": "2024-01-01T01:00:00", "unit": "quarter"}},
+        |"m": {"$dateDiff": {"startDate": "2023-12-31T23:00:00",
+        |  "endDate": "2024-01-01T01:00:00", "unit": "month"}},
+        |"w": {"$dateDiff": {"startDate": "2023-12-30T12:00:00",
+        |  "endDate": "2023-12-31T12:00:00", "unit": "week"}},
+        |"wm": {"$dateDiff": {"startDate": "2023-12-30T12:00:00",
+        |  "endDate": "2023-12-31T12:00:00", "unit": "week",
+        |  "startOfWeek": "monday"}}""".stripMargin) ==
+      Seq(1L, 1L, 1L, 1L, 0L))
+    // guards: startOfWeek off-unit, bad weekday name, unknown option
+    for ((pipe, frag) <- Seq(
+      ("""{"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+         |  "endDate": "2023-02-01T00:00:00", "unit": "month",
+         |  "startOfWeek": "monday"}}""".stripMargin, "startOfWeek"),
+      ("""{"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+         |  "endDate": "2023-02-01T00:00:00", "unit": "week",
+         |  "startOfWeek": "someday"}}""".stripMargin, "startOfWeek"),
+      ("""{"$dateDiff": {"startDate": "2023-01-01T00:00:00",
+         |  "endDate": "2023-02-01T00:00:00", "unit": "day",
+         |  "banana": 1}}""".stripMargin, "option"))) {
+      val e = intercept[IllegalArgumentException] {
+        run(s"""[{"$$addFields": {"x": $pipe}}]""").collect()
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+  }
+
   test("named-timezone (DST) date operators (r15): offsets move with " +
       "the instant, gap shifts forward, overlap prefers the base " +
       "offset, sub-day $dateDiff and past-horizon instants stay loud") {
