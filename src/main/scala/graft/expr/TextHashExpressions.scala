@@ -373,6 +373,95 @@ object TextHash {
   }
 }
 
+/** Fused trained-language-ID kernels (r15 — the sf10 audit's last
+  * watch-list item): the composed featurize/score chains
+  * (`transform(charNgrams(t,3), pmod(md5Hash60('lid:'||g), B))` and
+  * `aggregate(fs, zeros, zip_with(acc, slice(flatLUT, f·L+1, L), +))`)
+  * evaluate INTERPRETED per gram — per-element boxing plus a 5-slot
+  * array slice+zip allocation per trigram. These one-pass loops are
+  * bit-identical (same md5 bytes, same long sums, same first-max
+  * tie-break) and run inside whole-stage codegen. */
+object LidKernels {
+  private val lidPrefix = "lid:".getBytes("US-ASCII")
+  private val und = UTF8String.fromString("und")
+
+  /** Trigram hash buckets of the text: for each 3-codepoint window w,
+    * `hash60("lid:" + w) % buckets` — exactly the composed
+    * `pmod(md5Hash60(concat('lid:', g)), buckets)` over
+    * `charNgrams(t, 3)` (hash60 is non-negative, so % == pmod). */
+  def grams(text: UTF8String, buckets: Int): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars < 3) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](nChars - 2)
+    var i = 0
+    while (i < nChars - 2) {
+      val g = text.substring(i, i + 3).getBytes
+      val cat = new Array[Byte](lidPrefix.length + g.length)
+      System.arraycopy(lidPrefix, 0, cat, 0, lidPrefix.length)
+      System.arraycopy(g, 0, cat, lidPrefix.length, g.length)
+      out(i) = (TextHash.hash60(cat) % buckets).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Argmax language over the bucket-major flat weight table: each
+    * gram f adds flat[f·L .. f·L+L), prediction = langs[first index of
+    * the max] (the lex-smallest tie-break — langs is sorted), no grams
+    * → "und". Bit-identical to the composed aggregate/zip_with form. */
+  def argmax(fs: ArrayData, flat: Array[Long],
+      langs: Array[UTF8String]): UTF8String = {
+    val n = fs.numElements()
+    if (n == 0) return und
+    val nL = langs.length
+    val acc = new Array[Long](nL)
+    var i = 0
+    while (i < n) {
+      val base = fs.getInt(i) * nL
+      var j = 0
+      while (j < nL) { acc(j) += flat(base + j); j += 1 }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < nL) { if (acc(j) > acc(best)) best = j; j += 1 }
+    langs(best)
+  }
+}
+
+/** [[LidKernels.grams]] as an expression (static-call codegen). */
+case class LidGramsExpr(child: Expression, buckets: Int)
+    extends TextHashUnary {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    LidKernels.grams(input.asInstanceOf[UTF8String], buckets)
+  override protected def staticCall(c: String): String =
+    s"graft.expr.LidKernels.grams($c, $buckets)"
+  override protected def withNewChildInternal(c: Expression): LidGramsExpr =
+    copy(child = c)
+}
+
+/** [[LidKernels.argmax]] as an expression; the weight table and the
+  * sorted language list ride a codegen reference object. */
+case class LidArgmaxExpr(child: Expression, flat: Array[Long],
+    langs: Array[UTF8String]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(input: Any): Any =
+    LidKernels.argmax(input.asInstanceOf[ArrayData], flat, langs)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("lidFlat", flat, "long[]")
+    val lRef = ctx.addReferenceObj("lidLangs", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.LidKernels.argmax($c, $fRef, $lRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): LidArgmaxExpr =
+    copy(child = c)
+}
+
 /** Base for the unary hash expressions: deterministic, null-safe, with
   * codegen emitting one static call into [[TextHash]]. */
 abstract class TextHashUnary extends UnaryExpression {

@@ -43,6 +43,22 @@ object TextFunctions {
   def wordNgrams(toks: Column, n: Int): Column =
     toCol(WordNgramsExpr(toExpr(toks), n))
 
+  /** Trained-language-ID trigram buckets (r15): hash60("lid:"+w) mod
+    * buckets per 3-codepoint window — bit-equal to the composed
+    * `transform(charNgrams(t,3), pmod(md5Hash60(concat('lid:', g)),
+    * buckets))`, one codegen'd loop instead of an interpreted
+    * per-trigram lambda. */
+  def lidGrams(text: Column, buckets: Int): Column =
+    toCol(graft.expr.LidGramsExpr(toExpr(text), buckets))
+
+  /** Trained-language-ID scoring (r15): per-row linear-ppm sums over
+    * the bucket-major flat LUT, argmax with first-max (lex-smallest)
+    * tie-break, empty grams → 'und'. */
+  def lidArgmax(fs: Column, flat: Array[Long],
+      langs: Array[String]): Column =
+    toCol(graft.expr.LidArgmaxExpr(toExpr(fs), flat,
+      langs.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+
   /** One MinHash value: lexicographic min of seeded md5 hex over shingles.
     * (min over hex strings == min over the underlying 128-bit ints). The
     * composed-builtin spec of what [[minhashSignature]] computes natively. */

@@ -392,9 +392,12 @@ object TextAnalysis {
         when(col("lang") === l, lit(p + " ")).otherwise(acc)
     }
     val t = lower(substring(concat(plant, col("text")), 1, LidPrefix))
-    val fArr = transform(charNgrams(t, 3), g =>
-      pmod(md5Hash60(concat(lit("lid:"), g)), lit(LidBuckets))
-        .cast("int"))
+    // fused native featurization (r15): the composed
+    // transform(charNgrams)+md5Hash60 chain evaluates interpreted per
+    // trigram (~59M boxed hash calls at sf10); LidGramsExpr emits the
+    // identical buckets from one codegen'd loop — bit-equal to the
+    // oracle's list-comprehension md5 form
+    val fArr = graft.functions.TextFunctions.lidGrams(t, LidBuckets)
     // materialize the hashed gram arrays ONCE (localCheckpoint, the
     // kmeans-assignment device): training and scoring are two jobs,
     // and without the barrier each re-runs the md5-per-trigram
@@ -441,36 +444,25 @@ object TextAnalysis {
           ppm((r.getLong(2) + 1) * 1000000.0 / (n + LidBuckets)))
       l -> arr
     }.toMap
-    // SCORING: ONE aggregate over the gram array with a finish lambda
-    // — the md5-heavy `fs` evaluates exactly once per row (the HOFs
-    // are interpreted, so a multi-column formulation would re-derive
-    // fs per score column — measured 4.7 s vs ~1.5 s at sf0.1). The
-    // LUT flattens bucket-major (weights for bucket f at f·L+1…f·L+L,
-    // langs sorted), each gram adds its L-slice via zip_with, and the
-    // finisher takes argmax = FIRST index of the max over the
-    // lang-sorted score array — exactly the deterministic
-    // lex-smallest tie-break. The no-grams ⇒ 'und' case tests
-    // size(fs) = 0 DIRECTLY, not "first score is zero": inferring
-    // no-grams from a zero score relies on the add-one floor ppm
-    // rounding to ≥ 1, which fails once the lex-first language
-    // exceeds ~2e6 grams (floor rounds to 0) — a silent
-    // scale-dependent oracle divergence. Zero shuffle either way.
+    // SCORING (r15 — fused native): one codegen'd loop per row over
+    // the gram array with the bucket-major flat LUT (weights for
+    // bucket f at f·L…f·L+L, langs sorted); argmax = FIRST index of
+    // the max = the deterministic lex-smallest tie-break; no grams ⇒
+    // 'und' tested on the array length DIRECTLY (never inferred from
+    // a zero score — the add-one floor can round to 0 past ~2e6
+    // grams, a silent scale-dependent oracle divergence). The
+    // previous composed aggregate/zip_with/slice form evaluated
+    // interpreted per trigram with a 5-slot slice allocation each —
+    // LidKernels.argmax is bit-identical (same long sums) at loop
+    // speed. Zero shuffle either way.
     if (langs.isEmpty)
       return d.select(col("doc_id"), col("lang"),
         lit("und").as("lang_pred")).orderBy("doc_id")
     val nL = langs.length
     val flat: Array[Long] = Array.tabulate(LidBuckets * nL)(i =>
       wArrs(langs(i % nL))(i / nL))
-    val argmaxCol = aggregate(
-      col("fs"),
-      array(langs.map(_ => lit(0L)): _*),
-      (acc, f) => zip_with(acc,
-        slice(lit(flat), f * lit(nL) + lit(1), lit(nL)),
-        (a, w) => a + w),
-      acc => element_at(lit(langs.toArray),
-        array_position(acc, array_max(acc)).cast("int")))
-    val predCol = when(size(col("fs")) === 0, lit("und"))
-      .otherwise(argmaxCol)
+    val predCol = graft.functions.TextFunctions.lidArgmax(
+      col("fs"), flat, langs.toArray)
     d.select(col("doc_id"), col("lang"), predCol.as("lang_pred"))
       .orderBy("doc_id")
   }

@@ -25,6 +25,45 @@ class TextFunctionsSpec extends SparkTestBase {
   private def refHash60(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).take(15), 16)
 
+  test("lidGrams fused pass == composed charNgrams+md5 form; lidArgmax " +
+      "== composed aggregate/zip_with over the same flat LUT (r15)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(80).select(col("doc_id"),
+        lower(substring(col("text"), 1, 120)).as("t"))
+    val b = 64
+    val composedG = transform(charNgrams(col("t"), 3), g =>
+      pmod(md5Hash60(concat(lit("lid:"), g)), lit(b)).cast("int"))
+    val both = docs.select(col("doc_id"),
+      lidGrams(col("t"), b).as("fused"), composedG.as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    // short/empty inputs: under-3-char text → empty array both ways
+    val short = Seq("ab", "", "xyz").toDF("t")
+      .select(lidGrams(col("t"), b).as("f"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(short(0) == Nil && short(1) == Nil && short(2).length == 1)
+    // argmax: same flat LUT through the composed form
+    val langs = Array("de", "en", "fr")
+    val nL = langs.length
+    val rnd = new scala.util.Random(7)
+    val flat = Array.fill(b * nL)(rnd.nextInt(2000000).toLong)
+    val composedA = when(size(col("fs")) === 0, lit("und"))
+      .otherwise(aggregate(col("fs"),
+        array(langs.map(_ => lit(0L)).toIndexedSeq: _*),
+        (acc, f) => zip_with(acc,
+          slice(lit(flat), f * lit(nL) + lit(1), lit(nL)),
+          (a, w) => a + w),
+        acc => element_at(lit(langs),
+          array_position(acc, array_max(acc)).cast("int"))))
+    val scored = docs.select(lidGrams(col("t"), b).as("fs"))
+      .union(Seq("x").toDF("t").select(lidGrams(col("t"), b).as("fs")))
+      .select(col("fs"), lidArgmax(col("fs"), flat, langs).as("fused"),
+        composedA.as("composed"))
+    assert(scored.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(scored.filter(size(col("fs")) === 0)
+      .select(col("fused")).head().getString(0) == "und")
+  }
+
   test("minhashShingles fused pass == composed built-in form on real docs") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
