@@ -2493,32 +2493,112 @@ object MqlPipeline {
                 dfsTz.toInstant(unix_timestamp(parsed), None)))
           }
         case ("$dateTrunc", v) =>
-          // {date, unit, timezone?}: Mongo 5.0's truncation — calendar
-          // units map to Spark's date_trunc (same boundary semantics as
-          // the oracle engines). timezone: truncate in the zone's wall
-          // clock, map back to the instant — fixed offsets as a pure
-          // integer conjugation (r14); named zones (r15) through the
-          // baked table, preferring the base instant's offset when the
-          // truncated local lands in a fall-back overlap (a zone that
-          // transitions AT midnight can put local midnight in a gap —
-          // the java.time forward shift applies, like all gap cases);
-          // binSize/startOfWeek unsupported, loud
+          // {date, unit, binSize?, timezone?, startOfWeek?}: Mongo
+          // 5.0's truncation. binSize 1 calendar units map to Spark's
+          // date_trunc (same boundary semantics as the oracle
+          // engines); binSize N (r15) is exact integer bin arithmetic
+          // anchored at Mongo's documented reference instant
+          // 2000-01-01T00:00:00Z — month-family bins on the
+          // months-since-anchor index, second-family bins on
+          // seconds-since-anchor, both with a bin-width-multiple
+          // positive shift so truncating division IS floor division
+          // (dates before 2000 bin correctly on both engines). week
+          // truncation honors startOfWeek (default Sunday — the most
+          // recent such weekday's midnight); week with binSize > 1
+          // stays loud: the DIRECTION Mongo adjusts its week anchor
+          // from the Saturday reference date is not pinnable from
+          // public knowledge alone, and a coin-flip convention could
+          // silently disagree by one whole bin. timezone: truncate in
+          // the zone's wall clock, map back to the instant — fixed
+          // offsets as a pure integer conjugation (r14); named zones
+          // (r15) through the baked table, preferring the base
+          // instant's offset when the truncated local lands in a
+          // fall-back overlap (a zone that transitions AT midnight can
+          // put local midnight in a gap — the java.time forward shift
+          // applies, like all gap cases)
           require(v.isObject && v.get("date") != null &&
             v.get("unit") != null, s"$$dateTrunc needs {date, unit}: $v")
-          require(v.get("binSize") == null &&
-            v.get("startOfWeek") == null,
-            s"$$dateTrunc binSize/startOfWeek unsupported: $v")
+          v.properties().asScala.foreach(e => require(
+            Seq("date", "unit", "binSize", "timezone", "startOfWeek")
+              .contains(e.getKey),
+            s"unsupported $$dateTrunc option: ${e.getKey}"))
           val u = v.get("unit").asText()
           require(Seq("year", "quarter", "month", "week", "day", "hour",
             "minute", "second").contains(u),
             s"unsupported $$dateTrunc unit: $u")
+          val binN = Option(v.get("binSize")).map { n =>
+            require(n.isIntegralNumber && n.asLong() >= 1,
+              s"$$dateTrunc binSize must be a positive integer: $n")
+            n.asLong()
+          }.getOrElse(1L)
+          val sow = Option(v.get("startOfWeek")).map { n =>
+            require(u == "week",
+              "$dateTrunc startOfWeek applies only to unit 'week'")
+            n.asText().toLowerCase
+          }.getOrElse("sunday")
+          require(u != "week" || binN == 1L,
+            "$dateTrunc week with binSize > 1 is unsupported: Mongo's " +
+              "week-bin anchor adjustment from the 2000-01-01 " +
+              "(Saturday) reference is not pinnable from public " +
+              "knowledge — a guessed direction could silently be one " +
+              "bin off; use binSize 1 (startOfWeek honored) or day " +
+              "bins")
           val truncTz = tzSpecOf(v)
-          if (truncTz.isZero) date_trunc(u, dateOf(v.get("date")))
+          // truncate LOCAL-frame seconds per unit/binSize
+          def truncLocal(localSecs: Column): Column = u match {
+            case "week" =>
+              val w = Seq("sunday", "monday", "tuesday", "wednesday",
+                "thursday", "friday", "saturday").indexOf(sow)
+              require(w >= 0, s"bad startOfWeek: $sow")
+              val ud = unix_date(to_date(timestamp_seconds(localSecs)))
+                .cast("long")
+              // Sunday-based weekday of epoch day ud is (ud+4) mod 7;
+              // step back to the most recent startOfWeek midnight
+              val back = pmod(pmod(ud + lit(4L), lit(7L)) - lit(w.toLong),
+                lit(7L))
+              (ud - back) * lit(86400L)
+            case "year" | "quarter" | "month" if binN == 1L =>
+              unix_timestamp(date_trunc(u,
+                timestamp_seconds(localSecs)))
+            case "year" | "quarter" | "month" =>
+              val widthM = binN * (u match {
+                case "year" => 12L; case "quarter" => 3L; case _ => 1L })
+              require(widthM <= 1200000L,
+                s"$$dateTrunc binSize too large: $binN $u")
+              val shift = widthM * 100000L // bin-width multiple, > any
+              val d = to_date(timestamp_seconds(localSecs))
+              val msa = (year(d).cast("long") - lit(2000L)) * lit(12L) +
+                month(d).cast("long") - lit(1L)
+              // floor-to-bin as exact LONG arithmetic: x − (x mod W)
+              // (a double-division quotient could truncate across the
+              // boundary at large magnitudes), then back to a date via
+              // add_months from the anchor
+              val x = msa + lit(shift)
+              val bm = x - pmod(x, lit(widthM)) - lit(shift)
+              unix_date(add_months(to_date(lit("2000-01-01")),
+                bm.cast("int"))).cast("long") * lit(86400L)
+            case _ if binN == 1L =>
+              unix_timestamp(date_trunc(u,
+                timestamp_seconds(localSecs)))
+            case _ =>
+              val widthS = binN * (u match {
+                case "day" => 86400L; case "hour" => 3600L
+                case "minute" => 60L; case _ => 1L })
+              require(widthS <= 4000000000000L,
+                s"$$dateTrunc binSize too large: $binN $u")
+              val anchor = 946684800L // 2000-01-01T00:00:00Z
+              val shift = widthS * (1000000000000L / widthS + 1L)
+              // x − (x mod W): exact LONG floor-to-bin (see above)
+              val x = localSecs - lit(anchor) + lit(shift)
+              x - pmod(x, lit(widthS)) + lit(anchor) - lit(shift)
+          }
+          if (truncTz.isZero)
+            timestamp_seconds(truncLocal(
+              unix_timestamp(dateOf(v.get("date")))))
           else {
             val baseSecs = unix_timestamp(dateOf(v.get("date")))
-            val localTrunc = unix_timestamp(date_trunc(u,
-              timestamp_seconds(truncTz.toLocal(baseSecs))))
-            timestamp_seconds(truncTz.toInstant(localTrunc,
+            timestamp_seconds(truncTz.toInstant(
+              truncLocal(truncTz.toLocal(baseSecs)),
               Some(truncTz.offsetAt(baseSecs))))
           }
         case ("$dateToString", v) =>

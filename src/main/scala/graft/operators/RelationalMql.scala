@@ -550,8 +550,10 @@ private[graft] trait RelationalMql { this: Relational.type =>
   /** $switch + $dateTrunc under the gate: events bucketed by calendar
     * week (Mongo 5.0 truncation) × a multi-branch severity label
     * (first-match-wins $switch with default), rolled up per composite
-    * key. The oracle replays with date_trunc('week') — both engines
-    * start weeks on Monday — and a CASE chain. */
+    * key. Weeks start SUNDAY — Mongo's documented startOfWeek default
+    * (r15 fixed the Monday/ISO divergence this gate originally
+    * shipped with); the oracle steps back dayofweek(ts) days (DuckDB
+    * dayofweek is Sunday-based 0..6) and replays the CASE chain. */
   def mqlSwitchTrunc(s: SparkSession, dir: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(
       events(s, dir)
@@ -2641,7 +2643,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  AND event_type IN ('click', 'view')
         |ORDER BY event_id""".stripMargin,
     "mql_switch_trunc" ->
-      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') || '/' ||
+      """SELECT strftime(CAST(ts AS DATE)
+        |    - to_days(CAST(dayofweek(ts) AS INTEGER)), '%Y-%m-%d')
+        |  || '/' ||
         |  CASE WHEN value >= 300 THEN 'high'
         |       WHEN value >= 50 THEN 'mid' ELSE 'low' END AS _id,
         |  count(*) AS n

@@ -492,19 +492,61 @@ class MqlPipelineSpec extends SparkTestBase {
         |  {"$project": {"id": 1, "wk": 1, "mo": 1, "hr": 1}}]""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3))).toSeq
-    // weeks start Monday: Fri 3/15 → Mon 3/11; Mon 3/18 → itself
+    // weeks start SUNDAY (Mongo's documented startOfWeek default —
+    // r15 fixed the Monday/ISO divergence shipped earlier): Fri 3/15
+    // → Sun 3/10; Mon 3/18 → Sun 3/17
     assert(got == Seq(
-      (1L, "2024-03-11", "2024-03-01", "2024-03-15T14:00:00"),
-      (2L, "2024-03-18", "2024-03-01", "2024-03-18T00:00:00")))
-    intercept[IllegalArgumentException] { // binSize unsupported
-      MqlPipeline.aggregate(dts, col("meta"),
-        """[{"$addFields": {"x": {"$dateTrunc":
-          |  {"date": "$d", "unit": "hour", "binSize": 6}}}}]""".stripMargin)
-    }
+      (1L, "2024-03-10", "2024-03-01", "2024-03-15T14:00:00"),
+      (2L, "2024-03-17", "2024-03-01", "2024-03-18T00:00:00")))
+    // binSize bins anchor at 2000-01-01T00:00:00Z (r15): 6-hour bins,
+    // a 10-year bin reaching back before the anchor, a monday week
+    val binned = MqlPipeline.aggregate(dts, col("meta"),
+      """[{"$addFields": {
+        |   "h6": {"$dateToString": {"format": "%Y-%m-%dT%H:%M:%S",
+        |     "date": {"$dateTrunc":
+        |       {"date": "$d", "unit": "hour", "binSize": 6}}}},
+        |   "y10": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc":
+        |       {"date": "$d", "unit": "year", "binSize": 10}}}},
+        |   "m90": {"$dateToString": {"format": "%Y-%m-%dT%H:%M:%S",
+        |     "date": {"$dateTrunc":
+        |       {"date": "$d", "unit": "minute", "binSize": 90}}}},
+        |   "wmon": {"$dateToString": {"format": "%Y-%m-%d",
+        |     "date": {"$dateTrunc": {"date": "$d", "unit": "week",
+        |       "startOfWeek": "monday"}}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"h6": 1, "y10": 1, "m90": 1, "wmon": 1}}]"""
+        .stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    // 14:45:30 → 6h bin 12:00; 2024 → decade bin 2020; 90-min bins
+    // anchored at midnight-of-2000 (UTC days are multiples of 16
+    // bins): 14:45 → 13:30; monday week of Fri 3/15 → Mon 3/11
+    assert(binned(0) ==
+      ("2024-03-15T12:00:00", "2020-01-01", "2024-03-15T13:30:00",
+        "2024-03-11"), binned.toString)
+    assert(binned(1) ==
+      ("2024-03-18T00:00:00", "2020-01-01", "2024-03-18T00:00:00",
+        "2024-03-18"), binned.toString)
     intercept[IllegalArgumentException] { // unknown unit
       MqlPipeline.aggregate(dts, col("meta"),
         """[{"$addFields": {"x": {"$dateTrunc":
           |  {"date": "$d", "unit": "fortnight"}}}}]""".stripMargin)
+    }
+    // week bins wider than 1: loud (anchor direction not pinnable)
+    val wb = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(dts, col("meta"),
+        """[{"$addFields": {"x": {"$dateTrunc":
+          |  {"date": "$d", "unit": "week", "binSize": 2}}}}]"""
+          .stripMargin)
+    }
+    assert(wb.getMessage.contains("binSize"), wb.getMessage)
+    // startOfWeek off-unit: loud
+    intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(dts, col("meta"),
+        """[{"$addFields": {"x": {"$dateTrunc":
+          |  {"date": "$d", "unit": "day",
+          |   "startOfWeek": "monday"}}}}]""".stripMargin)
     }
   }
 
