@@ -17,7 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  private val Buckets = 8
+  /** Bucket count scales with the source (r15 — the sf10 audit found
+    * the fixed 8-bucket dial capping the zero-exchange SMJ at 8-way
+    * parallelism: 9.1× for 10× data): ~1M rows per bucket, floor 8,
+    * cap 4096. The join result is bucketing-invariant, so the oracle
+    * never sees the dial; the TABLE NAME carries the count so a
+    * layout persisted under a different dial can never mis-register
+    * (bucket-id → file mapping is encoded in file names at write
+    * time — re-declaring N over M-bucket files would join silently
+    * wrong, the one failure mode worse than a rebuild). */
+  private def bucketsFor(rows: Long): Int =
+    math.max(8L, math.min(4096L, (rows + 999999L) / 1000000L)).toInt
 
   private def suffix(dir: String): String =
     graft.core.Scratch.key(dir)
@@ -28,39 +38,49 @@ object Bucketing {
     * mapping is encoded in the file names Spark wrote) instead of paying
     * the bucketing shuffle again — that is the whole point of the
     * layout: bucket once, reuse forever. */
-  private def ensureTable(s: SparkSession, table0: String, src: String,
-      key: String): Unit = {
+  private def ensureTable(s: SparkSession, base: String, src: String,
+      key: String, buckets: Int): String = {
+    val n = s.read.parquet(src).count()
+    val table0 = s"${base}_$buckets"
     // explicit database qualification: the <warehouse>/<table> location
     // below only holds for the default database, so pin it rather than
     // depending on the session's current database
     val table = s"default.`$table0`"
-    if (s.catalog.tableExists(table)) return
+    if (s.catalog.tableExists(table)) return table
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, table0)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // trust the leftover ONLY through the shared contract (_SUCCESS AND
     // row count == source): a crashed write can leave a plausible subset
     // of bucket files, and a table bucketed from an outdated source
-    // would join silently wrong
-    if (graft.core.Trust.parquetDir(s, p.toString,
-        s.read.parquet(src).count())) {
+    // would join silently wrong. The name carries the bucket count, so
+    // a trusted leftover is guaranteed to have been written under THIS
+    // dial.
+    if (graft.core.Trust.parquetDir(s, p.toString, n)) {
       val schema = s.read.parquet(p.toString).schema.toDDL
       s.sql(s"""CREATE TABLE $table ($schema) USING parquet
-               |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
                |LOCATION '${p.toString}'""".stripMargin)
     } else {
       if (fs.exists(p)) fs.delete(p, true) // partial leftover
       s.read.parquet(src)
-        .write.bucketBy(Buckets, key).sortBy(key)
+        .write.bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").format("parquet").saveAsTable(table)
     }
+    table
   }
 
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    val (ot, lt) = (s"orders_b_${suffix(dir)}", s"lineitem_b_${suffix(dir)}")
-    ensureTable(s, ot, s"$dir/orders.parquet", "o_orderkey")
-    ensureTable(s, lt, s"$dir/lineitem.parquet", "l_orderkey")
-    (s"default.`$ot`", s"default.`$lt`")
+    // ONE bucket count for both sides, sized by the larger table — a
+    // bucketed SMJ is exchange-free only when the counts MATCH
+    val buckets = bucketsFor(math.max(
+      s.read.parquet(s"$dir/orders.parquet").count(),
+      s.read.parquet(s"$dir/lineitem.parquet").count()))
+    val ot = ensureTable(s, s"orders_b_${suffix(dir)}",
+      s"$dir/orders.parquet", "o_orderkey", buckets)
+    val lt = ensureTable(s, s"lineitem_b_${suffix(dir)}",
+      s"$dir/lineitem.parquet", "l_orderkey", buckets)
+    (ot, lt)
   }
 
   /** The co-located join: revenue by order status, joining the two
