@@ -2463,17 +2463,54 @@ object MqlPipeline {
                 .cast("long") / lit(7L)
           }).cast("long")
         case ("$dateFromString", v) =>
-          // {dateString, timezone?}: the string is read as the zone's
-          // WALL CLOCK — parse, then map back to the UTC instant (r14
-          // fixed offsets; r15 named zones via the baked table — a
-          // local time in a DST gap shifts forward, one in an overlap
-          // takes the earlier instant, the java.time resolution)
+          // {dateString, format?, timezone?, onError?, onNull?}: the
+          // string is read as the zone's WALL CLOCK — parse, then map
+          // back to the UTC instant (r14 fixed offsets; r15 named
+          // zones via the baked table — a local time in a DST gap
+          // shifts forward, one in an overlap takes the earlier
+          // instant, the java.time resolution). r15 options: `format`
+          // parses by Mongo %-specifiers (the numeric subset both
+          // engines parse identically — %Y %m %d %H %M %S plus
+          // literals; %L/%j/%Z raise: milli/zone PARSING diverges);
+          // a null/missing dateString routes to onNull (absent →
+          // null, Mongo's contract); an unparseable string routes to
+          // onError, and WITHOUT onError it raises per row — Mongo
+          // errors there, and the previous silent-null was a quiet
+          // divergence this revision closes.
           require(v.isObject && v.get("dateString") != null,
             s"$$dateFromString needs {dateString}: $v")
+          v.properties().asScala.foreach(e => require(
+            Seq("dateString", "format", "timezone", "onError", "onNull")
+              .contains(e.getKey),
+            s"unsupported $$dateFromString option: ${e.getKey}"))
           val dfsTz = tzSpecOf(v)
           val dfsStr = strOf(v.get("dateString"))
-          val parsed = to_timestamp(dfsStr)
-          if (dfsTz.isZero) parsed
+          val parsed0 = Option(v.get("format")).map(_.asText()) match {
+            case Some(f) =>
+              require(!Seq("%L", "%j", "%Z").exists(f.contains),
+                s"$$dateFromString format specifiers %L/%j/%Z are " +
+                  s"render-only (parsing them is engine-divergent): $f")
+              try_to_timestamp(dfsStr, lit(mongoDateFormat(f)))
+            // try-parse in BOTH arms: ANSI to_timestamp throws its own
+            // cast error before the onError/raise routing could run
+            case None => try_to_timestamp(dfsStr)
+          }
+          val dfsOnNull: Column = Option(v.get("onNull"))
+            .map(n => computeExprRes(n, metaCol, cur, res, env)
+              .cast("timestamp"))
+            .getOrElse(lit(null).cast("timestamp"))
+          val dfsOnError: Column = Option(v.get("onError"))
+            .map(n => computeExprRes(n, metaCol, cur, res, env)
+              .cast("timestamp"))
+            .getOrElse(raise_error(concat(
+              lit("$dateFromString could not parse: "), dfsStr))
+              .cast("timestamp"))
+          val parsed = parsed0
+          def routed(ok: Column): Column =
+            when(dfsStr.isNull, dfsOnNull)
+              .when(parsed.isNull, dfsOnError)
+              .otherwise(ok)
+          if (dfsTz.isZero) routed(parsed)
           else {
             // Mongo RAISES when the string carries its own offset AND a
             // timezone option is given; honoring the embedded offset
@@ -2484,13 +2521,16 @@ object MqlPipeline {
             val embedded = dfsStr.rlike(
               "\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?\\s*" +
                 "([Zz]|[+-]\\d{2}(:?\\d{2})?)$")
-            when(embedded, raise_error(concat(
+            // the conflict raise outranks onError: a query that
+            // supplies BOTH an embedded offset and a timezone option
+            // is a query bug, not a data error
+            routed(when(embedded, raise_error(concat(
               lit("$dateFromString: dateString carries an explicit " +
                 "offset while a timezone option is also given — Mongo " +
                 "raises on the conflict, so does this engine: "),
               dfsStr)).cast("timestamp"))
               .otherwise(timestamp_seconds(
-                dfsTz.toInstant(unix_timestamp(parsed), None)))
+                dfsTz.toInstant(unix_timestamp(parsed), None))))
           }
         case ("$dateTrunc", v) =>
           // {date, unit, binSize?, timezone?, startOfWeek?}: Mongo

@@ -341,6 +341,52 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 400}
         |]""".stripMargin)
 
+  /** $dateFromString format/onNull/onError under the gate (r15) —
+    * Mongo's format-driven parsing with the full routing surface: a
+    * planted US-style string field is valid for most docs, garbage
+    * every 5th (→ onError, a sentinel), missing every 7th (→ onNull,
+    * the epoch); the %-format's numeric subset parses identically on
+    * both engines (Spark try_to_timestamp with the converted pattern
+    * ≡ DuckDB try_strptime with the %-format verbatim); a second
+    * column composes format with a fixed-offset timezone (wall clock
+    * → instant). Unparseable-without-onError RAISES per row (the
+    * pre-r15 path surfaced Spark's ANSI cast error instead — loud
+    * but mislabeled; now it is the Mongo error, spec-locked). */
+  def mqlDateFromStr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 1, lit(null).cast("string"))
+          .when(col("event_id") % 5 === 0, lit("not a date"))
+          .otherwise(concat(
+            lpad(((col("event_id") % 12) + 1).cast("string"), 2, "0"),
+            lit("/"),
+            lpad(((col("event_id") % 27) + 1).cast("string"), 2, "0"),
+            lit("/2024 "),
+            lpad((col("event_id") % 24).cast("string"), 2, "0"),
+            lit(":"),
+            lpad((col("event_id") % 60).cast("string"), 2, "0"))))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"), col("raw")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "parsed": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateFromString": {"dateString": "$raw",
+        |       "format": "%m/%d/%Y %H:%M",
+        |       "onError": "1999-12-31T23:59:59",
+        |       "onNull": "1970-01-01T00:00:00"}}}},
+        |   "parsed_tz": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": {"$dateFromString": {"dateString": "$raw",
+        |       "format": "%m/%d/%Y %H:%M", "timezone": "+05:30",
+        |       "onError": "1999-12-31T23:59:59",
+        |       "onNull": "1970-01-01T00:00:00"}}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "parsed": 1, "parsed_tz": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 400}
+        |]""".stripMargin)
+
   /** DuckDB replay of the America/New_York baked table + the engine's
     * two-probe local→instant resolution — generated from the SAME
     * [[graft.expr.TzTable]] the Spark plan uses, so the two engines
@@ -2451,6 +2497,30 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    AS from_tz
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_date_tz_named" -> nyReplaySql,
+    "mql_date_from_str" ->
+      """WITH w AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 1 THEN NULL
+        |       WHEN event_id % 5 = 0 THEN 'not a date'
+        |       ELSE lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')
+        |         || '/' || lpad(CAST(event_id % 27 + 1 AS VARCHAR), 2, '0')
+        |         || '/2024 '
+        |         || lpad(CAST(event_id % 24 AS VARCHAR), 2, '0')
+        |         || ':' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')
+        |  END AS raw FROM events),
+        |p AS (SELECT event_id, raw,
+        |    try_strptime(raw, '%m/%d/%Y %H:%M') AS ts FROM w),
+        |r AS (SELECT event_id,
+        |  CASE WHEN raw IS NULL THEN TIMESTAMP '1970-01-01 00:00:00'
+        |       WHEN ts IS NULL THEN TIMESTAMP '1999-12-31 23:59:59'
+        |       ELSE ts END AS d,
+        |  CASE WHEN raw IS NULL THEN TIMESTAMP '1970-01-01 00:00:00'
+        |       WHEN ts IS NULL THEN TIMESTAMP '1999-12-31 23:59:59'
+        |       ELSE ts - to_seconds(19800) END AS dtz
+        |  FROM p)
+        |SELECT event_id,
+        |  strftime(d, '%Y-%m-%d %H:%M:%S') AS parsed,
+        |  strftime(dtz, '%Y-%m-%d %H:%M:%S') AS parsed_tz
+        |FROM r ORDER BY event_id LIMIT 400""".stripMargin,
     "mql_date_parts_ext" ->
       """WITH b AS (SELECT event_id,
         |  TIMESTAMP '2023-01-01 00:00:00'
@@ -2677,6 +2747,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add_tz" -> (mqlDateAddTz _),
     "mql_date_tz_named" -> (mqlDateTzNamed _),
     "mql_date_parts_ext" -> (mqlDatePartsExt _),
+    "mql_date_from_str" -> (mqlDateFromStr _),
     "mql_convert" -> (mqlConvert _),
     "mql_convert_str" -> (mqlConvertStr _),
     "mql_convert_date" -> (mqlConvertDate _),

@@ -1971,6 +1971,60 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$dateFromString format/onNull/onError (r15): %-format parse, " +
+      "null and error routing, raise without onError, parse-only " +
+      "specifiers loud") {
+    def one(adds: String): String = run(
+      s"""[{"$$match": {"id": {"$$eq": 1}}},
+         | {"$$addFields": {"x": {"$$dateToString": {
+         |   "format": "%Y-%m-%d %H:%M:%S", "date": $adds}}}},
+         | {"$$project": {"x": 1}}]""".stripMargin)
+      .collect()(0).getString(0)
+    assert(one(
+      """{"$dateFromString": {"dateString": "03/15/2024 14:30",
+        |  "format": "%m/%d/%Y %H:%M"}}""".stripMargin) ==
+      "2024-03-15 14:30:00")
+    // format + fixed-offset timezone compose (wall clock → instant)
+    assert(one(
+      """{"$dateFromString": {"dateString": "03/15/2024 14:30",
+        |  "format": "%m/%d/%Y %H:%M", "timezone": "+05:30"}}"""
+        .stripMargin) == "2024-03-15 09:00:00")
+    // unparseable → onError; null dateString → onNull
+    assert(one(
+      """{"$dateFromString": {"dateString": "nonsense",
+        |  "format": "%m/%d/%Y %H:%M",
+        |  "onError": "1999-12-31T23:59:59"}}""".stripMargin) ==
+      "1999-12-31 23:59:59")
+    assert(one(
+      """{"$dateFromString": {"dateString": "$no_such_field",
+        |  "onNull": "1970-01-01T00:00:00"}}""".stripMargin) ==
+      "1970-01-01 00:00:00")
+    // unparseable WITHOUT onError raises per row (Mongo's error —
+    // the pre-r15 silent null was a quiet divergence)
+    val e = intercept[Exception] {
+      run("""[{"$match": {"id": {"$eq": 1}}},
+            | {"$addFields": {"x": {"$dateFromString": {
+            |   "dateString": "not a date"}}}},
+            | {"$project": {"x": 1}}]""".stripMargin).collect()
+    }
+    def msgsF(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsF(t.getCause)
+    assert(msgsF(e).exists(_.contains("could not parse")),
+      msgsF(e).toString)
+    // %L/%j/%Z are render-only — parsing them is loud
+    val lf = intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$dateFromString": {
+            |  "dateString": "x", "format": "%H:%M:%S.%L"}}}}]"""
+        .stripMargin)
+    }
+    assert(lf.getMessage.contains("render-only"), lf.getMessage)
+    // unknown options loud
+    intercept[IllegalArgumentException] {
+      run("""[{"$addFields": {"x": {"$dateFromString": {
+            |  "dateString": "x", "banana": 1}}}}]""".stripMargin)
+    }
+  }
+
   test("named-timezone (DST) date operators (r15): offsets move with " +
       "the instant, gap shifts forward, overlap prefers the base " +
       "offset, sub-day $dateDiff and past-horizon instants stay loud") {
