@@ -169,6 +169,48 @@ object MqlPipeline {
       size(filter(graft.functions.TextFunctions.tokens(col("text")),
         t => array_position(typedLit(terms), t) > 0)).cast("long")
     }
+    // Parse-once prelude (r16): a multi-entry $addFields/$project/
+    // $group stage previously paid one FULL-DOCUMENT JSON parse per
+    // metadata-touching entry per row — computeExpr binds its parse
+    // per EXPRESSION ([[bindOnce]]), and entries are separate
+    // expressions, so a 13-op date stage re-parsed the same document
+    // 13 times (the r15 sf10 audit: mql_date_parts_ext 22.8 s, the
+    // suite's most expensive gate, ~all of it redundant parsing; the
+    // lambda-binding wrapper also keeps every entry out of whole-stage
+    // codegen — HOFs evaluate interpreted). When ≥2 entries touch the
+    // document, materialize try_parse_json(meta) ONCE as a helper
+    // column and resolve every entry against it directly: one parse
+    // per row per stage, and the entries become plain codegen-able
+    // variant_gets. No optimizer fence is needed — CollapseProject
+    // keeps a non-cheap alias with >1 consumer in its own Project
+    // (verified on Spark 4.1: exactly one parseJson in the optimized
+    // plan) and the alias stays deterministic, so later $match
+    // predicates still push past it to the scan (unlike the
+    // non-deterministic removeFieldsOnce fence, which only guards the
+    // root-REBIND case where the rewrite must also pin).
+    // `extra`: metadata-touching entries the caller already knows about
+    // that don't go through computeExprRes (a $project's bare {f: 1}
+    // inclusion flags resolving through the document).
+    def stageResolver(nodes: Seq[JsonNode], extra: Int = 0)
+        : Option[MqlFilter.JsonResolver] = {
+      val touching = extra + nodes.count { n =>
+        val probe = MqlFilter.JsonResolver(meta)
+        // Try: a probe node outside the compute language ($count's {},
+        // an accumulator literal) simply doesn't touch the document —
+        // the REAL build still raises on genuinely bad expressions
+        scala.util.Try(computeExprRes(n, meta, cur, probe))
+        probe.touched
+      }
+      if (touching < 2) None
+      else {
+        val pcol = s"__graft_doc_${helperCols.size}"
+        helperCols += pcol
+        cur = cur.withColumn(pcol, try_parse_json(meta))
+        val r = MqlFilter.JsonResolver(meta)
+        r.parsed = col(pcol)
+        Some(r)
+      }
+    }
     for (stage <- stages.elements().asScala) {
       val fields = stage.properties().asScala.toSeq
       require(fields.length == 1, s"one operator per stage, got: $stage")
@@ -204,8 +246,17 @@ object MqlPipeline {
           require(idNode != null, "$group requires _id")
           val aggEntries = spec.properties().asScala.toSeq
             .filterNot(_.getKey == "_id")
+          // multi-accumulator stages share ONE document parse: the
+          // probe sees each accumulator's OPERAND (plus the _id
+          // expression) — the helper Project sits under the aggregate,
+          // so operands evaluate as variant_gets map-side
+          val gShared = stageResolver(
+            aggEntries.flatMap(e =>
+              e.getValue.properties().asScala.headOption.map(_.getValue))
+            ++ Option(idNode).filterNot(_.isNull).toSeq)
           val aggs = aggEntries.map { e =>
-            accumulator(e.getValue, meta, cur, sortKeys).as(e.getKey) }
+            accumulator(e.getValue, meta, cur, sortKeys, gShared)
+              .as(e.getKey) }
           require(aggs.nonEmpty, "$group needs at least one accumulator")
           cur =
             if (idNode.isNull)
@@ -216,7 +267,8 @@ object MqlPipeline {
                 .filter(col("_nrows") > 0)
                 .select(lit(null).cast("string").as("_id") +:
                   aggEntries.map(e => col(e.getKey)): _*)
-            else cur.groupBy(valueExpr(idNode, meta, cur).as("_id"))
+            else cur.groupBy(valueExprWith(idNode, meta, cur, gShared)
+                .as("_id"))
               .agg(aggs.head, aggs.tail: _*)
           grouped = true
 
@@ -300,15 +352,29 @@ object MqlPipeline {
               } else dropped
             } else {
               // entry order preserved: {f: 1} includes, anything else is
-              // a computed expression aliased to the key
+              // a computed expression aliased to the key. Multi-entry
+              // stages share ONE document parse (stageResolver above) —
+              // bare inclusion flags resolving through the document
+              // count toward the threshold and resolve through the
+              // shared parse too.
+              val metaFlags = entries.count(e => isFlag(e.getValue) &&
+                !cur.columns.contains(e.getKey))
+              val shared = stageResolver(
+                entries.filterNot(e => isFlag(e.getValue) ||
+                  isMetaTextScore(e.getValue)).map(_.getValue),
+                extra = metaFlags)
               val cols = entries.map { e =>
                 val f = e.getKey
                 if (isFlag(e.getValue)) {
                   if (cur.columns.contains(f)) col(f)
-                  else MqlFilter.JsonResolver(meta).str(f).as(f)
+                  else shared.getOrElse(MqlFilter.JsonResolver(meta))
+                    .str(f).as(f)
                 } else if (isMetaTextScore(e.getValue))
                   metaScoreCol(e.getValue).as(f)
-                else computeExpr(e.getValue, meta, cur).as(f)
+                else (shared match {
+                  case Some(r) => computeExprRes(e.getValue, meta, cur, r)
+                  case None => computeExpr(e.getValue, meta, cur)
+                }).as(f)
               }
               cur.select(cols: _*)
             }
@@ -317,11 +383,19 @@ object MqlPipeline {
           // each entry becomes (or replaces) a REAL column computed from
           // the expression language below — later $match/$sort/$group
           // stages then resolve it through the typed path, which is
-          // Mongo's post-$addFields document shape
-          for (e <- spec.properties().asScala)
+          // Mongo's post-$addFields document shape. Multi-entry stages
+          // share ONE document parse (stageResolver above).
+          val afEntries = spec.properties().asScala.toSeq
+          val afShared = stageResolver(
+            afEntries.filterNot(e => isMetaTextScore(e.getValue))
+              .map(_.getValue))
+          for (e <- afEntries)
             cur = cur.withColumn(e.getKey,
               if (isMetaTextScore(e.getValue)) metaScoreCol(e.getValue)
-              else computeExpr(e.getValue, meta, cur))
+              else afShared match {
+                case Some(r) => computeExprRes(e.getValue, meta, cur, r)
+                case None => computeExpr(e.getValue, meta, cur)
+              })
 
         case "$replaceRoot" =>
           // {newRoot: "$f"}: promote an embedded sub-document to the
@@ -1991,6 +2065,16 @@ object MqlPipeline {
       cur: DataFrame): Column =
     bindOnce(metaCol, res => valueExprRes(node, metaCol, cur, res))
 
+  /** [[valueExpr]] resolved against a stage-shared materialized parse
+    * when one exists (the r16 parse-once prelude), else the per-
+    * expression lambda binding. */
+  private def valueExprWith(node: JsonNode, metaCol: Column,
+      cur: DataFrame, shared: Option[MqlFilter.JsonResolver]): Column =
+    shared match {
+      case Some(r) => valueExprRes(node, metaCol, cur, r)
+      case None => valueExpr(node, metaCol, cur)
+    }
+
   private def valueExprRes(node: JsonNode, metaCol: Column,
       cur: DataFrame, res: MqlFilter.JsonResolver): Column = {
     def ref(f: String): Column =
@@ -2441,10 +2525,13 @@ object MqlPipeline {
             case "$hour" => hour(ts)
             case "$minute" => minute(ts)
             case "$second" => second(ts)
-            // sub-second part survives the zone shift untouched (all
-            // offsets are whole minutes); pmod keeps pre-1970 exact
+            // all offsets are whole minutes, so the sub-second part is
+            // zone-INVARIANT — read it off the unshifted instant (the
+            // shifted `ts` rides unix_timestamp, which truncates to
+            // whole seconds and would zero it); pmod keeps pre-1970
+            // exact
             case "$millisecond" =>
-              pmod(unix_micros(ts), lit(1000000L)) / lit(1000L)
+              pmod(unix_micros(dateOf(dn)), lit(1000000L)) / lit(1000L)
             // Spark dayofweek is already Mongo's 1=Sunday..7=Saturday
             case "$dayOfWeek" => dayofweek(ts)
             case "$dayOfYear" => dayofyear(ts)
@@ -2523,14 +2610,19 @@ object MqlPipeline {
                 "([Zz]|[+-]\\d{2}(:?\\d{2})?)$")
             // the conflict raise outranks onError: a query that
             // supplies BOTH an embedded offset and a timezone option
-            // is a query bug, not a data error
-            routed(when(embedded, raise_error(concat(
-              lit("$dateFromString: dateString carries an explicit " +
-                "offset while a timezone option is also given — Mongo " +
-                "raises on the conflict, so does this engine: "),
-              dfsStr)).cast("timestamp"))
+            // is a query bug, not a data error — so the embedded
+            // check runs BEFORE the parsed.isNull -> onError branch
+            // (an offset-carrying string that ALSO fails the format
+            // parse must still raise, not route to onError)
+            when(dfsStr.isNull, dfsOnNull)
+              .when(embedded, raise_error(concat(
+                lit("$dateFromString: dateString carries an explicit " +
+                  "offset while a timezone option is also given — Mongo " +
+                  "raises on the conflict, so does this engine: "),
+                dfsStr)).cast("timestamp"))
+              .when(parsed.isNull, dfsOnError)
               .otherwise(timestamp_seconds(
-                dfsTz.toInstant(unix_timestamp(parsed), None))))
+                dfsTz.toInstant(unix_timestamp(parsed), None)))
           }
         case ("$dateTrunc", v) =>
           // {date, unit, binSize?, timezone?, startOfWeek?}: Mongo
@@ -3026,14 +3118,15 @@ object MqlPipeline {
     *    deterministic across runs and partitionings.
     */
   private def accumulator(node: JsonNode, metaCol: Column,
-      cur: DataFrame, sortKeys: Seq[(Column, Boolean)]): Column = {
+      cur: DataFrame, sortKeys: Seq[(Column, Boolean)],
+      shared: Option[MqlFilter.JsonResolver] = None): Column = {
     require(node.isObject, s"accumulator must be an object: $node")
     val e = node.properties().asScala.head
     lazy val operand: Column =
       if (e.getValue.isNumber && e.getKey == "$sum") {
         val v = e.getValue
         if (v.isIntegralNumber) lit(v.asLong()) else lit(v.asDouble())
-      } else valueExpr(e.getValue, metaCol, cur)
+      } else valueExprWith(e.getValue, metaCol, cur, shared)
     // composite sort key for the order-sensitive accumulators
     lazy val (orderKey, orderDesc) = {
       require(sortKeys.nonEmpty,

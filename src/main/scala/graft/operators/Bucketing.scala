@@ -39,14 +39,17 @@ object Bucketing {
     * the bucketing shuffle again — that is the whole point of the
     * layout: bucket once, reuse forever. */
   private def ensureTable(s: SparkSession, base: String, src: String,
-      key: String, buckets: Int): String = {
-    val n = s.read.parquet(src).count()
+      key: String, buckets: Int, srcRows: Long): String = {
     val table0 = s"${base}_$buckets"
     // explicit database qualification: the <warehouse>/<table> location
     // below only holds for the default database, so pin it rather than
     // depending on the session's current database
     val table = s"default.`$table0`"
+    // warm path pays ZERO jobs: the source row count is only needed by
+    // the Trust check on the create path, so it arrives precomputed
+    // from the caller (which already counted for bucketsFor)
     if (s.catalog.tableExists(table)) return table
+    val n = srcRows
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, table0)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -72,14 +75,17 @@ object Bucketing {
 
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
     // ONE bucket count for both sides, sized by the larger table — a
-    // bucketed SMJ is exchange-free only when the counts MATCH
-    val buckets = bucketsFor(math.max(
-      s.read.parquet(s"$dir/orders.parquet").count(),
-      s.read.parquet(s"$dir/lineitem.parquet").count()))
+    // bucketed SMJ is exchange-free only when the counts MATCH. The
+    // counts feed ensureTable's Trust check too, so each source is
+    // counted exactly once per call (and only metadata-cheaply:
+    // parquet count() reads footers, not data).
+    val oRows = s.read.parquet(s"$dir/orders.parquet").count()
+    val lRows = s.read.parquet(s"$dir/lineitem.parquet").count()
+    val buckets = bucketsFor(math.max(oRows, lRows))
     val ot = ensureTable(s, s"orders_b_${suffix(dir)}",
-      s"$dir/orders.parquet", "o_orderkey", buckets)
+      s"$dir/orders.parquet", "o_orderkey", buckets, oRows)
     val lt = ensureTable(s, s"lineitem_b_${suffix(dir)}",
-      s"$dir/lineitem.parquet", "l_orderkey", buckets)
+      s"$dir/lineitem.parquet", "l_orderkey", buckets, lRows)
     (ot, lt)
   }
 

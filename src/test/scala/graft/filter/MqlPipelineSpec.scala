@@ -2025,6 +2025,59 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$millisecond with a timezone document keeps the sub-second " +
+      "part (r16 — the zone shift rode second-truncating " +
+      "unix_timestamp and zeroed it)") {
+    def ms(tz: String): Long = run(
+      s"""[{"$$match": {"id": {"$$eq": 1}}},
+         | {"$$addFields": {"x": {"$$millisecond": {
+         |   "date": {"$$dateFromString": {
+         |     "dateString": "2024-01-01T00:00:00.987"}},
+         |   "timezone": "$tz"}}}},
+         | {"$$project": {"x": {"$$toLong": "$$x"}}}]""".stripMargin)
+      .collect()(0).getLong(0)
+    // millis are zone-invariant (offsets are whole minutes): same 987
+    // under a fixed offset AND a named DST zone
+    assert(ms("+05:30") == 987L)
+    assert(ms("America/New_York") == 987L)
+    // ... while the zone DOES move the whole-second parts (the shift
+    // itself still happens): hour in +05:30 is 05, not 00
+    val h = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$hour": {
+        |   "date": "2024-01-01T00:00:00", "timezone": "+05:30"}}}},
+        | {"$project": {"x": {"$toLong": "$x"}}}]""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(h == 5L)
+  }
+
+  test("$dateFromString embedded-offset conflict outranks onError " +
+      "(r16 — a string whose trailing offset breaks the format parse " +
+      "must still raise, not route to onError)") {
+    def msgsC(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsC(t.getCause)
+    val e = intercept[Exception] {
+      run("""[{"$match": {"id": {"$eq": 1}}},
+            | {"$addFields": {"x": {"$dateFromString": {
+            |   "dateString": "2024-03-15T14:30:00+02:00",
+            |   "format": "%Y-%m-%dT%H:%M:%S", "timezone": "+05:30",
+            |   "onError": "1999-12-31T23:59:59"}}}},
+            | {"$project": {"x": 1}}]""".stripMargin).collect()
+    }
+    assert(msgsC(e).exists(_.contains("explicit offset")), msgsC(e).toString)
+    // a plain parse failure (no embedded offset) still routes to onError
+    val ok = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S",
+        |   "date": {"$dateFromString": {
+        |     "dateString": "nonsense",
+        |     "format": "%Y-%m-%dT%H:%M:%S", "timezone": "+05:30",
+        |     "onError": "1999-12-31T23:59:59"}}}}}},
+        | {"$project": {"x": 1}}]""".stripMargin).collect()(0).getString(0)
+    assert(ok == "1999-12-31 23:59:59", ok)
+  }
+
   test("named-timezone (DST) date operators (r15): offsets move with " +
       "the instant, gap shifts forward, overlap prefers the base " +
       "offset, sub-day $dateDiff and past-horizon instants stay loud") {
