@@ -336,7 +336,7 @@ object Dedup {
     // fires before the hot bucket streams a single candidate pair
     val counts = all.groupBy("band", "bh").agg(count(lit(1)).as("_cn"))
     val guarded = all.join(counts, Seq("band", "bh"))
-      .select(col("id"), col("sh"), col("band"),
+      .select(col("id"), col("band"),
         when(col("_cn") <= MaxBucketMembers, col("bh"))
           .otherwise(raise_error(concat(
             lit("text LSH bucket overflow (incremental index): "),
@@ -344,23 +344,35 @@ object Dedup {
             lit(s" members > cap $MaxBucketMembers — raise bands/" +
               "bits-per-band selectivity or run exact dedup first"))))
           .as("bh"))
+    // Only IDS ride the bucket join (r16 — the dedupEmbedCosine
+    // device): the previous shape carried BOTH shingle arrays through
+    // the band shuffle and the when()-swap pair rows (11.1 GB peak at
+    // sf0.1, 5× the family class). Shingle sets re-attach BY ID once
+    // the (small, deduplicated) candidate set exists — each banded row
+    // already stores the doc's shingles, so the band-0 slice of the
+    // index∪delta frame is a one-row-per-id shingle lookup with no
+    // recompute (the incremental contract: the base corpus is never
+    // re-shingled).
     val lt = col("qid") < col("cid")
     val cand = deltaBands
-      .select(col("id").as("qid"), col("sh").as("qsh"),
-        col("band"), col("bh"))
-      .join(guarded.select(col("id").as("cid"), col("sh").as("csh"),
+      .select(col("id").as("qid"), col("band"), col("bh"))
+      .join(guarded.select(col("id").as("cid"),
           col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2") &&
           col("qid") =!= col("cid"))
       .select(
         when(lt, col("qid")).otherwise(col("cid")).as("id_a"),
-        when(lt, col("cid")).otherwise(col("qid")).as("id_b"),
-        when(lt, col("qsh")).otherwise(col("csh")).as("sh_a"),
-        when(lt, col("csh")).otherwise(col("qsh")).as("sh_b"))
+        when(lt, col("cid")).otherwise(col("qid")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val shingles = all.filter(col("band") === 0).select(col("id"), col("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
-    cand.filter(inter * 2 >= union)
+    cand
+      .join(shingles.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .filter(inter * 2 >= union)
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
@@ -1214,9 +1226,21 @@ object Dedup {
       |SELECT vec_id + 100000 AS id, embedding FROM embeddings
       |WHERE vec_id % 10 = 0""".stripMargin
 
+  /** The static-dial gate pins the FIXED-BAND math (8×2 default dial)
+    * under the oracle on a deterministically CAPPED subcorpus (r16 —
+    * same device as the dial gate below): a fixed band space is
+    * quadratic in corpus size by construction, and at the sf10 rung
+    * this gate was the suite's largest single cost (291.8 s, 83.3 GB
+    * of spill) while pinning nothing the capped corpus doesn't pin —
+    * the banding/verify math is corpus-size-independent. The cap is
+    * inert at every driver SF (ids stay < 200000 through sf0.1) and
+    * mirrored in the oracle SQL; SCALING behavior belongs to
+    * [[dedupEmbedCosineAuto]], whose band space grows with the corpus
+    * and which runs the full corpus at every rung. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val (bits, bands) = embedDials(s)
-    dedupEmbedCosine(embCorpus(s, dir), bits, bands)
+    dedupEmbedCosine(
+      embCorpus(s, dir).filter(col("id") < DialCorpusCap), bits, bands)
   }
 
   /** The conf-override path under its own gate: forces a NON-default
@@ -1248,9 +1272,12 @@ object Dedup {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
-  /** Cap for the dial gate's corpus (base ids + the +100000 planted
-    * dups at every driver SF; excludes the sf1 replica's offset id
-    * space). */
+  /** Cap for the STATIC-dial gates' corpora (base ids + the +100000
+    * planted dups at every driver SF; excludes the sf1/sf10 replicas'
+    * offset id space) — shared by [[dedupEmbedCosine]] and
+    * [[dedupEmbedCosineDial]], both of which pin fixed-band math that
+    * a growing corpus only makes quadratically slower, never more
+    * pinned. */
   private val DialCorpusCap = 200000L
 
   /** The non-default dial the override gate forces (and its oracle
@@ -1925,7 +1952,8 @@ object Dedup {
          |   for t in list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))] AS hs
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
-    "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands),
+    "dedup_embed_cosine" -> embOracle(BitsPerBand, NBands,
+      s"SELECT * FROM ($embCorpusSql) WHERE id < $DialCorpusCap"),
     "dedup_embed_dial" -> embOracle(DialBits, DialBands,
       s"SELECT * FROM ($embCorpusSql) WHERE id < $DialCorpusCap"),
     "dedup_embed_auto" -> autoEmbOracle,

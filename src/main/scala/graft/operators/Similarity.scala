@@ -299,8 +299,20 @@ object Similarity {
     * collide — the documented recall trade; raise bands (or probe
     * neighboring band values) for more recall, bits per band for less
     * work, without changing the plan. */
+  /** Static 4×4 dial pinned on a deterministically CAPPED corpus (r16):
+    * a fixed 16-bucket band space saturates quadratically as the corpus
+    * grows (sf10: 266.5 s, 45.5 GB spill — the suite's second-largest
+    * cost) while the banding math it pins is corpus-size-independent.
+    * The cap is inert at every driver SF (vec_id < 2000 through sf0.1)
+    * and mirrored in the oracle; SCALING behavior belongs to
+    * [[annJoinLshAuto]], which dials bits with the corpus count and
+    * runs unbounded. */
   def annJoinLsh(s: SparkSession, dir: String): DataFrame =
-    annJoinLshCore(s, dir, bits = 4, bands = 4)
+    annJoinLshCore(s, dir, bits = 4, bands = 4, cap = Some(StaticPinCap))
+
+  /** Id cap bounding the static-dial gate's corpus — above every
+    * driver-SF id space, below the sf1/sf10 replicas' offset ids. */
+  private val StaticPinCap = 200000L
 
   /** Auto-dialed sibling of [[annJoinLsh]] — the scale path: bits per
     * band derive from the corpus count ([[graft.core.GraftConfig
@@ -316,13 +328,13 @@ object Similarity {
   }
 
   private def annJoinLshCore(s: SparkSession, dir: String,
-      bits: Int, bands: Int): DataFrame = {
+      bits: Int, bands: Int, cap: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(toCol(graft.expr.HyperBandValues(
           toExpr(col("embedding")), bits, bands))).as(Seq("band", "bv")))
-    val e = emb(s, dir)
+    val e = cap.foldLeft(emb(s, dir))((d, c) => d.filter(col("vec_id") < c))
     val q = banded(e.filter(col("vec_id") % 100 === 7), "qid", "qv")
     val c = banded(e.filter(col("vec_id") % 100 =!= 7), "vec_id", "cv")
     val w = Window.partitionBy(col("qid"))
@@ -348,7 +360,8 @@ object Similarity {
       val v = (0 until 4).map { k =>
         s"(CASE WHEN ${projSql(b * 4 + k)} > 0 THEN ${1 << k} ELSE 0 END)"
       }.mkString(" + ")
-      s"SELECT vec_id, embedding, $b AS band, $v AS bv FROM embeddings"
+      s"SELECT vec_id, embedding, $b AS band, $v AS bv FROM embeddings " +
+        s"WHERE vec_id < $StaticPinCap"
     }.mkString(" UNION ALL ")
     def dot(a: String, bq: String): String =
       s"list_sum([$a[i]::DOUBLE * $bq[i]::DOUBLE for i in generate_series(1,64)])"
