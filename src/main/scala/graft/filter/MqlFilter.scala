@@ -295,6 +295,15 @@ object MqlFilter {
     def diacriticFold: Boolean = strength == 1
     /** Strength 2 orders accents by ICU-root secondary weight. */
     def secondaryOrder: Boolean = strength == 2
+    /** es tailors ñ as a PRIMARY letter between n and o (r16) — the
+      * one supported tailored locale. A primary tailoring bites at
+      * EVERY collated strength: the fold must keep ñ distinct and
+      * ordered n < ñ < o instead of folding it to n (the r15 "es ≡
+      * root at strength 2" audit read held only because its vocabulary
+      * had no n-successor pairs like nz/ño — icu4j es orders ño AFTER
+      * nz at secondary, root before), and at strength 2 ñ carries NO
+      * accent weight (it is a letter, not n+tilde). */
+    def esPrimaryTailor: Boolean = locale == "es" && strength <= 2
     /** Whether any comparison rewriting is needed at all. */
     def active: Boolean = caseInsensitive || numericOrdering
   }
@@ -311,6 +320,37 @@ object MqlFilter {
     if (fold) // qualified: MqlFilter defines its own translate(node, r)
       org.apache.spark.sql.functions.translate(lower(c), DiaFrom, DiaTo)
     else lower(c)
+
+  // ---- es strength-1 tailoring (r16) --------------------------------
+  // ICU's es locale tailors exactly ONE primary weight over the
+  // supported alphabet: ñ is its own letter ordered n < ñ < o (the
+  // icu4j parity spec locks this — every other accent folds as root).
+  // The key device: fold all root accents EXCEPT ñ, then expand ñ to
+  // "n" + DEL. DEL (0x7f) sorts above every other character the folded
+  // key can contain (folded text is lowercase ASCII + the unfolded
+  // Latin-1 primary letters... all primary comparisons against the
+  // weight position involve ASCII successors), so lexicographic order
+  // on the key IS n < ñ < o, and ñ stays primary-DISTINCT from n.
+  private[graft] val EsDiaFrom = "àáâãäåçèéêëìíîïòóôõöùúûüýÿ"
+  private[graft] val EsDiaTo = "aaaaaaceeeeiiiiooooouuuuyy"
+  private[graft] val EsNWeight = "n" + "\u007f"
+
+  private[graft] def esFoldCol(c: Column): Column =
+    org.apache.spark.sql.functions.replace(
+      org.apache.spark.sql.functions.translate(
+        lower(c), EsDiaFrom, EsDiaTo),
+      lit("ñ"), lit(EsNWeight))
+
+  private[graft] def esFoldLit(s: String): String = {
+    val lo = s.toLowerCase(java.util.Locale.ROOT)
+    lo.flatMap { ch =>
+      if (ch == 'ñ') EsNWeight
+      else {
+        val i = EsDiaFrom.indexOf(ch)
+        if (i >= 0) EsDiaTo(i).toString else ch.toString
+      }
+    }
+  }
 
   private[graft] def foldLit(s: String, fold: Boolean): String = {
     // Locale.ROOT: Spark's lower() is locale-independent; a Turkish
@@ -350,23 +390,32 @@ object MqlFilter {
   /** Secondary-weight string of a column: lower, drop digits (they
     * carry no secondary weight under numeric collation), map accents to
     * their rank digit, everything else to '0'. */
-  private[graft] def accentKeyCol(c: Column): Column =
+  private[graft] def accentKeyCol(c: Column, es: Boolean = false): Column = {
+    // es: ñ is a primary LETTER, not n+tilde — no secondary weight
+    // (the tailored primary key already separates it); everything else
+    // weights as root
+    val (from, to) = if (es) (SecFrom.dropRight(1), SecTo.dropRight(1))
+      else (SecFrom, SecTo)
     regexp_replace(
       org.apache.spark.sql.functions.translate(
         org.apache.spark.sql.functions.translate(
           lower(c), "0123456789", ""),
-        SecFrom, SecTo),
+        from, to),
       "[^1-7]", "0")
+  }
 
   /** Scala twin of [[accentKeyCol]] for the filter's literals. */
-  private[graft] def accentKeyLit(s: String): String =
+  private[graft] def accentKeyLit(s: String, es: Boolean = false): String = {
+    val (from, to) = if (es) (SecFrom.dropRight(1), SecTo.dropRight(1))
+      else (SecFrom, SecTo)
     s.toLowerCase(java.util.Locale.ROOT).flatMap { ch =>
       if (ch.isDigit) ""
       else {
-        val i = SecFrom.indexOf(ch)
-        if (i >= 0) SecTo(i).toString else "0"
+        val i = from.indexOf(ch)
+        if (i >= 0) to(i).toString else "0"
       }
     }
+  }
 
   /** ONE tokenizer for every `$text` surface — the scan-path
     * predicate, the index-path serving, and the phrase/fuzzy parser —
@@ -489,22 +538,25 @@ object MqlFilter {
     * for both equality and order. */
   private[graft] def collKeyCol(c: Column, coll: Collation): Column = {
     val folded =
-      if (coll.caseInsensitive)
+      if (coll.esPrimaryTailor) esFoldCol(c)
+      else if (coll.caseInsensitive)
         foldCol(c, coll.diacriticFold || coll.secondaryOrder)
       else c
     val primary = if (coll.numericOrdering) numKeyCol(folded) else folded
     if (coll.secondaryOrder)
-      concat(primary, lit(SecSep), accentKeyCol(c))
+      concat(primary, lit(SecSep), accentKeyCol(c, coll.esPrimaryTailor))
     else primary
   }
 
   private[graft] def collKeyLit(s: String, coll: Collation): String = {
     val folded =
-      if (coll.caseInsensitive)
+      if (coll.esPrimaryTailor) esFoldLit(s)
+      else if (coll.caseInsensitive)
         foldLit(s, coll.diacriticFold || coll.secondaryOrder)
       else s
     val primary = if (coll.numericOrdering) numKeyLit(folded) else folded
-    if (coll.secondaryOrder) primary + SecSep + accentKeyLit(s)
+    if (coll.secondaryOrder)
+      primary + SecSep + accentKeyLit(s, coll.esPrimaryTailor)
     else primary
   }
 
@@ -527,22 +579,28 @@ object MqlFilter {
     // r15 audit compared every supported-alphabet pair against icu4j
     // 77's locale collators at strengths 1 and 2:
     //   fr/de/it/pt/nl = root at BOTH strengths → allowed at 1 and 2;
-    //   es  = root at strength 2 but NOT at 1 (es tailors ñ as a
-    //         PRIMARY letter after n, so the ñ→n primary fold would
-    //         equate what real ICU es distinguishes — the r13 claim
-    //         was wrong for es and is now loud);
+    //   es  = root EXCEPT the single ñ primary tailoring, now
+    //         implemented exactly by the tailored fold ([[esFoldCol]],
+    //         r16) at both collated strengths and locked against
+    //         icu4j es by the parity spec (the r15 "es ≡ root at 2"
+    //         read was a vocabulary artifact — its word list had no
+    //         n-successor pairs);
     //   da/sv (æ/ø/å are primary letters) and tr (dotless-ı) differ
     //         at every strength → loud, as before.
-    val rootAtS1 = Set("en", "simple", "fr", "de", "it", "pt", "nl")
-    val rootAtS2 = rootAtS1 + "es"
+    // es at strength 1 (r16): no longer loud — its single primary
+    // tailoring over the supported alphabet (ñ between n and o) is
+    // implemented exactly by the ñ → "n"+DEL key expansion and
+    // measured against icu4j 77's es collator at PRIMARY.
+    val rootAtS1 = Set("en", "simple", "fr", "de", "it", "pt", "nl", "es")
+    val rootAtS2 = rootAtS1
     require(locale == "en" || locale == "simple" ||
       (strength == 1 && rootAtS1.contains(locale)) ||
       (strength == 2 && rootAtS2.contains(locale)),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; fr/de/it/pt/nl at strengths 1-2; " +
-        "es at strength 2 only — es tailors ñ at the PRIMARY level; " +
-        "tertiary tailorings need a real ICU table; Nordic/Turkish " +
-        "tailor PRIMARY weights and are loud at every strength)")
+        "(en/simple at any strength; fr/de/it/pt/nl/es at strengths " +
+        "1-2; tertiary tailorings need a real ICU table; " +
+        "Nordic/Turkish tailor PRIMARY weights beyond the one-letter " +
+        "es device and are loud at every strength)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

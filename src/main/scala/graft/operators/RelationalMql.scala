@@ -833,6 +833,38 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "en", "strength": 2, "numericOrdering": true}""")
 
+  /** es TAILORED collation under the gate (r16) — the one supported
+    * primary tailoring: ICU es orders ñ as its own letter between n
+    * and o (root folds it to n+tilde), implemented by the ñ → "n"+DEL
+    * key expansion and locked to icu4j es by the MqlFilterSpec parity
+    * test at strengths 1 and 2. The fixture plants the deciding
+    * neighborhood — nino/niño/nominal/nz/ñandu — so the ordering the
+    * root fold would get WRONG (niño before nz; root says after) is
+    * exactly what the oracle pins, plus numericOrdering composition
+    * and case-insensitive ñ ≡ Ñ equality under $ne. The oracle
+    * encodes the expected es ranks explicitly (the accent-gate
+    * device). */
+  def mqlCollationTailored(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 8 === 0, lit("nido 2"))
+            .when(col("doc_id") % 8 === 1, lit("NIÑO 2"))
+            .when(col("doc_id") % 8 === 2, lit("niño 10"))
+            .when(col("doc_id") % 8 === 3, lit("nino 2"))
+            .when(col("doc_id") % 8 === 4, lit("nominal 2"))
+            .when(col("doc_id") % 8 === 5, lit("ñandu 5"))
+            .when(col("doc_id") % 8 === 6, lit("nz 5"))
+            .otherwise(lit("Ñu 3")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "nino 2", "$ne": "ñu 3"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "es", "strength": 1, "numericOrdering": true}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -2619,6 +2651,23 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE n >= 10 AND n < 100
         |ORDER BY n, doc_id""".stripMargin,
+    // expected es ranks: nido(0) < nino(1) < NIÑO 2(2) < niño 10(3)
+    // < nominal(4) < nz(5) < ñandu(6) < Ñu(7); $gt "nino 2" drops
+    // ranks 0-1, $ne "ñu 3" drops rank 7 (ñ ≡ Ñ case-insensitively)
+    "mql_collation_tailored" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'nido 2' WHEN 1 THEN 'NIÑO 2'
+        |      WHEN 2 THEN 'niño 10' WHEN 3 THEN 'nino 2'
+        |      WHEN 4 THEN 'nominal 2' WHEN 5 THEN 'ñandu 5'
+        |      WHEN 6 THEN 'nz 5' ELSE 'Ñu 3' END AS tag,
+        |    CASE doc_id % 8 WHEN 0 THEN 0 WHEN 3 THEN 1 WHEN 1 THEN 2
+        |      WHEN 2 THEN 3 WHEN 4 THEN 4 WHEN 6 THEN 5 WHEN 5 THEN 6
+        |      ELSE 7 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk > 1 AND rnk <> 7
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_accent" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 9
@@ -2758,6 +2807,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation_diacritic" -> (mqlCollationDiacritic _),
     "mql_collation_numeric" -> (mqlCollationNumeric _),
     "mql_collation_accent" -> (mqlCollationAccent _),
+    "mql_collation_tailored" -> (mqlCollationTailored _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -574,4 +574,64 @@ class MqlFilterSpec extends SparkTestBase {
       }
     }
   }
+
+  test("es tailored collation orders EXACTLY as icu4j es at PRIMARY " +
+      "and SECONDARY over the supported alphabet — ñ between n and o " +
+      "(r16 parity lock)") {
+    import com.ibm.icu.text.{Collator => IcuCollator, RuleBasedCollator}
+    // the deciding vocabulary: ñ vs every n-neighborhood shape (nz/ño
+    // is the pair the r15 root-equality audit missed), plus the root
+    // accent set to prove everything ELSE still folds/weights as root
+    val vocab = Seq(
+      "n", "ñ", "N", "Ñ", "na", "nz", "ña", "ño", "ñz", "o", "oa",
+      "nino", "niño", "NIÑO", "pinata", "piñata", "nu", "ñu",
+      "cote", "coté", "côte", "côté", "CÔTÉ", "cafe", "café",
+      "a", "á", "à", "az", "áa", "z", "mano", "manó",
+      "item2", "item02", "ITEM10", "x9y", "x10y")
+    def icu(strength: Int, numeric: Boolean): IcuCollator = {
+      val c = IcuCollator.getInstance(
+        com.ibm.icu.util.ULocale.forLanguageTag("es"))
+        .asInstanceOf[RuleBasedCollator]
+      c.setStrength(if (strength == 1) IcuCollator.PRIMARY
+        else IcuCollator.SECONDARY)
+      c.setNumericCollation(numeric)
+      c
+    }
+    for (strength <- Seq(1, 2); numeric <- Seq(false, true)) {
+      val coll = MqlFilter.Collation("es", strength, numeric)
+      val ref = icu(strength, numeric)
+      for (x <- vocab; y <- vocab) {
+        val mine = Integer.signum(
+          MqlFilter.collKeyLit(x, coll).compareTo(
+            MqlFilter.collKeyLit(y, coll)))
+        val theirs = Integer.signum(ref.compare(x, y))
+        assert(mine == theirs,
+          s"strength=$strength numeric=$numeric '$x' vs '$y': key says " +
+            s"$mine, ICU es says $theirs (keys " +
+            s"${MqlFilter.collKeyLit(x, coll)} / " +
+            s"${MqlFilter.collKeyLit(y, coll)})")
+      }
+      // the column twin builds the identical key
+      val df = vocab.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      val colKeys = df.select(col("id"),
+          MqlFilter.collKeyCol(col("w"), coll).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      vocab.zipWithIndex.foreach { case (w, i) =>
+        assert(colKeys(i.toLong) == MqlFilter.collKeyLit(w, coll),
+          s"column/literal es key twin drift on '$w'")
+      }
+    }
+    // the non-tailored locales are untouched: root at both strengths
+    // still refuses nothing it accepted before
+    MqlFilter.parseCollation("""{"locale": "es", "strength": 1}""")
+    MqlFilter.parseCollation("""{"locale": "es", "strength": 2}""")
+    // Nordic/Turkish stay loud
+    for (loc <- Seq("sv", "da", "tr")) {
+      val e = intercept[IllegalArgumentException] {
+        MqlFilter.parseCollation(s"""{"locale": "$loc", "strength": 1}""")
+      }
+      assert(e.getMessage.contains("unsupported collation locale"))
+    }
+  }
 }
