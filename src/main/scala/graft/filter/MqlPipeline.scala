@@ -1588,11 +1588,16 @@ object MqlPipeline {
                          org.apache.spark.sql.types.LongType => true
                     case _ => false
                   }
-                require(integral(xName) && integral(f),
-                  s"$$fill linear supports integral sortBy/target " +
-                    s"columns only (exact integer interpolation; " +
-                    s"scale floats to cents/micros first): " +
-                    s"$xName -> $f")
+                // a TIMESTAMP axis (r16 — Mongo's time-series fill)
+                // interpolates over epoch-µs LONGS: still exact
+                // integer arithmetic, so the oracle pins it unchanged
+                val xIsTs = cur.schema(xName).dataType ==
+                  org.apache.spark.sql.types.TimestampType
+                require((integral(xName) || xIsTs) && integral(f),
+                  s"$$fill linear supports integral-or-timestamp " +
+                    s"sortBy and integral target columns only (exact " +
+                    s"integer interpolation; scale floats to " +
+                    s"cents/micros first): $xName -> $f")
                 val back = Window.partitionBy(fPartCols: _*)
                   .orderBy(fSortCols: _*)
                   .rowsBetween(Window.unboundedPreceding,
@@ -1613,12 +1618,15 @@ object MqlPipeline {
                   .orderBy(col(xName).desc)
                   .rowsBetween(Window.unboundedPreceding,
                     Window.currentRow)
+                val xN = s"__fill_x_$f"
+                val xCol = if (xIsTs) unix_micros(col(xName))
+                  else col(xName).cast("long")
                 val ob = when(col(f).isNotNull, struct(
-                  col(xName).cast("long").as("x"),
-                  col(f).cast("long").as("y")))
+                  col(xN).as("x"), col(f).cast("long").as("y")))
                 val pvN = s"__fill_pv_$f"
                 val nvN = s"__fill_nv_$f"
                 cur = cur
+                  .withColumn(xN, xCol)
                   .withColumn(pvN, last(ob, ignoreNulls = true).over(back))
                   .withColumn(nvN, last(ob, ignoreNulls = true).over(fwdRev))
                   .withColumn(f,
@@ -1630,10 +1638,10 @@ object MqlPipeline {
                         when(col(nvN)("x") === col(pvN)("x"),
                           col(pvN)("y"))
                           .otherwise(expr(
-                            s"(`$pvN`.y * (`$nvN`.x - `$xName`) + " +
-                              s"`$nvN`.y * (`$xName` - `$pvN`.x)) DIV " +
+                            s"(`$pvN`.y * (`$nvN`.x - `$xN`) + " +
+                              s"`$nvN`.y * (`$xN` - `$pvN`.x)) DIV " +
                               s"(`$nvN`.x - `$pvN`.x)"))))
-                  .drop(pvN, nvN)
+                  .drop(pvN, nvN, xN)
               case (None, Some(m)) =>
                 throw new IllegalArgumentException(
                   s"unsupported $$fill method: ${m.asText()} " +
@@ -1674,18 +1682,32 @@ object MqlPipeline {
             s"$$densify needs a range document: $spec")
           // unit (Mongo's calendar-step form): the field must be a
           // TIMESTAMP column; grid arithmetic runs on epoch-µs LONGS
-          // (exact, both engines), grid points land at min + k·unit.
-          // Only FIXED-width units — month/quarter shift by variable
-          // widths and are refused loudly.
-          val unitUsOpt: Option[Long] = Option(rangeN.get("unit")).map {
-            u => u.asText() match {
-              case "day" => 86400000000L
-              case "hour" => 3600000000L
-              case "minute" => 60000000L
-              case other => throw new IllegalArgumentException(
-                s"$$densify unit must be day|hour|minute: $other")
-            }
+          // (exact, both engines). FIXED-width units step the grid at
+          // lo + k·width µs; CALENDAR units (month/quarter/year, r16)
+          // step at dateAdd(lo, unit, k·step) — each point's month add
+          // clamps from the ORIGINAL lo day-of-month (add_months(d,
+          // k·m): Mongo's documented clamp and DuckDB's + INTERVAL
+          // behavior, the bracket mql_date_add_cal already pins) with
+          // time-of-day and sub-second µs riding unchanged.
+          val unitName = Option(rangeN.get("unit")).map(_.asText())
+          val unitMonthsOpt: Option[Int] = unitName.collect {
+            case "month" => 1
+            case "quarter" => 3
+            case "year" => 12
           }
+          val unitUsOpt: Option[Long] = unitName.collect {
+            case "week" => 604800000000L
+            case "day" => 86400000000L
+            case "hour" => 3600000000L
+            case "minute" => 60000000L
+            case "second" => 1000000L
+            case "millisecond" => 1000L
+          }
+          unitName.foreach(u => require(
+            unitMonthsOpt.isDefined || unitUsOpt.isDefined,
+            s"unsupported $$densify unit: $u (millisecond|second|" +
+              "minute|hour|day|week|month|quarter|year)"))
+          val dated = unitMonthsOpt.isDefined || unitUsOpt.isDefined
           val stepN = rangeN.get("step")
           require(stepN != null && stepN.isIntegralNumber &&
             stepN.asLong() > 0,
@@ -1695,20 +1717,20 @@ object MqlPipeline {
             TimestampType}
           val fType = cur.schema(df0).dataType
           // with a unit the work frame carries the field as epoch-µs
-          val dWork = unitUsOpt match {
-            case Some(_) =>
+          val dWork =
+            if (dated) {
               require(fType == TimestampType,
                 s"$$densify with unit needs a TIMESTAMP field, " +
                   s"got $fType for $df0")
               cur.withColumn(df0, unix_micros(col(df0)))
-            case None =>
+            } else {
               require(fType == LongType || fType == IntegerType,
                 s"$$densify field must be integral, got $fType for $df0")
               cur
-          }
+            }
           val dStep = unitUsOpt.map(_ * step).getOrElse(step)
           val gType: org.apache.spark.sql.types.DataType =
-            if (unitUsOpt.isDefined) LongType else fType
+            if (dated) LongType else fType
           val boundsN = rangeN.get("bounds")
           val partCols = dPartFs.map(col)
           // one row per partition carrying its [lo, hi] grid bounds
@@ -1731,7 +1753,7 @@ object MqlPipeline {
               // explicit [lo, hi): every partition gets the grid, even
               // where it has no rows in range (Mongo's contract).
               // Date-literal bounds with a unit are out of scope, loud.
-              require(unitUsOpt.isEmpty,
+              require(!dated,
                 "$densify explicit bounds with a unit unsupported " +
                   "(use partition/full bounds)")
               val (lo, hi) = (b.get(0).asLong(), b.get(1).asLong())
@@ -1749,10 +1771,44 @@ object MqlPipeline {
           val (boundsDf, hiOpen) = bh
           // explode can't nest inside a cast — generate, then cast the
           // grid value back to the field's own integral width
-          val gen0 = boundsDf.select(partCols :+
-              explode(sequence(col("_lo"), col("_hi"), lit(dStep)))
-                .as(df0): _*)
-            .withColumn(df0, col(df0).cast(gType))
+          val gen0 = unitMonthsOpt match {
+            case Some(mPerU) =>
+              // calendar grid (r16): enumerate k = 0..kMax (the month-
+              // index span DIV months-per-step bounds it exactly —
+              // add_months is monotone and the index difference counts
+              // calendar months between the endpoints' months), place
+              // each point with ONE add_months from lo, re-attach
+              // time-of-day seconds and sub-second µs, keep points
+              // ≤ hi (a clamped short month can land past a hi that
+              // sits earlier in the same month)
+              val mStep = mPerU * step
+              def usSec(c: Column): Column =
+                ((c - pmod(c, lit(1000000L))) / lit(1000000L)).cast("long")
+              val loSec = usSec(col("_lo"))
+              val usFrac = pmod(col("_lo"), lit(1000000L))
+              val dLo = to_date(timestamp_seconds(loSec))
+              val tod = loSec - unix_date(dLo).cast("long") * 86400L
+              val dHi = to_date(timestamp_seconds(usSec(col("_hi"))))
+              val kMax = greatest(lit(0L), MqlFilter.intDiv(
+                ((year(dHi) - year(dLo)) * 12 +
+                  (month(dHi) - month(dLo))).cast("long"), mStep))
+              boundsDf
+                .select(partCols ++ Seq(col("_hi"),
+                  usFrac.as("_usf"), tod.as("_tod"), dLo.as("_dlo"),
+                  explode(sequence(lit(0L), kMax)).as("_k")): _*)
+                .select(partCols :+
+                  (unix_date(add_months(col("_dlo"),
+                      (col("_k") * mStep).cast("int"))).cast("long")
+                    * 86400L * 1000000L + col("_tod") * 1000000L +
+                    col("_usf")).as(df0) :+ col("_hi"): _*)
+                .filter(col(df0) <= col("_hi"))
+                .select(partCols :+ col(df0): _*)
+            case None =>
+              boundsDf.select(partCols :+
+                  explode(sequence(col("_lo"), col("_hi"), lit(dStep)))
+                    .as(df0): _*)
+                .withColumn(df0, col(df0).cast(gType))
+          }
           // sequence() is end-inclusive; explicit bounds are half-open
           val gen = hiOpen.fold(gen0)(hi => gen0.filter(col(df0) < hi))
           val missing = gen.join(
@@ -1761,8 +1817,9 @@ object MqlPipeline {
           val densified =
             dWork.unionByName(missing, allowMissingColumns = true)
           // with a unit the µs work column converts back to TIMESTAMP
-          cur = unitUsOpt.fold(densified)(_ =>
-            densified.withColumn(df0, timestamp_micros(col(df0))))
+          cur = if (dated)
+            densified.withColumn(df0, timestamp_micros(col(df0)))
+          else densified
 
         case "$graphLookup" =>
           // Recursive graph traversal (Mongo 3.4): from each document's

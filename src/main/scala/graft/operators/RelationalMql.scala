@@ -1925,6 +1925,36 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .orderBy("event_type", "tus", "generated")
   }
 
+  /** CALENDAR-unit $densify under the gate (r16 — the r15 verdict's
+    * #6 item): month-step grids over a planted month-end fixture
+    * (Jan 31 + k months) so the day-of-month CLAMP decides grid
+    * points — Feb 28 / Apr 30 / Jun 30 land off the naive 31st, and
+    * both engines clamp identically (Spark add_months ≡ DuckDB
+    * + INTERVAL MONTH, the bracket mql_date_add_cal pins). Rows exist
+    * only at months {0,3,7,8}, so the stage must GENERATE the five
+    * clamped gap points per partition; sub-day time-of-day (10:30:45)
+    * rides every generated point unchanged. */
+  def mqlDensifyDate(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("m", (col("event_id") % 9).cast("int"))
+      .filter(col("m").isin(0, 3, 7, 8))
+      .withColumn("ts", timestamp_seconds(
+        unix_date(add_months(to_date(lit("2023-01-31")), col("m")))
+          .cast("long") * 86400L + 37845L))
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    graft.filter.MqlPipeline.aggregate(ev, col("meta"),
+      """[
+        | {"$densify": {"field": "ts",
+        |   "partitionByFields": ["event_type"],
+        |   "range": {"step": 1, "unit": "month",
+        |     "bounds": "partition"}}}
+        |]""".stripMargin)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        when(col("event_id").isNull, 1L).otherwise(0L).as("generated"))
+      .orderBy("event_type", "tus", "generated")
+  }
+
   /** The $documents literal-source stage (r11, Mongo 5.1): the operand
     * array replaces the input stream, each document flowing through
     * the normal metadata-resolution path — here into $match + $group
@@ -2062,6 +2092,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |miss AS (SELECT g.event_type, g.us FROM g
         |  WHERE NOT EXISTS (SELECT 1 FROM e
         |    WHERE e.event_type = g.event_type AND e.us = g.us))
+        |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
+        |FROM e
+        |UNION ALL
+        |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
+        |ORDER BY event_type, tus, generated""".stripMargin,
+    "mql_densify_date" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us((DATE '2023-01-31' +
+        |      INTERVAL ((event_id % 9)::INT) MONTH)::TIMESTAMP)
+        |      + 37845000000 AS us
+        |  FROM events WHERE (event_id % 9) IN (0, 3, 7, 8)),
+        |b AS (SELECT event_type, min(us) AS lo, max(us) AS hi
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT event_type, lo, hi,
+        |    unnest(generate_series(0, date_diff('month',
+        |      make_timestamp(lo), make_timestamp(hi)))) AS k FROM b),
+        |g2 AS (SELECT event_type,
+        |    epoch_us(make_timestamp(lo) + to_months(CAST(k AS INT)))
+        |      AS us, hi FROM g),
+        |miss AS (SELECT g2.event_type, g2.us FROM g2
+        |  WHERE g2.us <= g2.hi AND NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.event_type = g2.event_type AND e.us = g2.us))
         |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
         |FROM e
         |UNION ALL
@@ -2786,6 +2838,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_dates_pipeline" -> (mqlDatesPipeline _),
     "mql_switch_trunc" -> (mqlSwitchTrunc _),
     "mql_densify_unit" -> (mqlDensifyUnit _),
+    "mql_densify_date" -> (mqlDensifyDate _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),

@@ -1033,14 +1033,15 @@ class MqlPipelineSpec extends SparkTestBase {
           .stripMargin)
     }
     assert(unitOnInt.getMessage.contains("needs a TIMESTAMP field"))
-    // variable-width calendar units stay out, loudly
+    // calendar units are supported since r16 — on an integral field
+    // they refuse with the TIMESTAMP requirement like any other unit
     val monthUnit = intercept[IllegalArgumentException] {
       MqlPipeline.aggregate(sparse, col("meta"),
         """[{"$densify": {"field": "v",
           |  "range": {"step": 1, "bounds": "full", "unit": "month"}}}]"""
           .stripMargin)
     }
-    assert(monthUnit.getMessage.contains("day|hour|minute"))
+    assert(monthUnit.getMessage.contains("needs a TIMESTAMP field"))
   }
 
   test("$densify with a day unit: per-partition timestamp grids at " +
@@ -1066,6 +1067,87 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       ("a", t0, 1L), ("a", t0 + day, -1L), ("a", t0 + 2 * day, -1L),
       ("a", t0 + 3 * day, 2L), ("b", t0 + day, 3L)))
+  }
+
+  test("$densify with a month unit (r16): calendar grid clamps each " +
+      "point from the ORIGINAL day-of-month, time-of-day rides, gaps " +
+      "generate; quarter/year step by 3/12 months; bad unit loud") {
+    import org.apache.spark.sql.functions.{timestamp_micros, unix_micros}
+    def usOf(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // Jan 31 10:30:45 with rows at months 0 and 4 (May 31) — the gaps
+    // k=1..3 must clamp to Feb 28 / Mar 31 / Apr 30
+    val ev = Seq(
+      ("a", usOf("2023-01-31T10:30:45Z"), 1L),
+      ("a", usOf("2023-05-31T10:30:45Z"), 2L),
+      ("b", usOf("2023-02-15T00:00:00Z"), 3L) // single point: no gap
+    ).toDF("grp", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    val got = MqlPipeline.aggregate(ev, col("meta"),
+      """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+        |  "range": {"step": 1, "unit": "month",
+        |    "bounds": "partition"}}}]""".stripMargin)
+      .select(col("grp"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .orderBy("grp", "us")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("a", usOf("2023-01-31T10:30:45Z"), 1L),
+      ("a", usOf("2023-02-28T10:30:45Z"), -1L),
+      ("a", usOf("2023-03-31T10:30:45Z"), -1L),
+      ("a", usOf("2023-04-30T10:30:45Z"), -1L),
+      ("a", usOf("2023-05-31T10:30:45Z"), 2L),
+      ("b", usOf("2023-02-15T00:00:00Z"), 3L)), got.toSeq.toString)
+    // quarter: Nov 30 2022 → Feb 28 2023 (clamp) → May 30 (day 30
+    // exists in May — NOT a propagation of February's 28)
+    val q = Seq(
+      ("a", usOf("2022-11-30T06:00:00Z"), 1L),
+      ("a", usOf("2023-05-30T06:00:00Z"), 2L)
+    ).toDF("grp", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    val gotQ = MqlPipeline.aggregate(q, col("meta"),
+      """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+        |  "range": {"step": 1, "unit": "quarter",
+        |    "bounds": "partition"}}}]""".stripMargin)
+      .select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").collect().map(_.getLong(0))
+    assert(gotQ.toSeq == Seq(
+      usOf("2022-11-30T06:00:00Z"), usOf("2023-02-28T06:00:00Z"),
+      usOf("2023-05-30T06:00:00Z")), gotQ.toSeq.toString)
+    // unknown unit is loud
+    val e = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(ev, col("meta"),
+        """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+          |  "range": {"step": 1, "unit": "fortnight",
+          |    "bounds": "partition"}}}]""".stripMargin)
+    }
+    assert(e.getMessage.contains("unsupported $densify unit"))
+  }
+
+  test("$fill linear over a TIMESTAMP axis (r16): interpolation runs " +
+      "on epoch-µs longs — exact integer weights, leading/trailing " +
+      "nulls stay null") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def usOf(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val rows = Seq(
+      (usOf("2023-01-01T00:00:00Z"), Some(100L)),
+      (usOf("2023-01-02T00:00:00Z"), None), // 1/3 of the bracket
+      (usOf("2023-01-04T00:00:00Z"), Some(400L)),
+      (usOf("2023-01-05T00:00:00Z"), None)  // trailing: stays null
+    ).toDF("us", "v")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("meta", to_json(struct(lit(1L).as("k"))))
+    val got = MqlPipeline.aggregate(rows, col("meta"),
+      """[{"$fill": {"sortBy": {"ts": 1},
+        |  "output": {"v": {"method": "linear"}}}}]""".stripMargin)
+      .orderBy("ts").select("v")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    // (100·(4−2) + 400·(2−1)) DIV (4−1) = 800/3 DIV = 200
+    assert(got.toSeq == Seq(100L, 200L, 400L, -1L), got.toSeq.toString)
   }
 
   test("$graphLookup: BFS with cycle termination, min-depth dedup, " +
