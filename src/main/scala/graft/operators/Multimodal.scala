@@ -628,26 +628,100 @@ object Multimodal {
     * banding lost nothing). */
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Band DISTINCT hashes, not rows (r16 — the sf10 adjudication
+    // probe): perceptual hashes of a near-dup-rich corpus have heavy
+    // equal-hash classes (sf10: 8.3k images share the flat-image
+    // hash), and banding per ROW multiplied every class through the
+    // band join — 627M raw candidate rows for a 62k-hash space. The
+    // hash space rides the band join alone; id GROUPS expand after the
+    // hamming verify (cross-hash classes via two narrow join-backs,
+    // same-hash classes via one equi-self-join that IS the output).
+    // Work is now decode (linear) + band join over distinct hashes +
+    // output materialization — the last is irreducible (the pair set
+    // is the answer). Checkpointed: the hash frame is reused three
+    // times and its lineage is the PNG decode pass.
     val hashes = Inputs
       .resplit(s, s.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id").as("media_id")).as[Long]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
         (id, PhashCodec.dhash(PhashCodec.synthPng(id)))
       })).toDF("media_id", "h")
-    val bands = hashes.select(col("media_id"), col("h"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
-        shiftright(col("h"), 14 * i).bitwiseAND(lit(0x3FFFL))
-          .as("bv"))): _*)).as("band"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("a"), col("b.media_id").as("b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .localCheckpoint()
+    val dh = hashes.select("h").distinct()
+    // TWO-LEVEL banding (r16): one level saturates — a perceptual-hash
+    // space has degenerate band values (bv=0 from flat image regions:
+    // ~10k of the sf10 corpus's 62k distinct hashes share it in every
+    // band), and an equi-self-join evaluates each such bucket's O(k²)
+    // pairs in ONE task (a join key cannot be split). Level 2 applies
+    // the pigeonhole again INSIDE the bucket: a ≤3-bit pair differs in
+    // ≤3 of the remaining 42 bits, so at least one of FOUR sub-chunks
+    // (11/11/10/10 bits) of those 42 is untouched — key (band, bv,
+    // chunk, sv) keeps recall 1 while splitting every mega-bucket
+    // ~2^10 ways. 16 band rows per hash instead of 4; candidate volume
+    // and the serial hot task both collapse.
+    def rem(i: Int): org.apache.spark.sql.Column = {
+      val low = (1L << (14 * i)) - 1
+      (col("h").bitwiseAND(lit(low)))
+        .bitwiseOR(shiftright(col("h"), 14).bitwiseAND(lit(~low)))
+    }
+    val chunkOff = Seq(0, 11, 22, 32)
+    val chunkLen = Seq(11, 11, 10, 10)
+    val bands = dh.select(col("h"),
+      explode(array((for (i <- 0 until 4; c <- 0 until 4) yield
+        struct(lit(i).as("bi"),
+          shiftright(col("h"), 14 * i).bitwiseAND(lit(0x3FFFL))
+            .as("bv"),
+          lit(c).as("ci"),
+          shiftright(rem(i), chunkOff(c))
+            .bitwiseAND(lit((1L << chunkLen(c)) - 1)).as("sv"))): _*))
+        .as("bk"))
+    // hamming filter BEFORE the dedup shuffle: bit_count is codegen'd
+    // map-side work, so the multi-key duplicates that reach the
+    // exchange are only the ≤3-hamming survivors, never the raw
+    // in-bucket collision volume
+    val hp = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.h") < col("y.h"))
+      .select(col("x.h").as("ha"), col("y.h").as("hb"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= 3)
-      .select("a", "b", "hamming")
+      .dropDuplicates("ha", "hb")
+    val cross = hp
+      .join(hashes.select(col("h").as("ha"), col("media_id").as("ia")),
+        "ha")
+      .join(hashes.select(col("h").as("hb"), col("media_id").as("ib")),
+        "hb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    // Same-hash classes expand by TRIANGULAR BLOCKS, never one join
+    // key: a plain self-join on h emits a k-member class's k²/2 pairs
+    // inside ONE task (sf10: the flat-image class alone is 8.3k
+    // members → 34M pairs, ~15 s serial — the gate's actual
+    // bottleneck, and at larger corpora a single wedged executor).
+    // Number each class once (cheap window), cut it into 1024-member
+    // blocks, and join on (h, blockA, blockB) — every block PAIR is
+    // its own shuffle key, so the quadratic emission parallelizes
+    // ~(k/1024)²/2-way while producing the identical pair set.
+    import org.apache.spark.sql.expressions.Window
+    val numbered = hashes
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy("h")
+          .orderBy("media_id")) - 1).cast("long"))
+      .withColumn("blk", shiftright(col("idx"), 10).cast("int"))
+    val maxBlk = numbered
+      .groupBy("h").agg(max(col("blk")).as("mblk"))
+    val pSide = numbered.join(maxBlk, "h")
+      .select(col("h"), col("media_id").as("ia"), col("idx").as("xa"),
+        col("blk").as("ba"),
+        explode(sequence(col("blk"), col("mblk"))).as("bb"))
+    val qSide = numbered
+      .select(col("h"), col("media_id").as("ib"), col("idx").as("xb"),
+        explode(sequence(lit(0), col("blk"))).as("ba"),
+        col("blk").as("bb"))
+    val same = pSide.join(qSide, Seq("h", "ba", "bb"))
+      .filter(col("xa") < col("xb"))
+      .select(col("ia").as("a"), col("ib").as("b"), lit(0L).as("hamming"))
+    cross.unionAll(same)
       .orderBy("a", "b")
   }
 
