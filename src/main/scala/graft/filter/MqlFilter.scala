@@ -295,15 +295,15 @@ object MqlFilter {
     def diacriticFold: Boolean = strength == 1
     /** Strength 2 orders accents by ICU-root secondary weight. */
     def secondaryOrder: Boolean = strength == 2
-    /** es tailors ñ as a PRIMARY letter between n and o (r16) — the
-      * one supported tailored locale. A primary tailoring bites at
-      * EVERY collated strength: the fold must keep ñ distinct and
-      * ordered n < ñ < o instead of folding it to n (the r15 "es ≡
-      * root at strength 2" audit read held only because its vocabulary
-      * had no n-successor pairs like nz/ño — icu4j es orders ño AFTER
-      * nz at secondary, root before), and at strength 2 ñ carries NO
-      * accent weight (it is a letter, not n+tilde). */
-    def esPrimaryTailor: Boolean = locale == "es" && strength <= 2
+    /** The locale's primary tailoring table when one applies (r16) —
+      * es/sv/da at collated strengths. A primary tailoring bites at
+      * EVERY collated strength (the r15 "es ≡ root at strength 2"
+      * audit read held only because its vocabulary had no n-successor
+      * pairs like nz/ño — icu4j es orders ño AFTER nz at secondary,
+      * root before), so the table applies at 1 AND 2, with the
+      * locale's own secondary weights at 2. */
+    def tailoring: Option[Tailoring] =
+      if (strength <= 2) Tailorings.get(locale) else None
     /** Whether any comparison rewriting is needed at all. */
     def active: Boolean = caseInsensitive || numericOrdering
   }
@@ -321,35 +321,102 @@ object MqlFilter {
       org.apache.spark.sql.functions.translate(lower(c), DiaFrom, DiaTo)
     else lower(c)
 
-  // ---- es strength-1 tailoring (r16) --------------------------------
-  // ICU's es locale tailors exactly ONE primary weight over the
-  // supported alphabet: ñ is its own letter ordered n < ñ < o (the
-  // icu4j parity spec locks this — every other accent folds as root).
-  // The key device: fold all root accents EXCEPT ñ, then expand ñ to
-  // "n" + DEL. DEL (0x7f) sorts above every other character the folded
-  // key can contain (folded text is lowercase ASCII + the unfolded
-  // Latin-1 primary letters... all primary comparisons against the
-  // weight position involve ASCII successors), so lexicographic order
-  // on the key IS n < ñ < o, and ñ stays primary-DISTINCT from n.
-  private[graft] val EsDiaFrom = "àáâãäåçèéêëìíîïòóôõöùúûüýÿ"
-  private[graft] val EsDiaTo = "aaaaaaceeeeiiiiooooouuuuyy"
-  private[graft] val EsNWeight = "n" + "\u007f"
+  // ---- locale tailorings (r16) --------------------------------------
+  // The SUPPORTED tailored locales — es, sv, da — each measured
+  // pairwise against icu4j 77 over the supported alphabet (parity
+  // specs in MqlFilterSpec) and expressed as a TABLE the two key twins
+  // (column/literal) both execute:
+  //
+  //  1. lower;
+  //  2. CONTRACTIONS (da: "aa" ≡ å — replaced by a one-char marker
+  //     BEFORE the fold, so "áa" can never falsely contract, and
+  //     before the weight pass, so weight strings of "baad"/"båd"
+  //     stay positionally aligned);
+  //  3. the root diacritic fold MINUS the locale's tailored letters
+  //     ([[DiaFrom]] with `dropFromFold` removed);
+  //  4. EXPANSIONS: each tailored letter (or contraction marker) maps
+  //     to base + DEL + a non-digit class marker — DEL (0x7f) sorts
+  //     above every other folded-key character, so lexicographic key
+  //     order IS the tailored order (es: n < ñ < o; sv: z < å < ä≡æ <
+  //     ô≡ö≡ø; da: z < ä≡æ < ö≡ø < aa≡å), and class markers are
+  //     LETTERS so numericOrdering's digit-run scanner can never
+  //     absorb them into adjacent data digits.
+  //
+  // At strength 2 the locale's OWN secondary table replaces the root
+  // one: letters that became primary carry class-internal ranks
+  // (sv: ä<æ, ö<ø<ô, y<ý<ÿ<ü; da REVERSED: æ<ä, ø<ö, and aa ≡ å
+  // through the secondary level — same digit).
+  private val TDel = "\u007f"
+  private[graft] final case class Tailoring(
+      dropFromFold: String,
+      contractions: Seq[(String, String)],
+      expansions: Seq[(String, String)],
+      secFrom: String, secTo: String) {
+    val diaFrom: String = DiaFrom.filterNot(dropFromFold.contains(_))
+    val diaTo: String = DiaFrom.zip(DiaTo)
+      .filterNot(p => dropFromFold.contains(p._1)).map(_._2).mkString
+  }
 
-  private[graft] def esFoldCol(c: Column): Column =
-    org.apache.spark.sql.functions.replace(
+  /** da's "aa" contraction marker — a control char outside text data
+    * (the NumRunSep discipline). */
+  private val AaMark = "\u0002"
+
+  private[graft] val Tailorings: Map[String, Tailoring] = Map(
+    "es" -> Tailoring(
+      dropFromFold = "ñ",
+      contractions = Nil,
+      expansions = Seq("ñ" -> ("n" + TDel)),
+      // root weights minus ñ (a primary letter carries no accent rank)
+      secFrom = "áàâåäãéèêëíìîïóòôöõúùûüýÿç",
+      secTo = "123456" + "1235" + "1235" + "12356" + "1235" + "15" + "7"),
+    "sv" -> Tailoring(
+      dropFromFold = "äåôöü",
+      contractions = Nil,
+      expansions = Seq(
+        "å" -> ("z" + TDel + "a"),
+        "ä" -> ("z" + TDel + "b"), "æ" -> ("z" + TDel + "b"),
+        "ô" -> ("z" + TDel + "c"), "ö" -> ("z" + TDel + "c"),
+        "ø" -> ("z" + TDel + "c"),
+        "ü" -> "y"),
+      // root classes minus the tailored letters, plus the measured
+      // class-internal ranks: ä<æ, ö<ø<ô, y<ý<ÿ<ü (ü rank 7 > ÿ's 5)
+      secFrom = "áàâãéèêëíìîïóòõúùûýÿçñäæöøôü",
+      secTo = "1236" + "1235" + "1235" + "126" + "123" + "15" + "7" +
+        "6" + "12" + "123" + "7"),
+    "da" -> Tailoring(
+      dropFromFold = "äåöü",
+      contractions = Seq("aa" -> AaMark),
+      expansions = Seq(
+        "ä" -> ("z" + TDel + "a"), "æ" -> ("z" + TDel + "a"),
+        "ö" -> ("z" + TDel + "b"), "ø" -> ("z" + TDel + "b"),
+        "å" -> ("z" + TDel + "c"), AaMark -> ("z" + TDel + "c"),
+        "ü" -> "y"),
+      // measured: æ<ä and ø<ö (reversed vs sv), aa ≡ å through the
+      // secondary level (same digit), ô stays in the root o-class
+      secFrom = "áàâãéèêëíìîïóòôõúùûýÿçñäæöøåü" + AaMark,
+      secTo = "1236" + "1235" + "1235" + "1236" + "123" + "15" + "7" +
+        "6" + "21" + "21" + "1" + "7" + "1"))
+
+  private[graft] def tailoredFoldCol(c: Column, t: Tailoring): Column = {
+    val contracted = t.contractions.foldLeft(lower(c)) {
+      case (acc, (f, r)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
+    t.expansions.foldLeft(
       org.apache.spark.sql.functions.translate(
-        lower(c), EsDiaFrom, EsDiaTo),
-      lit("ñ"), lit(EsNWeight))
+        contracted, t.diaFrom, t.diaTo)) { case (acc, (f, r)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
+  }
 
-  private[graft] def esFoldLit(s: String): String = {
+  private[graft] def tailoredFoldLit(s: String, t: Tailoring): String = {
     val lo = s.toLowerCase(java.util.Locale.ROOT)
-    lo.flatMap { ch =>
-      if (ch == 'ñ') EsNWeight
-      else {
-        val i = EsDiaFrom.indexOf(ch)
-        if (i >= 0) EsDiaTo(i).toString else ch.toString
-      }
-    }
+    val contracted = t.contractions.foldLeft(lo) { case (acc, (f, r)) =>
+      acc.replace(f, r) }
+    val folded = contracted.map { ch =>
+      val i = t.diaFrom.indexOf(ch)
+      if (i >= 0) t.diaTo(i) else ch
+    }.mkString
+    t.expansions.foldLeft(folded) { case (acc, (f, r)) =>
+      acc.replace(f, r) }
   }
 
   private[graft] def foldLit(s: String, fold: Boolean): String = {
@@ -390,25 +457,35 @@ object MqlFilter {
   /** Secondary-weight string of a column: lower, drop digits (they
     * carry no secondary weight under numeric collation), map accents to
     * their rank digit, everything else to '0'. */
-  private[graft] def accentKeyCol(c: Column, es: Boolean = false): Column = {
-    // es: ñ is a primary LETTER, not n+tilde — no secondary weight
-    // (the tailored primary key already separates it); everything else
-    // weights as root
-    val (from, to) = if (es) (SecFrom.dropRight(1), SecTo.dropRight(1))
-      else (SecFrom, SecTo)
+  private[graft] def accentKeyCol(c: Column,
+      t: Option[Tailoring] = None): Column = {
+    // a tailored locale weights through its OWN table: letters that
+    // became primary carry class-internal ranks (or none), and
+    // contractions collapse to their one-char marker FIRST so the
+    // weight strings of contracted/uncontracted spellings stay
+    // positionally aligned ("baad" vs "båd")
+    val (from, to) = t.map(x => (x.secFrom, x.secTo))
+      .getOrElse((SecFrom, SecTo))
+    val contracted = t.toSeq.flatMap(_.contractions)
+      .foldLeft(lower(c)) { case (acc, (f, r)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
     regexp_replace(
       org.apache.spark.sql.functions.translate(
         org.apache.spark.sql.functions.translate(
-          lower(c), "0123456789", ""),
+          contracted, "0123456789", ""),
         from, to),
       "[^1-7]", "0")
   }
 
   /** Scala twin of [[accentKeyCol]] for the filter's literals. */
-  private[graft] def accentKeyLit(s: String, es: Boolean = false): String = {
-    val (from, to) = if (es) (SecFrom.dropRight(1), SecTo.dropRight(1))
-      else (SecFrom, SecTo)
-    s.toLowerCase(java.util.Locale.ROOT).flatMap { ch =>
+  private[graft] def accentKeyLit(s: String,
+      t: Option[Tailoring] = None): String = {
+    val (from, to) = t.map(x => (x.secFrom, x.secTo))
+      .getOrElse((SecFrom, SecTo))
+    val contracted = t.toSeq.flatMap(_.contractions)
+      .foldLeft(s.toLowerCase(java.util.Locale.ROOT)) {
+        case (acc, (f, r)) => acc.replace(f, r) }
+    contracted.flatMap { ch =>
       if (ch.isDigit) ""
       else {
         val i = from.indexOf(ch)
@@ -537,26 +614,28 @@ object MqlFilter {
     * weights ignore accents); the suffix restores accent significance
     * for both equality and order. */
   private[graft] def collKeyCol(c: Column, coll: Collation): Column = {
-    val folded =
-      if (coll.esPrimaryTailor) esFoldCol(c)
-      else if (coll.caseInsensitive)
+    val folded = coll.tailoring match {
+      case Some(t) => tailoredFoldCol(c, t)
+      case None if coll.caseInsensitive =>
         foldCol(c, coll.diacriticFold || coll.secondaryOrder)
-      else c
+      case None => c
+    }
     val primary = if (coll.numericOrdering) numKeyCol(folded) else folded
     if (coll.secondaryOrder)
-      concat(primary, lit(SecSep), accentKeyCol(c, coll.esPrimaryTailor))
+      concat(primary, lit(SecSep), accentKeyCol(c, coll.tailoring))
     else primary
   }
 
   private[graft] def collKeyLit(s: String, coll: Collation): String = {
-    val folded =
-      if (coll.esPrimaryTailor) esFoldLit(s)
-      else if (coll.caseInsensitive)
+    val folded = coll.tailoring match {
+      case Some(t) => tailoredFoldLit(s, t)
+      case None if coll.caseInsensitive =>
         foldLit(s, coll.diacriticFold || coll.secondaryOrder)
-      else s
+      case None => s
+    }
     val primary = if (coll.numericOrdering) numKeyLit(folded) else folded
     if (coll.secondaryOrder)
-      primary + SecSep + accentKeyLit(s, coll.esPrimaryTailor)
+      primary + SecSep + accentKeyLit(s, coll.tailoring)
     else primary
   }
 
@@ -579,28 +658,24 @@ object MqlFilter {
     // r15 audit compared every supported-alphabet pair against icu4j
     // 77's locale collators at strengths 1 and 2:
     //   fr/de/it/pt/nl = root at BOTH strengths → allowed at 1 and 2;
-    //   es  = root EXCEPT the single ñ primary tailoring, now
-    //         implemented exactly by the tailored fold ([[esFoldCol]],
-    //         r16) at both collated strengths and locked against
-    //         icu4j es by the parity spec (the r15 "es ≡ root at 2"
-    //         read was a vocabulary artifact — its word list had no
-    //         n-successor pairs);
-    //   da/sv (æ/ø/å are primary letters) and tr (dotless-ı) differ
-    //         at every strength → loud, as before.
-    // es at strength 1 (r16): no longer loud — its single primary
-    // tailoring over the supported alphabet (ñ between n and o) is
-    // implemented exactly by the ñ → "n"+DEL key expansion and
-    // measured against icu4j 77's es collator at PRIMARY.
-    val rootAtS1 = Set("en", "simple", "fr", "de", "it", "pt", "nl", "es")
-    val rootAtS2 = rootAtS1
+    //   es/sv/da (r16) = root plus a [[Tailorings]] table — ñ for es;
+    //         å/ä≡æ/ô≡ö≡ø after z and ü≡y for sv; ä≡æ/ö≡ø/å≡aa after
+    //         z (with the "aa" contraction) and ü≡y for da — each
+    //         implemented exactly by the contraction+expansion key
+    //         device and locked pairwise against icu4j's locale
+    //         collators at strengths 1 AND 2 (MqlFilterSpec);
+    //   tr differs in CASE RULES (dotless-ı: lower('I') is locale-
+    //         sensitive, and İ lowers to a two-char sequence), which
+    //         the fold device cannot express → loud at every strength.
+    val tailored = Set("en", "simple", "fr", "de", "it", "pt", "nl") ++
+      Tailorings.keySet
     require(locale == "en" || locale == "simple" ||
-      (strength == 1 && rootAtS1.contains(locale)) ||
-      (strength == 2 && rootAtS2.contains(locale)),
+      (strength <= 2 && tailored.contains(locale)),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; fr/de/it/pt/nl/es at strengths " +
-        "1-2; tertiary tailorings need a real ICU table; " +
-        "Nordic/Turkish tailor PRIMARY weights beyond the one-letter " +
-        "es device and are loud at every strength)")
+        "(en/simple at any strength; fr/de/it/pt/nl/es/sv/da at " +
+        "strengths 1-2; tertiary tailorings need a real ICU table; " +
+        "Turkish rewrites CASE rules — dotless-ı — beyond the fold " +
+        "device and is loud at every strength)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

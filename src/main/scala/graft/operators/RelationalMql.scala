@@ -865,6 +865,62 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "es", "strength": 1, "numericOrdering": true}""")
 
+  /** sv TAILORED collation under the gate (r16) — Swedish's primary
+    * letters after z (å < ä≡æ < ô≡ö≡ø) and ü≡y, at strength 2 with
+    * numericOrdering, so the gate pins the class-internal secondary
+    * ranks too (ä < æ, ö < ø < ô, y < ü) and the digit-run key
+    * composing with the tailored expansions. Oracle = explicit
+    * measured ranks (the accent-gate device); the key math is locked
+    * to icu4j sv pairwise in MqlFilterSpec. */
+  def mqlCollationSv(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 10 === 0, lit("zebra 2"))
+            .when(col("doc_id") % 10 === 1, lit("zon 10"))
+            .when(col("doc_id") % 10 === 2, lit("år 2"))
+            .when(col("doc_id") % 10 === 3, lit("ÄRA 2"))
+            .when(col("doc_id") % 10 === 4, lit("æra 2"))
+            .when(col("doc_id") % 10 === 5, lit("öra 2"))
+            .when(col("doc_id") % 10 === 6, lit("øra 2"))
+            .when(col("doc_id") % 10 === 7, lit("ôra 2"))
+            .when(col("doc_id") % 10 === 8, lit("yta 2"))
+            .otherwise(lit("üta 2")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "zebra 2", "$ne": "ØRA 2"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "sv", "strength": 2, "numericOrdering": true}""")
+
+  /** da TAILORED collation under the gate (r16) — Danish's reversed
+    * class layout (ä≡æ < ö≡ø < aa≡å after z) INCLUDING the "aa"
+    * digraph contraction: aarhus ≡ århus at strength 1, pinned both
+    * by the sort (equal keys fall to the did tiebreak) and by $ne
+    * "AARHUS" dropping BOTH spellings. */
+  def mqlCollationDa(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 8 === 0, lit("zut"))
+            .when(col("doc_id") % 8 === 1, lit("ära"))
+            .when(col("doc_id") % 8 === 2, lit("æble"))
+            .when(col("doc_id") % 8 === 3, lit("øre"))
+            .when(col("doc_id") % 8 === 4, lit("östers"))
+            .when(col("doc_id") % 8 === 5, lit("aalborg"))
+            .when(col("doc_id") % 8 === 6, lit("århus"))
+            .otherwise(lit("aarhus")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gte": "æble", "$ne": "AARHUS"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "da", "strength": 1}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -2720,6 +2776,42 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE rnk > 1 AND rnk <> 7
         |ORDER BY rnk, doc_id""".stripMargin,
+    // sv@2+numeric expected ranks: yta(8)=0 üta(9)=1 zebra(0)=2
+    // zon 10(1)=3 år(2)=4 ÄRA(3)=5 æra(4)=6 öra(5)=7 øra(6)=8 ôra(7)=9;
+    // $gt "zebra 2" drops 0-2, $ne "ØRA 2" drops 8 (case+class fold)
+    "mql_collation_sv" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 10
+        |      WHEN 0 THEN 'zebra 2' WHEN 1 THEN 'zon 10'
+        |      WHEN 2 THEN 'år 2' WHEN 3 THEN 'ÄRA 2'
+        |      WHEN 4 THEN 'æra 2' WHEN 5 THEN 'öra 2'
+        |      WHEN 6 THEN 'øra 2' WHEN 7 THEN 'ôra 2'
+        |      WHEN 8 THEN 'yta 2' ELSE 'üta 2' END AS tag,
+        |    CASE doc_id % 10 WHEN 8 THEN 0 WHEN 9 THEN 1 WHEN 0 THEN 2
+        |      WHEN 1 THEN 3 WHEN 2 THEN 4 WHEN 3 THEN 5 WHEN 4 THEN 6
+        |      WHEN 5 THEN 7 WHEN 6 THEN 8 ELSE 9 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk > 2 AND rnk <> 8
+        |ORDER BY rnk, doc_id""".stripMargin,
+    // da@1 expected ranks: zut(0)=0 æble(2)=1 ära(1)=2 øre(3)=3
+    // östers(4)=4 aalborg(5)=5 århus(6)=aarhus(7)=6 (the contraction:
+    // primary-EQUAL, did tiebreak); $gte "æble" drops rank 0 and $ne
+    // "AARHUS" drops BOTH rank-6 spellings
+    "mql_collation_da" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 'zut' WHEN 1 THEN 'ära'
+        |      WHEN 2 THEN 'æble' WHEN 3 THEN 'øre'
+        |      WHEN 4 THEN 'östers' WHEN 5 THEN 'aalborg'
+        |      WHEN 6 THEN 'århus' ELSE 'aarhus' END AS tag,
+        |    CASE doc_id % 8 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 1 THEN 2
+        |      WHEN 3 THEN 3 WHEN 4 THEN 4 WHEN 5 THEN 5
+        |      ELSE 6 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk >= 1 AND rnk <= 5
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_accent" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 9
@@ -2861,6 +2953,8 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation_numeric" -> (mqlCollationNumeric _),
     "mql_collation_accent" -> (mqlCollationAccent _),
     "mql_collation_tailored" -> (mqlCollationTailored _),
+    "mql_collation_sv" -> (mqlCollationSv _),
+    "mql_collation_da" -> (mqlCollationDa _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -575,61 +575,79 @@ class MqlFilterSpec extends SparkTestBase {
     }
   }
 
-  test("es tailored collation orders EXACTLY as icu4j es at PRIMARY " +
-      "and SECONDARY over the supported alphabet — ñ between n and o " +
-      "(r16 parity lock)") {
+  test("tailored collations es/sv/da order EXACTLY as icu4j at " +
+      "PRIMARY and SECONDARY over the supported alphabet (r16 parity " +
+      "lock): ñ between n and o; å/ä≡æ/ô≡ö≡ø after z and ü≡y for sv; " +
+      "da's reversed secondary ranks and the aa≡å contraction") {
     import com.ibm.icu.text.{Collator => IcuCollator, RuleBasedCollator}
-    // the deciding vocabulary: ñ vs every n-neighborhood shape (nz/ño
-    // is the pair the r15 root-equality audit missed), plus the root
-    // accent set to prove everything ELSE still folds/weights as root
+    // the deciding vocabulary: every tailored letter beside its class
+    // neighbours, n-successor pairs (the shape the r15 root-equality
+    // audit missed), the da contraction in word context (baad/båd),
+    // the full root accent set (to prove everything ELSE still folds
+    // and weights as root), and numeric runs
     val vocab = Seq(
       "n", "ñ", "N", "Ñ", "na", "nz", "ña", "ño", "ñz", "o", "oa",
       "nino", "niño", "NIÑO", "pinata", "piñata", "nu", "ñu",
       "cote", "coté", "côte", "côté", "CÔTÉ", "cafe", "café",
-      "a", "á", "à", "az", "áa", "z", "mano", "manó",
-      "item2", "item02", "ITEM10", "x9y", "x10y")
-    def icu(strength: Int, numeric: Boolean): IcuCollator = {
+      "a", "á", "à", "â", "ã", "az", "áa", "z", "mano", "manó",
+      "å", "ä", "ö", "æ", "ø", "ô", "zz", "za", "Å", "Ä", "Ö",
+      "åa", "äa", "æa", "öa", "øa", "ôa", "aa", "ab", "ad",
+      "baad", "båd", "bad", "bäd", "bæd", "böd", "bød",
+      "y", "ý", "ÿ", "ü", "u", "ú", "ya", "üa", "ua", "yz",
+      "i", "í", "ì", "î", "ï", "e", "é", "è", "ê", "ë",
+      "item2", "item02", "ITEM10", "x9y", "x10y", "a1a", "a2a")
+    def icu(loc: String, strength: Int, numeric: Boolean): IcuCollator = {
       val c = IcuCollator.getInstance(
-        com.ibm.icu.util.ULocale.forLanguageTag("es"))
+        com.ibm.icu.util.ULocale.forLanguageTag(loc))
         .asInstanceOf[RuleBasedCollator]
       c.setStrength(if (strength == 1) IcuCollator.PRIMARY
         else IcuCollator.SECONDARY)
       c.setNumericCollation(numeric)
       c
     }
-    for (strength <- Seq(1, 2); numeric <- Seq(false, true)) {
-      val coll = MqlFilter.Collation("es", strength, numeric)
-      val ref = icu(strength, numeric)
-      for (x <- vocab; y <- vocab) {
+    for (loc <- Seq("es", "sv", "da");
+         strength <- Seq(1, 2); numeric <- Seq(false, true)) {
+      // æ/ø are PRIMARY LETTERS only under sv/da (exactly handled by
+      // their tailoring tables); in root-class locales ICU treats them
+      // as "ae"/"o-stroke" EXPANSIONS, which the engine documents as
+      // outside the supported alphabet (unfolded, codepoint order) —
+      // so they parity-lock under sv/da and stay out of the es vocab
+      val vocabL = if (loc == "es")
+        vocab.filterNot(_.exists("æø".contains(_))) else vocab
+      val coll = MqlFilter.Collation(loc, strength, numeric)
+      val ref = icu(loc, strength, numeric)
+      for (x <- vocabL; y <- vocabL) {
         val mine = Integer.signum(
           MqlFilter.collKeyLit(x, coll).compareTo(
             MqlFilter.collKeyLit(y, coll)))
         val theirs = Integer.signum(ref.compare(x, y))
         assert(mine == theirs,
-          s"strength=$strength numeric=$numeric '$x' vs '$y': key says " +
-            s"$mine, ICU es says $theirs (keys " +
+          s"$loc strength=$strength numeric=$numeric '$x' vs '$y': " +
+            s"key says $mine, ICU says $theirs (keys " +
             s"${MqlFilter.collKeyLit(x, coll)} / " +
             s"${MqlFilter.collKeyLit(y, coll)})")
       }
       // the column twin builds the identical key
-      val df = vocab.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val df = vocabL.zipWithIndex.map { case (w, i) => (i.toLong, w) }
         .toDF("id", "w")
       val colKeys = df.select(col("id"),
           MqlFilter.collKeyCol(col("w"), coll).as("k"))
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      vocab.zipWithIndex.foreach { case (w, i) =>
+      vocabL.zipWithIndex.foreach { case (w, i) =>
         assert(colKeys(i.toLong) == MqlFilter.collKeyLit(w, coll),
-          s"column/literal es key twin drift on '$w'")
+          s"column/literal $loc key twin drift on '$w'")
       }
     }
-    // the non-tailored locales are untouched: root at both strengths
-    // still refuses nothing it accepted before
-    MqlFilter.parseCollation("""{"locale": "es", "strength": 1}""")
-    MqlFilter.parseCollation("""{"locale": "es", "strength": 2}""")
-    // Nordic/Turkish stay loud
-    for (loc <- Seq("sv", "da", "tr")) {
+    for (loc <- Seq("es", "sv", "da"); st <- Seq(1, 2))
+      MqlFilter.parseCollation(
+        s"""{"locale": "$loc", "strength": $st}""")
+    // Turkish stays loud (case rules beyond the fold device); so does
+    // any tailored locale at strength 3 (tertiary)
+    for (spec <- Seq("""{"locale": "tr", "strength": 1}""",
+        """{"locale": "sv", "strength": 3}""",
+        """{"locale": "da"}""")) {
       val e = intercept[IllegalArgumentException] {
-        MqlFilter.parseCollation(s"""{"locale": "$loc", "strength": 1}""")
+        MqlFilter.parseCollation(spec)
       }
       assert(e.getMessage.contains("unsupported collation locale"))
     }

@@ -901,12 +901,15 @@ class MqlPipelineSpec extends SparkTestBase {
         """[{"$match": {"k": "x"}}]""", """{"locale": "fr"}""")
     }
     assert(loc.getMessage.contains("locale"), loc.getMessage)
-    val nordic = intercept[IllegalArgumentException] {
+    // Nordic locales are supported since r16 (tailoring tables);
+    // Turkish stays loud — its CASE rules (dotless-ı) are beyond the
+    // fold device
+    val turkish = intercept[IllegalArgumentException] {
       MqlPipeline.aggregateCollated(cdf, col("meta"),
         """[{"$match": {"k": "x"}}]""",
-        """{"locale": "sv", "strength": 1}""")
+        """{"locale": "tr", "strength": 1}""")
     }
-    assert(nordic.getMessage.contains("locale"), nordic.getMessage)
+    assert(turkish.getMessage.contains("locale"), turkish.getMessage)
     val frFold = Seq(
       (1L, """{"k": "déjà"}"""), (2L, """{"k": "DEJA"}"""),
       (3L, """{"k": "dija"}""")
