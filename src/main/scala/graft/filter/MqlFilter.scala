@@ -351,7 +351,12 @@ object MqlFilter {
       dropFromFold: String,
       contractions: Seq[(String, String)],
       expansions: Seq[(String, String)],
-      secFrom: String, secTo: String) {
+      secFrom: String, secTo: String,
+      // locale CASE rules applied by translate BEFORE lower (tr:
+      // I → ı and İ → i — the dotless-i split; also keeps İ away from
+      // java's two-char İ → "i"+combining-dot lowering, which would
+      // desynchronize the secondary weight strings)
+      preLowerFrom: String = "", preLowerTo: String = "") {
     val diaFrom: String = DiaFrom.filterNot(dropFromFold.contains(_))
     val diaTo: String = DiaFrom.zip(DiaTo)
       .filterNot(p => dropFromFold.contains(p._1)).map(_._2).mkString
@@ -395,10 +400,29 @@ object MqlFilter {
       // secondary level (same digit), ô stays in the root o-class
       secFrom = "áàâãéèêëíìîïóòôõúùûýÿçñäæöøåü" + AaMark,
       secTo = "1236" + "1235" + "1235" + "1236" + "123" + "15" + "7" +
-        "6" + "21" + "21" + "1" + "7" + "1"))
+        "6" + "21" + "21" + "1" + "7" + "1"),
+    "tr" -> Tailoring(
+      // measured: a-class keeps ALL root a-accents (incl. ä/å), o/u
+      // classes keep theirs; the six tailored primary letters are
+      // ç (after c), ğ (after g), ı (between h and i), ö (after o),
+      // ş (after s), ü (after u) — none carries a secondary weight
+      // (i ≡ İ and ı ≡ I hold through the secondary level)
+      dropFromFold = "çöü",
+      contractions = Nil,
+      expansions = Seq(
+        "ç" -> ("c" + TDel), "ğ" -> ("g" + TDel),
+        "ı" -> ("h" + TDel), "ö" -> ("o" + TDel),
+        "ş" -> ("s" + TDel), "ü" -> ("u" + TDel)),
+      secFrom = "áàâåäãéèêëíìîïóòôõúùûýÿñ",
+      secTo = "123456" + "1235" + "1235" + "1236" + "123" + "15" + "6",
+      preLowerFrom = "Iİ", preLowerTo = "ıi"))
 
   private[graft] def tailoredFoldCol(c: Column, t: Tailoring): Column = {
-    val contracted = t.contractions.foldLeft(lower(c)) {
+    val lowered = lower(
+      if (t.preLowerFrom.isEmpty) c
+      else org.apache.spark.sql.functions.translate(
+        c, t.preLowerFrom, t.preLowerTo))
+    val contracted = t.contractions.foldLeft(lowered) {
       case (acc, (f, r)) =>
         org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
     t.expansions.foldLeft(
@@ -408,7 +432,10 @@ object MqlFilter {
   }
 
   private[graft] def tailoredFoldLit(s: String, t: Tailoring): String = {
-    val lo = s.toLowerCase(java.util.Locale.ROOT)
+    val lo = s.map { ch =>
+      val i = t.preLowerFrom.indexOf(ch)
+      if (i >= 0) t.preLowerTo(i) else ch
+    }.mkString.toLowerCase(java.util.Locale.ROOT)
     val contracted = t.contractions.foldLeft(lo) { case (acc, (f, r)) =>
       acc.replace(f, r) }
     val folded = contracted.map { ch =>
@@ -466,8 +493,12 @@ object MqlFilter {
     // positionally aligned ("baad" vs "båd")
     val (from, to) = t.map(x => (x.secFrom, x.secTo))
       .getOrElse((SecFrom, SecTo))
+    val lowered = lower(t.filter(_.preLowerFrom.nonEmpty)
+      .map(x => org.apache.spark.sql.functions.translate(
+        c, x.preLowerFrom, x.preLowerTo))
+      .getOrElse(c))
     val contracted = t.toSeq.flatMap(_.contractions)
-      .foldLeft(lower(c)) { case (acc, (f, r)) =>
+      .foldLeft(lowered) { case (acc, (f, r)) =>
         org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
     regexp_replace(
       org.apache.spark.sql.functions.translate(
@@ -482,8 +513,13 @@ object MqlFilter {
       t: Option[Tailoring] = None): String = {
     val (from, to) = t.map(x => (x.secFrom, x.secTo))
       .getOrElse((SecFrom, SecTo))
+    val preLowered = t.filter(_.preLowerFrom.nonEmpty).map(x =>
+      s.map { ch =>
+        val i = x.preLowerFrom.indexOf(ch)
+        if (i >= 0) x.preLowerTo(i) else ch
+      }.mkString).getOrElse(s)
     val contracted = t.toSeq.flatMap(_.contractions)
-      .foldLeft(s.toLowerCase(java.util.Locale.ROOT)) {
+      .foldLeft(preLowered.toLowerCase(java.util.Locale.ROOT)) {
         case (acc, (f, r)) => acc.replace(f, r) }
     contracted.flatMap { ch =>
       if (ch.isDigit) ""
@@ -664,18 +700,17 @@ object MqlFilter {
     //         implemented exactly by the contraction+expansion key
     //         device and locked pairwise against icu4j's locale
     //         collators at strengths 1 AND 2 (MqlFilterSpec);
-    //   tr differs in CASE RULES (dotless-ı: lower('I') is locale-
-    //         sensitive, and İ lowers to a two-char sequence), which
-    //         the fold device cannot express → loud at every strength.
+    //   tr (r16) = six tailored primary letters (ç ğ ı ö ş ü) plus
+    //         the dotless-ı CASE rules, expressed as a translate
+    //         BEFORE lower (I → ı, İ → i — the preLower table);
+    //         measured i ≡ İ and ı ≡ I through the secondary level.
     val tailored = Set("en", "simple", "fr", "de", "it", "pt", "nl") ++
       Tailorings.keySet
     require(locale == "en" || locale == "simple" ||
       (strength <= 2 && tailored.contains(locale)),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; fr/de/it/pt/nl/es/sv/da at " +
-        "strengths 1-2; tertiary tailorings need a real ICU table; " +
-        "Turkish rewrites CASE rules — dotless-ı — beyond the fold " +
-        "device and is loud at every strength)")
+        "(en/simple at any strength; fr/de/it/pt/nl/es/sv/da/tr at " +
+        "strengths 1-2; tertiary tailorings need a real ICU table)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

@@ -921,6 +921,35 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "da", "strength": 1}""")
 
+  /** tr TAILORED collation under the gate (r16) — Turkish's six
+    * primary letters (ç ğ ı ö ş ü) AND the dotless-ı case rules
+    * (I ≡ ı and İ ≡ i, via the preLower translate): the fixture pins
+    * the h < ı < i ordering, ç/ş as letters after c/s, and the case
+    * equivalences both by sort-equality and by $ne "ilik" dropping
+    * İLİK too. Oracle = explicit measured ranks; key math locked to
+    * icu4j tr pairwise in MqlFilterSpec. */
+  def mqlCollationTr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 9 === 0, lit("hal"))
+            .when(col("doc_id") % 9 === 1, lit("ılık"))
+            .when(col("doc_id") % 9 === 2, lit("ILIK"))
+            .when(col("doc_id") % 9 === 3, lit("ilik"))
+            .when(col("doc_id") % 9 === 4, lit("İLİK"))
+            .when(col("doc_id") % 9 === 5, lit("çay"))
+            .when(col("doc_id") % 9 === 6, lit("cam"))
+            .when(col("doc_id") % 9 === 7, lit("şal"))
+            .otherwise(lit("sal")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "hal", "$ne": "ilik"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "tr", "strength": 1}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -2812,6 +2841,24 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE rnk >= 1 AND rnk <= 5
         |ORDER BY rnk, doc_id""".stripMargin,
+    // tr@1 expected ranks: cam(6)=0 çay(5)=1 hal(0)=2 ılık(1)=ILIK(2)=3
+    // (I ≡ ı) ilik(3)=İLİK(4)=4 (İ ≡ i) sal(8)=5 şal(7)=6; $gt "hal"
+    // drops ranks 0-2, $ne "ilik" drops BOTH rank-4 spellings
+    "mql_collation_tr" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 9
+        |      WHEN 0 THEN 'hal' WHEN 1 THEN 'ılık'
+        |      WHEN 2 THEN 'ILIK' WHEN 3 THEN 'ilik'
+        |      WHEN 4 THEN 'İLİK' WHEN 5 THEN 'çay'
+        |      WHEN 6 THEN 'cam' WHEN 7 THEN 'şal'
+        |      ELSE 'sal' END AS tag,
+        |    CASE doc_id % 9 WHEN 6 THEN 0 WHEN 5 THEN 1 WHEN 0 THEN 2
+        |      WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 4
+        |      WHEN 8 THEN 5 ELSE 6 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk = 3 OR rnk >= 5
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_accent" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 9
@@ -2955,6 +3002,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation_tailored" -> (mqlCollationTailored _),
     "mql_collation_sv" -> (mqlCollationSv _),
     "mql_collation_da" -> (mqlCollationDa _),
+    "mql_collation_tr" -> (mqlCollationTr _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

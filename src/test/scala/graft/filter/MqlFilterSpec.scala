@@ -605,15 +605,29 @@ class MqlFilterSpec extends SparkTestBase {
       c.setNumericCollation(numeric)
       c
     }
-    for (loc <- Seq("es", "sv", "da");
+    // tr's own deciders: the six tailored letters in word context and
+    // the dotless-ı case pins (I ≡ ı, İ ≡ i — through secondary)
+    val trVocab = Seq(
+      "I", "İ", "ı", "i", "ha", "hz", "ıa", "ız", "ia", "iz", "j",
+      "ILIK", "ılık", "ilik", "İLİK", "ca", "cz", "ç", "ça", "çz", "d",
+      "ga", "gz", "ğ", "ğa", "ğz", "h", "oa", "oz", "ö", "öa", "öz",
+      "p", "sa", "sz", "ş", "şa", "şz", "t", "ua", "uz", "ü", "üa",
+      "üz", "v", "a", "á", "à", "â", "å", "ä", "ã", "az", "e", "é",
+      "o", "ó", "ô", "õ", "u", "ú", "û", "y", "ý", "ÿ", "n", "ñ",
+      "item2", "item02", "ITEM10", "x9y", "x10y")
+    for (loc <- Seq("es", "sv", "da", "tr");
          strength <- Seq(1, 2); numeric <- Seq(false, true)) {
       // æ/ø are PRIMARY LETTERS only under sv/da (exactly handled by
       // their tailoring tables); in root-class locales ICU treats them
       // as "ae"/"o-stroke" EXPANSIONS, which the engine documents as
       // outside the supported alphabet (unfolded, codepoint order) —
-      // so they parity-lock under sv/da and stay out of the es vocab
-      val vocabL = if (loc == "es")
-        vocab.filterNot(_.exists("æø".contains(_))) else vocab
+      // so they parity-lock under sv/da and stay out of the es vocab.
+      // tr runs its own vocabulary: the Turkish letters plus the
+      // shared root-accent and numeric words.
+      val vocabL =
+        if (loc == "es") vocab.filterNot(_.exists("æø".contains(_)))
+        else if (loc == "tr") trVocab
+        else vocab
       val coll = MqlFilter.Collation(loc, strength, numeric)
       val ref = icu(loc, strength, numeric)
       for (x <- vocabL; y <- vocabL) {
@@ -638,12 +652,12 @@ class MqlFilterSpec extends SparkTestBase {
           s"column/literal $loc key twin drift on '$w'")
       }
     }
-    for (loc <- Seq("es", "sv", "da"); st <- Seq(1, 2))
+    for (loc <- Seq("es", "sv", "da", "tr"); st <- Seq(1, 2))
       MqlFilter.parseCollation(
         s"""{"locale": "$loc", "strength": $st}""")
-    // Turkish stays loud (case rules beyond the fold device); so does
-    // any tailored locale at strength 3 (tertiary)
-    for (spec <- Seq("""{"locale": "tr", "strength": 1}""",
+    // unmeasured locales stay loud; so does any tailored locale at
+    // strength 3 (tertiary)
+    for (spec <- Seq("""{"locale": "pl", "strength": 1}""",
         """{"locale": "sv", "strength": 3}""",
         """{"locale": "da"}""")) {
       val e = intercept[IllegalArgumentException] {

@@ -901,15 +901,14 @@ class MqlPipelineSpec extends SparkTestBase {
         """[{"$match": {"k": "x"}}]""", """{"locale": "fr"}""")
     }
     assert(loc.getMessage.contains("locale"), loc.getMessage)
-    // Nordic locales are supported since r16 (tailoring tables);
-    // Turkish stays loud — its CASE rules (dotless-ı) are beyond the
-    // fold device
-    val turkish = intercept[IllegalArgumentException] {
+    // Nordic and Turkish locales are supported since r16 (tailoring
+    // tables); an unmeasured locale stays loud
+    val unknown = intercept[IllegalArgumentException] {
       MqlPipeline.aggregateCollated(cdf, col("meta"),
         """[{"$match": {"k": "x"}}]""",
-        """{"locale": "tr", "strength": 1}""")
+        """{"locale": "pl", "strength": 1}""")
     }
-    assert(turkish.getMessage.contains("locale"), turkish.getMessage)
+    assert(unknown.getMessage.contains("locale"), unknown.getMessage)
     val frFold = Seq(
       (1L, """{"k": "déjà"}"""), (2L, """{"k": "DEJA"}"""),
       (3L, """{"k": "dija"}""")
