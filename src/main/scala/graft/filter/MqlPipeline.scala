@@ -67,6 +67,23 @@ object MqlPipeline {
     * distinguishable after normalization. */
   private[graft] val ScoreNormScale = 1000000L
 
+  /** `$scoreFusion` sigmoid normalization as a BAKED TABLE (r16 — the
+    * ZoneRules device applied to a transcendental): scores are
+    * integral by the stage contract, and at the [[ScoreNormScale]]
+    * fixed-point scale sigmoid SATURATES outside |s| ≤ 20
+    * (floor(10⁶·σ(s)) is 999999 for every s ≥ 14 and 0 for every
+    * s ≤ −14), so the whole function is these 41 values. They are
+    * computed ONCE here and embedded as literals on BOTH engines
+    * ([[sigmoidTableSql]] for the oracle) — no cross-engine float
+    * arithmetic ever runs, which is what kept sigmoid loud through
+    * r15. */
+  private[graft] lazy val SigmoidTable: IndexedSeq[Long] =
+    (-20 to 20).map(s =>
+      math.floor(ScoreNormScale / (1.0 + math.exp(-s))).toLong)
+
+  /** The identical table as a DuckDB list literal, for gate oracles. */
+  def sigmoidTableSql: String = SigmoidTable.mkString("[", ",", "]")
+
   /** Internal rank column a `rank=true` sub-pipeline run appends. */
   private val RankCol = "__graft_rank"
 
@@ -723,8 +740,10 @@ object MqlPipeline {
           // (s − min)·[[ScoreNormScale]] DIV (max − min) over the
           // leg's bounded list, max = min collapsing to the scaled 1.0
           // (Mongo's single-point minmax); "none" = raw scores pass
-          // through; "sigmoid" LOUD (transcendental — float sums
-          // diverge across engines in the last ulp). Combination is
+          // through; "sigmoid" (r16) = the baked [[SigmoidTable]]
+          // (integral scores saturate the fixed-point scale beyond
+          // |s| = 20, so 41 driver-computed literals ARE the function
+          // — no cross-engine float math). Combination is
           // method "avg" only (the Mongo default):
           // score = floor(Σ w·norm / Σ w) with POSITIVE INTEGER
           // weights, computed as (num − pmod(num, W)) DIV W so the
@@ -759,13 +778,11 @@ object MqlPipeline {
           val sfNorm = Option(sfInput.get("normalization"))
             .map(_.asText()).getOrElse(throw new
               IllegalArgumentException("$scoreFusion requires " +
-                "input.normalization (minMaxScaler | none; sigmoid " +
-                "is transcendental and unsupported on the " +
-                "exact-integer engine)"))
-          require(sfNorm == "minMaxScaler" || sfNorm == "none",
+                "input.normalization (minMaxScaler | sigmoid | none)"))
+          require(sfNorm == "minMaxScaler" || sfNorm == "none" ||
+            sfNorm == "sigmoid",
             s"unsupported $$scoreFusion normalization '$sfNorm' " +
-              "(minMaxScaler | none; sigmoid is transcendental — " +
-              "float sums diverge across engines)")
+              "(minMaxScaler | sigmoid | none)")
           Option(spec.get("combination")).foreach { c =>
             c.properties().asScala.foreach(e => require(
               e.getKey == "weights" || e.getKey == "method",
@@ -823,6 +840,13 @@ object MqlPipeline {
                   s"CASE WHEN __mx = __mn THEN CAST($ScoreNormScale " +
                     "AS BIGINT) ELSE ((__s - __mn) * " +
                     s"$ScoreNormScale) DIV (__mx - __mn) END")
+                // sigmoid (r16): the baked 41-value table — integral
+                // scores, saturation beyond ±20 exact at this scale,
+                // identical literals on both engines
+                case "sigmoid" => element_at(
+                  typedLit(SigmoidTable),
+                  (greatest(lit(-20L), least(lit(20L), col("__s")))
+                    + lit(21L)).cast("int"))
                 case _ => col("__s")
               }).as(s"__sf_$name"))
             (name, w, normed)

@@ -1097,6 +1097,43 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 15}
         |]""".stripMargin)
 
+  /** $scoreFusion SIGMOID normalization under the gate (r16 — the
+    * r14/r15 loud bracket lifted by the baked-table device): scores
+    * are integral by the stage contract and floor(10⁶·σ(s)) saturates
+    * outside |s| ≤ 20, so the whole transcendental is 41 driver-
+    * computed literals embedded identically on BOTH engines (the
+    * ZoneRules discipline — no cross-engine float math). The planted
+    * scores span the live band of the curve (±10) AND the saturation
+    * clamp; asymmetric weights keep the fused order non-trivial. */
+  def mqlScoreFusionSigmoid(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          col("doc_id").as("did"), col("lang"),
+          ((col("n_chars") % 21) - 10).cast("long").as("sp"),
+          ((col("n_chars") % 15) - 7).cast("long").as("sq")))),
+      col("meta"),
+      """[
+        | {"$scoreFusion": {
+        |   "input": {"pipelines": {
+        |     "hot": [
+        |       {"$match": {"lang": "en"}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "_score": {"$toLong": "$sp"}}},
+        |       {"$sort": {"_score": -1, "_id": 1}},
+        |       {"$limit": 30}],
+        |     "cold": [
+        |       {"$match": {"lang": {"$in": ["en", "de"]}}},
+        |       {"$project": {"_id": {"$toLong": "$did"},
+        |                     "_score": {"$toLong": "$sq"}}},
+        |       {"$sort": {"_score": -1, "_id": 1}},
+        |       {"$limit": 40}]},
+        |    "normalization": "sigmoid"},
+        |   "combination": {"weights": {"hot": 3, "cold": 2}},
+        |   "scoreDetails": true}},
+        | {"$limit": 25}
+        |]""".stripMargin)
+
   /** $jsonSchema under the gate (r12) — validation-as-predicate from
     * find(): three violation classes planted deterministically in a
     * hand-built JSON document (every 7th doc omits `lang` → required
@@ -2623,6 +2660,31 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  long_norm, short_norm
         |FROM la FULL OUTER JOIN sb ON la._id = sb._id
         |ORDER BY score DESC, _id ASC LIMIT 15""".stripMargin,
+    // the oracle reads the IDENTICAL baked sigmoid table the engine
+    // embeds (sigmoidTableSql) — one literal source, no float math
+    "mql_scorefusion_sigmoid" -> {
+      val tb = graft.filter.MqlPipeline.sigmoidTableSql
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS _id, lang,
+         |    CAST(n_chars % 21 - 10 AS BIGINT) AS sp,
+         |    CAST(n_chars % 15 - 7 AS BIGINT) AS sq FROM documents),
+         |ha0 AS (SELECT _id, sp AS s FROM d WHERE lang = 'en'
+         |        ORDER BY s DESC, _id ASC LIMIT 30),
+         |ha AS (SELECT _id, ($tb)[
+         |    CAST(GREATEST(-20, LEAST(20, s)) + 21 AS INT)]::BIGINT
+         |  AS hot_norm FROM ha0),
+         |ca0 AS (SELECT _id, sq AS s FROM d
+         |        WHERE lang IN ('en', 'de')
+         |        ORDER BY s DESC, _id ASC LIMIT 40),
+         |ca AS (SELECT _id, ($tb)[
+         |    CAST(GREATEST(-20, LEAST(20, s)) + 21 AS INT)]::BIGINT
+         |  AS cold_norm FROM ca0)
+         |SELECT COALESCE(ha._id, ca._id) AS _id,
+         |  CAST((COALESCE(3 * hot_norm, 0) + COALESCE(2 * cold_norm, 0))
+         |    // 5 AS BIGINT) AS score,
+         |  hot_norm, cold_norm
+         |FROM ha FULL OUTER JOIN ca ON ha._id = ca._id
+         |ORDER BY score DESC, _id ASC LIMIT 25""".stripMargin
+    },
     "mql_date_add" ->
       """SELECT event_id,
         |  strftime(date_trunc('second', ts) + INTERVAL 3 DAY,
@@ -2983,6 +3045,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_geo_within" -> (mqlGeoWithin _),
     "mql_rank_fusion" -> (mqlRankFusion _),
     "mql_score_fusion" -> (mqlScoreFusion _),
+    "mql_scorefusion_sigmoid" -> (mqlScoreFusionSigmoid _),
     "mql_date_add" -> (mqlDateAdd _),
     "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_date_add_tz" -> (mqlDateAddTz _),

@@ -2393,15 +2393,22 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(negFloor(4L) == -4L) // floor(-7/2), not trunc -3
     assert(negFloor(3L) == -3L) // floor(-5/2)
     assert(negFloor(5L) == 50L)
-    val sigmoid = intercept[IllegalArgumentException] {
-      MqlPipeline.aggregate(base, col("meta"),
-        s"""[{"$$scoreFusion": {
-           |  "input": {"pipelines": {
-           |    "a": ${leg("""{"$toLong": "$v"}""", 2)},
-           |    "b": ${leg("""{"$toLong": "$v"}""", 2)}},
-           |   "normalization": "sigmoid"}}}]""".stripMargin)
-    }
-    assert(sigmoid.getMessage.contains("sigmoid"), sigmoid.getMessage)
+    // sigmoid (r16): the baked-table normalization — v ∈ {10, 20, 5,
+    // 7, 100} exercises the curve through BOTH legs (σ(±v):
+    // 999954/45, 993307/6692, 999088/911) and the ±20 saturation
+    // clamp (σ(100) ≡ σ(20) ≡ 999999 at the 10⁶ scale); fused
+    // score = (3·σ(v) + σ(−v)) DIV 4 with both legs scoring all docs
+    val sig = MqlPipeline.aggregate(base, col("meta"),
+      s"""[{"$$scoreFusion": {
+         |   "input": {"pipelines": {
+         |     "a": ${leg("""{"$toLong": "$v"}""", 5)},
+         |     "b": ${leg("""{"$toLong": {"$subtract": [0, {"$toLong": "$v"}]}}""",
+           5)}},
+         |    "normalization": "sigmoid"},
+         |   "combination": {"weights": {"a": 3}}}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sig.toSeq == Seq(2L -> 749999L, 5L -> 749999L,
+      1L -> 749976L, 4L -> 749543L, 3L -> 746653L), sig.toSeq.toString)
     val noNorm = intercept[IllegalArgumentException] {
       MqlPipeline.aggregate(base, col("meta"),
         s"""[{"$$scoreFusion": {
