@@ -107,6 +107,20 @@ object MqlFilter {
     def exists(field: String): Column
     /** MQL $type name: "double"|"long"|"string"|"bool"|"array"|"null". */
     def typeName(field: String): Column
+    /** Dispatch a view by its recorded kind — the stage prelude's
+      * materialization pass (r16). */
+    private[filter] def viewOf(kind: String, f: String): Column =
+      kind match {
+        case "num" => num(f)
+        case "intNum" => intNum(f)
+        case "ts" => ts(f)
+        case "str" => str(f)
+        case "bool" => bool(f)
+        case "varr" => varr(f)
+        case "arr" => arr(f)
+        case "exists" => exists(f)
+        case "typeName" => typeName(f)
+      }
   }
 
   /** The VARIANT-rooted field views shared by [[JsonResolver]] (rooted at
@@ -118,6 +132,16 @@ object MqlFilter {
     /** The VARIANT value fields resolve against (re-read per call so
       * [[toColumn]]'s lambda re-binding takes effect). */
     private[MqlFilter] def parsedV: Column
+    /** Typed-view hook (r16): a stage prelude may PRE-RESOLVE (view,
+      * field) pairs to materialized real columns — per-op re-derivation
+      * of the same view (13 timestamp re-parses of one field in a
+      * 13-op date stage) sits inside per-op CASE branches, which
+      * codegen subexpression elimination deliberately skips, so only a
+      * real column shares the work. Default: build in place.
+      * Implementations may also RECORD requests (the prelude's probe
+      * pass). */
+    private[filter] def view(kind: String, f: String)
+        (build: => Column): Column = build
     protected def path(f: String) = s"$$.$f"
     protected def v(f: String) = variant_get(parsedV, path(f), "variant")
     protected def schemaOf(f: String) = schema_of_variant(v(f))
@@ -131,23 +155,24 @@ object MqlFilter {
       schemaOf(f).isin("BIGINT", "INT", "SMALLINT", "TINYINT") ||
         (schemaOf(f).startsWith("DECIMAL") && schemaOf(f).endsWith(",0)"))
 
-    def num(f: String): Column =
-      when(numericType(f), try_variant_get(parsedV, path(f), "double"))
-    def intNum(f: String): Column =
-      when(integralType(f), try_variant_get(parsedV, path(f), "long"))
-    def ts(f: String): Column =
+    def num(f: String): Column = view("num", f) {
+      when(numericType(f), try_variant_get(parsedV, path(f), "double")) }
+    def intNum(f: String): Column = view("intNum", f) {
+      when(integralType(f), try_variant_get(parsedV, path(f), "long")) }
+    def ts(f: String): Column = view("ts", f) {
       when(schemaOf(f) === "STRING",
-        try_to_timestamp(try_variant_get(parsedV, path(f), "string")))
-    def str(f: String): Column =
+        try_to_timestamp(try_variant_get(parsedV, path(f), "string"))) }
+    def str(f: String): Column = view("str", f) {
       when(schemaOf(f) === "STRING",
-        try_variant_get(parsedV, path(f), "string"))
-    def bool(f: String): Column =
+        try_variant_get(parsedV, path(f), "string")) }
+    def bool(f: String): Column = view("bool", f) {
       when(schemaOf(f) === "BOOLEAN",
-        try_variant_get(parsedV, path(f), "boolean"))
-    def varr(f: String): Column =
-      try_variant_get(parsedV, path(f), "array<variant>")
-    def exists(f: String): Column = v(f).isNotNull || is_variant_null(v(f))
-    def typeName(f: String): Column = {
+        try_variant_get(parsedV, path(f), "boolean")) }
+    def varr(f: String): Column = view("varr", f) {
+      try_variant_get(parsedV, path(f), "array<variant>") }
+    def exists(f: String): Column = view("exists", f) {
+      v(f).isNotNull || is_variant_null(v(f)) }
+    def typeName(f: String): Column = view("typeName", f) {
       val s = schemaOf(f)
       when(s === "STRING", "string")
         .when(s === "BOOLEAN", "bool")
@@ -178,12 +203,27 @@ object MqlFilter {
       * [[graft.filter.MqlPipeline]] skip the parse-binding wrapper for
       * expressions that only touch real columns. */
     private[filter] var touched: Boolean = false
+    /** When set, [[view]] logs every (kind, field) request here — the
+      * stage prelude's PROBE pass (r16). */
+    private[filter] var recordTo:
+        Option[scala.collection.mutable.LinkedHashSet[(String, String)]] =
+      None
+    /** (kind, field) → materialized real column: the stage prelude's
+      * pre-resolved typed views (r16) — a hit bypasses the in-place
+      * build entirely. */
+    private[filter] var preResolved: Map[(String, String), Column] =
+      Map.empty
+    override private[filter] def view(kind: String, f: String)
+        (build: => Column): Column = {
+      recordTo.foreach(_ += ((kind, f)))
+      preResolved.getOrElse((kind, f), build)
+    }
     private[MqlFilter] def parsedV: Column = { touched = true; parsed }
-    def arr(f: String): Column =
+    def arr(f: String): Column = view("arr", f) {
       when(schemaOf(f).startsWith("ARRAY"),
         from_json(get_json_object(metaCol, path(f)),
           org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType)))
+            org.apache.spark.sql.types.StringType))) }
   }
 
   /** Resolver rooted at ONE array element (a VARIANT sub-document) —

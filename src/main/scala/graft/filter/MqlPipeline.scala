@@ -210,21 +210,47 @@ object MqlPipeline {
     // inclusion flags resolving through the document).
     def stageResolver(nodes: Seq[JsonNode], extra: Int = 0)
         : Option[MqlFilter.JsonResolver] = {
-      val touching = extra + nodes.count { n =>
+      // PROBE pass: build every entry once against a recording
+      // resolver to learn which (view, field) pairs the stage
+      // resolves through the document. Try: a probe node outside the
+      // compute language ($count's {}, an accumulator literal) simply
+      // doesn't touch the document — the REAL build still raises on
+      // genuinely bad expressions.
+      val wanted =
+        scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+      var touching = extra
+      nodes.foreach { n =>
         val probe = MqlFilter.JsonResolver(meta)
-        // Try: a probe node outside the compute language ($count's {},
-        // an accumulator literal) simply doesn't touch the document —
-        // the REAL build still raises on genuinely bad expressions
+        probe.recordTo = Some(wanted)
         scala.util.Try(computeExprRes(n, meta, cur, probe))
-        probe.touched
+        if (probe.touched) touching += 1
       }
-      if (touching < 2) None
+      if (touching < 1 && wanted.isEmpty) None
       else {
+        // ONE materialized document parse, plus one materialized REAL
+        // column per recorded typed view: per-op re-derivation sits
+        // inside per-op CASE branches, which codegen subexpression
+        // elimination deliberately skips, so a 13-op date stage paid
+        // 13 timestamp re-parses of the same field — a helper column
+        // evaluates each view exactly once per row (try_-based views
+        // are safe to evaluate unconditionally). Also keeps bindOnce's
+        // ArrayTransform out of the stage: one CodegenFallback
+        // expression would exclude the whole collapsed projection from
+        // whole-stage codegen.
         val pcol = s"__graft_doc_${helperCols.size}"
         helperCols += pcol
         cur = cur.withColumn(pcol, try_parse_json(meta))
+        val base = MqlFilter.JsonResolver(meta)
+        base.parsed = col(pcol)
+        val resolvedViews = wanted.toSeq.map { case (kind, f) =>
+          val hcol = s"__graft_view_${helperCols.size}"
+          helperCols += hcol
+          cur = cur.withColumn(hcol, base.viewOf(kind, f))
+          (kind, f) -> col(hcol)
+        }.toMap
         val r = MqlFilter.JsonResolver(meta)
         r.parsed = col(pcol)
+        r.preResolved = resolvedViews
         Some(r)
       }
     }
