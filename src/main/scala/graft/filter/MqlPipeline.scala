@@ -1802,11 +1802,42 @@ object MqlPipeline {
                 b.get(0).isIntegralNumber && b.get(1).isIntegralNumber =>
               // explicit [lo, hi): every partition gets the grid, even
               // where it has no rows in range (Mongo's contract).
-              // Date-literal bounds with a unit are out of scope, loud.
+              // Integral bounds describe an integral field — a unit
+              // would be a shape error, loud.
               require(!dated,
-                "$densify explicit bounds with a unit unsupported " +
-                  "(use partition/full bounds)")
+                "$densify integral explicit bounds cannot carry a " +
+                  "range unit (use date-literal bounds)")
               val (lo, hi) = (b.get(0).asLong(), b.get(1).asLong())
+              require(lo < hi, s"$$densify bounds must be [lo < hi): $b")
+              val parts =
+                if (dPartFs.isEmpty) dWork.select(lit(1).as("_one"))
+                  .limit(1).select(lit(lo).as("_lo"), lit(hi).as("_hi"))
+                else dWork.select(partCols: _*).distinct()
+                  .withColumn("_lo", lit(lo)).withColumn("_hi", lit(hi))
+              (parts, Some(hi))
+            case b if b != null && b.isArray && b.size() == 2 &&
+                b.get(0).isTextual && b.get(1).isTextual =>
+              // explicit DATE-literal bounds (r16 — the last loud
+              // $densify bracket): ISO local strings (date or
+              // date-time, the engine's date convention) parsed
+              // DRIVER-side to epoch-µs literals; the grid anchors at
+              // lo exactly like the integral form — [lo, hi)
+              // half-open, every partition gets the grid. Works for
+              // fixed-width AND calendar units (the calendar branch
+              // anchors its month arithmetic at _lo and the half-open
+              // filter composes after generation).
+              require(dated,
+                "$densify date-literal bounds need a range unit")
+              def usOf(t: String): Long = {
+                val ldt =
+                  if (t.length == 10)
+                    java.time.LocalDate.parse(t).atStartOfDay()
+                  else java.time.LocalDateTime.parse(t)
+                val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+                i.getEpochSecond * 1000000L + i.getNano / 1000L
+              }
+              val (lo, hi) = (usOf(b.get(0).asText()),
+                usOf(b.get(1).asText()))
               require(lo < hi, s"$$densify bounds must be [lo < hi): $b")
               val parts =
                 if (dPartFs.isEmpty) dWork.select(lit(1).as("_one"))

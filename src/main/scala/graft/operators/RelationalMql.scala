@@ -2077,6 +2077,36 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .orderBy("event_type", "tus", "generated")
   }
 
+  /** Explicit DATE-literal $densify bounds under the gate (r16 — the
+    * last loud $densify bracket): [lo, hi) ISO bounds with a MONTH
+    * unit — the grid anchors at the literal lo (Jan 31, so every
+    * point clamps from the 31st) for EVERY partition regardless of
+    * its own rows, and hi (exactly the k=8 grid point) is excluded by
+    * the half-open contract. Rows exist only at months {1, 4}, both
+    * landing exactly ON grid points (the planted add_months equals the
+    * grid's), so six points generate per partition. */
+  def mqlDensifyBounds(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .withColumn("m", (col("event_id") % 9).cast("int"))
+      .filter(col("m").isin(1, 4))
+      .withColumn("ts", timestamp_seconds(
+        unix_date(add_months(to_date(lit("2023-01-31")), col("m")))
+          .cast("long") * 86400L + 37845L))
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("meta", to_json(struct(col("event_id"))))
+    graft.filter.MqlPipeline.aggregate(ev, col("meta"),
+      """[
+        | {"$densify": {"field": "ts",
+        |   "partitionByFields": ["event_type"],
+        |   "range": {"step": 1, "unit": "month",
+        |     "bounds": ["2023-01-31T10:30:45",
+        |                "2023-09-30T10:30:45"]}}}
+        |]""".stripMargin)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        when(col("event_id").isNull, 1L).otherwise(0L).as("generated"))
+      .orderBy("event_type", "tus", "generated")
+  }
+
   /** The $documents literal-source stage (r11, Mongo 5.1): the operand
     * array replaces the input stream, each document flowing through
     * the normal metadata-resolution path — here into $match + $group
@@ -2235,6 +2265,29 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |      AS us, hi FROM g),
         |miss AS (SELECT g2.event_type, g2.us FROM g2
         |  WHERE g2.us <= g2.hi AND NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.event_type = g2.event_type AND e.us = g2.us))
+        |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
+        |FROM e
+        |UNION ALL
+        |SELECT event_type, us, CAST(1 AS BIGINT) FROM miss
+        |ORDER BY event_type, tus, generated""".stripMargin,
+    "mql_densify_bounds" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us((DATE '2023-01-31' +
+        |      INTERVAL ((event_id % 9)::INT) MONTH)::TIMESTAMP)
+        |      + 37845000000 AS us
+        |  FROM events WHERE (event_id % 9) IN (1, 4)),
+        |b AS (SELECT DISTINCT event_type,
+        |    epoch_us(TIMESTAMP '2023-01-31 10:30:45') AS lo,
+        |    epoch_us(TIMESTAMP '2023-09-30 10:30:45') AS hi FROM e),
+        |g AS (SELECT event_type, lo, hi,
+        |    unnest(generate_series(0, date_diff('month',
+        |      make_timestamp(lo), make_timestamp(hi)))) AS k FROM b),
+        |g2 AS (SELECT event_type,
+        |    epoch_us(make_timestamp(lo) + to_months(CAST(k AS INT)))
+        |      AS us, hi FROM g),
+        |miss AS (SELECT g2.event_type, g2.us FROM g2
+        |  WHERE g2.us < g2.hi AND NOT EXISTS (SELECT 1 FROM e
         |    WHERE e.event_type = g2.event_type AND e.us = g2.us))
         |SELECT event_type, us AS tus, CAST(0 AS BIGINT) AS generated
         |FROM e
@@ -3040,6 +3093,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_switch_trunc" -> (mqlSwitchTrunc _),
     "mql_densify_unit" -> (mqlDensifyUnit _),
     "mql_densify_date" -> (mqlDensifyDate _),
+    "mql_densify_bounds" -> (mqlDensifyBounds _),
     "mql_docs_mixed" -> (mqlDocsMixed _),
     "mql_docs_bits" -> (mqlDocsBits _),
     "mql_geo_within" -> (mqlGeoWithin _),

@@ -1127,6 +1127,43 @@ class MqlPipelineSpec extends SparkTestBase {
           |    "bounds": "partition"}}}]""".stripMargin)
     }
     assert(e.getMessage.contains("unsupported $densify unit"))
+    // explicit DATE-literal bounds (r16): [lo, hi) half-open, the grid
+    // anchors at lo for every partition regardless of its own rows —
+    // day unit from Jan 30, month unit clamping from Jan 31
+    val gotB = MqlPipeline.aggregate(ev, col("meta"),
+      """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+        |  "range": {"step": 1, "unit": "day",
+        |    "bounds": ["2023-01-30", "2023-02-02T00:00:00"]}}}]"""
+        .stripMargin)
+      .filter(col("grp") === "b")
+      .select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").collect().map(_.getLong(0))
+    assert(gotB.toSeq == Seq(
+      usOf("2023-01-30T00:00:00Z"), usOf("2023-01-31T00:00:00Z"),
+      usOf("2023-02-01T00:00:00Z"),       // hi 02-02 EXCLUDED
+      usOf("2023-02-15T00:00:00Z")), gotB.toSeq.toString)
+    val gotBM = MqlPipeline.aggregate(ev, col("meta"),
+      """[{"$densify": {"field": "ts", "partitionByFields": ["grp"],
+        |  "range": {"step": 1, "unit": "month",
+        |    "bounds": ["2023-01-31T06:00:00", "2023-04-30T06:00:00"]}}}]"""
+        .stripMargin)
+      .filter(col("grp") === "b")
+      .select(unix_micros(col("ts")).as("us"))
+      .orderBy("us").collect().map(_.getLong(0))
+    assert(gotBM.toSeq == Seq(
+      usOf("2023-01-31T06:00:00Z"), usOf("2023-02-15T00:00:00Z"),
+      usOf("2023-02-28T06:00:00Z"),
+      usOf("2023-03-31T06:00:00Z")), gotBM.toSeq.toString)
+    // date-literal bounds without a unit stay loud — the field-type
+    // guard fires first (a TIMESTAMP field without a unit is already
+    // a shape error before the bounds are even read)
+    val noUnit = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(ev, col("meta"),
+        """[{"$densify": {"field": "ts",
+          |  "range": {"step": 1,
+          |    "bounds": ["2023-01-30", "2023-02-02"]}}}]""".stripMargin)
+    }
+    assert(noUnit.getMessage.contains("must be integral"))
   }
 
   test("$fill linear over a TIMESTAMP axis (r16): interpolation runs " +
