@@ -120,6 +120,10 @@ object MqlFilter {
         case "arr" => arr(f)
         case "exists" => exists(f)
         case "typeName" => typeName(f)
+        case other => throw new IllegalArgumentException(
+          s"unknown recorded view kind: $other (field $f) — a recording " +
+            "resolver logged a view this dispatcher doesn't know; add " +
+            "the arm alongside the FieldResolver method")
       }
   }
 

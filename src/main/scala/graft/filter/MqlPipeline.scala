@@ -194,10 +194,17 @@ object MqlPipeline {
     // 13 times (the r15 sf10 audit: mql_date_parts_ext 22.8 s, the
     // suite's most expensive gate, ~all of it redundant parsing; the
     // lambda-binding wrapper also keeps every entry out of whole-stage
-    // codegen — HOFs evaluate interpreted). When ≥2 entries touch the
+    // codegen — HOFs evaluate interpreted). When ANY entry touches the
     // document, materialize try_parse_json(meta) ONCE as a helper
     // column and resolve every entry against it directly: one parse
     // per row per stage, and the entries become plain codegen-able
+    // variant_gets. (With a SINGLE consumer the multi-consumer
+    // CollapseProject argument below doesn't apply — but then the
+    // non-cheap alias has exactly one reference, so CollapseProject
+    // inlines it and the plan is identical to not materializing;
+    // keeping the ≥1 threshold buys the codegen-able variant_get shape
+    // for free rather than leaving the lone entry on the interpreted
+    // bindOnce path.)
     // variant_gets. No optimizer fence is needed — CollapseProject
     // keeps a non-cheap alias with >1 consumer in its own Project
     // (verified on Spark 4.1: exactly one parseJson in the optimized
@@ -1829,10 +1836,25 @@ object MqlPipeline {
               require(dated,
                 "$densify date-literal bounds need a range unit")
               def usOf(t: String): Long = {
+                // rethrow parse failures in the engine's loud
+                // IllegalArgumentException shape (a bound carrying a
+                // 'Z'/offset suffix or any non-ISO-local form must
+                // state the contract, not escape as a raw
+                // DateTimeParseException)
                 val ldt =
-                  if (t.length == 10)
-                    java.time.LocalDate.parse(t).atStartOfDay()
-                  else java.time.LocalDateTime.parse(t)
+                  try {
+                    if (t.length == 10)
+                      java.time.LocalDate.parse(t).atStartOfDay()
+                    else java.time.LocalDateTime.parse(t)
+                  } catch {
+                    case e: java.time.format.DateTimeParseException =>
+                      throw new IllegalArgumentException(
+                        s"$$densify date bounds must be ISO LOCAL " +
+                          "date or date-time strings (yyyy-MM-dd or " +
+                          "yyyy-MM-dd'T'HH:mm:ss[.SSS], no zone/offset " +
+                          s"suffix — the engine's date convention): '$t'",
+                        e)
+                  }
                 val i = ldt.toInstant(java.time.ZoneOffset.UTC)
                 i.getEpochSecond * 1000000L + i.getNano / 1000L
               }

@@ -289,8 +289,9 @@ object Dedup {
   /** INCREMENTAL near-dup detection — dedup a new batch against a
     * corpus whose MinHash band index is PERSISTED: the daily-ingest
     * reality at 100 TB, where re-shingling the whole corpus per batch
-    * is unpayable. The base corpus's banded signatures (id, shingle
-    * set, band, bucket hash) are written once and trust-reused (the
+    * is unpayable. The base corpus's signature index — a narrow
+    * (id, band, bucket-hash) bands table plus a one-row-per-doc
+    * (id, shingle set) table — is written once and trust-reused (the
     * [[graft.operators.IvfIndex]] discipline applied to text LSH);
     * each batch then:
     *
@@ -322,14 +323,33 @@ object Dedup {
     * (the per-batch-cost-independent-of-corpus-size claim). */
   private[graft] def incrementalPairs(s: SparkSession, base: DataFrame,
       delta: DataFrame, idx: String, k: Int, bands: Int): DataFrame = {
-    // expected rows = docs × bands (every gate doc has ≥1 shingle); a
-    // mismatch — including tokenless docs — just rebuilds, never lies
-    if (!graft.core.Trust.parquetDir(s, idx, base.count() * bands))
-      bandedSignatures(base, k, bands)
-        .write.mode("overwrite").parquet(idx)
+    // The persisted index is TWO tables, not one wide frame (r17 — the
+    // driver's cold pass measured 8.3 GB peak from the single-table
+    // shape, where every doc's shingle array rode the write exchange
+    // once PER BAND): `bands/` is the narrow (id, band, bh) probe side,
+    // `shingles/` is one (id, sh) row per doc. The shingle payload now
+    // crosses the write boundary exactly once per doc — `bands`×
+    // smaller — and the probe join reads only the 3-column table.
+    // Expected rows: docs × bands / docs (every gate doc has ≥1
+    // shingle); a mismatch — including tokenless docs — just rebuilds
+    // BOTH tables, never lies.
+    val idxBands = s"$idx/bands"
+    val idxSh = s"$idx/shingles"
+    val n = base.count()
+    if (!graft.core.Trust.parquetDir(s, idxBands, n * bands) ||
+        !graft.core.Trust.parquetDir(s, idxSh, n)) {
+      // one signature pass feeds both writes (localCheckpoint — the
+      // minhash expression is the expensive half of the build)
+      val sigs = signatureFrame(base, k).localCheckpoint(true)
+      bandSigs(sigs, k, bands).select("id", "band", "bh")
+        .write.mode("overwrite").parquet(idxBands)
+      sigs.select("id", "sh").write.mode("overwrite").parquet(idxSh)
+      sigs.unpersist()
+    }
     val deltaBands = bandedSignatures(delta, k, bands)
       .localCheckpoint(true) // probe side joins the union AND itself
-    val all = s.read.parquet(idx).unionByName(deltaBands)
+    val all = s.read.parquet(idxBands)
+      .unionByName(deltaBands.select("id", "band", "bh"))
     // the same mega-bucket ceiling as the in-bucket expansion path
     // (guardBucket): the raise_error wraps the JOIN KEY — a key must
     // be evaluated to hash, so the guard can't be column-pruned and
@@ -364,7 +384,8 @@ object Dedup {
         when(lt, col("qid")).otherwise(col("cid")).as("id_a"),
         when(lt, col("cid")).otherwise(col("qid")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shingles = all.filter(col("band") === 0).select(col("id"), col("sh"))
+    val shingles = s.read.parquet(idxSh).unionByName(
+      deltaBands.filter(col("band") === 0).select(col("id"), col("sh")))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     cand
@@ -1069,23 +1090,30 @@ object Dedup {
     * not a row-order contract). */
   @volatile private var exactPairsMemo
       : Option[(SparkSession, String, DataFrame)] = None
-  private def exactPairs(s: SparkSession, dir: String): DataFrame =
+  private def exactPairs(s: SparkSession, dir: String): DataFrame = {
+    // memo + scratch are keyed on the CORPUS FINGERPRINT (file listing
+    // lengths/mtimes), not the path alone: a corpus regenerated under
+    // the same dir — even within one long-lived application — changes
+    // the fingerprint and rebuilds; applicationId additionally isolates
+    // concurrent applications' writes from each other
+    val fp = graft.core.Scratch.fingerprint(s, s"$dir/documents.parquet")
+    val memoKey = s"$dir@$fp"
     exactPairsMemo match {
-      case Some((ms, md, df)) if (ms eq s) && md == dir => df
+      case Some((ms, md, df)) if (ms eq s) && md == memoKey => df
       case _ =>
         // materialize through scratch PARQUET, not the block manager: a
         // localCheckpoint parks partitions in unified STORAGE memory,
         // and the execution share it evicts made the prefix self-join
         // spill 7.8 GB at sf10 — the pair set is tiny on disk and the
-        // read-back a plain scan. Keyed per application so a regenerated
-        // corpus can never serve a stale subject.
+        // read-back a plain scan
         val out = graft.core.Scratch.dir(
-          s"jexact-${s.sparkContext.applicationId}", dir)
+          s"jexact-${s.sparkContext.applicationId}-$fp", dir)
         jaccardExactPlan(s, dir).write.mode("overwrite").parquet(out)
         val df = s.read.parquet(out)
-        exactPairsMemo = Some((s, dir, df))
+        exactPairsMemo = Some((s, memoKey, df))
         df
     }
+  }
 
   private def jaccardExactPlan(s: SparkSession, dir: String): DataFrame = {
     val ex = nearCorpus(s, dir).select(col("id"),

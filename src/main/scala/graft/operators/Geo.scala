@@ -48,9 +48,29 @@ object Geo {
     * `dx²+dy² ≤ R²` refine runs post-join on candidates only. The
     * oracle goes brute-force all-pairs (the gate corpus is 1.5k
     * points); the blocked plan must reproduce it exactly — grid recall
-    * is 1 by the cell-size ≥ radius invariant. */
+    * is 1 by the cell-size ≥ radius invariant.
+    *
+    * GATE SUBJECT BOUND: the driver fixture derives coordinates from
+    * customer keys over a FIXED 100 km² plane, so fixture density —
+    * and with it in-cell candidate volume, hence gate output — grows
+    * with SF² (at sf10 the unbounded gate was the suite's largest and
+    * its only spill). That is a property of the synthetic fixture, not
+    * the operator: on constant-density real-world planes per-point
+    * cost is flat (proved by [[graft.ScaleProbe]]'s tiled planes —
+    * adding area, not density). So the GATE pins the blocking math on
+    * a deterministic id-capped subset ([[GateMaxPoints]], inert at
+    * every verify SF ≤ 0.1 where customer ≤ 15k rows, mirrored in the
+    * oracle's brute-force SQL) — the same static-dial device the
+    * sweep/eval dedup gates use. Production callers use
+    * [[geoJoinOver]] directly, uncapped. */
   def geoJoin(s: SparkSession, dir: String): DataFrame =
-    geoJoinOver(points(s, dir))
+    geoJoinOver(points(s, dir).filter(col("id") <= GateMaxPoints))
+
+  /** geo_join gate subject cap — above every verify-SF customer count
+    * (sf0.1 = 15k) so verify hashes are untouched; at sf ≥ 1 it holds
+    * the fixture's plane density (and the gate's quadratic output)
+    * constant instead of letting it grow with SF². */
+  private[graft] val GateMaxPoints = 20000L
 
   /** Loud ceiling on cell population — the [[Dedup.MaxBucketMembers]]
     * discipline for the 2-D grid: candidate volume is quadratic in the
@@ -253,7 +273,7 @@ object Geo {
          |    <= ${NearR * NearR}
          |ORDER BY dist2, idq LIMIT 10""".stripMargin,
     "geo_join" ->
-      s"""WITH p AS ($pointsSql)
+      s"""WITH p AS ($pointsSql WHERE c_custkey <= $GateMaxPoints)
          |SELECT a.id AS id_a, b.id AS id_b,
          |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
          |FROM p a JOIN p b ON a.id < b.id
