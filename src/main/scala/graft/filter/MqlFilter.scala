@@ -986,13 +986,36 @@ object MqlFilter {
           // is the frame's `text` column (overridable via conf
           // graft.mql.text_column at the query site by pre-aliasing) —
           // a lazy name reference, resolved when the predicate binds.
+          // {"$language": "english"} (r17) selects the baked English
+          // analyzer — stop-word removal + the table-driven stemmer,
+          // applied to BOTH the query terms (driver side) and the
+          // document tokens (Catalyst side) from the ONE rule table
+          // ([[graft.functions.Stemmer]]); "none" or absent keeps the
+          // exact-token match; any other analyzer stays loud.
           require(v.isObject && v.get("$search") != null &&
             v.get("$search").isTextual,
             s"""$$text needs {"$$search": "terms"}: $v""")
+          val lang = Option(v.get("$language")).map(_.asText())
+            .getOrElse("none")
           val terms = textSearchTerms(v.get("$search").asText())
-          arrays_overlap(
-            graft.functions.TextFunctions.tokens(col("text")),
-            typedLit(terms))
+          lang match {
+            case "none" =>
+              arrays_overlap(
+                graft.functions.TextFunctions.tokens(col("text")),
+                typedLit(terms))
+            case "english" | "en" =>
+              val stemmed = graft.functions.Stemmer.analyzeTerms(terms)
+              require(stemmed.nonEmpty,
+                s"$$text: every search term is an English stop word")
+              arrays_overlap(
+                graft.functions.Stemmer.analyzeCol(col("text")),
+                typedLit(stemmed))
+            case other => throw new IllegalArgumentException(
+              s"$$text analyzer '$other' unsupported: only the baked " +
+                "English analyzer (Porter-style table, Stemmer.Rules) " +
+                "and 'none' (exact tokens) are implemented — other " +
+                "Snowball languages need their own baked rule tables")
+          }
         case (field, v) if v.isObject && isOpObject(v) =>
           opObjectPred(field, v, r)
         case (field, v) => fieldOp(field, "$eq", v, r)

@@ -1259,6 +1259,27 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  /** `$text {"$language": "english"}` under the gate (r17 — lifts the
+    * stemming refusal): the baked English analyzer — Lucene's classic
+    * stop set + the table-driven Porter-style stemmer — applied to the
+    * query terms on the driver and to the document tokens in Catalyst,
+    * both generated from the ONE rule table
+    * ([[graft.functions.Stemmer.Rules]]), with the oracle SQL rendered
+    * from the SAME table as a nested regexp_replace chain (RE2-safe
+    * patterns; the collation-key discipline). The search carries the
+    * canonical inflections — "running" must reach documents that say
+    * "run"/"runs", "hashes" must reach "hash"/"hashing" — and a stop
+    * word that must be dropped. */
+  def mqlTextStemmed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .filter(MqlFilter.toColumn(
+        """{"$text": {"$search": "running hashes the tables",
+          |           "$language": "english"}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
   /** MQL `$expr` under the gate — aggregation expressions inside a find
     * filter: a numeric comparison whose right side is computed
     * ($add/$multiply over field refs) AND a string equality, both
@@ -3041,6 +3062,18 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    regexp_extract_all(lower(text), '[a-z0-9]+'),
         |    t -> t IN ('vector', 'hash'))) > 0
         |ORDER BY doc_id""".stripMargin,
+    "mql_text_stemmed" -> {
+      // oracle rendered FROM the one Stemmer rule table: analyzed doc
+      // tokens overlap the driver-stemmed query terms
+      val toks = graft.functions.Stemmer.analyzeSqlTokens("text")
+      val terms = graft.functions.Stemmer.analyzeTerms(
+          graft.filter.MqlFilter.textSearchTerms(
+            "running hashes the tables"))
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toks, t -> t IN ($terms))) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
     "mql_expr_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >
@@ -3123,6 +3156,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
+    "mql_text_stemmed" -> (mqlTextStemmed _),
     "mql_text_score" -> (mqlTextScore _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
