@@ -96,7 +96,15 @@ object TzTable {
     * fall within ±Probe of it. */
   val Probe = 64800L
 
-  /** First year NOT covered by the baked tables. */
+  /** First year NOT covered by the baked tables. 2100 keeps a
+    * two-transitions-a-year zone's table at ~350 rows — small enough
+    * to serialize into every oracle SQL as list literals and to bind
+    * as a literal array in the codegen'd expressions — while covering
+    * any date a 100 TB corpus plausibly carries as DATA (tzdata
+    * itself only projects current law forward; pretending precision
+    * past it would be false). Out-of-horizon lookups RAISE at
+    * [[TzTable.offsetAt]]/[[TzTable.localToInstant]] — widening is
+    * this one constant, never a silent last-rule freeze. */
   val HorizonYear = 2100
 
   private val cache =

@@ -2929,18 +2929,23 @@ object MqlPipeline {
           // into the zone frame (r15: named zones shift each operand
           // by ITS OWN baked offset — the calendar day an instant
           // falls on is offset-at-that-instant's business); the
-          // boundary arithmetic below is unchanged. Named zones
-          // support only "day": sub-day boundary counts across a DST
-          // transition have no single defensible answer (the local
-          // clock repeats or skips boundaries), so they stay loud.
+          // boundary arithmetic below is unchanged.
+          //
+          // Sub-day units in NAMED zones (r17 — lifts the r15/r16
+          // bracket): the count is WALL-CLOCK LABEL arithmetic —
+          // truncate each operand on its own offset-shifted local
+          // clock and diff the unit indexes, which is exactly Mongo's
+          // local-convert-then-truncate evaluation. Across a
+          // spring-forward gap the skipped labels still count (01:30
+          // EST → 03:30 EDT, one physical hour, counts 2 hour
+          // boundaries); across a fall-back overlap the repeated hour
+          // counts once (00:30 EDT → 01:30 EST, two physical hours,
+          // counts 1). That asymmetry is a property of wall clocks,
+          // not an ambiguity: the integer arithmetic over
+          // TzTable-resolved offsets is exact, and the oracle replays
+          // the identical table. Callers needing PHYSICAL elapsed
+          // units subtract epochs (no timezone) instead.
           val ddTz = tzSpecOf(v)
-          require(!ddTz.civilDays || Seq("day", "week", "month",
-              "quarter", "year").contains(v.get("unit").asText()),
-            "$dateDiff with a named timezone supports only calendar " +
-              "units (day|week|month|quarter|year) — sub-day boundary " +
-              "counts across a DST transition are ambiguous (the " +
-              "local clock repeats or skips boundaries); use a fixed " +
-              "offset")
           // startOfWeek (Mongo: week unit only, default Sunday)
           val ddSow = Option(v.get("startOfWeek")).map { n =>
             require(v.get("unit").asText() == "week",

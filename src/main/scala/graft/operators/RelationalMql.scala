@@ -278,6 +278,96 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$limit": 400}
         |]""".stripMargin)
 
+  /** NAMED-timezone SUB-DAY `$dateDiff` under the gate (r17 — lifts
+    * the r15 loud bracket): hour/minute/second boundary counts in
+    * America/New_York as wall-clock LABEL arithmetic over the baked
+    * [[graft.expr.TzTable]] offsets — each operand shifts by its OWN
+    * per-instant offset and the unit indexes diff, exactly Mongo's
+    * local-convert-then-truncate evaluation; the oracle replays the
+    * identical transition table. The fixture plants start/end pairs
+    * STRADDLING the 2023 NY spring-forward gap (the skipped 02:xx
+    * labels still count — one physical hour across the jump counts 2
+    * hour boundaries) and the fall-back overlap (the repeated hour
+    * counts once), plus a plain off-transition sweep; `day` rides
+    * along to pin the calendar unit against the same operands. */
+  def mqlDateDiffTz(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("sEp",
+          when(col("event_id") % 3 === 0,
+            lit(1678597200L) + (col("event_id") % 120) * 60)
+          .when(col("event_id") % 3 === 1,
+            lit(1699156800L) + (col("event_id") % 120) * 60)
+          .otherwise(lit(1672531200L) + (col("event_id") % 365) * 86400L
+            + col("event_id") % 43200))
+        .withColumn("eEp",
+          when(col("event_id") % 3 === 0,
+            lit(1678604400L) + (col("event_id") % 180) * 60)
+          .when(col("event_id") % 3 === 1,
+            lit(1699164000L) + (col("event_id") % 180) * 60)
+          .otherwise(col("sEp") + (col("event_id") % 90000)))
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          date_format(timestamp_seconds(col("sEp")),
+            "yyyy-MM-dd'T'HH:mm:ss").as("s"),
+          date_format(timestamp_seconds(col("eEp")),
+            "yyyy-MM-dd'T'HH:mm:ss").as("e")))),
+      col("meta"),
+      """[
+        | {"$addFields": {
+        |   "dh": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+        |     "unit": "hour", "timezone": "America/New_York"}},
+        |   "dm": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+        |     "unit": "minute", "timezone": "America/New_York"}},
+        |   "ds": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+        |     "unit": "second", "timezone": "America/New_York"}},
+        |   "dd": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+        |     "unit": "day", "timezone": "America/New_York"}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "dh": {"$toLong": "$dh"}, "dm": {"$toLong": "$dm"},
+        |   "ds": {"$toLong": "$ds"}, "dd": {"$toLong": "$dd"}}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 300}
+        |]""".stripMargin)
+
+  /** Oracle twin of [[mqlDateDiffTz]]: the SAME baked NY transition
+    * table as list literals; per-operand offset lookup, then the
+    * identical label arithmetic (`//` truncation ≡ floor — the local
+    * epochs are positive). */
+  private def ddTzReplaySql: String = {
+    val tbl = graft.expr.TzTable.of("America/New_York")
+    val trL = tbl.trans.drop(1).mkString("[", ",", "]")
+    val osL = tbl.offs.mkString("[", ",", "]")
+    def offAt(t: String) =
+      s"os[len(list_filter(tr, x -> x <= ($t))) + 1]"
+    s"""WITH z AS (SELECT $trL::BIGINT[] AS tr, $osL::BIGINT[] AS os),
+       |b AS (SELECT event_id,
+       |  (CASE WHEN event_id % 3 = 0
+       |        THEN 1678597200 + (event_id % 120) * 60
+       |        WHEN event_id % 3 = 1
+       |        THEN 1699156800 + (event_id % 120) * 60
+       |        ELSE 1672531200 + (event_id % 365) * 86400
+       |          + event_id % 43200 END)::BIGINT AS st
+       |  FROM events),
+       |b2 AS (SELECT event_id, st,
+       |  (CASE WHEN event_id % 3 = 0
+       |        THEN 1678604400 + (event_id % 180) * 60
+       |        WHEN event_id % 3 = 1
+       |        THEN 1699164000 + (event_id % 180) * 60
+       |        ELSE st + (event_id % 90000) END)::BIGINT AS et
+       |  FROM b),
+       |c AS (SELECT event_id,
+       |    st + ${offAt("st")} AS ls, et + ${offAt("et")} AS le
+       |  FROM b2, z)
+       |SELECT event_id,
+       |  (le // 3600) - (ls // 3600) AS dh,
+       |  (le // 60) - (ls // 60) AS dm,
+       |  le - ls AS ds,
+       |  date_diff('day', CAST(make_timestamp(ls * 1000000) AS DATE),
+       |    CAST(make_timestamp(le * 1000000) AS DATE)) AS dd
+       |FROM c ORDER BY event_id LIMIT 300""".stripMargin
+  }
+
   /** Extended date parts + calendar-unit $dateDiff under the gate
     * (r15) — the rest of Mongo's part family ($dayOfWeek/$dayOfYear/
     * $isoDayOfWeek/$isoWeek/$isoWeekYear/$week/$millisecond, all
@@ -2802,6 +2892,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    AS from_tz
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_date_tz_named" -> nyReplaySql,
+    "mql_date_diff_tz" -> ddTzReplaySql,
     "mql_date_from_str" ->
       """WITH w AS (SELECT event_id,
         |  CASE WHEN event_id % 7 = 1 THEN NULL
@@ -3137,6 +3228,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add_cal" -> (mqlDateAddCal _),
     "mql_date_add_tz" -> (mqlDateAddTz _),
     "mql_date_tz_named" -> (mqlDateTzNamed _),
+    "mql_date_diff_tz" -> (mqlDateDiffTz _),
     "mql_date_parts_ext" -> (mqlDatePartsExt _),
     "mql_date_from_str" -> (mqlDateFromStr _),
     "mql_convert" -> (mqlConvert _),

@@ -2092,6 +2092,45 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("named-tz sub-day $dateDiff (r17): wall-clock label counts " +
+      "across the NY spring-forward gap and fall-back overlap") {
+    def longs(fields: String, adds: String): Seq[Long] = run(
+      s"""[{"$$match": {"id": {"$$eq": 1}}},
+         | {"$$addFields": {$adds}},
+         | {"$$project": {$fields}}]""".stripMargin)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    def dd(s: String, e: String, u: String): String =
+      s"""{"$$dateDiff": {"startDate": "$s", "endDate": "$e",
+         |  "unit": "$u", "timezone": "America/New_York"}}""".stripMargin
+    // spring forward 2023-03-12 07:00Z (02:00 EST -> 03:00 EDT):
+    // 06:30Z = 01:30 EST, 07:30Z = 03:30 EDT — ONE physical hour, but
+    // the skipped 02:xx labels still count: 2 hour boundaries, 120
+    // minute boundaries, 7200 label seconds
+    assert(longs(
+      """"h": {"$toLong": "$h"}, "m": {"$toLong": "$m"},
+        |"s": {"$toLong": "$s"}""".stripMargin,
+      s""""h": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "hour")},
+         |"m": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "minute")},
+         |"s": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "second")}"""
+        .stripMargin) == Seq(2L, 120L, 7200L))
+    // fall back 2023-11-05 06:00Z (02:00 EDT -> 01:00 EST):
+    // 04:30Z = 00:30 EDT, 06:30Z = 01:30 EST — TWO physical hours, the
+    // repeated 01:xx hour counts once: 1 hour boundary, 60 minutes
+    assert(longs(
+      """"h": {"$toLong": "$h"}, "m": {"$toLong": "$m"},
+        |"s": {"$toLong": "$s"}""".stripMargin,
+      s""""h": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "hour")},
+         |"m": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "minute")},
+         |"s": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "second")}"""
+        .stripMargin) == Seq(1L, 60L, 3600L))
+    // off-transition sanity: a named zone behaves like its fixed
+    // offset (13:00Z -> 15:10Z in July = EDT throughout)
+    assert(longs(
+      """"h": {"$toLong": "$h"}""",
+      s""""h": ${dd("2023-07-01T13:00:00", "2023-07-01T15:10:00", "hour")}"""
+    ) == Seq(2L))
+  }
+
   test("$dateFromString format/onNull/onError (r15): %-format parse, " +
       "null and error routing, raise without onError, parse-only " +
       "specifiers loud") {
