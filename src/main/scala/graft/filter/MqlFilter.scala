@@ -339,17 +339,26 @@ object MqlFilter {
     def diacriticFold: Boolean = strength == 1
     /** Strength 2 orders accents by ICU-root secondary weight. */
     def secondaryOrder: Boolean = strength == 2
+    /** Strength 3 for a TAILORED locale (r17): the full three-level
+      * key — tailored primary, locale secondary, then CASE as the
+      * least-significant level ([[caseKeyCol]]); icu4j-locked like
+      * the lower strengths. en/simple at 3 stay the measured-exact
+      * codepoint identity. */
+    def tertiaryOrder: Boolean =
+      strength == 3 && Tailorings.contains(locale)
     /** The locale's primary tailoring table when one applies (r16) —
       * es/sv/da at collated strengths. A primary tailoring bites at
       * EVERY collated strength (the r15 "es ≡ root at strength 2"
       * audit read held only because its vocabulary had no n-successor
       * pairs like nz/ño — icu4j es orders ño AFTER nz at secondary,
-      * root before), so the table applies at 1 AND 2, with the
-      * locale's own secondary weights at 2. */
+      * root before), so the table applies at 1, 2 AND 3, with the
+      * locale's own secondary weights at 2/3. */
     def tailoring: Option[Tailoring] =
-      if (strength <= 2) Tailorings.get(locale) else None
+      if (strength <= 2 || tertiaryOrder) Tailorings.get(locale)
+      else None
     /** Whether any comparison rewriting is needed at all. */
-    def active: Boolean = caseInsensitive || numericOrdering
+    def active: Boolean =
+      caseInsensitive || numericOrdering || tertiaryOrder
   }
 
   /** Latin-1 diacritic fold (lowercase side — [[foldCol]] lowers
@@ -393,6 +402,12 @@ object MqlFilter {
   private val TDel = "\u007f"
   private[graft] final case class Tailoring(
       dropFromFold: String,
+      // CASE-VARIANT contraction pairs, matched on the PRE-lower
+      // string (r17 — icu4j da contracts "aa"/"Aa"/"AA" but NOT "aA",
+      // at EVERY strength; the r16 lower-then-contract device folded
+      // all four): each variant maps to its own one-char marker so
+      // the tertiary level can rank the variants apart, while the
+      // primary/secondary tables treat every marker alike.
       contractions: Seq[(String, String)],
       expansions: Seq[(String, String)],
       secFrom: String, secTo: String,
@@ -400,15 +415,64 @@ object MqlFilter {
       // I → ı and İ → i — the dotless-i split; also keeps İ away from
       // java's two-char İ → "i"+combining-dot lowering, which would
       // desynchronize the secondary weight strings)
-      preLowerFrom: String = "", preLowerTo: String = "") {
+      preLowerFrom: String = "", preLowerTo: String = "",
+      // tertiary (r17): ICU caseFirst — da defaults UPPER-first
+      // (measured: A < a, Å < å); the other tailored locales are
+      // lower-first
+      caseFirstUpper: Boolean = false,
+      // tertiary per-char rank digits beyond the generic lower/upper
+      // pair: the å-class case ladder interleaves the contraction
+      // markers with å itself (da measured: Å < AA < Aa < å < aa),
+      // so those need explicit digits
+      terOverrides: Seq[(Char, Char)] = Nil) {
     val diaFrom: String = DiaFrom.filterNot(dropFromFold.contains(_))
     val diaTo: String = DiaFrom.zip(DiaTo)
       .filterNot(p => dropFromFold.contains(p._1)).map(_._2).mkString
   }
 
-  /** da's "aa" contraction marker — a control char outside text data
-    * (the NumRunSep discipline). */
-  private val AaMark = "\u0002"
+  /** da's contraction markers — control chars outside text data (the
+    * NumRunSep discipline), one per case variant ("aA" does NOT
+    * contract in ICU da — measured at every strength). */
+  private val AaMark = "\u0002"   // "aa"
+  private val AaMarkUl = "\u0004" // "Aa"
+  private val AaMarkUu = "\u0005" // "AA"
+  /** One-scan bracket marker: a single leftmost regex pass fixes the
+    * contraction POSITIONS case-blindly (sequential per-variant
+    * replaces would contract "Aaa" at 1-2 where ICU contracts 0-1),
+    * then each bracketed variant maps to its own marker. */
+  private val ScanMark = "\u0003"
+
+  /** Apply a tailoring's case-variant contractions to a column:
+    * leftmost non-overlapping scan (all variants are the same length,
+    * so the regex alternation picks the same positions ICU's
+    * leftmost contraction matching does), then per-variant marker
+    * substitution. Runs BEFORE lower(). */
+  private[graft] def contractCol(c: Column,
+      cons: Seq[(String, String)]): Column =
+    if (cons.isEmpty) c
+    else {
+      val marked = regexp_replace(c,
+        lit(cons.map(_._1).mkString("|")), lit(ScanMark + "$0"))
+      cons.foldLeft(marked) { case (acc, (f, r)) =>
+        org.apache.spark.sql.functions.replace(
+          acc, lit(ScanMark + f), lit(r)) }
+    }
+
+  /** Scala twin of [[contractCol]] — one manual leftmost scan. */
+  private[graft] def contractLit(s: String,
+      cons: Seq[(String, String)]): String =
+    if (cons.isEmpty) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        cons.find { case (f, _) => s.startsWith(f, i) } match {
+          case Some((f, r)) => sb ++= r; i += f.length
+          case None => sb += s(i); i += 1
+        }
+      }
+      sb.toString
+    }
 
   private[graft] val Tailorings: Map[String, Tailoring] = Map(
     "es" -> Tailoring(
@@ -434,17 +498,26 @@ object MqlFilter {
         "6" + "12" + "123" + "7"),
     "da" -> Tailoring(
       dropFromFold = "äåöü",
-      contractions = Seq("aa" -> AaMark),
+      contractions = Seq("aa" -> AaMark, "Aa" -> AaMarkUl,
+        "AA" -> AaMarkUu),
       expansions = Seq(
         "ä" -> ("z" + TDel + "a"), "æ" -> ("z" + TDel + "a"),
         "ö" -> ("z" + TDel + "b"), "ø" -> ("z" + TDel + "b"),
         "å" -> ("z" + TDel + "c"), AaMark -> ("z" + TDel + "c"),
+        AaMarkUl -> ("z" + TDel + "c"), AaMarkUu -> ("z" + TDel + "c"),
         "ü" -> "y"),
       // measured: æ<ä and ø<ö (reversed vs sv), aa ≡ å through the
-      // secondary level (same digit), ô stays in the root o-class
-      secFrom = "áàâãéèêëíìîïóòôõúùûýÿçñäæöøåü" + AaMark,
+      // secondary level (same digit — all three contraction case
+      // variants alike), ô stays in the root o-class
+      secFrom = "áàâãéèêëíìîïóòôõúùûýÿçñäæöøåü" + AaMark + AaMarkUl +
+        AaMarkUu,
       secTo = "1236" + "1235" + "1235" + "1236" + "123" + "15" + "7" +
-        "6" + "21" + "21" + "1" + "7" + "1"),
+        "6" + "21" + "21" + "1" + "7" + "111",
+      caseFirstUpper = true,
+      // measured å-class tertiary ladder (upper-first): Å < AA < Aa
+      // < å < aa; Å takes the generic upper digit '1'
+      terOverrides = Seq('å' -> '4', AaMark(0) -> '5',
+        AaMarkUl(0) -> '3', AaMarkUu(0) -> '2')),
     "tr" -> Tailoring(
       // measured: a-class keeps ALL root a-accents (incl. ä/å), o/u
       // classes keep theirs; the six tailored primary letters are
@@ -462,13 +535,13 @@ object MqlFilter {
       preLowerFrom = "Iİ", preLowerTo = "ıi"))
 
   private[graft] def tailoredFoldCol(c: Column, t: Tailoring): Column = {
-    val lowered = lower(
+    val pre =
       if (t.preLowerFrom.isEmpty) c
       else org.apache.spark.sql.functions.translate(
-        c, t.preLowerFrom, t.preLowerTo))
-    val contracted = t.contractions.foldLeft(lowered) {
-      case (acc, (f, r)) =>
-        org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
+        c, t.preLowerFrom, t.preLowerTo)
+    // contraction runs BEFORE lower (r17): ICU contracts aa/Aa/AA but
+    // not aA, so the match must see the original case
+    val contracted = lower(contractCol(pre, t.contractions))
     t.expansions.foldLeft(
       org.apache.spark.sql.functions.translate(
         contracted, t.diaFrom, t.diaTo)) { case (acc, (f, r)) =>
@@ -476,12 +549,12 @@ object MqlFilter {
   }
 
   private[graft] def tailoredFoldLit(s: String, t: Tailoring): String = {
-    val lo = s.map { ch =>
+    val pre = s.map { ch =>
       val i = t.preLowerFrom.indexOf(ch)
       if (i >= 0) t.preLowerTo(i) else ch
-    }.mkString.toLowerCase(java.util.Locale.ROOT)
-    val contracted = t.contractions.foldLeft(lo) { case (acc, (f, r)) =>
-      acc.replace(f, r) }
+    }.mkString
+    val contracted = contractLit(pre, t.contractions)
+      .toLowerCase(java.util.Locale.ROOT)
     val folded = contracted.map { ch =>
       val i = t.diaFrom.indexOf(ch)
       if (i >= 0) t.diaTo(i) else ch
@@ -537,13 +610,12 @@ object MqlFilter {
     // positionally aligned ("baad" vs "båd")
     val (from, to) = t.map(x => (x.secFrom, x.secTo))
       .getOrElse((SecFrom, SecTo))
-    val lowered = lower(t.filter(_.preLowerFrom.nonEmpty)
+    val pre = t.filter(_.preLowerFrom.nonEmpty)
       .map(x => org.apache.spark.sql.functions.translate(
         c, x.preLowerFrom, x.preLowerTo))
-      .getOrElse(c))
-    val contracted = t.toSeq.flatMap(_.contractions)
-      .foldLeft(lowered) { case (acc, (f, r)) =>
-        org.apache.spark.sql.functions.replace(acc, lit(f), lit(r)) }
+      .getOrElse(c)
+    val contracted = lower(
+      contractCol(pre, t.toSeq.flatMap(_.contractions)))
     regexp_replace(
       org.apache.spark.sql.functions.translate(
         org.apache.spark.sql.functions.translate(
@@ -562,10 +634,64 @@ object MqlFilter {
         val i = x.preLowerFrom.indexOf(ch)
         if (i >= 0) x.preLowerTo(i) else ch
       }.mkString).getOrElse(s)
-    val contracted = t.toSeq.flatMap(_.contractions)
-      .foldLeft(preLowered.toLowerCase(java.util.Locale.ROOT)) {
-        case (acc, (f, r)) => acc.replace(f, r) }
+    val contracted = contractLit(preLowered,
+      t.toSeq.flatMap(_.contractions))
+      .toLowerCase(java.util.Locale.ROOT)
     contracted.flatMap { ch =>
+      if (ch.isDigit) ""
+      else {
+        val i = from.indexOf(ch)
+        if (i >= 0) to(i).toString else "0"
+      }
+    }
+  }
+
+  // ---- strength-3 tertiary (case) level for tailored locales (r17) --
+  // ICU tertiary over the supported alphabet is CASE: equal
+  // primary+secondary strings order by per-position case digits —
+  // lower-first for es/sv/tr, UPPER-first for da (measured: A < a) —
+  // with digits dropped (icu4j measurement: numeric collation holds
+  // through the tertiary level) and the da å-class ladder interleaving
+  // the contraction case variants (Å < AA < Aa < å < aa). Appended as
+  // a third level after [[TerSep]]; equal-secondary strings have
+  // positionally aligned case strings (same contraction positions, by
+  // primary equality), so lexicographic key order IS the three-level
+  // UCA order.
+  private[graft] val TerSep = "\u001d" // below all text, like SecSep
+  private[graft] val CaseLower =
+    "abcdefghijklmnopqrstuvwxyz" + DiaFrom + "æøğış"
+  private[graft] val CaseUpper =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝŸ" +
+      "ÆØĞİŞ"
+
+  private def terTables(t: Tailoring): (String, String) = {
+    val (lowD, upD) = if (t.caseFirstUpper) ('2', '1') else ('1', '2')
+    val over = t.terOverrides.map(_._1).toSet
+    val lo = CaseLower.filterNot(over)
+    val up = CaseUpper.filterNot(over)
+    (t.terOverrides.map(_._1).mkString + lo + up,
+      t.terOverrides.map(_._2).mkString +
+        lowD.toString * lo.length + upD.toString * up.length)
+  }
+
+  /** Tertiary (case) weight string of a column: contraction scan on
+    * the ORIGINAL case (NO preLower — tr's I → ı translate is exactly
+    * the case information this level encodes), drop digits, one digit
+    * per remaining char. */
+  private[graft] def caseKeyCol(c: Column, t: Tailoring): Column = {
+    val (from, to) = terTables(t)
+    regexp_replace(
+      org.apache.spark.sql.functions.translate(
+        org.apache.spark.sql.functions.translate(
+          contractCol(c, t.contractions), "0123456789", ""),
+        from, to),
+      "[^1-7]", "0")
+  }
+
+  /** Scala twin of [[caseKeyCol]]. */
+  private[graft] def caseKeyLit(s: String, t: Tailoring): String = {
+    val (from, to) = terTables(t)
+    contractLit(s, t.contractions).flatMap { ch =>
       if (ch.isDigit) ""
       else {
         val i = from.indexOf(ch)
@@ -701,7 +827,10 @@ object MqlFilter {
       case None => c
     }
     val primary = if (coll.numericOrdering) numKeyCol(folded) else folded
-    if (coll.secondaryOrder)
+    if (coll.tertiaryOrder)
+      concat(primary, lit(SecSep), accentKeyCol(c, coll.tailoring),
+        lit(TerSep), caseKeyCol(c, coll.tailoring.get))
+    else if (coll.secondaryOrder)
       concat(primary, lit(SecSep), accentKeyCol(c, coll.tailoring))
     else primary
   }
@@ -714,7 +843,10 @@ object MqlFilter {
       case None => s
     }
     val primary = if (coll.numericOrdering) numKeyLit(folded) else folded
-    if (coll.secondaryOrder)
+    if (coll.tertiaryOrder)
+      primary + SecSep + accentKeyLit(s, coll.tailoring) +
+        TerSep + caseKeyLit(s, coll.tailoring.get)
+    else if (coll.secondaryOrder)
       primary + SecSep + accentKeyLit(s, coll.tailoring)
     else primary
   }
@@ -751,10 +883,12 @@ object MqlFilter {
     val tailored = Set("en", "simple", "fr", "de", "it", "pt", "nl") ++
       Tailorings.keySet
     require(locale == "en" || locale == "simple" ||
-      (strength <= 2 && tailored.contains(locale)),
+      (strength <= 2 && tailored.contains(locale)) ||
+      (strength == 3 && Tailorings.contains(locale)),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; fr/de/it/pt/nl/es/sv/da/tr at " +
-        "strengths 1-2; tertiary tailorings need a real ICU table)")
+        "(en/simple at any strength; es/sv/da/tr at strengths 1-3 — " +
+        "tertiary = the icu4j-locked case level, r17; fr/de/it/pt/nl " +
+        "at strengths 1-2: their tertiary case tables are unmeasured)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

@@ -1040,6 +1040,132 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "tr", "strength": 1}""")
 
+  /** STRENGTH-3 (tertiary = case level) tailored collation under the
+    * gate (r17 — lifts "strength 3 silently means codepoint identity
+    * for tailored locales"): the full three-level key — tailored
+    * primary, locale secondary, case as the least-significant level
+    * (da UPPER-first, the others lower-first) — icu4j-locked pairwise
+    * in MqlFilterSpec, with the expected ranks measured from icu4j
+    * baked into the oracle (the r16 rank-gate device). es composes
+    * with numericOrdering: $ne "Niño 02" must drop the planted
+    * "Niño 2" (02 ≡ 2 holds through the tertiary level) and NOTHING
+    * else (NIÑO 02 differs by case). */
+  def mqlCollationTertiary(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 12 === 0, lit("cote 7"))
+            .when(col("doc_id") % 12 === 1, lit("cotE 7"))
+            .when(col("doc_id") % 12 === 2, lit("coté 7"))
+            .when(col("doc_id") % 12 === 3, lit("nino 2"))
+            .when(col("doc_id") % 12 === 4, lit("Nino 2"))
+            .when(col("doc_id") % 12 === 5, lit("NINO 2"))
+            .when(col("doc_id") % 12 === 6, lit("niño 2"))
+            .when(col("doc_id") % 12 === 7, lit("niñO 2"))
+            .when(col("doc_id") % 12 === 8, lit("Niño 2"))
+            .when(col("doc_id") % 12 === 9, lit("NIÑO 02"))
+            .when(col("doc_id") % 12 === 10, lit("nz 1"))
+            .otherwise(lit("ñandu 3")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "cotE 7", "$ne": "Niño 02"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "es", "strength": 3, "numericOrdering": true}""")
+
+  /** sv at strength 3: the tailored classes order by case within —
+    * $ne "Öra" drops EXACTLY that casing (öra and ÖRA stay, the
+    * tertiary contract; strength ≤2 would drop all three). */
+  def mqlCollationTerSv(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 14 === 0, lit("yta"))
+            .when(col("doc_id") % 14 === 1, lit("Yta"))
+            .when(col("doc_id") % 14 === 2, lit("üta"))
+            .when(col("doc_id") % 14 === 3, lit("år"))
+            .when(col("doc_id") % 14 === 4, lit("År"))
+            .when(col("doc_id") % 14 === 5, lit("ära"))
+            .when(col("doc_id") % 14 === 6, lit("æra"))
+            .when(col("doc_id") % 14 === 7, lit("Æra"))
+            .when(col("doc_id") % 14 === 8, lit("öra"))
+            .when(col("doc_id") % 14 === 9, lit("Öra"))
+            .when(col("doc_id") % 14 === 10, lit("ÖRA"))
+            .when(col("doc_id") % 14 === 11, lit("øra"))
+            .when(col("doc_id") % 14 === 12, lit("Øra"))
+            .otherwise(lit("ôra")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gte": "üta", "$ne": "Öra"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "sv", "strength": 3}""")
+
+  /** da at strength 3: UPPER-first case (measured Å < AA < Aa < å <
+    * aa at the å-class), the aa/Aa/AA contraction case ladder, and
+    * the NON-contracting "aA" form ("aAlborg" sorts at primary a-a,
+    * first) — $ne "Aarhus" drops exactly that casing of the five
+    * å-class spellings. */
+  def mqlCollationTerDa(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 14 === 0, lit("zut"))
+            .when(col("doc_id") % 14 === 1, lit("æble"))
+            .when(col("doc_id") % 14 === 2, lit("Æble"))
+            .when(col("doc_id") % 14 === 3, lit("øre"))
+            .when(col("doc_id") % 14 === 4, lit("Øre"))
+            .when(col("doc_id") % 14 === 5, lit("aalborg"))
+            .when(col("doc_id") % 14 === 6, lit("Aalborg"))
+            .when(col("doc_id") % 14 === 7, lit("AAlborg"))
+            .when(col("doc_id") % 14 === 8, lit("aAlborg"))
+            .when(col("doc_id") % 14 === 9, lit("århus"))
+            .when(col("doc_id") % 14 === 10, lit("Århus"))
+            .when(col("doc_id") % 14 === 11, lit("aarhus"))
+            .when(col("doc_id") % 14 === 12, lit("Aarhus"))
+            .otherwise(lit("AARHUS")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$ne": "Aarhus"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "da", "strength": 3}""")
+
+  /** tr at strength 3: the dotless-ı CASE pairs become significant
+    * (ı < I, i < İ — lower-first) — $ne "İLİK" drops exactly that
+    * casing (ilik/iLİK stay; strength ≤2 folds them together). */
+  def mqlCollationTerTr(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 13 === 0, lit("cam"))
+            .when(col("doc_id") % 13 === 1, lit("çay"))
+            .when(col("doc_id") % 13 === 2, lit("Çay"))
+            .when(col("doc_id") % 13 === 3, lit("hal"))
+            .when(col("doc_id") % 13 === 4, lit("ılık"))
+            .when(col("doc_id") % 13 === 5, lit("Ilık"))
+            .when(col("doc_id") % 13 === 6, lit("ILIK"))
+            .when(col("doc_id") % 13 === 7, lit("ilik"))
+            .when(col("doc_id") % 13 === 8, lit("iLİK"))
+            .when(col("doc_id") % 13 === 9, lit("İLİK"))
+            .when(col("doc_id") % 13 === 10, lit("sal"))
+            .when(col("doc_id") % 13 === 11, lit("şal"))
+            .otherwise(lit("Şal")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "Çay", "$ne": "İLİK"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "tr", "strength": 3}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -3086,6 +3212,79 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE rnk = 3 OR rnk >= 5
         |ORDER BY rnk, doc_id""".stripMargin,
+    // es@3+numeric: icu-measured tertiary ranks are the PLANT order
+    // (rnk = doc_id % 12); $gt 'cotE 7' keeps rank >= 2, $ne 'Niño 02'
+    // drops exactly the planted 'Niño 2' (numeric 02 ≡ 2 through the
+    // tertiary level; 'NIÑO 02' differs by case and stays)
+    "mql_collation_tertiary" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 12
+        |      WHEN 0 THEN 'cote 7' WHEN 1 THEN 'cotE 7'
+        |      WHEN 2 THEN 'coté 7' WHEN 3 THEN 'nino 2'
+        |      WHEN 4 THEN 'Nino 2' WHEN 5 THEN 'NINO 2'
+        |      WHEN 6 THEN 'niño 2' WHEN 7 THEN 'niñO 2'
+        |      WHEN 8 THEN 'Niño 2' WHEN 9 THEN 'NIÑO 02'
+        |      WHEN 10 THEN 'nz 1' ELSE 'ñandu 3' END AS tag,
+        |    doc_id % 12 AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk >= 2 AND rnk <> 8
+        |ORDER BY rnk, doc_id""".stripMargin,
+    // sv@3: measured ranks = plant order; $gte 'üta' keeps >= 2,
+    // $ne 'Öra' drops exactly rank 9 (öra/ÖRA stay — tertiary)
+    "mql_collation_ter_sv" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 14
+        |      WHEN 0 THEN 'yta' WHEN 1 THEN 'Yta' WHEN 2 THEN 'üta'
+        |      WHEN 3 THEN 'år' WHEN 4 THEN 'År' WHEN 5 THEN 'ära'
+        |      WHEN 6 THEN 'æra' WHEN 7 THEN 'Æra' WHEN 8 THEN 'öra'
+        |      WHEN 9 THEN 'Öra' WHEN 10 THEN 'ÖRA' WHEN 11 THEN 'øra'
+        |      WHEN 12 THEN 'Øra' ELSE 'ôra' END AS tag,
+        |    doc_id % 14 AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk >= 2 AND rnk <> 9
+        |ORDER BY rnk, doc_id""".stripMargin,
+    // da@3 measured (UPPER-first, å-class ladder Å < AA < Aa < å < aa,
+    // 'aA' does NOT contract so aAlborg sorts first at primary a-a):
+    // aAlborg(8)=0 zut(0)=1 Æble(2)=2 æble(1)=3 Øre(4)=4 øre(3)=5
+    // AAlborg(7)=6 Aalborg(6)=7 aalborg(5)=8 Århus(10)=9 AARHUS(13)=10
+    // Aarhus(12)=11 århus(9)=12 aarhus(11)=13; $ne 'Aarhus' drops 11
+    "mql_collation_ter_da" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 14
+        |      WHEN 0 THEN 'zut' WHEN 1 THEN 'æble' WHEN 2 THEN 'Æble'
+        |      WHEN 3 THEN 'øre' WHEN 4 THEN 'Øre'
+        |      WHEN 5 THEN 'aalborg' WHEN 6 THEN 'Aalborg'
+        |      WHEN 7 THEN 'AAlborg' WHEN 8 THEN 'aAlborg'
+        |      WHEN 9 THEN 'århus' WHEN 10 THEN 'Århus'
+        |      WHEN 11 THEN 'aarhus' WHEN 12 THEN 'Aarhus'
+        |      ELSE 'AARHUS' END AS tag,
+        |    CASE doc_id % 14 WHEN 8 THEN 0 WHEN 0 THEN 1 WHEN 2 THEN 2
+        |      WHEN 1 THEN 3 WHEN 4 THEN 4 WHEN 3 THEN 5 WHEN 7 THEN 6
+        |      WHEN 6 THEN 7 WHEN 5 THEN 8 WHEN 10 THEN 9
+        |      WHEN 13 THEN 10 WHEN 12 THEN 11 WHEN 9 THEN 12
+        |      ELSE 13 END AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk <> 11
+        |ORDER BY rnk, doc_id""".stripMargin,
+    // tr@3: measured ranks = plant order; $gt 'Çay' keeps >= 3,
+    // $ne 'İLİK' drops exactly rank 9 (ilik/iLİK stay — the dotless-ı
+    // case pairs are significant at tertiary)
+    "mql_collation_ter_tr" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 13
+        |      WHEN 0 THEN 'cam' WHEN 1 THEN 'çay' WHEN 2 THEN 'Çay'
+        |      WHEN 3 THEN 'hal' WHEN 4 THEN 'ılık' WHEN 5 THEN 'Ilık'
+        |      WHEN 6 THEN 'ILIK' WHEN 7 THEN 'ilik' WHEN 8 THEN 'iLİK'
+        |      WHEN 9 THEN 'İLİK' WHEN 10 THEN 'sal' WHEN 11 THEN 'şal'
+        |      ELSE 'Şal' END AS tag,
+        |    doc_id % 13 AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk >= 3 AND rnk <> 9
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_accent" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 9
@@ -3245,6 +3444,10 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation_sv" -> (mqlCollationSv _),
     "mql_collation_da" -> (mqlCollationDa _),
     "mql_collation_tr" -> (mqlCollationTr _),
+    "mql_collation_tertiary" -> (mqlCollationTertiary _),
+    "mql_collation_ter_sv" -> (mqlCollationTerSv _),
+    "mql_collation_ter_da" -> (mqlCollationTerDa _),
+    "mql_collation_ter_tr" -> (mqlCollationTerTr _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -575,10 +575,12 @@ class MqlFilterSpec extends SparkTestBase {
     }
   }
 
-  test("tailored collations es/sv/da order EXACTLY as icu4j at " +
-      "PRIMARY and SECONDARY over the supported alphabet (r16 parity " +
-      "lock): ñ between n and o; å/ä≡æ/ô≡ö≡ø after z and ü≡y for sv; " +
-      "da's reversed secondary ranks and the aa≡å contraction") {
+  test("tailored collations es/sv/da/tr order EXACTLY as icu4j at " +
+      "PRIMARY, SECONDARY and TERTIARY over the supported alphabet " +
+      "(r16/r17 parity lock): ñ between n and o; å/ä≡æ/ô≡ö≡ø after z " +
+      "and ü≡y for sv; da's reversed secondary ranks, the aa/Aa/AA " +
+      "(not aA) contraction and UPPER-first case; tr's dotless-ı " +
+      "case pairs at the tertiary level") {
     import com.ibm.icu.text.{Collator => IcuCollator, RuleBasedCollator}
     // the deciding vocabulary: every tailored letter beside its class
     // neighbours, n-successor pairs (the shape the r15 root-equality
@@ -593,6 +595,11 @@ class MqlFilterSpec extends SparkTestBase {
       "å", "ä", "ö", "æ", "ø", "ô", "zz", "za", "Å", "Ä", "Ö",
       "åa", "äa", "æa", "öa", "øa", "ôa", "aa", "ab", "ad",
       "baad", "båd", "bad", "bäd", "bæd", "böd", "bød",
+      // da mixed-case contraction deciders (r17: ICU contracts
+      // aa/Aa/AA but NOT aA — at every strength) and case pairs
+      "baAd", "bAad", "bAAd", "BAAD", "BÅD", "bÅd", "Aa", "AA", "aA",
+      "Aaa", "aaa", "Æra", "Øre", "Cote", "COTE", "cotE", "AZ", "Az",
+      "aZ",
       "y", "ý", "ÿ", "ü", "u", "ú", "ya", "üa", "ua", "yz",
       "i", "í", "ì", "î", "ï", "e", "é", "è", "ê", "ë",
       "item2", "item02", "ITEM10", "x9y", "x10y", "a1a", "a2a")
@@ -600,8 +607,11 @@ class MqlFilterSpec extends SparkTestBase {
       val c = IcuCollator.getInstance(
         com.ibm.icu.util.ULocale.forLanguageTag(loc))
         .asInstanceOf[RuleBasedCollator]
-      c.setStrength(if (strength == 1) IcuCollator.PRIMARY
-        else IcuCollator.SECONDARY)
+      c.setStrength(strength match {
+        case 1 => IcuCollator.PRIMARY
+        case 2 => IcuCollator.SECONDARY
+        case _ => IcuCollator.TERTIARY
+      })
       c.setNumericCollation(numeric)
       c
     }
@@ -609,14 +619,15 @@ class MqlFilterSpec extends SparkTestBase {
     // the dotless-ı case pins (I ≡ ı, İ ≡ i — through secondary)
     val trVocab = Seq(
       "I", "İ", "ı", "i", "ha", "hz", "ıa", "ız", "ia", "iz", "j",
-      "ILIK", "ılık", "ilik", "İLİK", "ca", "cz", "ç", "ça", "çz", "d",
+      "ILIK", "ılık", "ilik", "İLİK", "Ilık", "iLİK", "Çay", "çay",
+      "Şal", "şal", "Öz", "öz", "ca", "cz", "ç", "ça", "çz", "d",
       "ga", "gz", "ğ", "ğa", "ğz", "h", "oa", "oz", "ö", "öa", "öz",
       "p", "sa", "sz", "ş", "şa", "şz", "t", "ua", "uz", "ü", "üa",
       "üz", "v", "a", "á", "à", "â", "å", "ä", "ã", "az", "e", "é",
       "o", "ó", "ô", "õ", "u", "ú", "û", "y", "ý", "ÿ", "n", "ñ",
       "item2", "item02", "ITEM10", "x9y", "x10y")
     for (loc <- Seq("es", "sv", "da", "tr");
-         strength <- Seq(1, 2); numeric <- Seq(false, true)) {
+         strength <- Seq(1, 2, 3); numeric <- Seq(false, true)) {
       // æ/ø are PRIMARY LETTERS only under sv/da (exactly handled by
       // their tailoring tables); in root-class locales ICU treats them
       // as "ae"/"o-stroke" EXPANSIONS, which the engine documents as
@@ -625,7 +636,7 @@ class MqlFilterSpec extends SparkTestBase {
       // tr runs its own vocabulary: the Turkish letters plus the
       // shared root-accent and numeric words.
       val vocabL =
-        if (loc == "es") vocab.filterNot(_.exists("æø".contains(_)))
+        if (loc == "es") vocab.filterNot(_.exists("æøÆØ".contains(_)))
         else if (loc == "tr") trVocab
         else vocab
       val coll = MqlFilter.Collation(loc, strength, numeric)
@@ -652,14 +663,14 @@ class MqlFilterSpec extends SparkTestBase {
           s"column/literal $loc key twin drift on '$w'")
       }
     }
-    for (loc <- Seq("es", "sv", "da", "tr"); st <- Seq(1, 2))
+    for (loc <- Seq("es", "sv", "da", "tr"); st <- Seq(1, 2, 3))
       MqlFilter.parseCollation(
         s"""{"locale": "$loc", "strength": $st}""")
-    // unmeasured locales stay loud; so does any tailored locale at
-    // strength 3 (tertiary)
+    // unmeasured locales stay loud; so do the root-class Western
+    // locales at strength 3 (their tertiary case tables are unmeasured)
     for (spec <- Seq("""{"locale": "pl", "strength": 1}""",
-        """{"locale": "sv", "strength": 3}""",
-        """{"locale": "da"}""")) {
+        """{"locale": "fr", "strength": 3}""",
+        """{"locale": "nl"}""")) {
       val e = intercept[IllegalArgumentException] {
         MqlFilter.parseCollation(spec)
       }
