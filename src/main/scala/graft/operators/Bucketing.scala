@@ -73,20 +73,43 @@ object Bucketing {
     table
   }
 
+  /** Warm-path memo (r17): once a (session, corpus) pair has ensured
+    * its tables, later calls run ZERO jobs — not even the footer
+    * counts (the r15 ADVICE ask). Keyed on the source FILE-LISTING
+    * fingerprint, not the path, so a corpus regenerated under the
+    * same dir re-ensures (one driver-side listStatus per call, no
+    * Spark job). Single slot — the round pattern is one session, one
+    * SF. */
+  @volatile private var warmMemo
+      : Option[(SparkSession, String, (String, String))] = None
+
   def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
-    // ONE bucket count for both sides, sized by the larger table — a
-    // bucketed SMJ is exchange-free only when the counts MATCH. The
-    // counts feed ensureTable's Trust check too, so each source is
-    // counted exactly once per call (and only metadata-cheaply:
-    // parquet count() reads footers, not data).
-    val oRows = s.read.parquet(s"$dir/orders.parquet").count()
-    val lRows = s.read.parquet(s"$dir/lineitem.parquet").count()
-    val buckets = bucketsFor(math.max(oRows, lRows))
-    val ot = ensureTable(s, s"orders_b_${suffix(dir)}",
-      s"$dir/orders.parquet", "o_orderkey", buckets, oRows)
-    val lt = ensureTable(s, s"lineitem_b_${suffix(dir)}",
-      s"$dir/lineitem.parquet", "l_orderkey", buckets, lRows)
-    (ot, lt)
+    val memoKey = dir + "@" +
+      graft.core.Scratch.fingerprint(s, s"$dir/orders.parquet") + ":" +
+      graft.core.Scratch.fingerprint(s, s"$dir/lineitem.parquet")
+    warmMemo match {
+      // tableExists is a driver-side catalog lookup (no job): the memo
+      // must not trust through an external DROP TABLE
+      case Some((ms, mk, tables)) if (ms eq s) && mk == memoKey &&
+          s.catalog.tableExists(tables._1) &&
+          s.catalog.tableExists(tables._2) =>
+        tables
+      case _ =>
+        // ONE bucket count for both sides, sized by the larger table —
+        // a bucketed SMJ is exchange-free only when the counts MATCH.
+        // The counts feed ensureTable's Trust check too, so each
+        // source is counted exactly once per ENSURE (and only
+        // metadata-cheaply: parquet count() reads footers, not data).
+        val oRows = s.read.parquet(s"$dir/orders.parquet").count()
+        val lRows = s.read.parquet(s"$dir/lineitem.parquet").count()
+        val buckets = bucketsFor(math.max(oRows, lRows))
+        val ot = ensureTable(s, s"orders_b_${suffix(dir)}",
+          s"$dir/orders.parquet", "o_orderkey", buckets, oRows)
+        val lt = ensureTable(s, s"lineitem_b_${suffix(dir)}",
+          s"$dir/lineitem.parquet", "l_orderkey", buckets, lRows)
+        warmMemo = Some((s, memoKey, (ot, lt)))
+        (ot, lt)
+    }
   }
 
   /** The co-located join: revenue by order status, joining the two

@@ -151,6 +151,25 @@ class PlanSpec extends SparkTestBase {
       spark.read.parquet(s"$sf0001/orders.parquet").count())
   }
 
+  test("bucketing warm path runs ZERO jobs (r17 memo): the second " +
+      "ensure in a session skips even the footer counts") {
+    import graft.operators.Bucketing
+    Bucketing.ensureBucketed(spark, sf0001) // cold (or memo-warm) pass
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t = Bucketing.ensureBucketed(spark, sf0001)
+      assert(spark.catalog.tableExists(t._1))
+      Thread.sleep(300) // listener bus is async; zero events to drain
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs == 0, s"warm ensureBucketed ran $jobs Spark job(s)")
+  }
+
   test("kmeansFitMl (MLlib path): deterministic, and SSE beats raw seed vectors") {
     import graft.operators.IvfIndex
     import org.apache.spark.sql.functions.col
