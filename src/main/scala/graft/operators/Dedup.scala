@@ -338,13 +338,21 @@ object Dedup {
     val n = base.count()
     if (!graft.core.Trust.parquetDir(s, idxBands, n * bands) ||
         !graft.core.Trust.parquetDir(s, idxSh, n)) {
-      // one signature pass feeds both writes (localCheckpoint — the
-      // minhash expression is the expensive half of the build)
-      val sigs = signatureFrame(base, k).localCheckpoint(true)
-      bandSigs(sigs, k, bands).select("id", "band", "bh")
-        .write.mode("overwrite").parquet(idxBands)
-      sigs.select("id", "sh").write.mode("overwrite").parquet(idxSh)
-      sigs.unpersist()
+      // one signature pass feeds both writes. DISK_ONLY persist, NOT
+      // localCheckpoint: a checkpoint parks the full wide signature
+      // frame in unified STORAGE memory and holds it past this scope
+      // (Dataset.unpersist does not release checkpoint blocks), which
+      // at sf10 evicted the execution share of every LATER dedup gate
+      // in the session — measured 7.8 GB of prefix-self-join spill
+      // reappearing in dedup_jaccard_exact. Disk blocks cost one local
+      // round trip and free for real on the blocking unpersist.
+      val sigs = signatureFrame(base, k)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        bandSigs(sigs, k, bands).select("id", "band", "bh")
+          .write.mode("overwrite").parquet(idxBands)
+        sigs.select("id", "sh").write.mode("overwrite").parquet(idxSh)
+      } finally sigs.unpersist(blocking = true)
     }
     val deltaBands = bandedSignatures(delta, k, bands)
       .localCheckpoint(true) // probe side joins the union AND itself
