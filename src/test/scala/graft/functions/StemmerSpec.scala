@@ -33,6 +33,24 @@ class StemmerSpec extends SparkTestBase {
     }
   }
 
+  test("staged plan is exactly the flat sequential chain") {
+    // the guard argument made in the source, pinned empirically: the
+    // letter-guarded staged form must equal applying every rule of the
+    // table in order, over the real fixture vocabulary + canon words
+    def flat(w: String): String =
+      Stemmer.Rules.foldLeft(w) { case (s, (p, r)) =>
+        s.replaceFirst(p, r.replace("{1}", "$1"))
+      }
+    val vocab = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      .distinct().as[String].collect().toSeq ++
+      Seq("running", "hashes", "abilities", "buildings", "kindnesses",
+        "normalizations", "operations", "feed", "sing")
+    vocab.foreach { w =>
+      assert(Stemmer.stemLocal(w) == flat(w), s"staged vs flat on '$w'")
+    }
+  }
+
   test("Catalyst chain agrees with the driver-side stemmer") {
     // the documents fixture's real vocabulary + the canonical pairs:
     // every token must stem identically through both renderers
