@@ -2238,9 +2238,10 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(ok == "1999-12-31 23:59:59", ok)
   }
 
-  test("named-timezone (DST) date operators (r15): offsets move with " +
-      "the instant, gap shifts forward, overlap prefers the base " +
-      "offset, sub-day $dateDiff and past-horizon instants stay loud") {
+  test("named-timezone (DST) date operators (r15/r17): offsets move " +
+      "with the instant, gap shifts forward, overlap prefers the base " +
+      "offset, sub-day $dateDiff counts wall-clock labels, " +
+      "past-horizon instants stay loud") {
     def one(expr: String): String = run(
       s"""[{"$$match": {"id": {"$$eq": 1}}},
          | {"$$addFields": {"x": {"$$dateToString": {
@@ -2301,17 +2302,20 @@ class MqlPipelineSpec extends SparkTestBase {
       """{"$dateFromString": {"dateString": "2023-11-05T01:30:00",
         |  "timezone": "America/New_York"}}""".stripMargin)
     assert(fsOver == "2023-11-05 05:30:00", fsOver)
-    // sub-day $dateDiff in a named zone: loud (boundary counts across
-    // a transition are ambiguous)
-    val subDay = intercept[IllegalArgumentException] {
-      run("""[{"$addFields": {"x": {"$dateDiff": {
-            |  "startDate": "2023-01-01T00:00:00",
-            |  "endDate": "2023-07-01T00:00:00", "unit": "hour",
-            |  "timezone": "America/New_York"}}}}]""".stripMargin)
-        .collect()
-    }
-    assert(subDay.getMessage.contains("named timezone"),
-      subDay.getMessage)
+    // sub-day $dateDiff in a named zone (r17 — the r15 refusal
+    // lifted): wall-clock label arithmetic; Jan 1 (UTC instant,
+    // 19:00 EST local) → Jul 1 (20:00 EDT local) spans the spring
+    // transition, so the label count is one MORE than the 4344
+    // physical hours (the local clock jumps ahead across the gap)
+    val subDay = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"x": {"$toLong": {"$dateDiff": {
+        |  "startDate": "2023-01-01T00:00:00",
+        |  "endDate": "2023-07-01T00:00:00", "unit": "hour",
+        |  "timezone": "America/New_York"}}}}},
+        | {"$project": {"x": 1}}]""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(subDay == 4345L, s"got $subDay")
     // past the baked horizon: loud per row, never a silently frozen
     // last rule
     val horizon = intercept[Exception] {
