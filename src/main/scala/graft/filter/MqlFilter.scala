@@ -339,13 +339,16 @@ object MqlFilter {
     def diacriticFold: Boolean = strength == 1
     /** Strength 2 orders accents by ICU-root secondary weight. */
     def secondaryOrder: Boolean = strength == 2
-    /** Strength 3 for a TAILORED locale (r17): the full three-level
-      * key — tailored primary, locale secondary, then CASE as the
-      * least-significant level ([[caseKeyCol]]); icu4j-locked like
-      * the lower strengths. en/simple at 3 stay the measured-exact
-      * codepoint identity. */
+    /** Strength 3 for a TAILORED or root-class Western locale (r17):
+      * the full three-level key — (tailored) primary, locale
+      * secondary, then CASE as the least-significant level
+      * ([[caseKeyCol]]; measured lower-first for every root locale,
+      * forward accents — fr-CA's backwards accents are NOT fr's);
+      * icu4j-locked like the lower strengths. en/simple at 3 stay
+      * the adjudicated codepoint identity. */
     def tertiaryOrder: Boolean =
-      strength == 3 && Tailorings.contains(locale)
+      strength == 3 &&
+        (Tailorings.contains(locale) || RootTertiary(locale))
     /** The locale's primary tailoring table when one applies (r16) —
       * es/sv/da at collated strengths. A primary tailoring bites at
       * EVERY collated strength (the r15 "es ≡ root at strength 2"
@@ -360,6 +363,11 @@ object MqlFilter {
     def active: Boolean =
       caseInsensitive || numericOrdering || tertiaryOrder
   }
+
+  /** Root-class Western locales measured ≡ ICU root at every strength
+    * (r15: primaries/secondaries; r17: tertiary = the root case level,
+    * lower-first). */
+  private[graft] val RootTertiary = Set("fr", "de", "it", "pt", "nl")
 
   /** Latin-1 diacritic fold (lowercase side — [[foldCol]] lowers
     * first): the ICU-root primary-equivalence subset that is a
@@ -664,6 +672,14 @@ object MqlFilter {
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝŸ" +
       "ÆØĞİŞ"
 
+  /** Case-level carrier for the ROOT-class locales at strength 3
+    * (fr/de/it/pt/nl, r17): no tailoring — root secondary tables,
+    * lower-first case, no contractions/overrides. Only [[caseKeyCol]]
+    * reads it (those locales keep the None-tailoring primary and
+    * secondary paths). */
+  private[graft] val RootCaseTailoring: Tailoring =
+    Tailoring("", Nil, Nil, SecFrom, SecTo)
+
   private def terTables(t: Tailoring): (String, String) = {
     val (lowD, upD) = if (t.caseFirstUpper) ('2', '1') else ('1', '2')
     val over = t.terOverrides.map(_._1).toSet
@@ -822,14 +838,16 @@ object MqlFilter {
   private[graft] def collKeyCol(c: Column, coll: Collation): Column = {
     val folded = coll.tailoring match {
       case Some(t) => tailoredFoldCol(c, t)
-      case None if coll.caseInsensitive =>
-        foldCol(c, coll.diacriticFold || coll.secondaryOrder)
+      case None if coll.caseInsensitive || coll.tertiaryOrder =>
+        foldCol(c, coll.diacriticFold || coll.secondaryOrder ||
+          coll.tertiaryOrder)
       case None => c
     }
     val primary = if (coll.numericOrdering) numKeyCol(folded) else folded
     if (coll.tertiaryOrder)
       concat(primary, lit(SecSep), accentKeyCol(c, coll.tailoring),
-        lit(TerSep), caseKeyCol(c, coll.tailoring.get))
+        lit(TerSep),
+        caseKeyCol(c, coll.tailoring.getOrElse(RootCaseTailoring)))
     else if (coll.secondaryOrder)
       concat(primary, lit(SecSep), accentKeyCol(c, coll.tailoring))
     else primary
@@ -838,14 +856,15 @@ object MqlFilter {
   private[graft] def collKeyLit(s: String, coll: Collation): String = {
     val folded = coll.tailoring match {
       case Some(t) => tailoredFoldLit(s, t)
-      case None if coll.caseInsensitive =>
-        foldLit(s, coll.diacriticFold || coll.secondaryOrder)
+      case None if coll.caseInsensitive || coll.tertiaryOrder =>
+        foldLit(s, coll.diacriticFold || coll.secondaryOrder ||
+          coll.tertiaryOrder)
       case None => s
     }
     val primary = if (coll.numericOrdering) numKeyLit(folded) else folded
     if (coll.tertiaryOrder)
       primary + SecSep + accentKeyLit(s, coll.tailoring) +
-        TerSep + caseKeyLit(s, coll.tailoring.get)
+        TerSep + caseKeyLit(s, coll.tailoring.getOrElse(RootCaseTailoring))
     else if (coll.secondaryOrder)
       primary + SecSep + accentKeyLit(s, coll.tailoring)
     else primary
@@ -884,11 +903,12 @@ object MqlFilter {
       Tailorings.keySet
     require(locale == "en" || locale == "simple" ||
       (strength <= 2 && tailored.contains(locale)) ||
-      (strength == 3 && Tailorings.contains(locale)),
+      (strength == 3 &&
+        (Tailorings.contains(locale) || RootTertiary.contains(locale))),
       s"unsupported collation locale: $locale at strength $strength " +
-        "(en/simple at any strength; es/sv/da/tr at strengths 1-3 — " +
-        "tertiary = the icu4j-locked case level, r17; fr/de/it/pt/nl " +
-        "at strengths 1-2: their tertiary case tables are unmeasured)")
+        "(en/simple at any strength; fr/de/it/pt/nl/es/sv/da/tr at " +
+        "strengths 1-3 — tertiary = the icu4j-locked case level, r17; " +
+        "other locales need their own measured tables)")
     // numericOrdering is locale-independent (digit runs are digits in
     // every supported locale) and composes with any strength
     val numeric = Option(n.get("numericOrdering")).exists { b =>

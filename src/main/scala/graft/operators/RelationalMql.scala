@@ -1166,6 +1166,38 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |]""".stripMargin,
       """{"locale": "tr", "strength": 3}""")
 
+  /** ROOT-class locale at strength 3 under the gate (r17): fr (with
+    * de/it/pt/nl, all measured ≡ ICU root at every strength) gains the
+    * tertiary case level — root fold + root secondary + lower-first
+    * case digits — composing with numericOrdering; $ne "COTE 2" must
+    * drop exactly the planted "COTE 02" (numeric equivalence holds
+    * through tertiary, case is significant) and nothing else. Ranks
+    * measured from icu4j fr (plant order). */
+  def mqlCollationTerRoot(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregateCollated(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          when(col("doc_id") % 12 === 0, lit("cote 2"))
+            .when(col("doc_id") % 12 === 1, lit("cotE 2"))
+            .when(col("doc_id") % 12 === 2, lit("Cote 2"))
+            .when(col("doc_id") % 12 === 3, lit("COTE 02"))
+            .when(col("doc_id") % 12 === 4, lit("coté 2"))
+            .when(col("doc_id") % 12 === 5, lit("Coté 2"))
+            .when(col("doc_id") % 12 === 6, lit("côte 2"))
+            .when(col("doc_id") % 12 === 7, lit("CÔTÉ 2"))
+            .when(col("doc_id") % 12 === 8, lit("item2 a"))
+            .when(col("doc_id") % 12 === 9, lit("ITEM002 a"))
+            .when(col("doc_id") % 12 === 10, lit("naïve 1"))
+            .otherwise(lit("Naïve 1")).as("tag"),
+          col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$match": {"tag": {"$gt": "cotE 2", "$ne": "COTE 2"}}},
+        | {"$sort": {"tag": 1, "did": 1}},
+        | {"$project": {"doc_id": 1, "tag": "$tag"}}
+        |]""".stripMargin,
+      """{"locale": "fr", "strength": 3, "numericOrdering": true}""")
+
   /** $redact under the gate (r12) — Mongo's access-control stage on
     * flat documents: a nested $cond decides $$KEEP/$$PRUNE per
     * document from its numeric char-count bracket ([300, 800)); the
@@ -3285,6 +3317,23 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |SELECT doc_id, tag FROM w
         |WHERE rnk >= 3 AND rnk <> 9
         |ORDER BY rnk, doc_id""".stripMargin,
+    // fr@3+numeric: icu-measured tertiary ranks = plant order;
+    // $gt 'cotE 2' keeps rank >= 2, $ne 'COTE 2' drops exactly the
+    // planted 'COTE 02' (02 ≡ 2 through tertiary, case significant)
+    "mql_collation_ter_root" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE doc_id % 12
+        |      WHEN 0 THEN 'cote 2' WHEN 1 THEN 'cotE 2'
+        |      WHEN 2 THEN 'Cote 2' WHEN 3 THEN 'COTE 02'
+        |      WHEN 4 THEN 'coté 2' WHEN 5 THEN 'Coté 2'
+        |      WHEN 6 THEN 'côte 2' WHEN 7 THEN 'CÔTÉ 2'
+        |      WHEN 8 THEN 'item2 a' WHEN 9 THEN 'ITEM002 a'
+        |      WHEN 10 THEN 'naïve 1' ELSE 'Naïve 1' END AS tag,
+        |    doc_id % 12 AS rnk
+        |  FROM documents)
+        |SELECT doc_id, tag FROM w
+        |WHERE rnk >= 2 AND rnk <> 3
+        |ORDER BY rnk, doc_id""".stripMargin,
     "mql_collation_accent" ->
       """WITH w AS (SELECT doc_id,
         |    CASE doc_id % 9
@@ -3448,6 +3497,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_collation_ter_sv" -> (mqlCollationTerSv _),
     "mql_collation_ter_da" -> (mqlCollationTerDa _),
     "mql_collation_ter_tr" -> (mqlCollationTerTr _),
+    "mql_collation_ter_root" -> (mqlCollationTerRoot _),
     "mql_json_schema" -> (mqlJsonSchema _),
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),

@@ -626,8 +626,16 @@ class MqlFilterSpec extends SparkTestBase {
       "üz", "v", "a", "á", "à", "â", "å", "ä", "ã", "az", "e", "é",
       "o", "ó", "ô", "õ", "u", "ú", "û", "y", "ý", "ÿ", "n", "ñ",
       "item2", "item02", "ITEM10", "x9y", "x10y")
-    for (loc <- Seq("es", "sv", "da", "tr");
-         strength <- Seq(1, 2, 3); numeric <- Seq(false, true)) {
+    // the tailored four at all three strengths; the root-class five at
+    // strength 3 (r17 — their 1-2 root-equality was the r15 audit; the
+    // tertiary case level is locked here) plus a 1-2 re-lock for fr/nl
+    // as root-class representatives
+    val combos =
+      (for (loc <- Seq("es", "sv", "da", "tr"); st <- Seq(1, 2, 3))
+        yield (loc, st)) ++
+      (for (loc <- Seq("fr", "de", "it", "pt", "nl")) yield (loc, 3)) ++
+      Seq(("fr", 1), ("fr", 2), ("nl", 1), ("nl", 2))
+    for ((loc, strength) <- combos; numeric <- Seq(false, true)) {
       // æ/ø are PRIMARY LETTERS only under sv/da (exactly handled by
       // their tailoring tables); in root-class locales ICU treats them
       // as "ae"/"o-stroke" EXPANSIONS, which the engine documents as
@@ -636,9 +644,11 @@ class MqlFilterSpec extends SparkTestBase {
       // tr runs its own vocabulary: the Turkish letters plus the
       // shared root-accent and numeric words.
       val vocabL =
-        if (loc == "es") vocab.filterNot(_.exists("æøÆØ".contains(_)))
-        else if (loc == "tr") trVocab
-        else vocab
+        if (loc == "tr") trVocab
+        else if (loc == "sv" || loc == "da") vocab
+        // root-class locales (and es) treat æ/ø as ae/o-stroke
+        // EXPANSIONS — outside the supported alphabet
+        else vocab.filterNot(_.exists("æøÆØ".contains(_)))
       val coll = MqlFilter.Collation(loc, strength, numeric)
       val ref = icu(loc, strength, numeric)
       for (x <- vocabL; y <- vocabL) {
@@ -663,14 +673,14 @@ class MqlFilterSpec extends SparkTestBase {
           s"column/literal $loc key twin drift on '$w'")
       }
     }
-    for (loc <- Seq("es", "sv", "da", "tr"); st <- Seq(1, 2, 3))
+    for (loc <- Seq("es", "sv", "da", "tr", "fr", "de", "it", "pt",
+        "nl"); st <- Seq(1, 2, 3))
       MqlFilter.parseCollation(
         s"""{"locale": "$loc", "strength": $st}""")
-    // unmeasured locales stay loud; so do the root-class Western
-    // locales at strength 3 (their tertiary case tables are unmeasured)
+    // unmeasured locales stay loud at every strength
     for (spec <- Seq("""{"locale": "pl", "strength": 1}""",
-        """{"locale": "fr", "strength": 3}""",
-        """{"locale": "nl"}""")) {
+        """{"locale": "cs", "strength": 3}""",
+        """{"locale": "ar"}""")) {
       val e = intercept[IllegalArgumentException] {
         MqlFilter.parseCollation(spec)
       }
