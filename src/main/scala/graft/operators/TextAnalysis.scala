@@ -1086,6 +1086,46 @@ object TextAnalysis {
     "bm25_search" -> bm25Sql,
     // the persisted-index path answers the SAME query — one oracle text
     "search_indexed" -> bm25Sql,
+    // BM25 over the ENGLISH-ANALYZED index: tokens/lengths from the
+    // baked analyzer (rendered to SQL from the ONE rule table); the
+    // inflected query terms stem to hash/join/merge, so the formula
+    // tail is bm25Sql's with analyzed tf/dl/df inputs
+    "search_stemmed" -> {
+      val toks = graft.functions.Stemmer.analyzeSqlTokens("text")
+      s"""WITH at AS (SELECT doc_id, $toks AS a FROM documents),
+         |dl AS (SELECT doc_id, len(a) AS dl FROM at),
+         |tok AS (SELECT doc_id, unnest(a) AS tok FROM at),
+         |tf AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+         |    sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf_join,
+         |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf_merge
+         |  FROM tok WHERE tok IN ('hash', 'join', 'merge')
+         |  GROUP BY doc_id),
+         |st AS (
+         |  SELECT
+         |    (SELECT count(*) FROM dl) AS n_docs,
+         |    (SELECT sum(dl) FROM dl) AS sum_dl,
+         |    sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+         |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+         |  FROM tf)
+         |SELECT doc_id, round(
+         |    ln((n_docs - df_hash + 0.5) / (df_hash + 0.5))
+         |      * (tf_hash::DOUBLE * 2.2)
+         |      / (tf_hash::DOUBLE + 1.2 * (1.0 - 0.75
+         |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+         |  + ln((n_docs - df_join + 0.5) / (df_join + 0.5))
+         |      * (tf_join::DOUBLE * 2.2)
+         |      / (tf_join::DOUBLE + 1.2 * (1.0 - 0.75
+         |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs)))
+         |  + ln((n_docs - df_merge + 0.5) / (df_merge + 0.5))
+         |      * (tf_merge::DOUBLE * 2.2)
+         |      / (tf_merge::DOUBLE + 1.2 * (1.0 - 0.75
+         |         + 0.75 * dl / (sum_dl::DOUBLE / n_docs))), 6) AS bm25
+         |FROM tf JOIN dl USING (doc_id), st
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
     // the oracle is the all-pairs definition the SymSpell join must
     // reproduce exactly: every (query, vocab token) pair within edit
     // distance 2, same 32-char participation cap
@@ -1391,6 +1431,7 @@ object TextAnalysis {
     "text_repetition" -> (textRepetition _),
     "text_lm_score" -> (textLmScore _),
     "search_indexed" -> (TextIndex.searchIndexed _),
+    "search_stemmed" -> (TextIndex.searchStemmed _),
     "text_char_diversity" -> (textCharDiversity _),
     "sketch_cms" -> (sketchCms _),
     "vocab_coverage" -> (vocabCoverage _),

@@ -30,8 +30,20 @@ object TextIndex {
 
   private def tb = pmod(md5Hash60(col("term")), lit(NBuckets.toLong))
 
-  private def postingsOf(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), posexplode(tokens(col("text")))
+  /** Tokenization of the index: exact [a-z0-9]+ tokens, or the baked
+    * ENGLISH ANALYZER (stop words + table stemmer, r17 — what Mongo's
+    * text index does by default). The choice is a property of the
+    * index DIRECTORY (the caller's scratch prefix carries it, the
+    * bucket-count-in-table-name discipline): one dir, one tokenizer —
+    * query terms must analyze with the same switch. */
+  private def tokCol(text: org.apache.spark.sql.Column,
+      analyzed: Boolean): org.apache.spark.sql.Column =
+    if (analyzed) graft.functions.Stemmer.analyzeCol(text)
+    else tokens(text)
+
+  private def postingsOf(d: DataFrame,
+      analyzed: Boolean = false): DataFrame = d
+    .select(col("doc_id"), posexplode(tokCol(col("text"), analyzed))
       .as(Seq("pos", "term")))
     .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"),
       // token positions (r15): what phrase adjacency joins on.
@@ -40,11 +52,14 @@ object TextIndex {
       sort_array(collect_list(col("pos"))).as("positions"))
     .withColumn("tb", tb)
 
-  private def statsOf(d: DataFrame): DataFrame = d
-    .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+  private def statsOf(d: DataFrame,
+      analyzed: Boolean = false): DataFrame = d
+    .select(col("doc_id"),
+      size(tokCol(col("text"), analyzed)).cast("long").as("dl"))
 
-  def build(s: SparkSession, d: DataFrame, outDir: String): String = {
-    val posts = postingsOf(d)
+  def build(s: SparkSession, d: DataFrame, outDir: String,
+      analyzed: Boolean = false): String = {
+    val posts = postingsOf(d, analyzed)
     posts.write.mode("overwrite").partitionBy("tb")
       .parquet(s"$outDir/postings")
     // vocab dictionary (r15): the fuzzy path's candidate source — a
@@ -53,7 +68,8 @@ object TextIndex {
     // dedup. Derivable from postings, so not in the trust arithmetic.
     posts.select("term").distinct()
       .write.mode("overwrite").parquet(s"$outDir/terms")
-    statsOf(d).write.mode("overwrite").parquet(s"$outDir/docstats")
+    statsOf(d, analyzed).write.mode("overwrite")
+      .parquet(s"$outDir/docstats")
     writeMeta(s, outDir)
     outDir
   }
@@ -83,7 +99,8 @@ object TextIndex {
 
   /** Same trust contract as [[IvfIndex.ensureBuilt]]: _SUCCESS markers
     * + exact row counts (from meta) + the corpus hasn't grown. */
-  def ensureBuilt(s: SparkSession, d: DataFrame, outDir: String): String = {
+  def ensureBuilt(s: SparkSession, d: DataFrame, outDir: String,
+      analyzed: Boolean = false): String = {
     val trusted = layoutCurrent(s, outDir) &&
       graft.core.Trust.parquetDir(s, s"$outDir/meta", 1L) && {
         val m = s.read.parquet(s"$outDir/meta").head()
@@ -93,21 +110,22 @@ object TextIndex {
           m.getAs[Long]("n_postings")) &&
         m.getAs[Long]("n_docs") == d.count()
       }
-    if (trusted) outDir else build(s, d, outDir)
+    if (trusted) outDir else build(s, d, outDir, analyzed)
   }
 
   /** Incremental maintenance — [[IvfIndex.appendTailPq]]'s text twin:
     * tokenize ONLY the new docs, append their postings into the
     * partitioned buckets and their lengths into docstats, rewrite the
     * 1-row meta. O(tail); existing bucket files untouched. */
-  def appendTail(s: SparkSession, tail: DataFrame, indexDir: String)
-      : Unit = {
-    val posts = postingsOf(tail)
+  def appendTail(s: SparkSession, tail: DataFrame, indexDir: String,
+      analyzed: Boolean = false): Unit = {
+    val posts = postingsOf(tail, analyzed)
     posts.write.mode("append").partitionBy("tb")
       .parquet(s"$indexDir/postings")
     posts.select("term").distinct()
       .write.mode("append").parquet(s"$indexDir/terms")
-    statsOf(tail).write.mode("append").parquet(s"$indexDir/docstats")
+    statsOf(tail, analyzed).write.mode("append")
+      .parquet(s"$indexDir/docstats")
     writeMeta(s, indexDir)
   }
 
@@ -208,5 +226,24 @@ object TextIndex {
       .select(col("doc_id"), col("text"))
     val idx = ensureBuilt(s, d, graft.core.Scratch.dir("textidx", dir))
     search(s, idx, Seq("hash", "join", "merge"), 15)
+  }
+
+  /** Gate: BM25 served from the ENGLISH-ANALYZED persisted index
+    * (r17) — what Mongo's text index does by default (it stems):
+    * inflected query terms ("hashes joining merges") analyze
+    * driver-side to the same stems the postings hold, so document
+    * occurrences of "hashing"/"joins"/"merged" score toward the
+    * query; document length = analyzed (stop-filtered, stemmed)
+    * token count, changing every BM25 factor vs the exact-token
+    * gate. The oracle replays BM25 over the SAME analyzer rendered
+    * to SQL from the one rule table. Separate scratch prefix: one
+    * index dir, one tokenizer. */
+  def searchStemmed(s: SparkSession, dir: String): DataFrame = {
+    val d = Inputs.resplit(s, s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("text"))
+    val idx = ensureBuilt(s, d,
+      graft.core.Scratch.dir("textidxen", dir), analyzed = true)
+    search(s, idx, graft.functions.Stemmer.analyzeTerms(
+      Seq("hashes", "joining", "merges")), 15)
   }
 }
