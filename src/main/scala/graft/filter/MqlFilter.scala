@@ -1149,6 +1149,19 @@ object MqlFilter {
           require(v.isObject && v.get("$search") != null &&
             v.get("$search").isTextual,
             s"""$$text needs {"$$search": "terms"}: $v""")
+          // option surface validated (r17): an unknown key — or a
+          // sensitivity flag this engine doesn't implement — must not
+          // silently fall back to the default matching semantics
+          v.properties().asScala.foreach(e => require(
+            Seq("$search", "$language", "$caseSensitive",
+              "$diacriticSensitive").contains(e.getKey),
+            s"unsupported $$text option: ${e.getKey}"))
+          for (k <- Seq("$caseSensitive", "$diacriticSensitive"))
+            require(Option(v.get(k)).forall(n =>
+              n.isBoolean && !n.asBoolean()),
+              s"$$text $k: true is unsupported (matching is " +
+                "case/diacritic-insensitive — Mongo's default); " +
+                "omit the flag or pass false")
           val lang = Option(v.get("$language")).map(_.asText())
             .getOrElse("none")
           val terms = textSearchTerms(v.get("$search").asText())

@@ -88,5 +88,21 @@ class StemmerSpec extends SparkTestBase {
         graft.filter.MqlFilter.JsonResolver(lit("{}")))
     }
     assert(e2.getMessage.contains("stop word"))
+    // sensitivity flags: explicit false accepted, true loud, unknown
+    // options loud — never a silent fallback to default matching
+    graft.filter.MqlFilter.toColumn(
+      """{"$text": {"$search": "run", "$caseSensitive": false,
+        |  "$diacriticSensitive": false}}""".stripMargin,
+      graft.filter.MqlFilter.JsonResolver(lit("{}")))
+    for (bad <- Seq(
+        """{"$text": {"$search": "run", "$caseSensitive": true}}""",
+        """{"$text": {"$search": "run", "$diacriticSensitive": true}}""",
+        """{"$text": {"$search": "run", "$banana": 1}}""")) {
+      val e3 = intercept[IllegalArgumentException] {
+        graft.filter.MqlFilter.toColumn(bad,
+          graft.filter.MqlFilter.JsonResolver(lit("{}")))
+      }
+      assert(e3.getMessage.contains("unsupported"), e3.getMessage)
+    }
   }
 }
