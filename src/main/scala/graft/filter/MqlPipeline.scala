@@ -2523,6 +2523,35 @@ object MqlPipeline {
             }
           val dblToStr = v.get("to").asText() == "string" &&
             doubleBracket(v.get("input"))
+          // r17: a provably-INTEGRAL input converts to date as epoch
+          // MILLISECONDS — Mongo's documented long→date semantics,
+          // exact on both engines via an explicit millis constructor
+          // (the r14 refusal was about Spark's CAST being
+          // epoch-seconds; timestamp_millis sidesteps the cast
+          // entirely). Structural proof like the string brackets:
+          // integral literals, $toLong/$toInt producers, real
+          // long/int columns. Metadata field refs are NOT in the
+          // bracket (the generic path resolves them through the
+          // string view — route through $toLong explicitly), and
+          // doubles stay loud (fractional-millis truncate-vs-round
+          // is not pinnable).
+          def intBracket(n: JsonNode): Boolean = {
+            import org.apache.spark.sql.types._
+            n.isIntegralNumber ||
+            (n.isObject && n.properties().size() == 1 &&
+              Seq("$toLong", "$toInt").contains(
+                n.properties().asScala.head.getKey)) ||
+            (n.isTextual && n.asText().startsWith("$") &&
+              !n.asText().startsWith("$$") && {
+                val f = n.asText().drop(1)
+                cur.columns.contains(f) &&
+                  (cur.schema(f).dataType == LongType ||
+                    cur.schema(f).dataType == IntegerType)
+              })
+          }
+          val numToDate =
+            Seq("date", "timestamp").contains(v.get("to").asText()) &&
+              intBracket(v.get("input"))
           val convTo = v.get("to").asText() match {
             case "long" | "int" => "long"
             case "double" => "double"
@@ -2609,12 +2638,12 @@ object MqlPipeline {
                     case _ => false
                   }
                 } else false
-              if (!dateBracketOk(v.get("input")))
+              if (!numToDate && !dateBracketOk(v.get("input")))
                 throw new IllegalArgumentException(
                   "$convert to date needs a provably string/timestamp " +
-                    s"input (got ${v.get("input")}) — a numeric input " +
-                    "is epoch-millis in Mongo but epoch-seconds in " +
-                    "Spark's cast: silently divergent")
+                    s"input or a provably INTEGRAL one (epoch millis, " +
+                    s"r17) (got ${v.get("input")}) — a double input's " +
+                    "fractional-millis handling is not pinnable")
               "timestamp"
             case other => throw new IllegalArgumentException(
               s"unsupported $$convert target '$other' (long/int/" +
@@ -2642,6 +2671,18 @@ object MqlPipeline {
                   "integral |v| <= 2^53 (float formatting diverges " +
                   "across engines), got: "),
                 convIn.cast("string"))).cast("string"))
+            else if (numToDate)
+              // epoch-millis → timestamp, bounded so the µs value
+              // always fits a long on BOTH engines (past it, DuckDB's
+              // make_timestamp errors where Spark would silently
+              // overflow — raise instead)
+              when(org.apache.spark.sql.functions.abs(convIn)
+                  <= lit(9223372036854775L),
+                timestamp_millis(convIn.cast("long")))
+                .otherwise(raise_error(concat(
+                  lit("$convert long->date: |epoch millis| past the " +
+                    "timestamp range: "),
+                  convIn.cast("string"))).cast("timestamp"))
             else convIn.try_cast(convTo)
           val onNull: Column = Option(v.get("onNull"))
             .map(n => computeExprRes(n, metaCol, cur, res, env)

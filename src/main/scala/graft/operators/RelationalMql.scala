@@ -591,6 +591,40 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
+  /** $convert LONG→DATE under the gate (r17 — lifts the r14 numeric
+    * refusal for the integral bracket): Mongo reads an integral input
+    * as epoch MILLISECONDS; the engine constructs the timestamp with
+    * an explicit millis constructor (the refusal was about Spark's
+    * CAST being epoch-seconds — the cast never runs), bounded so the
+    * µs value fits a long on both engines. The fixture plants
+    * sub-second millis (…%1000) so $millisecond proves precision, a
+    * missing field every 5th routes through onNull (the epoch), and
+    * the converted value composes with $dateToString downstream.
+    * Doubles stay loud (fractional-millis truncate-vs-round is not
+    * pinnable). */
+  def mqlConvertEpoch(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          when(col("event_id") % 5 === 1, lit(null).cast("long"))
+            .otherwise(lit(1672531200000L) +
+              (col("event_id") % 730) * 86400017L +
+              col("event_id") % 1000).as("ms")))),
+      col("meta"),
+      """[
+        | {"$addFields": {"d": {"$convert": {
+        |   "input": {"$toLong": "$ms"}, "to": "date",
+        |   "onNull": {"$dateFromString":
+        |     {"dateString": "1970-01-01T00:00:00"}}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "s": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S",
+        |     "date": "$d"}},
+        |   "msec": {"$millisecond": "$d"}}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 300}
+        |]""".stripMargin)
+
   /** $convert TO-DATE under the gate (r14) — the ISO-string bracket
     * with the full error surface: a planted string field is a valid
     * ISO timestamp for most docs, garbage every 5th (→ onError, a
@@ -3051,6 +3085,17 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_date_tz_named" -> nyReplaySql,
     "mql_date_diff_tz" -> ddTzReplaySql,
+    "mql_convert_epoch" ->
+      """WITH b AS (SELECT event_id,
+        |  (CASE WHEN event_id % 5 = 1 THEN NULL
+        |        ELSE 1672531200000 + (event_id % 730) * 86400017
+        |          + event_id % 1000 END)::BIGINT AS ms
+        |  FROM events),
+        |c AS (SELECT event_id, COALESCE(ms, 0) AS m FROM b)
+        |SELECT event_id,
+        |  strftime(make_timestamp(m * 1000), '%Y-%m-%d %H:%M:%S') AS s,
+        |  m % 1000 AS msec
+        |FROM c ORDER BY event_id LIMIT 300""".stripMargin,
     "mql_date_from_str" ->
       """WITH w AS (SELECT event_id,
         |  CASE WHEN event_id % 7 = 1 THEN NULL
@@ -3477,6 +3522,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_add_tz" -> (mqlDateAddTz _),
     "mql_date_tz_named" -> (mqlDateTzNamed _),
     "mql_date_diff_tz" -> (mqlDateDiffTz _),
+    "mql_convert_epoch" -> (mqlConvertEpoch _),
     "mql_date_parts_ext" -> (mqlDatePartsExt _),
     "mql_date_from_str" -> (mqlDateFromStr _),
     "mql_convert" -> (mqlConvert _),
