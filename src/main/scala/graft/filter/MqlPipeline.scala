@@ -137,6 +137,9 @@ object MqlPipeline {
     // {$meta: "textScore"} in later $project/$addFields/$sort stages
     // (Mongo requires the $text to precede any $meta use; same here)
     var textTerms: Option[Seq[String]] = None
+    // the integer-micro score column of the last $vectorSearch — the
+    // basis of {$meta: "vectorSearchScore"} in later stages
+    var vsScore: Option[String] = None
     // the last pre-group $sort, as (key column, desc?) pairs — the
     // defined order that $first/$last/$push accumulators translate to
     // (a pre-group orderBy does not survive the aggregation exchange,
@@ -177,15 +180,26 @@ object MqlPipeline {
     def isMetaTextScore(n: JsonNode): Boolean =
       n.isObject && n.properties().size() == 1 &&
         n.get("$meta") != null
-    def metaScoreCol(n: JsonNode): Column = {
-      require(n.get("$meta").asText() == "textScore",
-        s"""only {"$$meta": "textScore"} is supported, got: $n""")
-      val terms = textTerms.getOrElse(throw new IllegalArgumentException(
-        "{$meta: \"textScore\"} requires a preceding top-level " +
-          "$text $match stage (Mongo contract)"))
-      size(filter(graft.functions.TextFunctions.tokens(col("text")),
-        t => array_position(typedLit(terms), t) > 0)).cast("long")
-    }
+    def metaScoreCol(n: JsonNode): Column =
+      n.get("$meta").asText() match {
+        case "textScore" =>
+          val terms = textTerms.getOrElse(
+            throw new IllegalArgumentException(
+              "{$meta: \"textScore\"} requires a preceding top-level " +
+                "$text $match stage (Mongo contract)"))
+          size(filter(graft.functions.TextFunctions.tokens(col("text")),
+            t => array_position(typedLit(terms), t) > 0)).cast("long")
+        case "vectorSearchScore" =>
+          // the engine's score is integer MICROS of Atlas's
+          // documented normalization (the cosµ stance) — exposed as
+          // LONG, reproducible under the oracle
+          col(vsScore.getOrElse(throw new IllegalArgumentException(
+            "{$meta: \"vectorSearchScore\"} requires a preceding " +
+              "$vectorSearch stage (Atlas contract)")))
+        case other => throw new IllegalArgumentException(
+          s"""only {"$$meta": "textScore"} and {"$$meta": """ +
+            s""""vectorSearchScore"} are supported, got: $other""")
+      }
     // Parse-once prelude (r16): a multi-entry $addFields/$project/
     // $group stage previously paid one FULL-DOCUMENT JSON parse per
     // metadata-touching entry per row — computeExpr binds its parse
@@ -204,8 +218,7 @@ object MqlPipeline {
     // inlines it and the plan is identical to not materializing;
     // keeping the ≥1 threshold buys the codegen-able variant_get shape
     // for free rather than leaving the lone entry on the interpreted
-    // bindOnce path.)
-    // variant_gets. No optimizer fence is needed — CollapseProject
+    // bindOnce path.) No optimizer fence is needed — CollapseProject
     // keeps a non-cheap alias with >1 consumer in its own Project
     // (verified on Spark 4.1: exactly one parseJson in the optimized
     // plan) and the alias stays deterministic, so later $match
@@ -447,7 +460,7 @@ object MqlPipeline {
                 case None => computeExpr(e.getValue, meta, cur)
               })
 
-        case "$replaceRoot" =>
+        case op @ ("$replaceRoot" | "$replaceWith") =>
           // {newRoot: "$f"}: promote an embedded sub-document to the
           // metadata root — later stages resolve fields inside it. The
           // JSON-text extraction keeps the root a plain JSON column, so
@@ -461,16 +474,23 @@ object MqlPipeline {
           // keeps it a plain JSON column like the path form. Null entry
           // values are omitted from the document (Spark's to_json
           // default), which is exactly Mongo's missing-field shape.
-          require(spec.isObject && spec.get("newRoot") != null,
-            s"$$replaceRoot needs a newRoot, got: $spec")
-          val nr = spec.get("newRoot")
+          // $replaceWith (r17) is Mongo 4.2's alias: the stage VALUE is
+          // the new root expression itself — normalize and share the
+          // one implementation so the spellings cannot diverge
+          val nr =
+            if (op == "$replaceWith") spec
+            else {
+              require(spec.isObject && spec.get("newRoot") != null,
+                s"$$replaceRoot needs a newRoot, got: $spec")
+              spec.get("newRoot")
+            }
           if (nr.isTextual && nr.asText().startsWith("$"))
             meta = get_json_object(meta, s"$$.${nr.asText().drop(1)}")
           else if (nr.isObject && nr.properties().size() > 0)
             meta = to_json(struct(nr.properties().asScala.toSeq.map(e =>
               computeExpr(e.getValue, meta, cur).as(e.getKey)): _*))
           else throw new IllegalArgumentException(
-            s"$$replaceRoot needs {newRoot: \"$$field\"} or a non-empty " +
+            s"$op needs a \"$$field\" path or a non-empty " +
               s"document, got: $spec")
 
         case "$lookup" =>
@@ -986,6 +1006,129 @@ object MqlPipeline {
           }
           cur = cur.orderBy(col(distF).asc)
           if (!grouped) sortKeys = Seq((col(distF), false))
+
+        case "$vectorSearch" =>
+          // Atlas's $vectorSearch, on this engine's EXACT top-k path
+          // (r17): `path` is a numeric-array metadata field,
+          // `queryVector` a numeric literal array, and the score is
+          // Atlas's documented normalization of the similarity,
+          // INTEGERIZED to micros (the cosµ stance: Atlas's float
+          // score is index-internal; the SURFACE — score projection
+          // via $meta, ordering, limit — is the parity provided,
+          // reproducible under the oracle). `exact: true` is REQUIRED:
+          // an ANN path's candidate set depends on index internals no
+          // oracle can replay; exact top-k is its recall-1 superset
+          // (the HNSW adjudication stance). `filter` is a PRE-filter
+          // (Atlas semantics). Engine extensions, both loud-by-absence
+          // because Atlas's stage cannot express them: `similarity`
+          // (cosine|euclidean|dotProduct — Atlas configures it in the
+          // index DEFINITION, which doesn't exist here) and
+          // `tieBreakField` (a numeric field totalizing equal-score
+          // selection — Atlas leaves tie order unspecified; a
+          // hash-gated engine cannot). Selection compiles to
+          // TakeOrderedAndProject (per-partition heaps, limit rows to
+          // the driver — never a global sort).
+          require(cur eq df,
+            "$vectorSearch must be the first pipeline stage (Atlas)")
+          require(spec.isObject, s"$$vectorSearch needs options: $spec")
+          val vsAllowed = Set("index", "path", "queryVector", "limit",
+            "numCandidates", "exact", "filter", "similarity",
+            "tieBreakField")
+          spec.properties().asScala.foreach(e =>
+            require(vsAllowed(e.getKey),
+              s"unsupported $$vectorSearch option (scope: " +
+                s"${vsAllowed.toSeq.sorted.mkString("/")}): ${e.getKey}"))
+          require(Option(spec.get("exact")).exists(n =>
+            n.isBoolean && n.asBoolean()),
+            "$vectorSearch needs exact: true — an approximate path's " +
+              "candidate set depends on index internals no oracle can " +
+              "replay; exact top-k is its recall-1 superset")
+          val qvN = spec.get("queryVector")
+          require(qvN != null && qvN.isArray && qvN.size() > 0 &&
+            qvN.elements().asScala.forall(_.isNumber),
+            s"$$vectorSearch queryVector must be a numeric array")
+          val qv = (0 until qvN.size()).map(i => qvN.get(i).asDouble())
+          val vsPath = Option(spec.get("path")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              "$vectorSearch requires path"))
+          val vsLimit = Option(spec.get("limit"))
+            .filter(n => n.isIntegralNumber && n.asLong() > 0)
+            .map(_.asInt()).getOrElse(
+              throw new IllegalArgumentException(
+                "$vectorSearch requires a positive integer limit"))
+          Option(spec.get("numCandidates")).foreach(n => require(
+            n.isIntegralNumber && n.asLong() >= vsLimit,
+            s"$$vectorSearch numCandidates must be >= limit: $n"))
+          val vsSim = Option(spec.get("similarity")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              "$vectorSearch requires similarity (cosine|euclidean|" +
+                "dotProduct) — Atlas reads it from the index " +
+                "definition; this engine takes it in the stage"))
+          val tieF = Option(spec.get("tieBreakField")).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              "$vectorSearch requires tieBreakField (a numeric field " +
+                "totalizing equal-score selection — Atlas leaves tie " +
+                "order unspecified; a deterministic engine cannot)"))
+          // pre-filter first (Atlas's filter is a PRE-filter)
+          Option(spec.get("filter")).foreach { q =>
+            val typed = MqlFilter.TypedResolver(
+              cur.schema.fields.map(f => f.name -> col(f.name)).toMap,
+              cur.schema.fields.map(f => f.name -> f.dataType).toMap)
+            cur = cur.filter(MqlFilter.toColumn(q.toString,
+              new HybridResolver(cur.columns.toSet, typed,
+                MqlFilter.JsonResolver(meta))))
+          }
+          val vec = from_json(get_json_object(meta, s"$$.$vsPath"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))
+          // docs without a dimension-matching vector are skipped
+          // (Atlas's behavior for missing/invalid path values)
+          cur = cur.filter(vec.isNotNull && size(vec) === qv.size)
+          val qvL = typedLit(qv)
+          def dotOf(a: Column, b: Column): Column =
+            org.apache.spark.sql.functions.aggregate(
+              zip_with(a, b, (x, y) => x * y), lit(0.0),
+              (acc, v) => acc + v)
+          val vsScoreµ: Column = vsSim match {
+            case "cosine" =>
+              // Atlas: (1 + cos) / 2 — the engine's integer-micro
+              // cosine (zero norm → 0, the sqlCosMu contract), then
+              // exact integer halving (the sum is ≤ 2e6, exact in
+              // double; both engines' halving is a floor on a
+              // non-negative value)
+              val nrm = sqrt(dotOf(vec, vec)) * sqrt(dotOf(qvL, qvL))
+              val cosmu = when(nrm === 0.0, lit(0L)).otherwise(
+                round(dotOf(vec, qvL) / nrm * 1000000.0).cast("long"))
+              floor((lit(1000000L) + cosmu) / lit(2.0)).cast("long")
+            case "euclidean" =>
+              // Atlas: 1 / (1 + d²), in micros
+              val d2 = org.apache.spark.sql.functions.aggregate(
+                zip_with(vec, qvL, (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, v) => acc + v)
+              round(lit(1000000.0) / (lit(1.0) + d2)).cast("long")
+            case "dotProduct" =>
+              // Atlas: (1 + dot) / 2, in micros (Atlas requires
+              // normalized vectors for this metric; the arithmetic
+              // holds either way)
+              round((lit(1.0) + dotOf(vec, qvL)) / lit(2.0)
+                * lit(1000000.0)).cast("long")
+            case other => throw new IllegalArgumentException(
+              s"unsupported $$vectorSearch similarity '$other' " +
+                "(cosine|euclidean|dotProduct)")
+          }
+          val scCol = s"__graft_vs_${helperCols.size}"
+          helperCols += scCol
+          cur = cur.withColumn(scCol, vsScoreµ)
+          val tkCol = s"__graft_vstk_${helperCols.size}"
+          helperCols += tkCol
+          cur = cur.withColumn(tkCol,
+            MqlFilter.JsonResolver(meta).num(tieF))
+          cur = cur.orderBy(col(scCol).desc, col(tkCol).asc)
+            .limit(vsLimit)
+          vsScore = Some(scCol)
+          limited = true
+          if (!grouped)
+            sortKeys = Seq((col(scCol), true), (col(tkCol), false))
 
         case "$out" =>
           // Mongo's REPLACE-the-collection output stage: the pipeline

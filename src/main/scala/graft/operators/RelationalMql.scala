@@ -591,6 +591,40 @@ private[graft] trait RelationalMql { this: Relational.type =>
         | {"$sort": {"did": 1}}
         |]""".stripMargin)
 
+  /** Atlas `$vectorSearch` under the gate (r17): exact cosine top-k
+    * over a metadata vector field — queryVector baked as full-precision
+    * DOUBLE literals of corpus vector 77 (Double.toString roundtrips,
+    * so the engine's parsed literal equals the oracle's ::DOUBLE cast
+    * of the same floats; the document side crosses the JSON boundary
+    * pre-cast to array<double> for the same reason), pre-filter
+    * excluding the query row, integer-micro (1+cos)/2 scores exposed
+    * through {$meta: "vectorSearchScore"}, selection totalized by the
+    * tieBreakField extension. The oracle replays brute-force cosine
+    * with the established list-comprehension dot device. */
+  def mqlVectorSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 77)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qvJson = qv.map(f => java.lang.Double.toString(f.toDouble))
+      .mkString("[", ", ", "]")
+    graft.filter.MqlPipeline.aggregate(
+      e.withColumn("meta", to_json(struct(
+        col("vec_id").cast("long").as("vid"),
+        col("embedding").cast("array<double>").as("emb")))),
+      col("meta"),
+      s"""[
+         | {"$$vectorSearch": {"index": "emb_idx", "path": "emb",
+         |   "queryVector": $qvJson, "limit": 12,
+         |   "numCandidates": 200, "exact": true,
+         |   "similarity": "cosine",
+         |   "filter": {"vid": {"$$ne": 77}},
+         |   "tieBreakField": "vid"}},
+         | {"$$project": {"vid": {"$$toLong": "$$vid"},
+         |   "score": {"$$meta": "vectorSearchScore"}}},
+         | {"$$sort": {"score": -1, "vid": 1}}
+         |]""".stripMargin)
+  }
+
   /** $convert LONG→DATE under the gate (r17 — lifts the r14 numeric
     * refusal for the integral bracket): Mongo reads an integral input
     * as epoch MILLISECONDS; the engine constructs the timestamp with
@@ -3085,6 +3119,24 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |FROM b ORDER BY event_id LIMIT 250""".stripMargin,
     "mql_date_tz_named" -> nyReplaySql,
     "mql_date_diff_tz" -> ddTzReplaySql,
+    "mql_vector_search" -> {
+      def dot(a: String, b: String) =
+        s"list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE " +
+          "for i in generate_series(1,64)])"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 77),
+         |c AS (SELECT vec_id AS vid, embedding AS ev FROM embeddings
+         |  WHERE vec_id <> 77),
+         |s AS (SELECT vid,
+         |    (1000000 + CAST(coalesce(round(
+         |      ${dot("ev", "qv")} /
+         |        nullif(sqrt(${dot("ev", "ev")})
+         |          * sqrt(${dot("qv", "qv")}), 0)
+         |      * 1000000), 0) AS BIGINT)) // 2 AS score
+         |  FROM c, q)
+         |SELECT vid, score FROM s
+         |ORDER BY score DESC, vid ASC LIMIT 12""".stripMargin
+    },
     "mql_convert_epoch" ->
       """WITH b AS (SELECT event_id,
         |  (CASE WHEN event_id % 5 = 1 THEN NULL
@@ -3523,6 +3575,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_date_tz_named" -> (mqlDateTzNamed _),
     "mql_date_diff_tz" -> (mqlDateDiffTz _),
     "mql_convert_epoch" -> (mqlConvertEpoch _),
+    "mql_vector_search" -> (mqlVectorSearch _),
     "mql_date_parts_ext" -> (mqlDatePartsExt _),
     "mql_date_from_str" -> (mqlDateFromStr _),
     "mql_convert" -> (mqlConvert _),

@@ -211,6 +211,82 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$replaceWith is exactly $replaceRoot's newRoot form (r17)") {
+    def norm(pipe: String) = run(pipe).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaRoot = norm(
+      """[
+        | {"$replaceRoot": {"newRoot": {
+        |   "g": {"$toUpper": "$grp"},
+        |   "v10": {"$multiply": [{"$toLong": "$v"}, 10]}}}},
+        | {"$sort": {"v10": 1}},
+        | {"$project": {"g": 1, "v10": {"$toLong": "$v10"}}}
+        |]""".stripMargin)
+    val viaWith = norm(
+      """[
+        | {"$replaceWith": {
+        |   "g": {"$toUpper": "$grp"},
+        |   "v10": {"$multiply": [{"$toLong": "$v"}, 10]}}},
+        | {"$sort": {"v10": 1}},
+        | {"$project": {"g": 1, "v10": {"$toLong": "$v10"}}}
+        |]""".stripMargin)
+    assert(viaRoot == viaWith && viaWith.nonEmpty)
+    intercept[IllegalArgumentException] { // empty document root
+      run("""[{"$replaceWith": {}}]""")
+    }
+  }
+
+  test("$vectorSearch (r17): exact cosine top-k with micro scores, " +
+      "pre-filter, tie break; ANN/missing options loud") {
+    val docs = Seq(
+      (1L, """{"vid": 1, "emb": [1.0, 0.0], "grp": "a"}"""),
+      (2L, """{"vid": 2, "emb": [0.0, 1.0], "grp": "a"}"""),
+      (3L, """{"vid": 3, "emb": [1.0, 1.0], "grp": "a"}"""),
+      (4L, """{"vid": 4, "emb": [-1.0, 0.0], "grp": "b"}"""),
+      (5L, """{"vid": 5, "emb": [1.0, 0.0], "grp": "a"}"""),
+      (6L, """{"vid": 6, "grp": "a"}""") // no vector → skipped
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(docs, col("meta"),
+      """[
+        | {"$vectorSearch": {"index": "i", "path": "emb",
+        |   "queryVector": [1.0, 0.0], "limit": 3,
+        |   "exact": true, "similarity": "cosine",
+        |   "filter": {"grp": {"$eq": "a"}},
+        |   "tieBreakField": "vid"}},
+        | {"$project": {"vid": {"$toLong": "$vid"},
+        |   "score": {"$meta": "vectorSearchScore"}}},
+        | {"$sort": {"score": -1, "vid": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cos vs [1,0]: vid1 = 1 (score 1e6), vid5 = 1 (tie → vid order),
+    // vid3 = 1/√2 → cosµ 707107 → score (1e6+707107)/2 = 853553;
+    // vid2 (cos 0 → 500000) loses to the top-3; vid4 filtered by grp
+    assert(got == Seq((1L, 1000000L), (5L, 1000000L), (3L, 853553L)),
+      got.mkString(","))
+    // loudness: ANN (exact false/absent), missing similarity or
+    // tieBreakField, unknown option, bad $meta name
+    for ((pipe, frag) <- Seq(
+      ("""[{"$vectorSearch": {"index": "i", "path": "emb",
+         |  "queryVector": [1.0, 0.0], "limit": 3,
+         |  "similarity": "cosine", "tieBreakField": "vid"}}]"""
+        .stripMargin, "exact"),
+      ("""[{"$vectorSearch": {"index": "i", "path": "emb",
+         |  "queryVector": [1.0, 0.0], "limit": 3, "exact": true,
+         |  "tieBreakField": "vid"}}]""".stripMargin, "similarity"),
+      ("""[{"$vectorSearch": {"index": "i", "path": "emb",
+         |  "queryVector": [1.0, 0.0], "limit": 3, "exact": true,
+         |  "similarity": "cosine"}}]""".stripMargin, "tieBreakField"),
+      ("""[{"$vectorSearch": {"index": "i", "path": "emb",
+         |  "queryVector": [1.0, 0.0], "limit": 3, "exact": true,
+         |  "similarity": "cosine", "tieBreakField": "vid",
+         |  "banana": 1}}]""".stripMargin, "banana"))) {
+      val e = intercept[IllegalArgumentException] {
+        MqlPipeline.aggregate(docs, col("meta"), pipe).collect()
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+  }
+
   test("fractional $sum literal is not truncated") {
     val got = run(
       """[{"$group": {"_id": null, "t": {"$sum": 2.5}}}]""")
