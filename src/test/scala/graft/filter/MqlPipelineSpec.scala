@@ -969,12 +969,11 @@ class MqlPipelineSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(cs == Seq(4L))
     // loud: unsupported locale/strength combos, $group under CI, $expr
-    // (fr default strength 3 needs a real ICU table; fr strength 1 is
-    // the locale-independent Latin-1 primary fold — allowed r13;
-    // Nordic tailors PRIMARY weights: loud at every strength)
+    // (fr gained strength 3 in r17 — the root case level; UNMEASURED
+    // locales like pl stay loud at every strength)
     val loc = intercept[IllegalArgumentException] {
       MqlPipeline.aggregateCollated(cdf, col("meta"),
-        """[{"$match": {"k": "x"}}]""", """{"locale": "fr"}""")
+        """[{"$match": {"k": "x"}}]""", """{"locale": "pl"}""")
     }
     assert(loc.getMessage.contains("locale"), loc.getMessage)
     // Nordic and Turkish locales are supported since r16 (tailoring
@@ -2424,14 +2423,28 @@ class MqlPipelineSpec extends SparkTestBase {
     assert(ok.map(_.getString(1)).toSeq == Seq(
       "2024-06-15 08:30:00", "1999-12-31 23:59:59",
       "2024-06-15 08:30:00"), ok.mkString("|"))
-    // numeric input: Mongo = epoch millis, Spark cast = epoch seconds,
-    // DuckDB = error — refuse rather than pick one silently
+    // integral input (r17): Mongo's epoch-millis semantics via the
+    // explicit millis constructor — id 1 → 1 ms after the epoch
+    val ms = run(
+      """[{"$match": {"id": {"$eq": 1}}},
+        | {"$addFields": {"d": {"$convert": {
+        |   "input": {"$toLong": "$v"}, "to": "date"}}}},
+        | {"$addFields": {"lbl": {"$dateToString": {
+        |   "format": "%Y-%m-%d %H:%M:%S", "date": "$d"}},
+        |   "msec": {"$millisecond": "$d"}}},
+        | {"$project": {"lbl": 1, "msec": {"$toLong": "$msec"}}}
+        |]""".stripMargin).collect()(0)
+    // v = 10 for id 1 → 10 ms after the epoch
+    assert(ms.getString(0) == "1970-01-01 00:00:00" &&
+      ms.getLong(1) == 10L, ms.toString)
+    // a DOUBLE input stays loud (fractional-millis handling is not
+    // pinnable): $toDouble breaks the integral structural proof
     val num = intercept[IllegalArgumentException] {
       run("""[{"$addFields": {"d": {"$convert": {
-            |  "input": {"$toLong": "$id"}, "to": "date"}}}}]"""
+            |  "input": {"$toDouble": "$id"}, "to": "date"}}}}]"""
         .stripMargin).collect()
     }
-    assert(num.getMessage.contains("string/timestamp"), num.getMessage)
+    assert(num.getMessage.contains("INTEGRAL"), num.getMessage)
   }
 
   test("$convert: onError/onNull route, missing onError RAISES per " +
