@@ -1687,6 +1687,37 @@ object MqlPipeline {
                 val tmp = s"_swf_trap_${out.getKey}"
                 trapCols += tmp -> trap
                 sum(col(tmp)).over(frame)
+              case "$covariancePop" | "$covarianceSamp" =>
+                // Mongo 5.0 window covariance of two numeric
+                // expressions over the frame, translated to the
+                // EXPLICIT MOMENT FORM — (Σab − Σa·Σb/n) / n (or n−1)
+                // over pairwise-non-null rows — instead of the covar
+                // built-ins: the built-ins' internal update algorithms
+                // (Welford merges) differ between engines by an ulp,
+                // which flips a rounded gate value at a boundary
+                // (measured: one row in 500 at 6 decimals). With the
+                // moment form the window SUMS are exact for integral
+                // inputs and the final double expression is evaluated
+                // in the IDENTICAL operation order by both engines —
+                // bit-deterministic. Double inputs make the sums
+                // order-sensitive again (the float-aggregate stance:
+                // callers round).
+                require(arg.isArray && arg.size() == 2,
+                  s"$wop needs [expr1, expr2]: $arg")
+                val a = valueExpr(arg.get(0), meta, cur)
+                val b = valueExpr(arg.get(1), meta, cur)
+                val both = a.isNotNull && b.isNotNull
+                val n = sum(when(both, 1L).otherwise(0L)).over(frame)
+                val sa = sum(when(both, a)).over(frame).cast("double")
+                val sb = sum(when(both, b)).over(frame).cast("double")
+                val sab = sum(when(both, a * b)).over(frame)
+                  .cast("double")
+                val nD = n.cast("double")
+                val denom =
+                  if (wop == "$covariancePop") nD
+                  else (n - lit(1L)).cast("double")
+                val minN = if (wop == "$covariancePop") 1L else 2L
+                when(n >= minN, (sab - sa * sb / nD) / denom)
               case other => throw new IllegalArgumentException(
                 s"unsupported window operator: $other")
             }

@@ -1871,6 +1871,39 @@ private[graft] trait RelationalMql { this: Relational.type =>
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
+  /** $covariancePop/$covarianceSamp window operators under the gate
+    * (r17): covariance of (n_chars, a planted deterministic second
+    * series) per language, whole-partition default window AND a
+    * running documents frame, $round-ed to 6 decimals on both sides
+    * (the float-aggregate stance — parallel covariance merges differ
+    * from the oracle's serial pass by summation-order ulps). */
+  def mqlWindowCov(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          col("n_chars"),
+          (col("doc_id") % 97).as("x2"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {
+        |   "partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "cp": {"$covariancePop": [{"$toLong": "$n_chars"},
+        |       {"$toLong": "$x2"}]},
+        |     "cs": {"$covarianceSamp": [{"$toLong": "$n_chars"},
+        |       {"$toLong": "$x2"}]},
+        |     "run_cp": {"$covariancePop": [{"$toLong": "$n_chars"},
+        |       {"$toLong": "$x2"}],
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1,
+        |   "cp": {"$round": ["$cp", 6]},
+        |   "cs": {"$round": ["$cs", 6]},
+        |   "run_cp": {"$round": ["$run_cp", 6]}}}
+        |]""".stripMargin)
+
   /** $setWindowFields RANGE windows under the gate — Mongo's
     * value-keyed frames ({window: {range: [lo, hi]}} over one
     * ascending numeric sortBy) mapped to Spark's rangeBetween: each
@@ -2911,6 +2944,45 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    "mql_window_cov" -> {
+      // the engine's moment form replayed VERBATIM: exact integer
+      // window sums, then the identical double expression — the same
+      // operation order makes the result bit-deterministic, so no
+      // rounding is needed (and round(6) stays only as the gate's
+      // output convention)
+      def mom(frame: String, samp: Boolean) = {
+        val d = if (samp) "(n - 1)::DOUBLE" else "n::DOUBLE"
+        val minN = if (samp) 2 else 1
+        s"""CASE WHEN n >= $minN THEN round(
+           |  (sab::DOUBLE - sa::DOUBLE * sb::DOUBLE / n::DOUBLE)
+           |    / $d, 6) END"""
+          .stripMargin.replace("\n", " ")
+      }
+      s"""WITH b AS (SELECT doc_id, lang, n_chars::BIGINT AS x1,
+         |    (doc_id % 97)::BIGINT AS x2 FROM documents),
+         |w AS (SELECT doc_id,
+         |  count(*) OVER p AS n,
+         |  CAST(sum(x1) OVER p AS BIGINT) AS sa,
+         |  CAST(sum(x2) OVER p AS BIGINT) AS sb,
+         |  CAST(sum(x1 * x2) OVER p AS BIGINT) AS sab,
+         |  count(*) OVER r AS rn,
+         |  CAST(sum(x1) OVER r AS BIGINT) AS rsa,
+         |  CAST(sum(x2) OVER r AS BIGINT) AS rsb,
+         |  CAST(sum(x1 * x2) OVER r AS BIGINT) AS rsab
+         |  FROM b
+         |  WINDOW p AS (PARTITION BY lang),
+         |    r AS (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT doc_id,
+         |  ${mom("p", samp = false)} AS cp,
+         |  CASE WHEN n >= 2 THEN round(
+         |    (sab::DOUBLE - sa::DOUBLE * sb::DOUBLE / n::DOUBLE)
+         |      / (n - 1)::DOUBLE, 6) END AS cs,
+         |  CASE WHEN rn >= 1 THEN round(
+         |    (rsab::DOUBLE - rsa::DOUBLE * rsb::DOUBLE / rn::DOUBLE)
+         |      / rn::DOUBLE, 6) END AS run_cp
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
     "mql_window_fields" ->
 """SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS seq,
@@ -3615,6 +3687,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_sample" -> (mqlSample _),
     "mql_array_sets" -> (mqlArraySets _),
     "mql_window_fields" -> (mqlWindowFields _),
+    "mql_window_cov" -> (mqlWindowCov _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
