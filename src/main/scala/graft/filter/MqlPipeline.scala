@@ -1445,6 +1445,97 @@ object MqlPipeline {
             .orderBy(col("_id").asc)
           grouped = true
 
+        case "$setWindowFields" if {
+          val o = spec.get("output")
+          o != null && o.isObject && o.properties().asScala.exists(
+            e => e.getValue.isObject && e.getValue.has("$expMovingAvg"))
+        } =>
+          // $expMovingAvg (r17): Mongo's N-form EMA, inherently
+          // ORDER-RECURSIVE — every value depends on the whole prefix,
+          // so no per-row window frame expresses it without O(n²)
+          // work. Translation: pack each partition's rows into ONE
+          // sorted array (sort keys lead the struct, so sort_array's
+          // lexicographic order IS the sortBy order, ties totalized
+          // by the remaining struct fields — deterministic), run the
+          // scan as one O(n) native expression ([[graft.expr
+          // .IntEmaScan]] — exact integer micros, the textScore/cosµ
+          // integerization stance; the oracle replays the identical
+          // recurrence as a recursive CTE), then zip + explode back.
+          // One shuffle (the partition groupBy); partition size bounds
+          // the packed row like every collect_list accumulator.
+          // Brackets, all loud: the EMA must be the stage's ONLY
+          // output (the stage restructures the frame); N-form only
+          // (alpha is a float dial — not integerizable); ascending
+          // sortBy; integral input in |x| ≤ 1e6.
+          val emaOutN = spec.get("output")
+          require(emaOutN.properties().size() == 1,
+            "$expMovingAvg must be the only output of its " +
+              "$setWindowFields stage (the translation restructures " +
+              "the frame) — split the stage")
+          val emaOut = emaOutN.properties().asScala.head
+          require(emaOut.getValue.properties().size() == 1,
+            "$expMovingAvg takes no window option (Mongo contract)")
+          val emaArg = emaOut.getValue.get("$expMovingAvg")
+          require(emaArg.isObject && emaArg.get("input") != null,
+            s"$$expMovingAvg needs {input, N}: $emaArg")
+          emaArg.properties().asScala.foreach(e => require(
+            Seq("input", "N").contains(e.getKey),
+            s"unsupported $$expMovingAvg option: ${e.getKey} " +
+              "(alpha is a float dial — not integerizable; use N)"))
+          val emaNN = Option(emaArg.get("N")).getOrElse(
+            throw new IllegalArgumentException(
+              s"$$expMovingAvg needs N: $emaArg"))
+          require(emaNN.isIntegralNumber && emaNN.asLong() >= 1 &&
+            emaNN.asLong() <= 1000,
+            s"$$expMovingAvg N must be an integer in 1..1000: $emaNN")
+          val emaN = emaNN.asInt()
+          val emaPartCols: Seq[Column] =
+            Option(spec.get("partitionBy")).toSeq
+              .map(pn => valueExpr(pn, meta, cur))
+          val emaSortPairs: Seq[(Column, Boolean)] =
+            Option(spec.get("sortBy")).toSeq
+              .flatMap(_.properties().asScala.toSeq).flatMap { e =>
+                val desc = e.getValue.asInt() < 0
+                sortBases(e.getKey, cur, meta).map(b => (b, desc))
+              }
+          require(emaSortPairs.nonEmpty,
+            "$expMovingAvg requires a sortBy in $setWindowFields")
+          require(emaSortPairs.forall(p => !p._2),
+            "$expMovingAvg supports ascending sortBy only (the " +
+              "packed-array order is sort_array's ascending order)")
+          val exd = valueExpr(emaArg.get("input"), meta, cur)
+            .cast("double")
+          val exChk = when(exd === exd.cast("long").cast("double"),
+            exd.cast("long")).otherwise(raise_error(concat(
+              lit("$expMovingAvg input must be integral (the exact " +
+                "micro recurrence; fractional inputs are not in the " +
+                "bracket): "), exd.cast("string"))).cast("long"))
+          val emaName = emaOut.getKey
+          // overwrite semantics: an output named like an existing
+          // column replaces it — exclude it from the packed row
+          val keepCols = cur.columns.filterNot(_ == emaName)
+          val rowStruct = struct(keepCols.map(col): _*)
+          val entry = struct((emaSortPairs.map(_._1).zipWithIndex.map {
+              case (c, i) => c.as(s"__s$i") } :+
+            exChk.as("__x") :+ rowStruct.as("__row")): _*)
+          val pAliases = emaPartCols.zipWithIndex.map {
+            case (c, i) => c.as(s"__p$i") }
+          val packed = cur.select((pAliases :+ entry.as("__e")): _*)
+            .groupBy(emaPartCols.indices.map(i => col(s"__p$i")): _*)
+            .agg(sort_array(collect_list(col("__e"))).as("__rows"))
+          import org.apache.spark.sql.graft.ColumnBridge.{
+            column => bCol, expression => bExpr}
+          val emaArr = bCol(graft.expr.IntEmaScan(
+            bExpr(transform(col("__rows"), r => r.getField("__x"))),
+            emaN))
+          cur = packed.withColumn("__ema", emaArr)
+            .select(explode(arrays_zip(col("__rows"), col("__ema")))
+              .as("__z"))
+            .select(col("__z.__rows.__row.*") +:
+              Seq(col("__z.__ema").as(emaName)): _*)
+          grouped = false
+          sortKeys = Nil
+
         case "$setWindowFields" =>
           // Mongo 5.0's window-function stage — the one MQL stage that
           // IS Spark's Window API: partitionBy/sortBy/output map 1:1 to

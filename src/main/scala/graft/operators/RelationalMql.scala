@@ -1871,6 +1871,30 @@ private[graft] trait RelationalMql { this: Relational.type =>
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
+  /** $expMovingAvg under the gate (r17): Mongo's N-form EMA as the
+    * exact integer-micro recurrence (s₁ = x₁·10⁶, sᵢ = ⌊(2xᵢ·10⁶ +
+    * (N−1)sᵢ₋₁)/(N+1)⌋ — floor division, negatives planted), one
+    * linear native scan per event-type partition, the oracle
+    * replaying the identical recurrence as a RECURSIVE CTE. */
+  def mqlExpMovingAvg(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          col("event_type").as("et"),
+          (col("event_id") % 997 - 200).as("v")))),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$et",
+        |   "sortBy": {"eid": 1},
+        |   "output": {"ema": {"$expMovingAvg": {
+        |     "input": {"$toLong": "$v"}, "N": 20}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "et": 1, "ema": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 400}
+        |]""".stripMargin)
+
   /** $covariancePop/$covarianceSamp window operators under the gate
     * (r17): covariance of (n_chars, a planted deterministic second
     * series) per language, whole-partition default window AND a
@@ -2944,6 +2968,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    "mql_exp_moving_avg" -> {
+      // the identical integer recurrence as a recursive CTE; the
+      // floor-division spelling handles negative numerators exactly
+      // like Math.floorDiv (DuckDB // truncates toward zero, so the
+      // non-negative-mod rebase runs first)
+      val num = "(2 * o.v * 1000000 + 19 * e.s)"
+      s"""WITH RECURSIVE b AS (SELECT event_id,
+         |    event_type AS et, event_id % 997 - 200 AS v
+         |  FROM events),
+         |o AS (SELECT event_id, et, v,
+         |    row_number() OVER (PARTITION BY et ORDER BY event_id)
+         |      AS i FROM b),
+         |ema AS (
+         |  SELECT et, i, event_id, v * 1000000::BIGINT AS s
+         |  FROM o WHERE i = 1
+         |  UNION ALL
+         |  SELECT o.et, o.i, o.event_id,
+         |    ($num - ((($num % 21) + 21) % 21)) // 21
+         |  FROM ema e JOIN o ON o.et = e.et AND o.i = e.i + 1)
+         |SELECT event_id, et, CAST(s AS BIGINT) AS ema
+         |FROM ema ORDER BY event_id LIMIT 400""".stripMargin
+    },
     "mql_window_cov" -> {
       // the engine's moment form replayed VERBATIM: exact integer
       // window sums, then the identical double expression — the same
@@ -3688,6 +3734,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_array_sets" -> (mqlArraySets _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_cov" -> (mqlWindowCov _),
+    "mql_exp_moving_avg" -> (mqlExpMovingAvg _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),
     "mql_window_calculus" -> (mqlWindowCalculus _),

@@ -236,6 +236,64 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$expMovingAvg (r17): exact integer-micro N-form recurrence, " +
+      "per partition in sort order; brackets loud") {
+    val docs = Seq(
+      (1L, """{"g": "a", "k": 1, "v": 4}"""),
+      (2L, """{"g": "a", "k": 2, "v": 8}"""),
+      (3L, """{"g": "a", "k": 3, "v": -3}"""),
+      (4L, """{"g": "b", "k": 1, "v": 10}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(docs, col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$g",
+        |   "sortBy": {"k": 1},
+        |   "output": {"ema": {"$expMovingAvg": {
+        |     "input": {"$toLong": "$v"}, "N": 3}}}}},
+        | {"$project": {"id": 1, "ema": 1}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // N=3 → s1 = x1·1e6; si = floor((2xi·1e6 + 2s)/4):
+    // a: 4e6; (16e6+8e6)/4 = 6e6; (-6e6+12e6)/4 = 1.5e6. b: 10e6.
+    assert(got == Seq((1L, 4000000L), (2L, 6000000L),
+      (3L, 1500000L), (4L, 10000000L)), got.mkString(","))
+    // brackets: only-output, alpha, missing sortBy, descending sortBy,
+    // fractional input
+    for ((pipe, frag) <- Seq(
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": 1}, "output": {
+         |    "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+         |    "n": {"$sum": 1}}}}]""".stripMargin, "only output"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": 1}, "output": {
+         |    "ema": {"$expMovingAvg": {"input": "$v",
+         |      "alpha": 0.5}}}}}]""".stripMargin, "alpha"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "output": {"ema": {"$expMovingAvg": {"input": "$v",
+         |    "N": 3}}}}}]""".stripMargin, "sortBy"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": -1}, "output": {
+         |    "ema": {"$expMovingAvg": {"input": "$v",
+         |      "N": 3}}}}}]""".stripMargin, "ascending"))) {
+      val e = intercept[IllegalArgumentException] {
+        MqlPipeline.aggregate(docs, col("meta"), pipe).collect()
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    // fractional input raises per row
+    val frac = Seq((1L, """{"g": "a", "k": 1, "v": 1.5}"""))
+      .toDF("id", "meta")
+    val e2 = intercept[Exception] {
+      MqlPipeline.aggregate(frac, col("meta"),
+        """[{"$setWindowFields": {"partitionBy": "$g",
+          |  "sortBy": {"k": 1}, "output": {
+          |    "ema": {"$expMovingAvg": {"input": "$v",
+          |      "N": 3}}}}}]""".stripMargin).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("$vectorSearch (r17): exact cosine top-k with micro scores, " +
       "pre-filter, tie break; ANN/missing options loud") {
     val docs = Seq(
