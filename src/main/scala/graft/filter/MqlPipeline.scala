@@ -3688,6 +3688,68 @@ object MqlPipeline {
           else slice(sorted,
             greatest(size(sorted) - (n - 1), lit(1)), lit(n))
         transform(sliced, x => x.getField("v"))
+      // Mongo 5.2 $minN/$maxN: the n smallest/largest VALUES (not
+      // docs) — the sorted-collect device on the value itself; Mongo
+      // skips nulls (collect_list does too)
+      case "$minN" | "$maxN" =>
+        val v = e.getValue
+        require(v.isObject && v.has("n") && v.has("input"),
+          s"${e.getKey} needs {n, input}: $v")
+        val n = v.get("n").asInt()
+        require(n > 0, s"${e.getKey}.n must be positive")
+        val vals = sort_array(
+          collect_list(valueExpr(v.get("input"), metaCol, cur)),
+          asc = e.getKey == "$minN")
+        slice(vals, lit(1), lit(n))
+      // Mongo 5.2 $top/$bottom: $topN/$bottomN with n = 1, unwrapped —
+      // min_by/max_by on the accumulator's OWN sortBy (no collect)
+      case "$top" | "$bottom" =>
+        val v = e.getValue
+        require(v.isObject && v.has("sortBy") && v.has("output"),
+          s"${e.getKey} needs {sortBy, output}: $v")
+        val out = valueExpr(v.get("output"), metaCol, cur)
+        val pairs = v.get("sortBy").properties().asScala.toSeq
+          .flatMap { f =>
+            require(f.getValue.isIntegralNumber &&
+              math.abs(f.getValue.asInt()) == 1,
+              s"${e.getKey} sortBy direction must be 1 or -1: " +
+                s"${f.getKey}: ${f.getValue}")
+            val desc = f.getValue.asInt() < 0
+            sortBases(f.getKey, cur, metaCol).map(b => (b, desc))
+          }
+        require(pairs.nonEmpty, s"${e.getKey}.sortBy must be non-empty")
+        val dirs = pairs.map(_._2).distinct
+        require(dirs.size == 1, s"${e.getKey} requires a uniform-" +
+          "direction sortBy (no single min_by/max_by key otherwise)")
+        val k = if (pairs.size == 1) pairs.head._1
+          else struct(pairs.map(_._1): _*)
+        val descSort = dirs.head
+        // $top = first in sort order (asc → min key, desc → max);
+        // $bottom = last (the mirror)
+        if ((e.getKey == "$top") == !descSort) min_by(out, k)
+        else max_by(out, k)
+      // Mongo 7.0 $median/$percentile GROUP accumulators — the same
+      // exact-interpolation contract as their window twins (Mongo
+      // mandates method "approximate"; this engine's exact percentile
+      // is the correctness superset); gates use dyadic p fractions so
+      // (n−1)·p interpolation is float-exact on both engines
+      case "$median" =>
+        val v = e.getValue
+        require(v.isObject && v.has("input"),
+          s"$$median needs {input}: $v")
+        median(valueExpr(v.get("input"), metaCol, cur).cast("double"))
+      case "$percentile" =>
+        val v = e.getValue
+        require(v.isObject && v.has("input") && v.has("p"),
+          s"$$percentile needs {input, p}: $v")
+        val pN = v.get("p")
+        require(pN.isArray && !pN.isEmpty &&
+          pN.elements().asScala.forall(x =>
+            x.isNumber && x.asDouble() >= 0 && x.asDouble() <= 1),
+          s"$$percentile needs p: [0..1 fractions]: $v")
+        val ps = pN.elements().asScala.toSeq.map(_.asDouble())
+        percentile(valueExpr(v.get("input"), metaCol, cur)
+          .cast("double"), typedLit(ps))
       // Mongo's population/sample standard deviation accumulators. The
       // underlying parallel merge order is engine-defined, so the result
       // is exact only to ~1 ulp of summation order — gated queries

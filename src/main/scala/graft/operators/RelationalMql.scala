@@ -1871,6 +1871,35 @@ private[graft] trait RelationalMql { this: Relational.type =>
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
+  /** The Mongo 5.2/7.0 accumulator tail under the gate (r17):
+    * $minN/$maxN (n extreme VALUES), $top/$bottom (one output by the
+    * accumulator's own composite sortBy — min_by/max_by on a struct
+    * key; the oracle packs the same key into one BIGINT, DuckDB's
+    * arg_min contract), and the GROUP forms of $median/$percentile
+    * (exact interpolation, dyadic p so both engines' (n−1)·p
+    * arithmetic is float-exact). */
+  def mqlGroupNacc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          col("n_chars"), col("doc_id").as("did")))),
+      col("meta"),
+      """[
+        | {"$group": {"_id": "$lang",
+        |   "mn": {"$minN": {"input": {"$toLong": "$n_chars"},
+        |     "n": 3}},
+        |   "mx": {"$maxN": {"input": {"$toLong": "$n_chars"},
+        |     "n": 3}},
+        |   "tp": {"$top": {"sortBy": {"n_chars": 1, "did": 1},
+        |     "output": {"$toLong": "$did"}}},
+        |   "bt": {"$bottom": {"sortBy": {"n_chars": 1, "did": 1},
+        |     "output": {"$toLong": "$did"}}},
+        |   "med": {"$median": {"input": {"$toLong": "$n_chars"}}},
+        |   "pcts": {"$percentile": {"input": {"$toLong": "$n_chars"},
+        |     "p": [0.25, 0.75]}}}},
+        | {"$sort": {"_id": 1}}
+        |]""".stripMargin)
+
   /** $expMovingAvg under the gate (r17): Mongo's N-form EMA as the
     * exact integer-micro recurrence (s₁ = x₁·10⁶, sᵢ = ⌊(2xᵢ·10⁶ +
     * (N−1)sᵢ₋₁)/(N+1)⌋ — floor division, negatives planted), one
@@ -2968,6 +2997,15 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    "mql_group_nacc" ->
+      """SELECT lang AS _id,
+        |  (list(n_chars::BIGINT ORDER BY n_chars))[1:3] AS mn,
+        |  (list(n_chars::BIGINT ORDER BY n_chars DESC))[1:3] AS mx,
+        |  arg_min(doc_id, n_chars * 100000 + doc_id) AS tp,
+        |  arg_max(doc_id, n_chars * 100000 + doc_id) AS bt,
+        |  quantile_cont(n_chars::DOUBLE, 0.5) AS med,
+        |  quantile_cont(n_chars::DOUBLE, [0.25, 0.75]) AS pcts
+        |FROM documents GROUP BY lang ORDER BY _id""".stripMargin,
     "mql_exp_moving_avg" -> {
       // the identical integer recurrence as a recursive CTE; the
       // floor-division spelling handles negative numerators exactly
@@ -3735,6 +3773,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_cov" -> (mqlWindowCov _),
     "mql_exp_moving_avg" -> (mqlExpMovingAvg _),
+    "mql_group_nacc" -> (mqlGroupNacc _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),
     "mql_window_calculus" -> (mqlWindowCalculus _),
