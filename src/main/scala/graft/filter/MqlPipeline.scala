@@ -170,6 +170,17 @@ object MqlPipeline {
         col(tmp)
       }
     }
+    // PARTITION keys resolve "$field" refs through the TYPE-BRACKETED
+    // views (sortBases — num AND str), NOT valueExpr's bare-ref string
+    // view: a numeric metadata field reads null on the string view and
+    // would silently collapse every document into one partition
+    // (r17 — caught by the $expMovingAvg gate's numeric user bucket).
+    def partitionKeyCols(pn: JsonNode): Seq[Column] =
+      if (pn.isTextual && pn.asText().startsWith("$") &&
+          !pn.asText().startsWith("$$"))
+        sortBases(pn.asText().drop(1), cur, meta)
+      else Seq(valueExpr(pn, meta, cur))
+
     // {$meta: "textScore"}: the deterministic score surrogate — total
     // occurrences of the (distinct) search terms among the document's
     // tokens, an exact integer (Mongo's own textScore is an
@@ -1491,7 +1502,7 @@ object MqlPipeline {
           val emaN = emaNN.asInt()
           val emaPartCols: Seq[Column] =
             Option(spec.get("partitionBy")).toSeq
-              .map(pn => valueExpr(pn, meta, cur))
+              .flatMap(partitionKeyCols)
           val emaSortPairs: Seq[(Column, Boolean)] =
             Option(spec.get("sortBy")).toSeq
               .flatMap(_.properties().asScala.toSeq).flatMap { e =>
@@ -1564,7 +1575,7 @@ object MqlPipeline {
             s"$$setWindowFields needs a non-empty output document: $spec")
           val partCols: Seq[Column] = materializeKeys(
             Option(spec.get("partitionBy")).toSeq
-              .map(p => valueExpr(p, meta, cur)))
+              .flatMap(partitionKeyCols))
           val sortPairs0: Seq[(Column, Boolean)] =
             Option(spec.get("sortBy")).toSeq
               .flatMap(_.properties().asScala.toSeq).flatMap { e =>
@@ -1845,7 +1856,7 @@ object MqlPipeline {
           require(foutN != null && foutN.isObject && !foutN.isEmpty,
             s"$$fill needs a non-empty output document: $spec")
           val fPartCols: Seq[Column] = Option(spec.get("partitionBy"))
-            .toSeq.map(p => valueExpr(p, meta, cur))
+            .toSeq.flatMap(partitionKeyCols)
           val fSortCols: Seq[Column] = Option(spec.get("sortBy")).toSeq
             .flatMap(_.properties().asScala.toSeq).flatMap { e =>
               val desc = e.getValue.asInt() < 0
