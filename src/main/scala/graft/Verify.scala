@@ -25,7 +25,25 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // Gate-shape discipline (r18): the driver's comparator lexsorts
+        // every output column with pandas, which cannot hash
+        // array/map/struct cells (the mql_group_nacc r17 `err`). Every
+        // ORACLE-BACKED query must therefore emit scalar columns only —
+        // fail the dump loudly at authoring time instead of erring the
+        // driver's gate at round close.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val nested = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+              || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+              || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+              s"${f.name}: ${f.dataType.simpleString}"
+          }
+          require(nested.isEmpty, s"oracle-backed query '$name' emits " +
+            s"non-scalar column(s) the driver's comparator cannot hash — " +
+            s"space-join or unpack them: ${nested.mkString(", ")}")
+        }
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")

@@ -646,7 +646,10 @@ object MqlFilter {
       t.toSeq.flatMap(_.contractions))
       .toLowerCase(java.util.Locale.ROOT)
     contracted.flatMap { ch =>
-      if (ch.isDigit) ""
+      // ASCII digits ONLY — the column twin's translate drops exactly
+      // '0'-'9'; Char.isDigit also drops non-ASCII digit classes
+      // (e.g. '٣'), which would misalign the two key strings (r18)
+      if (ch >= '0' && ch <= '9') ""
       else {
         val i = from.indexOf(ch)
         if (i >= 0) to(i).toString else "0"
@@ -708,7 +711,8 @@ object MqlFilter {
   private[graft] def caseKeyLit(s: String, t: Tailoring): String = {
     val (from, to) = terTables(t)
     contractLit(s, t.contractions).flatMap { ch =>
-      if (ch.isDigit) ""
+      // ASCII digits ONLY — match caseKeyCol's translate exactly (r18)
+      if (ch >= '0' && ch <= '9') ""
       else {
         val i = from.indexOf(ch)
         if (i >= 0) to(i).toString else "0"
@@ -1144,8 +1148,12 @@ object MqlFilter {
           // analyzer — stop-word removal + the table-driven stemmer,
           // applied to BOTH the query terms (driver side) and the
           // document tokens (Catalyst side) from the ONE rule table
-          // ([[graft.functions.Stemmer]]); "none" or absent keeps the
-          // exact-token match; any other analyzer stays loud.
+          // ([[graft.functions.Stemmer]]). ABSENT defaults to english
+          // (r18 — Mongo's default text-index language is english, so
+          // the plain spelling must stem and stop-filter exactly like
+          // Mongo's; r17 defaulted to exact-token, silently diverging
+          // on the most common spelling); "none" keeps the exact-token
+          // match; any other analyzer stays loud.
           require(v.isObject && v.get("$search") != null &&
             v.get("$search").isTextual,
             s"""$$text needs {"$$search": "terms"}: $v""")
@@ -1163,7 +1171,7 @@ object MqlFilter {
                 "case/diacritic-insensitive — Mongo's default); " +
                 "omit the flag or pass false")
           val lang = Option(v.get("$language")).map(_.asText())
-            .getOrElse("none")
+            .getOrElse("english")
           val terms = textSearchTerms(v.get("$search").asText())
           lang match {
             case "none" =>

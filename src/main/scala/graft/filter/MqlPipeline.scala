@@ -135,8 +135,14 @@ object MqlPipeline {
     var limited = false
     // search terms of the last top-level $text $match — the basis of
     // {$meta: "textScore"} in later $project/$addFields/$sort stages
-    // (Mongo requires the $text to precede any $meta use; same here)
+    // (Mongo requires the $text to precede any $meta use; same here).
+    // Terms are recorded POST-analysis and the flag says which
+    // tokenizer scores the document side — the score must count in
+    // the same token space the $text matched in (r18: absent
+    // $language defaults to the english analyzer, Mongo's default
+    // index language).
     var textTerms: Option[Seq[String]] = None
+    var textAnalyzed = true
     // the integer-micro score column of the last $vectorSearch — the
     // basis of {$meta: "vectorSearchScore"} in later stages
     var vsScore: Option[String] = None
@@ -198,7 +204,11 @@ object MqlPipeline {
             throw new IllegalArgumentException(
               "{$meta: \"textScore\"} requires a preceding top-level " +
                 "$text $match stage (Mongo contract)"))
-          size(filter(graft.functions.TextFunctions.tokens(col("text")),
+          val toks =
+            if (textAnalyzed)
+              graft.functions.Stemmer.analyzeCol(col("text"))
+            else graft.functions.TextFunctions.tokens(col("text"))
+          size(filter(toks,
             t => array_position(typedLit(terms), t) > 0)).cast("long")
         case "vectorSearchScore" =>
           // the engine's score is integer MICROS of Atlas's
@@ -299,9 +309,18 @@ object MqlPipeline {
           // {$meta: "textScore"} stages (the filter itself translates
           // through MqlFilter unchanged)
           if (spec.isObject && spec.get("$text") != null) {
-            val search = spec.get("$text").get("$search").asText()
-            textTerms = Some(search.toLowerCase
-              .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq)
+            val tn = spec.get("$text")
+            val search = tn.get("$search").asText()
+            val raw = search.toLowerCase
+              .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+            // same language resolution as the $text predicate itself
+            // (MqlFilter validates the full option surface when the
+            // stage's filter translates right below)
+            textAnalyzed = Option(tn.get("$language")).map(_.asText())
+              .forall(l => l != "none")
+            textTerms = Some(
+              if (textAnalyzed) graft.functions.Stemmer.analyzeTerms(raw)
+              else raw)
           }
           // real columns win (post-$group output, post-$unwind element);
           // everything else resolves through the metadata document
@@ -3249,11 +3268,18 @@ object MqlPipeline {
           // boundary arithmetic below is unchanged.
           //
           // Sub-day units in NAMED zones (r17 — lifts the r15/r16
-          // bracket): the count is WALL-CLOCK LABEL arithmetic —
-          // truncate each operand on its own offset-shifted local
-          // clock and diff the unit indexes, which is exactly Mongo's
-          // local-convert-then-truncate evaluation. Across a
-          // spring-forward gap the skipped labels still count (01:30
+          // bracket): hour and minute counts are WALL-CLOCK LABEL
+          // arithmetic — truncate each operand on its own
+          // offset-shifted local clock and diff the unit indexes,
+          // which is exactly Mongo's local-convert-then-truncate
+          // evaluation (dateDiffHour/Minute in Mongo's
+          // date_time_support convert through the zone before
+          // truncating). The SECOND unit is different (r18, fixing
+          // the r17 convention): Mongo's dateDiffSecond subtracts raw
+          // epoch seconds and never consults the timezone — every
+          // UTC offset is a whole number of minutes, so second
+          // boundaries are zone-invariant. Across a spring-forward
+          // gap the skipped hour/minute labels still count (01:30
           // EST → 03:30 EDT, one physical hour, counts 2 hour
           // boundaries); across a fall-back overlap the repeated hour
           // counts once (00:30 EDT → 01:30 EST, two physical hours,
@@ -3308,7 +3334,10 @@ object MqlPipeline {
               (floor(unix_timestamp(ed) / 60) -
                 floor(unix_timestamp(sd) / 60)).cast("long")
             case "second" =>
-              (unix_timestamp(ed) - unix_timestamp(sd)).cast("long")
+              // raw physical-epoch difference — Mongo ignores the
+              // timezone for the second unit (see header comment)
+              (unix_timestamp(dateOf(v.get("endDate"))) -
+                unix_timestamp(dateOf(v.get("startDate")))).cast("long")
             case u => throw new IllegalArgumentException(
               s"unsupported $$dateDiff unit: $u (year|quarter|month|" +
                 "week|day|hour|minute|second)")

@@ -332,8 +332,10 @@ private[graft] trait RelationalMql { this: Relational.type =>
 
   /** Oracle twin of [[mqlDateDiffTz]]: the SAME baked NY transition
     * table as list literals; per-operand offset lookup, then the
-    * identical label arithmetic (`//` truncation ≡ floor — the local
-    * epochs are positive). */
+    * identical label arithmetic for hour/minute (`//` truncation ≡
+    * floor — the local epochs are positive). The second unit (r18) is
+    * the raw physical-epoch difference — Mongo's dateDiffSecond never
+    * consults the timezone. */
   private def ddTzReplaySql: String = {
     val tbl = graft.expr.TzTable.of("America/New_York")
     val trL = tbl.trans.drop(1).mkString("[", ",", "]")
@@ -356,13 +358,13 @@ private[graft] trait RelationalMql { this: Relational.type =>
        |        THEN 1699164000 + (event_id % 180) * 60
        |        ELSE st + (event_id % 90000) END)::BIGINT AS et
        |  FROM b),
-       |c AS (SELECT event_id,
+       |c AS (SELECT event_id, st, et,
        |    st + ${offAt("st")} AS ls, et + ${offAt("et")} AS le
        |  FROM b2, z)
        |SELECT event_id,
        |  (le // 3600) - (ls // 3600) AS dh,
        |  (le // 60) - (ls // 60) AS dm,
-       |  le - ls AS ds,
+       |  et - st AS ds,
        |  date_diff('day', CAST(make_timestamp(ls * 1000000) AS DATE),
        |    CAST(make_timestamp(le * 1000000) AS DATE)) AS dd
        |FROM c ORDER BY event_id LIMIT 300""".stripMargin
@@ -1564,7 +1566,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
 
   /** Mongo `$text` under the gate — the text-index predicate in its
     * OR-of-terms form composed with an ordinary metadata filter: docs
-    * whose token stream contains "vector" or "hash", in en/fr only. */
+    * matching "vector" or "hash", in en/fr only. No $language, so the
+    * english analyzer applies (r18 — Mongo's default index language):
+    * both sides stem through the one Stemmer rule table. */
   def mqlTextFilter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("meta", to_json(struct(col("lang"))))
@@ -1628,6 +1632,8 @@ private[graft] trait RelationalMql { this: Relational.type =>
     * deterministic surrogate (total occurrences of the distinct search
     * terms among the document's tokens — exact integer; Mongo's own is
     * an index-internal tf weighting, so the SURFACE is the parity).
+    * No $language → english analyzer (r18): the score counts in the
+    * ANALYZED token space, the same space the $text matched in.
     * The membership probe plans through the array_position→InSet rule;
     * scoring is per-row scan work, the sort is top-k bounded. */
   def mqlTextScore(s: SparkSession, dir: String): DataFrame = {
@@ -1871,13 +1877,22 @@ private[graft] trait RelationalMql { this: Relational.type =>
         col("rnk").cast("long").as("rnk"),
         col("drnk").cast("long").as("drnk"))
 
-  /** The Mongo 5.2/7.0 accumulator tail under the gate (r17):
-    * $minN/$maxN (n extreme VALUES), $top/$bottom (one output by the
-    * accumulator's own composite sortBy — min_by/max_by on a struct
-    * key; the oracle packs the same key into one BIGINT, DuckDB's
-    * arg_min contract), and the GROUP forms of $median/$percentile
-    * (exact interpolation, dyadic p so both engines' (n−1)·p
-    * arithmetic is float-exact). */
+  /** The Mongo 5.2/7.0 accumulator tail under the gate (r17; output
+    * scalarized r18): $minN/$maxN (n extreme VALUES), $top/$bottom
+    * (one output by the accumulator's own composite sortBy —
+    * min_by/max_by on a struct key; the oracle orders by the same
+    * struct, DuckDB row() lexicographic compare), and the GROUP forms
+    * of $median/$percentile (exact interpolation, dyadic p so both
+    * engines' (n−1)·p arithmetic is float-exact).
+    *
+    * Gate-shape discipline (r18, the one red CORRECTNESS_r17 row):
+    * the driver's comparator lexsorts every output column, so a
+    * registered query must emit only scalar columns — the array
+    * accumulators are space-joined (the `encode_ids` device, SURVEY
+    * §2.7) and the two-point $percentile unpacked to p25/p75 AFTER
+    * the pipeline, leaving the accumulator semantics under the gate
+    * unchanged. Verify now asserts this shape for every
+    * oracle-backed query. */
   def mqlGroupNacc(s: SparkSession, dir: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(
       t(s, dir, "documents")
@@ -1899,6 +1914,12 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |     "p": [0.25, 0.75]}}}},
         | {"$sort": {"_id": 1}}
         |]""".stripMargin)
+      .select(col("_id"),
+        array_join(col("mn").cast("array<string>"), " ").as("mn"),
+        array_join(col("mx").cast("array<string>"), " ").as("mx"),
+        col("tp"), col("bt"), col("med"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p75"))
 
   /** $expMovingAvg under the gate (r17): Mongo's N-form EMA as the
     * exact integer-micro recurrence (s₁ = x₁·10⁶, sᵢ = ⌊(2xᵢ·10⁶ +
@@ -3003,14 +3024,23 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |WINDOW w AS (PARTITION BY lang ORDER BY n_chars
         |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    // r18: scalar output columns only (the driver's comparator lexsorts
+    // every column and cannot hash arrays — the one red r17 row); the
+    // $top/$bottom key is ordered-list-first on the REAL composite
+    // (n_chars, doc_id) — the r17 BIGINT packing aliased once
+    // doc_id >= 100000 (a larger verify SF).
     "mql_group_nacc" ->
       """SELECT lang AS _id,
-        |  (list(n_chars::BIGINT ORDER BY n_chars))[1:3] AS mn,
-        |  (list(n_chars::BIGINT ORDER BY n_chars DESC))[1:3] AS mx,
-        |  arg_min(doc_id, n_chars * 100000 + doc_id) AS tp,
-        |  arg_max(doc_id, n_chars * 100000 + doc_id) AS bt,
+        |  array_to_string((list(n_chars::BIGINT ORDER BY n_chars))[1:3],
+        |    ' ') AS mn,
+        |  array_to_string(
+        |    (list(n_chars::BIGINT ORDER BY n_chars DESC))[1:3], ' ') AS mx,
+        |  (list(doc_id::BIGINT ORDER BY n_chars, doc_id))[1] AS tp,
+        |  (list(doc_id::BIGINT ORDER BY n_chars DESC, doc_id DESC))[1]
+        |    AS bt,
         |  quantile_cont(n_chars::DOUBLE, 0.5) AS med,
-        |  quantile_cont(n_chars::DOUBLE, [0.25, 0.75]) AS pcts
+        |  quantile_cont(n_chars::DOUBLE, 0.25) AS p25,
+        |  quantile_cont(n_chars::DOUBLE, 0.75) AS p75
         |FROM documents GROUP BY lang ORDER BY _id""".stripMargin,
     "mql_exp_moving_avg" -> {
       // the identical integer recurrence as a recursive CTE; the
@@ -3644,23 +3674,34 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  AND regexp_matches(source, '^src1')
         |  AND n_chars >= 500
         |ORDER BY doc_id""".stripMargin,
-    "mql_text_score" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(
-        |      regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |      t -> t IN ('vector', 'hash', 'table'))) AS BIGINT)
-        |      AS score
-        |  FROM documents)
-        |SELECT doc_id, score FROM m WHERE score > 0
-        |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin,
-    "mql_text_filter" ->
-      """SELECT doc_id FROM documents
-        |WHERE lang IN ('en', 'fr')
-        |  AND len(list_filter(
-        |    regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |    t -> t IN ('vector', 'hash'))) > 0
-        |ORDER BY doc_id""".stripMargin,
+    // r18: absent $language defaults to the english analyzer (Mongo's
+    // default index language) — both plain-$text oracles now render
+    // the analyzed token space from the one Stemmer rule table,
+    // exactly like mql_text_stemmed's
+    "mql_text_score" -> {
+      val toks = graft.functions.Stemmer.analyzeSqlTokens("text")
+      val terms = graft.functions.Stemmer.analyzeTerms(
+          graft.filter.MqlFilter.textSearchTerms("vector hash table"))
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($toks,
+         |      t -> t IN ($terms))) AS BIGINT)
+         |      AS score
+         |  FROM documents)
+         |SELECT doc_id, score FROM m WHERE score > 0
+         |ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin
+    },
+    "mql_text_filter" -> {
+      val toks = graft.functions.Stemmer.analyzeSqlTokens("text")
+      val terms = graft.functions.Stemmer.analyzeTerms(
+          graft.filter.MqlFilter.textSearchTerms("vector hash"))
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id FROM documents
+         |WHERE lang IN ('en', 'fr')
+         |  AND len(list_filter($toks, t -> t IN ($terms))) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
     "mql_text_stemmed" -> {
       // oracle rendered FROM the one Stemmer rule table: analyzed doc
       // tokens overlap the driver-stemmed query terms

@@ -70,17 +70,23 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$outDir/terms")
     statsOf(d, analyzed).write.mode("overwrite")
       .parquet(s"$outDir/docstats")
-    writeMeta(s, outDir)
+    writeMeta(s, outDir, analyzed)
     outDir
   }
 
   /** 1-row meta from what is ON DISK (build and append share it):
-    * corpus stats for BM25 + the row counts the trust check expects. */
-  private def writeMeta(s: SparkSession, outDir: String): Unit = {
+    * corpus stats for BM25 + the row counts the trust check expects +
+    * the ANALYZER flag (r18): an index dir built with one tokenizer
+    * must never be served under the other `analyzed` value — row
+    * counts alone can't tell them apart, so the flag is part of the
+    * trust identity and a mismatch rebuilds loudly in ensureBuilt. */
+  private def writeMeta(s: SparkSession, outDir: String,
+      analyzed: Boolean): Unit = {
     val nPost = s.read.parquet(s"$outDir/postings").count()
     s.read.parquet(s"$outDir/docstats")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("n_postings", lit(nPost))
+      .withColumn("analyzed", lit(analyzed))
       .write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
@@ -98,12 +104,17 @@ object TextIndex {
     catch { case _: Exception => false }
 
   /** Same trust contract as [[IvfIndex.ensureBuilt]]: _SUCCESS markers
-    * + exact row counts (from meta) + the corpus hasn't grown. */
+    * + exact row counts (from meta) + the corpus hasn't grown + the
+    * analyzer flag matches (r18 — a pre-r18 meta without the flag
+    * reads as untrusted and rebuilds, the same heal path as an old
+    * layout). */
   def ensureBuilt(s: SparkSession, d: DataFrame, outDir: String,
       analyzed: Boolean = false): String = {
     val trusted = layoutCurrent(s, outDir) &&
       graft.core.Trust.parquetDir(s, s"$outDir/meta", 1L) && {
         val m = s.read.parquet(s"$outDir/meta").head()
+        m.schema.fieldNames.contains("analyzed") &&
+        m.getAs[Boolean]("analyzed") == analyzed &&
         graft.core.Trust.parquetDir(s, s"$outDir/docstats",
           m.getAs[Long]("n_docs")) &&
         graft.core.Trust.parquetDir(s, s"$outDir/postings",
@@ -126,7 +137,7 @@ object TextIndex {
       .write.mode("append").parquet(s"$indexDir/terms")
     statsOf(tail, analyzed).write.mode("append")
       .parquet(s"$indexDir/docstats")
-    writeMeta(s, indexDir)
+    writeMeta(s, indexDir, analyzed)
   }
 
   /** OR-of-terms hits from the index — the `$text` predicate's serving

@@ -2238,24 +2238,26 @@ class MqlPipelineSpec extends SparkTestBase {
     // spring forward 2023-03-12 07:00Z (02:00 EST -> 03:00 EDT):
     // 06:30Z = 01:30 EST, 07:30Z = 03:30 EDT — ONE physical hour, but
     // the skipped 02:xx labels still count: 2 hour boundaries, 120
-    // minute boundaries, 7200 label seconds
+    // minute boundaries. The SECOND unit ignores the timezone (r18,
+    // Mongo's dateDiffSecond contract — raw epoch subtraction): 3600.
     assert(longs(
       """"h": {"$toLong": "$h"}, "m": {"$toLong": "$m"},
         |"s": {"$toLong": "$s"}""".stripMargin,
       s""""h": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "hour")},
          |"m": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "minute")},
          |"s": ${dd("2023-03-12T06:30:00", "2023-03-12T07:30:00", "second")}"""
-        .stripMargin) == Seq(2L, 120L, 7200L))
+        .stripMargin) == Seq(2L, 120L, 3600L))
     // fall back 2023-11-05 06:00Z (02:00 EDT -> 01:00 EST):
     // 04:30Z = 00:30 EDT, 06:30Z = 01:30 EST — TWO physical hours, the
-    // repeated 01:xx hour counts once: 1 hour boundary, 60 minutes
+    // repeated 01:xx hour counts once: 1 hour boundary, 60 minutes;
+    // seconds stay physical: 7200
     assert(longs(
       """"h": {"$toLong": "$h"}, "m": {"$toLong": "$m"},
         |"s": {"$toLong": "$s"}""".stripMargin,
       s""""h": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "hour")},
          |"m": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "minute")},
          |"s": ${dd("2023-11-05T04:30:00", "2023-11-05T06:30:00", "second")}"""
-        .stripMargin) == Seq(1L, 60L, 3600L))
+        .stripMargin) == Seq(1L, 60L, 7200L))
     // off-transition sanity: a named zone behaves like its fixed
     // offset (13:00Z -> 15:10Z in July = EDT throughout)
     assert(longs(

@@ -635,6 +635,20 @@ class PlanSpec extends SparkTestBase {
     // the appended index is trusted on reopen (meta counts match disk)
     assert(graft.operators.TextIndex.ensureBuilt(spark, d, dirSplit)
       == dirSplit)
+    // analyzer flag is part of the trust identity (r18): re-ensuring
+    // the SAME dir under the opposite `analyzed` value must REBUILD
+    // (row counts alone can't tell the tokenizers apart), after which
+    // the meta records the new flag and the analyzed form is trusted
+    graft.operators.TextIndex.ensureBuilt(spark, d, dirSplit,
+      analyzed = true)
+    val m = spark.read.parquet(s"$dirSplit/meta").head()
+    assert(m.getAs[Boolean]("analyzed"))
+    // a stemmed term now resolves where the exact index would miss
+    // (build happened under the english analyzer), and flipping back
+    // rebuilds again rather than serving analyzed postings as exact
+    graft.operators.TextIndex.ensureBuilt(spark, d, dirSplit)
+    assert(!spark.read.parquet(s"$dirSplit/meta").head()
+      .getAs[Boolean]("analyzed"))
   }
 
   test("pipeline_pretrain: the composite build chains without a " +
