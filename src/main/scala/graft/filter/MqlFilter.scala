@@ -1172,24 +1172,18 @@ object MqlFilter {
                 "omit the flag or pass false")
           val lang = Option(v.get("$language")).map(_.asText())
             .getOrElse("english")
-          val terms = textSearchTerms(v.get("$search").asText())
-          lang match {
-            case "none" =>
+          val search = v.get("$search").asText()
+          // r18: the baked-analyzer set widened to es/fr/de through
+          // [[graft.functions.Stemmer.analyzerFor]] (loud for unbaked
+          // languages); "none" keeps the exact-token match
+          graft.functions.Stemmer.analyzerFor(lang) match {
+            case None =>
               arrays_overlap(
                 graft.functions.TextFunctions.tokens(col("text")),
-                typedLit(terms))
-            case "english" | "en" =>
-              val stemmed = graft.functions.Stemmer.analyzeTerms(terms)
-              require(stemmed.nonEmpty,
-                s"$$text: every search term is an English stop word")
-              arrays_overlap(
-                graft.functions.Stemmer.analyzeCol(col("text")),
-                typedLit(stemmed))
-            case other => throw new IllegalArgumentException(
-              s"$$text analyzer '$other' unsupported: only the baked " +
-                "English analyzer (Porter-style table, Stemmer.Rules) " +
-                "and 'none' (exact tokens) are implemented — other " +
-                "Snowball languages need their own baked rule tables")
+                typedLit(textSearchTerms(search)))
+            case Some(a) =>
+              arrays_overlap(a.docTokens(col("text")),
+                typedLit(a.searchTerms(search)))
           }
         case (field, v) if v.isObject && isOpObject(v) =>
           opObjectPred(field, v, r)

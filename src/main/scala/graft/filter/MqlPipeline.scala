@@ -136,13 +136,14 @@ object MqlPipeline {
     // search terms of the last top-level $text $match — the basis of
     // {$meta: "textScore"} in later $project/$addFields/$sort stages
     // (Mongo requires the $text to precede any $meta use; same here).
-    // Terms are recorded POST-analysis and the flag says which
+    // Terms are recorded POST-analysis and the analyzer says which
     // tokenizer scores the document side — the score must count in
     // the same token space the $text matched in (r18: absent
     // $language defaults to the english analyzer, Mongo's default
-    // index language).
+    // index language; baked es/fr/de dispatch the same way).
     var textTerms: Option[Seq[String]] = None
-    var textAnalyzed = true
+    var textAnalyzer: Option[graft.functions.Stemmer.TextAnalyzer] =
+      Some(graft.functions.Stemmer.EnglishAnalyzer)
     // the integer-micro score column of the last $vectorSearch — the
     // basis of {$meta: "vectorSearchScore"} in later stages
     var vsScore: Option[String] = None
@@ -204,10 +205,8 @@ object MqlPipeline {
             throw new IllegalArgumentException(
               "{$meta: \"textScore\"} requires a preceding top-level " +
                 "$text $match stage (Mongo contract)"))
-          val toks =
-            if (textAnalyzed)
-              graft.functions.Stemmer.analyzeCol(col("text"))
-            else graft.functions.TextFunctions.tokens(col("text"))
+          val toks = textAnalyzer.map(_.docTokens(col("text")))
+            .getOrElse(graft.functions.TextFunctions.tokens(col("text")))
           size(filter(toks,
             t => array_position(typedLit(terms), t) > 0)).cast("long")
         case "vectorSearchScore" =>
@@ -311,16 +310,17 @@ object MqlPipeline {
           if (spec.isObject && spec.get("$text") != null) {
             val tn = spec.get("$text")
             val search = tn.get("$search").asText()
-            val raw = search.toLowerCase
-              .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
             // same language resolution as the $text predicate itself
             // (MqlFilter validates the full option surface when the
             // stage's filter translates right below)
-            textAnalyzed = Option(tn.get("$language")).map(_.asText())
-              .forall(l => l != "none")
-            textTerms = Some(
-              if (textAnalyzed) graft.functions.Stemmer.analyzeTerms(raw)
-              else raw)
+            textAnalyzer = graft.functions.Stemmer.analyzerFor(
+              Option(tn.get("$language")).map(_.asText())
+                .getOrElse("english"))
+            textTerms = Some(textAnalyzer match {
+              case Some(a) => a.searchTerms(search)
+              case None => search.toLowerCase
+                .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+            })
           }
           // real columns win (post-$group output, post-$unwind element);
           // everything else resolves through the metadata document
@@ -1494,9 +1494,12 @@ object MqlPipeline {
           // One shuffle (the partition groupBy); partition size bounds
           // the packed row like every collect_list accumulator.
           // Brackets, all loud: the EMA must be the stage's ONLY
-          // output (the stage restructures the frame); N-form only
-          // (alpha is a float dial — not integerizable); ascending
-          // sortBy; integral input in |x| ≤ 1e6.
+          // output (the stage restructures the frame); ascending
+          // sortBy; integral input in |x| ≤ 1e6. The alpha form
+          // (r18, lifting the r17 refusal) quantizes alpha to EXACT
+          // parts-per-million — an alpha with more than 6 decimal
+          // digits stays a loud refusal (the integerization stance:
+          // the recurrence must replay bit-exactly under the oracle).
           val emaOutN = spec.get("output")
           require(emaOutN.properties().size() == 1,
             "$expMovingAvg must be the only output of its " +
@@ -1507,18 +1510,42 @@ object MqlPipeline {
             "$expMovingAvg takes no window option (Mongo contract)")
           val emaArg = emaOut.getValue.get("$expMovingAvg")
           require(emaArg.isObject && emaArg.get("input") != null,
-            s"$$expMovingAvg needs {input, N}: $emaArg")
+            s"$$expMovingAvg needs {input, N} or {input, alpha}: " +
+              s"$emaArg")
           emaArg.properties().asScala.foreach(e => require(
-            Seq("input", "N").contains(e.getKey),
-            s"unsupported $$expMovingAvg option: ${e.getKey} " +
-              "(alpha is a float dial — not integerizable; use N)"))
-          val emaNN = Option(emaArg.get("N")).getOrElse(
-            throw new IllegalArgumentException(
-              s"$$expMovingAvg needs N: $emaArg"))
-          require(emaNN.isIntegralNumber && emaNN.asLong() >= 1 &&
-            emaNN.asLong() <= 1000,
-            s"$$expMovingAvg N must be an integer in 1..1000: $emaNN")
-          val emaN = emaNN.asInt()
+            Seq("input", "N", "alpha").contains(e.getKey),
+            s"unsupported $$expMovingAvg option: ${e.getKey}"))
+          require((emaArg.get("N") != null) !=
+            (emaArg.get("alpha") != null),
+            s"$$expMovingAvg takes exactly one of N or alpha " +
+              s"(Mongo contract): $emaArg")
+          // (numX, numS, den) of the integer-micro recurrence: the N
+          // form is the exact fraction α = 2/(N+1); the alpha form is
+          // the exact-ppm quantization A/10⁶
+          val (emaNumX, emaNumS, emaDen) =
+            Option(emaArg.get("N")) match {
+              case Some(nn) =>
+                require(nn.isIntegralNumber && nn.asLong() >= 1 &&
+                  nn.asLong() <= 1000,
+                  s"$$expMovingAvg N must be an integer in 1..1000: $nn")
+                (2L, nn.asLong() - 1L, nn.asLong() + 1L)
+              case None =>
+                val an = emaArg.get("alpha")
+                require(an.isNumber,
+                  s"$$expMovingAvg alpha must be a number: $an")
+                val alpha = an.asDouble()
+                require(alpha > 0.0 && alpha < 1.0,
+                  s"$$expMovingAvg alpha must be in (0, 1) " +
+                    s"exclusive (Mongo contract): $alpha")
+                val ppm = math.round(alpha * 1e6)
+                require(math.abs(alpha * 1e6 - ppm) < 1e-6 &&
+                  ppm >= 1 && ppm <= 999999,
+                  s"$$expMovingAvg alpha must be exactly " +
+                    s"representable in parts-per-million (at most 6 " +
+                    s"decimal digits — the exact integer recurrence): " +
+                    s"$alpha")
+                (ppm, 1000000L - ppm, 1000000L)
+            }
           val emaPartCols: Seq[Column] =
             Option(spec.get("partitionBy")).toSeq
               .flatMap(partitionKeyCols)
@@ -1557,7 +1584,7 @@ object MqlPipeline {
             column => bCol, expression => bExpr}
           val emaArr = bCol(graft.expr.IntEmaScan(
             bExpr(transform(col("__rows"), r => r.getField("__x"))),
-            emaN))
+            emaNumX, emaNumS, emaDen))
           cur = packed.withColumn("__ema", emaArr)
             .select(explode(arrays_zip(col("__rows"), col("__ema")))
               .as("__z"))

@@ -233,4 +233,194 @@ object Stemmer {
       s"regexp_extract_all(lower($textExpr), '[a-z0-9]+'), " +
       s"t -> t NOT IN ($stops)), t -> $p), t -> $e), t -> $d)"
   }
+
+  // ---- baked non-English analyzers (r18) ----------------------------
+  // The r17 one-table device generalized: each language is ONE
+  // (diacritic-fold table, stop set, ordered RE2-safe rule table)
+  // triple rendering all three surfaces — Catalyst document tokens,
+  // driver-side query terms, DuckDB oracle SQL. Tokenization folds
+  // diacritics FIRST (Mongo's $text is diacritic-insensitive by
+  // default — "rápidamente" and "rapidamente" must co-match), then
+  // extracts [a-z0-9]+ runs; stop words are stored in FOLDED form.
+  // The rule sets are compact light-stemmer selections in the spirit
+  // of the published Snowball/light stemmers (suffix stripping with
+  // minimum-stem guards), deliberately NOT the full automata: the
+  // match contract is SELF-CONSISTENCY — query terms and document
+  // tokens stem through the identical chain on every engine — and
+  // the unit spec pins each language's canonical inflection pairs.
+  // Flat sequential chains (8-10 anchored rules/language) — small
+  // enough to skip the English table's letter-guard staging.
+
+  /** One baked `$text` analyzer surface. */
+  sealed trait TextAnalyzer {
+    /** Mongo `$language` names served by this analyzer. */
+    def names: Seq[String]
+    /** Catalyst: analyzed token array of a document text column. */
+    def docTokens(text: Column): Column
+    /** Driver: validated `$search` string → analyzed distinct terms
+      * (loud when every term is a stop word). */
+    def searchTerms(search: String): Seq[String]
+    /** DuckDB: the analyzed token LIST of a text column expression —
+      * the oracle twin of [[docTokens]]. */
+    def sqlTokens(textExpr: String): String
+  }
+
+  /** The staged English analyzer under the common surface. */
+  object EnglishAnalyzer extends TextAnalyzer {
+    val names = Seq("english", "en")
+    def docTokens(text: Column): Column = analyzeCol(text)
+    def searchTerms(search: String): Seq[String] = {
+      val t = analyzeTerms(
+        graft.filter.MqlFilter.textSearchTerms(search))
+      require(t.nonEmpty,
+        "$text: every search term is an english stop word")
+      t
+    }
+    def sqlTokens(textExpr: String): String = analyzeSqlTokens(textExpr)
+  }
+
+  /** A folded-alphabet light-stemmer analyzer (es/fr/de). */
+  final class LangAnalyzer(val names: Seq[String], foldFrom: String,
+      foldTo: String, val stops: Seq[String],
+      val rules: Seq[(String, String)]) extends TextAnalyzer {
+    require(foldFrom.length == foldTo.length, names.head)
+
+    private[graft] def foldLocal(s: String): String = s.map { ch =>
+      val i = foldFrom.indexOf(ch)
+      if (i >= 0) foldTo(i) else ch
+    }
+
+    /** Driver-side stem of one folded lowercase token (replaceFirst ≡
+      * replace-all for anchored patterns, the English contract). */
+    private[graft] def stemLocal(w: String): String =
+      rules.foldLeft(w) { case (s, (p, r)) =>
+        s.replaceFirst(p, r.replace("{1}", "$1"))
+      }
+
+    def docTokens(text: Column): Column =
+      transform(
+        filter(
+          regexp_extract_all(
+            org.apache.spark.sql.functions.translate(
+              lower(text), foldFrom, foldTo),
+            lit("[a-z0-9]+"), lit(0)),
+          t => array_position(typedLit(stops), t) === 0),
+        t => rules.foldLeft(t) { case (c, (p, r)) =>
+          regexp_replace(c, lit(p), lit(r.replace("{1}", "$1")))
+        })
+
+    def searchTerms(search: String): Seq[String] = {
+      val t = graft.filter.MqlFilter
+        .textSearchTerms(foldLocal(
+          search.toLowerCase(java.util.Locale.ROOT)))
+        .filterNot(stops.contains).map(stemLocal).distinct
+      require(t.nonEmpty,
+        s"$$text: every search term is a ${names.head} stop word")
+      t
+    }
+
+    def sqlTokens(textExpr: String): String = {
+      val stopsSql = stops.map(w => s"'$w'").mkString(", ")
+      val chain = rules.foldLeft("t") { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '${r.replace("{1}", "\\1")}')"
+      }
+      s"list_transform(list_filter(regexp_extract_all(" +
+        s"translate(lower($textExpr), '$foldFrom', '$foldTo'), " +
+        s"'[a-z0-9]+'), t -> t NOT IN ($stopsSql)), t -> $chain)"
+    }
+  }
+
+  /** Spanish: ces→z + plural strip, -mente adverbs, -miento nouns,
+    * participles/gerunds, infinitives, final-vowel strip (the classic
+    * light-stemmer cascade: libros/libro→libr, rápidamente/rapido→
+    * rapid, hablando/hablar/habla→habl, veces/vez→vez). */
+  val Spanish: LangAnalyzer = new LangAnalyzer(
+    Seq("spanish", "es"),
+    "áéíóúüñ", "aeiouun",
+    Seq("de", "la", "que", "el", "en", "y", "a", "los", "del", "se",
+      "las", "por", "un", "para", "con", "no", "una", "su", "al",
+      "lo", "como", "mas", "pero", "sus", "le", "ya", "o", "este",
+      "si", "porque", "esta", "entre", "cuando", "muy", "sin",
+      "sobre", "tambien", "me", "hasta", "hay", "donde", "quien",
+      "desde", "todo", "nos", "ni", "eso", "nada", "es", "son",
+      "fue", "ser", "estar"),
+    Seq(
+      ("^(.*)ces$", "{1}z"),                       // veces → vez
+      ("^(.*[drlnj])es$", "{1}"),                  // papeles → papel
+      ("^(.*[aeiou])s$", "{1}"),                   // libros → libro
+      ("^(.*[a-z]{2})mente$", "{1}"),              // rapidamente → rapida
+      ("^(.*[a-z]{2})(amiento|imiento)$", "{1}"),  // pensamiento → pens
+      ("^(.*[a-z]{2})(ando|iendo)$", "{1}"),       // hablando → habl
+      ("^(.*[a-z]{2})(ado|ido|ada|ida)$", "{1}"),  // hablado → habl
+      ("^(.*[a-z]{2})(ar|er|ir)$", "{1}"),         // hablar → habl
+      ("^(.*[a-z]{2})[aoe]$", "{1}")))             // libro → libr
+
+  /** French: -eaux/-aux plurals, -euse/-eux, plural s, -ement
+    * adverbs, -ation family, common verb endings, final-e strip
+    * (maisons/maison→maison, chevaux/cheval→cheval, parlant/parler/
+    * parle→parl, formation/former→form, heureux/heureuse→heur). */
+  val French: LangAnalyzer = new LangAnalyzer(
+    Seq("french", "fr"),
+    "àâäéèêëîïôöùûüç", "aaaeeeeiioouuuc",
+    Seq("le", "la", "les", "de", "des", "du", "un", "une", "et",
+      "ou", "mais", "donc", "car", "que", "qui", "quoi", "dont",
+      "a", "au", "aux", "ce", "ces", "cette", "dans", "en", "par",
+      "pour", "sur", "avec", "sans", "sous", "il", "elle", "ils",
+      "elles", "je", "tu", "nous", "vous", "son", "sa", "ses",
+      "leur", "leurs", "ne", "pas", "plus", "se", "est", "sont",
+      "ete", "etre", "y", "si", "tout", "tous", "toute", "comme",
+      "meme", "aussi", "tres"),
+    Seq(
+      ("^(.*eau)x$", "{1}"),                        // reseaux → reseau
+      ("^(.*a)ux$", "{1}l"),                        // chevaux → cheval
+      ("^(.*[a-z]{2})(euse|eux)$", "{1}"),          // heureux → heur
+      ("^(.*[a-z]{2})s$", "{1}"),                   // maisons → maison
+      ("^(.*[a-z]{2})ement$", "{1}"),               // rapidement → rapid
+      ("^(.*[a-z]{2})(ation|ateur|atrice)$", "{1}"), // formation → form
+      ("^(.*[a-z]{2})(er|ez|ent|ant|ait|ais)$", "{1}"), // parler → parl
+      ("^(.*[a-z]{2})e$", "{1}")))                  // rapide → rapid
+
+  /** German: -heit/-keit nouns, -ung(en) nouns, -lich/-isch
+    * adjectives, declension endings en/er/es/em/e then n/s — applied
+    * in sequence, so the chain over-strips consistently on both the
+    * query and document sides (zeitungen/zeitung→zeit, laufen→lauf,
+    * häuser/haus→hau, freundlich/freunde→freund). ß folds to a
+    * single 's' (translate is 1:1 on every engine) — self-consistent
+    * across all three surfaces, documented divergence from the
+    * linguistic ss expansion. */
+  val German: LangAnalyzer = new LangAnalyzer(
+    Seq("german", "de"),
+    "äöüß", "aous",
+    Seq("der", "die", "das", "den", "dem", "des", "ein", "eine",
+      "einen", "einem", "eines", "einer", "und", "oder", "aber",
+      "nicht", "mit", "von", "zu", "im", "in", "am", "an", "auf",
+      "fur", "ist", "sind", "war", "waren", "wird", "werden", "als",
+      "auch", "aus", "bei", "durch", "nach", "uber", "um", "unter",
+      "vor", "wie", "was", "wer", "wenn", "dann", "doch", "noch",
+      "nur", "schon", "sehr", "so", "zum", "zur", "man", "kann",
+      "hat", "haben", "sie", "er", "es", "ich", "wir", "ihr",
+      "sein", "dieser", "diese", "dieses"),
+    Seq(
+      ("^(.*[a-z]{3})(heiten|keiten)$", "{1}"),  // moglichkeiten → moglich
+      ("^(.*[a-z]{3})(heit|keit)$", "{1}"),      // moglichkeit → moglich
+      ("^(.*[a-z]{3})ung(en)?$", "{1}"),         // zeitungen → zeit
+      ("^(.*[a-z]{3})(lich|isch)$", "{1}"),      // freundlich → freund
+      ("^(.*[a-z]{3})(en|er|es|em|e)$", "{1}"),  // laufen → lauf
+      ("^(.*[a-z]{3})(n|s)$", "{1}")))           // haus → hau
+
+  private val Baked: Seq[TextAnalyzer] =
+    Seq(EnglishAnalyzer, Spanish, French, German)
+
+  /** `$language` dispatch for every `$text` surface: None = "none"
+    * (exact tokens), Some = a baked analyzer; anything else is a loud
+    * refusal naming the baked set. */
+  def analyzerFor(lang: String): Option[TextAnalyzer] =
+    if (lang == "none") None
+    else Baked.find(_.names.contains(lang)).map(Some(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$$text analyzer '$lang' unsupported: baked analyzers are " +
+          Baked.map(_.names.mkString("/")).mkString(", ") +
+          " (one rule table each rendering Catalyst + driver + oracle " +
+          "SQL) and 'none' (exact tokens) — other Snowball languages " +
+          "need their own baked rule tables"))
 }

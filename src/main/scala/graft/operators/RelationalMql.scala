@@ -1600,6 +1600,82 @@ private[graft] trait RelationalMql { this: Relational.type =>
       .select(col("doc_id"))
       .orderBy("doc_id")
 
+  // ---- baked non-English $text analyzers (r18) ----------------------
+  // Planted per-language fixtures (the documents corpus is English
+  // prose, so each gate replaces the text column with a deterministic
+  // doc_id-keyed phrase carrying the language's canonical inflection
+  // pairs, diacritics to fold, and stop-word-only rows) — the ONE
+  // phrase list renders both the Spark fixture and the oracle's
+  // DuckDB list literal, and the query terms analyze through the SAME
+  // per-language rule table on both engines.
+
+  private val esPlanted = Seq(
+    "los libros rápidamente", "libro nuevo", "hablando claramente",
+    "hablar fuerte", "pensamientos oscuros", "pensar bien",
+    "veces contadas", "vez primera", "nada de eso", "casa grande")
+  private val frPlanted = Seq(
+    "les maisons rapidement", "maison grande", "parlant fort",
+    "parler vite", "formation utile", "former encore",
+    "chevaux rapides", "cheval blanc", "le la été de",
+    "heureuse ensemble")
+  private val dePlanted = Seq(
+    "die zeitungen schnell", "zeitung lesen", "laufen weit",
+    "lauf schnell", "häuser groß", "haus garten",
+    "freundlich bleiben", "freunde treffen", "der die das und",
+    "möglichkeiten viele")
+
+  private def plantedText(phrases: Seq[String]) =
+    element_at(typedLit(phrases),
+      (col("doc_id") % phrases.length).cast("int") + 1)
+
+  private def mqlTextStemmedLang(s: SparkSession, dir: String,
+      phrases: Seq[String], search: String, lang: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("text", plantedText(phrases))
+      .withColumn("meta", to_json(struct(col("lang"))))
+      .filter(MqlFilter.toColumn(
+        s"""{"$$text": {"$$search": "$search",
+           |            "$$language": "$lang"}}""".stripMargin,
+        MqlFilter.JsonResolver(col("meta"))))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** `$text {"$language": "es"}` (r18): the Spanish light-stemmer
+    * cascade — libros→libr co-matching libro, rápidamente folding its
+    * diacritic AND stemming to rapid, hablar/hablando→habl,
+    * veces/vez→vez, with a stop-word-only row that must not match. */
+  def mqlTextStemmedEs(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, esPlanted,
+      "libros hablando pensar veces", "es")
+
+  /** `$text {"$language": "fr"}` (r18): maisons→maison, the -aux
+    * plural (chevaux↔cheval), parlant/parler→parl, formation/former→
+    * form, heureux↔heureuse→heur; "été" folds to the stop word ete. */
+  def mqlTextStemmedFr(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, frPlanted,
+      "maisons parler formation cheval heureux", "fr")
+
+  /** `$text {"$language": "de"}` (r18): zeitungen/zeitung→zeit,
+    * laufen↔lauf, häuser/haus→hau (the declension chain over-strips
+    * consistently on both sides), freundlich↔freunde→freund,
+    * möglichkeit(en)→moglich through the umlaut fold. */
+  def mqlTextStemmedDe(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, dePlanted,
+      "zeitung laufen haus freundlich möglichkeit", "de")
+
+  private def stemmedLangOracle(phrases: Seq[String], search: String,
+      a: graft.functions.Stemmer.LangAnalyzer): String = {
+    val lst = phrases.map(p => s"'$p'").mkString("[", ", ", "]")
+    val terms = a.searchTerms(search).map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |  ($lst)[CAST(doc_id % ${phrases.length} AS INT) + 1] AS text
+       |  FROM documents)
+       |SELECT doc_id FROM d
+       |WHERE len(list_filter(${a.sqlTokens("text")},
+       |  t -> t IN ($terms))) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** MQL `$expr` under the gate — aggregation expressions inside a find
     * filter: a numeric comparison whose right side is computed
     * ($add/$multiply over field refs) AND a string equality, both
@@ -1945,6 +2021,31 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |   "sortBy": {"eid": 1},
         |   "output": {"ema": {"$expMovingAvg": {
         |     "input": {"$toLong": "$v"}, "N": 20}}}}},
+        | {"$project": {"event_id": {"$toLong": "$eid"},
+        |   "uid": {"$toLong": "$uid"}, "ema": 1}},
+        | {"$sort": {"event_id": 1}},
+        | {"$limit": 400}
+        |]""".stripMargin)
+
+  /** $expMovingAvg ALPHA form under the gate (r18 — lifts the r17
+    * refusal): alpha quantized to exact parts-per-million (0.25 →
+    * A = 250000), the same native integer-micro partition scan with
+    * weights (A, 10⁶−A, 10⁶), the oracle replaying the identical
+    * recurrence as a recursive CTE. Same 128-way fixture as the
+    * N-form gate. */
+  def mqlExpMovingAvgAlpha(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      events(s, dir)
+        .withColumn("meta", to_json(struct(
+          col("event_id").cast("long").as("eid"),
+          (col("user_id") % 128).as("uid"),
+          (col("event_id") % 997 - 200).as("v")))),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$uid",
+        |   "sortBy": {"eid": 1},
+        |   "output": {"ema": {"$expMovingAvg": {
+        |     "input": {"$toLong": "$v"}, "alpha": 0.25}}}}},
         | {"$project": {"event_id": {"$toLong": "$eid"},
         |   "uid": {"$toLong": "$uid"}, "ema": 1}},
         | {"$sort": {"event_id": 1}},
@@ -3065,6 +3166,28 @@ private[graft] trait RelationalMql { this: Relational.type =>
          |  CAST(s AS BIGINT) AS ema
          |FROM ema ORDER BY event_id LIMIT 400""".stripMargin
     },
+    "mql_exp_moving_avg_alpha" -> {
+      // the alpha-ppm recurrence (A = 250000): s = floor((A*x*1e6 +
+      // (1e6-A)*s) / 1e6), the same non-negative-mod floor-division
+      // spelling as the N-form oracle
+      val num = "(250000 * o.v * 1000000 + 750000 * e.s)"
+      s"""WITH RECURSIVE b AS (SELECT event_id,
+         |    user_id % 128 AS uid, event_id % 997 - 200 AS v
+         |  FROM events),
+         |o AS (SELECT event_id, uid, v,
+         |    row_number() OVER (PARTITION BY uid ORDER BY event_id)
+         |      AS i FROM b),
+         |ema AS (
+         |  SELECT uid, i, event_id, v * 1000000::BIGINT AS s
+         |  FROM o WHERE i = 1
+         |  UNION ALL
+         |  SELECT o.uid, o.i, o.event_id,
+         |    ($num - ((($num % 1000000) + 1000000) % 1000000)) // 1000000
+         |  FROM ema e JOIN o ON o.uid = e.uid AND o.i = e.i + 1)
+         |SELECT event_id, CAST(uid AS BIGINT) AS uid,
+         |  CAST(s AS BIGINT) AS ema
+         |FROM ema ORDER BY event_id LIMIT 400""".stripMargin
+    },
     "mql_window_cov" -> {
       // the engine's moment form replayed VERBATIM: exact integer
       // window sums, then the identical double expression — the same
@@ -3714,6 +3837,15 @@ private[graft] trait RelationalMql { this: Relational.type =>
          |WHERE len(list_filter($toks, t -> t IN ($terms))) > 0
          |ORDER BY doc_id""".stripMargin
     },
+    "mql_text_stemmed_es" -> stemmedLangOracle(esPlanted,
+      "libros hablando pensar veces",
+      graft.functions.Stemmer.Spanish),
+    "mql_text_stemmed_fr" -> stemmedLangOracle(frPlanted,
+      "maisons parler formation cheval heureux",
+      graft.functions.Stemmer.French),
+    "mql_text_stemmed_de" -> stemmedLangOracle(dePlanted,
+      "zeitung laufen haus freundlich möglichkeit",
+      graft.functions.Stemmer.German),
     "mql_expr_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >
@@ -3805,6 +3937,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_expr_filter" -> (mqlExprFilter _),
     "mql_text_filter" -> (mqlTextFilter _),
     "mql_text_stemmed" -> (mqlTextStemmed _),
+    "mql_text_stemmed_es" -> (mqlTextStemmedEs _),
+    "mql_text_stemmed_fr" -> (mqlTextStemmedFr _),
+    "mql_text_stemmed_de" -> (mqlTextStemmedDe _),
     "mql_text_score" -> (mqlTextScore _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
@@ -3821,6 +3956,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_cov" -> (mqlWindowCov _),
     "mql_exp_moving_avg" -> (mqlExpMovingAvg _),
+    "mql_exp_moving_avg_alpha" -> (mqlExpMovingAvgAlpha _),
     "mql_group_nacc" -> (mqlGroupNacc _),
     "mql_window_range" -> (mqlWindowRange _),
     "mql_window_unit" -> (mqlWindowUnit _),

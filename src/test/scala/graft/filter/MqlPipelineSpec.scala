@@ -258,7 +258,23 @@ class MqlPipelineSpec extends SparkTestBase {
     // a: 4e6; (16e6+8e6)/4 = 6e6; (-6e6+12e6)/4 = 1.5e6. b: 10e6.
     assert(got == Seq((1L, 4000000L), (2L, 6000000L),
       (3L, 1500000L), (4L, 10000000L)), got.mkString(","))
-    // brackets: only-output, alpha, missing sortBy, descending sortBy,
+    // the ALPHA form (r18): alpha = 0.5 → A = 500000, s = floor((A·x·
+    // 1e6 + (1e6−A)·s)/1e6) — a: 4e6; (4e6+4e6)/2... = floor((0.5·8 +
+    // 0.5·4)·1e6) = 6e6; floor((0.5·(−3) + 0.5·6)·1e6) = 1.5e6
+    val gotA = MqlPipeline.aggregate(docs, col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$g",
+        |   "sortBy": {"k": 1},
+        |   "output": {"ema": {"$expMovingAvg": {
+        |     "input": {"$toLong": "$v"}, "alpha": 0.5}}}}},
+        | {"$project": {"id": 1, "ema": 1}},
+        | {"$sort": {"id": 1}}
+        |]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotA == Seq((1L, 4000000L), (2L, 6000000L),
+      (3L, 1500000L), (4L, 10000000L)), gotA.mkString(","))
+    // brackets: only-output, N+alpha together, alpha out of (0,1),
+    // alpha finer than ppm, missing sortBy, descending sortBy,
     // fractional input
     for ((pipe, frag) <- Seq(
       ("""[{"$setWindowFields": {"partitionBy": "$g",
@@ -267,8 +283,17 @@ class MqlPipelineSpec extends SparkTestBase {
          |    "n": {"$sum": 1}}}}]""".stripMargin, "only output"),
       ("""[{"$setWindowFields": {"partitionBy": "$g",
          |  "sortBy": {"k": 1}, "output": {
+         |    "ema": {"$expMovingAvg": {"input": "$v", "N": 3,
+         |      "alpha": 0.5}}}}}]""".stripMargin, "exactly one"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": 1}, "output": {
          |    "ema": {"$expMovingAvg": {"input": "$v",
-         |      "alpha": 0.5}}}}}]""".stripMargin, "alpha"),
+         |      "alpha": 1.0}}}}}]""".stripMargin, "(0, 1)"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": 1}, "output": {
+         |    "ema": {"$expMovingAvg": {"input": "$v",
+         |      "alpha": 0.1234567}}}}}]""".stripMargin,
+        "parts-per-million"),
       ("""[{"$setWindowFields": {"partitionBy": "$g",
          |  "output": {"ema": {"$expMovingAvg": {"input": "$v",
          |    "N": 3}}}}}]""".stripMargin, "sortBy"),

@@ -75,13 +75,66 @@ class StemmerSpec extends SparkTestBase {
     assert(toks == Seq("run", "table"))
   }
 
-  test("non-English analyzers stay loud, stop-only search is loud") {
+  test("es/fr/de inflection pairs stem together; diacritics fold; " +
+      "stop words drop (r18)") {
+    // each pair must CO-STEM (query term ↔ document token), the
+    // self-consistency contract — not full Snowball output
+    val es = Seq(
+      ("libros", "libro"), ("rápidamente", "rapido"),
+      ("hablando", "hablar"), ("habla", "hablar"),
+      ("veces", "vez"), ("pensamientos", "pensar"))
+    es.foreach { case (a, b) =>
+      assert(Stemmer.Spanish.stemLocal(Stemmer.Spanish.foldLocal(a)) ==
+        Stemmer.Spanish.stemLocal(Stemmer.Spanish.foldLocal(b)),
+        s"es: $a vs $b")
+    }
+    val fr = Seq(
+      ("maisons", "maison"), ("chevaux", "cheval"),
+      ("parlant", "parler"), ("formation", "former"),
+      ("heureux", "heureuse"), ("rapidement", "rapide"))
+    fr.foreach { case (a, b) =>
+      assert(Stemmer.French.stemLocal(Stemmer.French.foldLocal(a)) ==
+        Stemmer.French.stemLocal(Stemmer.French.foldLocal(b)),
+        s"fr: $a vs $b")
+    }
+    val de = Seq(
+      ("zeitungen", "zeitung"), ("häuser", "haus"),
+      ("freundlich", "freunde"), ("möglichkeiten", "möglichkeit"))
+    de.foreach { case (a, b) =>
+      assert(Stemmer.German.stemLocal(Stemmer.German.foldLocal(a)) ==
+        Stemmer.German.stemLocal(Stemmer.German.foldLocal(b)),
+        s"de: $a vs $b")
+    }
+    // stop sets apply in FOLDED space ("été" → ete, "für" → fur)
+    assert(Stemmer.French.searchTerms("été maisons") ==
+      Seq(Stemmer.French.stemLocal("maison")))
+    // Catalyst docTokens agrees with the driver chain per language
+    for ((a, text, want) <- Seq(
+        // "rápidamente" cascades mente→rapida→(ida)→rap, the same
+        // chain "rapido"/(ido) lands on — co-stemming, not Snowball
+        (Stemmer.Spanish, "los LIBROS rápidamente", Seq("libr", "rap")),
+        (Stemmer.French, "les chevaux étaient rapides",
+          Seq("cheval", "etai", "rapid")),
+        (Stemmer.German, "die Zeitungen über Häuser",
+          Seq("zeit", "hau")))) {
+      val got = spark.range(1)
+        .select(a.docTokens(lit(text)).as("a"))
+        .as[Seq[String]].head()
+      assert(got == want, s"${a.names.head}: $got vs $want")
+    }
+  }
+
+  test("unbaked analyzers stay loud, stop-only search is loud") {
     val e = intercept[IllegalArgumentException] {
       graft.filter.MqlFilter.toColumn(
-        """{"$text": {"$search": "lauf", "$language": "german"}}""",
+        """{"$text": {"$search": "corsa", "$language": "italian"}}""",
         graft.filter.MqlFilter.JsonResolver(lit("{}")))
     }
     assert(e.getMessage.contains("analyzer"))
+    // the r17 refusal bracket NARROWED: german/spanish/french now bake
+    graft.filter.MqlFilter.toColumn(
+      """{"$text": {"$search": "lauf", "$language": "german"}}""",
+      graft.filter.MqlFilter.JsonResolver(lit("{}")))
     val e2 = intercept[IllegalArgumentException] {
       graft.filter.MqlFilter.toColumn(
         """{"$text": {"$search": "the of", "$language": "english"}}""",
