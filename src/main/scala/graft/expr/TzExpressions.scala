@@ -96,16 +96,18 @@ object TzTable {
     * fall within ±Probe of it. */
   val Probe = 64800L
 
-  /** First year NOT covered by the baked tables. 2100 keeps a
-    * two-transitions-a-year zone's table at ~350 rows — small enough
-    * to serialize into every oracle SQL as list literals and to bind
-    * as a literal array in the codegen'd expressions — while covering
-    * any date a 100 TB corpus plausibly carries as DATA (tzdata
-    * itself only projects current law forward; pretending precision
-    * past it would be false). Out-of-horizon lookups RAISE at
-    * [[TzTable.offsetAt]]/[[TzTable.localToInstant]] — widening is
-    * this one constant, never a silent last-rule freeze. */
-  val HorizonYear = 2100
+  /** First year NOT covered by the baked tables. 2200 (r18 — widened
+    * from 2100 so forecasting pipelines projecting decades ahead stay
+    * in-table) keeps a two-transitions-a-year zone's table at ~550
+    * rows — still small enough to serialize into every oracle SQL as
+    * list literals and to bind as a literal array in the codegen'd
+    * expressions. tzdata itself only projects current law forward, so
+    * the far years encode TODAY'S recurring rules — the honest
+    * best-available answer, identical on both engines. Out-of-horizon
+    * lookups RAISE at [[TzTable.offsetAt]]/[[TzTable.localToInstant]]
+    * — widening is this one constant, never a silent last-rule
+    * freeze. */
+  val HorizonYear = 2200
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, TzTable]()

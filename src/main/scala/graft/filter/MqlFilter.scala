@@ -812,13 +812,18 @@ object MqlFilter {
     }), "")
   }
 
-  /** Scala twin of [[numKeyCol]] for the filter's literals. */
+  /** Scala twin of [[numKeyCol]] for the filter's literals. ASCII
+    * digits ONLY — the column twin's regexes scan [0-9]; Char.isDigit
+    * would also open a run on non-ASCII digit classes (e.g. '٣') and
+    * misalign the two keys (r18, the case/accent ADVICE generalized —
+    * this was the third renderer with the same class drift). */
   private[graft] def numKeyLit(s: String): String = {
+    def ad(ch: Char): Boolean = ch >= '0' && ch <= '9'
     val out = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s(i).isDigit) {
-        val j = s.indexWhere(!_.isDigit, i) match {
+      if (ad(s(i))) {
+        val j = s.indexWhere(!ad(_), i) match {
           case -1 => s.length; case x => x }
         val run = s.substring(i, j).dropWhile(_ == '0') match {
           case "" => "0"; case r => r }

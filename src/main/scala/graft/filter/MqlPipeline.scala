@@ -1752,6 +1752,69 @@ object MqlPipeline {
               case "$min" => min(operand).over(frame)
               case "$max" => max(operand).over(frame)
               case "$count" => count(lit(1)).over(frame)
+              // Mongo 5.2 window-scoped N-accumulators (r18): the
+              // group twins' sorted-collect device over the FRAME —
+              // collect_list as a window function (frame-sized
+              // buffers, the same bounded-frame caveat as $push),
+              // sort/slice per row. $minN/$maxN sort the VALUES;
+              // $firstN/$lastN slice the frame's sortBy order
+              // (collect_list over an ordered frame preserves row
+              // order); $topN/$bottomN sort by their OWN uniform-
+              // direction sortBy with the (key, value) struct
+              // tie-break both engines agree on.
+              case "$minN" | "$maxN" =>
+                require(arg.isObject && arg.get("n") != null &&
+                  arg.get("input") != null,
+                  s"$wop needs {n, input}: $arg")
+                val n = arg.get("n").asInt()
+                require(n > 0, s"$wop.n must be positive")
+                val v = valueExpr(arg.get("input"), meta, cur)
+                slice(sort_array(collect_list(v).over(frame),
+                  asc = wop == "$minN"), lit(1), lit(n))
+              case "$firstN" | "$lastN" =>
+                require(arg.isObject && arg.get("n") != null &&
+                  arg.get("input") != null,
+                  s"$wop needs {n, input}: $arg")
+                val n = arg.get("n").asInt()
+                require(n > 0, s"$wop.n must be positive")
+                require(sortCols.nonEmpty,
+                  s"$wop requires a sortBy in $$setWindowFields")
+                val arr = collect_list(
+                  valueExpr(arg.get("input"), meta, cur)).over(frame)
+                if (wop == "$firstN") slice(arr, lit(1), lit(n))
+                else slice(arr,
+                  greatest(size(arr) - (n - 1), lit(1)), lit(n))
+              case "$topN" | "$bottomN" =>
+                require(arg.isObject && arg.get("n") != null &&
+                  arg.get("sortBy") != null && arg.get("output") != null,
+                  s"$wop needs {n, sortBy, output}: $arg")
+                val n = arg.get("n").asInt()
+                require(n > 0, s"$wop.n must be positive")
+                val outE = valueExpr(arg.get("output"), meta, cur)
+                val pairs = arg.get("sortBy").properties().asScala.toSeq
+                  .flatMap { f =>
+                    require(f.getValue.isIntegralNumber &&
+                      math.abs(f.getValue.asInt()) == 1,
+                      s"$wop sortBy direction must be 1 or -1: " +
+                        s"${f.getKey}: ${f.getValue}")
+                    val desc = f.getValue.asInt() < 0
+                    sortBases(f.getKey, cur, meta).map(b => (b, desc))
+                  }
+                require(pairs.nonEmpty, s"$wop.sortBy must be non-empty")
+                val dirs = pairs.map(_._2).distinct
+                require(dirs.size == 1, s"$wop requires a uniform-" +
+                  "direction sortBy (no single sort_array key otherwise)")
+                val k = if (pairs.size == 1) pairs.head._1
+                  else struct(pairs.map(_._1): _*)
+                val sorted = sort_array(
+                  collect_list(struct(k.as("k"), outE.as("v")))
+                    .over(frame),
+                  asc = !dirs.head)
+                val sliced =
+                  if (wop == "$topN") slice(sorted, lit(1), lit(n))
+                  else slice(sorted,
+                    greatest(size(sorted) - (n - 1), lit(1)), lit(n))
+                transform(sliced, x => x.getField("v"))
               case "$shift" =>
                 val outE = arg.get("output")
                 require(outE != null, s"$$shift needs output: $arg")

@@ -408,8 +408,93 @@ object Stemmer {
       ("^(.*[a-z]{3})(en|er|es|em|e)$", "{1}"),  // laufen → lauf
       ("^(.*[a-z]{3})(n|s)$", "{1}")))           // haus → hau
 
+  /** Italian: plural/gender vowel endings, -mente adverbs, -zione
+    * nouns, verb endings (libri/libro→libr, rapidamente/rapido→rapid,
+    * parlando/parlare/parla→parl, creazione/creare→cre). */
+  val Italian: LangAnalyzer = new LangAnalyzer(
+    Seq("italian", "it"),
+    "àèéìíîòóùú", "aeeiiioouu",
+    Seq("di", "a", "da", "in", "con", "su", "per", "tra", "fra",
+      "il", "lo", "la", "i", "gli", "le", "un", "uno", "una",
+      "e", "o", "ma", "se", "che", "chi", "cui", "non", "piu",
+      "del", "della", "dello", "dei", "delle", "degli", "nel",
+      "nella", "al", "alla", "allo", "ai", "alle", "sono", "era",
+      "essere", "questo", "questa", "questi", "queste", "quello",
+      "quella", "come", "anche", "molto", "tutto", "tutti", "ci",
+      "si", "lui", "lei", "loro", "io", "tu", "noi", "voi"),
+    Seq(
+      ("^(.*[a-z]{2})mente$", "{1}"),               // rapidamente → rapida
+      ("^(.*[a-z]{2})zioni$", "{1}zione"),          // creazioni → creazione
+      ("^(.*[a-z]{2})zione$", "{1}"),               // creazione → crea
+      ("^(.*[a-z]{2})(ando|endo)$", "{1}"),         // parlando → parl
+      ("^(.*[a-z]{2})(ato|ata|ati|ate|uto|uti|ito|iti)$", "{1}"),
+      // final vowel BEFORE the infinitive rule: -are/-ere/-ire lose
+      // their 'e' in the vowel strip and the (ar|er|ir) residue is
+      // stripped after, so "creare"→crear→cre lands exactly where the
+      // -zione cascade's "crea"→cre does (a trailing (are|...) rule
+      // would double-strip: creare→cre→cr, diverging from creazioni)
+      ("^(.*[a-z]{2})[aeio]$", "{1}"),              // libri/libro → libr
+      ("^(.*[a-z]{2})(ar|er|ir)$", "{1}")))         // crear → cre
+
+  /** Portuguese: plural (ções→ção handled pre-fold as coes/cao),
+    * -mente adverbs, -mento nouns, participles/gerunds, infinitives,
+    * final-vowel strip (livros/livro→livr, falando/falar/fala→fal,
+    * rapidamente/rapido→rapid). The nasal plural ções folds to coes —
+    * its singular ção folds to cao, so a dedicated oes→ao rule keeps
+    * the pair co-stemming in FOLDED space. */
+  val Portuguese: LangAnalyzer = new LangAnalyzer(
+    Seq("portuguese", "pt"),
+    "áàâãéêíóôõúüç", "aaaaeeiooouuc",
+    Seq("de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+      "com", "nao", "uma", "os", "no", "se", "na", "por", "mais",
+      "as", "dos", "como", "mas", "ao", "ele", "das", "seu", "sua",
+      "ou", "quando", "muito", "nos", "ja", "eu", "tambem", "so",
+      "pelo", "pela", "ate", "isso", "ela", "entre", "depois",
+      "sem", "mesmo", "aos", "seus", "quem", "nas", "me", "esse",
+      "eles", "voce", "essa", "num", "nem", "suas", "meu", "minha",
+      "numa", "pelos", "elas", "qual", "lhe", "deles", "essas",
+      "esses", "pelas", "este", "dele", "ser", "esta", "estar"),
+    Seq(
+      ("^(.*[a-z]{2})oes$", "{1}ao"),               // coracoes → coracao
+      ("^(.*[drlnz])es$", "{1}"),                   // flores → flor
+      ("^(.*[aeiou])s$", "{1}"),                    // livros → livro
+      ("^(.*[a-z]{2})mente$", "{1}"),               // rapidamente → rapida
+      ("^(.*[a-z]{2})(amento|imento)$", "{1}"),     // pensamento → pens
+      ("^(.*[a-z]{2})(ando|endo|indo)$", "{1}"),    // falando → fal
+      ("^(.*[a-z]{2})(ado|ido|ada|ida)$", "{1}"),   // falado → fal
+      ("^(.*[a-z]{2})(ar|er|ir)$", "{1}"),          // falar → fal
+      ("^(.*[a-z]{2})[aoe]$", "{1}")))              // livro → livr
+
+  /** Dutch: diminutive -je(s), plural -en/-s, -heid nouns, -lijk/
+    * -isch adjectives, declension -e (huizen/huis→hui via the
+    * consistent over-strip, lopen→lop, mogelijkheden/mogelijk→
+    * mogelijk, boekje/boek→boek). */
+  val Dutch: LangAnalyzer = new LangAnalyzer(
+    Seq("dutch", "nl"),
+    "áàäéèëíìïóòöúùü", "aaaeeeiiiooouuu",
+    Seq("de", "het", "een", "en", "van", "in", "op", "aan", "met",
+      "voor", "er", "maar", "om", "dan", "zou", "of", "wat", "mijn",
+      "men", "dit", "zo", "door", "over", "ze", "zich", "bij",
+      "ook", "tot", "je", "mij", "uit", "der", "daar", "haar",
+      "naar", "heb", "hoe", "heeft", "hebben", "deze", "u", "want",
+      "nog", "zal", "me", "zij", "nu", "ge", "geen", "omdat",
+      "iets", "worden", "toch", "al", "waren", "veel", "meer",
+      "doen", "toen", "moet", "ben", "zonder", "kan", "hun", "dus",
+      "alles", "onder", "ja", "eens", "hier", "wie", "werd",
+      "altijd", "doch", "wordt", "wezen", "kunnen", "ons", "zelf",
+      "tegen", "na", "reeds", "wil", "kon", "niets", "uw", "iemand",
+      "geweest", "andere", "niet", "hij", "is", "was", "dat", "die"),
+    Seq(
+      ("^(.*[a-z]{2})(heden|heid)$", "{1}"),        // mogelijkheden → mogelijk
+      ("^(.*[a-z]{2})(tje|tjes|je|jes)$", "{1}"),   // boekje → boek
+      ("^(.*[a-z]{3})en$", "{1}"),                  // lopen → lop
+      ("^(.*[a-z]{3})s$", "{1}"),                   // boeks → boek
+      ("^(.*[a-z]{2})(lijk|isch)$", "{1}"),         // vriendelijk → vriend
+      ("^(.*[a-z]{3})e$", "{1}")))                  // grote → grot
+
   private val Baked: Seq[TextAnalyzer] =
-    Seq(EnglishAnalyzer, Spanish, French, German)
+    Seq(EnglishAnalyzer, Spanish, French, German, Italian,
+      Portuguese, Dutch)
 
   /** `$language` dispatch for every `$text` surface: None = "none"
     * (exact tokens), Some = a baked analyzer; anything else is a loud

@@ -1623,6 +1623,21 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "lauf schnell", "häuser groß", "haus garten",
     "freundlich bleiben", "freunde treffen", "der die das und",
     "möglichkeiten viele")
+  private val itPlanted = Seq(
+    "i libri rapidamente", "libro nuovo", "parlando chiaramente",
+    "parlare forte", "creazioni nuove", "creare bene",
+    "molto di è tutto", "casa grande", "vita bella",
+    "creazione utile")
+  private val ptPlanted = Seq(
+    "os livros rapidamente", "livro novo", "falando claramente",
+    "falar alto", "corações grandes", "coração pequeno",
+    "pensamentos claros", "pensar bem", "de a o que",
+    "casa bonita")
+  private val nlPlanted = Seq(
+    "de boeken snel", "boekje lezen", "vriendelijk blijven",
+    "vrienden ontmoeten", "mogelijkheden zoeken", "mogelijk maken",
+    "grote huizen", "groten samen", "de het een en",
+    "altijd iets meer")
 
   private def plantedText(phrases: Seq[String]) =
     element_at(typedLit(phrases),
@@ -1662,6 +1677,27 @@ private[graft] trait RelationalMql { this: Relational.type =>
   def mqlTextStemmedDe(s: SparkSession, dir: String): DataFrame =
     mqlTextStemmedLang(s, dir, dePlanted,
       "zeitung laufen haus freundlich möglichkeit", "de")
+
+  /** `$text {"$language": "it"}` (r18): libri/libro→libr,
+    * parlando/parlare/parla→parl, the -zione cascade
+    * (creazioni/creazione/creare→cre), a folded-è stop row. */
+  def mqlTextStemmedIt(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, itPlanted,
+      "libri parlare creazione", "it")
+
+  /** `$text {"$language": "pt"}` (r18): livros/livro→livr,
+    * falando/falar→fal, the nasal plural in folded space
+    * (corações/coração→coraca), pensamentos/pensar→pens. */
+  def mqlTextStemmedPt(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, ptPlanted,
+      "livros falar coração pensamentos", "pt")
+
+  /** `$text {"$language": "nl"}` (r18): boeken/boekje→boek,
+    * vriendelijk/vrienden→vriend, mogelijkheden/mogelijk→mog,
+    * grote/groten→grot, stop-only rows. */
+  def mqlTextStemmedNl(s: SparkSession, dir: String): DataFrame =
+    mqlTextStemmedLang(s, dir, nlPlanted,
+      "boeken vriendelijk mogelijk grote", "nl")
 
   private def stemmedLangOracle(phrases: Seq[String], search: String,
       a: graft.functions.Stemmer.LangAnalyzer): String = {
@@ -2084,6 +2120,45 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |   "cs": {"$round": ["$cs", 6]},
         |   "run_cp": {"$round": ["$run_cp", 6]}}}
         |]""".stripMargin)
+
+  /** Window-scoped N-accumulators under the gate (r18 — Mongo 5.2
+    * allows $minN/$maxN/$firstN/$lastN/$topN/$bottomN inside
+    * $setWindowFields with documents bounds; the group twins shipped
+    * r10/r17): sorted-collect over the FRAME + slice — a sliding
+    * [-3, current] frame for the value accumulators and a running
+    * [unbounded, current] $topN by its OWN descending composite
+    * sortBy. Output arrays are space-joined AFTER the pipeline (the
+    * r18 scalar-gate discipline). */
+  def mqlWindowNacc(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(col("lang"),
+          col("n_chars"), col("doc_id").as("did"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$lang",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "mn": {"$minN": {"input": {"$toLong": "$n_chars"},
+        |       "n": 2}, "window": {"documents": [-3, "current"]}},
+        |     "mx": {"$maxN": {"input": {"$toLong": "$n_chars"},
+        |       "n": 2}, "window": {"documents": [-3, "current"]}},
+        |     "ln": {"$lastN": {"input": {"$toLong": "$n_chars"},
+        |       "n": 2}, "window": {"documents": [-3, "current"]}},
+        |     "tp": {"$topN": {"n": 2,
+        |       "sortBy": {"n_chars": -1, "did": -1},
+        |       "output": {"$toLong": "$did"}},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "mn": 1, "mx": 1, "ln": 1,
+        |   "tp": 1}}
+        |]""".stripMargin)
+      .select(col("doc_id"),
+        array_join(col("mn").cast("array<string>"), " ").as("mn"),
+        array_join(col("mx").cast("array<string>"), " ").as("mx"),
+        array_join(col("ln").cast("array<string>"), " ").as("ln"),
+        array_join(col("tp").cast("array<string>"), " ").as("tp"))
 
   /** $setWindowFields RANGE windows under the gate — Mongo's
     * value-keyed frames ({window: {range: [lo, hi]}} over one
@@ -3188,6 +3263,29 @@ private[graft] trait RelationalMql { this: Relational.type =>
          |  CAST(s AS BIGINT) AS ema
          |FROM ema ORDER BY event_id LIMIT 400""".stripMargin
     },
+    // r18 window N-accumulators: the same sorted-collect semantics
+    // replayed with DuckDB's windowed list() — list_sort slices for
+    // minN/maxN, the frame-order tail slice for lastN, struct-DESC
+    // sort for the composite-key topN; everything space-joined to
+    // scalar columns
+    "mql_window_nacc" ->
+      """SELECT doc_id,
+        |  array_to_string(
+        |    list_sort(list(n_chars::BIGINT) OVER w)[1:2], ' ') AS mn,
+        |  array_to_string(
+        |    list_sort(list(n_chars::BIGINT) OVER w, 'DESC')[1:2],
+        |    ' ') AS mx,
+        |  array_to_string((list(n_chars::BIGINT) OVER w)[-2:], ' ')
+        |    AS ln,
+        |  array_to_string(list_transform(
+        |    list_sort(list(row(n_chars::BIGINT, doc_id::BIGINT))
+        |      OVER wu, 'DESC')[1:2], r -> r[2]), ' ') AS tp
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |  wu AS (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
     "mql_window_cov" -> {
       // the engine's moment form replayed VERBATIM: exact integer
       // window sums, then the identical double expression — the same
@@ -3846,6 +3944,15 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_text_stemmed_de" -> stemmedLangOracle(dePlanted,
       "zeitung laufen haus freundlich möglichkeit",
       graft.functions.Stemmer.German),
+    "mql_text_stemmed_it" -> stemmedLangOracle(itPlanted,
+      "libri parlare creazione",
+      graft.functions.Stemmer.Italian),
+    "mql_text_stemmed_pt" -> stemmedLangOracle(ptPlanted,
+      "livros falar coração pensamentos",
+      graft.functions.Stemmer.Portuguese),
+    "mql_text_stemmed_nl" -> stemmedLangOracle(nlPlanted,
+      "boeken vriendelijk mogelijk grote",
+      graft.functions.Stemmer.Dutch),
     "mql_expr_filter" ->
       """SELECT doc_id FROM documents
         |WHERE CAST(n_chars AS DOUBLE) >
@@ -3940,6 +4047,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_text_stemmed_es" -> (mqlTextStemmedEs _),
     "mql_text_stemmed_fr" -> (mqlTextStemmedFr _),
     "mql_text_stemmed_de" -> (mqlTextStemmedDe _),
+    "mql_text_stemmed_it" -> (mqlTextStemmedIt _),
+    "mql_text_stemmed_pt" -> (mqlTextStemmedPt _),
+    "mql_text_stemmed_nl" -> (mqlTextStemmedNl _),
     "mql_text_score" -> (mqlTextScore _),
     "mql_docs_regex_ci" -> (mqlDocsRegexCi _),
     "mql_lookup" -> (mqlLookup _),
@@ -3955,6 +4065,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_array_sets" -> (mqlArraySets _),
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_cov" -> (mqlWindowCov _),
+    "mql_window_nacc" -> (mqlWindowNacc _),
     "mql_exp_moving_avg" -> (mqlExpMovingAvg _),
     "mql_exp_moving_avg_alpha" -> (mqlExpMovingAvgAlpha _),
     "mql_group_nacc" -> (mqlGroupNacc _),

@@ -673,6 +673,28 @@ class MqlFilterSpec extends SparkTestBase {
           s"column/literal $loc key twin drift on '$w'")
       }
     }
+    // r18 (ADVICE): caseKeyLit/accentKeyLit drop ONLY ASCII '0'-'9',
+    // exactly like the column twins' translate — a string carrying a
+    // non-ASCII digit class (Arabic-Indic '٣') must build positionally
+    // IDENTICAL keys on both renderers (ICU parity is not claimed for
+    // characters outside the supported alphabet; twin agreement is)
+    {
+      val exotic = Seq("a٣b", "٣", "x١٢y", "Aa٣z")
+      for (loc <- Seq("es", "da", "fr"); st <- Seq(2, 3);
+           numeric <- Seq(false, true)) {
+        val coll = MqlFilter.Collation(loc, st, numeric)
+        val df2 = exotic.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "w")
+        val got = df2.select(col("id"),
+            MqlFilter.collKeyCol(col("w"), coll).as("k"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        exotic.zipWithIndex.foreach { case (w, i) =>
+          assert(got(i.toLong) == MqlFilter.collKeyLit(w, coll),
+            s"non-ASCII-digit twin drift $loc st=$st num=$numeric " +
+              s"on '$w'")
+        }
+      }
+    }
     for (loc <- Seq("es", "sv", "da", "tr", "fr", "de", "it", "pt",
         "nl"); st <- Seq(1, 2, 3))
       MqlFilter.parseCollation(

@@ -851,6 +851,55 @@ class MqlPipelineSpec extends SparkTestBase {
       (5L, 1, 100L, -99L, 100L)))
   }
 
+  test("$setWindowFields N-accumulators (r18): $minN sliding frame, " +
+      "$firstN frame order, $bottomN running own-sortBy; guards loud") {
+    val df = Seq(
+      (1L, """{"g": "a", "k": 1, "v": 5}"""),
+      (2L, """{"g": "a", "k": 2, "v": 3}"""),
+      (3L, """{"g": "a", "k": 3, "v": 8}"""),
+      (4L, """{"g": "a", "k": 4, "v": 1}"""),
+      (5L, """{"g": "b", "k": 1, "v": 7}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(df, col("meta"),
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$g",
+        |   "sortBy": {"k": 1},
+        |   "output": {
+        |     "mn": {"$minN": {"input": {"$toLong": "$v"}, "n": 2},
+        |       "window": {"documents": [-1, "current"]}},
+        |     "fn": {"$firstN": {"input": {"$toLong": "$v"}, "n": 2},
+        |       "window": {"documents": [-2, "current"]}},
+        |     "bt": {"$bottomN": {"n": 2, "sortBy": {"v": 1},
+        |       "output": {"$toLong": "$v"}},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "mn": 1, "fn": 1, "bt": 1}}]"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toList, r.getSeq[Long](3).toList)).toSeq
+    assert(got == Seq(
+      (1L, List(5L), List(5L), List(5L)),
+      (2L, List(3L, 5L), List(5L, 3L), List(3L, 5L)),
+      (3L, List(3L, 8L), List(5L, 3L), List(5L, 8L)),
+      (4L, List(1L, 8L), List(3L, 8L), List(5L, 8L)),
+      (5L, List(7L), List(7L), List(7L))), got.mkString(","))
+    // guards: firstN without sortBy, topN mixed sort directions
+    for ((pipe, frag) <- Seq(
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "output": {"fn": {"$firstN": {"input": "$v",
+         |    "n": 2}}}}}]""".stripMargin, "sortBy"),
+      ("""[{"$setWindowFields": {"partitionBy": "$g",
+         |  "sortBy": {"k": 1},
+         |  "output": {"tp": {"$topN": {"n": 2,
+         |    "sortBy": {"v": 1, "k": -1},
+         |    "output": "$v"}}}}}]""".stripMargin, "uniform"))) {
+      val e = intercept[IllegalArgumentException] {
+        MqlPipeline.aggregate(df, col("meta"), pipe).collect()
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+  }
+
   test("$setWindowFields: an output field named like an existing column " +
       "OVERWRITES it (Mongo field semantics), no duplicate ambiguity") {
     // the frame carries a real column "v"; the stage writes "v" — later
@@ -2476,12 +2525,12 @@ class MqlPipelineSpec extends SparkTestBase {
         | {"$project": {"x": 1}}]""".stripMargin)
       .collect()(0).getLong(0)
     assert(subDay == 4345L, s"got $subDay")
-    // past the baked horizon: loud per row, never a silently frozen
-    // last rule
+    // past the baked horizon (2200 since r18): loud per row, never a
+    // silently frozen last rule
     val horizon = intercept[Exception] {
       run("""[{"$match": {"id": {"$eq": 1}}},
             | {"$addFields": {"x": {"$dateAdd": {
-            |   "startDate": "2099-12-31T12:00:00", "unit": "month",
+            |   "startDate": "2199-12-31T12:00:00", "unit": "month",
             |   "amount": 1, "timezone": "America/New_York"}}}},
             | {"$project": {"x": 1}}]""".stripMargin).collect()
     }

@@ -105,6 +105,34 @@ class StemmerSpec extends SparkTestBase {
         Stemmer.German.stemLocal(Stemmer.German.foldLocal(b)),
         s"de: $a vs $b")
     }
+    val it = Seq(
+      ("libri", "libro"), ("rapidamente", "rapido"),
+      ("parlando", "parlare"), ("creazioni", "creare"),
+      ("creazione", "creare"))
+    it.foreach { case (a, b) =>
+      assert(Stemmer.Italian.stemLocal(Stemmer.Italian.foldLocal(a)) ==
+        Stemmer.Italian.stemLocal(Stemmer.Italian.foldLocal(b)),
+        s"it: $a vs $b")
+    }
+    val pt = Seq(
+      ("livros", "livro"), ("falando", "falar"),
+      ("rapidamente", "rápido"), ("corações", "coração"),
+      ("pensamentos", "pensar"))
+    pt.foreach { case (a, b) =>
+      assert(Stemmer.Portuguese.stemLocal(
+        Stemmer.Portuguese.foldLocal(a)) ==
+        Stemmer.Portuguese.stemLocal(Stemmer.Portuguese.foldLocal(b)),
+        s"pt: $a vs $b")
+    }
+    val nl = Seq(
+      ("boeken", "boek"), ("boekje", "boek"),
+      ("vriendelijk", "vrienden"), ("mogelijkheden", "mogelijk"),
+      ("grote", "groten"))
+    nl.foreach { case (a, b) =>
+      assert(Stemmer.Dutch.stemLocal(Stemmer.Dutch.foldLocal(a)) ==
+        Stemmer.Dutch.stemLocal(Stemmer.Dutch.foldLocal(b)),
+        s"nl: $a vs $b")
+    }
     // stop sets apply in FOLDED space ("été" → ete, "für" → fur)
     assert(Stemmer.French.searchTerms("été maisons") ==
       Seq(Stemmer.French.stemLocal("maison")))
@@ -127,14 +155,16 @@ class StemmerSpec extends SparkTestBase {
   test("unbaked analyzers stay loud, stop-only search is loud") {
     val e = intercept[IllegalArgumentException] {
       graft.filter.MqlFilter.toColumn(
-        """{"$text": {"$search": "corsa", "$language": "italian"}}""",
+        """{"$text": {"$search": "kniga", "$language": "russian"}}""",
         graft.filter.MqlFilter.JsonResolver(lit("{}")))
     }
     assert(e.getMessage.contains("analyzer"))
-    // the r17 refusal bracket NARROWED: german/spanish/french now bake
-    graft.filter.MqlFilter.toColumn(
-      """{"$text": {"$search": "lauf", "$language": "german"}}""",
-      graft.filter.MqlFilter.JsonResolver(lit("{}")))
+    // the r17 refusal bracket NARROWED: es/fr/de/it/pt/nl now bake
+    for (l <- Seq("german", "spanish", "french", "italian",
+        "portuguese", "dutch", "es", "fr", "de", "it", "pt", "nl"))
+      graft.filter.MqlFilter.toColumn(
+        s"""{"$$text": {"$$search": "lauf", "$$language": "$l"}}""",
+        graft.filter.MqlFilter.JsonResolver(lit("{}")))
     val e2 = intercept[IllegalArgumentException] {
       graft.filter.MqlFilter.toColumn(
         """{"$text": {"$search": "the of", "$language": "english"}}""",

@@ -24,9 +24,9 @@ class TzTableSpec extends AnyFunSuite {
     for (z <- zones) {
       val tbl = TzTable.of(z)
       val rules = ZoneId.of(z).getRules
-      // coarse sweep: every ~37 days, 1950..2099
+      // coarse sweep: every ~37 days, 1950..2199 (the r18 horizon)
       var t = -631152000L // 1950-01-01
-      val hi = 4102444800L - 86400 // just under 2100-01-01
+      val hi = 7258118400L - 86400 // just under 2200-01-01
       while (t < hi) {
         assert(tbl.offsetAt(t) ==
           rules.getOffset(Instant.ofEpochSecond(t)).getTotalSeconds,
