@@ -2128,16 +2128,29 @@ private[graft] trait RelationalMql { this: Relational.type =>
     * [-3, current] frame for the value accumulators and a running
     * [unbounded, current] $topN by its OWN descending composite
     * sortBy. Output arrays are space-joined AFTER the pipeline (the
-    * r18 scalar-gate discipline). */
+    * r18 scalar-gate discipline).
+    *
+    * Partition shape (the EMA lesson, caught at sf10-at-birth): a
+    * RUNNING collect frame costs O(p·log p) PER ROW in partition
+    * size p (every row sorts its grown prefix — struct comparators
+    * evaluate interpreted), so partition size must stay BOUNDED as
+    * the corpus grows. The fixture partitions by doc_id DIV 50 —
+    * the per-entity shape a real running-topN carries (per user /
+    * session / thread: MORE entities with corpus growth, bounded
+    * history per entity). The two rejected shapes both measured
+    * superlinear at sf10-at-birth: the 5-value lang column (100k
+    * rows/partition, killed mid-run) and a FIXED modulus bucket
+    * (p grows linearly with the corpus — 409 s at sf10). */
   def mqlWindowNacc(s: SparkSession, dir: String): DataFrame =
     graft.filter.MqlPipeline.aggregate(
       t(s, dir, "documents")
-        .withColumn("meta", to_json(struct(col("lang"),
+        .withColumn("meta", to_json(struct(
+          (col("doc_id") / 50).cast("long").as("grp"),
           col("n_chars"), col("doc_id").as("did"))))
         .select(col("doc_id"), col("meta")),
       col("meta"),
       """[
-        | {"$setWindowFields": {"partitionBy": "$lang",
+        | {"$setWindowFields": {"partitionBy": "$grp",
         |   "sortBy": {"doc_id": 1},
         |   "output": {
         |     "mn": {"$minN": {"input": {"$toLong": "$n_chars"},
@@ -3281,9 +3294,9 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |    list_sort(list(row(n_chars::BIGINT, doc_id::BIGINT))
         |      OVER wu, 'DESC')[1:2], r -> r[2]), ' ') AS tp
         |FROM documents
-        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |WINDOW w AS (PARTITION BY doc_id // 50 ORDER BY doc_id
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-        |  wu AS (PARTITION BY lang ORDER BY doc_id
+        |  wu AS (PARTITION BY doc_id // 50 ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
     "mql_window_cov" -> {
