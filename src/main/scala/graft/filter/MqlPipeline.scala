@@ -1752,6 +1752,52 @@ object MqlPipeline {
               case "$min" => min(operand).over(frame)
               case "$max" => max(operand).over(frame)
               case "$count" => count(lit(1)).over(frame)
+              // Mongo 5.0 window $first/$last (r18): the frame's
+              // first/last value in sortBy order — Spark's
+              // first/last over the ordered frame; input materialized
+              // (the interpreted-per-frame-add rule below)
+              case "$first" | "$last" =>
+                require(sortCols.nonEmpty,
+                  s"$wop requires a sortBy in $$setWindowFields")
+                val Seq(v) = materializeKeys(Seq(operand))
+                if (wop == "$first") first(v).over(frame)
+                else last(v).over(frame)
+              // window $push/$addToSet (r18): the frame's values in
+              // frame order / as a sorted distinct set (the group
+              // twins' determinism stance) — frame-sized buffers,
+              // the bounded-frame caveat applies
+              case "$push" =>
+                require(sortCols.nonEmpty,
+                  s"$wop requires a sortBy in $$setWindowFields")
+                val Seq(v) = materializeKeys(Seq(operand))
+                collect_list(v).over(frame)
+              case "$addToSet" =>
+                val Seq(v) = materializeKeys(Seq(operand))
+                array_sort(collect_set(v).over(frame))
+              // window $stdDevPop/$stdDevSamp (r18): the covariance
+              // precedent — EXPLICIT MOMENT FORM over the frame
+              // (sqrt((Σx² − (Σx)²/n)/denom)), not the stddev
+              // built-ins whose Welford internals differ between
+              // engines by ulps that flip a rounded value; integer
+              // inputs make the window sums exact and the final
+              // double expression evaluates in identical order on
+              // both engines. greatest(…, 0) guards the tiny
+              // negative a float cancellation can leave under sqrt.
+              case "$stdDevPop" | "$stdDevSamp" =>
+                val Seq(a) = materializeKeys(Seq(
+                  valueExpr(arg, meta, cur)))
+                val nn = sum(when(a.isNotNull, 1L).otherwise(0L))
+                  .over(frame)
+                val sa = sum(a).over(frame).cast("double")
+                val saa = sum(a * a).over(frame).cast("double")
+                val nD = nn.cast("double")
+                val denom =
+                  if (wop == "$stdDevPop") nD
+                  else (nn - lit(1L)).cast("double")
+                val minN = if (wop == "$stdDevPop") 1L else 2L
+                when(nn >= minN,
+                  sqrt(greatest((saa - sa * sa / nD) / denom,
+                    lit(0.0))))
               // Mongo 5.2 window-scoped N-accumulators (r18): the
               // group twins' sorted-collect device over the FRAME —
               // collect_list as a window function (frame-sized

@@ -2173,6 +2173,48 @@ private[graft] trait RelationalMql { this: Relational.type =>
         array_join(col("ln").cast("array<string>"), " ").as("ln"),
         array_join(col("tp").cast("array<string>"), " ").as("tp"))
 
+  /** The rest of Mongo 5.0's window-operator surface under the gate
+    * (r18): $first/$last (frame's sortBy-order endpoints), $push
+    * (frame values in frame order) and $addToSet (sorted distinct
+    * set — the group twins' determinism stance) over a sliding
+    * frame, $stdDevPop (whole-partition default window) and
+    * $stdDevSamp (running frame — null on the one-row prefix, both
+    * engines) in the covariance gate's explicit moment form. Same
+    * bounded per-entity partition (doc_id DIV 50) and scalar-output
+    * discipline (arrays space-joined) as mql_window_nacc. */
+  def mqlWindowOps2(s: SparkSession, dir: String): DataFrame =
+    graft.filter.MqlPipeline.aggregate(
+      t(s, dir, "documents")
+        .withColumn("meta", to_json(struct(
+          (col("doc_id") / 50).cast("long").as("grp"),
+          col("n_chars"))))
+        .select(col("doc_id"), col("meta")),
+      col("meta"),
+      """[
+        | {"$setWindowFields": {"partitionBy": "$grp",
+        |   "sortBy": {"doc_id": 1},
+        |   "output": {
+        |     "fs": {"$first": {"$toLong": "$n_chars"},
+        |       "window": {"documents": [-3, "current"]}},
+        |     "ls": {"$last": {"$toLong": "$n_chars"},
+        |       "window": {"documents": [-3, "current"]}},
+        |     "ps": {"$push": {"$toLong": "$n_chars"},
+        |       "window": {"documents": [-3, "current"]}},
+        |     "st": {"$addToSet": {"$toLong": "$n_chars"},
+        |       "window": {"documents": [-3, "current"]}},
+        |     "sd": {"$stdDevPop": {"$toLong": "$n_chars"}},
+        |     "ss": {"$stdDevSamp": {"$toLong": "$n_chars"},
+        |       "window": {"documents": ["unbounded", "current"]}}}}},
+        | {"$sort": {"doc_id": 1}},
+        | {"$project": {"doc_id": 1, "fs": 1, "ls": 1, "ps": 1,
+        |   "st": 1, "sd": {"$round": ["$sd", 6]},
+        |   "ss": {"$round": ["$ss", 6]}}}
+        |]""".stripMargin)
+      .select(col("doc_id"), col("fs"), col("ls"),
+        array_join(col("ps").cast("array<string>"), " ").as("ps"),
+        array_join(col("st").cast("array<string>"), " ").as("st"),
+        col("sd"), col("ss"))
+
   /** $setWindowFields RANGE windows under the gate — Mongo's
     * value-keyed frames ({window: {range: [lo, hi]}} over one
     * ascending numeric sortBy) mapped to Spark's rangeBetween: each
@@ -3299,6 +3341,39 @@ private[graft] trait RelationalMql { this: Relational.type =>
         |  wu AS (PARTITION BY doc_id // 50 ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY doc_id""".stripMargin,
+    // r18 window-operator completion: endpoints/push/addToSet replay
+    // as windowed first_value/last_value/list()/sorted distinct list;
+    // stddev replays the engine's moment form VERBATIM (the cov
+    // gate's bit-determinism device)
+    "mql_window_ops2" ->
+      """WITH b AS (SELECT doc_id, doc_id // 50 AS grp,
+        |    n_chars::BIGINT AS v FROM documents),
+        |w AS (SELECT doc_id,
+        |  first_value(v) OVER ws AS fs,
+        |  last_value(v) OVER ws AS ls,
+        |  array_to_string(list(v) OVER ws, ' ') AS ps,
+        |  array_to_string(list_sort(list_distinct(list(v) OVER ws)),
+        |    ' ') AS st,
+        |  count(*) OVER wp AS n,
+        |  CAST(sum(v) OVER wp AS BIGINT) AS sa,
+        |  CAST(sum(v * v) OVER wp AS BIGINT) AS saa,
+        |  count(*) OVER wr AS rn,
+        |  CAST(sum(v) OVER wr AS BIGINT) AS rsa,
+        |  CAST(sum(v * v) OVER wr AS BIGINT) AS rsaa
+        |  FROM b
+        |  WINDOW ws AS (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |    wp AS (PARTITION BY grp),
+        |    wr AS (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT doc_id, fs, ls, ps, st,
+        |  CASE WHEN n >= 1 THEN round(sqrt(greatest(
+        |    (saa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n::DOUBLE)
+        |      / n::DOUBLE, 0)), 6) END AS sd,
+        |  CASE WHEN rn >= 2 THEN round(sqrt(greatest(
+        |    (rsaa::DOUBLE - rsa::DOUBLE * rsa::DOUBLE / rn::DOUBLE)
+        |      / (rn - 1)::DOUBLE, 0)), 6) END AS ss
+        |FROM w ORDER BY doc_id""".stripMargin,
     "mql_window_cov" -> {
       // the engine's moment form replayed VERBATIM: exact integer
       // window sums, then the identical double expression — the same
@@ -4079,6 +4154,7 @@ private[graft] trait RelationalMql { this: Relational.type =>
     "mql_window_fields" -> (mqlWindowFields _),
     "mql_window_cov" -> (mqlWindowCov _),
     "mql_window_nacc" -> (mqlWindowNacc _),
+    "mql_window_ops2" -> (mqlWindowOps2 _),
     "mql_exp_moving_avg" -> (mqlExpMovingAvg _),
     "mql_exp_moving_avg_alpha" -> (mqlExpMovingAvgAlpha _),
     "mql_group_nacc" -> (mqlGroupNacc _),

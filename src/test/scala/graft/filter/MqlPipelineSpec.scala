@@ -900,6 +900,50 @@ class MqlPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("$setWindowFields $first/$push/$addToSet/$stdDevPop (r18): " +
+      "frame endpoints, frame-order collect, sorted set, moment " +
+      "stddev") {
+    val df = Seq(
+      (1L, """{"g": "a", "k": 1, "v": 5}"""),
+      (2L, """{"g": "a", "k": 2, "v": 3}"""),
+      (3L, """{"g": "a", "k": 3, "v": 8}"""),
+      (4L, """{"g": "a", "k": 4, "v": 1}"""),
+      (5L, """{"g": "b", "k": 1, "v": 7}""")
+    ).toDF("id", "meta")
+    val got = MqlPipeline.aggregate(df, col("meta"),
+      """[{"$setWindowFields": {
+        |   "partitionBy": "$g",
+        |   "sortBy": {"k": 1},
+        |   "output": {
+        |     "fs": {"$first": {"$toLong": "$v"},
+        |       "window": {"documents": [-1, "current"]}},
+        |     "ps": {"$push": {"$toLong": "$v"},
+        |       "window": {"documents": [-1, "current"]}},
+        |     "st": {"$addToSet": {"$toLong": "$v"},
+        |       "window": {"documents": [-2, "current"]}},
+        |     "sd": {"$stdDevPop": {"$toLong": "$v"}}}}},
+        |  {"$sort": {"id": 1}},
+        |  {"$project": {"id": 1, "fs": 1, "ps": 1, "st": 1,
+        |    "sd": {"$round": ["$sd", 6]}}}]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList, r.getSeq[Long](3).toList,
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 5L, List(5L), List(5L), 2.58602),
+      (2L, 5L, List(5L, 3L), List(3L, 5L), 2.58602),
+      (3L, 3L, List(3L, 8L), List(3L, 5L, 8L), 2.58602),
+      (4L, 8L, List(8L, 1L), List(1L, 3L, 8L), 2.58602),
+      (5L, 7L, List(7L), List(7L), 0.0)), got.mkString(","))
+    // $first/$push without a sortBy stay loud
+    val e = intercept[IllegalArgumentException] {
+      MqlPipeline.aggregate(df, col("meta"),
+        """[{"$setWindowFields": {"partitionBy": "$g",
+          |  "output": {"fs": {"$first": "$v"}}}}]""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("sortBy"), e.getMessage)
+  }
+
   test("$setWindowFields: an output field named like an existing column " +
       "OVERWRITES it (Mongo field semantics), no duplicate ambiguity") {
     // the frame carries a real column "v"; the stage writes "v" — later
