@@ -1016,10 +1016,12 @@ class MqlPipelineSpec extends SparkTestBase {
             |    "window": {"range": [-1, 0]}}}}}]""".stripMargin).collect()
     }
     assert(descRange.getMessage.contains("ASCENDING"))
+    // $stdDevPop graduated to a SUPPORTED operator in r18 — the
+    // unknown-operator guard needs a name that stays unknown
     val unknown = intercept[IllegalArgumentException] {
       run("""[{"$setWindowFields": {"partitionBy": "$grp",
             |  "sortBy": {"id": 1},
-            |  "output": {"x": {"$stdDevPop": "$v"}}}}]""".stripMargin)
+            |  "output": {"x": {"$locfNoSuchOp": "$v"}}}}]""".stripMargin)
         .collect()
     }
     assert(unknown.getMessage.contains("unsupported window operator"))
