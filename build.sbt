@@ -36,10 +36,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (r18): the local[32] suite at 8g ran GC-bound — the 25
+  // slowest-gate subset measured 84.6 s (min-of-2) at 8g vs 75.5 s at
+  // 24g (G1; ParallelGC at 24g was far worse, 123.6 s — G1 stays).
+  // 32 concurrent tasks share the unified region, and the dedup/window
+  // gates peak at 2-4 GB execution memory, so 8g left ~140 MB of
+  // execution memory per task and paid it in collections. The box has
+  // 128 GiB; a cluster deployment sizes spark.executor.memory the same
+  // way (guide §5) — this is the local analogue, not a local-only trick.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pre-size the heap: lazy expansion of a large -Xmx stalls the first
   // big-allocation queries for tens of seconds (measured: the sf1
-  // suite's first levenshtein gate at 40 s vs 4.9 s steady-state)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:+AlwaysPreTouch",
+  // suite's first levenshtein gate at 40 s vs 4.9 s steady-state).
+  // AlwaysPreTouch dropped in r18: on this host first-touch of a 24g
+  // heap runs ~90 s single-threaded at JVM start (measured with java
+  // -version; 8g was 1.1 s), charged to every forked run — committing
+  // without touching (-Xms=-Xmx, no pretouch) is 0.7 s and avoids the
+  // G1 resize stalls the original fix targeted; demand-zeroing then
+  // amortizes per page across the run.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Ad-hoc JVM flags for measurement experiments (GC algorithm A/Bs etc.)
+// without editing this file per run: SPARK_GRAFT_JVM_EXTRA="-XX:..."
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

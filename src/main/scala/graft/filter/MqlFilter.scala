@@ -217,10 +217,31 @@ object MqlFilter {
       * build entirely. */
     private[filter] var preResolved: Map[(String, String), Column] =
       Map.empty
+    /** When set, a view MISS materializes its build as a real helper
+      * column via this hook and caches the returned reference (r18):
+      * the probe-less form of the stage prelude's pre-resolved views.
+      * Keeps each typed view a SMALL standalone projection — a window
+      * stage whose keys inlined every view produced CASE trees past
+      * the JIT's method-size ceiling and ran interpreted (measured:
+      * mql_window_nacc erratic 3.2-12 s for 5000 rows; split views
+      * steady sub-second). Only root-document views route through
+      * here, so the materialized expression never captures a lambda
+      * variable. */
+    private[filter] var materializer:
+        Option[(String, String, Column) => Column] = None
     override private[filter] def view(kind: String, f: String)
         (build: => Column): Column = {
       recordTo.foreach(_ += ((kind, f)))
-      preResolved.getOrElse((kind, f), build)
+      preResolved.get((kind, f)) match {
+        case Some(c) => c
+        case None => materializer match {
+          case Some(m) =>
+            val c = m(kind, f, build)
+            preResolved += ((kind, f) -> c)
+            c
+          case None => build
+        }
+      }
     }
     private[MqlFilter] def parsedV: Column = { touched = true; parsed }
     def arr(f: String): Column = view("arr", f) {

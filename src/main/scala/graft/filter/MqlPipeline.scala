@@ -182,11 +182,42 @@ object MqlPipeline {
     // view: a numeric metadata field reads null on the string view and
     // would silently collapse every document into one partition
     // (r17 — caught by the $expMovingAvg gate's numeric user bucket).
-    def partitionKeyCols(pn: JsonNode): Seq[Column] =
+    def partitionKeyCols(pn: JsonNode,
+        shared: Option[MqlFilter.JsonResolver] = None): Seq[Column] =
       if (pn.isTextual && pn.asText().startsWith("$") &&
           !pn.asText().startsWith("$$"))
-        sortBases(pn.asText().drop(1), cur, meta)
-      else Seq(valueExpr(pn, meta, cur))
+        sortBases(pn.asText().drop(1), cur, meta, shared = shared)
+      else Seq(valueExprWith(pn, meta, cur, shared))
+    // ONE materialized document parse shared by every resolution point
+    // of a window-family stage (r18 — the r16 stage-prelude device
+    // extended to $setWindowFields/$fill/$expMovingAvg): partition
+    // keys, sort keys and operator inputs each built a fresh
+    // JsonResolver, so the materialized-key Project of mql_window_nacc
+    // carried 124 try_parse_json + 107 schema_of_variant evaluations
+    // PER ROW (5.45 s steady for 5000 rows). With the shared parse the
+    // Project evaluates try_parse_json once per row and every view is
+    // a codegen-able variant_get on it; when nothing touches the
+    // document the helper column is column-pruned away for free.
+    def stageDocResolver(): MqlFilter.JsonResolver = {
+      val pcol = s"__graft_doc_${helperCols.size}"
+      helperCols += pcol
+      cur = cur.withColumn(pcol, try_parse_json(meta))
+      val r = MqlFilter.JsonResolver(meta)
+      r.parsed = col(pcol)
+      // each typed view materializes as its OWN small helper column on
+      // first use (probe-less pre-resolution): inlining the views into
+      // window keys built CASE trees past the JIT method-size ceiling
+      // (mql_window_nacc ran interpreted, erratic 3.2-12 s); try_-based
+      // views are safe to evaluate unconditionally, and an unused one
+      // is column-pruned away
+      r.materializer = Some { (kind, f, built) =>
+        val hcol = s"__graft_view_${helperCols.size}"
+        helperCols += hcol
+        cur = cur.withColumn(hcol, built)
+        col(hcol)
+      }
+      r
+    }
 
     // {$meta: "textScore"}: the deterministic score surrogate — total
     // occurrences of the (distinct) search terms among the document's
@@ -1546,21 +1577,23 @@ object MqlPipeline {
                     s"$alpha")
                 (ppm, 1000000L - ppm, 1000000L)
             }
+          val emaRes = Some(stageDocResolver())
           val emaPartCols: Seq[Column] =
             Option(spec.get("partitionBy")).toSeq
-              .flatMap(partitionKeyCols)
+              .flatMap(partitionKeyCols(_, emaRes))
           val emaSortPairs: Seq[(Column, Boolean)] =
             Option(spec.get("sortBy")).toSeq
               .flatMap(_.properties().asScala.toSeq).flatMap { e =>
                 val desc = e.getValue.asInt() < 0
-                sortBases(e.getKey, cur, meta).map(b => (b, desc))
+                sortBases(e.getKey, cur, meta, shared = emaRes)
+                  .map(b => (b, desc))
               }
           require(emaSortPairs.nonEmpty,
             "$expMovingAvg requires a sortBy in $setWindowFields")
           require(emaSortPairs.forall(p => !p._2),
             "$expMovingAvg supports ascending sortBy only (the " +
               "packed-array order is sort_array's ascending order)")
-          val exd = valueExpr(emaArg.get("input"), meta, cur)
+          val exd = valueExprWith(emaArg.get("input"), meta, cur, emaRes)
             .cast("double")
           val exChk = when(exd === exd.cast("long").cast("double"),
             exd.cast("long")).otherwise(raise_error(concat(
@@ -1569,8 +1602,13 @@ object MqlPipeline {
                 "bracket): "), exd.cast("string"))).cast("long"))
           val emaName = emaOut.getKey
           // overwrite semantics: an output named like an existing
-          // column replaces it — exclude it from the packed row
-          val keepCols = cur.columns.filterNot(_ == emaName)
+          // column replaces it — exclude it from the packed row, along
+          // with stage-internal helper columns (the shared parse and
+          // materialized keys are consumed before the pack; carrying
+          // the parsed-variant column through the pack/explode would
+          // shuffle the whole document per row for nothing)
+          val keepCols = cur.columns
+            .filterNot(c => c == emaName || helperCols.contains(c))
           val rowStruct = struct(keepCols.map(col): _*)
           val entry = struct((emaSortPairs.map(_._1).zipWithIndex.map {
               case (c, i) => c.as(s"__s$i") } :+
@@ -1619,14 +1657,17 @@ object MqlPipeline {
           val outN = spec.get("output")
           require(outN != null && outN.isObject && !outN.isEmpty,
             s"$$setWindowFields needs a non-empty output document: $spec")
+          // parse-once for the whole stage (r18): see stageDocResolver
+          val wres = Some(stageDocResolver())
           val partCols: Seq[Column] = materializeKeys(
             Option(spec.get("partitionBy")).toSeq
-              .flatMap(partitionKeyCols))
+              .flatMap(partitionKeyCols(_, wres)))
           val sortPairs0: Seq[(Column, Boolean)] =
             Option(spec.get("sortBy")).toSeq
               .flatMap(_.properties().asScala.toSeq).flatMap { e =>
                 val desc = e.getValue.asInt() < 0
-                sortBases(e.getKey, cur, meta).map(b => (b, desc))
+                sortBases(e.getKey, cur, meta, shared = wres)
+                  .map(b => (b, desc))
               }
           val sortPairs = materializeKeys(sortPairs0.map(_._1))
             .zip(sortPairs0.map(_._2))
@@ -1742,7 +1783,7 @@ object MqlPipeline {
               if (arg.isNumber && wop == "$sum") {
                 if (arg.isIntegralNumber) lit(arg.asLong())
                 else lit(arg.asDouble())
-              } else valueExpr(arg, meta, cur)
+              } else valueExprWith(arg, meta, cur, wres)
             val c: Column = wop match {
               case "$rank" => rank().over(orderedW(wop))
               case "$denseRank" => dense_rank().over(orderedW(wop))
@@ -1785,7 +1826,7 @@ object MqlPipeline {
               // negative a float cancellation can leave under sqrt.
               case "$stdDevPop" | "$stdDevSamp" =>
                 val Seq(a) = materializeKeys(Seq(
-                  valueExpr(arg, meta, cur)))
+                  valueExprWith(arg, meta, cur, wres)))
                 val nn = sum(when(a.isNotNull, 1L).otherwise(0L))
                   .over(frame)
                 val sa = sum(a).over(frame).cast("double")
@@ -1824,7 +1865,7 @@ object MqlPipeline {
                 val n = arg.get("n").asInt()
                 require(n > 0, s"$wop.n must be positive")
                 val Seq(v) = materializeKeys(Seq(
-                  valueExpr(arg.get("input"), meta, cur)))
+                  valueExprWith(arg.get("input"), meta, cur, wres)))
                 slice(sort_array(collect_list(v).over(frame),
                   asc = wop == "$minN"), lit(1), lit(n))
               case "$firstN" | "$lastN" =>
@@ -1836,7 +1877,7 @@ object MqlPipeline {
                 require(sortCols.nonEmpty,
                   s"$wop requires a sortBy in $$setWindowFields")
                 val Seq(v) = materializeKeys(Seq(
-                  valueExpr(arg.get("input"), meta, cur)))
+                  valueExprWith(arg.get("input"), meta, cur, wres)))
                 val arr = collect_list(v).over(frame)
                 if (wop == "$firstN") slice(arr, lit(1), lit(n))
                 else slice(arr,
@@ -1847,7 +1888,7 @@ object MqlPipeline {
                   s"$wop needs {n, sortBy, output}: $arg")
                 val n = arg.get("n").asInt()
                 require(n > 0, s"$wop.n must be positive")
-                val outE = valueExpr(arg.get("output"), meta, cur)
+                val outE = valueExprWith(arg.get("output"), meta, cur, wres)
                 val pairs = arg.get("sortBy").properties().asScala.toSeq
                   .flatMap { f =>
                     require(f.getValue.isIntegralNumber &&
@@ -1855,7 +1896,8 @@ object MqlPipeline {
                       s"$wop sortBy direction must be 1 or -1: " +
                         s"${f.getKey}: ${f.getValue}")
                     val desc = f.getValue.asInt() < 0
-                    sortBases(f.getKey, cur, meta).map(b => (b, desc))
+                    sortBases(f.getKey, cur, meta, shared = wres)
+                      .map(b => (b, desc))
                   }
                 require(pairs.nonEmpty, s"$wop.sortBy must be non-empty")
                 val dirs = pairs.map(_._2).distinct
@@ -1876,7 +1918,7 @@ object MqlPipeline {
                 val outE = arg.get("output")
                 require(outE != null, s"$$shift needs output: $arg")
                 val by = Option(arg.get("by")).map(_.asInt()).getOrElse(1)
-                val base = valueExpr(outE, meta, cur)
+                val base = valueExprWith(outE, meta, cur, wres)
                 // out-of-partition rows take the default (Mongo's
                 // contract) — lead/lag's literal default param, applied
                 // only past the frame edge, not on null values
@@ -1904,7 +1946,7 @@ object MqlPipeline {
                 require(out.getValue.get("window") == null,
                   s"$wop supports the whole-partition default window " +
                     s"only: ${out.getValue}")
-                val v = valueExpr(inputE, meta, cur).cast("double")
+                val v = valueExprWith(inputE, meta, cur, wres).cast("double")
                 if (wop == "$median") median(v).over(baseW)
                 else {
                   val pN = arg.get("p")
@@ -1923,7 +1965,7 @@ object MqlPipeline {
                 // frame, or tied sort values) → null in both engines.
                 val inputE = arg.get("input")
                 require(inputE != null, s"$$derivative needs input: $arg")
-                val v = valueExpr(inputE, meta, cur).cast("double")
+                val v = valueExprWith(inputE, meta, cur, wres).cast("double")
                 val sv = sortVal(wop)
                 val num = last(v).over(frame) - first(v).over(frame)
                 val den = last(sv).over(frame) - first(sv).over(frame)
@@ -1946,7 +1988,7 @@ object MqlPipeline {
                     "$integral supports the default whole-partition " +
                       s"window or [unbounded, current] only, got: $w")
                 }
-                val v = valueExpr(inputE, meta, cur).cast("double")
+                val v = valueExprWith(inputE, meta, cur, wres).cast("double")
                 val sv = sortVal(wop)
                 val w = orderedW(wop)
                 val trap = when(lag(sv, 1).over(w).isNull, lit(0.0))
@@ -1972,8 +2014,8 @@ object MqlPipeline {
                 // callers round).
                 require(arg.isArray && arg.size() == 2,
                   s"$wop needs [expr1, expr2]: $arg")
-                val a = valueExpr(arg.get(0), meta, cur)
-                val b = valueExpr(arg.get(1), meta, cur)
+                val a = valueExprWith(arg.get(0), meta, cur, wres)
+                val b = valueExprWith(arg.get(1), meta, cur, wres)
                 val both = a.isNotNull && b.isNotNull
                 val n = sum(when(both, 1L).otherwise(0L)).over(frame)
                 val sa = sum(when(both, a)).over(frame).cast("double")
@@ -2021,12 +2063,13 @@ object MqlPipeline {
           val foutN = spec.get("output")
           require(foutN != null && foutN.isObject && !foutN.isEmpty,
             s"$$fill needs a non-empty output document: $spec")
+          val fres = Some(stageDocResolver())
           val fPartCols: Seq[Column] = Option(spec.get("partitionBy"))
-            .toSeq.flatMap(partitionKeyCols)
+            .toSeq.flatMap(partitionKeyCols(_, fres))
           val fSortCols: Seq[Column] = Option(spec.get("sortBy")).toSeq
             .flatMap(_.properties().asScala.toSeq).flatMap { e =>
               val desc = e.getValue.asInt() < 0
-              sortBases(e.getKey, cur, meta)
+              sortBases(e.getKey, cur, meta, shared = fres)
                 .map(b => if (desc) b.desc else b.asc)
             }
           import org.apache.spark.sql.expressions.Window
@@ -2042,7 +2085,7 @@ object MqlPipeline {
                   if (v.isIntegralNumber) lit(v.asLong())
                   else if (v.isNumber) lit(v.asDouble())
                   else if (v.isTextual && v.asText().startsWith("$"))
-                    valueExpr(v, meta, cur)
+                    valueExprWith(v, meta, cur, fres)
                   else if (v.isTextual) lit(v.asText())
                   else throw new IllegalArgumentException(
                     s"unsupported $$fill value: $v")
@@ -2615,7 +2658,8 @@ object MqlPipeline {
     * window order can never disagree. */
   private def sortBases(key: String, cur: DataFrame,
       meta: Column,
-      collation: Option[MqlFilter.Collation] = None): Seq[Column] =
+      collation: Option[MqlFilter.Collation] = None,
+      shared: Option[MqlFilter.JsonResolver] = None): Seq[Column] =
     if (cur.columns.contains(key)) {
       // an active collation keys STRING sort columns (case/diacritic
       // fold at strength ≤ 2, numeric-run key under numericOrdering);
@@ -2627,7 +2671,11 @@ object MqlPipeline {
         case _ => Seq(col(key))
       }
     } else {
-      val r = MqlFilter.JsonResolver(meta)
+      // `shared` (r18): a stage-materialized parse — without it each
+      // sortBases call carries its own try_parse_json per VIEW leaf,
+      // and a window stage's materialized-key Project paid 124
+      // parseJson evaluations per row (see $setWindowFields)
+      val r = shared.getOrElse(MqlFilter.JsonResolver(meta))
       val rank = when(!r.exists(key) || r.typeName(key) === "null", 0)
         .when(r.typeName(key).isin("long", "double"), 1)
         .when(r.typeName(key) === "string", 2)

@@ -1065,22 +1065,39 @@ object Dedup {
     // ONE signature pass serves every dial — banding is a re-group
     val sigs = signatureFrame(corpus, 12).localCheckpoint()
     val dials = Seq(2, 4, 6)
-    dials.map { bands =>
+    // r18: the three dials' verified pair sets compute in ONE union
+    // plan with ONE materialization — the previous per-dial
+    // localCheckpoint ran three sequential jobs whose tails left the
+    // box idle (guide §2.6); tagged-union → per-dial aggregation is
+    // the same truth with 4 eager actions collapsed to 2 (measured:
+    // gate build 9.2 s → see OPTIMIZATION_r18.md). Zero-pair dials
+    // keep their row via the left joins from the literal dial table.
+    val lpAll = dials.map { bands =>
       val cand = candidatesFromBands(bandSigs(sigs, 12, bands))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       val union = size(col("sh_a")) + size(col("sh_b")) - inter
-      val lp = cand.filter(inter * 2 >= union)
-        .select("id_a", "id_b").localCheckpoint()
-      val nLp = lp.agg(count(lit(1)).as("n_lsh"))
-      val nBoth = ex.join(lp, Seq("id_a", "id_b"))
-        .agg(count(lit(1)).as("n_common"))
-      nEx.crossJoin(nLp).crossJoin(nBoth)
-        .select(lit(bands.toLong).as("bands"),
-          lit((12 / bands).toLong).as("rows_per_band"),
-          col("n_exact"), col("n_lsh"), col("n_common"),
-          expr("n_common * 1000000 DIV n_exact").as("recall_ppm"),
-          expr("n_common * 1000000 DIV n_lsh").as("precision_ppm"))
-    }.reduce(_.unionByName(_)).orderBy("bands")
+      cand.filter(inter * 2 >= union)
+        .select(lit(bands.toLong).as("bands"), col("id_a"), col("id_b"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val nLp = lpAll.groupBy("bands").agg(count(lit(1)).as("n_lsh"))
+    val nBoth = lpAll.join(ex, Seq("id_a", "id_b"))
+      .groupBy("bands").agg(count(lit(1)).as("n_common"))
+    import s.implicits._
+    val dialTable = dials.map(_.toLong).toDF("bands")
+    dialTable
+      .join(nLp, Seq("bands"), "left")
+      .join(nBoth, Seq("bands"), "left")
+      .crossJoin(nEx)
+      .select(col("bands"),
+        expr("12 DIV bands").as("rows_per_band"),
+        col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(n_common, 0) * 1000000 DIV n_exact")
+          .as("recall_ppm"),
+        expr("coalesce(n_common, 0) * 1000000 DIV n_lsh")
+          .as("precision_ppm"))
+      .orderBy("bands")
   }
 
   def dedupJaccardExact(s: SparkSession, dir: String): DataFrame =
