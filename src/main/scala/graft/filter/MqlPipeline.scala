@@ -1139,39 +1139,50 @@ object MqlPipeline {
               new HybridResolver(cur.columns.toSet, typed,
                 MqlFilter.JsonResolver(meta))))
           }
-          val vec = from_json(get_json_object(meta, s"$$.$vsPath"),
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType))
+          // Parse the path vector ONCE into a helper column (r18): the
+          // composed form re-evaluated from_json(get_json_object(...))
+          // at every reference — the size filter plus the score's HOF
+          // folds re-parsed the 64-double JSON ~6x per row, all
+          // interpreted because the lambda folds are CodegenFallback.
+          // One codegen'd Project parses per row; the native vector
+          // kernels (VectorFunctions) keep the whole score codegen'd
+          // with the SAME left-to-right double accumulation as the
+          // zip_with/aggregate fold they replace (bit-identical).
+          val vCol = s"__graft_vsvec_${helperCols.size}"
+          helperCols += vCol
+          cur = cur.withColumn(vCol,
+            from_json(get_json_object(meta, s"$$.$vsPath"),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))
+          val vec = col(vCol)
           // docs without a dimension-matching vector are skipped
           // (Atlas's behavior for missing/invalid path values)
           cur = cur.filter(vec.isNotNull && size(vec) === qv.size)
           val qvL = typedLit(qv)
-          def dotOf(a: Column, b: Column): Column =
-            org.apache.spark.sql.functions.aggregate(
-              zip_with(a, b, (x, y) => x * y), lit(0.0),
-              (acc, v) => acc + v)
+          import graft.functions.VectorFunctions.{dot => vdot, l2Sq}
           val vsScoreµ: Column = vsSim match {
             case "cosine" =>
               // Atlas: (1 + cos) / 2 — the engine's integer-micro
               // cosine (zero norm → 0, the sqlCosMu contract), then
               // exact integer halving (the sum is ≤ 2e6, exact in
               // double; both engines' halving is a floor on a
-              // non-negative value)
-              val nrm = sqrt(dotOf(vec, vec)) * sqrt(dotOf(qvL, qvL))
+              // non-negative value). The query-side norm is a driver
+              // constant: Scala's left-fold sum of squares equals the
+              // folded aggregate over the same literals.
+              val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x * x))
+              val nrm = sqrt(vdot(vec, vec)) * lit(qNorm)
               val cosmu = when(nrm === 0.0, lit(0L)).otherwise(
-                round(dotOf(vec, qvL) / nrm * 1000000.0).cast("long"))
+                round(vdot(vec, qvL) / nrm * 1000000.0).cast("long"))
               floor((lit(1000000L) + cosmu) / lit(2.0)).cast("long")
             case "euclidean" =>
               // Atlas: 1 / (1 + d²), in micros
-              val d2 = org.apache.spark.sql.functions.aggregate(
-                zip_with(vec, qvL, (x, y) => (x - y) * (x - y)),
-                lit(0.0), (acc, v) => acc + v)
+              val d2 = l2Sq(vec, qvL)
               round(lit(1000000.0) / (lit(1.0) + d2)).cast("long")
             case "dotProduct" =>
               // Atlas: (1 + dot) / 2, in micros (Atlas requires
               // normalized vectors for this metric; the arithmetic
               // holds either way)
-              round((lit(1.0) + dotOf(vec, qvL)) / lit(2.0)
+              round((lit(1.0) + vdot(vec, qvL)) / lit(2.0)
                 * lit(1000000.0)).cast("long")
             case other => throw new IllegalArgumentException(
               s"unsupported $$vectorSearch similarity '$other' " +
