@@ -107,6 +107,22 @@ object MqlFilter {
     def exists(field: String): Column
     /** MQL $type name: "double"|"long"|"string"|"bool"|"array"|"null". */
     def typeName(field: String): Column
+    /** The JSON metadata column this resolver (possibly through a
+      * wrapper) resolves unmaterialized fields against — None for
+      * purely typed resolvers. Lets [[MqlFilter.toColumn]] bind ONE
+      * document parse per row for ANY resolver routing through a
+      * [[JsonResolver]], not just the bare one (r18: the pipeline
+      * $match HybridResolver previously translated unbound, so every
+      * predicate leaf re-parsed the document). */
+    private[filter] def jsonMeta: Option[Column] = None
+    /** A copy of this resolver whose JSON root reads `parsed` (a
+      * lambda-bound VARIANT), plus that fresh root (so the caller can
+      * read its `touched` probe flag). Only called when [[jsonMeta]]
+      * is defined. */
+    private[filter] def rebindJson(parsed: Column):
+        (FieldResolver, JsonResolver) =
+      throw new IllegalStateException(
+        s"rebindJson on a resolver with no JSON root: $this")
     /** Dispatch a view by its recorded kind — the stage prelude's
       * materialization pass (r16). */
     private[filter] def viewOf(kind: String, f: String): Column =
@@ -244,6 +260,13 @@ object MqlFilter {
       }
     }
     private[MqlFilter] def parsedV: Column = { touched = true; parsed }
+    override private[filter] def jsonMeta: Option[Column] = Some(metaCol)
+    override private[filter] def rebindJson(parsed: Column):
+        (FieldResolver, JsonResolver) = {
+      val b = JsonResolver(metaCol)
+      b.parsed = parsed
+      (b, b)
+    }
     def arr(f: String): Column = view("arr", f) {
       when(schemaOf(f).startsWith("ARRAY"),
         from_json(get_json_object(metaCol, path(f)),
@@ -328,15 +351,32 @@ object MqlFilter {
     * every leaf collapses exactly as in the unbound form, and a null
     * lambda result is false under `filter` — semantics unchanged, parse
     * count drops from O(leaves) to 1. */
-  def toColumn(filterJson: String, r: FieldResolver): Column = r match {
-    case JsonResolver(metaCol) =>
-      forall(array(try_parse_json(metaCol)), { parsed =>
-        val bound = JsonResolver(metaCol)
-        bound.parsed = parsed
-        translate(mapper.readTree(filterJson), bound)
-      })
-    case _ => translate(mapper.readTree(filterJson), r)
-  }
+  def toColumn(filterJson: String, r: FieldResolver): Column =
+    bindAndTranslate(mapper.readTree(filterJson), r, identity)
+
+  /** Translate `tree` with the document parse bound once per row
+    * whenever the (possibly wrapped) resolver routes any leaf through
+    * a [[JsonResolver]]. A driver-side PROBE translation against an
+    * unbound copy decides: a filter touching only real/typed columns
+    * keeps its plain (codegen-able) form and never pays the parse;
+    * anything touching the document translates inside the
+    * `forall(array(parse), ...)` lambda so all leaves share one
+    * JSON→VARIANT parse per row. `wrap` layers outer resolvers (the
+    * collation adapter) around the bound copy. */
+  private def bindAndTranslate(
+      tree: com.fasterxml.jackson.databind.JsonNode,
+      r: FieldResolver,
+      wrap: FieldResolver => FieldResolver): Column =
+    r.jsonMeta match {
+      case Some(mc) =>
+        val (probeR, probeJ) = r.rebindJson(try_parse_json(mc))
+        val unbound = translate(tree, wrap(probeR))
+        if (!probeJ.touched) unbound
+        else forall(array(try_parse_json(mc)), { parsed =>
+          translate(tree, wrap(r.rebindJson(parsed)._1))
+        })
+      case None => translate(tree, wrap(r))
+    }
 
   // ---- collation ---------------------------------------------------------
 
@@ -990,6 +1030,12 @@ object MqlFilter {
     * collatable). */
   private final class CollatedResolver(inner: FieldResolver,
       coll: Collation) extends FieldResolver {
+    override private[filter] def jsonMeta: Option[Column] = inner.jsonMeta
+    override private[filter] def rebindJson(parsed: Column):
+        (FieldResolver, JsonResolver) = {
+      val (ri, jr) = inner.rebindJson(parsed)
+      (new CollatedResolver(ri, coll), jr)
+    }
     def num(f: String): Column = inner.num(f)
     def intNum(f: String): Column = inner.intNum(f)
     def ts(f: String): Column = inner.ts(f)
@@ -1015,16 +1061,7 @@ object MqlFilter {
       case None => toColumn(filterJson, r)
       case Some(c) =>
         val ciNode = ciLiterals(mapper.readTree(filterJson), c)
-        r match {
-          case JsonResolver(metaCol) =>
-            forall(array(try_parse_json(metaCol)), { parsed =>
-              val bound = JsonResolver(metaCol)
-              bound.parsed = parsed
-              translate(ciNode, new CollatedResolver(bound, c))
-            })
-          case other =>
-            translate(ciNode, new CollatedResolver(other, c))
-        }
+        bindAndTranslate(ciNode, r, new CollatedResolver(_, c))
     }
 
   /** Missing/null-typed comparisons must not poison AND/OR trees: MQL is

@@ -4148,6 +4148,12 @@ object MqlPipeline {
       real: Set[String],
       typed: MqlFilter.TypedResolver,
       json: MqlFilter.JsonResolver) extends MqlFilter.FieldResolver {
+    override private[filter] def jsonMeta: Option[Column] = json.jsonMeta
+    override private[filter] def rebindJson(parsed: Column):
+        (MqlFilter.FieldResolver, MqlFilter.JsonResolver) = {
+      val (_, jr) = json.rebindJson(parsed)
+      (new HybridResolver(real, typed, jr), jr)
+    }
     private def pick(f: String): MqlFilter.FieldResolver =
       if (real(f)) typed else json
     def num(f: String): Column = pick(f).num(f)
