@@ -875,14 +875,14 @@ final class Collection(
     */
   def insertDF(base: DataFrame): Unit = {
     val start = lastId
-    val n = base.count()
+    val (withIds, n) = zipWithId(base, start)
     if (n > 0) {
       // embedDF, not a per-row column transform: remote-backed embedders
       // batch ≤96 texts per request through it (BatchedEmbedder); the
       // default embedder's override-free path is the same withColumn as
       // before
       val indexed = embedder.embedDF(
-          zipWithId(base, start), Schema.DocCol, Schema.EmbeddingCol)
+          withIds, Schema.DocCol, Schema.EmbeddingCol)
         .select(col(Schema.IdCol), col(Schema.DocCol),
           col(Schema.EmbeddingCol), col(Schema.MetaCol))
       indexed.write.mode("append").parquet(dataDir)
@@ -905,15 +905,39 @@ final class Collection(
   }
 
   /** Dense monotone ids starting at start+1 (db/db.go:75-76) without a
-    * global sort: zipWithIndex computes per-partition offsets with one
-    * lightweight count job — safe at any scale. */
-  private def zipWithId(base: DataFrame, start: Long): DataFrame = {
-    val schema = base.schema
-    val withId = base.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((start + i + 1) +: r.toSeq)
-    }
-    spark.createDataFrame(withId,
-      StructType(StructField(Schema.IdCol, LongType, false) +: schema.fields))
+    * global sort: per-partition counts (ONE bounded-size collect — ≤P
+    * rows) turn into literal offsets, and the id is offset + the row's
+    * position within its partition (the documented low-33-bit layout of
+    * monotonically_increasing_id). Returns the batch size too, so the
+    * caller never pays a separate count pass. Replaces the r1-r17
+    * rdd.zipWithIndex form, which evaluated the input an extra time for
+    * its internal count AND round-tripped every row through external
+    * Row objects; this form stays columnar/codegen end to end. Both
+    * forms assume the input's partitioning is stable across the count
+    * and write evaluations (deterministic sources — parquet scans and
+    * driver-local batches here). */
+  private def zipWithId(base: DataFrame, start: Long): (DataFrame, Long) = {
+    val pidCol = "__graft_ins_pid"
+    val posCol = "__graft_ins_pos"
+    val tagged = base
+      .withColumn(pidCol, spark_partition_id().cast("long"))
+      .withColumn(posCol,
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = tagged.groupBy(pidCol)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) return (base, 0L)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
+    val offMap = map(offs.flatMap { case (p, o) =>
+      Seq(lit(p), lit(o)) }.toSeq: _*)
+    val withId = tagged
+      .withColumn(Schema.IdCol,
+        (lit(start + 1L) + element_at(offMap, col(pidCol)) + col(posCol))
+          .cast(LongType))
+      .drop(pidCol, posCol)
+    (withId, n)
   }
 
   // maintenance observability: how many times ensureIndex chose each
@@ -1930,7 +1954,7 @@ final class Collection(
         .toDF(Schema.DocCol, Schema.MetaCol)
       val n = data.documents.length.toLong
       val indexed = embedder.embedDF(
-          zipWithId(base, nextId), Schema.DocCol, Schema.EmbeddingCol)
+          zipWithId(base, nextId)._1, Schema.DocCol, Schema.EmbeddingCol)
         .select(col(Schema.IdCol), col(Schema.DocCol),
           col(Schema.EmbeddingCol), col(Schema.MetaCol))
       stage(frame.unionByName(indexed))
