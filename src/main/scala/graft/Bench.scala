@@ -331,11 +331,14 @@ object Bench {
         s""","failed":${failed.map(n => s""""$n"""")
           .mkString("[", ",", "]")}"""
       else "") +
-      (if (minOf > 1)
-        s""","min_of":$minOf,"pass_totals":${
-          passes.map { case (p, _) => f"${p.map(_._2).sum}%.1f" }
-            .mkString("[", ",", "]")}"""
-      else "") +
+      (if (minOf > 1) s""","min_of":$minOf""" else "") +
+      // pass_totals UNCONDITIONALLY (r19, VERDICT item 7): the driver's
+      // tail capture keeps only the END of stdout, and the single-cold-
+      // pass total is the contract's objective function — it must
+      // survive in the short final line even when min_of is 1
+      s""","pass_totals":${
+        passes.map { case (p, _) => f"${p.map(_._2).sum}%.1f" }
+          .mkString("[", ",", "]")}""" +
       (if (skip.nonEmpty)
         s""","skipped":${skip.toSeq.sorted.map(n => s""""$n"""")
           .mkString("[", ",", "]")}"""
@@ -363,8 +366,15 @@ object Bench {
         if gateGc.get(n).exists(_._3 >= 256L * 1048576) =>
       f""""$n":${gateGc(n)._3 / 1048576.0}%.0f"""
     }.mkString("{", ",", "}")
+    // gc_top (r19, VERDICT item 7): the 8 worst per-gate GC numbers ride
+    // the SHORT final line — the r18 failure class (multi-second GC
+    // stalls on a handful of gates) self-diagnoses even when the tail
+    // capture truncates the full detail line's gc_ms map
+    val gcTop = gateGc.toSeq.sortBy { case (n, (_, g, _)) => (-g, n) }
+      .take(8).map { case (n, (_, g, _)) => s""""$n":$g""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"cache_payers":$payers,"shuffle_mb":$shuffleMb,"spill_mb":$spillMb,"gc_ms":$gcMs,"peak_mb":$peakMb,"sf":"$sfDir",$load}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$load}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","gc_top":$gcTop,$load}""")
     spark.stop()
   }
 }

@@ -932,10 +932,19 @@ final class Collection(
     val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
     val offMap = map(offs.flatMap { case (p, o) =>
       Seq(lit(p), lit(o)) }.toSeq: _*)
+    // ADVICE r18: if the stable-partitioning assumption ever breaks (a
+    // partition id at write time that the counts collect never saw),
+    // the lookup must fail the write LOUDLY — a silent NULL here would
+    // persist corrupt primary-key ids to parquet
+    val off = coalesce(element_at(offMap, col(pidCol)),
+      raise_error(concat(
+        lit("insert id assignment saw an unknown partition id "),
+        col(pidCol).cast("string"),
+        lit(" — input partitioning changed between the count and " +
+          "write evaluations; materialize the batch first"))))
     val withId = tagged
       .withColumn(Schema.IdCol,
-        (lit(start + 1L) + element_at(offMap, col(pidCol)) + col(posCol))
-          .cast(LongType))
+        (lit(start + 1L) + off + col(posCol)).cast(LongType))
       .drop(pidCol, posCol)
     (withId, n)
   }

@@ -19,8 +19,13 @@ object CachePayers {
   private val payers =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Bench loop: mark the gate about to run. */
-  def setCurrent(gate: String): Unit = current.set(gate)
+  /** Bench loop: mark the gate about to run. Doubles as the gate
+    * boundary for [[GateScope]]'s storage release — the finished gate's
+    * checkpoint blocks are dropped here, outside the timed region. */
+  def setCurrent(gate: String): Unit = {
+    current.set(gate)
+    GateScope.flip()
+  }
 
   /** Cache build lambdas: record that the current gate (if any) paid
     * for `cache`. First writer wins — exactly the gate that built it. */

@@ -263,6 +263,14 @@ object MqlFilter {
     override private[filter] def jsonMeta: Option[Column] = Some(metaCol)
     override private[filter] def rebindJson(parsed: Column):
         (FieldResolver, JsonResolver) = {
+      // ADVICE r18: a rebind builds a FRESH resolver — stage-prelude
+      // state (pre-resolved views, materializer, recorder) would be
+      // silently dropped. No current caller routes a prelude resolver
+      // here; if one ever does, fail loudly instead of re-parsing.
+      require(preResolved.isEmpty && materializer.isEmpty &&
+        recordTo.isEmpty,
+        "rebindJson on a stage-prelude JsonResolver would drop its " +
+          "materialized parse and pre-resolved views")
       val b = JsonResolver(metaCol)
       b.parsed = parsed
       (b, b)
@@ -369,12 +377,43 @@ object MqlFilter {
       wrap: FieldResolver => FieldResolver): Column =
     r.jsonMeta match {
       case Some(mc) =>
-        val (probeR, probeJ) = r.rebindJson(try_parse_json(mc))
-        val unbound = translate(tree, wrap(probeR))
-        if (!probeJ.touched) unbound
-        else forall(array(try_parse_json(mc)), { parsed =>
-          translate(tree, wrap(r.rebindJson(parsed)._1))
-        })
+        // r19 (ADVICE): split the top-level conjunction BEFORE binding.
+        // translate() reduces a filter object's entries (and $and
+        // elements) with `&&`, and 3-valued AND is associative, so
+        // translating conjuncts separately and re-ANDing is value-
+        // identical — but a conjunct that touches only real/typed
+        // columns now KEEPS its plain codegen-able form (predicate
+        // pushdown reaches the scan) instead of riding inside the
+        // CodegenFallback forall lambda with the document conjuncts.
+        // Only document-touching conjuncts share the one-parse binding.
+        val conjuncts: Seq[com.fasterxml.jackson.databind.JsonNode] =
+          if (tree.isObject && tree.size() > 1)
+            tree.properties().asScala.toSeq.flatMap { e =>
+              if (e.getKey == "$and" && e.getValue.isArray &&
+                  e.getValue.size() > 0)
+                e.getValue.elements().asScala.toSeq
+              else {
+                val o = mapper.createObjectNode()
+                o.set[com.fasterxml.jackson.databind.JsonNode](
+                  e.getKey, e.getValue)
+                Seq(o)
+              }
+            }
+          else Seq(tree)
+        val probed = conjuncts.map { c =>
+          val (probeR, probeJ) = r.rebindJson(try_parse_json(mc))
+          (c, translate(c, wrap(probeR)), probeJ.touched)
+        }
+        val plain = probed.collect { case (_, pc, false) => pc }
+        val docNodes = probed.collect { case (c, _, true) => c }
+        val docCol =
+          if (docNodes.isEmpty) None
+          else Some(forall(array(try_parse_json(mc)), { parsed =>
+            docNodes.map(c =>
+                translate(c, wrap(r.rebindJson(parsed)._1)))
+              .reduceLeft(_ && _)
+          }))
+        (plain ++ docCol).reduceLeftOption(_ && _).getOrElse(lit(true))
       case None => translate(tree, wrap(r))
     }
 

@@ -1191,10 +1191,19 @@ object MqlPipeline {
           val scCol = s"__graft_vs_${helperCols.size}"
           helperCols += scCol
           cur = cur.withColumn(scCol, vsScoreµ)
+          // r19 (VERDICT item 5): the tie-break view's type-bracketing
+          // CASE references the parsed document 3x — bind it to ONE
+          // materialized try_parse_json helper (the stageDocResolver
+          // device) instead of re-parsing per reference. CollapseProject
+          // keeps the non-cheap alias materialized (3 references).
+          val tkDoc = s"__graft_vsdoc_${helperCols.size}"
+          helperCols += tkDoc
+          cur = cur.withColumn(tkDoc, try_parse_json(meta))
+          val tkR = MqlFilter.JsonResolver(meta)
+          tkR.parsed = col(tkDoc)
           val tkCol = s"__graft_vstk_${helperCols.size}"
           helperCols += tkCol
-          cur = cur.withColumn(tkCol,
-            MqlFilter.JsonResolver(meta).num(tieF))
+          cur = cur.withColumn(tkCol, tkR.num(tieF))
           cur = cur.orderBy(col(scCol).desc, col(tkCol).asc)
             .limit(vsLimit)
           vsScore = Some(scCol)
@@ -2489,7 +2498,12 @@ object MqlPipeline {
               .filter(col("_gl_val").isNotNull).distinct()
               .join(seen, Seq("_gl_start", "_gl_val"), "left_anti")
               .localCheckpoint(true)
+            val prevSeen = seen
             seen = seen.union(next).localCheckpoint(true)
+            // superseded checkpoints (old seen; the old frontier whose
+            // only consumer, matched, is materialized) free NOW (r19 §5)
+            org.apache.spark.sql.graft.StorageBridge.release(prevSeen)
+            org.apache.spark.sql.graft.StorageBridge.release(frontier)
             frontier = next
             d += 1
             live = !frontier.isEmpty

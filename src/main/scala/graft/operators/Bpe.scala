@@ -96,7 +96,13 @@ object Bpe {
       val (pick, next) = step(words)
       pick match {
         case Some((a, b, w)) =>
-          out += ((rank, a, b, a + b, w)); words = next; rank += 1
+          out += ((rank, a, b, a + b, w))
+          // next is a fresh materialized checkpoint — the superseded
+          // round's blocks are dead; free them now (r19, §5)
+          val prev = words
+          words = next
+          org.apache.spark.sql.graft.StorageBridge.release(prev)
+          rank += 1
         case None => continue = false
       }
     }

@@ -284,7 +284,37 @@ object Dedup {
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(nearCorpus(s, dir))
+    nearPairs(s, dir).orderBy("id_a", "id_b")
+
+  /** Round-scoped memo of the DEFAULT-DIAL verified near-dup pair set
+    * over [[nearCorpus]] (r19 — the [[exactPairs]] discipline applied
+    * to the other side of the audit): dedup_minhash_lsh, dedup_clusters,
+    * dedup_cluster_sizes and dedup_keep_best all derive from this SAME
+    * pair set, and each cold derivation re-runs the full
+    * shingle+minhash+bucket pipeline (~80 s of the r19 baseline cold
+    * pass across the four gates). Derived once per (session, corpus
+    * fingerprint), materialized through scratch PARQUET — never the
+    * block manager — and stored UNordered; every gate applies its own
+    * orderBy. The pair set is a pure function of (documents.parquet,
+    * dials), so the memo cannot change any gate's answer; the
+    * fingerprint key rebuilds on a regenerated corpus. */
+  @volatile private var nearPairsMemo
+      : Option[(SparkSession, String, DataFrame)] = None
+  private def nearPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.core.Scratch.fingerprint(s, s"$dir/documents.parquet")
+    val memoKey = s"$dir@$fp"
+    nearPairsMemo match {
+      case Some((ms, md, df)) if (ms eq s) && md == memoKey => df
+      case _ =>
+        graft.core.CachePayers.paid("near_pairs")
+        val out = graft.core.Scratch.dir(
+          s"npairs-${s.sparkContext.applicationId}-$fp", dir)
+        minhashPairs(nearCorpus(s, dir)).write.mode("overwrite").parquet(out)
+        val df = s.read.parquet(out)
+        nearPairsMemo = Some((s, memoKey, df))
+        df
+    }
+  }
 
   /** INCREMENTAL near-dup detection — dedup a new batch against a
     * corpus whose MinHash band index is PERSISTED: the daily-ingest
@@ -796,7 +826,7 @@ object Dedup {
     * scale the same loop checkpoints to durable storage). Oracle: DuckDB
     * recursive CTE transitive closure. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterLabels(s, nearCorpus(s, dir)).orderBy("id")
+    clusterLabels(s, nearCorpus(s, dir), nearPairs(s, dir)).orderBy("id")
 
   /** The dedup-QA artifact read off the cluster labels: how many
     * clusters exist at each size (size 1 = unique documents) plus the
@@ -807,7 +837,7 @@ object Dedup {
     * the histogram is checked against an independently computed
     * clustering, not a re-export of this one. */
   def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
-    clusterLabels(s, nearCorpus(s, dir))
+    clusterLabels(s, nearCorpus(s, dir), nearPairs(s, dir))
       .groupBy("cluster").agg(count(lit(1)).as("sz"))
       .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("sz") * col("n_clusters"))
@@ -817,8 +847,14 @@ object Dedup {
     * shared by [[dedupClusters]] (the labels themselves) and
     * [[dedupKeepBest]] (labels → canonical-member decision). */
   private[graft] def clusterLabels(s: SparkSession,
-      corpus: DataFrame): DataFrame = {
-    val pairsDf = minhashPairs(corpus)
+      corpus: DataFrame): DataFrame =
+    clusterLabels(s, corpus, minhashPairs(corpus))
+
+  /** Pair-set-explicit form — the dir-based gates pass the
+    * [[nearPairs]] memo so the LSH pipeline runs once per session, not
+    * once per consuming gate. */
+  private[graft] def clusterLabels(s: SparkSession,
+      corpus: DataFrame, pairsDf: DataFrame): DataFrame = {
     // ONE bounded execution decides the path AND feeds the fast path:
     // collecting up to gate+1 pairs replaces a separate count() job, and
     // the LSH subtree materializes exactly once either way (the slow
@@ -851,7 +887,7 @@ object Dedup {
     val corpus = nearCorpus(s, dir)
     val scored = corpus.select(col("id"),
       length(col("text")).cast("long").as("len"))
-    clusterLabels(s, corpus).join(scored, "id")
+    clusterLabels(s, corpus, nearPairs(s, dir)).join(scored, "id")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("len"), (-col("id")).as("nid"))).as("best"))
@@ -912,9 +948,14 @@ object Dedup {
       val prop = edges.join(labels.select(col("id").as("dst"),
           col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
+      val prev = labels
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
+      // the new checkpoint is materialized — the superseded round's
+      // blocks have no consumer left; free them NOW instead of letting
+      // them squat in storage memory for the rest of the gate (§5)
+      org.apache.spark.sql.graft.StorageBridge.release(prev)
       val s2 = lblSum(labels)
       converged = s2 == prevSum
       prevSum = s2
@@ -1079,6 +1120,10 @@ object Dedup {
       cand.filter(inter * 2 >= union)
         .select(lit(bands.toLong).as("bands"), col("id_a"), col("id_b"))
     }.reduce(_.unionByName(_)).localCheckpoint()
+    // lpAll is materialized — the wide signature checkpoint has no
+    // consumer left in this gate's plan; free its storage blocks NOW
+    // (r19, §5) rather than holding them through the metric joins
+    org.apache.spark.sql.graft.StorageBridge.release(sigs)
     val nLp = lpAll.groupBy("bands").agg(count(lit(1)).as("n_lsh"))
     val nBoth = lpAll.join(ex, Seq("id_a", "id_b"))
       .groupBy("bands").agg(count(lit(1)).as("n_common"))

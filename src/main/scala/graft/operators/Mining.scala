@@ -72,18 +72,20 @@ object Mining {
     basketCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}#$dir", _ => {
       graft.core.CachePayers.paid("basket_stats")
-      val op = t(s, dir, "lineitem")
+      // cross-gate cache: pin every checkpoint against gate-boundary
+      // release (GateScope) — later gates re-read these frames
+      val op = graft.core.GateScope.pin(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(true)
-      val itemCnt = op.groupBy(col("pk"))
-        .agg(count(lit(1)).as("c_item")).localCheckpoint(true)
-      val pairCnt = op.as("a").join(op.as("b"),
+        .localCheckpoint(true))
+      val itemCnt = graft.core.GateScope.pin(op.groupBy(col("pk"))
+        .agg(count(lit(1)).as("c_item")).localCheckpoint(true))
+      val pairCnt = graft.core.GateScope.pin(op.as("a").join(op.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("c_both"))
         .filter(col("c_both") >= 2)
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       (itemCnt, pairCnt, op.select("ok").distinct().count())
     })
 

@@ -121,6 +121,8 @@ private[graft] trait RelationalGraph { this: Relational.type =>
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).select("u", "v")
         .localCheckpoint(true)
+        // cross-gate cache: pin against gate-boundary release
+        .transform(graft.core.GateScope.pin)
     })
 
   /** Bounded k-core peel over the co-purchase graph — the graph-hygiene
@@ -149,10 +151,15 @@ private[graft] trait RelationalGraph { this: Relational.type =>
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("n")
+      val prev = edges
       edges = edges
         .join(keep.select(col("n").as("u")), "u", "left_semi")
         .join(keep.select(col("n").as("v")), "v", "left_semi")
         .select("u", "v").localCheckpoint(true)
+      // superseded round's checkpoint has no consumer left (r19, §5);
+      // round 1 releases the peel's own entry checkpoint, never the
+      // pinned co-purchase cache (undIn itself is untouched)
+      org.apache.spark.sql.graft.StorageBridge.release(prev)
     }
     edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
