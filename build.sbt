@@ -36,25 +36,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g (r18): the local[32] suite at 8g ran GC-bound — the 25
-  // slowest-gate subset measured 84.6 s (min-of-2) at 8g vs 75.5 s at
-  // 24g (G1; ParallelGC at 24g was far worse, 123.6 s — G1 stays).
-  // 32 concurrent tasks share the unified region, and the dedup/window
-  // gates peak at 2-4 GB execution memory, so 8g left ~140 MB of
-  // execution memory per task and paid it in collections. The box has
-  // 128 GiB; a cluster deployment sizes spark.executor.memory the same
-  // way (guide §5) — this is the local analogue, not a local-only trick.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 8g (r19): the r18 24g default was tuned on a WARM min-of-2 subset
+  // (84.6 s at 8g vs 75.5 s at 24g on the 25-slowest-gate loop) and
+  // regressed the driver's real contract — ONE cold pass at local[32]
+  // — ~2x (driver r18: 845 s vs the r17 441 s band; G1 over a cold
+  // 24g heap produced 10-30 s GC stalls on the checkpoint-heavy dedup
+  // gates, and the 8-core probe beat 32 cores). Re-measured under the
+  // cold contract with checkpoint blocks released at gate end
+  // (GateScope): full 387-gate cold pass 381.6 s at 8g vs 439.2 s at
+  // 24g vs 446.0 s at 12g on the idle 32-core box — the r18
+  // motivation (execution-memory headroom) is obsolete once storage
+  // no longer squats, and the smaller heap keeps G1 pauses ~1 s
+  // suite-wide (gc_top in the bench total line). Guide §5: cut
+  // retention first, size the heap second. G1 stays (r18: ParallelGC
+  // was far worse).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // pre-size the heap: lazy expansion of a large -Xmx stalls the first
   // big-allocation queries for tens of seconds (measured: the sf1
   // suite's first levenshtein gate at 40 s vs 4.9 s steady-state).
-  // AlwaysPreTouch dropped in r18: on this host first-touch of a 24g
-  // heap runs ~90 s single-threaded at JVM start (measured with java
-  // -version; 8g was 1.1 s), charged to every forked run — committing
-  // without touching (-Xms=-Xmx, no pretouch) is 0.7 s and avoids the
-  // G1 resize stalls the original fix targeted; demand-zeroing then
-  // amortizes per page across the run.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Still no AlwaysPreTouch (r18): committing without touching is
+  // ~0.7 s at JVM start and demand-zeroing of an 8g heap amortizes
+  // invisibly across the run (pretouch itself was 1.1 s at 8g).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // Ad-hoc JVM flags for measurement experiments (GC algorithm A/Bs etc.)
 // without editing this file per run: SPARK_GRAFT_JVM_EXTRA="-XX:..."

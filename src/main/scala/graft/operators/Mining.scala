@@ -64,7 +64,7 @@ object Mining {
   private val basketCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, DataFrame, Long)]()
 
-  private def basketStats(s: SparkSession, dir: String)
+  private[operators] def basketStats(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) =
     // keyed on (application, dir): a cached DataFrame is bound to the
     // session that checkpointed it — a later session reusing the dir

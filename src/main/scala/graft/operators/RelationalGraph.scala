@@ -112,17 +112,14 @@ private[graft] trait RelationalGraph { this: Relational.type =>
     coPurchaseCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}#$dir", _ => {
       graft.core.CachePayers.paid("co_purchase_edges")
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      op.as("a").join(op.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select("u", "v")
-        .localCheckpoint(true)
-        // cross-gate cache: pin against gate-boundary release
-        .transform(graft.core.GateScope.pin)
+      // r19: the co-purchase edge set IS the basket pair-count frame
+      // minus its count column — the previous build re-ran the
+      // identical lineitem distinct + basket self-join + groupBy that
+      // Mining.basketStats already checkpoints (≥2 co-occurrence floor
+      // on both sides), costing a second ~3 s build and a duplicate
+      // checkpoint. A projection on the pinned basket checkpoint is
+      // row-identical (same join, same floor) and free.
+      graft.operators.Mining.basketStats(s, dir)._2.select("u", "v")
     })
 
   /** Bounded k-core peel over the co-purchase graph — the graph-hygiene
