@@ -735,13 +735,40 @@ object TextAnalysis {
     * count is a map-side-combined aggregate; the rank window then runs
     * over the V-row RESULT (vocab is k-sized by construction — the
     * single-partition window is over 200 rows, not the corpus). */
-  private def vocabCore(s: SparkSession, dir: String): DataFrame = {
+  private def vocabBuild(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs(s, dir).select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(VocabSize)
       .withColumn("vid", row_number().over(
         Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
+  /** Round-scoped memo of the learned vocabulary (r19 — the
+    * exactPairs/nearPairs discipline): build_vocab, encode_ids and
+    * decode_ids each re-ran the full-corpus token aggregation — FOUR
+    * evaluations per bench pass (decode's two broadcasts don't share
+    * the subtree). The vocab is a pure deterministic function of the
+    * corpus (count desc, token asc tiebreak), V=200 rows — built once
+    * per (session, corpus fingerprint), materialized through scratch
+    * parquet, consumers apply their own order (joins are
+    * order-insensitive; build_vocab orderBys vid). */
+  @volatile private var vocabMemo
+      : Option[(SparkSession, String, DataFrame)] = None
+  private def vocabCore(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.core.Scratch.fingerprint(s, s"$dir/documents.parquet")
+    val memoKey = s"$dir@$fp"
+    vocabMemo match {
+      case Some((ms, md, df)) if (ms eq s) && md == memoKey => df
+      case _ =>
+        graft.core.CachePayers.paid("vocab_core")
+        val out = graft.core.Scratch.dir(
+          s"vocab-${s.sparkContext.applicationId}-$fp", dir)
+        vocabBuild(s, dir).write.mode("overwrite").parquet(out)
+        val df = s.read.parquet(out)
+        vocabMemo = Some((s, memoKey, df))
+        df
+    }
   }
 
   def buildVocab(s: SparkSession, dir: String): DataFrame =
