@@ -238,7 +238,31 @@ object TextAnalysis {
     * Σdl); per-term scores sum in FIXED source order and round to 6
     * decimals, absorbing libm log ulp differences between engines (the
     * quantile/stddev float stance). */
+  /** Round-scoped memo (r19 — the vocabCore discipline): the scan-path
+    * BM25 top-15 is computed by the bm25_search gate AND re-run inside
+    * the RRF fusion build (rag_hybrid_rrf / rag_eval_metrics's lexical
+    * leg). Pure function of documents.parquet; 15 rows; stored
+    * UNordered through scratch parquet, ranking order re-applied. */
+  @volatile private var bm25Memo
+      : Option[(SparkSession, String, DataFrame)] = None
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.core.Scratch.fingerprint(s, s"$dir/documents.parquet")
+    val memoKey = s"$dir@$fp"
+    val cached = bm25Memo match {
+      case Some((ms, md, df)) if (ms eq s) && md == memoKey => df
+      case _ =>
+        graft.core.CachePayers.paid("bm25_scan")
+        val out = graft.core.Scratch.dir(
+          s"bm25-${s.sparkContext.applicationId}-$fp", dir)
+        bm25Build(s, dir).write.mode("overwrite").parquet(out)
+        val df = s.read.parquet(out)
+        bm25Memo = Some((s, memoKey, df))
+        df
+    }
+    cached.orderBy(col("bm25").desc, col("doc_id").asc)
+  }
+
+  private[graft] def bm25Build(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("hash", "join", "merge")
     val d = docs(s, dir)
     val dl = d.select(col("doc_id"),

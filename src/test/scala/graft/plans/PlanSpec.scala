@@ -548,7 +548,9 @@ class PlanSpec extends SparkTestBase {
 
   test("bm25_search: one tf shuffle; corpus stats broadcast, corpus " +
       "never nested-loops against itself") {
-    val p = plan(graft.operators.TextAnalysis.bm25Search(spark, sf0001))
+    // r19: the gate reads the session memo — the shape contract lives
+    // on the memo's BUILD plan, where the corpus work happens
+    val p = plan(graft.operators.TextAnalysis.bm25Build(spark, sf0001))
     // the only nested-loop allowed is the 1-row stats cross join —
     // assert no join has a corpus-sized build side by checking the
     // scored side joins doc-keyed frames hash-wise
@@ -1118,10 +1120,13 @@ class PlanSpec extends SparkTestBase {
 
   test("rag_hybrid_rrf: each leg ends in a top-k heap BEFORE its rank " +
       "window, fusion is a full-outer join of the two k-sized lists") {
-    val p = plan(graft.operators.Similarity.queries("rag_hybrid_rrf")(
-      spark, sf0001))
-    // 3 heaps: BM25 leg, dense leg, final fused top-k
-    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3, p)
+    // r19: the gate reads the session memo — the shape contract lives
+    // on the memo's BUILD plan, where the corpus work happens
+    val p = plan(graft.operators.Similarity.rrfBuild(spark, sf0001))
+    // 2 heaps here: dense leg + final fused top-k (the BM25 leg's heap
+    // sits inside bm25Build's own plan — asserted by its own test —
+    // and reaches this plan as the 15-row memo read)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
     assert(p.contains("FullOuter"), p)
     // rank windows must sit ABOVE a TakeOrdered (k rows), never over
     // the corpus: every Window's subtree must contain a TakeOrdered
