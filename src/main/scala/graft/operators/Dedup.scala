@@ -302,13 +302,17 @@ object Dedup {
       : Option[(SparkSession, String, DataFrame)] = None
   private def nearPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = graft.core.Scratch.fingerprint(s, s"$dir/documents.parquet")
-    val memoKey = s"$dir@$fp"
+    // the pair set follows the session's text-LSH dials — key the memo
+    // (and the scratch dir) on them so a mid-session conf change can
+    // never serve a stale dial's pairs
+    val (k, bands) = textDials(s)
+    val memoKey = s"$dir@$fp@k${k}b$bands"
     nearPairsMemo match {
       case Some((ms, md, df)) if (ms eq s) && md == memoKey => df
       case _ =>
         graft.core.CachePayers.paid("near_pairs")
         val out = graft.core.Scratch.dir(
-          s"npairs-${s.sparkContext.applicationId}-$fp", dir)
+          s"npairs-k${k}b$bands-${s.sparkContext.applicationId}-$fp", dir)
         minhashPairs(nearCorpus(s, dir)).write.mode("overwrite").parquet(out)
         val df = s.read.parquet(out)
         nearPairsMemo = Some((s, memoKey, df))
@@ -1113,12 +1117,24 @@ object Dedup {
     // the same truth with 4 eager actions collapsed to 2 (measured:
     // gate build 9.2 s → see OPTIMIZATION_r18.md). Zero-pair dials
     // keep their row via the left joins from the literal dial table.
+    // dial 4 of a 12-row signature IS the default-dial verified pair
+    // set ([[nearPairs]]): when the session's text-LSH dials sit at
+    // the (12, 4) default the memo's parquet replaces one of the three
+    // banding+bucket+verify passes outright (r19). Any conf override
+    // disqualifies the reuse — the sweep pins k=12 explicitly while
+    // the memo follows the conf — and every dial then builds in place.
+    val memoDial4 = textDials(s) == ((12, 4))
     val lpAll = dials.map { bands =>
-      val cand = candidatesFromBands(bandSigs(sigs, 12, bands))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val union = size(col("sh_a")) + size(col("sh_b")) - inter
-      cand.filter(inter * 2 >= union)
-        .select(lit(bands.toLong).as("bands"), col("id_a"), col("id_b"))
+      if (bands == 4 && memoDial4)
+        nearPairs(s, dir)
+          .select(lit(4L).as("bands"), col("id_a"), col("id_b"))
+      else {
+        val cand = candidatesFromBands(bandSigs(sigs, 12, bands))
+        val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+        val union = size(col("sh_a")) + size(col("sh_b")) - inter
+        cand.filter(inter * 2 >= union)
+          .select(lit(bands.toLong).as("bands"), col("id_a"), col("id_b"))
+      }
     }.reduce(_.unionByName(_)).localCheckpoint()
     // lpAll is materialized — the wide signature checkpoint has no
     // consumer left in this gate's plan; free its storage blocks NOW
